@@ -1,0 +1,297 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core relational surface (SURVEY.md §2.5 Q1–Q16).
+  *
+  * All of these compile to single declarative Catalyst plans: filters and
+  * projections are pushed into the parquet scan, aggregates run with
+  * map-side partial aggregation, small dimension joins are broadcast. At
+  * 100 TB the same plans hold: the only shuffles are on the grouping/join
+  * keys, and AQE handles skew/plan-size decisions at runtime.
+  */
+object BatchQueries {
+
+  /** Q1: filter + projection; both reach the parquet scan (PushedFilters). */
+  val q01 = QueryDef.sql(
+    "q01_filter_project",
+    """SELECT l_orderkey, l_linenumber,
+      |       l_extendedprice * (1 - l_discount) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate < TIMESTAMP '1996-01-01'
+      |  AND l_discount BETWEEN 0.02 AND 0.09""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") < lit("1996-01-01").cast("timestamp")
+        && col("l_discount").between(0.02, 0.09))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+  }
+
+  /** Q2: TPC-H Q1 shape — multi-key hash aggregation with partial agg.
+    *
+    * Money columns are summed as DECIMAL: exact and order-independent, so
+    * the result is bitwise identical regardless of partitioning (double
+    * sums would carry ulp noise that differs run-to-run at 1000 executors,
+    * let alone between engines). Averages divide the exact decimal sum as
+    * a double by the count — again order-independent.
+    */
+  val q02 = QueryDef.sql(
+    "q02_agg",
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS sum_disc_price,
+      |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(24,6))) AS DOUBLE) AS sum_charge,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+      |       CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+      |       count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin) { (spark, dir) =>
+    val disc = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    val cnt = count(lit(1))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+        sum(disc.cast("decimal(24,6)")).cast("double").as("sum_disc_price"),
+        sum((disc * (lit(1) + col("l_tax"))).cast("decimal(24,6)")).cast("double").as("sum_charge"),
+        (sum(col("l_quantity").cast("decimal(18,2)")).cast("double") / cnt).as("avg_qty"),
+        (sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double") / cnt).as("avg_price"),
+        (sum(col("l_discount").cast("decimal(18,2)")).cast("double") / cnt).as("avg_disc"),
+        cnt.as("count_order"))
+  }
+
+  /** Q3: inner equi-join against a broadcast dimension (25 rows). */
+  val q03 = QueryDef.sql(
+    "q03_join_broadcast",
+    """SELECT n_name, count(*) AS cnt
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name""".stripMargin) { (spark, dir) =>
+    Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Q4: multi-way join (TPC-H Q3 family) — customer⋈orders⋈lineitem. */
+  val q04 = QueryDef.sql(
+    "q04_multijoin",
+    """SELECT c_custkey,
+      |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE o_orderdate < TIMESTAMP '1998-07-01'
+      |  AND l_shipdate > TIMESTAMP '1998-07-01'
+      |GROUP BY c_custkey""".stripMargin) { (spark, dir) =>
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("o_orderdate") < lit("1998-07-01").cast("timestamp")
+        && col("l_shipdate") > lit("1998-07-01").cast("timestamp"))
+      .groupBy(col("c_custkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(24,6)"))
+        .cast("double").as("revenue"))
+  }
+
+  /** Q5: anti join — customers with no orders since mid-2000. */
+  val q05 = QueryDef.sql(
+    "q05_anti_join",
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+      |                  AND o.o_orderdate >= TIMESTAMP '2000-06-01')""".stripMargin) { (spark, dir) =>
+    val recent = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("2000-06-01").cast("timestamp"))
+    Tables.customer(spark, dir)
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  /** Q6: semi join — customers with ≥1 order in a date range. */
+  val q06 = QueryDef.sql(
+    "q06_semi_join",
+    """SELECT c_custkey, c_mktsegment FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+      |              AND o.o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31')""".stripMargin) { (spark, dir) =>
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate").between(
+        lit("1996-01-01").cast("timestamp"), lit("1996-12-31").cast("timestamp")))
+    Tables.customer(spark, dir)
+      .join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_mktsegment"))
+  }
+
+  /** Q7: top-k per group via ranking window (deterministic tiebreak). */
+  val q07 = QueryDef.sql(
+    "q07_topk_window",
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |         row_number() OVER (PARTITION BY o_custkey
+      |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) WHERE rn <= 3""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+  }
+
+  /** Q8: analytic window with an explicit ROWS frame (running sum). */
+  val q08 = QueryDef.sql(
+    "q08_running_window",
+    """SELECT o_custkey, o_orderkey,
+      |       sum(o_totalprice) OVER (PARTITION BY o_custkey
+      |                               ORDER BY o_orderdate, o_orderkey
+      |                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_rev
+      |FROM orders""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum(col("o_totalprice")).over(w).as("running_rev"))
+  }
+
+  /** Q9: lag — per-user inter-event gap in microseconds (exact integers). */
+  val q09 = QueryDef.sql(
+    "q09_lag",
+    """SELECT user_id, event_id,
+      |       date_diff('microsecond',
+      |                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+      |                 ts) AS gap_us
+      |FROM events""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))).as("gap_us"))
+  }
+
+  /** Q10: global sort + limit with deterministic tiebreak. */
+  val q10 = QueryDef.sql(
+    "q10_sort_limit",
+    """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+      |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(20)
+  }
+
+  /** Q11: distinct + set operations (INTERSECT / EXCEPT), tagged union. */
+  val q11 = QueryDef.sql(
+    "q11_setops",
+    """SELECT 'both' AS tag, user_id FROM (
+      |  SELECT user_id FROM events WHERE event_type = 'purchase'
+      |  INTERSECT
+      |  SELECT user_id FROM events WHERE event_type = 'error')
+      |UNION ALL
+      |SELECT 'buy_only' AS tag, user_id FROM (
+      |  SELECT user_id FROM events WHERE event_type = 'purchase'
+      |  EXCEPT
+      |  SELECT user_id FROM events WHERE event_type = 'error')""".stripMargin) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+    val buyers = ev.filter(col("event_type") === "purchase").select(col("user_id"))
+    val errored = ev.filter(col("event_type") === "error").select(col("user_id"))
+    buyers.intersect(errored).withColumn("tag", lit("both"))
+      .unionByName(buyers.except(errored).withColumn("tag", lit("buy_only")))
+      .select(col("tag"), col("user_id"))
+  }
+
+  /** Q12: ROLLUP grouping sets. */
+  val q12 = QueryDef.sql(
+    "q12_rollup",
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue,
+      |       count(*) AS cnt
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(24,6)"))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("cnt"))
+  }
+
+  /** Q13: approx_count_distinct (HLL++) asserted within a 5% band of the
+    * exact count — both engines' sketches differ, so the hash-stable
+    * output is the band check plus the exact count.
+    */
+  val q13 = QueryDef.sql(
+    "q13_approx_distinct",
+    """SELECT (abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey))
+      |        <= 0.05 * count(DISTINCT l_partkey)) AS within_5pct,
+      |       count(DISTINCT l_partkey) AS exact_cnt
+      |FROM lineitem""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .agg(
+        (abs(approx_count_distinct(col("l_partkey")) - countDistinct(col("l_partkey")))
+          <= lit(0.05) * countDistinct(col("l_partkey"))).as("within_5pct"),
+        countDistinct(col("l_partkey")).as("exact_cnt"))
+  }
+
+  /** Q14: scalar string/date/math functions. */
+  val q14 = QueryDef.sql(
+    "q14_scalar_fns",
+    """SELECT o_orderkey,
+      |       upper(substr(o_orderpriority, 1, 3)) AS pri3,
+      |       CAST(length(o_orderpriority) AS BIGINT) AS pri_len,
+      |       concat(o_orderstatus, '-', o_orderpriority) AS status_pri,
+      |       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+      |       CAST(extract(year FROM o_orderdate) AS BIGINT) AS order_year,
+      |       round(o_totalprice / 7, 2) AS price_div,
+      |       abs(o_totalprice - 100000.0) AS price_dist
+      |FROM orders""".stripMargin) { (spark, dir) =>
+    Tables.orders(spark, dir).select(
+      col("o_orderkey"),
+      upper(substring(col("o_orderpriority"), 1, 3)).as("pri3"),
+      length(col("o_orderpriority")).cast("long").as("pri_len"),
+      concat(col("o_orderstatus"), lit("-"), col("o_orderpriority")).as("status_pri"),
+      date_trunc("month", col("o_orderdate")).as("order_month"),
+      year(col("o_orderdate")).cast("long").as("order_year"),
+      round(col("o_totalprice") / 7, 2).as("price_div"),
+      abs(col("o_totalprice") - 100000.0).as("price_dist"))
+  }
+
+  /** Q15: JSON scalar extraction from `events.props`. */
+  val q15 = QueryDef.sql(
+    "q15_json",
+    """SELECT event_type,
+      |       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |       count(*) AS cnt
+      |FROM events GROUP BY event_type""".stripMargin) { (spark, dir) =>
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"),
+        count(lit(1)).as("cnt"))
+  }
+
+  /** Q16: array higher-order functions over the embedding column. Both
+    * engines fold sequentially in doubles, so the values match bitwise.
+    */
+  val q16 = QueryDef.sql(
+    "q16_array_fns",
+    """SELECT vec_id,
+      |       CAST(len(embedding) AS BIGINT) AS dim,
+      |       CAST(embedding[1] AS DOUBLE) AS first_elem,
+      |       list_sum(list_transform(embedding,
+      |                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS sq_norm
+      |FROM embeddings""".stripMargin) { (spark, dir) =>
+    Tables.embeddings(spark, dir).select(
+      col("vec_id"),
+      size(col("embedding")).cast("long").as("dim"),
+      element_at(col("embedding"), 1).cast("double").as("first_elem"),
+      expr("aggregate(embedding, cast(0 as double), " +
+        "(acc, x) -> acc + cast(x as double) * cast(x as double))").as("sq_norm"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08,
+    q09, q10, q11, q12, q13, q14, q15, q16)
+}
