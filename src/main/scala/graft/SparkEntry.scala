@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.BatchQueries
+import graft.queries.{BatchQueries, CdcQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -11,7 +11,7 @@ import graft.queries.BatchQueries
   */
 object SparkEntry {
 
-  private def registry: Seq[QueryDef] = BatchQueries.all
+  private def registry: Seq[QueryDef] = BatchQueries.all ++ CdcQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,70 @@
+package graft.cdc
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Debezium-style change-event envelope (SURVEY.md §1.1).
+  *
+  * The reference consumes JSON `ChangeEvent<String,String>` pairs whose
+  * value carries `{schema?, payload:{before, after, source:{db,table,...},
+  * op, ts_ms}}` (reference: DebeziumEngineRecordHandler.java:154-184).
+  * Per SURVEY §1.1 we accept both the wrapped form and a bare payload.
+  *
+  * Row payloads are schemaless at ingest: `after`/`before` stay raw JSON
+  * strings here (extracted with `get_json_object`, which preserves the
+  * original object text), and consumers project typed columns on demand
+  * with `from_json(schema)`. This keeps one envelope parser for every
+  * source table and pushes schema binding to the edge — the same design
+  * that lets a single bronze stream serve N typed pipelines at scale.
+  */
+object Envelope {
+
+  /** Scalar envelope fields, parsed once per event. */
+  val payloadSchema: StructType = StructType(Seq(
+    StructField("op", StringType),
+    StructField("ts_ms", LongType),
+    StructField("ddl", StringType),
+    StructField("source", StructType(Seq(
+      StructField("db", StringType),
+      StructField("table", StringType),
+      StructField("ts_ms", LongType))))))
+
+  /** The raw payload JSON text: unwraps `{schema,payload}` when the
+    * wrapper is present, otherwise treats the whole value as the payload
+    * (bare form). NULL input stays NULL (tombstone, filtered later).
+    */
+  def payloadText(value: Column): Column = {
+    val wrapped = get_json_object(value, "$.payload")
+    when(wrapped.isNotNull, wrapped).otherwise(value)
+  }
+
+  /** Parse a DataFrame of raw event strings into envelope columns.
+    *
+    * Input: `value: String` (nullable) plus any passthrough columns
+    * (typically `offset: Long`, the arrival index).
+    * Output adds: `payload` (raw payload text), `op`, `ts_ms`, `ddl`,
+    * `src_db`, `src_table`, `before`, `after` (raw JSON text or null),
+    * `has_after` (key-PRESENCE — the reference checks `containsKey`, not
+    * non-null, so `"after": null` on a delete passes; SURVEY §2.4.6).
+    */
+  def parse(df: DataFrame, valueCol: String = "value"): DataFrame = {
+    val v = col(valueCol)
+    val p = payloadText(v)
+    df.withColumn("payload", p)
+      .withColumn("env", from_json(col("payload"), payloadSchema))
+      .withColumn("op", col("env.op"))
+      .withColumn("ts_ms", col("env.ts_ms"))
+      .withColumn("ddl", col("env.ddl"))
+      .withColumn("src_db", col("env.source.db"))
+      .withColumn("src_table", col("env.source.table"))
+      .withColumn("before", get_json_object(col("payload"), "$.before"))
+      .withColumn("after", get_json_object(col("payload"), "$.after"))
+      // get_json_object returns NULL for both a missing key and an
+      // explicit JSON null — the reference distinguishes them
+      // (containsKey), so probe the raw text for the key itself.
+      .withColumn("has_after", col("payload").isNotNull &&
+        col("payload").rlike("\"after\"\\s*:"))
+      .drop("env")
+  }
+}

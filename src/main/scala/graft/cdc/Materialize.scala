@@ -1,0 +1,45 @@
+package graft.cdc
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Last-writer-wins materialization: collapse a change-event log into the
+  * current snapshot of a table (SURVEY Q17 — the batch semantics of the
+  * reference's id-keyed upsert/delete sink, R13/R14).
+  *
+  * Winner per key is the event with the greatest `(ts_ms, offset)` —
+  * deterministic regardless of arrival order, which is exactly why the
+  * engine can relax the reference's global total-order guarantee to
+  * per-key order (SURVEY §7.4).
+  *
+  * Implementation note: `groupBy(key).agg(max_by(payload, (ts_ms,
+  * offset)))`, NOT a `row_number` window. Both shuffle once on the key,
+  * but max_by runs as a hash aggregate with map-side partial aggregation
+  * — at 100 TB the partial agg collapses each partition's events per key
+  * before the shuffle, while a window would sort entire partitions and
+  * ship every event. Duplicate delivery (at-least-once replay) collapses
+  * for free: a re-delivered event is its own max_by tie.
+  */
+object Materialize {
+
+  /** @param events `Envelope.parse`d + filtered + routed change events
+    * @param keyExpr expression over the envelope columns yielding the
+    *                primary key (e.g. extract from `after`, falling back
+    *                to `before` for deletes whose after is null)
+    * @param rowSchema schema to bind the winning `after` JSON to
+    * @return one row per live key, typed per rowSchema
+    */
+  def lww(events: DataFrame, keyExpr: Column, rowSchema: StructType): DataFrame = {
+    val winners = events
+      .withColumn("_key", keyExpr)
+      .filter(col("_key").isNotNull)
+      .groupBy(col("_key"))
+      .agg(max_by(struct(col("op"), col("after")), struct(col("ts_ms"), col("offset")))
+        .as("_w"))
+    winners
+      .filter(col("_w.op") =!= "d") // a delete as last writer removes the key
+      .select(from_json(col("_w.after"), rowSchema).as("_row"))
+      .select(col("_row.*"))
+  }
+}

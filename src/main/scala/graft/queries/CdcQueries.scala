@@ -1,0 +1,88 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.cdc._
+import org.apache.spark.sql.functions._
+
+/** Reference-parity CDC surface (SURVEY Q17, R5–R11): envelope parse →
+  * tombstone/ddl/op/after filters → subscription routing → last-writer-
+  * wins materialization, all oracle-checkable because the change feed is
+  * a deterministic function of the testdata tables (ChangeFeed).
+  */
+object CdcQueries {
+
+  private def routedOrders(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    val feed = ChangeFeed.fromTestData(spark, dir)
+    val filtered = EventFilters.all(Envelope.parse(feed))
+    Subscription(Set("shop"), Set("orders")).route(filtered)
+  }
+
+  /** Q17: LWW snapshot of `orders` from the mixed change feed. The
+    * expected result is plain SQL over `orders` because the feed is a
+    * deterministic derivation: updates touch keys %3, deletes remove
+    * keys %5, and every noise class must be filtered for the hash to
+    * match.
+    */
+  val q17 = QueryDef.sql(
+    "q17_cdc_lww_orders",
+    """SELECT o_orderkey, o_orderstatus,
+      |       CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1
+      |            ELSE o_totalprice END AS total
+      |FROM orders WHERE o_orderkey % 5 <> 0""".stripMargin) { (spark, dir) =>
+    val key = coalesce(
+      get_json_object(col("after"), "$.o_orderkey"),
+      get_json_object(col("before"), "$.o_orderkey")).cast("long")
+    Materialize.lww(routedOrders(spark, dir), key, ChangeFeed.ordersRowSchema)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice").as("total"))
+  }
+
+  /** Q17b: second routed pipeline over the SAME bronze feed — the
+    * reference's fan-out (R11) with the routing it declared but never
+    * enforced (SURVEY §2.4.2). Customer inserts only, so the snapshot
+    * equals the customer table.
+    */
+  val q17b = QueryDef.sql(
+    "q17b_cdc_lww_customer",
+    "SELECT c_custkey, c_name, c_acctbal FROM customer") { (spark, dir) =>
+    val feed = ChangeFeed.fromTestData(spark, dir)
+    val filtered = EventFilters.all(Envelope.parse(feed))
+    val routed = Subscription(Set("shop"), Set("customer")).route(filtered)
+    val key = coalesce(
+      get_json_object(col("after"), "$.c_custkey"),
+      get_json_object(col("before"), "$.c_custkey")).cast("long")
+    Materialize.lww(routed, key, ChangeFeed.customerRowSchema)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+  }
+
+  /** Q17c: drop-audit — classify every feed event by the reference's
+    * filter chain (R5→R9, in reference order) and count per class. Each
+    * expected count is arithmetic over the base tables.
+    */
+  val q17c = QueryDef.sql(
+    "q17c_cdc_filter_audit",
+    """SELECT 'tombstone' AS reason, count(*) AS cnt FROM orders WHERE o_orderkey % 13 = 0
+      |UNION ALL SELECT 'no_payload', count(*) FROM orders WHERE o_orderkey % 17 = 0
+      |UNION ALL SELECT 'ddl', count(*) FROM orders WHERE o_orderkey % 7 = 0
+      |UNION ALL SELECT 'bad_op', count(*) FROM orders WHERE o_orderkey % 11 = 0
+      |UNION ALL SELECT 'missing_after', count(*) FROM orders WHERE o_orderkey % 19 = 0
+      |UNION ALL SELECT 'kept_orders',
+      |  count(*) + sum(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END)
+      |           + sum(CASE WHEN o_orderkey % 12 = 0 THEN 1 ELSE 0 END)
+      |           + sum(CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END) FROM orders
+      |UNION ALL SELECT 'kept_customer', count(*) FROM customer""".stripMargin) { (spark, dir) =>
+    val parsed = Envelope.parse(ChangeFeed.fromTestData(spark, dir))
+    parsed
+      .withColumn("reason",
+        when(col("value").isNull, "tombstone")
+          .when(get_json_object(col("value"), "$.payload").isNull && col("op").isNull, "no_payload")
+          .when(col("ddl").isNotNull, "ddl")
+          .when(!col("op").isin("c", "u", "d", "r"), "bad_op")
+          .when(!col("has_after"), "missing_after")
+          .when(col("src_table") === "orders", "kept_orders")
+          .otherwise("kept_customer"))
+      .groupBy(col("reason"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q17, q17b, q17c)
+}
