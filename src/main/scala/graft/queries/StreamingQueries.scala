@@ -1,0 +1,113 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.streaming.Replay
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming surface (SURVEY Q23–Q25): event-time windows
+  * with watermarks, session windows, and streaming dedup, each replayed
+  * from the events table and checked against a DuckDB batch oracle over
+  * the same rows.
+  *
+  * Window starts are epoch-aligned in both engines (Spark `window()`
+  * aligns to the unix epoch; the oracle buckets with epoch arithmetic),
+  * and money sums go through DECIMAL as everywhere else.
+  */
+object StreamingQueries {
+
+  /** Q23: 5-minute tumbling count/sum by event_type under a 10-minute
+    * watermark.
+    */
+  val q23 = QueryDef.sql(
+    "q23_stream_tumbling",
+    """SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS bucket_s,
+      |       event_type, count(*) AS cnt,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
+    val agg = Replay.eventsStream(spark, dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+    Replay.runToResult(spark, agg)
+      .select(col("window.start").cast("long").as("bucket_s"),
+        col("event_type"), col("cnt"), col("sum_value"))
+  }
+
+  /** Q24a: sliding windows (10 min length, 5 min slide) — every event
+    * lands in exactly two buckets.
+    */
+  val q24a = QueryDef.sql(
+    "q24a_stream_sliding",
+    """SELECT CAST(b AS BIGINT) AS bucket_s, event_type,
+      |       count(*) AS cnt,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM (SELECT unnest([floor(epoch(ts) / 300) * 300 - 300,
+      |                     floor(epoch(ts) / 300) * 300]) AS b,
+      |             event_type, value
+      |      FROM events)
+      |GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
+    val agg = Replay.eventsStream(spark, dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+    Replay.runToResult(spark, agg)
+      .select(col("window.start").cast("long").as("bucket_s"),
+        col("event_type"), col("cnt"), col("sum_value"))
+  }
+
+  /** Q24b: session windows, 30-minute gap, per user. Spark starts a new
+    * session when the gap is >= the timeout (intervals [t, t+gap) merge
+    * only on strict overlap), so the gaps-and-islands oracle breaks on
+    * `diff >= 30 minutes`.
+    */
+  val q24b = QueryDef.sql(
+    "q24b_stream_session",
+    """WITH x AS (
+      |  SELECT user_id, ts, event_id, value,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+      |              THEN 1 ELSE 0 END AS brk
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |y AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                               ROWS UNBOUNDED PRECEDING) AS grp
+      |      FROM x)
+      |SELECT user_id,
+      |       CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_s,
+      |       count(*) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM y GROUP BY user_id, grp""".stripMargin) { (spark, dir) =>
+    val agg = Replay.eventsStream(spark, dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+    Replay.runToResult(spark, agg)
+      .select(col("user_id"),
+        col("session_window.start").cast("long").as("session_start_s"),
+        col("n_events"), col("sum_value"))
+  }
+
+  /** Q25: streaming dedup — the replay injects a duplicate delivery of
+    * every 100th event; `dropDuplicates` on the id under the watermark
+    * must restore exactly the original event set.
+    */
+  val q25 = QueryDef.sql(
+    "q25_stream_dedup",
+    """SELECT event_type, count(*) AS cnt,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY event_type""".stripMargin) { (spark, dir) =>
+    val deduped = Replay.eventsStream(spark, dir, withDuplicates = true)
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+    Replay.runToResult(spark, deduped)
+      .select(col("event_type"), col("cnt"), col("sum_value"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q23, q24a, q24b, q25)
+}
