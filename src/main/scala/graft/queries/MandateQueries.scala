@@ -74,7 +74,7 @@ object MandateQueries {
     * the oracle; correctness pinned by ScalaTest against Q19's pairs).
     */
   val q27 = QueryDef.rowsOnly("q27_simhash") { (spark, dir) =>
-    SimHash.nearDupPairs(Tables.documents(spark, dir), "doc_id", "text", maxHamming = 3)
+    SimHash.nearDupPairs(Tables.documents(spark, dir), "doc_id", "text", maxHamming = 7)
   }
 
   /** Q20: exact top-5 cosine neighbors for query vectors vec_id < 10. */

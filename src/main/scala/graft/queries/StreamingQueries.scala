@@ -57,17 +57,17 @@ object StreamingQueries {
         col("event_type"), col("cnt"), col("sum_value"))
   }
 
-  /** Q24b: session windows, 30-minute gap, per user. Spark starts a new
-    * session when the gap is >= the timeout (intervals [t, t+gap) merge
-    * only on strict overlap), so the gaps-and-islands oracle breaks on
-    * `diff >= 30 minutes`.
+  /** Q24b: session windows, 30-minute gap, per user. Spark MERGES events
+    * whose gap equals the timeout exactly (verified empirically: events
+    * at t and t+30min land in one session), so the gaps-and-islands
+    * oracle breaks on `diff > 30 minutes`, strictly greater.
     */
   val q24b = QueryDef.sql(
     "q24b_stream_session",
     """WITH x AS (
       |  SELECT user_id, ts, event_id, value,
       |         CASE WHEN lag(ts) OVER w IS NULL
-      |                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+      |                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
       |              THEN 1 ELSE 0 END AS brk
       |  FROM events
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),

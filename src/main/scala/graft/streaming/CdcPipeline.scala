@@ -1,0 +1,88 @@
+package graft.streaming
+
+import graft.cdc.{Envelope, EventFilters, Subscription}
+import graft.sinks.EsSink
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The reference's end-to-end CDC flow (SURVEY §3.2) rebuilt on
+  * Structured Streaming: capture stream → envelope parse → R5–R9
+  * filters → per-pipeline routing → id-keyed upsert/delete sink.
+  *
+  * One `CdcPipeline` = one of the reference's "scripts": its own
+  * subscription, transform, sink, and checkpoint (the checkpoint dir IS
+  * the named tailer — per-subscriber durable position, SURVEY §1.4).
+  * Fan-out = N pipelines started over the same source directory; each
+  * streaming query tracks offsets independently, which is exactly the
+  * reference's shared-log/multi-tailer topology without the bespoke queue.
+  *
+  * Delivery contract (SURVEY §2.3): at-least-once via checkpoint replay;
+  * effects idempotent because upserts are id-keyed; order is per-key
+  * (ts_ms, offset), not global — LWW materialization makes results
+  * arrival-order-free.
+  */
+final case class CdcPipeline(
+    name: String,
+    subscription: Subscription,
+    rowSchema: StructType,
+    idKey: String,
+    transform: DataFrame => DataFrame = identity) {
+
+  /** Routed, filtered, typed change rows from a raw value stream. */
+  def changeRows(raw: DataFrame): DataFrame = {
+    val routed = subscription.route(EventFilters.all(Envelope.parse(raw)))
+    transform(routed
+      .withColumn("row", from_json(col("after"), rowSchema))
+      .withColumn("key", coalesce(
+        col(s"row.$idKey"),
+        from_json(col("before"), rowSchema).getField(idKey))))
+  }
+
+  /** Start the pipeline over a JSON-lines source directory, applying
+    * upserts/deletes per micro-batch. The sink call happens inside
+    * foreachBatch: deletes for op=d winners, upserts for the rest —
+    * collapsed per key within the batch so one key gets one effect.
+    */
+  def start(spark: SparkSession, sourceDir: String, checkpointDir: String,
+      cfg: EsSink.Config, transport: EsSink.Transport): StreamingQuery = {
+    val raw = spark.readStream
+      .schema(StructType(Seq(
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("offset",
+          org.apache.spark.sql.types.LongType))))
+      .json(sourceDir)
+    changeRows(raw).writeStream
+      .queryName(s"cdc_$name")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        applyBatch(batch, cfg, transport)
+      }
+      .start()
+  }
+
+  /** Batch application: last writer per key within the batch, then
+    * deletes and upserts through the sink. Also usable directly on a
+    * batch frame (tests, backfill).
+    */
+  def applyBatch(batch: DataFrame, cfg: EsSink.Config,
+      transport: EsSink.Transport): Unit = {
+    val winners = batch
+      .filter(col("key").isNotNull)
+      .groupBy(col("key"))
+      .agg(max_by(struct(col("op"), col("row")),
+        struct(col("ts_ms"), col("offset"))).as("w"))
+    val winnersCached = winners.cache()
+    try {
+      val deletes = winnersCached.filter(col("w.op") === "d")
+        .select(col("key").cast("string").as(idKey))
+      val upserts = winnersCached.filter(col("w.op") =!= "d")
+        .select(col("w.row.*"))
+      EsSink.delete(deletes, cfg, transport)
+      EsSink.upsert(upserts, cfg, transport)
+    } finally winnersCached.unpersist()
+  }
+}

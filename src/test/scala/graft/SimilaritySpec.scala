@@ -1,0 +1,66 @@
+package graft
+
+import graft.ops._
+import org.apache.spark.sql.functions._
+
+/** Near-dup operators: the scaled paths (MinHash-LSH, SimHash) pinned
+  * against the exact shingle-Jaccard formulation; dedup determinism.
+  */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sf001)
+
+  private lazy val exactPairs =
+    Shingles.jaccardPairs(Shingles.tokenShingles(docs, "doc_id", "text", 3), 0.6)
+      .select("doc_id_a", "doc_id_b").as[(Long, Long)].collect().toSet
+
+  test("exact jaccard finds the injected near-dup pairs, none below threshold") {
+    assert(exactPairs.nonEmpty)
+    val all = Shingles.jaccardPairs(
+      Shingles.tokenShingles(docs, "doc_id", "text", 3), 0.0)
+      .as[(Long, Long, Double)].collect()
+    all.foreach { case (_, _, j) => assert(j >= 0.0 && j <= 1.0) }
+    // clear separation: everything kept is far above, everything else far below
+    assert(all.filter(_._3 >= 0.6).forall(_._3 >= 0.85))
+    assert(all.filter(_._3 < 0.6).forall(_._3 <= 0.3))
+  }
+
+  test("MinHash-LSH banding + exact verify reproduces the exact pair set") {
+    val lsh = MinHashLsh.nearDupPairs(docs, "doc_id", "text", 3, 0.6)
+      .select("doc_id_a", "doc_id_b").as[(Long, Long)].collect().toSet
+    assert(lsh == exactPairs)
+  }
+
+  test("SimHash hamming tracks jaccard: high recall at <=7, near-dups at low hamming") {
+    val sim = SimHash.nearDupPairs(docs, "doc_id", "text", 7)
+      .select("doc_id_a", "doc_id_b").as[(Long, Long)].collect().toSet
+    // recall: near-dups at jaccard ~0.9 land at hamming 0..9
+    val recall = (exactPairs intersect sim).size.toDouble / exactPairs.size
+    assert(recall >= 0.8, s"simhash recall $recall")
+    // correlation: the tightest near-dups (jaccard >= 0.97) must sit at
+    // very low hamming. (No precision bound: this corpus shares one
+    // small vocabulary, so moderately-similar bags-of-words legitimately
+    // land at moderate hamming too.)
+    val sigs = graft.ops.SimHash.signatures(docs, "doc_id", "text")
+    val tight = Shingles.jaccardPairs(
+      Shingles.tokenShingles(docs, "doc_id", "text", 3), 0.97)
+    val hams = tight
+      .join(sigs.withColumnRenamed("id", "doc_id_a")
+        .withColumnRenamed("simhash", "ha"), "doc_id_a")
+      .join(sigs.withColumnRenamed("id", "doc_id_b")
+        .withColumnRenamed("simhash", "hb"), "doc_id_b")
+      .select(bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+      .as[Long].collect()
+    assert(hams.nonEmpty && hams.forall(_ <= 7), s"hamming of 0.97-jaccard pairs: ${hams.toSeq}")
+  }
+
+  test("keepMinBy keeps exactly the min-ord row per key, idempotently") {
+    val deduped = Dedup.keepMinBy(docs, Seq("lang", "source"), col("doc_id"))
+    val expected = docs.groupBy("lang", "source").agg(min("doc_id").as("doc_id"))
+    assert(deduped.select("lang", "source", "doc_id").except(expected).isEmpty)
+    assert(expected.except(deduped.select("lang", "source", "doc_id")).isEmpty)
+    val again = Dedup.keepMinBy(deduped, Seq("lang", "source"), col("doc_id"))
+    assert(again.count() == deduped.count())
+  }
+}

@@ -1,0 +1,112 @@
+package graft
+
+import graft.cdc.Subscription
+import graft.sinks.{EsSink, JdbcSink}
+import graft.streaming.CdcPipeline
+import org.apache.spark.sql.types._
+import java.util.Collections
+import scala.jdk.CollectionConverters._
+
+/** Sink payload contracts (FIXTURES.md §3) — request shapes asserted
+  * without a live cluster, including the two reference bugs we fix
+  * (`/_bulk` spelling, raw basic auth); JDBC sink driven against
+  * embedded Derby; the CDC pipeline end-to-end into a recording
+  * transport.
+  */
+class SinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  import SinkSpec.Recorder
+  def recorded: Seq[EsSink.Request] = SinkSpec.recorded.asScala.toSeq
+  def reset(): Unit = SinkSpec.recorded.clear()
+
+  val cfg = EsSink.Config("http://es:9200/idx", "user", "p@ss:word", "id")
+
+  test("single upsert → PUT _doc/{id} with raw-base64 basic auth") {
+    reset()
+    EsSink.upsert(Seq((7L, "a")).toDF("id", "v"), cfg, new Recorder)
+    val Seq(req) = recorded
+    assert(req.method == "PUT")
+    assert(req.url == "http://es:9200/idx/_doc/7")
+    assert(req.body == """{"id":7,"v":"a"}""")
+    // raw user:pass, NOT url-encoded (reference bug §2.4.4)
+    val expected = java.util.Base64.getEncoder.encodeToString(
+      "user:p@ss:word".getBytes("UTF-8"))
+    assert(req.headers("Authorization") == s"Basic $expected")
+  }
+
+  test("bulk upsert → POST /_bulk NDJSON (reference misspells _bluk)") {
+    reset()
+    EsSink.upsert(Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1),
+      cfg, new Recorder)
+    val Seq(req) = recorded
+    assert(req.method == "POST")
+    assert(req.url == "http://es:9200/idx/_bulk")
+    val lines = req.body.trim.split("\n")
+    assert(lines.length == 4)
+    assert(lines(0) == """{"index":{"_id":"1"}}""")
+    assert(lines(1) == """{"id":1,"v":"a"}""")
+    assert(lines(2) == """{"index":{"_id":"2"}}""")
+  }
+
+  test("deletes: single → DELETE _doc/{id}; bulk → NDJSON delete actions") {
+    reset()
+    EsSink.delete(Seq(Tuple1(5L)).toDF("id"), cfg, new Recorder)
+    assert(recorded.head.method == "DELETE")
+    assert(recorded.head.url == "http://es:9200/idx/_doc/5")
+    reset()
+    EsSink.delete(Seq(Tuple1(1L), Tuple1(2L)).toDF("id").coalesce(1),
+      cfg, new Recorder)
+    assert(recorded.head.body ==
+      "{\"delete\":{\"_id\":\"1\"}}\n{\"delete\":{\"_id\":\"2\"}}\n")
+  }
+
+  test("CDC pipeline applies LWW batch as deletes + upserts") {
+    reset()
+    def ev(op: String, id: Long, v: String, ts: Long, off: Long) = {
+      val after = if (op == "d") "null" else s"""{"id":$id,"v":"$v"}"""
+      (s"""{"payload":{"before":{"id":$id,"v":"x"},"after":$after,""" +
+        s""""source":{"db":"d","table":"t","ts_ms":$ts},"op":"$op","ts_ms":$ts}}""", off)
+    }
+    val feed = Seq(
+      ev("c", 1, "a", 1, 1), ev("u", 1, "b", 2, 2),
+      ev("c", 2, "z", 1, 3), ev("d", 2, "-", 9, 4)).toDF("value", "offset")
+    val pipe = CdcPipeline("t", Subscription(Set("d"), Set("t")),
+      StructType(Seq(StructField("id", LongType), StructField("v", StringType))),
+      "id")
+    pipe.applyBatch(pipe.changeRows(feed), cfg, new Recorder)
+    val byMethod = recorded.groupBy(_.method)
+    assert(byMethod("DELETE").map(_.url) == Seq("http://es:9200/idx/_doc/2"))
+    assert(byMethod("PUT").head.body == """{"id":1,"v":"b"}""")
+  }
+
+  test("JDBC sink: append and merge-upsert against embedded Derby") {
+    val url = s"jdbc:derby:memory:graftdb;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    conn.createStatement().execute(
+      "CREATE TABLE target (\"id\" BIGINT NOT NULL PRIMARY KEY, \"v\" VARCHAR(20))")
+    conn.close()
+
+    JdbcSink.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), url, "target")
+    assert(spark.read.jdbc(url, "target", new java.util.Properties()).count() == 2)
+
+    JdbcSink.upsertViaStaging(
+      Seq((2L, "b2"), (3L, "c")).toDF("id", "v"), url, "target", Seq("id"))
+    val rows = spark.read.jdbc(url, "target", new java.util.Properties())
+      .as[(Long, String)].collect().toMap
+    assert(rows == Map(1L -> "a", 2L -> "b2", 3L -> "c"))
+  }
+}
+
+object SinkSpec {
+  val recorded: java.util.List[EsSink.Request] =
+    Collections.synchronizedList(new java.util.ArrayList[EsSink.Request]())
+
+  /** Serializable recorder: requests from executor threads land in a
+    * static synchronized list (tests run local-mode, one JVM). Top-level
+    * so the closure does not capture the suite instance.
+    */
+  class Recorder extends EsSink.Transport {
+    def send(req: EsSink.Request): Unit = recorded.add(req)
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import java.sql.Timestamp
+
+/** Streaming semantics the single-batch replay can't reach: session-gap
+  * boundary behavior, cross-batch dedup state, and watermark late-data
+  * drops with controlled per-batch input.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minutes: Long): Timestamp = new Timestamp(minutes * 60000L)
+
+  private def runBatches[T <: Product : org.apache.spark.sql.Encoder](
+      batches: Seq[Seq[T]])(f: org.apache.spark.sql.DataFrame =>
+      org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[T]
+    val name = s"mem_${System.identityHashCode(mem)}"
+    val q = f(mem.toDF()).writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    spark.table(name)
+  }
+
+  test("session window: gap exactly equal to timeout MERGES; beyond splits") {
+    // pin fixture from FIXTURES.md §4: events exactly 30 minutes apart
+    // merge (Spark breaks only on strictly-greater gaps); 30min+1s splits
+    val rows = Seq((1L, ts(0)), (1L, ts(30)),
+      (2L, ts(0)), (2L, new Timestamp(30 * 60000L + 1000L)))
+      .toDF("user_id", "ts")
+    val sessions = rows
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("session_window.start").cast("long").as("start_s"),
+        col("n"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(sessions == Set((1L, 0L, 2L), (2L, 0L, 1L), (2L, 30L * 60 + 1, 1L)))
+  }
+
+  test("streaming dedup holds state across micro-batches") {
+    val out = runBatches(Seq(
+      Seq((1L, ts(1)), (2L, ts(2))),
+      Seq((1L, ts(1)), (3L, ts(3))))) { df => // event 1 re-delivered in batch 2
+      df.toDF("event_id", "ts")
+        .withWatermark("ts", "60 minutes")
+        .dropDuplicates("event_id")
+    }
+    assert(out.select("event_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("watermark drops events later than the delay behind max ts") {
+    val out = runBatches(Seq(
+      Seq((1L, ts(100))),          // watermark advances to 90
+      Seq((2L, ts(50)), (3L, ts(95))))) { df => // 50 is late, 95 within delay
+      df.toDF("event_id", "ts")
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicates("event_id")
+    }
+    val ids = out.select("event_id").as[Long].collect().toSet
+    assert(ids.contains(1L) && ids.contains(3L))
+    assert(!ids.contains(2L), "event 20 min late beyond 10-min watermark must drop")
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import graft.ops.VectorSearch
+import org.apache.spark.sql.functions._
+
+class VectorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = Tables.embeddings(spark, sf001)
+
+  test("cosine: self-similarity is 1, orthogonal is 0") {
+    val df = Seq(
+      (1L, Seq(1f, 0f, 0f)), (2L, Seq(0f, 1f, 0f)), (3L, Seq(2f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val sims = df.as("a").crossJoin(df.as("b"))
+      .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"),
+        VectorSearch.cosine(col("a.embedding"), col("b.embedding")).as("c"))
+      .as[(Long, Long, Double)].collect().map { case (a, b, c) => (a, b) -> c }.toMap
+    assert(math.abs(sims((1L, 3L)) - 1.0) < 1e-12) // parallel
+    assert(math.abs(sims((1L, 2L))) < 1e-12)       // orthogonal
+    assert(math.abs(sims((1L, 1L)) - 1.0) < 1e-12)
+  }
+
+  test("knnExact returns k ranked neighbors per query, no self-matches") {
+    val res = VectorSearch.knnExact(emb.filter(col("vec_id") < 5), emb, 3)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(res.length == 15)
+    assert(res.forall { case (q, n, _, _) => q != n })
+    res.groupBy(_._1).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_._4)
+      assert(byRank.map(_._4).toSeq == Seq(1, 2, 3))
+      // descending cosine with rank
+      assert(byRank.map(_._3).toSeq == byRank.map(_._3).sorted.reverse.toSeq)
+    }
+  }
+
+  test("IVF ANN reaches >= 60% of exact top-5") {
+    val exact = VectorSearch.knnExact(emb.filter(col("vec_id") < 10), emb, 5)
+      .select("q_vec_id", "n_vec_id").as[(Long, Long)].collect().toSet
+    val ann = VectorSearch.knnIvf(emb.filter(col("vec_id") < 10), emb, 5)
+      .select("q_vec_id", "n_vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect ann).size.toDouble / exact.size
+    assert(recall >= 0.6, s"IVF recall $recall")
+  }
+
+  test("embedding near-dup pairs are symmetric-free (a < b) and thresholded") {
+    val pairs = VectorSearch.nearDupPairs(emb, 0.3)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b, c) =>
+      assert(a < b); assert(c >= 0.3)
+    }
+  }
+}
