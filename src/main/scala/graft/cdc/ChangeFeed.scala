@@ -114,4 +114,21 @@ object ChangeFeed {
     Seq(snapshot, update, updateDup, delete, ddl, badOp, tombstone,
       noPayload, missingAfter, customerIns).reduce(_.unionByName(_))
   }
+
+  /** The feed materialized as a parquet "bronze log" and read back —
+    * which is both what a real capture layer produces AND a hard
+    * optimizer barrier: consumed as an expression tree, predicate
+    * pushdown inlines the whole to_json/from_json chain into every
+    * filter term (observed: 184 copies in the q17 plan), re-serializing
+    * each event several times per row. Staged once, queries measure CDC
+    * processing, not fixture generation. Idempotent per (dir).
+    */
+  def staged(spark: SparkSession, dir: String): DataFrame = {
+    val stagedDir = sys.props("java.io.tmpdir") +
+      s"/graft_cdcfeed_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$stagedDir/_SUCCESS"))) {
+      fromTestData(spark, dir).write.mode("overwrite").parquet(stagedDir)
+    }
+    spark.read.parquet(stagedDir)
+  }
 }

@@ -18,11 +18,11 @@ object EventFilters {
     df.filter(col("value").isNotNull)
 
   /** R6: drop events without a payload (malformed envelope). The bare
-    * form counts as a payload iff it parses to an object with an `op`.
+    * form counts as a payload iff it parses to an object with an `op`;
+    * `has_payload` is computed once at parse time.
     */
   def requirePayload(df: DataFrame): DataFrame =
-    df.filter(col("payload").isNotNull &&
-      (get_json_object(col("value"), "$.payload").isNotNull || col("op").isNotNull))
+    df.filter(col("has_payload"))
 
   /** R7: drop DDL / schema-change events. */
   def dropDdl(df: DataFrame): DataFrame =

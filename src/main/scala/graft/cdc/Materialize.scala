@@ -30,16 +30,23 @@ object Materialize {
     * @param rowSchema schema to bind the winning `after` JSON to
     * @return one row per live key, typed per rowSchema
     */
-  def lww(events: DataFrame, keyExpr: Column, rowSchema: StructType): DataFrame = {
-    val winners = events
+  def lww(events: DataFrame, keyExpr: Column, rowSchema: StructType): DataFrame =
+    winners(events, keyExpr)
+      .select(from_json(col("_w.after"), rowSchema).as("_row"))
+      .select(col("_row.*"))
+
+  /** Typed variant over `Envelope.parseTyped` output — `after` is
+    * already a struct, so the winner row needs no re-parse.
+    */
+  def lwwTyped(events: DataFrame, keyExpr: Column): DataFrame =
+    winners(events, keyExpr).select(col("_w.after.*"))
+
+  private def winners(events: DataFrame, keyExpr: Column): DataFrame =
+    events
       .withColumn("_key", keyExpr)
       .filter(col("_key").isNotNull)
       .groupBy(col("_key"))
       .agg(max_by(struct(col("op"), col("after")), struct(col("ts_ms"), col("offset")))
         .as("_w"))
-    winners
       .filter(col("_w.op") =!= "d") // a delete as last writer removes the key
-      .select(from_json(col("_w.after"), rowSchema).as("_row"))
-      .select(col("_row.*"))
-  }
 }

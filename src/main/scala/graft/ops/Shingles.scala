@@ -30,9 +30,11 @@ object Shingles {
     */
   def jaccardPairs(shingles: DataFrame, threshold: Double): DataFrame = {
     val card = shingles.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    val a = shingles.select(col("id").as("ida"), col("s"))
-    val b = shingles.select(col("id").as("idb"), col("s"))
-    val common = a.join(b, a("s") === b("s") && col("ida") < col("idb"))
+    // distinct column names on each side: self-joins on same-named
+    // columns trip Spark's ambiguous-reference resolution
+    val a = shingles.select(col("id").as("ida"), col("s").as("sa"))
+    val b = shingles.select(col("id").as("idb"), col("s").as("sb"))
+    val common = a.join(b, col("sa") === col("sb") && col("ida") < col("idb"))
       .groupBy(col("ida"), col("idb")).agg(count(lit(1)).as("c"))
     common
       .join(card.select(col("id").as("ida"), col("n").as("na")), "ida")

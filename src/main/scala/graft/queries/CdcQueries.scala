@@ -11,10 +11,11 @@ import org.apache.spark.sql.functions._
   */
 object CdcQueries {
 
-  private def routedOrders(spark: org.apache.spark.sql.SparkSession, dir: String) = {
-    val feed = ChangeFeed.fromTestData(spark, dir)
-    val filtered = EventFilters.all(Envelope.parse(feed))
-    Subscription(Set("shop"), Set("orders")).route(filtered)
+  private def routedTyped(spark: org.apache.spark.sql.SparkSession, dir: String,
+      table: String, schema: org.apache.spark.sql.types.StructType) = {
+    val feed = ChangeFeed.staged(spark, dir)
+    val filtered = EventFilters.all(Envelope.parseTyped(feed, schema))
+    Subscription(Set("shop"), Set(table)).route(filtered)
   }
 
   /** Q17: LWW snapshot of `orders` from the mixed change feed. The
@@ -29,10 +30,9 @@ object CdcQueries {
       |       CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1
       |            ELSE o_totalprice END AS total
       |FROM orders WHERE o_orderkey % 5 <> 0""".stripMargin) { (spark, dir) =>
-    val key = coalesce(
-      get_json_object(col("after"), "$.o_orderkey"),
-      get_json_object(col("before"), "$.o_orderkey")).cast("long")
-    Materialize.lww(routedOrders(spark, dir), key, ChangeFeed.ordersRowSchema)
+    val key = coalesce(col("after.o_orderkey"), col("before.o_orderkey"))
+    Materialize.lwwTyped(
+      routedTyped(spark, dir, "orders", ChangeFeed.ordersRowSchema), key)
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice").as("total"))
   }
 
@@ -44,13 +44,9 @@ object CdcQueries {
   val q17b = QueryDef.sql(
     "q17b_cdc_lww_customer",
     "SELECT c_custkey, c_name, c_acctbal FROM customer") { (spark, dir) =>
-    val feed = ChangeFeed.fromTestData(spark, dir)
-    val filtered = EventFilters.all(Envelope.parse(feed))
-    val routed = Subscription(Set("shop"), Set("customer")).route(filtered)
-    val key = coalesce(
-      get_json_object(col("after"), "$.c_custkey"),
-      get_json_object(col("before"), "$.c_custkey")).cast("long")
-    Materialize.lww(routed, key, ChangeFeed.customerRowSchema)
+    val key = coalesce(col("after.c_custkey"), col("before.c_custkey"))
+    Materialize.lwwTyped(
+      routedTyped(spark, dir, "customer", ChangeFeed.customerRowSchema), key)
       .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
   }
 
@@ -70,11 +66,11 @@ object CdcQueries {
       |           + sum(CASE WHEN o_orderkey % 12 = 0 THEN 1 ELSE 0 END)
       |           + sum(CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END) FROM orders
       |UNION ALL SELECT 'kept_customer', count(*) FROM customer""".stripMargin) { (spark, dir) =>
-    val parsed = Envelope.parse(ChangeFeed.fromTestData(spark, dir))
+    val parsed = Envelope.parse(ChangeFeed.staged(spark, dir))
     parsed
       .withColumn("reason",
         when(col("value").isNull, "tombstone")
-          .when(get_json_object(col("value"), "$.payload").isNull && col("op").isNull, "no_payload")
+          .when(!col("has_payload"), "no_payload")
           .when(col("ddl").isNotNull, "ddl")
           .when(!col("op").isin("c", "u", "d", "r"), "bad_op")
           .when(!col("has_after"), "missing_after")

@@ -30,14 +30,16 @@ final case class CdcPipeline(
     idKey: String,
     transform: DataFrame => DataFrame = identity) {
 
-  /** Routed, filtered, typed change rows from a raw value stream. */
+  /** Routed, filtered, typed change rows from a raw value stream —
+    * single-pass typed envelope parse (the pipeline knows its schema).
+    */
   def changeRows(raw: DataFrame): DataFrame = {
-    val routed = subscription.route(EventFilters.all(Envelope.parse(raw)))
+    val routed = subscription.route(
+      EventFilters.all(Envelope.parseTyped(raw, rowSchema)))
     transform(routed
-      .withColumn("row", from_json(col("after"), rowSchema))
+      .withColumn("row", col("after"))
       .withColumn("key", coalesce(
-        col(s"row.$idKey"),
-        from_json(col("before"), rowSchema).getField(idKey))))
+        col(s"after.$idKey"), col(s"before.$idKey"))))
   }
 
   /** Start the pipeline over a JSON-lines source directory, applying

@@ -1,0 +1,56 @@
+package graft
+
+import graft.queries.BatchQueries
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Plan-shape assertions: the properties that keep these queries fast at
+  * 1000 executors are visible in the physical plan — filters reaching
+  * the parquet scan, dimension joins broadcast, aggregates with map-side
+  * partial aggregation, codegen'd kernels. Catching a regression here is
+  * catching a 100× slowdown at scale before it ships.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q01: filter and projection are pushed into the parquet scan") {
+    val p = plan(BatchQueries.q01.fn(spark, sf001))
+    assert(p.contains("PushedFilters:"), p)
+    assert(p.contains("l_shipdate"), "shipdate filter should reach the scan")
+    // projection pruning: the scan must not read all 11 lineitem columns
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_tax"),
+      s"column pruning failed: $readSchema")
+  }
+
+  test("q03: 25-row dimension join is a broadcast hash join") {
+    val p = plan(BatchQueries.q03.fn(spark, sf001))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), "dimension join must not sort-merge")
+  }
+
+  test("q02: aggregation runs with map-side partial aggregation") {
+    val p = plan(BatchQueries.q02.fn(spark, sf001))
+    // partial + final HashAggregate pair around the exchange
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("q20: cosine kernel is the codegen'd dot product, query side broadcast") {
+    val df = graft.queries.MandateQueries.q20.fn(spark, sf001)
+    val p = plan(df)
+    assert(p.contains("dot_product_f"), "expected codegen'd kernel in plan")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "query set must broadcast, corpus must stream")
+  }
+
+  test("q17: LWW is a single-shuffle aggregate, one envelope parse per row") {
+    val df = graft.queries.CdcQueries.q17.fn(spark, sf001)
+    val p = df.queryExecution.executedPlan.toString
+    assert("from_json".r.findAllIn(p).length <= 1,
+      "envelope must parse exactly once per row (pushdown re-inlining regression)")
+    assert("Exchange".r.findAllIn(p).length <= 2,
+      "LWW should shuffle once on the key (plus AQE reads)")
+  }
+}
