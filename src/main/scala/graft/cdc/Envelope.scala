@@ -50,8 +50,14 @@ object Envelope {
     */
   def parse(df: DataFrame, valueCol: String = "value"): DataFrame = {
     val v = col(valueCol)
-    val p = payloadText(v)
-    df.withColumn("payload", p)
+    // nondeterministic identity = optimizer barrier (see parseTyped): each
+    // JSON scan below evaluates once per row instead of being re-inlined
+    // into every pushed-down filter term
+    val barrier = udf((s: String) => s).asNondeterministic()
+    df.withColumn("_v", barrier(v))
+      .withColumn("_wrapped", get_json_object(col("_v"), "$.payload"))
+      .withColumn("payload",
+        when(col("_wrapped").isNotNull, col("_wrapped")).otherwise(col("_v")))
       .withColumn("env", from_json(col("payload"), payloadSchema))
       .withColumn("op", col("env.op"))
       .withColumn("ts_ms", col("env.ts_ms"))
@@ -61,13 +67,13 @@ object Envelope {
       .withColumn("before", get_json_object(col("payload"), "$.before"))
       .withColumn("after", get_json_object(col("payload"), "$.after"))
       .withColumn("has_payload",
-        get_json_object(v, "$.payload").isNotNull || col("op").isNotNull)
+        col("_wrapped").isNotNull || col("op").isNotNull)
       // get_json_object returns NULL for both a missing key and an
       // explicit JSON null — the reference distinguishes them
       // (containsKey), so probe the raw text for the key itself.
       .withColumn("has_after", col("payload").isNotNull &&
         col("payload").rlike("\"after\"\\s*:"))
-      .drop("env")
+      .drop("env", "_v", "_wrapped")
   }
 
   /** Single-pass TYPED parse for pipelines that know their row schema

@@ -42,4 +42,18 @@ object EventFilters {
   /** The full reference filter chain in order. */
   def all(df: DataFrame): DataFrame =
     requireAfterKey(knownOps(dropDdl(requirePayload(dropTombstones(df)))))
+
+  /** Classify every event by the first filter that would drop it (the
+    * reference's filter order, R5→R9), or `null` for accepted events.
+    * Used for drop-audits and the dead-letter channel (S6: per-event
+    * failure must not stop the stream — rejected events are data, not
+    * exceptions).
+    */
+  def dropReason: org.apache.spark.sql.Column =
+    when(col("value").isNull, "tombstone")
+      .when(!col("has_payload"), "no_payload")
+      .when(col("ddl").isNotNull, "ddl")
+      .when(!col("op").isin("c", "u", "d", "r"), "bad_op")
+      .when(!col("has_after"), "missing_after")
+      .otherwise(lit(null))
 }

@@ -68,14 +68,9 @@ object CdcQueries {
       |UNION ALL SELECT 'kept_customer', count(*) FROM customer""".stripMargin) { (spark, dir) =>
     val parsed = Envelope.parse(ChangeFeed.staged(spark, dir))
     parsed
-      .withColumn("reason",
-        when(col("value").isNull, "tombstone")
-          .when(!col("has_payload"), "no_payload")
-          .when(col("ddl").isNotNull, "ddl")
-          .when(!col("op").isin("c", "u", "d", "r"), "bad_op")
-          .when(!col("has_after"), "missing_after")
-          .when(col("src_table") === "orders", "kept_orders")
-          .otherwise("kept_customer"))
+      .withColumn("reason", coalesce(EventFilters.dropReason,
+        when(col("src_table") === "orders", "kept_orders")
+          .otherwise("kept_customer")))
       .groupBy(col("reason"))
       .agg(count(lit(1)).as("cnt"))
   }

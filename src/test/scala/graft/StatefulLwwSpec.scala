@@ -1,0 +1,50 @@
+package graft
+
+import graft.streaming.StatefulLww
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+/** Incremental LWW deltas: only changed winners emit, duplicates and
+  * stale events are absorbed by state, deletes emit once.
+  */
+class StatefulLwwSpec extends SparkSpec {
+  import spark.implicits._
+
+  case class Ev(key: Long, ts_ms: Long, offset: Long, op: String, after: String)
+
+  test("flatMapGroupsWithState emits one delta per changed winner per batch") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val name = "stateful_lww_out"
+    val q = StatefulLww.deltaStream(mem.toDF()).writeStream
+      .format("memory").queryName(name).outputMode("append")
+      .trigger(Trigger.ProcessingTime(0)).start()
+
+    def deltasAfter(batch: Seq[Ev]): Seq[(Long, String, String)] = {
+      val before = spark.table(name).count()
+      mem.addData(batch: _*); q.processAllAvailable()
+      spark.table(name).as[(Long, String, String)].collect().drop(before.toInt).toSeq
+    }
+
+    // batch 1: two inserts
+    val d1 = deltasAfter(Seq(
+      Ev(1, 10, 1, "c", """{"v":"a"}"""), Ev(2, 10, 2, "c", """{"v":"b"}""")))
+    assert(d1.toSet == Set((1L, "upsert", """{"v":"a"}"""),
+      (2L, "upsert", """{"v":"b"}""")))
+
+    // batch 2: update key 1, STALE event for key 2 (older ts), dup of key 1's update
+    val d2 = deltasAfter(Seq(
+      Ev(1, 20, 3, "u", """{"v":"a2"}"""),
+      Ev(1, 20, 3, "u", """{"v":"a2"}"""),
+      Ev(2, 5, 4, "u", """{"v":"stale"}""")))
+    assert(d2 == Seq((1L, "upsert", """{"v":"a2"}""")))
+
+    // batch 3: delete key 1; re-delivered delete is absorbed next batch
+    val d3 = deltasAfter(Seq(Ev(1, 30, 5, "d", null)))
+    assert(d3 == Seq((1L, "delete", null)))
+    val d4 = deltasAfter(Seq(Ev(1, 30, 5, "d", null)))
+    assert(d4.isEmpty)
+
+    q.stop()
+  }
+}
