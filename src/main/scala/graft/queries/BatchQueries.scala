@@ -221,7 +221,10 @@ object BatchQueries {
 
   /** Q13: approx_count_distinct (HLL++) asserted within a 5% band of the
     * exact count — both engines' sketches differ, so the hash-stable
-    * output is the band check plus the exact count.
+    * output is the band check plus the exact count. Spark's sketch runs
+    * at rsd=0.01: with the default rsd=0.05 the 5% band is a ~1-sigma
+    * check that fails a third of the time; at 1% rsd both engines sit
+    * comfortably inside it.
     */
   val q13 = QueryDef.sql(
     "q13_approx_distinct",
@@ -231,7 +234,7 @@ object BatchQueries {
       |FROM lineitem""".stripMargin) { (spark, dir) =>
     Tables.lineitem(spark, dir)
       .agg(
-        (abs(approx_count_distinct(col("l_partkey")) - countDistinct(col("l_partkey")))
+        (abs(approx_count_distinct(col("l_partkey"), 0.01) - countDistinct(col("l_partkey")))
           <= lit(0.05) * countDistinct(col("l_partkey"))).as("within_5pct"),
         countDistinct(col("l_partkey")).as("exact_cnt"))
   }
