@@ -56,4 +56,53 @@ object Multimodal {
     */
   def withBinaryPayload(docs: DataFrame): DataFrame =
     docs.withColumn("payload", encode(col("text"), "utf-8"))
+
+  case class Frame(doc_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
+
+  /** Frame sampling: emit every `stride`-th fixed-size chunk of the
+    * payload as its own row — the batch shape of video frame extraction
+    * (1 blob in, N frames out, flatMap not map). STUB chunking stands in
+    * for a container demuxer; the row-explosion plumbing, schema, and
+    * per-partition iteration are the real thing.
+    */
+  def frameSample(spark: SparkSession, withPayload: DataFrame,
+      frameSize: Int = 64, stride: Int = 4): Dataset[Frame] = {
+    import spark.implicits._
+    withPayload.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          bytes.grouped(frameSize).zipWithIndex.collect {
+            case (chunk, i) if i % stride == 0 => Frame(id, i, chunk)
+          }
+        }
+      }
+  }
+
+  case class Resized(doc_id: Long, payload: Array[Byte])
+
+  /** Resize: deterministic byte-domain downscale (every `factor`-th
+    * byte) — STUB for an image resampler; binary-in/binary-out through
+    * the same per-partition batch shape real resamplers need.
+    */
+  def resize(spark: SparkSession, withPayload: DataFrame, factor: Int): Dataset[Resized] = {
+    import spark.implicits._
+    withPayload.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        Resized(id, bytes.zipWithIndex.collect {
+          case (b, i) if i % factor == 0 => b
+        })
+      })
+  }
+
+  /** Feature extraction: deterministic pseudo-embedding from payload
+    * bytes (STUB for a vision encoder) — dim floats derived from
+    * xxhash64 of (payload, i). Output plugs straight into
+    * VectorSearch.knnIvf / nearDupPairs, closing the multimodal →
+    * similarity-search loop.
+    */
+  def fakeEmbedding(payload: org.apache.spark.sql.Column, dim: Int = 16): org.apache.spark.sql.Column =
+    transform(sequence(lit(0), lit(dim - 1)),
+      i => (pmod(xxhash64(payload, i), lit(2000L)).cast("float") - 1000f) / 1000f)
 }
