@@ -144,20 +144,26 @@ object BatchQueries {
       .filter(col("rn") <= 3)
   }
 
-  /** Q8: analytic window with an explicit ROWS frame (running sum). */
+  /** Q8: analytic window with an explicit ROWS frame (running sum).
+    * DECIMAL like every money sum: engines associate windowed sums
+    * differently (DuckDB segment-tree vs Spark sequential), and running
+    * sums of 2-decimal prices land exactly on rounding half-points.
+    */
   val q08 = QueryDef.sql(
     "q08_running_window",
     """SELECT o_custkey, o_orderkey,
-      |       sum(o_totalprice) OVER (PARTITION BY o_custkey
-      |                               ORDER BY o_orderdate, o_orderkey
-      |                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_rev
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+      |            OVER (PARTITION BY o_custkey
+      |                  ORDER BY o_orderdate, o_orderkey
+      |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_rev
       |FROM orders""".stripMargin) { (spark, dir) =>
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate"), col("o_orderkey"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.orders(spark, dir)
       .select(col("o_custkey"), col("o_orderkey"),
-        sum(col("o_totalprice")).over(w).as("running_rev"))
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+          .cast("double").as("running_rev"))
   }
 
   /** Q9: lag — per-user inter-event gap in microseconds (exact integers). */

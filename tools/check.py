@@ -63,8 +63,9 @@ def main(sf_dir, out_dir):
         else:
             n_bad += 1
             print(f"FAIL {name}: rows oracle={len(oc)} spark={len(sc)}")
-            diff_o = [x for x in oc if x not in set(sc)][:3]
-            diff_s = [x for x in sc if x not in set(oc)][:3]
+            sc_set, oc_set = set(sc), set(oc)
+            diff_o = [x for x in oc if x not in sc_set][:3]
+            diff_s = [x for x in sc if x not in oc_set][:3]
             for d in diff_o: print(f"  oracle-only: {d[:160]}")
             for d in diff_s: print(f"  spark-only:  {d[:160]}")
     print(f"== {n_ok} ok, {n_bad} fail")
