@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{BatchQueries, CdcQueries, MandateQueries, StreamingQueries}
+import graft.queries.{BatchQueries, CdcQueries, JoinQueries, MandateQueries, StreamingQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -12,7 +12,8 @@ import graft.queries.{BatchQueries, CdcQueries, MandateQueries, StreamingQueries
 object SparkEntry {
 
   private def registry: Seq[QueryDef] =
-    BatchQueries.all ++ CdcQueries.all ++ MandateQueries.all ++ StreamingQueries.all
+    BatchQueries.all ++ CdcQueries.all ++ MandateQueries.all ++
+      StreamingQueries.all ++ JoinQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

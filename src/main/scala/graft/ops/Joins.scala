@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Join strategies for the cases that break naive plans at 100 TB:
+  * skewed keys and time-ordered lookups.
+  */
+object Joins {
+
+  /** Salted inner equi-join for skewed keys. The skewed (large) side
+    * gets a deterministic salt derived from its row content; the other
+    * side is replicated `numSalts` times so every salted partition finds
+    * its match. Turns one hot shuffle partition into `numSalts` even
+    * ones at the cost of replicating the smaller side — the standard
+    * trade when AQE's skew-join can't help (e.g. a following aggregate
+    * pins the partitioning).
+    *
+    * Equivalent to `skewed.join(other, keys)` row-for-row.
+    */
+  def saltedJoin(skewed: DataFrame, other: DataFrame, keys: Seq[String],
+      numSalts: Int): DataFrame = {
+    val salted = skewed.withColumn("_salt",
+      pmod(xxhash64(skewed.columns.map(col): _*), lit(numSalts)).cast("int"))
+    val replicated = other.withColumn("_salt",
+      explode(sequence(lit(0), lit(numSalts - 1))))
+    salted.join(replicated, keys :+ "_salt").drop("_salt")
+  }
+
+  /** As-of join: for every left row, the single latest right row whose
+    * `tsCol` is <= the left row's, per key. (The classic time-series
+    * lookup the reference family of engines ships as a primitive.)
+    *
+    * Implementation is compose-first (SURVEY §4.2 preference a): union
+    * both sides tagged, one window pass per key ordered by (ts, side)
+    * carrying the last-seen right payload forward, then keep left rows.
+    * ONE shuffle + sort on the key — no range cross-join, no per-row
+    * probe; scales like any other window, and skew handling/AQE apply
+    * unchanged.
+    *
+    * Right columns come back as `right.<col>` (null when no right row
+    * precedes the left row). Ties (equal ts) resolve to the right row
+    * (right sorts before left at the same timestamp).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String): DataFrame = {
+    val rightPayload = struct(right.columns.map(col): _*)
+    val rpayType = right.select(rightPayload).schema.head.dataType
+    val l = left.withColumn("_side", lit(1))
+      .withColumn("_rpay", lit(null).cast(rpayType))
+    val r = right.select(col(keyCol), col(tsCol),
+      lit(0).as("_side"), rightPayload.as("_rpay"))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("_asof", last(col("_rpay"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .drop("_side", "_rpay")
+      .withColumnRenamed("_asof", "right")
+  }
+}

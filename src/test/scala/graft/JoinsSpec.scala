@@ -1,0 +1,60 @@
+package graft
+
+import graft.ops.Joins
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class JoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedJoin equals the plain join row-for-row on a skewed key") {
+    // 90% of events hit one user — the classic hot key
+    val skewed = Tables.events(spark, sf001)
+      .withColumn("user_id", when(col("event_id") % 10 =!= 0, 7L).otherwise(col("user_id")))
+      .select("event_id", "user_id", "value")
+    val dim = Tables.events(spark, sf001)
+      .select(col("user_id")).distinct()
+      .withColumn("segment", concat(lit("seg"), col("user_id") % 5))
+    val plain = skewed.join(dim, Seq("user_id"))
+      .select("event_id", "user_id", "segment")
+    val salted = Joins.saltedJoin(skewed, dim, Seq("user_id"), 8)
+      .select("event_id", "user_id", "segment")
+    assert(salted.count() == plain.count())
+    assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
+  }
+
+  private def ts(m: Long) = new Timestamp(m * 60000L)
+
+  test("asofJoin picks the latest right row at-or-before each left ts, per key") {
+    val quotes = Seq( // key, ts, px
+      (1L, ts(0), 10.0), (1L, ts(10), 11.0), (1L, ts(20), 12.0),
+      (2L, ts(5), 20.0))
+      .toDF("key", "ts", "px")
+    val trades = Seq(
+      (1L, ts(5), "t1"),   // -> px 10 (quote at 0)
+      (1L, ts(10), "t2"),  // -> px 11 (tie: quote at same ts wins)
+      (1L, ts(99), "t3"),  // -> px 12 (latest)
+      (2L, ts(0), "t4"),   // -> no quote yet: null
+      (3L, ts(1), "t5"))   // -> key never quoted: null
+      .toDF("key", "ts", "trade")
+    val joined = Joins.asofJoin(trades, quotes, "key", "ts")
+      .select(col("trade"), col("right.px").as("px"))
+      .as[(String, Option[Double])].collect().toMap
+    assert(joined == Map(
+      "t1" -> Some(10.0), "t2" -> Some(11.0), "t3" -> Some(12.0),
+      "t4" -> None, "t5" -> None))
+  }
+
+  test("asofJoin plans as one shuffle, not a range cross-join") {
+    val quotes = Tables.events(spark, sf001)
+      .select(col("user_id").as("key"), col("ts"), col("value"))
+    val trades = Tables.events(spark, sf001)
+      .select(col("user_id").as("key"), col("ts"), col("event_id"))
+    val plan = Joins.asofJoin(trades, quotes, "key", "ts")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "as-of must not expand to a range product")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length <= 1,
+      "as-of should shuffle once on the key")
+  }
+}
