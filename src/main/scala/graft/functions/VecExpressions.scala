@@ -69,5 +69,5 @@ object VecFunctions {
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_product_f", exprs => DotProductF(exprs(0), exprs(1)), "builtin")
+      "dot_product_f", exprs => DotProductF(exprs(0), exprs(1)), "scala_udf")
 }
