@@ -66,6 +66,43 @@ final case class CdcPipeline(
       .start()
   }
 
+  /** Incremental variant: per-key state via StatefulLww, so the sink
+    * sees exactly one delta per CHANGED key per micro-batch (the
+    * per-batch variant re-sends a key's winner every batch it appears
+    * in). Costs a state store keyed by table cardinality; wins when
+    * update streams revisit keys often — the common CDC shape.
+    */
+  def startIncremental(spark: SparkSession, sourceDir: String,
+      checkpointDir: String, cfg: EsSink.Config,
+      transport: EsSink.Transport): StreamingQuery = {
+    val raw = spark.readStream
+      .schema(StructType(Seq(
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("offset",
+          org.apache.spark.sql.types.LongType))))
+      .json(sourceDir)
+    val events = changeRows(raw)
+      .select(col("key"), col("ts_ms"), col("offset"), col("op"),
+        to_json(col("after")).as("after"))
+    StatefulLww.deltaStream(events).writeStream
+      .queryName(s"cdc_inc_$name")
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (deltas: org.apache.spark.sql.Dataset[StatefulLww.Delta], _: Long) =>
+        val df = deltas.toDF()
+        val dels = df.filter(col("action") === "delete")
+          .select(col("key").cast("string").as(idKey))
+        val ups = df.filter(col("action") === "upsert")
+          .select(col("key"), from_json(col("rowJson"), rowSchema).as("row"))
+          .select(col("row.*"))
+        EsSink.delete(dels, cfg, transport)
+        EsSink.upsert(ups, cfg, transport)
+      }
+      .start()
+  }
+
   /** Batch application: last writer per key within the batch, then
     * deletes and upserts through the sink. Also usable directly on a
     * batch frame (tests, backfill).

@@ -50,4 +50,29 @@ class CdcPipelineE2eSpec extends SparkSpec {
     q2.awaitTermination()
     assert(SinkSpec.recorded.isEmpty, "checkpoint must prevent re-delivery")
   }
+
+  test("incremental pipeline: stateful deltas drive the sink, one effect per changed key") {
+    val srcDir = Files.createTempDirectory("graft_inc_src_").toString
+    val ckpt = Files.createTempDirectory("graft_inc_ckpt_").toString
+    Seq(
+      ev("c", 1, "a", 1, 1), ev("u", 1, "b", 2, 2), // key 1 -> one upsert (winner b)
+      ev("c", 2, "z", 1, 3), ev("d", 2, "-", 9, 4)) // key 2 -> created+deleted in
+      .toDF("value", "offset")                      // one batch: nets to NOTHING
+      .coalesce(1).write.mode("overwrite").json(srcDir)
+
+    val pipe = CdcPipeline("inc", Subscription(Set("d"), Set("t")),
+      StructType(Seq(StructField("id", LongType), StructField("v", StringType))),
+      "id")
+    val cfg = EsSink.Config("http://es:9200/idx", "u", "p", "id")
+    SinkSpec.recorded.clear()
+    val q = pipe.startIncremental(spark, srcDir, ckpt, cfg, new SinkSpec.Recorder)
+    q.awaitTermination()
+    val reqs = SinkSpec.recorded.asScala.toSeq
+    // key 2 was never live at a batch boundary: no delete, no upsert
+    assert(!reqs.exists(_.method == "DELETE"),
+      "create+delete within one batch must net to no sink effect")
+    val puts = reqs.filter(_.method == "PUT")
+    assert(puts.map(_.body) == Seq("""{"id":1,"v":"b"}"""),
+      s"exactly one upsert for key 1, got: ${puts.map(_.body)}")
+  }
 }
