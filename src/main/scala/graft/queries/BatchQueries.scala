@@ -225,6 +225,20 @@ object BatchQueries {
         count(lit(1)).as("cnt"))
   }
 
+  /** Q12b: CUBE grouping sets (all 2^2 combinations). */
+  val q12b = QueryDef.sql(
+    "q12b_cube",
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue,
+      |       count(*) AS cnt
+      |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(24,6)"))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("cnt"))
+  }
+
   /** Q13: approx_count_distinct (HLL++) asserted within a 5% band of the
     * exact count — both engines' sketches differ, so the hash-stable
     * output is the band check plus the exact count. Spark's sketch runs
@@ -302,5 +316,5 @@ object BatchQueries {
   }
 
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08,
-    q09, q10, q11, q12, q13, q14, q15, q16)
+    q09, q10, q11, q12, q12b, q13, q14, q15, q16)
 }
