@@ -48,4 +48,19 @@ class BucketingSpec extends SparkSpec {
       .agg(sum(col("l_quantity")).as("qty")).count()
     assert(joined.count() == expected)
   }
+
+  test("date-partitioned layout prunes partitions for time-range predicates") {
+    val path = java.nio.file.Files.createTempDirectory("graft_part_").toString
+    Bucketing.writeDatePartitioned(Tables.events(spark, sf001), "ts", path)
+    val q = spark.read.parquet(path)
+      .filter(col("dt") === "2024-01-02")
+      .groupBy(col("event_type")).count()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("dt"),
+      "dt predicate must prune at listing time:\n" + plan.take(800))
+    // pruned scan reads only that day's rows
+    val expected = Tables.events(spark, sf001)
+      .filter(to_date(col("ts")) === "2024-01-02").count()
+    assert(q.agg(sum(col("count"))).head.getLong(0) == expected)
+  }
 }
