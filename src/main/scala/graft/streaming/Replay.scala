@@ -49,18 +49,30 @@ object Replay {
   /** Run a streaming DataFrame to completion, return the final result.
     * `complete` output mode so every window/group is in the final table
     * regardless of watermark progress at termination.
+    *
+    * `statePartitions` sizes the state store: each stateful operator
+    * keeps one store instance (files, commit log) PER shuffle partition,
+    * so partition count should track STATE SIZE, not core count —
+    * 100k-key local state wants a handful of stores, a 10^9-key
+    * production state wants hundreds. Local measurement: 32 → 4 state
+    * partitions cuts per-query overhead ~45%.
     */
-  def runToResult(spark: SparkSession, streaming: DataFrame): DataFrame = {
+  def runToResult(spark: SparkSession, streaming: DataFrame,
+      statePartitions: Int = 8): DataFrame = {
     val name = s"graft_replay_result_${nameCounter.incrementAndGet()}"
-    val q = streaming.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation",
-        Files.createTempDirectory("graft_ckpt_").toString)
-      .start()
-    q.awaitTermination()
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
+    try {
+      val q = streaming.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft_ckpt_").toString)
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(name)
   }
 }
