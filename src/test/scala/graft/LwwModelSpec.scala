@@ -1,0 +1,96 @@
+package graft
+
+import graft.cdc._
+import graft.streaming.StatefulLww
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Model-based checks for last-writer-wins: random event sequences
+  * (duplicate timestamps, deletes, re-deliveries, shuffled arrival)
+  * against a trivial in-memory model, batch and streaming.
+  */
+class LwwModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rowSchema = StructType(Seq(
+    StructField("id", LongType), StructField("v", StringType)))
+
+  case class RawEv(key: Long, op: String, v: String, ts: Long, offset: Long)
+
+  private def genEvents(seed: Long): Seq[RawEv] = {
+    val rnd = new scala.util.Random(seed)
+    val evs = for {
+      key <- 1L to 20L
+      n = rnd.nextInt(8)
+      i <- 0 until n
+    } yield RawEv(key,
+      Seq("c", "u", "d", "r")(rnd.nextInt(4)),
+      s"v${rnd.nextInt(100)}",
+      rnd.nextInt(10).toLong, // deliberately collides — offset tiebreaks
+      0L)
+    evs.zipWithIndex.map { case (e, i) => e.copy(offset = i.toLong) }
+  }
+
+  /** The model: winner per key by (ts, offset); delete winner = absent. */
+  private def model(evs: Seq[RawEv]): Map[Long, String] =
+    evs.groupBy(_.key).flatMap { case (k, es) =>
+      val w = es.maxBy(e => (e.ts, e.offset))
+      if (w.op == "d") None else Some(k -> w.v)
+    }
+
+  private def toJson(e: RawEv): String = {
+    val after = if (e.op == "d") "null" else s"""{"id":${e.key},"v":"${e.v}"}"""
+    s"""{"payload":{"before":{"id":${e.key},"v":"x"},"after":$after,""" +
+      s""""source":{"db":"d","table":"t","ts_ms":${e.ts}},"op":"${e.op}","ts_ms":${e.ts}}}"""
+  }
+
+  test("batch LWW equals the model on random sequences, any arrival order") {
+    for (seed <- Seq(7L, 42L, 99L)) {
+      val evs = genEvents(seed)
+      val shuffled = new scala.util.Random(seed + 1).shuffle(evs)
+      val df = shuffled.map(e => (toJson(e), e.offset)).toDF("value", "offset")
+      val parsed = EventFilters.all(Envelope.parseTyped(df, rowSchema))
+      val key = coalesce(col("after.id"), col("before.id"))
+      val got = Materialize.lwwTyped(parsed, key)
+        .as[(Long, String)].collect().toMap
+      assert(got == model(evs), s"seed $seed")
+    }
+  }
+
+  test("streaming stateful LWW equals the model across random batch splits") {
+    for (seed <- Seq(3L, 11L)) {
+      val evs = genEvents(seed)
+      val rnd = new scala.util.Random(seed + 2)
+      // split the (shuffled) sequence into 4 arbitrary micro-batches
+      val shuffled = rnd.shuffle(evs)
+      val batches = shuffled.grouped(math.max(1, shuffled.size / 4 + 1)).toSeq
+
+      implicit val ctx = spark.sqlContext
+      val mem = MemoryStream[StatefulLww.In]
+      val name = s"lww_model_$seed"
+      val q = StatefulLww.deltaStream(mem.toDF()
+          .withColumnRenamed("tsMs", "ts_ms")
+          .withColumnRenamed("rowJson", "after"))
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .trigger(Trigger.ProcessingTime(0)).start()
+      batches.foreach { b =>
+        mem.addData(b.map(e => StatefulLww.In(e.key, e.ts, e.offset, e.op,
+          if (e.op == "d") null else s"""{"v":"${e.v}"}""")): _*)
+        q.processAllAvailable()
+      }
+      q.stop()
+      // replay the deltas in order: final state per key
+      val deltas = spark.table(name).as[(Long, String, String)].collect()
+      val state = scala.collection.mutable.Map[Long, String]()
+      deltas.foreach {
+        case (k, "upsert", json) => state(k) = json
+        case (k, "delete", _) => state.remove(k)
+        case other => fail(s"unexpected delta $other")
+      }
+      val expected = model(evs).map { case (k, v) => k -> s"""{"v":"$v"}""" }
+      assert(state.toMap == expected, s"seed $seed")
+    }
+  }
+}
