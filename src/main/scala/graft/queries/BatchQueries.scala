@@ -286,7 +286,7 @@ object BatchQueries {
   val q15 = QueryDef.sql(
     "q15_json",
     """SELECT event_type,
-      |       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       |       count(*) AS cnt
       |FROM events GROUP BY event_type""".stripMargin) { (spark, dir) =>
     Tables.events(spark, dir)

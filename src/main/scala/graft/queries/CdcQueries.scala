@@ -62,9 +62,9 @@ object CdcQueries {
       |UNION ALL SELECT 'bad_op', count(*) FROM orders WHERE o_orderkey % 11 = 0
       |UNION ALL SELECT 'missing_after', count(*) FROM orders WHERE o_orderkey % 19 = 0
       |UNION ALL SELECT 'kept_orders',
-      |  count(*) + sum(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END)
-      |           + sum(CASE WHEN o_orderkey % 12 = 0 THEN 1 ELSE 0 END)
-      |           + sum(CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END) FROM orders
+      |  CAST(count(*) + sum(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END)
+      |              + sum(CASE WHEN o_orderkey % 12 = 0 THEN 1 ELSE 0 END)
+      |              + sum(CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) FROM orders
       |UNION ALL SELECT 'kept_customer', count(*) FROM customer""".stripMargin) { (spark, dir) =>
     val parsed = Envelope.parse(ChangeFeed.staged(spark, dir))
     parsed

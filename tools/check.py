@@ -56,6 +56,34 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: columns differ oracle={sorted(ocols)} spark={sorted(scols)}")
             n_bad += 1
             continue
+        # Type-kind check: the driver hashes typed values, so e.g. a DuckDB
+        # HUGEINT (arrow decimal128) vs Spark BIGINT (arrow int64) mismatches
+        # even when the numbers are equal. Stringified comparison below would
+        # hide that — catch it here at the arrow-schema level.
+        try:
+            import pyarrow as pa
+            def kind(t):
+                if pa.types.is_integer(t): return "int"
+                if pa.types.is_decimal(t): return "decimal"
+                if pa.types.is_floating(t): return "float"
+                if pa.types.is_boolean(t): return "bool"
+                if pa.types.is_timestamp(t): return "timestamp"
+                if pa.types.is_date(t): return "date"
+                if pa.types.is_binary(t) or pa.types.is_large_binary(t): return "binary"
+                if pa.types.is_string(t) or pa.types.is_large_string(t): return "string"
+                return str(t)
+            oschema = con.execute(f"SELECT * FROM ({sql}) LIMIT 0").arrow().schema
+            sschema = con.execute(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet') LIMIT 0").arrow().schema
+            okinds = {f.name: kind(f.type) for f in oschema}
+            skinds = {f.name: kind(f.type) for f in sschema}
+            mism = {c: (okinds[c], skinds[c]) for c in okinds if okinds[c] != skinds.get(c)}
+            if mism:
+                print(f"FAIL {name}: type-kind mismatch (oracle, spark): {mism}")
+                n_bad += 1
+                continue
+        except ImportError:
+            pass
         oc, sc = canon(orows, ocols), canon(srows, scols)
         if oc == sc:
             print(f"ok   {name} ({len(sc)} rows)")
