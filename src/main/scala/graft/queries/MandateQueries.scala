@@ -93,7 +93,10 @@ object MandateQueries {
     VectorSearch.knnExact(emb.filter(col("vec_id") < 10), emb, 5)
   }
 
-  /** Q28: embedding near-dup pairs (cosine >= 0.4). */
+  /** Q28: embedding near-dup pairs (cosine >= 0.4) — banded sign-LSH
+    * candidates + exact verify (the scaled path); the oracle states the
+    * exact all-pairs formulation, as q26 does vs q19.
+    */
   val q28 = QueryDef.sql(
     "q28_embed_neardup",
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
@@ -103,7 +106,7 @@ object MandateQueries {
       |FROM e a JOIN e b ON a.vec_id < b.vec_id
       |WHERE list_dot_product(a.emb, b.emb) /
       |      (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) >= 0.4""".stripMargin) { (spark, dir) =>
-    VectorSearch.nearDupPairs(Tables.embeddings(spark, dir), 0.4)
+    VectorSearch.nearDupPairsBanded(Tables.embeddings(spark, dir), 0.4)
   }
 
   /** Q29: ANN via IVF coarse quantization + nprobe (recall < 1 by

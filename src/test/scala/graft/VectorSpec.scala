@@ -44,11 +44,28 @@ class VectorSpec extends SparkSpec {
   }
 
   test("embedding near-dup pairs are symmetric-free (a < b) and thresholded") {
-    val pairs = VectorSearch.nearDupPairs(emb, 0.3)
+    val pairs = VectorSearch.nearDupPairsExact(emb, 0.3)
       .as[(Long, Long, Double)].collect()
     assert(pairs.nonEmpty)
     pairs.foreach { case (a, b, c) =>
       assert(a < b); assert(c >= 0.3)
     }
+  }
+
+  test("banded sign-LSH near-dup reproduces the exact all-pairs result") {
+    val exact = VectorSearch.nearDupPairsExact(emb, 0.4)
+      .as[(Long, Long, Double)].collect().toSet
+    val banded = VectorSearch.nearDupPairsBanded(emb, 0.4)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(exact.nonEmpty)
+    assert(banded == exact,
+      s"missed=${(exact diff banded).size} spurious=${(banded diff exact).size}")
+  }
+
+  test("banded near-dup plan contains no cross/nested-loop join") {
+    val plan = VectorSearch.nearDupPairsBanded(emb, 0.4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 }
