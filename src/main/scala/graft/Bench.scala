@@ -19,9 +19,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // noop-format write forces FULL row production (every projected
+    // column materialized); under .count() Catalyst prunes unused
+    // projections, so pure-projection queries measured scan+count only.
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      fn(spark, sfDir).count()
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
 
