@@ -35,8 +35,12 @@ object MinHashLsh {
     // murmur3 of the shingle, lifted to non-negative
     val h = (hash(col("s")).cast("long") + 2147483648L).as("h")
     val withH = shingles.select(col("id"), h)
+    // reduce h (< 2^32) mod Prime BEFORE multiplying: both factors then
+    // fit in 31 bits so the product stays < 2^62 — the unreduced form
+    // overflowed Long for large h*a, wrapping negative and breaking the
+    // universal-hash uniformity the banding miss-probability relies on
     val mins: Seq[Column] = cs.toSeq.zipWithIndex.map { case ((a, b), i) =>
-      min((col("h") * a + b) % Prime).as(s"sig$i")
+      min(((col("h") % Prime) * a + b) % Prime).as(s"sig$i")
     }
     withH.groupBy(col("id")).agg(mins.head, mins.tail: _*)
   }
@@ -57,11 +61,49 @@ object MinHashLsh {
       .select(col("doc_id_a"), col("doc_id_b")).distinct()
   }
 
-  /** Full scaled near-dup: band candidates, then exact-Jaccard verify. */
+  /** Per-doc state for the one-pass scaled path: the full (distinct)
+    * shingle set as an array PLUS the numPerms signature mins, from a
+    * SINGLE hash aggregate over the exploded shingles. Shingle sets per
+    * doc are bounded by doc length, so the row stays small at any corpus
+    * size.
+    */
+  def docState(shingles: DataFrame, numPerms: Int = 64, seed: Long = 42L): DataFrame = {
+    val cs = coeffs(numPerms, seed)
+    val h = (hash(col("s")).cast("long") + 2147483648L).as("h")
+    val withH = shingles.select(col("id"), col("s"), h)
+    val mins: Seq[Column] = cs.toSeq.zipWithIndex.map { case ((a, b), i) =>
+      min(((col("h") % Prime) * a + b) % Prime).as(s"sig$i")
+    }
+    withH.groupBy(col("id"))
+      .agg(collect_set(col("s")).as("ss"), mins: _*)
+  }
+
+  /** Full scaled near-dup: band candidates, then exact-Jaccard verify.
+    *
+    * One-pass shape: [[docState]] computes the shingle SET and the
+    * signature in a single aggregate, so the verify stage is two hash
+    * joins on the candidate ids plus an array_intersect — the exploded
+    * shingle relation is never revisited and the `candidates` subtree
+    * appears exactly once in the plan. (The earlier formulation routed
+    * verify through a doc-restricted shingle self-join; that referenced
+    * the candidate subtree three times — union a/b + final semi-join —
+    * tripling the banding work.) doc state is persisted: candidate
+    * generation and both verify sides read one cached build of the
+    * aggregate.
+    */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int, threshold: Double): DataFrame = {
     val sh = Shingles.tokenShingles(docs, idCol, textCol, shingleN)
-    val cands = candidatePairs(signatures(sh))
-    Shingles.jaccardOnCandidates(sh, cands, threshold)
+    val byDoc = docState(sh)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = candidatePairs(byDoc)
+    val a = byDoc.select(col("id").as("doc_id_a"), col("ss").as("ssa"))
+    val b = byDoc.select(col("id").as("doc_id_b"), col("ss").as("ssb"))
+    cands.join(a, Seq("doc_id_a")).join(b, Seq("doc_id_b"))
+      .withColumn("c", size(array_intersect(col("ssa"), col("ssb"))).cast("long"))
+      .withColumn("jac",
+        col("c").cast("double") / (size(col("ssa")) + size(col("ssb")) - col("c")))
+      .filter(col("jac") >= threshold)
+      .select(col("doc_id_a"), col("doc_id_b"), col("jac"))
   }
 }
