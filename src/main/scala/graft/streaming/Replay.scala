@@ -56,12 +56,36 @@ object Replay {
     * 100k-key local state wants a handful of stores, a 10^9-key
     * production state wants hundreds. Local measurement: 32 → 4 state
     * partitions cuts per-query overhead ~45%.
+    *
+    * Measured floor at sf0.1 (600k events, local[32]): sweeping state
+    * partitions {2,4,8,16,32} × {HDFS-backed, RocksDB} puts the best
+    * configuration at 8 partitions + HDFS-backed ≈ 1.0 s/query — the
+    * residual is addBatch itself (shuffle + state write + complete-mode
+    * output), i.e. inherent micro-batch cost, not harness overhead.
     */
+  /** Checkpoint root on the RAM disk when available: a replay-to-result
+    * checkpoint is throwaway (offset/commit logs + state store files,
+    * dozens of small writes per query) and fsync-ing them to real disk
+    * is pure harness overhead. Production pipelines (CdcPipeline) take
+    * an explicit durable checkpoint path instead.
+    */
+  private lazy val ckptRoot: java.nio.file.Path = {
+    val shm = Paths.get("/dev/shm")
+    if (Files.isDirectory(shm) && Files.isWritable(shm)) shm
+    else Paths.get(sys.props("java.io.tmpdir"))
+  }
+
   def runToResult(spark: SparkSession, streaming: DataFrame,
       statePartitions: Int = 8): DataFrame = {
     val name = s"graft_replay_result_${nameCounter.incrementAndGet()}"
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevNoData =
+      spark.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
+    // the trailing no-data batch only advances the watermark for
+    // append-mode eviction; complete mode re-outputs the full table
+    // every batch, so skipping it changes nothing but saves a batch
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try {
       val q = streaming.writeStream
         .format("memory")
@@ -69,10 +93,18 @@ object Replay {
         .outputMode("complete")
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation",
-          Files.createTempDirectory("graft_ckpt_").toString)
+          Files.createTempDirectory(ckptRoot, "graft_ckpt_").toString)
         .start()
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      prevNoData match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+      }
+    }
     spark.table(name)
   }
 }
