@@ -124,8 +124,12 @@ object ChangeFeed {
     * processing, not fixture generation. Idempotent per (dir).
     */
   def staged(spark: SparkSession, dir: String): DataFrame = {
+    // fingerprint of the source tables in the key: regenerated testdata
+    // invalidates the staged feed instead of silently reusing stale data
+    val fp = graft.sources.Staging.fingerprint(
+      Seq(s"$dir/orders.parquet", s"$dir/customer.parquet"))
     val stagedDir = sys.props("java.io.tmpdir") +
-      s"/graft_cdcfeed_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      s"/graft_cdcfeed_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_$fp"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$stagedDir/_SUCCESS"))) {
       fromTestData(spark, dir).write.mode("overwrite").parquet(stagedDir)
     }

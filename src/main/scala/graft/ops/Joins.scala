@@ -41,7 +41,11 @@ object Joins {
     *
     * Right columns come back as `right.<col>` (null when no right row
     * precedes the left row). Ties (equal ts) resolve to the right row
-    * (right sorts before left at the same timestamp).
+    * (right sorts before left at the same timestamp); multiple right
+    * rows at the SAME (key, ts) resolve deterministically to the one
+    * whose full payload sorts last (the `_rpay` ordering term) — without
+    * it, `last()` would pick whichever duplicate the sort happened to
+    * place last, varying run to run.
     */
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
       tsCol: String): DataFrame = {
@@ -53,7 +57,7 @@ object Joins {
       lit(0).as("_side"), rightPayload.as("_rpay"))
     val unioned = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(tsCol), col("_side"))
+      .orderBy(col(tsCol), col("_side"), col("_rpay"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
       .withColumn("_asof", last(col("_rpay"), ignoreNulls = true).over(w))

@@ -27,8 +27,10 @@ object Replay {
     */
   def stageEvents(spark: SparkSession, dir: String, withDuplicates: Boolean): String = {
     val tag = if (withDuplicates) "dup" else "plain"
+    // fingerprint keying: regenerated events.parquet invalidates the cache
+    val fp = graft.sources.Staging.fingerprint(Seq(s"$dir/events.parquet"))
     val staged = sys.props("java.io.tmpdir") +
-      s"/graft_replay_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_$tag"
+      s"/graft_replay_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_${tag}_$fp"
     if (!Files.exists(Paths.get(s"$staged/_SUCCESS"))) {
       val ev = Tables.events(spark, dir)
       val out = if (withDuplicates)
