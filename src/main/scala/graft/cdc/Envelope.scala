@@ -70,9 +70,12 @@ object Envelope {
         col("_wrapped").isNotNull || col("op").isNotNull)
       // get_json_object returns NULL for both a missing key and an
       // explicit JSON null — the reference distinguishes them
-      // (containsKey), so probe the raw text for the key itself.
-      .withColumn("has_after", col("payload").isNotNull &&
-        col("payload").rlike("\"after\"\\s*:"))
+      // (containsKey). JsonPayloadHasKey scans the actual JSON structure
+      // in one pass: unlike a text probe it cannot match a string VALUE
+      // that happens to contain `"after":`, and unlike
+      // json_object_keys(payloadText(v)) it costs no extra Jackson parse.
+      .withColumn("has_after", coalesce(
+        graft.functions.JsonFunctions.payloadHasKey(v, "after"), lit(false)))
       .drop("env", "_v", "_wrapped")
   }
 
@@ -123,7 +126,12 @@ object Envelope {
       .withColumn("after", pick("after"))
       .withColumn("has_payload",
         col("_env.payload").isNotNull || col("op").isNotNull)
-      .withColumn("has_after", v.isNotNull && v.rlike("\"after\"\\s*:"))
+      // key-presence probe on the UNWRAPPED payload (the SAME expression
+      // as `parse`, so the two parsers cannot disagree): the previous
+      // raw-text regex scanned the whole value, so an `"after"` key
+      // inside the {schema,...} wrapper block passed R9 in this path only
+      .withColumn("has_after", coalesce(
+        graft.functions.JsonFunctions.payloadHasKey(v, "after"), lit(false)))
       .drop("_env")
   }
 }

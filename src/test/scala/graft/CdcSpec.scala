@@ -51,6 +51,29 @@ class CdcSpec extends SparkSpec {
     assert(surviving((nullAfter, 1L)) == 1)
   }
 
+  test("R9 probe is JSON-aware: decoy \"after\": inside a string value") {
+    // no after key, but a string VALUE contains the literal text
+    // `"after":` — a text-level probe would false-positively keep it
+    val decoy =
+      """{"payload":{"before":{"id":1,"v":"say \"after\": noon"},"source":{"db":"d","table":"t","ts_ms":1},"op":"u","ts_ms":1}}"""
+    assert(surviving((decoy, 1L)) == 0)
+    // typed path agrees
+    val typedSchema = StructType(Seq(
+      StructField("before", rowSchema), StructField("after", rowSchema)))
+    val typed = EventFilters.all(Envelope.parseTyped(feed((decoy, 1L)), rowSchema))
+    assert(typed.count() == 0)
+  }
+
+  test("R9 typed path ignores an after key inside the schema wrapper block") {
+    // wrapped form whose SCHEMA block contains an "after" field name;
+    // the payload itself has no after key — must still drop
+    val wrapperDecoy =
+      """{"schema":{"fields":[{"field":"after"}]},"payload":{"before":{"id":1,"v":"a"},"source":{"db":"d","table":"t","ts_ms":1},"op":"u","ts_ms":1}}"""
+    assert(surviving((wrapperDecoy, 1L)) == 0)
+    val typed = EventFilters.all(Envelope.parseTyped(feed((wrapperDecoy, 1L)), rowSchema))
+    assert(typed.count() == 0)
+  }
+
   test("wrapped and bare envelope forms parse identically") {
     val bare = okEvent.stripPrefix("""{"payload":""").stripSuffix("}")
     val parsed = Envelope.parse(feed((okEvent, 1L), (bare, 2L)))
