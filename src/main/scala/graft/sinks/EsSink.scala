@@ -25,29 +25,84 @@ import java.util.Base64
   */
 object EsSink {
 
+  /** `maxRetries`/`backoffMs`: transient failures (connect errors, HTTP
+    * 429/5xx) are retried with exponential backoff; non-2xx after the
+    * last retry — or a permanent 4xx immediately — dead-letters the
+    * batch instead of failing the stream (reference S6: per-event
+    * failure must not stop the pipeline).
+    */
   final case class Config(url: String, username: String, password: String,
-      idKey: String, bulkSize: Int = 500) {
+      idKey: String, bulkSize: Int = 500,
+      maxRetries: Int = 3, backoffMs: Long = 100L) {
     require(url.nonEmpty && idKey.nonEmpty, "url and idKey are required")
   }
 
   final case class Request(method: String, url: String,
       headers: Map[String, String], body: String)
 
+  /** A record that could not be delivered: the failed request context
+    * plus the id/body, as DATA (the dead-letter frame), never an
+    * exception.
+    */
+  final case class DeadLetter(id: String, record: String, error: String)
+
   trait Transport extends Serializable {
-    def send(req: Request): Unit
+    /** Returns the HTTP status; throws on transport-level failure. */
+    def send(req: Request): Int
   }
 
   /** Default transport: blocking java.net.http per executor. */
   final class HttpTransport extends Transport {
     @transient private lazy val client = java.net.http.HttpClient.newHttpClient()
-    def send(req: Request): Unit = {
+    def send(req: Request): Int = {
       val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(req.url))
         .method(req.method,
           java.net.http.HttpRequest.BodyPublishers.ofString(req.body))
       req.headers.foreach { case (k, v) => b.header(k, v) }
-      client.send(b.build(), java.net.http.HttpResponse.BodyHandlers.discarding())
+      client.send(b.build(),
+        java.net.http.HttpResponse.BodyHandlers.discarding()).statusCode()
     }
   }
+
+  /** Send with retry/backoff. Returns None on success, or the final
+    * error description after a permanent failure / exhausted retries.
+    */
+  private[sinks] def sendWithRetry(transport: Transport, req: Request,
+      maxRetries: Int, backoffMs: Long): Option[String] = {
+    var attempt = 0
+    while (true) {
+      val outcome: Either[String, Option[String]] =
+        try {
+          val status = transport.send(req)
+          if (status / 100 == 2) Right(None)
+          else if (status == 429 || status / 100 == 5) Left(s"HTTP $status")
+          else Right(Some(s"HTTP $status")) // permanent 4xx: no retry
+        } catch {
+          case e: Exception => Left(e.toString)
+        }
+      outcome match {
+        case Right(res) => return res
+        case Left(err) if attempt >= maxRetries =>
+          return Some(s"$err after ${attempt + 1} attempts")
+        case Left(_) =>
+          Thread.sleep(backoffMs << attempt)
+          attempt += 1
+      }
+    }
+    None // unreachable
+  }
+
+  /** JSON string escape for ids interpolated into NDJSON action lines. */
+  private[sinks] def jsonEscape(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  /** Percent-encoding for ids used as URL path segments. */
+  private[sinks] def pathEncode(s: String): String =
+    java.net.URLEncoder.encode(s, StandardCharsets.UTF_8).replace("+", "%20")
 
   /** Raw `user:pass` Base64 — NOT URL-encoded (reference bug 2.4.4). */
   def basicAuth(user: String, pass: String): String =
@@ -58,24 +113,28 @@ object EsSink {
     "Content-Type" -> "application/json",
     "Authorization" -> basicAuth(cfg.username, cfg.password))
 
-  /** NDJSON bulk-upsert body for (id, recordJson) pairs. */
+  /** NDJSON bulk-upsert body for (id, recordJson) pairs. Ids are JSON-
+    * escaped: the sink is generic, and a string id with a quote or
+    * backslash would otherwise corrupt the action line.
+    */
   def bulkUpsertBody(records: Seq[(String, String)]): String =
     records.map { case (id, json) =>
-      s"""{"index":{"_id":"$id"}}""" + "\n" + json
+      s"""{"index":{"_id":"${jsonEscape(id)}"}}""" + "\n" + json
     }.mkString("", "\n", "\n")
 
   /** NDJSON bulk-delete body for ids. */
   def bulkDeleteBody(ids: Seq[String]): String =
-    ids.map(id => s"""{"delete":{"_id":"$id"}}""").mkString("", "\n", "\n")
+    ids.map(id => s"""{"delete":{"_id":"${jsonEscape(id)}"}}""").mkString("", "\n", "\n")
 
-  /** Requests for one batch of (id, recordJson): single → PUT _doc/{id},
-    * multiple → chunked POST _bulk (mirrors the reference's single/bulk
-    * split at ElasticsearchUtils.java:134-152).
+  /** Requests for one batch of (id, recordJson): single → PUT _doc/{id}
+    * (id percent-encoded as a path segment), multiple → chunked POST
+    * _bulk (mirrors the reference's single/bulk split at
+    * ElasticsearchUtils.java:134-152).
     */
   def upsertRequests(cfg: Config, records: Seq[(String, String)]): Seq[Request] =
     records match {
       case Seq((id, json)) =>
-        Seq(Request("PUT", s"${cfg.url}/_doc/$id", headers(cfg), json))
+        Seq(Request("PUT", s"${cfg.url}/_doc/${pathEncode(id)}", headers(cfg), json))
       case rs => rs.grouped(cfg.bulkSize).map(chunk =>
         Request("POST", s"${cfg.url}/_bulk", headers(cfg),
           bulkUpsertBody(chunk))).toSeq
@@ -84,32 +143,56 @@ object EsSink {
   def deleteRequests(cfg: Config, ids: Seq[String]): Seq[Request] =
     ids match {
       case Seq(id) =>
-        Seq(Request("DELETE", s"${cfg.url}/_doc/$id", headers(cfg), ""))
+        Seq(Request("DELETE", s"${cfg.url}/_doc/${pathEncode(id)}", headers(cfg), ""))
       case is => is.grouped(cfg.bulkSize).map(chunk =>
         Request("POST", s"${cfg.url}/_bulk", headers(cfg),
           bulkDeleteBody(chunk))).toSeq
     }
 
-  /** Upsert every row of `df`; the id is `cfg.idKey`'s value. */
-  def upsert(df: DataFrame, cfg: Config, transport: Transport): Unit = {
+  /** Upsert every row of `df`; the id is `cfg.idKey`'s value.
+    *
+    * EAGER: sends happen before this returns. The returned frame holds
+    * the records that could not be delivered after retries (chunk
+    * granularity for bulk requests) — persist it as the dead-letter
+    * channel; it is already materialized (localCheckpoint), so reading
+    * it never re-sends.
+    */
+  def upsert(df: DataFrame, cfg: Config, transport: Transport): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val pairs = df.select(
       col(cfg.idKey).cast("string").as("_id"),
       to_json(struct(df.columns.map(col): _*)).as("_json"))
-    pairs.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
-      it.grouped(cfg.bulkSize).foreach { chunk =>
-        val recs = chunk.map(r => (r.getString(0), r.getString(1))).toSeq
-        upsertRequests(cfg, recs).foreach(transport.send)
+    val dead = pairs.as[(String, String)].mapPartitions { it =>
+      it.grouped(cfg.bulkSize).flatMap { chunk =>
+        upsertRequests(cfg, chunk).flatMap { req =>
+          sendWithRetry(transport, req, cfg.maxRetries, cfg.backoffMs) match {
+            case None => Nil
+            case Some(err) => chunk.map { case (id, json) => DeadLetter(id, json, err) }
+          }
+        }
       }
     }
+    dead.toDF().localCheckpoint(true)
   }
 
-  /** Delete by id for every row of `df`. */
-  def delete(df: DataFrame, cfg: Config, transport: Transport): Unit = {
+  /** Delete by id for every row of `df`. Same eager dead-letter contract
+    * as [[upsert]] (record = null for deletes).
+    */
+  def delete(df: DataFrame, cfg: Config, transport: Transport): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val ids = df.select(col(cfg.idKey).cast("string").as("_id"))
-    ids.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
-      it.grouped(cfg.bulkSize).foreach { chunk =>
-        deleteRequests(cfg, chunk.map(_.getString(0)).toSeq).foreach(transport.send)
+    val dead = ids.as[String].mapPartitions { it =>
+      it.grouped(cfg.bulkSize).flatMap { chunk =>
+        deleteRequests(cfg, chunk).flatMap { req =>
+          sendWithRetry(transport, req, cfg.maxRetries, cfg.backoffMs) match {
+            case None => Nil
+            case Some(err) => chunk.map(id => DeadLetter(id, null, err))
+          }
+        }
       }
     }
+    dead.toDF().localCheckpoint(true)
   }
 }

@@ -99,6 +99,8 @@ final case class CdcPipeline(
           .select(col("row.*"))
         EsSink.delete(dels, cfg, transport)
         EsSink.upsert(ups, cfg, transport)
+        () // dead-letter frames are returned by the sink; S6 contract:
+           // the stream continues regardless
       }
       .start()
   }

@@ -80,6 +80,52 @@ class SinkSpec extends SparkSpec {
     assert(byMethod("PUT").head.body == """{"id":1,"v":"b"}""")
   }
 
+  test("string ids are JSON-escaped in bulk bodies and percent-encoded in paths") {
+    reset()
+    val cfgS = cfg.copy(idKey = "k")
+    EsSink.upsert(Seq(("a b/c\"d", "x")).toDF("k", "v"), cfgS, new Recorder)
+    val Seq(put) = recorded
+    assert(put.url == "http://es:9200/idx/_doc/a%20b%2Fc%22d")
+    reset()
+    EsSink.upsert(Seq(("q\"1", "x"), ("q\\2", "y")).toDF("k", "v").coalesce(1),
+      cfgS, new Recorder)
+    val lines = recorded.head.body.trim.split("\n")
+    assert(lines(0) == """{"index":{"_id":"q\"1"}}""")
+    assert(lines(2) == """{"index":{"_id":"q\\2"}}""")
+  }
+
+  test("transient failures retry with backoff, then succeed: no dead letters") {
+    reset(); SinkSpec.scriptCalls.set(0)
+    SinkSpec.script = Seq(-1, 503, 200) // throw, 503, then success
+    val fast = cfg.copy(backoffMs = 1)
+    val dead = EsSink.upsert(Seq((1L, "a")).toDF("id", "v").coalesce(1),
+      fast, new SinkSpec.Scripted)
+    assert(dead.count() == 0)
+    assert(recorded.length == 3) // two retried attempts + success
+  }
+
+  test("exhausted retries produce the dead-letter frame, not an exception") {
+    reset(); SinkSpec.scriptCalls.set(0)
+    SinkSpec.script = Seq(503)
+    val fast = cfg.copy(backoffMs = 1, maxRetries = 2)
+    val dead = EsSink.upsert(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1),
+      fast, new SinkSpec.Scripted)
+    assert(recorded.length == 3) // initial + 2 retries
+    val rows = dead.select("id", "error").as[(String, String)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq("1", "2")) // whole chunk dead-lettered
+    assert(rows.head._2.contains("HTTP 503"))
+    assert(rows.head._2.contains("3 attempts"))
+  }
+
+  test("permanent 4xx dead-letters immediately without retry") {
+    reset(); SinkSpec.scriptCalls.set(0)
+    SinkSpec.script = Seq(400)
+    val dead = EsSink.delete(Seq(Tuple1(9L)).toDF("id"), cfg, new SinkSpec.Scripted)
+    assert(recorded.length == 1) // no retries
+    assert(dead.select("error").as[String].head().contains("HTTP 400"))
+  }
+
   test("JDBC sink: append and merge-upsert against embedded Derby") {
     val url = s"jdbc:derby:memory:graftdb;create=true"
     val conn = java.sql.DriverManager.getConnection(url)
@@ -107,6 +153,22 @@ object SinkSpec {
     * so the closure does not capture the suite instance.
     */
   class Recorder extends EsSink.Transport {
-    def send(req: EsSink.Request): Unit = recorded.add(req)
+    def send(req: EsSink.Request): Int = { recorded.add(req); 200 }
+  }
+
+  /** Scripted transport: returns (or throws) the next entry of `script`
+    * per send, recording every attempt; repeats the last entry when the
+    * script is exhausted. Entries: status code, or -1 to throw.
+    */
+  val scriptCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+  @volatile var script: Seq[Int] = Seq(200)
+  class Scripted extends EsSink.Transport {
+    def send(req: EsSink.Request): Int = {
+      recorded.add(req)
+      val i = scriptCalls.getAndIncrement()
+      val s = script(math.min(i, script.length - 1))
+      if (s < 0) throw new java.io.IOException("connection refused")
+      s
+    }
   }
 }
