@@ -123,6 +123,21 @@ object ChangeFeed {
     * each event several times per row. Staged once, queries measure CDC
     * processing, not fixture generation. Idempotent per (dir).
     */
+  /** The feed staged as JSON-LINES (`{"value":…, "offset":…}` records) —
+    * the wire format the DSv2 source (sources.cdc.CdcEventSource) and
+    * the streaming pipelines consume. Idempotent per (dir, content).
+    */
+  def stagedJsonl(spark: SparkSession, dir: String): String = {
+    val fp = graft.sources.Staging.fingerprint(
+      Seq(s"$dir/orders.parquet", s"$dir/customer.parquet"))
+    val stagedDir = sys.props("java.io.tmpdir") +
+      s"/graft_cdcjsonl_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_$fp"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$stagedDir/_SUCCESS"))) {
+      fromTestData(spark, dir).write.mode("overwrite").json(stagedDir)
+    }
+    stagedDir
+  }
+
   def staged(spark: SparkSession, dir: String): DataFrame = {
     // fingerprint of the source tables in the key: regenerated testdata
     // invalidates the staged feed instead of silently reusing stale data

@@ -50,6 +50,30 @@ object CdcQueries {
       .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
   }
 
+  /** Q17d: the same LWW snapshot as Q17 through the DSv2 source
+    * (sources.cdc.CdcEventSource): the subscription predicate sits
+    * directly on the source relation, so Catalyst pushes it into the
+    * scan (SupportsPushDownFilters) and unsubscribed tables' events are
+    * skipped source-side — reference R3 as planner integration. Same
+    * oracle as Q17 proves source parity with the staged-parquet path.
+    */
+  val q17d = QueryDef.sql(
+    "q17d_cdc_lww_dsv2",
+    """SELECT o_orderkey, o_orderstatus,
+      |       CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1
+      |            ELSE o_totalprice END AS total
+      |FROM orders WHERE o_orderkey % 5 <> 0""".stripMargin) { (spark, dir) =>
+    val feedDir = ChangeFeed.stagedJsonl(spark, dir)
+    val raw = Subscription(Set("shop"), Set("orders")).route(
+      spark.read.format("graft-cdc").option("path", feedDir).load())
+      .drop("src_db", "src_table")
+    val filtered = EventFilters.all(
+      Envelope.parseTyped(raw, ChangeFeed.ordersRowSchema))
+    val key = coalesce(col("after.o_orderkey"), col("before.o_orderkey"))
+    Materialize.lwwTyped(filtered, key)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice").as("total"))
+  }
+
   /** Q17c: drop-audit — classify every feed event by the reference's
     * filter chain (R5→R9, in reference order) and count per class. Each
     * expected count is arithmetic over the base tables.
@@ -75,5 +99,5 @@ object CdcQueries {
       .agg(count(lit(1)).as("cnt"))
   }
 
-  val all: Seq[QueryDef] = Seq(q17, q17b, q17c)
+  val all: Seq[QueryDef] = Seq(q17, q17b, q17c, q17d)
 }

@@ -1,0 +1,251 @@
+package graft.sources.cdc
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.sources.{EqualTo, Filter, In, IsNotNull}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import java.io.File
+import java.util
+
+/** DataSource V2 CDC event source (reference parity for the Debezium
+  * embedded engines, DebeziumEngineManager.java:76-135, over the
+  * sandbox's file feed): reads JSON-lines files of
+  * `{"value": <raw Debezium event>, "offset": <long>}` records and
+  * exposes `value, offset, src_db, src_table`.
+  *
+  * The point of the DSv2 shape is planner integration for R3 (source-
+  * side db/table pruning — the reference configures include-lists into
+  * the connector itself):
+  *  - `SupportsPushDownFilters`: EqualTo/In/IsNotNull on `src_db` /
+  *    `src_table` are accepted and evaluated DURING the scan, so events
+  *    for unsubscribed tables are skipped before they materialize as
+  *    rows (a live connector would translate the same filters to its
+  *    include-lists).
+  *  - `SupportsPushDownRequiredColumns`: when the query does not read
+  *    `src_db`/`src_table` (and no filter needs them), the per-line
+  *    routing extraction is skipped entirely.
+  *
+  * Streaming (`MicroBatchStream`): offsets are counts over the sorted
+  * file list — each micro-batch covers a contiguous file range, the
+  * checkpoint stores the count, and a restart resumes after the last
+  * committed file (the reference's named-tailer cursor, SURVEY §1.3).
+  * `SupportsTriggerAvailableNow` pins the end offset at query start.
+  *
+  * File listing uses java.io (the sandbox feed is a local directory); a
+  * cluster deployment would swap the listing for Hadoop FileSystem
+  * calls — the planner-facing surfaces are unchanged.
+  */
+class CdcEventSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "graft-cdc"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    CdcEventTable.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new CdcEventTable(properties.get("path"))
+}
+
+object CdcEventTable {
+  val schema: StructType = StructType(Seq(
+    StructField("value", StringType),
+    StructField("offset", LongType),
+    StructField("src_db", StringType),
+    StructField("src_table", StringType)))
+
+  /** Sorted event files of the feed directory (lexicographic name order
+    * = arrival order for part-file naming).
+    */
+  def listFiles(path: String): Array[String] = {
+    val files = Option(new File(path).listFiles()).getOrElse(Array.empty[File])
+    files.filter(f => f.isFile && !f.getName.startsWith(".") &&
+        !f.getName.startsWith("_"))
+      .map(_.getAbsolutePath).sorted
+  }
+}
+
+class CdcEventTable(path: String) extends Table with SupportsRead {
+  require(path != null, "graft-cdc requires option(\"path\", ...)")
+  override def name(): String = s"graft-cdc:$path"
+  override def schema(): StructType = CdcEventTable.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new CdcScanBuilder(path)
+}
+
+class CdcScanBuilder(path: String) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = CdcEventTable.schema
+
+  private def supported(f: Filter): Boolean = f match {
+    case EqualTo(a, _: String) => a == "src_db" || a == "src_table"
+    case In(a, vs) => (a == "src_db" || a == "src_table") &&
+      vs.forall(_.isInstanceOf[String])
+    case IsNotNull(a) => a == "src_db" || a == "src_table"
+    case _ => false
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ok, rest) = filters.partition(supported)
+    pushed = ok
+    rest
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new CdcScan(path, pushed, required)
+}
+
+class CdcScan(path: String, val filters: Array[Filter], val required: StructType)
+    extends Scan {
+  override def readSchema(): StructType = required
+  override def description(): String =
+    s"CdcScan path=$path PushedCdcFilters: ${filters.mkString("[", ", ", "]")} " +
+      s"ReadColumns: ${required.fieldNames.mkString("[", ", ", "]")}"
+  override def toBatch: Batch = new CdcBatch(path, filters, required)
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new CdcMicroBatchStream(path, filters, required)
+}
+
+final case class CdcFilePartition(file: String) extends InputPartition
+
+class CdcBatch(path: String, filters: Array[Filter], required: StructType)
+    extends Batch {
+  override def planInputPartitions(): Array[InputPartition] =
+    CdcEventTable.listFiles(path).map(CdcFilePartition.apply)
+      .toArray[InputPartition]
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CdcReaderFactory(filters, required)
+}
+
+/** File-count offset: `n` files fully consumed. */
+final case class CdcOffset(n: Int) extends Offset {
+  override def json(): String = n.toString
+}
+
+class CdcMicroBatchStream(path: String, filters: Array[Filter],
+    required: StructType)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  @volatile private var availableEnd: Option[Int] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableEnd = Some(CdcEventTable.listFiles(path).length)
+
+  override def initialOffset(): Offset = CdcOffset(0)
+  // SupportsTriggerAvailableNow extends SupportsAdmissionControl: the
+  // two-arg form is the one the engine calls; availableEnd (pinned at
+  // query start under Trigger.AvailableNow) caps it
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
+    CdcOffset(availableEnd.getOrElse(CdcEventTable.listFiles(path).length))
+  override def deserializeOffset(json: String): Offset = CdcOffset(json.toInt)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[CdcOffset].n
+    val e = end.asInstanceOf[CdcOffset].n
+    CdcEventTable.listFiles(path).slice(s, e).map(CdcFilePartition.apply)
+      .toArray[InputPartition]
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CdcReaderFactory(filters, required)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+class CdcReaderFactory(filters: Array[Filter], required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new CdcPartitionReader(partition.asInstanceOf[CdcFilePartition].file,
+      filters, required)
+}
+
+/** Line reader: Jackson-parses each feed record, extracts the routing
+  * fields only when a pushed filter or the read schema needs them, and
+  * skips non-matching events before they become rows.
+  */
+class CdcPartitionReader(file: String, filters: Array[Filter],
+    required: StructType) extends PartitionReader[InternalRow] {
+
+  private val mapper = new ObjectMapper()
+  private val lines = java.nio.file.Files.lines(java.nio.file.Paths.get(file))
+  private val it = lines.iterator()
+  private var current: InternalRow = _
+
+  private val needsRouting = filters.nonEmpty ||
+    required.fieldNames.exists(n => n == "src_db" || n == "src_table")
+
+  /** (db, table) from the raw event text: payload.source.{db,table} of
+    * the wrapped form, source.{db,table} of the bare form.
+    */
+  private def routingFields(value: String): (String, String) = {
+    if (value == null) return (null, null)
+    try {
+      val root = mapper.readTree(value)
+      val payload = if (root.has("payload") && !root.get("payload").isNull)
+        root.get("payload") else root
+      val src = payload.get("source")
+      if (src == null || src.isNull) (null, null)
+      else (
+        if (src.hasNonNull("db")) src.get("db").asText() else null,
+        if (src.hasNonNull("table")) src.get("table").asText() else null)
+    } catch { case _: Exception => (null, null) }
+  }
+
+  private def matches(db: String, table: String): Boolean = filters.forall {
+    case EqualTo("src_db", v) => db == v
+    case EqualTo("src_table", v) => table == v
+    case In("src_db", vs) => vs.contains(db)
+    case In("src_table", vs) => vs.contains(table)
+    case IsNotNull("src_db") => db != null
+    case IsNotNull("src_table") => table != null
+    case _ => true
+  }
+
+  override def next(): Boolean = {
+    while (it.hasNext) {
+      val line = it.next()
+      if (line.nonEmpty) {
+        try {
+          val node = mapper.readTree(line)
+          val value =
+            if (node.hasNonNull("value")) node.get("value").asText() else null
+          val offset =
+            if (node.hasNonNull("offset")) node.get("offset").asLong() else -1L
+          val (db, table) =
+            if (needsRouting) routingFields(value) else (null, null)
+          if (!needsRouting || matches(db, table)) {
+            val vals = required.fieldNames.map {
+              case "value" =>
+                if (value == null) null else UTF8String.fromString(value)
+              case "offset" => java.lang.Long.valueOf(offset)
+              case "src_db" =>
+                if (db == null) null else UTF8String.fromString(db)
+              case "src_table" =>
+                if (table == null) null else UTF8String.fromString(table)
+            }
+            current = new GenericInternalRow(vals.asInstanceOf[Array[Any]])
+            return true
+          }
+        } catch { case _: Exception => /* malformed line: skip */ }
+      }
+    }
+    false
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = lines.close()
+}

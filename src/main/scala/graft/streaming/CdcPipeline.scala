@@ -56,15 +56,33 @@ final case class CdcPipeline(
         org.apache.spark.sql.types.StructField("offset",
           org.apache.spark.sql.types.LongType))))
       .json(sourceDir)
+    startOver(raw, s"cdc_$name", checkpointDir, cfg, transport)
+  }
+
+  /** DSv2 variant of [[start]]: the raw stream comes from the graft-cdc
+    * source (sources.cdc.CdcEventSource) and the subscription predicate
+    * is applied directly on the source relation, where DSv2 filter
+    * pushdown turns it into SOURCE-side db/table pruning (reference R3:
+    * the connector's include-lists) instead of a post-scan filter.
+    */
+  def startDsv2(spark: SparkSession, sourceDir: String, checkpointDir: String,
+      cfg: EsSink.Config, transport: EsSink.Transport): StreamingQuery = {
+    val raw = subscription.route(
+      spark.readStream.format("graft-cdc").option("path", sourceDir).load())
+      .drop("src_db", "src_table")
+    startOver(raw, s"cdc_v2_$name", checkpointDir, cfg, transport)
+  }
+
+  private def startOver(raw: DataFrame, queryName: String, checkpointDir: String,
+      cfg: EsSink.Config, transport: EsSink.Transport): StreamingQuery =
     changeRows(raw).writeStream
-      .queryName(s"cdc_$name")
+      .queryName(queryName)
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         applyBatch(batch, cfg, transport)
       }
       .start()
-  }
 
   /** Incremental variant: per-key state via StatefulLww, so the sink
     * sees exactly one delta per CHANGED key per micro-batch (the
