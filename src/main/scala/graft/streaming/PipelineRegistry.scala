@@ -1,0 +1,87 @@
+package graft.streaming
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import graft.cdc.Subscription
+import graft.sinks.EsSink
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.StructType
+import java.io.File
+import scala.jdk.CollectionConverters._
+
+/** Config-driven pipeline registration — the reference's script
+  * discovery (S1: ScriptContainer.java:35-58 lists a scripts dir and
+  * registers each one; initCDC() declares db/table subscriptions)
+  * re-expressed as data instead of code: one JSON file per pipeline in
+  * a conf directory.
+  *
+  * Conf format (one object per `*.json` file):
+  * {{{
+  *   { "name": "orders",
+  *     "databases": ["shop"], "tables": ["orders"],
+  *     "idKey": "o_orderkey",
+  *     "schema": "o_orderkey BIGINT, o_orderstatus STRING" }
+  * }}}
+  *
+  * Hot reload (S2) is deliberately restart-based, per SURVEY §2.2 S2:
+  * streaming queries cannot swap their plan mid-flight, so the faithful
+  * analog is [[changedSince]] → stop the affected query → [[load]] →
+  * start again from its checkpoint (offsets preserve the cursor; the
+  * 500 ms debounce machinery of WatchFile.java dissolves into whatever
+  * schedules the restart).
+  */
+object PipelineRegistry {
+
+  final case class Entry(pipeline: CdcPipeline, file: String, mtime: Long)
+
+  private def confFiles(dir: String): Seq[File] =
+    Option(new File(dir).listFiles()).getOrElse(Array.empty[File])
+      .filter(f => f.isFile && f.getName.endsWith(".json")).sortBy(_.getName).toSeq
+
+  /** Discover and build every pipeline defined in `dir`. Fails fast on a
+    * malformed conf (the reference's register-at-boot contract, S3).
+    */
+  def load(dir: String): Seq[Entry] = {
+    val mapper = new ObjectMapper()
+    confFiles(dir).map { f =>
+      val node = mapper.readTree(f)
+      def strSet(field: String): Set[String] =
+        if (node.has(field)) node.get(field).elements().asScala.map(_.asText()).toSet
+        else Set.empty
+      require(node.hasNonNull("name") && node.hasNonNull("idKey")
+          && node.hasNonNull("schema"),
+        s"${f.getName}: name, idKey and schema are required")
+      val pipeline = CdcPipeline(
+        name = node.get("name").asText(),
+        subscription = Subscription(strSet("databases"), strSet("tables")),
+        rowSchema = StructType.fromDDL(node.get("schema").asText()),
+        idKey = node.get("idKey").asText())
+      Entry(pipeline, f.getAbsolutePath, f.lastModified())
+    }
+  }
+
+  /** Conf files added or modified since `known` was loaded — the
+    * pipelines whose queries need a restart (S2 reload semantics).
+    */
+  def changedSince(known: Seq[Entry], dir: String): Seq[String] = {
+    val byFile = known.map(e => e.file -> e.mtime).toMap
+    confFiles(dir).filter { f =>
+      byFile.get(f.getAbsolutePath) match {
+        case Some(m) => f.lastModified() != m
+        case None => true
+      }
+    }.map(_.getAbsolutePath)
+  }
+
+  /** Start every registered pipeline over one shared feed — the
+    * reference's fan-out topology (R11): each query gets its own
+    * checkpoint dir under `ckptRoot` (its named tailer).
+    */
+  def startAll(entries: Seq[Entry], spark: SparkSession, sourceDir: String,
+      ckptRoot: String, cfg: EsSink.Config,
+      transport: EsSink.Transport): Seq[StreamingQuery] =
+    entries.map { e =>
+      e.pipeline.startDsv2(spark, sourceDir,
+        s"$ckptRoot/${e.pipeline.name}", cfg, transport)
+    }
+}

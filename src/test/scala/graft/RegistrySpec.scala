@@ -1,0 +1,80 @@
+package graft
+
+import graft.cdc.Bootstrap
+import graft.sinks.EsSink
+import graft.sources.Jdbc
+import graft.streaming.PipelineRegistry
+import java.nio.file.Files
+import scala.jdk.CollectionConverters._
+
+/** Config-driven pipeline registry (reference S1 script discovery as
+  * data) and the JDBC source + snapshot-bootstrap composition.
+  */
+class RegistrySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("registry discovers confs, builds routed pipelines, fans out one feed") {
+    val confDir = Files.createTempDirectory("graft_conf_").toFile
+    Files.write(new java.io.File(confDir, "a_orders.json").toPath, Seq(
+      """{"name":"t1","databases":["d"],"tables":["t"],"idKey":"id","schema":"id BIGINT, v STRING"}""").asJava)
+    Files.write(new java.io.File(confDir, "b_other.json").toPath, Seq(
+      """{"name":"t2","databases":["d"],"tables":["u"],"idKey":"id","schema":"id BIGINT, v STRING"}""").asJava)
+
+    val entries = PipelineRegistry.load(confDir.toString)
+    assert(entries.map(_.pipeline.name) == Seq("t1", "t2"))
+    assert(entries.head.pipeline.subscription.tables == Set("t"))
+
+    // one shared feed with events for both tables; each pipeline only
+    // sinks its own slice (R11 fan-out + R3 routing, DSv2 pushdown)
+    def ev(table: String, id: Long, v: String, off: Long): (String, Long) =
+      (s"""{"payload":{"before":null,"after":{"id":$id,"v":"$v"},""" +
+        s""""source":{"db":"d","table":"$table","ts_ms":1},"op":"c","ts_ms":1}}""", off)
+    val srcDir = Files.createTempDirectory("graft_reg_src_").toString
+    Seq(ev("t", 1, "a", 1), ev("u", 2, "b", 2))
+      .toDF("value", "offset").coalesce(1).write.mode("overwrite").json(srcDir)
+
+    val ckptRoot = Files.createTempDirectory("graft_reg_ckpt_").toString
+    val cfg = EsSink.Config("http://es:9200/idx", "u", "p", "id")
+    SinkSpec.recorded.clear()
+    val queries = PipelineRegistry.startAll(entries, spark, srcDir, ckptRoot,
+      cfg, new SinkSpec.Recorder)
+    queries.foreach(_.awaitTermination())
+    val puts = SinkSpec.recorded.asScala.toSeq.filter(_.method == "PUT").map(_.body).sorted
+    assert(puts == Seq("""{"id":1,"v":"a"}""", """{"id":2,"v":"b"}"""))
+  }
+
+  test("changedSince flags new and modified confs for restart (S2 semantics)") {
+    val confDir = Files.createTempDirectory("graft_conf2_").toFile
+    val f1 = new java.io.File(confDir, "p1.json")
+    Files.write(f1.toPath, Seq(
+      """{"name":"p1","databases":[],"tables":[],"idKey":"id","schema":"id BIGINT"}""").asJava)
+    val entries = PipelineRegistry.load(confDir.toString)
+    assert(PipelineRegistry.changedSince(entries, confDir.toString).isEmpty)
+
+    val f2 = new java.io.File(confDir, "p2.json")
+    Files.write(f2.toPath, Seq(
+      """{"name":"p2","databases":[],"tables":[],"idKey":"id","schema":"id BIGINT"}""").asJava)
+    f1.setLastModified(f1.lastModified() + 5000)
+    val changed = PipelineRegistry.changedSince(entries, confDir.toString)
+    assert(changed.toSet == Set(f1.getAbsolutePath, f2.getAbsolutePath))
+  }
+
+  test("JDBC partitioned read + snapshot bootstrap: parallel scan to op=r events") {
+    val url = "jdbc:derby:memory:graftsrc;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    conn.createStatement().execute(
+      "CREATE TABLE src (\"id\" BIGINT NOT NULL PRIMARY KEY, \"v\" VARCHAR(20))")
+    val ins = conn.prepareStatement("INSERT INTO src VALUES (?, ?)")
+    (1L to 20L).foreach { i => ins.setLong(1, i); ins.setString(2, s"v$i"); ins.addBatch() }
+    ins.executeBatch(); conn.close()
+
+    val df = Jdbc.tablePartitioned(spark, url, "src", "id", 1L, 20L, 4)
+    assert(df.rdd.getNumPartitions == 4) // parallel strides, not one connection
+    assert(df.count() == 20)
+
+    val events = Bootstrap.snapshotEvents(df, "d", "src", snapshotTsMs = 0L)
+    val kept = graft.cdc.EventFilters.all(graft.cdc.Envelope.parse(events))
+    assert(kept.count() == 20)
+    assert(kept.select("op").distinct().collect().map(_.getString(0)).toSeq == Seq("r"))
+  }
+}
