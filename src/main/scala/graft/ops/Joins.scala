@@ -28,6 +28,38 @@ object Joins {
     salted.join(replicated, keys :+ "_salt").drop("_salt")
   }
 
+  /** Range (interval) join: all (left, right) pairs sharing `keyCol`
+    * with `right.ts ∈ (left.ts, left.ts + windowSec]`.
+    *
+    * Bin-bucketed: both sides bucket their timestamp into windowSec-wide
+    * bins; a qualifying right row's bin is the left row's bin or the
+    * next one, so the left side probes exactly two bins and the join is
+    * an EQUIJOIN on (key, bin) with the exact range check as a residual
+    * filter. A naive key-only join degenerates to per-key all-pairs when
+    * keys are hot (a 10^6-event user costs 10^12 comparisons); binning
+    * bounds each joined group to two windows' worth of events whatever
+    * the key distribution, and the plan stays a shuffled hash/sort-merge
+    * join — no range cross-join, no broadcast of either side.
+    *
+    * Output: every left column as `l_<name>`, every right column as
+    * `r_<name>`.
+    */
+  def rangeJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, windowSec: Long): DataFrame = {
+    val l0 = left.columns.foldLeft(left)((d, c) => d.withColumnRenamed(c, s"l_$c"))
+    val r0 = right.columns.foldLeft(right)((d, c) => d.withColumnRenamed(c, s"r_$c"))
+    // timestamp → fractional epoch seconds (double keeps microseconds)
+    val lBin = floor(col(s"l_$tsCol").cast("double") / windowSec)
+    val rBin = floor(col(s"r_$tsCol").cast("double") / windowSec)
+    val l = l0.withColumn("_lbin", explode(array(lBin, lBin + 1)))
+    val r = r0.withColumn("_rbin", rBin)
+    l.join(r,
+        col(s"l_$keyCol") === col(s"r_$keyCol") && col("_lbin") === col("_rbin")
+          && col(s"r_$tsCol") > col(s"l_$tsCol")
+          && col(s"r_$tsCol") <= col(s"l_$tsCol") + expr(s"INTERVAL $windowSec SECONDS"))
+      .drop("_lbin", "_rbin")
+  }
+
   /** As-of join: for every left row, the single latest right row whose
     * `tsCol` is <= the left row's, per key. (The classic time-series
     * lookup the reference family of engines ships as a primitive.)

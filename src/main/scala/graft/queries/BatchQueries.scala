@@ -326,6 +326,29 @@ object BatchQueries {
         "(acc, x) -> acc + cast(x as double) * cast(x as double))").as("sq_norm"))
   }
 
+  /** Q38: exact grouped percentiles — Spark `percentile` and DuckDB
+    * `quantile_cont` share the interpolated-rank definition
+    * (index p·(n−1), linear interpolation), so exact values hash-match.
+    * percentile_approx would need a band check like q13; the exact form
+    * is a single sort-based aggregate per group and stays one shuffle.
+    */
+  val q38 = QueryDef.sql(
+    "q38_percentiles",
+    """SELECT o_orderpriority,
+      |       CAST(quantile_cont(o_totalprice, 0.5) AS DOUBLE) AS p50,
+      |       CAST(quantile_cont(o_totalprice, 0.95) AS DOUBLE) AS p95,
+      |       CAST(quantile_cont(o_totalprice, 0.99) AS DOUBLE) AS p99,
+      |       count(*) AS cnt
+      |FROM orders GROUP BY o_orderpriority""".stripMargin) { (spark, dir) =>
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        percentile(col("o_totalprice"), lit(0.5)).as("p50"),
+        percentile(col("o_totalprice"), lit(0.95)).as("p95"),
+        percentile(col("o_totalprice"), lit(0.99)).as("p99"),
+        count(lit(1)).as("cnt"))
+  }
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08,
-    q09, q10, q11, q12, q12b, q13, q14, q15, q16)
+    q09, q10, q11, q12, q12b, q13, q14, q15, q16, q38)
 }

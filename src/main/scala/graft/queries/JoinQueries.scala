@@ -47,5 +47,25 @@ object JoinQueries {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
   }
 
-  val all: Seq[QueryDef] = Seq(q35, q36)
+  /** Q37: range join — per-user event pairs within a 4-hour follow
+    * window (the session-stitching / attribution shape). Oracle states
+    * the naive range predicate; the engine runs the bin-bucketed
+    * equijoin form that bounds per-key work at scale.
+    */
+  val q37 = QueryDef.sql(
+    "q37_range_join",
+    """SELECT a.user_id,
+      |       a.event_id AS l_event, b.event_id AS r_event,
+      |       CAST(date_diff('microsecond', a.ts, b.ts) AS BIGINT) AS gap_us
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id
+      | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 4 HOUR""".stripMargin) { (spark, dir) =>
+    val ev = Tables.events(spark, dir).select(col("user_id"), col("ts"), col("event_id"))
+    Joins.rangeJoin(ev, ev, "user_id", "ts", windowSec = 4 * 3600)
+      .select(col("l_user_id").as("user_id"),
+        col("l_event_id").as("l_event"), col("r_event_id").as("r_event"),
+        (unix_micros(col("r_ts")) - unix_micros(col("l_ts"))).as("gap_us"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q35, q36, q37)
 }

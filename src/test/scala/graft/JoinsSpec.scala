@@ -45,6 +45,33 @@ class JoinsSpec extends SparkSpec {
       "t4" -> None, "t5" -> None))
   }
 
+  test("rangeJoin equals the naive range predicate, as an equijoin plan") {
+    val ev = Tables.events(spark, sf001)
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val w = 4 * 3600L
+    val naive = ev.as("a").join(ev.as("b"),
+        col("a.user_id") === col("b.user_id")
+          && col("b.ts") > col("a.ts")
+          && col("b.ts") <= col("a.ts") + expr(s"INTERVAL $w SECONDS"))
+      .select(col("a.event_id").as("l"), col("b.event_id").as("r"))
+    val binned = Joins.rangeJoin(ev, ev, "user_id", "ts", w)
+      .select(col("l_event_id").as("l"), col("r_event_id").as("r"))
+    assert(binned.count() == naive.count())
+    assert(binned.except(naive).isEmpty && naive.except(binned).isEmpty)
+    val plan = binned.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "range join must stay an equijoin on (key, bin)")
+  }
+
+  test("rangeJoin boundary semantics: strictly-after start, inclusive end") {
+    val rows = Seq((1L, ts(0), "a"), (1L, ts(60), "b"), (1L, ts(61), "c"))
+      .toDF("k", "ts", "tag")
+    val pairs = Joins.rangeJoin(rows, rows, "k", "ts", windowSec = 3600)
+      .select(col("l_tag"), col("r_tag")).as[(String, String)].collect().toSet
+    // a->b at exactly +3600s included; a->c at +3660s excluded; b->c included
+    assert(pairs == Set(("a", "b"), ("b", "c")))
+  }
+
   test("asofJoin plans as one shuffle, not a range cross-join") {
     val quotes = Tables.events(spark, sf001)
       .select(col("user_id").as("key"), col("ts"), col("value"))
