@@ -349,6 +349,31 @@ object BatchQueries {
         count(lit(1)).as("cnt"))
   }
 
+  /** Q40: distribution window functions — ntile/percent_rank/cume_dist
+    * share exact rank-arithmetic definitions across engines, and
+    * first_value pins the frame semantics; deterministic under the
+    * (o_totalprice, o_orderkey) tiebreak.
+    */
+  val q40 = QueryDef.sql(
+    "q40_window_distribution",
+    """SELECT o_orderkey,
+      |       ntile(4) OVER w AS quartile,
+      |       CAST(percent_rank() OVER w AS DOUBLE) AS pr,
+      |       CAST(cume_dist() OVER w AS DOUBLE) AS cd,
+      |       first_value(o_orderkey) OVER w AS first_k
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority
+      |             ORDER BY o_totalprice, o_orderkey)""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, dir).select(
+      col("o_orderkey"),
+      ntile(4).over(w).as("quartile"),
+      percent_rank().over(w).cast("double").as("pr"),
+      cume_dist().over(w).cast("double").as("cd"),
+      first_value(col("o_orderkey")).over(w).as("first_k"))
+  }
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08,
-    q09, q10, q11, q12, q12b, q13, q14, q15, q16, q38)
+    q09, q10, q11, q12, q12b, q13, q14, q15, q16, q38, q40)
 }

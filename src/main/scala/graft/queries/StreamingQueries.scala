@@ -109,5 +109,39 @@ object StreamingQueries {
       .select(col("event_type"), col("cnt"), col("sum_value"))
   }
 
-  val all: Seq[QueryDef] = Seq(q23, q24a, q24b, q25)
+  /** Q39: stream-stream inner join with a time-range condition —
+    * purchases followed by an error within 1 hour, per user. Both sides
+    * carry watermarks (bounding join state retention in a continuous
+    * run: a purchase can be dropped from state once the error-side
+    * watermark passes its upper bound); with AvailableNow over one
+    * staged file, every match emits in the single batch and the result
+    * equals the batch join the oracle states.
+    */
+  val q39 = QueryDef.sql(
+    "q39_stream_stream_join",
+    """SELECT p.user_id, p.event_id AS buy_event, e.event_id AS err_event,
+      |       CAST(date_diff('microsecond', p.ts, e.ts) AS BIGINT) AS gap_us
+      |FROM events p JOIN events e
+      |  ON p.user_id = e.user_id
+      | AND p.event_type = 'purchase' AND e.event_type = 'error'
+      | AND e.ts > p.ts AND e.ts <= p.ts + INTERVAL 1 HOUR""".stripMargin) { (spark, dir) =>
+    val buys = Replay.eventsStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("buy_event"))
+      .withWatermark("p_ts", "10 minutes")
+    val errs = Replay.eventsStream(spark, dir)
+      .filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"),
+        col("event_id").as("err_event"))
+      .withWatermark("e_ts", "10 minutes")
+    val joined = buys.join(errs,
+      col("user_id") === col("e_user")
+        && col("e_ts") > col("p_ts")
+        && col("e_ts") <= col("p_ts") + expr("INTERVAL 1 HOUR"))
+    Replay.runToResultAppend(spark, joined)
+      .select(col("user_id"), col("buy_event"), col("err_event"),
+        (unix_micros(col("e_ts")) - unix_micros(col("p_ts"))).as("gap_us"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q23, q24a, q24b, q25, q39)
 }

@@ -77,8 +77,21 @@ object Replay {
     else Paths.get(sys.props("java.io.tmpdir"))
   }
 
+  /** Append-mode variant for operators that do not support complete
+    * output (stream-stream joins): the memory sink accumulates emitted
+    * rows; with AvailableNow over one staged file every inner-join match
+    * emits in the single batch.
+    */
+  def runToResultAppend(spark: SparkSession, streaming: DataFrame,
+      statePartitions: Int = 8): DataFrame =
+    run(spark, streaming, statePartitions, "append")
+
   def runToResult(spark: SparkSession, streaming: DataFrame,
-      statePartitions: Int = 8): DataFrame = {
+      statePartitions: Int = 8): DataFrame =
+    run(spark, streaming, statePartitions, "complete")
+
+  private def run(spark: SparkSession, streaming: DataFrame,
+      statePartitions: Int, mode: String): DataFrame = {
     val name = s"graft_replay_result_${nameCounter.incrementAndGet()}"
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     val prevNoData =
@@ -92,7 +105,7 @@ object Replay {
       val q = streaming.writeStream
         .format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(mode)
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation",
           Files.createTempDirectory(ckptRoot, "graft_ckpt_").toString)
