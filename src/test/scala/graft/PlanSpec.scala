@@ -53,4 +53,29 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).length <= 2,
       "LWW should shuffle once on the key (plus AQE reads)")
   }
+
+  test("q13: sketch and distinct-count do not mix into a per-key HLL aggregate") {
+    val p = plan(BatchQueries.q13.fn(spark, sf001))
+    // the mixed form plans an aggregate KEYED BY l_partkey whose partial
+    // carries the full HLL buffer per key (MS[0..1638] under Keys
+    // [l_partkey]); the split form keeps MS[] only in the global (no-key)
+    // sketch aggregate — one buffer per partition
+    val badNode = p.split("\n\\(").exists(node =>
+      node.contains("Keys [1]: [l_partkey") && node.contains("MS["))
+    assert(!badNode,
+      "per-key HLL buffer detected: distinct+sketch collapsed into one aggregate")
+  }
+
+  test("q37: range join plans as an equijoin, not a cartesian/range product") {
+    val p = graft.queries.JoinQueries.q37.fn(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q38: grouped percentiles are one shuffle") {
+    val p = BatchQueries.q38.fn(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(p).length <= 1,
+      "percentile aggregate should shuffle once on the group key")
+  }
 }
