@@ -28,7 +28,8 @@ final case class CdcPipeline(
     subscription: Subscription,
     rowSchema: StructType,
     idKey: String,
-    transform: DataFrame => DataFrame = identity) {
+    transform: DataFrame => DataFrame = identity,
+    deadLetterDir: Option[String] = None) {
 
   /** Routed, filtered, typed change rows from a raw value stream —
     * single-pass typed envelope parse (the pipeline knows its schema).
@@ -125,7 +126,9 @@ final case class CdcPipeline(
 
   /** Batch application: last writer per key within the batch, then
     * deletes and upserts through the sink. Also usable directly on a
-    * batch frame (tests, backfill).
+    * batch frame (tests, backfill). Undeliverable records (after the
+    * sink's retries) land in `deadLetterDir` as parquet when configured
+    * — S6: failures are data, the stream continues.
     */
   def applyBatch(batch: DataFrame, cfg: EsSink.Config,
       transport: EsSink.Transport): Unit = {
@@ -140,8 +143,13 @@ final case class CdcPipeline(
         .select(col("key").cast("string").as(idKey))
       val upserts = winnersCached.filter(col("w.op") =!= "d")
         .select(col("w.row.*"))
-      EsSink.delete(deletes, cfg, transport)
-      EsSink.upsert(upserts, cfg, transport)
+      val dlDeletes = EsSink.delete(deletes, cfg, transport)
+      val dlUpserts = EsSink.upsert(upserts, cfg, transport)
+      deadLetterDir.foreach { dir =>
+        val dead = dlDeletes.unionByName(dlUpserts)
+          .withColumn("pipeline", lit(name))
+        if (!dead.isEmpty) dead.write.mode("append").parquet(dir)
+      }
     } finally winnersCached.unpersist()
   }
 }

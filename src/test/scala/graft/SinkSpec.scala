@@ -126,6 +126,27 @@ class SinkSpec extends SparkSpec {
     assert(dead.select("error").as[String].head().contains("HTTP 400"))
   }
 
+  test("pipeline dead-letter dir captures undeliverable records; stream survives") {
+    reset(); SinkSpec.scriptCalls.set(0)
+    SinkSpec.script = Seq(500)
+    val dlDir = java.nio.file.Files.createTempDirectory("graft_dl_").toString + "/dl"
+    val pipe = CdcPipeline("dl", Subscription(Set("d"), Set("t")),
+      StructType(Seq(StructField("id", LongType), StructField("v", StringType))),
+      "id", deadLetterDir = Some(dlDir))
+    def ev(op: String, id: Long, v: String, ts: Long, off: Long) =
+      (s"""{"payload":{"before":null,"after":{"id":$id,"v":"$v"},""" +
+        s""""source":{"db":"d","table":"t","ts_ms":$ts},"op":"$op","ts_ms":$ts}}""", off)
+    val feed = Seq(ev("c", 1, "a", 1, 1)).toDF("value", "offset")
+    val fast = cfg.copy(backoffMs = 1, maxRetries = 1)
+    pipe.applyBatch(pipe.changeRows(feed), fast, new SinkSpec.Scripted) // no throw
+    val dead = spark.read.parquet(dlDir)
+    assert(dead.count() == 1)
+    val row = dead.select("record", "error", "pipeline").head()
+    assert(row.getString(0).contains("\"v\":\"a\""))
+    assert(row.getString(1).contains("HTTP 500"))
+    assert(row.getString(2) == "dl")
+  }
+
   test("JDBC sink: append and merge-upsert against embedded Derby") {
     val url = s"jdbc:derby:memory:graftdb;create=true"
     val conn = java.sql.DriverManager.getConnection(url)
