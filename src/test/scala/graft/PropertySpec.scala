@@ -46,6 +46,58 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("JsonKeyProbe matches a Jackson ground truth on generated envelopes") {
+    // ground truth: the unwrap-then-containsKey rule computed with a real
+    // JSON parser (payload key present and non-null ⇒ wrapped form)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def truth(js: String, key: String): Boolean =
+      try {
+        val root = mapper.readTree(js)
+        if (root == null || !root.isObject) false
+        else {
+          val payload = root.get("payload")
+          if (payload == null || payload.isNull) root.has(key)
+          else if (payload.isObject) payload.has(key)
+          else false
+        }
+      } catch { case _: Exception => false }
+
+    val strVal = Gen.oneOf("x", "say \"after\": noon", "a\\b", "{", "null",
+      "\"after\"", "after", "", "\\\"", "[1,2]")
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c => c.toString
+      } + "\""
+    val scalarGen: Gen[String] = Gen.oneOf(
+      Gen.const("null"), Gen.const("17"), Gen.const("true"),
+      strVal.map(jstr))
+    def objGen(depth: Int): Gen[String] =
+      for {
+        n <- Gen.choose(0, 4)
+        keys <- Gen.listOfN(n, Gen.oneOf("after", "before", "op", "source",
+          "x after x", "schema", "payload_x", "ddl"))
+        vals <- Gen.listOfN(n, if (depth <= 0) scalarGen
+          else Gen.frequency(3 -> scalarGen, 1 -> objGen(depth - 1),
+            1 -> scalarGen.map(v => s"[$v, $v]")))
+      } yield keys.zip(vals).map { case (k, v) => s"${jstr(k)}: $v" }
+        .mkString("{", ", ", "}")
+    val envelopeGen: Gen[String] = Gen.frequency(
+      2 -> objGen(2), // bare form
+      2 -> objGen(2).map(p => s"""{"schema": {"fields": [{"field": "after"}]}, "payload": $p}"""),
+      1 -> Gen.const("""{"payload": null, "after": 1}"""),
+      1 -> Gen.const("""{"payload": "after"}"""),
+      1 -> scalarGen, 1 -> Gen.alphaNumStr)
+
+    val samples = Gen.listOfN(500, envelopeGen).sample.get
+    samples.foreach { js =>
+      val got = graft.functions.JsonKeyProbe.payloadHasKey(js, "after")
+      val want = truth(js, "after")
+      assert(got == want, s"payloadHasKey mismatch on: $js (got $got, want $want)")
+    }
+  }
+
   test("identical texts have jaccard exactly 1.0") {
     val df = Seq((1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "x y z w q r"))
       .toDF("doc_id", "text")
