@@ -14,4 +14,29 @@ class FunctionsSpec extends SparkSpec {
     assert(rows.length == 10)
     rows.foreach(r => assert(r.getDouble(1) > 0.0))
   }
+
+  test("GraftExtensions injects the SQL functions (withExtensions session)") {
+    import org.apache.spark.sql.SparkSession
+    val orig = spark
+    // getOrCreate reuses the active session, so clear the markers to get
+    // a fresh session (same SparkContext) with the extensions applied
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder().master("local[2]")
+        .withExtensions(new GraftExtensions).getOrCreate()
+      val r = s2.sql(
+        """SELECT dot_product_f(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+          |                     array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d,
+          |       json_payload_has_key('{"payload":{"after":null}}', 'after') AS has,
+          |       json_payload_has_key('{"payload":{"x":"\"after\": decoy"}}', 'after') AS decoy
+          |""".stripMargin).head()
+      assert(r.getDouble(0) == 11.0)
+      assert(r.getBoolean(1))
+      assert(!r.getBoolean(2))
+    } finally {
+      SparkSession.setActiveSession(orig)
+      SparkSession.setDefaultSession(orig)
+    }
+  }
 }
