@@ -97,6 +97,82 @@ object JsonKeyProbe {
     (hasKey, payloadStart)
   }
 
+  /** Unescape a JSON string literal body (between the quotes). */
+  private def unescape(s: String, from: Int, to: Int): String = {
+    if (s.indexOf('\\', from) < 0 || s.indexOf('\\', from) >= to)
+      return s.substring(from, to)
+    val sb = new java.lang.StringBuilder(to - from)
+    var i = from
+    while (i < to) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < to) {
+        s.charAt(i + 1) match {
+          case '"' => sb.append('"'); i += 2
+          case '\\' => sb.append('\\'); i += 2
+          case '/' => sb.append('/'); i += 2
+          case 'b' => sb.append('\b'); i += 2
+          case 'f' => sb.append('\f'); i += 2
+          case 'n' => sb.append('\n'); i += 2
+          case 'r' => sb.append('\r'); i += 2
+          case 't' => sb.append('\t'); i += 2
+          case 'u' if i + 5 < to + 1 =>
+            sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+            i += 6
+          case other => sb.append(other); i += 2
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Start index of the value of `key` in the object at `objStart`, or
+    * -1 when absent.
+    */
+  private def valueStartOf(s: String, objStart: Int, key: String): Int = {
+    var i = objStart + 1
+    while (i < s.length) {
+      i = skipWs(s, i)
+      if (i >= s.length) return -1
+      s.charAt(i) match {
+        case '}' => return -1
+        case ',' => i += 1
+        case '"' =>
+          val kStart = i + 1
+          val kEnd = skipString(s, i)
+          val k = s.substring(kStart, math.max(kStart, kEnd - 1))
+          i = skipWs(s, kEnd)
+          if (i < s.length && s.charAt(i) == ':') i += 1
+          val vStart = skipWs(s, i)
+          if (k == key) return vStart
+          i = skipValue(s, vStart)
+        case _ => i += 1
+      }
+    }
+    -1
+  }
+
+  /** String value of `payload.source.<field>` (wrapped or bare form),
+    * null when absent / not a string — one pass, no Jackson parse. Used
+    * by the DSv2 source's routing extraction.
+    */
+  def payloadSourceField(js: String, field: String): String = {
+    if (js == null) return null
+    val i = skipWs(js, 0)
+    if (i >= js.length || js.charAt(i) != '{') return null
+    var objStart = i
+    val pStart = valueStartOf(js, objStart, "payload")
+    if (pStart >= 0 && pStart < js.length && js.charAt(pStart) == '{')
+      objStart = pStart
+    else if (pStart >= 0 && !js.startsWith("null", pStart))
+      return null // wrapped but payload is scalar/array: no source
+    val sStart = valueStartOf(js, objStart, "source")
+    if (sStart < 0 || sStart >= js.length || js.charAt(sStart) != '{') return null
+    val fStart = valueStartOf(js, sStart, field)
+    if (fStart < 0 || fStart >= js.length || js.charAt(fStart) != '"') return null
+    val fEnd = skipString(js, fStart)
+    unescape(js, fStart + 1, math.max(fStart + 1, fEnd - 1))
+  }
+
   /** Does the (possibly `{schema,payload}`-wrapped) event's payload
     * object contain `key` at its top level?
     */

@@ -98,6 +98,62 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("payloadSourceField matches Jackson on generated envelopes") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def truth(js: String, field: String): String =
+      try {
+        val root = mapper.readTree(js)
+        if (root == null || !root.isObject) null
+        else {
+          val payload = {
+            val p = root.get("payload")
+            if (p == null || p.isNull) root
+            else if (p.isObject) p
+            else return null
+          }
+          val src = payload.get("source")
+          if (src == null || !src.isObject) null
+          else {
+            val v = src.get(field)
+            if (v != null && v.isTextual) v.asText() else null
+          }
+        }
+      } catch { case _: Exception => null }
+
+    val dbName = Gen.oneOf("shop", "a\"b", "x\\y", "t\tn", "héllo", "",
+      "ué中")
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val srcGen: Gen[String] = for {
+      db <- dbName; tbl <- dbName
+      extra <- Gen.oneOf("", """, "ts_ms": 12""", """, "db_x": "decoy"""")
+    } yield s"""{"db": ${jstr(db)}, "table": ${jstr(tbl)}$extra}"""
+    val payloadGen: Gen[String] = Gen.frequency(
+      4 -> srcGen.map(s => s"""{"op": "c", "source": $s, "after": {"source": {"db": "inner"}}}"""),
+      1 -> Gen.const("""{"op": "c"}"""),
+      1 -> Gen.const("""{"source": 7}"""),
+      1 -> Gen.const("""{"source": null}"""),
+      1 -> Gen.const("""{"source": ["db"]}"""))
+    val envGen: Gen[String] = Gen.frequency(
+      2 -> payloadGen,
+      2 -> payloadGen.map(p => s"""{"schema": {"source": {"db": "wrapperdecoy"}}, "payload": $p}"""),
+      1 -> Gen.const("""{"payload": null, "source": {"db": "bare"}}"""),
+      1 -> Gen.const("junk"))
+    val samples = Gen.listOfN(400, envGen).sample.get
+    samples.foreach { js =>
+      Seq("db", "table").foreach { f =>
+        val got = graft.functions.JsonKeyProbe.payloadSourceField(js, f)
+        val want = truth(js, f)
+        assert(got == want, s"payloadSourceField($f) mismatch on: $js (got $got, want $want)")
+      }
+    }
+  }
+
   test("identical texts have jaccard exactly 1.0") {
     val df = Seq((1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "x y z w q r"))
       .toDF("doc_id", "text")
