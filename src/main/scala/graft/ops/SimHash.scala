@@ -19,19 +19,17 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object SimHash {
 
-  /** (id, simhash: Long). */
+  /** (id, simhash: Long). One custom Aggregator (SimHashAgg) accumulates
+    * all 64 bit votes per document in a single buffer — the 64-column
+    * sum() formulation evaluated 64 aggregate updates per token.
+    */
   def signatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tokens = docs
+    val votes = org.apache.spark.sql.functions.udaf(graft.functions.SimHashAgg)
+    docs
       .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
-    val votes: Seq[Column] = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b")
-    }
-    val sums = tokens.groupBy(col("id")).agg(votes.head, votes.tail: _*)
-    val sig = (0 until 64).map { b =>
-      when(col(s"v$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
-    }.reduce((a: Column, c: Column) => a.bitwiseOR(c))
-    sums.select(col("id"), sig.as("simhash"))
+      .groupBy(col("id"))
+      .agg(votes(col("h")).as("simhash"))
   }
 
   /** Pairs (id_a < id_b) with Hamming(simhash) <= maxHamming. */
