@@ -1,0 +1,137 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Corpus-level training-data pipeline operators (mandate, beyond the
+  * pairwise dedup family): duplicate-CLUSTER resolution, TF-IDF term
+  * relevance, benchmark decontamination, deterministic dataset splits,
+  * and stopword scrubbing.
+  *
+  * These close the loop a real 100 TB curation pipeline needs: near-dup
+  * PAIRS (MinHashLsh / SimHash / VectorSearch) are only half the story —
+  * the pipeline must then resolve pairs into clusters, keep one canonical
+  * document per cluster, hold out eval data by n-gram overlap, and split
+  * the survivors reproducibly.
+  */
+object CorpusOps {
+
+  /** Connected components over an undirected pair graph — resolves
+    * near-dup pairs into duplicate clusters. Output: (doc_id,
+    * cluster_id, is_canonical) for every doc that appears in a pair,
+    * where cluster_id is the minimum doc_id of the component (the
+    * deterministic survivor, matching Dedup.keepMinBy's convention).
+    *
+    * Algorithm: min-label propagation (the Pregel/GraphX formulation as
+    * plain DataFrame joins) — label(x) ← min(label(x), min over
+    * neighbours' labels), iterated to fixpoint. Each round is one
+    * shuffle (join on dst + groupBy src); rounds needed = component
+    * diameter, which for near-dup clusters is tiny (dups of a common
+    * original). Labels are materialized per round via localCheckpoint to
+    * truncate the growing lineage (a reliable checkpoint dir does the
+    * same on a cluster); the convergence probe aggregates to ONE scalar
+    * per round — no data is ever collected to the driver.
+    */
+  def dupClusters(pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
+      .union(pairs.select(col("doc_id_b").as("src"), col("doc_id_a").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
+      .localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = edges.as("e")
+        .join(labels.as("l"), col("e.dst") === col("l.id"))
+        .groupBy(col("e.src").as("id")).agg(min(col("l.lbl")).as("nbr"))
+      val next = labels.select(col("id"), col("lbl").as("olbl"))
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"), least(col("olbl"), coalesce(col("nbr"), col("olbl"))).as("lbl"),
+          col("olbl"))
+        .localCheckpoint(true)
+      // labels only ever decrease, so this counts this round's changes
+      changed = next.filter(col("lbl") < col("olbl")).count()
+      labels = next.drop("olbl")
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
+      (col("id") === col("lbl")).as("is_canonical"))
+  }
+
+  /** Top-k terms per document by TF-IDF (tf × ln(N/df)).
+    *
+    * Ranking is by an integer-scaled score key, round(score × 1e9):
+    * mathematically-tied scores reached by different arithmetic
+    * (e.g. tf=2,idf=ln 10 vs tf=1,idf=ln 100) can differ in the last
+    * ulp and differ BETWEEN engines, so ranking raw doubles makes the
+    * top-k cutoff a coin flip against the oracle. The integer key makes
+    * the order (and the tie-break by token) engine-independent; the
+    * reported score column stays the exact double.
+    *
+    * Shape at scale: one explode + two hash aggregations (tf, df) + a
+    * shuffle join on token + one window per doc — every step keyed and
+    * partitionable; df (vocabulary) is the only global structure and is
+    * joined, never collected.
+    */
+  def tfIdfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("token"))
+    val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = docs.select(count(lit(1)).as("n"))
+    val scored = tf.join(df, "token").crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf").cast("double") * log(col("n").cast("double") / col("df")))
+      .withColumn("skey", round(col("score") * 1e9).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("skey").desc, col("token"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("token"), col("score"), col("rnk"))
+  }
+
+  /** Benchmark decontamination: flag every candidate document sharing at
+    * least one n-token shingle with the eval set. The semi-join stops at
+    * the first matching shingle per doc — no counts are materialized —
+    * and when the eval side is small Spark broadcasts it, so the corpus
+    * is touched exactly once with no shuffle.
+    */
+  def contaminated(candidates: DataFrame, evalDocs: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    val evalShingles = Shingles.tokenShingles(evalDocs, idCol, textCol, n)
+      .select(col("s")).distinct()
+    val candShingles = Shingles.tokenShingles(candidates, idCol, textCol, n)
+    candShingles.join(evalShingles, Seq("s"), "left_semi")
+      .select(col("id").as(idCol)).distinct()
+  }
+
+  /** Deterministic train/val/test split by multiplicative integer hash
+    * (Knuth 2654435761 mod 2^32) of the id — reproducible across runs,
+    * engines, and partitionings, unlike rand()-based sampling, and
+    * expressible in plain integer SQL so an external system can compute
+    * the identical split. Boundaries: [0,.8) train, [.8,.9) val,
+    * [.9,1) test of the 2^32 hash space.
+    */
+  def hashSplit(df: DataFrame, idCol: String): DataFrame = {
+    val h = pmod(col(idCol) * lit(2654435761L), lit(4294967296L))
+    df.withColumn("split",
+      when(h < lit(3435973837L), "train")
+        .when(h < lit(3865470566L), "val")
+        .otherwise("test"))
+  }
+
+  /** Stopword scrub: remove the given tokens from the text, reporting
+    * how many were dropped. Pure codegen'd array functions (split /
+    * filter / array_join) — single pass, no UDF, no shuffle.
+    */
+  def removeStopwords(docs: DataFrame, textCol: String,
+      stopwords: Seq[String]): DataFrame = {
+    val stop = typedlit(stopwords)
+    val toks = split(col(textCol), " ")
+    val kept = filter(toks, t => !array_contains(stop, t))
+    docs.withColumn("clean_text", array_join(kept, " "))
+      .withColumn("n_removed", (size(toks) - size(kept)).cast("long"))
+  }
+}

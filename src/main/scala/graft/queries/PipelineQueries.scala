@@ -1,0 +1,120 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.ops._
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation pipeline surface (mandate: the operations a 100 TB
+  * training-data pipeline needs BEYOND pairwise dedup): cluster
+  * resolution, term relevance, decontamination, reproducible splits,
+  * text scrubbing. Every query is oracle-checked against DuckDB.
+  */
+object PipelineQueries {
+
+  private val stop = Seq("the", "a", "of", "and", "to")
+
+  /** Q41: near-dup pairs → duplicate clusters (connected components) with
+    * a deterministic canonical survivor per cluster. Pairs come from the
+    * scaled MinHash-LSH path (identical to the exact formulation on this
+    * data — the q26-vs-q19 guarantee); the oracle states the exact pairs
+    * plus a recursive-CTE transitive closure.
+    */
+  val q41 = QueryDef.sql(
+    "q41_dup_clusters",
+    """WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         unnest(list_transform(range(1, len(t) - 1),
+      |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      |       FROM tok),
+      |card AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |cp AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+      |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |       GROUP BY 1, 2),
+      |jp AS (SELECT da, db FROM cp
+      |       JOIN card ca ON da = ca.doc_id JOIN card cb ON db = cb.doc_id
+      |       WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.6),
+      |edges AS (SELECT da AS s, db AS d FROM jp UNION SELECT db, da FROM jp),
+      |reach(s, d) AS (SELECT s, d FROM edges
+      |                UNION
+      |                SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+      |SELECT s AS doc_id, least(s, min(d)) AS cluster_id,
+      |       s = least(s, min(d)) AS is_canonical
+      |FROM reach GROUP BY s""".stripMargin) { (spark, dir) =>
+    CorpusOps.dupClusters(
+      MinHashLsh.nearDupPairs(Tables.documents(spark, dir), "doc_id", "text", 3, 0.6))
+  }
+
+  /** Q42: top-3 TF-IDF terms per document (integer-scaled rank key —
+    * see CorpusOps.tfIdfTopTerms for why raw-double ranking is not
+    * engine-stable).
+    */
+  val q42 = QueryDef.sql(
+    "q42_tfidf_topterms",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |scored AS (SELECT doc_id, token,
+      |             CAST(tf AS DOUBLE) * ln(CAST(n AS DOUBLE) / df) AS score,
+      |             CAST(round(CAST(tf AS DOUBLE) * ln(CAST(n AS DOUBLE) / df) * 1e9)
+      |                  AS BIGINT) AS skey
+      |           FROM tf JOIN df USING (token) CROSS JOIN n)
+      |SELECT doc_id, token, score, rnk FROM (
+      |  SELECT doc_id, token, score,
+      |         row_number() OVER (PARTITION BY doc_id ORDER BY skey DESC, token) AS rnk
+      |  FROM scored) WHERE rnk <= 3""".stripMargin) { (spark, dir) =>
+    CorpusOps.tfIdfTopTerms(Tables.documents(spark, dir), "doc_id", "text", 3)
+  }
+
+  /** Q43: decontamination — candidate docs sharing any 5-token shingle
+    * with the eval slice (doc_id % 50 = 0). Left-semi on the shingle.
+    */
+  val q43 = QueryDef.sql(
+    "q43_decontaminate",
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         unnest(list_transform(range(1, len(t) - 3),
+      |                i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))) AS s
+      |       FROM tok),
+      |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0)
+      |SELECT DISTINCT doc_id FROM sh
+      |WHERE doc_id % 50 <> 0 AND s IN (SELECT s FROM ev)""".stripMargin) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    CorpusOps.contaminated(
+      docs.filter(col("doc_id") % 50 =!= 0),
+      docs.filter(col("doc_id") % 50 === 0), "doc_id", "text", 5)
+  }
+
+  /** Q44: reproducible train/val/test split via multiplicative integer
+    * hash — engine-portable (the oracle computes the identical split in
+    * plain SQL), partition-independent, no rand().
+    */
+  val q44 = QueryDef.sql(
+    "q44_hash_split",
+    """SELECT doc_id, lang, source,
+      |       CASE WHEN (doc_id * 2654435761) % 4294967296 < 3435973837 THEN 'train'
+      |            WHEN (doc_id * 2654435761) % 4294967296 < 3865470566 THEN 'val'
+      |            ELSE 'test' END AS split
+      |FROM documents""".stripMargin) { (spark, dir) =>
+    CorpusOps.hashSplit(Tables.documents(spark, dir), "doc_id")
+      .select(col("doc_id"), col("lang"), col("source"), col("split"))
+  }
+
+  /** Q45: stopword scrub — cleaned text + removed-token count, pure
+    * codegen'd array functions.
+    */
+  val q45 = QueryDef.sql(
+    "q45_stopword_scrub",
+    s"""SELECT doc_id,
+       |       array_to_string(list_filter(string_split(text, ' '),
+       |         x -> x NOT IN (${stop.map(s => s"'$s'").mkString(", ")})), ' ') AS clean_text,
+       |       CAST(len(string_split(text, ' ')) -
+       |            len(list_filter(string_split(text, ' '),
+       |              x -> x NOT IN (${stop.map(s => s"'$s'").mkString(", ")}))) AS BIGINT) AS n_removed
+       |FROM documents""".stripMargin) { (spark, dir) =>
+    CorpusOps.removeStopwords(Tables.documents(spark, dir), "text", stop)
+      .select(col("doc_id"), col("clean_text"), col("n_removed"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q41, q42, q43, q44, q45)
+}

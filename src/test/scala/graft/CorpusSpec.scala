@@ -1,0 +1,82 @@
+package graft
+
+import graft.ops._
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators: cluster resolution, TF-IDF, decontamination,
+  * hash splits, stopword scrub.
+  */
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sf001)
+
+  test("dupClusters resolves a chain and an isolated pair into min-label components") {
+    // chain 1-2-3-4 (diameter 3 forces multiple propagation rounds) + pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("doc_id_a", "doc_id_b")
+    val got = CorpusOps.dupClusters(pairs)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(got === Set(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false), (4L, 1L, false),
+      (10L, 10L, true), (11L, 10L, false)))
+  }
+
+  test("dupClusters on real near-dup pairs: every pair lands in one cluster, canonical is min") {
+    val pairs = MinHashLsh.nearDupPairs(docs, "doc_id", "text", 3, 0.6)
+    val clusters = CorpusOps.dupClusters(pairs)
+      .as[(Long, Long, Boolean)].collect()
+    assert(clusters.nonEmpty)
+    val byDoc = clusters.map(c => c._1 -> c._2).toMap
+    pairs.select("doc_id_a", "doc_id_b").as[(Long, Long)].collect().foreach {
+      case (a, b) => assert(byDoc(a) === byDoc(b), s"pair ($a,$b) split across clusters")
+    }
+    clusters.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.map(_._1).min === cid, s"cluster $cid canonical is not min member")
+      assert(members.count(_._3) === 1, s"cluster $cid must have exactly one canonical")
+    }
+  }
+
+  test("tfIdf: corpus-universal tokens score zero, top terms are distinctive") {
+    val tiny = Seq(
+      (1L, "x x common"), (2L, "y common"), (3L, "z common")).toDF("doc_id", "text")
+    val got = CorpusOps.tfIdfTopTerms(tiny, "doc_id", "text", 3)
+      .as[(Long, String, Double, Int)].collect()
+    // 'common' appears in all 3 docs -> idf = ln(1) = 0
+    got.filter(_._2 == "common").foreach(r => assert(r._3 === 0.0))
+    // doc 1's top term is 'x' (tf=2, df=1): score 2*ln(3)
+    val top1 = got.filter(r => r._1 == 1L && r._4 == 1).head
+    assert(top1._2 === "x")
+    assert(math.abs(top1._3 - 2 * math.log(3.0)) < 1e-12)
+  }
+
+  test("contaminated flags exactly the docs sharing a 5-gram with the eval set") {
+    val eval = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val cands = Seq(
+      (1L, "alpha beta gamma delta epsilon other tail"), // shares a 5-gram
+      (2L, "alpha beta gamma delta other epsilon zeta"), // only 4-gram overlap
+      (3L, "unrelated words entirely here present okay")).toDF("doc_id", "text")
+    val got = CorpusOps.contaminated(cands, eval, "doc_id", "text", 5)
+      .as[Long].collect().toSet
+    assert(got === Set(1L))
+  }
+
+  test("hashSplit is deterministic, total, and roughly proportioned") {
+    val s1 = CorpusOps.hashSplit(docs, "doc_id").select("doc_id", "split")
+      .as[(Long, String)].collect().toMap
+    val s2 = CorpusOps.hashSplit(docs.repartition(7), "doc_id")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(s1 === s2, "split must not depend on partitioning")
+    assert(s1.values.toSet.subsetOf(Set("train", "val", "test")))
+    val n = s1.size.toDouble
+    val train = s1.values.count(_ == "train") / n
+    assert(train > 0.6 && train < 0.95, s"train fraction $train far from 0.8")
+  }
+
+  test("removeStopwords drops exactly the stop tokens and counts them") {
+    val tiny = Seq((1L, "the cat and the hat")).toDF("doc_id", "text")
+    val got = CorpusOps.removeStopwords(tiny, "text", Seq("the", "a", "of", "and", "to"))
+      .select("clean_text", "n_removed").as[(String, Long)].head()
+    assert(got === ("cat hat", 3L))
+  }
+}
