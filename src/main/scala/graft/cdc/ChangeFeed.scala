@@ -133,7 +133,11 @@ object ChangeFeed {
     val stagedDir = sys.props("java.io.tmpdir") +
       s"/graft_cdcjsonl_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_$fp"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$stagedDir/_SUCCESS"))) {
-      fromTestData(spark, dir).write.mode("overwrite").json(stagedDir)
+      // round-robin into evenly sized files: the union's natural output is
+      // a few skewed parts (one per source branch), which caps the
+      // consumers' scan parallelism — a real bronze log is many files
+      fromTestData(spark, dir).repartition(32)
+        .write.mode("overwrite").json(stagedDir)
     }
     stagedDir
   }
@@ -146,7 +150,12 @@ object ChangeFeed {
     val stagedDir = sys.props("java.io.tmpdir") +
       s"/graft_cdcfeed_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_$fp"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$stagedDir/_SUCCESS"))) {
-      fromTestData(spark, dir).write.mode("overwrite").parquet(stagedDir)
+      // see stagedJsonl: even files keep the downstream JSON parse — the
+      // CPU-bound stage of every CDC query — at full scan parallelism
+      // (the raw union writes one skewed part per source branch, which
+      // Spark's split packing turns into ~7 tasks on 32 cores)
+      fromTestData(spark, dir).repartition(32)
+        .write.mode("overwrite").parquet(stagedDir)
     }
     spark.read.parquet(stagedDir)
   }

@@ -39,6 +39,24 @@ object Envelope {
     when(wrapped.isNotNull, wrapped).otherwise(value)
   }
 
+  /** Identity that the optimizer must treat as opaque:
+    * `spark_partition_id() >= 0` is always true, but its nondeterminism
+    * stops CollapseProject from inlining the wrapped expression into
+    * downstream projections and stops predicate pushdown from
+    * substituting it into every filter term (from_json would otherwise
+    * be re-evaluated up to ~7× per row — measured 3× slower end-to-end).
+    * Unlike the previous `udf(identity).asNondeterministic()` barrier it
+    * stays inside whole-stage codegen and skips the per-row
+    * UTF8String→String copy. Why this particular tautology: `rand() >= -1`
+    * is constant-folded away by Spark 4 (rand's bounds are known to the
+    * optimizer), and `monotonically_increasing_id()` is rejected in
+    * streaming plans — partition id is neither folded nor banned, in
+    * batch or streaming (verified empirically; the PlanSpec ≤1-from_json
+    * assertion guards against regression).
+    */
+  private def barrier(c: Column): Column =
+    when(spark_partition_id() >= 0, c)
+
   /** Parse a DataFrame of raw event strings into envelope columns.
     *
     * Input: `value: String` (nullable) plus any passthrough columns
@@ -50,10 +68,9 @@ object Envelope {
     */
   def parse(df: DataFrame, valueCol: String = "value"): DataFrame = {
     val v = col(valueCol)
-    // nondeterministic identity = optimizer barrier (see parseTyped): each
-    // JSON scan below evaluates once per row instead of being re-inlined
-    // into every pushed-down filter term
-    val barrier = udf((s: String) => s).asNondeterministic()
+    // barrier = optimizer-opaque identity (above): each JSON scan below
+    // evaluates once per row instead of being re-inlined into every
+    // pushed-down filter term
     df.withColumn("_v", barrier(v))
       .withColumn("_wrapped", get_json_object(col("_v"), "$.payload"))
       .withColumn("payload",
@@ -110,12 +127,11 @@ object Envelope {
     def pick(field: String) =
       when(col("_env.payload").isNotNull, col(s"_env.payload.$field"))
         .otherwise(col(s"_env.$field"))
-    // The nondeterministic identity is an optimizer barrier: without it,
-    // predicate pushdown substitutes `_env` into every downstream filter
-    // term, re-running from_json up to ~7× per row (measured: 3× slower
-    // end-to-end). With it, the parse is evaluated exactly once per row
-    // and filters run over the parsed columns.
-    val barrier = udf((s: String) => s).asNondeterministic()
+    // Without the barrier, predicate pushdown substitutes `_env` into
+    // every downstream filter term, re-running from_json up to ~7× per
+    // row (measured: 3× slower end-to-end). With it, the parse is
+    // evaluated exactly once per row and filters run over the parsed
+    // columns.
     df.withColumn("_env", from_json(barrier(v), both))
       .withColumn("op", pick("op"))
       .withColumn("ts_ms", pick("ts_ms"))
