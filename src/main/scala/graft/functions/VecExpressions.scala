@@ -137,6 +137,104 @@ case class SignBandsF(child: Expression, planes: Array[Float],
     copy(child = newChild)
 }
 
+/** The `n` nearest-by-cosine cell ids (ascending by (−dot·invNorm, id))
+  * for one embedding against a flattened centroid matrix, in one fused
+  * pass. ‖emb‖ is a common positive factor across cells and is omitted —
+  * it cannot change the ordering. One expression replaces nCells
+  * struct(dot, id) constructions plus an array_sort comparator: the
+  * inline-literal formulation took Janino ~2.5 s to compile per plan
+  * (measured); this compiles in milliseconds and evaluates the same
+  * ordering (selection sort over nCells scores — n and nCells are both
+  * small for a coarse quantizer).
+  */
+case class NearestCellsF(child: Expression, cents: Array[Float],
+    invNorms: Array[Double], nCells: Int, dim: Int, n: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "nearest_cells_f"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val d = math.min(x.numElements(), dim)
+    val scores = new Array[Double](nCells)
+    var c = 0
+    while (c < nCells) {
+      var acc = 0.0
+      var i = 0
+      val off = c * dim
+      while (i < d) {
+        acc += x.getFloat(i).toDouble * cents(off + i).toDouble
+        i += 1
+      }
+      scores(c) = -acc * invNorms(c)
+      c += 1
+    }
+    val k = math.min(n, nCells)
+    val out = new Array[Int](k)
+    val used = new Array[Boolean](nCells)
+    var t = 0
+    while (t < k) {
+      var best = -1
+      var c2 = 0
+      while (c2 < nCells) {
+        if (!used(c2) && (best < 0 || scores(c2) < scores(best))) best = c2
+        c2 += 1
+      }
+      used(best) = true
+      out(t) = best
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("cellCents", cents, "float[]")
+    val normsRef = ctx.addReferenceObj("cellInvNorms", invNorms, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val d = ctx.freshName("d")
+      val scores = ctx.freshName("scores")
+      val used = ctx.freshName("used")
+      val out = ctx.freshName("out")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val off = ctx.freshName("off")
+      val acc = ctx.freshName("acc")
+      val k = ctx.freshName("k")
+      val t = ctx.freshName("t")
+      val best = ctx.freshName("best")
+      val c2 = ctx.freshName("c2")
+      s"""
+         |int $d = java.lang.Math.min($a.numElements(), $dim);
+         |double[] $scores = new double[$nCells];
+         |for (int $c = 0; $c < $nCells; $c++) {
+         |  double $acc = 0.0;
+         |  int $off = $c * $dim;
+         |  for (int $i = 0; $i < $d; $i++) {
+         |    $acc += ((double) $a.getFloat($i)) * ((double) $centsRef[$off + $i]);
+         |  }
+         |  $scores[$c] = -$acc * $normsRef[$c];
+         |}
+         |int $k = java.lang.Math.min($n, $nCells);
+         |int[] $out = new int[$k];
+         |boolean[] $used = new boolean[$nCells];
+         |for (int $t = 0; $t < $k; $t++) {
+         |  int $best = -1;
+         |  for (int $c2 = 0; $c2 < $nCells; $c2++) {
+         |    if (!$used[$c2] && ($best < 0 || $scores[$c2] < $scores[$best])) $best = $c2;
+         |  }
+         |  $used[$best] = true;
+         |  $out[$t] = $best;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VecFunctions {
   /** Column API for the codegen'd float dot product. */
   def dotF(a: Column, b: Column): Column =
@@ -148,6 +246,23 @@ object VecFunctions {
       bands: Int, bandPlanes: Int, dim: Int): Column =
     VecBridge.column(SignBandsF(
       VecBridge.expression(emb), planes, bands, bandPlanes, dim))
+
+  /** Column API for the fused n-nearest-centroids kernel. `cents` is
+    * row-major nCells×dim; norms are computed here once.
+    */
+  def nearestCellsF(emb: Column, cents: Array[Array[Float]], n: Int): Column = {
+    val nCells = cents.length
+    val dim = cents.headOption.map(_.length).getOrElse(0)
+    val flat = new Array[Float](nCells * dim)
+    val invNorms = new Array[Double](nCells)
+    cents.zipWithIndex.foreach { case (cv, c) =>
+      System.arraycopy(cv, 0, flat, c * dim, dim)
+      val nrm = math.sqrt(cv.map(x => x.toDouble * x).sum)
+      invNorms(c) = if (nrm > 0) 1.0 / nrm else 0.0
+    }
+    VecBridge.column(NearestCellsF(
+      VecBridge.expression(emb), flat, invNorms, nCells, dim, n))
+  }
 
   /** Register `dot_product_f` for SQL use on a session
     * (`SELECT dot_product_f(a.embedding, b.embedding) ...`).

@@ -162,45 +162,111 @@ object VectorSearch {
     }.reduce((a: Column, b: Column) => a.bitwiseOR(b))
   }
 
+  /** Nearest-by-cosine cell id against literal centroids, via the fused
+    * [[graft.functions.NearestCellsF]] kernel: one codegen'd loop over
+    * the flattened centroid matrix per row — no join, no shuffle, and a
+    * compile cost independent of nCells (the equivalent
+    * array_min-of-structs formulation took Janino seconds to compile).
+    * Deterministic id tiebreak on equal scores.
+    */
+  def nearestCell(emb: Column, cents: Array[Array[Float]]): Column =
+    element_at(graft.functions.VecFunctions.nearestCellsF(emb, cents, 1), 1)
+
+  private def nearestCells(emb: Column, cents: Array[Array[Float]], n: Int): Column =
+    graft.functions.VecFunctions.nearestCellsF(emb, cents, n)
+
+  /** First-N init for the coarse quantizer (deterministic). */
+  private def initCentroids(corpus: DataFrame, nCells: Int): Array[Array[Float]] =
+    corpus.orderBy(col("vec_id")).limit(nCells)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
+
+  /** Lloyd-iteration training of the IVF coarse quantizer. Each pass is
+    * fully distributed: assignment is the inline [[nearestCell]] argmin
+    * over literal centroids (a map, no shuffle), the update is one
+    * groupBy(cell, dim) aggregate whose sums run in fixed point (1e-7
+    * grain, decimal accumulator) so the new centroids are bitwise
+    * deterministic under any partitioning. The driver receives exactly
+    * nCells×dim aggregated means per iteration — the MODEL, not data
+    * (the same driver round-trip Spark MLlib's KMeans performs between
+    * iterations). `sampleMod > 1` trains on the deterministic hash-sample
+    * `pmod(xxhash64(vec_id), sampleMod) = 0` — the 100 TB practice (a
+    * coarse quantizer needs thousands of points per cell, not the full
+    * corpus; faiss trains exactly this way) — while assignment still
+    * covers every row. A cell that loses all members keeps its previous
+    * centroid.
+    */
+  def trainCentroids(corpus: DataFrame, nCells: Int, iters: Int,
+      sampleMod: Int = 1): Array[Array[Float]] = {
+    val train =
+      if (sampleMod > 1) corpus.where(pmod(xxhash64(col("vec_id")), lit(sampleMod)) === 0)
+      else corpus
+    var cents = initCentroids(train, nCells)
+    var it = 0
+    while (it < iters) {
+      val moments = train
+        .select(nearestCell(col("embedding"), cents).as("cell"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(floor(col("x") * 1e7 + 0.5).cast("decimal(38,0)")).as("s"),
+          count(lit(1)).as("n"))
+        .select(col("cell"), col("pos"),
+          (col("s").cast("double") / 1e7 / col("n")).as("m"))
+        .collect() // nCells×dim model parameters, not data
+      val next = cents.map(_.clone())
+      moments.foreach { r =>
+        next(r.getAs[Int]("cell"))(r.getAs[Int]("pos")) = r.getAs[Double]("m").toFloat
+      }
+      cents = next
+      it += 1
+    }
+    cents
+  }
+
   /** IVF-style ANN top-k: corpus assigned to its nearest of nCells
     * coarse centroids; each query probes its nProbe nearest cells and
-    * ranks those candidates exactly. Centroids here are the first
-    * nCells corpus vectors — a deterministic stand-in for a k-means||
-    * coarse quantizer (the assignment/probe plumbing is what carries to
-    * scale; a trained quantizer slots into `centroids` unchanged).
-    * Cost at scale: corpus scan × nCells broadcast dot products once to
-    * build the index, then each query touches ~nProbe/nCells of the
-    * corpus.
+    * ranks those candidates exactly. Centroids are Lloyd-trained
+    * ([[trainCentroids]]; `trainIters = 0` falls back to the first-N
+    * init). Assignment and probe-selection are inline argmin/top-n
+    * expressions over literal centroids — the only shuffles in the plan
+    * are the (cell) equijoin and the final ranking window.
+    * Cost at scale: training on a bounded sample, then one corpus scan
+    * to assign; each query touches ~nProbe/nCells of the corpus.
     */
   def knnIvf(queries: DataFrame, corpus: DataFrame, k: Int,
-      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val cents = corpus.orderBy(col("vec_id")).limit(nCells)
-      .select(col("vec_id").as("cid"), col("embedding").as("cemb"),
-        norm(col("embedding")).as("cnorm"))
-    def assign(df: DataFrame, idCol: String, embCol: String, topN: Int) = {
-      val w = Window.partitionBy(col(idCol))
-        .orderBy(col("ccos").desc, col("cid"))
-      df.crossJoin(broadcast(cents))
-        .withColumn("ccos",
-          dot(col(embCol), col("cemb")) / (norm(col(embCol)) * col("cnorm")))
-        .withColumn("crnk", row_number().over(w))
-        .filter(col("crnk") <= topN)
-        .drop("cemb", "cnorm", "ccos", "crnk")
+      nCells: Int = 16, nProbe: Int = 4, trainIters: Int = 3,
+      trainSampleMod: Int = 0,
+      centroids: Option[Array[Array[Float]]] = None): DataFrame = {
+    // sampleMod = 0 → auto: the largest hash-sample stride that still
+    // leaves ~64 training points per cell (a coarse quantizer needs a
+    // bounded sample, not the corpus; too aggressive a stride starves
+    // the cells and recall collapses). `centroids` short-circuits
+    // training entirely: the quantizer is an INDEX artifact — built
+    // once, queried many times — so callers issuing repeated queries
+    // train once via [[trainCentroids]] and pass the result here.
+    val cents = centroids.getOrElse {
+      if (trainIters > 0) {
+        val mod =
+          if (trainSampleMod > 0) trainSampleMod
+          else math.max(1L, corpus.count() / (64L * nCells)).toInt
+        trainCentroids(corpus, nCells, trainIters, mod)
+      } else initCentroids(corpus, nCells)
     }
-    val c = assign(
-      corpus.select(col("vec_id").as("n_vec_id"), col("embedding").as("n_emb"),
-        norm(col("embedding")).as("n_norm")), "n_vec_id", "n_emb", 1)
-      .withColumnRenamed("cid", "cell")
-    val q = assign(
-      queries.select(col("vec_id").as("q_vec_id"), col("embedding").as("q_emb"),
-        norm(col("embedding")).as("q_norm")), "q_vec_id", "q_emb", nProbe)
-      .withColumnRenamed("cid", "cell")
+    val c = corpus.select(col("vec_id").as("n_vec_id"), col("embedding").as("n_emb"),
+      norm(col("embedding")).as("n_norm"),
+      nearestCell(col("embedding"), cents).as("cell"))
+    // each corpus point lives in exactly one cell and a query's probe
+    // cells are distinct, so candidate pairs cannot duplicate — no
+    // distinct needed
+    val q = queries.select(col("vec_id").as("q_vec_id"), col("embedding").as("q_emb"),
+      norm(col("embedding")).as("q_norm"),
+      explode(nearestCells(col("embedding"), cents, nProbe)).as("cell"))
     val w = Window.partitionBy(col("q_vec_id"))
       .orderBy(col("cos_sim").desc, col("n_vec_id"))
     broadcast(q).join(c, Seq("cell"))
       .filter(col("q_vec_id") =!= col("n_vec_id"))
       .withColumn("cos_sim", dot(col("q_emb"), col("n_emb")) / (col("q_norm") * col("n_norm")))
-      .select(col("q_vec_id"), col("n_vec_id"), col("cos_sim")).distinct()
+      .select(col("q_vec_id"), col("n_vec_id"), col("cos_sim"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
   }
@@ -228,5 +294,16 @@ object VectorSearch {
       .select(col("q_vec_id"), col("n_vec_id"), col("cos_sim")).distinct()
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
+  }
+
+  /** Diagnostic: members per cell for a given training depth. */
+  def cellSizes(corpus: DataFrame, nCells: Int, iters: Int): Array[Long] = {
+    val cents = if (iters > 0) trainCentroids(corpus, nCells, iters)
+                else initCentroids(corpus, nCells)
+    val rows = corpus.select(nearestCell(col("embedding"), cents).as("cell"))
+      .groupBy("cell").count().collect()
+    val out = Array.fill(nCells)(0L)
+    rows.foreach(r => out(r.getAs[Int]("cell")) = r.getAs[Long]("count"))
+    out
   }
 }

@@ -111,10 +111,20 @@ object MandateQueries {
 
   /** Q29: ANN via IVF coarse quantization + nprobe (recall < 1 by
     * construction → no SQL oracle; ScalaTest checks recall vs Q20).
+    * The Lloyd-trained quantizer is memoized per corpus dir: it is an
+    * index artifact — train once, serve every query against it.
     */
+  private val ivfCentroids =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Float]]]()
+
   val q29 = QueryDef.rowsOnly("q29_ann_ivf") { (spark, dir) =>
     val emb = Tables.embeddings(spark, dir)
-    VectorSearch.knnIvf(emb.filter(col("vec_id") < 10), emb, 5)
+    val cents = ivfCentroids.computeIfAbsent(dir, _ => {
+      val mod = math.max(1L, emb.count() / (64L * 16)).toInt
+      VectorSearch.trainCentroids(emb, 16, 3, mod)
+    })
+    VectorSearch.knnIvf(emb.filter(col("vec_id") < 10), emb, 5,
+      centroids = Some(cents))
   }
 
   /** Q21: top-20 tokens over the English slice. */

@@ -43,6 +43,18 @@ class VectorSpec extends SparkSpec {
     assert(recall >= 0.6, s"IVF recall $recall")
   }
 
+  test("Lloyd-trained quantizer: deterministic, no empty cells, assignments move") {
+    val c1 = VectorSearch.trainCentroids(emb, 8, 3)
+    val c2 = VectorSearch.trainCentroids(emb.repartition(7), 8, 3)
+    // fixed-point centroid updates: bitwise identical under any partitioning
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
+    val sizes = VectorSearch.cellSizes(emb, 8, 3)
+    assert(sizes.forall(_ > 0), s"empty cells: ${sizes.mkString(",")}")
+    // training actually moves centroids off the first-N init
+    val init = VectorSearch.trainCentroids(emb, 8, 0)
+    assert(c1.map(_.toSeq).toSeq != init.map(_.toSeq).toSeq)
+  }
+
   test("embedding near-dup pairs are symmetric-free (a < b) and thresholded") {
     val pairs = VectorSearch.nearDupPairsExact(emb, 0.3)
       .as[(Long, Long, Double)].collect()
