@@ -134,4 +134,74 @@ object CorpusOps {
     docs.withColumn("clean_text", array_join(kept, " "))
       .withColumn("n_removed", (size(toks) - size(kept)).cast("long"))
   }
+
+  /** Deterministic stratified sampling: keep a row iff its id-hash falls
+    * below the stratum's rate threshold in the 2^32 hash space. Same
+    * reproducibility story as [[hashSplit]] — no rand(), identical
+    * result on any engine/partitioning — but with a DIFFERENT odd
+    * multiplier (xxHash's prime32_2), so the sample is decorrelated from
+    * the train/val/test split: sampling with the split's own hash would
+    * silently sample only from fixed split regions.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String,
+      rateFor: Column => Column): DataFrame = {
+    val h = pmod(col(idCol) * lit(2246822519L), lit(4294967296L))
+    df.filter(h < rateFor(col(idCol)) * lit(4294967296L))
+  }
+
+  /** Token-budget shard packing: documents (in id order) are laid end to
+    * end and cut into shards of ~`budget` weight — the training-shard
+    * assembly step of a data pipeline (weight = token count). shard_id =
+    * floor(prefix_weight_before / budget).
+    *
+    * A naive `sum() OVER (ORDER BY id)` global-order window funnels the
+    * corpus through ONE partition; this is the classic two-phase
+    * parallel prefix sum instead: ids are chunked (`chunk` consecutive
+    * ids per bucket), per-bucket totals make a tiny relation whose
+    * running sum is windowed on a single partition of #buckets ROWS
+    * (metadata, not data — choose chunk so corpus/chunk ≈ 1e5 rows at
+    * your scale), and each bucket's offset joins back (broadcast) to an
+    * intra-bucket window partitioned BY bucket. All integer arithmetic —
+    * the shard boundary never hinges on float rounding.
+    */
+  def packShards(docs: DataFrame, idCol: String, weight: Column,
+      budget: Long, chunk: Long = 1024): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val base = docs.select(col(idCol), weight.cast("long").as("w"),
+      floor(col(idCol) / chunk).cast("long").as("_bkt"))
+    val offs = base.groupBy(col("_bkt")).agg(sum(col("w")).as("bw"))
+      .withColumn("_off", coalesce(
+        sum(col("bw")).over(
+          W.orderBy(col("_bkt")).rowsBetween(W.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("_bkt"), col("_off"))
+    val before = coalesce(
+      sum(col("w")).over(
+        W.partitionBy(col("_bkt")).orderBy(col(idCol))
+          .rowsBetween(W.unboundedPreceding, -1)),
+      lit(0L)) + col("_off")
+    base.join(broadcast(offs), Seq("_bkt"))
+      .withColumn("_before", before)
+      // exact-multiple double division is exact; stay integral anyway
+      .withColumn("shard_id",
+        ((col("_before") - pmod(col("_before"), lit(budget))) / budget).cast("long"))
+      .select(col(idCol), col("w").as("n_tokens"), col("shard_id"))
+  }
+
+  /** Inverted index build: token → ascending posting list of documents
+    * containing it (+ document frequency). One explode + one hash
+    * aggregate; postings are emitted as a CSV string (bounded by corpus
+    * here — a production index would chunk hot tokens' postings into
+    * fixed-size blocks, which is this same query windowed by
+    * row_number() DIV blocksize).
+    */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    docs.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("token"))
+      .distinct()
+      .groupBy(col("token"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("_p"))
+      .select(col("token"), array_join(col("_p"), ",").as("postings"),
+        size(col("_p")).cast("long").as("df"))
+  }
 }

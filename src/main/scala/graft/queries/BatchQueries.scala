@@ -379,6 +379,35 @@ object BatchQueries {
         count(lit(1)).as("cnt"))
   }
 
+  /** Q46: approx-percentile sketch, band-checked like q13: each engine
+    * runs its OWN sketch (Spark GK at accuracy 10000, DuckDB t-digest)
+    * and asserts it lands within 2% of the exact interpolated quantile;
+    * the hash-stable output is the band flags plus the exact values
+    * (which match bitwise per the q38 argument). The sketch is one
+    * mergeable buffer per partition — the distributed shape that
+    * replaces exact percentiles when a 100 TB column can't be sorted
+    * per group.
+    */
+  val q46 = QueryDef.sql(
+    "q46_approx_percentile",
+    """SELECT (abs(approx_quantile(l_extendedprice, 0.5) - quantile_cont(l_extendedprice, 0.5))
+      |        <= 0.02 * quantile_cont(l_extendedprice, 0.5)) AS p50_ok,
+      |       (abs(approx_quantile(l_extendedprice, 0.9) - quantile_cont(l_extendedprice, 0.9))
+      |        <= 0.02 * quantile_cont(l_extendedprice, 0.9)) AS p90_ok,
+      |       CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE) AS exact_p50,
+      |       CAST(quantile_cont(l_extendedprice, 0.9) AS DOUBLE) AS exact_p90
+      |FROM lineitem""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir).agg(
+      percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("_a50"),
+      percentile_approx(col("l_extendedprice"), lit(0.9), lit(10000)).as("_a90"),
+      percentile(col("l_extendedprice"), lit(0.5)).as("exact_p50"),
+      percentile(col("l_extendedprice"), lit(0.9)).as("exact_p90"))
+      .select(
+        (abs(col("_a50") - col("exact_p50")) <= lit(0.02) * col("exact_p50")).as("p50_ok"),
+        (abs(col("_a90") - col("exact_p90")) <= lit(0.02) * col("exact_p90")).as("p90_ok"),
+        col("exact_p50"), col("exact_p90"))
+  }
+
   /** Q40: distribution window functions — ntile/percent_rank/cume_dist
     * share exact rank-arithmetic definitions across engines, and
     * first_value pins the frame semantics; deterministic under the
@@ -405,5 +434,5 @@ object BatchQueries {
   }
 
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08,
-    q09, q10, q11, q12, q12b, q13, q14, q15, q16, q38, q40)
+    q09, q10, q11, q12, q12b, q13, q14, q15, q16, q38, q40, q46)
 }

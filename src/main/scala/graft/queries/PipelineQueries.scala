@@ -116,5 +116,52 @@ object PipelineQueries {
       .select(col("doc_id"), col("clean_text"), col("n_removed"))
   }
 
-  val all: Seq[QueryDef] = Seq(q41, q42, q43, q44, q45)
+  /** Q47: deterministic stratified sampling — per-language rates (en 3/4,
+    * others 1/2; exact binary fractions of the 2^32 hash space), id-hash
+    * decorrelated from q44's split hash. Reproducible on any engine.
+    */
+  val q47 = QueryDef.sql(
+    "q47_stratified_sample",
+    """SELECT doc_id, lang
+      |FROM documents
+      |WHERE (doc_id * 2246822519) % 4294967296 <
+      |      CASE WHEN lang = 'en' THEN 3221225472 ELSE 2147483648 END""".stripMargin) { (spark, dir) =>
+    CorpusOps.stratifiedSample(Tables.documents(spark, dir), "doc_id",
+      _ => when(col("lang") === "en", lit(0.75)).otherwise(lit(0.5)))
+      .select(col("doc_id"), col("lang"))
+  }
+
+  /** Q48: token-budget shard packing (training-shard assembly) — docs in
+    * id order cut into ~1000-token shards via a two-phase parallel
+    * prefix sum (see CorpusOps.packShards; the oracle states the same
+    * thing as one global-order window, which is fine for DuckDB but
+    * would single-partition Spark).
+    */
+  val q48 = QueryDef.sql(
+    "q48_shard_pack",
+    """SELECT doc_id,
+      |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |       CAST((b - b % 1000) / 1000 AS BIGINT) AS shard_id
+      |FROM (SELECT doc_id, text,
+      |        COALESCE(sum(len(string_split(text, ' ')))
+      |          OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS b
+      |      FROM documents)""".stripMargin) { (spark, dir) =>
+    CorpusOps.packShards(Tables.documents(spark, dir), "doc_id",
+      size(split(col("text"), " ")), 1000L)
+  }
+
+  /** Q49: inverted-index build — token → ascending posting list (CSV) +
+    * document frequency.
+    */
+  val q49 = QueryDef.sql(
+    "q49_inverted_index",
+    """SELECT token,
+      |       array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS postings,
+      |       CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+      |GROUP BY token""".stripMargin) { (spark, dir) =>
+    CorpusOps.invertedIndex(Tables.documents(spark, dir), "doc_id", "text")
+  }
+
+  val all: Seq[QueryDef] = Seq(q41, q42, q43, q44, q45, q47, q48, q49)
 }

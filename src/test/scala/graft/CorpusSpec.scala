@@ -79,4 +79,50 @@ class CorpusSpec extends SparkSpec {
       .select("clean_text", "n_removed").as[(String, Long)].head()
     assert(got === ("cat hat", 3L))
   }
+
+  test("stratifiedSample: partition-independent, per-stratum rates, decorrelated from split") {
+    def rate: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      _ => when(col("lang") === "en", lit(0.75)).otherwise(lit(0.5))
+    val s1 = CorpusOps.stratifiedSample(docs, "doc_id", rate)
+      .select("doc_id").as[Long].collect().toSet
+    val s2 = CorpusOps.stratifiedSample(docs.repartition(5), "doc_id", rate)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 === s2, "sample must not depend on partitioning")
+    val en = docs.filter(col("lang") === "en").select("doc_id").as[Long].collect().toSet
+    val enRate = (s1 intersect en).size.toDouble / en.size
+    val restRate = (s1 diff en).size.toDouble / (docs.count() - en.size)
+    assert(enRate > 0.6 && enRate < 0.9, s"en rate $enRate far from 0.75")
+    assert(restRate > 0.35 && restRate < 0.65, s"rest rate $restRate far from 0.5")
+    // decorrelation: the sample must hit all three split classes
+    val splits = CorpusOps.hashSplit(docs, "doc_id")
+      .filter(col("doc_id").isin(s1.toSeq: _*))
+      .select("split").distinct().as[String].collect().toSet
+    assert(splits === Set("train", "val", "test"))
+  }
+
+  test("packShards equals the single-window prefix-sum formulation") {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("doc_id").rowsBetween(Long.MinValue, -1)
+    val weight = size(split(col("text"), " ")).cast("long")
+    val expected = docs
+      .withColumn("b", coalesce(sum(weight).over(w), lit(0L)))
+      .select(col("doc_id"), weight.as("n_tokens"),
+        ((col("b") - pmod(col("b"), lit(100L))) / 100L).cast("long").as("shard_id"))
+      .as[(Long, Long, Long)].collect().toSet
+    val got = CorpusOps.packShards(docs, "doc_id", size(split(col("text"), " ")),
+      100L, chunk = 64)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === expected)
+    // shards are contiguous in id order and every doc is assigned
+    assert(got.size === docs.count())
+  }
+
+  test("invertedIndex: postings are ascending, df matches, membership is exact") {
+    val tiny = Seq((3L, "b a"), (1L, "a b a"), (2L, "b c")).toDF("doc_id", "text")
+    val got = CorpusOps.invertedIndex(tiny, "doc_id", "text")
+      .as[(String, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("a") === (("1,3", 2L)))
+    assert(got("b") === (("1,2,3", 3L)))
+    assert(got("c") === (("2", 1L)))
+  }
 }
