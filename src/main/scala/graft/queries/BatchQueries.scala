@@ -433,6 +433,53 @@ object BatchQueries {
       first_value(col("o_orderkey")).over(w).as("first_k"))
   }
 
+  /** Q50: pivot aggregation — long-to-wide by l_linestatus. Spark's
+    * `pivot` compiles to exactly the CASE-filtered aggregates the oracle
+    * states (one pass, map-side partials intact); values are enumerated
+    * so no discovery pass runs.
+    */
+  val q50 = QueryDef.sql(
+    "q50_pivot",
+    """SELECT l_returnflag,
+      |       CAST(count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS BIGINT) AS F_cnt,
+      |       CAST(sum(CASE WHEN l_linestatus = 'F'
+      |                THEN CAST(floor(l_extendedprice * (1 - l_discount) * 1000000 + 0.5) AS BIGINT) END)
+      |            AS DOUBLE) / 1000000.0 AS F_rev,
+      |       CAST(count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS BIGINT) AS O_cnt,
+      |       CAST(sum(CASE WHEN l_linestatus = 'O'
+      |                THEN CAST(floor(l_extendedprice * (1 - l_discount) * 1000000 + 0.5) AS BIGINT) END)
+      |            AS DOUBLE) / 1000000.0 AS O_rev
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (spark, dir) =>
+    val disc = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(count(lit(1)).as("cnt"),
+        (FixedPoint.sumFixed(disc, 1000000) / 1e6).as("rev"))
+  }
+
+  /** Q51: batch sessionization (gaps-and-islands) — the batch
+    * counterpart of q24b's streaming session_window, 30-minute gap,
+    * matching break semantics (exact-gap stays in-session).
+    */
+  val q51 = QueryDef.sql(
+    "q51_sessionize",
+    """SELECT user_id, event_id,
+      |       CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |         AS session_no
+      |FROM (SELECT user_id, event_id, ts,
+      |        CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |               OR date_diff('microsecond',
+      |                    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+      |                    ts) > 1800000000
+      |             THEN 1 ELSE 0 END AS brk
+      |      FROM events)""".stripMargin) { (spark, dir) =>
+    graft.ops.Sessions.assign(Tables.events(spark, dir),
+      "user_id", "ts", "event_id", 1800000000L)
+      .select(col("user_id"), col("event_id"), col("session_no"))
+  }
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08,
-    q09, q10, q11, q12, q12b, q13, q14, q15, q16, q38, q40, q46)
+    q09, q10, q11, q12, q12b, q13, q14, q15, q16, q38, q40, q46, q50, q51)
 }

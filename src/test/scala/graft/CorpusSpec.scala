@@ -125,4 +125,24 @@ class CorpusSpec extends SparkSpec {
     assert(got("b") === (("1,2,3", 3L)))
     assert(got("c") === (("2", 1L)))
   }
+
+
+  test("Sessions.assign: exact-gap stays in-session, strictly-greater breaks") {
+    import java.sql.Timestamp
+    def ts(us: Long) = new Timestamp(us / 1000L)
+    val gap = 60_000_000L // 60 s
+    val ev = Seq(
+      (1L, 100L, ts(0L)),
+      (1L, 101L, ts(gap)),                       // gap == timeout: same session
+      (1L, 102L, ts(2L * gap + 1000L)),          // gap > timeout: breaks
+      (2L, 200L, ts(0L)))
+      .toDF("user_id", "event_id", "ts")
+    val got = graft.ops.Sessions.assign(ev, "user_id", "ts", "event_id", gap)
+      .select("user_id", "event_id", "session_no")
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got((1L, 100L)) === 1L)
+    assert(got((1L, 101L)) === 1L) // exact gap merges, matching session_window
+    assert(got((1L, 102L)) === 2L)
+    assert(got((2L, 200L)) === 1L)
+  }
 }
