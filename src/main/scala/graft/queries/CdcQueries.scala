@@ -99,5 +99,38 @@ object CdcQueries {
       .agg(count(lit(1)).as("cnt"))
   }
 
-  val all: Seq[QueryDef] = Seq(q17, q17b, q17c, q17d)
+  /** Q17e: SCD type-2 history from the same feed — every version of
+    * every orders row with its validity interval (Materialize.scd2Typed).
+    * The oracle enumerates the feed's deterministic version timeline:
+    * the snapshot opens v1 at ts 1e9+k; the %3 update (whose %12
+    * duplicate delivery must collapse) opens v2 at 2e9+k and closes v1;
+    * the %5 delete closes the last version without opening one; the %19
+    * missing-after update (ts 4e9+k, latest!) must be R9-dropped or it
+    * would corrupt every 19th history.
+    */
+  val q17e = QueryDef.sql(
+    "q17e_cdc_scd2_history",
+    """SELECT o_orderkey, CAST(1 AS INTEGER) AS version,
+      |       1000000000 + o_orderkey AS valid_from_ms,
+      |       CASE WHEN o_orderkey % 3 = 0 THEN 2000000000 + o_orderkey
+      |            WHEN o_orderkey % 5 = 0 THEN 3000000000 + o_orderkey END AS valid_to_ms,
+      |       o_totalprice AS total,
+      |       (o_orderkey % 3 <> 0 AND o_orderkey % 5 <> 0) AS is_current
+      |FROM orders
+      |UNION ALL
+      |SELECT o_orderkey, CAST(2 AS INTEGER),
+      |       2000000000 + o_orderkey,
+      |       CASE WHEN o_orderkey % 5 = 0 THEN 3000000000 + o_orderkey END,
+      |       o_totalprice * 1.1,
+      |       o_orderkey % 5 <> 0
+      |FROM orders WHERE o_orderkey % 3 = 0""".stripMargin) { (spark, dir) =>
+    val key = coalesce(col("after.o_orderkey"), col("before.o_orderkey"))
+    Materialize.scd2Typed(
+      routedTyped(spark, dir, "orders", ChangeFeed.ordersRowSchema), key)
+      .select(col("_key").as("o_orderkey"), col("version"),
+        col("valid_from_ms"), col("valid_to_ms"),
+        col("after.o_totalprice").as("total"), col("is_current"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q17, q17b, q17c, q17d, q17e)
 }

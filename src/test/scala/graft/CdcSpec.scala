@@ -110,4 +110,32 @@ class CdcSpec extends SparkSpec {
     assert(materialize(events.reverse) == expected)
     assert(materialize(scala.util.Random.shuffle(events)) == expected)
   }
+
+
+  test("SCD2: versions, intervals, dup-delivery collapse, delete closes history") {
+    def ev(op: String, id: Long, v: String, ts: Long, off: Long) = {
+      val after = if (op == "d") "null" else s"""{"id":$id,"v":"$v"}"""
+      (s"""{"payload":{"before":{"id":$id,"v":"x"},"after":$after,""" +
+        s""""source":{"db":"d","table":"t","ts_ms":$ts},"op":"$op","ts_ms":$ts}}""", off)
+    }
+    val events = Seq(
+      ev("r", 1, "a", 1, 1), ev("u", 1, "b", 5, 2), ev("u", 1, "b", 5, 3), // dup delivery
+      ev("r", 2, "z", 1, 4), ev("d", 2, "-", 9, 5))
+    def history(order: Seq[(String, Long)]) = {
+      val parsed = EventFilters.all(
+        Envelope.parseTyped(feed(order: _*), rowSchema))
+      val key = coalesce(col("after.id"), col("before.id"))
+      Materialize.scd2Typed(parsed, key)
+        .select(col("_key"), col("version"), col("valid_from_ms"),
+          col("valid_to_ms"), col("after.v"), col("is_current"))
+        .as[(Long, Int, Long, Option[Long], String, Boolean)]
+        .collect().toSeq.sortBy(r => (r._1, r._2))
+    }
+    val expected = Seq(
+      (1L, 1, 1L, Some(5L), "a", false),  // closed by the update
+      (1L, 2, 5L, None, "b", true),       // dup delivery: ONE v2, still open
+      (2L, 1, 1L, Some(9L), "z", false))  // closed by the delete, no v2
+    assert(history(events) == expected)
+    assert(history(scala.util.Random.shuffle(events)) == expected)
+  }
 }
