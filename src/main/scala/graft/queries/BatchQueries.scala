@@ -491,6 +491,36 @@ object BatchQueries {
       .select(col("user_id"), col("event_id"), col("session_no"))
   }
 
+  /** Q52: time-series resample + gap fill — per-user hourly buckets on a
+    * dense spine from each user's first to last hour, empty hours filled
+    * with count 0 and the last observed hourly value carried forward
+    * (LOCF). Frames are explicit ROWS on both sides; (user, hour) is
+    * unique per partition so ROWS ≡ RANGE and the ignore-nulls last_value
+    * semantics match.
+    */
+  val q52 = QueryDef.sql(
+    "q52_resample_locf",
+    """WITH b AS (SELECT user_id, date_trunc('hour', ts) AS h,
+      |             count(*) AS cnt,
+      |             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS val
+      |           FROM events GROUP BY 1, 2),
+      |span AS (SELECT user_id, min(h) AS mn, max(h) AS mx FROM b GROUP BY 1),
+      |spine AS (SELECT user_id,
+      |            unnest(list_transform(
+      |              range(0, CAST(date_diff('hour', mn, mx) AS BIGINT) + 1),
+      |              i -> mn + to_hours(i))) AS h
+      |          FROM span)
+      |SELECT s.user_id, s.h,
+      |       CAST(COALESCE(b.cnt, 0) AS BIGINT) AS cnt,
+      |       last_value(b.val IGNORE NULLS)
+      |         OVER (PARTITION BY s.user_id ORDER BY s.h
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_val
+      |FROM spine s LEFT JOIN b USING (user_id, h)""".stripMargin) { (spark, dir) =>
+    graft.ops.Resample.locf(Tables.events(spark, dir),
+      "user_id", "ts", "value", "hour", "interval 1 hour")
+  }
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08,
-    q09, q10, q11, q12, q12b, q13, q14, q15, q16, q38, q40, q46, q50, q51)
+    q09, q10, q11, q12, q12b, q13, q14, q15, q16, q38, q40, q46, q50, q51,
+    q52)
 }

@@ -145,4 +145,19 @@ class CorpusSpec extends SparkSpec {
     assert(got((1L, 102L)) === 2L)
     assert(got((2L, 200L)) === 1L)
   }
+
+
+  test("Resample.locf fills gap hours with cnt 0 and carries the last value") {
+    import java.sql.Timestamp
+    def h(n: Int) = new Timestamp(1700000000000L / 3600000L * 3600000L + n * 3600000L)
+    val ev = Seq(
+      (1L, h(0), 10.0), (1L, h(0), 2.5),   // hour 0: cnt 2, val 12.5
+      (1L, h(3), 4.0))                     // hours 1-2 are gaps
+      .toDF("user_id", "ts", "value")
+    val got = graft.ops.Resample.locf(ev, "user_id", "ts", "value",
+      "hour", "interval 1 hour")
+      .as[(Long, Timestamp, Long, Double)].collect().sortBy(_._2.getTime)
+    assert(got.map(r => (r._3, r._4)).toSeq ===
+      Seq((2L, 12.5), (0L, 12.5), (0L, 12.5), (1L, 4.0)))
+  }
 }
