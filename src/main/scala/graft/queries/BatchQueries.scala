@@ -132,6 +132,27 @@ object BatchQueries {
       .select(col("c_custkey"), col("c_name"))
   }
 
+  /** Q5b: FULL OUTER join — per-user purchase counts vs error counts;
+    * users appear with nulls on whichever side they lack.
+    */
+  val q05b = QueryDef.sql(
+    "q05b_full_outer",
+    """SELECT COALESCE(p.user_id, e.user_id) AS user_id, p.pcnt, e.ecnt
+      |FROM (SELECT user_id, count(*) AS pcnt FROM events
+      |      WHERE event_type = 'purchase' GROUP BY 1) p
+      |FULL JOIN (SELECT user_id, count(*) AS ecnt FROM events
+      |           WHERE event_type = 'error' GROUP BY 1) e
+      |ON p.user_id = e.user_id""".stripMargin) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("p_uid")).agg(count(lit(1)).as("pcnt"))
+    val e = ev.filter(col("event_type") === "error")
+      .groupBy(col("user_id").as("e_uid")).agg(count(lit(1)).as("ecnt"))
+    p.join(e, col("p_uid") === col("e_uid"), "full_outer")
+      .select(coalesce(col("p_uid"), col("e_uid")).as("user_id"),
+        col("pcnt"), col("ecnt"))
+  }
+
   /** Q6: semi join — customers with ≥1 order in a date range. */
   val q06 = QueryDef.sql(
     "q06_semi_join",
@@ -520,7 +541,7 @@ object BatchQueries {
       "user_id", "ts", "value", "hour", "interval 1 hour")
   }
 
-  val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08,
-    q09, q10, q11, q12, q12b, q13, q14, q15, q16, q38, q40, q46, q50, q51,
-    q52)
+  val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q05b, q06, q07,
+    q08, q09, q10, q11, q12, q12b, q13, q14, q15, q16, q38, q40, q46,
+    q50, q51, q52)
 }

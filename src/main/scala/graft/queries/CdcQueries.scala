@@ -132,5 +132,39 @@ object CdcQueries {
         col("after.o_totalprice").as("total"), col("is_current"))
   }
 
-  val all: Seq[QueryDef] = Seq(q17, q17b, q17c, q17d, q17e)
+  /** Q17f: the same LWW snapshot computed INCREMENTALLY — the feed
+    * streamed through the DSv2 source into
+    * `StatefulLww.deltaStream` (flatMapGroupsWithState keeping the
+    * per-key winner, emitting upsert/delete deltas). Under
+    * Trigger.AvailableNow with no read limits the replay is one batch,
+    * so the delta set IS the final state: upserts are the live keys and
+    * deleted keys emit nothing (multi-batch delta evolution is pinned
+    * separately in StatefulLwwSpec). Same oracle as q17 proves the
+    * incremental path converges to the batch materialization.
+    */
+  val q17f = QueryDef.sql(
+    "q17f_cdc_lww_stateful",
+    """SELECT o_orderkey, o_orderstatus,
+      |       CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1
+      |            ELSE o_totalprice END AS total
+      |FROM orders WHERE o_orderkey % 5 <> 0""".stripMargin) { (spark, dir) =>
+    val feedDir = ChangeFeed.stagedJsonl(spark, dir)
+    val raw = spark.readStream.format("graft-cdc").option("path", feedDir).load()
+    val routed = Subscription(Set("shop"), Set("orders")).route(raw)
+      .drop("src_db", "src_table")
+    val filtered = EventFilters.all(
+      Envelope.parseTyped(routed, ChangeFeed.ordersRowSchema))
+    val keyed = filtered.select(
+      coalesce(col("after.o_orderkey"), col("before.o_orderkey")).as("key"),
+      col("ts_ms"), col("offset"), col("op"),
+      to_json(col("after")).as("after"))
+    val deltas = graft.streaming.StatefulLww.deltaStream(keyed).toDF()
+    graft.streaming.Replay.runToResultAppend(spark, deltas)
+      .filter(col("action") === "upsert")
+      .select(from_json(col("rowJson"), ChangeFeed.ordersRowSchema).as("r"))
+      .select(col("r.o_orderkey"), col("r.o_orderstatus"),
+        col("r.o_totalprice").as("total"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q17, q17b, q17c, q17d, q17e, q17f)
 }
