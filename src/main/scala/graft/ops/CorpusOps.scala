@@ -143,10 +143,9 @@ object CorpusOps {
     * the train/val/test split: sampling with the split's own hash would
     * silently sample only from fixed split regions.
     */
-  def stratifiedSample(df: DataFrame, idCol: String,
-      rateFor: Column => Column): DataFrame = {
+  def stratifiedSample(df: DataFrame, idCol: String, rate: Column): DataFrame = {
     val h = pmod(col(idCol) * lit(2246822519L), lit(4294967296L))
-    df.filter(h < rateFor(col(idCol)) * lit(4294967296L))
+    df.filter(h < rate * lit(4294967296L))
   }
 
   /** Token-budget shard packing: documents (in id order) are laid end to

@@ -127,7 +127,7 @@ object PipelineQueries {
       |WHERE (doc_id * 2246822519) % 4294967296 <
       |      CASE WHEN lang = 'en' THEN 3221225472 ELSE 2147483648 END""".stripMargin) { (spark, dir) =>
     CorpusOps.stratifiedSample(Tables.documents(spark, dir), "doc_id",
-      _ => when(col("lang") === "en", lit(0.75)).otherwise(lit(0.5)))
+      when(col("lang") === "en", lit(0.75)).otherwise(lit(0.5)))
       .select(col("doc_id"), col("lang"))
   }
 
@@ -163,5 +163,36 @@ object PipelineQueries {
     CorpusOps.invertedIndex(Tables.documents(spark, dir), "doc_id", "text")
   }
 
-  val all: Seq[QueryDef] = Seq(q41, q42, q43, q44, q45, q47, q48, q49)
+  /** Q54: count-min heavy hitters — the third sketch family (q13 HLL,
+    * q46 GK). The engine builds the sketch in one pass (CountMinAgg)
+    * and certifies, for the exact top-20 tokens, the two count-min
+    * guarantees: the estimate never undercounts, and overcounts by at
+    * most εN (ε = e/W). The oracle cannot build the sketch, so it
+    * states the exact counts plus literal-true flags — if either
+    * guarantee ever broke, the Spark flags would flip and the hash
+    * gate would catch it (the q13/q46 band pattern, one-sided).
+    */
+  val q54 = QueryDef.sql(
+    "q54_countmin_heavyhitters",
+    """SELECT token, cnt, true AS never_under, true AS within_eps FROM (
+      |  SELECT token, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |  GROUP BY token ORDER BY cnt DESC, token LIMIT 20)""".stripMargin) { (spark, dir) =>
+    import graft.functions.CountMinAgg
+    val toks = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+    val cm = udaf(CountMinAgg)
+    val sketch = toks.agg(cm(CountMinAgg.lift(col("token"))).as("sketch"))
+    val total = toks.agg(count(lit(1)).as("n"))
+    val top = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(20)
+    top.crossJoin(broadcast(sketch)).crossJoin(broadcast(total))
+      .withColumn("est", CountMinAgg.estimate(col("sketch"), col("token")))
+      .select(col("token"), col("cnt"),
+        (col("est") >= col("cnt")).as("never_under"),
+        (col("est") <= col("cnt") +
+          ceil(lit(math.E / CountMinAgg.W) * col("n")).cast("long")).as("within_eps"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q41, q42, q43, q44, q45, q47, q48, q49, q54)
 }

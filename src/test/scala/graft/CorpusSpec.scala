@@ -81,8 +81,7 @@ class CorpusSpec extends SparkSpec {
   }
 
   test("stratifiedSample: partition-independent, per-stratum rates, decorrelated from split") {
-    def rate: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-      _ => when(col("lang") === "en", lit(0.75)).otherwise(lit(0.5))
+    val rate = when(col("lang") === "en", lit(0.75)).otherwise(lit(0.5))
     val s1 = CorpusOps.stratifiedSample(docs, "doc_id", rate)
       .select("doc_id").as[Long].collect().toSet
     val s2 = CorpusOps.stratifiedSample(docs.repartition(5), "doc_id", rate)

@@ -39,4 +39,30 @@ class FunctionsSpec extends SparkSpec {
       SparkSession.setDefaultSession(orig)
     }
   }
+
+
+  test("CountMinAgg: estimates never undercount and are partition-independent") {
+    import graft.functions.CountMinAgg
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val words = Seq.tabulate(500)(i => s"w${i % 37}").toDF("token")
+    val cm = udaf(CountMinAgg)
+    def run(df: org.apache.spark.sql.DataFrame) = {
+      val sketch = df.agg(cm(CountMinAgg.lift(col("token"))).as("sketch"))
+      df.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(sketch))
+        .withColumn("est", CountMinAgg.estimate(col("sketch"), col("token")))
+        .select(col("token"), col("cnt"), col("est"))
+        .as[(String, Long, Long)].collect().sortBy(_._1)
+    }
+    val r1 = run(words)
+    val r2 = run(words.repartition(7))
+    assert(r1.toSeq == r2.toSeq, "sketch must be deterministic under partitioning")
+    r1.foreach { case (t, cnt, est) =>
+      assert(est >= cnt, s"count-min undercounted $t: est $est < exact $cnt")
+      // 37 distinct words in 4096 buckets: collisions are essentially
+      // impossible, so the estimate should be exact here
+      assert(est == cnt, s"unexpected collision on $t")
+    }
+  }
 }
