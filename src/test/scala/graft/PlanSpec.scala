@@ -78,4 +78,44 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).length <= 1,
       "percentile aggregate should shuffle once on the group key")
   }
+
+  test("q48: shard packing never single-partitions the corpus") {
+    val p = graft.queries.PipelineQueries.q48.fn(spark, sf001)
+      .queryExecution.executedPlan.toString
+    // the corpus-side window must be partitioned by the chunk bucket;
+    // the only SinglePartition sort is the tiny per-bucket offsets
+    // relation (bounded by corpus/chunk, i.e. metadata)
+    val corpusWindows = p.linesIterator.filter(_.contains("Window"))
+      .filter(_.contains("doc_id")).toSeq
+    assert(corpusWindows.forall(_.contains("_bkt")),
+      s"corpus window must partition by _bkt:\n${corpusWindows.mkString("\n")}")
+  }
+
+  test("q17e: SCD2 lead and row_number windows share one sort") {
+    val p = graft.queries.CdcQueries.q17e.fn(spark, sf001)
+      .queryExecution.executedPlan.toString
+    // dedupe aggregate shuffles on (key, ts); windows shuffle on key;
+    // the filter between lead and row_number preserves ordering so the
+    // second window must NOT re-sort
+    assert("Exchange".r.findAllIn(p).length <= 2,
+      "SCD2 should shuffle twice (dedupe + windows), not per window")
+    assert("\\(\\d+\\) Sort".r.findAllIn(p).isEmpty ||
+      "Sort ".r.findAllIn(p).length <= 2, p)
+  }
+
+  test("q52: resample windows are partitioned by key, spine join is keyed") {
+    val p = graft.queries.BatchQueries.q52.fn(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.forall(_.contains("user_id")),
+      s"LOCF window must partition by user:\n${windows.mkString("\n")}")
+  }
+
+  test("q54: count-min sketch aggregates with map-side partial merge") {
+    val p = graft.queries.PipelineQueries.q54.fn(spark, sf001)
+      .queryExecution.executedPlan.toString
+    // typed Aggregator under ObjectHashAggregate, partial + final pair
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2, p)
+  }
 }
