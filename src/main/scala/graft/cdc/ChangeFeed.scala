@@ -130,8 +130,11 @@ object ChangeFeed {
   def stagedJsonl(spark: SparkSession, dir: String): String = {
     val fp = graft.sources.Staging.fingerprint(
       Seq(s"$dir/orders.parquet", s"$dir/customer.parquet"))
+    // v2 = 32-even-file layout: the fingerprint tracks source CONTENT
+    // only, so a layout change must bump the version or machines with a
+    // pre-existing staged feed keep the old skewed layout forever
     val stagedDir = sys.props("java.io.tmpdir") +
-      s"/graft_cdcjsonl_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_$fp"
+      s"/graft_cdcjsonl_v2_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_$fp"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$stagedDir/_SUCCESS"))) {
       // round-robin into evenly sized files: the union's natural output is
       // a few skewed parts (one per source branch), which caps the
@@ -147,8 +150,10 @@ object ChangeFeed {
     // invalidates the staged feed instead of silently reusing stale data
     val fp = graft.sources.Staging.fingerprint(
       Seq(s"$dir/orders.parquet", s"$dir/customer.parquet"))
+    // v2: see stagedJsonl — layout version keys the cache alongside the
+    // content fingerprint
     val stagedDir = sys.props("java.io.tmpdir") +
-      s"/graft_cdcfeed_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_$fp"
+      s"/graft_cdcfeed_v2_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_$fp"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$stagedDir/_SUCCESS"))) {
       // see stagedJsonl: even files keep the downstream JSON parse — the
       // CPU-bound stage of every CDC query — at full scan parallelism

@@ -113,9 +113,18 @@ object CorpusOps {
     * expressible in plain integer SQL so an external system can compute
     * the identical split. Boundaries: [0,.8) train, [.8,.9) val,
     * [.9,1) test of the 2^32 hash space.
+    *
+    * The id is reduced mod 2^30 BEFORE the multiply: a raw id × 2^31.3
+    * multiplier overflows signed 64-bit for ids above ~3.5e9 (reachable
+    * in a 100 TB corpus) — an ANSI-mode runtime error in Spark 4 and
+    * DuckDB, a silent wrap otherwise. (2^30−1)·2654435761 < 2^62 keeps
+    * every intermediate in range in ANY engine evaluating the same SQL.
     */
+  private def knuthHash(id: Column, multiplier: Long): Column =
+    pmod(pmod(id, lit(1073741824L)) * lit(multiplier), lit(4294967296L))
+
   def hashSplit(df: DataFrame, idCol: String): DataFrame = {
-    val h = pmod(col(idCol) * lit(2654435761L), lit(4294967296L))
+    val h = knuthHash(col(idCol), 2654435761L)
     df.withColumn("split",
       when(h < lit(3435973837L), "train")
         .when(h < lit(3865470566L), "val")
@@ -144,7 +153,7 @@ object CorpusOps {
     * silently sample only from fixed split regions.
     */
   def stratifiedSample(df: DataFrame, idCol: String, rate: Column): DataFrame = {
-    val h = pmod(col(idCol) * lit(2246822519L), lit(4294967296L))
+    val h = knuthHash(col(idCol), 2246822519L)
     df.filter(h < rate * lit(4294967296L))
   }
 
@@ -195,9 +204,11 @@ object CorpusOps {
     * row_number() DIV blocksize).
     */
   def invertedIndex(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // no pre-distinct: collect_set deduplicates (map-side too, in the
+    // ObjectHashAggregate partial), so a distinct() here would shuffle
+    // the exploded corpus — the largest intermediate — a second time
     docs.select(col(idCol).as("doc_id"),
         explode(split(col(textCol), " ")).as("token"))
-      .distinct()
       .groupBy(col("token"))
       .agg(sort_array(collect_set(col("doc_id"))).as("_p"))
       .select(col("token"), array_join(col("_p"), ",").as("postings"),

@@ -31,7 +31,7 @@ object Resample {
     val buckets = events
       .groupBy(col(keyCol), date_trunc(grain, col(tsCol)).as("h"))
       .agg(count(lit(1)).as("cnt"),
-        (FixedPoint.sumFixed(col(valueCol), 100) / 100.0).as("val"))
+        FixedPoint.moneySum(col(valueCol)).as("val"))
     val span = buckets.groupBy(col(keyCol))
       .agg(min(col("h")).as("mn"), max(col("h")).as("mx"))
     val spine = span.select(col(keyCol),

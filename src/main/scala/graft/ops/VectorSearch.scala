@@ -193,13 +193,18 @@ object VectorSearch {
     * `pmod(xxhash64(vec_id), sampleMod) = 0` — the 100 TB practice (a
     * coarse quantizer needs thousands of points per cell, not the full
     * corpus; faiss trains exactly this way) — while assignment still
-    * covers every row. A cell that loses all members keeps its previous
-    * centroid.
+    * covers every row; `sampleMod = 0` picks the largest stride that
+    * still leaves ~64 training points per cell (too aggressive a stride
+    * starves the cells and recall collapses). A cell that loses all
+    * members keeps its previous centroid.
     */
   def trainCentroids(corpus: DataFrame, nCells: Int, iters: Int,
       sampleMod: Int = 1): Array[Array[Float]] = {
+    val mod =
+      if (sampleMod == 0) math.max(1L, corpus.count() / (64L * nCells)).toInt
+      else sampleMod
     val train =
-      if (sampleMod > 1) corpus.where(pmod(xxhash64(col("vec_id")), lit(sampleMod)) === 0)
+      if (mod > 1) corpus.where(pmod(xxhash64(col("vec_id")), lit(mod)) === 0)
       else corpus
     var cents = initCentroids(train, nCells)
     var it = 0
@@ -237,20 +242,14 @@ object VectorSearch {
       nCells: Int = 16, nProbe: Int = 4, trainIters: Int = 3,
       trainSampleMod: Int = 0,
       centroids: Option[Array[Array[Float]]] = None): DataFrame = {
-    // sampleMod = 0 → auto: the largest hash-sample stride that still
-    // leaves ~64 training points per cell (a coarse quantizer needs a
-    // bounded sample, not the corpus; too aggressive a stride starves
-    // the cells and recall collapses). `centroids` short-circuits
-    // training entirely: the quantizer is an INDEX artifact — built
-    // once, queried many times — so callers issuing repeated queries
-    // train once via [[trainCentroids]] and pass the result here.
+    // `centroids` short-circuits training entirely: the quantizer is an
+    // INDEX artifact — built once, queried many times — so callers
+    // issuing repeated queries train once via [[trainCentroids]] and
+    // pass the result here. trainSampleMod defaults to 0 = auto stride
+    // (see trainCentroids).
     val cents = centroids.getOrElse {
-      if (trainIters > 0) {
-        val mod =
-          if (trainSampleMod > 0) trainSampleMod
-          else math.max(1L, corpus.count() / (64L * nCells)).toInt
-        trainCentroids(corpus, nCells, trainIters, mod)
-      } else initCentroids(corpus, nCells)
+      if (trainIters > 0) trainCentroids(corpus, nCells, trainIters, trainSampleMod)
+      else initCentroids(corpus, nCells)
     }
     val c = corpus.select(col("vec_id").as("n_vec_id"), col("embedding").as("n_emb"),
       norm(col("embedding")).as("n_norm"),

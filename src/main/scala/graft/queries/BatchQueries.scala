@@ -401,8 +401,8 @@ object BatchQueries {
   }
 
   /** Q46: approx-percentile sketch, band-checked like q13: each engine
-    * runs its OWN sketch (Spark GK at accuracy 10000, DuckDB t-digest)
-    * and asserts it lands within 2% of the exact interpolated quantile;
+    * runs its OWN sketch (Spark GK at accuracy 1000, DuckDB t-digest)
+    * and asserts it lands within 5% of the exact interpolated quantile;
     * the hash-stable output is the band flags plus the exact values
     * (which match bitwise per the q38 argument). The sketch is one
     * mergeable buffer per partition — the distributed shape that
@@ -465,10 +465,13 @@ object BatchQueries {
       first_value(col("o_orderkey")).over(w).as("first_k"))
   }
 
-  /** Q50: pivot aggregation — long-to-wide by l_linestatus. Spark's
-    * `pivot` compiles to exactly the CASE-filtered aggregates the oracle
-    * states (one pass, map-side partials intact); values are enumerated
-    * so no discovery pass runs.
+  /** Q50: pivot aggregation — long-to-wide by l_linestatus, values
+    * enumerated so no discovery pass runs. One cross-engine edge needs
+    * explicit handling: for a (returnflag, linestatus) cell with NO
+    * rows, Spark's PivotFirst rewrite yields NULL for the count where
+    * SQL's count(CASE WHEN ...) yields 0 — coalesce the count columns
+    * so empty cells agree (sum is NULL over no rows in both engines,
+    * so the revenue columns already agree).
     */
   val q50 = QueryDef.sql(
     "q50_pivot",
@@ -488,6 +491,9 @@ object BatchQueries {
       .pivot("l_linestatus", Seq("F", "O"))
       .agg(count(lit(1)).as("cnt"),
         (FixedPoint.sumFixed(disc, 1000000) / 1e6).as("rev"))
+      .select(col("l_returnflag"),
+        coalesce(col("F_cnt"), lit(0L)).as("F_cnt"), col("F_rev"),
+        coalesce(col("O_cnt"), lit(0L)).as("O_cnt"), col("O_rev"))
   }
 
   /** Q51: batch sessionization (gaps-and-islands) — the batch

@@ -119,10 +119,8 @@ object MandateQueries {
 
   val q29 = QueryDef.rowsOnly("q29_ann_ivf") { (spark, dir) =>
     val emb = Tables.embeddings(spark, dir)
-    val cents = ivfCentroids.computeIfAbsent(dir, _ => {
-      val mod = math.max(1L, emb.count() / (64L * 16)).toInt
-      VectorSearch.trainCentroids(emb, 16, 3, mod)
-    })
+    val cents = ivfCentroids.computeIfAbsent(dir, _ =>
+      VectorSearch.trainCentroids(emb, 16, 3, sampleMod = 0))
     VectorSearch.knnIvf(emb.filter(col("vec_id") < 10), emb, 5,
       centroids = Some(cents))
   }

@@ -92,8 +92,8 @@ object PipelineQueries {
   val q44 = QueryDef.sql(
     "q44_hash_split",
     """SELECT doc_id, lang, source,
-      |       CASE WHEN (doc_id * 2654435761) % 4294967296 < 3435973837 THEN 'train'
-      |            WHEN (doc_id * 2654435761) % 4294967296 < 3865470566 THEN 'val'
+      |       CASE WHEN ((doc_id % 1073741824) * 2654435761) % 4294967296 < 3435973837 THEN 'train'
+      |            WHEN ((doc_id % 1073741824) * 2654435761) % 4294967296 < 3865470566 THEN 'val'
       |            ELSE 'test' END AS split
       |FROM documents""".stripMargin) { (spark, dir) =>
     CorpusOps.hashSplit(Tables.documents(spark, dir), "doc_id")
@@ -124,7 +124,7 @@ object PipelineQueries {
     "q47_stratified_sample",
     """SELECT doc_id, lang
       |FROM documents
-      |WHERE (doc_id * 2246822519) % 4294967296 <
+      |WHERE ((doc_id % 1073741824) * 2246822519) % 4294967296 <
       |      CASE WHEN lang = 'en' THEN 3221225472 ELSE 2147483648 END""".stripMargin) { (spark, dir) =>
     CorpusOps.stratifiedSample(Tables.documents(spark, dir), "doc_id",
       when(col("lang") === "en", lit(0.75)).otherwise(lit(0.5)))
@@ -182,11 +182,12 @@ object PipelineQueries {
     val toks = Tables.documents(spark, dir)
       .select(explode(split(col("text"), " ")).as("token"))
     val cm = udaf(CountMinAgg)
-    val sketch = toks.agg(cm(CountMinAgg.lift(col("token"))).as("sketch"))
-    val total = toks.agg(count(lit(1)).as("n"))
+    // sketch and total count share one scan+explode pass (single-row agg)
+    val sketch = toks.agg(cm(CountMinAgg.lift(col("token"))).as("sketch"),
+      count(lit(1)).as("n"))
     val top = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("token")).limit(20)
-    top.crossJoin(broadcast(sketch)).crossJoin(broadcast(total))
+    top.crossJoin(broadcast(sketch))
       .withColumn("est", CountMinAgg.estimate(col("sketch"), col("token")))
       .select(col("token"), col("cnt"),
         (col("est") >= col("cnt")).as("never_under"),
