@@ -138,4 +138,25 @@ class CdcSpec extends SparkSpec {
     assert(history(events) == expected)
     assert(history(scala.util.Random.shuffle(events)) == expected)
   }
+
+
+  test("SCD2: delete-then-reinsert reopens history as a later version") {
+    def ev(op: String, id: Long, v: String, ts: Long, off: Long) = {
+      val after = if (op == "d") "null" else s"""{"id":$id,"v":"$v"}"""
+      (s"""{"payload":{"before":{"id":$id,"v":"x"},"after":$after,""" +
+        s""""source":{"db":"d","table":"t","ts_ms":$ts},"op":"$op","ts_ms":$ts}}""", off)
+    }
+    val events = Seq(
+      ev("c", 1, "a", 1, 1), ev("d", 1, "-", 5, 2), ev("c", 1, "b", 9, 3))
+    val parsed = EventFilters.all(
+      Envelope.parseTyped(feed(events: _*), rowSchema))
+    val key = coalesce(col("after.id"), col("before.id"))
+    val got = Materialize.scd2Typed(parsed, key)
+      .select(col("version"), col("valid_from_ms"), col("valid_to_ms"),
+        col("after.v"), col("is_current"))
+      .as[(Int, Long, Option[Long], String, Boolean)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1, 1L, Some(5L), "a", false),   // closed by the delete
+      (2, 9L, None, "b", true)))       // reinsert reopens as v2
+  }
 }

@@ -162,4 +162,38 @@ class PropertySpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSeq
     assert(pairs == Seq((1L, 2L, 1.0)))
   }
+
+
+  test("FixedPoint sums are bitwise identical under any partitioning") {
+    import graft.ops.FixedPoint
+    val rnd = new scala.util.Random(11)
+    val vals = Seq.fill(5000)(math.round(rnd.nextDouble() * 1e7) / 100.0)
+    val df = vals.toDF("v")
+    def total(d: org.apache.spark.sql.DataFrame) =
+      d.agg(FixedPoint.moneySum(col("v")).as("s")).as[Double].head()
+    val t1 = total(df.repartition(1))
+    val t32 = total(df.repartition(32))
+    assert(t1 == t32, s"fixed-point sum must not depend on partitioning: $t1 vs $t32")
+    // and it equals the decimal-exact reference
+    val ref = df.agg(sum(col("v").cast("decimal(28,2)")).cast("double")).as[Double].head()
+    assert(t1 == ref)
+  }
+
+  test("packShards: every shard except via a single oversized doc stays within budget") {
+    import graft.ops.CorpusOps
+    val rnd = new scala.util.Random(13)
+    val docs = Seq.tabulate(500)(i => (i.toLong, rnd.nextInt(120) + 1))
+      .toDF("doc_id", "w")
+    val budget = 300L
+    val shards = CorpusOps.packShards(docs, "doc_id", col("w"), budget, chunk = 37)
+      .groupBy("shard_id").agg(sum("n_tokens").as("tot"), max("n_tokens").as("mx"))
+      .as[(Long, Long, Long)].collect()
+    shards.foreach { case (sid, tot, mx) =>
+      assert(tot <= budget + mx,
+        s"shard $sid holds $tot > budget $budget + largest doc $mx")
+    }
+    // shard ids are dense 0..n
+    val ids = shards.map(_._1).sorted
+    assert(ids.toSeq == (0L until ids.length).toSeq)
+  }
 }
