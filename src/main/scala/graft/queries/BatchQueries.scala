@@ -547,7 +547,26 @@ object BatchQueries {
       "user_id", "ts", "value", "hour", "interval 1 hour")
   }
 
+  /** Q55: Z-order (Morton) value — the interleave arithmetic behind the
+    * multi-dimensional layout (ops.ZOrder; pruning itself is
+    * plan-asserted in ZOrderSpec since DuckDB has no partition scans).
+    * Both engines compute the identical integer expression.
+    */
+  val q55 = QueryDef.sql(
+    "q55_zorder_value", {
+      val terms = (0 until 8).map { i =>
+        s"((user_id % 256) // ${1 << i}) % 2 * ${1L << (2 * i)} + " +
+          s"((event_id % 256) // ${1 << i}) % 2 * ${1L << (2 * i + 1)}"
+      }.mkString(" + ")
+      s"SELECT event_id, CAST($terms AS BIGINT) AS z FROM events"
+    }) { (spark, dir) =>
+    Tables.events(spark, dir).select(col("event_id"),
+      graft.ops.ZOrder.zValue(
+        pmod(col("user_id"), lit(256)).cast("int"),
+        pmod(col("event_id"), lit(256)).cast("int"), 8).as("z"))
+  }
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q05b, q06, q07,
     q08, q09, q10, q11, q12, q12b, q13, q14, q15, q16, q38, q40, q46,
-    q50, q51, q52)
+    q50, q51, q52, q55)
 }
