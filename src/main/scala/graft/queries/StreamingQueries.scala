@@ -143,5 +143,31 @@ object StreamingQueries {
         (unix_micros(col("e_ts")) - unix_micros(col("p_ts"))).as("gap_us"))
   }
 
-  val all: Seq[QueryDef] = Seq(q23, q24a, q24b, q25, q39)
+  /** Q56: stream-STATIC join — the enrichment pattern (a stream joined
+    * to a broadcast dimension rebuilt per micro-batch, no join state at
+    * all, unlike q39's watermarked stream-stream state). The dimension
+    * here is per-user segments derived from customer; events enrich
+    * against it and aggregate per segment under the stream's watermark.
+    */
+  val q56 = QueryDef.sql(
+    "q56_stream_static_join",
+    """SELECT concat('seg', CAST(c_custkey % 7 AS VARCHAR)) AS segment,
+      |       count(*) AS cnt,
+      |       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY 1""".stripMargin) { (spark, dir) =>
+    val dim = graft.Tables.customer(spark, dir)
+      .select(col("c_custkey").as("user_id"),
+        concat(lit("seg"), (col("c_custkey") % 7).cast("string")).as("segment"))
+    val agg = Replay.eventsStream(spark, dir)
+      .withWatermark("ts", "10 minutes")
+      .join(broadcast(dim), Seq("user_id"))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("cnt"),
+        (graft.ops.FixedPoint.sumFixed(col("value"), 100) / 100.0).as("sum_value"))
+    Replay.runToResult(spark, agg)
+      .select(col("segment"), col("cnt"), col("sum_value"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q23, q24a, q24b, q25, q39, q56)
 }
