@@ -159,4 +159,15 @@ class CorpusSpec extends SparkSpec {
     assert(got.map(r => (r._3, r._4)).toSeq ===
       Seq((2L, 12.5), (0L, 12.5), (0L, 12.5), (1L, 4.0)))
   }
+
+
+  test("hashSplit and stratifiedSample survive ids beyond 2^32 (no overflow)") {
+    val big = Seq(0L, 1L, 4294967296L, 1L << 40, Long.MaxValue - 1).toDF("doc_id")
+    val splits = CorpusOps.hashSplit(big, "doc_id")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(splits.size === 5)
+    assert(splits.values.forall(Set("train", "val", "test")))
+    val sampled = CorpusOps.stratifiedSample(big, "doc_id", lit(1.0))
+    assert(sampled.count() === 5, "rate 1.0 must keep everything at any id")
+  }
 }
