@@ -195,5 +195,24 @@ object PipelineQueries {
           ceil(lit(math.E / CountMinAgg.W) * col("n")).cast("long")).as("within_eps"))
   }
 
-  val all: Seq[QueryDef] = Seq(q41, q42, q43, q44, q45, q47, q48, q49, q54)
+  /** Q57: TextRank keywords — PageRank over the symmetrized
+    * adjacent-token co-occurrence graph, top-20 by rank. Iterative
+    * aggregation is not expressible in the oracle's SQL dialect →
+    * rows-only here; PageRankSpec pins the update rule against an
+    * in-memory power-iteration reference and the determinism of the
+    * fixed-point sums. Ranking uses the q42 integer-key pattern so the
+    * top-20 cutoff is engine- and run-stable.
+    */
+  val q57 = QueryDef.rowsOnly("q57_textrank") { (spark, dir) =>
+    val ranked = PageRank.textRank(Tables.documents(spark, dir), "text")
+      .withColumn("rkey", round(col("rank") * 1e12).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rkey").desc, col("node"))
+    ranked.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 20)
+      .select(col("node").as("token"), col("rank"), col("rn"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q41, q42, q43, q44, q45, q47, q48, q49,
+    q54, q57)
 }

@@ -1,0 +1,58 @@
+package graft
+
+import graft.ops.PageRank
+import org.apache.spark.sql.functions._
+
+class PageRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  // in-memory power-iteration reference with the same update rule
+  private def reference(edges: Seq[(String, String)], iters: Int,
+      d: Double = 0.85): Map[String, Double] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val out = edges.groupBy(_._1).view.mapValues(_.size).toMap
+    val n = nodes.size.toDouble
+    var rank = nodes.map(_ -> 1.0 / n).toMap
+    (0 until iters).foreach { _ =>
+      val in = edges.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => rank(s) / out(s) }.sum).toMap
+      rank = nodes.map(v => v -> ((1 - d) / n + d * in.getOrElse(v, 0.0))).toMap
+    }
+    rank
+  }
+
+  private val diamond = Seq( // a -> {b,c} -> d -> a: every node has out-edges
+    ("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("d", "a"))
+
+  test("ranks match an in-memory power-iteration reference") {
+    val got = PageRank.ranks(diamond.toDF("src", "dst"), iters = 12)
+      .as[(String, Double)].collect().toMap
+    val want = reference(diamond, 12)
+    assert(got.keySet === want.keySet)
+    got.foreach { case (v, r) =>
+      assert(math.abs(r - want(v)) < 1e-9, s"node $v: $r vs ${want(v)}")
+    }
+    // d collects from two paths: highest rank; sum ≈ 1 (dangling-free)
+    assert(got("d") === got.values.max)
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+  }
+
+  test("ranks are bitwise identical under repartitioning (fixed-point sums)") {
+    val e = diamond.toDF("src", "dst")
+    val r1 = PageRank.ranks(e.repartition(1), 8).as[(String, Double)].collect().toMap
+    val r7 = PageRank.ranks(e.repartition(7), 8).as[(String, Double)].collect().toMap
+    assert(r1 === r7)
+  }
+
+  test("textRank favors hub tokens on a synthetic corpus") {
+    val docs = Seq(
+      (1L, "hub a hub b hub c"),
+      (2L, "hub d hub e"),
+      (3L, "f g")).toDF("doc_id", "text")
+    val ranked = PageRank.textRank(docs, "text", iters = 10)
+      .as[(String, Double)].collect().toMap
+    // 'hub' co-occurs with everything on docs 1-2: strictly top rank
+    assert(ranked("hub") === ranked.values.max)
+    assert(ranked.size === 8) // hub + a..g
+  }
+}
