@@ -25,6 +25,20 @@ object Shingles {
       .distinct()
   }
 
+  /** Distinct (id, shingle) pairs of n consecutive CHARACTERS — the
+    * tokenizer-free variant (robust to languages without whitespace
+    * segmentation; zh documents here motivate it). Same downstream
+    * machinery (jaccardPairs / MinHash) applies unchanged.
+    */
+  def charShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    df.select(col(idCol).as("id"), col(textCol).as("txt"))
+      .filter(length(col("txt")) >= n)
+      .select(col("id"), explode(expr(
+        s"transform(sequence(1, length(txt) - ${n - 1}), i -> substring(txt, i, $n))"))
+        .as("s"))
+      .distinct()
+  }
+
   /** All pairs (id_a < id_b) with Jaccard(shingle sets) >= threshold.
     * Output: doc_id_a, doc_id_b, jac.
     */

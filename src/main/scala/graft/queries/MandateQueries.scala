@@ -62,6 +62,39 @@ object MandateQueries {
       Shingles.tokenShingles(Tables.documents(spark, dir), "doc_id", "text", 3), 0.6)
   }
 
+  /** Q58: CHARACTER-5-gram Jaccard — the tokenizer-free n-gram variant
+    * (whitespace-free languages; the zh slice motivates it). Exact form
+    * scoped to the doc_id%50 slice: char grams over a shared small
+    * vocabulary are near-universal, so the unrestricted self-join
+    * fans out to ~1.5e9 intermediate pairs at sf0.1 (measured) — at
+    * corpus scale char-gram near-dup runs the SAME MinHash banding as
+    * q26 (charShingles emits the identical (id, s) schema, so
+    * MinHashLsh composes unchanged); the slice keeps the exact
+    * formulation oracle-checkable.
+    */
+  val q58 = QueryDef.sql(
+    "q58_chargram_jaccard",
+    """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         unnest(list_transform(range(1, len(text) - 3),
+      |                i -> substr(text, i, 5))) AS s
+      |       FROM d WHERE len(text) >= 5),
+      |card AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |pairs AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS c
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT doc_id_a, doc_id_b,
+      |       CAST(c AS DOUBLE) / (ca.n + cb.n - c) AS jac
+      |FROM pairs
+      |JOIN card ca ON doc_id_a = ca.doc_id
+      |JOIN card cb ON doc_id_b = cb.doc_id
+      |WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.25""".stripMargin) { (spark, dir) =>
+    Shingles.jaccardPairs(
+      Shingles.charShingles(
+        Tables.documents(spark, dir).filter(col("doc_id") % 50 === 0),
+        "doc_id", "text", 5), 0.25)
+  }
+
   /** Q26: MinHash-LSH near-dup — the 100 TB path. Same oracle as Q19:
     * with b=16/r=4 bands the miss probability at Jaccard 0.9 is ~4e-8,
     * so banding + exact-verify must reproduce the exact result.
@@ -237,5 +270,5 @@ object MandateQueries {
   }
 
   val all: Seq[QueryDef] = Seq(q18, q18b, q19, q20, q21, q22, q26, q27,
-    q28, q29, q30, q31, q32, q33, q34)
+    q28, q29, q30, q31, q32, q33, q34, q58)
 }
