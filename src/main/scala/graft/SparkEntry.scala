@@ -11,7 +11,7 @@ import graft.queries.{BatchQueries, CdcQueries, JoinQueries, MandateQueries, Pip
   */
 object SparkEntry {
 
-  private def registry: Seq[QueryDef] =
+  private[graft] def registry: Seq[QueryDef] =
     BatchQueries.all ++ CdcQueries.all ++ MandateQueries.all ++
       StreamingQueries.all ++ JoinQueries.all ++ PipelineQueries.all
 

@@ -202,15 +202,19 @@ object PipelineQueries {
     * in-memory power-iteration reference and the determinism of the
     * fixed-point sums. Ranking uses the q42 integer-key pattern so the
     * top-20 cutoff is engine- and run-stable.
+    *
+    * The cutoff is `orderBy(...).limit(20)` — Spark plans it as
+    * TakeOrderedAndProject (per-partition top-20, merged on the driver),
+    * NOT a global row_number window, which would funnel the entire token
+    * vocabulary (10^8+ rows at corpus scale) through one task. PlanSpec
+    * asserts no registered query plans an unpartitioned window.
     */
   val q57 = QueryDef.rowsOnly("q57_textrank") { (spark, dir) =>
-    val ranked = PageRank.textRank(Tables.documents(spark, dir), "text")
+    PageRank.textRank(Tables.documents(spark, dir), "text")
       .withColumn("rkey", round(col("rank") * 1e12).cast("long"))
-    val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("rkey").desc, col("node"))
-    ranked.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 20)
-      .select(col("node").as("token"), col("rank"), col("rn"))
+      .limit(20)
+      .select(col("node").as("token"), col("rank"))
   }
 
   val all: Seq[QueryDef] = Seq(q41, q42, q43, q44, q45, q47, q48, q49,

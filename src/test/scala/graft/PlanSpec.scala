@@ -112,6 +112,35 @@ class PlanSpec extends SparkSpec {
       s"LOCF window must partition by user:\n${windows.mkString("\n")}")
   }
 
+  test("no registered query plans an unpartitioned window over data") {
+    import org.apache.spark.sql.catalyst.plans.logical.Window
+    import graft.queries.{CdcQueries, StreamingQueries}
+    // A Window with no partitionSpec funnels its whole input through one
+    // task — a 10^8-row vocabulary becomes a single-task sort at corpus
+    // scale (the q57 class of bug). Assert none survives to the optimized
+    // plan of any registered query.
+    //
+    // Skipped: streaming queries execute inside fn and return a sink
+    // read, so the returned batch plan carries none of the streaming
+    // computation — their shapes are pinned in StreamingSpec instead.
+    // Exempt: q48's per-bucket offsets window runs over the bucket
+    // relation (corpus/chunk rows — bounded metadata, documented at
+    // CorpusOps.packShards and shape-checked in the q48 test above).
+    val streaming = (StreamingQueries.all :+ CdcQueries.q17f).map(_.name).toSet
+    val exempt = Set("q48_shard_pack")
+    for (q <- SparkEntry.registry if !streaming(q.name) && !exempt(q.name)) {
+      val df = q.fn(spark, sf001)
+      val bad = df.queryExecution.optimizedPlan.collect {
+        case w: Window if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty, s"${q.name}: global unpartitioned window over data")
+      // q57's top-k cutoff must be the per-partition form
+      if (q.name == "q57_textrank")
+        assert(df.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
+          "q57 top-k must plan as TakeOrderedAndProject")
+    }
+  }
+
   test("q54: count-min sketch aggregates with map-side partial merge") {
     val p = graft.queries.PipelineQueries.q54.fn(spark, sf001)
       .queryExecution.executedPlan.toString
