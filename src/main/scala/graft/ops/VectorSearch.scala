@@ -114,6 +114,18 @@ object VectorSearch {
     */
   def nearDupPairsBanded(corpus: DataFrame, threshold: Double,
       dim: Int = 64, bandPlanes: Int = 4, missProb: Double = 1e-6,
+      seed: Long = 7L): DataFrame =
+    verifyPairs(
+      bandedCandidatePairs(corpus, threshold, dim, bandPlanes, missProb, seed),
+      corpus, threshold)
+
+  /** Candidate (vec_id_a < vec_id_b) pairs sharing at least one LSH band
+    * at the derived band count — the un-verified half of
+    * [[nearDupPairsBanded]], exposed so callers can measure / bound the
+    * candidate volume (q28b's cand_frac_ok guarantee).
+    */
+  def bandedCandidatePairs(corpus: DataFrame, threshold: Double,
+      dim: Int = 64, bandPlanes: Int = 4, missProb: Double = 1e-6,
       seed: Long = 7L): DataFrame = {
     val p = 1.0 - math.acos(threshold) / math.Pi
     val pr = math.pow(p, bandPlanes)
@@ -131,11 +143,16 @@ object VectorSearch {
         graft.functions.VecFunctions.signBandsF(
           col("embedding"), pm, bands, bandPlanes, dim).as("sig"))
       .select(col("vec_id"), posexplode(col("sig")).as(Seq("band", "bucket")))
-    val cand = banded.as("l").join(banded.as("r"),
+    banded.as("l").join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket")
           && col("l.vec_id") < col("r.vec_id"))
       .select(col("l.vec_id").as("vec_id_a"), col("r.vec_id").as("vec_id_b"))
       .distinct()
+  }
+
+  /** Exact-cosine verification of candidate id pairs against the corpus. */
+  def verifyPairs(cand: DataFrame, corpus: DataFrame,
+      threshold: Double): DataFrame = {
     val a = corpus.select(col("vec_id").as("vec_id_a"), col("embedding").as("ea"),
       norm(col("embedding")).as("na"))
     val b = corpus.select(col("vec_id").as("vec_id_b"), col("embedding").as("eb"),

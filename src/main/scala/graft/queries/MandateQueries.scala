@@ -103,11 +103,32 @@ object MandateQueries {
     MinHashLsh.nearDupPairs(Tables.documents(spark, dir), "doc_id", "text", 3, 0.6)
   }
 
-  /** Q27: SimHash near-dup (murmur-based signature — not expressible in
-    * the oracle; correctness pinned by ScalaTest against Q19's pairs).
+  /** Q27: SimHash near-dup, promoted into the hash gate via the
+    * guarantee-band pattern (q13/q46/q54): the xxhash64-based signature
+    * itself is not oracle-expressible, so the query emits what the
+    * oracle CAN state — the exact-Jaccard pairs (q19's formulation) —
+    * plus `coverage_ok`, the engine-checked guarantee that the SimHash
+    * candidate set (Hamming ≤ 7) recovers ≥ 80% of those exact pairs
+    * (the threshold SimilaritySpec pins). DuckDB states the exact pairs
+    * and TRUE; the hashes agree only if the containment guarantee holds
+    * in-engine, so the driver — not a self-check — certifies the
+    * SimHash path.
     */
-  val q27 = QueryDef.rowsOnly("q27_simhash") { (spark, dir) =>
-    SimHash.nearDupPairs(Tables.documents(spark, dir), "doc_id", "text", maxHamming = 7)
+  val q27 = QueryDef.sql(
+    "q27_simhash",
+    s"""SELECT *, TRUE AS coverage_ok FROM ($jaccardOracle)""") { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val exact = Shingles.jaccardPairs(
+      Shingles.tokenShingles(docs, "doc_id", "text", 3), 0.6)
+    val sim = SimHash.nearDupPairs(docs, "doc_id", "text", maxHamming = 7)
+      .select(col("doc_id_a"), col("doc_id_b"))
+    val found = exact.join(sim, Seq("doc_id_a", "doc_id_b"), "left_semi")
+      .agg(count(lit(1)).as("_nf"))
+    val tot = exact.agg(count(lit(1)).as("_nt"))
+    val ok = found.crossJoin(tot) // 1 row × 1 row
+      .select((col("_nf").cast("double") >= lit(0.8) * col("_nt")).as("coverage_ok"))
+    exact.crossJoin(broadcast(ok))
+      .select(col("doc_id_a"), col("doc_id_b"), col("jac"), col("coverage_ok"))
   }
 
   /** Q20: exact top-5 cosine neighbors for query vectors vec_id < 10. */
@@ -142,20 +163,88 @@ object MandateQueries {
     VectorSearch.nearDupPairsBanded(Tables.embeddings(spark, dir), 0.4)
   }
 
-  /** Q29: ANN via IVF coarse quantization + nprobe (recall < 1 by
-    * construction → no SQL oracle; ScalaTest checks recall vs Q20).
-    * The Lloyd-trained quantizer is memoized per corpus dir: it is an
-    * index artifact — train once, serve every query against it.
+  /** Q28b: the realistic-threshold companion of q28. q28's t=0.4 slices
+    * the extreme tail of an isotropic similarity distribution, where LSH
+    * candidate volume approaches all-pairs by nature (documented at
+    * VectorSearch.nearDupPairsBanded); REAL near-dup thresholds sit at
+    * t ≥ 0.8 where banding prunes hard. This query runs the same banded
+    * path at t=0.95 with 16-plane bands (69 bands derived) and emits
+    * the guarantee-band pair: `n_pairs`, the exact pair count the
+    * oracle can state (0 on this isotropic data — every SF verified),
+    * and `cand_frac_ok`, the engine-checked guarantee that the
+    * candidate volume stayed under 1% of all n·(n−1)/2 pairs —
+    * the collapse the t=0.4 operating point cannot show (measured
+    * ~0.2% here vs ~99% of pairs colliding at q28's setting).
+    */
+  val q28b = QueryDef.sql(
+    "q28b_embed_neardup_t95",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+      |SELECT count(*) AS n_pairs, TRUE AS cand_frac_ok
+      |FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |WHERE list_dot_product(a.emb, b.emb) /
+      |      (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) >= 0.95""".stripMargin) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    val cand = VectorSearch.bandedCandidatePairs(emb, 0.95, bandPlanes = 16)
+    val pairs = VectorSearch.verifyPairs(cand, emb, 0.95)
+    val nPairs = pairs.agg(count(lit(1)).as("n_pairs"))
+    val nCand = cand.agg(count(lit(1)).as("_nc"))
+    val nTot = emb.agg((count(lit(1)) * (count(lit(1)) - 1) / 2).as("_np"))
+    nPairs.crossJoin(nCand).crossJoin(nTot) // three 1-row frames
+      .select(col("n_pairs"),
+        (col("_nc").cast("double") <= lit(0.01) * col("_np")).as("cand_frac_ok"))
+  }
+
+  /** Q29: ANN via IVF coarse quantization + nprobe, promoted into the
+    * hash gate via the guarantee-band pattern (q13/q46/q54): ANN recall
+    * < 1 by construction, so no SQL engine can restate the IVF result —
+    * instead the query emits what the oracle CAN state, the exact top-5
+    * per query (q20's formulation, as an ordered id list), plus
+    * `recall_ok`: the engine-checked guarantee that the IVF top-5 over
+    * the Lloyd-trained quantizer recovers ≥ 60% of the exact neighbors
+    * (the floor VectorSpec pins; measured 0.86–0.94). Hashes agree only
+    * if the guarantee holds in-engine — the driver certifies the ANN
+    * path, not a self-check.
+    *
+    * The quantizer is memoized per corpus dir: it is an index artifact —
+    * train once, serve every query against it.
     */
   private val ivfCentroids =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Float]]]()
 
-  val q29 = QueryDef.rowsOnly("q29_ann_ivf") { (spark, dir) =>
+  val q29 = QueryDef.sql(
+    "q29_ann_ivf",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |p AS (SELECT q.vec_id AS q_vec_id, c.vec_id AS n_vec_id,
+      |             list_dot_product(q.emb, c.emb) /
+      |             (sqrt(list_dot_product(q.emb, q.emb)) * sqrt(list_dot_product(c.emb, c.emb))) AS cos_sim
+      |      FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+      |r AS (SELECT q_vec_id, n_vec_id,
+      |             row_number() OVER (PARTITION BY q_vec_id
+      |                                ORDER BY cos_sim DESC, n_vec_id) AS rnk
+      |      FROM p)
+      |SELECT q_vec_id,
+      |       string_agg(CAST(n_vec_id AS VARCHAR), ',' ORDER BY rnk) AS exact_top5,
+      |       TRUE AS recall_ok
+      |FROM r WHERE rnk <= 5 GROUP BY q_vec_id""".stripMargin) { (spark, dir) =>
     val emb = Tables.embeddings(spark, dir)
     val cents = ivfCentroids.computeIfAbsent(dir, _ =>
       VectorSearch.trainCentroids(emb, 16, 3, sampleMod = 0))
-    VectorSearch.knnIvf(emb.filter(col("vec_id") < 10), emb, 5,
-      centroids = Some(cents))
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = VectorSearch.knnExact(q, emb, 5)
+    val ivf = VectorSearch.knnIvf(q, emb, 5, centroids = Some(cents))
+      .select(col("q_vec_id"), col("n_vec_id"))
+    val hits = exact.select(col("q_vec_id"), col("n_vec_id"))
+      .join(ivf, Seq("q_vec_id", "n_vec_id"), "left_semi")
+      .agg(count(lit(1)).as("_nh"))
+    val tot = exact.agg(count(lit(1)).as("_nt"))
+    val ok = hits.crossJoin(tot) // 1 row × 1 row
+      .select((col("_nh").cast("double") >= lit(0.6) * col("_nt")).as("recall_ok"))
+    exact.groupBy(col("q_vec_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("rnk"), col("n_vec_id")))),
+          x => x.getField("n_vec_id").cast("string")), ",").as("exact_top5"))
+      .crossJoin(broadcast(ok))
+      .select(col("q_vec_id"), col("exact_top5"), col("recall_ok"))
   }
 
   /** Q21: top-20 tokens over the English slice. */
@@ -270,5 +359,5 @@ object MandateQueries {
   }
 
   val all: Seq[QueryDef] = Seq(q18, q18b, q19, q20, q21, q22, q26, q27,
-    q28, q29, q30, q31, q32, q33, q34, q58)
+    q28, q28b, q29, q30, q31, q32, q33, q34, q58)
 }
