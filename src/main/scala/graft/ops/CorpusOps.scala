@@ -22,41 +22,81 @@ object CorpusOps {
     * where cluster_id is the minimum doc_id of the component (the
     * deterministic survivor, matching Dedup.keepMinBy's convention).
     *
-    * Algorithm: min-label propagation (the Pregel/GraphX formulation as
-    * plain DataFrame joins) — label(x) ← min(label(x), min over
-    * neighbours' labels), iterated to fixpoint. Each round is one
-    * shuffle (join on dst + groupBy src); rounds needed = component
-    * diameter, which for near-dup clusters is tiny (dups of a common
-    * original). Labels are materialized per round via localCheckpoint to
-    * truncate the growing lineage (a reliable checkpoint dir does the
-    * same on a cluster); the convergence probe aggregates to ONE scalar
-    * per round — no data is ever collected to the driver.
+    * Algorithm: alternating large-star/small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond") — converges in
+    * O(log n) rounds on ANY component shape, where the min-label
+    * propagation it replaces needed component-diameter rounds
+    * (unbounded for chain-shaped components; a 1024-node path took
+    * 1023 rounds, this takes ~7). Each round is two keyed
+    * groupBy-min + join steps over the edge list — every step
+    * shuffle-partitionable, nothing collected to the driver; the
+    * convergence probe aggregates the edge set to two scalars
+    * (count + hash-sum). Edges are re-materialized per round via
+    * localCheckpoint to truncate the growing lineage (a reliable
+    * checkpoint dir does the same on a cluster).
     */
-  def dupClusters(pairs: DataFrame): DataFrame = {
-    val edges = pairs
-      .select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
-      .union(pairs.select(col("doc_id_b").as("src"), col("doc_id_a").as("dst")))
-      .persist()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("lbl"))
+  def dupClusters(pairs: DataFrame): DataFrame = dupClustersWithRounds(pairs)._1
+
+  /** [[dupClusters]] plus the number of large-star/small-star rounds it
+    * took to converge (exposed for the O(log n) convergence spec).
+    */
+  private[graft] def dupClustersWithRounds(pairs: DataFrame): (DataFrame, Int) = {
+    val nodes = pairs.select(col("doc_id_a").as("id"))
+      .union(pairs.select(col("doc_id_b").as("id"))).distinct().persist()
+    // canonical (u > v) edge list; self-loops dropped
+    var edges = pairs.select(
+        greatest(col("doc_id_a"), col("doc_id_b")).as("u"),
+        least(col("doc_id_a"), col("doc_id_b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
       .localCheckpoint(true)
-    var changed = 1L
-    while (changed > 0) {
-      val nbrMin = edges.as("e")
-        .join(labels.as("l"), col("e.dst") === col("l.id"))
-        .groupBy(col("e.src").as("id")).agg(min(col("l.lbl")).as("nbr"))
-      val next = labels.select(col("id"), col("lbl").as("olbl"))
-        .join(nbrMin, Seq("id"), "left")
-        .select(col("id"), least(col("olbl"), coalesce(col("nbr"), col("olbl"))).as("lbl"),
-          col("olbl"))
-        .localCheckpoint(true)
-      // labels only ever decrease, so this counts this round's changes
-      changed = next.filter(col("lbl") < col("olbl")).count()
-      labels = next.drop("olbl")
+    def checksum(e: DataFrame): (Long, String) = {
+      // decimal accumulator: full-range xxhash64 values overflow an
+      // ANSI-mode long sum
+      val r = e.agg(count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head()
+      (r.getLong(0), if (r.isNullAt(1)) "0" else r.getDecimal(1).toPlainString)
     }
-    edges.unpersist()
-    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
-      (col("id") === col("lbl")).as("is_canonical"))
+    var sig = checksum(edges)
+    var prev = (-1L, "")
+    var rounds = 0
+    while (sig != prev) {
+      // large-star: every neighbor bigger than u links to u's minimum
+      // (adjacency = both directions). v > u >= m, so output stays
+      // canonical; strictly-smaller neighbors keep their edge to u via
+      // their own adjacency row.
+      val adj = edges.select(col("u"), col("v"))
+        .union(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = adj.groupBy(col("u"))
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      val large = adj.join(mins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      // small-star: u and all its smaller neighbors link to their
+      // minimum. v, m < u and v != m keeps (v, m) canonical; (u, m)
+      // re-links u itself.
+      val sMins = large.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val small = large.join(sMins, Seq("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .union(large.join(sMins, Seq("u"))
+          .select(col("u"), col("m").as("v")))
+        .distinct()
+        .localCheckpoint(true)
+      edges = small
+      prev = sig
+      sig = checksum(edges)
+      rounds += 1
+    }
+    // converged: a star forest of (leaf, root) edges, root = component
+    // minimum. Nodes absent from the final edge set are their own root.
+    val labels = nodes
+      .join(edges.select(col("u").as("id"), col("v").as("lbl")), Seq("id"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("lbl"), col("id")).as("cluster_id"))
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+    nodes.unpersist()
+    (labels, rounds)
   }
 
   /** Top-k terms per document by TF-IDF (tf × ln(N/df)).
@@ -167,16 +207,26 @@ object CorpusOps {
     * parallel prefix sum instead: ids are chunked (`chunk` consecutive
     * ids per bucket), per-bucket totals make a tiny relation whose
     * running sum is windowed on a single partition of #buckets ROWS
-    * (metadata, not data — choose chunk so corpus/chunk ≈ 1e5 rows at
-    * your scale), and each bucket's offset joins back (broadcast) to an
-    * intra-bucket window partitioned BY bucket. All integer arithmetic —
-    * the shard boundary never hinges on float rounding.
+    * (metadata, not data), and each bucket's offset joins back
+    * (broadcast) to an intra-bucket window partitioned BY bucket. All
+    * integer arithmetic — the shard boundary never hinges on float
+    * rounding.
+    *
+    * `chunk = 0` (the default) derives the chunk from a cheap
+    * column-pruned `max(id)` scan so the bucket relation is capped at
+    * ~1e5 rows at ANY id domain — the fixed-chunk form put max_id/chunk
+    * rows through the offsets window's single task, which at a 10^9-row
+    * dense domain was 10^6 rows and growing linearly with the corpus
+    * (mirrors trainCentroids' `sampleMod = 0` auto stride). shard_id
+    * depends only on prefix weights in id order, never on the chunking,
+    * so any chunk value yields the identical result.
     */
   def packShards(docs: DataFrame, idCol: String, weight: Column,
-      budget: Long, chunk: Long = 1024): DataFrame = {
+      budget: Long, chunk: Long = 0): DataFrame = {
+    val c = if (chunk > 0) chunk else deriveChunk(docs, idCol)
     val W = org.apache.spark.sql.expressions.Window
     val base = docs.select(col(idCol), weight.cast("long").as("w"),
-      floor(col(idCol) / chunk).cast("long").as("_bkt"))
+      floor(col(idCol) / c).cast("long").as("_bkt"))
     val offs = base.groupBy(col("_bkt")).agg(sum(col("w")).as("bw"))
       .withColumn("_off", coalesce(
         sum(col("bw")).over(
@@ -194,6 +244,16 @@ object CorpusOps {
       .withColumn("shard_id",
         ((col("_before") - pmod(col("_before"), lit(budget))) / budget).cast("long"))
       .select(col(idCol), col("w").as("n_tokens"), col("shard_id"))
+  }
+
+  /** Auto chunk for [[packShards]]: ceil((max(id)+1) / 1e5), so the
+    * id-bucket count — the rows through the offsets window's single
+    * task — never exceeds ~1e5 regardless of id-domain size or density.
+    */
+  private[graft] def deriveChunk(docs: DataFrame, idCol: String): Long = {
+    val row = docs.agg(max(col(idCol).cast("long"))).head()
+    val maxId = if (row.isNullAt(0)) 0L else row.getLong(0)
+    math.max(1L, maxId / 100000L + 1L)
   }
 
   /** Inverted index build: token → ascending posting list of documents

@@ -22,6 +22,47 @@ class CorpusSpec extends SparkSpec {
       (10L, 10L, true), (11L, 10L, false)))
   }
 
+  /** Driver-side union-find — the obviously-correct oracle the
+    * distributed large-star/small-star implementation is checked
+    * against (min-of-component labeling).
+    */
+  private def unionFindOracle(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("dupClusters converges in O(log n) rounds on a 1024-node path (worst case for label propagation)") {
+    // a path is the diameter-maximizing shape: min-label propagation
+    // needs 1023 rounds here; alternating large-star/small-star must
+    // finish in ~log n
+    val pairs = (0L until 1023L).map(i => (i, i + 1)).toDF("doc_id_a", "doc_id_b")
+    val (labels, rounds) = CorpusOps.dupClustersWithRounds(pairs)
+    assert(rounds <= 12, s"expected O(log n) convergence, took $rounds rounds")
+    val got = labels.as[(Long, Long, Boolean)].collect()
+    assert(got.length === 1024)
+    assert(got.forall(_._2 == 0L), "path must collapse to one component rooted at 0")
+    assert(got.count(_._3) === 1)
+  }
+
+  test("dupClusters matches a union-find oracle on a random multi-component graph") {
+    val rnd = new scala.util.Random(11)
+    // ~3 components' worth of random edges over a 300-node id space
+    val raw = Seq.fill(400)((rnd.nextInt(300).toLong, rnd.nextInt(300).toLong))
+      .filter { case (a, b) => a != b }
+    val expected = unionFindOracle(raw)
+    val got = CorpusOps.dupClusters(raw.toDF("doc_id_a", "doc_id_b"))
+      .as[(Long, Long, Boolean)].collect()
+    assert(got.map(r => r._1 -> r._2).toMap === expected)
+  }
+
   test("dupClusters on real near-dup pairs: every pair lands in one cluster, canonical is min") {
     val pairs = MinHashLsh.nearDupPairs(docs, "doc_id", "text", 3, 0.6)
     val clusters = CorpusOps.dupClusters(pairs)
@@ -114,6 +155,24 @@ class CorpusSpec extends SparkSpec {
     assert(got === expected)
     // shards are contiguous in id order and every doc is assigned
     assert(got.size === docs.count())
+  }
+
+  test("packShards auto chunk caps the offsets relation at ~1e5 buckets on a sparse huge id domain") {
+    // ids spread over a ~10^11 domain: the old fixed chunk=1024 would
+    // put max_id/1024 ≈ 10^8 bucket values through the offsets window's
+    // single task on a dense domain; the derived chunk caps it at ~1e5
+    // for ANY domain, and the shard assignment is chunk-invariant.
+    val sparse = (0L until 200L).map(i => (i * 499999999L, s"doc $i text"))
+      .toDF("doc_id", "text")
+    val chunk = CorpusOps.deriveChunk(sparse, "doc_id")
+    val maxId = 199L * 499999999L
+    assert(chunk === maxId / 100000L + 1L)
+    assert(maxId / chunk + 1 <= 100001L, "bucket id range must stay <= ~1e5")
+    val auto = CorpusOps.packShards(sparse, "doc_id", lit(7L), 100L)
+      .as[(Long, Long, Long)].collect().toSet
+    val fixed = CorpusOps.packShards(sparse, "doc_id", lit(7L), 100L, chunk = 64)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(auto === fixed, "shard assignment must not depend on the chunking")
   }
 
   test("invertedIndex: postings are ascending, df matches, membership is exact") {
