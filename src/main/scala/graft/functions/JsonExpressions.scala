@@ -173,6 +173,39 @@ object JsonKeyProbe {
     unescape(js, fStart + 1, math.max(fStart + 1, fEnd - 1))
   }
 
+  /** Unescaped string value of top-level `key` in the object `js`, or
+    * null when `js` is not an object / the key is absent / its value is
+    * not a string. One pass — used by the DSv2 source to crack the
+    * `{"value": <event>, "offset": <n>}` wire record without a Jackson
+    * parse (the reader's per-event hot path).
+    */
+  def topStringField(js: String, key: String): String = {
+    if (js == null) return null
+    val i = skipWs(js, 0)
+    if (i >= js.length || js.charAt(i) != '{') return null
+    val vStart = valueStartOf(js, i, key)
+    if (vStart < 0 || vStart >= js.length || js.charAt(vStart) != '"') return null
+    val vEnd = skipString(js, vStart)
+    unescape(js, vStart + 1, math.max(vStart + 1, vEnd - 1))
+  }
+
+  /** Long value of top-level `key` in the object `js` (bare or quoted
+    * digits), or `default` when absent / not numeric.
+    */
+  def topLongField(js: String, key: String, default: Long): Long = {
+    if (js == null) return default
+    var i = skipWs(js, 0)
+    if (i >= js.length || js.charAt(i) != '{') return default
+    var vStart = valueStartOf(js, i, key)
+    if (vStart < 0 || vStart >= js.length) return default
+    var vEnd =
+      if (js.charAt(vStart) == '"') { vStart += 1; skipString(js, vStart - 1) - 1 }
+      else skipValue(js, vStart)
+    if (vEnd <= vStart) return default
+    try java.lang.Long.parseLong(js.substring(vStart, vEnd).trim)
+    catch { case _: NumberFormatException => default }
+  }
+
   /** Does the (possibly `{schema,payload}`-wrapped) event's payload
     * object contain `key` at its top level?
     */

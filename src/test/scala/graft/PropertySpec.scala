@@ -154,6 +154,74 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("topStringField/topLongField match Jackson on generated wire records") {
+    // the DSv2 reader cracks {"value": <event>, "offset": <n>} with
+    // these instead of a full Jackson parse — parity is the contract
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def truthStr(js: String, key: String): String =
+      try {
+        val root = mapper.readTree(js)
+        if (root == null || !root.isObject) null
+        else {
+          val v = root.get(key)
+          if (v != null && v.isTextual) v.asText() else null
+        }
+      } catch { case _: Exception => null }
+    def truthLong(js: String, key: String): Long =
+      try {
+        val root = mapper.readTree(js)
+        if (root == null || !root.isObject) -1L
+        else {
+          val v = root.get(key)
+          if (v == null) -1L
+          else if (v.isIntegralNumber) v.asLong()
+          else if (v.isTextual)
+            try java.lang.Long.parseLong(v.asText().trim)
+            catch { case _: NumberFormatException => -1L }
+          else -1L
+        }
+      } catch { case _: Exception => -1L }
+
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val eventGen = Gen.oneOf(
+      """{"payload": {"op": "c", "after": {"k": 1}}}""",
+      """say "value": here""", "a\\b\"c", "", "{nested \"offset\": 9}")
+    val valueFieldGen: Gen[String] = Gen.frequency(
+      4 -> eventGen.map(e => s""""value": ${jstr(e)}"""),
+      1 -> Gen.const(""""value": null"""),
+      1 -> Gen.const(""""value": 42"""),
+      1 -> Gen.const(""""value": {"offset": 5}"""))
+    val offsetFieldGen: Gen[String] = Gen.frequency(
+      4 -> Gen.choose(0L, Long.MaxValue).map(n => s""""offset": $n"""),
+      1 -> Gen.const(""""offset": "17""""),
+      1 -> Gen.const(""""offset": null"""),
+      1 -> Gen.const(""""offset": 1.5"""),
+      1 -> Gen.const(""""offset": -3"""))
+    val recGen: Gen[String] = for {
+      v <- valueFieldGen
+      o <- offsetFieldGen
+      order <- Gen.oneOf(true, false)
+      decoy <- Gen.oneOf("", """"decoy value": "x", """, """"z": [1, {"value": "in"}], """)
+    } yield if (order) s"""{$decoy$v, $o}""" else s"""{$decoy$o, $v}"""
+    val junk = Gen.oneOf(Gen.const("not json"), Gen.const("[1]"), Gen.const("{"),
+      Gen.alphaNumStr)
+    val samples = Gen.listOfN(400, Gen.frequency(5 -> recGen, 1 -> junk)).sample.get
+    samples.foreach { js =>
+      val gotV = graft.functions.JsonKeyProbe.topStringField(js, "value")
+      val gotO = graft.functions.JsonKeyProbe.topLongField(js, "offset", -1L)
+      assert(gotV == truthStr(js, "value"),
+        s"topStringField mismatch on: $js (got $gotV)")
+      assert(gotO == truthLong(js, "offset"),
+        s"topLongField mismatch on: $js (got $gotO, want ${truthLong(js, "offset")})")
+    }
+  }
+
   test("identical texts have jaccard exactly 1.0") {
     val df = Seq((1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "x y z w q r"))
       .toDF("doc_id", "text")
