@@ -59,6 +59,63 @@ class RegistrySpec extends SparkSpec {
     assert(changed.toSet == Set(f1.getAbsolutePath, f2.getAbsolutePath))
   }
 
+  test("PipelineWatcher in-flight reload: conf change restarts from checkpoint, state equals uninterrupted run (S2)") {
+    import graft.streaming.PipelineWatcher
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def wire(table: String, id: Long, v: String, op: String, ts: Long, off: Long): String = {
+      val ev = s"""{"payload":{"before":null,"after":{"id":$id,"v":"$v"},""" +
+        s""""source":{"db":"d","table":"$table","ts_ms":$ts},"op":"$op","ts_ms":$ts}}"""
+      s"""{"value":${mapper.writeValueAsString(ev)},"offset":$off}"""
+    }
+    val confDir = Files.createTempDirectory("graft_watch_conf_").toFile
+    val conf = new java.io.File(confDir, "p.json")
+    Files.write(conf.toPath, Seq(
+      """{"name":"p","databases":["d"],"tables":["t"],"idKey":"id","schema":"id BIGINT, v STRING"}""").asJava)
+    val srcDir = Files.createTempDirectory("graft_watch_src_").toFile
+    // feed file 1: one subscribed event, one for the not-yet-subscribed table u
+    Files.write(new java.io.File(srcDir, "000.json").toPath, Seq(
+      wire("t", 1, "a1", "c", 1, 1), wire("u", 3, "skipme", "c", 1, 2)).asJava)
+
+    val ckptRoot = Files.createTempDirectory("graft_watch_ckpt_").toString
+    val cfg = EsSink.Config("http://es:9200/idx", "u", "p", "id")
+    SinkSpec.recorded.clear()
+    val watcher = new PipelineWatcher(spark, confDir.toString, srcDir.toString,
+      ckptRoot, cfg, new SinkSpec.Recorder, pollMs = 3600000L) // pollOnce() drives it
+    try {
+      watcher.startPipelines().foreach(_.awaitTermination())
+      assert(watcher.pollOnce().isEmpty, "unchanged confs must not restart anything")
+      // reload: subscription widens to {t, u}; more feed arrives
+      Files.write(conf.toPath, Seq(
+        """{"name":"p","databases":["d"],"tables":["t","u"],"idKey":"id","schema":"id BIGINT, v STRING"}""").asJava)
+      conf.setLastModified(conf.lastModified() + 5000)
+      Files.write(new java.io.File(srcDir, "001.json").toPath, Seq(
+        wire("t", 1, "a2", "u", 2, 3), wire("u", 3, "b1", "c", 2, 4)).asJava)
+      assert(watcher.pollOnce() == Seq("p"))
+      watcher.activeQueries("p").awaitTermination()
+    } finally watcher.stop()
+    val puts = SinkSpec.recorded.asScala.toSeq.filter(_.method == "PUT").map(_.body)
+    // file 1 is NOT re-applied after the reload (checkpoint cursor
+    // preserved) and the widened subscription takes effect: exactly one
+    // pre-reload PUT and the two post-reload ones
+    assert(puts.sorted == Seq("""{"id":1,"v":"a1"}""", """{"id":1,"v":"a2"}""",
+      """{"id":3,"v":"b1"}"""))
+    // LWW state after the mid-stream reload == an uninterrupted run of
+    // the final conf over the whole feed (fresh checkpoint + recorder)
+    val lastPerId = puts.map { b =>
+      val n = mapper.readTree(b); n.get("id").asLong() -> b
+    }.toMap
+    SinkSpec.recorded.clear()
+    val fresh = PipelineRegistry.load(confDir.toString)
+    PipelineRegistry.startAll(fresh, spark, srcDir.toString,
+      Files.createTempDirectory("graft_watch_ckpt2_").toString,
+      cfg, new SinkSpec.Recorder).foreach(_.awaitTermination())
+    val uninterrupted = SinkSpec.recorded.asScala.toSeq.filter(_.method == "PUT")
+      .map { r =>
+        val n = mapper.readTree(r.body); n.get("id").asLong() -> r.body
+      }.toMap
+    assert(lastPerId === uninterrupted)
+  }
+
   test("JDBC partitioned read + snapshot bootstrap: parallel scan to op=r events") {
     val url = "jdbc:derby:memory:graftsrc;create=true"
     val conn = java.sql.DriverManager.getConnection(url)
