@@ -130,8 +130,10 @@ class PlanSpec extends SparkSpec {
     val exempt = Set("q48_shard_pack")
     for (q <- SparkEntry.registry if !streaming(q.name) && !exempt(q.name)) {
       val df = q.fn(spark, sf001)
+      // partitionBy(lit(1)) has the same single-task funnel as an empty
+      // partitionSpec — flag windows whose spec is entirely foldable too
       val bad = df.queryExecution.optimizedPlan.collect {
-        case w: Window if w.partitionSpec.isEmpty => w
+        case w: Window if w.partitionSpec.forall(_.foldable) => w
       }
       assert(bad.isEmpty, s"${q.name}: global unpartitioned window over data")
       // q57's top-k cutoff must be the per-partition form
