@@ -41,14 +41,18 @@ object CorpusOps {
     * took to converge (exposed for the O(log n) convergence spec).
     */
   private[graft] def dupClustersWithRounds(pairs: DataFrame): (DataFrame, Int) = {
-    val nodes = pairs.select(col("doc_id_a").as("id"))
-      .union(pairs.select(col("doc_id_b").as("id"))).distinct().persist()
-    // canonical (u > v) edge list; self-loops dropped
+    // canonical (u > v) edge list; self-loops dropped. The eager
+    // localCheckpoint also means the (often expensive) pairs subtree —
+    // q41's is a full MinHash near-dup run — evaluates exactly ONCE;
+    // everything below, including the node set, reads the materialized
+    // edges.
     var edges = pairs.select(
         greatest(col("doc_id_a"), col("doc_id_b")).as("u"),
         least(col("doc_id_a"), col("doc_id_b")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
       .localCheckpoint(true)
+    val nodes = edges.select(col("u").as("id"))
+      .union(edges.select(col("v").as("id"))).distinct().persist()
     def checksum(e: DataFrame): (Long, String) = {
       // decimal accumulator: full-range xxhash64 values overflow an
       // ANSI-mode long sum
@@ -74,13 +78,15 @@ object CorpusOps {
         .filter(col("u") =!= col("v")).distinct()
       // small-star: u and all its smaller neighbors link to their
       // minimum. v, m < u and v != m keeps (v, m) canonical; (u, m)
-      // re-links u itself.
+      // re-links u itself. Both outputs come from ONE join pass
+      // (exploded), not two copies of the join.
       val sMins = large.groupBy(col("u")).agg(min(col("v")).as("m"))
       val small = large.join(sMins, Seq("u"))
-        .select(col("v").as("u"), col("m").as("v"))
+        .select(explode(array(
+          struct(col("v").as("u"), col("m").as("v")),
+          struct(col("u"), col("m").as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
         .filter(col("u") =!= col("v"))
-        .union(large.join(sMins, Seq("u"))
-          .select(col("u"), col("m").as("v")))
         .distinct()
         .localCheckpoint(true)
       edges = small

@@ -122,11 +122,15 @@ object VectorSearch {
   /** Candidate (vec_id_a < vec_id_b) pairs sharing at least one LSH band
     * at the derived band count — the un-verified half of
     * [[nearDupPairsBanded]], exposed so callers can measure / bound the
-    * candidate volume (q28b's cand_frac_ok guarantee).
+    * candidate volume (q28b's cand_frac_ok guarantee). `dedup = false`
+    * skips the distinct (one whole shuffle stage): a pair then appears
+    * once per colliding band, which is what a collision-VOLUME bound
+    * wants anyway (raw ≥ distinct), and a counting caller can fold
+    * exact dedup into its final aggregate.
     */
   def bandedCandidatePairs(corpus: DataFrame, threshold: Double,
       dim: Int = 64, bandPlanes: Int = 4, missProb: Double = 1e-6,
-      seed: Long = 7L): DataFrame = {
+      seed: Long = 7L, dedup: Boolean = true): DataFrame = {
     val p = 1.0 - math.acos(threshold) / math.Pi
     val pr = math.pow(p, bandPlanes)
     val bands = math.max(1, math.ceil(math.log(missProb) / math.log1p(-pr)).toInt)
@@ -138,16 +142,37 @@ object VectorSearch {
     // scale. Carrying embeddings through the band join instead was
     // measured 1.7× slower (every colliding pair materializes two
     // 256-byte vectors).
+    //
+    // Two plan hazards around the (expensive) signature expression —
+    // bands × bandPlanes × dim mults per row, 70k at the q28b setting:
+    // (1) a small parquet file scans as ONE partition, so the
+    // signatures of the whole corpus would run on one core; the
+    // repartition decouples that from the file-split layout. (2) when
+    // the signature is projected to a named column first, Catalyst
+    // collapses the projection below the repartition exchange and
+    // InferFiltersFromGenerate adds size(sig)>0 / isnotnull(sig)
+    // filters referencing the raw expression — three single-partition
+    // evaluations per row (measured: the whole query at 3.1 s while
+    // the math is ~0.1 s of parallel work). Feeding the expression
+    // DIRECTLY to posexplode keeps it inside the Generate node, which
+    // no rule pushes below an exchange, and its non-Attribute child
+    // disqualifies the filter inference.
+    // The trailing repartition on the join key makes BOTH self-join
+    // sides the byte-identical plan ending in the same shuffle, so
+    // AQE's stage reuse materializes the banded subtree once and feeds
+    // it to both sides (measured: halves the candidate-stage cost);
+    // without it each side re-scans and re-signs the corpus.
     val banded = corpus
+      .repartition(col("vec_id"))
       .select(col("vec_id"),
-        graft.functions.VecFunctions.signBandsF(
-          col("embedding"), pm, bands, bandPlanes, dim).as("sig"))
-      .select(col("vec_id"), posexplode(col("sig")).as(Seq("band", "bucket")))
-    banded.as("l").join(banded.as("r"),
+        posexplode(graft.functions.VecFunctions.signBandsF(
+          col("embedding"), pm, bands, bandPlanes, dim)).as(Seq("band", "bucket")))
+      .repartition(col("band"), col("bucket"))
+    val joined = banded.as("l").join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket")
           && col("l.vec_id") < col("r.vec_id"))
       .select(col("l.vec_id").as("vec_id_a"), col("r.vec_id").as("vec_id_b"))
-      .distinct()
+    if (dedup) joined.distinct() else joined
   }
 
   /** Exact-cosine verification of candidate id pairs against the corpus. */

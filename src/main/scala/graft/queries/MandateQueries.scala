@@ -184,12 +184,20 @@ object MandateQueries {
       |WHERE list_dot_product(a.emb, b.emb) /
       |      (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) >= 0.95""".stripMargin) { (spark, dir) =>
     val emb = Tables.embeddings(spark, dir)
-    val cand = VectorSearch.bandedCandidatePairs(emb, 0.95, bandPlanes = 16)
-    val pairs = VectorSearch.verifyPairs(cand, emb, 0.95)
-    val nPairs = pairs.agg(count(lit(1)).as("n_pairs"))
-    val nCand = cand.agg(count(lit(1)).as("_nc"))
+    // dedup = false + countDistinct in the final aggregate: ONE pass
+    // over the raw band collisions yields the exact (distinct) verified
+    // pair count AND the collision volume, with no distinct stage and
+    // no re-evaluation of the band join. The 1% bound is on RAW
+    // collisions — an upper bound on distinct candidates, so the
+    // guarantee is strictly stronger.
+    val cand = VectorSearch.bandedCandidatePairs(emb, 0.95, bandPlanes = 16,
+      dedup = false)
+    val counts = VectorSearch.verifyPairs(cand, emb, -1.0)
+      .agg(countDistinct(when(col("cos_sim") >= 0.95,
+        struct(col("vec_id_a"), col("vec_id_b")))).as("n_pairs"),
+        count(lit(1)).as("_nc"))
     val nTot = emb.agg((count(lit(1)) * (count(lit(1)) - 1) / 2).as("_np"))
-    nPairs.crossJoin(nCand).crossJoin(nTot) // three 1-row frames
+    counts.crossJoin(nTot) // 1 row × 1 row
       .select(col("n_pairs"),
         (col("_nc").cast("double") <= lit(0.01) * col("_np")).as("cand_frac_ok"))
   }
