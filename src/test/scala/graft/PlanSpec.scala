@@ -120,6 +120,14 @@ class PlanSpec extends SparkSpec {
     // scale (the q57 class of bug). Assert none survives to the optimized
     // plan of any registered query.
     //
+    // NOTE on cost: q.fn is invoked for every non-exempt registered
+    // query, and some fn bodies are EAGER (q57 runs its PageRank
+    // iterations, q29 trains IVF centroids on first call — memoized
+    // per dir), so this "plan inspection" executes real Spark jobs at
+    // sf0.001. Acceptable today (~seconds); if the registry grows
+    // expensive eager queries, share their DataFrames with other specs
+    // or exempt them here with their shape pinned elsewhere.
+    //
     // Skipped: streaming queries execute inside fn and return a sink
     // read, so the returned batch plan carries none of the streaming
     // computation — their shapes are pinned in StreamingSpec instead.
