@@ -203,6 +203,25 @@ object CorpusOps {
     df.filter(h < rate * lit(4294967296L))
   }
 
+  /** Deterministic per-group contribution cap: keep at most `k` rows
+    * per group, chosen by the decorrelated id-hash order — the
+    * source-mixing step that stops one crawl / domain / dump from
+    * dominating a training corpus. Reuses [[stratifiedSample]]'s hash
+    * (NOT the split hash — capping with the split's own hash would keep
+    * only fixed split regions), so the kept set is a reproducible
+    * "random" k on any engine and any partitioning, no rand(). The
+    * ranking window is partitioned BY THE GROUP — per-group state only,
+    * never a global sort.
+    */
+  def capPerGroup(df: DataFrame, groupCols: Seq[String], idCol: String,
+      k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(knuthHash(col(idCol), 2246822519L), col(idCol))
+    df.withColumn("grp_rank", row_number().over(w).cast("long"))
+      .filter(col("grp_rank") <= k)
+  }
+
   /** Token-budget shard packing: documents (in id order) are laid end to
     * end and cut into shards of ~`budget` weight — the training-shard
     * assembly step of a data pipeline (weight = token count). shard_id =

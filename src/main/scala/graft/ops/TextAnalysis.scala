@@ -50,6 +50,58 @@ object TextAnalysis {
       .withColumn("len_valid", length(col(textCol)).cast("long") === col(nCharsCol))
   }
 
+  /** Repetition-based quality signals (the Gopher-rules family — Rae et
+    * al. 2021 §A1.1 — re-grounded on token streams): excessive internal
+    * repetition is the strongest single predictor of machine-generated /
+    * boilerplate junk in web-scale corpora. Emitted per document:
+    *
+    *  - `dup_token_frac`    1 − distinct/total tokens
+    *  - `dup_trigram_frac`  1 − distinct/total token 3-grams
+    *  - `top_bigram_frac`   occurrences of the most frequent 2-gram ×
+    *                        2 / total tokens (fraction of token slots
+    *                        the dominant bigram accounts for)
+    *
+    * All three are ratios of exactly-counted integers computed in one
+    * division each, so they are bitwise-stable across engines (no
+    * order-dependent float accumulation). Shape at scale: one explode
+    * per n-gram order into a keyed (doc, gram) hash aggregate, then a
+    * per-doc aggregate — every step partitioned by doc_id, no windows,
+    * no driver collection.
+    */
+  def repetitionSignals(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = split(col(textCol), " ")
+    // guard: sequence(0, -1) would count DOWN (Spark picks step -1),
+    // producing out-of-range element_at indices on docs shorter than n
+    // tokens — emit no grams instead (matching SQL range() semantics),
+    // which drops the doc from the inner joins on both engines alike
+    def grams(n: Int): Column =
+      if (n == 1) toks
+      else when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+        .otherwise(array())
+    def stats(n: Int, distinctFracName: String, topFracName: Option[String]) = {
+      val perGram = docs
+        .select(col(idCol).as("doc_id"), explode(grams(n)).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("nd"), sum(col("c")).as("nt"), max(col("c")).as("mx"))
+      val base = perGram.select(col("doc_id"),
+        (lit(1.0) - col("nd").cast("double") / col("nt")).as(distinctFracName),
+        col("mx"), col("nt"))
+      topFracName match {
+        case Some(f) => base.select(col("doc_id"), col(distinctFracName),
+          (col("mx").cast("double") * 2 / (col("nt") + 1)).as(f))
+        case None => base.select(col("doc_id"), col(distinctFracName))
+      }
+    }
+    val uni = stats(1, "dup_token_frac", None)
+    val tri = stats(3, "dup_trigram_frac", None)
+    val bi = stats(2, "_bi_dup", Some("top_bigram_frac")).drop("_bi_dup")
+    uni.join(bi, Seq("doc_id")).join(tri, Seq("doc_id"))
+  }
+
   /** Whitespace token count and BPE-ish regex token count. */
   def tokenCounts(textCol: Column): (Column, Column) = (
     size(split(textCol, " ")).cast("long"),

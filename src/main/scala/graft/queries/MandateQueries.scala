@@ -334,6 +334,39 @@ object MandateQueries {
       .select(col("doc_id"), TextAnalysis.fingerprint("text").as("fp"))
   }
 
+  /** Q59: repetition-based quality signals (the Gopher-rules family) —
+    * dup-token / dup-trigram / dominant-bigram fractions per document;
+    * the strongest single boilerplate/machine-junk predictor a curation
+    * pipeline runs after the q31 surface features. All three are single
+    * divisions of exactly-counted integers, so the doubles are
+    * bitwise-stable across engines.
+    */
+  val q59 = QueryDef.sql(
+    "q59_repetition",
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |uni AS (SELECT doc_id, unnest(t) AS g FROM tok),
+      |u AS (SELECT doc_id, count(*) AS nt, count(DISTINCT g) AS nd
+      |      FROM uni GROUP BY doc_id),
+      |big AS (SELECT doc_id,
+      |          unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
+      |        FROM tok WHERE len(t) >= 2),
+      |bc AS (SELECT doc_id, g, count(*) AS c FROM big GROUP BY 1, 2),
+      |b AS (SELECT doc_id, sum(c) AS nt, max(c) AS mx FROM bc GROUP BY doc_id),
+      |trig AS (SELECT doc_id,
+      |           unnest(list_transform(range(1, len(t) - 1),
+      |                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+      |         FROM tok WHERE len(t) >= 3),
+      |tc AS (SELECT doc_id, g, count(*) AS c FROM trig GROUP BY 1, 2),
+      |tr AS (SELECT doc_id, count(*) AS nd, sum(c) AS nt FROM tc GROUP BY doc_id)
+      |SELECT u.doc_id,
+      |       1.0 - CAST(u.nd AS DOUBLE) / u.nt AS dup_token_frac,
+      |       CAST(b.mx AS DOUBLE) * 2 / (b.nt + 1) AS top_bigram_frac,
+      |       1.0 - CAST(tr.nd AS DOUBLE) / tr.nt AS dup_trigram_frac
+      |FROM u JOIN b ON u.doc_id = b.doc_id
+      |JOIN tr ON u.doc_id = tr.doc_id""".stripMargin) { (spark, dir) =>
+    TextAnalysis.repetitionSignals(Tables.documents(spark, dir), "doc_id", "text")
+  }
+
   /** Q22: binary payload round-trip — BinaryType flowing through
     * projection with encode/base64.
     */
@@ -367,5 +400,5 @@ object MandateQueries {
   }
 
   val all: Seq[QueryDef] = Seq(q18, q18b, q19, q20, q21, q22, q26, q27,
-    q28, q28b, q29, q30, q31, q32, q33, q34, q58)
+    q28, q28b, q29, q30, q31, q32, q33, q34, q58, q59)
 }

@@ -217,6 +217,27 @@ object PipelineQueries {
       .select(col("node").as("token"), col("rank"))
   }
 
+  /** Q60: deterministic per-source contribution cap (source mixing) —
+    * keep at most 50 docs per source, chosen by the decorrelated
+    * id-hash order: a reproducible "random" k per group with no rand(),
+    * the step that stops one crawl/domain from dominating the corpus.
+    * The ranking window is partitioned by source — per-group state
+    * only.
+    */
+  val q60 = QueryDef.sql(
+    "q60_source_cap",
+    """SELECT doc_id, source, grp_rank FROM (
+      |  SELECT doc_id, source,
+      |         CAST(row_number() OVER (
+      |           PARTITION BY source
+      |           ORDER BY (doc_id % 1073741824) * 2246822519 % 4294967296, doc_id)
+      |           AS BIGINT) AS grp_rank
+      |  FROM documents)
+      |WHERE grp_rank <= 50""".stripMargin) { (spark, dir) =>
+    CorpusOps.capPerGroup(Tables.documents(spark, dir), Seq("source"), "doc_id", 50)
+      .select(col("doc_id"), col("source"), col("grp_rank"))
+  }
+
   val all: Seq[QueryDef] = Seq(q41, q42, q43, q44, q45, q47, q48, q49,
-    q54, q57)
+    q54, q57, q60)
 }

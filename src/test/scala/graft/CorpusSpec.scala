@@ -175,6 +175,36 @@ class CorpusSpec extends SparkSpec {
     assert(auto === fixed, "shard assignment must not depend on the chunking")
   }
 
+  test("repetitionSignals: hand-computed fractions on a crafted doc; clean doc scores ~0") {
+    val tiny = Seq(
+      (1L, "a a a b"),                 // heavy repetition
+      (2L, "w x y z q r s t")).toDF("doc_id", "text") // all distinct
+    val got = TextAnalysis.repetitionSignals(tiny, "doc_id", "text")
+      .as[(Long, Double, Double, Double)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // doc 1: 4 tokens 2 distinct -> dup_token 0.5; bigrams {a a:2, a b:1}
+    // -> top_bigram 2*2/4 = 1.0; trigrams {a a a, a a b} both unique -> 0
+    assert(got(1L) === ((0.5, 1.0, 0.0)))
+    // doc 2: everything unique
+    assert(got(2L)._1 === 0.0)
+    assert(got(2L)._3 === 0.0)
+    assert(math.abs(got(2L)._2 - 2.0 / 8) < 1e-15) // each bigram occurs once: 2*1/8
+  }
+
+  test("capPerGroup: cap respected, deterministic under repartitioning, decorrelated from split") {
+    val capped = CorpusOps.capPerGroup(docs, Seq("source"), "doc_id", 50)
+    val sizes = capped.groupBy("source").count().as[(String, Long)].collect()
+    assert(sizes.forall(_._2 <= 50))
+    val again = CorpusOps.capPerGroup(docs.repartition(7), Seq("source"), "doc_id", 50)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again === capped.select("doc_id").as[Long].collect().toSet,
+      "kept set must not depend on partitioning")
+    // the kept set must span all three hash-split classes (decorrelated)
+    val splits = CorpusOps.hashSplit(docs, "doc_id")
+      .filter(col("doc_id").isin(again.toSeq: _*))
+      .select("split").distinct().as[String].collect().toSet
+    assert(splits === Set("train", "val", "test"))
+  }
+
   test("invertedIndex: postings are ascending, df matches, membership is exact") {
     val tiny = Seq((3L, "b a"), (1L, "a b a"), (2L, "b c")).toDF("doc_id", "text")
     val got = CorpusOps.invertedIndex(tiny, "doc_id", "text")
