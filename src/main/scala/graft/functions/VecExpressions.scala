@@ -235,6 +235,154 @@ case class NearestCellsF(child: Expression, cents: Array[Float],
     copy(child = newChild)
 }
 
+/** Product-quantization encoder: the float vector is split into `m`
+  * subspaces of `dsub` dims; output[j] is the index (0..ks-1) of the
+  * codebook centroid with minimum L2 distance to subvector j (ties →
+  * lower index, so codes are deterministic). `codebook` is flat
+  * row-major (j*ks + k)*dsub. One fused loop — m×ks×dsub mults per
+  * row — mirroring SignBandsF/NearestCellsF (separate per-subspace
+  * expressions would blow up codegen size and Janino compile time).
+  *
+  * PQ is the 100 TB memory story for ANN: an encoded vector is m bytes
+  * (8 here) instead of dim×4 (256) — the index fits in RAM at corpus
+  * sizes where raw vectors cannot (Jégou et al., "Product Quantization
+  * for Nearest Neighbor Search", TPAMI 2011).
+  */
+case class PqEncodeF(child: Expression, codebook: Array[Float],
+    m: Int, ks: Int, dsub: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode_f"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val out = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var k = 0
+      while (k < ks) {
+        var acc = 0.0
+        var i = 0
+        val xo = j * dsub
+        val co = (j * ks + k) * dsub
+        while (i < dsub) {
+          val d = x.getFloat(xo + i).toDouble - codebook(co + i).toDouble
+          acc += d * d
+          i += 1
+        }
+        if (acc < bestD) { bestD = acc; best = k }
+        k += 1
+      }
+      out(j) = best
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebook", codebook, "float[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val out = ctx.freshName("out")
+      val j = ctx.freshName("j")
+      val k = ctx.freshName("k")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val dv = ctx.freshName("dv")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      s"""
+         |int[] $out = new int[$m];
+         |for (int $j = 0; $j < $m; $j++) {
+         |  int $best = 0; double $bestD = Double.MAX_VALUE;
+         |  for (int $k = 0; $k < $ks; $k++) {
+         |    double $acc = 0.0;
+         |    for (int $i = 0; $i < $dsub; $i++) {
+         |      double $dv = ((double) $a.getFloat($j * $dsub + $i))
+         |        - ((double) $cbRef[($j * $ks + $k) * $dsub + $i]);
+         |      $acc += $dv * $dv;
+         |    }
+         |    if ($acc < $bestD) { $bestD = $acc; $best = $k; }
+         |  }
+         |  $out[$j] = $best;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** ADC (asymmetric distance computation) table for one query vector:
+  * output[j*ks + k] = dot(query subvector j, codebook centroid (j,k)),
+  * accumulated in doubles sequentially (deterministic). Computed ONCE
+  * per query; each (query, code) pair then scores with `m` table
+  * lookups instead of `dim` multiplications — the lookup is the whole
+  * point of PQ search (8 adds vs 64 mult-adds here).
+  */
+case class PqAdcTableF(child: Expression, codebook: Array[Float],
+    m: Int, ks: Int, dsub: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "pq_adc_table_f"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val out = new Array[Double](m * ks)
+    var j = 0
+    while (j < m) {
+      var k = 0
+      while (k < ks) {
+        var acc = 0.0
+        var i = 0
+        val xo = j * dsub
+        val co = (j * ks + k) * dsub
+        while (i < dsub) {
+          acc += x.getFloat(xo + i).toDouble * codebook(co + i).toDouble
+          i += 1
+        }
+        out(j * ks + k) = acc
+        k += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("adcCodebook", codebook, "float[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val out = ctx.freshName("out")
+      val j = ctx.freshName("j")
+      val k = ctx.freshName("k")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |double[] $out = new double[$m * $ks];
+         |for (int $j = 0; $j < $m; $j++) {
+         |  for (int $k = 0; $k < $ks; $k++) {
+         |    double $acc = 0.0;
+         |    for (int $i = 0; $i < $dsub; $i++) {
+         |      $acc += ((double) $a.getFloat($j * $dsub + $i))
+         |        * ((double) $cbRef[($j * $ks + $k) * $dsub + $i]);
+         |    }
+         |    $out[$j * $ks + $k] = $acc;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VecFunctions {
   /** Column API for the codegen'd float dot product. */
   def dotF(a: Column, b: Column): Column =
@@ -263,6 +411,20 @@ object VecFunctions {
     VecBridge.column(NearestCellsF(
       VecBridge.expression(emb), flat, invNorms, nCells, dim, n))
   }
+
+  /** Column API for the PQ encoder (codes j = argmin-L2 subspace
+    * centroid). `codebook` is flat (j*ks + k)*dsub row-major.
+    */
+  def pqEncodeF(emb: Column, codebook: Array[Float],
+      m: Int, ks: Int, dsub: Int): Column =
+    VecBridge.column(PqEncodeF(
+      VecBridge.expression(emb), codebook, m, ks, dsub))
+
+  /** Column API for the per-query ADC lookup table. */
+  def pqAdcTableF(emb: Column, codebook: Array[Float],
+      m: Int, ks: Int, dsub: Int): Column =
+    VecBridge.column(PqAdcTableF(
+      VecBridge.expression(emb), codebook, m, ks, dsub))
 
   /** Register `dot_product_f` for SQL use on a session
     * (`SELECT dot_product_f(a.embedding, b.embedding) ...`).

@@ -312,6 +312,133 @@ object VectorSearch {
       .filter(col("rnk") <= k)
   }
 
+  /** First-ks init for a PQ subspace codebook: subvector j of the first
+    * ks corpus vectors (deterministic, mirrors [[initCentroids]]).
+    */
+  private def initPqCodebook(corpus: DataFrame, m: Int, ks: Int,
+      dsub: Int): Array[Float] = {
+    val rows = corpus.orderBy(col("vec_id")).limit(ks)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    val cb = new Array[Float](m * ks * dsub)
+    var j = 0
+    while (j < m) {
+      rows.zipWithIndex.foreach { case (v, k) =>
+        System.arraycopy(v, j * dsub, cb, (j * ks + k) * dsub, dsub)
+      }
+      j += 1
+    }
+    cb
+  }
+
+  /** Lloyd training of per-subspace PQ codebooks (L2 k-means on
+    * subvectors). ONE distributed pass per iteration covers every
+    * subspace: the fused PqEncodeF assigns all m codes per row, a
+    * posexplode keys rows by (subspace, code), and the update is one
+    * groupBy(subspace, code, dim) aggregate in fixed point (1e-7 grain,
+    * decimal accumulator → bitwise-deterministic under any
+    * partitioning). The driver receives exactly m×ks×dsub aggregated
+    * means per iteration — the MODEL, not data (same shape as
+    * [[trainCentroids]]). `sampleMod = 0` auto-derives a training
+    * stride leaving ~64 points per (subspace) centroid, the faiss
+    * practice. A code that loses all members keeps its centroid.
+    */
+  def trainPqCodebook(corpus: DataFrame, m: Int = 8, ks: Int = 64,
+      iters: Int = 3, dim: Int = 64, sampleMod: Int = 0): Array[Float] = {
+    val dsub = dim / m
+    require(m * dsub == dim, s"m=$m must divide dim=$dim")
+    val mod =
+      if (sampleMod == 0) math.max(1L, corpus.count() / (64L * ks)).toInt
+      else sampleMod
+    val train =
+      if (mod > 1) corpus.where(pmod(xxhash64(col("vec_id")), lit(mod)) === 0)
+      else corpus
+    var cb = initPqCodebook(train, m, ks, dsub)
+    var it = 0
+    while (it < iters) {
+      val moments = train
+        .select(col("embedding"),
+          posexplode(graft.functions.VecFunctions.pqEncodeF(
+            col("embedding"), cb, m, ks, dsub)).as(Seq("j", "code")))
+        .select(col("j"), col("code"),
+          posexplode(slice(col("embedding"), col("j") * dsub + 1, lit(dsub)))
+            .as(Seq("pos", "x")))
+        .groupBy(col("j"), col("code"), col("pos"))
+        .agg(sum(floor(col("x") * 1e7 + 0.5).cast("decimal(38,0)")).as("s"),
+          count(lit(1)).as("n"))
+        .select(col("j"), col("code"), col("pos"),
+          (col("s").cast("double") / 1e7 / col("n")).as("mean"))
+        .collect() // m×ks×dsub model parameters, not data
+      val next = cb.clone()
+      moments.foreach { r =>
+        next((r.getAs[Int]("j") * ks + r.getAs[Int]("code")) * dsub +
+          r.getAs[Int]("pos")) = r.getAs[Double]("mean").toFloat
+      }
+      cb = next
+      it += 1
+    }
+    cb
+  }
+
+  /** IVF-PQ ANN top-k — the memory-bound 100 TB vector path: the coarse
+    * IVF quantizer routes each query to nProbe cells, candidates score
+    * with `m` ADC table lookups against their m-byte PQ code (not their
+    * 4·dim-byte raw vector), the ADC top-`refine` per query re-rank
+    * EXACTLY, and the exact top-k of those is emitted (faiss's
+    * IVFPQ+refine composition). The probe join moves only (cell, codes,
+    * norm) — an index row is ~m bytes of code, which is what lets a
+    * 10^9-vector index live in cluster RAM; raw embeddings are touched
+    * only by the final refine join, keyed and shuffle-partitionable.
+    *
+    * Exact per-vector norms are computed at index build time (standard:
+    * the code approximates the direction, the norm is stored), so the
+    * ADC cosine is dot_approx / (|q|·|v|); the refine stage replaces it
+    * with the exact value, making the output's cos_sim column exact for
+    * every emitted row. Deterministic end to end: fixed-point-trained
+    * quantizer + codebook, deterministic code assignment (lower index
+    * wins ties), ADC doubles accumulated sequentially, id tiebreaks in
+    * both ranking windows.
+    */
+  def knnIvfPq(queries: DataFrame, corpus: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 4, m: Int = 8, ks: Int = 64,
+      refine: Int = 64, dim: Int = 64, trainIters: Int = 3,
+      centroids: Option[Array[Array[Float]]] = None,
+      codebook: Option[Array[Float]] = None): DataFrame = {
+    val dsub = dim / m
+    val cents = centroids.getOrElse(trainCentroids(corpus, nCells, trainIters))
+    val cb = codebook.getOrElse(trainPqCodebook(corpus, m, ks, trainIters, dim))
+    val c = corpus.select(col("vec_id").as("n_vec_id"),
+      nearestCell(col("embedding"), cents).as("cell"),
+      graft.functions.VecFunctions.pqEncodeF(
+        col("embedding"), cb, m, ks, dsub).as("codes"),
+      norm(col("embedding")).as("n_norm"))
+    val q = queries.select(col("vec_id").as("q_vec_id"), col("embedding").as("q_emb"),
+      norm(col("embedding")).as("q_norm"),
+      graft.functions.VecFunctions.pqAdcTableF(
+        col("embedding"), cb, m, ks, dsub).as("adc"),
+      explode(nearestCells(col("embedding"), cents, nProbe)).as("cell"))
+    // ADC score: m table lookups summed via a codegen'd HOF fold
+    val adcDot = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+      (acc, j) => acc + element_at(col("adc"), j * ks + element_at(col("codes"), j + 1) + 1))
+    val wAdc = Window.partitionBy(col("q_vec_id"))
+      .orderBy(col("adc_sim").desc, col("n_vec_id"))
+    val refined = broadcast(q).join(c, Seq("cell"))
+      .filter(col("q_vec_id") =!= col("n_vec_id"))
+      .withColumn("adc_sim", adcDot / (col("q_norm") * col("n_norm")))
+      .withColumn("arnk", row_number().over(wAdc))
+      .filter(col("arnk") <= refine)
+    // exact re-rank of the ADC survivors only
+    val w = Window.partitionBy(col("q_vec_id"))
+      .orderBy(col("cos_sim").desc, col("n_vec_id"))
+    refined
+      .join(corpus.select(col("vec_id").as("n_vec_id"), col("embedding").as("n_emb")),
+        Seq("n_vec_id"))
+      .withColumn("cos_sim", dot(col("q_emb"), col("n_emb")) / (col("q_norm") * col("n_norm")))
+      .select(col("q_vec_id"), col("n_vec_id"), col("cos_sim"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
   /** ANN top-k: hyperplane-bucketed corpus, multi-probe (Hamming-1)
     * queries, exact ranking of candidates. Same output shape as
     * knnExact; recall < 1 by construction.

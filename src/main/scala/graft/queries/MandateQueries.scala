@@ -255,6 +255,56 @@ object MandateQueries {
       .select(col("q_vec_id"), col("exact_top5"), col("recall_ok"))
   }
 
+  /** Q61: IVF-PQ ANN — the memory-bound 100 TB vector path (candidates
+    * carry m-byte PQ codes through the probe join, not 256-byte raw
+    * vectors; ADC table-lookup scoring; exact re-rank of the ADC
+    * top-32). Same guarantee-band oracle as q29: the exact top-5 the
+    * oracle can state plus the engine-checked recall_ok (≥ 0.6, the
+    * VectorSpec floor). Quantizer AND codebook are memoized per corpus
+    * dir — index artifacts, trained once.
+    */
+  private val pqCodebooks =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Float]]()
+
+  val q61 = QueryDef.sql(
+    "q61_ann_ivfpq",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |p AS (SELECT q.vec_id AS q_vec_id, c.vec_id AS n_vec_id,
+      |             list_dot_product(q.emb, c.emb) /
+      |             (sqrt(list_dot_product(q.emb, q.emb)) * sqrt(list_dot_product(c.emb, c.emb))) AS cos_sim
+      |      FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+      |r AS (SELECT q_vec_id, n_vec_id,
+      |             row_number() OVER (PARTITION BY q_vec_id
+      |                                ORDER BY cos_sim DESC, n_vec_id) AS rnk
+      |      FROM p)
+      |SELECT q_vec_id,
+      |       string_agg(CAST(n_vec_id AS VARCHAR), ',' ORDER BY rnk) AS exact_top5,
+      |       TRUE AS recall_ok
+      |FROM r WHERE rnk <= 5 GROUP BY q_vec_id""".stripMargin) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    val cents = ivfCentroids.computeIfAbsent(dir, _ =>
+      VectorSearch.trainCentroids(emb, 16, 3, sampleMod = 0))
+    val cb = pqCodebooks.computeIfAbsent(dir, _ =>
+      VectorSearch.trainPqCodebook(emb))
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = VectorSearch.knnExact(q, emb, 5)
+    val pq = VectorSearch.knnIvfPq(q, emb, 5,
+      centroids = Some(cents), codebook = Some(cb))
+      .select(col("q_vec_id"), col("n_vec_id"))
+    val hits = exact.select(col("q_vec_id"), col("n_vec_id"))
+      .join(pq, Seq("q_vec_id", "n_vec_id"), "left_semi")
+      .agg(count(lit(1)).as("_nh"))
+    val tot = exact.agg(count(lit(1)).as("_nt"))
+    val ok = hits.crossJoin(tot) // 1 row × 1 row
+      .select((col("_nh").cast("double") >= lit(0.6) * col("_nt")).as("recall_ok"))
+    exact.groupBy(col("q_vec_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("rnk"), col("n_vec_id")))),
+          x => x.getField("n_vec_id").cast("string")), ",").as("exact_top5"))
+      .crossJoin(broadcast(ok))
+      .select(col("q_vec_id"), col("exact_top5"), col("recall_ok"))
+  }
+
   /** Q21: top-20 tokens over the English slice. */
   val q21 = QueryDef.sql(
     "q21_text_tokens",
@@ -400,5 +450,5 @@ object MandateQueries {
   }
 
   val all: Seq[QueryDef] = Seq(q18, q18b, q19, q20, q21, q22, q26, q27,
-    q28, q28b, q29, q30, q31, q32, q33, q34, q58, q59)
+    q28, q28b, q29, q30, q31, q32, q33, q34, q58, q59, q61)
 }

@@ -43,6 +43,32 @@ class VectorSpec extends SparkSpec {
     assert(recall >= 0.6, s"IVF recall $recall")
   }
 
+  test("IVF-PQ: codes reconstruct their own centroid best; ANN reaches >= 60% of exact top-5") {
+    // PQ encoder sanity: a vector that IS a codebook centroid must
+    // encode to that centroid's index in every subspace
+    val cb = VectorSearch.trainPqCodebook(emb)
+    val m = 8; val ks = 64; val dsub = 8
+    val centroidVec = (0 until 64).map(i => cb((i / dsub) * ks * dsub + (i % dsub) + 0))
+    // ^ centroid 0 of each subspace concatenated
+    val df = Seq((1L, centroidVec)).toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        graft.functions.VecFunctions.pqEncodeF(col("embedding"), cb, m, ks, dsub).as("codes"))
+    assert(df.select("codes").as[Seq[Int]].head() == Seq.fill(m)(0))
+
+    val exact = VectorSearch.knnExact(emb.filter(col("vec_id") < 10), emb, 5)
+      .select("q_vec_id", "n_vec_id").as[(Long, Long)].collect().toSet
+    val pq = VectorSearch.knnIvfPq(emb.filter(col("vec_id") < 10), emb, 5)
+      .select("q_vec_id", "n_vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect pq).size.toDouble / exact.size
+    assert(recall >= 0.6, s"IVF-PQ recall $recall")
+  }
+
+  test("PQ codebook training is partition-invariant (fixed-point updates)") {
+    val c1 = VectorSearch.trainPqCodebook(emb)
+    val c2 = VectorSearch.trainPqCodebook(emb.repartition(7))
+    assert(c1.toSeq == c2.toSeq)
+  }
+
   test("Lloyd-trained quantizer: deterministic, no empty cells, assignments move") {
     val c1 = VectorSearch.trainCentroids(emb, 8, 3)
     val c2 = VectorSearch.trainCentroids(emb.repartition(7), 8, 3)
