@@ -153,6 +153,53 @@ object CorpusOps {
       .select(col("id").as(idCol)).distinct()
   }
 
+  /** Decontamination through a Bloom filter of the eval set's shingle
+    * hashes — the no-shuffle form of [[contaminated]]: the filter is ONE
+    * aggregated row (128 KiB) broadcast to every corpus partition, and
+    * the corpus side is a codegen'd bitwise probe per shingle, so the
+    * candidate relation is never shuffled at all. Bloom guarantees no
+    * false negatives, so the flagged set is a SUPERSET of the exact
+    * answer; at 100 TB the exact semi-join then runs only on the flagged
+    * sliver (candidates-then-verify, like MinHash → exact Jaccard).
+    * Output: the flagged doc ids.
+    */
+  def bloomContaminated(candidates: DataFrame, evalDocs: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    import graft.functions.BloomAgg
+    // Raw shingle streams on BOTH sides: insertion (bitwise OR) and the
+    // probe are idempotent, so neither side pays a dedup shuffle — the
+    // only shuffle in the whole path is the final distinct of the tiny
+    // flagged-id set.
+    val bloom = Shingles.tokenShinglesRaw(evalDocs, idCol, textCol, n)
+      .select(BloomAgg.lift(col("s")).as("h"))
+      .agg(udaf(BloomAgg).apply(col("h")).as("bloom"))
+    val candShingles = Shingles.tokenShinglesRaw(candidates, idCol, textCol, n)
+    candShingles.join(broadcast(bloom)) // 1-row broadcast, no shuffle
+      .filter(BloomAgg.mightContain(col("bloom"), col("s")))
+      .select(col("id").as(idCol)).distinct()
+  }
+
+  /** Cross-document duplicated-n-gram fraction — the corpus-level
+    * repetition signal (complement of q59's WITHIN-document repetition):
+    * for each doc, the share of its distinct n-gram shingles that occur
+    * in at least `minDocs` documents. High values mark boilerplate and
+    * template pages; web-corpus curation thresholds on exactly this
+    * statistic. Two keyed shuffles: document frequency by shingle (the
+    * join back reuses that partitioning), then per-doc aggregation by id
+    * — no self-join, no all-pairs anything.
+    */
+  def dupNgramStats(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minDocs: Int = 2): DataFrame = {
+    val sh = Shingles.tokenShingles(df, idCol, textCol, n)
+    val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("dfc"))
+    sh.join(dfreq, Seq("s"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("dfc") >= minDocs, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("id").as(idCol), col("n_shingles"),
+        (col("n_dup").cast("double") / col("n_shingles")).as("dup_frac"))
+  }
+
   /** Deterministic train/val/test split by multiplicative integer hash
     * (Knuth 2654435761 mod 2^32) of the id — reproducible across runs,
     * engines, and partitionings, unlike rand()-based sampling, and

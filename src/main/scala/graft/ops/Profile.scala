@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Column profiler — the ANALYZE-style data-quality pass a 100 TB intake
+  * pipeline runs before anything else: per column, row/null counts,
+  * exact distinct cardinality, and min/max. One row out per column.
+  *
+  * Shape, chosen for scale:
+  *  - counts + typed min/max come from ONE full-scan Aggregate with
+  *    map-side partials and a single 1-row reduce — no shuffle of data,
+  *    2×width aggregation buffers.
+  *  - exact distinct counts go through an UNPIVOTED two-level aggregate:
+  *    explode each row to (column, rendered value) and count twice,
+  *    keyed by (column, value) then (column). This is the form that
+  *    scales: N× `count(DISTINCT c)` in one Aggregate triggers Spark's
+  *    Expand rewrite (N copies of every input row through one shuffle),
+  *    while the unpivot shuffles each value once, partially aggregated.
+  *    (At 100 TB you might swap exact for HLL per column — q13's
+  *    operator — but the profiler's contract here is exact.)
+  *
+  * `render` maps each typed column to its canonical string form; it is
+  * applied AFTER min/max (numeric min over strings would be
+  * lexicographic and wrong) and BEFORE distinct (injective rendering
+  * keeps the count exact).
+  */
+object Profile {
+
+  /** columns: (name, typedCol, render) — render must be injective and
+    * deterministic (it defines both the distinct-count domain and the
+    * min/max display form).
+    */
+  def profile(df: DataFrame,
+      columns: Seq[(String, Column, Column => Column)]): DataFrame = {
+    // Pass 1: single-row aggregate — counts and typed extrema.
+    val aggCols = columns.flatMap { case (n, c, _) =>
+      Seq(count(c).as(s"nn_$n"), min(c).as(s"mn_$n"), max(c).as(s"mx_$n"))
+    }
+    val pass1 = df.agg(count(lit(1)).as("n_rows"), aggCols: _*)
+      .select(col("n_rows"), explode(array(columns.map { case (n, _, render) =>
+        struct(lit(n).as("cname"),
+          (col("n_rows") - col(s"nn_$n")).as("n_nulls"),
+          render(col(s"mn_$n")).as("min_val"),
+          render(col(s"mx_$n")).as("max_val"))
+      }: _*)).as("p"))
+      .select(col("n_rows"), col("p.cname"), col("p.n_nulls"),
+        col("p.min_val"), col("p.max_val"))
+    // Pass 2: unpivot → two-level exact distinct count per column.
+    val distincts = df
+      .select(explode(array(columns.map { case (n, c, render) =>
+        struct(lit(n).as("cname"), render(c).as("sval"))
+      }: _*)).as("u"))
+      .select(col("u.cname"), col("u.sval"))
+      .where(col("sval").isNotNull)
+      .groupBy(col("cname"), col("sval")).agg(count(lit(1)).as("_c"))
+      .groupBy(col("cname")).agg(count(lit(1)).as("n_distinct"))
+    pass1.join(broadcast(distincts), Seq("cname")) // |columns| rows each
+      .select(col("cname"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"), col("min_val"), col("max_val"))
+  }
+}

@@ -14,16 +14,23 @@ import org.apache.spark.sql.DataFrame
   */
 object Shingles {
 
-  /** Distinct (id, shingle) pairs; n consecutive whitespace tokens. */
-  def tokenShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+  /** ALL (id, shingle) pairs in document order, duplicates included —
+    * no shuffle at all (scan → explode). The right input for consumers
+    * whose downstream op is idempotent per (id, s) (Bloom insertion and
+    * probing) or that dedup later anyway.
+    */
+  def tokenShinglesRaw(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     df.select(col(idCol).as("id"), split(col(textCol), " ").as("t"))
       .filter(size(col("t")) >= n)
       .select(col("id"), explode(expr(
         s"transform(sequence(0, size(t) - $n), i -> " +
           (0 until n).map(j => s"t[i + $j]").mkString("concat_ws(' ', ", ", ", ")") + ")"))
         .as("s"))
-      .distinct()
   }
+
+  /** Distinct (id, shingle) pairs; n consecutive whitespace tokens. */
+  def tokenShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    tokenShinglesRaw(df, idCol, textCol, n).distinct()
 
   /** Distinct (id, shingle) pairs of n consecutive CHARACTERS — the
     * tokenizer-free variant (robust to languages without whitespace

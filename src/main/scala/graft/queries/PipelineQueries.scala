@@ -238,6 +238,113 @@ object PipelineQueries {
       .select(col("doc_id"), col("source"), col("grp_rank"))
   }
 
+  /** Q62: column profiler over `orders` — the ANALYZE-style intake pass
+    * (row/null counts, exact distinct cardinality, min/max per column).
+    * See [[graft.ops.Profile]] for why distinct counts go through an
+    * unpivoted two-level aggregate instead of N× count(DISTINCT) in one
+    * Aggregate (Spark's Expand rewrite shuffles N copies of every row).
+    * Renders are pinned per type on BOTH sides (decimal(18,2) for the
+    * price, second-truncated ISO for the timestamp) so min/max/distinct
+    * are computed over identical domains.
+    */
+  val q62 = QueryDef.sql(
+    "q62_profile",
+    """SELECT 'o_orderkey' AS cname, CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_nulls,
+      |       CAST(count(DISTINCT CAST(o_orderkey AS VARCHAR)) AS BIGINT) AS n_distinct,
+      |       CAST(min(o_orderkey) AS VARCHAR) AS min_val,
+      |       CAST(max(o_orderkey) AS VARCHAR) AS max_val FROM orders
+      |UNION ALL
+      |SELECT 'o_custkey', CAST(count(*) AS BIGINT),
+      |       CAST(count(*) - count(o_custkey) AS BIGINT),
+      |       CAST(count(DISTINCT CAST(o_custkey AS VARCHAR)) AS BIGINT),
+      |       CAST(min(o_custkey) AS VARCHAR),
+      |       CAST(max(o_custkey) AS VARCHAR) FROM orders
+      |UNION ALL
+      |SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+      |       CAST(count(*) - count(o_orderstatus) AS BIGINT),
+      |       CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+      |       min(o_orderstatus), max(o_orderstatus) FROM orders
+      |UNION ALL
+      |SELECT 'o_totalprice', CAST(count(*) AS BIGINT),
+      |       CAST(count(*) - count(o_totalprice) AS BIGINT),
+      |       CAST(count(DISTINCT CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)) AS BIGINT),
+      |       CAST(CAST(min(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR),
+      |       CAST(CAST(max(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) FROM orders
+      |UNION ALL
+      |SELECT 'o_orderdate', CAST(count(*) AS BIGINT),
+      |       CAST(count(*) - count(o_orderdate) AS BIGINT),
+      |       CAST(count(DISTINCT strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')) AS BIGINT),
+      |       strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+      |       strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') FROM orders
+      |UNION ALL
+      |SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+      |       CAST(count(*) - count(o_orderpriority) AS BIGINT),
+      |       CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+      |       min(o_orderpriority), max(o_orderpriority) FROM orders""".stripMargin) { (spark, dir) =>
+    val asStr: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      _.cast("string")
+    Profile.profile(Tables.orders(spark, dir), Seq(
+      ("o_orderkey", col("o_orderkey"), asStr),
+      ("o_custkey", col("o_custkey"), asStr),
+      ("o_orderstatus", col("o_orderstatus"), identity),
+      ("o_totalprice", col("o_totalprice"),
+        (c: org.apache.spark.sql.Column) => c.cast("decimal(18,2)").cast("string")),
+      ("o_orderdate", col("o_orderdate"),
+        (c: org.apache.spark.sql.Column) => date_format(c, "yyyy-MM-dd HH:mm:ss")),
+      ("o_orderpriority", col("o_orderpriority"), identity)))
+  }
+
+  /** Q63: cross-document duplicated-5-gram fraction — the corpus-level
+    * boilerplate/template signal (q59 measures repetition WITHIN a doc;
+    * this measures how much of a doc is shared ACROSS docs). No
+    * self-join: document frequency by shingle, join back on the same
+    * partitioning, aggregate by doc.
+    */
+  val q63 = QueryDef.sql(
+    "q63_dup_ngrams",
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         unnest(list_transform(range(1, len(t) - 3),
+      |                i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))) AS s
+      |       FROM tok),
+      |dfq AS (SELECT s, count(*) AS dfc FROM sh GROUP BY s)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+      |       CAST(sum(CASE WHEN dfc >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_frac
+      |FROM sh JOIN dfq USING (s) GROUP BY doc_id""".stripMargin) { (spark, dir) =>
+    CorpusOps.dupNgramStats(Tables.documents(spark, dir), "doc_id", "text", 5)
+  }
+
+  /** Q64: Bloom-filter decontamination — same contract as q43 but the
+    * corpus side never shuffles: the eval set's shingle hashes become a
+    * 128 KiB one-row Bloom filter (no false negatives by construction),
+    * broadcast to the corpus scan, probed with codegen'd bitwise
+    * expressions. Guarantee-band oracle (q13/q54/q61 pattern): the rows
+    * are q43's EXACT answer, which the oracle states; `superset_ok` is
+    * the engine-checked guarantee that the Bloom-flagged set contains
+    * every exactly-contaminated doc.
+    */
+  val q64 = QueryDef.sql(
+    "q64_bloom_decontaminate",
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         unnest(list_transform(range(1, len(t) - 3),
+      |                i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))) AS s
+      |       FROM tok),
+      |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0)
+      |SELECT DISTINCT doc_id, TRUE AS superset_ok FROM sh
+      |WHERE doc_id % 50 <> 0 AND s IN (SELECT s FROM ev)""".stripMargin) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val cands = docs.filter(col("doc_id") % 50 =!= 0)
+    val evalD = docs.filter(col("doc_id") % 50 === 0)
+    val exact = CorpusOps.contaminated(cands, evalD, "doc_id", "text", 5)
+    val flagged = CorpusOps.bloomContaminated(cands, evalD, "doc_id", "text", 5)
+    val ok = exact.join(flagged, Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("_m"))
+      .select((col("_m") === 0).as("superset_ok"))
+    exact.crossJoin(broadcast(ok)) // 1-row guarantee band
+  }
+
   val all: Seq[QueryDef] = Seq(q41, q42, q43, q44, q45, q47, q48, q49,
-    q54, q57, q60)
+    q54, q57, q60, q62, q63, q64)
 }

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{CorpusOps, Profile}
+
+class ProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("profile: counts, nulls, exact distinct, typed min/max") {
+    val df = Seq[(java.lang.Long, String)](
+      (3L, "b"), (1L, "a"), (10L, "a"), (null, "c"), (10L, null)
+    ).toDF("k", "v")
+    val asStr: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      _.cast("string")
+    val out = Profile.profile(df, Seq(
+      ("k", col("k"), asStr), ("v", col("v"), identity)))
+      .orderBy("cname")
+      .as[(String, Long, Long, Long, String, String)].collect()
+    // min/max must be numeric, not lexicographic: min=1, max=10 (a
+    // string min would give "1", max "3")
+    assert(out(0) == ("k", 5L, 1L, 3L, "1", "10"))
+    assert(out(1) == ("v", 5L, 1L, 3L, "a", "c"))
+  }
+
+  test("dupNgramStats: shared shingles counted, unique-only doc scores 0") {
+    val docs = Seq(
+      (1L, "w x y z q a b c"),   // shares "w x y z q" with doc 2
+      (2L, "w x y z q d e f"),
+      (3L, "p q r s t u v w")    // nothing shared
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.dupNgramStats(docs, "doc_id", "text", 5)
+      .orderBy("doc_id")
+      .as[(Long, Long, Double)].collect()
+    assert(out(0)._2 == 4 && out(1)._2 == 4 && out(2)._2 == 4)
+    assert(out(0)._3 == 0.25 && out(1)._3 == 0.25 && out(2)._3 == 0.0)
+  }
+}
