@@ -63,43 +63,63 @@ object TextAnalysis {
     *
     * All three are ratios of exactly-counted integers computed in one
     * division each, so they are bitwise-stable across engines (no
-    * order-dependent float accumulation). Shape at scale: one explode
-    * per n-gram order into a keyed (doc, gram) hash aggregate, then a
-    * per-doc aggregate — every step partitioned by doc_id, no windows,
-    * no driver collection.
+    * order-dependent float accumulation).
+    *
+    * Shape at scale: every signal is a function of ONE document's token
+    * array, so the whole computation is per-row — one scan, zero
+    * shuffles — through the fused RepetitionStatsF kernel (one codegen'd
+    * hash pass per document; see its scaladoc for why neither the
+    * HOF-compositional per-row form nor the previous explode→aggregate
+    * form is acceptable: the first interprets a lambda per gram, the
+    * second shuffles ~3× the corpus to compute row-local arithmetic).
+    *
+    * Docs with fewer than 3 tokens emit no row (they have no trigram),
+    * matching the oracle's inner joins across the three gram orders.
     */
   def repetitionSignals(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val toks = split(col(textCol), " ")
-    // guard: sequence(0, -1) would count DOWN (Spark picks step -1),
-    // producing out-of-range element_at indices on docs shorter than n
-    // tokens — emit no grams instead (matching SQL range() semantics),
-    // which drops the doc from the inner joins on both engines alike
-    def grams(n: Int): Column =
-      if (n == 1) toks
-      else when(size(toks) >= n,
-        transform(sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
-        .otherwise(array())
-    def stats(n: Int, distinctFracName: String, topFracName: Option[String]) = {
-      val perGram = docs
-        .select(col(idCol).as("doc_id"), explode(grams(n)).as("g"))
-        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("nd"), sum(col("c")).as("nt"), max(col("c")).as("mx"))
-      val base = perGram.select(col("doc_id"),
-        (lit(1.0) - col("nd").cast("double") / col("nt")).as(distinctFracName),
-        col("mx"), col("nt"))
-      topFracName match {
-        case Some(f) => base.select(col("doc_id"), col(distinctFracName),
-          (col("mx").cast("double") * 2 / (col("nt") + 1)).as(f))
-        case None => base.select(col("doc_id"), col(distinctFracName))
-      }
-    }
-    val uni = stats(1, "dup_token_frac", None)
-    val tri = stats(3, "dup_trigram_frac", None)
-    val bi = stats(2, "_bi_dup", Some("top_bigram_frac")).drop("_bi_dup")
-    uni.join(bi, Seq("doc_id")).join(tri, Seq("doc_id"))
+    val st = graft.functions.TextFunctions.repetitionStats(toks)
+    docs
+      .filter(size(toks) >= 3) // no trigram → no row (oracle inner join)
+      .select(col(idCol).as("doc_id"), st.as("st"))
+      .select(col("doc_id"),
+        (lit(1.0) - col("st.nd1").cast("double") / col("st.nt1"))
+          .as("dup_token_frac"),
+        (col("st.mx2").cast("double") * 2 / (col("st.n2") + 1))
+          .as("top_bigram_frac"),
+        (lit(1.0) - col("st.nd3").cast("double") / col("st.n3"))
+          .as("dup_trigram_frac"))
+  }
+
+  /** Unigram-LM negative-log-likelihood score — the perplexity-proxy
+    * quality signal (the CCNet recipe scores documents with a language
+    * model and keeps the low-perplexity band; a unigram model is its
+    * engine-native, training-free form). Add-half smoothing:
+    * nll(token) = −ln((cnt + 0.5) / (N + 0.5·V)). High avg_nll marks
+    * rare-token soup (gibberish/OCR noise), low marks degenerate
+    * repetition of frequent tokens.
+    *
+    * Shape at scale: the model (vocabulary→nll) is vocabulary-sized —
+    * aggregated once, then BROADCAST back to the corpus token stream,
+    * so the corpus-side join shuffles nothing; the only corpus shuffle
+    * is the final per-doc aggregate (map-side partial avg). Natural-
+    * language vocabulary grows ~O(corpus^0.5) (Heaps' law), so the
+    * broadcast stays small at 100 TB.
+    */
+  def unigramLogProb(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("token"))
+    val tf = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val totals = tf.agg(sum(col("cnt")).as("n"), count(lit(1)).as("v"))
+    val model = tf.crossJoin(broadcast(totals)) // 1-row totals
+      .select(col("token"),
+        (-log((col("cnt") + 0.5) / (col("n") + lit(0.5) * col("v")))).as("nll"))
+    toks.join(broadcast(model), Seq("token"))
+      .groupBy(col("doc_id"))
+      .agg(avg(col("nll")).as("avg_nll"),
+        count(lit(1)).cast("long").as("n_tokens"))
   }
 
   /** Whitespace token count and BPE-ish regex token count. */

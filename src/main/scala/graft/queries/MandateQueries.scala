@@ -449,6 +449,21 @@ object MandateQueries {
       Multimodal.withBinaryPayload(Tables.documents(spark, dir))).toDF()
   }
 
+  /** Q66: unigram-LM perplexity proxy (CCNet-style quality band) — see
+    * TextAnalysis.unigramLogProb for the broadcast-model shape.
+    */
+  val q66 = QueryDef.sql(
+    "q66_unigram_logprob",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |tf AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+      |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v FROM tf),
+      |lp AS (SELECT token, -ln((cnt + 0.5) / (n + 0.5 * v)) AS nll
+      |       FROM tf CROSS JOIN tot)
+      |SELECT doc_id, avg(nll) AS avg_nll, CAST(count(*) AS BIGINT) AS n_tokens
+      |FROM tok JOIN lp USING (token) GROUP BY doc_id""".stripMargin) { (spark, dir) =>
+    TextAnalysis.unigramLogProb(Tables.documents(spark, dir), "doc_id", "text")
+  }
+
   val all: Seq[QueryDef] = Seq(q18, q18b, q19, q20, q21, q22, q26, q27,
-    q28, q28b, q29, q30, q31, q32, q33, q34, q58, q59, q61)
+    q28, q28b, q29, q30, q31, q32, q33, q34, q58, q59, q61, q66)
 }

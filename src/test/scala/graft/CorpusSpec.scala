@@ -190,6 +190,14 @@ class CorpusSpec extends SparkSpec {
     assert(math.abs(got(2L)._2 - 2.0 / 8) < 1e-15) // each bigram occurs once: 2*1/8
   }
 
+  test("repetitionSignals is a map-only plan: zero shuffles") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val plan = TextAnalysis.repetitionSignals(docs, "doc_id", "text")
+      .queryExecution.executedPlan
+    val shuffles = plan.collect { case _: ShuffleExchangeExec => 1 }
+    assert(shuffles.isEmpty, plan.toString)
+  }
+
   test("capPerGroup: cap respected, deterministic under repartitioning, decorrelated from split") {
     val capped = CorpusOps.capPerGroup(docs, Seq("source"), "doc_id", 50)
     val sizes = capped.groupBy("source").count().as[(String, Long)].collect()
