@@ -31,6 +31,8 @@ object MinHashLsh {
 
   /** MinHash signature per id: numPerms min-agg columns sig0..sigN. */
   def signatures(shingles: DataFrame, numPerms: Int = 64, seed: Long = 42L): DataFrame = {
+    // (kept as the standalone signature builder; the scaled path uses
+    // docState, which fuses this aggregate with the shingle-set collect)
     val cs = coeffs(numPerms, seed)
     // murmur3 of the shingle, lifted to non-negative
     val h = (hash(col("s")).cast("long") + 2147483648L).as("h")
@@ -92,11 +94,26 @@ object MinHashLsh {
     * aggregate.
     */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int, threshold: Double): DataFrame = {
-    val sh = Shingles.tokenShingles(docs, idCol, textCol, shingleN)
-    val byDoc = docState(sh)
+      shingleN: Int, threshold: Double): DataFrame =
+    nearDupPairsFromShingles(
+      Shingles.tokenShingles(docs, idCol, textCol, shingleN), threshold)
+
+  /** Same scaled path over ANY (id, s) shingle relation — token and
+    * character shingles emit the identical schema, so tokenizer-free
+    * char-gram near-dup (q58's domain) reuses this unchanged. Banding
+    * parameters are tunable per operating point: bands*rows minhash
+    * permutations; P(candidate | jaccard j) = 1 - (1 - j^rows)^bands.
+    * The defaults (16×4) fit true-pair similarity ≥ 0.9 over a sparse
+    * background; char grams over a small shared vocabulary have a
+    * DENSER background (~0.2-0.3), so that caller raises `rows` (e.g.
+    * 12×6: background 0.3 collides at 0.9% while a 0.93 dup still
+    * misses with p < 4e-6 per pair).
+    */
+  def nearDupPairsFromShingles(sh: DataFrame, threshold: Double,
+      bands: Int = 16, rows: Int = 4, seed: Long = 42L): DataFrame = {
+    val byDoc = docState(sh, numPerms = bands * rows, seed = seed)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cands = candidatePairs(byDoc)
+    val cands = candidatePairs(byDoc, bands = bands, rows = rows)
     val a = byDoc.select(col("id").as("doc_id_a"), col("ss").as("ssa"))
     val b = byDoc.select(col("id").as("doc_id_b"), col("ss").as("ssb"))
     cands.join(a, Seq("doc_id_a")).join(b, Seq("doc_id_b"))

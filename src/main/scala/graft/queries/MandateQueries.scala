@@ -95,6 +95,40 @@ object MandateQueries {
         "doc_id", "text", 5), 0.25)
   }
 
+  /** Q58b: charShingles → MinHash banding — the corpus-scale path for
+    * q58's tokenizer-free char-gram near-dup, checked against the SAME
+    * exact formulation (as q26 is vs q19) but UNsliced: the oracle's
+    * self-join is feasible at the sf0.01 gate (~1.5e7 intermediate
+    * pairs) while the Spark side runs banding, which is what survives
+    * sf0.1+ (the exact form fans out ~1.5e9 pairs there — measured,
+    * q58's scaladoc). Operating point: threshold 0.5 splits the
+    * measured similarity structure (injected dups ≥ 0.93 char-jac;
+    * background ≤ 0.35 — verified at sf0.01/sf0.1); 12 bands × 6 rows
+    * keeps the per-pair miss p < 4e-6 at j=0.93 while background-0.3
+    * pairs collide at only 0.9%, so candidates stay ~1% of all pairs
+    * and banding + exact-verify reproduces the exact result.
+    */
+  val q58b = QueryDef.sql(
+    "q58b_chargram_minhash",
+    """WITH sh AS (SELECT DISTINCT doc_id,
+      |         unnest(list_transform(range(1, len(text) - 3),
+      |                i -> substr(text, i, 5))) AS s
+      |       FROM documents WHERE len(text) >= 5),
+      |card AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |pairs AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS c
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT doc_id_a, doc_id_b,
+      |       CAST(c AS DOUBLE) / (ca.n + cb.n - c) AS jac
+      |FROM pairs
+      |JOIN card ca ON doc_id_a = ca.doc_id
+      |JOIN card cb ON doc_id_b = cb.doc_id
+      |WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.5""".stripMargin) { (spark, dir) =>
+    MinHashLsh.nearDupPairsFromShingles(
+      Shingles.charShingles(Tables.documents(spark, dir), "doc_id", "text", 5),
+      0.5, bands = 12, rows = 6)
+  }
+
   /** Q26: MinHash-LSH near-dup — the 100 TB path. Same oracle as Q19:
     * with b=16/r=4 bands the miss probability at Jaccard 0.9 is ~4e-8,
     * so banding + exact-verify must reproduce the exact result.
@@ -464,6 +498,42 @@ object MandateQueries {
     TextAnalysis.unigramLogProb(Tables.documents(spark, dir), "doc_id", "text")
   }
 
+  /** Q67: PII detection + redaction. The synthetic corpus carries no
+    * PII, so the query first composes a PII-bearing column from
+    * doc_id-derived values — IDENTICALLY on both sides (the fixture is
+    * part of the query, like q14's scalar-function table) — then runs
+    * the real operator: per-rule regex match counts on the raw text and
+    * sequential redaction into `clean`. Patterns are RE2-compatible so
+    * Java regex (engine) and RE2 (DuckDB) agree match-for-match; the
+    * full redacted text is hash-compared, not just the counts.
+    */
+  val q67 = QueryDef.sql(
+    "q67_pii_redact", {
+      val Seq(email, ip, phone) = Pii.defaultRules.map(_.pattern)
+      s"""WITH d AS (SELECT doc_id,
+         |  text || ' contact user' || doc_id || '@example.com or admin@test.org from 10.'
+         |       || (doc_id % 200) || '.0.' || (doc_id % 250)
+         |       || ' call 555-01' || (doc_id % 90 + 10) AS txt
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(txt, '$email')) AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(txt, '$ip')) AS BIGINT) AS n_ip,
+         |  CAST(len(regexp_extract_all(txt, '$phone')) AS BIGINT) AS n_phone,
+         |  regexp_replace(regexp_replace(regexp_replace(txt,
+         |    '$email', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$phone', '<PHONE>', 'g') AS clean
+         |FROM d""".stripMargin
+    }) { (spark, dir) =>
+    val withPii = Tables.documents(spark, dir).select(col("doc_id"),
+      concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or admin@test.org from 10."),
+        (col("doc_id") % 200).cast("string"), lit(".0."),
+        (col("doc_id") % 250).cast("string"),
+        lit(" call 555-01"), (col("doc_id") % 90 + 10).cast("string")).as("txt"))
+    Pii.detectAndRedact(withPii, "txt")
+      .select(col("doc_id"), col("n_email"), col("n_ip"), col("n_phone"), col("clean"))
+  }
+
   val all: Seq[QueryDef] = Seq(q18, q18b, q19, q20, q21, q22, q26, q27,
-    q28, q28b, q29, q30, q31, q32, q33, q34, q58, q59, q61, q66)
+    q28, q28b, q29, q30, q31, q32, q33, q34, q58, q58b, q59, q61, q66, q67)
 }

@@ -32,6 +32,18 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh == exactPairs)
   }
 
+  test("char-gram MinHash banding reproduces the exact char-jaccard pair set") {
+    // tokenizer-free path: charShingles feed the SAME banding machinery;
+    // denser char-gram background (~0.2-0.3 jac) → 12 bands × 6 rows
+    val sh = Shingles.charShingles(docs, "doc_id", "text", 5)
+    val exact = Shingles.jaccardPairs(sh, 0.5)
+      .select("doc_id_a", "doc_id_b").as[(Long, Long)].collect().toSet
+    val banded = MinHashLsh.nearDupPairsFromShingles(sh, 0.5, bands = 12, rows = 6)
+      .select("doc_id_a", "doc_id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    assert(banded == exact)
+  }
+
   test("SimHash hamming tracks jaccard: high recall at <=7, near-dups at low hamming") {
     val sim = SimHash.nearDupPairs(docs, "doc_id", "text", 7)
       .select("doc_id_a", "doc_id_b").as[(Long, Long)].collect().toSet
