@@ -50,6 +50,27 @@ object TextAnalysis {
       .withColumn("len_valid", length(col(textCol)).cast("long") === col(nCharsCol))
   }
 
+  /** C4-style quality GATE (the filter itself, downstream of the
+    * [[qualityFeatures]] surface): appends per-row verdict columns —
+    * `n_tok`, `n_distinct`, `reason` (FIRST failing rule, or 'ok') and
+    * `keep`. Rules are integer-only comparisons (`minTtrPct` is the
+    * type-token-ratio floor in percent, checked as
+    * n_distinct*100 < n_tok*pct), so the verdict never hinges on float
+    * rounding and is bitwise-identical across engines. Per-row map-side
+    * work: one scan, zero shuffles at any corpus size.
+    */
+  def qualityFilter(df: DataFrame, textCol: String, minTokens: Int,
+      minTtrPct: Int): DataFrame = {
+    val tokens = split(col(textCol), " ")
+    df.withColumn("n_tok", size(tokens).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(tokens)).cast("long"))
+      .withColumn("reason",
+        when(col("n_tok") < minTokens, "too_short")
+          .when(col("n_distinct") * 100 < col("n_tok") * minTtrPct, "repetitive")
+          .otherwise("ok"))
+      .withColumn("keep", col("reason") === "ok")
+  }
+
   /** Repetition-based quality signals (the Gopher-rules family — Rae et
     * al. 2021 §A1.1 — re-grounded on token streams): excessive internal
     * repetition is the strongest single predictor of machine-generated /

@@ -345,6 +345,94 @@ object PipelineQueries {
     exact.crossJoin(broadcast(ok)) // 1-row guarantee band
   }
 
+  /** Q68: the quality GATE itself (q31/q59 emit features; this is the
+    * filter verdict a pipeline acts on): per-doc keep/drop with the
+    * FIRST failing rule as the reason — drop-reason accounting is how
+    * real curation pipelines stay auditable. Integer-only rule math
+    * (see TextAnalysis.qualityFilter) keeps the verdict engine-stable.
+    */
+  val q68 = QueryDef.sql(
+    "q68_quality_filter",
+    """WITH t AS (SELECT doc_id,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+      |         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
+      |       FROM documents)
+      |SELECT doc_id, n_tok, n_distinct,
+      |       CASE WHEN n_tok < 25 THEN 'too_short'
+      |            WHEN n_distinct * 100 < n_tok * 30 THEN 'repetitive'
+      |            ELSE 'ok' END AS reason,
+      |       n_tok >= 25 AND n_distinct * 100 >= n_tok * 30 AS keep
+      |FROM t""".stripMargin) { (spark, dir) =>
+    TextAnalysis.qualityFilter(Tables.documents(spark, dir), "text", 25, 30)
+      .select(col("doc_id"), col("n_tok"), col("n_distinct"),
+        col("reason"), col("keep"))
+  }
+
+  /** Q69: the curation FUNNEL — the flagship composition proof: quality
+    * gate → exact dedup (keep earliest) → near-dup drop (MinHash-banded
+    * pairs among survivors; equals the exact formulation the oracle
+    * states, the q26-vs-q19 guarantee) → per-source cap, emitting the
+    * per-stage survivor counts a pipeline run reports. Every stage is an
+    * existing operator composed unchanged; near-dup drop is
+    * non-cascading (a doc is dropped iff it is the LARGER id of some
+    * pair among s2 survivors) so the semantics are order-free and
+    * engine-stable.
+    */
+  val q69 = QueryDef.sql(
+    "q69_curation_funnel",
+    """WITH t AS (SELECT doc_id, text, source,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+      |         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS nd
+      |       FROM documents),
+      |s1 AS (SELECT doc_id, text, source FROM t
+      |       WHERE n_tok >= 25 AND nd * 100 >= n_tok * 30),
+      |s2 AS (SELECT d.doc_id, d.text, d.source FROM s1 d
+      |       JOIN (SELECT text, min(doc_id) AS m FROM s1 GROUP BY text) g
+      |         ON d.doc_id = g.m),
+      |tok AS (SELECT doc_id, string_split(text, ' ') AS tt FROM s2),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         unnest(list_transform(range(1, len(tt) - 1),
+      |                i -> tt[i] || ' ' || tt[i+1] || ' ' || tt[i+2])) AS s
+      |       FROM tok),
+      |card AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |cp AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+      |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |       GROUP BY 1, 2),
+      |dropped AS (SELECT DISTINCT db FROM cp
+      |            JOIN card ca ON da = ca.doc_id JOIN card cb ON db = cb.doc_id
+      |            WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.6),
+      |s3 AS (SELECT * FROM s2 WHERE doc_id NOT IN (SELECT db FROM dropped)),
+      |s4 AS (SELECT doc_id FROM (
+      |         SELECT doc_id, row_number() OVER (
+      |           PARTITION BY source
+      |           ORDER BY (doc_id % 1073741824) * 2246822519 % 4294967296, doc_id) AS r
+      |         FROM s3) WHERE r <= 15)
+      |SELECT 's0_total' AS stage, count(*) AS n_docs FROM documents
+      |UNION ALL SELECT 's1_quality', count(*) FROM s1
+      |UNION ALL SELECT 's2_exact_dedup', count(*) FROM s2
+      |UNION ALL SELECT 's3_near_dedup', count(*) FROM s3
+      |UNION ALL SELECT 's4_source_cap', count(*) FROM s4""".stripMargin) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val s1 = TextAnalysis.qualityFilter(docs, "text", 25, 30)
+      .filter(col("keep")).select(col("doc_id"), col("text"), col("source"))
+    // s2 feeds four consumers (its own count, the pair generation, and
+    // the s3/s4 chains) — persist the survivor set once instead of
+    // re-deriving scan→filter→dedup per stage count
+    val s2 = Dedup.keepMinBy(s1, Seq("text"), col("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = MinHashLsh.nearDupPairs(s2, "doc_id", "text", 3, 0.6)
+    val s3 = s2.join(pairs.select(col("doc_id_b").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+    val s4 = CorpusOps.capPerGroup(s3, Seq("source"), "doc_id", 15)
+    def stage(label: String, df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)).as("n_docs")).select(lit(label).as("stage"), col("n_docs"))
+    stage("s0_total", docs)
+      .unionAll(stage("s1_quality", s1))
+      .unionAll(stage("s2_exact_dedup", s2))
+      .unionAll(stage("s3_near_dedup", s3))
+      .unionAll(stage("s4_source_cap", s4))
+  }
+
   val all: Seq[QueryDef] = Seq(q41, q42, q43, q44, q45, q47, q48, q49,
-    q54, q57, q60, q62, q63, q64)
+    q54, q57, q60, q62, q63, q64, q68, q69)
 }
