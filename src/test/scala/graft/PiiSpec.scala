@@ -30,6 +30,18 @@ class PiiSpec extends SparkSpec {
     assert(out(2)._4 == "edge <IP> is still ip-shaped; 555-12345 is five digits")
   }
 
+  test("pii: redaction is idempotent on the corpus fixture — clean text has zero residual matches") {
+    val docs = Tables.documents(spark, sf001).select(col("doc_id"),
+      concat(col("text"), lit(" u"), col("doc_id").cast("string"),
+        lit("@ex.org at 10.0."), (col("doc_id") % 250).cast("string"),
+        lit(".7 tel 555-0123")).as("txt"))
+    val once = Pii.detectAndRedact(docs, "txt").select(col("doc_id"), col("clean").as("txt"))
+    val twice = Pii.detectAndRedact(once, "txt")
+    val residual = twice.agg(
+      sum(col("n_email") + col("n_ip") + col("n_phone")).as("r")).as[Long].head()
+    assert(residual == 0L, s"redacted text still matches $residual times")
+  }
+
   test("quality gate: first failing rule wins, integer-only thresholds") {
     val df = Seq(
       (1L, Seq.fill(30)("w").zipWithIndex.map { case (w, i) => s"$w$i" }.mkString(" ")), // 30 distinct

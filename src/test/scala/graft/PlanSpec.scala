@@ -151,6 +151,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q67/q68: per-row text gates plan as zero-shuffle scans") {
+    // PII redaction and the quality gate are pure map work — at 100 TB
+    // they must stay embarrassingly parallel: no Exchange anywhere, and
+    // the scan must prune to the columns the rules read
+    for (q <- Seq(graft.queries.MandateQueries.q67,
+                  graft.queries.PipelineQueries.q68)) {
+      val qe = q.fn(spark, sf001).queryExecution
+      assert(!qe.executedPlan.toString.contains("Exchange"),
+        s"${q.name}: map-only query must not shuffle")
+    }
+    val p = plan(graft.queries.PipelineQueries.q68.fn(spark, sf001))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("source") && !readSchema.contains("n_chars"),
+      s"q68 reads only doc_id+text: $readSchema")
+  }
+
   test("q54: count-min sketch aggregates with map-side partial merge") {
     val p = graft.queries.PipelineQueries.q54.fn(spark, sf001)
       .queryExecution.executedPlan.toString
