@@ -54,6 +54,31 @@ object VectorSearch {
       .select(col("q_vec_id"), col("n_vec_id"), col("cos_sim"), col("rnk"))
   }
 
+  /** kNN majority-vote label classification — the label-propagation /
+    * weak-annotation pass of a training-data pipeline (assign a class to
+    * an unlabeled item from its nearest labeled neighbors). Composes
+    * [[knnExact]] (broadcast query set, codegen'd dot kernel) with one
+    * keyed vote aggregate and a per-query window; ties break
+    * deterministically to the smallest label so the result is
+    * engine-stable. Output: q_vec_id, pred_label, votes, label (the
+    * query's own), correct.
+    */
+  def knnClassify(queries: DataFrame, corpus: DataFrame, k: Int,
+      labelCol: String = "label"): DataFrame = {
+    val nbrs = knnExact(queries, corpus, k)
+    val labels = corpus.select(col("vec_id"), col(labelCol).cast("long"))
+    val votes = nbrs
+      .join(labels.select(col("vec_id").as("n_vec_id"), col(labelCol).as("n_label")), "n_vec_id")
+      .groupBy(col("q_vec_id"), col("n_label"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("q_vec_id"))
+      .orderBy(col("votes").desc, col("n_label"))
+    votes.withColumn("vr", row_number().over(w)).filter(col("vr") === 1)
+      .join(labels.select(col("vec_id").as("q_vec_id"), col(labelCol)), "q_vec_id")
+      .select(col("q_vec_id"), col("n_label").as("pred_label"), col("votes"),
+        col(labelCol), (col("n_label") === col(labelCol)).as("correct"))
+  }
+
   /** All pairs (a < b) with cosine >= threshold — the EXACT all-pairs
     * formulation, O(n²). Kept as the oracle/reference path only (the
     * role q19's exact shingle join plays for q26); the checked scaled

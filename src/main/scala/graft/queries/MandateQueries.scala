@@ -534,6 +534,38 @@ object MandateQueries {
       .select(col("doc_id"), col("n_email"), col("n_ip"), col("n_phone"), col("clean"))
   }
 
+  /** Q70: kNN majority-vote label classification over the embeddings
+    * table's `label` column — the weak-annotation pass (label an item
+    * from its nearest labeled neighbors). Deterministic end to end:
+    * neighbor rank breaks ties on n_vec_id (q20's contract), the vote
+    * breaks ties on the smallest label.
+    */
+  val q70 = QueryDef.sql(
+    "q70_knn_classify",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings),
+      |p AS (SELECT q.vec_id AS q_vec_id, c.vec_id AS n_vec_id, c.label AS n_label,
+      |             list_dot_product(q.emb, c.emb) /
+      |             (sqrt(list_dot_product(q.emb, q.emb)) * sqrt(list_dot_product(c.emb, c.emb))) AS cos_sim
+      |      FROM e q JOIN e c ON q.vec_id < 50 AND q.vec_id <> c.vec_id),
+      |r AS (SELECT q_vec_id, n_label,
+      |             row_number() OVER (PARTITION BY q_vec_id
+      |                                ORDER BY cos_sim DESC, n_vec_id) AS rnk
+      |      FROM p),
+      |v AS (SELECT q_vec_id, n_label, count(*) AS votes
+      |      FROM r WHERE rnk <= 5 GROUP BY 1, 2),
+      |w AS (SELECT q_vec_id, n_label, votes,
+      |             row_number() OVER (PARTITION BY q_vec_id
+      |                                ORDER BY votes DESC, n_label) AS vr
+      |      FROM v)
+      |SELECT w.q_vec_id, CAST(w.n_label AS BIGINT) AS pred_label, w.votes,
+      |       CAST(e.label AS BIGINT) AS label,
+      |       w.n_label = e.label AS correct
+      |FROM w JOIN e ON w.q_vec_id = e.vec_id WHERE vr = 1""".stripMargin) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    VectorSearch.knnClassify(emb.filter(col("vec_id") < 50), emb, 5)
+  }
+
   val all: Seq[QueryDef] = Seq(q18, q18b, q19, q20, q21, q22, q26, q27,
-    q28, q28b, q29, q30, q31, q32, q33, q34, q58, q58b, q59, q61, q66, q67)
+    q28, q28b, q29, q30, q31, q32, q33, q34, q58, q58b, q59, q61, q66, q67,
+    q70)
 }
