@@ -169,5 +169,32 @@ object StreamingQueries {
       .select(col("segment"), col("cnt"), col("sum_value"))
   }
 
-  val all: Seq[QueryDef] = Seq(q23, q24a, q24b, q25, q39, q56)
+  /** Q71: streaming corpus curation — the q68 quality gate applied to
+    * documents arriving as a STREAM (continuous-ingest curation), with a
+    * per-reason running account. The gate itself is the same map-only
+    * operator (TextAnalysis.qualityFilter composes unchanged over
+    * readStream — the batch/stream unification the Dataset API
+    * promises); the aggregate is the only stateful stage.
+    */
+  val q71 = QueryDef.sql(
+    "q71_stream_quality_gate",
+    """WITH t AS (SELECT doc_id,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+      |         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
+      |       FROM documents)
+      |SELECT CASE WHEN n_tok < 25 THEN 'too_short'
+      |            WHEN n_distinct * 100 < n_tok * 30 THEN 'repetitive'
+      |            ELSE 'ok' END AS reason,
+      |       count(*) AS n_docs,
+      |       CAST(sum(n_tok) AS BIGINT) AS tot_tokens
+      |FROM t GROUP BY 1""".stripMargin) { (spark, dir) =>
+    val gated = graft.ops.TextAnalysis.qualityFilter(
+      Replay.documentsStream(spark, dir), "text", 25, 30)
+    val agg = gated.groupBy(col("reason"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tot_tokens"))
+    Replay.runToResult(spark, agg)
+      .select(col("reason"), col("n_docs"), col("tot_tokens"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q23, q24a, q24b, q25, q39, q56, q71)
 }

@@ -48,6 +48,20 @@ object Replay {
     spark.readStream.schema(schema).parquet(staged)
   }
 
+  /** File-stream over the staged documents table — the corpus-as-stream
+    * entry (continuous ingest curation: the same map-only text gates run
+    * unchanged over readStream).
+    */
+  def documentsStream(spark: SparkSession, dir: String): DataFrame = {
+    val fp = graft.sources.Staging.fingerprint(Seq(s"$dir/documents.parquet"))
+    val staged = sys.props("java.io.tmpdir") +
+      s"/graft_replay_docs_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_$fp"
+    if (!Files.exists(Paths.get(s"$staged/_SUCCESS")))
+      Tables.documents(spark, dir).coalesce(1).write.mode("overwrite").parquet(staged)
+    val schema: StructType = spark.read.parquet(staged).schema
+    spark.readStream.schema(schema).parquet(staged)
+  }
+
   /** Run a streaming DataFrame to completion, return the final result.
     * `complete` output mode so every window/group is in the final table
     * regardless of watermark progress at termination.

@@ -67,4 +67,26 @@ class StreamingSpec extends SparkSpec {
     assert(ids.contains(1L) && ids.contains(3L))
     assert(!ids.contains(2L), "event 20 min late beyond 10-min watermark must drop")
   }
+
+  test("quality gate over a stream: stateless map per batch, verdicts equal batch semantics") {
+    // q71's gate is stateless — each doc's verdict must not depend on
+    // batch boundaries; run the same docs split across 2 batches and
+    // whole, and compare
+    val docs = Seq(
+      (1L, (0 until 30).map(i => s"w$i").mkString(" ")),
+      (2L, "tiny doc"),
+      (3L, Seq.fill(40)("x").mkString(" ")),
+      (4L, (0 until 25).map(i => s"v$i").mkString(" ")))
+    val split = runBatches(Seq(docs.take(2), docs.drop(2))) { df =>
+      graft.ops.TextAnalysis.qualityFilter(df.toDF("doc_id", "text"), "text", 25, 30)
+        .select(col("doc_id"), col("reason"), col("keep"))
+    }.as[(Long, String, Boolean)].collect().toSet
+    val whole = graft.ops.TextAnalysis.qualityFilter(
+      docs.toDF("doc_id", "text"), "text", 25, 30)
+      .select(col("doc_id"), col("reason"), col("keep"))
+      .as[(Long, String, Boolean)].collect().toSet
+    assert(split == whole)
+    assert(whole == Set((1L, "ok", true), (2L, "too_short", false),
+      (3L, "repetitive", false), (4L, "ok", true)))
+  }
 }
