@@ -75,4 +75,33 @@ class CdcPipelineE2eSpec extends SparkSpec {
     assert(puts.map(_.body) == Seq("""{"id":1,"v":"b"}"""),
       s"exactly one upsert for key 1, got: ${puts.map(_.body)}")
   }
+
+  test("R12 transform hook: PII scrub runs inside the pipeline before the sink") {
+    import org.apache.spark.sql.functions._
+    val srcDir = Files.createTempDirectory("graft_pii_src_").toString
+    val ckpt = Files.createTempDirectory("graft_pii_ckpt_").toString
+    Seq(ev("c", 1, "mail bob@corp.example please", 1, 1),
+        ev("c", 2, "clean row", 1, 2))
+      .toDF("value", "offset")
+      .coalesce(1).write.mode("overwrite").json(srcDir)
+
+    // the reference's per-event transform (R12) — here the corpus PII
+    // rule applied to the row payload before any sink effect
+    val emailPat = graft.ops.Pii.defaultRules.find(_.name == "email").get.pattern
+    val scrub: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      df => df.withColumn("row", when(col("row").isNotNull,
+        struct(col("row.id").as("id"),
+          regexp_replace(col("row.v"), lit(emailPat), lit("<EMAIL>")).as("v"))))
+
+    val pipe = CdcPipeline("pii", Subscription(Set("d"), Set("t")),
+      StructType(Seq(StructField("id", LongType), StructField("v", StringType))),
+      "id", transform = scrub)
+    val cfg = EsSink.Config("http://es:9200/idx", "u", "p", "id")
+    SinkSpec.recorded.clear()
+    val q = pipe.start(spark, srcDir, ckpt, cfg, new SinkSpec.Recorder)
+    q.awaitTermination()
+    val bodies = SinkSpec.recorded.asScala.toSeq.filter(_.method == "PUT").map(_.body).sorted
+    assert(bodies == Seq("""{"id":1,"v":"mail <EMAIL> please"}""",
+      """{"id":2,"v":"clean row"}"""), s"sink must see scrubbed payloads: $bodies")
+  }
 }
