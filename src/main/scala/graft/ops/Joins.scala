@@ -60,6 +60,42 @@ object Joins {
       .drop("_lbin", "_rbin")
   }
 
+  /** Interval OVERLAP join — both sides carry [start, end) intervals
+    * (half-open, microsecond grain) and a pair matches when the
+    * intervals intersect on the same key. The symmetric companion of
+    * [[rangeJoin]]'s point-in-window shape.
+    *
+    * Scale shape: each interval explodes to the `binSec`-wide bins it
+    * touches (≤ len/binSec + 1 rows — pick binSec near the max interval
+    * length), the join is a keyed EQUIjoin on (key, bin), and each
+    * overlapping pair survives in exactly ONE bin — the canonical bin
+    * `floor(max(l.start, r.start) / W)`, which both sides provably
+    * cover when they overlap — so there is no distinct stage and no
+    * double-counting: one shuffle, no range cross-join, AQE/skew
+    * handling apply unchanged.
+    *
+    * Output: every left column as `l_<name>`, right as `r_<name>`.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      startCol: String, endCol: String, binSec: Long): DataFrame = {
+    val W = binSec * 1000000L // bin width in microseconds
+    def bins(s: String, e: String) =
+      sequence(floor(unix_micros(col(s)) / W),
+        floor((unix_micros(col(e)) - 1) / W))
+    val l0 = left.columns.foldLeft(left)((d, c) => d.withColumnRenamed(c, s"l_$c"))
+    val r0 = right.columns.foldLeft(right)((d, c) => d.withColumnRenamed(c, s"r_$c"))
+    val l = l0.withColumn("_bin", explode(bins(s"l_$startCol", s"l_$endCol")))
+    val r = r0.withColumn("_rbin", explode(bins(s"r_$startCol", s"r_$endCol")))
+    val canonical = floor(greatest(unix_micros(col(s"l_$startCol")),
+      unix_micros(col(s"r_$startCol"))) / W)
+    l.join(r,
+        col(s"l_$keyCol") === col(s"r_$keyCol") && col("_bin") === col("_rbin")
+          && col("_bin") === canonical
+          && col(s"l_$startCol") < col(s"r_$endCol")
+          && col(s"r_$startCol") < col(s"l_$endCol"))
+      .drop("_bin", "_rbin")
+  }
+
   /** As-of join: for every left row, the single latest right row whose
     * `tsCol` is <= the left row's, per key. (The classic time-series
     * lookup the reference family of engines ships as a primitive.)

@@ -67,5 +67,36 @@ object JoinQueries {
         (unix_micros(col("r_ts")) - unix_micros(col("l_ts"))).as("gap_us"))
   }
 
-  val all: Seq[QueryDef] = Seq(q35, q36, q37)
+  /** Q72: interval OVERLAP join — purchase activity windows [ts, ts+2h)
+    * against error windows [ts, ts+1h) per user, with the intersection
+    * duration. The oracle states the naive overlap predicate; the
+    * engine runs the canonical-bin equijoin (each pair emitted in
+    * exactly one bin — see Joins.intervalJoin).
+    */
+  val q72 = QueryDef.sql(
+    "q72_interval_join",
+    """WITH p AS (SELECT user_id, event_id, ts AS s, ts + INTERVAL 2 HOUR AS e
+      |           FROM events WHERE event_type = 'purchase'),
+      |x AS (SELECT user_id, event_id, ts AS s, ts + INTERVAL 1 HOUR AS e
+      |      FROM events WHERE event_type = 'error')
+      |SELECT p.user_id, p.event_id AS l_event, x.event_id AS r_event,
+      |       CAST(date_diff('microsecond', greatest(p.s, x.s), least(p.e, x.e))
+      |            AS BIGINT) AS overlap_us
+      |FROM p JOIN x
+      |  ON p.user_id = x.user_id AND p.s < x.e AND x.s < p.e""".stripMargin) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts").as("s"),
+        (col("ts") + expr("INTERVAL 2 HOURS")).as("e"))
+    val x = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id"), col("ts").as("s"),
+        (col("ts") + expr("INTERVAL 1 HOUR")).as("e"))
+    Joins.intervalJoin(p, x, "user_id", "s", "e", binSec = 2 * 3600)
+      .select(col("l_user_id").as("user_id"),
+        col("l_event_id").as("l_event"), col("r_event_id").as("r_event"),
+        (least(unix_micros(col("l_e")), unix_micros(col("r_e"))) -
+          greatest(unix_micros(col("l_s")), unix_micros(col("r_s")))).as("overlap_us"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q35, q36, q37, q72)
 }

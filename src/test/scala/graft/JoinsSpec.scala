@@ -84,4 +84,26 @@ class JoinsSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(plan).length <= 1,
       "as-of should shuffle once on the key")
   }
+
+  test("intervalJoin: exactly-once per overlapping pair, half-open boundaries, equijoin plan") {
+    import java.sql.Timestamp
+    def t(min: Long) = new Timestamp(min * 60000L)
+    // key 1: [0,120) vs [60,180)  -> overlap (spans multiple 30-min bins: no dup)
+    //        [0,120) vs [120,180) -> touching, half-open: NO match
+    //        [0,120) vs [30,60)   -> contained: match
+    // key 2: [0,60)  vs key-1 rows: key mismatch
+    val left = Seq((1L, 10L, t(0), t(120)), (2L, 11L, t(0), t(60)))
+      .toDF("k", "id", "s", "e")
+    val right = Seq((1L, 20L, t(60), t(180)), (1L, 21L, t(120), t(180)),
+      (1L, 22L, t(30), t(60)))
+      .toDF("k", "id", "s", "e")
+    val out = Joins.intervalJoin(left, right, "k", "s", "e", binSec = 1800)
+      .select(col("l_id"), col("r_id")).as[(Long, Long)].collect().toSeq
+    assert(out.sorted == Seq((10L, 20L), (10L, 22L)),
+      s"expected exactly-once overlap pairs, got $out")
+    val plan = Joins.intervalJoin(left, right, "k", "s", "e", binSec = 1800)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "interval join must stay an equijoin")
+  }
 }
