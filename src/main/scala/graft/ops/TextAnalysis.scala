@@ -143,6 +143,37 @@ object TextAnalysis {
         count(lit(1)).cast("long").as("n_tokens"))
   }
 
+  /** Bigram-LM negative-log-likelihood — the conditional companion of
+    * [[unigramLogProb]] (one Markov order up the CCNet recipe):
+    * nll(w1 w2) = −ln((c(w1,w2) + 0.5) / (c1(w1) + 0.5·V)) with
+    * c1(w1) = occurrences of w1 as a bigram head and V = distinct
+    * second tokens (the prediction space). Scores context fit, not just
+    * token rarity — shuffled word soup that passes a unigram model
+    * scores high here.
+    *
+    * Shape at scale: the model is bigram-TYPE-sized (Heaps-sublinear
+    * but larger than the vocabulary), so the corpus-side score join is
+    * a plain keyed equijoin — AQE converts it to broadcast when the
+    * model fits, and it degrades to a shuffle join (not an OOM) when a
+    * 100 TB corpus's bigram table does not.
+    */
+  def bigramLogProb(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val bg = Shingles.tokenShinglesRaw(docs, idCol, textCol, 2)
+    val cb = bg.groupBy(col("s")).agg(count(lit(1)).as("cb"))
+    val parts = cb.withColumn("w1", split(col("s"), " ")(0))
+      .withColumn("w2", split(col("s"), " ")(1))
+    val c1 = parts.groupBy(col("w1")).agg(sum(col("cb")).cast("double").as("c1"))
+    val v = parts.agg(count_distinct(col("w2")).cast("double").as("v"))
+    val model = parts.join(c1, "w1").crossJoin(broadcast(v)) // 1-row total
+      .select(col("s"),
+        (-log((col("cb") + 0.5) / (col("c1") + lit(0.5) * col("v")))).as("nll"))
+    bg.join(model, "s")
+      .groupBy(col("id"))
+      .agg(avg(col("nll")).as("avg_nll"), count(lit(1)).cast("long").as("n_bigrams"))
+      .select(col("id").as("doc_id"), col("avg_nll"), col("n_bigrams"))
+  }
+
   /** Whitespace token count and BPE-ish regex token count. */
   def tokenCounts(textCol: Column): (Column, Column) = (
     size(split(textCol, " ")).cast("long"),

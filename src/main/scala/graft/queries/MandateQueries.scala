@@ -565,7 +565,27 @@ object MandateQueries {
     VectorSearch.knnClassify(emb.filter(col("vec_id") < 50), emb, 5)
   }
 
+  /** Q73: bigram-LM perplexity proxy — the conditional companion of q66
+    * (see TextAnalysis.bigramLogProb for the model shape).
+    */
+  val q73 = QueryDef.sql(
+    "q73_bigram_logprob",
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+      |                i -> t[i] || ' ' || t[i+1])) AS s
+      |       FROM tok WHERE len(t) >= 2),
+      |cb AS (SELECT s, count(*) AS cb FROM bg GROUP BY s),
+      |c1 AS (SELECT string_split(s, ' ')[1] AS w1, CAST(sum(cb) AS DOUBLE) AS c1
+      |       FROM cb GROUP BY 1),
+      |vv AS (SELECT CAST(count(DISTINCT string_split(s, ' ')[2]) AS DOUBLE) AS v FROM cb),
+      |lp AS (SELECT s, -ln((cb + 0.5) / (c1 + 0.5 * v)) AS nll
+      |       FROM cb JOIN c1 ON string_split(s, ' ')[1] = w1 CROSS JOIN vv)
+      |SELECT doc_id, avg(nll) AS avg_nll, CAST(count(*) AS BIGINT) AS n_bigrams
+      |FROM bg JOIN lp USING (s) GROUP BY doc_id""".stripMargin) { (spark, dir) =>
+    TextAnalysis.bigramLogProb(Tables.documents(spark, dir), "doc_id", "text")
+  }
+
   val all: Seq[QueryDef] = Seq(q18, q18b, q19, q20, q21, q22, q26, q27,
     q28, q28b, q29, q30, q31, q32, q33, q34, q58, q58b, q59, q61, q66, q67,
-    q70)
+    q70, q73)
 }
