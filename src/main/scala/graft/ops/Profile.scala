@@ -31,6 +31,26 @@ object Profile {
     * deterministic (it defines both the distinct-count domain and the
     * min/max display form).
     */
+  /** Join-key skew diagnostic — the pass you run BEFORE deciding whether
+    * a join needs [[Joins.saltedJoin]] / AQE skew hints: the k heaviest
+    * keys with their corpus share, plus the global skew factor
+    * (max key count / mean key count). One keyed count aggregate; the
+    * top-k is `orderBy.limit` (plans as TakeOrderedAndProject — per-
+    * partition heaps, never a global sort), and the global stats are a
+    * broadcast 1-row reduce over the counts relation. All emitted
+    * doubles are single divisions of exactly-counted integers.
+    */
+  def keySkew(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(sum(col("cnt")).as("_t"), count(lit(1)).as("_k"),
+      max(col("cnt")).as("_m"))
+    counts.orderBy(col("cnt").desc, col(keyCol)).limit(k)
+      .crossJoin(broadcast(tot)) // 1-row global stats
+      .select(col(keyCol), col("cnt"),
+        (col("cnt").cast("double") / col("_t")).as("share"),
+        ((col("_m") * col("_k")).cast("double") / col("_t")).as("skew_factor"))
+  }
+
   def profile(df: DataFrame,
       columns: Seq[(String, Column, Column => Column)]): DataFrame = {
     // Pass 1: single-row aggregate — counts and typed extrema.

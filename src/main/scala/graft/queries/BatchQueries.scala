@@ -552,6 +552,22 @@ object BatchQueries {
     * plan-asserted in ZOrderSpec since DuckDB has no partition scans).
     * Both engines compute the identical integer expression.
     */
+  /** Q75: exponentially time-decayed per-user activity score (τ = 1
+    * day against the corpus-max timestamp) — the recency-weighted
+    * feature shape; see ops.Decay for why this costs exactly one keyed
+    * aggregate at any scale.
+    */
+  val q75 = QueryDef.sql(
+    "q75_decayed_sum",
+    """WITH t AS (SELECT max(epoch_us(ts)) AS T FROM events)
+      |SELECT user_id, count(*) AS n_events,
+      |       sum(value * exp(-CAST(T - epoch_us(ts) AS DOUBLE) / 86400000000.0))
+      |         AS decayed_sum
+      |FROM events CROSS JOIN t GROUP BY user_id""".stripMargin) { (spark, dir) =>
+    graft.ops.Decay.decayedSum(Tables.events(spark, dir), "user_id", "ts",
+      col("value"), tauSec = 86400L)
+  }
+
   val q55 = QueryDef.sql(
     "q55_zorder_value", {
       val terms = (0 until 8).map { i =>
@@ -568,5 +584,5 @@ object BatchQueries {
 
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q05b, q06, q07,
     q08, q09, q10, q11, q12, q12b, q13, q14, q15, q16, q38, q40, q46,
-    q50, q51, q52, q55)
+    q50, q51, q52, q55, q75)
 }

@@ -433,6 +433,24 @@ object PipelineQueries {
       .unionAll(stage("s4_source_cap", s4))
   }
 
+  /** Q74: join-key skew diagnostic (see Profile.keySkew) — heaviest
+    * event keys with corpus share and the global skew factor; the
+    * numbers that decide between a plain, salted (q36), or AQE-hinted
+    * join before any shuffle is paid.
+    */
+  val q74 = QueryDef.sql(
+    "q74_key_skew",
+    """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+      |t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tt, count(*) AS kk,
+      |             max(cnt) AS mm FROM c)
+      |SELECT user_id, cnt,
+      |       CAST(cnt AS DOUBLE) / tt AS share,
+      |       CAST(mm * kk AS DOUBLE) / tt AS skew_factor
+      |FROM c CROSS JOIN t
+      |ORDER BY cnt DESC, user_id LIMIT 10""".stripMargin) { (spark, dir) =>
+    Profile.keySkew(graft.Tables.events(spark, dir), "user_id", 10)
+  }
+
   val all: Seq[QueryDef] = Seq(q41, q42, q43, q44, q45, q47, q48, q49,
-    q54, q57, q60, q62, q63, q64, q68, q69)
+    q54, q57, q60, q62, q63, q64, q68, q69, q74)
 }

@@ -167,6 +167,17 @@ class PlanSpec extends SparkSpec {
       s"q68 reads only doc_id+text: $readSchema")
   }
 
+  test("q74/q75: skew top-k is per-partition heaps; decayed sum is one keyed shuffle") {
+    val p74 = graft.queries.PipelineQueries.q74.fn(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(p74.contains("TakeOrderedAndProject"),
+      "heavy-key top-k must not plan as a global sort")
+    val p75 = graft.queries.BatchQueries.q75.fn(spark, sf001)
+      .queryExecution.executedPlan.toString
+    // one shuffle on the key; the reference-time reduce is a 1-row broadcast
+    assert("Exchange hashpartitioning".r.findAllIn(p75).length <= 1, p75)
+  }
+
   test("q54: count-min sketch aggregates with map-side partial merge") {
     val p = graft.queries.PipelineQueries.q54.fn(spark, sf001)
       .queryExecution.executedPlan.toString
