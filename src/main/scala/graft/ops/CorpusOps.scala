@@ -335,6 +335,27 @@ object CorpusOps {
     * fixed-size blocks, which is this same query windowed by
     * row_number() DIV blocksize).
     */
+  /** Fixed-window training-chunk split: each document's token stream is
+    * cut into windows of `window` tokens every `stride` tokens (overlap
+    * = window − stride) — the context-length packing step that turns
+    * variable-length documents into model-sized training samples
+    * (upstream of [[packShards]], which budgets whole docs into shards).
+    * Chunk starts are 0, stride, 2·stride, … while < n_tokens; the tail
+    * chunk may be short. Pure per-row explode — one scan, no shuffle.
+    */
+  def chunkDocs(docs: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(stride > 0 && window >= stride,
+      "window >= stride > 0 (gaps would drop tokens)")
+    docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("t"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, (size(t) - 1) div $stride), " +
+          s"i -> slice(t, i * $stride + 1, $window))")))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+        size(col("col")).cast("long").as("n_tok"),
+        concat_ws(" ", col("col")).as("chunk_text"))
+  }
+
   def invertedIndex(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     // no pre-distinct: collect_set deduplicates (map-side too, in the
     // ObjectHashAggregate partial), so a distinct() here would shuffle

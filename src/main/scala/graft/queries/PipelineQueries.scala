@@ -451,6 +451,21 @@ object PipelineQueries {
     Profile.keySkew(graft.Tables.events(spark, dir), "user_id", 10)
   }
 
+  /** Q76: fixed-window training-chunk split (32-token windows, stride
+    * 24) — see CorpusOps.chunkDocs. The full chunk text is
+    * hash-compared, not just the counts.
+    */
+  val q76 = QueryDef.sql(
+    "q76_chunk_split",
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+      |       CAST(len(list_slice(t, i * 24 + 1, i * 24 + 32)) AS BIGINT) AS n_tok,
+      |       array_to_string(list_slice(t, i * 24 + 1, i * 24 + 32), ' ') AS chunk_text
+      |FROM (SELECT doc_id, t, unnest(range(0, (len(t) - 1) // 24 + 1)) AS i
+      |      FROM tok)""".stripMargin) { (spark, dir) =>
+    CorpusOps.chunkDocs(Tables.documents(spark, dir), "doc_id", "text", 32, 24)
+  }
+
   val all: Seq[QueryDef] = Seq(q41, q42, q43, q44, q45, q47, q48, q49,
-    q54, q57, q60, q62, q63, q64, q68, q69, q74)
+    q54, q57, q60, q62, q63, q64, q68, q69, q74, q76)
 }

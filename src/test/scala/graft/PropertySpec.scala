@@ -264,4 +264,45 @@ class PropertySpec extends SparkSpec {
     val ids = shards.map(_._1).sorted
     assert(ids.toSeq == (0L until ids.length).toSeq)
   }
+
+  test("intervalJoin equals the naive overlap predicate on random intervals") {
+    import graft.ops.Joins
+    val rnd = new scala.util.Random(7)
+    def mkSide(n: Int) = Seq.tabulate(n) { i =>
+      val s = rnd.nextInt(10000).toLong * 60000L
+      (rnd.nextInt(5).toLong, i.toLong, new java.sql.Timestamp(s),
+        new java.sql.Timestamp(s + (rnd.nextInt(600) + 1).toLong * 60000L))
+    }
+    val l = mkSide(300).toDF("k", "id", "s", "e")
+    val r = mkSide(300).toDF("k", "id", "s", "e")
+    val got = Joins.intervalJoin(l, r, "k", "s", "e", binSec = 3600)
+      .select(col("l_id"), col("r_id")).as[(Long, Long)].collect().toSeq
+    val naive = l.as("a").join(r.as("b"),
+        col("a.k") === col("b.k") && col("a.s") < col("b.e") && col("b.s") < col("a.e"))
+      .select(col("a.id"), col("b.id")).as[(Long, Long)].collect().toSeq
+    assert(got.sorted == naive.sorted,
+      s"bin-bucketed form diverged: ${got.size} vs ${naive.size} pairs")
+    assert(got.size == got.distinct.size, "canonical bin must emit each pair once")
+  }
+
+  test("chunkDocs: stride==window partitions the token stream exactly; overlap bounded") {
+    import graft.ops.CorpusOps
+    val rnd = new scala.util.Random(11)
+    val docs = Seq.tabulate(50) { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(100) + 1)(s"t${rnd.nextInt(30)}").mkString(" "))
+    }.toDF("doc_id", "text")
+    // partition case: concatenating chunks in order restores the document
+    val parts = CorpusOps.chunkDocs(docs, "doc_id", "text", 32, 32)
+      .groupBy("doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("chunk_idx"), col("chunk_text")))),
+        x => x.getField("chunk_text")), " ").as("rt"))
+    val diff = parts.join(docs, "doc_id")
+      .filter(col("rt") =!= col("text")).count()
+    assert(diff == 0, "stride==window must reassemble every doc exactly")
+    // overlap case: every chunk is <= window tokens, starts align to stride
+    val ch = CorpusOps.chunkDocs(docs, "doc_id", "text", 32, 24)
+      .select(col("n_tok")).as[Long].collect()
+    assert(ch.forall(n => n >= 1 && n <= 32))
+  }
 }
