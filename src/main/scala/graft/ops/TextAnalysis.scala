@@ -174,6 +174,33 @@ object TextAnalysis {
       .select(col("id").as("doc_id"), col("avg_nll"), col("n_bigrams"))
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS local
+    * fingerprinting algorithm): hash every k-token gram with the
+    * engine-portable rolling hash (q33's formula), slide a w-wide
+    * window over the gram-hash sequence, and select each window's
+    * minimum — the selected set is a position-robust document signature
+    * (any match of length ≥ w+k−1 tokens shares a fingerprint, the
+    * winnowing guarantee) at ~2/(w+1) the gram density.
+    *
+    * Shape at scale: both passes are per-row higher-order expressions
+    * (grams → window minima) over one scan — no shuffle, no UDF; the
+    * only relational work is the final explode. Output: (doc_id, fp),
+    * the distinct selected fingerprints per document.
+    */
+  def winnow(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int): DataFrame = {
+    docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("t"))
+      .filter(size(col("t")) >= k + w - 1) // at least one full window
+      .withColumn("g", expr(
+        s"transform(sequence(0, size(t) - $k), i -> " +
+          s"aggregate(sequence(0, ${k - 1}), CAST(0 AS BIGINT), (a, j) -> " +
+          "(a * 1000003 + CAST(ascii(element_at(t, i + j + 1)) * 131 " +
+          "+ length(element_at(t, i + j + 1)) AS BIGINT)) % 2147483647))"))
+      .select(col("doc_id"), explode(expr(
+        s"array_distinct(transform(sequence(0, size(g) - $w), i -> " +
+          s"array_min(slice(g, i + 1, $w))))")).as("fp"))
+  }
+
   /** Whitespace token count and BPE-ish regex token count. */
   def tokenCounts(textCol: Column): (Column, Column) = (
     size(split(textCol, " ")).cast("long"),

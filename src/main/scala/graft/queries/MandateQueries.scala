@@ -585,7 +585,27 @@ object MandateQueries {
     TextAnalysis.bigramLogProb(Tables.documents(spark, dir), "doc_id", "text")
   }
 
+  /** Q77: winnowing fingerprints (k=5 token grams, w=4 windows) — the
+    * MOSS selection over q33's rolling hash; see TextAnalysis.winnow.
+    */
+  val q77 = QueryDef.sql(
+    "q77_winnow",
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |g AS (SELECT doc_id,
+      |        list_transform(range(0, len(t) - 4), i ->
+      |          list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |            list_transform(range(0, 5), j ->
+      |              CAST(ascii(t[i + j + 1]) * 131 + length(t[i + j + 1]) AS BIGINT))),
+      |            (a, e) -> (a * 1000003 + e) % 2147483647)) AS g
+      |      FROM tok WHERE len(t) >= 8)
+      |SELECT doc_id,
+      |       unnest(list_distinct(list_transform(range(0, len(g) - 3), i ->
+      |         list_min(list_slice(g, i + 1, i + 4))))) AS fp
+      |FROM g""".stripMargin) { (spark, dir) =>
+    TextAnalysis.winnow(Tables.documents(spark, dir), "doc_id", "text", 5, 4)
+  }
+
   val all: Seq[QueryDef] = Seq(q18, q18b, q19, q20, q21, q22, q26, q27,
     q28, q28b, q29, q30, q31, q32, q33, q34, q58, q58b, q59, q61, q66, q67,
-    q70, q73)
+    q70, q73, q77)
 }

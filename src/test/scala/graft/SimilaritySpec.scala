@@ -67,6 +67,24 @@ class SimilaritySpec extends SparkSpec {
     assert(hams.nonEmpty && hams.forall(_ <= 7), s"hamming of 0.97-jaccard pairs: ${hams.toSeq}")
   }
 
+  test("winnowing guarantee: docs sharing a run >= w+k-1 tokens share a fingerprint") {
+    // k=5, w=4: any common substring of >= 8 tokens must yield at least
+    // one common selected fingerprint (the winnowing theorem); disjoint
+    // vocabularies must share none
+    val shared = (0 until 12).map(i => s"common$i").mkString(" ")
+    val df = Seq(
+      (1L, s"alpha beta gamma $shared delta epsilon zeta eta theta"),
+      (2L, s"one two three four five $shared six seven eight nine"),
+      (3L, "wholly unrelated words only here kept long enough for windows"))
+      .toDF("doc_id", "text")
+    val fps = TextAnalysis.winnow(df, "doc_id", "text", 5, 4)
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    assert((fps(1L) intersect fps(2L)).nonEmpty,
+      "shared 12-token run must produce a shared fingerprint")
+    assert((fps(1L) intersect fps(3L)).isEmpty && (fps(2L) intersect fps(3L)).isEmpty,
+      "disjoint vocabulary must share no fingerprints")
+  }
+
   test("keepMinBy keeps exactly the min-ord row per key, idempotently") {
     val deduped = Dedup.keepMinBy(docs, Seq("lang", "source"), col("doc_id"))
     val expected = docs.groupBy("lang", "source").agg(min("doc_id").as("doc_id"))
