@@ -41,4 +41,26 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(topk.count() > 0)
     assert(topk.groupBy("o_custkey").count().agg(max("count")).head.getLong(0) <= 2)
   }
+
+  test("curation operators are reachable from plain SQL: PII rules and the quality gate") {
+    Tables.documents(spark, sf001).createOrReplaceTempView("documents")
+    val emailPat = graft.ops.Pii.defaultRules.find(_.name == "email").get.pattern
+    // literal SQL using only built-in functions — what a SQL-only user
+    // of the engine would write; must agree with the operator API
+    val sqlGate = spark.sql(
+      """SELECT doc_id,
+        |       CASE WHEN size(split(text, ' ')) < 25 THEN 'too_short'
+        |            WHEN size(array_distinct(split(text, ' '))) * 100
+        |                 < size(split(text, ' ')) * 30 THEN 'repetitive'
+        |            ELSE 'ok' END AS reason
+        |FROM documents""".stripMargin)
+    val opGate = graft.ops.TextAnalysis
+      .qualityFilter(Tables.documents(spark, sf001), "text", 25, 30)
+      .select(col("doc_id"), col("reason"))
+    assert(sqlGate.except(opGate).isEmpty && opGate.except(sqlGate).isEmpty)
+
+    val sqlPii = spark.sql(
+      s"SELECT doc_id, regexp_count(text, '$emailPat') AS n FROM documents")
+    assert(sqlPii.agg(sum("n")).head.getLong(0) == 0L) // corpus carries no PII
+  }
 }
