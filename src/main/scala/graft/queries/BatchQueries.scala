@@ -552,6 +552,46 @@ object BatchQueries {
     * plan-asserted in ZOrderSpec since DuckDB has no partition scans).
     * Both engines compute the identical integer expression.
     */
+  /** Q78: MERGEABLE distinct-count sketches (Datasketches HLL) — the
+    * 100 TB pattern q13's one-shot estimate can't show: per-group
+    * sketches are materialized once (a precomputed rollup column), then
+    * UNION-MERGED into coarser rollups without touching the raw data
+    * again. Both levels are band-checked against the exact counts the
+    * oracle states (guarantee-band pattern): per-type estimates within
+    * 5%, and the global estimate — computed ONLY from the 5 per-type
+    * sketches, never from rows — within 5% of the true global distinct.
+    * Exact distincts and sketches run in SEPARATE aggregates (the q13
+    * lesson: mixing them triggers the distinct-rewrite that ships a
+    * full HLL buffer per key through the shuffle).
+    */
+  val q78 = QueryDef.sql(
+    "q78_hll_merge",
+    """SELECT event_type AS grp,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+      |       TRUE AS band_ok
+      |FROM events GROUP BY 1
+      |UNION ALL
+      |SELECT 'ALL', CAST(count(DISTINCT user_id) AS BIGINT), TRUE
+      |FROM events""".stripMargin) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+    val sk = ev.groupBy(col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val est = sk.select(col("event_type"), hll_sketch_estimate(col("sk")).as("est"))
+    val exact = ev.groupBy(col("event_type"))
+      .agg(count_distinct(col("user_id")).as("exact_users"))
+    val per = exact.join(est, "event_type")
+      .select(col("event_type").as("grp"), col("exact_users"),
+        (abs(col("est") - col("exact_users")) <= lit(0.05) * col("exact_users"))
+          .as("band_ok"))
+    val gEst = sk.agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val gExact = ev.agg(count_distinct(col("user_id")).as("exact_users"))
+    val glob = gExact.crossJoin(broadcast(gEst)) // 1 row × 1 row
+      .select(lit("ALL").as("grp"), col("exact_users"),
+        (abs(col("est") - col("exact_users")) <= lit(0.05) * col("exact_users"))
+          .as("band_ok"))
+    per.unionAll(glob)
+  }
+
   /** Q75: exponentially time-decayed per-user activity score (τ = 1
     * day against the corpus-max timestamp) — the recency-weighted
     * feature shape; see ops.Decay for why this costs exactly one keyed
@@ -584,5 +624,5 @@ object BatchQueries {
 
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q05b, q06, q07,
     q08, q09, q10, q11, q12, q12b, q13, q14, q15, q16, q38, q40, q46,
-    q50, q51, q52, q55, q75)
+    q50, q51, q52, q55, q75, q78)
 }
