@@ -151,12 +151,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("q67/q68: per-row text gates plan as zero-shuffle scans") {
-    // PII redaction and the quality gate are pure map work — at 100 TB
-    // they must stay embarrassingly parallel: no Exchange anywhere, and
-    // the scan must prune to the columns the rules read
+  test("q67/q68/q76/q77: per-row text operators plan as zero-shuffle scans") {
+    // PII redaction, the quality gate, chunk splitting, and winnowing
+    // are pure map work — at 100 TB they must stay embarrassingly
+    // parallel: no Exchange anywhere, and the scan must prune to the
+    // columns the rules read
     for (q <- Seq(graft.queries.MandateQueries.q67,
-                  graft.queries.PipelineQueries.q68)) {
+                  graft.queries.PipelineQueries.q68,
+                  graft.queries.PipelineQueries.q76,
+                  graft.queries.MandateQueries.q77)) {
       val qe = q.fn(spark, sf001).queryExecution
       assert(!qe.executedPlan.toString.contains("Exchange"),
         s"${q.name}: map-only query must not shuffle")
