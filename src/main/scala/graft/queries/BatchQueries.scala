@@ -552,6 +552,28 @@ object BatchQueries {
     * plan-asserted in ZOrderSpec since DuckDB has no partition scans).
     * Both engines compute the identical integer expression.
     */
+  /** Q79: exact top-3 event values per user through the bounded-buffer
+    * typed Aggregator (functions.TopKAgg) — same result as the
+    * `row_number` window the oracle states, but the shuffle carries
+    * k·groups values instead of every row (see TopKAgg's scaladoc).
+    * Values at 2-decimal grain make the rank sequence engine-stable
+    * (ties produce equal VALUES, so row identity never matters).
+    */
+  val q79 = QueryDef.sql(
+    "q79_topk_agg",
+    """SELECT user_id, rnk, v FROM (
+      |  SELECT user_id, value AS v,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY value DESC) AS rnk
+      |  FROM events) WHERE rnk <= 3""".stripMargin) { (spark, dir) =>
+    val topk = udaf(new graft.functions.TopKAgg(3))
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(topk(col("value")).as("vs"))
+      .select(col("user_id"), posexplode(col("vs")))
+      .select(col("user_id"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col").as("v"))
+  }
+
   /** Q78: MERGEABLE distinct-count sketches (Datasketches HLL) — the
     * 100 TB pattern q13's one-shot estimate can't show: per-group
     * sketches are materialized once (a precomputed rollup column), then
@@ -624,5 +646,5 @@ object BatchQueries {
 
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q05b, q06, q07,
     q08, q09, q10, q11, q12, q12b, q13, q14, q15, q16, q38, q40, q46,
-    q50, q51, q52, q55, q75, q78)
+    q50, q51, q52, q55, q75, q78, q79)
 }

@@ -65,4 +65,24 @@ class FunctionsSpec extends SparkSpec {
       assert(est == cnt, s"unexpected collision on $t")
     }
   }
+
+  test("TopKAgg equals sorted-take-k per group and is partition-independent") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val rows = Seq.fill(2000)((rnd.nextInt(7).toLong,
+      math.round(rnd.nextDouble() * 1e4) / 100.0)) // duplicates likely
+    val expected = rows.groupBy(_._1).view
+      .mapValues(_.map(_._2).sorted(Ordering[Double].reverse).take(3).toSeq).toMap
+    def run(parts: Int) = {
+      val topk = udaf(new graft.functions.TopKAgg(3))
+      rows.toDF("k", "v").repartition(parts)
+        .groupBy(col("k")).agg(topk(col("v")).as("vs"))
+        .as[(Long, Seq[Double])].collect().toMap
+    }
+    val r1 = run(1)
+    val r32 = run(32)
+    assert(r1 == expected, "single-partition top-k must equal sorted take")
+    assert(r32 == expected, "top-k must not depend on partitioning")
+  }
 }
