@@ -260,6 +260,29 @@ object CorpusOps {
     * ranking window is partitioned BY THE GROUP — per-group state only,
     * never a global sort.
     */
+  /** Corpus MIXING: resample to a target distribution — `share` of the
+    * corpus, split EQUALLY across the values of `stratumCol` (the
+    * "balance the languages / sources" step of training-data assembly;
+    * per-stratum targets beyond uniform are a rate-column swap). Each
+    * stratum's acceptance rate is derived from its actual count
+    * (min(1, target/n_s)) and applied with the same deterministic
+    * Knuth-hash rule as [[stratifiedSample]], so membership is
+    * reproducible, engine-portable, and independent of row order.
+    * Shape: one count aggregate (stratum-cardinality rows, broadcast
+    * back) + one map-side filter — no data shuffle.
+    */
+  def resampleToShare(df: DataFrame, stratumCol: String, idCol: String,
+      share: Double): DataFrame = {
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("_n_s"))
+    val tot = df.agg(count(lit(1)).as("_n"))
+    val nStrata = counts.agg(count(lit(1)).as("_k"))
+    val rates = counts.crossJoin(broadcast(tot)).crossJoin(broadcast(nStrata))
+      .select(col(stratumCol),
+        least(lit(1.0), col("_n") * share / col("_k") / col("_n_s")).as("_rate"))
+    stratifiedSample(df.join(broadcast(rates), stratumCol), idCol, col("_rate"))
+      .drop("_rate")
+  }
+
   def capPerGroup(df: DataFrame, groupCols: Seq[String], idCol: String,
       k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

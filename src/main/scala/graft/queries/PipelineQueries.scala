@@ -466,6 +466,26 @@ object PipelineQueries {
     CorpusOps.chunkDocs(Tables.documents(spark, dir), "doc_id", "text", 32, 24)
   }
 
+  /** Q80: corpus mixing — resample so each language holds an equal
+    * slice of a 40%-of-corpus target (see CorpusOps.resampleToShare):
+    * rates derive from the actual per-language counts and apply through
+    * the q47 hash rule, so the mix is deterministic and engine-stable.
+    * Both sides compute the rate with the identical double expression
+    * (count ratios), so the acceptance boundary agrees bit-for-bit.
+    */
+  val q80 = QueryDef.sql(
+    "q80_corpus_mix",
+    """WITH t AS (SELECT count(*) AS n FROM documents),
+      |k AS (SELECT count(DISTINCT lang) AS k FROM documents),
+      |c AS (SELECT lang, count(*) AS n_s FROM documents GROUP BY 1),
+      |r AS (SELECT lang, least(1.0, CAST(n AS DOUBLE) * 0.4 / k / n_s) AS rate
+      |      FROM c CROSS JOIN t CROSS JOIN k)
+      |SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+      |WHERE ((doc_id % 1073741824) * 2246822519) % 4294967296 < rate * 4294967296""".stripMargin) { (spark, dir) =>
+    CorpusOps.resampleToShare(Tables.documents(spark, dir), "lang", "doc_id", 0.4)
+      .select(col("doc_id"), col("lang"))
+  }
+
   val all: Seq[QueryDef] = Seq(q41, q42, q43, q44, q45, q47, q48, q49,
-    q54, q57, q60, q62, q63, q64, q68, q69, q74, q76)
+    q54, q57, q60, q62, q63, q64, q68, q69, q74, q76, q80)
 }

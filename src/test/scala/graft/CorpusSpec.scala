@@ -267,4 +267,24 @@ class CorpusSpec extends SparkSpec {
     val sampled = CorpusOps.stratifiedSample(big, "doc_id", lit(1.0))
     assert(sampled.count() === 5, "rate 1.0 must keep everything at any id")
   }
+
+  test("resampleToShare balances strata toward equal targets, keeps scarce strata whole") {
+    import spark.implicits._
+    // skewed corpus: 3 strata with 1600 / 320 / 80 rows; 30% target
+    // over 3 strata = 200/stratum: big strata sample DOWN toward 200,
+    // the 80-row stratum clamps to rate 1 and is kept whole
+    val docs = (Seq.tabulate(1600)(i => (i.toLong * 3, "big")) ++
+      Seq.tabulate(320)(i => (i.toLong * 3 + 1, "mid")) ++
+      Seq.tabulate(80)(i => (i.toLong * 3 + 2, "small")))
+      .toDF("doc_id", "lang")
+    val mixed = CorpusOps.resampleToShare(docs, "lang", "doc_id", 0.3)
+    val byLang = mixed.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(byLang("small") == 80L, "under-target stratum must be kept whole")
+    // hash sampling is Bernoulli per row: expect ~200 ± statistical noise
+    assert(byLang("big") > 140 && byLang("big") < 260, s"big=${byLang("big")}")
+    assert(byLang("mid") > 140 && byLang("mid") < 260, s"mid=${byLang("mid")}")
+    // deterministic: same input -> same membership
+    val again = CorpusOps.resampleToShare(docs, "lang", "doc_id", 0.3)
+    assert(mixed.select("doc_id").except(again.select("doc_id")).isEmpty)
+  }
 }
