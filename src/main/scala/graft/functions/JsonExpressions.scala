@@ -97,6 +97,17 @@ object JsonKeyProbe {
     (hasKey, payloadStart)
   }
 
+  private def hex4(s: String, at: Int): Boolean = {
+    var j = at
+    while (j < at + 4) {
+      val c = s.charAt(j)
+      val ok = (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+      if (!ok) return false
+      j += 1
+    }
+    true
+  }
+
   /** Unescape a JSON string literal body (between the quotes). */
   private def unescape(s: String, from: Int, to: Int): String = {
     if (s.indexOf('\\', from) < 0 || s.indexOf('\\', from) >= to)
@@ -115,10 +126,12 @@ object JsonKeyProbe {
           case 'n' => sb.append('\n'); i += 2
           case 'r' => sb.append('\r'); i += 2
           case 't' => sb.append('\t'); i += 2
-          case 'u' if i + 5 < to + 1 =>
+          case 'u' if i + 6 <= to && hex4(s, i + 2) =>
             sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
             i += 6
           case other => sb.append(other); i += 2
+          // invalid \uXXXX falls into `other` (keeps 'u' literally) — the
+          // scanner must never throw out of a PartitionReader or Expression
         }
       } else { sb.append(c); i += 1 }
     }

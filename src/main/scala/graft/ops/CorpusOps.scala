@@ -250,16 +250,6 @@ object CorpusOps {
     df.filter(h < rate * lit(4294967296L))
   }
 
-  /** Deterministic per-group contribution cap: keep at most `k` rows
-    * per group, chosen by the decorrelated id-hash order — the
-    * source-mixing step that stops one crawl / domain / dump from
-    * dominating a training corpus. Reuses [[stratifiedSample]]'s hash
-    * (NOT the split hash — capping with the split's own hash would keep
-    * only fixed split regions), so the kept set is a reproducible
-    * "random" k on any engine and any partitioning, no rand(). The
-    * ranking window is partitioned BY THE GROUP — per-group state only,
-    * never a global sort.
-    */
   /** Corpus MIXING: resample to a target distribution — `share` of the
     * corpus, split EQUALLY across the values of `stratumCol` (the
     * "balance the languages / sources" step of training-data assembly;
@@ -274,15 +264,26 @@ object CorpusOps {
   def resampleToShare(df: DataFrame, stratumCol: String, idCol: String,
       share: Double): DataFrame = {
     val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("_n_s"))
-    val tot = df.agg(count(lit(1)).as("_n"))
-    val nStrata = counts.agg(count(lit(1)).as("_k"))
-    val rates = counts.crossJoin(broadcast(tot)).crossJoin(broadcast(nStrata))
+    // Corpus total and stratum count both reduce from the (tiny)
+    // per-stratum counts relation — never a second scan of df.
+    val tot = counts.agg(sum(col("_n_s")).as("_n"), count(lit(1)).as("_k"))
+    val rates = counts.crossJoin(broadcast(tot))
       .select(col(stratumCol),
         least(lit(1.0), col("_n") * share / col("_k") / col("_n_s")).as("_rate"))
     stratifiedSample(df.join(broadcast(rates), stratumCol), idCol, col("_rate"))
       .drop("_rate")
   }
 
+  /** Deterministic per-group contribution cap: keep at most `k` rows
+    * per group, chosen by the decorrelated id-hash order — the
+    * source-mixing step that stops one crawl / domain / dump from
+    * dominating a training corpus. Reuses [[stratifiedSample]]'s hash
+    * (NOT the split hash — capping with the split's own hash would keep
+    * only fixed split regions), so the kept set is a reproducible
+    * "random" k on any engine and any partitioning, no rand(). The
+    * ranking window is partitioned BY THE GROUP — per-group state only,
+    * never a global sort.
+    */
   def capPerGroup(df: DataFrame, groupCols: Seq[String], idCol: String,
       k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
@@ -351,13 +352,6 @@ object CorpusOps {
     math.max(1L, maxId / 100000L + 1L)
   }
 
-  /** Inverted index build: token → ascending posting list of documents
-    * containing it (+ document frequency). One explode + one hash
-    * aggregate; postings are emitted as a CSV string (bounded by corpus
-    * here — a production index would chunk hot tokens' postings into
-    * fixed-size blocks, which is this same query windowed by
-    * row_number() DIV blocksize).
-    */
   /** Fixed-window training-chunk split: each document's token stream is
     * cut into windows of `window` tokens every `stride` tokens (overlap
     * = window − stride) — the context-length packing step that turns
@@ -379,6 +373,13 @@ object CorpusOps {
         concat_ws(" ", col("col")).as("chunk_text"))
   }
 
+  /** Inverted index build: token → ascending posting list of documents
+    * containing it (+ document frequency). One explode + one hash
+    * aggregate; postings are emitted as a CSV string (bounded by corpus
+    * here — a production index would chunk hot tokens' postings into
+    * fixed-size blocks, which is this same query windowed by
+    * row_number() DIV blocksize).
+    */
   def invertedIndex(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     // no pre-distinct: collect_set deduplicates (map-side too, in the
     // ObjectHashAggregate partial), so a distinct() here would shuffle

@@ -110,17 +110,29 @@ object MinHashLsh {
     * misses with p < 4e-6 per pair).
     */
   def nearDupPairsFromShingles(sh: DataFrame, threshold: Double,
-      bands: Int = 16, rows: Int = 4, seed: Long = 42L): DataFrame = {
+      bands: Int = 16, rows: Int = 4, seed: Long = 42L): DataFrame =
+    nearDupPairsFromShinglesManaged(sh, threshold, bands, rows, seed)._1
+
+  /** [[nearDupPairsFromShingles]] plus a release hook for the internal
+    * doc-state cache. The lazy form's cache lives until the session
+    * ends (Spark's CacheManager dedupes the same plan, so repeated
+    * builds hold ONE copy per input — bounded, but never freed); an
+    * eager caller that finishes its terminal action should call
+    * `release()` to hand the memory back.
+    */
+  def nearDupPairsFromShinglesManaged(sh: DataFrame, threshold: Double,
+      bands: Int = 16, rows: Int = 4, seed: Long = 42L): (DataFrame, () => Unit) = {
     val byDoc = docState(sh, numPerms = bands * rows, seed = seed)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = candidatePairs(byDoc, bands = bands, rows = rows)
     val a = byDoc.select(col("id").as("doc_id_a"), col("ss").as("ssa"))
     val b = byDoc.select(col("id").as("doc_id_b"), col("ss").as("ssb"))
-    cands.join(a, Seq("doc_id_a")).join(b, Seq("doc_id_b"))
+    val pairs = cands.join(a, Seq("doc_id_a")).join(b, Seq("doc_id_b"))
       .withColumn("c", size(array_intersect(col("ssa"), col("ssb"))).cast("long"))
       .withColumn("jac",
         col("c").cast("double") / (size(col("ssa")) + size(col("ssb")) - col("c")))
       .filter(col("jac") >= threshold)
       .select(col("doc_id_a"), col("doc_id_b"), col("jac"))
+    (pairs, () => { byDoc.unpersist(); () })
   }
 }

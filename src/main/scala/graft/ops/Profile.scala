@@ -27,10 +27,6 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Profile {
 
-  /** columns: (name, typedCol, render) — render must be injective and
-    * deterministic (it defines both the distinct-count domain and the
-    * min/max display form).
-    */
   /** Join-key skew diagnostic — the pass you run BEFORE deciding whether
     * a join needs [[Joins.saltedJoin]] / AQE skew hints: the k heaviest
     * keys with their corpus share, plus the global skew factor
@@ -51,6 +47,10 @@ object Profile {
         ((col("_m") * col("_k")).cast("double") / col("_t")).as("skew_factor"))
   }
 
+  /** columns: (name, typedCol, render) — render must be injective and
+    * deterministic (it defines both the distinct-count domain and the
+    * min/max display form).
+    */
   def profile(df: DataFrame,
       columns: Seq[(String, Column, Column => Column)]): DataFrame = {
     // Pass 1: single-row aggregate — counts and typed extrema.
@@ -75,8 +75,12 @@ object Profile {
       .where(col("sval").isNotNull)
       .groupBy(col("cname"), col("sval")).agg(count(lit(1)).as("_c"))
       .groupBy(col("cname")).agg(count(lit(1)).as("n_distinct"))
-    pass1.join(broadcast(distincts), Seq("cname")) // |columns| rows each
+    // Left join: an all-null column has no row in `distincts` (the null
+    // filter removes its every value) but must still profile — with
+    // n_distinct = 0 — rather than vanish from the report.
+    pass1.join(broadcast(distincts), Seq("cname"), "left") // |columns| rows each
       .select(col("cname"), col("n_rows"), col("n_nulls"),
-        col("n_distinct"), col("min_val"), col("max_val"))
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        col("min_val"), col("max_val"))
   }
 }

@@ -61,7 +61,8 @@ object VectorSearch {
     * keyed vote aggregate and a per-query window; ties break
     * deterministically to the smallest label so the result is
     * engine-stable. Output: q_vec_id, pred_label, votes, label (the
-    * query's own), correct.
+    * query's own; null when the query is not itself in the corpus),
+    * correct.
     */
   def knnClassify(queries: DataFrame, corpus: DataFrame, k: Int,
       labelCol: String = "label"): DataFrame = {
@@ -73,8 +74,12 @@ object VectorSearch {
       .agg(count(lit(1)).as("votes"))
     val w = Window.partitionBy(col("q_vec_id"))
       .orderBy(col("votes").desc, col("n_label"))
+    // Left join for the query's own label: a genuinely unlabeled query
+    // (not in the corpus) keeps its prediction with label/correct null
+    // instead of being dropped by an inner match.
     votes.withColumn("vr", row_number().over(w)).filter(col("vr") === 1)
-      .join(labels.select(col("vec_id").as("q_vec_id"), col(labelCol)), "q_vec_id")
+      .join(labels.select(col("vec_id").as("q_vec_id"), col(labelCol)),
+        Seq("q_vec_id"), "left")
       .select(col("q_vec_id"), col("n_label").as("pred_label"), col("votes"),
         col(labelCol), (col("n_label") === col(labelCol)).as("correct"))
   }

@@ -547,11 +547,6 @@ object BatchQueries {
       "user_id", "ts", "value", "hour", "interval 1 hour")
   }
 
-  /** Q55: Z-order (Morton) value — the interleave arithmetic behind the
-    * multi-dimensional layout (ops.ZOrder; pruning itself is
-    * plan-asserted in ZOrderSpec since DuckDB has no partition scans).
-    * Both engines compute the identical integer expression.
-    */
   /** Q79: exact top-3 event values per user through the bounded-buffer
     * typed Aggregator (functions.TopKAgg) — same result as the
     * `row_number` window the oracle states, but the shuffle carries
@@ -630,6 +625,11 @@ object BatchQueries {
       col("value"), tauSec = 86400L)
   }
 
+  /** Q55: Z-order (Morton) value — the interleave arithmetic behind the
+    * multi-dimensional layout (ops.ZOrder; pruning itself is
+    * plan-asserted in ZOrderSpec since DuckDB has no partition scans).
+    * Both engines compute the identical integer expression.
+    */
   val q55 = QueryDef.sql(
     "q55_zorder_value", {
       val terms = (0 until 8).map { i =>

@@ -417,20 +417,24 @@ object PipelineQueries {
       .filter(col("keep")).select(col("doc_id"), col("text"), col("source"))
     // s2 feeds four consumers (its own count, the pair generation, and
     // the s3/s4 chains) — persist the survivor set once instead of
-    // re-deriving scan→filter→dedup per stage count
+    // re-deriving scan→filter→dedup per stage count. The funnel is
+    // computed EAGERLY so both caches are released when the run ends
+    // (a lazy plan could never pair its persist with an unpersist, and
+    // a long-lived session would hold the survivor set forever).
     val s2 = Dedup.keepMinBy(s1, Seq("text"), col("doc_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = MinHashLsh.nearDupPairs(s2, "doc_id", "text", 3, 0.6)
+    val (pairs, release) = MinHashLsh.nearDupPairsFromShinglesManaged(
+      graft.ops.Shingles.tokenShingles(s2, "doc_id", "text", 3), 0.6)
     val s3 = s2.join(pairs.select(col("doc_id_b").as("doc_id")).distinct(),
       Seq("doc_id"), "left_anti")
     val s4 = CorpusOps.capPerGroup(s3, Seq("source"), "doc_id", 15)
-    def stage(label: String, df: org.apache.spark.sql.DataFrame) =
-      df.agg(count(lit(1)).as("n_docs")).select(lit(label).as("stage"), col("n_docs"))
-    stage("s0_total", docs)
-      .unionAll(stage("s1_quality", s1))
-      .unionAll(stage("s2_exact_dedup", s2))
-      .unionAll(stage("s3_near_dedup", s3))
-      .unionAll(stage("s4_source_cap", s4))
+    val stages = Seq("s0_total" -> docs, "s1_quality" -> s1,
+      "s2_exact_dedup" -> s2, "s3_near_dedup" -> s3, "s4_source_cap" -> s4)
+      .map { case (label, df) => (label, df.count()) }
+    s2.unpersist()
+    release()
+    import spark.implicits._
+    stages.toDF("stage", "n_docs")
   }
 
   /** Q74: join-key skew diagnostic (see Profile.keySkew) — heaviest

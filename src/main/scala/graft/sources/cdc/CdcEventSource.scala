@@ -219,26 +219,39 @@ class CdcPartitionReader(file: String, filters: Array[Filter],
     i < line.length && line.charAt(i) == '{'
   }
 
+  /** Crack one wire line, or null to skip it. The catch restores the
+    * Jackson path's malformed-line semantics: one corrupt record must
+    * never fail the task (and with it the whole streaming query).
+    */
+  private def crack(line: String): (String, Long, String, String) =
+    try {
+      val value = graft.functions.JsonKeyProbe.topStringField(line, "value")
+      val offset = graft.functions.JsonKeyProbe.topLongField(line, "offset", -1L)
+      val (db, table) =
+        if (needsRouting) routingFields(value) else (null, null)
+      (value, offset, db, table)
+    } catch { case scala.util.control.NonFatal(_) => null }
+
   override def next(): Boolean = {
     while (it.hasNext) {
       val line = it.next()
       if (line.nonEmpty && looksLikeObject(line)) {
-        val value = graft.functions.JsonKeyProbe.topStringField(line, "value")
-        val offset = graft.functions.JsonKeyProbe.topLongField(line, "offset", -1L)
-        val (db, table) =
-          if (needsRouting) routingFields(value) else (null, null)
-        if (!needsRouting || matches(db, table)) {
-          val vals = required.fieldNames.map {
-            case "value" =>
-              if (value == null) null else UTF8String.fromString(value)
-            case "offset" => java.lang.Long.valueOf(offset)
-            case "src_db" =>
-              if (db == null) null else UTF8String.fromString(db)
-            case "src_table" =>
-              if (table == null) null else UTF8String.fromString(table)
+        val cracked = crack(line)
+        if (cracked != null) {
+          val (value, offset, db, table) = cracked
+          if (!needsRouting || matches(db, table)) {
+            val vals = required.fieldNames.map {
+              case "value" =>
+                if (value == null) null else UTF8String.fromString(value)
+              case "offset" => java.lang.Long.valueOf(offset)
+              case "src_db" =>
+                if (db == null) null else UTF8String.fromString(db)
+              case "src_table" =>
+                if (table == null) null else UTF8String.fromString(table)
+            }
+            current = new GenericInternalRow(vals.asInstanceOf[Array[Any]])
+            return true
           }
-          current = new GenericInternalRow(vals.asInstanceOf[Array[Any]])
-          return true
         }
       }
     }

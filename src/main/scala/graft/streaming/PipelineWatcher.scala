@@ -33,6 +33,10 @@ final class PipelineWatcher(
     cfg: EsSink.Config, transport: EsSink.Transport, pollMs: Long = 500L) {
 
   private val entries = mutable.Map.empty[String, PipelineRegistry.Entry]
+  // Keyed by CONF FILE — the unit of reload — not pipeline name: a conf
+  // that renames its pipeline must still stop the query it previously
+  // started, and two confs that (mis)share a name must not clobber each
+  // other's handle (an unreachable handle is an unstoppable query).
   private val queries = mutable.Map.empty[String, StreamingQuery]
   @volatile private var running = false
   private var loop: Thread = _
@@ -46,7 +50,7 @@ final class PipelineWatcher(
       entries(e.file) = e
       val q = e.pipeline.startDsv2(spark, sourceDir,
         s"$ckptRoot/${e.pipeline.name}", cfg, transport)
-      queries(e.pipeline.name) = q
+      queries(e.file) = q
       q
     }
   }
@@ -60,11 +64,11 @@ final class PipelineWatcher(
     val changed = PipelineRegistry.changedSince(entries.values.toSeq, confDir).toSet
     if (changed.isEmpty) Seq.empty
     else PipelineRegistry.load(confDir).filter(e => changed(e.file)).map { e =>
-      queries.get(e.pipeline.name).foreach(q => if (q.isActive) q.stop())
+      queries.get(e.file).foreach(q => if (q.isActive) q.stop())
       entries(e.file) = e
       val q = e.pipeline.startDsv2(spark, sourceDir,
         s"$ckptRoot/${e.pipeline.name}", cfg, transport)
-      queries(e.pipeline.name) = q
+      queries(e.file) = q
       e.pipeline.name
     }
   }
@@ -97,6 +101,11 @@ final class PipelineWatcher(
     synchronized { queries.values.foreach(q => if (q.isActive) q.stop()) }
   }
 
-  /** Active query per pipeline name (tests / operational visibility). */
-  def activeQueries: Map[String, StreamingQuery] = synchronized(queries.toMap)
+  /** Active query per pipeline name (tests / operational visibility —
+    * the control map stays conf-file-keyed; this is the display view).
+    */
+  def activeQueries: Map[String, StreamingQuery] = synchronized {
+    entries.values.flatMap(e =>
+      queries.get(e.file).map(q => e.pipeline.name -> q)).toMap
+  }
 }

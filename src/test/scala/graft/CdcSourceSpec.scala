@@ -81,6 +81,29 @@ class CdcSourceSpec extends SparkSpec {
     assert(n == 1)
   }
 
+  test("corrupt wire lines never fail the task: skipped or salvaged, good rows flow") {
+    val dir = Files.createTempDirectory("graft_srcbad_").toFile
+    val f = new java.io.File(dir, "part-0000.json")
+    val lines = Seq(
+      // invalid unicode escape — crashed the pre-guard scanner (the
+      // literal is split because scalac itself pre-lexes backslash-u)
+      """{"value": "\""" + """uZZZZ", "offset": 1}""",
+      "not json at all",                      // skipped: not an object
+      "[1,2,3]",                              // skipped: not an object
+      """{"value":"{\"payload\":{\"op\":\"c\"}}","offset":7}""")
+    Files.write(f.toPath, lines.asJava)
+    val reader = new CdcPartitionReader(f.getAbsolutePath,
+      Array.empty, CdcEventTable.schema)
+    var got = List.empty[Long]
+    while (reader.next()) { got ::= reader.get().getLong(1) }
+    reader.close()
+    // the bad-escape line is SALVAGED (escape kept literally), so the
+    // record reaches the malformed-envelope classifier downstream as an
+    // observable drop instead of killing the streaming query; the
+    // structurally non-object lines are skipped (Jackson-path parity)
+    assert(got.sorted == List(1L, 7L))
+  }
+
   test("DSv2 streaming pipeline: effects + restart is a no-op") {
     val srcDir = Files.createTempDirectory("graft_v2e2e_src_").toString
     val ckpt = Files.createTempDirectory("graft_v2e2e_ckpt_").toString

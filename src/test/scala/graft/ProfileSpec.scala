@@ -22,6 +22,23 @@ class ProfileSpec extends SparkSpec {
     assert(out(1) == ("v", 5L, 1L, 3L, "a", "c"))
   }
 
+  test("profile: all-null column keeps its row (n_distinct = 0); empty input profiles too") {
+    val asStr: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      _.cast("string")
+    val df = Seq[(java.lang.Long, String)]((1L, null), (2L, null)).toDF("k", "v")
+    val out = Profile.profile(df, Seq(
+      ("k", col("k"), asStr), ("v", col("v"), identity)))
+      .orderBy("cname")
+      .as[(String, Long, Long, Long, String, String)].collect()
+    // the all-null column must appear — a data-quality report that
+    // silently omits exactly the broken column is worse than none
+    assert(out(1) == ("v", 2L, 2L, 0L, null, null))
+    assert(out(0) == ("k", 2L, 0L, 2L, "1", "2"))
+    val empty = Profile.profile(df.limit(0), Seq(("k", col("k"), asStr)))
+      .as[(String, Long, Long, Long, String, String)].collect()
+    assert(empty.toSeq == Seq(("k", 0L, 0L, 0L, null, null)))
+  }
+
   test("dupNgramStats: shared shingles counted, unique-only doc scores 0") {
     val docs = Seq(
       (1L, "w x y z q a b c"),   // shares "w x y z q" with doc 2

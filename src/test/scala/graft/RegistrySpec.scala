@@ -116,6 +116,30 @@ class RegistrySpec extends SparkSpec {
     assert(lastPerId === uninterrupted)
   }
 
+  test("watcher reload is keyed by conf FILE: a pipeline rename leaves no orphan") {
+    import graft.streaming.PipelineWatcher
+    val confDir = Files.createTempDirectory("graft_ren_conf_").toFile
+    val conf = new java.io.File(confDir, "p.json")
+    Files.write(conf.toPath, Seq(
+      """{"name":"old","databases":["d"],"tables":["t"],"idKey":"id","schema":"id BIGINT"}""").asJava)
+    val srcDir = Files.createTempDirectory("graft_ren_src_").toString
+    val ckptRoot = Files.createTempDirectory("graft_ren_ckpt_").toString
+    val cfg = EsSink.Config("http://es:9200/idx", "u", "p", "id")
+    val watcher = new PipelineWatcher(spark, confDir.toString, srcDir, ckptRoot,
+      cfg, new SinkSpec.Recorder, pollMs = 3600000L)
+    try {
+      watcher.startPipelines().foreach(_.awaitTermination())
+      Files.write(conf.toPath, Seq(
+        """{"name":"renamed","databases":["d"],"tables":["t"],"idKey":"id","schema":"id BIGINT"}""").asJava)
+      conf.setLastModified(conf.lastModified() + 5000)
+      assert(watcher.pollOnce() == Seq("renamed"))
+      // name-keyed control would have missed the old query (stop() could
+      // then never reach it) and kept a stale "old" entry in the view
+      assert(watcher.activeQueries.keySet == Set("renamed"))
+      watcher.activeQueries("renamed").awaitTermination()
+    } finally watcher.stop()
+  }
+
   test("JDBC partitioned read + snapshot bootstrap: parallel scan to op=r events") {
     val url = "jdbc:derby:memory:graftsrc;create=true"
     val conn = java.sql.DriverManager.getConnection(url)

@@ -21,6 +21,21 @@ class VectorSpec extends SparkSpec {
     assert(math.abs(sims((1L, 1L)) - 1.0) < 1e-12)
   }
 
+  test("knnClassify: a query outside the corpus keeps its prediction (null self-label)") {
+    // the advertised use case — classify an UNLABELED item: its vec_id
+    // has no corpus row, so the self-label join must not drop it
+    val corpus = Seq(
+      (1L, Seq(1f, 0f), 7L), (2L, Seq(0.9f, 0.1f), 7L), (3L, Seq(0f, 1f), 9L))
+      .toDF("vec_id", "embedding", "label")
+    val queries = Seq((100L, Seq(1f, 0.05f))).toDF("vec_id", "embedding")
+    val out = VectorSearch.knnClassify(queries, corpus, 2)
+      .select("q_vec_id", "pred_label", "votes", "label")
+      .collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(0) == 100L && out(0).getLong(1) == 7L
+      && out(0).getLong(2) == 2L && out(0).isNullAt(3))
+  }
+
   test("knnExact returns k ranked neighbors per query, no self-matches") {
     val res = VectorSearch.knnExact(emb.filter(col("vec_id") < 5), emb, 3)
       .as[(Long, Long, Double, Int)].collect()
