@@ -37,9 +37,13 @@ object BloomAgg extends Aggregator[Long, Array[Long], Array[Long]] {
       rnd.nextInt(Int.MaxValue).toLong))
   }
 
-  /** Bit position of probe r for a lifted non-negative hash h. */
+  /** Bit position of probe r for a lifted non-negative hash h. floorMod
+    * keeps the position valid for full-range hashes too (same rationale
+    * as CountMinAgg.bucket); identical to plain % on lifted inputs.
+    */
   def bitPos(h: Long, r: Int): Int =
-    ((((h % P) * coeffs(r)._1 + coeffs(r)._2) % P) % MBits).toInt
+    (java.lang.Math.floorMod(
+      java.lang.Math.floorMod(h, P) * coeffs(r)._1 + coeffs(r)._2, P) % MBits).toInt
 
   override def zero: Array[Long] = new Array[Long](MBits / 64)
 

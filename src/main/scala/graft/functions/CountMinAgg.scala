@@ -31,10 +31,15 @@ object CountMinAgg extends Aggregator[Long, Array[Long], Array[Long]] {
   }
 
   /** Row r's bucket for a lifted murmur3 hash h (both factors < 2^31,
-    * so the product cannot overflow Long — see MinHashLsh).
+    * so the product cannot overflow Long — see MinHashLsh). floorMod
+    * keeps the bucket in range for FULL-RANGE hashes too (a SQL user
+    * feeding xxhash64 instead of [[lift]] must get a valid — if
+    * differently-distributed — sketch, not an array crash); for the
+    * lift contract's non-negative inputs it equals plain %.
     */
   def bucket(h: Long, r: Int): Int =
-    ((((h % P) * coeffs(r)._1 + coeffs(r)._2) % P) % W).toInt
+    (java.lang.Math.floorMod(
+      java.lang.Math.floorMod(h, P) * coeffs(r)._1 + coeffs(r)._2, P) % W).toInt
 
   override def zero: Array[Long] = new Array[Long](D * W)
 

@@ -41,6 +41,33 @@ class FunctionsSpec extends SparkSpec {
   }
 
 
+  test("registerAll: every engine kernel is reachable from plain SQL") {
+    GraftFunctions.registerAll(spark)
+    // scalar kernels
+    val r = spark.sql(
+      """SELECT repetition_stats(array('a','b','a','b','a')) AS rs,
+        |       json_payload_has_key('{"payload":{"after":{}}}', 'after') AS has
+        |""".stripMargin).head()
+    val rs = r.getStruct(0)
+    assert(rs.getLong(0) == 5L && rs.getLong(1) == 2L) // nt1=5 nd1=2
+    assert(rs.getLong(3) == 2L)                        // "a b" twice
+    assert(r.getBoolean(1))
+    // sketch aggregates over xxhash64'd tokens, grouped — a SQL user's
+    // dedup/frequency pipeline with no Column-API involvement
+    val agg = spark.sql(
+      """SELECT CAST(v % 2 AS INT) AS grp,
+        |       simhash_agg(xxhash64(CAST(v AS STRING))) AS sh,
+        |       countmin_agg(xxhash64(CAST(v AS STRING))) AS cm,
+        |       bloom_agg(xxhash64(CAST(v AS STRING))) AS bf
+        |FROM (SELECT explode(sequence(1, 100)) AS v)
+        |GROUP BY 1""".stripMargin).collect()
+    assert(agg.length == 2)
+    agg.foreach { row =>
+      assert(!row.isNullAt(1))
+      assert(row.getSeq[Long](2).nonEmpty && row.getSeq[Long](3).nonEmpty)
+    }
+  }
+
   test("CountMinAgg: estimates never undercount and are partition-independent") {
     import graft.functions.CountMinAgg
     import org.apache.spark.sql.functions._
