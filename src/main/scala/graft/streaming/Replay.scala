@@ -62,23 +62,6 @@ object Replay {
     spark.readStream.schema(schema).parquet(staged)
   }
 
-  /** Run a streaming DataFrame to completion, return the final result.
-    * `complete` output mode so every window/group is in the final table
-    * regardless of watermark progress at termination.
-    *
-    * `statePartitions` sizes the state store: each stateful operator
-    * keeps one store instance (files, commit log) PER shuffle partition,
-    * so partition count should track STATE SIZE, not core count —
-    * 100k-key local state wants a handful of stores, a 10^9-key
-    * production state wants hundreds. Local measurement: 32 → 4 state
-    * partitions cuts per-query overhead ~45%.
-    *
-    * Measured floor at sf0.1 (600k events, local[32]): sweeping state
-    * partitions {2,4,8,16,32} × {HDFS-backed, RocksDB} puts the best
-    * configuration at 8 partitions + HDFS-backed ≈ 1.0 s/query — the
-    * residual is addBatch itself (shuffle + state write + complete-mode
-    * output), i.e. inherent micro-batch cost, not harness overhead.
-    */
   /** Checkpoint root on the RAM disk when available: a replay-to-result
     * checkpoint is throwaway (offset/commit logs + state store files,
     * dozens of small writes per query) and fsync-ing them to real disk
@@ -100,6 +83,26 @@ object Replay {
       statePartitions: Int = 8): DataFrame =
     run(spark, streaming, statePartitions, "append")
 
+  /** Run a streaming DataFrame to completion, return the final result.
+    * `complete` output mode so every window/group is in the final table
+    * regardless of watermark progress at termination.
+    *
+    * `statePartitions` sizes the state store: each stateful operator
+    * keeps one store instance (files, commit log) PER shuffle partition,
+    * so partition count should track STATE SIZE, not core count —
+    * 100k-key local state wants a handful of stores, a 10^9-key
+    * production state wants hundreds. Local measurement: 32 → 4 state
+    * partitions cuts per-query overhead ~45%.
+    *
+    * Measured floor at sf0.1 (600k events, local[32]): sweeping state
+    * partitions {2,4,8,16,32} × {HDFS-backed, RocksDB} puts the best
+    * configuration at 8 partitions + HDFS-backed ≈ 1.0 s/query — the
+    * residual is addBatch itself (shuffle + state write + complete-mode
+    * output), i.e. inherent micro-batch cost, not harness overhead.
+    * (At production state sizes the RocksDB provider is the right
+    * choice — off-heap, incremental-checkpointed; provider-swap parity
+    * is pinned in StatefulLwwSpec.)
+    */
   def runToResult(spark: SparkSession, streaming: DataFrame,
       statePartitions: Int = 8): DataFrame =
     run(spark, streaming, statePartitions, "complete")

@@ -47,4 +47,39 @@ class StatefulLwwSpec extends SparkSpec {
 
     q.stop()
   }
+
+  test("RocksDB state store provider: identical LWW deltas (production state config)") {
+    // the 10^9-key production config — off-heap, incrementally
+    // checkpointed state; same semantics as the default HDFS-backed
+    // store must hold under a provider swap
+    implicit val ctx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Ev]
+      val name = "stateful_lww_rocksdb_out"
+      val q = StatefulLww.deltaStream(mem.toDF()).writeStream
+        .format("memory").queryName(name).outputMode("append")
+        .trigger(Trigger.ProcessingTime(0)).start()
+      mem.addData(Ev(1, 10, 1, "c", """{"v":"a"}"""), Ev(2, 10, 2, "c", """{"v":"b"}"""))
+      q.processAllAvailable()
+      mem.addData(Ev(1, 20, 3, "u", """{"v":"a2"}"""), Ev(2, 5, 4, "u", """{"v":"stale"}"""))
+      q.processAllAvailable()
+      mem.addData(Ev(1, 30, 5, "d", null))
+      q.processAllAvailable()
+      val all = spark.table(name).as[(Long, String, String)].collect().toSeq
+      q.stop()
+      assert(all.toSet == Set(
+        (1L, "upsert", """{"v":"a"}"""), (2L, "upsert", """{"v":"b"}"""),
+        (1L, "upsert", """{"v":"a2"}"""), (1L, "delete", null)))
+      assert(all.size == 4, "stale/dup events must not emit under RocksDB either")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
