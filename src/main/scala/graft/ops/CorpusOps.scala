@@ -352,6 +352,39 @@ object CorpusOps {
     math.max(1L, maxId / 100000L + 1L)
   }
 
+  /** SUB-document dedup (the CCNet/Dolma line-level pass): across the
+    * whole corpus, each distinct segment survives only at its FIRST
+    * occurrence — ordered by (doc_id, seg_idx) — and every document is
+    * reassembled from its surviving segments in original order
+    * (documents whose every segment was seen earlier disappear).
+    * Whole-doc dedup ([[graft.ops.Dedup]]) misses boilerplate repeated
+    * INSIDE otherwise-distinct pages; this pass removes it.
+    *
+    * `segments` is any expression producing `array<string>` — the
+    * operator is segmenter-agnostic (newline split, sentence split, the
+    * disjoint token windows q81 uses — whatever the corpus supports).
+    *
+    * Scale shape: the first-occurrence winner per segment is
+    * `min(struct(doc_id, seg_idx))` — a HASH AGGREGATE with map-side
+    * partial merge, so a boilerplate segment duplicated 10^9 times
+    * costs one candidate per map task in the shuffle, not 10^9 sorted
+    * rows in one reducer (the row_number-window formulation the oracle
+    * states has exactly that skew funnel). Reassembly is a second keyed
+    * aggregate over the winners only. Two shuffles total, both keyed,
+    * no join back to the exploded relation.
+    */
+  def dedupSegments(docs: DataFrame, idCol: String, segments: Column): DataFrame = {
+    val ex = docs.select(col(idCol).cast("long").as("doc_id"), posexplode(segments))
+      .select(col("doc_id"), col("pos").cast("long").as("seg_idx"), col("col").as("seg"))
+    val winners = ex.groupBy(col("seg"))
+      .agg(min(struct(col("doc_id"), col("seg_idx"))).as("w"))
+      .select(col("w.doc_id").as("doc_id"), col("w.seg_idx").as("seg_idx"), col("seg"))
+    winners.groupBy(col("doc_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+          s => s.getField("seg")), " ").as("text_dedup"))
+  }
+
   /** Fixed-window training-chunk split: each document's token stream is
     * cut into windows of `window` tokens every `stride` tokens (overlap
     * = window − stride) — the context-length packing step that turns

@@ -490,6 +490,38 @@ object PipelineQueries {
       .select(col("doc_id"), col("lang"))
   }
 
+  /** Q81: segment-level dedup (CorpusOps.dedupSegments) — corpus-wide
+    * first occurrence wins per segment, docs reassembled in segment
+    * order. Segments here are the disjoint 10-token windows (this
+    * corpus has no newlines; the operator takes any segmenter). The
+    * oracle states the same semantics through the row_number-window
+    * formulation; the engine's min-struct aggregate is the skew-safe
+    * equivalent (see the operator's scaladoc).
+    */
+  val q81 = QueryDef.sql(
+    "q81_segment_dedup",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tt FROM documents),
+      |segs AS (SELECT doc_id,
+      |           unnest(list_transform(range((len(tt) + 9) // 10),
+      |             i -> struct_pack(seg_idx := i,
+      |                    seg := array_to_string(tt[i*10+1 : i*10+10], ' ')))) AS s
+      |         FROM t),
+      |flat AS (SELECT doc_id, s.seg_idx AS seg_idx, s.seg AS seg FROM segs),
+      |win AS (SELECT doc_id, seg_idx, seg,
+      |          row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+      |        FROM flat)
+      |SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS text_dedup
+      |FROM win WHERE rn = 1 GROUP BY doc_id""".stripMargin) { (spark, dir) =>
+    // tokenize once per row; the lambda slices the shared array instead
+    // of re-splitting the text per segment
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    val segs = expr(
+      "transform(sequence(0, (size(t) - 1) div 10), " +
+        "i -> concat_ws(' ', slice(t, i * 10 + 1, 10)))")
+    CorpusOps.dedupSegments(docs, "doc_id", segs)
+  }
+
   val all: Seq[QueryDef] = Seq(q41, q42, q43, q44, q45, q47, q48, q49,
-    q54, q57, q60, q62, q63, q64, q68, q69, q74, q76, q80)
+    q54, q57, q60, q62, q63, q64, q68, q69, q74, q76, q80, q81)
 }

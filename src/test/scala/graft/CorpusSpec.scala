@@ -223,6 +223,27 @@ class CorpusSpec extends SparkSpec {
   }
 
 
+  test("dedupSegments: corpus-first occurrence wins, docs reassemble in order, empty docs vanish") {
+    val d = Seq(
+      (1L, Seq("boiler", "plate", "body1")),  // all first occurrences
+      (2L, Seq("boiler", "body2", "plate")),  // boiler+plate repeat -> only body2 survives
+      (3L, Seq("plate", "boiler")),           // nothing new -> doc disappears
+      (4L, Seq("body2", "tail"))              // body2 seen (doc 2) -> tail only
+    ).toDF("doc_id", "segs")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      CorpusOps.dedupSegments(df, "doc_id", col("segs"))
+        .as[(Long, String)].collect().sortBy(_._1).toSeq
+    val out = run(d)
+    assert(out == Seq((1L, "boiler plate body1"), (2L, "body2"), (4L, "tail")))
+    // first-occurrence choice must not depend on physical row order
+    assert(run(d.repartition(7)) == out)
+    // intra-doc repetition also dedups (first index in the SAME doc wins)
+    val intra = CorpusOps.dedupSegments(
+      Seq((9L, Seq("x", "y", "x", "x"))).toDF("doc_id", "segs"), "doc_id", col("segs"))
+      .as[(Long, String)].collect()
+    assert(intra.toSeq == Seq((9L, "x y")))
+  }
+
   test("Sessions.assign: exact-gap stays in-session, strictly-greater breaks") {
     import java.sql.Timestamp
     def ts(us: Long) = new Timestamp(us / 1000L)
