@@ -115,14 +115,6 @@ object ChangeFeed {
       noPayload, missingAfter, customerIns).reduce(_.unionByName(_))
   }
 
-  /** The feed materialized as a parquet "bronze log" and read back —
-    * which is both what a real capture layer produces AND a hard
-    * optimizer barrier: consumed as an expression tree, predicate
-    * pushdown inlines the whole to_json/from_json chain into every
-    * filter term (observed: 184 copies in the q17 plan), re-serializing
-    * each event several times per row. Staged once, queries measure CDC
-    * processing, not fixture generation. Idempotent per (dir).
-    */
   /** The feed staged as JSON-LINES (`{"value":…, "offset":…}` records) —
     * the wire format the DSv2 source (sources.cdc.CdcEventSource) and
     * the streaming pipelines consume. Idempotent per (dir, content).
@@ -145,6 +137,14 @@ object ChangeFeed {
     stagedDir
   }
 
+  /** The feed materialized as a parquet "bronze log" and read back —
+    * which is both what a real capture layer produces AND a hard
+    * optimizer barrier: consumed as an expression tree, predicate
+    * pushdown inlines the whole to_json/from_json chain into every
+    * filter term (observed: 184 copies in the q17 plan), re-serializing
+    * each event several times per row. Staged once, queries measure CDC
+    * processing, not fixture generation. Idempotent per (dir).
+    */
   def staged(spark: SparkSession, dir: String): DataFrame = {
     // fingerprint of the source tables in the key: regenerated testdata
     // invalidates the staged feed instead of silently reusing stale data

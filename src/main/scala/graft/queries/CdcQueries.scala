@@ -166,5 +166,30 @@ object CdcQueries {
         col("r.o_totalprice").as("total"))
   }
 
-  val all: Seq[QueryDef] = Seq(q17, q17b, q17c, q17d, q17e, q17f)
+  /** Q82: schema-drift report (cdc.SchemaDrift) — fields the upstream
+    * tables ship in `after` payloads that the subscriber does NOT
+    * declare. The orders subscriber here declares only the columns its
+    * materialization uses (q17's projection), so the feed's other two
+    * order columns surface with event counts; customer declares its
+    * full row, so it contributes nothing. The oracle knows the feed
+    * generator's slot rules: every snapshot/update/dup/DDL/bad-op event
+    * carries the full 5-field after payload.
+    */
+  val q82 = QueryDef.sql(
+    "q82_schema_drift",
+    """WITH n AS (SELECT CAST(count(*)
+      |         + count(*) FILTER (WHERE o_orderkey % 3 = 0)
+      |         + count(*) FILTER (WHERE o_orderkey % 12 = 0)
+      |         + count(*) FILTER (WHERE o_orderkey % 7 = 0)
+      |         + count(*) FILTER (WHERE o_orderkey % 11 = 0) AS BIGINT) AS n_events
+      |       FROM orders),
+      |f AS (SELECT unnest(['o_custkey', 'o_orderpriority']) AS field)
+      |SELECT 'orders' AS src_table, field, n_events
+      |FROM f CROSS JOIN n""".stripMargin) { (spark, dir) =>
+    SchemaDrift.report(spark, ChangeFeed.staged(spark, dir), Map(
+      "orders" -> Seq("o_orderkey", "o_orderstatus", "o_totalprice"),
+      "customer" -> ChangeFeed.customerRowSchema.fieldNames.toSeq))
+  }
+
+  val all: Seq[QueryDef] = Seq(q17, q17b, q17c, q17d, q17e, q17f, q82)
 }

@@ -159,4 +159,22 @@ class CdcSpec extends SparkSpec {
       (1, 1L, Some(5L), "a", false),   // closed by the delete
       (2, 9L, None, "b", true)))       // reinsert reopens as v2
   }
+
+  test("schema drift: undeclared after-fields surface with counts, declared/null/junk don't") {
+    val events = Seq(
+      (okEvent, 1L),                                   // declared fields only
+      // upstream added "surprise" (bare form) — twice, one wrapped
+      ("""{"before":null,"after":{"id":2,"v":"b","surprise":9},""" +
+        """"source":{"db":"d","table":"t","ts_ms":2},"op":"c","ts_ms":2}""", 2L),
+      ("""{"payload":{"before":null,"after":{"id":3,"v":"c","surprise":8},""" +
+        """"source":{"db":"d","table":"t","ts_ms":3},"op":"c","ts_ms":3}}""", 3L),
+      // delete (after null), tombstone, junk: contribute nothing
+      ("""{"payload":{"before":{"id":1,"v":"a"},"after":null,""" +
+        """"source":{"db":"d","table":"t","ts_ms":4},"op":"d","ts_ms":4}}""", 4L),
+      (null.asInstanceOf[String], 5L),
+      ("""{"foo": 1}""", 6L))
+    val out = SchemaDrift.report(spark, feed(events: _*), Map("t" -> Seq("id", "v")))
+      .as[(String, String, Long)].collect()
+    assert(out.toSeq == Seq(("t", "surprise", 2L)))
+  }
 }
