@@ -352,6 +352,42 @@ object CorpusOps {
     math.max(1L, maxId / 100000L + 1L)
   }
 
+  /** BM25 retrieval scoring against a fixed query-token set — the
+    * lexical-retrieval pass of retrieval-based curation (find the
+    * corpus documents most relevant to a probe query: near-benchmark
+    * contamination hunting, topic surfacing, eval-neighbor audits).
+    * Emits (doc_id, bm25) for every document containing at least one
+    * query token; ranking/cutoff is the caller's (`orderBy.limit`
+    * plans as TakeOrderedAndProject).
+    *
+    * Shape at scale: the explode is filtered to the query tokens BEFORE
+    * any aggregation, so the shuffled relation is |matching tokens|
+    * rows, not the corpus token stream; df (per query token) and the
+    * corpus stats (N, avg len) are 1-to-|query| row relations joined by
+    * broadcast. One keyed tf aggregate + one keyed score sum.
+    *
+    * BM25 (k1, b standard): idf = ln((N - df + 0.5)/(df + 0.5) + 1),
+    * score = Σ idf · tf·(k1+1) / (tf + k1·(1 − b + b·len/avgLen)).
+    */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+      queryTokens: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+        size(split(col(textCol), " ")).as("len"),
+        explode(split(col(textCol), " ")).as("token"))
+      .filter(col("token").isin(queryTokens: _*))
+    val tf = toks.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"), max(col("len")).as("len"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      avg(size(split(col(textCol), " "))).as("avg_len"))
+    val idf = log(
+      (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    tf.join(broadcast(df), "token").crossJoin(broadcast(stats))
+      .withColumn("s", idf * (col("tf") * (k1 + 1)) /
+        (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("len") / col("avg_len"))))
+      .groupBy(col("doc_id")).agg(sum(col("s")).as("bm25"))
+  }
+
   /** SUB-document dedup (the CCNet/Dolma line-level pass): across the
     * whole corpus, each distinct segment survives only at its FIRST
     * occurrence — ordered by (doc_id, seg_idx) — and every document is

@@ -522,6 +522,32 @@ object PipelineQueries {
     CorpusOps.dedupSegments(docs, "doc_id", segs)
   }
 
+  /** Q83: BM25 retrieval scoring (CorpusOps.bm25) — every document
+    * containing a probe-query token, scored; both engines compute the
+    * identical real expression over exactly-counted integers (ln may
+    * differ by an ulp across libms — absorbed by the oracle's 1e-6
+    * relative rounding).
+    */
+  val q83 = QueryDef.sql(
+    "q83_bm25",
+    """WITH q AS (SELECT unnest(['vector', 'stream', 'join']) AS token),
+      |tok AS (SELECT doc_id, len(string_split(text, ' ')) AS len,
+      |               unnest(string_split(text, ' ')) AS token FROM documents),
+      |tf AS (SELECT doc_id, token, count(*) AS tf, max(len) AS len
+      |       FROM tok WHERE token IN (SELECT token FROM q) GROUP BY 1, 2),
+      |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+      |st AS (SELECT count(*) AS n, avg(len(string_split(text, ' '))) AS al
+      |       FROM documents)
+      |SELECT doc_id,
+      |       sum(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+      |           * (tf * (1.2 + 1)) /
+      |           (tf + 1.2 * (1 - 0.75 + 0.75 * len / al))) AS bm25
+      |FROM tf JOIN df USING (token) CROSS JOIN st
+      |GROUP BY doc_id""".stripMargin) { (spark, dir) =>
+    CorpusOps.bm25(Tables.documents(spark, dir), "doc_id", "text",
+      Seq("vector", "stream", "join"))
+  }
+
   val all: Seq[QueryDef] = Seq(q41, q42, q43, q44, q45, q47, q48, q49,
-    q54, q57, q60, q62, q63, q64, q68, q69, q74, q76, q80, q81)
+    q54, q57, q60, q62, q63, q64, q68, q69, q74, q76, q80, q81, q83)
 }

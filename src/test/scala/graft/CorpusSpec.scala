@@ -223,6 +223,25 @@ class CorpusSpec extends SparkSpec {
   }
 
 
+  test("bm25: hand-computed score, non-matching docs absent, rare term outweighs common") {
+    val d = Seq(
+      (1L, "x x x y"),   // matches x (tf 3), y (tf 1)
+      (2L, "x z z z"),   // matches x (tf 1)
+      (3L, "z z z z")    // no query token -> absent
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.bm25(d, "doc_id", "text", Seq("x", "y"), k1 = 1.2, b = 0.75)
+      .as[(Long, Double)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1L, 2L))
+    // N=3, avg_len=4, all len=4 -> length norm = 1; idf_x = ln(1.5/2.5+1),
+    // idf_y = ln(2.5/1.5+1); tf term = tf*2.2/(tf+1.2)
+    val ix = math.log(1.5 / 2.5 + 1); val iy = math.log(2.5 / 1.5 + 1)
+    def t(tf: Double) = tf * 2.2 / (tf + 1.2)
+    assert(math.abs(out(0)._2 - (ix * t(3) + iy * t(1))) < 1e-12)
+    assert(math.abs(out(1)._2 - ix * t(1)) < 1e-12)
+    // the rarer y (df 1) contributes more than common x at equal tf
+    assert(iy > ix)
+  }
+
   test("dedupSegments: corpus-first occurrence wins, docs reassemble in order, empty docs vanish") {
     val d = Seq(
       (1L, Seq("boiler", "plate", "body1")),  // all first occurrences
