@@ -84,6 +84,35 @@ object VectorSearch {
         col(labelCol), (col("n_label") === col(labelCol)).as("correct"))
   }
 
+  /** Semantic dedup (the SemDeDup recipe): documents are deduplicated
+    * by embedding similarity WITHIN CELLS of a partitioning — a doc is
+    * dropped iff a lower-id doc in the SAME cell has cosine ≥
+    * threshold; survivors keep their cell. The cell equijoin is what
+    * makes this scale: candidate pairs are bounded by cell size, never
+    * corpus size (the trick that lets SemDeDup run where all-pairs
+    * cannot).
+    *
+    * `cell` is ANY deterministic assignment expression — production
+    * uses the IVF quantizer's nearest-centroid cell
+    * ([[trainCentroids]] + the NearestCellsF kernel, q29's machinery);
+    * the oracle-checkable operating point (q84) uses the argmax
+    * dimension, which DuckDB can state exactly. Same operator either
+    * way; cell quality only affects recall across cell boundaries.
+    */
+  def semanticDedup(emb: DataFrame, cell: Column, threshold: Double): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding"), cell.as("cell"))
+    val a = e.select(col("cell"), col("vec_id").as("vec_id_a"),
+      col("embedding").as("ea"))
+    val b = e.select(col("cell"), col("vec_id").as("vec_id_b"),
+      col("embedding").as("eb"))
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("vec_id_a") < col("vec_id_b"))
+      .filter(cosine(col("ea"), col("eb")) >= threshold)
+      .select(col("vec_id_b").as("vec_id")).distinct()
+    e.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell"))
+  }
+
   /** All pairs (a < b) with cosine >= threshold — the EXACT all-pairs
     * formulation, O(n²). Kept as the oracle/reference path only (the
     * role q19's exact shingle join plays for q26); the checked scaled

@@ -605,7 +605,30 @@ object MandateQueries {
     TextAnalysis.winnow(Tables.documents(spark, dir), "doc_id", "text", 5, 4)
   }
 
+  /** Q84: semantic dedup (VectorSearch.semanticDedup) at the
+    * oracle-checkable operating point — cells are the argmax embedding
+    * dimension (SQL-stateable exactly; production swaps in q29's IVF
+    * cells, same operator). Threshold 0.2 ≈ 1.6σ of this isotropic
+    * corpus's cosine distribution, so the within-cell drop set is
+    * non-trivial; real embedding spaces run the recipe at ≥ 0.9.
+    */
+  val q84 = QueryDef.sql(
+    "q84_semantic_dedup",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |c AS (SELECT vec_id, emb,
+      |        CAST(list_position(emb, list_max(emb)) AS BIGINT) AS cell FROM e),
+      |d AS (SELECT DISTINCT b.vec_id
+      |      FROM c a JOIN c b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      |      WHERE list_dot_product(a.emb, b.emb) /
+      |            (sqrt(list_dot_product(a.emb, a.emb)) *
+      |             sqrt(list_dot_product(b.emb, b.emb))) >= 0.2)
+      |SELECT vec_id, cell FROM c
+      |WHERE vec_id NOT IN (SELECT vec_id FROM d)""".stripMargin) { (spark, dir) =>
+    VectorSearch.semanticDedup(Tables.embeddings(spark, dir),
+      array_position(col("embedding"), array_max(col("embedding"))), 0.2)
+  }
+
   val all: Seq[QueryDef] = Seq(q18, q18b, q19, q20, q21, q22, q26, q27,
     q28, q28b, q29, q30, q31, q32, q33, q34, q58, q58b, q59, q61, q66, q67,
-    q70, q73, q77)
+    q70, q73, q77, q84)
 }

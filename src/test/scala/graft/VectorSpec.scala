@@ -21,6 +21,24 @@ class VectorSpec extends SparkSpec {
     assert(math.abs(sims((1L, 1L)) - 1.0) < 1e-12)
   }
 
+  test("semanticDedup: within-cell near-dups drop (lowest id survives), cross-cell twins both survive") {
+    // cell = argmax dim. 1,2: same cell (dim 1 dominant), near-identical
+    // -> 2 drops. 3: cosine-similar to 1 but argmax dim 2 -> different
+    // cell, survives (the documented cross-boundary recall loss).
+    // 4: same cell as 1/2 but orthogonal-ish -> survives.
+    val d = Seq(
+      (1L, Seq(10f, 1f, 0f)),
+      (2L, Seq(10f, 1.1f, 0f)),
+      (3L, Seq(9f, 9.5f, 0f)),
+      (4L, Seq(1f, 0.5f, -9f))) // argmax = dim 1 (max value 1f)
+      .toDF("vec_id", "embedding")
+    val out = VectorSearch.semanticDedup(d,
+      array_position(col("embedding"), array_max(col("embedding"))), 0.9)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1L, 3L, 4L))
+    assert(out.toMap == Map(1L -> 1L, 3L -> 2L, 4L -> 1L))
+  }
+
   test("knnClassify: a query outside the corpus keeps its prediction (null self-label)") {
     // the advertised use case — classify an UNLABELED item: its vec_id
     // has no corpus row, so the self-label join must not drop it
