@@ -43,16 +43,24 @@ object SchemaDrift {
       .agg(count(lit(1)).as("n_events"))
   }
 
-  /** The drift report: observed fields NOT declared by their table's
-    * subscription. `declared` maps src_table -> declared field names.
+  /** Observed-minus-declared over an already-aggregated observation
+    * relation — shared by the batch report and the streaming monitor
+    * (whose aggregate runs inside the streaming query, with this diff
+    * applied to each result snapshot).
     */
-  def report(spark: SparkSession, feed: DataFrame,
+  def driftOf(spark: SparkSession, observed: DataFrame,
       declared: Map[String, Seq[String]]): DataFrame = {
     import spark.implicits._
     val decl = declared.toSeq
       .flatMap { case (t, fs) => fs.map(f => (t, f)) }
       .toDF("src_table", "field")
-    observedFields(feed)
-      .join(broadcast(decl), Seq("src_table", "field"), "left_anti")
+    observed.join(broadcast(decl), Seq("src_table", "field"), "left_anti")
   }
+
+  /** The drift report: observed fields NOT declared by their table's
+    * subscription. `declared` maps src_table -> declared field names.
+    */
+  def report(spark: SparkSession, feed: DataFrame,
+      declared: Map[String, Seq[String]]): DataFrame =
+    driftOf(spark, observedFields(feed), declared)
 }

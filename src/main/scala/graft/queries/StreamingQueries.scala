@@ -196,5 +196,32 @@ object StreamingQueries {
       .select(col("reason"), col("n_docs"), col("tot_tokens"))
   }
 
-  val all: Seq[QueryDef] = Seq(q23, q24a, q24b, q25, q39, q56, q71)
+  /** Q85: the schema-drift monitor as a STREAMING query — the
+    * observed-fields aggregate runs incrementally inside the streaming
+    * query over the DSv2 wire source (complete mode: the report is a
+    * monotone count snapshot per micro-batch), and the declared-set
+    * diff applies to the result. Same oracle as batch q82 — the
+    * batch/streaming parity proof for the drift monitor.
+    */
+  val q85 = QueryDef.sql(
+    "q85_stream_schema_drift",
+    """WITH n AS (SELECT CAST(count(*)
+      |         + count(*) FILTER (WHERE o_orderkey % 3 = 0)
+      |         + count(*) FILTER (WHERE o_orderkey % 12 = 0)
+      |         + count(*) FILTER (WHERE o_orderkey % 7 = 0)
+      |         + count(*) FILTER (WHERE o_orderkey % 11 = 0) AS BIGINT) AS n_events
+      |       FROM orders),
+      |f AS (SELECT unnest(['o_custkey', 'o_orderpriority']) AS field)
+      |SELECT 'orders' AS src_table, field, n_events
+      |FROM f CROSS JOIN n""".stripMargin) { (spark, dir) =>
+    val feedDir = graft.cdc.ChangeFeed.stagedJsonl(spark, dir)
+    val raw = spark.readStream.format("graft-cdc").option("path", feedDir).load()
+    val observed = Replay.runToResult(spark,
+      graft.cdc.SchemaDrift.observedFields(raw))
+    graft.cdc.SchemaDrift.driftOf(spark, observed, Map(
+      "orders" -> Seq("o_orderkey", "o_orderstatus", "o_totalprice"),
+      "customer" -> graft.cdc.ChangeFeed.customerRowSchema.fieldNames.toSeq))
+  }
+
+  val all: Seq[QueryDef] = Seq(q23, q24a, q24b, q25, q39, q56, q71, q85)
 }
