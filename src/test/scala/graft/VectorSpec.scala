@@ -139,4 +139,14 @@ class VectorSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("semanticDedup plans the pair generation as a cell EQUIJOIN, never a cartesian") {
+    // the cell-scoped join is the operator's scale guarantee — a plan
+    // regression to an unkeyed product would be all-pairs in disguise
+    val plan = VectorSearch.semanticDedup(emb,
+      array_position(col("embedding"), array_max(col("embedding"))), 0.2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
