@@ -26,15 +26,12 @@ object SchemaDrift {
     * payloadless junk contribute nothing.
     */
   def observedFields(feed: DataFrame): DataFrame = {
-    // wrapped {schema,payload} form and bare-payload form; a JSON null
-    // after yields SQL null from get_json_object, so coalesce falls
-    // through and the explode drops the event
-    val after = coalesce(
-      get_json_object(col("value"), "$.payload.after"),
-      get_json_object(col("value"), "$.after"))
-    val table = coalesce(
-      get_json_object(col("value"), "$.payload.source.table"),
-      get_json_object(col("value"), "$.source.table"))
+    // single-pass envelope scans (both envelope forms handled inside
+    // the probe; explicit "after": null yields SQL null so the explode
+    // drops the event) — the q17d lesson: a full JSON parse per
+    // extracted field is the scan's dominant cost at feed scale
+    val after = graft.functions.JsonFunctions.payloadRaw(col("value"), "after")
+    val table = graft.functions.JsonFunctions.payloadSourceTable(col("value"))
     feed.filter(col("value").isNotNull)
       .select(table.as("src_table"),
         explode(json_object_keys(after)).as("field"))

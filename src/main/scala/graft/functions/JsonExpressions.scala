@@ -219,6 +219,33 @@ object JsonKeyProbe {
     catch { case _: NumberFormatException => default }
   }
 
+  /** RAW JSON text of `payload.<key>` (wrapped or bare form), or null
+    * when absent / explicit JSON null / the envelope is not an object.
+    * Same envelope rules as [[payloadSourceField]]; returns the value
+    * substring verbatim (object, array, string literal, or scalar) so
+    * callers can hand it to a JSON consumer without a second full
+    * parse of the envelope.
+    */
+  def payloadRawField(js: String, key: String): String = {
+    if (js == null) return null
+    val i = skipWs(js, 0)
+    if (i >= js.length || js.charAt(i) != '{') return null
+    var objStart = i
+    val pStart = valueStartOf(js, objStart, "payload")
+    if (pStart >= 0 && pStart < js.length && js.charAt(pStart) == '{')
+      objStart = pStart
+    else if (pStart >= 0 && !js.startsWith("null", pStart))
+      return null // wrapped but payload is scalar/array: no fields
+    val vStart = valueStartOf(js, objStart, key)
+    if (vStart < 0 || vStart >= js.length) return null
+    if (js.startsWith("null", vStart)) return null
+    val vEnd =
+      if (js.charAt(vStart) == '"') skipString(js, vStart)
+      else skipValue(js, vStart)
+    if (vEnd <= vStart) return null
+    js.substring(vStart, vEnd)
+  }
+
   /** Does the (possibly `{schema,payload}`-wrapped) event's payload
     * object contain `key` at its top level?
     */
@@ -258,7 +285,77 @@ case class JsonPayloadHasKey(child: Expression, key: String)
     copy(child = newChild)
 }
 
+/** Raw `payload.<key>` extraction as a codegen'd scan — the drift
+  * monitor's per-event hot path (one envelope scan instead of a full
+  * Jackson parse per extracted field).
+  */
+case class JsonPayloadRaw(child: Expression, key: String)
+    extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def prettyName: String = "json_payload_raw"
+  // the probe returns null for absent/null fields even on non-null
+  // input — without this, a NOT NULL child makes codegen emit a
+  // constant-false isNull (compile error + downstream NPEs)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val r = JsonKeyProbe.payloadRawField(v.asInstanceOf[UTF8String].toString, key)
+    if (r == null) null else UTF8String.fromString(r)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val keyRef = ctx.addReferenceObj("probeKey", key, "java.lang.String")
+    val raw = ctx.freshName("raw")
+    nullSafeCodeGen(ctx, ev, v => s"""
+      java.lang.String $raw = graft.functions.JsonKeyProbe.payloadRawField(
+        $v.toString(), $keyRef);
+      if ($raw == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString($raw); }
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `payload.source.<field>` string extraction as a codegen'd scan
+  * (the routing probe the DSv2 reader calls directly, as a Column).
+  */
+case class JsonPayloadSourceField(child: Expression, field: String)
+    extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def prettyName: String = "json_payload_source_field"
+  override def nullable: Boolean = true // see JsonPayloadRaw
+
+  override def nullSafeEval(v: Any): Any = {
+    val r = JsonKeyProbe.payloadSourceField(v.asInstanceOf[UTF8String].toString, field)
+    if (r == null) null else UTF8String.fromString(r)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fieldRef = ctx.addReferenceObj("probeField", field, "java.lang.String")
+    val raw = ctx.freshName("raw")
+    nullSafeCodeGen(ctx, ev, v => s"""
+      java.lang.String $raw = graft.functions.JsonKeyProbe.payloadSourceField(
+        $v.toString(), $fieldRef);
+      if ($raw == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString($raw); }
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object JsonFunctions {
   def payloadHasKey(value: Column, key: String): Column =
     VecBridge.column(JsonPayloadHasKey(VecBridge.expression(value), key))
+
+  def payloadRaw(value: Column, key: String): Column =
+    VecBridge.column(JsonPayloadRaw(VecBridge.expression(value), key))
+
+  def payloadSourceTable(value: Column): Column =
+    VecBridge.column(JsonPayloadSourceField(VecBridge.expression(value), "table"))
 }
