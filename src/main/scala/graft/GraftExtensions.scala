@@ -35,6 +35,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("repetition_stats"),
       new ExpressionInfo(classOf[RepetitionStatsF].getName, "repetition_stats"),
       (children: Seq[Expression]) => RepetitionStatsF(children.head)))
+    // json_payload_raw(value, 'after'): raw payload.<key> text through
+    // the single-pass scanner (the drift monitor's extraction)
+    ext.injectFunction((
+      new FunctionIdentifier("json_payload_raw"),
+      new ExpressionInfo(classOf[graft.functions.JsonPayloadRaw].getName,
+        "json_payload_raw"),
+      (children: Seq[Expression]) => children(1) match {
+        case Literal(k, org.apache.spark.sql.types.StringType) =>
+          graft.functions.JsonPayloadRaw(children.head, k.toString)
+        case other => throw new IllegalArgumentException(
+          s"json_payload_raw: key must be a string literal, got $other")
+      }))
   }
 }
 
@@ -69,6 +81,13 @@ object GraftFunctions {
           JsonPayloadHasKey(exprs.head, k.toString)
         case other => throw new IllegalArgumentException(
           s"json_payload_has_key: key must be a string literal, got $other")
+      }, "scala_udf")
+    reg.createOrReplaceTempFunction("json_payload_raw",
+      exprs => exprs(1) match {
+        case Literal(k, org.apache.spark.sql.types.StringType) =>
+          graft.functions.JsonPayloadRaw(exprs.head, k.toString)
+        case other => throw new IllegalArgumentException(
+          s"json_payload_raw: key must be a string literal, got $other")
       }, "scala_udf")
     spark.udf.register("simhash_agg", udaf(graft.functions.SimHashAgg))
     spark.udf.register("countmin_agg", udaf(graft.functions.CountMinAgg))

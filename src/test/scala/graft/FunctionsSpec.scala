@@ -46,12 +46,14 @@ class FunctionsSpec extends SparkSpec {
     // scalar kernels
     val r = spark.sql(
       """SELECT repetition_stats(array('a','b','a','b','a')) AS rs,
-        |       json_payload_has_key('{"payload":{"after":{}}}', 'after') AS has
+        |       json_payload_has_key('{"payload":{"after":{}}}', 'after') AS has,
+        |       json_payload_raw('{"payload":{"after":{"id":7}}}', 'after') AS raw
         |""".stripMargin).head()
     val rs = r.getStruct(0)
     assert(rs.getLong(0) == 5L && rs.getLong(1) == 2L) // nt1=5 nd1=2
     assert(rs.getLong(3) == 2L)                        // "a b" twice
     assert(r.getBoolean(1))
+    assert(r.getString(2) == """{"id":7}""")
     // sketch aggregates over xxhash64'd tokens, grouped — a SQL user's
     // dedup/frequency pipeline with no Column-API involvement
     val agg = spark.sql(

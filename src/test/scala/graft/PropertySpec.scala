@@ -154,6 +154,54 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("payloadRawField parses to the same node Jackson extracts (generated envelopes)") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def truth(js: String, key: String): com.fasterxml.jackson.databind.JsonNode =
+      try {
+        val root = mapper.readTree(js)
+        if (root == null || !root.isObject) null
+        else {
+          val payload = {
+            val p = root.get("payload")
+            if (p == null || p.isNull) root
+            else if (p.isObject) p
+            else return null
+          }
+          val v = payload.get(key)
+          if (v == null || v.isNull) null else v
+        }
+      } catch { case _: Exception => null }
+    val payloadGen: Gen[String] = Gen.frequency(
+      4 -> Gen.oneOf(
+        """{"op": "c", "after": {"id": 7, "v": "a\"b", "nested": {"x": [1, null]}}}""",
+        """{"op": "u", "after": {"id": 1}, "source": {"db": "d"}}""",
+        """{"op": "d", "after": null, "before": {"id": 2}}"""),
+      1 -> Gen.const("""{"op": "c"}"""),
+      1 -> Gen.const("""{"after": 7}"""),
+      1 -> Gen.const("""{"after": [1, 2]}"""),
+      1 -> Gen.const("""{"after": "scalar string"}"""))
+    val envGen: Gen[String] = Gen.frequency(
+      2 -> payloadGen,
+      2 -> payloadGen.map(p => s"""{"schema": {"after": {"id": "decoy"}}, "payload": $p}"""),
+      1 -> Gen.const("""{"payload": null, "after": {"id": "bare"}}"""),
+      1 -> Gen.const("""{"payload": "scalar"}"""),
+      1 -> Gen.const("junk"))
+    val samples = Gen.listOfN(400, envGen).sample.get
+    samples.foreach { js =>
+      Seq("after", "op", "source", "missing").foreach { k =>
+        val got = graft.functions.JsonKeyProbe.payloadRawField(js, k)
+        val want = truth(js, k)
+        if (want == null)
+          assert(got == null, s"payloadRawField($k) on: $js (got $got, want null)")
+        else {
+          assert(got != null, s"payloadRawField($k) on: $js (got null, want $want)")
+          assert(mapper.readTree(got) == want,
+            s"payloadRawField($k) on: $js (got $got, want $want)")
+        }
+      }
+    }
+  }
+
   test("topStringField/topLongField match Jackson on generated wire records") {
     // the DSv2 reader cracks {"value": <event>, "offset": <n>} with
     // these instead of a full Jackson parse — parity is the contract
