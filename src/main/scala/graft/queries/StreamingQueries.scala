@@ -223,5 +223,33 @@ object StreamingQueries {
       "customer" -> graft.cdc.ChangeFeed.customerRowSchema.fieldNames.toSeq))
   }
 
-  val all: Seq[QueryDef] = Seq(q23, q24a, q24b, q25, q39, q56, q71, q85)
+  /** Q86: exact top-3 event values per tumbling window through the
+    * bounded typed Aggregator (functions.TopKAgg) running INSIDE the
+    * streaming aggregate — the UDAF's buffer serializes through the
+    * state store between micro-batches, so the k·windows state shape
+    * (not every row) is what streams carry. Same result as the
+    * per-window row_number the oracle states; value grain makes ranks
+    * engine-stable (q79's argument, per bucket).
+    */
+  val q86 = QueryDef.sql(
+    "q86_stream_window_topk",
+    """SELECT bucket_s, rnk, v FROM (
+      |  SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS bucket_s,
+      |         value AS v,
+      |         row_number() OVER (PARTITION BY floor(epoch(ts) / 300)
+      |                            ORDER BY value DESC) AS rnk
+      |  FROM events) WHERE rnk <= 3""".stripMargin) { (spark, dir) =>
+    val topk = udaf(new graft.functions.TopKAgg(3))
+    val agg = Replay.eventsStream(spark, dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"))
+      .agg(topk(col("value")).as("vs"))
+    Replay.runToResult(spark, agg)
+      .select(col("window.start").cast("long").as("bucket_s"),
+        posexplode(col("vs")))
+      .select(col("bucket_s"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col").as("v"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q23, q24a, q24b, q25, q39, q56, q71, q85, q86)
 }
