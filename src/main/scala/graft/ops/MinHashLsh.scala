@@ -80,6 +80,72 @@ object MinHashLsh {
       .agg(collect_set(col("s")).as("ss"), mins: _*)
   }
 
+  /** MAP-ONLY per-row doc state: shingle set, MinHash signature and
+    * exploded band keys computed entirely with higher-order functions —
+    * no aggregation, no shuffle. This is the streaming-compatible form
+    * of [[docState]] (a streaming source cannot run the exploded-
+    * shingle aggregate without stateful complete-mode machinery; a
+    * per-row expression needs none). Same permutation family (seeded
+    * coefficients, same prime reduction); the band key hashes the
+    * signature slice as an array, which is consistent across any two
+    * relations built by THIS method — the only requirement for a
+    * bucket join.
+    *
+    * Output: (id, b, v, ss) — one row per (doc, band). Docs with fewer
+    * than `shingleN` tokens have no shingles and are dropped (matching
+    * the exact formulation, which emits no pairs for them).
+    */
+  def bandedRows(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, bands: Int = 16, rows: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val t = split(col(textCol), " ")
+    val ss = when(size(t) >= shingleN,
+      array_distinct(transform(sequence(lit(1), size(t) - (shingleN - 1)),
+        i => concat_ws(" ", slice(t, i, lit(shingleN))))))
+      .otherwise(array().cast("array<string>"))
+    val cs = coeffs(bands * rows, seed)
+    val csLit = array(cs.map { case (a, b) =>
+      struct(lit(a).as("a"), lit(b).as("b")) }: _*)
+    val sigs = transform(csLit, c =>
+      array_min(transform(col("_ss"), s =>
+        (((hash(s).cast("long") + 2147483648L) % Prime) * c.getField("a")
+          + c.getField("b")) % Prime)))
+    df.select(col(idCol).as("id"), ss.as("_ss"))
+      .filter(size(col("_ss")) > 0)
+      .withColumn("_sigs", sigs)
+      .select(col("id"), col("_ss"),
+        explode(transform(sequence(lit(0), lit(bands - 1)), bIdx =>
+          struct(bIdx.as("b"),
+            hash(slice(col("_sigs"), bIdx * rows + lit(1), lit(rows))).as("v"))))
+          .as("bd"))
+      .select(col("id"), col("bd.b").as("b"), col("bd.v").as("v"),
+        col("_ss").as("ss"))
+  }
+
+  /** ONLINE dedup against a historical corpus: which incoming documents
+    * near-duplicate something the corpus already holds? The corpus side
+    * is a static relation (its banded rows can be precomputed/bucketed);
+    * the incoming side may be a STREAM — every step on it is map-only
+    * ([[bandedRows]]) plus a stream-static equijoin on (band, bucket)
+    * and the exact-Jaccard verify, so each micro-batch is stateless.
+    * The trailing dropDuplicates carries one id per matched incoming
+    * doc in state — bounded by the match count, not the stream.
+    */
+  def nearDupAgainstCorpus(corpus: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String, shingleN: Int = 3,
+      threshold: Double = 0.6): DataFrame = {
+    val c = bandedRows(corpus, idCol, textCol, shingleN)
+      .select(col("b"), col("v"), col("id").as("c_id"), col("ss").as("c_ss"))
+    val in = bandedRows(incoming, idCol, textCol, shingleN)
+    val inter = size(array_intersect(col("ss"), col("c_ss"))).cast("long")
+    in.join(c, Seq("b", "v"))
+      .filter(col("id") =!= col("c_id"))
+      .filter(inter.cast("double") /
+        (size(col("ss")) + size(col("c_ss")) - inter) >= threshold)
+      .select(col("id").as("doc_id"))
+      .dropDuplicates("doc_id")
+  }
+
   /** Full scaled near-dup: band candidates, then exact-Jaccard verify.
     *
     * One-pass shape: [[docState]] computes the shingle SET and the

@@ -1,7 +1,9 @@
 package graft.queries
 
 import graft.QueryDef
+import graft.ops.MinHashLsh
 import graft.streaming.Replay
+import graft.Tables
 import org.apache.spark.sql.functions._
 
 /** Structured Streaming surface (SURVEY Q23–Q25): event-time windows
@@ -251,5 +253,33 @@ object StreamingQueries {
         col("col").as("v"))
   }
 
-  val all: Seq[QueryDef] = Seq(q23, q24a, q24b, q25, q39, q56, q71, q85, q86)
+  /** Q87: ONLINE dedup — incoming documents (a stream) checked against
+    * a static historical corpus via the map-only banded-LSH rows and a
+    * stream-static (band, bucket) equijoin with exact-Jaccard verify
+    * (MinHashLsh.nearDupAgainstCorpus). The oracle states the exact
+    * cross-half formulation; banding equals it on this corpus for the
+    * same reason q26 equals q19 (true pairs sit ≥ 0.9).
+    */
+  val q87 = QueryDef.sql(
+    "q87_stream_online_dedup",
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         unnest(list_transform(range(1, len(t) - 1),
+      |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      |       FROM tok),
+      |ca AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |p AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+      |      FROM sh a JOIN sh b ON a.s = b.s
+      |      WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+      |      GROUP BY 1, 2)
+      |SELECT DISTINCT db AS doc_id FROM p
+      |JOIN ca x ON da = x.doc_id JOIN ca y ON db = y.doc_id
+      |WHERE CAST(c AS DOUBLE) / (x.n + y.n - c) >= 0.6""".stripMargin) { (spark, dir) =>
+    val historical = Tables.documents(spark, dir).filter(col("doc_id") % 2 === 0)
+    val incoming = Replay.documentsStream(spark, dir).filter(col("doc_id") % 2 === 1)
+    Replay.runToResultAppend(spark,
+      MinHashLsh.nearDupAgainstCorpus(historical, incoming, "doc_id", "text"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q23, q24a, q24b, q25, q39, q56, q71, q85, q86, q87)
 }

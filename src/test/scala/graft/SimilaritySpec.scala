@@ -44,6 +44,44 @@ class SimilaritySpec extends SparkSpec {
     assert(banded == exact)
   }
 
+  test("bandedRows (map-only) carries the same shingle sets and signatures as docState") {
+    val docs = Tables.documents(spark, sf001).limit(50)
+    // shingle sets: per-row HOF form == exploded-aggregate form
+    val fromRows = MinHashLsh.bandedRows(docs, "doc_id", "text")
+      .select(col("id"), col("ss")).distinct()
+      .select(col("id"), array_sort(col("ss")).as("ss"))
+      .as[(Long, Seq[String])].collect().toMap
+    val fromAgg = MinHashLsh.docState(
+      Shingles.tokenShingles(docs, "doc_id", "text", 3))
+      .select(col("id"), array_sort(col("ss")).as("ss"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(fromRows == fromAgg)
+    // the per-row plan is map-only: no Exchange anywhere (checked on
+    // the bare scan — the fixture's limit above would add its own)
+    val plan = MinHashLsh.bandedRows(
+      Tables.documents(spark, sf001), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "bandedRows must not shuffle")
+  }
+
+  test("nearDupAgainstCorpus flags exactly the incoming docs with an exact cross match") {
+    val docs = Tables.documents(spark, sf001)
+    val hist = docs.filter(col("doc_id") % 2 === 0)
+    val inc = docs.filter(col("doc_id") % 2 === 1)
+    val got = MinHashLsh.nearDupAgainstCorpus(hist, inc, "doc_id", "text")
+      .as[Long].collect().toSet
+    // exact cross-half ground truth from the exact pair formulation
+    val exact = Shingles.jaccardPairs(
+      Shingles.tokenShingles(docs, "doc_id", "text", 3), 0.6)
+      .filter((col("doc_id_a") % 2 === 0 && col("doc_id_b") % 2 === 1) ||
+        (col("doc_id_a") % 2 === 1 && col("doc_id_b") % 2 === 0))
+      .select(when(col("doc_id_a") % 2 === 1, col("doc_id_a"))
+        .otherwise(col("doc_id_b")).as("d"))
+      .as[Long].collect().toSet
+    assert(got == exact)
+    assert(exact.nonEmpty, "fixture should contain cross-half near-dups")
+  }
+
   test("SimHash hamming tracks jaccard: high recall at <=7, near-dups at low hamming") {
     val sim = SimHash.nearDupPairs(docs, "doc_id", "text", 7)
       .select("doc_id_a", "doc_id_b").as[(Long, Long)].collect().toSet
