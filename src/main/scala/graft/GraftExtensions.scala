@@ -1,9 +1,52 @@
 package graft
 
-import graft.functions.{DotProductF, JsonPayloadHasKey, RepetitionStatsF}
+import graft.functions.{DotProductF, JsonPayloadHasKey, JsonPayloadRaw, RepetitionStatsF}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** Builders shared by the extensions path and the session-scoped
+  * registry — one place for the arity and literal-key validation, so a
+  * wrong SQL call fails with the function's name, not a bare
+  * IndexOutOfBoundsException out of `children(1)`.
+  */
+private[graft] object GraftFunctionBuilders {
+
+  def arity(name: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    exprs => {
+      if (exprs.length != n) throw new IllegalArgumentException(
+        s"$name expects $n argument(s), got ${exprs.length}")
+      build(exprs)
+    }
+
+  /** exprs(1) as the required string-literal key (folded at plan time —
+    * the scanner precompiles against it).
+    */
+  def litKey(name: String, exprs: Seq[Expression]): String = exprs(1) match {
+    case Literal(k, org.apache.spark.sql.types.StringType) if k != null =>
+      k.toString
+    case other => throw new IllegalArgumentException(
+      s"$name: key must be a string literal, got $other")
+  }
+
+  val all: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("dot_product_f", classOf[DotProductF],
+      arity("dot_product_f", 2)(e => DotProductF(e(0), e(1)))),
+    // repetition_stats(tokens): the fused one-pass n-gram kernel behind
+    // the q59 quality signals, as a SQL-callable struct producer
+    ("repetition_stats", classOf[RepetitionStatsF],
+      arity("repetition_stats", 1)(e => RepetitionStatsF(e.head))),
+    // json_payload_has_key(value, 'after'): the R9 containsKey probe
+    ("json_payload_has_key", classOf[JsonPayloadHasKey],
+      arity("json_payload_has_key", 2)(e =>
+        JsonPayloadHasKey(e.head, litKey("json_payload_has_key", e)))),
+    // json_payload_raw(value, 'after'): raw payload.<key> text through
+    // the single-pass scanner (the drift monitor's extraction)
+    ("json_payload_raw", classOf[JsonPayloadRaw],
+      arity("json_payload_raw", 2)(e =>
+        JsonPayloadRaw(e.head, litKey("json_payload_raw", e)))))
+}
 
 /** SparkSessionExtensions entry point: makes the engine's custom
   * expressions available to plain SQL users via
@@ -13,41 +56,12 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   * involved at use sites.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      new FunctionIdentifier("dot_product_f"),
-      new ExpressionInfo(classOf[DotProductF].getName, "dot_product_f"),
-      (children: Seq[Expression]) => DotProductF(children(0), children(1))))
-    // json_payload_has_key(value, 'after'): the R9 containsKey probe for
-    // SQL users; the key must be a string literal (folded at plan time)
-    ext.injectFunction((
-      new FunctionIdentifier("json_payload_has_key"),
-      new ExpressionInfo(classOf[JsonPayloadHasKey].getName, "json_payload_has_key"),
-      (children: Seq[Expression]) => children(1) match {
-        case Literal(k, org.apache.spark.sql.types.StringType) =>
-          JsonPayloadHasKey(children.head, k.toString)
-        case other => throw new IllegalArgumentException(
-          s"json_payload_has_key: key must be a string literal, got $other")
-      }))
-    // repetition_stats(tokens): the fused one-pass n-gram kernel behind
-    // the q59 quality signals, as a SQL-callable struct producer
-    ext.injectFunction((
-      new FunctionIdentifier("repetition_stats"),
-      new ExpressionInfo(classOf[RepetitionStatsF].getName, "repetition_stats"),
-      (children: Seq[Expression]) => RepetitionStatsF(children.head)))
-    // json_payload_raw(value, 'after'): raw payload.<key> text through
-    // the single-pass scanner (the drift monitor's extraction)
-    ext.injectFunction((
-      new FunctionIdentifier("json_payload_raw"),
-      new ExpressionInfo(classOf[graft.functions.JsonPayloadRaw].getName,
-        "json_payload_raw"),
-      (children: Seq[Expression]) => children(1) match {
-        case Literal(k, org.apache.spark.sql.types.StringType) =>
-          graft.functions.JsonPayloadRaw(children.head, k.toString)
-        case other => throw new IllegalArgumentException(
-          s"json_payload_raw: key must be a string literal, got $other")
-      }))
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctionBuilders.all.foreach { case (name, cls, build) =>
+      ext.injectFunction((
+        new FunctionIdentifier(name), new ExpressionInfo(cls.getName, name),
+        build))
+    }
 }
 
 /** Session-scoped registration of the kernels SparkSessionExtensions
@@ -71,24 +85,9 @@ object GraftFunctions {
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     import org.apache.spark.sql.functions.udaf
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("dot_product_f",
-      exprs => DotProductF(exprs(0), exprs(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("repetition_stats",
-      exprs => RepetitionStatsF(exprs.head), "scala_udf")
-    reg.createOrReplaceTempFunction("json_payload_has_key",
-      exprs => exprs(1) match {
-        case Literal(k, org.apache.spark.sql.types.StringType) =>
-          JsonPayloadHasKey(exprs.head, k.toString)
-        case other => throw new IllegalArgumentException(
-          s"json_payload_has_key: key must be a string literal, got $other")
-      }, "scala_udf")
-    reg.createOrReplaceTempFunction("json_payload_raw",
-      exprs => exprs(1) match {
-        case Literal(k, org.apache.spark.sql.types.StringType) =>
-          graft.functions.JsonPayloadRaw(exprs.head, k.toString)
-        case other => throw new IllegalArgumentException(
-          s"json_payload_raw: key must be a string literal, got $other")
-      }, "scala_udf")
+    GraftFunctionBuilders.all.foreach { case (name, _, build) =>
+      reg.createOrReplaceTempFunction(name, build, "scala_udf")
+    }
     spark.udf.register("simhash_agg", udaf(graft.functions.SimHashAgg))
     spark.udf.register("countmin_agg", udaf(graft.functions.CountMinAgg))
     spark.udf.register("bloom_agg", udaf(graft.functions.BloomAgg))

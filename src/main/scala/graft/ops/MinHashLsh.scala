@@ -99,10 +99,8 @@ object MinHashLsh {
       shingleN: Int = 3, bands: Int = 16, rows: Int = 4,
       seed: Long = 42L): DataFrame = {
     val t = split(col(textCol), " ")
-    val ss = when(size(t) >= shingleN,
-      array_distinct(transform(sequence(lit(1), size(t) - (shingleN - 1)),
-        i => concat_ws(" ", slice(t, i, lit(shingleN))))))
-      .otherwise(array().cast("array<string>"))
+    val ss = array_distinct(transform(sequence(lit(1), size(t) - (shingleN - 1)),
+      i => concat_ws(" ", slice(t, i, lit(shingleN)))))
     val cs = coeffs(bands * rows, seed)
     val csLit = array(cs.map { case (a, b) =>
       struct(lit(a).as("a"), lit(b).as("b")) }: _*)
@@ -110,8 +108,14 @@ object MinHashLsh {
       array_min(transform(col("_ss"), s =>
         (((hash(s).cast("long") + 2147483648L) % Prime) * c.getField("a")
           + c.getField("b")) % Prime)))
-    df.select(col(idCol).as("id"), ss.as("_ss"))
-      .filter(size(col("_ss")) > 0)
+    // short-doc filter runs on the CHEAP token count, before the
+    // shingle expression exists — a size(_ss) > 0 filter was pushed
+    // below the projection and inlined the whole shingle subtree into
+    // scan DataFilter + Filter + Project (3 evaluations per row, the
+    // q28b hazard); CollapseProject leaves the remaining expensive
+    // aliases alone because each feeds multiple consumers
+    df.filter(size(t) >= shingleN)
+      .select(col(idCol).as("id"), ss.as("_ss"))
       .withColumn("_sigs", sigs)
       .select(col("id"), col("_ss"),
         explode(transform(sequence(lit(0), lit(bands - 1)), bIdx =>

@@ -175,8 +175,15 @@ object CdcQueries {
     * generator's slot rules: every snapshot/update/dup/DDL/bad-op event
     * carries the full 5-field after payload.
     */
-  val q82 = QueryDef.sql(
-    "q82_schema_drift",
+  /** Shared by q82 and streaming q85 — the parity pair must stay on ONE
+    * oracle and ONE declared-subscription map, or an edit to either
+    * silently breaks the parity claim while both stay green.
+    */
+  val driftDeclared: Map[String, Seq[String]] = Map(
+    "orders" -> Seq("o_orderkey", "o_orderstatus", "o_totalprice"),
+    "customer" -> ChangeFeed.customerRowSchema.fieldNames.toSeq)
+
+  val driftOracle: String =
     """WITH n AS (SELECT CAST(count(*)
       |         + count(*) FILTER (WHERE o_orderkey % 3 = 0)
       |         + count(*) FILTER (WHERE o_orderkey % 12 = 0)
@@ -185,10 +192,10 @@ object CdcQueries {
       |       FROM orders),
       |f AS (SELECT unnest(['o_custkey', 'o_orderpriority']) AS field)
       |SELECT 'orders' AS src_table, field, n_events
-      |FROM f CROSS JOIN n""".stripMargin) { (spark, dir) =>
-    SchemaDrift.report(spark, ChangeFeed.staged(spark, dir), Map(
-      "orders" -> Seq("o_orderkey", "o_orderstatus", "o_totalprice"),
-      "customer" -> ChangeFeed.customerRowSchema.fieldNames.toSeq))
+      |FROM f CROSS JOIN n""".stripMargin
+
+  val q82 = QueryDef.sql("q82_schema_drift", driftOracle) { (spark, dir) =>
+    SchemaDrift.report(spark, ChangeFeed.staged(spark, dir), driftDeclared)
   }
 
   val all: Seq[QueryDef] = Seq(q17, q17b, q17c, q17d, q17e, q17f, q82)

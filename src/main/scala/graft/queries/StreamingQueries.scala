@@ -206,23 +206,12 @@ object StreamingQueries {
     * batch/streaming parity proof for the drift monitor.
     */
   val q85 = QueryDef.sql(
-    "q85_stream_schema_drift",
-    """WITH n AS (SELECT CAST(count(*)
-      |         + count(*) FILTER (WHERE o_orderkey % 3 = 0)
-      |         + count(*) FILTER (WHERE o_orderkey % 12 = 0)
-      |         + count(*) FILTER (WHERE o_orderkey % 7 = 0)
-      |         + count(*) FILTER (WHERE o_orderkey % 11 = 0) AS BIGINT) AS n_events
-      |       FROM orders),
-      |f AS (SELECT unnest(['o_custkey', 'o_orderpriority']) AS field)
-      |SELECT 'orders' AS src_table, field, n_events
-      |FROM f CROSS JOIN n""".stripMargin) { (spark, dir) =>
+    "q85_stream_schema_drift", CdcQueries.driftOracle) { (spark, dir) =>
     val feedDir = graft.cdc.ChangeFeed.stagedJsonl(spark, dir)
     val raw = spark.readStream.format("graft-cdc").option("path", feedDir).load()
     val observed = Replay.runToResult(spark,
       graft.cdc.SchemaDrift.observedFields(raw))
-    graft.cdc.SchemaDrift.driftOf(spark, observed, Map(
-      "orders" -> Seq("o_orderkey", "o_orderstatus", "o_totalprice"),
-      "customer" -> graft.cdc.ChangeFeed.customerRowSchema.fieldNames.toSeq))
+    graft.cdc.SchemaDrift.driftOf(spark, observed, CdcQueries.driftDeclared)
   }
 
   /** Q86: exact top-3 event values per tumbling window through the

@@ -57,11 +57,15 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Seq[String])].collect().toMap
     assert(fromRows == fromAgg)
     // the per-row plan is map-only: no Exchange anywhere (checked on
-    // the bare scan — the fixture's limit above would add its own)
+    // the bare scan — the fixture's limit above would add its own),
+    // and the expensive shingle-set expression evaluates ONCE per row
+    // (a size(_ss) filter once inlined it into scan + Filter + Project)
     val plan = MinHashLsh.bandedRows(
       Tables.documents(spark, sf001), "doc_id", "text")
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), "bandedRows must not shuffle")
+    assert("array_distinct".r.findAllIn(plan).length == 1,
+      "shingle-set construction must appear exactly once in the plan")
   }
 
   test("nearDupAgainstCorpus flags exactly the incoming docs with an exact cross match") {
