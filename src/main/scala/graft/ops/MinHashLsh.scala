@@ -95,27 +95,43 @@ object MinHashLsh {
     * than `shingleN` tokens have no shingles and are dropped (matching
     * the exact formulation, which emits no pairs for them).
     */
-  def bandedRows(df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, bands: Int = 16, rows: Int = 4,
-      seed: Long = 42L): DataFrame = {
+  /** MAP-ONLY per-row shingle sets (id, ss) — the HOF form of
+    * `Shingles.tokenShingles(...).groupBy(id).collect_set` with no
+    * aggregation, usable on a stream. Short docs (< shingleN tokens)
+    * are dropped, matching the exact formulation (no shingles → no
+    * pairs). The short-doc filter runs on the CHEAP token count,
+    * before the shingle expression exists — a size-of-result filter
+    * would be pushed below the projection and inline the whole shingle
+    * subtree into scan DataFilter + Filter + Project (3 evaluations
+    * per row, the q28b hazard); CollapseProject leaves the expensive
+    * alias alone because it feeds multiple consumers.
+    */
+  def shingleSets(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3): DataFrame = {
     val t = split(col(textCol), " ")
     val ss = array_distinct(transform(sequence(lit(1), size(t) - (shingleN - 1)),
       i => concat_ws(" ", slice(t, i, lit(shingleN)))))
-    val cs = coeffs(bands * rows, seed)
-    val csLit = array(cs.map { case (a, b) =>
-      struct(lit(a).as("a"), lit(b).as("b")) }: _*)
-    val sigs = transform(csLit, c =>
-      array_min(transform(col("_ss"), s =>
-        (((hash(s).cast("long") + 2147483648L) % Prime) * c.getField("a")
-          + c.getField("b")) % Prime)))
-    // short-doc filter runs on the CHEAP token count, before the
-    // shingle expression exists — a size(_ss) > 0 filter was pushed
-    // below the projection and inlined the whole shingle subtree into
-    // scan DataFilter + Filter + Project (3 evaluations per row, the
-    // q28b hazard); CollapseProject leaves the remaining expensive
-    // aliases alone because each feeds multiple consumers
     df.filter(size(t) >= shingleN)
-      .select(col(idCol).as("id"), ss.as("_ss"))
+      .select(col(idCol).as("id"), ss.as("ss"))
+  }
+
+  def bandedRows(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, bands: Int = 16, rows: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val cs = coeffs(bands * rows, seed)
+    // hash each shingle ONCE (murmur3 is the expensive step), then run
+    // the permutation mins through the fused codegen'd kernel — the
+    // all-HOF form interpreted perms x shingles lambdas per row and
+    // dominated the whole operator's cost
+    val hashed = transform(col("_ss"), s =>
+      (hash(s).cast("long") + 2147483648L) % Prime)
+    val sigs = org.apache.spark.sql.graftvec.VecBridge.column(
+      graft.functions.MinHashSigF(
+        org.apache.spark.sql.graftvec.VecBridge.expression(col("_hs")),
+        cs.map(_._1), cs.map(_._2)))
+    shingleSets(df, idCol, textCol, shingleN)
+      .withColumnRenamed("ss", "_ss")
+      .withColumn("_hs", hashed)
       .withColumn("_sigs", sigs)
       .select(col("id"), col("_ss"),
         explode(transform(sequence(lit(0), lit(bands - 1)), bIdx =>
@@ -138,6 +154,11 @@ object MinHashLsh {
   def nearDupAgainstCorpus(corpus: DataFrame, incoming: DataFrame,
       idCol: String, textCol: String, shingleN: Int = 3,
       threshold: Double = 0.6): DataFrame = {
+    // verify runs inline on the band-match rows: a per-pair dedup
+    // before the verify would be a second STATEFUL operator on the
+    // stream (measured 7x slower — every candidate pair becomes state-
+    // store writes), so a pair sharing k bands is verified k times
+    // (bounded by `bands`) and only matched ids enter state
     val c = bandedRows(corpus, idCol, textCol, shingleN)
       .select(col("b"), col("v"), col("id").as("c_id"), col("ss").as("c_ss"))
     val in = bandedRows(incoming, idCol, textCol, shingleN)
