@@ -198,5 +198,38 @@ object CdcQueries {
     SchemaDrift.report(spark, ChangeFeed.staged(spark, dir), driftDeclared)
   }
 
-  val all: Seq[QueryDef] = Seq(q17, q17b, q17c, q17d, q17e, q17f, q82)
+  /** Q88: incrementally-maintained aggregate view (cdc.IncrementalAgg)
+    * — per-status order count and money total computed ONLY from the
+    * LWW delta stream's ±contributions (insert +new, delete −prev,
+    * update +new −prev), never from the snapshot. The oracle aggregates
+    * the snapshot directly, so the gate proves the retraction
+    * arithmetic converges to it across the feed's full event zoo
+    * (dup deliveries, out-of-order, deletes, junk).
+    */
+  val q88 = QueryDef.sql(
+    "q88_cdc_incr_agg",
+    """SELECT o_orderstatus,
+      |       CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(sum(CAST(CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1
+      |                          ELSE o_totalprice END AS DECIMAL(18,2)))
+      |            AS DOUBLE) AS total
+      |FROM orders WHERE o_orderkey % 5 <> 0
+      |GROUP BY 1""".stripMargin) { (spark, dir) =>
+    val feedDir = ChangeFeed.stagedJsonl(spark, dir)
+    val raw = spark.readStream.format("graft-cdc").option("path", feedDir).load()
+    val routed = Subscription(Set("shop"), Set("orders")).route(raw)
+      .drop("src_db", "src_table")
+    val filtered = EventFilters.all(
+      Envelope.parseTyped(routed, ChangeFeed.ordersRowSchema))
+    val keyed = filtered.select(
+      coalesce(col("after.o_orderkey"), col("before.o_orderkey")).as("key"),
+      col("ts_ms"), col("offset"), col("op"),
+      to_json(col("after")).as("after"))
+    val deltas = graft.streaming.Replay.runToResultAppend(spark,
+      graft.streaming.StatefulLww.deltaStream(keyed).toDF())
+    IncrementalAgg.sumCountByGroup(deltas, ChangeFeed.ordersRowSchema,
+      "o_orderstatus", "o_totalprice")
+  }
+
+  val all: Seq[QueryDef] = Seq(q17, q17b, q17c, q17d, q17e, q17f, q82, q88)
 }

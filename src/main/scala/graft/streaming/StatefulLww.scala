@@ -23,7 +23,12 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 object StatefulLww {
 
   case class Winner(tsMs: Long, offset: Long, op: String, rowJson: String)
-  case class Delta(key: Long, action: String, rowJson: String)
+
+  /** `prevJson` is the row the key showed BEFORE this delta (null when
+    * the key was not live) — what a downstream incremental aggregate
+    * needs to retract the old contribution (see cdc.IncrementalAgg).
+    */
+  case class Delta(key: Long, action: String, rowJson: String, prevJson: String)
 
   /** Not private: Catalyst's generated SafeProjection must construct it. */
   case class In(key: Long, tsMs: Long, offset: Long, op: String, rowJson: String)
@@ -53,11 +58,12 @@ object StatefulLww {
         else {
           state.update(Winner(incoming.tsMs, incoming.offset, incoming.op,
             incoming.rowJson))
+          val prev = current.filter(_.op != "d").map(_.rowJson).orNull
           if (incoming.op == "d") {
             // emit a delete only if the key was previously live
-            if (current.exists(_.op != "d")) Iterator(Delta(key, "delete", null))
+            if (prev != null) Iterator(Delta(key, "delete", null, prev))
             else Iterator.empty
-          } else Iterator(Delta(key, "upsert", incoming.rowJson))
+          } else Iterator(Delta(key, "upsert", incoming.rowJson, prev))
         }
     }
   }

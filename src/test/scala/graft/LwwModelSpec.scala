@@ -81,12 +81,18 @@ class LwwModelSpec extends SparkSpec {
         q.processAllAvailable()
       }
       q.stop()
-      // replay the deltas in order: final state per key
-      val deltas = spark.table(name).as[(Long, String, String)].collect()
+      // replay the deltas in order: final state per key; each delta's
+      // prevJson must equal the state it replaces (the retraction
+      // contract IncrementalAgg relies on)
+      val deltas = spark.table(name).as[(Long, String, String, String)].collect()
       val state = scala.collection.mutable.Map[Long, String]()
       deltas.foreach {
-        case (k, "upsert", json) => state(k) = json
-        case (k, "delete", _) => state.remove(k)
+        case (k, "upsert", json, prev) =>
+          assert(state.get(k).orNull == prev, s"seed $seed: bad prev for $k")
+          state(k) = json
+        case (k, "delete", _, prev) =>
+          assert(state.get(k).orNull == prev, s"seed $seed: bad prev for $k")
+          state.remove(k)
         case other => fail(s"unexpected delta $other")
       }
       val expected = model(evs).map { case (k, v) => k -> s"""{"v":"$v"}""" }

@@ -20,28 +20,30 @@ class StatefulLwwSpec extends SparkSpec {
       .format("memory").queryName(name).outputMode("append")
       .trigger(Trigger.ProcessingTime(0)).start()
 
-    def deltasAfter(batch: Seq[Ev]): Seq[(Long, String, String)] = {
+    def deltasAfter(batch: Seq[Ev]): Seq[(Long, String, String, String)] = {
       val before = spark.table(name).count()
       mem.addData(batch: _*); q.processAllAvailable()
-      spark.table(name).as[(Long, String, String)].collect().drop(before.toInt).toSeq
+      spark.table(name).as[(Long, String, String, String)].collect()
+        .drop(before.toInt).toSeq
     }
 
-    // batch 1: two inserts
+    // batch 1: two inserts — no previous row
     val d1 = deltasAfter(Seq(
       Ev(1, 10, 1, "c", """{"v":"a"}"""), Ev(2, 10, 2, "c", """{"v":"b"}""")))
-    assert(d1.toSet == Set((1L, "upsert", """{"v":"a"}"""),
-      (2L, "upsert", """{"v":"b"}""")))
+    assert(d1.toSet == Set((1L, "upsert", """{"v":"a"}""", null),
+      (2L, "upsert", """{"v":"b"}""", null)))
 
-    // batch 2: update key 1, STALE event for key 2 (older ts), dup of key 1's update
+    // batch 2: update key 1 (prev carries the OLD row — what an
+    // incremental aggregate retracts), STALE event for key 2, dup
     val d2 = deltasAfter(Seq(
       Ev(1, 20, 3, "u", """{"v":"a2"}"""),
       Ev(1, 20, 3, "u", """{"v":"a2"}"""),
       Ev(2, 5, 4, "u", """{"v":"stale"}""")))
-    assert(d2 == Seq((1L, "upsert", """{"v":"a2"}""")))
+    assert(d2 == Seq((1L, "upsert", """{"v":"a2"}""", """{"v":"a"}""")))
 
-    // batch 3: delete key 1; re-delivered delete is absorbed next batch
+    // batch 3: delete key 1 (prev = the deleted row); re-delivery absorbed
     val d3 = deltasAfter(Seq(Ev(1, 30, 5, "d", null)))
-    assert(d3 == Seq((1L, "delete", null)))
+    assert(d3 == Seq((1L, "delete", null, """{"v":"a2"}""")))
     val d4 = deltasAfter(Seq(Ev(1, 30, 5, "d", null)))
     assert(d4.isEmpty)
 
@@ -69,7 +71,8 @@ class StatefulLwwSpec extends SparkSpec {
       q.processAllAvailable()
       mem.addData(Ev(1, 30, 5, "d", null))
       q.processAllAvailable()
-      val all = spark.table(name).as[(Long, String, String)].collect().toSeq
+      val all = spark.table(name).as[(Long, String, String, String)]
+        .collect().toSeq.map(d => (d._1, d._2, d._3))
       q.stop()
       assert(all.toSet == Set(
         (1L, "upsert", """{"v":"a"}"""), (2L, "upsert", """{"v":"b"}"""),
