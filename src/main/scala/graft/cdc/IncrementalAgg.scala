@@ -23,12 +23,13 @@ import org.apache.spark.sql.types.StructType
   */
 object IncrementalAgg {
 
-  /** Per-group (n_rows, total) from a delta relation (batch over the
-    * delta history, or foreachBatch over a live delta stream). Groups
-    * whose rows are all retracted net to zero and drop out, matching
-    * the snapshot aggregate.
+  /** Per-group NET contributions of a delta relation: (group, n_rows,
+    * total_dec) where n_rows = Σ sign and total_dec = Σ sign·value in
+    * DECIMAL. No zero filtering — a micro-batch of pure updates nets
+    * n_rows = 0 with a nonzero money delta, and an additive MERGE
+    * (JdbcSink.mergeAdditive) must still apply it.
     */
-  def sumCountByGroup(deltas: DataFrame, rowSchema: StructType,
+  def contributions(deltas: DataFrame, rowSchema: StructType,
       groupCol: String, valueCol: String): DataFrame = {
     val contribs = deltas.select(explode(filter(array(
         when(col("rowJson").isNotNull,
@@ -41,8 +42,24 @@ object IncrementalAgg {
     contribs
       .groupBy(col(s"r.$groupCol").as(groupCol))
       .agg(sum(col("sgn")).cast("long").as("n_rows"),
-        sum(col("sgn") * col(s"r.$valueCol").cast("decimal(18,2)")).as("_t"))
-      .filter(col("n_rows") =!= 0)
-      .select(col(groupCol), col("n_rows"), col("_t").cast("double").as("total"))
+        // Spark widens the sum to decimal(38,2); cap it back to (18,2)
+        // — JDBC targets with a lower max precision (Derby: 31)
+        // otherwise create the staging column with a TRUNCATED scale
+        // and money silently loses its cents
+        sum(col("sgn") * col(s"r.$valueCol").cast("decimal(18,2)"))
+          .cast("decimal(18,2)").as("total_dec"))
   }
+
+  /** Per-group (n_rows, total) from a delta relation (batch over the
+    * delta history, or foreachBatch over a live delta stream). Groups
+    * whose rows are all retracted net to zero and drop out, matching
+    * the snapshot aggregate (zero live rows implies a zero money net —
+    * every row's lifetime contributions telescope).
+    */
+  def sumCountByGroup(deltas: DataFrame, rowSchema: StructType,
+      groupCol: String, valueCol: String): DataFrame =
+    contributions(deltas, rowSchema, groupCol, valueCol)
+      .filter(col("n_rows") =!= 0)
+      .select(col(groupCol), col("n_rows"),
+        col("total_dec").cast("double").as("total"))
 }

@@ -47,4 +47,41 @@ object JdbcSink {
     try { val st = conn.createStatement(); try st.execute(merge) finally st.close() }
     finally conn.close()
   }
+
+  /** ADDITIVE merge for incrementally-maintained views: matched rows
+    * get `t.c = t.c + s.c` for every `addCol` (the per-batch NET
+    * contribution — cdc.IncrementalAgg.contributions), unmatched rows
+    * insert, and rows whose `zeroGuard` column reaches 0 are deleted
+    * (a fully-retracted group leaves the view, matching the snapshot
+    * aggregate). Same staging-table shape as [[upsertViaStaging]].
+    */
+  def mergeAdditive(df: DataFrame, url: String, table: String,
+      keyCols: Seq[String], addCols: Seq[String], zeroGuard: String,
+      props: java.util.Properties = new java.util.Properties(),
+      stagingColumnTypes: String = null): Unit = {
+    val staging = s"${table}_stage"
+    // string MERGE keys need an explicit staging type on engines that
+    // map StringType to an incomparable LOB (Derby: VARCHAR vs CLOB)
+    val w0 = df.write.mode(SaveMode.Overwrite)
+    val w = if (stagingColumnTypes == null) w0
+      else w0.option("createTableColumnTypes", stagingColumnTypes)
+    w.jdbc(url, staging, props)
+    def q(c: String) = "\"" + c + "\""
+    val on = keyCols.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
+    val sets = addCols.map(c => s"t.${q(c)} = t.${q(c)} + s.${q(c)}").mkString(", ")
+    val ins = (keyCols ++ addCols).map(q).mkString(", ")
+    val vals = (keyCols ++ addCols).map(c => s"s.${q(c)}").mkString(", ")
+    val merge =
+      s"""MERGE INTO $table t USING $staging s ON ($on)
+         |WHEN MATCHED THEN UPDATE SET $sets
+         |WHEN NOT MATCHED THEN INSERT ($ins) VALUES ($vals)""".stripMargin
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val st = conn.createStatement()
+      try {
+        st.execute(merge)
+        st.execute(s"DELETE FROM $table WHERE ${q(zeroGuard)} = 0")
+      } finally st.close()
+    } finally conn.close()
+  }
 }

@@ -99,4 +99,49 @@ class LwwModelSpec extends SparkSpec {
       assert(state.toMap == expected, s"seed $seed")
     }
   }
+
+  test("incremental aggregate from deltas equals the snapshot aggregate (model-based)") {
+    // the q88 arithmetic under random traffic: group/value derived from
+    // each event, 2-decimal money grain so the decimal sums are exact
+    val aggSchema = StructType(Seq(StructField("id", LongType),
+      StructField("g", StringType), StructField("x", DoubleType)))
+    def gOf(e: RawEv): String = "g" + (e.v.drop(1).toInt % 3)
+    def xOf(e: RawEv): Double = (e.v.drop(1).toInt * 7 + 11) / 100.0
+    def rowJson(e: RawEv): String =
+      s"""{"id":${e.key},"g":"${gOf(e)}","x":${xOf(e)}}"""
+    for (seed <- Seq(5L, 21L)) {
+      val evs = genEvents(seed)
+      val rnd = new scala.util.Random(seed + 2)
+      val batches = rnd.shuffle(evs)
+        .grouped(math.max(1, evs.size / 4 + 1)).toSeq
+      implicit val ctx = spark.sqlContext
+      val mem = MemoryStream[StatefulLww.In]
+      val name = s"incr_agg_model_$seed"
+      val q = StatefulLww.deltaStream(mem.toDF()
+          .withColumnRenamed("tsMs", "ts_ms")
+          .withColumnRenamed("rowJson", "after"))
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .trigger(Trigger.ProcessingTime(0)).start()
+      batches.foreach { b =>
+        mem.addData(b.map(e => StatefulLww.In(e.key, e.ts, e.offset, e.op,
+          if (e.op == "d") null else rowJson(e))): _*)
+        q.processAllAvailable()
+      }
+      q.stop()
+      val got = IncrementalAgg.sumCountByGroup(
+        spark.table(name), aggSchema, "g", "x")
+        .as[(String, Long, Double)].collect()
+        .map { case (g, n, t) => g -> ((n, BigDecimal(t).setScale(2, BigDecimal.RoundingMode.HALF_UP))) }
+        .toMap
+      val live = evs.groupBy(_.key).flatMap { case (_, es) =>
+        val w = es.maxBy(e => (e.ts, e.offset))
+        if (w.op == "d") None else Some(w)
+      }.toSeq
+      val exp = live.groupBy(gOf).map { case (g, ws) =>
+        g -> ((ws.size.toLong,
+          ws.map(w => BigDecimal(xOf(w)).setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum))
+      }
+      assert(got == exp, s"seed $seed")
+    }
+  }
 }

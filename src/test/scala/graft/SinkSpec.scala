@@ -163,6 +163,60 @@ class SinkSpec extends SparkSpec {
       .as[(Long, String)].collect().toMap
     assert(rows == Map(1L -> "a", 2L -> "b2", 3L -> "c"))
   }
+
+  test("CDC deltas maintain a JDBC aggregate view incrementally (foreachBatch + additive MERGE)") {
+    import graft.cdc.IncrementalAgg
+    import graft.streaming.StatefulLww
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.types._
+    val url = s"jdbc:derby:memory:graftview;create=true"
+    val c0 = java.sql.DriverManager.getConnection(url)
+    c0.createStatement().execute(
+      """CREATE TABLE agg_view ("g" VARCHAR(10) NOT NULL PRIMARY KEY,
+        | "n_rows" BIGINT, "total_dec" DECIMAL(18,2))""".stripMargin.replace("\n", ""))
+    c0.close()
+
+    val rowSchema = StructType(Seq(StructField("id", LongType),
+      StructField("g", StringType), StructField("x", DoubleType)))
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[StatefulLww.In]
+    val q = StatefulLww.deltaStream(mem.toDF()
+        .withColumnRenamed("tsMs", "ts_ms")
+        .withColumnRenamed("rowJson", "after")).writeStream
+      .outputMode("append")
+      .foreachBatch {
+        (deltas: org.apache.spark.sql.Dataset[StatefulLww.Delta], _: Long) =>
+          JdbcSink.mergeAdditive(
+            IncrementalAgg.contributions(deltas.toDF(), rowSchema, "g", "x"),
+            url, "agg_view", Seq("g"), Seq("n_rows", "total_dec"), "n_rows",
+            stagingColumnTypes = "g VARCHAR(10)")
+          ()
+      }.start()
+    def in(k: Long, ts: Long, off: Long, op: String, g: String, x: Double) =
+      StatefulLww.In(k, ts, off, op,
+        if (op == "d") null else s"""{"id":$k,"g":"$g","x":$x}""")
+    def view(): Map[String, (Long, BigDecimal)] =
+      spark.read.jdbc(url, "agg_view", new java.util.Properties())
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), BigDecimal(r.getDecimal(2))))).toMap
+
+    // batch 1: three inserts across two groups
+    mem.addData(in(1, 10, 1, "c", "a", 1.50), in(2, 10, 2, "c", "a", 2.25),
+      in(3, 10, 3, "c", "b", 4.00))
+    q.processAllAvailable()
+    assert(view() == Map("a" -> ((2L, BigDecimal("3.75"))), "b" -> ((1L, BigDecimal("4.00")))))
+
+    // batch 2: pure update (count net 0, money moves) + group MOVE 1: a->b
+    mem.addData(in(2, 20, 4, "u", "a", 2.75), in(1, 20, 5, "u", "b", 1.50))
+    q.processAllAvailable()
+    assert(view() == Map("a" -> ((1L, BigDecimal("2.75"))), "b" -> ((2L, BigDecimal("5.50")))))
+
+    // batch 3: delete the last 'a' row — the group leaves the view
+    mem.addData(in(2, 30, 6, "d", "", 0))
+    q.processAllAvailable()
+    q.stop()
+    assert(view() == Map("b" -> ((2L, BigDecimal("5.50")))))
+  }
 }
 
 object SinkSpec {
