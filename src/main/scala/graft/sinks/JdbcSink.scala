@@ -54,11 +54,18 @@ object JdbcSink {
     * insert, and rows whose `zeroGuard` column reaches 0 are deleted
     * (a fully-retracted group leaves the view, matching the snapshot
     * aggregate). Same staging-table shape as [[upsertViaStaging]].
+    *
+    * UNLIKE an id-keyed upsert, adding is NOT idempotent — foreachBatch
+    * is at-least-once, and a replayed micro-batch would double-count.
+    * Pass the foreachBatch `batchId` and the merge becomes exactly-once:
+    * the batch id inserts into `<table>_progress` in the SAME
+    * transaction as the merge, so a replay hits the primary key and the
+    * whole transaction rolls back as already-applied.
     */
   def mergeAdditive(df: DataFrame, url: String, table: String,
       keyCols: Seq[String], addCols: Seq[String], zeroGuard: String,
       props: java.util.Properties = new java.util.Properties(),
-      stagingColumnTypes: String = null): Unit = {
+      stagingColumnTypes: String = null, batchId: Long = -1L): Unit = {
     val staging = s"${table}_stage"
     // string MERGE keys need an explicit staging type on engines that
     // map StringType to an incomparable LOB (Derby: VARCHAR vs CLOB)
@@ -77,11 +84,28 @@ object JdbcSink {
          |WHEN NOT MATCHED THEN INSERT ($ins) VALUES ($vals)""".stripMargin
     val conn = java.sql.DriverManager.getConnection(url, props)
     try {
+      if (batchId >= 0) ensureProgressTable(conn, table)
+      conn.setAutoCommit(false)
       val st = conn.createStatement()
       try {
+        if (batchId >= 0) st.execute(
+          s"INSERT INTO ${table}_progress (batch_id) VALUES ($batchId)")
         st.execute(merge)
         st.execute(s"DELETE FROM $table WHERE ${q(zeroGuard)} = 0")
+        conn.commit()
+      } catch {
+        case e: java.sql.SQLIntegrityConstraintViolationException =>
+          conn.rollback() // replayed batch: already applied, skip whole
+        case e: Throwable => conn.rollback(); throw e
       } finally st.close()
     } finally conn.close()
+  }
+
+  private def ensureProgressTable(conn: java.sql.Connection, table: String): Unit = {
+    val st = conn.createStatement()
+    try st.execute(
+      s"CREATE TABLE ${table}_progress (batch_id BIGINT NOT NULL PRIMARY KEY)")
+    catch { case _: java.sql.SQLException => () } // exists
+    finally st.close()
   }
 }

@@ -185,11 +185,11 @@ class SinkSpec extends SparkSpec {
         .withColumnRenamed("rowJson", "after")).writeStream
       .outputMode("append")
       .foreachBatch {
-        (deltas: org.apache.spark.sql.Dataset[StatefulLww.Delta], _: Long) =>
+        (deltas: org.apache.spark.sql.Dataset[StatefulLww.Delta], batchId: Long) =>
           JdbcSink.mergeAdditive(
             IncrementalAgg.contributions(deltas.toDF(), rowSchema, "g", "x"),
             url, "agg_view", Seq("g"), Seq("n_rows", "total_dec"), "n_rows",
-            stagingColumnTypes = "g VARCHAR(10)")
+            stagingColumnTypes = "g VARCHAR(10)", batchId = batchId)
           ()
       }.start()
     def in(k: Long, ts: Long, off: Long, op: String, g: String, x: Double) =
@@ -216,6 +216,20 @@ class SinkSpec extends SparkSpec {
     q.processAllAvailable()
     q.stop()
     assert(view() == Map("b" -> ((2L, BigDecimal("5.50")))))
+
+    // at-least-once REPLAY of an applied batch id: the progress marker
+    // rolls the whole transaction back — no double count
+    JdbcSink.mergeAdditive(
+      Seq(("b", 2L, BigDecimal("5.50"))).toDF("g", "n_rows", "total_dec"),
+      url, "agg_view", Seq("g"), Seq("n_rows", "total_dec"), "n_rows",
+      stagingColumnTypes = "g VARCHAR(10)", batchId = 1L)
+    assert(view() == Map("b" -> ((2L, BigDecimal("5.50")))), "replay must be a no-op")
+    // a NEW batch id still applies
+    JdbcSink.mergeAdditive(
+      Seq(("b", 1L, BigDecimal("0.50"))).toDF("g", "n_rows", "total_dec"),
+      url, "agg_view", Seq("g"), Seq("n_rows", "total_dec"), "n_rows",
+      stagingColumnTypes = "g VARCHAR(10)", batchId = 99L)
+    assert(view() == Map("b" -> ((3L, BigDecimal("6.00")))))
   }
 }
 
