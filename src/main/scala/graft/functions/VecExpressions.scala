@@ -68,57 +68,6 @@ case class DotProductF(left: Expression, right: Expression)
   * projection inside a single whole-stage-codegen method instead of
   * overflowing Janino's 64KB limit.
   */
-/** Codegen'd MinHash signature over an `Array[Long]` of (already
-  * reduced, non-negative) shingle hashes: out[p] = min over h of
-  * (h·a[p] + b[p]) mod P — the exact arithmetic of the HOF form
-  * `transform(coeffs, c -> array_min(transform(hs, h -> ...)))` as one
-  * fused primitive loop (the HOF path interprets perms×shingles
-  * lambdas per row; measured ~3.5s per 2500 docs at 64 perms vs
-  * negligible here). Both factors < 2^31 so products never overflow.
-  */
-case class MinHashSigF(child: Expression, as: Array[Long], bs: Array[Long])
-    extends UnaryExpression {
-
-  override def dataType: DataType =
-    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
-  override def prettyName: String = "minhash_sig_f"
-
-  override def nullSafeEval(v: Any): Any =
-    MinHashSigF.compute(v.asInstanceOf[ArrayData], as, bs)
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val aRef = ctx.addReferenceObj("mhAs", as, "long[]")
-    val bRef = ctx.addReferenceObj("mhBs", bs, "long[]")
-    nullSafeCodeGen(ctx, ev, v =>
-      s"${ev.value} = graft.functions.MinHashSigF.compute($v, $aRef, $bRef);")
-  }
-
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-}
-
-object MinHashSigF {
-  private val Prime = 2147483647L
-
-  def compute(hs: ArrayData, as: Array[Long], bs: Array[Long]): ArrayData = {
-    val n = hs.numElements()
-    val out = new Array[Long](as.length)
-    java.util.Arrays.fill(out, Long.MaxValue)
-    var i = 0
-    while (i < n) {
-      val h = hs.getLong(i)
-      var p = 0
-      while (p < as.length) {
-        val v = (h * as(p) + bs(p)) % Prime
-        if (v < out(p)) out(p) = v
-        p += 1
-      }
-      i += 1
-    }
-    new GenericArrayData(out)
-  }
-}
-
 case class SignBandsF(child: Expression, planes: Array[Float],
     bands: Int, bandPlanes: Int, dim: Int)
     extends UnaryExpression {
@@ -186,6 +135,57 @@ case class SignBandsF(child: Expression, planes: Array[Float],
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** Codegen'd MinHash signature over an `Array[Long]` of (already
+  * reduced, non-negative) shingle hashes: out[p] = min over h of
+  * (h·a[p] + b[p]) mod P — the exact arithmetic of the HOF form
+  * `transform(coeffs, c -> array_min(transform(hs, h -> ...)))` as one
+  * fused primitive loop (the HOF path interprets perms×shingles
+  * lambdas per row; measured ~3.5s per 2500 docs at 64 perms vs
+  * negligible here). Both factors < 2^31 so products never overflow.
+  */
+case class MinHashSigF(child: Expression, as: Array[Long], bs: Array[Long])
+    extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig_f"
+
+  override def nullSafeEval(v: Any): Any =
+    MinHashSigF.compute(v.asInstanceOf[ArrayData], as, bs)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("mhAs", as, "long[]")
+    val bRef = ctx.addReferenceObj("mhBs", bs, "long[]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.MinHashSigF.compute($v, $aRef, $bRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashSigF {
+  private val Prime = 2147483647L
+
+  def compute(hs: ArrayData, as: Array[Long], bs: Array[Long]): ArrayData = {
+    val n = hs.numElements()
+    val out = new Array[Long](as.length)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var p = 0
+      while (p < as.length) {
+        val v = (h * as(p) + bs(p)) % Prime
+        if (v < out(p)) out(p) = v
+        p += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** The `n` nearest-by-cosine cell ids (ascending by (−dot·invNorm, id))

@@ -25,24 +25,40 @@ object JdbcSink {
     * transaction driver-side. Executors write the staging rows in
     * parallel; only the MERGE statement runs on one connection.
     */
-  def upsertViaStaging(df: DataFrame, url: String, table: String,
-      keyCols: Seq[String],
-      props: java.util.Properties = new java.util.Properties()): Unit = {
+  // Spark's JDBC writer creates the staging table with quoted (case-
+  // preserved) identifiers — quote everywhere so the MERGE matches.
+  private def q(c: String) = "\"" + c + "\""
+
+  /** Write the staging table and build the shared MERGE scaffolding
+    * (ON / INSERT arms); `sets` is the only clause the two merge
+    * flavors differ on. `stagingColumnTypes` pins staging column types
+    * for engines whose default string mapping cannot be a merge key
+    * (Derby: StringType -> CLOB, not comparable to VARCHAR).
+    */
+  private def stageAndMerge(df: DataFrame, url: String, table: String,
+      keyCols: Seq[String], cols: Seq[String], sets: String,
+      props: java.util.Properties, stagingColumnTypes: String): String = {
     val staging = s"${table}_stage"
-    df.write.mode(SaveMode.Overwrite).jdbc(url, staging, props)
-    // Spark's JDBC writer creates the staging table with quoted (case-
-    // preserved) identifiers — quote everywhere so the MERGE matches.
-    def q(c: String) = "\"" + c + "\""
-    val cols = df.columns
+    val w0 = df.write.mode(SaveMode.Overwrite)
+    val w = if (stagingColumnTypes == null) w0
+      else w0.option("createTableColumnTypes", stagingColumnTypes)
+    w.jdbc(url, staging, props)
     val on = keyCols.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
-    val sets = cols.filterNot(keyCols.contains)
-      .map(c => s"t.${q(c)} = s.${q(c)}").mkString(", ")
     val ins = cols.map(q).mkString(", ")
     val vals = cols.map(c => s"s.${q(c)}").mkString(", ")
-    val merge =
-      s"""MERGE INTO $table t USING $staging s ON ($on)
-         |WHEN MATCHED THEN UPDATE SET $sets
-         |WHEN NOT MATCHED THEN INSERT ($ins) VALUES ($vals)""".stripMargin
+    s"""MERGE INTO $table t USING $staging s ON ($on)
+       |WHEN MATCHED THEN UPDATE SET $sets
+       |WHEN NOT MATCHED THEN INSERT ($ins) VALUES ($vals)""".stripMargin
+  }
+
+  def upsertViaStaging(df: DataFrame, url: String, table: String,
+      keyCols: Seq[String],
+      props: java.util.Properties = new java.util.Properties(),
+      stagingColumnTypes: String = null): Unit = {
+    val sets = df.columns.filterNot(keyCols.contains)
+      .map(c => s"t.${q(c)} = s.${q(c)}").mkString(", ")
+    val merge = stageAndMerge(df, url, table, keyCols, df.columns.toSeq,
+      sets, props, stagingColumnTypes)
     val conn = java.sql.DriverManager.getConnection(url, props)
     try { val st = conn.createStatement(); try st.execute(merge) finally st.close() }
     finally conn.close()
@@ -58,44 +74,45 @@ object JdbcSink {
     * UNLIKE an id-keyed upsert, adding is NOT idempotent — foreachBatch
     * is at-least-once, and a replayed micro-batch would double-count.
     * Pass the foreachBatch `batchId` and the merge becomes exactly-once:
-    * the batch id inserts into `<table>_progress` in the SAME
-    * transaction as the merge, so a replay hits the primary key and the
-    * whole transaction rolls back as already-applied.
+    * the batch id is READ-CHECKED against `<table>_progress` (engine-
+    * independent — no reliance on a driver's duplicate-key exception
+    * class) and inserted in the SAME transaction as the merge, so an
+    * applied batch skips whole and a data-level constraint violation
+    * still fails LOUD (a silently dropped batch is permanent view
+    * drift).
     */
   def mergeAdditive(df: DataFrame, url: String, table: String,
       keyCols: Seq[String], addCols: Seq[String], zeroGuard: String,
       props: java.util.Properties = new java.util.Properties(),
       stagingColumnTypes: String = null, batchId: Long = -1L): Unit = {
     val staging = s"${table}_stage"
-    // string MERGE keys need an explicit staging type on engines that
-    // map StringType to an incomparable LOB (Derby: VARCHAR vs CLOB)
-    val w0 = df.write.mode(SaveMode.Overwrite)
-    val w = if (stagingColumnTypes == null) w0
-      else w0.option("createTableColumnTypes", stagingColumnTypes)
-    w.jdbc(url, staging, props)
-    def q(c: String) = "\"" + c + "\""
-    val on = keyCols.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
     val sets = addCols.map(c => s"t.${q(c)} = t.${q(c)} + s.${q(c)}").mkString(", ")
-    val ins = (keyCols ++ addCols).map(q).mkString(", ")
-    val vals = (keyCols ++ addCols).map(c => s"s.${q(c)}").mkString(", ")
-    val merge =
-      s"""MERGE INTO $table t USING $staging s ON ($on)
-         |WHEN MATCHED THEN UPDATE SET $sets
-         |WHEN NOT MATCHED THEN INSERT ($ins) VALUES ($vals)""".stripMargin
+    val merge = stageAndMerge(df, url, table, keyCols, keyCols ++ addCols,
+      sets, props, stagingColumnTypes)
+    // zero-guard cleanup touches only the groups this batch staged —
+    // an unrestricted DELETE would scan/lock the whole view per batch
+    val corr = keyCols.map(k => s"s.${q(k)} = $table.${q(k)}").mkString(" AND ")
+    val cleanup = s"DELETE FROM $table WHERE ${q(zeroGuard)} = 0 " +
+      s"AND EXISTS (SELECT 1 FROM $staging s WHERE $corr)"
     val conn = java.sql.DriverManager.getConnection(url, props)
     try {
       if (batchId >= 0) ensureProgressTable(conn, table)
       conn.setAutoCommit(false)
       val st = conn.createStatement()
       try {
-        if (batchId >= 0) st.execute(
-          s"INSERT INTO ${table}_progress (batch_id) VALUES ($batchId)")
+        if (batchId >= 0) {
+          val rs = st.executeQuery(
+            s"SELECT 1 FROM ${table}_progress WHERE batch_id = $batchId")
+          val applied = rs.next(); rs.close()
+          if (applied) { conn.rollback(); return } // replay: skip whole
+          st.execute(s"INSERT INTO ${table}_progress (batch_id) VALUES ($batchId)")
+        }
         st.execute(merge)
-        st.execute(s"DELETE FROM $table WHERE ${q(zeroGuard)} = 0")
+        st.execute(cleanup)
         conn.commit()
       } catch {
-        case e: java.sql.SQLIntegrityConstraintViolationException =>
-          conn.rollback() // replayed batch: already applied, skip whole
+        // concurrent duplicate insert of the marker still surfaces here
+        // and FAILS the batch — the retry then skips via the read check
         case e: Throwable => conn.rollback(); throw e
       } finally st.close()
     } finally conn.close()
