@@ -70,6 +70,16 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("registered SQL functions reject wrong arity and non-literal keys by name") {
+    GraftFunctions.registerAll(spark)
+    val e1 = intercept[Exception](spark.sql("SELECT json_payload_raw('{}')").head())
+    assert(e1.getMessage.contains("json_payload_raw"), e1.getMessage)
+    val e2 = intercept[Exception](
+      spark.sql("SELECT json_payload_has_key('{}', concat('af','ter'))").head())
+    assert(e2.getMessage.contains("string literal") ||
+      e2.getMessage.contains("json_payload_has_key"), e2.getMessage)
+  }
+
   test("CountMinAgg: estimates never undercount and are partition-independent") {
     import graft.functions.CountMinAgg
     import org.apache.spark.sql.functions._
