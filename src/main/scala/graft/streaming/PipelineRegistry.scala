@@ -73,6 +73,15 @@ object PipelineRegistry {
     }.map(_.getAbsolutePath)
   }
 
+  /** Known conf files that no longer exist — the pipelines whose
+    * queries must be STOPPED (deregistration, the delete half of the
+    * reference's script-watcher lifecycle).
+    */
+  def removedSince(known: Seq[Entry], dir: String): Seq[String] = {
+    val live = confFiles(dir).map(_.getAbsolutePath).toSet
+    known.map(_.file).filterNot(live)
+  }
+
   /** Start every registered pipeline over one shared feed — the
     * reference's fan-out topology (R11): each query gets its own
     * checkpoint dir under `ckptRoot` (its named tailer).

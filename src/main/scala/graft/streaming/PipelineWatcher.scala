@@ -56,11 +56,18 @@ final class PipelineWatcher(
   }
 
   /** One detection/reload cycle; returns the names of pipelines that
-    * were (re)started. Exposed so tests drive the reload
-    * deterministically — the background loop just calls this on a
-    * timer.
+    * were (re)started. Deleted confs DEREGISTER: their query stops and
+    * leaves the control maps (the checkpoint stays on disk, so a
+    * restored conf resumes from its cursor). Exposed so tests drive
+    * the reload deterministically — the background loop just calls
+    * this on a timer.
     */
   def pollOnce(): Seq[String] = synchronized {
+    val removed = PipelineRegistry.removedSince(entries.values.toSeq, confDir)
+    removed.foreach { f =>
+      queries.remove(f).foreach(q => if (q.isActive) q.stop())
+      entries.remove(f)
+    }
     val changed = PipelineRegistry.changedSince(entries.values.toSeq, confDir).toSet
     if (changed.isEmpty) Seq.empty
     else PipelineRegistry.load(confDir).filter(e => changed(e.file)).map { e =>

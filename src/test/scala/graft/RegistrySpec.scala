@@ -140,6 +140,45 @@ class RegistrySpec extends SparkSpec {
     } finally watcher.stop()
   }
 
+  test("watcher deregisters a DELETED conf; restoring it resumes from the checkpoint") {
+    import graft.streaming.PipelineWatcher
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def wire(id: Long, v: String, ts: Long, off: Long): String = {
+      val ev = s"""{"payload":{"before":null,"after":{"id":$id,"v":"$v"},""" +
+        s""""source":{"db":"d","table":"t","ts_ms":$ts},"op":"c","ts_ms":$ts}}"""
+      s"""{"value":${mapper.writeValueAsString(ev)},"offset":$off}"""
+    }
+    val confDir = Files.createTempDirectory("graft_del_conf_").toFile
+    val confJson =
+      """{"name":"p","databases":["d"],"tables":["t"],"idKey":"id","schema":"id BIGINT, v STRING"}"""
+    val conf = new java.io.File(confDir, "p.json")
+    Files.write(conf.toPath, Seq(confJson).asJava)
+    val srcDir = Files.createTempDirectory("graft_del_src_").toFile
+    Files.write(new java.io.File(srcDir, "000.json").toPath,
+      Seq(wire(1, "a", 1, 1)).asJava)
+    val ckptRoot = Files.createTempDirectory("graft_del_ckpt_").toString
+    val cfg = EsSink.Config("http://es:9200/idx", "u", "p", "id")
+    SinkSpec.recorded.clear()
+    val watcher = new PipelineWatcher(spark, confDir.toString, srcDir.toString,
+      ckptRoot, cfg, new SinkSpec.Recorder, pollMs = 3600000L)
+    try {
+      watcher.startPipelines().foreach(_.awaitTermination())
+      // delete the conf: the query deregisters
+      assert(conf.delete())
+      assert(watcher.pollOnce().isEmpty)
+      assert(watcher.activeQueries.isEmpty, "deleted conf must deregister")
+      // more feed arrives while deregistered; restoring the conf picks
+      // it up from the SAME checkpoint — file 1 is not re-applied
+      Files.write(new java.io.File(srcDir, "001.json").toPath,
+        Seq(wire(2, "b", 2, 2)).asJava)
+      Files.write(conf.toPath, Seq(confJson).asJava)
+      assert(watcher.pollOnce() == Seq("p"))
+      watcher.activeQueries("p").awaitTermination()
+    } finally watcher.stop()
+    val puts = SinkSpec.recorded.asScala.toSeq.filter(_.method == "PUT").map(_.body)
+    assert(puts.sorted == Seq("""{"id":1,"v":"a"}""", """{"id":2,"v":"b"}"""))
+  }
+
   test("JDBC partitioned read + snapshot bootstrap: parallel scan to op=r events") {
     val url = "jdbc:derby:memory:graftsrc;create=true"
     val conn = java.sql.DriverManager.getConnection(url)
