@@ -42,12 +42,18 @@ object IncrementalAgg {
     contribs
       .groupBy(col(s"r.$groupCol").as(groupCol))
       .agg(sum(col("sgn")).cast("long").as("n_rows"),
-        // Spark widens the sum to decimal(38,2); cap it back to (18,2)
-        // — JDBC targets with a lower max precision (Derby: 31)
-        // otherwise create the staging column with a TRUNCATED scale
-        // and money silently loses its cents
-        sum(col("sgn") * col(s"r.$valueCol").cast("decimal(18,2)"))
-          .cast("decimal(18,2)").as("total_dec"))
+        // Per-row INTEGER cents — floor(v*100 + 0.5): identical IEEE
+        // double in, identical integer out on ANY engine. Spark's
+        // double→decimal(18,2) cast rounds the SHORTEST-STRING repr
+        // (BigDecimal.valueOf + HALF_UP) while other engines scale the
+        // exact binary value, so per-row cent disagreements would
+        // otherwise accumulate across retractions. Cents sum exactly
+        // as longs; divide back to money ONCE. Cap at (18,2) — JDBC
+        // targets with a lower max precision (Derby: 31) otherwise
+        // create the staging column with a TRUNCATED scale.
+        (sum(col("sgn") * floor(col(s"r.$valueCol") * 100d + 0.5d))
+          .cast("decimal(18,2)") / 100).cast("decimal(18,2)")
+          .as("total_dec"))
   }
 
   /** Per-group (n_rows, total) from a delta relation (batch over the

@@ -210,8 +210,8 @@ object CdcQueries {
     "q88_cdc_incr_agg",
     """SELECT o_orderstatus,
       |       CAST(count(*) AS BIGINT) AS n_rows,
-      |       CAST(sum(CAST(CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1
-      |                          ELSE o_totalprice END AS DECIMAL(18,2)))
+      |       CAST(sum(CAST(floor((CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1
+      |                            ELSE o_totalprice END) * 100 + 0.5) AS BIGINT)) / 100.0
       |            AS DOUBLE) AS total
       |FROM orders WHERE o_orderkey % 5 <> 0
       |GROUP BY 1""".stripMargin) { (spark, dir) =>

@@ -196,12 +196,20 @@ object PipelineQueries {
   }
 
   /** Q57: TextRank keywords — PageRank over the symmetrized
-    * adjacent-token co-occurrence graph, top-20 by rank. Iterative
-    * aggregation is not expressible in the oracle's SQL dialect →
-    * rows-only here; PageRankSpec pins the update rule against an
-    * in-memory power-iteration reference and the determinism of the
-    * fixed-point sums. Ranking uses the q42 integer-key pattern so the
-    * top-20 cutoff is engine- and run-stable.
+    * adjacent-token co-occurrence graph, top-20 by rank. Promoted into
+    * the HASH gate (rows-only in r2–r4): the oracle UNROLLS the 10
+    * power iterations as chained CTEs — no recursion, each r{k} one
+    * join + one aggregate over r{k-1}, exactly the engine's loop shape.
+    * Bit-identical across engines BY DESIGN: per-destination
+    * contribution sums run in fixed point (floor(c·1e15 + 0.5) summed
+    * as exact integers — HUGEINT there, DECIMAL(38,0) here), and every
+    * double constant is forced to the same IEEE value on both sides
+    * ((1.0 − 0.85) must be the Scala double 0.15000000000000002, NOT
+    * DuckDB's exact DECIMAL 0.15, hence the CAST(… AS DOUBLE) dance).
+    * PageRankSpec additionally pins the update rule against an
+    * in-memory power-iteration reference. Ranking uses the q42
+    * integer-key pattern so the top-20 cutoff is engine- and
+    * run-stable.
     *
     * The cutoff is `orderBy(...).limit(20)` — Spark plans it as
     * TakeOrderedAndProject (per-partition top-20, merged on the driver),
@@ -209,7 +217,43 @@ object PipelineQueries {
     * vocabulary (10^8+ rows at corpus scale) through one task. PlanSpec
     * asserts no registered query plans an unpartitioned window.
     */
-  val q57 = QueryDef.rowsOnly("q57_textrank") { (spark, dir) =>
+  private val textRankOracle: String = {
+    val iters = 10
+    val base =
+      """WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents
+        |              WHERE len(string_split(text, ' ')) >= 2),
+        |adj AS (SELECT t[i] AS src, t[i + 1] AS dst
+        |        FROM toks CROSS JOIN LATERAL unnest(range(1, len(t))) AS u(i)
+        |        WHERE t[i] <> t[i + 1]),
+        |edges AS (SELECT DISTINCT src, dst FROM
+        |          (SELECT src, dst FROM adj
+        |           UNION ALL SELECT dst AS src, src AS dst FROM adj)),
+        |deg AS (SELECT src, count(*) AS outd FROM edges GROUP BY src),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |meta AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / m.n AS rank FROM nodes, meta m)""".stripMargin
+    val steps = (1 to iters).map { k =>
+      s""",
+         |r$k AS (
+         |  SELECT nn.node,
+         |         (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / m.n
+         |         + CAST(0.85 AS DOUBLE) * coalesce(c.in_sum, CAST(0.0 AS DOUBLE)) AS rank
+         |  FROM nodes nn CROSS JOIN meta m
+         |  LEFT JOIN (
+         |    SELECT e.dst AS node,
+         |           CAST(sum(CAST(floor(r.rank / d.outd * 1e15 + 0.5) AS HUGEINT)) AS DOUBLE)
+         |           / 1e15 AS in_sum
+         |    FROM edges e JOIN r${k - 1} r ON e.src = r.node JOIN deg d ON e.src = d.src
+         |    GROUP BY e.dst) c ON nn.node = c.node)""".stripMargin
+    }.mkString
+    base + steps +
+      s"""
+         |SELECT node AS token, rank FROM (
+         |  SELECT node, rank, CAST(round(rank * 1e12) AS BIGINT) AS rkey FROM r$iters)
+         |ORDER BY rkey DESC, node LIMIT 20""".stripMargin
+  }
+
+  val q57 = QueryDef.sql("q57_textrank", textRankOracle) { (spark, dir) =>
     PageRank.textRank(Tables.documents(spark, dir), "text")
       .withColumn("rkey", round(col("rank") * 1e12).cast("long"))
       .orderBy(col("rkey").desc, col("node"))

@@ -90,10 +90,22 @@ final case class CdcPipeline(
     * per-batch variant re-sends a key's winner every batch it appears
     * in). Costs a state store keyed by table cardinality; wins when
     * update streams revisit keys often — the common CDC shape.
+    *
+    * The state store defaults to ROCKSDB ([[CdcPipeline.RocksDbProvider]])
+    * — the production choice for table-cardinality state (off-heap,
+    * incrementally checkpointed; the HDFS-backed provider holds every
+    * key on-heap, which a 10⁹-key table cannot). Provider parity is
+    * pinned in StatefulLwwSpec; pass `stateProvider` explicitly to
+    * override (tests that sweep providers, memory-constrained local
+    * runs). The provider conf is set on the session only for the
+    * duration of `.start()` — StreamExecution clones the session state
+    * at query start, so the previous session value is restored without
+    * affecting the running query.
     */
   def startIncremental(spark: SparkSession, sourceDir: String,
       checkpointDir: String, cfg: EsSink.Config,
-      transport: EsSink.Transport): StreamingQuery = {
+      transport: EsSink.Transport,
+      stateProvider: String = CdcPipeline.RocksDbProvider): StreamingQuery = {
     val raw = spark.readStream
       .schema(StructType(Seq(
         org.apache.spark.sql.types.StructField("value",
@@ -104,7 +116,7 @@ final case class CdcPipeline(
     val events = changeRows(raw)
       .select(col("key"), col("ts_ms"), col("offset"), col("op"),
         to_json(col("after")).as("after"))
-    StatefulLww.deltaStream(events).writeStream
+    val writer = StatefulLww.deltaStream(events).writeStream
       .queryName(s"cdc_inc_$name")
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
@@ -121,7 +133,14 @@ final case class CdcPipeline(
         () // dead-letter frames are returned by the sink; S6 contract:
            // the stream continues regardless
       }
-      .start()
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, stateProvider)
+    try writer.start()
+    finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
   }
 
   /** Batch application: last writer per key within the batch, then
@@ -152,4 +171,14 @@ final case class CdcPipeline(
       }
     } finally winnersCached.unpersist()
   }
+}
+
+object CdcPipeline {
+  /** Production state-store provider for the incremental (stateful)
+    * path: RocksDB keeps table-cardinality LWW state off-heap with
+    * incremental checkpoints — the 10⁹-key story the on-heap HDFS
+    * provider cannot tell. Ships in Spark 4; no extra dependency.
+    */
+  val RocksDbProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 }

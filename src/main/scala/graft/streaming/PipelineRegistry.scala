@@ -34,6 +34,18 @@ object PipelineRegistry {
 
   final case class Entry(pipeline: CdcPipeline, file: String, mtime: Long)
 
+  /** Checkpoint directory key for a registered conf: derived from the
+    * CONF FILE (the registration unit), not the pipeline name — two
+    * confs that (mis)share a name must not share a checkpoint (two
+    * concurrent queries on one checkpoint location corrupt the
+    * offset/commit logs; Structured Streaming forbids it), and a conf
+    * that renames its pipeline keeps its cursor. Conf basenames are
+    * unique within the watched dir by construction.
+    */
+  def ckptKey(confFile: String): String =
+    new File(confFile).getName.stripSuffix(".json")
+      .replaceAll("[^A-Za-z0-9._-]", "_")
+
   private def confFiles(dir: String): Seq[File] =
     Option(new File(dir).listFiles()).getOrElse(Array.empty[File])
       .filter(f => f.isFile && f.getName.endsWith(".json")).sortBy(_.getName).toSeq
@@ -84,13 +96,14 @@ object PipelineRegistry {
 
   /** Start every registered pipeline over one shared feed — the
     * reference's fan-out topology (R11): each query gets its own
-    * checkpoint dir under `ckptRoot` (its named tailer).
+    * checkpoint dir under `ckptRoot` (its named tailer), keyed by conf
+    * file ([[ckptKey]]).
     */
   def startAll(entries: Seq[Entry], spark: SparkSession, sourceDir: String,
       ckptRoot: String, cfg: EsSink.Config,
       transport: EsSink.Transport): Seq[StreamingQuery] =
     entries.map { e =>
       e.pipeline.startDsv2(spark, sourceDir,
-        s"$ckptRoot/${e.pipeline.name}", cfg, transport)
+        s"$ckptRoot/${ckptKey(e.file)}", cfg, transport)
     }
 }

@@ -22,8 +22,11 @@ import scala.collection.mutable
   * The poll interval doubles as the reference's 500 ms debounce quantum
   * (WatchFile.java:49): a conf saved mid-poll is picked up whole on the
   * next tick because detection compares mtimes, not events. Conf
-  * DELETION (deregistration) is out of scope, matching
-  * `changedSince`'s add/modify contract.
+  * DELETION deregisters: the query stops, the checkpoint stays, a
+  * restored conf resumes from its cursor. Checkpoints are keyed by conf
+  * file ([[PipelineRegistry.ckptKey]]) like the control maps — never by
+  * pipeline name, so name collisions cannot put two live queries on one
+  * checkpoint location.
   *
   * Driver-side control loop only — the data path stays the streaming
   * queries'; the watcher never touches rows.
@@ -49,7 +52,7 @@ final class PipelineWatcher(
     loaded.map { e =>
       entries(e.file) = e
       val q = e.pipeline.startDsv2(spark, sourceDir,
-        s"$ckptRoot/${e.pipeline.name}", cfg, transport)
+        s"$ckptRoot/${PipelineRegistry.ckptKey(e.file)}", cfg, transport)
       queries(e.file) = q
       q
     }
@@ -74,7 +77,7 @@ final class PipelineWatcher(
       queries.get(e.file).foreach(q => if (q.isActive) q.stop())
       entries(e.file) = e
       val q = e.pipeline.startDsv2(spark, sourceDir,
-        s"$ckptRoot/${e.pipeline.name}", cfg, transport)
+        s"$ckptRoot/${PipelineRegistry.ckptKey(e.file)}", cfg, transport)
       queries(e.file) = q
       e.pipeline.name
     }

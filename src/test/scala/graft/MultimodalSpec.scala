@@ -21,6 +21,36 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("decodeImage parses REAL PNG/JPEG headers back from synthesized payloads") {
+    val meta = Multimodal.decodeImageMeta(spark,
+      Multimodal.imagePayloads(spark, docs)).collect()
+    assert(meta.length == 50)
+    meta.foreach { m =>
+      // the dims come out of the container header via ImageIO, not from
+      // arithmetic on the bytes — matching proves the encode+parse loop
+      assert(m.width == (m.doc_id % 64 + 1).toInt, s"doc ${m.doc_id}")
+      assert(m.height == (m.doc_id * 7 % 48 + 1).toInt, s"doc ${m.doc_id}")
+      assert(m.format == (if (m.doc_id % 2 == 0) "png" else "jpeg"))
+      assert(m.n_frames == 1)
+      assert(m.n_bytes > 0)
+    }
+    // real container magics: PNG signature / JPEG SOI marker
+    val raw = Multimodal.imagePayloads(spark, docs)
+      .as[(Long, Array[Byte])].collect()
+    raw.foreach { case (id, bytes) =>
+      if (id % 2 == 0)
+        assert(bytes.take(4).sameElements(Array[Byte](0x89.toByte, 'P', 'N', 'G')))
+      else
+        assert((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8,
+          s"doc $id not JPEG SOI")
+    }
+  }
+
+  test("decodeImage degrades to unknown on unparseable payloads") {
+    val junk = Multimodal.decodeImage(7L, Array[Byte](1, 2, 3, 4))
+    assert(junk.format == "unknown" && junk.width == -1 && junk.n_frames == 0)
+  }
+
   test("frameSample explodes blobs into strided fixed-size frames") {
     val frames = Multimodal.frameSample(spark, withPayload, frameSize = 64, stride = 4)
       .collect()

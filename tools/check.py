@@ -1,8 +1,17 @@
 #!/usr/bin/env python3
 """Local replica of the driver's correctness gate: run each oracle SQL in
 DuckDB over the sf parquet tables, compare against the Spark parquet dump
-from graft.Verify (sort columns by name, sort rows, round doubles to 1e-6
-relative). Usage: check.py <sfDir> <verifyOutDir>
+from graft.Verify (sort columns by name, sort rows, compare doubles at 12
+significant digits with a 1e-12-relative-tolerance fallback).
+
+Sensitivity calibration (round 4 postmortem): the old 7-sig-digit
+canonicalization passed q88's 2.5e-10 relative drift that the driver's
+hash FAILED; full round-trip precision is too strict the other way —
+the driver demonstrably accepts last-ulp (~1e-16 rel) summation noise
+on q42/q66/q73/q75/q83. 12 digits separates the regimes: ulp noise
+vanishes, cast-rounding drift (1e-10) stays visible. The tolerance
+fallback absorbs the rare value that straddles a 12-digit rounding
+boundary by one ulp. Usage: check.py <sfDir> <verifyOutDir>
 """
 import json, math, sys
 import duckdb
@@ -21,13 +30,40 @@ def canon(rows, cols):
                 if v != v or math.isinf(v):
                     v = str(v)
                 elif v == 0:
-                    v = 0.0
+                    v = 0.0  # normalize -0.0
                 else:
-                    # 1e-6 relative rounding: ~7 significant digits
-                    v = float("%.7g" % v)
+                    v = "%.12g" % v
             vals.append(str(v))
         out.append("|".join(vals))
     return sorted(out)
+
+def rows_equal_tol(orows, ocols, srows, scols, rel=1e-12):
+    """Fallback when 12-sig-digit canon mismatches: pair rows by a coarse
+    (6-digit) sort key, then require every float within `rel` relative
+    tolerance and every non-float exactly equal. Absorbs one-ulp values
+    that straddle a 12-digit rounding boundary without letting 1e-10
+    cast-rounding drift (the q88 class) back through."""
+    if len(orows) != len(srows):
+        return False
+    def keyed(rows, cols):
+        order = sorted(range(len(cols)), key=lambda i: cols[i])
+        out = []
+        for r in rows:
+            vals = [r[i] for i in order]
+            key = tuple("%.6g" % v if isinstance(v, float) and v == v
+                        and not math.isinf(v) else str(v) for v in vals)
+            out.append((key, vals))
+        return sorted(out, key=lambda kv: kv[0])
+    for (_, ov), (_, sv) in zip(keyed(orows, ocols), keyed(srows, scols)):
+        for a, b in zip(ov, sv):
+            if isinstance(a, float) and isinstance(b, float):
+                if a != a and b != b:
+                    continue
+                if a != b and abs(a - b) > rel * max(abs(a), abs(b), 1.0):
+                    return False
+            elif str(a) != str(b):
+                return False
+    return True
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
@@ -87,6 +123,9 @@ def main(sf_dir, out_dir):
         oc, sc = canon(orows, ocols), canon(srows, scols)
         if oc == sc:
             print(f"ok   {name} ({len(sc)} rows)")
+            n_ok += 1
+        elif rows_equal_tol(orows, ocols, srows, scols):
+            print(f"ok   {name} ({len(sc)} rows, tol-fallback)")
             n_ok += 1
         else:
             n_bad += 1
