@@ -153,15 +153,23 @@ object MinHashLsh {
     */
   def nearDupAgainstCorpus(corpus: DataFrame, incoming: DataFrame,
       idCol: String, textCol: String, shingleN: Int = 3,
-      threshold: Double = 0.6): DataFrame = {
+      threshold: Double = 0.6, bands: Int = 16, rows: Int = 4): DataFrame = {
+    // Banding must be tuned to the threshold like nearDupPairsFromShingles
+    // documents: P(candidate | jaccard j) = 1 - (1 - j^rows)^bands. The
+    // 16x4 default serves true-pair similarity >= ~0.8 (miss < 1e-3);
+    // a caller operating at mid-range thresholds (j ~ 0.6 misses ~11%
+    // under 16x4) must lower `rows` / raise `bands` to move the S-curve
+    // left — the parameters exist precisely so recall loss is a chosen
+    // operating point, never a silent default.
+    //
     // verify runs inline on the band-match rows: a per-pair dedup
     // before the verify would be a second STATEFUL operator on the
     // stream (measured 7x slower — every candidate pair becomes state-
     // store writes), so a pair sharing k bands is verified k times
     // (bounded by `bands`) and only matched ids enter state
-    val c = bandedRows(corpus, idCol, textCol, shingleN)
+    val c = bandedRows(corpus, idCol, textCol, shingleN, bands, rows)
       .select(col("b"), col("v"), col("id").as("c_id"), col("ss").as("c_ss"))
-    val in = bandedRows(incoming, idCol, textCol, shingleN)
+    val in = bandedRows(incoming, idCol, textCol, shingleN, bands, rows)
     val inter = size(array_intersect(col("ss"), col("c_ss"))).cast("long")
     in.join(c, Seq("b", "v"))
       .filter(col("id") =!= col("c_id"))
