@@ -200,6 +200,81 @@ object CorpusOps {
         (col("n_dup").cast("double") / col("n_shingles")).as("dup_frac"))
   }
 
+  /** ExactSubstr-style span deduplication (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"): find
+    * every n-token run that also occurs in at least `minDocs` distinct
+    * documents, merge overlapping runs into maximal spans per document,
+    * and emit each document with those spans REMOVED — the surgical
+    * complement of document-level dedup (q18/q19 drop whole documents;
+    * this cuts only the repeated substrings and keeps the unique
+    * remainder, which is how production corpora deduplicate boilerplate
+    * without losing the page).
+    *
+    * Distributed shape: the single-node reference algorithm is a suffix
+    * array, which does not shard; positional n-gram postings are the
+    * standard distributed equivalent. One shuffle of distinct
+    * (doc, gram) pairs counts document frequency; the occurrence join
+    * back reuses that hash partitioning; then a doc-partitioned window
+    * merges intervals — per-partition work is bounded by document
+    * length, never corpus size, and the span-removal projection is
+    * per-row map work (no shuffle): token positions filtered against
+    * the doc's own merged spans (O(tokens × spans) interpreted HOF per
+    * row — spans are few after merging; a codegen'd two-pointer kernel
+    * is the upgrade path if profiling ever demands it).
+    *
+    * Output: doc_id, n_spans, dup_tokens, total_tokens, clean_text —
+    * the cleaned document plus integer span accounting.
+    * split(' ')/array_join(' ') is an exact identity on any input, so
+    * a document with no spans passes through byte-identical. (q90
+    * md5s clean_text on both engines, so the oracle certifies the
+    * removal itself — byte-exact reconstruction — not just counts.)
+    */
+  def spanDedup(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minDocs: Int = 2): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("id"), split(col(textCol), " ").as("t"))
+    // positional occurrences: one row per n-gram start position (NOT
+    // distinct — within-doc repeats of a cross-doc gram each mark a span)
+    val occ = toks.filter(size(col("t")) >= n)
+      .select(col("id"), posexplode(expr(
+        s"transform(sequence(0, size(t) - $n), i -> " +
+          (0 until n).map(j => s"t[i + $j]").mkString("concat_ws(' ', ", ", ", ")") + ")"))
+        .as(Seq("pos", "s")))
+    val repeated = occ.select(col("id"), col("s")).distinct()
+      .groupBy(col("s")).agg(count(lit(1)).as("dfc"))
+      .filter(col("dfc") >= minDocs).select(col("s"))
+    val hits = occ.join(repeated, Seq("s"))
+      .select(col("id"), col("pos"), (col("pos") + lit(n - 1)).as("e"))
+    // interval merge: a hit opens a new span iff it starts beyond
+    // prev-max-end + 1 — strictly-past-the-end hits that TOUCH the
+    // previous span (pos == end + 1) merge too, so a span is a maximal
+    // contiguous duplicated region (pos is unique per doc, so the
+    // window order is total and the running sum deterministic)
+    val w = W.partitionBy("id").orderBy("pos")
+    val spans = hits
+      .withColumn("ns", when(col("pos") > coalesce(
+        max(col("e")).over(w.rowsBetween(W.unboundedPreceding, -1)), lit(-2)) + 1, 1L)
+        .otherwise(0L))
+      .withColumn("sid", sum(col("ns")).over(w.rowsBetween(W.unboundedPreceding, 0)))
+      .groupBy(col("id"), col("sid"))
+      .agg(min(col("pos")).as("s0"), max(col("e")).as("e0"))
+    val perDoc = spans.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e0") - col("s0") + lit(1)).as("dup_tokens"),
+        collect_list(struct(col("s0"), col("e0"))).as("spans"))
+    val cleanCut = expr(
+      "array_join(transform(filter(sequence(0, size(t) - 1), " +
+        "p -> NOT exists(spans, sp -> p >= sp.s0 AND p <= sp.e0)), " +
+        "p -> t[p]), ' ')")
+    toks.join(perDoc, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        size(col("t")).cast("long").as("total_tokens"),
+        when(col("spans").isNull, array_join(col("t"), " "))
+          .otherwise(cleanCut).as("clean_text"))
+  }
+
   /** Deterministic train/val/test split by multiplicative integer hash
     * (Knuth 2654435761 mod 2^32) of the id — reproducible across runs,
     * engines, and partitionings, unlike rand()-based sampling, and

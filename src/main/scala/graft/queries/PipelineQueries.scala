@@ -592,6 +592,61 @@ object PipelineQueries {
       Seq("vector", "stream", "join"))
   }
 
+  /** Q90: ExactSubstr-style SPAN dedup — q63 reports how much of a doc
+    * is cross-document boilerplate; this query actually REMOVES it.
+    * Repeated 5-gram occurrences (appearing in ≥2 distinct docs) merge
+    * into maximal spans per doc (interval merge under a doc-partitioned
+    * window), and the output certifies the surgery byte-exactly: both
+    * engines md5 the reconstructed cleaned text, so a single
+    * off-by-one in span arithmetic on either side fails the hash. All
+    * other columns are integers — no floating point near the gate.
+    */
+  val q90 = QueryDef.sql(
+    "q90_span_dedup",
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |occ AS (SELECT doc_id,
+      |          unnest(list_transform(range(1, len(t) - 3),
+      |            i -> struct_pack(p := i - 1,
+      |              s := concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4])))) AS o
+      |        FROM tok),
+      |o2 AS (SELECT doc_id, o.p AS pos, o.s AS s FROM occ),
+      |rep AS (SELECT s FROM (SELECT DISTINCT doc_id, s FROM o2)
+      |        GROUP BY s HAVING count(*) >= 2),
+      |hit AS (SELECT doc_id, pos, pos + 4 AS e FROM o2
+      |        WHERE s IN (SELECT s FROM rep)),
+      |g AS (SELECT doc_id, pos, e,
+      |        CASE WHEN pos > coalesce(max(e) OVER (PARTITION BY doc_id
+      |          ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+      |        THEN 1 ELSE 0 END AS ns
+      |      FROM hit),
+      |g2 AS (SELECT doc_id, pos, e, sum(ns) OVER (PARTITION BY doc_id
+      |         ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |       FROM g),
+      |sp AS (SELECT doc_id, sid, min(pos) AS s0, max(e) AS e0
+      |       FROM g2 GROUP BY doc_id, sid),
+      |st AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+      |              CAST(sum(e0 - s0 + 1) AS BIGINT) AS dup_tokens
+      |       FROM sp GROUP BY doc_id),
+      |cov AS (SELECT doc_id, unnest(range(s0, e0 + 1)) AS pos FROM sp),
+      |tp AS (SELECT doc_id, unnest(list_transform(range(1, len(t) + 1),
+      |         i -> struct_pack(p := i - 1, tok := t[i]))) AS o FROM tok),
+      |tp2 AS (SELECT doc_id, o.p AS pos, o.tok AS tok FROM tp),
+      |keep AS (SELECT tp2.doc_id, tp2.pos, tp2.tok FROM tp2
+      |         LEFT JOIN cov ON tp2.doc_id = cov.doc_id AND tp2.pos = cov.pos
+      |         WHERE cov.pos IS NULL),
+      |cl AS (SELECT doc_id, md5(string_agg(tok, ' ' ORDER BY pos)) AS clean_md5
+      |       FROM keep GROUP BY doc_id)
+      |SELECT tok.doc_id,
+      |       CAST(coalesce(st.n_spans, 0) AS BIGINT) AS n_spans,
+      |       CAST(coalesce(st.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+      |       CAST(len(tok.t) AS BIGINT) AS total_tokens,
+      |       coalesce(cl.clean_md5, md5('')) AS clean_md5
+      |FROM tok LEFT JOIN st ON tok.doc_id = st.doc_id
+      |         LEFT JOIN cl ON tok.doc_id = cl.doc_id""".stripMargin) { (spark, dir) =>
+    CorpusOps.spanDedup(Tables.documents(spark, dir), "doc_id", "text", 5)
+      .withColumn("clean_md5", md5(col("clean_text"))).drop("clean_text")
+  }
+
   val all: Seq[QueryDef] = Seq(q41, q42, q43, q44, q45, q47, q48, q49,
-    q54, q57, q60, q62, q63, q64, q68, q69, q74, q76, q80, q81, q83)
+    q54, q57, q60, q62, q63, q64, q68, q69, q74, q76, q80, q81, q83, q90)
 }

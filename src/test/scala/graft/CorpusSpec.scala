@@ -327,4 +327,83 @@ class CorpusSpec extends SparkSpec {
     val again = CorpusOps.resampleToShare(docs, "lang", "doc_id", 0.3)
     assert(mixed.select("doc_id").except(again.select("doc_id")).isEmpty)
   }
+
+  test("spanDedup merges overlapping repeated runs and cuts exactly those spans") {
+    import spark.implicits._
+    // docs 1 and 2 share a 7-token run ("one two three four five six seven"),
+    // which contains three overlapping repeated 5-grams -> ONE merged span
+    // of 7 tokens in each doc. doc 3 is all-unique; doc 4 is shorter than n.
+    val d = Seq(
+      (1L, "alpha one two three four five six seven beta gamma"),
+      (2L, "delta epsilon one two three four five six seven zeta"),
+      (3L, "only unique tokens here nothing repeats in this doc"),
+      (4L, "tiny doc")
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.spanDedup(d, "doc_id", "text", 5)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    // doc 1: span covers positions 1..7 -> kept "alpha beta gamma"
+    assert(got(1L)._2 == 1L && got(1L)._3 == 7L && got(1L)._4 == 10L)
+    assert(got(1L)._5 == "alpha beta gamma")
+    // doc 2: span 2..8 -> kept "delta epsilon zeta"
+    assert(got(2L)._2 == 1L && got(2L)._3 == 7L)
+    assert(got(2L)._5 == "delta epsilon zeta")
+    // doc 3: untouched -> the full original text byte-identical
+    assert(got(3L)._2 == 0L && got(3L)._3 == 0L)
+    assert(got(3L)._5 == "only unique tokens here nothing repeats in this doc")
+    // doc 4 (< n tokens): no occurrences, untouched, counted correctly
+    assert(got(4L)._2 == 0L && got(4L)._4 == 2L && got(4L)._5 == "tiny doc")
+  }
+
+  test("spanDedup matches a driver-side brute-force reference on random corpora") {
+    import spark.implicits._
+    // tiny vocabulary forces heavy cross-doc repetition; the reference
+    // recomputes everything positionally with plain Scala collections
+    val rnd = new scala.util.Random(20260813L)
+    val n = 3
+    val docs = (0 until 40).map { i =>
+      val len = 1 + rnd.nextInt(30)
+      (i.toLong, Seq.fill(len)(('a' + rnd.nextInt(6)).toChar.toString).mkString(" "))
+    }
+    val toks = docs.map { case (id, t) => id -> t.split(" ", -1).toSeq }.toMap
+    val grams = docs.flatMap { case (id, _) =>
+      val t = toks(id)
+      if (t.size >= n)
+        t.sliding(n).zipWithIndex.map { case (g, p) => (id, p, g.mkString(" ")) }.toSeq
+      else Seq.empty
+    }
+    val repeated = grams.groupBy(_._3).collect {
+      case (g, occs) if occs.map(_._1).distinct.size >= 2 => g
+    }.toSet
+    val expected = docs.map { case (id, _) =>
+      val t = toks(id)
+      val cov = grams.collect {
+        case (d, p, g) if d == id && repeated(g) => p until (p + n)
+      }.flatten.toSet
+      // merged spans (adjacent included) == maximal runs of covered positions
+      val nSpans = cov.toSeq.sorted.count(p => !cov.contains(p - 1))
+      val clean = t.zipWithIndex.collect { case (tok, p) if !cov.contains(p) => tok }
+        .mkString(" ")
+      (id, nSpans.toLong, cov.size.toLong, t.size.toLong, clean)
+    }.toSet
+    val got = CorpusOps.spanDedup(docs.toDF("doc_id", "text"), "doc_id", "text", n)
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    assert(got === expected)
+  }
+
+  test("spanDedup separates non-adjacent repeats into distinct spans") {
+    import spark.implicits._
+    // the repeated 5-gram appears at the start AND end of doc 20 with a
+    // unique middle: two spans, not one (the gap keeps them apart)
+    val run = "one two three four five"
+    val d = Seq(
+      (10L, s"$run filler stuff"),
+      (20L, s"$run a b c d e f $run")
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.spanDedup(d, "doc_id", "text", 5)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(20L)._2 == 2L && got(20L)._3 == 10L)
+    assert(got(20L)._5 == "a b c d e f")
+  }
 }

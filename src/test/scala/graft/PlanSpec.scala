@@ -187,4 +187,21 @@ class PlanSpec extends SparkSpec {
     // typed Aggregator under ObjectHashAggregate, partial + final pair
     assert("ObjectHashAggregate".r.findAllIn(p).length >= 2, p)
   }
+
+  test("q90: span dedup reuses partitionings — bounded shuffles, no self-join blowup") {
+    val p = graft.queries.PipelineQueries.q90.fn(spark, sf001)
+      .queryExecution.executedPlan.toString
+    // The whole pipeline (distinct pairs -> doc frequency -> occurrence
+    // join-back -> doc window -> span merge -> per-doc agg -> final doc
+    // join) must run in a bounded number of hash shuffles: the
+    // join-back reuses the frequency shuffle's s-partitioning, and
+    // everything downstream of the window reuses the id-partitioning
+    // (groupBy(id, sid) and groupBy(id) satisfy ClusteredDistribution
+    // under HashPartitioning(id)). A regression here is an extra
+    // full-corpus exchange at 100 TB.
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 5, p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "span dedup must never plan an all-pairs join")
+  }
 }
