@@ -29,9 +29,12 @@ object IncrementalAgg {
     * n_rows = 0 with a nonzero money delta, and an additive MERGE
     * (JdbcSink.mergeAdditive) must still apply it.
     */
-  def contributions(deltas: DataFrame, rowSchema: StructType,
-      groupCol: String, valueCol: String): DataFrame = {
-    val contribs = deltas.select(explode(filter(array(
+  /** (sgn, r) signed-row relation of a delta stream: +1 for each
+    * delta's new row, −1 for its previous row (so an insert yields one
+    * +row, a delete one −row, an update both).
+    */
+  private def signedRows(deltas: DataFrame, rowSchema: StructType): DataFrame =
+    deltas.select(explode(filter(array(
         when(col("rowJson").isNotNull,
           struct(lit(1).as("sgn"), col("rowJson").as("js"))),
         when(col("prevJson").isNotNull,
@@ -39,6 +42,10 @@ object IncrementalAgg {
       x => x.isNotNull)).as("c"))
       .select(col("c.sgn").as("sgn"),
         from_json(col("c.js"), rowSchema).as("r"))
+
+  def contributions(deltas: DataFrame, rowSchema: StructType,
+      groupCol: String, valueCol: String): DataFrame = {
+    val contribs = signedRows(deltas, rowSchema)
     contribs
       .groupBy(col(s"r.$groupCol").as(groupCol))
       .agg(sum(col("sgn")).cast("long").as("n_rows"),
@@ -68,4 +75,32 @@ object IncrementalAgg {
       .filter(col("n_rows") =!= 0)
       .select(col(groupCol), col("n_rows"),
         col("total_dec").cast("double").as("total"))
+
+  /** Incrementally-maintained per-group DISTINCT count — the classic
+    * NON-additive view: count(DISTINCT v) cannot be updated from
+    * ±value contributions alone (removing one of two rows holding the
+    * same value must not decrement the count), so the view keeps a
+    * SUPPORT refcount per (group, value): Σ sign over the deltas that
+    * mention the pair. A value is live in a group iff its refcount is
+    * positive; the distinct count is the number of live pairs.
+    *
+    * Incrementality: each delta touches exactly its own (group, value)
+    * refcounts — insert +1, delete −1, update ±1 on the (possibly two
+    * different) pairs — so the maintained state is the support table,
+    * sized by LIVE DISTINCT pairs, not by history. Two keyed
+    * aggregations: refcounts shuffle on (group, value) — the fine key,
+    * so heavy groups spread across partitions — then the live pairs
+    * (already far smaller) re-shuffle on the group. The same relation
+    * under a JDBC additive MERGE on the refcount column keeps a
+    * serving-store copy current (JdbcSink.mergeAdditive).
+    */
+  def distinctCountByGroup(deltas: DataFrame, rowSchema: StructType,
+      groupCol: String, valueCol: String): DataFrame =
+    signedRows(deltas, rowSchema)
+      .groupBy(col(s"r.$groupCol").as(groupCol),
+        col(s"r.$valueCol").as(valueCol))
+      .agg(sum(col("sgn")).cast("long").as("refcnt"))
+      .filter(col("refcnt") > 0)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("long").as("n_distinct"))
 }

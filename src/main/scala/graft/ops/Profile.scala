@@ -83,4 +83,52 @@ object Profile {
         coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
         col("min_val"), col("max_val"))
   }
+
+  /** Population-stability-index drift report between a REFERENCE slice
+    * (`isRef` true) and the rest — the standard pre-training check that
+    * a new data batch still looks like the corpus a model was tuned on.
+    * `features` maps a feature name to its BIN expression (a category
+    * column as-is, a numeric column pre-bucketed); the report has one
+    * row per (feature, bin) with both counts, the bin's PSI term
+    * (p−q)·ln(p/q), and the feature's total PSI, with PSI ≥ 0.2 the
+    * conventional act-on-it line.
+    *
+    * One scan (bins explode per row), one shuffle on (feature, bin),
+    * then windows over the BIN relation — bounded by bins × features,
+    * thousands of rows at any corpus size, so the windows cost nothing
+    * and the report never returns to the data. Laplace-smoothed
+    * proportions ((n+1)/(tot+nbins)) keep empty bins finite without a
+    * clamp. Engine stability: p and q are exact rationals of integer
+    * counts (identical doubles on any engine), each PSI term is a
+    * per-row double (ulp-level engine agreement, the q42 ln rule), and
+    * the feature total sums 1e-9-scaled INTEGER terms so its double is
+    * bit-stable under any row order.
+    */
+  def psiDrift(df: DataFrame, isRef: Column,
+      features: Seq[(String, Column)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stacked = df
+      .select(isRef.as("is_ref"), explode(array(features.map { case (n, c) =>
+        struct(lit(n).as("feature"), c.cast("string").as("bin"))
+      }: _*)).as("fb"))
+      .select(col("is_ref"), col("fb.feature").as("feature"),
+        col("fb.bin").as("bin"))
+    val counts = stacked.groupBy(col("feature"), col("bin"))
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_cur"))
+    val w = Window.partitionBy(col("feature"))
+    counts
+      .withColumn("nb", count(lit(1)).over(w))
+      .withColumn("tot_ref", sum(col("n_ref")).over(w))
+      .withColumn("tot_cur", sum(col("n_cur")).over(w))
+      .withColumn("p", (col("n_ref") + 1).cast("double") /
+        (col("tot_ref") + col("nb")).cast("double"))
+      .withColumn("q", (col("n_cur") + 1).cast("double") /
+        (col("tot_cur") + col("nb")).cast("double"))
+      .withColumn("psi_term", (col("p") - col("q")) * log(col("p") / col("q")))
+      .withColumn("psi_feature",
+        sum(round(col("psi_term") * 1e9).cast("long")).over(w).cast("double") / 1e9)
+      .select(col("feature"), col("bin"), col("n_ref"), col("n_cur"),
+        col("psi_term"), col("psi_feature"))
+  }
 }

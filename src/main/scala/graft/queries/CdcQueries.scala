@@ -215,6 +215,16 @@ object CdcQueries {
       |            AS DOUBLE) AS total
       |FROM orders WHERE o_orderkey % 5 <> 0
       |GROUP BY 1""".stripMargin) { (spark, dir) =>
+    IncrementalAgg.sumCountByGroup(ordersDeltas(spark, dir),
+      ChangeFeed.ordersRowSchema, "o_orderstatus", "o_totalprice")
+  }
+
+  /** LWW delta relation of the `orders` CDC feed through the DSv2
+    * source: route → filter → key → StatefulLww, replayed to completion
+    * (the shared front half of the q88/q93 incremental views).
+    */
+  private def ordersDeltas(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
     val feedDir = ChangeFeed.stagedJsonl(spark, dir)
     val raw = spark.readStream.format("graft-cdc").option("path", feedDir).load()
     val routed = Subscription(Set("shop"), Set("orders")).route(raw)
@@ -225,11 +235,28 @@ object CdcQueries {
       coalesce(col("after.o_orderkey"), col("before.o_orderkey")).as("key"),
       col("ts_ms"), col("offset"), col("op"),
       to_json(col("after")).as("after"))
-    val deltas = graft.streaming.Replay.runToResultAppend(spark,
+    graft.streaming.Replay.runToResultAppend(spark,
       graft.streaming.StatefulLww.deltaStream(keyed).toDF())
-    IncrementalAgg.sumCountByGroup(deltas, ChangeFeed.ordersRowSchema,
-      "o_orderstatus", "o_totalprice")
   }
 
-  val all: Seq[QueryDef] = Seq(q17, q17b, q17c, q17d, q17e, q17f, q82, q88)
+  /** Q93: incrementally-maintained DISTINCT-count view
+    * (cdc.IncrementalAgg.distinctCountByGroup) — the non-additive IVM
+    * case q88's ± arithmetic cannot express: distinct customers per
+    * status is maintained through a per-(status, custkey) support
+    * refcount, never by re-scanning the snapshot. The oracle aggregates
+    * the snapshot directly, so the gate proves refcount maintenance
+    * converges through the feed's dup deliveries, out-of-order events,
+    * updates and deletes.
+    */
+  val q93 = QueryDef.sql(
+    "q93_cdc_incr_distinct",
+    """SELECT o_orderstatus,
+      |       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct
+      |FROM orders WHERE o_orderkey % 5 <> 0
+      |GROUP BY 1""".stripMargin) { (spark, dir) =>
+    IncrementalAgg.distinctCountByGroup(ordersDeltas(spark, dir),
+      ChangeFeed.ordersRowSchema, "o_orderstatus", "o_custkey")
+  }
+
+  val all: Seq[QueryDef] = Seq(q17, q17b, q17c, q17d, q17e, q17f, q82, q88, q93)
 }

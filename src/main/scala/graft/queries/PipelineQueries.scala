@@ -647,6 +647,85 @@ object PipelineQueries {
       .withColumn("clean_md5", md5(col("clean_text"))).drop("clean_text")
   }
 
+  /** Q91: all-pairs sparse cosine similarity over shingle TF-IDF
+    * vectors (CorpusOps.sparseCosinePairs) — the inverted-index
+    * similarity JOIN, complementing the set-based near-dup family
+    * (q19 Jaccard / q26 MinHash) with the weighted-vector metric IR
+    * systems use. Token-level TF-IDF would be degenerate on this
+    * corpus (31-word vocabulary → every pair shares every term); the
+    * 3-gram shingle space is sparse (df ≤ 7 at sf0.01), which is
+    * exactly the regime the operator's df-pruned index exploits.
+    * Measured separation: injected dups ≥ 0.99, background ≤ 0.20, so
+    * the 0.5 threshold has no knife-edge pairs.
+    */
+  val q91 = QueryDef.sql(
+    "q91_sparse_cosine",
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh0 AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+      |          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      |        FROM tok),
+      |tf AS (SELECT doc_id, s, count(*) AS tf FROM sh0 GROUP BY 1, 2),
+      |df AS (SELECT s, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |w AS (SELECT doc_id, tf.s AS s,
+      |        CAST(round(CAST(tf AS DOUBLE) * ln(CAST(n.n AS DOUBLE) / df.df) * 1e5)
+      |             AS BIGINT) AS wi
+      |      FROM tf JOIN df ON tf.s = df.s CROSS JOIN n
+      |      WHERE df.df BETWEEN 2 AND 50),
+      |nrm AS (SELECT doc_id, sum(wi * wi) AS n2 FROM w GROUP BY 1),
+      |dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.wi * b.wi) AS dot
+      |         FROM w a JOIN w b ON a.s = b.s AND a.doc_id < b.doc_id
+      |         GROUP BY 1, 2)
+      |SELECT doc_a, doc_b,
+      |       CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cosine
+      |FROM dots
+      |JOIN nrm na ON doc_a = na.doc_id
+      |JOIN nrm nb ON doc_b = nb.doc_id
+      |WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) >= 0.5""".stripMargin) { (spark, dir) =>
+    CorpusOps.sparseCosinePairs(Tables.documents(spark, dir), "doc_id", "text",
+      shingleN = 3, minCos = 0.5, minDf = 2, maxDf = 50)
+  }
+
+  /** Q94: PSI drift report (Profile.psiDrift) between the first and
+    * second half of the event window — per-(feature, bin) counts, PSI
+    * terms, and the per-feature total a data-quality gate thresholds
+    * (conventionally, ≥ 0.2 means the new batch no longer matches the
+    * reference distribution). Features: the event-type mix and the
+    * value distribution in fixed 25-unit buckets.
+    */
+  val q94 = QueryDef.sql(
+    "q94_psi_drift",
+    """WITH e AS (SELECT ts < TIMESTAMP '2024-01-16' AS is_ref, event_type,
+      |                  CAST(CAST(floor(value / 25) AS BIGINT) AS VARCHAR) AS vb
+      |           FROM events),
+      |st AS (SELECT is_ref, 'event_type' AS feature, event_type AS bin FROM e
+      |       UNION ALL SELECT is_ref, 'value_bucket', vb FROM e),
+      |c AS (SELECT feature, bin,
+      |        CAST(count(*) FILTER (is_ref) AS BIGINT) AS n_ref,
+      |        CAST(count(*) FILTER (NOT is_ref) AS BIGINT) AS n_cur
+      |      FROM st GROUP BY 1, 2),
+      |t AS (SELECT feature, bin, n_ref, n_cur,
+      |        count(*) OVER (PARTITION BY feature) AS nb,
+      |        sum(n_ref) OVER (PARTITION BY feature) AS tot_ref,
+      |        sum(n_cur) OVER (PARTITION BY feature) AS tot_cur
+      |      FROM c),
+      |p AS (SELECT feature, bin, n_ref, n_cur,
+      |        CAST(n_ref + 1 AS DOUBLE) / CAST(tot_ref + nb AS DOUBLE) AS p,
+      |        CAST(n_cur + 1 AS DOUBLE) / CAST(tot_cur + nb AS DOUBLE) AS q
+      |      FROM t)
+      |SELECT feature, bin, n_ref, n_cur,
+      |       (p - q) * ln(p / q) AS psi_term,
+      |       CAST(sum(CAST(round((p - q) * ln(p / q) * 1e9) AS BIGINT))
+      |            OVER (PARTITION BY feature) AS DOUBLE) / 1e9 AS psi_feature
+      |FROM p""".stripMargin) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+    graft.ops.Profile.psiDrift(ev,
+      col("ts") < lit("2024-01-16").cast("timestamp"),
+      Seq("event_type" -> col("event_type"),
+        "value_bucket" -> floor(col("value") / 25).cast("long")))
+  }
+
   val all: Seq[QueryDef] = Seq(q41, q42, q43, q44, q45, q47, q48, q49,
-    q54, q57, q60, q62, q63, q64, q68, q69, q74, q76, q80, q81, q83, q90)
+    q54, q57, q60, q62, q63, q64, q68, q69, q74, q76, q80, q81, q83, q90, q91,
+    q94)
 }

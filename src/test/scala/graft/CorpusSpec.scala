@@ -406,4 +406,28 @@ class CorpusSpec extends SparkSpec {
     assert(got(20L)._2 == 2L && got(20L)._3 == 10L)
     assert(got(20L)._5 == "a b c d e f")
   }
+
+  test("sparseCosinePairs: pairs only where a surviving shingle is shared; df caps prune both tails") {
+    val docs = Seq(
+      (1L, "a b c d e f"), // identical to 2
+      (2L, "a b c d e f"),
+      (3L, "x y z w q r"), // every shingle df=1 → absent from the index
+      (4L, "a b c q q q")  // shares only "a b c" with 1/2
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.sparseCosinePairs(docs, "doc_id", "text",
+      shingleN = 3, minCos = 0.0, minDf = 2, maxDf = 50)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // doc 3 can never pair (all its shingles are unique), docs 1-2 are
+    // identical vectors, 4 touches 1/2 through one shared shingle
+    assert(got.keySet === Set((1L, 2L), (1L, 4L), (2L, 4L)))
+    assert(got((1L, 2L)) > 0.9999999) // S/sqrt(S·S): 1.0 up to sqrt ulp
+    assert(got((1L, 4L)) < 0.5 && got((1L, 4L)) > 0.0)
+    assert(got((1L, 4L)) === got((2L, 4L))) // identical vectors, same dot
+    // maxDf = 2 prunes "a b c" (df 3) — the only bridge to doc 4
+    val capped = CorpusOps.sparseCosinePairs(docs, "doc_id", "text",
+      shingleN = 3, minCos = 0.0, minDf = 2, maxDf = 2)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2)).toSet
+    assert(capped === Set((1L, 2L)))
+  }
 }

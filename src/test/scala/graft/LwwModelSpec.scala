@@ -142,6 +142,16 @@ class LwwModelSpec extends SparkSpec {
           ws.map(w => BigDecimal(xOf(w)).setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum))
       }
       assert(got == exp, s"seed $seed")
+      // the NON-additive view over the same delta history: per-group
+      // distinct value count via support refcounts must equal the
+      // distinct count over the live snapshot rows
+      val gotDistinct = IncrementalAgg.distinctCountByGroup(
+        spark.table(name), aggSchema, "g", "x")
+        .as[(String, Long)].collect().toMap
+      val expDistinct = live.groupBy(gOf).map { case (g, ws) =>
+        g -> ws.map(xOf).distinct.size.toLong
+      }
+      assert(gotDistinct == expDistinct, s"seed $seed (distinct)")
     }
   }
 }

@@ -51,4 +51,39 @@ class ProfileSpec extends SparkSpec {
     assert(out(0)._2 == 4 && out(1)._2 == 4 && out(2)._2 == 4)
     assert(out(0)._3 == 0.25 && out(1)._3 == 0.25 && out(2)._3 == 0.0)
   }
+
+  test("psiDrift: identical mixes net zero; a swapped-out category crosses the 0.2 act line") {
+    // same category mix on both sides → p = q per bin → every term and
+    // the feature total are exactly zero
+    val same = Seq((true, "a"), (true, "a"), (true, "b"), (true, "b"),
+      (false, "a"), (false, "a"), (false, "b"), (false, "b"))
+      .toDF("ref", "t")
+    val z = Profile.psiDrift(same, col("ref"), Seq("cat" -> col("t")))
+      .as[(String, String, Long, Long, Double, Double)].collect()
+    assert(z.length == 2)
+    assert(z.forall(r => r._5 == 0.0 && r._6 == 0.0))
+
+    // reference is a/b, current is all-c: every bin one-sided; the
+    // Laplace smoothing keeps terms finite and the total far over 0.2
+    val shifted = Seq((true, "a"), (true, "a"), (true, "b"), (true, "b"),
+      (false, "c"), (false, "c"), (false, "c"), (false, "c"))
+      .toDF("ref", "t")
+    val s = Profile.psiDrift(shifted, col("ref"), Seq("cat" -> col("t")))
+      .as[(String, String, Long, Long, Double, Double)].collect()
+      .map(r => r._2 -> r).toMap
+    assert(s.keySet === Set("a", "b", "c"))
+    assert(s("a")._3 == 2 && s("a")._4 == 0)
+    assert(s("c")._3 == 0 && s("c")._4 == 4)
+    assert(s.values.forall(r => !r._5.isInfinite && !r._5.isNaN))
+    assert(s("a")._6 > 0.2 && s.values.map(_._6).toSet.size == 1)
+
+    // two features stay independent: a drifting feature must not bleed
+    // into a stable one's total
+    val two = Profile.psiDrift(shifted, col("ref"),
+      Seq("stable" -> lit("x"), "cat" -> col("t")))
+      .as[(String, String, Long, Long, Double, Double)].collect()
+    val stable = two.filter(_._1 == "stable")
+    assert(stable.length == 1 && stable.head._6 == 0.0)
+    assert(two.filter(_._1 == "cat").head._6 > 0.2)
+  }
 }
