@@ -288,7 +288,7 @@ object CorpusOps {
     * DuckDB, a silent wrap otherwise. (2^30−1)·2654435761 < 2^62 keeps
     * every intermediate in range in ANY engine evaluating the same SQL.
     */
-  private def knuthHash(id: Column, multiplier: Long): Column =
+  private[graft] def knuthHash(id: Column, multiplier: Long): Column =
     pmod(pmod(id, lit(1073741824L)) * lit(multiplier), lit(4294967296L))
 
   def hashSplit(df: DataFrame, idCol: String): DataFrame = {
