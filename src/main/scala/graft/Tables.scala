@@ -14,8 +14,21 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** The driver's parquet stores naive (not-UTC-adjusted) timestamps. Our
+    * own sessions read them as TIMESTAMP directly (inferTimestampNTZ=false,
+    * session tz UTC — byte-identical to what the DuckDB oracle sees). A
+    * foreign session (the driver's smoke check passes its own) may infer
+    * TIMESTAMP_NTZ instead; normalize so every downstream operator sees
+    * one timestamp type. No-op (no extra Project) when nothing is NTZ.
+    */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    val ntz = raw.schema.fields.filter(_.dataType == TimestampNTZType).map(_.name)
+    if (ntz.isEmpty) raw
+    else ntz.foldLeft(raw)((df, c) => df.withColumn(c, col(c).cast(TimestampType)))
+  }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
