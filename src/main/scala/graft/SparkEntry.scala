@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{BatchQueries, CdcQueries, JoinQueries, MandateQueries, PipelineQueries, StreamingQueries}
+import graft.queries.{BatchQueries, CdcQueries, EventQueries, JoinQueries, MandateQueries, PipelineQueries, StreamingQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -13,7 +13,8 @@ object SparkEntry {
 
   private[graft] def registry: Seq[QueryDef] =
     BatchQueries.all ++ CdcQueries.all ++ MandateQueries.all ++
-      StreamingQueries.all ++ JoinQueries.all ++ PipelineQueries.all
+      StreamingQueries.all ++ JoinQueries.all ++ PipelineQueries.all ++
+      EventQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
