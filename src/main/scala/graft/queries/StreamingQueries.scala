@@ -145,6 +145,44 @@ object StreamingQueries {
         (unix_micros(col("e_ts")) - unix_micros(col("p_ts"))).as("gap_us"))
   }
 
+  /** Q97: stream-stream LEFT OUTER join — q39's pattern plus the null
+    * rows for purchases with NO error within the hour. The nulls are
+    * eviction-driven output: Spark emits an unmatched left row only
+    * when the watermark passes its state-eviction time, and real
+    * traffic never pushes the watermark past its own tail — so the
+    * replay stages a far-future flush sentinel on BOTH input types
+    * (the join watermark is the min of the two sides) and keeps the
+    * trailing no-data batch (runToResultAppendEvicting). Sentinel rows
+    * (user_id < 0) are filtered back out; the result then equals the
+    * batch LEFT JOIN the oracle states.
+    */
+  val q97 = QueryDef.sql(
+    "q97_stream_stream_outer",
+    """SELECT p.user_id, p.event_id AS buy_event, e.event_id AS err_event,
+      |       CAST(date_diff('microsecond', p.ts, e.ts) AS BIGINT) AS gap_us
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      |  ON p.user_id = e.user_id
+      | AND e.ts > p.ts AND e.ts <= p.ts + INTERVAL 1 HOUR""".stripMargin) { (spark, dir) =>
+    val src = Replay.eventsStreamWithFlush(spark, dir, Seq("purchase", "error"))
+    val buys = src.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("buy_event"))
+      .withWatermark("p_ts", "10 minutes")
+    val errs = src.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"),
+        col("event_id").as("err_event"))
+      .withWatermark("e_ts", "10 minutes")
+    val joined = buys.join(errs,
+      col("user_id") === col("e_user")
+        && col("e_ts") > col("p_ts")
+        && col("e_ts") <= col("p_ts") + expr("INTERVAL 1 HOUR"),
+      "left_outer")
+    Replay.runToResultAppendEvicting(spark, joined)
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"), col("buy_event"), col("err_event"),
+        (unix_micros(col("e_ts")) - unix_micros(col("p_ts"))).as("gap_us"))
+  }
+
   /** Q56: stream-STATIC join — the enrichment pattern (a stream joined
     * to a broadcast dimension rebuilt per micro-batch, no join state at
     * all, unlike q39's watermarked stream-stream state). The dimension
@@ -270,5 +308,5 @@ object StreamingQueries {
       MinHashLsh.nearDupAgainstCorpus(historical, incoming, "doc_id", "text"))
   }
 
-  val all: Seq[QueryDef] = Seq(q23, q24a, q24b, q25, q39, q56, q71, q85, q86, q87)
+  val all: Seq[QueryDef] = Seq(q23, q24a, q24b, q25, q39, q56, q71, q85, q86, q87, q97)
 }

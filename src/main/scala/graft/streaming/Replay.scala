@@ -48,6 +48,45 @@ object Replay {
     spark.readStream.schema(schema).parquet(staged)
   }
 
+  /** Events + one far-future FLUSH sentinel per given event type
+    * (user_id/event_id = −1, −2, …; +30 days past max ts). An OUTER
+    * stream-stream join only emits its null rows when the watermark
+    * passes a row's state-eviction time; real traffic never pushes the
+    * watermark past its own tail, so the tail's unmatched rows would
+    * stay in state forever. The sentinel is the standard heartbeat
+    * fix: it drags BOTH sides' watermarks (the join takes the min) past
+    * every real row, and the trailing no-data batch then evicts and
+    * emits the lot. Callers filter `user_id < 0` back out.
+    */
+  def stageEventsWithFlush(spark: SparkSession, dir: String,
+      flushTypes: Seq[String]): String = {
+    val fp = graft.sources.Staging.fingerprint(Seq(s"$dir/events.parquet"))
+    val tag = flushTypes.mkString("_").replaceAll("[^a-zA-Z0-9_]", "")
+    val staged = sys.props("java.io.tmpdir") +
+      s"/graft_replay_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_flush_${tag}_$fp"
+    if (!Files.exists(Paths.get(s"$staged/_SUCCESS"))) {
+      val ev = Tables.events(spark, dir)
+      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      val flushTs = new java.sql.Timestamp(maxTs.getTime + 30L * 86400 * 1000)
+      val flush = flushTypes.zipWithIndex.map { case (t, i) =>
+        (-(i + 1).toLong, flushTs, -(i + 1).toLong, t, 0.0, "{}")
+      }
+      val flushDf = spark.createDataFrame(flush)
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .select(ev.columns.map(col): _*)
+      ev.unionByName(flushDf).coalesce(1).write.mode("overwrite").parquet(staged)
+    }
+    staged
+  }
+
+  /** File-stream over events + flush sentinels (see stageEventsWithFlush). */
+  def eventsStreamWithFlush(spark: SparkSession, dir: String,
+      flushTypes: Seq[String]): DataFrame = {
+    val staged = stageEventsWithFlush(spark, dir, flushTypes)
+    val schema: StructType = spark.read.parquet(staged).schema
+    spark.readStream.schema(schema).parquet(staged)
+  }
+
   /** File-stream over the staged documents table — the corpus-as-stream
     * entry (continuous ingest curation: the same map-only text gates run
     * unchanged over readStream).
@@ -83,6 +122,17 @@ object Replay {
       statePartitions: Int = 8): DataFrame =
     run(spark, streaming, statePartitions, "append")
 
+  /** Append-mode run that KEEPS the trailing no-data micro-batch: outer
+    * joins and other eviction-driven emitters produce their final rows
+    * only in a batch where the watermark has moved past their state —
+    * which for AvailableNow over staged files is exactly the no-data
+    * batch after the last file (pair with eventsStreamWithFlush so the
+    * watermark actually passes every real row first).
+    */
+  def runToResultAppendEvicting(spark: SparkSession, streaming: DataFrame,
+      statePartitions: Int = 8): DataFrame =
+    run(spark, streaming, statePartitions, "append", noDataBatches = true)
+
   /** Run a streaming DataFrame to completion, return the final result.
     * `complete` output mode so every window/group is in the final table
     * regardless of watermark progress at termination.
@@ -108,7 +158,8 @@ object Replay {
     run(spark, streaming, statePartitions, "complete")
 
   private def run(spark: SparkSession, streaming: DataFrame,
-      statePartitions: Int, mode: String): DataFrame = {
+      statePartitions: Int, mode: String,
+      noDataBatches: Boolean = false): DataFrame = {
     val name = s"graft_replay_result_${nameCounter.incrementAndGet()}"
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     val prevNoData =
@@ -116,8 +167,10 @@ object Replay {
     spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
     // the trailing no-data batch only advances the watermark for
     // append-mode eviction; complete mode re-outputs the full table
-    // every batch, so skipping it changes nothing but saves a batch
-    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    // every batch, so skipping it changes nothing but saves a batch —
+    // EXCEPT for eviction-driven output (outer joins), which needs it
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+      noDataBatches.toString)
     try {
       val q = streaming.writeStream
         .format("memory")

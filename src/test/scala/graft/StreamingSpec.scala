@@ -68,6 +68,48 @@ class StreamingSpec extends SparkSpec {
     assert(!ids.contains(2L), "event 20 min late beyond 10-min watermark must drop")
   }
 
+  test("outer stream-stream join: null rows emit ONLY after the watermark passes eviction") {
+    // unmatched purchases at ts=10 and ts=200; join window 60min,
+    // watermark delay 10min → state eviction at ts+70. A heartbeat at
+    // ts=250 on BOTH sides (the join watermark is the min) moves the
+    // watermark to 240: row 1 (evict 80) emits its null row, row 2
+    // (evict 270) is still held — exactly the tail the q97 flush
+    // sentinel exists to release.
+    implicit val ctx = spark.sqlContext
+    val left = MemoryStream[(Long, Timestamp, Long)]
+    val right = MemoryStream[(Long, Timestamp, Long)]
+    val l = left.toDF().toDF("user_id", "p_ts", "buy_event")
+      .withWatermark("p_ts", "10 minutes")
+    val r = right.toDF().toDF("e_user", "e_ts", "err_event")
+      .withWatermark("e_ts", "10 minutes")
+    val joined = l.join(r,
+      col("user_id") === col("e_user")
+        && col("e_ts") > col("p_ts")
+        && col("e_ts") <= col("p_ts") + expr("INTERVAL 1 HOUR"),
+      "left_outer")
+    val name = "outer_join_evict"
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    // batch 1: two unmatched purchases
+    left.addData((1L, ts(10), 101L), (2L, ts(200), 102L))
+    right.addData((99L, ts(10), 901L)) // keeps right watermark moving
+    q.processAllAvailable()
+    val afterB1 = spark.table(name).count()
+    // batch 2: heartbeats on BOTH sides to ts=250 → join watermark 240,
+    // row 1 evicts (10 + 60 + 10 = 80 < 240), row 2 stays (270 > 240)
+    left.addData((98L, ts(250), 103L))
+    right.addData((99L, ts(250), 902L))
+    q.processAllAvailable()
+    val afterB2 = spark.table(name)
+      .filter(col("user_id") === 1L || col("user_id") === 2L)
+      .select(col("user_id"), col("err_event")).as[(Long, Option[Long])]
+      .collect().toSet
+    q.stop()
+    assert(afterB1 == 0, "no null rows before the watermark passes eviction")
+    assert(afterB2 == Set((1L, None)),
+      "row 1 evicted and emitted with nulls; row 2 still held in state")
+  }
+
   test("quality gate over a stream: stateless map per batch, verdicts equal batch semantics") {
     // q71's gate is stateless — each doc's verdict must not depend on
     // batch boundaries; run the same docs split across 2 batches and
