@@ -96,11 +96,42 @@ object IncrementalAgg {
     */
   def distinctCountByGroup(deltas: DataFrame, rowSchema: StructType,
       groupCol: String, valueCol: String): DataFrame =
+    liveSupport(deltas, rowSchema, groupCol, valueCol)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("long").as("n_distinct"))
+
+  /** Incrementally-maintained per-group MIN/MAX — the other classic
+    * non-invertible view: deleting the current extremum cannot be
+    * answered from the aggregate alone (the runner-up is unknown), so
+    * the view keeps the same live-support table as the distinct count
+    * and takes min/max over the LIVE values. State is sized by live
+    * distinct (group, value) pairs; a delete of the extremum simply
+    * drops its support row and the next aggregate pass surfaces the
+    * runner-up — no history replay, no snapshot re-scan. (A bounded
+    * refinement for hot groups — keep only the top/bottom-k support
+    * rows per group and re-derive on underflow — trades state for the
+    * rare re-derivation; the full support table is the always-correct
+    * form.) Values pass through UNTOUCHED (min/max does no arithmetic),
+    * so doubles survive the JSON round-trip bit-identically on any
+    * engine.
+    */
+  def minMaxByGroup(deltas: DataFrame, rowSchema: StructType,
+      groupCol: String, valueCol: String): DataFrame =
+    liveSupport(deltas, rowSchema, groupCol, valueCol)
+      .groupBy(col(groupCol))
+      .agg(min(col(valueCol)).as("min_val"), max(col(valueCol)).as("max_val"))
+
+  /** The support table both non-invertible views share: Σ sign per
+    * (group, value) over the deltas, restricted to live (positive)
+    * pairs. Fine-keyed first shuffle, so heavy groups spread across
+    * partitions; the live relation is sized by distinct pairs, not
+    * history.
+    */
+  private def liveSupport(deltas: DataFrame, rowSchema: StructType,
+      groupCol: String, valueCol: String): DataFrame =
     signedRows(deltas, rowSchema)
       .groupBy(col(s"r.$groupCol").as(groupCol),
         col(s"r.$valueCol").as(valueCol))
       .agg(sum(col("sgn")).cast("long").as("refcnt"))
       .filter(col("refcnt") > 0)
-      .groupBy(col(groupCol))
-      .agg(count(lit(1)).cast("long").as("n_distinct"))
 }

@@ -611,4 +611,58 @@ object CorpusOps {
       .filter(col("cosine") >= minCos)
       .select(col("doc_a"), col("doc_b"), col("cosine"))
   }
+
+  /** Hybrid retrieval: reciprocal-rank fusion of a lexical (BM25) and a
+    * semantic (embedding-cosine) ranking — the standard two-tower
+    * serving pattern (fused score = Σ 1/(rrfK + rank) over the lists a
+    * doc appears in, rank from each list's top `listK`).
+    *
+    * Engine-stable ranking: each list is ranked on an INTEGER-scaled
+    * score key (the q42 rank-key rule — raw double scores agree across
+    * engines to ~12 digits, integer keys make the order identical),
+    * ties to the smaller doc id; the fused score is then built from
+    * integer ranks by one division per list — identical doubles on any
+    * engine.
+    *
+    * Scale shape: both top-`listK` cuts plan as TakeOrderedAndProject
+    * (per-partition heaps + driver merge of listK rows — never a global
+    * sort), and ranks are assigned by position in the one collected
+    * listK-row array, so no window touches an unbounded relation. The
+    * semantic list here is the exact scan (the oracle-checkable form);
+    * at corpus scale the same fusion takes the ANN candidate list
+    * (VectorSearch.ivfSearch / ivfPqSearch) as a drop-in replacement.
+    */
+  def hybridRetrieve(docs: DataFrame, embeddings: DataFrame,
+      queryTokens: Seq[String], queryVecId: Long, listK: Int = 100,
+      topK: Int = 20, rrfK: Int = 60): DataFrame = {
+    def rankedTop(scored: DataFrame, rankName: String): DataFrame =
+      scored
+        .orderBy(col("key").desc, col("doc_id"))
+        .limit(listK)
+        .agg(sort_array(collect_list(
+          struct((-col("key")).as("nk"), col("doc_id")))).as("l"))
+        .select(posexplode(col("l")))
+        .select(col("col.doc_id").as("doc_id"),
+          (col("pos") + 1).cast("long").as(rankName))
+    val lex = rankedTop(
+      bm25(docs, "doc_id", "text", queryTokens)
+        .select(col("doc_id"),
+          floor(col("bm25") * 1e5 + 0.5).cast("long").as("key")),
+      "r_lex")
+    val qv = embeddings.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q_emb"))
+    val sem = rankedTop(
+      embeddings.crossJoin(broadcast(qv))
+        .select(col("vec_id").as("doc_id"),
+          floor(VectorSearch.cosine(col("embedding"), col("q_emb")) * 1e6 + 0.5)
+            .cast("long").as("key")),
+      "r_sem")
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(rrfK) + col("r_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("r_sem")), lit(0.0)))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(topK)
+      .select(col("doc_id"), col("r_lex"), col("r_sem"), col("rrf"))
+  }
 }

@@ -258,5 +258,26 @@ object CdcQueries {
       ChangeFeed.ordersRowSchema, "o_orderstatus", "o_custkey")
   }
 
-  val all: Seq[QueryDef] = Seq(q17, q17b, q17c, q17d, q17e, q17f, q82, q88, q93)
+  /** Q99: incrementally-maintained per-group MIN/MAX — the other
+    * non-invertible view (deleting the extremum needs the runner-up),
+    * kept through the same live-support refcount table as q93. The
+    * oracle aggregates the post-update snapshot directly; min/max does
+    * no arithmetic, so the JSON-round-tripped doubles must come back
+    * bit-identical for the hash to pass.
+    */
+  val q99 = QueryDef.sql(
+    "q99_cdc_incr_minmax",
+    """SELECT o_orderstatus,
+      |       min(CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1
+      |                ELSE o_totalprice END) AS min_val,
+      |       max(CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1
+      |                ELSE o_totalprice END) AS max_val
+      |FROM orders WHERE o_orderkey % 5 <> 0
+      |GROUP BY 1""".stripMargin) { (spark, dir) =>
+    IncrementalAgg.minMaxByGroup(ordersDeltas(spark, dir),
+      ChangeFeed.ordersRowSchema, "o_orderstatus", "o_totalprice")
+  }
+
+  val all: Seq[QueryDef] = Seq(q17, q17b, q17c, q17d, q17e, q17f, q82, q88,
+    q93, q99)
 }

@@ -744,7 +744,54 @@ object PipelineQueries {
         "value_bucket" -> floor(col("value") / 25).cast("long")))
   }
 
+  /** Q98: hybrid retrieval — reciprocal-rank fusion of the q83 BM25
+    * lexical ranking and an embedding-cosine semantic ranking (the
+    * two-tower serving pattern). Integer-scaled rank keys make both
+    * orderings engine-identical; the fused score is built from integer
+    * ranks only. The semantic list is the exact scan here (oracle-
+    * checkable); at scale the ANN candidate list (q29/q61) drops in.
+    */
+  val q98 = QueryDef.sql(
+    "q98_hybrid_rrf",
+    """WITH q AS (SELECT unnest(['vector', 'stream', 'join']) AS token),
+      |tok AS (SELECT doc_id, len(string_split(text, ' ')) AS len,
+      |               unnest(string_split(text, ' ')) AS token FROM documents),
+      |tf AS (SELECT doc_id, token, count(*) AS tf, max(len) AS len
+      |       FROM tok WHERE token IN (SELECT token FROM q) GROUP BY 1, 2),
+      |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+      |st AS (SELECT count(*) AS n, avg(len(string_split(text, ' '))) AS al
+      |       FROM documents),
+      |bm AS (SELECT doc_id, sum(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+      |           * (tf * (1.2 + 1)) /
+      |           (tf + 1.2 * (1 - 0.75 + 0.75 * len / al))) AS bm25
+      |       FROM tf JOIN df USING (token) CROSS JOIN st GROUP BY doc_id),
+      |br AS (SELECT doc_id, r FROM (
+      |         SELECT doc_id, row_number() OVER (
+      |           ORDER BY CAST(floor(bm25 * 1e5 + 0.5) AS BIGINT) DESC, doc_id) AS r
+      |         FROM bm) WHERE r <= 100),
+      |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |qv AS (SELECT emb FROM e WHERE vec_id = 7),
+      |cs AS (SELECT e.vec_id AS doc_id,
+      |         list_dot_product(e.emb, qv.emb) /
+      |         (sqrt(list_dot_product(e.emb, e.emb)) *
+      |          sqrt(list_dot_product(qv.emb, qv.emb))) AS c
+      |       FROM e CROSS JOIN qv),
+      |cr AS (SELECT doc_id, r FROM (
+      |         SELECT doc_id, row_number() OVER (
+      |           ORDER BY CAST(floor(c * 1e6 + 0.5) AS BIGINT) DESC, doc_id) AS r
+      |         FROM cs) WHERE r <= 100),
+      |f AS (SELECT coalesce(br.doc_id, cr.doc_id) AS doc_id,
+      |        br.r AS r_lex, cr.r AS r_sem,
+      |        coalesce(CAST(1 AS DOUBLE) / (60 + br.r), 0) +
+      |        coalesce(CAST(1 AS DOUBLE) / (60 + cr.r), 0) AS rrf
+      |      FROM br FULL JOIN cr ON br.doc_id = cr.doc_id)
+      |SELECT doc_id, r_lex, r_sem, rrf FROM f
+      |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin) { (spark, dir) =>
+    CorpusOps.hybridRetrieve(Tables.documents(spark, dir),
+      Tables.embeddings(spark, dir), Seq("vector", "stream", "join"), 7L)
+  }
+
   val all: Seq[QueryDef] = Seq(q41, q42, q43, q44, q45, q47, q48, q49,
     q54, q57, q60, q62, q63, q64, q68, q69, q74, q76, q80, q81, q83, q90, q91,
-    q94)
+    q94, q98)
 }

@@ -183,6 +183,42 @@ object StreamingQueries {
         (unix_micros(col("e_ts")) - unix_micros(col("p_ts"))).as("gap_us"))
   }
 
+  /** Q100: CHAINED streaming window aggregations (two stateful
+    * operators in one query — Spark's multi-stateful-operator support):
+    * 5-minute counts per event type re-windowed into hourly peak-rate
+    * rows (max 5-min count + bucket count per hour). The first
+    * aggregate only emits a finalized 5-minute window downstream once
+    * the watermark passes it, and the second only emits an hour once
+    * the PROPAGATED (operator-local) watermark passes that — so the
+    * replay uses the q97 machinery: a flush sentinel of a type that
+    * exists nowhere in the data ('flush', filtered back out) plus the
+    * trailing no-data batch.
+    */
+  val q100 = QueryDef.sql(
+    "q100_stream_chained_windows",
+    """WITH b5 AS (SELECT event_type,
+      |              CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS w5_s,
+      |              count(*) AS c5
+      |            FROM events GROUP BY 1, 2)
+      |SELECT event_type,
+      |       CAST(w5_s // 3600 * 3600 AS BIGINT) AS hour_start_s,
+      |       max(c5) AS peak_5min,
+      |       count(*) AS n_buckets
+      |FROM b5 GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
+    val src = Replay.eventsStreamWithFlush(spark, dir, Seq("flush"))
+    val five = src.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("c5"))
+    val hourly = five
+      .groupBy(window(col("window"), "1 hour"), col("event_type"))
+      .agg(max(col("c5")).as("peak_5min"), count(lit(1)).as("n_buckets"))
+    Replay.runToResultAppendEvicting(spark, hourly)
+      .filter(col("event_type") =!= "flush")
+      .select(col("event_type"),
+        col("window.start").cast("long").as("hour_start_s"),
+        col("peak_5min"), col("n_buckets"))
+  }
+
   /** Q56: stream-STATIC join — the enrichment pattern (a stream joined
     * to a broadcast dimension rebuilt per micro-batch, no join state at
     * all, unlike q39's watermarked stream-stream state). The dimension
@@ -308,5 +344,5 @@ object StreamingQueries {
       MinHashLsh.nearDupAgainstCorpus(historical, incoming, "doc_id", "text"))
   }
 
-  val all: Seq[QueryDef] = Seq(q23, q24a, q24b, q25, q39, q56, q71, q85, q86, q87, q97)
+  val all: Seq[QueryDef] = Seq(q23, q24a, q24b, q25, q39, q56, q71, q85, q86, q87, q97, q100)
 }

@@ -242,6 +242,35 @@ class CorpusSpec extends SparkSpec {
     assert(iy > ix)
   }
 
+  test("hybridRetrieve: RRF fuses the two lists — both-list docs beat single-list, ranks are 1-based") {
+    // lexical order by bm25: doc 1 (tf 3) > doc 2 (tf 1); doc 3 absent.
+    // semantic order vs query vec [1,0]: doc 2 (cos 1) > doc 1 (~.707) > doc 3 (0).
+    val d = Seq(
+      (1L, "x x x pad"),
+      (2L, "x pad pad pad"),
+      (3L, "pad pad pad pad")).toDF("doc_id", "text")
+    val e = Seq(
+      (1L, Array(1f, 1f)), (2L, Array(1f, 0f)), (3L, Array(0f, 1f)),
+      (7L, Array(1f, 0f))) // the query vector row
+      .toDF("vec_id", "embedding")
+    val got = CorpusOps.hybridRetrieve(d, e, Seq("x"), 7L, listK = 10, topK = 10)
+      .as[(Long, Option[Long], Option[Long], Double)].collect()
+    val byDoc = got.map(r => r._1 -> r).toMap
+    // doc 1: lex rank 1, sem rank 3 (doc 7 itself ranks as corpus row too)
+    // doc 2: lex rank 2, sem rank 1  -- 7 is in the embeddings corpus:
+    // sem list = [2 or 7 (cos 1, tie -> smaller id 2 first), then ...]
+    assert(byDoc(1L)._2 == Some(1L))
+    assert(byDoc(2L)._2 == Some(2L))
+    assert(byDoc(2L)._3 == Some(1L), "cos=1 tie breaks to smaller doc_id")
+    assert(byDoc(3L)._2.isEmpty, "doc 3 matches no query token -> no lexical rank")
+    // fused score is exactly the sum of the two reciprocal terms
+    val r1 = byDoc(1L)
+    val expected = 1.0 / (60 + r1._2.get) + 1.0 / (60 + r1._3.get)
+    assert(r1._4 == expected)
+    // a doc present in both lists outranks one present in one list only
+    assert(byDoc(2L)._4 > byDoc(3L)._4)
+  }
+
   test("dedupSegments: corpus-first occurrence wins, docs reassemble in order, empty docs vanish") {
     val d = Seq(
       (1L, Seq("boiler", "plate", "body1")),  // all first occurrences

@@ -152,6 +152,17 @@ class LwwModelSpec extends SparkSpec {
         g -> ws.map(xOf).distinct.size.toLong
       }
       assert(gotDistinct == expDistinct, s"seed $seed (distinct)")
+      // min/max over the same support table: deleting an extremum must
+      // surface the runner-up (the random traffic includes deletes of
+      // every kind of row, so this exercises exactly that)
+      val gotMinMax = IncrementalAgg.minMaxByGroup(
+        spark.table(name), aggSchema, "g", "x")
+        .as[(String, Double, Double)].collect()
+        .map { case (g, mn, mx) => g -> ((mn, mx)) }.toMap
+      val expMinMax = live.groupBy(gOf).map { case (g, ws) =>
+        g -> ((ws.map(xOf).min, ws.map(xOf).max))
+      }
+      assert(gotMinMax == expMinMax, s"seed $seed (minmax)")
     }
   }
 }
