@@ -20,6 +20,12 @@ object Tables {
     * foreign session (the driver's smoke check passes its own) may infer
     * TIMESTAMP_NTZ instead; normalize so every downstream operator sees
     * one timestamp type. No-op (no extra Project) when nothing is NTZ.
+    *
+    * CONTRACT: the NTZ→TIMESTAMP cast reinterprets naive micros in the
+    * SESSION timezone, so a foreign session must run with
+    * `spark.sql.session.timeZone=UTC` (as every session this library
+    * builds does) or instants shift relative to what the UTC-session
+    * oracle reads. Values, not just rendering — set UTC.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     import org.apache.spark.sql.functions.col

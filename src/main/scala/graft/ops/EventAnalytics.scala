@@ -36,29 +36,34 @@ object EventAnalytics {
       typeCol: String, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty && steps.distinct == steps, "steps must be distinct")
     val k = steps.length
-    val stepsSql = steps.map(s => s"'$s'").mkString("array(", ", ", ")")
+    // typed literal, not SQL-string interpolation: step names with quotes
+    // or SQL metacharacters are data here, never expression text
+    val stepsArr = array(steps.map(lit): _*)
     val perUser = events
       .groupBy(col(userCol))
       .agg(sort_array(collect_list(
         struct(col(tsCol).as("ts"), col(typeCol).as("et")))).as("evs"))
       // acc = times of steps reached so far; expected step = steps(size(acc))
-      .select(expr(
-        s"""size(aggregate(evs, cast(array() as array<timestamp>), (acc, e) ->
-           |  CASE WHEN size(acc) >= $k THEN acc
-           |       WHEN e.et = element_at($stepsSql, size(acc) + 1)
-           |            AND (size(acc) = 0 OR e.ts > element_at(acc, -1))
-           |         THEN concat(acc, array(e.ts))
-           |       ELSE acc END))""".stripMargin).as("r"))
+      .select(size(aggregate(col("evs"),
+        array().cast("array<timestamp>"),
+        (acc, e) =>
+          when(size(acc) >= k, acc)
+            .when(e.getField("et") === element_at(stepsArr, size(acc) + 1)
+                && (size(acc) === 0 || e.getField("ts") > element_at(acc, -1)),
+              concat(acc, array(e.getField("ts"))))
+            .otherwise(acc))).as("r"))
+    // coalesce: over ZERO users sum() is NULL, but the funnel's answer is 0
     val wide = perUser.agg(
-      sum(when(col("r") >= 1, 1L).otherwise(0L)).as("u1"),
-      (2 to k).map(i => sum(when(col("r") >= i, 1L).otherwise(0L)).as(s"u$i")): _*)
+      coalesce(sum(when(col("r") >= 1, 1L).otherwise(0L)), lit(0L)).as("u1"),
+      (2 to k).map(i =>
+        coalesce(sum(when(col("r") >= i, 1L).otherwise(0L)), lit(0L)).as(s"u$i")): _*)
     val usersArr = array((1 to k).map(i => col(s"u$i")): _*)
     wide
-      .select(explode(expr(s"sequence(1, $k)")).as("i"), usersArr.as("us"))
+      .select(explode(sequence(lit(1), lit(k))).as("i"), usersArr.as("us"))
       .select(col("i").cast("long").as("step_no"),
-        expr(s"element_at($stepsSql, i)").as("step"),
-        expr("element_at(us, i)").as("users"),
-        (expr("element_at(us, i)").cast("double") / col("us").getItem(0)).as("conv"))
+        element_at(stepsArr, col("i")).as("step"),
+        element_at(col("us"), col("i")).as("users"),
+        (element_at(col("us"), col("i")).cast("double") / col("us").getItem(0)).as("conv"))
   }
 
   /** Weekly cohort retention: cohort = epoch week of a user's first

@@ -55,6 +55,24 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got.map(r => (r._1, r._3)) === Seq((1L, 1L), (2L, 1L), (3L, 1L)))
   }
 
+  test("funnel on EMPTY input emits k rows of zeros (matching count(*)-style oracles), not NULLs") {
+    val got = EventAnalytics.funnel(ev(), "user_id", "ts", "event_type",
+        Seq("a", "b"))
+      .select($"step_no", $"step", $"users").as[(Long, String, Long)]
+      .collect().sortBy(_._1)
+    assert(got === Seq((1L, "a", 0L), (2L, "b", 0L)))
+  }
+
+  test("funnel treats step names as data — quotes and SQL metacharacters are fine") {
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", "it's a('); drop", 1L),
+      (1L, "2024-01-01 11:00:00", "b", 2L))
+    val got = EventAnalytics.funnel(events, "user_id", "ts", "event_type",
+        Seq("it's a('); drop", "b"))
+      .select($"step_no", $"users").as[(Long, Long)].collect().sortBy(_._1)
+    assert(got === Seq((1L, 1L), (2L, 1L)))
+  }
+
   test("funnel is one shuffle of the log (the walk is per-user, sequential, single-pass)") {
     val df = EventAnalytics.funnel(Tables.events(spark, sf001),
       "user_id", "ts", "event_type", Seq("signup", "view", "click", "purchase"))
