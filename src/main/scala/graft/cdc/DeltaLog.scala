@@ -1,0 +1,76 @@
+package graft.cdc
+
+import graft.streaming.{Replay, StatefulLww}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import java.nio.file.{Files, Paths}
+
+/** Materialized CDC delta log — the SHARED front half of every
+  * incrementally-maintained view (q88/q93/q99, the q101 join view): ONE
+  * checkpointed StatefulLww pipeline replays the feed and appends the
+  * per-key deltas to a parquet delta log; each view is then a fold over
+  * the log, so N views cost one replay + N folds instead of N
+  * independent full-feed replays (the round-5 composition finding). In
+  * production this is the bronze→silver hop: the same writeStream keeps
+  * running against the live feed and every view — or a later backfill —
+  * consumes the log, never the raw feed.
+  *
+  * Idempotence: the log directory is keyed by (table, source-content
+  * fingerprint), the file sink's `_spark_metadata` commit log makes the
+  * read exactly-once-consistent, and a marker file written only after
+  * `awaitTermination` gates completion — a writer that died mid-replay
+  * resumes from its checkpoint on the next call instead of duplicating
+  * batches.
+  */
+object DeltaLog {
+
+  /** LWW delta relation of the `orders` feed (consumed by q88/q93/q99
+    * and the join view's fact side). Columns: key, action, rowJson,
+    * prevJson ([[graft.streaming.StatefulLww.Delta]]).
+    */
+  def ordersDeltas(spark: SparkSession, dir: String): DataFrame =
+    logFor(spark, dir, "orders", ChangeFeed.ordersRowSchema,
+      coalesce(col("after.o_orderkey"), col("before.o_orderkey")))
+
+  /** LWW delta relation of the `customer` feed (the join view's
+    * dimension side).
+    */
+  def customerDeltas(spark: SparkSession, dir: String): DataFrame =
+    logFor(spark, dir, "customer", ChangeFeed.customerRowSchema,
+      coalesce(col("after.c_custkey"), col("before.c_custkey")))
+
+  /** The un-materialized streaming delta stream for one routed table —
+    * the building block the log writer runs, exposed for pipelines that
+    * consume deltas live (sinks, tests).
+    */
+  def deltaStream(spark: SparkSession, feedDir: String, table: String,
+      rowSchema: StructType, keyExpr: Column): DataFrame = {
+    val raw = spark.readStream.format("graft-cdc").option("path", feedDir).load()
+    val routed = Subscription(Set("shop"), Set(table)).route(raw)
+      .drop("src_db", "src_table")
+    val filtered = EventFilters.all(Envelope.parseTyped(routed, rowSchema))
+    val keyed = filtered.select(keyExpr.as("key"),
+      col("ts_ms"), col("offset"), col("op"), to_json(col("after")).as("after"))
+    StatefulLww.deltaStream(keyed).toDF()
+  }
+
+  private def logFor(spark: SparkSession, dir: String, table: String,
+      rowSchema: StructType, keyExpr: Column): DataFrame = {
+    val fp = graft.sources.Staging.fingerprint(
+      Seq(s"$dir/orders.parquet", s"$dir/customer.parquet"))
+    val base = sys.props("java.io.tmpdir") +
+      s"/graft_deltalog_${table}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_$fp"
+    val dataDir = s"$base/data"
+    val done = Paths.get(s"$base/_GRAFT_DONE")
+    if (!Files.exists(done)) {
+      val feedDir = ChangeFeed.stagedJsonl(spark, dir)
+      Replay.runToParquet(spark,
+        deltaStream(spark, feedDir, table, rowSchema, keyExpr),
+        dataDir, s"$base/ckpt")
+      try Files.createFile(done)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    }
+    spark.read.parquet(dataDir)
+  }
+}

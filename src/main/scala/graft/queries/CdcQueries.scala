@@ -219,25 +219,14 @@ object CdcQueries {
       ChangeFeed.ordersRowSchema, "o_orderstatus", "o_totalprice")
   }
 
-  /** LWW delta relation of the `orders` CDC feed through the DSv2
-    * source: route → filter → key → StatefulLww, replayed to completion
-    * (the shared front half of the q88/q93 incremental views).
+  /** LWW delta relation of the `orders` CDC feed — read back from the
+    * SHARED materialized delta log (cdc.DeltaLog): one checkpointed
+    * StatefulLww replay serves every view, so q88/q93/q99 (and the q101
+    * join view) each cost a fold over the log, not a full feed replay.
     */
   private def ordersDeltas(spark: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
-    val feedDir = ChangeFeed.stagedJsonl(spark, dir)
-    val raw = spark.readStream.format("graft-cdc").option("path", feedDir).load()
-    val routed = Subscription(Set("shop"), Set("orders")).route(raw)
-      .drop("src_db", "src_table")
-    val filtered = EventFilters.all(
-      Envelope.parseTyped(routed, ChangeFeed.ordersRowSchema))
-    val keyed = filtered.select(
-      coalesce(col("after.o_orderkey"), col("before.o_orderkey")).as("key"),
-      col("ts_ms"), col("offset"), col("op"),
-      to_json(col("after")).as("after"))
-    graft.streaming.Replay.runToResultAppend(spark,
-      graft.streaming.StatefulLww.deltaStream(keyed).toDF())
-  }
+      dir: String): org.apache.spark.sql.DataFrame =
+    DeltaLog.ordersDeltas(spark, dir)
 
   /** Q93: incrementally-maintained DISTINCT-count view
     * (cdc.IncrementalAgg.distinctCountByGroup) — the non-additive IVM

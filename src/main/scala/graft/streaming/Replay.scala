@@ -133,6 +133,30 @@ object Replay {
       statePartitions: Int = 8): DataFrame =
     run(spark, streaming, statePartitions, "append", noDataBatches = true)
 
+  /** Run an append-mode streaming frame to completion into a parquet
+    * FILE sink (the delta-log shape: durable, exactly-once via the
+    * sink's `_spark_metadata` commit log, consumable as a batch relation
+    * by any number of downstream views — unlike the memory sink, nothing
+    * data-sized ever lands on the driver). A crashed writer resumes from
+    * `checkpoint` on the next call; completed batches are never
+    * re-appended.
+    */
+  def runToParquet(spark: SparkSession, streaming: DataFrame, path: String,
+      checkpoint: String, statePartitions: Int = 8): Unit = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
+    try {
+      val q = streaming.writeStream
+        .format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Run a streaming DataFrame to completion, return the final result.
     * `complete` output mode so every window/group is in the final table
     * regardless of watermark progress at termination.
