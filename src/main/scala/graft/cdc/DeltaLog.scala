@@ -30,13 +30,23 @@ object DeltaLog {
     * prevJson ([[graft.streaming.StatefulLww.Delta]]).
     */
   def ordersDeltas(spark: SparkSession, dir: String): DataFrame =
-    logFor(spark, dir, "orders", ChangeFeed.ordersRowSchema,
-      coalesce(col("after.o_orderkey"), col("before.o_orderkey")))
+    spark.read.parquet(ordersLogDir(spark, dir))
 
   /** LWW delta relation of the `customer` feed (the join view's
     * dimension side).
     */
   def customerDeltas(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(customerLogDir(spark, dir))
+
+  /** Directory of the materialized orders delta log (ensures it is
+    * written) — consumable as a batch relation OR a file stream, which
+    * is how downstream views subscribe to the log in production.
+    */
+  def ordersLogDir(spark: SparkSession, dir: String): String =
+    logFor(spark, dir, "orders", ChangeFeed.ordersRowSchema,
+      coalesce(col("after.o_orderkey"), col("before.o_orderkey")))
+
+  def customerLogDir(spark: SparkSession, dir: String): String =
     logFor(spark, dir, "customer", ChangeFeed.customerRowSchema,
       coalesce(col("after.c_custkey"), col("before.c_custkey")))
 
@@ -56,7 +66,7 @@ object DeltaLog {
   }
 
   private def logFor(spark: SparkSession, dir: String, table: String,
-      rowSchema: StructType, keyExpr: Column): DataFrame = {
+      rowSchema: StructType, keyExpr: Column): String = {
     val fp = graft.sources.Staging.fingerprint(
       Seq(s"$dir/orders.parquet", s"$dir/customer.parquet"))
     val base = sys.props("java.io.tmpdir") +
@@ -71,6 +81,6 @@ object DeltaLog {
       try Files.createFile(done)
       catch { case _: java.nio.file.FileAlreadyExistsException => () }
     }
-    spark.read.parquet(dataDir)
+    dataDir
   }
 }

@@ -1,0 +1,136 @@
+package graft.cdc
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+/** Incrementally-maintained JOIN view from two CDC delta streams — the
+  * denormalized-document shape the reference's Elasticsearch sink
+  * implies (`ElasticsearchUtils.java:101-155`: upserted documents are
+  * enriched rows, and keeping them current under updates on EITHER
+  * table needs Δ(A⋈B), not snapshot re-joins).
+  *
+  * Algebra: Δ(A⋈B) = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB, realized as a symmetric
+  * stateful join: both sides' deltas shuffle ONCE on the join key, and
+  * per-key state holds exactly the live rows of that key — the dim row
+  * plus the fact rows referencing it (the N:1 denormalization shape).
+  * A fact delta touches one enriched row; a dim delta re-emits that
+  * key's live facts — each CHANGE does work proportional to what it
+  * invalidates, never to table size. A fact update that MOVES the join
+  * key retracts under the old key and inserts under the new one (its
+  * ±rows route to different groups).
+  *
+  * Emission contract: per micro-batch the operator diffs the key's
+  * enriched rows before/after and emits ViewDelta upserts/deletes keyed
+  * by the fact id. A key-move produces a delete (old key's group) AND an
+  * upsert (new key's group) for the same fact id in one batch, so
+  * consumers MUST apply deletes before upserts within a batch (or
+  * equivalently let an upsert win over a delete for the same id) —
+  * [[applyBatch]] encodes this fold.
+  *
+  * Scale: state per join key = 1 dim row + that key's live fact rows,
+  * i.e. exactly the rows any co-partitioned join materializes for the
+  * key; totals are bounded by LIVE data, not stream history. Skewed
+  * join keys concentrate state the same way they concentrate any
+  * shuffle — the q36 salting pattern applies upstream if a key's fact
+  * set outgrows a partition.
+  */
+object IncrementalJoin {
+
+  /** One enriched-view change, keyed by the fact row's id. */
+  case class ViewDelta(factId: Long, action: String, factJson: String,
+      dimJson: String)
+
+  /** Routed ±row: not private — Catalyst's SafeProjection constructs it. */
+  case class JIn(jk: Long, side: String, sgn: Int, id: Long, rowJson: String)
+
+  /** Per-join-key state: the live dim row (null when absent) and the
+    * live fact rows referencing the key.
+    */
+  case class JoinState(dimJson: String, facts: Map[Long, String])
+
+  /** ±rows of a delta relation routed by the join-key field extracted
+    * from the row payload: +new under its key, −prev under ITS key (a
+    * key-moving update retracts and inserts under different groups).
+    * Null join keys match nothing (inner-join semantics) and are
+    * dropped at the source.
+    */
+  private def signedRouted(deltas: DataFrame, joinField: String,
+      side: String): DataFrame =
+    deltas.select(explode(filter(array(
+        when(col("rowJson").isNotNull,
+          struct(lit(1).as("sgn"), col("rowJson").as("js"))),
+        when(col("prevJson").isNotNull,
+          struct(lit(-1).as("sgn"), col("prevJson").as("js")))),
+      x => x.isNotNull)).as("c"), col("key").as("id"))
+      .select(
+        get_json_object(col("c.js"), s"$$.$joinField").cast("long").as("jk"),
+        lit(side).as("side"), col("c.sgn").as("sgn"), col("id"),
+        col("c.js").as("rowJson"))
+      .filter(col("jk").isNotNull)
+
+  /** The maintained view's delta stream. `factDeltas` / `dimDeltas` are
+    * StatefulLww-shaped relations (key, action, rowJson, prevJson),
+    * streaming or batch; `factJoinField` / `dimJoinField` name the join
+    * key inside each side's row payload.
+    */
+  def viewDeltaStream(factDeltas: DataFrame, dimDeltas: DataFrame,
+      factJoinField: String, dimJoinField: String): Dataset[ViewDelta] = {
+    val spark = factDeltas.sparkSession
+    import spark.implicits._
+    val routed = signedRouted(factDeltas, factJoinField, "f")
+      .unionByName(signedRouted(dimDeltas, dimJoinField, "d"))
+      .as[JIn]
+    routed.groupByKey(_.jk).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (_: Long, it: Iterator[JIn], state: GroupState[JoinState]) =>
+        val rows = it.toVector
+        val old = state.getOption.getOrElse(JoinState(null, Map.empty))
+        // dim side: at most one delta per key per batch (StatefulLww) —
+        // a surviving + row sets it, a lone − clears it
+        val dimRows = rows.filter(_.side == "d")
+        val newDim =
+          if (dimRows.exists(_.sgn > 0)) dimRows.find(_.sgn > 0).get.rowJson
+          else if (dimRows.nonEmpty) null
+          else old.dimJson
+        // fact side: per fact id, a + row means live-with-that-row
+        // (insert/update), only-− means gone (delete or key-move-away)
+        val facts = rows.filter(_.side == "f").groupBy(_.id)
+          .foldLeft(old.facts) { case (m, (id, rs)) =>
+            rs.find(_.sgn > 0) match {
+              case Some(p) => m.updated(id, p.rowJson)
+              case None    => m - id
+            }
+          }
+        if (newDim == null && facts.isEmpty) state.remove()
+        else state.update(JoinState(newDim, facts))
+        val before: Map[Long, (String, String)] =
+          if (old.dimJson == null) Map.empty
+          else old.facts.map { case (id, r) => id -> (r, old.dimJson) }
+        val after: Map[Long, (String, String)] =
+          if (newDim == null) Map.empty
+          else facts.map { case (id, r) => id -> (r, newDim) }
+        val upserts = after.collect {
+          case (id, (f, d)) if !before.get(id).contains((f, d)) =>
+            ViewDelta(id, "upsert", f, d)
+        }
+        val deletes = before.keysIterator.filterNot(after.contains)
+          .map(id => ViewDelta(id, "delete", null, null))
+        upserts.iterator ++ deletes
+    }
+  }
+
+  /** Fold one micro-batch of view deltas into a materialized view map —
+    * deletes first, then upserts, so a key-move's (delete, upsert) pair
+    * for the same fact id lands on the upsert. This is the contract any
+    * sink must follow (JdbcSink E2E applies the same order).
+    */
+  def applyBatch(view: Map[Long, (String, String)],
+      deltas: Seq[ViewDelta]): Map[Long, (String, String)] = {
+    val afterDeletes = deltas.filter(_.action == "delete")
+      .foldLeft(view)((m, d) => m - d.factId)
+    deltas.filter(_.action == "upsert")
+      .foldLeft(afterDeletes)((m, d) =>
+        m.updated(d.factId, (d.factJson, d.dimJson)))
+  }
+}

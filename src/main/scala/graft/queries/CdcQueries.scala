@@ -267,6 +267,39 @@ object CdcQueries {
       ChangeFeed.ordersRowSchema, "o_orderstatus", "o_totalprice")
   }
 
+  /** Q101: incrementally-maintained JOIN view — the reference's ES
+    * denormalization use case (enriched order documents kept current
+    * from BOTH tables' delta streams, `ElasticsearchUtils.java:101-155`)
+    * as delta-join algebra: cdc.IncrementalJoin consumes the two
+    * materialized delta logs as file streams, keeps per-join-key
+    * (dim row, live facts) state, and emits enriched-view deltas. The
+    * oracle is the batch join over the post-update snapshots, so the
+    * gate proves the symmetric stateful join converges to it through
+    * the feed's updates, deletes, dups and junk.
+    */
+  val q101 = QueryDef.sql(
+    "q101_cdc_join_view",
+    """SELECT o.o_orderkey, o.o_orderstatus,
+      |       CASE WHEN o.o_orderkey % 3 = 0 THEN o.o_totalprice * 1.1
+      |            ELSE o.o_totalprice END AS total,
+      |       c.c_custkey, c.c_name, c.c_mktsegment
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |WHERE o.o_orderkey % 5 <> 0""".stripMargin) { (spark, dir) =>
+    val oDir = DeltaLog.ordersLogDir(spark, dir)
+    val cDir = DeltaLog.customerLogDir(spark, dir)
+    def streamOf(d: String) =
+      spark.readStream.schema(spark.read.parquet(d).schema).parquet(d)
+    val deltas = IncrementalJoin.viewDeltaStream(
+      streamOf(oDir), streamOf(cDir), "o_custkey", "c_custkey").toDF()
+    graft.streaming.Replay.runToResultAppend(spark, deltas)
+      .filter(col("action") === "upsert")
+      .select(from_json(col("factJson"), ChangeFeed.ordersRowSchema).as("o"),
+        from_json(col("dimJson"), ChangeFeed.customerRowSchema).as("c"))
+      .select(col("o.o_orderkey"), col("o.o_orderstatus"),
+        col("o.o_totalprice").as("total"),
+        col("c.c_custkey"), col("c.c_name"), col("c.c_mktsegment"))
+  }
+
   val all: Seq[QueryDef] = Seq(q17, q17b, q17c, q17d, q17e, q17f, q82, q88,
-    q93, q99)
+    q93, q99, q101)
 }

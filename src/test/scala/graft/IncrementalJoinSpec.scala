@@ -1,0 +1,113 @@
+package graft
+
+import graft.cdc.IncrementalJoin
+import graft.streaming.StatefulLww.Delta
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+/** Multi-batch delta evolution of the incrementally-maintained join
+  * view: late dim arrival, dim-update fan-out, fact key-moves, dim
+  * deletes — each batch's emissions folded through
+  * IncrementalJoin.applyBatch and checked against the expected view.
+  */
+class IncrementalJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def f(okey: Long, cust: Long, v: String) =
+    s"""{"okey":$okey,"cust":$cust,"v":"$v"}"""
+  private def d(cust: Long, name: String) =
+    s"""{"cust":$cust,"name":"$name"}"""
+
+  test("view deltas: late dim, dim-update fan-out, key-move, dim delete") {
+    implicit val ctx = spark.sqlContext
+    val facts = MemoryStream[Delta]
+    val dims = MemoryStream[Delta]
+    val name = "incr_join_out"
+    val q = IncrementalJoin.viewDeltaStream(
+        facts.toDF(), dims.toDF(), "cust", "cust").writeStream
+      .format("memory").queryName(name).outputMode("append")
+      .trigger(Trigger.ProcessingTime(0)).start()
+
+    var view = Map.empty[Long, (String, String)]
+    def step(fb: Seq[Delta], db: Seq[Delta]): Seq[IncrementalJoin.ViewDelta] = {
+      val before = spark.table(name).count()
+      if (fb.nonEmpty) facts.addData(fb: _*)
+      if (db.nonEmpty) dims.addData(db: _*)
+      q.processAllAvailable()
+      val out = spark.table(name).as[(Long, String, String, String)].collect()
+        .drop(before.toInt).toSeq
+        .map(t => IncrementalJoin.ViewDelta(t._1, t._2, t._3, t._4))
+      view = IncrementalJoin.applyBatch(view, out)
+      out
+    }
+
+    // batch 1: fact before its dim — inner join ⇒ nothing in the view yet
+    val b1 = step(Seq(Delta(10, "upsert", f(10, 1, "x"), null)), Nil)
+    assert(b1.isEmpty && view.isEmpty)
+
+    // batch 2: dim arrives — the parked fact's enriched row emits
+    val b2 = step(Nil, Seq(Delta(1, "upsert", d(1, "A"), null)))
+    assert(b2 == Seq(IncrementalJoin.ViewDelta(10, "upsert", f(10, 1, "x"), d(1, "A"))))
+    assert(view == Map(10L -> (f(10, 1, "x"), d(1, "A"))))
+
+    // batch 3: dim 1 renamed + fact 11 joins key 1 + dim 2 appears —
+    // the dim update must re-emit EVERY live fact of the key
+    val b3 = step(
+      Seq(Delta(11, "upsert", f(11, 1, "y"), null)),
+      Seq(Delta(1, "upsert", d(1, "A2"), d(1, "A")),
+        Delta(2, "upsert", d(2, "B"), null)))
+    assert(b3.toSet == Set(
+      IncrementalJoin.ViewDelta(10, "upsert", f(10, 1, "x"), d(1, "A2")),
+      IncrementalJoin.ViewDelta(11, "upsert", f(11, 1, "y"), d(1, "A2"))))
+    assert(view == Map(
+      10L -> (f(10, 1, "x"), d(1, "A2")),
+      11L -> (f(11, 1, "y"), d(1, "A2"))))
+
+    // batch 4: fact 10 MOVES cust 1 → 2: the old key's group retracts,
+    // the new key's group inserts, and applyBatch's deletes-first order
+    // lands the same fact id on the upsert
+    val b4 = step(Seq(Delta(10, "upsert", f(10, 2, "x2"), f(10, 1, "x"))), Nil)
+    assert(b4.toSet == Set(
+      IncrementalJoin.ViewDelta(10, "delete", null, null),
+      IncrementalJoin.ViewDelta(10, "upsert", f(10, 2, "x2"), d(2, "B"))))
+    assert(view == Map(
+      10L -> (f(10, 2, "x2"), d(2, "B")),
+      11L -> (f(11, 1, "y"), d(1, "A2"))))
+
+    // batch 5: dim 1 deleted — its remaining fact leaves the view
+    val b5 = step(Nil, Seq(Delta(1, "delete", null, d(1, "A2"))))
+    assert(b5 == Seq(IncrementalJoin.ViewDelta(11, "delete", null, null)))
+    assert(view == Map(10L -> (f(10, 2, "x2"), d(2, "B"))))
+
+    // batch 6: deleting a fact whose dim is gone emits nothing (it was
+    // never in the view); deleting fact 10 emits its delete
+    val b6 = step(Seq(
+      Delta(11, "delete", null, f(11, 1, "y")),
+      Delta(10, "delete", null, f(10, 2, "x2"))), Nil)
+    assert(b6 == Seq(IncrementalJoin.ViewDelta(10, "delete", null, null)))
+    assert(view.isEmpty)
+
+    q.stop()
+  }
+
+  test("duplicate dim re-upsert with identical payload emits nothing (delta suppression)") {
+    implicit val ctx = spark.sqlContext
+    val facts = MemoryStream[Delta]
+    val dims = MemoryStream[Delta]
+    val name = "incr_join_dedup_out"
+    val q = IncrementalJoin.viewDeltaStream(
+        facts.toDF(), dims.toDF(), "cust", "cust").writeStream
+      .format("memory").queryName(name).outputMode("append")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    facts.addData(Delta(10, "upsert", f(10, 1, "x"), null))
+    dims.addData(Delta(1, "upsert", d(1, "A"), null))
+    q.processAllAvailable()
+    val n1 = spark.table(name).count()
+    dims.addData(Delta(1, "upsert", d(1, "A"), d(1, "A")))
+    q.processAllAvailable()
+    val n2 = spark.table(name).count()
+    q.stop()
+    assert(n1 == 1 && n2 == n1,
+      "an unchanged enriched row must not re-emit")
+  }
+}
