@@ -118,6 +118,50 @@ object JdbcSink {
     } finally conn.close()
   }
 
+  /** Apply one micro-batch of KEYED view deltas (an action column plus
+    * key/value columns — the IncrementalJoin.ViewDelta shape flattened)
+    * to a serving table: stage both classes executor-parallel, then in
+    * ONE driver transaction run the DELETEs and the upsert MERGE — in
+    * that order, per the delta-join emission contract (a key-move's
+    * delete+upsert pair for the same id must land on the upsert).
+    *
+    * Exactly-once here comes from IDEMPOTENCE, not a progress marker:
+    * every effect is key-addressed (DELETE by key, MERGE by key), so an
+    * at-least-once foreachBatch replay of the same delta batch converges
+    * to the same table state — the additive-view marker machinery
+    * ([[mergeAdditive]]) is unnecessary for keyed views.
+    */
+  def applyViewDeltas(deltas: DataFrame, url: String, table: String,
+      keyCols: Seq[String], actionCol: String = "action",
+      props: java.util.Properties = new java.util.Properties(),
+      stagingColumnTypes: String = null,
+      deleteStagingColumnTypes: String = null): Unit = {
+    import org.apache.spark.sql.functions.col
+    val upserts = deltas.filter(col(actionCol) === "upsert").drop(actionCol)
+    val dels = deltas.filter(col(actionCol) === "delete")
+      .select(keyCols.map(col): _*)
+    val stageDel = s"${table}_stage_del"
+    val wd0 = dels.write.mode(SaveMode.Overwrite)
+    val wd = if (deleteStagingColumnTypes == null) wd0
+      else wd0.option("createTableColumnTypes", deleteStagingColumnTypes)
+    wd.jdbc(url, stageDel, props)
+    val sets = upserts.columns.filterNot(keyCols.contains)
+      .map(c => s"t.${q(c)} = s.${q(c)}").mkString(", ")
+    val merge = stageAndMerge(upserts, url, table, keyCols,
+      upserts.columns.toSeq, sets, props, stagingColumnTypes)
+    val corr = keyCols.map(k => s"d.${q(k)} = $table.${q(k)}").mkString(" AND ")
+    val del = s"DELETE FROM $table WHERE EXISTS " +
+      s"(SELECT 1 FROM $stageDel d WHERE $corr)"
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      conn.setAutoCommit(false)
+      val st = conn.createStatement()
+      try { st.execute(del); st.execute(merge); conn.commit() }
+      catch { case e: Throwable => conn.rollback(); throw e }
+      finally st.close()
+    } finally conn.close()
+  }
+
   private def ensureProgressTable(conn: java.sql.Connection, table: String): Unit = {
     val st = conn.createStatement()
     try st.execute(

@@ -90,6 +90,76 @@ class IncrementalJoinSpec extends SparkSpec {
     q.stop()
   }
 
+  test("E2E: join-view deltas land in a JDBC serving table transactionally (RocksDB state)") {
+    import graft.sinks.JdbcSink
+    val pk = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(pk)
+    spark.conf.set(pk,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val url = "jdbc:derby:memory:graftjoinview;create=true"
+    val c0 = java.sql.DriverManager.getConnection(url)
+    c0.createStatement().execute(
+      """CREATE TABLE enriched ("id" BIGINT NOT NULL PRIMARY KEY,
+        | "fact" VARCHAR(200), "dim" VARCHAR(200))""".stripMargin.replace("\n", ""))
+    c0.close()
+    try {
+      implicit val ctx = spark.sqlContext
+      val facts = MemoryStream[Delta]
+      val dims = MemoryStream[Delta]
+      val types = "fact VARCHAR(200), dim VARCHAR(200)"
+      val q = IncrementalJoin.viewDeltaStream(
+          facts.toDF(), dims.toDF(), "cust", "cust").writeStream
+        .outputMode("append")
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[IncrementalJoin.ViewDelta], _: Long) =>
+            JdbcSink.applyViewDeltas(
+              batch.toDF("id", "action", "fact", "dim"),
+              url, "enriched", Seq("id"), stagingColumnTypes = types)
+            ()
+        }.start()
+      def view(): Map[Long, (String, String)] =
+        spark.read.jdbc(url, "enriched", new java.util.Properties())
+          .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+
+      facts.addData(Delta(10, "upsert", f(10, 1, "x"), null),
+        Delta(11, "upsert", f(11, 1, "y"), null))
+      dims.addData(Delta(1, "upsert", d(1, "A"), null),
+        Delta(2, "upsert", d(2, "B"), null))
+      q.processAllAvailable()
+      assert(view() == Map(
+        10L -> ((f(10, 1, "x"), d(1, "A"))),
+        11L -> ((f(11, 1, "y"), d(1, "A")))))
+
+      // key-move: the (delete, upsert) pair for id 10 lands on the upsert
+      facts.addData(Delta(10, "upsert", f(10, 2, "x2"), f(10, 1, "x")))
+      q.processAllAvailable()
+      assert(view() == Map(
+        10L -> ((f(10, 2, "x2"), d(2, "B"))),
+        11L -> ((f(11, 1, "y"), d(1, "A")))))
+
+      // dim delete cascades; fact delete removes its row
+      dims.addData(Delta(1, "delete", null, d(1, "A")))
+      facts.addData(Delta(10, "delete", null, f(10, 2, "x2")))
+      q.processAllAvailable()
+      q.stop()
+      assert(view().isEmpty)
+
+      // at-least-once replay: re-applying a batch's deltas is idempotent
+      val replay = Seq(
+        IncrementalJoin.ViewDelta(11, "delete", null, null),
+        IncrementalJoin.ViewDelta(10, "delete", null, null))
+        .toDF("id", "action", "fact", "dim")
+      JdbcSink.applyViewDeltas(replay, url, "enriched", Seq("id"),
+        stagingColumnTypes = types)
+      assert(view().isEmpty, "replayed key-addressed effects must be no-ops")
+    } finally {
+      prevProv match {
+        case Some(v) => spark.conf.set(pk, v)
+        case None => spark.conf.unset(pk)
+      }
+    }
+  }
+
   test("duplicate dim re-upsert with identical payload emits nothing (delta suppression)") {
     implicit val ctx = spark.sqlContext
     val facts = MemoryStream[Delta]
