@@ -121,6 +121,34 @@ object IncrementalAgg {
       .groupBy(col(groupCol))
       .agg(min(col(valueCol)).as("min_val"), max(col(valueCol)).as("max_val"))
 
+  /** Retraction-correct per-group TOP-K over the delta stream — the
+    * failure case an append-only top-k (q86) cannot handle: a DELETE of
+    * a reigning maximum must surface the runner-up. The view keeps the
+    * live (group, id, value) support relation — each delta's ±rows
+    * cancel exactly, so a deleted or updated-away row drops out — and
+    * ranks the LIVE rows per group. Row identity is part of the support
+    * key: two rows with equal values retract independently.
+    *
+    * Scale: the rank-filter form is deliberate — Catalyst rewrites
+    * `row_number() <= k` into WindowGroupLimit, pruning each partition
+    * to its local top-k BEFORE the group shuffle, so the sort never
+    * materializes a full group (pinned in PlanSpec).
+    */
+  def topKByGroup(deltas: DataFrame, rowSchema: StructType,
+      groupCol: String, valueCol: String, idCol: String, k: Int): DataFrame = {
+    val live = signedRows(deltas, rowSchema)
+      .groupBy(col(s"r.$groupCol").as(groupCol), col(s"r.$idCol").as(idCol),
+        col(s"r.$valueCol").as(valueCol))
+      .agg(sum(col("sgn")).cast("long").as("refcnt"))
+      .filter(col("refcnt") > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(valueCol).desc, col(idCol))
+    live
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col(groupCol), col("rnk"), col(idCol), col(valueCol))
+  }
+
   /** The support table both non-invertible views share: Σ sign per
     * (group, value) over the deltas, restricted to live (positive)
     * pairs. Fine-keyed first shuffle, so heavy groups spread across

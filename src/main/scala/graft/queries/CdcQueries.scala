@@ -267,6 +267,31 @@ object CdcQueries {
       ChangeFeed.ordersRowSchema, "o_orderstatus", "o_totalprice")
   }
 
+  /** Q102: retraction-correct incrementally-maintained TOP-K — per
+    * status, the 10 highest-price live orders, computed ONLY from the
+    * delta log (cdc.IncrementalAgg.topKByGroup). The feed deletes every
+    * %5 key and re-prices every %3 key, so reigning top rows are
+    * routinely retracted or re-ranked; the oracle ranks the post-update
+    * snapshot, proving the live-support fold surfaces runner-ups.
+    */
+  val q102 = QueryDef.sql(
+    "q102_cdc_incr_topk",
+    """SELECT o_orderstatus, rnk, o_orderkey, val FROM (
+      |  SELECT o_orderstatus, o_orderkey,
+      |         CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1
+      |              ELSE o_totalprice END AS val,
+      |         row_number() OVER (
+      |           PARTITION BY o_orderstatus
+      |           ORDER BY CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1
+      |                         ELSE o_totalprice END DESC, o_orderkey) AS rnk
+      |  FROM orders WHERE o_orderkey % 5 <> 0) t
+      |WHERE rnk <= 10""".stripMargin) { (spark, dir) =>
+    IncrementalAgg.topKByGroup(ordersDeltas(spark, dir),
+      ChangeFeed.ordersRowSchema, "o_orderstatus", "o_totalprice",
+      "o_orderkey", 10)
+      .withColumnRenamed("o_totalprice", "val")
+  }
+
   /** Q101: incrementally-maintained JOIN view — the reference's ES
     * denormalization use case (enriched order documents kept current
     * from BOTH tables' delta streams, `ElasticsearchUtils.java:101-155`)
@@ -301,5 +326,5 @@ object CdcQueries {
   }
 
   val all: Seq[QueryDef] = Seq(q17, q17b, q17c, q17d, q17e, q17f, q82, q88,
-    q93, q99, q101)
+    q93, q99, q101, q102)
 }
