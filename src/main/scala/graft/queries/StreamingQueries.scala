@@ -344,5 +344,56 @@ object StreamingQueries {
       MinHashLsh.nearDupAgainstCorpus(historical, incoming, "doc_id", "text"))
   }
 
-  val all: Seq[QueryDef] = Seq(q23, q24a, q24b, q25, q39, q56, q71, q85, q86, q87, q97, q100)
+  /** Q103: SESSION-scoped correlation of two streams — purchases
+    * attributed to the 30-minute activity session (views + purchases)
+    * they fall in, per user: the funnel-attribution shape q92 implies,
+    * continuously. The Spark-first form is union-then-sessionize: both
+    * streams flow through ONE session_window aggregate whose conditional
+    * sums carry each stream's contribution — a single stateful operator
+    * with per-live-session state, instead of the unsupported (and
+    * state-heavier) session-aggregate → stream-stream-join chain. The
+    * oracle is the batch gaps-and-islands session join over the same
+    * two event classes, with q24b's strict `> 30 minutes` break rule.
+    */
+  val q103 = QueryDef.sql(
+    "q103_stream_session_attrib",
+    """WITH e AS (SELECT user_id, ts, event_id, event_type, value
+      |           FROM events WHERE event_type IN ('view', 'purchase')),
+      |x AS (SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+      |                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+      |                     THEN 1 ELSE 0 END AS brk
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |y AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                               ROWS UNBOUNDED PRECEDING) AS grp
+      |      FROM x),
+      |s AS (SELECT user_id,
+      |             CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_s,
+      |             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_views,
+      |             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+      |             CAST(sum(CASE WHEN event_type = 'purchase'
+      |                           THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+      |                           ELSE 0 END) AS DOUBLE) / 100.0 AS purchase_value
+      |      FROM y GROUP BY user_id, grp)
+      |SELECT * FROM s WHERE n_purchases > 0""".stripMargin) { (spark, dir) =>
+    val src = Replay.eventsStream(spark, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .withWatermark("ts", "10 minutes")
+    val agg = src
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n_views"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"),
+        (sum(when(col("event_type") === "purchase",
+            graft.ops.FixedPoint.fixed(col("value"), 100))
+          .otherwise(lit(0).cast("decimal(38,0)")))
+          .cast("double") / 100.0).as("purchase_value"))
+    Replay.runToResult(spark, agg)
+      .filter(col("n_purchases") > 0)
+      .select(col("user_id"),
+        col("session_window.start").cast("long").as("session_start_s"),
+        col("n_views"), col("n_purchases"), col("purchase_value"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q23, q24a, q24b, q25, q39, q56, q71, q85, q86,
+    q87, q97, q100, q103)
 }
