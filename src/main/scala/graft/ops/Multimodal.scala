@@ -12,11 +12,12 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   * and `synthesizeImage` produces genuine tiny PNG/JPEG payloads so the
   * round-trip is oracle-checkable (q89: dims are doc_id arithmetic on
   * both sides, but the value flows THROUGH a real encoder and a real
-  * header parse). Only VIDEO/AUDIO remain stubbed (`fakeDecode`): this
-  * container has no media demuxers, so that path derives deterministic
-  * metadata from the bytes; swapping in a real codec means replacing
-  * ONE function body — the mapPartitions batch shape, output schema,
-  * and downstream grouping are the production plumbing either way.
+  * header parse). AUDIO/VIDEO metadata is real too: `decodeAv` walks
+  * WAV (RIFF) chunks and MP4 (ISO-BMFF) boxes with ByteBuffer — plain
+  * binary structs, no codec libraries — for duration / sample rate /
+  * track count, against `synthesizeWav`/`synthesizeMp4` containers
+  * (q34). Only pixel/sample DECODE beyond headers (frame extraction,
+  * resampling) remains byte-domain stand-ins below, pending demux libs.
   *
   * Decode runs via `mapPartitions` deliberately: real codecs amortize
   * per-partition init (native lib handles, thread-local buffers), which
@@ -98,34 +99,149 @@ object Multimodal {
       .mapPartitions(_.map { case (id, bytes) => decodeImage(id, bytes) })
   }
 
-  /** STUB decoder — deterministic fake, now standing in ONLY for the
-    * media kinds this container cannot decode (video/audio demuxing);
-    * images go through [[decodeImage]]. Real implementation would parse
-    * the container header here.
+  /** Audio/video container metadata: duration, sample rate (audio),
+    * track/channel count — every field read from REAL container header
+    * structs, no demuxing needed.
     */
-  def fakeDecode(docId: Long, payload: Array[Byte]): MediaMeta = {
-    val n = payload.length.toLong
-    MediaMeta(
-      doc_id = docId,
-      n_bytes = n,
-      width = (n % 640 + 1).toInt,
-      height = (n * 7 % 480 + 1).toInt,
-      n_frames = (docId % 30 + 1).toInt,
-      format = if (n % 2 == 0) "png" else "jpeg")
+  case class AvMeta(doc_id: Long, n_bytes: Long, format: String,
+      duration_ms: Long, sample_rate: Int, n_tracks: Int)
+
+  private val ASCII = java.nio.charset.StandardCharsets.US_ASCII
+
+  /** Deterministic tiny REAL WAV (RIFF/WAVE) per doc — fmt + data
+    * chunks with doc_id-derived sample rate, channel count and sample
+    * count, PCM bytes a reproducible function of (doc_id, i).
+    */
+  def synthesizeWav(docId: Long): Array[Byte] = {
+    val sampleRate = (8000 * (1 + docId % 3)).toInt
+    val channels = (1 + (docId / 2) % 2).toInt
+    val nSamples = (docId % 100 + 10).toInt
+    val blockAlign = channels * 2
+    val dataSize = nSamples * blockAlign
+    val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes(ASCII)).putInt(36 + dataSize).put("WAVE".getBytes(ASCII))
+    bb.put("fmt ".getBytes(ASCII)).putInt(16)
+      .putShort(1).putShort(channels.toShort)
+      .putInt(sampleRate).putInt(sampleRate * blockAlign)
+      .putShort(blockAlign.toShort).putShort(16)
+    bb.put("data".getBytes(ASCII)).putInt(dataSize)
+    var i = 0
+    while (i < dataSize) { bb.put(((docId * 31 + i) & 0xff).toByte); i += 1 }
+    bb.array()
   }
 
-  /** Binary payload column + per-partition decode through the
-    * VIDEO/AUDIO stub ([[fakeDecode]]). Input needs (doc_id: Long,
-    * payload: Binary). Images: use [[decodeImageMeta]].
+  /** Deterministic tiny REAL MP4 (ISO-BMFF) per doc: ftyp + moov
+    * containing an mvhd (version 0: timescale, duration from doc_id
+    * arithmetic) and N empty trak boxes.
     */
-  def decodeMeta(spark: SparkSession, withPayload: DataFrame): Dataset[MediaMeta] = {
+  def synthesizeMp4(docId: Long): Array[Byte] = {
+    val timescale = (1000 * (1 + docId % 3)).toInt
+    val durationUnits = (docId % 9000 + 1000).toInt
+    val nTracks = (docId % 3 + 1).toInt
+    val moovSize = 8 + 108 + nTracks * 8
+    val bb = java.nio.ByteBuffer.allocate(24 + moovSize) // big-endian
+    bb.putInt(24).put("ftyp".getBytes(ASCII))
+      .put("isom".getBytes(ASCII)).putInt(0x200).put("isomiso2".getBytes(ASCII))
+    bb.putInt(moovSize).put("moov".getBytes(ASCII))
+    bb.putInt(108).put("mvhd".getBytes(ASCII)).putInt(0) // version 0 + flags
+      .putInt(0).putInt(0)                               // creation, modification
+      .putInt(timescale).putInt(durationUnits)
+      .putInt(0x00010000).putShort(0x0100.toShort).putShort(0) // rate, volume, rsvd
+      .putLong(0L)                                             // reserved
+    Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000).foreach(bb.putInt) // matrix
+    (0 until 6).foreach(_ => bb.putInt(0))                     // pre_defined
+    bb.putInt(nTracks + 1)                                     // next_track_ID
+    (0 until nTracks).foreach(_ => bb.putInt(8).put("trak".getBytes(ASCII)))
+    bb.array()
+  }
+
+  /** (doc_id, payload) with REAL container bytes per document — odd ids
+    * get WAV audio, even ids MP4 video.
+    */
+  def avPayloads(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id =>
+        (id, if (id % 2 == 1) synthesizeWav(id) else synthesizeMp4(id))))
+      .toDF("doc_id", "payload")
+  }
+
+  private def fourcc(b: Array[Byte], off: Int): String =
+    if (off + 4 <= b.length) new String(b, off, 4, ASCII) else ""
+
+  /** REAL audio/video container header parse — WAV (RIFF chunk walk:
+    * fmt channels/rate/byte-rate, data size) and MP4 (ISO-BMFF box
+    * walk: mvhd v0/v1 timescale+duration, trak count) read straight
+    * from the binary structs with ByteBuffer; no codec libraries, no
+    * demuxing — the cheap metadata scan a 100 TB media corpus wants.
+    * Unrecognized or truncated payloads degrade to ("unknown", −1s),
+    * never an exception.
+    */
+  def decodeAv(docId: Long, payload: Array[Byte]): AvMeta = {
+    val n = payload.length.toLong
+    def unknown = AvMeta(docId, n, "unknown", -1L, -1, -1)
+    try {
+      if (payload.length >= 44 && fourcc(payload, 0) == "RIFF"
+          && fourcc(payload, 8) == "WAVE") {
+        val bb = java.nio.ByteBuffer.wrap(payload)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        var off = 12
+        var channels = -1; var rate = -1; var byteRate = -1; var dataSize = -1L
+        while (off + 8 <= payload.length) {
+          val id = fourcc(payload, off)
+          val size = bb.getInt(off + 4)
+          if (id == "fmt " && size >= 16) {
+            channels = bb.getShort(off + 10).toInt
+            rate = bb.getInt(off + 12)
+            byteRate = bb.getInt(off + 16)
+          } else if (id == "data") dataSize = size.toLong
+          off += 8 + size + (size & 1) // RIFF pads chunks to even length
+        }
+        if (rate <= 0 || byteRate <= 0 || dataSize < 0) unknown
+        else AvMeta(docId, n, "wav", dataSize * 1000L / byteRate, rate, channels)
+      } else if (payload.length >= 8 && fourcc(payload, 4) == "ftyp") {
+        val bb = java.nio.ByteBuffer.wrap(payload) // ISO-BMFF is big-endian
+        var off = 0
+        var durationMs = -1L; var tracks = 0; var sawMoov = false
+        while (off + 8 <= payload.length) {
+          val size = bb.getInt(off)
+          if (fourcc(payload, off + 4) == "moov") {
+            sawMoov = true
+            var c = off + 8
+            val end = off + size
+            while (c + 8 <= end) {
+              val csize = bb.getInt(c)
+              fourcc(payload, c + 4) match {
+                case "trak" => tracks += 1
+                case "mvhd" =>
+                  val version = payload(c + 8).toInt
+                  val (ts, du) =
+                    if (version == 1) (bb.getInt(c + 28), bb.getLong(c + 32))
+                    else (bb.getInt(c + 20), bb.getInt(c + 24).toLong)
+                  if (ts > 0) durationMs = du * 1000L / ts
+                case _ => ()
+              }
+              c += math.max(csize, 8)
+            }
+          }
+          off += math.max(size, 8)
+        }
+        if (!sawMoov) unknown
+        else AvMeta(docId, n, "mp4", durationMs, -1, tracks)
+      } else unknown
+    } catch { case _: IndexOutOfBoundsException => unknown }
+  }
+
+  /** Per-partition REAL container-header decode for audio/video blobs.
+    * Input needs (doc_id: Long, payload: Binary). Images:
+    * [[decodeImageMeta]].
+    */
+  def decodeAvMeta(spark: SparkSession, withPayload: DataFrame): Dataset[AvMeta] = {
     import spark.implicits._
     withPayload.select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        // real codecs would init native handles once per partition here
-        it.map { case (id, bytes) => fakeDecode(id, bytes) }
-      }
+      .mapPartitions(_.map { case (id, bytes) => decodeAv(id, bytes) })
   }
 
   /** Documents → opaque binary payloads (utf-8 bytes stand in for media

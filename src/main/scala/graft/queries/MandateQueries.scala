@@ -474,22 +474,31 @@ object MandateQueries {
         substring(base64(col("payload")), 1, 16).as("b64_prefix"))
   }
 
-  /** Q34: the multimodal decode pipeline (mapPartitions batch transform
-    * with the VIDEO/AUDIO stub codec — this container has no demuxers)
-    * — metadata is a deterministic function of the bytes, so the oracle
-    * can state it in SQL. The image path decodes for REAL: q89.
+  /** Q34: REAL audio/video container metadata — WAV (odd ids) and MP4
+    * (even ids) payloads synthesized as genuine containers, then parsed
+    * back by the RIFF-chunk / ISO-BMFF-box walk (Multimodal.decodeAv).
+    * The oracle states every field as doc_id arithmetic, but the values
+    * only match if real bytes survive a real encoder AND a real header
+    * parse — q89's certification pattern for the audio/video path.
     */
   val q34 = QueryDef.sql(
     "q34_multimodal_meta",
     """SELECT doc_id,
-      |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-      |       CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
-      |       CAST((octet_length(encode(text)) * 7) % 480 + 1 AS INTEGER) AS height,
-      |       CAST(doc_id % 30 + 1 AS INTEGER) AS n_frames,
-      |       CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
+      |       CASE WHEN doc_id % 2 = 1
+      |            THEN CAST(44 + (doc_id % 100 + 10) * (1 + (doc_id // 2) % 2) * 2 AS BIGINT)
+      |            ELSE CAST(140 + (doc_id % 3 + 1) * 8 AS BIGINT) END AS n_bytes,
+      |       CASE WHEN doc_id % 2 = 1 THEN 'wav' ELSE 'mp4' END AS format,
+      |       CASE WHEN doc_id % 2 = 1
+      |            THEN CAST((doc_id % 100 + 10) * 1000 // (8000 * (1 + doc_id % 3)) AS BIGINT)
+      |            ELSE CAST((doc_id % 9000 + 1000) * 1000 // (1000 * (1 + doc_id % 3)) AS BIGINT)
+      |            END AS duration_ms,
+      |       CASE WHEN doc_id % 2 = 1 THEN CAST(8000 * (1 + doc_id % 3) AS INTEGER)
+      |            ELSE -1 END AS sample_rate,
+      |       CASE WHEN doc_id % 2 = 1 THEN CAST(1 + (doc_id // 2) % 2 AS INTEGER)
+      |            ELSE CAST(doc_id % 3 + 1 AS INTEGER) END AS n_tracks
       |FROM documents""".stripMargin) { (spark, dir) =>
-    Multimodal.decodeMeta(spark,
-      Multimodal.withBinaryPayload(Tables.documents(spark, dir))).toDF()
+    Multimodal.decodeAvMeta(spark,
+      Multimodal.avPayloads(spark, Tables.documents(spark, dir))).toDF()
   }
 
   /** Q66: unigram-LM perplexity proxy (CCNet-style quality band) — see
