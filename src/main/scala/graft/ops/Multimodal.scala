@@ -233,6 +233,54 @@ object Multimodal {
     } catch { case _: IndexOutOfBoundsException => unknown }
   }
 
+  /** Integer-exact PCM sample statistics — REAL audio decode: WAV PCM
+    * needs no codec, the data chunk IS the samples. Every stat is an
+    * integer (sum of |s|, peak |s|, strict sign-change count over the
+    * interleaved sample sequence), so results are bit-identical on any
+    * engine and a SQL oracle can reconstruct them.
+    */
+  case class PcmStats(doc_id: Long, n_samples: Long, sum_abs: Long,
+      peak_abs: Int, n_sign_changes: Long)
+
+  /** Parse 16-bit LE PCM samples out of a WAV payload and fold the
+    * stats in one pass. Non-WAV/truncated payloads → (-1) sentinels.
+    */
+  def decodeWavPcm(docId: Long, payload: Array[Byte]): PcmStats = {
+    def bad = PcmStats(docId, -1L, -1L, -1, -1L)
+    if (payload.length < 44 || fourcc(payload, 0) != "RIFF"
+        || fourcc(payload, 8) != "WAVE") return bad
+    val bb = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var off = 12
+    var dataOff = -1; var dataLen = -1
+    while (off + 8 <= payload.length) {
+      val size = bb.getInt(off + 4)
+      if (fourcc(payload, off) == "data") { dataOff = off + 8; dataLen = size }
+      off += 8 + size + (size & 1)
+    }
+    if (dataOff < 0 || dataOff + dataLen > payload.length) return bad
+    var i = dataOff
+    var n = 0L; var sumAbs = 0L; var peak = 0; var changes = 0L
+    var prev = 0
+    while (i + 2 <= dataOff + dataLen) {
+      val s = bb.getShort(i).toInt
+      val a = math.abs(s)
+      sumAbs += a
+      if (a > peak) peak = a
+      if (n > 0 && prev.toLong * s < 0) changes += 1
+      prev = s; n += 1; i += 2
+    }
+    PcmStats(docId, n, sumAbs, peak, changes)
+  }
+
+  /** Per-partition PCM stats over WAV payloads. */
+  def decodeWavPcmStats(spark: SparkSession, withPayload: DataFrame): Dataset[PcmStats] = {
+    import spark.implicits._
+    withPayload.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => decodeWavPcm(id, bytes) })
+  }
+
   /** Per-partition REAL container-header decode for audio/video blobs.
     * Input needs (doc_id: Long, payload: Binary). Images:
     * [[decodeImageMeta]].

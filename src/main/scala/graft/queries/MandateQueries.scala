@@ -501,6 +501,39 @@ object MandateQueries {
       Multimodal.avPayloads(spark, Tables.documents(spark, dir))).toDF()
   }
 
+  /** Q104: REAL audio sample analysis — PCM needs no codec: the WAV
+    * data chunk IS the 16-bit LE samples. One mapPartitions pass folds
+    * integer-exact stats (Σ|s|, peak |s|, strict sign changes), and the
+    * oracle RECONSTRUCTS every sample from the synthesis arithmetic
+    * (byte i = (doc_id·31+i) mod 256) — so the row only matches if the
+    * bytes written by the real WAV encoder are parsed back sample-exact
+    * through the real chunk walk. Closes the audio path beyond headers.
+    */
+  val q104 = QueryDef.sql(
+    "q104_audio_pcm_stats",
+    """WITH w AS (SELECT doc_id,
+      |             (doc_id % 100 + 10) * (1 + (doc_id // 2) % 2) AS n
+      |           FROM documents WHERE doc_id % 2 = 1),
+      |j AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM w),
+      |sv AS (SELECT doc_id, n, i,
+      |         CASE WHEN ((doc_id * 31 + 2*i) % 256) + 256 * ((doc_id * 31 + 2*i + 1) % 256) >= 32768
+      |              THEN ((doc_id * 31 + 2*i) % 256) + 256 * ((doc_id * 31 + 2*i + 1) % 256) - 65536
+      |              ELSE ((doc_id * 31 + 2*i) % 256) + 256 * ((doc_id * 31 + 2*i + 1) % 256) END AS s
+      |       FROM j),
+      |x AS (SELECT doc_id, n, s,
+      |        lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+      |      FROM sv)
+      |SELECT doc_id,
+      |       CAST(max(n) AS BIGINT) AS n_samples,
+      |       CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+      |       CAST(max(abs(s)) AS INTEGER) AS peak_abs,
+      |       CAST(count(*) FILTER (WHERE prev IS NOT NULL AND prev * s < 0) AS BIGINT)
+      |         AS n_sign_changes
+      |FROM x GROUP BY doc_id""".stripMargin) { (spark, dir) =>
+    val odd = Tables.documents(spark, dir).filter(col("doc_id") % 2 === 1)
+    Multimodal.decodeWavPcmStats(spark, Multimodal.avPayloads(spark, odd)).toDF()
+  }
+
   /** Q66: unigram-LM perplexity proxy (CCNet-style quality band) — see
     * TextAnalysis.unigramLogProb for the broadcast-model shape.
     */
@@ -673,5 +706,5 @@ object MandateQueries {
 
   val all: Seq[QueryDef] = Seq(q18, q18b, q19, q20, q21, q22, q26, q27,
     q28, q28b, q29, q30, q31, q32, q33, q34, q58, q58b, q59, q61, q66, q67,
-    q70, q73, q77, q84, q89)
+    q70, q73, q77, q84, q89, q104)
 }
