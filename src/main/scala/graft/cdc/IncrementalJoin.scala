@@ -37,9 +37,14 @@ import org.apache.spark.sql.{DataFrame, Dataset}
   */
 object IncrementalJoin {
 
-  /** One enriched-view change, keyed by the fact row's id. */
+  /** One enriched-view change, keyed by the fact row's id. The prev*
+    * fields carry the enriched row the id showed BEFORE this delta
+    * (null when it was not in the view) — what downstream incremental
+    * aggregates retract, exactly as StatefulLww.Delta.prevJson does for
+    * base tables.
+    */
   case class ViewDelta(factId: Long, action: String, factJson: String,
-      dimJson: String)
+      dimJson: String, prevFactJson: String, prevDimJson: String)
 
   /** Routed ±row: not private — Catalyst's SafeProjection constructs it. */
   case class JIn(jk: Long, side: String, sgn: Int, id: Long, rowJson: String)
@@ -112,12 +117,51 @@ object IncrementalJoin {
           else facts.map { case (id, r) => id -> (r, newDim) }
         val upserts = after.collect {
           case (id, (f, d)) if !before.get(id).contains((f, d)) =>
-            ViewDelta(id, "upsert", f, d)
+            val p = before.get(id)
+            ViewDelta(id, "upsert", f, d, p.map(_._1).orNull, p.map(_._2).orNull)
         }
-        val deletes = before.keysIterator.filterNot(after.contains)
-          .map(id => ViewDelta(id, "delete", null, null))
-        upserts.iterator ++ deletes
+        val deletes = before.collect {
+          case (id, (f, d)) if !after.contains(id) =>
+            ViewDelta(id, "delete", null, null, f, d)
+        }
+        upserts.iterator ++ deletes.iterator
     }
+  }
+
+  /** Incrementally-maintained AGGREGATE over the join view — the
+    * composition Δ(A⋈B) → γ that makes the denormalized-serving story
+    * complete: a per-dim-group count and money total maintained from
+    * the enriched-view delta stream, never from a snapshot join. Each
+    * ViewDelta contributes (+new enriched row, −prev enriched row);
+    * group and value can live on EITHER side of the join (group from
+    * the dim row, value from the fact row here), and a dim update that
+    * moves facts between groups retracts/re-adds them for free — the
+    * same ± algebra as cdc.IncrementalAgg, lifted to the joined
+    * relation. Money runs through the integer-cents fixed point
+    * (IncrementalAgg's cross-engine rule).
+    */
+  def sumCountByGroup(viewDeltas: DataFrame,
+      factSchema: org.apache.spark.sql.types.StructType,
+      dimSchema: org.apache.spark.sql.types.StructType,
+      groupField: String, valueField: String): DataFrame = {
+    val signed = viewDeltas.select(explode(filter(array(
+        when(col("factJson").isNotNull,
+          struct(lit(1).as("sgn"), col("factJson").as("fj"), col("dimJson").as("dj"))),
+        when(col("prevFactJson").isNotNull,
+          struct(lit(-1).as("sgn"), col("prevFactJson").as("fj"),
+            col("prevDimJson").as("dj")))),
+      x => x.isNotNull)).as("c"))
+      .select(col("c.sgn").as("sgn"),
+        from_json(col("c.fj"), factSchema).as("f"),
+        from_json(col("c.dj"), dimSchema).as("d"))
+    signed
+      .groupBy(col(s"d.$groupField").as(groupField))
+      .agg(sum(col("sgn")).cast("long").as("n_rows"),
+        (sum(col("sgn") * floor(col(s"f.$valueField") * 100d + 0.5d))
+          .cast("decimal(18,2)") / 100).cast("decimal(18,2)").as("total_dec"))
+      .filter(col("n_rows") =!= 0)
+      .select(col(groupField), col("n_rows"),
+        col("total_dec").cast("double").as("total"))
   }
 
   /** Fold one micro-batch of view deltas into a materialized view map —

@@ -302,6 +302,22 @@ object CdcQueries {
     * gate proves the symmetric stateful join converges to it through
     * the feed's updates, deletes, dups and junk.
     */
+  /** The orders⋈customer enriched-view delta relation: both
+    * materialized delta logs consumed as file streams through the
+    * symmetric stateful join, replayed to completion (shared front half
+    * of q101/q105).
+    */
+  private def enrichedViewDeltas(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val oDir = DeltaLog.ordersLogDir(spark, dir)
+    val cDir = DeltaLog.customerLogDir(spark, dir)
+    def streamOf(d: String) =
+      spark.readStream.schema(spark.read.parquet(d).schema).parquet(d)
+    graft.streaming.Replay.runToResultAppend(spark,
+      IncrementalJoin.viewDeltaStream(
+        streamOf(oDir), streamOf(cDir), "o_custkey", "c_custkey").toDF())
+  }
+
   val q101 = QueryDef.sql(
     "q101_cdc_join_view",
     """SELECT o.o_orderkey, o.o_orderstatus,
@@ -310,13 +326,7 @@ object CdcQueries {
       |       c.c_custkey, c.c_name, c.c_mktsegment
       |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       |WHERE o.o_orderkey % 5 <> 0""".stripMargin) { (spark, dir) =>
-    val oDir = DeltaLog.ordersLogDir(spark, dir)
-    val cDir = DeltaLog.customerLogDir(spark, dir)
-    def streamOf(d: String) =
-      spark.readStream.schema(spark.read.parquet(d).schema).parquet(d)
-    val deltas = IncrementalJoin.viewDeltaStream(
-      streamOf(oDir), streamOf(cDir), "o_custkey", "c_custkey").toDF()
-    graft.streaming.Replay.runToResultAppend(spark, deltas)
+    enrichedViewDeltas(spark, dir)
       .filter(col("action") === "upsert")
       .select(from_json(col("factJson"), ChangeFeed.ordersRowSchema).as("o"),
         from_json(col("dimJson"), ChangeFeed.customerRowSchema).as("c"))
@@ -325,6 +335,31 @@ object CdcQueries {
         col("c.c_custkey"), col("c.c_name"), col("c.c_mktsegment"))
   }
 
+  /** Q105: incrementally-maintained AGGREGATE over the join view — the
+    * Δ(A⋈B) → γ composition: revenue and order count per customer
+    * market segment maintained purely from the enriched-view delta
+    * stream (each ViewDelta contributes +new/−prev enriched rows; group
+    * from the dim side, value from the fact side), never from a
+    * snapshot join. The oracle aggregates the post-update snapshot
+    * join; the ± retraction path (dim renames moving whole fact sets
+    * between groups) is pinned in IncrementalJoinSpec.
+    */
+  val q105 = QueryDef.sql(
+    "q105_cdc_join_view_agg",
+    """SELECT c_mktsegment,
+      |       CAST(count(*) AS BIGINT) AS n_orders,
+      |       CAST(sum(CAST(floor((CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1
+      |                            ELSE o_totalprice END) * 100 + 0.5) AS BIGINT)) / 100.0
+      |            AS DOUBLE) AS total
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE o_orderkey % 5 <> 0
+      |GROUP BY 1""".stripMargin) { (spark, dir) =>
+    IncrementalJoin.sumCountByGroup(enrichedViewDeltas(spark, dir),
+      ChangeFeed.ordersRowSchema, ChangeFeed.customerRowSchema,
+      "c_mktsegment", "o_totalprice")
+      .withColumnRenamed("n_rows", "n_orders")
+  }
+
   val all: Seq[QueryDef] = Seq(q17, q17b, q17c, q17d, q17e, q17f, q82, q88,
-    q93, q99, q101, q102)
+    q93, q99, q101, q102, q105)
 }

@@ -34,9 +34,10 @@ class IncrementalJoinSpec extends SparkSpec {
       if (fb.nonEmpty) facts.addData(fb: _*)
       if (db.nonEmpty) dims.addData(db: _*)
       q.processAllAvailable()
-      val out = spark.table(name).as[(Long, String, String, String)].collect()
+      val out = spark.table(name)
+        .as[(Long, String, String, String, String, String)].collect()
         .drop(before.toInt).toSeq
-        .map(t => IncrementalJoin.ViewDelta(t._1, t._2, t._3, t._4))
+        .map(t => IncrementalJoin.ViewDelta(t._1, t._2, t._3, t._4, t._5, t._6))
       view = IncrementalJoin.applyBatch(view, out)
       out
     }
@@ -47,7 +48,8 @@ class IncrementalJoinSpec extends SparkSpec {
 
     // batch 2: dim arrives — the parked fact's enriched row emits
     val b2 = step(Nil, Seq(Delta(1, "upsert", d(1, "A"), null)))
-    assert(b2 == Seq(IncrementalJoin.ViewDelta(10, "upsert", f(10, 1, "x"), d(1, "A"))))
+    assert(b2 == Seq(IncrementalJoin.ViewDelta(10, "upsert",
+      f(10, 1, "x"), d(1, "A"), null, null)))
     assert(view == Map(10L -> (f(10, 1, "x"), d(1, "A"))))
 
     // batch 3: dim 1 renamed + fact 11 joins key 1 + dim 2 appears —
@@ -57,8 +59,12 @@ class IncrementalJoinSpec extends SparkSpec {
       Seq(Delta(1, "upsert", d(1, "A2"), d(1, "A")),
         Delta(2, "upsert", d(2, "B"), null)))
     assert(b3.toSet == Set(
-      IncrementalJoin.ViewDelta(10, "upsert", f(10, 1, "x"), d(1, "A2")),
-      IncrementalJoin.ViewDelta(11, "upsert", f(11, 1, "y"), d(1, "A2"))))
+      // the dim-update upsert CARRIES the retired enriched row — what a
+      // downstream incremental aggregate retracts
+      IncrementalJoin.ViewDelta(10, "upsert", f(10, 1, "x"), d(1, "A2"),
+        f(10, 1, "x"), d(1, "A")),
+      IncrementalJoin.ViewDelta(11, "upsert", f(11, 1, "y"), d(1, "A2"),
+        null, null)))
     assert(view == Map(
       10L -> (f(10, 1, "x"), d(1, "A2")),
       11L -> (f(11, 1, "y"), d(1, "A2"))))
@@ -68,15 +74,18 @@ class IncrementalJoinSpec extends SparkSpec {
     // lands the same fact id on the upsert
     val b4 = step(Seq(Delta(10, "upsert", f(10, 2, "x2"), f(10, 1, "x"))), Nil)
     assert(b4.toSet == Set(
-      IncrementalJoin.ViewDelta(10, "delete", null, null),
-      IncrementalJoin.ViewDelta(10, "upsert", f(10, 2, "x2"), d(2, "B"))))
+      IncrementalJoin.ViewDelta(10, "delete", null, null,
+        f(10, 1, "x"), d(1, "A2")),
+      IncrementalJoin.ViewDelta(10, "upsert", f(10, 2, "x2"), d(2, "B"),
+        null, null)))
     assert(view == Map(
       10L -> (f(10, 2, "x2"), d(2, "B")),
       11L -> (f(11, 1, "y"), d(1, "A2"))))
 
     // batch 5: dim 1 deleted — its remaining fact leaves the view
     val b5 = step(Nil, Seq(Delta(1, "delete", null, d(1, "A2"))))
-    assert(b5 == Seq(IncrementalJoin.ViewDelta(11, "delete", null, null)))
+    assert(b5 == Seq(IncrementalJoin.ViewDelta(11, "delete", null, null,
+      f(11, 1, "y"), d(1, "A2"))))
     assert(view == Map(10L -> (f(10, 2, "x2"), d(2, "B"))))
 
     // batch 6: deleting a fact whose dim is gone emits nothing (it was
@@ -84,7 +93,8 @@ class IncrementalJoinSpec extends SparkSpec {
     val b6 = step(Seq(
       Delta(11, "delete", null, f(11, 1, "y")),
       Delta(10, "delete", null, f(10, 2, "x2"))), Nil)
-    assert(b6 == Seq(IncrementalJoin.ViewDelta(10, "delete", null, null)))
+    assert(b6 == Seq(IncrementalJoin.ViewDelta(10, "delete", null, null,
+      f(10, 2, "x2"), d(2, "B"))))
     assert(view.isEmpty)
 
     q.stop()
@@ -113,7 +123,8 @@ class IncrementalJoinSpec extends SparkSpec {
         .foreachBatch {
           (batch: org.apache.spark.sql.Dataset[IncrementalJoin.ViewDelta], _: Long) =>
             JdbcSink.applyViewDeltas(
-              batch.toDF("id", "action", "fact", "dim"),
+              batch.toDF().select($"factId".as("id"), $"action",
+                $"factJson".as("fact"), $"dimJson".as("dim")),
               url, "enriched", Seq("id"), stagingColumnTypes = types)
             ()
         }.start()
@@ -146,8 +157,8 @@ class IncrementalJoinSpec extends SparkSpec {
 
       // at-least-once replay: re-applying a batch's deltas is idempotent
       val replay = Seq(
-        IncrementalJoin.ViewDelta(11, "delete", null, null),
-        IncrementalJoin.ViewDelta(10, "delete", null, null))
+        (11L, "delete", null: String, null: String),
+        (10L, "delete", null: String, null: String))
         .toDF("id", "action", "fact", "dim")
       JdbcSink.applyViewDeltas(replay, url, "enriched", Seq("id"),
         stagingColumnTypes = types)
@@ -158,6 +169,41 @@ class IncrementalJoinSpec extends SparkSpec {
         case None => spark.conf.unset(pk)
       }
     }
+  }
+
+  test("sumCountByGroup over view deltas: dim renames move whole fact sets between groups") {
+    import org.apache.spark.sql.types._
+    def fv(okey: Long, cust: Long, v: Double) =
+      s"""{"okey":$okey,"cust":$cust,"v":$v}"""
+    def dg(cust: Long, g: String) = s"""{"cust":$cust,"g":"$g"}"""
+    val factSchema = StructType(Seq(StructField("okey", LongType),
+      StructField("cust", LongType), StructField("v", DoubleType)))
+    val dimSchema = StructType(Seq(StructField("cust", LongType),
+      StructField("g", StringType)))
+    def agg(rows: (Long, String, String, String, String, String)*) =
+      IncrementalJoin.sumCountByGroup(
+        rows.toDF("factId", "action", "factJson", "dimJson",
+          "prevFactJson", "prevDimJson"),
+        factSchema, dimSchema, "g", "v")
+        .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+
+    val inserts = Seq(
+      (1L, "upsert", fv(1, 1, 1.50), dg(1, "a"), null, null),
+      (2L, "upsert", fv(2, 1, 2.25), dg(1, "a"), null, null),
+      (3L, "upsert", fv(3, 2, 4.00), dg(2, "b"), null, null))
+    assert(agg(inserts: _*) == Seq(("a", 2L, 3.75), ("b", 1L, 4.00)))
+
+    // dim 1 renamed a→b: fan-out upserts CARRY the retired enriched
+    // rows, so group a nets to zero and leaves the view
+    val rename = inserts ++ Seq(
+      (1L, "upsert", fv(1, 1, 1.50), dg(1, "b"), fv(1, 1, 1.50), dg(1, "a")),
+      (2L, "upsert", fv(2, 1, 2.25), dg(1, "b"), fv(2, 1, 2.25), dg(1, "a")))
+    assert(agg(rename: _*) == Seq(("b", 3L, 7.75)))
+
+    // deleting a fact retracts its enriched contribution
+    val del = rename :+
+      ((3L, "delete", null: String, null: String, fv(3, 2, 4.00), dg(2, "b")))
+    assert(agg(del: _*) == Seq(("b", 2L, 3.75)))
   }
 
   test("duplicate dim re-upsert with identical payload emits nothing (delta suppression)") {
