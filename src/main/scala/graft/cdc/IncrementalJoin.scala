@@ -143,6 +143,22 @@ object IncrementalJoin {
   def sumCountByGroup(viewDeltas: DataFrame,
       factSchema: org.apache.spark.sql.types.StructType,
       dimSchema: org.apache.spark.sql.types.StructType,
+      groupField: String, valueField: String): DataFrame =
+    contributions(viewDeltas, factSchema, dimSchema, groupField, valueField)
+      .filter(col("n_rows") =!= 0)
+      .select(col(groupField), col("n_rows"),
+        col("total_dec").cast("double").as("total"))
+
+  /** Per-group NET contributions of a view-delta batch — the unfiltered
+    * form an additive JDBC MERGE consumes: a batch of pure dim renames
+    * within a group nets n_rows = 0 with zero money movement, but a
+    * re-price nets 0 rows with a NONZERO money delta, and the merge
+    * must still apply it (IncrementalAgg.contributions' rule, lifted to
+    * the joined relation).
+    */
+  def contributions(viewDeltas: DataFrame,
+      factSchema: org.apache.spark.sql.types.StructType,
+      dimSchema: org.apache.spark.sql.types.StructType,
       groupField: String, valueField: String): DataFrame = {
     val signed = viewDeltas.select(explode(filter(array(
         when(col("factJson").isNotNull,
@@ -159,9 +175,6 @@ object IncrementalJoin {
       .agg(sum(col("sgn")).cast("long").as("n_rows"),
         (sum(col("sgn") * floor(col(s"f.$valueField") * 100d + 0.5d))
           .cast("decimal(18,2)") / 100).cast("decimal(18,2)").as("total_dec"))
-      .filter(col("n_rows") =!= 0)
-      .select(col(groupField), col("n_rows"),
-        col("total_dec").cast("double").as("total"))
   }
 
   /** Fold one micro-batch of view deltas into a materialized view map —

@@ -206,6 +206,64 @@ class IncrementalJoinSpec extends SparkSpec {
     assert(agg(del: _*) == Seq(("b", 2L, 3.75)))
   }
 
+  test("E2E: Δ(A⋈B)→γ lands in a JDBC additive view exactly-once (foreachBatch + MERGE)") {
+    import graft.sinks.JdbcSink
+    import org.apache.spark.sql.types._
+    def fv(okey: Long, cust: Long, v: Double) =
+      s"""{"okey":$okey,"cust":$cust,"v":$v}"""
+    def dg(cust: Long, g: String) = s"""{"cust":$cust,"g":"$g"}"""
+    val factSchema = StructType(Seq(StructField("okey", LongType),
+      StructField("cust", LongType), StructField("v", DoubleType)))
+    val dimSchema = StructType(Seq(StructField("cust", LongType),
+      StructField("g", StringType)))
+    val url = "jdbc:derby:memory:graftjoinagg;create=true"
+    val c0 = java.sql.DriverManager.getConnection(url)
+    c0.createStatement().execute(
+      """CREATE TABLE seg_view ("g" VARCHAR(10) NOT NULL PRIMARY KEY,
+        | "n_rows" BIGINT, "total_dec" DECIMAL(18,2))""".stripMargin.replace("\n", ""))
+    c0.close()
+    implicit val ctx = spark.sqlContext
+    val facts = MemoryStream[Delta]
+    val dims = MemoryStream[Delta]
+    val q = IncrementalJoin.viewDeltaStream(
+        facts.toDF(), dims.toDF(), "cust", "cust").writeStream
+      .outputMode("append")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[IncrementalJoin.ViewDelta], batchId: Long) =>
+          JdbcSink.mergeAdditive(
+            IncrementalJoin.contributions(batch.toDF(), factSchema, dimSchema, "g", "v"),
+            url, "seg_view", Seq("g"), Seq("n_rows", "total_dec"), "n_rows",
+            stagingColumnTypes = "g VARCHAR(10)", batchId = batchId)
+          ()
+      }.start()
+    def view(): Map[String, (Long, BigDecimal)] =
+      spark.read.jdbc(url, "seg_view", new java.util.Properties())
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), BigDecimal(r.getDecimal(2))))).toMap
+
+    // batch 1: enriched inserts across two segments
+    facts.addData(Delta(1, "upsert", fv(1, 1, 1.50), null),
+      Delta(2, "upsert", fv(2, 1, 2.25), null),
+      Delta(3, "upsert", fv(3, 2, 4.00), null))
+    dims.addData(Delta(1, "upsert", dg(1, "a"), null),
+      Delta(2, "upsert", dg(2, "b"), null))
+    q.processAllAvailable()
+    assert(view() == Map("a" -> ((2L, BigDecimal("3.75"))),
+      "b" -> ((1L, BigDecimal("4.00")))))
+
+    // batch 2: dim 1 renamed a→b — the fan-out's +new/−prev moves both
+    // facts' money between groups; group a zero-guards out of the view
+    dims.addData(Delta(1, "upsert", dg(1, "b"), dg(1, "a")))
+    q.processAllAvailable()
+    assert(view() == Map("b" -> ((3L, BigDecimal("7.75")))))
+
+    // batch 3: fact re-price — n_rows nets 0, money still moves
+    facts.addData(Delta(3, "upsert", fv(3, 2, 4.50), fv(3, 2, 4.00)))
+    q.processAllAvailable()
+    q.stop()
+    assert(view() == Map("b" -> ((3L, BigDecimal("8.25")))))
+  }
+
   test("duplicate dim re-upsert with identical payload emits nothing (delta suppression)") {
     implicit val ctx = spark.sqlContext
     val facts = MemoryStream[Delta]
