@@ -65,6 +65,36 @@ object DeltaLog {
     StatefulLww.deltaStream(keyed).toDF()
   }
 
+  /** Materialized enriched-VIEW delta log — the same one-replay-many-
+    * consumers argument, one level up: the orders⋈customer symmetric
+    * join replay (IncrementalJoin.viewDeltaStream over the two table
+    * logs) runs once, and every view built on the enriched relation
+    * (q101's serving view, q105's aggregate) folds over the read-back
+    * log. The full production lineage: bronze feed → table delta logs →
+    * view delta log → folds.
+    */
+  def ordersCustomerViewDeltas(spark: SparkSession, dir: String): DataFrame = {
+    val fp = graft.sources.Staging.fingerprint(
+      Seq(s"$dir/orders.parquet", s"$dir/customer.parquet"))
+    val base = sys.props("java.io.tmpdir") +
+      s"/graft_viewdeltalog_oc_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_$fp"
+    val dataDir = s"$base/data"
+    val done = Paths.get(s"$base/_GRAFT_DONE")
+    if (!Files.exists(done)) {
+      val oDir = ordersLogDir(spark, dir)
+      val cDir = customerLogDir(spark, dir)
+      def streamOf(d: String) =
+        spark.readStream.schema(spark.read.parquet(d).schema).parquet(d)
+      Replay.runToParquet(spark,
+        IncrementalJoin.viewDeltaStream(
+          streamOf(oDir), streamOf(cDir), "o_custkey", "c_custkey").toDF(),
+        dataDir, s"$base/ckpt")
+      try Files.createFile(done)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    }
+    spark.read.parquet(dataDir)
+  }
+
   private def logFor(spark: SparkSession, dir: String, table: String,
       rowSchema: StructType, keyExpr: Column): String = {
     val fp = graft.sources.Staging.fingerprint(
