@@ -77,7 +77,7 @@ object DeltaLog {
     val fp = graft.sources.Staging.fingerprint(
       Seq(s"$dir/orders.parquet", s"$dir/customer.parquet"))
     val base = sys.props("java.io.tmpdir") +
-      s"/graft_viewdeltalog_oc_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_$fp"
+      s"/graft_viewdeltalog_v1_oc_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_$fp"
     val dataDir = s"$base/data"
     val done = Paths.get(s"$base/_GRAFT_DONE")
     if (!Files.exists(done)) {
@@ -99,8 +99,12 @@ object DeltaLog {
       rowSchema: StructType, keyExpr: Column): String = {
     val fp = graft.sources.Staging.fingerprint(
       Seq(s"$dir/orders.parquet", s"$dir/customer.parquet"))
+    // v1 = Delta(key, action, rowJson, prevJson) layout: the fingerprint
+    // tracks source CONTENT only, so a delta-schema change must bump the
+    // version or stale cached logs keep the old columns (ChangeFeed's v2
+    // lesson)
     val base = sys.props("java.io.tmpdir") +
-      s"/graft_deltalog_${table}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_$fp"
+      s"/graft_deltalog_v1_${table}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_$fp"
     val dataDir = s"$base/data"
     val done = Paths.get(s"$base/_GRAFT_DONE")
     if (!Files.exists(done)) {

@@ -167,9 +167,10 @@ object CorpusOps {
       idCol: String, textCol: String, n: Int): DataFrame = {
     import graft.functions.BloomAgg
     // Raw shingle streams on BOTH sides: insertion (bitwise OR) and the
-    // probe are idempotent, so neither side pays a dedup shuffle — the
-    // only shuffle in the whole path is the final distinct of the tiny
-    // flagged-id set.
+    // probe are idempotent, so neither side pays a dedup shuffle. The
+    // CORPUS-side relation is never exchanged; the only exchanges are
+    // the bloom build's global agg (one constant-size partial buffer
+    // per partition) and the final distinct of the tiny flagged-id set.
     val bloom = Shingles.tokenShinglesRaw(evalDocs, idCol, textCol, n)
       .select(BloomAgg.lift(col("s")).as("h"))
       .agg(udaf(BloomAgg).apply(col("h")).as("bloom"))

@@ -52,13 +52,13 @@ class BloomSpec extends SparkSpec {
     val flagged = flaggedDf.as[Long].collect().toSet
     assert(exact.subsetOf(flagged),
       s"missed: ${exact -- flagged}")
-    // The only shuffle in the whole path is the final distinct of the
-    // flagged-id set — the corpus-side shingle relation is never
-    // exchanged (that is the point of the operator).
-    def countShuffles(p: SparkPlan): Int = p.collect {
-      case _: ShuffleExchangeExec => 1
-    }.sum
-    assert(countShuffles(flaggedDf.queryExecution.executedPlan) <= 1,
-      flaggedDf.queryExecution.executedPlan.toString)
+    // The corpus-side shingle relation is never exchanged (the point of
+    // the operator); the two exchanges are the bloom build's global agg
+    // (constant-size partial buffers) and the tiny flagged-id distinct.
+    // AQE-safe count — the old naive count returned 0 under AQE and the
+    // former `<= 1` passed vacuously.
+    val n = shufflesOf(
+      CorpusOps.bloomContaminated(cands, evalD, "doc_id", "text", 5))
+    assert(n == 2, s"got $n shuffles")
   }
 }

@@ -191,11 +191,7 @@ class CorpusSpec extends SparkSpec {
   }
 
   test("repetitionSignals is a map-only plan: zero shuffles") {
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-    val plan = TextAnalysis.repetitionSignals(docs, "doc_id", "text")
-      .queryExecution.executedPlan
-    val shuffles = plan.collect { case _: ShuffleExchangeExec => 1 }
-    assert(shuffles.isEmpty, plan.toString)
+    assert(shufflesOf(TextAnalysis.repetitionSignals(docs, "doc_id", "text")) == 0)
   }
 
   test("capPerGroup: cap respected, deterministic under repartitioning, decorrelated from split") {

@@ -18,8 +18,6 @@ class EventAnalyticsSpec extends SparkSpec {
     rows.map { case (u, t, e, id) => (u, ts(t), e, id) }
       .toDF("user_id", "ts", "event_type", "event_id")
 
-  private def shuffles(df: DataFrame): Int =
-    df.queryExecution.executedPlan.collect { case _: ShuffleExchangeExec => 1 }.sum
 
   test("funnel: chained-min semantics — steps count only strictly after the previous step") {
     val events = ev(
@@ -74,11 +72,12 @@ class EventAnalyticsSpec extends SparkSpec {
   }
 
   test("funnel is one shuffle of the log (the walk is per-user, sequential, single-pass)") {
-    val df = EventAnalytics.funnel(Tables.events(spark, sf001),
-      "user_id", "ts", "event_type", Seq("signup", "view", "click", "purchase"))
     // user-keyed exchange + the single-row global aggregate's exchange;
-    // nothing else may shuffle the log
-    assert(shuffles(df) <= 2, df.queryExecution.executedPlan.toString)
+    // nothing else may shuffle the log (shufflesOf is AQE-safe — a
+    // naive count under AQE returns 0 and passes vacuously)
+    val n = shufflesOf(EventAnalytics.funnel(Tables.events(spark, sf001),
+      "user_id", "ts", "event_type", Seq("signup", "view", "click", "purchase")))
+    assert(n >= 1 && n <= 2, s"got $n shuffles")
   }
 
   test("cohortRetention: hand-computed matrix, offset 0 is always the full cohort") {

@@ -264,6 +264,27 @@ class IncrementalJoinSpec extends SparkSpec {
     assert(view() == Map("b" -> ((3L, BigDecimal("8.25")))))
   }
 
+  test("the view-delta aggregate fold is ONE shuffle (map-side explode+parse, keyed agg)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types._
+    val factSchema = StructType(Seq(StructField("cust", LongType),
+      StructField("v", DoubleType)))
+    val dimSchema = StructType(Seq(StructField("cust", LongType),
+      StructField("g", StringType)))
+    // parquet-backed input: a LocalRelation folds away at optimization
+    // time and hides the plan shape a real log read produces
+    val tmp = java.nio.file.Files.createTempDirectory("graft_plan_vd_").toString
+    Seq((1L, "upsert", """{"cust":1,"v":1.0}""",
+      """{"cust":1,"g":"a"}""", null: String, null: String))
+      .toDF("factId", "action", "factJson", "dimJson",
+        "prevFactJson", "prevDimJson")
+      .write.mode("overwrite").parquet(tmp)
+    val deltas = spark.read.parquet(tmp)
+    val n = shufflesOf(
+      IncrementalJoin.sumCountByGroup(deltas, factSchema, dimSchema, "g", "v"))
+    assert(n == 1, "explode/parse must stay map-side; only the group agg shuffles")
+  }
+
   test("duplicate dim re-upsert with identical payload emits nothing (delta suppression)") {
     implicit val ctx = spark.sqlContext
     val facts = MemoryStream[Delta]

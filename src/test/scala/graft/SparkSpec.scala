@@ -8,6 +8,22 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.session
   def sf001 = "/root/testdata/sf0.001"
+
+  /** Count shuffle exchanges in a frame's physical plan, AQE-SAFE: under
+    * adaptive execution the root is AdaptiveSparkPlanExec, which reports
+    * no children to collect(), so a naive count returns 0 and any
+    * `<= N` assertion passes vacuously. The frame must be BUILT inside
+    * the thunk so it is planned with AQE off.
+    */
+  def shufflesOf(build: => org.apache.spark.sql.DataFrame): Int = {
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try build.queryExecution.executedPlan.collect {
+      case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => 1
+    }.sum
+    finally spark.conf.set(key, prev)
+  }
 }
 
 object SparkSpec {
