@@ -31,9 +31,10 @@ object IncrementalAgg {
     */
   /** (sgn, r) signed-row relation of a delta stream: +1 for each
     * delta's new row, −1 for its previous row (so an insert yields one
-    * +row, a delete one −row, an update both).
+    * +row, a delete one −row, an update both). Map-side only — composes
+    * over batch AND streaming delta relations.
     */
-  private def signedRows(deltas: DataFrame, rowSchema: StructType): DataFrame =
+  private[cdc] def signedRows(deltas: DataFrame, rowSchema: StructType): DataFrame =
     deltas.select(explode(filter(array(
         when(col("rowJson").isNotNull,
           struct(lit(1).as("sgn"), col("rowJson").as("js"))),
@@ -144,6 +145,37 @@ object IncrementalAgg {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol)).orderBy(col(valueCol).desc, col(idCol))
     live
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col(groupCol), col("rnk"), col(idCol), col(valueCol))
+  }
+
+  /** STREAMING live-support relation — the same (group, id, value)
+    * refcount table as [[topKByGroup]], but maintained as a streaming
+    * aggregation: state is the support table itself (sized by live
+    * rows), each micro-batch's ±rows update only the touched keys, and
+    * complete-mode output hands the current table to a foreachBatch
+    * server that ranks and rewrites the k-row leaderboard (rank over
+    * the support table, which is data-sized, is done per batch — the
+    * leaderboard itself is k·groups rows, trivially rewritable).
+    * Deleting a reigning maximum drops its refcount to 0 and the next
+    * batch's ranking surfaces the runner-up — no replay, no snapshot.
+    */
+  def liveSupportStream(deltas: DataFrame, rowSchema: StructType,
+      groupCol: String, valueCol: String, idCol: String): DataFrame =
+    signedRows(deltas, rowSchema)
+      .groupBy(col(s"r.$groupCol").as(groupCol), col(s"r.$idCol").as(idCol),
+        col(s"r.$valueCol").as(valueCol))
+      .agg(sum(col("sgn")).cast("long").as("refcnt"))
+
+  /** Rank a support-table batch into the top-k leaderboard relation
+    * (the foreachBatch half of the streaming top-k serving pattern).
+    */
+  def rankSupport(support: DataFrame, groupCol: String, valueCol: String,
+      idCol: String, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(valueCol).desc, col(idCol))
+    support.filter(col("refcnt") > 0)
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col(groupCol), col("rnk"), col(idCol), col(valueCol))

@@ -54,6 +54,47 @@ class IncrementalAggSpec extends SparkSpec {
     assert(topk(d, 2) == Seq(("a", 1L, 2L, 5.0)))
   }
 
+  test("LIVE top-k leaderboard in JDBC: delete of the max surfaces the runner-up, end-to-end") {
+    import graft.sinks.JdbcSink
+    import graft.streaming.StatefulLww.Delta
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val url = "jdbc:derby:memory:graftboard;create=true"
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[Delta]
+    val q = IncrementalAgg.liveSupportStream(mem.toDF(), rowSchema, "g", "v", "id")
+      .writeStream.outputMode("complete")
+      .foreachBatch {
+        (support: org.apache.spark.sql.DataFrame, _: Long) =>
+          // the leaderboard is k·groups rows — rewriting it wholesale per
+          // batch is idempotent, replay-safe serving
+          JdbcSink.overwrite(
+            IncrementalAgg.rankSupport(support, "g", "v", "id", 2),
+            url, "board")
+          ()
+      }.start()
+    def board(): Seq[(String, Long, Long, Double)] =
+      spark.read.jdbc(url, "board", new java.util.Properties())
+        .as[(String, Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+
+    mem.addData(Delta(1, "upsert", row(1, "a", 10.0), null),
+      Delta(2, "upsert", row(2, "a", 8.0), null),
+      Delta(3, "upsert", row(3, "a", 6.0), null))
+    q.processAllAvailable()
+    assert(board() == Seq(("a", 1L, 1L, 10.0), ("a", 2L, 2L, 8.0)))
+
+    // the reigning max is DELETED mid-stream: its refcount hits 0 in
+    // state and the next batch's board shows the runner-up at rank 1
+    mem.addData(Delta(1, "delete", null, row(1, "a", 10.0)))
+    q.processAllAvailable()
+    assert(board() == Seq(("a", 1L, 2L, 8.0), ("a", 2L, 3L, 6.0)))
+
+    // a re-price past the top re-ranks without replay
+    mem.addData(Delta(3, "upsert", row(3, "a", 9.5), row(3, "a", 6.0)))
+    q.processAllAvailable()
+    q.stop()
+    assert(board() == Seq(("a", 1L, 3L, 9.5), ("a", 2L, 2L, 8.0)))
+  }
+
   test("rank<=k is planned as WindowGroupLimit (partition-local top-k before the shuffle)") {
     val d = deltas((1L, "upsert", row(1, "a", 1.0), null))
     val p = IncrementalAgg.topKByGroup(d, rowSchema, "g", "v", "id", 10)
