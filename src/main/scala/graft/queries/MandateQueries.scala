@@ -534,6 +534,46 @@ object MandateQueries {
     Multimodal.decodeWavPcmStats(spark, Multimodal.avPayloads(spark, odd)).toDF()
   }
 
+  /** Q106: REAL audio resampling certified end-to-end — each WAV is
+    * decimated 2× (every other sample FRAME kept, rate halved, valid
+    * container out), then BOTH the header re-parse (sample_rate) and
+    * the sample-exact PCM stats of the decimated stream must match the
+    * oracle's reconstruction from the synthesis arithmetic restricted
+    * to even frames. A wrong frame stride, channel misalignment, or a
+    * stale header field all break the hash.
+    */
+  val q106 = QueryDef.sql(
+    "q106_audio_resample",
+    """WITH w AS (SELECT doc_id,
+      |             doc_id % 100 + 10 AS nf,
+      |             1 + (doc_id // 2) % 2 AS ch,
+      |             8000 * (1 + doc_id % 3) AS rate
+      |           FROM documents WHERE doc_id % 2 = 1),
+      |f AS (SELECT doc_id, nf, ch, rate, unnest(range(0, nf)) AS fr FROM w),
+      |v AS (SELECT doc_id, ch, rate, fr, unnest(range(0, ch)) AS c
+      |      FROM f WHERE fr % 2 = 0),
+      |sv AS (SELECT doc_id, rate,
+      |         CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s
+      |       FROM (SELECT *,
+      |               ((doc_id * 31 + 2 * (fr * ch + c)) % 256)
+      |               + 256 * ((doc_id * 31 + 2 * (fr * ch + c) + 1) % 256) AS u
+      |             FROM v))
+      |SELECT doc_id,
+      |       CAST(max(rate) // 2 AS INTEGER) AS sample_rate,
+      |       CAST(count(*) AS BIGINT) AS n_samples,
+      |       CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+      |       CAST(max(abs(s)) AS INTEGER) AS peak_abs
+      |FROM sv GROUP BY doc_id""".stripMargin) { (spark, dir) =>
+    val odd = Tables.documents(spark, dir).filter(col("doc_id") % 2 === 1)
+    val res = Multimodal.resampleWavPayloads(spark,
+      Multimodal.avPayloads(spark, odd), 2)
+    val meta = Multimodal.decodeAvMeta(spark, res).toDF()
+      .select(col("doc_id"), col("sample_rate"))
+    val pcm = Multimodal.decodeWavPcmStats(spark, res).toDF()
+      .select(col("doc_id"), col("n_samples"), col("sum_abs"), col("peak_abs"))
+    meta.join(pcm, "doc_id")
+  }
+
   /** Q66: unigram-LM perplexity proxy (CCNet-style quality band) — see
     * TextAnalysis.unigramLogProb for the broadcast-model shape.
     */
@@ -706,5 +746,5 @@ object MandateQueries {
 
   val all: Seq[QueryDef] = Seq(q18, q18b, q19, q20, q21, q22, q26, q27,
     q28, q28b, q29, q30, q31, q32, q33, q34, q58, q58b, q59, q61, q66, q67,
-    q70, q73, q77, q84, q89, q104)
+    q70, q73, q77, q84, q89, q104, q106)
 }
