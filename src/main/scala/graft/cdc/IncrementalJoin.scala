@@ -78,6 +78,12 @@ object IncrementalJoin {
     * StatefulLww-shaped relations (key, action, rowJson, prevJson),
     * streaming or batch; `factJoinField` / `dimJoinField` name the join
     * key inside each side's row payload.
+    *
+    * INPUT CONTRACT: at most ONE delta per key per micro-batch —
+    * exactly what StatefulLww.deltaStream emits (it collapses a batch
+    * to each key's winner). Two deltas for one key in one batch have no
+    * defined application order after the shuffle, so a non-collapsed
+    * feed must be LWW-collapsed first (pinned in the model spec).
     */
   def viewDeltaStream(factDeltas: DataFrame, dimDeltas: DataFrame,
       factJoinField: String, dimJoinField: String): Dataset[ViewDelta] = {

@@ -264,6 +264,76 @@ class IncrementalJoinSpec extends SparkSpec {
     assert(view() == Map("b" -> ((3L, BigDecimal("8.25")))))
   }
 
+  test("model-based: random delta traffic converges to the batch join after every batch") {
+    // random ops on both sides — fact inserts/updates (join-key moves
+    // included)/deletes, dim upserts/deletes/re-adds — applied to an
+    // in-memory model of the two tables; after EVERY batch the folded
+    // view must equal the model's inner join
+    for (seed <- Seq(7L, 42L)) {
+      val rnd = new scala.util.Random(seed)
+      implicit val ctx = spark.sqlContext
+      val facts = MemoryStream[Delta]
+      val dims = MemoryStream[Delta]
+      val name = s"incr_join_model_$seed"
+      val q = IncrementalJoin.viewDeltaStream(
+          facts.toDF(), dims.toDF(), "cust", "cust").writeStream
+        .format("memory").queryName(name).outputMode("append")
+        .trigger(Trigger.ProcessingTime(0)).start()
+
+      val factState = scala.collection.mutable.Map[Long, String]() // id -> json
+      val dimState = scala.collection.mutable.Map[Long, String]()  // cust -> json
+      var view = Map.empty[Long, (String, String)]
+      var seen = 0L
+
+      def factJsonOf(id: Long, cust: Long, v: Int) = f(id, cust, s"v$v")
+      def dimJsonOf(cust: Long, n: Int) = d(cust, s"n$n")
+
+      for (batch <- 1 to 6) {
+        // input contract: ONE collapsed delta per key per batch (what
+        // StatefulLww emits) — so sample DISTINCT keys per batch
+        val fIds = rnd.shuffle((1L to 15L).toList).take(6)
+        val fDeltas = fIds.flatMap { id =>
+          rnd.nextInt(3) match {
+            case 2 if factState.contains(id) =>
+              Some(Delta(id, "delete", null, factState.remove(id).orNull))
+            case _ =>
+              val js = factJsonOf(id, 1L + rnd.nextInt(4), rnd.nextInt(50))
+              val prev = factState.put(id, js)
+              if (prev.contains(js)) None
+              else Some(Delta(id, "upsert", js, prev.orNull))
+          }
+        }
+        val dCusts = rnd.shuffle((1L to 4L).toList).take(2)
+        val dDeltas = dCusts.flatMap { cust =>
+          rnd.nextInt(4) match {
+            case 3 if dimState.contains(cust) =>
+              Some(Delta(cust, "delete", null, dimState.remove(cust).orNull))
+            case _ =>
+              val js = dimJsonOf(cust, rnd.nextInt(20))
+              val prev = dimState.put(cust, js)
+              if (prev.contains(js)) None
+              else Some(Delta(cust, "upsert", js, prev.orNull))
+          }
+        }
+        if (fDeltas.nonEmpty) facts.addData(fDeltas: _*)
+        if (dDeltas.nonEmpty) dims.addData(dDeltas: _*)
+        q.processAllAvailable()
+        val out = spark.table(name)
+          .as[(Long, String, String, String, String, String)].collect()
+          .drop(seen.toInt).toSeq
+          .map(t => IncrementalJoin.ViewDelta(t._1, t._2, t._3, t._4, t._5, t._6))
+        seen += out.size
+        view = IncrementalJoin.applyBatch(view, out)
+        val expected = factState.toMap.flatMap { case (id, fj) =>
+          val cust = fj.split("\"cust\":")(1).split(",")(0).toLong
+          dimState.get(cust).map(dj => id -> ((fj, dj)))
+        }
+        assert(view == expected, s"seed $seed batch $batch")
+      }
+      q.stop()
+    }
+  }
+
   test("the view-delta aggregate fold is ONE shuffle (map-side explode+parse, keyed agg)") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.types._
