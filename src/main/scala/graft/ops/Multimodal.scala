@@ -156,6 +156,106 @@ object Multimodal {
     bb.array()
   }
 
+  /** MP4 with a REAL sample table: the first trak carries a full
+    * mdia/minf/stbl nesting with stsz (per-sample sizes, doc_id
+    * arithmetic) and stts (one run of per-sample tick durations) —
+    * the structures a scale scanner reads to plan chunk splits and
+    * keyframe alignment without touching media data.
+    */
+  def synthesizeMp4WithSamples(docId: Long): Array[Byte] = {
+    val timescale = (1000 * (1 + docId % 3)).toInt
+    val durationUnits = (docId % 9000 + 1000).toInt
+    val nTracks = (docId % 3 + 1).toInt
+    val ns = (docId % 50 + 5).toInt
+    val delta = (100 + docId % 10).toInt
+    val stszSize = 8 + 12 + ns * 4
+    val sttsSize = 8 + 8 + 8
+    val stblSize = 8 + stszSize + sttsSize
+    val minfSize = 8 + stblSize
+    val mdiaSize = 8 + minfSize
+    val trak0Size = 8 + mdiaSize
+    val moovSize = 8 + 108 + trak0Size + (nTracks - 1) * 8
+    val bb = java.nio.ByteBuffer.allocate(24 + moovSize)
+    bb.putInt(24).put("ftyp".getBytes(ASCII))
+      .put("isom".getBytes(ASCII)).putInt(0x200).put("isomiso2".getBytes(ASCII))
+    bb.putInt(moovSize).put("moov".getBytes(ASCII))
+    bb.putInt(108).put("mvhd".getBytes(ASCII)).putInt(0)
+      .putInt(0).putInt(0)
+      .putInt(timescale).putInt(durationUnits)
+      .putInt(0x00010000).putShort(0x0100.toShort).putShort(0)
+      .putLong(0L)
+    Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000).foreach(bb.putInt)
+    (0 until 6).foreach(_ => bb.putInt(0))
+    bb.putInt(nTracks + 1)
+    bb.putInt(trak0Size).put("trak".getBytes(ASCII))
+      .putInt(mdiaSize).put("mdia".getBytes(ASCII))
+      .putInt(minfSize).put("minf".getBytes(ASCII))
+      .putInt(stblSize).put("stbl".getBytes(ASCII))
+    bb.putInt(stszSize).put("stsz".getBytes(ASCII))
+      .putInt(0)      // version/flags
+      .putInt(0)      // sample_size 0 ⇒ per-sample table follows
+      .putInt(ns)
+    (0 until ns).foreach(j => bb.putInt(((docId * 13 + j * 7) % 900 + 100).toInt))
+    bb.putInt(sttsSize).put("stts".getBytes(ASCII))
+      .putInt(0)      // version/flags
+      .putInt(1)      // entry_count
+      .putInt(ns).putInt(delta)
+    (0 until nTracks - 1).foreach(_ => bb.putInt(8).put("trak".getBytes(ASCII)))
+    bb.array()
+  }
+
+  /** Per-track sample-table totals read from stsz/stts. */
+  case class Mp4Samples(doc_id: Long, n_samples: Long,
+      total_sample_bytes: Long, max_sample_bytes: Int, total_ticks: Long)
+
+  /** REAL ISO-BMFF sample-table parse: walk moov → trak → mdia → minf →
+    * stbl and fold stsz sizes + stts runs. Sentinel (−1s) on anything
+    * that is not an MP4 with a sample table.
+    */
+  def decodeMp4Samples(docId: Long, payload: Array[Byte]): Mp4Samples = {
+    def bad = Mp4Samples(docId, -1L, -1L, -1, -1L)
+    if (payload.length < 8 || fourcc(payload, 4) != "ftyp") return bad
+    val bb = java.nio.ByteBuffer.wrap(payload)
+    // child boxes of [start, end): (type, boxStart, boxSize)
+    def boxes(start: Int, end: Int): Seq[(String, Int, Int)] = {
+      val out = Seq.newBuilder[(String, Int, Int)]
+      var off = start
+      while (off + 8 <= end) {
+        val size = math.max(bb.getInt(off), 8)
+        out += ((fourcc(payload, off + 4), off, size))
+        off += size
+      }
+      out.result()
+    }
+    try {
+      var n = 0L; var sumB = 0L; var maxB = 0; var ticks = 0L; var found = false
+      for ((t, off, size) <- boxes(0, payload.length) if t == "moov";
+           (t2, o2, s2) <- boxes(off + 8, off + size) if t2 == "trak";
+           (t3, o3, s3) <- boxes(o2 + 8, o2 + s2) if t3 == "mdia";
+           (t4, o4, s4) <- boxes(o3 + 8, o3 + s3) if t4 == "minf";
+           (t5, o5, s5) <- boxes(o4 + 8, o4 + s4) if t5 == "stbl";
+           (t6, o6, _) <- boxes(o5 + 8, o5 + s5)) t6 match {
+        case "stsz" =>
+          found = true
+          val fixedSize = bb.getInt(o6 + 12)
+          val count = bb.getInt(o6 + 16)
+          n += count
+          if (fixedSize != 0) { sumB += fixedSize.toLong * count; maxB = math.max(maxB, fixedSize) }
+          else (0 until count).foreach { j =>
+            val b = bb.getInt(o6 + 20 + j * 4)
+            sumB += b; maxB = math.max(maxB, b)
+          }
+        case "stts" =>
+          val entries = bb.getInt(o6 + 12)
+          (0 until entries).foreach { e =>
+            ticks += bb.getInt(o6 + 16 + e * 8).toLong * bb.getInt(o6 + 20 + e * 8)
+          }
+        case _ => ()
+      }
+      if (!found) bad else Mp4Samples(docId, n, sumB, maxB, ticks)
+    } catch { case _: IndexOutOfBoundsException => bad }
+  }
+
   /** (doc_id, payload) with REAL container bytes per document — odd ids
     * get WAV audio, even ids MP4 video.
     */

@@ -574,6 +574,33 @@ object MandateQueries {
     meta.join(pcm, "doc_id")
   }
 
+  /** Q107: REAL MP4 sample-table scan — per-sample sizes (stsz) and
+    * tick durations (stts) parsed out of a genuine nested
+    * moov/trak/mdia/minf/stbl structure. These tables are what a
+    * 100 TB video scanner reads to plan chunk splits without touching
+    * media data. Oracle reconstructs the same totals from the synthesis
+    * arithmetic; a wrong nesting walk or entry offset breaks the hash.
+    */
+  val q107 = QueryDef.sql(
+    "q107_video_sample_table",
+    """WITH w AS (SELECT doc_id, doc_id % 50 + 5 AS ns, 100 + doc_id % 10 AS delta
+      |           FROM documents WHERE doc_id % 2 = 0),
+      |j AS (SELECT doc_id, ns, delta, unnest(range(0, ns)) AS s FROM w),
+      |sz AS (SELECT doc_id, ns, delta, (doc_id * 13 + s * 7) % 900 + 100 AS b FROM j)
+      |SELECT doc_id,
+      |       CAST(max(ns) AS BIGINT) AS n_samples,
+      |       CAST(sum(b) AS BIGINT) AS total_sample_bytes,
+      |       CAST(max(b) AS INTEGER) AS max_sample_bytes,
+      |       CAST(max(ns) * max(delta) AS BIGINT) AS total_ticks
+      |FROM sz GROUP BY doc_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.documents(spark, dir).filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        Multimodal.decodeMp4Samples(id, Multimodal.synthesizeMp4WithSamples(id))
+      }).toDF()
+  }
+
   /** Q66: unigram-LM perplexity proxy (CCNet-style quality band) — see
     * TextAnalysis.unigramLogProb for the broadcast-model shape.
     */
@@ -746,5 +773,5 @@ object MandateQueries {
 
   val all: Seq[QueryDef] = Seq(q18, q18b, q19, q20, q21, q22, q26, q27,
     q28, q28b, q29, q30, q31, q32, q33, q34, q58, q58b, q59, q61, q66, q67,
-    q70, q73, q77, q84, q89, q104, q106)
+    q70, q73, q77, q84, q89, q104, q106, q107)
 }
