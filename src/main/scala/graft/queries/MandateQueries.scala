@@ -601,6 +601,36 @@ object MandateQueries {
       }).toDF()
   }
 
+  /** Q108: windowed audio features — 8-frame windows at a 4-frame hop
+    * over each WAV's decoded PCM stream (frame-aligned: channels of a
+    * frame stay together), integer-exact energy stats per window. The
+    * 1-blob → N-feature-rows batch shape of audio feature extraction,
+    * certified by the oracle's sample reconstruction over each window's
+    * frame range.
+    */
+  val q108 = QueryDef.sql(
+    "q108_audio_windows",
+    """WITH w AS (SELECT doc_id, doc_id % 100 + 10 AS nf, 1 + (doc_id // 2) % 2 AS ch
+      |           FROM documents WHERE doc_id % 2 = 1),
+      |wi AS (SELECT doc_id, nf, ch, unnest(range(0, (nf + 3) // 4)) AS win FROM w),
+      |fr AS (SELECT doc_id, nf, ch, win,
+      |              unnest(range(win * 4, least(win * 4 + 8, nf))) AS fm FROM wi),
+      |v AS (SELECT doc_id, ch, win, fm, unnest(range(0, ch)) AS c FROM fr),
+      |sv AS (SELECT doc_id, win,
+      |         CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s
+      |       FROM (SELECT *,
+      |               ((doc_id * 31 + 2 * (fm * ch + c)) % 256)
+      |               + 256 * ((doc_id * 31 + 2 * (fm * ch + c) + 1) % 256) AS u
+      |             FROM v))
+      |SELECT doc_id, CAST(win AS BIGINT) AS win_idx,
+      |       CAST(count(*) AS BIGINT) AS n_values,
+      |       CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+      |       CAST(max(abs(s)) AS INTEGER) AS peak_abs
+      |FROM sv GROUP BY doc_id, win""".stripMargin) { (spark, dir) =>
+    val odd = Tables.documents(spark, dir).filter(col("doc_id") % 2 === 1)
+    Multimodal.audioWindows(spark, Multimodal.avPayloads(spark, odd), 8, 4).toDF()
+  }
+
   /** Q66: unigram-LM perplexity proxy (CCNet-style quality band) — see
     * TextAnalysis.unigramLogProb for the broadcast-model shape.
     */
@@ -773,5 +803,5 @@ object MandateQueries {
 
   val all: Seq[QueryDef] = Seq(q18, q18b, q19, q20, q21, q22, q26, q27,
     q28, q28b, q29, q30, q31, q32, q33, q34, q58, q58b, q59, q61, q66, q67,
-    q70, q73, q77, q84, q89, q104, q106, q107)
+    q70, q73, q77, q84, q89, q104, q106, q107, q108)
 }
