@@ -91,7 +91,9 @@ object Multimodal {
     } finally iis.close()
   }
 
-  /** Per-partition REAL image decode — the de-stubbed [[decodeMeta]]. */
+  /** Per-partition REAL image decode (the image half of the media
+    * metadata scan; audio/video go through [[decodeAvMeta]]).
+    */
   def decodeImageMeta(spark: SparkSession, withPayload: DataFrame): Dataset[MediaMeta] = {
     import spark.implicits._
     withPayload.select(col("doc_id"), col("payload"))
@@ -120,15 +122,31 @@ object Multimodal {
     val dataSize = nSamples * blockAlign
     val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    bb.put("RIFF".getBytes(ASCII)).putInt(36 + dataSize).put("WAVE".getBytes(ASCII))
-    bb.put("fmt ".getBytes(ASCII)).putInt(16)
-      .putShort(1).putShort(channels.toShort)
-      .putInt(sampleRate).putInt(sampleRate * blockAlign)
-      .putShort(blockAlign.toShort).putShort(16)
-    bb.put("data".getBytes(ASCII)).putInt(dataSize)
+    putWavHeader(bb, channels, sampleRate, dataSize)
     var i = 0
     while (i < dataSize) { bb.put(((docId * 31 + i) & 0xff).toByte); i += 1 }
     bb.array()
+  }
+
+  /** The 24-byte ftyp box (isom / isomiso2). */
+  private def putFtyp(bb: java.nio.ByteBuffer): Unit = {
+    bb.putInt(24).put("ftyp".getBytes(ASCII))
+      .put("isom".getBytes(ASCII)).putInt(0x200).put("isomiso2".getBytes(ASCII))
+    ()
+  }
+
+  /** The 108-byte version-0 mvhd box, shared by both MP4 synthesizers. */
+  private def putMvhd(bb: java.nio.ByteBuffer, timescale: Int,
+      durationUnits: Int, nextTrackId: Int): Unit = {
+    bb.putInt(108).put("mvhd".getBytes(ASCII)).putInt(0) // version 0 + flags
+      .putInt(0).putInt(0)                               // creation, modification
+      .putInt(timescale).putInt(durationUnits)
+      .putInt(0x00010000).putShort(0x0100.toShort).putShort(0) // rate, volume, rsvd
+      .putLong(0L)                                             // reserved
+    Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000).foreach(bb.putInt) // matrix
+    (0 until 6).foreach(_ => bb.putInt(0))                     // pre_defined
+    bb.putInt(nextTrackId)
+    ()
   }
 
   /** Deterministic tiny REAL MP4 (ISO-BMFF) per doc: ftyp + moov
@@ -141,17 +159,9 @@ object Multimodal {
     val nTracks = (docId % 3 + 1).toInt
     val moovSize = 8 + 108 + nTracks * 8
     val bb = java.nio.ByteBuffer.allocate(24 + moovSize) // big-endian
-    bb.putInt(24).put("ftyp".getBytes(ASCII))
-      .put("isom".getBytes(ASCII)).putInt(0x200).put("isomiso2".getBytes(ASCII))
+    putFtyp(bb)
     bb.putInt(moovSize).put("moov".getBytes(ASCII))
-    bb.putInt(108).put("mvhd".getBytes(ASCII)).putInt(0) // version 0 + flags
-      .putInt(0).putInt(0)                               // creation, modification
-      .putInt(timescale).putInt(durationUnits)
-      .putInt(0x00010000).putShort(0x0100.toShort).putShort(0) // rate, volume, rsvd
-      .putLong(0L)                                             // reserved
-    Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000).foreach(bb.putInt) // matrix
-    (0 until 6).foreach(_ => bb.putInt(0))                     // pre_defined
-    bb.putInt(nTracks + 1)                                     // next_track_ID
+    putMvhd(bb, timescale, durationUnits, nTracks + 1)
     (0 until nTracks).foreach(_ => bb.putInt(8).put("trak".getBytes(ASCII)))
     bb.array()
   }
@@ -176,17 +186,9 @@ object Multimodal {
     val trak0Size = 8 + mdiaSize
     val moovSize = 8 + 108 + trak0Size + (nTracks - 1) * 8
     val bb = java.nio.ByteBuffer.allocate(24 + moovSize)
-    bb.putInt(24).put("ftyp".getBytes(ASCII))
-      .put("isom".getBytes(ASCII)).putInt(0x200).put("isomiso2".getBytes(ASCII))
+    putFtyp(bb)
     bb.putInt(moovSize).put("moov".getBytes(ASCII))
-    bb.putInt(108).put("mvhd".getBytes(ASCII)).putInt(0)
-      .putInt(0).putInt(0)
-      .putInt(timescale).putInt(durationUnits)
-      .putInt(0x00010000).putShort(0x0100.toShort).putShort(0)
-      .putLong(0L)
-    Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000).foreach(bb.putInt)
-    (0 until 6).foreach(_ => bb.putInt(0))
-    bb.putInt(nTracks + 1)
+    putMvhd(bb, timescale, durationUnits, nTracks + 1)
     bb.putInt(trak0Size).put("trak".getBytes(ASCII))
       .putInt(mdiaSize).put("mdia".getBytes(ASCII))
       .putInt(minfSize).put("minf".getBytes(ASCII))
@@ -216,14 +218,19 @@ object Multimodal {
     def bad = Mp4Samples(docId, -1L, -1L, -1, -1L)
     if (payload.length < 8 || fourcc(payload, 4) != "ftyp") return bad
     val bb = java.nio.ByteBuffer.wrap(payload)
-    // child boxes of [start, end): (type, boxStart, boxSize)
+    // child boxes of [start, end): (type, boxStart, boxSize); a size
+    // below 8 or past the range is corrupt — stop, don't loop or throw
     def boxes(start: Int, end: Int): Seq[(String, Int, Int)] = {
       val out = Seq.newBuilder[(String, Int, Int)]
       var off = start
-      while (off + 8 <= end) {
-        val size = math.max(bb.getInt(off), 8)
-        out += ((fourcc(payload, off + 4), off, size))
-        off += size
+      var ok = true
+      while (ok && off + 8 <= end) {
+        val size = bb.getInt(off)
+        if (size < 8 || size > end - off) ok = false
+        else {
+          out += ((fourcc(payload, off + 4), off, size))
+          off += size
+        }
       }
       out.result()
     }
@@ -268,7 +275,60 @@ object Multimodal {
   }
 
   private def fourcc(b: Array[Byte], off: Int): String =
-    if (off + 4 <= b.length) new String(b, off, 4, ASCII) else ""
+    if (off >= 0 && off + 4 <= b.length) new String(b, off, 4, ASCII) else ""
+
+  /** Parsed WAV layout (fmt + data chunk locations). */
+  private[ops] case class WavInfo(channels: Int, rate: Int, byteRate: Int,
+      dataOff: Int, dataLen: Int)
+
+  /** The ONE validated RIFF/WAVE chunk walk every WAV reader uses.
+    * Chunk sizes are validated before advancing — a negative size or
+    * one that runs past the payload stops the walk instead of looping
+    * forever or throwing (corrupt blobs must degrade, never kill a
+    * partition). Returns null unless fmt and a fully-contained data
+    * chunk were both found.
+    */
+  private[ops] def walkWav(payload: Array[Byte]): WavInfo = {
+    if (payload.length < 44 || fourcc(payload, 0) != "RIFF"
+        || fourcc(payload, 8) != "WAVE") return null
+    val bb = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var off = 12
+    var channels = -1; var rate = -1; var byteRate = -1
+    var dataOff = -1; var dataLen = -1
+    var ok = true
+    while (ok && off + 8 <= payload.length) {
+      val id = fourcc(payload, off)
+      val size = bb.getInt(off + 4)
+      if (size < 0 || size > payload.length - off - 8) ok = false
+      else {
+        if (id == "fmt " && size >= 16) {
+          channels = bb.getShort(off + 10).toInt
+          rate = bb.getInt(off + 12)
+          byteRate = bb.getInt(off + 16)
+        } else if (id == "data") { dataOff = off + 8; dataLen = size }
+        off += 8 + size + (size & 1) // RIFF pads chunks to even length
+      }
+    }
+    if (channels <= 0 || rate <= 0 || byteRate <= 0 || dataOff < 0 || dataLen < 0)
+      null
+    else WavInfo(channels, rate, byteRate, dataOff, dataLen)
+  }
+
+  /** The 44-byte canonical WAV header (PCM, 16-bit), shared by the
+    * synthesizer and the resampler.
+    */
+  private def putWavHeader(bb: java.nio.ByteBuffer, channels: Int, rate: Int,
+      dataSize: Int): Unit = {
+    val blockAlign = channels * 2
+    bb.put("RIFF".getBytes(ASCII)).putInt(36 + dataSize).put("WAVE".getBytes(ASCII))
+    bb.put("fmt ".getBytes(ASCII)).putInt(16)
+      .putShort(1).putShort(channels.toShort)
+      .putInt(rate).putInt(rate * blockAlign)
+      .putShort(blockAlign.toShort).putShort(16)
+    bb.put("data".getBytes(ASCII)).putInt(dataSize)
+    ()
+  }
 
   /** REAL audio/video container header parse — WAV (RIFF chunk walk:
     * fmt channels/rate/byte-rate, data size) and MP4 (ISO-BMFF box
@@ -282,50 +342,44 @@ object Multimodal {
     val n = payload.length.toLong
     def unknown = AvMeta(docId, n, "unknown", -1L, -1, -1)
     try {
-      if (payload.length >= 44 && fourcc(payload, 0) == "RIFF"
-          && fourcc(payload, 8) == "WAVE") {
-        val bb = java.nio.ByteBuffer.wrap(payload)
-          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        var off = 12
-        var channels = -1; var rate = -1; var byteRate = -1; var dataSize = -1L
-        while (off + 8 <= payload.length) {
-          val id = fourcc(payload, off)
-          val size = bb.getInt(off + 4)
-          if (id == "fmt " && size >= 16) {
-            channels = bb.getShort(off + 10).toInt
-            rate = bb.getInt(off + 12)
-            byteRate = bb.getInt(off + 16)
-          } else if (id == "data") dataSize = size.toLong
-          off += 8 + size + (size & 1) // RIFF pads chunks to even length
-        }
-        if (rate <= 0 || byteRate <= 0 || dataSize < 0) unknown
-        else AvMeta(docId, n, "wav", dataSize * 1000L / byteRate, rate, channels)
-      } else if (payload.length >= 8 && fourcc(payload, 4) == "ftyp") {
+      val wav = walkWav(payload)
+      if (wav != null)
+        AvMeta(docId, n, "wav", wav.dataLen * 1000L / wav.byteRate,
+          wav.rate, wav.channels)
+      else if (payload.length >= 8 && fourcc(payload, 4) == "ftyp") {
         val bb = java.nio.ByteBuffer.wrap(payload) // ISO-BMFF is big-endian
         var off = 0
         var durationMs = -1L; var tracks = 0; var sawMoov = false
-        while (off + 8 <= payload.length) {
+        var ok = true
+        while (ok && off + 8 <= payload.length) {
           val size = bb.getInt(off)
-          if (fourcc(payload, off + 4) == "moov") {
-            sawMoov = true
-            var c = off + 8
-            val end = off + size
-            while (c + 8 <= end) {
-              val csize = bb.getInt(c)
-              fourcc(payload, c + 4) match {
-                case "trak" => tracks += 1
-                case "mvhd" =>
-                  val version = payload(c + 8).toInt
-                  val (ts, du) =
-                    if (version == 1) (bb.getInt(c + 28), bb.getLong(c + 32))
-                    else (bb.getInt(c + 20), bb.getInt(c + 24).toLong)
-                  if (ts > 0) durationMs = du * 1000L / ts
-                case _ => ()
+          if (size < 8 || size > payload.length - off) ok = false
+          else {
+            if (fourcc(payload, off + 4) == "moov") {
+              sawMoov = true
+              var c = off + 8
+              val end = off + size
+              var cok = true
+              while (cok && c + 8 <= end) {
+                val csize = bb.getInt(c)
+                if (csize < 8 || csize > end - c) cok = false
+                else {
+                  fourcc(payload, c + 4) match {
+                    case "trak" => tracks += 1
+                    case "mvhd" =>
+                      val version = payload(c + 8).toInt
+                      val (ts, du) =
+                        if (version == 1) (bb.getInt(c + 28), bb.getLong(c + 32))
+                        else (bb.getInt(c + 20), bb.getInt(c + 24).toLong)
+                      if (ts > 0) durationMs = du * 1000L / ts
+                    case _ => ()
+                  }
+                  c += csize
+                }
               }
-              c += math.max(csize, 8)
             }
+            off += size
           }
-          off += math.max(size, 8)
         }
         if (!sawMoov) unknown
         else AvMeta(docId, n, "mp4", durationMs, -1, tracks)
@@ -347,18 +401,11 @@ object Multimodal {
     */
   def decodeWavPcm(docId: Long, payload: Array[Byte]): PcmStats = {
     def bad = PcmStats(docId, -1L, -1L, -1, -1L)
-    if (payload.length < 44 || fourcc(payload, 0) != "RIFF"
-        || fourcc(payload, 8) != "WAVE") return bad
+    val wav = walkWav(payload)
+    if (wav == null) return bad
     val bb = java.nio.ByteBuffer.wrap(payload)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    var off = 12
-    var dataOff = -1; var dataLen = -1
-    while (off + 8 <= payload.length) {
-      val size = bb.getInt(off + 4)
-      if (fourcc(payload, off) == "data") { dataOff = off + 8; dataLen = size }
-      off += 8 + size + (size & 1)
-    }
-    if (dataOff < 0 || dataOff + dataLen > payload.length) return bad
+    val dataOff = wav.dataOff; val dataLen = wav.dataLen
     var i = dataOff
     var n = 0L; var sumAbs = 0L; var peak = 0; var changes = 0L
     var prev = 0
@@ -383,24 +430,10 @@ object Multimodal {
     */
   def resampleWav(payload: Array[Byte], factor: Int): Array[Byte] = {
     require(factor >= 1, "factor must be >= 1")
-    if (payload.length < 44 || fourcc(payload, 0) != "RIFF"
-        || fourcc(payload, 8) != "WAVE") return null
-    val bb = java.nio.ByteBuffer.wrap(payload)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    var off = 12
-    var channels = -1; var rate = -1; var dataOff = -1; var dataLen = -1
-    while (off + 8 <= payload.length) {
-      val size = bb.getInt(off + 4)
-      if (fourcc(payload, off) == "fmt " && size >= 16) {
-        channels = bb.getShort(off + 10).toInt
-        rate = bb.getInt(off + 12)
-      } else if (fourcc(payload, off) == "data") {
-        dataOff = off + 8; dataLen = size
-      }
-      off += 8 + size + (size & 1)
-    }
-    if (channels <= 0 || rate <= 0 || dataOff < 0
-        || dataOff + dataLen > payload.length || rate % factor != 0) return null
+    val wav = walkWav(payload)
+    if (wav == null || wav.rate % factor != 0) return null
+    val channels = wav.channels; val rate = wav.rate
+    val dataOff = wav.dataOff; val dataLen = wav.dataLen
     val blockAlign = channels * 2
     val frames = dataLen / blockAlign
     val keptFrames = (frames + factor - 1) / factor
@@ -408,12 +441,7 @@ object Multimodal {
     val newData = keptFrames * blockAlign
     val out = java.nio.ByteBuffer.allocate(44 + newData)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    out.put("RIFF".getBytes(ASCII)).putInt(36 + newData).put("WAVE".getBytes(ASCII))
-    out.put("fmt ".getBytes(ASCII)).putInt(16)
-      .putShort(1).putShort(channels.toShort)
-      .putInt(newRate).putInt(newRate * blockAlign)
-      .putShort(blockAlign.toShort).putShort(16)
-    out.put("data".getBytes(ASCII)).putInt(newData)
+    putWavHeader(out, channels, newRate, newData)
     var f = 0
     while (f < frames) {
       if (f % factor == 0)
@@ -446,23 +474,13 @@ object Multimodal {
     */
   def decodeWavWindows(docId: Long, payload: Array[Byte],
       winFrames: Int, hopFrames: Int): Seq[AudioWindow] = {
-    if (payload.length < 44 || fourcc(payload, 0) != "RIFF"
-        || fourcc(payload, 8) != "WAVE") return Seq.empty
+    val wav = walkWav(payload)
+    if (wav == null) return Seq.empty
     val bb = java.nio.ByteBuffer.wrap(payload)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    var off = 12
-    var channels = -1; var dataOff = -1; var dataLen = -1
-    while (off + 8 <= payload.length) {
-      val size = bb.getInt(off + 4)
-      if (fourcc(payload, off) == "fmt " && size >= 16)
-        channels = bb.getShort(off + 10).toInt
-      else if (fourcc(payload, off) == "data") { dataOff = off + 8; dataLen = size }
-      off += 8 + size + (size & 1)
-    }
-    if (channels <= 0 || dataOff < 0 || dataOff + dataLen > payload.length)
-      return Seq.empty
-    val blockAlign = channels * 2
-    val frames = dataLen / blockAlign
+    val dataOff = wav.dataOff
+    val blockAlign = wav.channels * 2
+    val frames = wav.dataLen / blockAlign
     val out = Seq.newBuilder[AudioWindow]
     var win = 0
     var start = 0

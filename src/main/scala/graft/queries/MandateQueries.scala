@@ -564,14 +564,19 @@ object MandateQueries {
       |       CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
       |       CAST(max(abs(s)) AS INTEGER) AS peak_abs
       |FROM sv GROUP BY doc_id""".stripMargin) { (spark, dir) =>
-    val odd = Tables.documents(spark, dir).filter(col("doc_id") % 2 === 1)
-    val res = Multimodal.resampleWavPayloads(spark,
-      Multimodal.avPayloads(spark, odd), 2)
-    val meta = Multimodal.decodeAvMeta(spark, res).toDF()
-      .select(col("doc_id"), col("sample_rate"))
-    val pcm = Multimodal.decodeWavPcmStats(spark, res).toDF()
-      .select(col("doc_id"), col("n_samples"), col("sum_abs"), col("peak_abs"))
-    meta.join(pcm, "doc_id")
+    import spark.implicits._
+    // one mapPartitions pass: synthesize → decimate → header re-parse +
+    // PCM stats together (two separate frames would re-run the whole
+    // synthesis lineage per branch)
+    Tables.documents(spark, dir).filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val res = Multimodal.resampleWav(Multimodal.synthesizeWav(id), 2)
+        val meta = Multimodal.decodeAv(id, res)
+        val pcm = Multimodal.decodeWavPcm(id, res)
+        (id, meta.sample_rate, pcm.n_samples, pcm.sum_abs, pcm.peak_abs)
+      })
+      .toDF("doc_id", "sample_rate", "n_samples", "sum_abs", "peak_abs")
   }
 
   /** Q107: REAL MP4 sample-table scan — per-sample sizes (stsz) and

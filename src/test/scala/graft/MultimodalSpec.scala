@@ -147,6 +147,41 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeWavWindows(2L, Multimodal.synthesizeMp4(2L), 8, 4).isEmpty)
   }
 
+  test("corrupt container sizes degrade — no infinite loop, no exception, in every WAV/MP4 reader") {
+    // RIFF chunk with size -8: the old walk advanced by 0 forever
+    val negChunk = {
+      val bb = java.nio.ByteBuffer.allocate(48)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(40).put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(-8)
+      bb.array()
+    }
+    // RIFF chunk whose size overflows past the payload
+    val hugeChunk = {
+      val bb = java.nio.ByteBuffer.allocate(48)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(40).put("WAVE".getBytes("US-ASCII"))
+      bb.put("data".getBytes("US-ASCII")).putInt(0x7ffffff8)
+      bb.array()
+    }
+    // MP4 with a zero-size box (the old walk clamped to 8 and mis-walked)
+    val zeroBox = {
+      val bb = java.nio.ByteBuffer.allocate(40)
+      bb.putInt(24).put("ftypisom".getBytes("US-ASCII")).putInt(0x200)
+        .put("isomiso2".getBytes("US-ASCII"))
+      bb.putInt(0).put("moov".getBytes("US-ASCII"))
+      bb.array()
+    }
+    for (p <- Seq(negChunk, hugeChunk)) {
+      assert(Multimodal.decodeAv(1L, p).format == "unknown")
+      assert(Multimodal.decodeWavPcm(1L, p).n_samples == -1L)
+      assert(Multimodal.resampleWav(p, 2) == null)
+      assert(Multimodal.decodeWavWindows(1L, p, 8, 4).isEmpty)
+    }
+    assert(Multimodal.decodeAv(1L, zeroBox).format == "unknown")
+    assert(Multimodal.decodeMp4Samples(1L, zeroBox).n_samples == -1L)
+  }
+
   test("decodeAv handles mvhd version 1 (64-bit times) and degrades to unknown on junk") {
     // hand-built v1 mvhd: 8-byte creation/modification, u64 duration
     val ts = 48000; val dur = 96000L; // 2000 ms
