@@ -16,12 +16,15 @@ import java.nio.file.{Files, Paths}
   * running against the live feed and every view — or a later backfill —
   * consumes the log, never the raw feed.
   *
-  * Idempotence: the log directory is keyed by (table, source-content
-  * fingerprint), the file sink's `_spark_metadata` commit log makes the
-  * read exactly-once-consistent, and a marker file written only after
-  * `awaitTermination` gates completion — a writer that died mid-replay
-  * resumes from its checkpoint on the next call instead of duplicating
-  * batches.
+  * Layout: each micro-batch lands in its own `batch_id=<n>` partition
+  * directory (foreachBatch + overwrite ⇒ a replayed batch overwrites
+  * itself — exactly-once), so the log carries batch ORDER: keyed view
+  * folds take each key's latest batch (IncrementalJoin
+  * .materializeLatest), ±-algebra folds ignore the column. Idempotence:
+  * the log directory is keyed by (table, source-content fingerprint)
+  * and a marker file written only after `awaitTermination` gates
+  * completion — a writer that died mid-replay resumes from its
+  * checkpoint on the next call instead of duplicating batches.
   */
 object DeltaLog {
 
@@ -77,12 +80,15 @@ object DeltaLog {
     val fp = graft.sources.Staging.fingerprint(
       Seq(s"$dir/orders.parquet", s"$dir/customer.parquet"))
     val base = sys.props("java.io.tmpdir") +
-      s"/graft_viewdeltalog_v1_oc_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_$fp"
+      s"/graft_viewdeltalog_v2_oc_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_$fp"
     val dataDir = s"$base/data"
     val done = Paths.get(s"$base/_GRAFT_DONE")
     if (!Files.exists(done)) {
-      val oDir = ordersLogDir(spark, dir)
-      val cDir = customerLogDir(spark, dir)
+      // feed the join from per-key COLLAPSED table logs: a multi-batch
+      // log re-read as one stream batch would otherwise violate
+      // viewDeltaStream's one-delta-per-key-per-batch input contract
+      val oDir = collapsedForJoin(spark, ordersLogDir(spark, dir))
+      val cDir = collapsedForJoin(spark, customerLogDir(spark, dir))
       def streamOf(d: String) =
         spark.readStream.schema(spark.read.parquet(d).schema).parquet(d)
       Replay.runToParquet(spark,
@@ -95,16 +101,39 @@ object DeltaLog {
     spark.read.parquet(dataDir)
   }
 
+  /** Per-key collapse of a (possibly multi-batch) table delta log to
+    * each key's LATEST delta — what the join's input contract requires
+    * when a log's whole history arrives as one stream batch. The
+    * collapsed delta's −prev row routes to a group that holds nothing
+    * (the join starts empty), so it is a no-op there; the +new/absent
+    * word is the correct final state. Identity for single-batch logs.
+    */
+  private def collapsedForJoin(spark: SparkSession, dataDir: String): String = {
+    val out = dataDir + "_collapsed"
+    val done = Paths.get(s"$out/_GRAFT_DONE")
+    if (!Files.exists(done)) {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("key")
+        .orderBy(col("batch_id").cast("long").desc)
+      spark.read.parquet(dataDir)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .drop("rn", "batch_id")
+        .coalesce(4).write.mode("overwrite").parquet(out)
+      try Files.createFile(done)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    }
+    out
+  }
+
   private def logFor(spark: SparkSession, dir: String, table: String,
       rowSchema: StructType, keyExpr: Column): String = {
     val fp = graft.sources.Staging.fingerprint(
       Seq(s"$dir/orders.parquet", s"$dir/customer.parquet"))
-    // v1 = Delta(key, action, rowJson, prevJson) layout: the fingerprint
-    // tracks source CONTENT only, so a delta-schema change must bump the
-    // version or stale cached logs keep the old columns (ChangeFeed's v2
-    // lesson)
+    // v2 = Delta(key, action, rowJson, prevJson) + batch_id partition
+    // layout: the fingerprint tracks source CONTENT only, so a
+    // delta-schema change must bump the version or stale cached logs
+    // keep the old columns (ChangeFeed's v2 lesson)
     val base = sys.props("java.io.tmpdir") +
-      s"/graft_deltalog_v1_${table}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_$fp"
+      s"/graft_deltalog_v2_${table}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_$fp"
     val dataDir = s"$base/data"
     val done = Paths.get(s"$base/_GRAFT_DONE")
     if (!Files.exists(done)) {

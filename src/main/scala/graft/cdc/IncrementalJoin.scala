@@ -183,6 +183,23 @@ object IncrementalJoin {
           .cast("decimal(18,2)") / 100).cast("decimal(18,2)").as("total_dec"))
   }
 
+  /** Materialize the CURRENT view from a batch-partitioned view-delta
+    * log (cdc.DeltaLog's `batch_id=` layout): per fact id the LATEST
+    * batch wins, with upsert preferred over the same batch's key-move
+    * delete (applyBatch's deletes-before-upserts order, expressed
+    * relationally); ids whose last word is a delete drop out. Unlike a
+    * bare `filter(action = upsert)`, this is correct for logs spanning
+    * ANY number of micro-batches.
+    */
+  def materializeLatest(viewDeltaLog: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("factId"))
+      .orderBy(col("batch_id").cast("long").desc, col("action").desc)
+    viewDeltaLog
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("action") === "upsert")
+      .drop("rn")
+  }
+
   /** Fold one micro-batch of view deltas into a materialized view map —
     * deletes first, then upserts, so a key-move's (delete, upsert) pair
     * for the same fact id lands on the upsert. This is the contract any

@@ -319,8 +319,7 @@ object CdcQueries {
       |       c.c_custkey, c.c_name, c.c_mktsegment
       |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       |WHERE o.o_orderkey % 5 <> 0""".stripMargin) { (spark, dir) =>
-    enrichedViewDeltas(spark, dir)
-      .filter(col("action") === "upsert")
+    IncrementalJoin.materializeLatest(enrichedViewDeltas(spark, dir))
       .select(from_json(col("factJson"), ChangeFeed.ordersRowSchema).as("o"),
         from_json(col("dimJson"), ChangeFeed.customerRowSchema).as("c"))
       .select(col("o.o_orderkey"), col("o.o_orderstatus"),

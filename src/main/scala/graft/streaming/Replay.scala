@@ -133,13 +133,15 @@ object Replay {
       statePartitions: Int = 8): DataFrame =
     run(spark, streaming, statePartitions, "append", noDataBatches = true)
 
-  /** Run an append-mode streaming frame to completion into a parquet
-    * FILE sink (the delta-log shape: durable, exactly-once via the
-    * sink's `_spark_metadata` commit log, consumable as a batch relation
-    * by any number of downstream views — unlike the memory sink, nothing
-    * data-sized ever lands on the driver). A crashed writer resumes from
-    * `checkpoint` on the next call; completed batches are never
-    * re-appended.
+  /** Run an append-mode streaming frame to completion into a
+    * BATCH-PARTITIONED parquet log: each micro-batch lands in its own
+    * `batch_id=<n>` partition directory via foreachBatch + overwrite,
+    * so a replayed batch overwrites itself (exactly-once without the
+    * file-sink manifest) AND the log carries the batch ordering that
+    * multi-batch consumers need — a keyed view fold takes the LATEST
+    * batch per key; ±-algebra folds ignore the column (order-free).
+    * Nothing data-sized lands on the driver. A crashed writer resumes
+    * from `checkpoint`.
     */
   def runToParquet(spark: SparkSession, streaming: DataFrame, path: String,
       checkpoint: String, statePartitions: Int = 8): Unit = {
@@ -147,11 +149,13 @@ object Replay {
     spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
     try {
       val q = streaming.writeStream
-        .format("parquet")
-        .option("path", path)
-        .option("checkpointLocation", checkpoint)
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
+          ()
+        }
         .start()
       q.awaitTermination()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)

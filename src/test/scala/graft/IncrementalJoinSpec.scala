@@ -334,6 +334,29 @@ class IncrementalJoinSpec extends SparkSpec {
     }
   }
 
+  test("materializeLatest folds a MULTI-batch view-delta log correctly (last batch wins)") {
+    val log = Seq(
+      // batch 0: facts 1 and 2 enter the view
+      (1L, "upsert", f(1, 1, "a"), d(1, "A"), null, null, 0L),
+      (2L, "upsert", f(2, 1, "b"), d(1, "A"), null, null, 0L),
+      // batch 1: fact 1 re-enriched (stale row must lose); fact 2 key-moves
+      // (delete + upsert in ONE batch — the upsert must win); fact 3 enters
+      // then is deleted in batch 2 (the delete must erase it)
+      (1L, "upsert", f(1, 1, "a2"), d(1, "A2"), f(1, 1, "a"), d(1, "A"), 1L),
+      (2L, "delete", null, null, f(2, 1, "b"), d(1, "A"), 1L),
+      (2L, "upsert", f(2, 2, "b2"), d(2, "B"), null, null, 1L),
+      (3L, "upsert", f(3, 2, "c"), d(2, "B"), null, null, 1L),
+      (3L, "delete", null, null, f(3, 2, "c"), d(2, "B"), 2L))
+      .toDF("factId", "action", "factJson", "dimJson",
+        "prevFactJson", "prevDimJson", "batch_id")
+    val got = IncrementalJoin.materializeLatest(log)
+      .select($"factId", $"factJson", $"dimJson")
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, f(1, 1, "a2"), d(1, "A2")),
+      (2L, f(2, 2, "b2"), d(2, "B"))))
+  }
+
   test("the view-delta aggregate fold is ONE shuffle (map-side explode+parse, keyed agg)") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.types._
