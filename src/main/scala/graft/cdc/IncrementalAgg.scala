@@ -136,30 +136,25 @@ object IncrementalAgg {
     * materializes a full group (pinned in PlanSpec).
     */
   def topKByGroup(deltas: DataFrame, rowSchema: StructType,
-      groupCol: String, valueCol: String, idCol: String, k: Int): DataFrame = {
-    val live = signedRows(deltas, rowSchema)
-      .groupBy(col(s"r.$groupCol").as(groupCol), col(s"r.$idCol").as(idCol),
-        col(s"r.$valueCol").as(valueCol))
-      .agg(sum(col("sgn")).cast("long").as("refcnt"))
-      .filter(col("refcnt") > 0)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(groupCol)).orderBy(col(valueCol).desc, col(idCol))
-    live
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col(groupCol), col("rnk"), col(idCol), col(valueCol))
-  }
+      groupCol: String, valueCol: String, idCol: String, k: Int): DataFrame =
+    rankSupport(liveSupportStream(deltas, rowSchema, groupCol, valueCol, idCol),
+      groupCol, valueCol, idCol, k)
 
-  /** STREAMING live-support relation — the same (group, id, value)
-    * refcount table as [[topKByGroup]], but maintained as a streaming
-    * aggregation: state is the support table itself (sized by live
-    * rows), each micro-batch's ±rows update only the touched keys, and
-    * complete-mode output hands the current table to a foreachBatch
-    * server that ranks and rewrites the k-row leaderboard (rank over
-    * the support table, which is data-sized, is done per batch — the
-    * leaderboard itself is k·groups rows, trivially rewritable).
-    * Deleting a reigning maximum drops its refcount to 0 and the next
-    * batch's ranking surfaces the runner-up — no replay, no snapshot.
+  /** The (group, id, value) support-refcount relation — [[topKByGroup]]
+    * = this + [[rankSupport]]; over a STREAMING delta relation it is a
+    * streaming aggregation whose complete-mode output hands the current
+    * table to a foreachBatch server that ranks and rewrites the k-row
+    * leaderboard. Deleting a reigning maximum drops its refcount to 0
+    * and the next batch's ranking surfaces the runner-up — no replay,
+    * no snapshot.
+    *
+    * STATE HONESTY: in streaming use the aggregation state holds every
+    * (group, id, value) triple ever seen — refcnt-0 tombstones from
+    * re-prices/deletes are never evicted (streaming aggs have no TTL),
+    * so state is sized by DISTINCT HISTORICAL values, not live rows.
+    * Bounded operation needs periodic restart-from-compacted-log (the
+    * DeltaLog fold recomputes live support exactly) or a value-TTL
+    * upstream; the batch fold form has no such growth.
     */
   def liveSupportStream(deltas: DataFrame, rowSchema: StructType,
       groupCol: String, valueCol: String, idCol: String): DataFrame =
@@ -168,8 +163,10 @@ object IncrementalAgg {
         col(s"r.$valueCol").as(valueCol))
       .agg(sum(col("sgn")).cast("long").as("refcnt"))
 
-  /** Rank a support-table batch into the top-k leaderboard relation
-    * (the foreachBatch half of the streaming top-k serving pattern).
+  /** Rank a support-table relation into the top-k leaderboard (shared
+    * by the batch fold [[topKByGroup]] and the foreachBatch half of the
+    * streaming serving pattern). The (value desc, id) tie-break is
+    * load-bearing for the q102 oracle hash — one ordering, one place.
     */
   def rankSupport(support: DataFrame, groupCol: String, valueCol: String,
       idCol: String, k: Int): DataFrame = {

@@ -218,49 +218,62 @@ object Multimodal {
     def bad = Mp4Samples(docId, -1L, -1L, -1, -1L)
     if (payload.length < 8 || fourcc(payload, 4) != "ftyp") return bad
     val bb = java.nio.ByteBuffer.wrap(payload)
-    // child boxes of [start, end): (type, boxStart, boxSize); a size
-    // below 8 or past the range is corrupt — stop, don't loop or throw
-    def boxes(start: Int, end: Int): Seq[(String, Int, Int)] = {
-      val out = Seq.newBuilder[(String, Int, Int)]
-      var off = start
-      var ok = true
-      while (ok && off + 8 <= end) {
-        val size = bb.getInt(off)
-        if (size < 8 || size > end - off) ok = false
-        else {
-          out += ((fourcc(payload, off + 4), off, size))
-          off += size
-        }
-      }
-      out.result()
-    }
     try {
       var n = 0L; var sumB = 0L; var maxB = 0; var ticks = 0L; var found = false
-      for ((t, off, size) <- boxes(0, payload.length) if t == "moov";
-           (t2, o2, s2) <- boxes(off + 8, off + size) if t2 == "trak";
-           (t3, o3, s3) <- boxes(o2 + 8, o2 + s2) if t3 == "mdia";
-           (t4, o4, s4) <- boxes(o3 + 8, o3 + s3) if t4 == "minf";
-           (t5, o5, s5) <- boxes(o4 + 8, o4 + s4) if t5 == "stbl";
-           (t6, o6, _) <- boxes(o5 + 8, o5 + s5)) t6 match {
-        case "stsz" =>
-          found = true
+      var corrupt = false
+      for ((t, off, size) <- bmffBoxes(payload, bb, 0, payload.length) if t == "moov";
+           (t2, o2, s2) <- bmffBoxes(payload, bb, off + 8, off + size) if t2 == "trak";
+           (t3, o3, s3) <- bmffBoxes(payload, bb, o2 + 8, o2 + s2) if t3 == "mdia";
+           (t4, o4, s4) <- bmffBoxes(payload, bb, o3 + 8, o3 + s3) if t4 == "minf";
+           (t5, o5, s5) <- bmffBoxes(payload, bb, o4 + 8, o4 + s4) if t5 == "stbl";
+           (t6, o6, s6) <- bmffBoxes(payload, bb, o5 + 8, o5 + s5)) t6 match {
+        case "stsz" if s6 >= 20 =>
           val fixedSize = bb.getInt(o6 + 12)
           val count = bb.getInt(o6 + 16)
-          n += count
-          if (fixedSize != 0) { sumB += fixedSize.toLong * count; maxB = math.max(maxB, fixedSize) }
-          else (0 until count).foreach { j =>
-            val b = bb.getInt(o6 + 20 + j * 4)
-            sumB += b; maxB = math.max(maxB, b)
+          // entry table must FIT the declared box — a corrupt count must
+          // not fold neighboring boxes' bytes into the totals
+          if (count < 0 || (fixedSize == 0 && count.toLong * 4 > s6 - 20))
+            corrupt = true
+          else {
+            found = true
+            n += count
+            if (fixedSize != 0) {
+              sumB += fixedSize.toLong * count; maxB = math.max(maxB, fixedSize)
+            } else (0 until count).foreach { j =>
+              val b = bb.getInt(o6 + 20 + j * 4)
+              sumB += b; maxB = math.max(maxB, b)
+            }
           }
-        case "stts" =>
+        case "stts" if s6 >= 16 =>
           val entries = bb.getInt(o6 + 12)
-          (0 until entries).foreach { e =>
+          if (entries < 0 || entries.toLong * 8 > s6 - 16) corrupt = true
+          else (0 until entries).foreach { e =>
             ticks += bb.getInt(o6 + 16 + e * 8).toLong * bb.getInt(o6 + 20 + e * 8)
           }
         case _ => ()
       }
-      if (!found) bad else Mp4Samples(docId, n, sumB, maxB, ticks)
+      if (!found || corrupt) bad else Mp4Samples(docId, n, sumB, maxB, ticks)
     } catch { case _: IndexOutOfBoundsException => bad }
+  }
+
+  /** The ONE validated ISO-BMFF child-box walk: (type, boxStart,
+    * boxSize) for each box in [start, end). A size below 8 or past the
+    * range is corrupt — stop, don't loop or throw.
+    */
+  private def bmffBoxes(payload: Array[Byte], bb: java.nio.ByteBuffer,
+      start: Int, end: Int): Seq[(String, Int, Int)] = {
+    val out = Seq.newBuilder[(String, Int, Int)]
+    var off = start
+    var ok = true
+    while (ok && off + 8 <= end) {
+      val size = bb.getInt(off)
+      if (size < 8 || size > end - off) ok = false
+      else {
+        out += ((fourcc(payload, off + 4), off, size))
+        off += size
+      }
+    }
+    out.result()
   }
 
   /** (doc_id, payload) with REAL container bytes per document — odd ids
@@ -348,37 +361,19 @@ object Multimodal {
           wav.rate, wav.channels)
       else if (payload.length >= 8 && fourcc(payload, 4) == "ftyp") {
         val bb = java.nio.ByteBuffer.wrap(payload) // ISO-BMFF is big-endian
-        var off = 0
         var durationMs = -1L; var tracks = 0; var sawMoov = false
-        var ok = true
-        while (ok && off + 8 <= payload.length) {
-          val size = bb.getInt(off)
-          if (size < 8 || size > payload.length - off) ok = false
-          else {
-            if (fourcc(payload, off + 4) == "moov") {
-              sawMoov = true
-              var c = off + 8
-              val end = off + size
-              var cok = true
-              while (cok && c + 8 <= end) {
-                val csize = bb.getInt(c)
-                if (csize < 8 || csize > end - c) cok = false
-                else {
-                  fourcc(payload, c + 4) match {
-                    case "trak" => tracks += 1
-                    case "mvhd" =>
-                      val version = payload(c + 8).toInt
-                      val (ts, du) =
-                        if (version == 1) (bb.getInt(c + 28), bb.getLong(c + 32))
-                        else (bb.getInt(c + 20), bb.getInt(c + 24).toLong)
-                      if (ts > 0) durationMs = du * 1000L / ts
-                    case _ => ()
-                  }
-                  c += csize
-                }
-              }
-            }
-            off += size
+        for ((t, off, size) <- bmffBoxes(payload, bb, 0, payload.length)
+             if t == "moov") {
+          sawMoov = true
+          for ((t2, c, _) <- bmffBoxes(payload, bb, off + 8, off + size)) t2 match {
+            case "trak" => tracks += 1
+            case "mvhd" =>
+              val version = payload(c + 8).toInt
+              val (ts, du) =
+                if (version == 1) (bb.getInt(c + 28), bb.getLong(c + 32))
+                else (bb.getInt(c + 20), bb.getInt(c + 24).toLong)
+              if (ts > 0) durationMs = du * 1000L / ts
+            case _ => ()
           }
         }
         if (!sawMoov) unknown
@@ -451,13 +446,19 @@ object Multimodal {
     out.array()
   }
 
-  /** Per-partition decimation over (doc_id, payload) WAV blobs. */
+  /** Per-partition decimation over (doc_id, payload) WAV blobs.
+    * Non-WAV/corrupt inputs are DROPPED (resampleWav returns null for
+    * them) rather than emitted as null payloads that would NPE any
+    * downstream reader.
+    */
   def resampleWavPayloads(spark: SparkSession, withPayload: DataFrame,
       factor: Int): DataFrame = {
     import spark.implicits._
     withPayload.select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) => (id, resampleWav(bytes, factor)) })
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        Option(resampleWav(bytes, factor)).map((id, _))
+      })
       .toDF("doc_id", "payload")
   }
 
@@ -474,6 +475,8 @@ object Multimodal {
     */
   def decodeWavWindows(docId: Long, payload: Array[Byte],
       winFrames: Int, hopFrames: Int): Seq[AudioWindow] = {
+    require(winFrames >= 1 && hopFrames >= 1,
+      "winFrames and hopFrames must be >= 1")
     val wav = walkWav(payload)
     if (wav == null) return Seq.empty
     val bb = java.nio.ByteBuffer.wrap(payload)

@@ -76,23 +76,24 @@ class IncrementalAggSpec extends SparkSpec {
       spark.read.jdbc(url, "board", new java.util.Properties())
         .as[(String, Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
 
-    mem.addData(Delta(1, "upsert", row(1, "a", 10.0), null),
-      Delta(2, "upsert", row(2, "a", 8.0), null),
-      Delta(3, "upsert", row(3, "a", 6.0), null))
-    q.processAllAvailable()
-    assert(board() == Seq(("a", 1L, 1L, 10.0), ("a", 2L, 2L, 8.0)))
+    try {
+      mem.addData(Delta(1, "upsert", row(1, "a", 10.0), null),
+        Delta(2, "upsert", row(2, "a", 8.0), null),
+        Delta(3, "upsert", row(3, "a", 6.0), null))
+      q.processAllAvailable()
+      assert(board() == Seq(("a", 1L, 1L, 10.0), ("a", 2L, 2L, 8.0)))
 
-    // the reigning max is DELETED mid-stream: its refcount hits 0 in
-    // state and the next batch's board shows the runner-up at rank 1
-    mem.addData(Delta(1, "delete", null, row(1, "a", 10.0)))
-    q.processAllAvailable()
-    assert(board() == Seq(("a", 1L, 2L, 8.0), ("a", 2L, 3L, 6.0)))
+      // the reigning max is DELETED mid-stream: its refcount hits 0 in
+      // state and the next batch's board shows the runner-up at rank 1
+      mem.addData(Delta(1, "delete", null, row(1, "a", 10.0)))
+      q.processAllAvailable()
+      assert(board() == Seq(("a", 1L, 2L, 8.0), ("a", 2L, 3L, 6.0)))
 
-    // a re-price past the top re-ranks without replay
-    mem.addData(Delta(3, "upsert", row(3, "a", 9.5), row(3, "a", 6.0)))
-    q.processAllAvailable()
-    q.stop()
-    assert(board() == Seq(("a", 1L, 3L, 9.5), ("a", 2L, 2L, 8.0)))
+      // a re-price past the top re-ranks without replay
+      mem.addData(Delta(3, "upsert", row(3, "a", 9.5), row(3, "a", 6.0)))
+      q.processAllAvailable()
+      assert(board() == Seq(("a", 1L, 3L, 9.5), ("a", 2L, 2L, 8.0)))
+    } finally q.stop() // a failed assert must not leak the running query
   }
 
   test("rank<=k is planned as WindowGroupLimit (partition-local top-k before the shuffle)") {

@@ -288,7 +288,7 @@ class IncrementalJoinSpec extends SparkSpec {
       def factJsonOf(id: Long, cust: Long, v: Int) = f(id, cust, s"v$v")
       def dimJsonOf(cust: Long, n: Int) = d(cust, s"n$n")
 
-      for (batch <- 1 to 6) {
+      try for (batch <- 1 to 6) {
         // input contract: ONE collapsed delta per key per batch (what
         // StatefulLww emits) — so sample DISTINCT keys per batch
         val fIds = rnd.shuffle((1L to 15L).toList).take(6)
@@ -329,8 +329,7 @@ class IncrementalJoinSpec extends SparkSpec {
           dimState.get(cust).map(dj => id -> ((fj, dj)))
         }
         assert(view == expected, s"seed $seed batch $batch")
-      }
-      q.stop()
+      } finally q.stop() // a failed assert must not leak the running query
     }
   }
 
