@@ -101,6 +101,28 @@ object DeltaLog {
     spark.read.parquet(dataDir)
   }
 
+  /** Compact a batch-partitioned delta log into an EQUIVALENT one-batch
+    * log: each live key keeps one upsert delta (latest row, prev
+    * nulled — the history's ± contributions telescope away, which the
+    * LwwModelSpec replay contract guarantees), net-deleted keys vanish.
+    * Every consumer class sees identical results on the compacted log:
+    * ±-algebra folds (live-row contributions), keyed view folds
+    * (latest-per-key), and the per-key-collapsed join input. This is
+    * also the bounded-state RESTART point for streaming servers
+    * (IncrementalAgg.liveSupportStream): rebuilt from the compacted
+    * log, support state holds live rows only — no refcnt-0 tombstones.
+    */
+  def compact(spark: SparkSession, logDir: String, outDir: String): Unit = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("key")
+      .orderBy(col("batch_id").cast("long").desc)
+    spark.read.parquet(logDir)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .filter(col("action") === "upsert")
+      .select(col("key"), col("action"), col("rowJson"),
+        lit(null).cast("string").as("prevJson"))
+      .write.mode("overwrite").parquet(s"$outDir/batch_id=0")
+  }
+
   /** Per-key collapse of a (possibly multi-batch) table delta log to
     * each key's LATEST delta — what the join's input contract requires
     * when a log's whole history arrives as one stream batch. The
