@@ -352,6 +352,35 @@ object CdcQueries {
       .withColumnRenamed("n_rows", "n_orders")
   }
 
+  /** Q109: SCD type-2 history maintained INCREMENTALLY — q17e's exact
+    * result computed from version deltas (streaming.StatefulVersions:
+    * ordered per-key application emitting one "open" per version, one
+    * "close" per delete) instead of a window pass over the raw feed.
+    * The history-preserving IVM class LWW deltas cannot express
+    * (StatefulLww collapses intra-batch versions by design); same
+    * oracle as q17e proves the incremental path reproduces the batch
+    * timeline through dup deliveries and deletes.
+    */
+  val q109 = QueryDef.sql("q109_cdc_incr_scd2", q17e.oracle.get) { (spark, dir) =>
+    val feedDir = ChangeFeed.stagedJsonl(spark, dir)
+    val raw = spark.readStream.format("graft-cdc").option("path", feedDir).load()
+    val routed = Subscription(Set("shop"), Set("orders")).route(raw)
+      .drop("src_db", "src_table")
+    val filtered = EventFilters.all(
+      Envelope.parseTyped(routed, ChangeFeed.ordersRowSchema))
+    val keyed = filtered.select(
+      coalesce(col("after.o_orderkey"), col("before.o_orderkey")).as("key"),
+      col("ts_ms"), col("offset"), col("op"),
+      to_json(col("after")).as("after"))
+    val vdeltas = graft.streaming.Replay.runToResultAppend(spark,
+      graft.streaming.StatefulVersions.versionStream(keyed).toDF())
+    graft.streaming.StatefulVersions
+      .scd2FromDeltas(vdeltas, ChangeFeed.ordersRowSchema)
+      .select(col("_key").as("o_orderkey"), col("version"),
+        col("valid_from_ms"), col("valid_to_ms"),
+        col("after.o_totalprice").as("total"), col("is_current"))
+  }
+
   val all: Seq[QueryDef] = Seq(q17, q17b, q17c, q17d, q17e, q17f, q82, q88,
-    q93, q99, q101, q102, q105)
+    q93, q99, q101, q102, q105, q109)
 }

@@ -1,0 +1,73 @@
+package graft
+
+import graft.streaming.StatefulVersions
+import graft.streaming.StatefulVersions.{In, VersionDelta}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Multi-batch version-delta evolution: in-batch ordering, cross-batch
+  * version continuity, dup/late skips, delete-close, re-open after
+  * delete — and the SCD2 fold over the accumulated deltas.
+  */
+class StatefulVersionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("version deltas across batches: ordered opens, dup/late skips, close, re-open") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[In]
+    val name = "versions_out"
+    val q = StatefulVersions.versionStream(mem.toDF()
+        .withColumnRenamed("tsMs", "ts_ms")
+        .withColumnRenamed("rowJson", "after")).writeStream
+      .format("memory").queryName(name).outputMode("append")
+      .trigger(Trigger.ProcessingTime(0)).start()
+
+    def step(evs: In*): Seq[VersionDelta] = {
+      val before = spark.table(name).count()
+      mem.addData(evs: _*); q.processAllAvailable()
+      spark.table(name).as[(Long, Long, Int, String, String)].collect()
+        .drop(before.toInt).toSeq
+        .map(t => VersionDelta(t._1, t._2, t._3, t._4, t._5))
+    }
+
+    try {
+      // batch 1: out-of-order arrival WITHIN the batch is sorted; the
+      // same-ts dup collapses to the max-offset copy — two versions open
+      val b1 = step(
+        In(1, 20, 3, "u", """{"v":"b"}"""),
+        In(1, 10, 1, "r", """{"v":"a"}"""),
+        In(1, 20, 4, "u", """{"v":"b"}""")) // dup delivery, same ts
+      assert(b1 == Seq(
+        VersionDelta(1, 10, 1, "open", """{"v":"a"}"""),
+        VersionDelta(1, 20, 2, "open", """{"v":"b"}""")))
+
+      // batch 2: cross-batch dup (same ts) and LATE event both skip —
+      // emitted history is append-only
+      assert(step(In(1, 20, 5, "u", """{"v":"b"}"""),
+        In(1, 15, 6, "u", """{"v":"late"}""")).isEmpty)
+
+      // batch 3: delete closes the open version once; redelivery skips
+      val b3 = step(In(1, 30, 7, "d", null))
+      assert(b3 == Seq(VersionDelta(1, 30, 2, "close", null)))
+      assert(step(In(1, 30, 8, "d", null)).isEmpty)
+
+      // batch 4: re-insert after delete CONTINUES the version numbering
+      val b4 = step(In(1, 40, 9, "c", """{"v":"c"}"""))
+      assert(b4 == Seq(VersionDelta(1, 40, 3, "open", """{"v":"c"}""")))
+
+      // the SCD2 fold over the accumulated deltas equals the expected
+      // timeline: v1 [10,20), v2 [20,30) closed by delete, v3 [40,∞)
+      val schema = StructType(Seq(StructField("v", StringType)))
+      val hist = StatefulVersions.scd2FromDeltas(spark.table(name), schema)
+        .select($"_key", $"version", $"valid_from_ms", $"valid_to_ms",
+          $"after.v", $"is_current")
+        .as[(Long, Int, Long, Option[Long], String, Boolean)]
+        .collect().sortBy(_._2).toSeq
+      assert(hist == Seq(
+        (1L, 1, 10L, Some(20L), "a", false),
+        (1L, 2, 20L, Some(30L), "b", false),
+        (1L, 3, 40L, None, "c", true)))
+    } finally q.stop()
+  }
+}
