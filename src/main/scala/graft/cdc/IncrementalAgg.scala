@@ -178,6 +178,54 @@ object IncrementalAgg {
       .select(col(groupCol), col("rnk"), col(idCol), col(valueCol))
   }
 
+  /** A live support-table CHANGE. refcnt is the post-change count
+    * (0 on delete). */
+  case class SupportDelta(g: String, id: Long, v: Double, refcnt: Long,
+      action: String)
+
+  /** Bounded-state STREAMING support maintenance — the fix for
+    * [[liveSupportStream]]'s tombstone growth: flatMapGroupsWithState
+    * keyed by the (group, id, value) triple REMOVES state when a
+    * refcount returns to zero, so state holds exactly the LIVE triples.
+    * Emits upsert/delete support deltas; a foreachBatch server applies
+    * them key-addressed (idempotent) to a serving store and ranks there
+    * — the leaderboard becomes a query over the live support table
+    * instead of a per-batch complete-mode rewrite. Typed to
+    * (string, long, double) triples — the serving-store shape; the
+    * schema-generic complete-mode form remains for arbitrary columns.
+    */
+  def supportDeltaStream(deltas: DataFrame, rowSchema: StructType,
+      groupCol: String, valueCol: String, idCol: String)
+      : org.apache.spark.sql.Dataset[SupportDelta] = {
+    val spark = deltas.sparkSession
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val signed = signedRows(deltas, rowSchema).select(
+      col(s"r.$groupCol").cast("string").as("g"),
+      col(s"r.$idCol").cast("long").as("id"),
+      col(s"r.$valueCol").cast("double").as("v"),
+      col("sgn").cast("long").as("sgn")).as[(String, Long, Double, Long)]
+    signed.groupByKey(t => (t._1, t._2, t._3)).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (k: (String, Long, Double), it: Iterator[(String, Long, Double, Long)],
+          state: GroupState[Long]) =>
+        val net = it.map(_._4).sum
+        if (net == 0) Iterator.empty
+        else {
+          val cur = state.getOption.getOrElse(0L)
+          val next = cur + net
+          if (next > 0) {
+            state.update(next)
+            Iterator(SupportDelta(k._1, k._2, k._3, next, "upsert"))
+          } else {
+            if (state.exists) state.remove() // live rows only — no tombstones
+            if (cur > 0) Iterator(SupportDelta(k._1, k._2, k._3, 0L, "delete"))
+            else Iterator.empty
+          }
+        }
+    }
+  }
+
   /** The support table both non-invertible views share: Σ sign per
     * (group, value) over the deltas, restricted to live (positive)
     * pairs. Fine-keyed first shuffle, so heavy groups spread across

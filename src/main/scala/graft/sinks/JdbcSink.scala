@@ -137,6 +137,22 @@ object JdbcSink {
       stagingColumnTypes: String = null,
       deleteStagingColumnTypes: String = null): Unit = {
     import org.apache.spark.sql.functions.col
+    // persist: this method runs TWO actions (delete staging + upsert
+    // staging) over one frame — inside foreachBatch an uncached frame
+    // re-executes the whole micro-batch plan per action, including any
+    // stateful operator upstream (double compute; correct but wasteful,
+    // and it doubles the reported state metrics)
+    val cached = deltas.persist()
+    try applyViewDeltasCached(cached, url, table, keyCols, actionCol,
+      props, stagingColumnTypes, deleteStagingColumnTypes)
+    finally { cached.unpersist(); () }
+  }
+
+  private def applyViewDeltasCached(deltas: DataFrame, url: String,
+      table: String, keyCols: Seq[String], actionCol: String,
+      props: java.util.Properties, stagingColumnTypes: String,
+      deleteStagingColumnTypes: String): Unit = {
+    import org.apache.spark.sql.functions.col
     val upserts = deltas.filter(col(actionCol) === "upsert").drop(actionCol)
     val dels = deltas.filter(col(actionCol) === "delete")
       .select(keyCols.map(col): _*)

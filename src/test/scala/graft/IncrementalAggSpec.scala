@@ -96,6 +96,61 @@ class IncrementalAggSpec extends SparkSpec {
     } finally q.stop() // a failed assert must not leak the running query
   }
 
+  test("supportDeltaStream: state holds LIVE triples only (removed at refcnt 0), serving table converges") {
+    import graft.sinks.JdbcSink
+    import graft.streaming.StatefulLww.Delta
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val url = "jdbc:derby:memory:graftsupport;create=true"
+    val c0 = java.sql.DriverManager.getConnection(url)
+    c0.createStatement().execute(
+      """CREATE TABLE support ("g" VARCHAR(10) NOT NULL, "id" BIGINT NOT NULL,
+        | "v" DOUBLE NOT NULL, "refcnt" BIGINT,
+        | PRIMARY KEY ("g", "id", "v"))""".stripMargin.replace("\n", ""))
+    c0.close()
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[Delta]
+    val q = IncrementalAgg.supportDeltaStream(mem.toDF(), rowSchema, "g", "v", "id")
+      .writeStream.outputMode("append")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[IncrementalAgg.SupportDelta], _: Long) =>
+          JdbcSink.applyViewDeltas(
+            batch.toDF().select($"action", $"g", $"id", $"v", $"refcnt"),
+            url, "support", Seq("g", "id", "v"),
+            stagingColumnTypes = "g VARCHAR(10)",
+            deleteStagingColumnTypes = "g VARCHAR(10)")
+          ()
+      }.start()
+    def stateRows(): Long =
+      q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    def board(k: Int): Seq[(String, Long, Long, Double)] =
+      IncrementalAgg.rankSupport(
+          spark.read.jdbc(url, "support", new java.util.Properties()),
+        "g", "v", "id", k)
+        .as[(String, Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+
+    try {
+      mem.addData(Delta(1, "upsert", row(1, "a", 10.0), null),
+        Delta(2, "upsert", row(2, "a", 8.0), null),
+        Delta(3, "upsert", row(3, "a", 6.0), null))
+      q.processAllAvailable()
+      assert(board(2) == Seq(("a", 1L, 1L, 10.0), ("a", 2L, 2L, 8.0)))
+      assert(stateRows() == 3L)
+
+      // delete the max: its state row is REMOVED, not tombstoned
+      mem.addData(Delta(1, "delete", null, row(1, "a", 10.0)))
+      q.processAllAvailable()
+      assert(board(2) == Seq(("a", 1L, 2L, 8.0), ("a", 2L, 3L, 6.0)))
+      assert(stateRows() == 2L, "deleted triple must leave the state store")
+
+      // re-price: old value's triple removed, new one added — net flat
+      mem.addData(Delta(3, "upsert", row(3, "a", 9.5), row(3, "a", 6.0)))
+      q.processAllAvailable()
+      assert(board(2) == Seq(("a", 1L, 3L, 9.5), ("a", 2L, 2L, 8.0)))
+      assert(stateRows() == 2L,
+        "re-price must not grow state (the liveSupportStream tombstone bug)")
+    } finally q.stop()
+  }
+
   test("rank<=k is planned as WindowGroupLimit (partition-local top-k before the shuffle)") {
     val d = deltas((1L, "upsert", row(1, "a", 1.0), null))
     val p = IncrementalAgg.topKByGroup(d, rowSchema, "g", "v", "id", 10)
