@@ -644,7 +644,33 @@ object BatchQueries {
         pmod(col("event_id"), lit(256)).cast("int"), 8).as("z"))
   }
 
+  /** Q110: time-RANGE window frame — rolling 30-day revenue per
+    * customer, the value-based frame class q08's ROWS frame cannot
+    * express (a RANGE frame bounds by ORDER-BY VALUE and includes all
+    * peers of a tied date on both engines, so ties are
+    * order-independent by construction). Money through per-row integer
+    * cents summed as longs over the frame — exact on any engine. One
+    * shuffle+sort per customer partition; the frame is bounded by the
+    * 30-day value span, never the partition length.
+    */
+  val q110 = QueryDef.sql(
+    "q110_rolling_range_window",
+    """SELECT o_custkey, o_orderkey,
+      |       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) OVER (
+      |         PARTITION BY o_custkey ORDER BY o_orderdate
+      |         RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW
+      |       ) AS DOUBLE) / 100.0 AS rolling_total
+      |FROM orders""".stripMargin) { (spark, dir) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(unix_micros(col("o_orderdate")))
+      .rangeBetween(-30L * 86400 * 1000000, 0)
+    Tables.orders(spark, dir).select(col("o_custkey"), col("o_orderkey"),
+      (sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).over(w)
+        .cast("double") / 100.0).as("rolling_total"))
+  }
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q05b, q06, q07,
     q08, q09, q10, q11, q12, q12b, q13, q14, q15, q16, q38, q40, q46,
-    q50, q51, q52, q55, q75, q78, q79)
+    q50, q51, q52, q55, q75, q78, q79, q110)
 }
