@@ -670,7 +670,38 @@ object BatchQueries {
         .cast("double") / 100.0).as("rolling_total"))
   }
 
+  /** Q111: explicit GROUPING SETS — the general form q12/q12b's
+    * rollup/cube are shorthands of, with an asymmetric set list a
+    * rollup cannot express, plus per-column grouping() flags (emitted
+    * explicitly rather than as a packed grouping_id so the bit
+    * convention cannot diverge between engines). Catalyst plans one
+    * Expand + one aggregate — the same single-shuffle shape as cube.
+    */
+  val q111 = QueryDef.sql(
+    "q111_grouping_sets",
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(grouping(l_returnflag) AS INTEGER) AS g_rf,
+      |       CAST(grouping(l_linestatus) AS INTEGER) AS g_ls,
+      |       count(*) AS cnt,
+      |       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+      |         / 100.0 AS revenue
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+      |                        (l_returnflag), ())""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_gs")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(grouping(l_returnflag) AS INT) AS g_rf,
+        |       CAST(grouping(l_linestatus) AS INT) AS g_ls,
+        |       count(*) AS cnt,
+        |       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+        |         / 100.0 AS revenue
+        |FROM lineitem_gs
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |                        (l_returnflag), ())""".stripMargin)
+  }
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q05b, q06, q07,
     q08, q09, q10, q11, q12, q12b, q13, q14, q15, q16, q38, q40, q46,
-    q50, q51, q52, q55, q75, q78, q79, q110)
+    q50, q51, q52, q55, q75, q78, q79, q110, q111)
 }
