@@ -701,7 +701,53 @@ object BatchQueries {
         |                        (l_returnflag), ())""".stripMargin)
   }
 
+  /** Q112: UNPIVOT (melt) — q50's pivot in reverse: the per-line charge
+    * components turn from three columns into (component, amount) rows
+    * via the native Dataset `unpivot` (Spark's melt, one map-side
+    * Expand — no shuffle at all). Values pass through untouched, so the
+    * doubles hash-match the oracle's UNPIVOT bit-for-bit.
+    */
+  val q112 = QueryDef.sql(
+    "q112_unpivot",
+    """SELECT l_orderkey, l_linenumber, component, amount
+      |FROM (SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount, l_tax
+      |      FROM lineitem)
+      |UNPIVOT (amount FOR component IN (l_extendedprice, l_discount, l_tax))""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"), col("l_discount"), col("l_tax"))
+      .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_extendedprice"), col("l_discount"), col("l_tax")),
+        "component", "amount")
+  }
+
+  /** Q113: bag-semantics set operations — INTERSECT ALL / EXCEPT ALL
+    * keep multiplicities (min / truncated difference of duplicate
+    * counts), which the q11 DISTINCT forms erase. Both engines
+    * implement the same SQL-standard bag algebra; the per-user purchase
+    * and error event streams carry real duplicate user_ids, so the
+    * multiplicity arithmetic is exercised for real.
+    */
+  val q113 = QueryDef.sql(
+    "q113_setops_all",
+    """SELECT 'common_bag' AS tag, user_id FROM (
+      |  SELECT user_id FROM events WHERE event_type = 'purchase'
+      |  INTERSECT ALL
+      |  SELECT user_id FROM events WHERE event_type = 'error')
+      |UNION ALL
+      |SELECT 'excess_buys' AS tag, user_id FROM (
+      |  SELECT user_id FROM events WHERE event_type = 'purchase'
+      |  EXCEPT ALL
+      |  SELECT user_id FROM events WHERE event_type = 'error')""".stripMargin) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+    val buys = ev.filter(col("event_type") === "purchase").select(col("user_id"))
+    val errs = ev.filter(col("event_type") === "error").select(col("user_id"))
+    buys.intersectAll(errs).select(lit("common_bag").as("tag"), col("user_id"))
+      .unionByName(
+        buys.exceptAll(errs).select(lit("excess_buys").as("tag"), col("user_id")))
+  }
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q05b, q06, q07,
     q08, q09, q10, q11, q12, q12b, q13, q14, q15, q16, q38, q40, q46,
-    q50, q51, q52, q55, q75, q78, q79, q110, q111)
+    q50, q51, q52, q55, q75, q78, q79, q110, q111, q112, q113)
 }
