@@ -747,7 +747,31 @@ object BatchQueries {
         buys.exceptAll(errs).select(lit("excess_buys").as("tag"), col("user_id")))
   }
 
+  /** Q114: correlated SCALAR subquery — each customer's orders priced
+    * within 10% of that customer's own maximum. Catalyst DECORRELATES
+    * the inner aggregate into a grouped join (RewriteCorrelatedScalarSubquery)
+    * — the plan is an aggregate + equijoin, never a per-row re-execution
+    * — which is exactly what makes the construct usable at 100 TB. Both
+    * engines compute the same decorrelated algebra; the 10% band makes
+    * the double comparison a strict product test on both sides.
+    */
+  val q114 = QueryDef.sql(
+    "q114_correlated_subquery",
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders o
+      |WHERE o_totalprice >= 0.9 * (SELECT max(o2.o_totalprice)
+      |                             FROM orders o2
+      |                             WHERE o2.o_custkey = o.o_custkey)""".stripMargin) { (spark, dir) =>
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_corr")
+    spark.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders_corr o
+        |WHERE o_totalprice >= 0.9 * (SELECT max(o2.o_totalprice)
+        |                             FROM orders_corr o2
+        |                             WHERE o2.o_custkey = o.o_custkey)""".stripMargin)
+  }
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q05b, q06, q07,
     q08, q09, q10, q11, q12, q12b, q13, q14, q15, q16, q38, q40, q46,
-    q50, q51, q52, q55, q75, q78, q79, q110, q111, q112, q113)
+    q50, q51, q52, q55, q75, q78, q79, q110, q111, q112, q113, q114)
 }
