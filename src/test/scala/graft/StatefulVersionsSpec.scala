@@ -70,4 +70,65 @@ class StatefulVersionsSpec extends SparkSpec {
         (1L, 3, 40L, None, "c", true)))
     } finally q.stop()
   }
+
+  test("model-based: incremental SCD2 equals batch scd2Typed on random ts-ordered batch splits") {
+    import graft.cdc.{Envelope, Materialize}
+    import org.apache.spark.sql.functions._
+    // random per-key event sequences (inserts/updates/deletes, dup
+    // deliveries at the same ts) with strictly increasing ts per key,
+    // split into batches along the GLOBAL ts order (the append-only
+    // delivery the operator documents); arrival within a batch shuffles
+    val rnd = new scala.util.Random(17)
+    val evs = (for {
+      key <- 1L to 12L
+      n = rnd.nextInt(6) + 1
+      i <- 0 until n
+    } yield {
+      val ts = (i + 1) * 10L + rnd.nextInt(5)
+      val op = if (i > 0 && rnd.nextInt(5) == 0) "d"
+               else Seq("c", "u", "r")(rnd.nextInt(3))
+      (key, ts, op, s"""{"k":$key,"v":"k${key}_$i"}""")
+    }).zipWithIndex.map { case ((k, ts, op, js), off) => In(k, ts, off.toLong, op,
+      if (op == "d") null else js) }
+    // dup delivery of every 7th event (same ts, higher offset)
+    val withDups = evs ++ evs.filter(_.offset % 7 == 0)
+      .map(e => e.copy(offset = e.offset + 100000))
+
+    // batch SCD2 over the equivalent envelope relation = the model
+    val asEnvelope = withDups.map { e =>
+      val after = if (e.op == "d") "null" else e.rowJson
+      (s"""{"payload":{"before":{"k":${e.key},"v":"x"},"after":$after,""" +
+        s""""source":{"db":"d","table":"t","ts_ms":${e.tsMs}},"op":"${e.op}","ts_ms":${e.tsMs}}}""",
+        e.offset)
+    }.toDF("value", "offset")
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("v", StringType)))
+    val expected = Materialize.scd2Typed(
+        Envelope.parseTyped(asEnvelope, schema),
+        coalesce(col("after.k"), col("before.k")))
+      .select(col("_key"), col("version"), col("valid_from_ms"),
+        col("valid_to_ms"), col("after.v"), col("is_current"))
+      .as[(Long, Int, Long, Option[Long], String, Boolean)].collect().toSet
+
+    // stream the same events in ts-ordered batch splits, shuffled within
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[In]
+    val name = "versions_model_out"
+    val q = StatefulVersions.versionStream(mem.toDF()
+        .withColumnRenamed("tsMs", "ts_ms")
+        .withColumnRenamed("rowJson", "after")).writeStream
+      .format("memory").queryName(name).outputMode("append")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      val byTs = withDups.sortBy(_.tsMs)
+      byTs.grouped(math.max(1, byTs.size / 5 + 1)).foreach { b =>
+        mem.addData(rnd.shuffle(b): _*); q.processAllAvailable()
+      }
+      val got = StatefulVersions.scd2FromDeltas(spark.table(name), schema)
+        .select($"_key", $"version", $"valid_from_ms", $"valid_to_ms",
+          $"after.v", $"is_current")
+        .as[(Long, Int, Long, Option[Long], String, Boolean)].collect().toSet
+      assert(got == expected)
+    } finally q.stop()
+  }
 }
