@@ -53,20 +53,30 @@ object DeltaLog {
     logFor(spark, dir, "customer", ChangeFeed.customerRowSchema,
       coalesce(col("after.c_custkey"), col("before.c_custkey")))
 
-  /** The un-materialized streaming delta stream for one routed table —
-    * the building block the log writer runs, exposed for pipelines that
-    * consume deltas live (sinks, tests).
+  /** The shared CDC front half every incremental consumer runs: DSv2
+    * stream → subscription routing → R5–R9 filters → the keyed-event
+    * shape (key, ts_ms, offset, op, after-JSON) that StatefulLww and
+    * StatefulVersions both consume. ONE definition — q17f, q109 and the
+    * log writer must process the identical event set.
     */
-  def deltaStream(spark: SparkSession, feedDir: String, table: String,
+  def keyedEvents(spark: SparkSession, feedDir: String, table: String,
       rowSchema: StructType, keyExpr: Column): DataFrame = {
     val raw = spark.readStream.format("graft-cdc").option("path", feedDir).load()
     val routed = Subscription(Set("shop"), Set(table)).route(raw)
       .drop("src_db", "src_table")
     val filtered = EventFilters.all(Envelope.parseTyped(routed, rowSchema))
-    val keyed = filtered.select(keyExpr.as("key"),
+    filtered.select(keyExpr.as("key"),
       col("ts_ms"), col("offset"), col("op"), to_json(col("after")).as("after"))
-    StatefulLww.deltaStream(keyed).toDF()
   }
+
+  /** The un-materialized streaming delta stream for one routed table —
+    * the building block the log writer runs, exposed for pipelines that
+    * consume deltas live (sinks, tests).
+    */
+  def deltaStream(spark: SparkSession, feedDir: String, table: String,
+      rowSchema: StructType, keyExpr: Column): DataFrame =
+    StatefulLww.deltaStream(
+      keyedEvents(spark, feedDir, table, rowSchema, keyExpr)).toDF()
 
   /** Materialized enriched-VIEW delta log — the same one-replay-many-
     * consumers argument, one level up: the orders⋈customer symmetric
@@ -112,15 +122,21 @@ object DeltaLog {
     * (IncrementalAgg.liveSupportStream): rebuilt from the compacted
     * log, support state holds live rows only — no refcnt-0 tombstones.
     */
-  def compact(spark: SparkSession, logDir: String, outDir: String): Unit = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("key")
-      .orderBy(col("batch_id").cast("long").desc)
-    spark.read.parquet(logDir)
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+  def compact(spark: SparkSession, logDir: String, outDir: String): Unit =
+    latestPerKey(spark.read.parquet(logDir))
       .filter(col("action") === "upsert")
       .select(col("key"), col("action"), col("rowJson"),
         lit(null).cast("string").as("prevJson"))
       .write.mode("overwrite").parquet(s"$outDir/batch_id=0")
+
+  /** The ONE latest-delta-per-key collapse both [[compact]] and the
+    * join input share: last batch wins (one delta per key per batch is
+    * the log invariant, so no intra-batch tiebreak exists).
+    */
+  private def latestPerKey(log: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("key")
+      .orderBy(col("batch_id").cast("long").desc)
+    log.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
   }
 
   /** Per-key collapse of a (possibly multi-batch) table delta log to
@@ -134,10 +150,7 @@ object DeltaLog {
     val out = dataDir + "_collapsed"
     val done = Paths.get(s"$out/_GRAFT_DONE")
     if (!Files.exists(done)) {
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("key")
-        .orderBy(col("batch_id").cast("long").desc)
-      spark.read.parquet(dataDir)
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      latestPerKey(spark.read.parquet(dataDir))
         .drop("rn", "batch_id")
         .coalesce(4).write.mode("overwrite").parquet(out)
       try Files.createFile(done)

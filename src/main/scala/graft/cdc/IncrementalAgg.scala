@@ -214,14 +214,18 @@ object IncrementalAgg {
         else {
           val cur = state.getOption.getOrElse(0L)
           val next = cur + net
-          if (next > 0) {
-            state.update(next)
+          // state holds every NONZERO count: positive = live, negative =
+          // a pending retraction whose matching +row has not arrived yet
+          // (out-of-order replay) — dropping it would leave a ghost row
+          // when the +row lands. Exactly-zero counts are removed, so
+          // state stays bounded by live + pending triples.
+          if (next == 0L) { if (state.exists) state.remove() }
+          else state.update(next)
+          if (next > 0)
             Iterator(SupportDelta(k._1, k._2, k._3, next, "upsert"))
-          } else {
-            if (state.exists) state.remove() // live rows only — no tombstones
-            if (cur > 0) Iterator(SupportDelta(k._1, k._2, k._3, 0L, "delete"))
-            else Iterator.empty
-          }
+          else if (cur > 0)
+            Iterator(SupportDelta(k._1, k._2, k._3, 0L, "delete"))
+          else Iterator.empty // stayed non-live (incl. pending negatives)
         }
     }
   }

@@ -661,6 +661,9 @@ object BatchQueries {
       |         RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW
       |       ) AS DOUBLE) / 100.0 AS rolling_total
       |FROM orders""".stripMargin) { (spark, dir) =>
+    // unix_micros over the TIMESTAMP order date is tz-free only under
+    // the library's documented UTC-session contract (Tables.load) — a
+    // foreign non-UTC session would shift the frame across DST edges
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("o_custkey"))
       .orderBy(unix_micros(col("o_orderdate")))

@@ -148,16 +148,9 @@ object CdcQueries {
       |       CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1
       |            ELSE o_totalprice END AS total
       |FROM orders WHERE o_orderkey % 5 <> 0""".stripMargin) { (spark, dir) =>
-    val feedDir = ChangeFeed.stagedJsonl(spark, dir)
-    val raw = spark.readStream.format("graft-cdc").option("path", feedDir).load()
-    val routed = Subscription(Set("shop"), Set("orders")).route(raw)
-      .drop("src_db", "src_table")
-    val filtered = EventFilters.all(
-      Envelope.parseTyped(routed, ChangeFeed.ordersRowSchema))
-    val keyed = filtered.select(
-      coalesce(col("after.o_orderkey"), col("before.o_orderkey")).as("key"),
-      col("ts_ms"), col("offset"), col("op"),
-      to_json(col("after")).as("after"))
+    val keyed = DeltaLog.keyedEvents(spark, ChangeFeed.stagedJsonl(spark, dir),
+      "orders", ChangeFeed.ordersRowSchema,
+      coalesce(col("after.o_orderkey"), col("before.o_orderkey")))
     val deltas = graft.streaming.StatefulLww.deltaStream(keyed).toDF()
     graft.streaming.Replay.runToResultAppend(spark, deltas)
       .filter(col("action") === "upsert")
@@ -362,16 +355,9 @@ object CdcQueries {
     * timeline through dup deliveries and deletes.
     */
   val q109 = QueryDef.sql("q109_cdc_incr_scd2", q17e.oracle.get) { (spark, dir) =>
-    val feedDir = ChangeFeed.stagedJsonl(spark, dir)
-    val raw = spark.readStream.format("graft-cdc").option("path", feedDir).load()
-    val routed = Subscription(Set("shop"), Set("orders")).route(raw)
-      .drop("src_db", "src_table")
-    val filtered = EventFilters.all(
-      Envelope.parseTyped(routed, ChangeFeed.ordersRowSchema))
-    val keyed = filtered.select(
-      coalesce(col("after.o_orderkey"), col("before.o_orderkey")).as("key"),
-      col("ts_ms"), col("offset"), col("op"),
-      to_json(col("after")).as("after"))
+    val keyed = DeltaLog.keyedEvents(spark, ChangeFeed.stagedJsonl(spark, dir),
+      "orders", ChangeFeed.ordersRowSchema,
+      coalesce(col("after.o_orderkey"), col("before.o_orderkey")))
     val vdeltas = graft.streaming.Replay.runToResultAppend(spark,
       graft.streaming.StatefulVersions.versionStream(keyed).toDF())
     graft.streaming.StatefulVersions

@@ -62,7 +62,8 @@ object StatefulVersions {
         val evs = it.toVector.groupBy(_.tsMs)
           .map { case (_, g) => g.maxBy(_.offset) }
           .toVector.sortBy(e => (e.tsMs, e.offset))
-        var st = state.getOption.getOrElse(VState(Long.MinValue, 0, true))
+        val loaded = state.getOption.getOrElse(VState(Long.MinValue, 0, true))
+        var st = loaded
         val out = Vector.newBuilder[VersionDelta]
         evs.foreach { e =>
           // append-only history: same-ts redelivery and late events skip
@@ -79,7 +80,11 @@ object StatefulVersions {
           }
         }
         val deltas = out.result()
-        if (deltas.nonEmpty || state.exists) state.update(st)
+        // persist whenever an event was ACCEPTED (st moved) — a
+        // delete-only first batch emits nothing but must still advance
+        // the high-water mark, or a later out-of-order event would be
+        // admitted against the append-only contract
+        if (st != loaded) state.update(st)
         deltas.iterator
     }
   }

@@ -151,6 +151,37 @@ class IncrementalAggSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("supportDeltaStream remembers a pending retraction (delete arriving before its upsert)") {
+    import graft.streaming.StatefulLww.Delta
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[Delta]
+    val name = "support_pending_out"
+    val q = IncrementalAgg.supportDeltaStream(mem.toDF(), rowSchema, "g", "v", "id")
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // the retraction lands FIRST (out-of-order replay): nothing
+      // emitted, but the -1 must be remembered, not dropped
+      mem.addData(Delta(1, "delete", null, row(1, "a", 5.0)))
+      q.processAllAvailable()
+      assert(spark.table(name).count() == 0)
+      // the matching +row arrives: counts cancel — the triple must NOT
+      // surface as live (the ghost-row bug)
+      mem.addData(Delta(1, "upsert", row(1, "a", 5.0), null))
+      q.processAllAvailable()
+      assert(spark.table(name).count() == 0,
+        "a cancelled pending retraction must not emit a live upsert")
+      // state is empty again: a fresh insert emits normally
+      mem.addData(Delta(2, "upsert", row(2, "a", 7.0), null))
+      q.processAllAvailable()
+      val rows = spark.table(name)
+        .as[(String, Long, Double, Long, String)].collect().toSeq
+      assert(rows == Seq(("a", 2L, 7.0, 1L, "upsert")))
+    } finally q.stop()
+  }
+
   test("rank<=k is planned as WindowGroupLimit (partition-local top-k before the shuffle)") {
     val d = deltas((1L, "upsert", row(1, "a", 1.0), null))
     val p = IncrementalAgg.topKByGroup(d, rowSchema, "g", "v", "id", 10)

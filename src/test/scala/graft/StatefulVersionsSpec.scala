@@ -71,6 +71,31 @@ class StatefulVersionsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a delete-only FIRST batch still advances the high-water mark (late events stay out)") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[In]
+    val name = "versions_hwm_out"
+    val q = StatefulVersions.versionStream(mem.toDF()
+        .withColumnRenamed("tsMs", "ts_ms")
+        .withColumnRenamed("rowJson", "after")).writeStream
+      .format("memory").queryName(name).outputMode("append")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // batch 1: a never-seen key's first event is a delete — emits
+      // nothing, but the ts=50 high-water mark MUST persist
+      mem.addData(In(7, 50, 1, "d", null)); q.processAllAvailable()
+      assert(spark.table(name).count() == 0)
+      // batch 2: a LATE insert (ts=40 < 50) must be skipped, not open v1
+      mem.addData(In(7, 40, 2, "c", """{"v":"late"}""")); q.processAllAvailable()
+      assert(spark.table(name).count() == 0,
+        "late event admitted — the delete-only batch lost the high-water mark")
+      // a genuinely newer insert still opens the next version
+      mem.addData(In(7, 60, 3, "c", """{"v":"ok"}""")); q.processAllAvailable()
+      assert(spark.table(name).as[(Long, Long, Int, String, String)].collect()
+        .toSeq == Seq((7L, 60L, 1, "open", """{"v":"ok"}""")))
+    } finally q.stop()
+  }
+
   test("model-based: incremental SCD2 equals batch scd2Typed on random ts-ordered batch splits") {
     import graft.cdc.{Envelope, Materialize}
     import org.apache.spark.sql.functions._
