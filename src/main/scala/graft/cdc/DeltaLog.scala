@@ -28,6 +28,43 @@ import java.nio.file.{Files, Paths}
   */
 object DeltaLog {
 
+  /** Intra-process build locks, one per log base dir — FileLock alone
+    * cannot exclude two THREADS of one JVM (OverlappingFileLockException
+    * instead of blocking), so same-process builders serialize here first.
+    */
+  private val localLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Run `build` exactly once per `base` across threads AND processes:
+    * double-checked `_GRAFT_DONE` marker under an intra-process monitor
+    * plus an exclusive FileLock on `base/.lock`. A builder that died
+    * mid-build left no marker but did leave its streaming checkpoint, so
+    * the next lock holder RESUMES the build (idempotent by construction)
+    * rather than starting a duplicate concurrent one — the failure mode
+    * this lock exists to prevent (two streaming queries sharing one
+    * checkpoint dir corrupt it).
+    */
+  private[cdc] def buildOnce(base: String)(build: () => Unit): Unit = {
+    val done = Paths.get(s"$base/_GRAFT_DONE")
+    if (Files.exists(done)) return
+    val monitor = localLocks.computeIfAbsent(base, _ => new Object)
+    monitor.synchronized {
+      if (Files.exists(done)) return
+      Files.createDirectories(Paths.get(base))
+      val ch = java.nio.channels.FileChannel.open(Paths.get(s"$base/.lock"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val lock = ch.lock() // blocks until the other process finishes
+        try if (!Files.exists(done)) { // re-check: the other process built it
+          build()
+          try Files.createFile(done)
+          catch { case _: java.nio.file.FileAlreadyExistsException => () }
+        } finally lock.release()
+      } finally ch.close()
+    }
+  }
+
   /** LWW delta relation of the `orders` feed (consumed by q88/q93/q99
     * and the join view's fact side). Columns: key, action, rowJson,
     * prevJson ([[graft.streaming.StatefulLww.Delta]]).
@@ -92,8 +129,7 @@ object DeltaLog {
     val base = sys.props("java.io.tmpdir") +
       s"/graft_viewdeltalog_v2_oc_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_$fp"
     val dataDir = s"$base/data"
-    val done = Paths.get(s"$base/_GRAFT_DONE")
-    if (!Files.exists(done)) {
+    buildOnce(base) { () =>
       // feed the join from per-key COLLAPSED table logs: a multi-batch
       // log re-read as one stream batch would otherwise violate
       // viewDeltaStream's one-delta-per-key-per-batch input contract
@@ -105,8 +141,6 @@ object DeltaLog {
         IncrementalJoin.viewDeltaStream(
           streamOf(oDir), streamOf(cDir), "o_custkey", "c_custkey").toDF(),
         dataDir, s"$base/ckpt")
-      try Files.createFile(done)
-      catch { case _: java.nio.file.FileAlreadyExistsException => () }
     }
     spark.read.parquet(dataDir)
   }
@@ -122,12 +156,20 @@ object DeltaLog {
     * (IncrementalAgg.liveSupportStream): rebuilt from the compacted
     * log, support state holds live rows only — no refcnt-0 tombstones.
     */
-  def compact(spark: SparkSession, logDir: String, outDir: String): Unit =
+  def compact(spark: SparkSession, logDir: String, outDir: String): Unit = {
+    // clear the WHOLE target first: overwrite below is scoped to the
+    // batch_id=0 subdirectory, so re-compacting into a dir that already
+    // holds a multi-batch log would leave stale batch_id>0 partitions
+    // alongside the compacted one and readers would fold a mix
+    val out = new org.apache.hadoop.fs.Path(outDir)
+    val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(out)) fs.delete(out, true)
     latestPerKey(spark.read.parquet(logDir))
       .filter(col("action") === "upsert")
       .select(col("key"), col("action"), col("rowJson"),
         lit(null).cast("string").as("prevJson"))
       .write.mode("overwrite").parquet(s"$outDir/batch_id=0")
+  }
 
   /** The ONE latest-delta-per-key collapse both [[compact]] and the
     * join input share: last batch wins (one delta per key per batch is
@@ -147,14 +189,15 @@ object DeltaLog {
     * word is the correct final state. Identity for single-batch logs.
     */
   private def collapsedForJoin(spark: SparkSession, dataDir: String): String = {
-    val out = dataDir + "_collapsed"
-    val done = Paths.get(s"$out/_GRAFT_DONE")
-    if (!Files.exists(done)) {
+    // data in a SUBDIR of the lock base: the parquet overwrite must not
+    // delete the .lock/_GRAFT_DONE files buildOnce manages (v3 bumps the
+    // layout so pre-subdir caches are not half-matched)
+    val base = dataDir + "_collapsed_v3"
+    val out = s"$base/data"
+    buildOnce(base) { () =>
       latestPerKey(spark.read.parquet(dataDir))
         .drop("rn", "batch_id")
         .coalesce(4).write.mode("overwrite").parquet(out)
-      try Files.createFile(done)
-      catch { case _: java.nio.file.FileAlreadyExistsException => () }
     }
     out
   }
@@ -170,14 +213,11 @@ object DeltaLog {
     val base = sys.props("java.io.tmpdir") +
       s"/graft_deltalog_v2_${table}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_$fp"
     val dataDir = s"$base/data"
-    val done = Paths.get(s"$base/_GRAFT_DONE")
-    if (!Files.exists(done)) {
+    buildOnce(base) { () =>
       val feedDir = ChangeFeed.stagedJsonl(spark, dir)
       Replay.runToParquet(spark,
         deltaStream(spark, feedDir, table, rowSchema, keyExpr),
         dataDir, s"$base/ckpt")
-      try Files.createFile(done)
-      catch { case _: java.nio.file.FileAlreadyExistsException => () }
     }
     dataDir
   }

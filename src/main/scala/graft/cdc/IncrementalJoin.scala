@@ -192,8 +192,12 @@ object IncrementalJoin {
     * ANY number of micro-batches.
     */
   def materializeLatest(viewDeltaLog: DataFrame): DataFrame = {
+    // explicit priority, not lexicographic order on the action string —
+    // "upsert" > "delete" happens to sort right today, but any future
+    // action name would silently reorder the same-batch key-move pair
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("factId"))
-      .orderBy(col("batch_id").cast("long").desc, col("action").desc)
+      .orderBy(col("batch_id").cast("long").desc,
+        when(col("action") === "upsert", 1).otherwise(0).desc)
     viewDeltaLog
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1 && col("action") === "upsert")

@@ -46,8 +46,11 @@ object JdbcSink {
     val on = keyCols.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
     val ins = cols.map(q).mkString(", ")
     val vals = cols.map(c => s"s.${q(c)}").mkString(", ")
-    s"""MERGE INTO $table t USING $staging s ON ($on)
-       |WHEN MATCHED THEN UPDATE SET $sets
+    // key-only frame ⇒ no value columns ⇒ an UPDATE SET arm would be
+    // syntactically empty; matched rows need no update, so omit the arm
+    val matched =
+      if (sets.isEmpty) "" else s"\nWHEN MATCHED THEN UPDATE SET $sets"
+    s"""MERGE INTO $table t USING $staging s ON ($on)$matched
        |WHEN NOT MATCHED THEN INSERT ($ins) VALUES ($vals)""".stripMargin
   }
 
@@ -85,6 +88,9 @@ object JdbcSink {
       keyCols: Seq[String], addCols: Seq[String], zeroGuard: String,
       props: java.util.Properties = new java.util.Properties(),
       stagingColumnTypes: String = null, batchId: Long = -1L): Unit = {
+    require(addCols.nonEmpty,
+      "mergeAdditive needs at least one additive column — for key-only " +
+        "upserts use upsertViaStaging/applyViewDeltas")
     val staging = s"${table}_stage"
     val sets = addCols.map(c => s"t.${q(c)} = t.${q(c)} + s.${q(c)}").mkString(", ")
     val merge = stageAndMerge(df, url, table, keyCols, keyCols ++ addCols,
