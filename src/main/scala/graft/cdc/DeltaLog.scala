@@ -145,6 +145,32 @@ object DeltaLog {
     spark.read.parquet(dataDir)
   }
 
+  /** Materialized LEFT-OUTER enriched-view delta log: orders facts vs a
+    * RESTRICTED customer dimension (even custkeys only) so the outer
+    * semantics are actually observable — odd-custkey orders live in the
+    * view null-enriched, exactly the fact-before-dim serving state a
+    * real denormalization passes through. One replay, q115 folds it.
+    */
+  def ordersCustomerLeftViewDeltas(spark: SparkSession, dir: String): DataFrame = {
+    val fp = graft.sources.Staging.fingerprint(
+      Seq(s"$dir/orders.parquet", s"$dir/customer.parquet"))
+    val base = sys.props("java.io.tmpdir") +
+      s"/graft_viewdeltalog_v2_ocleft_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_$fp"
+    val dataDir = s"$base/data"
+    buildOnce(base) { () =>
+      val oDir = collapsedForJoin(spark, ordersLogDir(spark, dir))
+      val cDir = collapsedForJoin(spark, customerLogDir(spark, dir))
+      def streamOf(d: String) =
+        spark.readStream.schema(spark.read.parquet(d).schema).parquet(d)
+      Replay.runToParquet(spark,
+        IncrementalJoin.viewDeltaStream(
+          streamOf(oDir), streamOf(cDir).filter(col("key") % 2 === 0),
+          "o_custkey", "c_custkey", leftOuter = true).toDF(),
+        dataDir, s"$base/ckpt")
+    }
+    spark.read.parquet(dataDir)
+  }
+
   /** Compact a batch-partitioned delta log into an EQUIVALENT one-batch
     * log: each live key keeps one upsert delta (latest row, prev
     * nulled — the history's ± contributions telescope away, which the

@@ -79,6 +79,14 @@ object IncrementalJoin {
     * streaming or batch; `factJoinField` / `dimJoinField` name the join
     * key inside each side's row payload.
     *
+    * `leftOuter = true` switches to the serving semantics a real CDC
+    * denormalization needs (the reference's ES upsert keyed by fact id,
+    * `ElasticsearchUtils.java:137-151`): a fact with NO live dim row is
+    * still in the view, enriched with null dim fields; a late-arriving
+    * dim UPGRADES those rows in place (an upsert wave carrying the
+    * null-enriched prev rows), and a dim delete DOWNGRADES its facts
+    * back to null-enriched instead of deleting them.
+    *
     * INPUT CONTRACT: at most ONE delta per key per micro-batch —
     * exactly what StatefulLww.deltaStream emits (it collapses a batch
     * to each key's winner). Two deltas for one key in one batch have no
@@ -86,7 +94,8 @@ object IncrementalJoin {
     * feed must be LWW-collapsed first (pinned in the model spec).
     */
   def viewDeltaStream(factDeltas: DataFrame, dimDeltas: DataFrame,
-      factJoinField: String, dimJoinField: String): Dataset[ViewDelta] = {
+      factJoinField: String, dimJoinField: String,
+      leftOuter: Boolean = false): Dataset[ViewDelta] = {
     val spark = factDeltas.sparkSession
     import spark.implicits._
     val routed = signedRouted(factDeltas, factJoinField, "f")
@@ -115,12 +124,13 @@ object IncrementalJoin {
           }
         if (newDim == null && facts.isEmpty) state.remove()
         else state.update(JoinState(newDim, facts))
-        val before: Map[Long, (String, String)] =
-          if (old.dimJson == null) Map.empty
-          else old.facts.map { case (id, r) => id -> (r, old.dimJson) }
-        val after: Map[Long, (String, String)] =
-          if (newDim == null) Map.empty
-          else facts.map { case (id, r) => id -> (r, newDim) }
+        // the key's enriched rows under each state: inner drops facts
+        // while the dim is absent; left-outer serves them null-enriched
+        def enrichedRows(dim: String, fs: Map[Long, String]): Map[Long, (String, String)] =
+          if (!leftOuter && dim == null) Map.empty
+          else fs.map { case (id, r) => id -> (r, dim) }
+        val before = enrichedRows(old.dimJson, old.facts)
+        val after = enrichedRows(newDim, facts)
         val upserts = after.collect {
           case (id, (f, d)) if !before.get(id).contains((f, d)) =>
             val p = before.get(id)

@@ -345,6 +345,34 @@ object CdcQueries {
       .withColumnRenamed("n_rows", "n_orders")
   }
 
+  /** Q115: incrementally-maintained LEFT-OUTER join view — the serving
+    * semantics a real CDC denormalization needs (the reference's ES
+    * documents are keyed by fact id and must exist even before their
+    * dimension row lands): facts with no live dim row are in the view
+    * null-enriched; a late dim UPGRADES them in place; a dim delete
+    * DOWNGRADES (not deletes) them. The dimension is restricted to even
+    * custkeys so the outer semantics are observable in the oracle — odd-
+    * custkey orders must surface with null customer columns, which the
+    * batch LEFT JOIN over the post-update snapshots states directly.
+    */
+  val q115 = QueryDef.sql(
+    "q115_cdc_left_join_view",
+    """SELECT o.o_orderkey, o.o_orderstatus,
+      |       CASE WHEN o.o_orderkey % 3 = 0 THEN o.o_totalprice * 1.1
+      |            ELSE o.o_totalprice END AS total,
+      |       c.c_custkey, c.c_name, c.c_mktsegment
+      |FROM orders o LEFT JOIN customer c
+      |  ON o.o_custkey = c.c_custkey AND c.c_custkey % 2 = 0
+      |WHERE o.o_orderkey % 5 <> 0""".stripMargin) { (spark, dir) =>
+    IncrementalJoin.materializeLatest(
+      DeltaLog.ordersCustomerLeftViewDeltas(spark, dir))
+      .select(from_json(col("factJson"), ChangeFeed.ordersRowSchema).as("o"),
+        from_json(col("dimJson"), ChangeFeed.customerRowSchema).as("c"))
+      .select(col("o.o_orderkey"), col("o.o_orderstatus"),
+        col("o.o_totalprice").as("total"),
+        col("c.c_custkey"), col("c.c_name"), col("c.c_mktsegment"))
+  }
+
   /** Q109: SCD type-2 history maintained INCREMENTALLY — q17e's exact
     * result computed from version deltas (streaming.StatefulVersions:
     * ordered per-key application emitting one "open" per version, one
@@ -368,5 +396,5 @@ object CdcQueries {
   }
 
   val all: Seq[QueryDef] = Seq(q17, q17b, q17c, q17d, q17e, q17f, q82, q88,
-    q93, q99, q101, q102, q105, q109)
+    q93, q99, q101, q102, q105, q109, q115)
 }

@@ -100,6 +100,59 @@ class IncrementalJoinSpec extends SparkSpec {
     q.stop()
   }
 
+  test("LEFT-OUTER view deltas: null-enriched serve, dim upgrade, dim-delete downgrade") {
+    implicit val ctx = spark.sqlContext
+    val facts = MemoryStream[Delta]
+    val dims = MemoryStream[Delta]
+    val name = "incr_left_join_out"
+    val q = IncrementalJoin.viewDeltaStream(
+        facts.toDF(), dims.toDF(), "cust", "cust", leftOuter = true).writeStream
+      .format("memory").queryName(name).outputMode("append")
+      .trigger(Trigger.ProcessingTime(0)).start()
+
+    var view = Map.empty[Long, (String, String)]
+    def step(fb: Seq[Delta], db: Seq[Delta]): Seq[IncrementalJoin.ViewDelta] = {
+      val before = spark.table(name).count()
+      if (fb.nonEmpty) facts.addData(fb: _*)
+      if (db.nonEmpty) dims.addData(db: _*)
+      q.processAllAvailable()
+      val out = spark.table(name)
+        .as[(Long, String, String, String, String, String)].collect()
+        .drop(before.toInt).toSeq
+        .map(t => IncrementalJoin.ViewDelta(t._1, t._2, t._3, t._4, t._5, t._6))
+      view = IncrementalJoin.applyBatch(view, out)
+      out
+    }
+
+    // batch 1: fact BEFORE its dim — left-outer serves it null-enriched
+    val b1 = step(Seq(Delta(10, "upsert", f(10, 1, "x"), null)), Nil)
+    assert(b1 == Seq(IncrementalJoin.ViewDelta(10, "upsert",
+      f(10, 1, "x"), null, null, null)))
+    assert(view == Map(10L -> (f(10, 1, "x"), null: String)))
+
+    // batch 2: dim arrives — the null-enriched row UPGRADES in place,
+    // the upsert carrying the retired null-enriched prev
+    val b2 = step(Nil, Seq(Delta(1, "upsert", d(1, "A"), null)))
+    assert(b2 == Seq(IncrementalJoin.ViewDelta(10, "upsert",
+      f(10, 1, "x"), d(1, "A"), f(10, 1, "x"), null)))
+    assert(view == Map(10L -> (f(10, 1, "x"), d(1, "A"))))
+
+    // batch 3: dim deleted — the fact DOWNGRADES to null-enriched, it
+    // does not leave the view (the inner-join delete becomes an upsert)
+    val b3 = step(Nil, Seq(Delta(1, "delete", null, d(1, "A"))))
+    assert(b3 == Seq(IncrementalJoin.ViewDelta(10, "upsert",
+      f(10, 1, "x"), null, f(10, 1, "x"), d(1, "A"))))
+    assert(view == Map(10L -> (f(10, 1, "x"), null: String)))
+
+    // batch 4: fact delete removes the null-enriched row
+    val b4 = step(Seq(Delta(10, "delete", null, f(10, 1, "x"))), Nil)
+    assert(b4 == Seq(IncrementalJoin.ViewDelta(10, "delete", null, null,
+      f(10, 1, "x"), null)))
+    assert(view.isEmpty)
+
+    q.stop()
+  }
+
   test("E2E: join-view deltas land in a JDBC serving table transactionally (RocksDB state)") {
     import graft.sinks.JdbcSink
     val pk = "spark.sql.streaming.stateStore.providerClass"
