@@ -171,6 +171,70 @@ object DeltaLog {
     spark.read.parquet(dataDir)
   }
 
+  /** Row payload schema of the `nation` dimension (dim-of-dim in the
+    * 3-way view: orders ⋈ customer ⋈ nation).
+    */
+  val nationRowSchema: StructType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_nationkey",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("n_name",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("n_regionkey",
+      org.apache.spark.sql.types.IntegerType)))
+
+  /** Insert-only LWW delta relation of the `nation` table — the static
+    * dimension bootstrap every multi-way view starts from (a live nation
+    * feed would append rename/delete deltas to the same shape).
+    */
+  def nationDeltas(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.nation(spark, dir).select(
+      col("n_nationkey").cast("long").as("key"),
+      lit("upsert").as("action"),
+      to_json(struct(col("n_nationkey"), col("n_name"), col("n_regionkey")))
+        .as("rowJson"),
+      lit(null).cast("string").as("prevJson"))
+
+  /** Materialized THREE-WAY enriched-view delta log — the composition
+    * that proves view deltas are themselves a delta relation: the
+    * orders⋈customer view log (stage 1), collapsed to latest-per-factId
+    * and re-expressed as a delta relation with merged o+c payloads
+    * (IncrementalJoin.asDeltaRelation), joins the nation dimension in a
+    * SECOND symmetric stateful stage routed by the customer row's
+    * c_nationkey — nation as dim-of-dim. A nation rename fans out
+    * through two levels (nation → its customers' enriched orders)
+    * without touching either base log.
+    */
+  def ordersCustomerNationViewDeltas(spark: SparkSession, dir: String): DataFrame = {
+    val fp = graft.sources.Staging.fingerprint(
+      Seq(s"$dir/orders.parquet", s"$dir/customer.parquet",
+        s"$dir/nation.parquet"))
+    val base = sys.props("java.io.tmpdir") +
+      s"/graft_viewdeltalog_v2_ocn_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_$fp"
+    val dataDir = s"$base/data"
+    buildOnce(base) { () =>
+      // stage-1 log → bootstrap delta relation: latest-per-factId upserts
+      // (the log-as-one-batch collapse), merged o+c payload, no prevs
+      val ocDeltas = IncrementalJoin.asDeltaRelation(
+        IncrementalJoin.materializeLatest(
+          ordersCustomerViewDeltas(spark, dir))
+          .select(col("factId"), col("action"), col("factJson"),
+            col("dimJson"), lit(null).cast("string").as("prevFactJson"),
+            lit(null).cast("string").as("prevDimJson")),
+        ChangeFeed.ordersRowSchema, ChangeFeed.customerRowSchema)
+      ocDeltas.coalesce(4).write.mode("overwrite").parquet(s"$base/factside")
+      nationDeltas(spark, dir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$base/dimside")
+      def streamOf(d: String) =
+        spark.readStream.schema(spark.read.parquet(d).schema).parquet(d)
+      Replay.runToParquet(spark,
+        IncrementalJoin.viewDeltaStream(
+          streamOf(s"$base/factside"), streamOf(s"$base/dimside"),
+          "c_nationkey", "n_nationkey").toDF(),
+        dataDir, s"$base/ckpt")
+    }
+    spark.read.parquet(dataDir)
+  }
+
   /** Compact a batch-partitioned delta log into an EQUIVALENT one-batch
     * log: each live key keeps one upsert delta (latest row, prev
     * nulled — the history's ± contributions telescope away, which the

@@ -144,6 +144,64 @@ object IncrementalJoin {
     }
   }
 
+  /** A view-delta relation AS a delta relation for the NEXT join stage —
+    * what makes incremental views COMPOSE into multi-way joins: the
+    * enriched (fact ⋈ dim) row becomes the new stage's fact payload (one
+    * flat JSON merging both sides' fields — names must not collide), and
+    * the ViewDelta's prev rows become its prevJson, so a second
+    * [[viewDeltaStream]] can route ±rows by a field from EITHER side
+    * (e.g. the dim's c_nationkey → nation, a dim-of-dim). Map-only —
+    * safe on streaming frames.
+    *
+    * NOTE: a key-move emits (delete, upsert) for one factId in one
+    * batch, violating the next stage's one-delta-per-key contract — run
+    * [[collapseBatch]] per micro-batch (or latest-per-key on a log
+    * bootstrap) before feeding this into another join stage.
+    */
+  def asDeltaRelation(viewDeltas: DataFrame,
+      factSchema: org.apache.spark.sql.types.StructType,
+      dimSchema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val parsed = viewDeltas.select(col("factId").as("key"), col("action"),
+      from_json(col("factJson"), factSchema).as("_f"),
+      from_json(col("dimJson"), dimSchema).as("_d"),
+      from_json(col("prevFactJson"), factSchema).as("_pf"),
+      from_json(col("prevDimJson"), dimSchema).as("_pd"))
+    def merged(f: String, d: String) = to_json(struct(
+      factSchema.fieldNames.map(n => col(s"$f.$n").as(n)).toSeq ++
+        dimSchema.fieldNames.map(n => col(s"$d.$n").as(n)): _*))
+    parsed.select(col("key"), col("action"),
+      when(col("_f").isNotNull, merged("_f", "_d")).as("rowJson"),
+      when(col("_pf").isNotNull, merged("_pf", "_pd")).as("prevJson"))
+  }
+
+  /** Collapse ONE micro-batch of view deltas to at most one delta per
+    * factId — the input contract of a composed second join stage. The
+    * only multi-delta case the emission contract allows is a key-move's
+    * (delete, upsert) pair, which folds to a single upsert whose prev is
+    * the DELETE's prev (the enriched row the view actually held). Runs
+    * in batch context (foreachBatch or a log bootstrap), one shuffle.
+    */
+  def collapseBatch(viewDeltas: DataFrame): DataFrame =
+    viewDeltas.groupBy(col("factId"))
+      .agg(
+        max(when(col("action") === "upsert", 1).otherwise(0)).as("_up"),
+        first(when(col("action") === "upsert",
+          struct(col("factJson"), col("dimJson"))), ignoreNulls = true).as("_new"),
+        first(when(col("action") === "delete",
+          struct(col("prevFactJson"), col("prevDimJson"))), ignoreNulls = true)
+          .as("_delPrev"),
+        first(when(col("action") === "upsert",
+          struct(col("prevFactJson"), col("prevDimJson"))), ignoreNulls = true)
+          .as("_upPrev"))
+      .select(col("factId"),
+        when(col("_up") === 1, "upsert").otherwise("delete").as("action"),
+        col("_new.factJson").as("factJson"),
+        col("_new.dimJson").as("dimJson"),
+        coalesce(col("_delPrev"), col("_upPrev")).getField("prevFactJson")
+          .as("prevFactJson"),
+        coalesce(col("_delPrev"), col("_upPrev")).getField("prevDimJson")
+          .as("prevDimJson"))
+
   /** Incrementally-maintained AGGREGATE over the join view — the
     * composition Δ(A⋈B) → γ that makes the denormalized-serving story
     * complete: a per-dim-group count and money total maintained from

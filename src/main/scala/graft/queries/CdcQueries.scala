@@ -373,6 +373,35 @@ object CdcQueries {
         col("c.c_custkey"), col("c.c_name"), col("c.c_mktsegment"))
   }
 
+  /** Q116: incrementally-maintained THREE-WAY join view — view deltas
+    * composed as a delta relation into a second symmetric join stage:
+    * orders⋈customer (the q101 stage-1 log) ⋈ nation, routed by the
+    * customer row's c_nationkey (nation as dim-of-dim). The oracle is
+    * the batch 3-way join over the post-update snapshots; two-level
+    * fan-out (a nation rename re-emitting its customers' enriched
+    * orders) is pinned in IncrementalJoinSpec.
+    */
+  val q116 = QueryDef.sql(
+    "q116_cdc_threeway_view",
+    """SELECT o.o_orderkey, o.o_orderstatus,
+      |       CASE WHEN o.o_orderkey % 3 = 0 THEN o.o_totalprice * 1.1
+      |            ELSE o.o_totalprice END AS total,
+      |       c.c_custkey, c.c_name, n.n_name
+      |FROM orders o
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |WHERE o.o_orderkey % 5 <> 0""".stripMargin) { (spark, dir) =>
+    val mergedSchema = org.apache.spark.sql.types.StructType(
+      ChangeFeed.ordersRowSchema.fields ++ ChangeFeed.customerRowSchema.fields)
+    IncrementalJoin.materializeLatest(
+      DeltaLog.ordersCustomerNationViewDeltas(spark, dir))
+      .select(from_json(col("factJson"), mergedSchema).as("oc"),
+        from_json(col("dimJson"), DeltaLog.nationRowSchema).as("n"))
+      .select(col("oc.o_orderkey"), col("oc.o_orderstatus"),
+        col("oc.o_totalprice").as("total"),
+        col("oc.c_custkey"), col("oc.c_name"), col("n.n_name"))
+  }
+
   /** Q109: SCD type-2 history maintained INCREMENTALLY — q17e's exact
     * result computed from version deltas (streaming.StatefulVersions:
     * ordered per-key application emitting one "open" per version, one
@@ -396,5 +425,5 @@ object CdcQueries {
   }
 
   val all: Seq[QueryDef] = Seq(q17, q17b, q17c, q17d, q17e, q17f, q82, q88,
-    q93, q99, q101, q102, q105, q109, q115)
+    q93, q99, q101, q102, q105, q109, q115, q116)
 }

@@ -153,6 +153,104 @@ class IncrementalJoinSpec extends SparkSpec {
     q.stop()
   }
 
+  test("3-way composition: a nation rename fans out through two join levels") {
+    import org.apache.spark.sql.types._
+    // stage-1 payloads carry the dim-of-dim key (nat) inside the dim
+    // row; dim field names are DISTINCT from fact field names because
+    // asDeltaRelation merges both into one flat payload
+    def dn(cust: Long, nat: Long, name: String) =
+      s"""{"dcust":$cust,"nat":$nat,"name":"$name"}"""
+    def nj(nat: Long, nname: String) = s"""{"nat":$nat,"nname":"$nname"}"""
+    val factSchema = StructType(Seq(StructField("okey", LongType),
+      StructField("cust", LongType), StructField("v", StringType)))
+    val dimSchema = StructType(Seq(StructField("dcust", LongType),
+      StructField("nat", LongType), StructField("name", StringType)))
+
+    implicit val ctx = spark.sqlContext
+    val facts = MemoryStream[Delta]
+    val custs = MemoryStream[Delta]
+    val nations = MemoryStream[Delta]
+    val s1Name = "threeway_s1"
+    val s2Name = "threeway_s2"
+    val stage2In = MemoryStream[Delta]
+    val q1 = IncrementalJoin.viewDeltaStream(
+        facts.toDF(), custs.toDF(), "cust", "dcust").writeStream
+      .format("memory").queryName(s1Name).outputMode("append")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    val q2 = IncrementalJoin.viewDeltaStream(
+        stage2In.toDF(), nations.toDF(), "nat", "nat").writeStream
+      .format("memory").queryName(s2Name).outputMode("append")
+      .trigger(Trigger.ProcessingTime(0)).start()
+
+    var s1Seen = 0L
+    var s2Seen = 0L
+    var view = Map.empty[Long, (String, String)] // factId -> (merged oc, nation)
+    // one composed step: drive stage 1, collapse its batch output to the
+    // next stage's one-delta-per-key contract, re-express it as a delta
+    // relation (merged payloads), feed stage 2, fold stage 2's emissions
+    def step(fb: Seq[Delta], cb: Seq[Delta], nb: Seq[Delta]): Seq[IncrementalJoin.ViewDelta] = {
+      if (fb.nonEmpty) facts.addData(fb: _*)
+      if (cb.nonEmpty) custs.addData(cb: _*)
+      q1.processAllAvailable()
+      val s1Out = spark.table(s1Name)
+        .as[(Long, String, String, String, String, String)].collect()
+        .drop(s1Seen.toInt).toSeq
+      s1Seen += s1Out.size
+      val s1Batch = s1Out
+        .toDF("factId", "action", "factJson", "dimJson",
+          "prevFactJson", "prevDimJson")
+      val converted = IncrementalJoin.asDeltaRelation(
+        IncrementalJoin.collapseBatch(s1Batch), factSchema, dimSchema)
+        .as[Delta].collect().toSeq
+      if (converted.nonEmpty) stage2In.addData(converted: _*)
+      if (nb.nonEmpty) nations.addData(nb: _*)
+      q2.processAllAvailable()
+      val s2Out = spark.table(s2Name)
+        .as[(Long, String, String, String, String, String)].collect()
+        .drop(s2Seen.toInt).toSeq
+        .map(t => IncrementalJoin.ViewDelta(t._1, t._2, t._3, t._4, t._5, t._6))
+      s2Seen += s2Out.size
+      view = IncrementalJoin.applyBatch(view, s2Out)
+      s2Out
+    }
+
+    // batch 1: two facts on cust 1 (nation 7), one on cust 2 (nation 8)
+    step(
+      Seq(Delta(10, "upsert", f(10, 1, "x"), null),
+        Delta(11, "upsert", f(11, 1, "y"), null),
+        Delta(20, "upsert", f(20, 2, "z"), null)),
+      Seq(Delta(1, "upsert", dn(1, 7, "A"), null),
+        Delta(2, "upsert", dn(2, 8, "B"), null)),
+      Seq(Delta(7, "upsert", nj(7, "FR"), null),
+        Delta(8, "upsert", nj(8, "DE"), null)))
+    assert(view.keySet == Set(10L, 11L, 20L))
+    assert(view(10L)._2 == nj(7, "FR") && view(20L)._2 == nj(8, "DE"))
+
+    // batch 2: nation 7 RENAMED — no base-table or customer change, yet
+    // both enriched orders of nation-7 customers must re-emit (level-2
+    // fan-out), and nation-8's order must NOT
+    val b2 = step(Nil, Nil, Seq(Delta(7, "upsert", nj(7, "FRA"), nj(7, "FR"))))
+    assert(b2.map(_.factId).toSet == Set(10L, 11L))
+    assert(b2.forall(v => v.action == "upsert" && v.dimJson == nj(7, "FRA")
+      && v.prevDimJson == nj(7, "FR")))
+    assert(view(20L)._2 == nj(8, "DE"))
+
+    // batch 3: customer 1 MOVES nation 7→8 — a stage-1 dim update whose
+    // fan-out (two upserts with changed dim payloads) converts to two
+    // stage-2 fact deltas that ROUTE to a new nation group: the deltas'
+    // −prev retracts under nation 7, +new inserts under nation 8
+    val b3 = step(Nil, Seq(Delta(1, "upsert", dn(1, 8, "A"), dn(1, 7, "A"))), Nil)
+    assert(view(10L)._2 == nj(8, "DE") && view(11L)._2 == nj(8, "DE"))
+
+    // batch 4: fact key-move cust 2→1 — stage 1 emits (delete, upsert)
+    // for factId 20; collapseBatch folds the pair so stage 2 sees ONE
+    // delta and the enriched row lands under cust 1's nation (8)
+    step(Seq(Delta(20, "upsert", f(20, 1, "z2"), f(20, 2, "z"))), Nil, Nil)
+    assert(view(20L)._1.contains("\"z2\"") && view(20L)._2 == nj(8, "DE"))
+
+    q1.stop(); q2.stop()
+  }
+
   test("E2E: join-view deltas land in a JDBC serving table transactionally (RocksDB state)") {
     import graft.sinks.JdbcSink
     val pk = "spark.sql.streaming.stateStore.providerClass"
