@@ -144,6 +144,129 @@ object IncrementalJoin {
     }
   }
 
+  /** A delta with its SOURCE timestamp — the alignment key: all deltas
+    * of one source transaction carry the same ts_ms on every table's
+    * feed (Debezium stamps the transaction's commit time).
+    */
+  case class TsDelta(key: Long, action: String, rowJson: String,
+      prevJson: String, tsMs: Long)
+
+  /** Routed ±row with source ts. `eventTime` duplicates tsMs as the
+    * watermarked timestamp column — Spark requires it to REACH the
+    * stateful operator for event-time timeouts. Not private —
+    * SafeProjection constructs it.
+    */
+  case class JInT(jk: Long, side: String, sgn: Int, id: Long,
+      rowJson: String, tsMs: Long, eventTime: java.sql.Timestamp)
+
+  /** Aligned per-key state: the applied view state plus the parked
+    * not-yet-released deltas (ts beyond the cross-feed high-water).
+    */
+  case class AlignedState(dimJson: String, facts: Map[Long, String],
+      pending: List[JInT])
+
+  private def signedRoutedTs(deltas: DataFrame, joinField: String,
+      side: String): DataFrame =
+    deltas.select(explode(filter(array(
+        when(col("rowJson").isNotNull,
+          struct(lit(1).as("sgn"), col("rowJson").as("js"))),
+        when(col("prevJson").isNotNull,
+          struct(lit(-1).as("sgn"), col("prevJson").as("js")))),
+      x => x.isNotNull)).as("c"), col("key").as("id"), col("tsMs"),
+      col("eventTime"))
+      .select(
+        get_json_object(col("c.js"), s"$$.$joinField").cast("long").as("jk"),
+        lit(side).as("side"), col("c.sgn").as("sgn"), col("id"),
+        col("c.js").as("rowJson"), col("tsMs"), col("eventTime"))
+      .filter(col("jk").isNotNull)
+
+  /** TRANSACTION-ALIGNED view-delta stream: like [[viewDeltaStream]],
+    * but a delta is APPLIED (and its effect emitted) only once the
+    * cross-feed high-water mark has passed its source ts — so a source
+    * transaction spanning fact AND dim tables (same commit ts on both
+    * feeds) applies atomically, never exposing a half-applied enriched
+    * row to the serving sink.
+    *
+    * The high-water mark is Spark's own multi-source watermark: each
+    * feed gets its OWN `withWatermark` node before the union, and the
+    * query watermark is their MIN (the default multipleWatermarkPolicy),
+    * i.e. exactly min(high-water ts across the two feeds). Incoming
+    * deltas with ts beyond it park in per-key state; EventTimeTimeout
+    * re-invokes the key when the watermark passes the earliest parked
+    * ts, and releases apply in ts order. `delay` is the feeds' disorder
+    * bound (watermark delay): like every event-time-timeout operator,
+    * deltas arriving later than that bound behind the watermark are
+    * dropped by Spark's late-row filter — size `delay` to the feeds'
+    * real disorder (a CDC log replayed in offset order is nearly
+    * ordered; cross-feed lag is the quantity to bound).
+    *
+    * Production note: like any watermark-gated operator, emission lags
+    * one micro-batch behind arrival and the stream needs traffic (or
+    * heartbeats, Replay.stageEventsWithFlush's pattern) to push the
+    * watermark past the tail transaction.
+    */
+  def alignedViewDeltaStream(factDeltas: Dataset[TsDelta],
+      dimDeltas: Dataset[TsDelta], factJoinField: String,
+      dimJoinField: String, delay: String = "0 milliseconds",
+      leftOuter: Boolean = false): Dataset[ViewDelta] = {
+    val spark = factDeltas.sparkSession
+    import spark.implicits._
+    def side(d: Dataset[TsDelta], field: String, tag: String) =
+      signedRoutedTs(
+        d.toDF().withColumn("eventTime", timestamp_millis(col("tsMs")))
+          .withWatermark("eventTime", delay), field, tag)
+    val routed = side(factDeltas, factJoinField, "f")
+      .unionByName(side(dimDeltas, dimJoinField, "d"))
+      .as[JInT]
+    routed.groupByKey(_.jk).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+      (_: Long, it: Iterator[JInT], state: GroupState[AlignedState]) =>
+        val wm = state.getCurrentWatermarkMs()
+        val old = state.getOption.getOrElse(AlignedState(null, Map.empty, Nil))
+        val (release, park) =
+          (old.pending.iterator ++ it).toVector.partition(_.tsMs <= wm)
+        var dim = old.dimJson
+        var facts = old.facts
+        // apply whole transactions in commit order: all released rows of
+        // one ts together, ts ascending
+        release.map(_.tsMs).distinct.sorted.foreach { ts =>
+          val rows = release.filter(_.tsMs == ts)
+          val dimRows = rows.filter(_.side == "d")
+          if (dimRows.exists(_.sgn > 0)) dim = dimRows.find(_.sgn > 0).get.rowJson
+          else if (dimRows.nonEmpty) dim = null
+          facts = rows.filter(_.side == "f").groupBy(_.id)
+            .foldLeft(facts) { case (m, (id, rs)) =>
+              rs.find(_.sgn > 0) match {
+                case Some(p) => m.updated(id, p.rowJson)
+                case None    => m - id
+              }
+            }
+        }
+        if (dim == null && facts.isEmpty && park.isEmpty) state.remove()
+        else {
+          state.update(AlignedState(dim, facts, park.toList))
+          // re-invoke this key when the watermark passes the earliest
+          // parked transaction (park rows all have ts > wm)
+          if (park.nonEmpty) state.setTimeoutTimestamp(park.map(_.tsMs).min)
+        }
+        def enrichedRows(dm: String, fs: Map[Long, String]): Map[Long, (String, String)] =
+          if (!leftOuter && dm == null) Map.empty
+          else fs.map { case (id, r) => id -> (r, dm) }
+        val before = enrichedRows(old.dimJson, old.facts)
+        val after = enrichedRows(dim, facts)
+        val upserts = after.collect {
+          case (id, (f, d)) if !before.get(id).contains((f, d)) =>
+            val p = before.get(id)
+            ViewDelta(id, "upsert", f, d, p.map(_._1).orNull, p.map(_._2).orNull)
+        }
+        val deletes = before.collect {
+          case (id, (f, d)) if !after.contains(id) =>
+            ViewDelta(id, "delete", null, null, f, d)
+        }
+        upserts.iterator ++ deletes.iterator
+    }
+  }
+
   /** A view-delta relation AS a delta relation for the NEXT join stage —
     * what makes incremental views COMPOSE into multi-way joins: the
     * enriched (fact ⋈ dim) row becomes the new stage's fact payload (one

@@ -251,6 +251,76 @@ class IncrementalJoinSpec extends SparkSpec {
     q1.stop(); q2.stop()
   }
 
+  test("aligned view deltas: a fact+dim source transaction never exposes a half-applied row") {
+    import IncrementalJoin.TsDelta
+    implicit val ctx = spark.sqlContext
+
+    // the scenario: consistent state at ts 100 (order 10 + cust 1 "A"),
+    // then ONE source transaction at ts 200 touching BOTH tables
+    // (insert order 11 AND rename cust 1 to "A2") whose two deltas
+    // arrive in DIFFERENT micro-batches — fact half first
+    def run(aligned: Boolean): Seq[Map[Long, (String, String)]] = {
+      val facts = MemoryStream[TsDelta]
+      val dims = MemoryStream[TsDelta]
+      val name = s"tx_align_${aligned}_out"
+      val stream =
+        if (aligned) IncrementalJoin.alignedViewDeltaStream(
+          facts.toDS(), dims.toDS(), "cust", "cust")
+        else IncrementalJoin.viewDeltaStream(
+          facts.toDF().drop("tsMs"), dims.toDF().drop("tsMs"), "cust", "cust")
+      val q = stream.writeStream
+        .format("memory").queryName(name).outputMode("append")
+        .trigger(Trigger.ProcessingTime(0)).start()
+      var view = Map.empty[Long, (String, String)]
+      var seen = 0L
+      val history = Seq.newBuilder[Map[Long, (String, String)]]
+      def step(fb: Seq[TsDelta], db: Seq[TsDelta]): Unit = {
+        if (fb.nonEmpty) facts.addData(fb: _*)
+        if (db.nonEmpty) dims.addData(db: _*)
+        q.processAllAvailable()
+        val out = spark.table(name)
+          .as[(Long, String, String, String, String, String)].collect()
+          .drop(seen.toInt).toSeq
+          .map(t => IncrementalJoin.ViewDelta(t._1, t._2, t._3, t._4, t._5, t._6))
+        seen += out.size
+        view = IncrementalJoin.applyBatch(view, out)
+        history += view
+      }
+      // batch 1: ts-100 state on both feeds, PLUS the transaction's
+      // FACT half (ts 200) — its dim half has not arrived yet
+      step(
+        Seq(TsDelta(10, "upsert", f(10, 1, "x"), null, 100),
+          TsDelta(11, "upsert", f(11, 1, "y"), null, 200)),
+        Seq(TsDelta(1, "upsert", d(1, "A"), null, 100)))
+      // batch 2: the transaction's DIM half lands
+      step(Nil, Seq(TsDelta(1, "upsert", d(1, "A2"), d(1, "A"), 200)))
+      // batches 3-4: heartbeats on BOTH feeds drag the min watermark
+      // past ts 200 (unrelated join keys; filtered out of assertions)
+      step(Seq(TsDelta(90, "upsert", f(90, 9, "hb"), null, 300)),
+        Seq(TsDelta(9, "upsert", d(9, "HB"), null, 300)))
+      step(Seq(TsDelta(91, "upsert", f(91, 9, "hb"), null, 400)),
+        Seq(TsDelta(9, "upsert", d(9, "HB2"), d(9, "HB"), 400)))
+      q.stop()
+      history.result().map(_.filter { case (id, _) => id <= 50 })
+    }
+
+    val alignedHist = run(aligned = true)
+    // the INVARIANT: no intermediate view state may pair the
+    // transaction's order 11 with the PRE-transaction customer row —
+    // that is the half-applied state a serving sink must never see
+    assert(alignedHist.forall(v => !v.get(11L).exists(_._2 == d(1, "A"))),
+      s"half-applied transaction exposed: $alignedHist")
+    // and the transaction DID fully apply once the watermark passed it
+    assert(alignedHist.last == Map(
+      10L -> ((f(10, 1, "x"), d(1, "A2"))),
+      11L -> ((f(11, 1, "y"), d(1, "A2")))))
+    // control: the UNALIGNED stream applies each half as it arrives and
+    // DOES expose order 11 enriched with the stale customer row — the
+    // anomaly alignment exists to prevent (proves the spec has teeth)
+    val plainHist = run(aligned = false)
+    assert(plainHist.exists(v => v.get(11L).exists(_._2 == d(1, "A"))))
+  }
+
   test("E2E: join-view deltas land in a JDBC serving table transactionally (RocksDB state)") {
     import graft.sinks.JdbcSink
     val pk = "spark.sql.streaming.stateStore.providerClass"
