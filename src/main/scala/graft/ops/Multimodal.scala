@@ -166,11 +166,26 @@ object Multimodal {
     bb.array()
   }
 
-  /** MP4 with a REAL sample table: the first trak carries a full
-    * mdia/minf/stbl nesting with stsz (per-sample sizes, doc_id
-    * arithmetic) and stts (one run of per-sample tick durations) —
-    * the structures a scale scanner reads to plan chunk splits and
-    * keyframe alignment without touching media data.
+  /** Size of sample `s` of doc `docId` in the synthesized MP4 — shared
+    * by the stsz writer, the mdat writer, and spec reconstruction.
+    */
+  def mp4SampleSize(docId: Long, s: Int): Int =
+    ((docId * 13 + s * 7) % 900 + 100).toInt
+
+  /** Byte `j` of sample `s` — the deterministic media bytes the mdat
+    * carries (mod 251, a prime, so no byte-alignment degeneracy can
+    * mask a mis-sliced range).
+    */
+  def mp4SampleByte(docId: Long, s: Int, j: Int): Byte =
+    ((docId * 31 + s * 7 + j * 3) % 251).toByte
+
+  /** MP4 with a REAL sample table AND real media data: the first trak
+    * carries a full mdia/minf/stbl nesting with stsz (per-sample sizes,
+    * doc_id arithmetic), stts (one run of per-sample tick durations)
+    * and stco (the single chunk's file offset); an mdat box after the
+    * moov holds the actual sample bytes back-to-back. The structures a
+    * scale scanner reads to plan chunk splits — and, with stco, to
+    * slice sample payloads — without a codec.
     */
   def synthesizeMp4WithSamples(docId: Long): Array[Byte] = {
     val timescale = (1000 * (1 + docId % 3)).toInt
@@ -178,14 +193,18 @@ object Multimodal {
     val nTracks = (docId % 3 + 1).toInt
     val ns = (docId % 50 + 5).toInt
     val delta = (100 + docId % 10).toInt
+    val sizes = (0 until ns).map(mp4SampleSize(docId, _))
+    val totalBytes = sizes.sum
     val stszSize = 8 + 12 + ns * 4
     val sttsSize = 8 + 8 + 8
-    val stblSize = 8 + stszSize + sttsSize
+    val stcoSize = 8 + 8 + 4 // version/flags, entry_count=1, one offset
+    val stblSize = 8 + stszSize + sttsSize + stcoSize
     val minfSize = 8 + stblSize
     val mdiaSize = 8 + minfSize
     val trak0Size = 8 + mdiaSize
     val moovSize = 8 + 108 + trak0Size + (nTracks - 1) * 8
-    val bb = java.nio.ByteBuffer.allocate(24 + moovSize)
+    val mdatPayloadOff = 24 + moovSize + 8
+    val bb = java.nio.ByteBuffer.allocate(mdatPayloadOff + totalBytes)
     putFtyp(bb)
     bb.putInt(moovSize).put("moov".getBytes(ASCII))
     putMvhd(bb, timescale, durationUnits, nTracks + 1)
@@ -197,12 +216,19 @@ object Multimodal {
       .putInt(0)      // version/flags
       .putInt(0)      // sample_size 0 ⇒ per-sample table follows
       .putInt(ns)
-    (0 until ns).foreach(j => bb.putInt(((docId * 13 + j * 7) % 900 + 100).toInt))
+    sizes.foreach(bb.putInt)
     bb.putInt(sttsSize).put("stts".getBytes(ASCII))
       .putInt(0)      // version/flags
       .putInt(1)      // entry_count
       .putInt(ns).putInt(delta)
+    bb.putInt(stcoSize).put("stco".getBytes(ASCII))
+      .putInt(0)      // version/flags
+      .putInt(1)      // entry_count: one chunk holds every sample
+      .putInt(mdatPayloadOff)
     (0 until nTracks - 1).foreach(_ => bb.putInt(8).put("trak".getBytes(ASCII)))
+    bb.putInt(8 + totalBytes).put("mdat".getBytes(ASCII))
+    (0 until ns).foreach(s =>
+      (0 until sizes(s)).foreach(j => bb.put(mp4SampleByte(docId, s, j))))
     bb.array()
   }
 
@@ -540,24 +566,68 @@ object Multimodal {
 
   case class Frame(doc_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
 
-  /** Frame sampling: emit every `stride`-th fixed-size chunk of the
-    * payload as its own row — the batch shape of video frame extraction
-    * (1 blob in, N frames out, flatMap not map). STUB chunking stands in
-    * for a container demuxer; the row-explosion plumbing, schema, and
-    * per-partition iteration are the real thing.
+  /** (offset, length) of every sample in a single-chunk MP4, computed
+    * from the container's OWN index: stsz gives the sizes, stco the
+    * chunk's file offset, and samples of one chunk are contiguous.
+    * Multi-chunk files additionally need the stsc sample-to-chunk map —
+    * not synthesized here, so a multi-entry stco degrades to empty
+    * rather than guessing. Empty on anything malformed or out of range.
     */
-  def frameSample(spark: SparkSession, withPayload: DataFrame,
-      frameSize: Int = 64, stride: Int = 4): Dataset[Frame] = {
+  private[ops] def mp4SampleRanges(payload: Array[Byte]): Seq[(Int, Int)] = {
+    if (payload.length < 8 || fourcc(payload, 4) != "ftyp") return Seq.empty
+    val bb = java.nio.ByteBuffer.wrap(payload)
+    try {
+      var sizes: Seq[Int] = null
+      var chunkOff = -1L
+      for ((t, off, size) <- bmffBoxes(payload, bb, 0, payload.length) if t == "moov";
+           (t2, o2, s2) <- bmffBoxes(payload, bb, off + 8, off + size) if t2 == "trak";
+           (t3, o3, s3) <- bmffBoxes(payload, bb, o2 + 8, o2 + s2) if t3 == "mdia";
+           (t4, o4, s4) <- bmffBoxes(payload, bb, o3 + 8, o3 + s3) if t4 == "minf";
+           (t5, o5, s5) <- bmffBoxes(payload, bb, o4 + 8, o4 + s4) if t5 == "stbl";
+           (t6, o6, s6) <- bmffBoxes(payload, bb, o5 + 8, o5 + s5)) t6 match {
+        case "stsz" if s6 >= 20 && sizes == null =>
+          val fixedSize = bb.getInt(o6 + 12)
+          val count = bb.getInt(o6 + 16)
+          if (count >= 0 && (fixedSize != 0 || count.toLong * 4 <= s6 - 20))
+            sizes =
+              if (fixedSize != 0) Seq.fill(count)(fixedSize)
+              else (0 until count).map(j => bb.getInt(o6 + 20 + j * 4))
+        case "stco" if s6 >= 16 && chunkOff < 0 =>
+          val entries = bb.getInt(o6 + 12)
+          if (entries == 1 && s6 >= 20)
+            chunkOff = bb.getInt(o6 + 16).toLong & 0xffffffffL
+        case _ => ()
+      }
+      if (sizes == null || chunkOff < 0) return Seq.empty
+      var off = chunkOff
+      var ok = true
+      val out = Seq.newBuilder[(Int, Int)]
+      sizes.foreach { len =>
+        if (len < 0 || off + len > payload.length) ok = false
+        else if (ok) { out += ((off.toInt, len)); off += len }
+      }
+      if (ok) out.result() else Seq.empty
+    } catch { case _: IndexOutOfBoundsException => Seq.empty }
+  }
+
+  /** REAL video frame extraction (demux-lite): slice each sample's
+    * exact byte range out of the mdat using the container's own sample
+    * index (stsz sizes + stco chunk offset — [[mp4SampleRanges]]). The
+    * 1-blob → N-frames flatMap shape of video preprocessing, with the
+    * ranges the CONTAINER declares, not a stride guess; decoding the
+    * sliced access units to pixels is the one step that genuinely needs
+    * a codec library (absent from this environment). Emits nothing for
+    * non-MP4 or corrupt payloads.
+    */
+  def frameSample(spark: SparkSession, withPayload: DataFrame): Dataset[Frame] = {
     import spark.implicits._
     withPayload.select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        it.flatMap { case (id, bytes) =>
-          bytes.grouped(frameSize).zipWithIndex.collect {
-            case (chunk, i) if i % stride == 0 => Frame(id, i, chunk)
-          }
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        mp4SampleRanges(bytes).zipWithIndex.map { case ((off, len), i) =>
+          Frame(id, i, java.util.Arrays.copyOfRange(bytes, off, off + len))
         }
-      }
+      })
   }
 
   case class Resized(doc_id: Long, payload: Array[Byte])

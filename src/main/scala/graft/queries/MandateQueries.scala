@@ -636,6 +636,37 @@ object MandateQueries {
     Multimodal.audioWindows(spark, Multimodal.avPayloads(spark, odd), 8, 4).toDF()
   }
 
+  /** Q117: REAL video frame extraction — every sample's byte range
+    * sliced out of the mdat by the container's OWN index (stsz sizes +
+    * stco chunk offset, Multimodal.frameSample), one row per extracted
+    * frame. The oracle reconstructs each frame's length and its first/
+    * last media byte from the synthesis arithmetic in closed form, so
+    * any slicing error — wrong chunk offset, off-by-one at either
+    * boundary, cumulative drift across samples — breaks the hash.
+    * Byte-for-byte equality of whole frames is pinned in MultimodalSpec.
+    */
+  val q117 = QueryDef.sql(
+    "q117_video_frame_extract",
+    """WITH w AS (SELECT doc_id, doc_id % 50 + 5 AS ns
+      |           FROM documents WHERE doc_id % 2 = 0),
+      |j AS (SELECT doc_id, unnest(range(0, ns)) AS f FROM w),
+      |x AS (SELECT doc_id, f, (doc_id * 13 + f * 7) % 900 + 100 AS len FROM j)
+      |SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+      |       CAST(len AS BIGINT) AS n_bytes,
+      |       CAST((doc_id * 31 + f * 7) % 251 AS INTEGER) AS first_byte,
+      |       CAST((doc_id * 31 + f * 7 + (len - 1) * 3) % 251 AS INTEGER) AS last_byte
+      |FROM x""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val payloads = Tables.documents(spark, dir).filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, Multimodal.synthesizeMp4WithSamples(id))))
+      .toDF("doc_id", "payload")
+    Multimodal.frameSample(spark, payloads)
+      .map(fr => (fr.doc_id, fr.frame_idx, fr.frame_bytes.length.toLong,
+        fr.frame_bytes.head & 0xff, fr.frame_bytes.last & 0xff))
+      .toDF("doc_id", "frame_idx", "n_bytes", "first_byte", "last_byte")
+  }
+
   /** Q66: unigram-LM perplexity proxy (CCNet-style quality band) — see
     * TextAnalysis.unigramLogProb for the broadcast-model shape.
     */
@@ -808,5 +839,5 @@ object MandateQueries {
 
   val all: Seq[QueryDef] = Seq(q18, q18b, q19, q20, q21, q22, q26, q27,
     q28, q28b, q29, q30, q31, q32, q33, q34, q58, q58b, q59, q61, q66, q67,
-    q70, q73, q77, q84, q89, q104, q106, q107, q108)
+    q70, q73, q77, q84, q89, q104, q106, q107, q108, q117)
 }

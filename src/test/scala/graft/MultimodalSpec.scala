@@ -237,21 +237,35 @@ class MultimodalSpec extends SparkSpec {
     assert(junk.format == "unknown" && junk.width == -1 && junk.n_frames == 0)
   }
 
-  test("frameSample explodes blobs into strided fixed-size frames") {
-    val frames = Multimodal.frameSample(spark, withPayload, frameSize = 64, stride = 4)
-      .collect()
-    val byDoc = frames.groupBy(_.doc_id)
-    assert(byDoc.nonEmpty)
-    byDoc.foreach { case (_, fs) =>
-      assert(fs.map(_.frame_idx).forall(_ % 4 == 0))
-      assert(fs.filterNot(f => f.frame_idx == fs.map(_.frame_idx).max)
-        .forall(_.frame_bytes.length == 64))
+  test("frameSample extracts the synthesized MP4 samples byte-for-byte") {
+    val ids = Seq(0L, 2L, 4L, 38L, 96L, 1234L)
+    val payloads = ids.toDF("doc_id")
+      .as[Long].map(id => (id, Multimodal.synthesizeMp4WithSamples(id)))
+      .toDF("doc_id", "payload")
+    val frames = Multimodal.frameSample(spark, payloads).collect()
+      .groupBy(_.doc_id).view.mapValues(_.sortBy(_.frame_idx)).toMap
+    ids.foreach { id =>
+      val ns = (id % 50 + 5).toInt
+      val fs = frames(id)
+      assert(fs.length == ns, s"doc $id: expected $ns frames")
+      fs.zipWithIndex.foreach { case (fr, s) =>
+        assert(fr.frame_idx == s)
+        val expected = Array.tabulate(Multimodal.mp4SampleSize(id, s))(
+          j => Multimodal.mp4SampleByte(id, s, j))
+        assert(java.util.Arrays.equals(fr.frame_bytes, expected),
+          s"doc $id sample $s bytes differ")
+      }
     }
-    // total frames = sum over docs of ceil(n_bytes/64) strided by 4
-    val expected = withPayload.select(col("doc_id"), length(col("payload")).as("n"))
-      .as[(Long, Int)].collect()
-      .map { case (_, n) => (0 until (n + 63) / 64).count(_ % 4 == 0) }.sum
-    assert(frames.length == expected)
+  }
+
+  test("frameSample emits nothing for non-MP4, sample-table-less, or corrupt payloads") {
+    val junk = Seq(
+      (1L, Array[Byte](1, 2, 3, 4)),
+      (3L, Multimodal.synthesizeWav(3L)),         // valid WAV, not MP4
+      (4L, Multimodal.synthesizeMp4(4L)),         // MP4 without stbl/mdat
+      (6L, Multimodal.synthesizeMp4WithSamples(6L).take(60))) // truncated
+      .toDF("doc_id", "payload")
+    assert(Multimodal.frameSample(spark, junk).count() == 0)
   }
 
   test("resize shrinks payloads by the factor, preserving first byte") {
