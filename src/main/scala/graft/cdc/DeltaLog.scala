@@ -28,6 +28,131 @@ import java.nio.file.{Files, Paths}
   */
 object DeltaLog {
 
+  /** Root of the MANAGED delta-log warehouse (`spark.graft.warehouse`;
+    * defaults under java.io.tmpdir for the harness). Layout per logical
+    * log: `<root>/<logName>/<fingerprint>/` holding `data/` (the raw
+    * batch_id-partitioned log), `ckpt/`, the build marker/lock,
+    * optional `compact_<n>/` generations, and `CURRENT` — the pointer
+    * file naming the generation readers use (absent ⇒ `data`).
+    * A regenerated source gets a NEW fingerprint dir beside the old
+    * one; [[gc]] retires superseded fingerprints and generations on a
+    * retention clock. Lifecycle ops assume a locally-mounted root
+    * (matching buildOnce's file locks); an object-store warehouse would
+    * swap these java.io calls for its catalog's commit protocol.
+    */
+  def warehouseRoot(spark: SparkSession): String =
+    spark.conf.getOption("spark.graft.warehouse")
+      .getOrElse(sys.props("java.io.tmpdir") + "/graft_warehouse")
+
+  private def dirTag(dir: String): String = dir.replaceAll("[^a-zA-Z0-9]", "_")
+
+  private def logBase(spark: SparkSession, logName: String, fp: String): String =
+    s"${warehouseRoot(spark)}/$logName/$fp"
+
+  /** The generation directory readers of `base` currently use: the one
+    * named by `CURRENT`, or the raw `data` log before any compaction.
+    */
+  def activeDataDir(base: String): String = {
+    val cur = Paths.get(s"$base/CURRENT")
+    val rel =
+      if (Files.exists(cur))
+        new String(Files.readAllBytes(cur), "UTF-8").trim
+      else "data"
+    s"$base/$rel"
+  }
+
+  /** Compact the ACTIVE generation of log `base` into a new
+    * `compact_<n>` generation and atomically repoint `CURRENT` at it —
+    * the scheduled-maintenance step that keeps a long-lived log's fold
+    * cost proportional to LIVE keys, not history. Readers see either
+    * the old or the new generation, never a mix (pointer swap is an
+    * atomic rename); the superseded generation stays on disk until
+    * [[gc]] retires it, so in-flight readers finish safely. Returns the
+    * new generation dir.
+    */
+  def compactLog(spark: SparkSession, base: String): String = {
+    val gens = Option(new java.io.File(base).list()).getOrElse(Array.empty)
+      .filter(_.startsWith("compact_"))
+      .flatMap(n => scala.util.Try(n.stripPrefix("compact_").toInt).toOption)
+    val next = if (gens.isEmpty) 1 else gens.max + 1
+    val target = s"compact_$next"
+    compact(spark, activeDataDir(base), s"$base/$target")
+    val tmp = Paths.get(s"$base/CURRENT.tmp")
+    Files.write(tmp, target.getBytes("UTF-8"))
+    Files.move(tmp, Paths.get(s"$base/CURRENT"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    s"$base/$target"
+  }
+
+  /** Retention GC over the warehouse: delete (a) superseded FINGERPRINT
+    * dirs — every fingerprint except each log's most recently modified
+    * one — and (b) superseded GENERATIONS inside kept fingerprints
+    * (generation dirs the `CURRENT` pointer no longer names, plus their
+    * derived `*_collapsed*` caches), both only once older than
+    * `retentionMs` (the grace window for in-flight readers). Checkpoints
+    * and markers of kept fingerprints are never touched. Returns the
+    * deleted paths.
+    */
+  def gc(spark: SparkSession, retentionMs: Long,
+      nowMs: Long = System.currentTimeMillis()): Seq[String] = {
+    val cutoff = nowMs - retentionMs
+    val deleted = Seq.newBuilder[String]
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+      f.delete(); ()
+    }
+    val root = new java.io.File(warehouseRoot(spark))
+    val genName = "^(data|compact_[0-9]+)$".r
+    Option(root.listFiles()).getOrElse(Array.empty).filter(_.isDirectory)
+      .foreach { logDir =>
+        val fps = Option(logDir.listFiles()).getOrElse(Array.empty)
+          .filter(_.isDirectory)
+        if (fps.nonEmpty) {
+          val newest = fps.maxBy(_.lastModified)
+          fps.foreach { fp =>
+            if ((fp ne newest) && fp.lastModified < cutoff) {
+              rmTree(fp); deleted += fp.getPath
+            } else {
+              val active = new java.io.File(activeDataDir(fp.getPath)).getName
+              Option(fp.listFiles()).getOrElse(Array.empty).foreach { g =>
+                val superseded =
+                  (genName.matches(g.getName) && g.getName != active) ||
+                    (g.getName.contains("_collapsed") &&
+                      !g.getName.startsWith(active + "_"))
+                if (g.isDirectory && superseded && g.lastModified < cutoff) {
+                  rmTree(g); deleted += g.getPath
+                }
+              }
+            }
+          }
+        }
+      }
+    deleted.result()
+  }
+
+  /** One maintenance pass — the entry point a scheduler calls: compact
+    * every warehouse log whose active generation holds more than
+    * `maxBatches` batch partitions, then run retention [[gc]].
+    */
+  def maintain(spark: SparkSession, maxBatches: Int,
+      retentionMs: Long): Unit = {
+    val root = new java.io.File(warehouseRoot(spark))
+    for {
+      logDir <- Option(root.listFiles()).getOrElse(Array.empty)
+      if logDir.isDirectory
+      fp <- Option(logDir.listFiles()).getOrElse(Array.empty)
+      if fp.isDirectory && Files.exists(Paths.get(s"${fp.getPath}/_GRAFT_DONE"))
+    } {
+      val active = new java.io.File(activeDataDir(fp.getPath))
+      val batches = Option(active.list()).getOrElse(Array.empty)
+        .count(_.startsWith("batch_id="))
+      if (batches > maxBatches) compactLog(spark, fp.getPath)
+    }
+    gc(spark, retentionMs)
+    ()
+  }
+
   /** Intra-process build locks, one per log base dir — FileLock alone
     * cannot exclude two THREADS of one JVM (OverlappingFileLockException
     * instead of blocking), so same-process builders serialize here first.
@@ -126,8 +251,7 @@ object DeltaLog {
   def ordersCustomerViewDeltas(spark: SparkSession, dir: String): DataFrame = {
     val fp = graft.sources.Staging.fingerprint(
       Seq(s"$dir/orders.parquet", s"$dir/customer.parquet"))
-    val base = sys.props("java.io.tmpdir") +
-      s"/graft_viewdeltalog_v2_oc_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_$fp"
+    val base = logBase(spark, s"viewdeltalog_oc_${dirTag(dir)}", fp)
     val dataDir = s"$base/data"
     buildOnce(base) { () =>
       // feed the join from per-key COLLAPSED table logs: a multi-batch
@@ -142,7 +266,7 @@ object DeltaLog {
           streamOf(oDir), streamOf(cDir), "o_custkey", "c_custkey").toDF(),
         dataDir, s"$base/ckpt")
     }
-    spark.read.parquet(dataDir)
+    spark.read.parquet(activeDataDir(base))
   }
 
   /** Materialized LEFT-OUTER enriched-view delta log: orders facts vs a
@@ -154,8 +278,7 @@ object DeltaLog {
   def ordersCustomerLeftViewDeltas(spark: SparkSession, dir: String): DataFrame = {
     val fp = graft.sources.Staging.fingerprint(
       Seq(s"$dir/orders.parquet", s"$dir/customer.parquet"))
-    val base = sys.props("java.io.tmpdir") +
-      s"/graft_viewdeltalog_v2_ocleft_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_$fp"
+    val base = logBase(spark, s"viewdeltalog_ocleft_${dirTag(dir)}", fp)
     val dataDir = s"$base/data"
     buildOnce(base) { () =>
       val oDir = collapsedForJoin(spark, ordersLogDir(spark, dir))
@@ -168,7 +291,7 @@ object DeltaLog {
           "o_custkey", "c_custkey", leftOuter = true).toDF(),
         dataDir, s"$base/ckpt")
     }
-    spark.read.parquet(dataDir)
+    spark.read.parquet(activeDataDir(base))
   }
 
   /** Row payload schema of the `nation` dimension (dim-of-dim in the
@@ -208,8 +331,7 @@ object DeltaLog {
     val fp = graft.sources.Staging.fingerprint(
       Seq(s"$dir/orders.parquet", s"$dir/customer.parquet",
         s"$dir/nation.parquet"))
-    val base = sys.props("java.io.tmpdir") +
-      s"/graft_viewdeltalog_v2_ocn_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_$fp"
+    val base = logBase(spark, s"viewdeltalog_ocn_${dirTag(dir)}", fp)
     val dataDir = s"$base/data"
     buildOnce(base) { () =>
       // stage-1 log → bootstrap delta relation: latest-per-factId upserts
@@ -232,7 +354,7 @@ object DeltaLog {
           "c_nationkey", "n_nationkey").toDF(),
         dataDir, s"$base/ckpt")
     }
-    spark.read.parquet(dataDir)
+    spark.read.parquet(activeDataDir(base))
   }
 
   /** Compact a batch-partitioned delta log into an EQUIVALENT one-batch
@@ -296,12 +418,10 @@ object DeltaLog {
       rowSchema: StructType, keyExpr: Column): String = {
     val fp = graft.sources.Staging.fingerprint(
       Seq(s"$dir/orders.parquet", s"$dir/customer.parquet"))
-    // v2 = Delta(key, action, rowJson, prevJson) + batch_id partition
-    // layout: the fingerprint tracks source CONTENT only, so a
-    // delta-schema change must bump the version or stale cached logs
-    // keep the old columns (ChangeFeed's v2 lesson)
-    val base = sys.props("java.io.tmpdir") +
-      s"/graft_deltalog_v2_${table}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_$fp"
+    // the fingerprint tracks source CONTENT only, so a delta-schema
+    // change must bump the log name or stale cached logs keep the old
+    // columns (ChangeFeed's v2 lesson)
+    val base = logBase(spark, s"deltalog_${table}_${dirTag(dir)}", fp)
     val dataDir = s"$base/data"
     buildOnce(base) { () =>
       val feedDir = ChangeFeed.stagedJsonl(spark, dir)
@@ -309,6 +429,6 @@ object DeltaLog {
         deltaStream(spark, feedDir, table, rowSchema, keyExpr),
         dataDir, s"$base/ckpt")
     }
-    dataDir
+    activeDataDir(base)
   }
 }

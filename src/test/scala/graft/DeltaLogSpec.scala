@@ -57,4 +57,79 @@ class DeltaLogSpec extends SparkSpec {
     assert(rows.forall(r => r.getAs[String]("action") == "upsert"
       && r.getAs[String]("prevJson") == null))
   }
+
+  private def writeLog(logDir: String,
+      batches: Seq[(Long, Seq[(Long, String, String, String)])]): Unit =
+    batches.foreach { case (id, rows) =>
+      rows.toDF("key", "action", "rowJson", "prevJson")
+        .write.mode("overwrite").parquet(s"$logDir/batch_id=$id")
+    }
+
+  test("compactLog swaps CURRENT atomically; folds identical across generations; re-compactable") {
+    val base = java.nio.file.Files.createTempDirectory("graft_dl_gen_").toString
+    writeLog(s"$base/data", Seq(
+      0L -> Seq((1L, "upsert", row(1, "a", 10.0), null),
+        (2L, "upsert", row(2, "b", 5.0), null)),
+      1L -> Seq((1L, "upsert", row(1, "a", 11.0), row(1, "a", 10.0)))))
+    def fold() = IncrementalAgg.sumCountByGroup(
+        spark.read.parquet(DeltaLog.activeDataDir(base)), rowSchema, "g", "v")
+      .as[(String, Long, Double)].collect().toSet
+    val before = fold()
+    assert(DeltaLog.activeDataDir(base).endsWith("/data"))
+    val gen1 = DeltaLog.compactLog(spark, base)
+    assert(gen1.endsWith("/compact_1")
+      && DeltaLog.activeDataDir(base) == gen1)
+    assert(fold() == before)
+    // the compacted generation is one batch of live upserts
+    assert(spark.read.parquet(gen1).collect()
+      .forall(_.getAs[String]("action") == "upsert"))
+    // a second compaction stacks a new generation, never mixes
+    val gen2 = DeltaLog.compactLog(spark, base)
+    assert(gen2.endsWith("/compact_2")
+      && DeltaLog.activeDataDir(base) == gen2)
+    assert(fold() == before)
+  }
+
+  test("gc retires superseded fingerprints and generations on the retention clock") {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    val wh = Files.createTempDirectory("graft_dl_wh_").toString
+    val prev = spark.conf.getOption("spark.graft.warehouse")
+    spark.conf.set("spark.graft.warehouse", wh)
+    try {
+      val now = 1_000_000_000_000L
+      // one logical log, two fingerprints: fpOld superseded, fpNew live
+      val fpOld = s"$wh/deltalog_orders_t/aaaa"
+      val fpNew = s"$wh/deltalog_orders_t/bbbb"
+      writeLog(s"$fpOld/data", Seq(0L -> Seq((1L, "upsert", row(1, "a", 1.0), null))))
+      writeLog(s"$fpNew/data", Seq(0L -> Seq((1L, "upsert", row(1, "a", 2.0), null))))
+      Files.createDirectories(Paths.get(s"$fpNew/ckpt"))
+      Files.createFile(Paths.get(s"$fpNew/_GRAFT_DONE"))
+      // live fingerprint compacted twice: data and compact_1 superseded
+      DeltaLog.compactLog(spark, fpNew)
+      DeltaLog.compactLog(spark, fpNew)
+      // age everything, then mark fpNew as the most recent fingerprint
+      Seq(fpOld, s"$fpNew/data", s"$fpNew/compact_1").foreach(p =>
+        Files.setLastModifiedTime(Paths.get(p), FileTime.fromMillis(now - 10_000)))
+      Files.setLastModifiedTime(Paths.get(fpNew), FileTime.fromMillis(now))
+
+      // inside the retention window: nothing is deleted
+      assert(DeltaLog.gc(spark, retentionMs = 60_000, nowMs = now).isEmpty)
+      assert(Files.exists(Paths.get(s"$fpOld/data")))
+      // past it: the old fingerprint and both superseded generations go
+      val deleted = DeltaLog.gc(spark, retentionMs = 5_000, nowMs = now).toSet
+      assert(deleted == Set(fpOld, s"$fpNew/data", s"$fpNew/compact_1"))
+      assert(!Files.exists(Paths.get(fpOld)))
+      assert(Files.exists(Paths.get(s"$fpNew/compact_2"))
+        && Files.exists(Paths.get(s"$fpNew/ckpt"))
+        && Files.exists(Paths.get(s"$fpNew/_GRAFT_DONE")))
+      // folds over the surviving active generation still work
+      assert(IncrementalAgg.sumCountByGroup(
+          spark.read.parquet(DeltaLog.activeDataDir(fpNew)), rowSchema, "g", "v")
+        .as[(String, Long, Double)].collect().toSet == Set(("a", 1L, 2.0)))
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.graft.warehouse", v)
+      case None => spark.conf.unset("spark.graft.warehouse")
+    }
+  }
 }

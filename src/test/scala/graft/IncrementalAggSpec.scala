@@ -182,6 +182,79 @@ class IncrementalAggSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("E2E: serving server restarts from a COMPACTED log with identical state (lifecycle)") {
+    import graft.cdc.DeltaLog
+    import graft.sinks.JdbcSink
+    import org.apache.spark.sql.streaming.Trigger
+    // a multi-batch table delta log with history: re-prices and a delete
+    val base = java.nio.file.Files.createTempDirectory("graft_restart_").toString
+    def writeBatch(id: Long, rows: Seq[(Long, String, String, String)]): Unit =
+      rows.toDF("key", "action", "rowJson", "prevJson")
+        .write.mode("overwrite").parquet(s"$base/data/batch_id=$id")
+    writeBatch(0, Seq(
+      (1L, "upsert", row(1, "a", 10.0), null),
+      (2L, "upsert", row(2, "a", 8.0), null),
+      (3L, "upsert", row(3, "b", 6.0), null)))
+    writeBatch(1, Seq(
+      (1L, "upsert", row(1, "a", 12.0), row(1, "a", 10.0)),
+      (2L, "delete", null, row(2, "a", 8.0)),
+      (4L, "upsert", row(4, "b", 7.0), null)))
+
+    val url = "jdbc:derby:memory:graftrestart;create=true"
+    def mkTable(name: String): Unit = {
+      val c = java.sql.DriverManager.getConnection(url)
+      c.createStatement().execute(
+        s"""CREATE TABLE $name ("g" VARCHAR(10) NOT NULL, "id" BIGINT NOT NULL,
+          | "v" DOUBLE NOT NULL, "refcnt" BIGINT,
+          | PRIMARY KEY ("g", "id", "v"))""".stripMargin.replace("\n", ""))
+      c.close()
+    }
+    // one serving run: stream the log's ACTIVE generation through
+    // supportDeltaStream into a fresh serving table, fresh checkpoint —
+    // exactly what a restarted server does
+    def serve(table: String): Long = {
+      mkTable(table)
+      val src = DeltaLog.activeDataDir(base)
+      val stream = spark.readStream
+        .schema(spark.read.parquet(src).schema).parquet(src)
+      val q = IncrementalAgg.supportDeltaStream(stream, rowSchema, "g", "v", "id")
+        .writeStream.outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft_restart_ck_").toString)
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[IncrementalAgg.SupportDelta], _: Long) =>
+            JdbcSink.applyViewDeltas(
+              batch.toDF().select($"action", $"g", $"id", $"v", $"refcnt"),
+              url, table, Seq("g", "id", "v"),
+              stagingColumnTypes = "g VARCHAR(10)",
+              deleteStagingColumnTypes = "g VARCHAR(10)")
+            ()
+        }.start()
+      q.awaitTermination()
+      q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    }
+    def board(table: String): Seq[(String, Long, Long, Double)] =
+      IncrementalAgg.rankSupport(
+          spark.read.jdbc(url, table, new java.util.Properties()),
+          "g", "v", "id", 2)
+        .as[(String, Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+
+    serve("serve_v1")
+    val expected = Seq(("a", 1L, 1L, 12.0), ("b", 1L, 4L, 7.0), ("b", 2L, 3L, 6.0))
+    assert(board("serve_v1") == expected)
+
+    // maintenance: compact, restart a fresh server from the compacted
+    // generation — the serving state must be IDENTICAL, and the
+    // replayed state must hold exactly the live triples (the bounded-
+    // state restart point: no tombstones, no history)
+    DeltaLog.compactLog(spark, base)
+    val stateRows = serve("serve_v2")
+    assert(board("serve_v2") == expected)
+    assert(stateRows == 3L,
+      s"restarted state must hold exactly the 3 live triples, got $stateRows")
+  }
+
   test("rank<=k is planned as WindowGroupLimit (partition-local top-k before the shuffle)") {
     val d = deltas((1L, "upsert", row(1, "a", 1.0), null))
     val p = IncrementalAgg.topKByGroup(d, rowSchema, "g", "v", "id", 10)
