@@ -222,9 +222,10 @@ object DeltaLog {
     * log writer must process the identical event set.
     */
   def keyedEvents(spark: SparkSession, feedDir: String, table: String,
-      rowSchema: StructType, keyExpr: Column): DataFrame = {
+      rowSchema: StructType, keyExpr: Column,
+      databases: Set[String] = Set("shop")): DataFrame = {
     val raw = spark.readStream.format("graft-cdc").option("path", feedDir).load()
-    val routed = Subscription(Set("shop"), Set(table)).route(raw)
+    val routed = Subscription(databases, Set(table)).route(raw)
       .drop("src_db", "src_table")
     val filtered = EventFilters.all(Envelope.parseTyped(routed, rowSchema))
     filtered.select(keyExpr.as("key"),
@@ -236,9 +237,10 @@ object DeltaLog {
     * consume deltas live (sinks, tests).
     */
   def deltaStream(spark: SparkSession, feedDir: String, table: String,
-      rowSchema: StructType, keyExpr: Column): DataFrame =
+      rowSchema: StructType, keyExpr: Column,
+      databases: Set[String] = Set("shop")): DataFrame =
     StatefulLww.deltaStream(
-      keyedEvents(spark, feedDir, table, rowSchema, keyExpr)).toDF()
+      keyedEvents(spark, feedDir, table, rowSchema, keyExpr, databases)).toDF()
 
   /** Materialized enriched-VIEW delta log — the same one-replay-many-
     * consumers argument, one level up: the orders⋈customer symmetric

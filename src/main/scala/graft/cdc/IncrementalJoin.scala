@@ -74,6 +74,27 @@ object IncrementalJoin {
         col("c.js").as("rowJson"))
       .filter(col("jk").isNotNull)
 
+  /** ONE source batch's routed rows applied to a key's state — the
+    * shared application rule of every view-delta variant: a surviving
+    * +dim row sets the dim, a lone −dim clears it; per fact id a +row
+    * means live-with-that-row, only-− means gone.
+    */
+  private def applyOneBatch(dim0: String, facts0: Map[Long, String],
+      dimRows: Seq[(Int, String)],
+      factRows: Iterable[(Long, Seq[(Int, String)])]): (String, Map[Long, String]) = {
+    val dim =
+      if (dimRows.exists(_._1 > 0)) dimRows.find(_._1 > 0).get._2
+      else if (dimRows.nonEmpty) null
+      else dim0
+    val facts = factRows.foldLeft(facts0) { case (m, (id, rs)) =>
+      rs.find(_._1 > 0) match {
+        case Some(p) => m.updated(id, p._2)
+        case None    => m - id
+      }
+    }
+    (dim, facts)
+  }
+
   /** The maintained view's delta stream. `factDeltas` / `dimDeltas` are
     * StatefulLww-shaped relations (key, action, rowJson, prevJson),
     * streaming or batch; `factJoinField` / `dimJoinField` name the join
@@ -106,22 +127,10 @@ object IncrementalJoin {
       (_: Long, it: Iterator[JIn], state: GroupState[JoinState]) =>
         val rows = it.toVector
         val old = state.getOption.getOrElse(JoinState(null, Map.empty))
-        // dim side: at most one delta per key per batch (StatefulLww) —
-        // a surviving + row sets it, a lone − clears it
-        val dimRows = rows.filter(_.side == "d")
-        val newDim =
-          if (dimRows.exists(_.sgn > 0)) dimRows.find(_.sgn > 0).get.rowJson
-          else if (dimRows.nonEmpty) null
-          else old.dimJson
-        // fact side: per fact id, a + row means live-with-that-row
-        // (insert/update), only-− means gone (delete or key-move-away)
-        val facts = rows.filter(_.side == "f").groupBy(_.id)
-          .foldLeft(old.facts) { case (m, (id, rs)) =>
-            rs.find(_.sgn > 0) match {
-              case Some(p) => m.updated(id, p.rowJson)
-              case None    => m - id
-            }
-          }
+        val (newDim, facts) = applyOneBatch(old.dimJson, old.facts,
+          rows.filter(_.side == "d").map(r => (r.sgn, r.rowJson)),
+          rows.filter(_.side == "f").groupBy(_.id)
+            .map { case (id, rs) => id -> rs.map(r => (r.sgn, r.rowJson)) })
         if (newDim == null && facts.isEmpty) state.remove()
         else state.update(JoinState(newDim, facts))
         // the key's enriched rows under each state: inner drops facts
@@ -131,6 +140,90 @@ object IncrementalJoin {
           else fs.map { case (id, r) => id -> (r, dim) }
         val before = enrichedRows(old.dimJson, old.facts)
         val after = enrichedRows(newDim, facts)
+        val upserts = after.collect {
+          case (id, (f, d)) if !before.get(id).contains((f, d)) =>
+            val p = before.get(id)
+            ViewDelta(id, "upsert", f, d, p.map(_._1).orNull, p.map(_._2).orNull)
+        }
+        val deletes = before.collect {
+          case (id, (f, d)) if !after.contains(id) =>
+            ViewDelta(id, "delete", null, null, f, d)
+        }
+        upserts.iterator ++ deletes.iterator
+    }
+  }
+
+  /** Routed ±row with its source-batch sequence number. Not private —
+    * Catalyst's SafeProjection constructs it.
+    */
+  case class JInS(jk: Long, side: String, sgn: Int, id: Long,
+      rowJson: String, seq: Long)
+
+  private def signedRoutedSeq(deltas: DataFrame, joinField: String,
+      side: String): DataFrame =
+    deltas.select(explode(filter(array(
+        when(col("rowJson").isNotNull,
+          struct(lit(1).as("sgn"), col("rowJson").as("js"))),
+        when(col("prevJson").isNotNull,
+          struct(lit(-1).as("sgn"), col("prevJson").as("js")))),
+      x => x.isNotNull)).as("c"), col("key").as("id"), col("seq"))
+      .select(
+        get_json_object(col("c.js"), s"$$.$joinField").cast("long").as("jk"),
+        lit(side).as("side"), col("c.sgn").as("sgn"), col("id"),
+        col("c.js").as("rowJson"), col("seq").cast("long").as("seq"))
+      .filter(col("jk").isNotNull)
+
+  /** SEQ-ORDERED view-delta stream: like [[viewDeltaStream]], but each
+    * input delta carries a `seq` column (the delta log's batch_id) and a
+    * micro-batch may contain SEVERAL source batches' deltas for one key —
+    * the fold applies them in ascending seq order, each seq group under
+    * the one-delta-per-key-per-side rule viewDeltaStream demands of a
+    * whole micro-batch.
+    *
+    * This is what lets a composed stage consume a MATERIALIZED delta log
+    * through a plain file stream: the file source batches files by
+    * availability, not by the log's batch boundaries, so a resumed
+    * consumer can legally see batches 3..7 of a key at once — the seq
+    * column restores the per-key application order that arrival order
+    * lost. Emission still diffs the key's enriched rows once per
+    * micro-batch (intermediate states of a multi-seq catch-up collapse,
+    * which is exactly the collapsed delta a serving sink wants).
+    *
+    * INPUT CONTRACT (relaxed form of viewDeltaStream's): at most one
+    * delta per key per (side, seq) — what a StatefulLww-built batch_id-
+    * partitioned log satisfies by construction.
+    */
+  def viewDeltaStreamOrdered(factDeltas: DataFrame, dimDeltas: DataFrame,
+      factJoinField: String, dimJoinField: String,
+      leftOuter: Boolean = false): Dataset[ViewDelta] = {
+    val spark = factDeltas.sparkSession
+    import spark.implicits._
+    val routed = signedRoutedSeq(factDeltas, factJoinField, "f")
+      .unionByName(signedRoutedSeq(dimDeltas, dimJoinField, "d"))
+      .as[JInS]
+    routed.groupByKey(_.jk).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (_: Long, it: Iterator[JInS], state: GroupState[JoinState]) =>
+        val rows = it.toVector
+        val old = state.getOption.getOrElse(JoinState(null, Map.empty))
+        var dim = old.dimJson
+        var facts = old.facts
+        rows.map(_.seq).distinct.sorted.foreach { s =>
+          val rs = rows.filter(_.seq == s)
+          val applied = applyOneBatch(dim, facts,
+            rs.filter(_.side == "d").map(r => (r.sgn, r.rowJson)),
+            rs.filter(_.side == "f").groupBy(_.id)
+              .map { case (id, g) => id -> g.map(r => (r.sgn, r.rowJson)) })
+          dim = applied._1
+          facts = applied._2
+        }
+        if (dim == null && facts.isEmpty) state.remove()
+        else state.update(JoinState(dim, facts))
+        def enrichedRows(dm: String, fs: Map[Long, String]): Map[Long, (String, String)] =
+          if (!leftOuter && dm == null) Map.empty
+          else fs.map { case (id, r) => id -> (r, dm) }
+        val before = enrichedRows(old.dimJson, old.facts)
+        val after = enrichedRows(dim, facts)
         val upserts = after.collect {
           case (id, (f, d)) if !before.get(id).contains((f, d)) =>
             val p = before.get(id)

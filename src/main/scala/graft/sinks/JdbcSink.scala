@@ -10,6 +10,38 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
   */
 object JdbcSink {
 
+  /** Spark's built-in Derby dialect maps StringType to CLOB, which (a)
+    * cannot be a merge/compare key and (b) makes the writer call
+    * setNull(CLOB) — a hard Derby error against the VARCHAR columns a
+    * serving/staging table declares (bites exactly when a LEFT-OUTER
+    * view writes its null-enriched dim fields). Registering this
+    * dialect ahead of the built-in one maps StringType to VARCHAR at
+    * Derby's maximum length instead; every other type falls through to
+    * the stock mapping chain. Idempotent, Derby-URL-scoped.
+    */
+  private object DerbyVarcharDialect extends org.apache.spark.sql.jdbc.JdbcDialect {
+    // captured BEFORE this dialect registers, so it is Spark's stock
+    // DerbyDialect — everything but the string mapping delegates to it
+    private val stock: org.apache.spark.sql.jdbc.JdbcDialect =
+      org.apache.spark.sql.jdbc.JdbcDialects.get("jdbc:derby:memory:probe")
+    override def canHandle(url: String): Boolean =
+      url.toLowerCase(java.util.Locale.ROOT).startsWith("jdbc:derby")
+    override def getJDBCType(dt: org.apache.spark.sql.types.DataType)
+        : Option[org.apache.spark.sql.jdbc.JdbcType] = dt match {
+      case org.apache.spark.sql.types.StringType =>
+        Some(org.apache.spark.sql.jdbc.JdbcType(
+          "VARCHAR(32672)", java.sql.Types.VARCHAR))
+      case other => stock.getJDBCType(other)
+    }
+    override def getCatalystType(sqlType: Int, typeName: String, size: Int,
+        md: org.apache.spark.sql.types.MetadataBuilder)
+        : Option[org.apache.spark.sql.types.DataType] =
+      stock.getCatalystType(sqlType, typeName, size, md)
+    override def isCascadingTruncateTable(): Option[Boolean] =
+      stock.isCascadingTruncateTable()
+  }
+  locally { org.apache.spark.sql.jdbc.JdbcDialects.registerDialect(DerbyVarcharDialect) }
+
   /** Plain append (batch or inside foreachBatch). */
   def append(df: DataFrame, url: String, table: String,
       props: java.util.Properties = new java.util.Properties()): Unit =

@@ -50,27 +50,110 @@ object PipelineRegistry {
     Option(new File(dir).listFiles()).getOrElse(Array.empty[File])
       .filter(f => f.isFile && f.getName.endsWith(".json")).sortBy(_.getName).toSeq
 
-  /** Discover and build every pipeline defined in `dir`. Fails fast on a
-    * malformed conf (the reference's register-at-boot contract, S3).
+  private def kindOf(node: com.fasterxml.jackson.databind.JsonNode): String =
+    if (node.hasNonNull("kind")) node.get("kind").asText() else "lww"
+
+  /** Discover and build every single-table LWW pipeline defined in
+    * `dir` (confs without a `kind`, or `"kind": "lww"`). Fails fast on
+    * a malformed conf (the reference's register-at-boot contract, S3).
+    * `"kind": "view"` confs are [[loadViews]]'s.
     */
   def load(dir: String): Seq[Entry] = {
     val mapper = new ObjectMapper()
-    confFiles(dir).map { f =>
+    confFiles(dir).flatMap { f =>
       val node = mapper.readTree(f)
-      def strSet(field: String): Set[String] =
-        if (node.has(field)) node.get(field).elements().asScala.map(_.asText()).toSet
-        else Set.empty
-      require(node.hasNonNull("name") && node.hasNonNull("idKey")
-          && node.hasNonNull("schema"),
-        s"${f.getName}: name, idKey and schema are required")
-      val pipeline = CdcPipeline(
-        name = node.get("name").asText(),
-        subscription = Subscription(strSet("databases"), strSet("tables")),
-        rowSchema = StructType.fromDDL(node.get("schema").asText()),
-        idKey = node.get("idKey").asText())
-      Entry(pipeline, f.getAbsolutePath, f.lastModified())
+      if (kindOf(node) != "lww") None
+      else {
+        def strSet(field: String): Set[String] =
+          if (node.has(field)) node.get(field).elements().asScala.map(_.asText()).toSet
+          else Set.empty
+        require(node.hasNonNull("name") && node.hasNonNull("idKey")
+            && node.hasNonNull("schema"),
+          s"${f.getName}: name, idKey and schema are required")
+        val pipeline = CdcPipeline(
+          name = node.get("name").asText(),
+          subscription = Subscription(strSet("databases"), strSet("tables")),
+          rowSchema = StructType.fromDDL(node.get("schema").asText()),
+          idKey = node.get("idKey").asText())
+        Some(Entry(pipeline, f.getAbsolutePath, f.lastModified()))
+      }
     }
   }
+
+  final case class ViewEntry(pipeline: ViewPipeline, file: String, mtime: Long)
+
+  /** Discover and build every `"kind": "view"` pipeline in `dir` — the
+    * fact ⋈ dim denormalization flow as registry data:
+    * {{{
+    *   { "kind": "view", "name": "orders_enriched",
+    *     "databases": ["shop"], "leftOuter": true,
+    *     "fact": { "table": "orders", "idKey": "o_orderkey",
+    *               "joinKey": "o_custkey",
+    *               "schema": "o_orderkey BIGINT, o_custkey BIGINT, ..." },
+    *     "dim":  { "table": "customer", "idKey": "c_custkey",
+    *               "joinKey": "c_custkey",
+    *               "schema": "c_custkey BIGINT, c_name STRING, ..." },
+    *     "jdbc": { "url": "jdbc:derby:...", "table": "enriched",
+    *               "stagingColumnTypes": "c_name VARCHAR(64), ..." } }
+    * }}}
+    * Same lifecycle as LWW entries: [[changedSince]]/[[removedSince]]
+    * key on the conf file, and the work dir a runner derives from the
+    * conf file name ([[ckptKey]]) preserves checkpoints across restarts.
+    */
+  def loadViews(dir: String): Seq[ViewEntry] = {
+    val mapper = new ObjectMapper()
+    confFiles(dir).flatMap { f =>
+      val node = mapper.readTree(f)
+      if (kindOf(node) != "view") None
+      else {
+        require(node.hasNonNull("name") && node.hasNonNull("fact")
+            && node.hasNonNull("dim") && node.hasNonNull("jdbc"),
+          s"${f.getName}: view confs need name, fact, dim and jdbc")
+        def side(field: String) = {
+          val s = node.get(field)
+          require(s.hasNonNull("table") && s.hasNonNull("idKey")
+              && s.hasNonNull("joinKey") && s.hasNonNull("schema"),
+            s"${f.getName}: $field needs table, idKey, joinKey and schema")
+          (s.get("table").asText(), StructType.fromDDL(s.get("schema").asText()),
+            s.get("idKey").asText(), s.get("joinKey").asText())
+        }
+        val (fTable, fSchema, fId, fJoin) = side("fact")
+        val (dTable, dSchema, dId, dJoin) = side("dim")
+        val jdbc = node.get("jdbc")
+        require(jdbc.hasNonNull("url") && jdbc.hasNonNull("table"),
+          s"${f.getName}: jdbc needs url and table")
+        val dbs =
+          if (node.has("databases"))
+            node.get("databases").elements().asScala.map(_.asText()).toSet
+          else Set("shop")
+        val pipeline = ViewPipeline(
+          name = node.get("name").asText(),
+          databases = dbs,
+          factTable = fTable, factSchema = fSchema, factIdField = fId,
+          factJoinField = fJoin,
+          dimTable = dTable, dimSchema = dSchema, dimIdField = dId,
+          dimJoinField = dJoin,
+          leftOuter = node.has("leftOuter") && node.get("leftOuter").asBoolean(),
+          jdbcUrl = jdbc.get("url").asText(),
+          jdbcTable = jdbc.get("table").asText(),
+          stagingColumnTypes =
+            if (jdbc.hasNonNull("stagingColumnTypes"))
+              Some(jdbc.get("stagingColumnTypes").asText()) else None)
+        Some(ViewEntry(pipeline, f.getAbsolutePath, f.lastModified()))
+      }
+    }
+  }
+
+  /** Run every registered view pipeline once over the feed's current
+    * contents — each under its own conf-file-keyed work dir (the same
+    * checkpoint-identity rule as [[ckptKey]]), so restarts resume and a
+    * renamed view keeps its cursor.
+    */
+  def runViews(entries: Seq[ViewEntry], spark: SparkSession,
+      sourceDir: String, workRoot: String): Unit =
+    entries.foreach { e =>
+      e.pipeline.runOnce(spark, sourceDir, s"$workRoot/${ckptKey(e.file)}")
+    }
 
   /** Conf files added or modified since `known` was loaded — the
     * pipelines whose queries need a restart (S2 reload semantics).

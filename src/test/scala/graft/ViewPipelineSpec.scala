@@ -1,0 +1,179 @@
+package graft
+
+import graft.cdc.IncrementalJoin
+import graft.streaming.PipelineRegistry
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.nio.file.Files
+import scala.jdk.CollectionConverters._
+
+/** Registry-declared VIEW pipelines (conf kind "view"): bronze feed →
+  * per-table LWW delta logs → ordered Δ(fact⋈dim) → typed JDBC serving
+  * table, incremental across invocations. Plus the seq-ordered join
+  * fold the file-stream composition depends on.
+  */
+class ViewPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private case class SeqDelta(key: Long, action: String, rowJson: String,
+      prevJson: String, seq: Long)
+
+  private def f(okey: Long, cust: Long, v: String) =
+    s"""{"okey":$okey,"cust":$cust,"v":"$v"}"""
+  private def d(cust: Long, name: String) =
+    s"""{"cust":$cust,"name":"$name"}"""
+
+  test("viewDeltaStreamOrdered applies several source batches per key in seq order") {
+    implicit val ctx = spark.sqlContext
+    val facts = MemoryStream[SeqDelta]
+    val dims = MemoryStream[SeqDelta]
+    val q = IncrementalJoin.viewDeltaStreamOrdered(
+      facts.toDF(), dims.toDF(), "cust", "cust").writeStream
+      .format("memory").queryName("ordered_view").outputMode("append").start()
+    try {
+      // ONE micro-batch carrying three source batches for cust 1:
+      //   seq 0: fact 10 inserted, dim = A
+      //   seq 1: dim renamed to B
+      //   seq 2: fact 10 updated
+      // applied in seq order the final enriched row is (x2, B); applied
+      // in any other order (e.g. seq 2 first, then 1, then 0's stale dim
+      // A winning) the result is wrong — this is exactly the catch-up
+      // shape a resumed file stream over a multi-batch log delivers.
+      facts.addData(
+        SeqDelta(10, "upsert", f(10, 1, "x"), null, 0),
+        SeqDelta(10, "upsert", f(10, 1, "x2"), f(10, 1, "x"), 2))
+      dims.addData(
+        SeqDelta(1, "upsert", d(1, "A"), null, 0),
+        SeqDelta(1, "upsert", d(1, "B"), d(1, "A"), 1))
+      q.processAllAvailable()
+      val out = spark.table("ordered_view")
+        .as[IncrementalJoin.ViewDelta].collect().toSeq
+      assert(out == Seq(
+        IncrementalJoin.ViewDelta(10, "upsert", f(10, 1, "x2"), d(1, "B"),
+          null, null)),
+        "catch-up emission must collapse to the final enriched row")
+
+      // a later micro-batch with an insert-then-delete pair (seq 3, 4)
+      // nets out: state empty, nothing emitted for fact 11, and the live
+      // fact 10 is untouched
+      facts.addData(
+        SeqDelta(11, "upsert", f(11, 1, "y"), null, 3),
+        SeqDelta(11, "delete", null, f(11, 1, "y"), 4))
+      q.processAllAvailable()
+      val out2 = spark.table("ordered_view")
+        .as[IncrementalJoin.ViewDelta].collect().toSeq
+      assert(out2 == out, "insert-then-delete across seqs must net to nothing")
+    } finally q.stop()
+  }
+
+  test("registry parses view confs; lww loader skips them") {
+    val confDir = Files.createTempDirectory("graft_viewconf_").toFile
+    Files.write(new java.io.File(confDir, "v.json").toPath, Seq(
+      """{"kind":"view","name":"enr","databases":["shop"],"leftOuter":true,
+        |"fact":{"table":"orders","idKey":"o_orderkey","joinKey":"o_custkey",
+        |        "schema":"o_orderkey BIGINT, o_custkey BIGINT, o_total DOUBLE"},
+        |"dim":{"table":"customer","idKey":"c_custkey","joinKey":"c_custkey",
+        |       "schema":"c_custkey BIGINT, c_name STRING"},
+        |"jdbc":{"url":"jdbc:derby:memory:x","table":"enriched",
+        |        "stagingColumnTypes":"c_name VARCHAR(64)"}}"""
+        .stripMargin.replace("\n", "")).asJava)
+    Files.write(new java.io.File(confDir, "w.json").toPath, Seq(
+      """{"name":"t1","databases":["d"],"tables":["t"],"idKey":"id","schema":"id BIGINT"}""").asJava)
+
+    val views = PipelineRegistry.loadViews(confDir.toString)
+    assert(views.map(_.pipeline.name) == Seq("enr"))
+    val v = views.head.pipeline
+    assert(v.leftOuter && v.factJoinField == "o_custkey"
+      && v.dimTable == "customer" && v.jdbcTable == "enriched"
+      && v.stagingColumnTypes.contains("c_name VARCHAR(64)"))
+    // the LWW loader must not try to build the view conf (it has no
+    // idKey/schema at the top level and would fail fast)
+    assert(PipelineRegistry.load(confDir.toString).map(_.pipeline.name) == Seq("t1"))
+  }
+
+  test("E2E: view pipeline serves a typed JDBC table and stays incremental across runs") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def wire(table: String, after: String, before: String, op: String,
+        ts: Long, off: Long): String = {
+      val ev = s"""{"payload":{"before":${Option(before).getOrElse("null")},""" +
+        s""""after":${Option(after).getOrElse("null")},""" +
+        s""""source":{"db":"shop","table":"$table","ts_ms":$ts},"op":"$op","ts_ms":$ts}}"""
+      s"""{"value":${mapper.writeValueAsString(ev)},"offset":$off}"""
+    }
+    def o(okey: Long, cust: Long, total: Double) =
+      s"""{"o_orderkey":$okey,"o_custkey":$cust,"o_total":$total}"""
+    def c(cust: Long, name: String) =
+      s"""{"c_custkey":$cust,"c_name":"$name"}"""
+
+    val url = "jdbc:derby:memory:graftviewpipe;create=true"
+    val c0 = java.sql.DriverManager.getConnection(url)
+    c0.createStatement().execute(
+      """CREATE TABLE enriched ("o_orderkey" BIGINT NOT NULL PRIMARY KEY,
+        | "o_custkey" BIGINT, "o_total" DOUBLE,
+        | "c_custkey" BIGINT, "c_name" VARCHAR(64))"""
+        .stripMargin.replace("\n", ""))
+    c0.close()
+
+    val confDir = Files.createTempDirectory("graft_viewconf_e2e_").toFile
+    Files.write(new java.io.File(confDir, "enr.json").toPath, Seq(
+      s"""{"kind":"view","name":"enr","databases":["shop"],"leftOuter":true,
+         |"fact":{"table":"orders","idKey":"o_orderkey","joinKey":"o_custkey",
+         |        "schema":"o_orderkey BIGINT, o_custkey BIGINT, o_total DOUBLE"},
+         |"dim":{"table":"customer","idKey":"c_custkey","joinKey":"c_custkey",
+         |       "schema":"c_custkey BIGINT, c_name STRING"},
+         |"jdbc":{"url":"$url","table":"enriched",
+         |        "stagingColumnTypes":"c_name VARCHAR(64)"}}"""
+        .stripMargin.replace("\n", "")).asJava)
+
+    val feedDir = Files.createTempDirectory("graft_viewfeed_").toFile
+    val workRoot = Files.createTempDirectory("graft_viewwork_").toString
+
+    // wave 1: two customers, two orders — order 11 references custkey 3,
+    // which has no dim row yet (left-outer serves it null-enriched)
+    Files.write(new java.io.File(feedDir, "000.json").toPath, Seq(
+      wire("customer", c(1, "Alice"), null, "c", 10, 1),
+      wire("customer", c(2, "Bob"), null, "c", 10, 2),
+      wire("orders", o(10, 1, 5.0), null, "c", 10, 3),
+      wire("orders", o(11, 3, 7.0), null, "c", 10, 4)).asJava)
+
+    val views = PipelineRegistry.loadViews(confDir.toString)
+    PipelineRegistry.runViews(views, spark, feedDir.toString, workRoot)
+
+    def serving(): Map[Long, (Long, Double, Option[Long], Option[String])] =
+      spark.read.jdbc(url, "enriched", new java.util.Properties())
+        .collect().map { r =>
+          r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+            if (r.isNullAt(3)) None else Some(r.getLong(3)),
+            Option(r.getString(4))))
+        }.toMap
+
+    assert(serving() == Map(
+      10L -> ((1L, 5.0, Some(1L), Some("Alice"))),
+      11L -> ((3L, 7.0, None, None))),
+      "wave 1: enriched + null-enriched (fact-before-dim) rows")
+
+    // capture the first-run fact-log partition set: run 2 must append new
+    // batch_id partitions, not rewrite history
+    val factLog = new java.io.File(s"$workRoot/${PipelineRegistry.ckptKey(views.head.file)}/log_fact")
+    val batchesBefore = factLog.listFiles().map(_.getName)
+      .filter(_.startsWith("batch_id=")).toSet
+
+    // wave 2: late dim for custkey 3 (upgrade), dim rename (update wave),
+    // fact key-move 1 → 2, fact delete
+    Files.write(new java.io.File(feedDir, "001.json").toPath, Seq(
+      wire("customer", c(3, "Carol"), null, "c", 20, 5),
+      wire("customer", c(1, "Alicia"), c(1, "Alice"), "u", 20, 6),
+      wire("orders", o(10, 2, 5.0), o(10, 1, 5.0), "u", 20, 7),
+      wire("orders", null, o(11, 3, 7.0), "d", 21, 8)).asJava)
+
+    PipelineRegistry.runViews(views, spark, feedDir.toString, workRoot)
+
+    assert(serving() == Map(
+      10L -> ((2L, 5.0, Some(2L), Some("Bob")))),
+      "wave 2: key-move re-enriches against the new dim; fact delete removes the row")
+
+    val batchesAfter = factLog.listFiles().map(_.getName)
+      .filter(_.startsWith("batch_id=")).toSet
+    assert(batchesBefore.subsetOf(batchesAfter) && batchesAfter.size > batchesBefore.size,
+      "run 2 appends new log batches; first-run history is untouched")
+  }
+}
