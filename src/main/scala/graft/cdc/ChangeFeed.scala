@@ -164,4 +164,56 @@ object ChangeFeed {
     }
     spark.read.parquet(stagedDir)
   }
+
+  /** Row payload schema of the `documents` CDC feed — the corpus as a
+    * LIVE table: the shape every CDC-maintained corpus index (near-dup,
+    * ANN) consumes.
+    */
+  val documentsRowSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType)))
+
+  /** Deterministic documents change feed (same construction discipline
+    * as [[fromTestData]], stated so the DuckDB oracle can rebuild the
+    * final corpus in plain SQL):
+    *   slot 0: op=r snapshot of every doc           (ts = 1e9 + id)
+    *   slot 1: op=u for id%3==0 — text gains the suffix
+    *           " revised edition"                   (ts = 2e9 + id)
+    *   slot 2: op=d for id%5==0                     (ts = 3e9 + id)
+    * LWW final state: id%5==0 gone (delete outranks the update for
+    * id%15==0), id%3==0 revised, everything else original — in SQL:
+    * `CASE WHEN doc_id%3=0 THEN text || ' revised edition' ELSE text
+    * END ... WHERE doc_id%5 <> 0`.
+    */
+  def documentsFromTestData(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+    val k = col("doc_id").cast("long")
+    val row = struct(k.as("doc_id"), col("text"))
+    val updRow = struct(k.as("doc_id"),
+      concat(col("text"), lit(" revised edition")).as("text"))
+    val nullRow = lit(null).cast(documentsRowSchema)
+    def ev(cond: Column, slot: Int, value: Column): DataFrame =
+      docs.filter(cond).select(value.as("value"), (k * 10 + slot).as("offset"))
+    val snapshot = ev(lit(true), 0,
+      envelope(k, dataPayload("r", nullRow, row, "documents", lit(1000000000L) + k)))
+    val update = ev(k % 3 === 0, 1,
+      envelope(k, dataPayload("u", row, updRow, "documents", lit(2000000000L) + k)))
+    val delete = ev(k % 5 === 0, 2,
+      envelope(k, dataPayload("d", row, nullRow, "documents", lit(3000000000L) + k)))
+    snapshot.unionByName(update).unionByName(delete)
+  }
+
+  /** The documents feed staged as JSON-lines for the DSv2 source.
+    * Idempotent per (dir, content).
+    */
+  def stagedDocsJsonl(spark: SparkSession, dir: String): String = {
+    val fp = graft.sources.Staging.fingerprint(Seq(s"$dir/documents.parquet"))
+    val stagedDir = sys.props("java.io.tmpdir") +
+      s"/graft_docfeed_v1_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_$fp"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$stagedDir/_SUCCESS"))) {
+      documentsFromTestData(spark, dir).repartition(8)
+        .write.mode("overwrite").json(stagedDir)
+    }
+    stagedDir
+  }
 }

@@ -416,6 +416,60 @@ object DeltaLog {
     out
   }
 
+  /** The CURRENT rows of a table delta log: latest delta per key, kept
+    * iff it is an upsert — the relational materialization any log
+    * consumer (serving check, index verify stage) folds to.
+    */
+  def currentRows(log: DataFrame): DataFrame =
+    latestPerKey(log).filter(col("action") === "upsert").drop("rn", "batch_id")
+
+  /** Materialized LWW delta log of the `documents` CDC feed — the
+    * corpus as a live table (ChangeFeed.documentsFromTestData's
+    * deterministic insert/revise/delete traffic).
+    */
+  def documentsLogDir(spark: SparkSession, dir: String): String = {
+    val fp = graft.sources.Staging.fingerprint(Seq(s"$dir/documents.parquet"))
+    val base = logBase(spark, s"deltalog_documents_${dirTag(dir)}", fp)
+    val dataDir = s"$base/data"
+    buildOnce(base) { () =>
+      val feedDir = ChangeFeed.stagedDocsJsonl(spark, dir)
+      Replay.runToParquet(spark,
+        deltaStream(spark, feedDir, "documents", ChangeFeed.documentsRowSchema,
+          coalesce(col("after.doc_id"), col("before.doc_id"))),
+        dataDir, s"$base/ckpt")
+    }
+    activeDataDir(base)
+  }
+
+  def documentsDeltas(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(documentsLogDir(spark, dir))
+
+  /** Materialized candidate-PAIR delta log of the streaming LSH index
+    * over the documents feed (ops.MinHashLsh.indexDeltaStream): the
+    * second-order composition — table delta log → index delta log —
+    * with the same one-replay-many-consumers economics as the view
+    * logs. Consumers fold `livePairs` and exact-verify against
+    * [[currentRows]] of the documents log.
+    */
+  def documentsPairDeltas(spark: SparkSession, dir: String): DataFrame = {
+    val fp = graft.sources.Staging.fingerprint(Seq(s"$dir/documents.parquet"))
+    val base = logBase(spark, s"lshindexlog_${dirTag(dir)}", fp)
+    val dataDir = s"$base/data"
+    buildOnce(base) { () =>
+      // collapsed: the whole doc log arrives as ONE stream batch, so the
+      // per-doc one-delta contract needs the per-key collapse first; a
+      // collapsed −prev whose insert was collapsed away is a no-op by
+      // the index's removal guard
+      val dlog = collapsedForJoin(spark, documentsLogDir(spark, dir))
+      def streamOf(d: String) =
+        spark.readStream.schema(spark.read.parquet(d).schema).parquet(d)
+      Replay.runToParquet(spark,
+        graft.ops.MinHashLsh.indexDeltaStream(streamOf(dlog)).toDF(),
+        dataDir, s"$base/ckpt")
+    }
+    spark.read.parquet(activeDataDir(base))
+  }
+
   private def logFor(spark: SparkSession, dir: String, table: String,
       rowSchema: StructType, keyExpr: Column): String = {
     val fp = graft.sources.Staging.fingerprint(

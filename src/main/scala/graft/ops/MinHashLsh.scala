@@ -234,4 +234,108 @@ object MinHashLsh {
       .select(col("doc_id_a"), col("doc_id_b"), col("jac"))
     (pairs, () => { byDoc.unpersist(); () })
   }
+
+  /** One candidate-pair support change emitted by the STREAMING LSH
+    * index ([[indexDeltaStream]]): ±1 per shared band bucket the pair
+    * gained or lost. Folding `sum(delta) > 0` over the emitted history
+    * yields the live candidate set at any point — the near-dup analog
+    * of an incremental view's ± algebra.
+    */
+  case class PairDelta(id_a: Long, id_b: Long, delta: Int)
+
+  /** Routed ±bucket row: one per (doc version, band). Not private —
+    * Catalyst's SafeProjection constructs it.
+    */
+  case class BucketIn(id: Long, sgn: Int, b: Int, v: Int)
+
+  /** CDC-MAINTAINED near-dup index: consume a StatefulLww-shaped
+    * document delta stream (key, action, rowJson, prevJson — text at
+    * `$.textField`) and maintain the banded MinHash index as STREAMING
+    * STATE, emitting candidate-pair support deltas as documents arrive,
+    * change, and leave.
+    *
+    * Shape per micro-batch: the map side turns each document delta into
+    * ±banded rows (+bands for the new text, −bands for the prev text —
+    * [[bandedRows]], so a delta costs `bands` rows regardless of corpus
+    * size); one shuffle groups them by (band, bucket); per-bucket state
+    * is the member doc-id set, and a member arriving/leaving emits
+    * ±PairDelta against the bucket's other members. A text change whose
+    * band hash is unchanged nets to zero inside the bucket and emits
+    * nothing — only buckets a delta actually moves across do work.
+    *
+    * Scale: state totals = live bucket memberships = bands × live docs;
+    * per-delta work = O(bands × bucket size). Hot buckets (boilerplate
+    * bands) concentrate pair emission exactly as they concentrate any
+    * LSH bucket join — the banding parameters bound expected bucket
+    * sizes, and a production deployment caps pathological buckets the
+    * same way the batch path does (a bucket at cap is boilerplate, not
+    * near-dup signal).
+    *
+    * INPUT CONTRACT: at most one delta per document per micro-batch
+    * (StatefulLww's emission). Removal of a doc the index never held
+    * (e.g. a collapsed log replay whose −prev was never inserted) is a
+    * no-op, so single-batch bootstrap over a collapsed log lands on
+    * exactly the live corpus's index.
+    */
+  def indexDeltaStream(docDeltas: DataFrame, textField: String = "text",
+      shingleN: Int = 3, bands: Int = 16, rows: Int = 4,
+      seed: Long = 42L): org.apache.spark.sql.Dataset[PairDelta] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = docDeltas.sparkSession
+    import spark.implicits._
+    val signed = docDeltas.select(col("key").cast("long").as("id"),
+      explode(filter(array(
+        when(col("rowJson").isNotNull, struct(lit(1).as("sgn"),
+          get_json_object(col("rowJson"), s"$$.$textField").as("text"))),
+        when(col("prevJson").isNotNull, struct(lit(-1).as("sgn"),
+          get_json_object(col("prevJson"), s"$$.$textField").as("text")))),
+        x => x.isNotNull)).as("c"))
+      .select(col("id"), col("c.sgn").as("sgn"), col("c.text").as("text"))
+    val banded = bandedRows(
+      signed.select(struct(col("id"), col("sgn")).as("k"), col("text")),
+      "k", "text", shingleN, bands, rows, seed)
+      .select(col("id.id").as("id"), col("id.sgn").as("sgn"),
+        col("b"), col("v"))
+      .as[BucketIn]
+    def ordered(x: Long, y: Long, d: Int): PairDelta =
+      if (x < y) PairDelta(x, y, d) else PairDelta(y, x, d)
+    banded.groupByKey(r => (r.b, r.v)).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (_: (Int, Int), it: Iterator[BucketIn], state: GroupState[Set[Long]]) =>
+        val rowsIn = it.toVector
+        var members = state.getOption.getOrElse(Set.empty[Long])
+        // net per doc: −old +new of an in-place text change cancels here
+        val net = rowsIn.groupBy(_.id).map { case (id, rs) =>
+          id -> rs.map(_.sgn).sum
+        }
+        val out = Vector.newBuilder[PairDelta]
+        // removals against the shrinking set, then additions against the
+        // growing set (both in sorted order): a pair of docs entering or
+        // leaving together changes its support by exactly one per bucket
+        net.collect { case (id, s) if s < 0 => id }.toVector.sorted.foreach { r =>
+          if (members(r)) {
+            members -= r
+            members.foreach(m => out += ordered(r, m, -1))
+          }
+        }
+        net.collect { case (id, s) if s > 0 => id }.toVector.sorted.foreach { a =>
+          if (!members(a)) {
+            members.foreach(m => out += ordered(a, m, +1))
+            members += a
+          }
+        }
+        if (members.isEmpty) state.remove() else state.update(members)
+        out.result().iterator
+    }
+  }
+
+  /** Fold a [[PairDelta]] history to the live candidate pairs — support
+    * = number of band buckets the pair currently shares; live iff > 0.
+    * Order-free (pure ± algebra), so it runs identically over a delta
+    * log in any batch layout.
+    */
+  def livePairs(pairDeltas: DataFrame): DataFrame =
+    pairDeltas.groupBy(col("id_a"), col("id_b"))
+      .agg(sum(col("delta")).cast("long").as("support"))
+      .filter(col("support") > 0)
 }

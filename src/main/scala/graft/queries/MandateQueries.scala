@@ -837,7 +837,63 @@ object MandateQueries {
         col("n_frames"), col("format"))
   }
 
+  /** Q118: CDC-MAINTAINED near-dup index — the flagship dedup operator
+    * (q26's banding) lifted onto the flagship CDC machinery: a
+    * deterministic documents change feed (inserts, text revisions,
+    * deletes — ChangeFeed.documentsFromTestData) drives a streaming
+    * LSH index (MinHashLsh.indexDeltaStream) whose candidate-pair
+    * SUPPORT DELTAS are materialized as a second-order delta log; the
+    * query folds the live pairs and exact-verifies them against the
+    * log's current corpus. The oracle rebuilds the post-traffic corpus
+    * arithmetically (the feed's stated LWW outcome) and states the
+    * exact Jaccard pairs — so a revision that moves a document's
+    * buckets, and a deletion that retracts its pairs, must both be
+    * reflected by the maintained index for the hash to match.
+    *
+    * Scale: each document delta costs `bands` bucket rows (never corpus
+    * size); bucket state = bands × live docs; the verify joins only the
+    * folded candidates. Recall at the 0.6 threshold rides the same
+    * measured bimodal structure as q26 (true pairs ≥ ~0.85 even after
+    * the 2-token revision suffix — miss p < 1e-5; background ≤ 0.3).
+    */
+  val q118 = QueryDef.sql(
+    "q118_cdc_lsh_index",
+    """WITH cur AS (SELECT doc_id,
+      |         CASE WHEN doc_id % 3 = 0 THEN text || ' revised edition'
+      |              ELSE text END AS text
+      |       FROM documents WHERE doc_id % 5 <> 0),
+      |tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM cur),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         unnest(list_transform(range(1, len(t) - 1),
+      |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      |       FROM tok),
+      |card AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |pairs AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS c
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT doc_id_a, doc_id_b,
+      |       CAST(c AS DOUBLE) / (ca.n + cb.n - c) AS jac
+      |FROM pairs
+      |JOIN card ca ON doc_id_a = ca.doc_id
+      |JOIN card cb ON doc_id_b = cb.doc_id
+      |WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.6""".stripMargin) { (spark, dir) =>
+    import graft.cdc.DeltaLog
+    val live = MinHashLsh.livePairs(DeltaLog.documentsPairDeltas(spark, dir))
+    val cur = DeltaLog.currentRows(DeltaLog.documentsDeltas(spark, dir))
+      .select(col("key").cast("long").as("doc_id"),
+        get_json_object(col("rowJson"), "$.text").as("text"))
+    val st = MinHashLsh.shingleSets(cur, "doc_id", "text", 3)
+    val a = st.select(col("id").as("id_a"), col("ss").as("ssa"))
+    val b = st.select(col("id").as("id_b"), col("ss").as("ssb"))
+    live.join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .withColumn("c", size(array_intersect(col("ssa"), col("ssb"))).cast("long"))
+      .withColumn("jac", col("c").cast("double") /
+        (size(col("ssa")) + size(col("ssb")) - col("c")))
+      .filter(col("jac") >= 0.6)
+      .select(col("id_a").as("doc_id_a"), col("id_b").as("doc_id_b"), col("jac"))
+  }
+
   val all: Seq[QueryDef] = Seq(q18, q18b, q19, q20, q21, q22, q26, q27,
     q28, q28b, q29, q30, q31, q32, q33, q34, q58, q58b, q59, q61, q66, q67,
-    q70, q73, q77, q84, q89, q104, q106, q107, q108, q117)
+    q70, q73, q77, q84, q89, q104, q106, q107, q108, q117, q118)
 }
