@@ -203,6 +203,57 @@ object ChangeFeed {
     snapshot.unionByName(update).unionByName(delete)
   }
 
+  /** Row payload schema of the `embeddings` CDC feed — the vector
+    * corpus as a live table (what a CDC-maintained ANN index consumes).
+    */
+  val embeddingsRowSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType))))
+
+  /** Deterministic embeddings change feed (same slot discipline as
+    * [[documentsFromTestData]]):
+    *   slot 0: op=r snapshot of every vector       (ts = 1e9 + id)
+    *   slot 1: op=u for id%3==0 — embedding NEGATED elementwise, which
+    *           flips its direction (cosine geometry actually moves;
+    *           a scale would be a cosine no-op)    (ts = 2e9 + id)
+    *   slot 2: op=d for id%5==0                    (ts = 3e9 + id)
+    * LWW final state in SQL: `CASE WHEN vec_id%3=0 THEN
+    * list_transform(emb, x -> -x) ELSE emb END ... WHERE vec_id%5 <> 0`.
+    * Float negation is exact, so the JSON round trip and the oracle's
+    * arithmetic agree bitwise.
+    */
+  def embeddingsFromTestData(spark: SparkSession, dir: String): DataFrame = {
+    val embs = graft.Tables.embeddings(spark, dir)
+    val k = col("vec_id").cast("long")
+    val row = struct(k.as("vec_id"), col("embedding"))
+    val updRow = struct(k.as("vec_id"),
+      transform(col("embedding"), x => -x).as("embedding"))
+    val nullRow = lit(null).cast(embeddingsRowSchema)
+    def ev(cond: Column, slot: Int, value: Column): DataFrame =
+      embs.filter(cond).select(value.as("value"), (k * 10 + slot).as("offset"))
+    val snapshot = ev(lit(true), 0,
+      envelope(k, dataPayload("r", nullRow, row, "embeddings", lit(1000000000L) + k)))
+    val update = ev(k % 3 === 0, 1,
+      envelope(k, dataPayload("u", row, updRow, "embeddings", lit(2000000000L) + k)))
+    val delete = ev(k % 5 === 0, 2,
+      envelope(k, dataPayload("d", row, nullRow, "embeddings", lit(3000000000L) + k)))
+    snapshot.unionByName(update).unionByName(delete)
+  }
+
+  /** The embeddings feed staged as JSON-lines for the DSv2 source.
+    * Idempotent per (dir, content).
+    */
+  def stagedEmbeddingsJsonl(spark: SparkSession, dir: String): String = {
+    val fp = graft.sources.Staging.fingerprint(Seq(s"$dir/embeddings.parquet"))
+    val stagedDir = sys.props("java.io.tmpdir") +
+      s"/graft_embfeed_v1_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_$fp"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$stagedDir/_SUCCESS"))) {
+      embeddingsFromTestData(spark, dir).repartition(8)
+        .write.mode("overwrite").json(stagedDir)
+    }
+    stagedDir
+  }
+
   /** The documents feed staged as JSON-lines for the DSv2 source.
     * Idempotent per (dir, content).
     */

@@ -444,6 +444,27 @@ object DeltaLog {
   def documentsDeltas(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(documentsLogDir(spark, dir))
 
+  /** Materialized LWW delta log of the `embeddings` CDC feed — the
+    * vector corpus as a live table (ChangeFeed.embeddingsFromTestData's
+    * deterministic insert/negate/delete traffic).
+    */
+  def embeddingsLogDir(spark: SparkSession, dir: String): String = {
+    val fp = graft.sources.Staging.fingerprint(Seq(s"$dir/embeddings.parquet"))
+    val base = logBase(spark, s"deltalog_embeddings_${dirTag(dir)}", fp)
+    val dataDir = s"$base/data"
+    buildOnce(base) { () =>
+      val feedDir = ChangeFeed.stagedEmbeddingsJsonl(spark, dir)
+      Replay.runToParquet(spark,
+        deltaStream(spark, feedDir, "embeddings", ChangeFeed.embeddingsRowSchema,
+          coalesce(col("after.vec_id"), col("before.vec_id"))),
+        dataDir, s"$base/ckpt")
+    }
+    activeDataDir(base)
+  }
+
+  def embeddingsDeltas(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(embeddingsLogDir(spark, dir))
+
   /** Materialized candidate-PAIR delta log of the streaming LSH index
     * over the documents feed (ops.MinHashLsh.indexDeltaStream): the
     * second-order composition — table delta log → index delta log —

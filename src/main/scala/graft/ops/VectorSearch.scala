@@ -523,6 +523,83 @@ object VectorSearch {
       .filter(col("rnk") <= k)
   }
 
+  /** CDC-MAINTAINED IVF index, map side: turn a StatefulLww-shaped
+    * embedding delta stream (key, action, rowJson, prevJson — vector at
+    * `$.embedding`) into ±POSTING rows against a FIXED coarse quantizer:
+    * +(cell, id, emb) for the new vector, −(cell, id, emb) for the prev.
+    * Because a CDC delta carries the previous row, posting maintenance
+    * needs NO state at all — the old cell is computed from prevJson, not
+    * looked up — so this stage is embarrassingly parallel (contrast the
+    * LSH pair index, whose pair emission needs bucket membership). An
+    * index server applies the ± rows directly (delete from old cell,
+    * insert into new); a relational consumer folds [[livePostings]].
+    *
+    * The quantizer is an index artifact: trained once at bootstrap
+    * ([[trainCentroids]]) and held fixed under churn, exactly how IVF
+    * deployments behave (re-training is an offline index rebuild, not
+    * part of maintenance). A `seq` column (the delta log's batch_id) is
+    * passed through when present, else stamped 0.
+    */
+  def postingDeltas(vecDeltas: DataFrame, cents: Array[Array[Float]],
+      vectorField: String = "embedding"): DataFrame = {
+    val embSchema = org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.FloatType)
+    val withSeq =
+      if (vecDeltas.columns.contains("seq")) vecDeltas
+      else if (vecDeltas.columns.contains("batch_id"))
+        vecDeltas.withColumn("seq", col("batch_id").cast("long"))
+      else vecDeltas.withColumn("seq", lit(0L))
+    withSeq.select(col("key").cast("long").as("vec_id"), col("seq"),
+      explode(filter(array(
+        when(col("rowJson").isNotNull, struct(lit(1).as("sgn"),
+          from_json(get_json_object(col("rowJson"), s"$$.$vectorField"),
+            embSchema).as("emb"))),
+        when(col("prevJson").isNotNull, struct(lit(-1).as("sgn"),
+          from_json(get_json_object(col("prevJson"), s"$$.$vectorField"),
+            embSchema).as("emb")))),
+        x => x.isNotNull)).as("c"))
+      .select(col("vec_id"), col("seq"), col("c.sgn").as("sgn"),
+        nearestCell(col("c.emb"), cents).as("cell"), col("c.emb").as("emb"))
+  }
+
+  /** Fold a ±posting history to the live index rows: per vector, the
+    * LATEST delta's + row wins (ordered by seq, + over − within a seq);
+    * a vector whose last word is a − (delete) drops out. Order-free in
+    * the relational sense — correct over a delta log in any batch
+    * layout, including one where an update kept the vector in the same
+    * cell (the (cell, vec) net there is 0, but the + row still wins).
+    */
+  def livePostings(postingDeltas: DataFrame): DataFrame =
+    postingDeltas.groupBy(col("vec_id"))
+      .agg(max_by(struct(col("sgn"), col("cell"), col("emb")),
+        struct(col("seq"), col("sgn"))).as("w"))
+      .filter(col("w.sgn") > 0)
+      .select(col("vec_id"), col("w.cell").as("cell"), col("w.emb").as("embedding"))
+
+  /** IVF top-k over a MAINTAINED posting relation (vec_id, cell,
+    * embedding) — [[knnIvf]]'s probe join without the assignment scan:
+    * the index already knows every vector's cell, so a query touches
+    * only its nProbe probed cells' postings.
+    */
+  def knnIvfFromPostings(queries: DataFrame, postings: DataFrame, k: Int,
+      cents: Array[Array[Float]], nProbe: Int = 4): DataFrame = {
+    val c = postings.select(col("vec_id").as("n_vec_id"),
+      col("embedding").as("n_emb"), norm(col("embedding")).as("n_norm"),
+      col("cell"))
+    val q = queries.select(col("vec_id").as("q_vec_id"),
+      col("embedding").as("q_emb"), norm(col("embedding")).as("q_norm"),
+      explode(nearestCells(col("embedding"), cents, nProbe)).as("cell"))
+    val w = Window.partitionBy(col("q_vec_id"))
+      .orderBy(col("cos_sim").desc, col("n_vec_id"))
+    broadcast(q).join(c, Seq("cell"))
+      .filter(col("q_vec_id") =!= col("n_vec_id"))
+      .withColumn("cos_sim",
+        dot(col("q_emb"), col("n_emb")) / (col("q_norm") * col("n_norm")))
+      .select(col("q_vec_id"), col("n_vec_id"), col("cos_sim"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
   /** Diagnostic: members per cell for a given training depth. */
   def cellSizes(corpus: DataFrame, nCells: Int, iters: Int): Array[Long] = {
     val cents = if (iters > 0) trainCentroids(corpus, nCells, iters)

@@ -893,7 +893,65 @@ object MandateQueries {
       .select(col("id_a").as("doc_id_a"), col("id_b").as("doc_id_b"), col("jac"))
   }
 
+  /** Q119: CDC-MAINTAINED IVF ANN index — q29's index under churn. A
+    * deterministic embeddings change feed (snapshot, elementwise
+    * NEGATION for id%3==0 — cosine geometry actually moves — delete for
+    * id%5==0) drives stateless ±posting maintenance against the
+    * bootstrap-trained coarse quantizer (VectorSearch.postingDeltas:
+    * the CDC delta's prev row gives the old cell, so no state, no
+    * lookup); the query folds the live postings and serves top-5 from
+    * the maintained index. Guarantee-band oracle (q29's pattern): the
+    * exact top-5 over the post-traffic corpus — which DuckDB rebuilds
+    * arithmetically from the feed's stated LWW outcome — plus the
+    * engine-checked recall certificate of the served index (>= 0.6 at
+    * 16 cells x 4 probes). A vector the feed deleted must be absent
+    * from the index and a negated one must rank under its NEW direction
+    * for the hash to match.
+    */
+  val q119 = QueryDef.sql(
+    "q119_cdc_ivf_index",
+    """WITH e AS (SELECT vec_id,
+      |         CASE WHEN vec_id % 3 = 0
+      |              THEN list_transform(CAST(embedding AS DOUBLE[]), x -> -x)
+      |              ELSE CAST(embedding AS DOUBLE[]) END AS emb
+      |       FROM embeddings WHERE vec_id % 5 <> 0),
+      |p AS (SELECT q.vec_id AS q_vec_id, c.vec_id AS n_vec_id,
+      |             list_dot_product(q.emb, c.emb) /
+      |             (sqrt(list_dot_product(q.emb, q.emb)) * sqrt(list_dot_product(c.emb, c.emb))) AS cos_sim
+      |      FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+      |r AS (SELECT q_vec_id, n_vec_id,
+      |             row_number() OVER (PARTITION BY q_vec_id
+      |                                ORDER BY cos_sim DESC, n_vec_id) AS rnk
+      |      FROM p)
+      |SELECT q_vec_id,
+      |       string_agg(CAST(n_vec_id AS VARCHAR), ',' ORDER BY rnk) AS exact_top5,
+      |       TRUE AS recall_ok
+      |FROM r WHERE rnk <= 5 GROUP BY q_vec_id""".stripMargin) { (spark, dir) =>
+    import graft.cdc.DeltaLog
+    val cents = ivfCentroids.computeIfAbsent(dir, _ =>
+      VectorSearch.trainCentroids(Tables.embeddings(spark, dir), 16, 3, sampleMod = 0))
+    val postings = VectorSearch.livePostings(
+      VectorSearch.postingDeltas(DeltaLog.embeddingsDeltas(spark, dir), cents))
+    val corpus = postings.select(col("vec_id"), col("embedding"))
+    val qv = corpus.filter(col("vec_id") < 10)
+    val exact = VectorSearch.knnExact(qv, corpus, 5)
+    val ivf = VectorSearch.knnIvfFromPostings(qv, postings, 5, cents)
+      .select(col("q_vec_id"), col("n_vec_id"))
+    val hits = exact.select(col("q_vec_id"), col("n_vec_id"))
+      .join(ivf, Seq("q_vec_id", "n_vec_id"), "left_semi")
+      .agg(count(lit(1)).as("_nh"))
+    val tot = exact.agg(count(lit(1)).as("_nt"))
+    val ok = hits.crossJoin(tot) // 1 row × 1 row
+      .select((col("_nh").cast("double") >= lit(0.6) * col("_nt")).as("recall_ok"))
+    exact.groupBy(col("q_vec_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("rnk"), col("n_vec_id")))),
+          x => x.getField("n_vec_id").cast("string")), ",").as("exact_top5"))
+      .crossJoin(broadcast(ok))
+      .select(col("q_vec_id"), col("exact_top5"), col("recall_ok"))
+  }
+
   val all: Seq[QueryDef] = Seq(q18, q18b, q19, q20, q21, q22, q26, q27,
     q28, q28b, q29, q30, q31, q32, q33, q34, q58, q58b, q59, q61, q66, q67,
-    q70, q73, q77, q84, q89, q104, q106, q107, q108, q117, q118)
+    q70, q73, q77, q84, q89, q104, q106, q107, q108, q117, q118, q119)
 }
