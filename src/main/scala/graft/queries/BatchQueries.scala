@@ -774,7 +774,33 @@ object BatchQueries {
         |                             WHERE o2.o_custkey = o.o_custkey)""".stripMargin)
   }
 
+  /** Q121: correlated LATERAL subquery — the table-valued sibling of
+    * q114's scalar correlation: top-3 orders PER customer as a lateral
+    * derived table with its own ORDER BY/LIMIT. Catalyst decorrelates
+    * the per-row limit into a ranked window join (DecorrelateInnerQuery
+    * + RewriteLateralSubquery), so the plan is the same single-shuffle
+    * window top-k a hand-written rank()<=3 produces — the surface
+    * matters because BI generators emit exactly this SQL shape.
+    * Customers with no orders are absent (inner lateral, both engines).
+    */
+  val q121 = QueryDef.sql(
+    "q121_lateral_topn",
+    """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+      |FROM customer c, LATERAL (
+      |  SELECT o_orderkey, o_totalprice FROM orders
+      |  WHERE o_custkey = c.c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) o""".stripMargin) { (spark, dir) =>
+    Tables.customer(spark, dir).createOrReplaceTempView("customer_lat")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_lat")
+    spark.sql(
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM customer_lat c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders_lat
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) o""".stripMargin)
+  }
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q05b, q06, q07,
     q08, q09, q10, q11, q12, q12b, q13, q14, q15, q16, q38, q40, q46,
-    q50, q51, q52, q55, q75, q78, q79, q110, q111, q112, q113, q114)
+    q50, q51, q52, q55, q75, q78, q79, q110, q111, q112, q113, q114, q121)
 }

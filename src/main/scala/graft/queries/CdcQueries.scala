@@ -424,6 +424,37 @@ object CdcQueries {
         col("after.o_totalprice").as("total"), col("is_current"))
   }
 
+  /** Q120: POINT-IN-TIME (AS OF) query through the SCD2 history — time
+    * travel as a first-class read: the state of `orders` as of source
+    * ts 2.5e9, i.e. after every snapshot (1e9+k) and update (2e9+k) but
+    * before any delete (3e9+k), answered by slicing q17e's version
+    * intervals with `valid_from <= T < valid_to` — no replay, no event
+    * filter, just an interval predicate on the materialized history
+    * (which is why warehouses keep SCD2 at all). The oracle rebuilds
+    * the same state arithmetically from the feed's slot rules, so a
+    * wrong interval boundary (off-by-one on valid_to, a delete leaking
+    * backward) breaks the hash.
+    */
+  val q120 = QueryDef.sql(
+    "q120_cdc_asof",
+    """SELECT o_orderkey,
+      |       CASE WHEN o_orderkey % 3 = 0 THEN CAST(2 AS INTEGER)
+      |            ELSE CAST(1 AS INTEGER) END AS version,
+      |       o_orderstatus,
+      |       CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1
+      |            ELSE o_totalprice END AS total
+      |FROM orders""".stripMargin) { (spark, dir) =>
+    val asOf = 2500000000L
+    val key = coalesce(col("after.o_orderkey"), col("before.o_orderkey"))
+    Materialize.scd2Typed(
+      routedTyped(spark, dir, "orders", ChangeFeed.ordersRowSchema), key)
+      .filter(col("valid_from_ms") <= asOf &&
+        (col("valid_to_ms").isNull || col("valid_to_ms") > asOf))
+      .select(col("_key").as("o_orderkey"), col("version"),
+        col("after.o_orderstatus").as("o_orderstatus"),
+        col("after.o_totalprice").as("total"))
+  }
+
   val all: Seq[QueryDef] = Seq(q17, q17b, q17c, q17d, q17e, q17f, q82, q88,
-    q93, q99, q101, q102, q105, q109, q115, q116)
+    q93, q99, q101, q102, q105, q109, q115, q116, q120)
 }

@@ -882,7 +882,11 @@ object MandateQueries {
     val cur = DeltaLog.currentRows(DeltaLog.documentsDeltas(spark, dir))
       .select(col("key").cast("long").as("doc_id"),
         get_json_object(col("rowJson"), "$.text").as("text"))
+    // persisted: BOTH verify sides read one build of the shingle-set
+    // aggregate (q26's docState discipline — CacheManager dedupes the
+    // plan, so repeated runs hold one bounded copy)
     val st = MinHashLsh.shingleSets(cur, "doc_id", "text", 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = st.select(col("id").as("id_a"), col("ss").as("ssa"))
     val b = st.select(col("id").as("id_b"), col("ss").as("ssb"))
     live.join(a, Seq("id_a")).join(b, Seq("id_b"))

@@ -103,6 +103,16 @@ class PlanSpec extends SparkSpec {
       "Sort ".r.findAllIn(p).length <= 2, p)
   }
 
+  test("q121: correlated LATERAL limit decorrelates to a ranked window join") {
+    val p = graft.queries.BatchQueries.q121.fn(spark, sf001)
+      .queryExecution.executedPlan.toString
+    // the per-customer LIMIT 3 must become a window rank (ideally with
+    // partition-local WindowGroupLimit) + equijoin — NOT a nested-loop
+    // re-execution of the subquery per outer row
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("WindowGroupLimit") || p.contains("Window"), p)
+  }
+
   test("q52: resample windows are partitioned by key, spine join is keyed") {
     val p = graft.queries.BatchQueries.q52.fn(spark, sf001)
       .queryExecution.executedPlan.toString
