@@ -385,6 +385,44 @@ object DeltaLog {
       .write.mode("overwrite").parquet(s"$outDir/batch_id=0")
   }
 
+  /** Compaction for PURE-SUM signed (±) delta logs — e.g. the pair-
+    * support log the streaming LSH index emits: group on everything but
+    * the sign-valued column, keep the NET, drop zeros. Any fold that
+    * only ever SUMS the signed column (MinHashLsh.livePairs, support
+    * refcounts) is invariant under this rewrite; the compacted log is
+    * one batch of net rows — the bounded restart point for index logs,
+    * exactly what [[compact]] is for LWW logs. NOT for posting logs,
+    * whose fold is latest-wins — [[compactPostings]] covers those.
+    */
+  def compactSigned(spark: SparkSession, logDir: String, outDir: String,
+      signedCol: String): Unit = {
+    val out = new org.apache.hadoop.fs.Path(outDir)
+    val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(out)) fs.delete(out, true)
+    val log = spark.read.parquet(logDir)
+    val keys = log.columns.filterNot(c => c == signedCol || c == "batch_id")
+    log.groupBy(keys.map(col): _*)
+      .agg(sum(col(signedCol)).cast("int").as(signedCol))
+      .filter(col(signedCol) =!= 0)
+      .select(log.columns.filterNot(_ == "batch_id").map(col): _*)
+      .write.mode("overwrite").parquet(s"$outDir/batch_id=0")
+  }
+
+  /** Compaction for POSTING logs (VectorSearch.postingDeltas): their
+    * fold is latest-wins, not net-sum, so compaction materializes the
+    * live postings and rewrites them as one batch of + rows at seq 0 —
+    * livePostings over the compacted log equals the original fold.
+    */
+  def compactPostings(spark: SparkSession, logDir: String, outDir: String): Unit = {
+    val out = new org.apache.hadoop.fs.Path(outDir)
+    val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(out)) fs.delete(out, true)
+    graft.ops.VectorSearch.livePostings(spark.read.parquet(logDir))
+      .select(col("vec_id"), lit(0L).as("seq"), lit(1).as("sgn"),
+        col("cell"), col("embedding").as("emb"))
+      .write.mode("overwrite").parquet(s"$outDir/batch_id=0")
+  }
+
   /** The ONE latest-delta-per-key collapse both [[compact]] and the
     * join input share: last batch wins (one delta per key per batch is
     * the log invariant, so no intra-batch tiebreak exists).

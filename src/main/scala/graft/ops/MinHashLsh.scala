@@ -276,10 +276,21 @@ object MinHashLsh {
     * (e.g. a collapsed log replay whose −prev was never inserted) is a
     * no-op, so single-batch bootstrap over a collapsed log lands on
     * exactly the live corpus's index.
+    *
+    * `maxBucket` caps PAIR EMISSION per bucket (membership is still
+    * tracked, so retractions stay balanced): once a bucket holds
+    * maxBucket members, further arrivals emit no pairs from it. A
+    * bucket at cap is a boilerplate band shared by hundreds of
+    * documents — its pairs are noise at quadratic cost, and every
+    * production LSH deployment drops exactly these (the batch path's
+    * df-cap analog). The cap trades recall ONLY for pairs whose every
+    * shared bucket is hot; default unbounded so the oracle-exact
+    * queries stay exact.
     */
   def indexDeltaStream(docDeltas: DataFrame, textField: String = "text",
       shingleN: Int = 3, bands: Int = 16, rows: Int = 4,
-      seed: Long = 42L): org.apache.spark.sql.Dataset[PairDelta] = {
+      seed: Long = 42L,
+      maxBucket: Int = Int.MaxValue): org.apache.spark.sql.Dataset[PairDelta] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = docDeltas.sparkSession
     import spark.implicits._
@@ -301,9 +312,11 @@ object MinHashLsh {
       if (x < y) PairDelta(x, y, d) else PairDelta(y, x, d)
     banded.groupByKey(r => (r.b, r.v)).flatMapGroupsWithState(
       OutputMode.Append, GroupStateTimeout.NoTimeout) {
-      (_: (Int, Int), it: Iterator[BucketIn], state: GroupState[Set[Long]]) =>
+      (_: (Int, Int), it: Iterator[BucketIn], state: GroupState[BucketState]) =>
         val rowsIn = it.toVector
-        var members = state.getOption.getOrElse(Set.empty[Long])
+        val st0 = state.getOption.getOrElse(BucketState(Set.empty, overflowed = false))
+        var members = st0.members
+        var overflowed = st0.overflowed
         // net per doc: −old +new of an in-place text change cancels here
         val net = rowsIn.groupBy(_.id).map { case (id, rs) =>
           id -> rs.map(_.sgn).sum
@@ -315,19 +328,37 @@ object MinHashLsh {
         net.collect { case (id, s) if s < 0 => id }.toVector.sorted.foreach { r =>
           if (members(r)) {
             members -= r
-            members.foreach(m => out += ordered(r, m, -1))
+            if (!overflowed) members.foreach(m => out += ordered(r, m, -1))
           }
         }
-        net.collect { case (id, s) if s > 0 => id }.toVector.sorted.foreach { a =>
-          if (!members(a)) {
-            members.foreach(m => out += ordered(a, m, +1))
-            members += a
+        val adds = net.collect { case (id, s) if s > 0 => id }.toVector.sorted
+          .filterNot(members)
+        // cap check BEFORE emission: crossing it retracts every pair the
+        // bucket granted (the ± ledger stays balanced) and the bucket is
+        // boilerplate from then on — membership still tracked, no pairs
+        if (!overflowed && members.size + adds.size > maxBucket) {
+          val ms = members.toVector.sorted
+          ms.indices.foreach { i =>
+            (i + 1 until ms.size).foreach(j => out += ordered(ms(i), ms(j), -1))
           }
+          overflowed = true
         }
-        if (members.isEmpty) state.remove() else state.update(members)
+        adds.foreach { a =>
+          if (!overflowed) members.foreach(m => out += ordered(a, m, +1))
+          members += a
+        }
+        if (members.isEmpty) state.remove()
+        else state.update(BucketState(members, overflowed))
         out.result().iterator
     }
   }
+
+  /** Per-bucket index state: member doc ids plus the sticky overflow
+    * flag (a bucket past `maxBucket` grants no pairs again — boilerplate
+    * does not become signal by shrinking). Not private — Catalyst
+    * constructs it.
+    */
+  case class BucketState(members: Set[Long], overflowed: Boolean)
 
   /** Fold a [[PairDelta]] history to the live candidate pairs — support
     * = number of band buckets the pair currently shares; live iff > 0.

@@ -88,6 +88,51 @@ class LshIndexSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("maxBucket: a bucket crossing the cap retracts its pairs and stays dark") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Delta]
+    val q = MinHashLsh.indexDeltaStream(in.toDF(), maxBucket = 2).writeStream
+      .format("memory").queryName("lsh_idx_cap").outputMode("append").start()
+    def live(): Set[(Long, Long)] =
+      MinHashLsh.livePairs(spark.table("lsh_idx_cap"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    try {
+      // two near-identical docs: pairs granted normally
+      in.addData(
+        Delta(1, "upsert", doc(1, tA), null),
+        Delta(2, "upsert", doc(2, tA), null))
+      q.processAllAvailable()
+      assert(live() == Set((1L, 2L)))
+      // a third copy pushes every shared bucket past the cap: the
+      // boilerplate buckets retract what they granted — the ± ledger
+      // nets to zero, nothing is left dangling
+      in.addData(Delta(3, "upsert", doc(3, tA), null))
+      q.processAllAvailable()
+      assert(live() == Set.empty,
+        "overflowed buckets must retract granted pairs, not strand them")
+      // sticky: shrinking back under the cap grants nothing new
+      in.addData(Delta(3, "delete", null, doc(3, tA)))
+      q.processAllAvailable()
+      assert(live() == Set.empty, "overflow is sticky")
+    } finally q.stop()
+  }
+
+  test("compactSigned preserves the livePairs fold") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pairlog_").toString
+    // batch 0: pair (1,2) gains two buckets; batch 1: loses one, (1,3) gains one
+    Seq((1L, 2L, 1), (1L, 2L, 1)).toDF("id_a", "id_b", "delta")
+      .write.parquet(s"$dir/batch_id=0")
+    Seq((1L, 2L, -1), (1L, 3L, 1)).toDF("id_a", "id_b", "delta")
+      .write.parquet(s"$dir/batch_id=1")
+    val out = java.nio.file.Files.createTempDirectory("graft_pairlog_c_").toString
+    graft.cdc.DeltaLog.compactSigned(spark, dir, out, "delta")
+    def fold(d: String) = MinHashLsh.livePairs(spark.read.parquet(d))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fold(out) == fold(dir) && fold(out) == Set((1L, 2L, 1L), (1L, 3L, 1L)))
+    // compacted log holds only net rows, one batch
+    assert(spark.read.parquet(out).count() == 2)
+  }
+
   test("streaming fold equals the batch banding on the final corpus") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Delta]

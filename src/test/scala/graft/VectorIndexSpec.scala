@@ -55,6 +55,25 @@ class VectorIndexSpec extends SparkSpec {
       2L -> ((2, Seq(0.2f, 0.8f)))))
   }
 
+  test("compactPostings preserves the livePostings fold") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_postlog_").toString
+    // vec 1 inserted then moved cells; vec 2 inserted then deleted
+    Seq((1L, 0L, 1, 0, Seq(0.9f, 0.1f)), (2L, 0L, 1, 2, Seq(0.1f, 0.9f)))
+      .toDF("vec_id", "seq", "sgn", "cell", "emb")
+      .write.parquet(s"$dir/batch_id=0")
+    Seq((1L, 1L, -1, 0, Seq(0.9f, 0.1f)), (1L, 1L, 1, 3, Seq(0f, -0.7f)),
+      (2L, 1L, -1, 2, Seq(0.1f, 0.9f)))
+      .toDF("vec_id", "seq", "sgn", "cell", "emb")
+      .write.parquet(s"$dir/batch_id=1")
+    val out = java.nio.file.Files.createTempDirectory("graft_postlog_c_").toString
+    graft.cdc.DeltaLog.compactPostings(spark, dir, out)
+    def fold(d: String) = VectorSearch.livePostings(spark.read.parquet(d))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toSeq)).toSet
+    assert(fold(out) == fold(dir) &&
+      fold(out) == Set((1L, 3, Seq(0f, -0.7f))))
+    assert(spark.read.parquet(out).count() == 1, "one + row per live posting")
+  }
+
   test("streaming posting maintenance equals the batch fold (stateless map)") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Delta]
