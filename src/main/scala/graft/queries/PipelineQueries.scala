@@ -791,7 +791,43 @@ object PipelineQueries {
       Tables.embeddings(spark, dir), Seq("vector", "stream", "join"), 7L)
   }
 
+  /** Q122: RECURSIVE-QUERY surface — multi-source BFS depth, checked
+    * against a genuine `WITH RECURSIVE` oracle (Spark has no recursive
+    * SQL; CorpusOps.bfsDistances is the distributed fixpoint that
+    * answers the same query). Graph: each customer's orders chained in
+    * date order (lag window); seeds: the FIRST order of every 7th
+    * customer; answer: hop distance along the chain — depth reaches ~20
+    * at sf0.01, so the loop genuinely iterates, and any off-by-one in
+    * frontier/visited handling shifts whole levels and breaks the hash.
+    */
+  val q122 = QueryDef.sql(
+    "q122_bfs_recursive",
+    """WITH RECURSIVE
+      |e0 AS (SELECT o_custkey AS k, o_orderkey AS id,
+      |        lag(o_orderkey) OVER (PARTITION BY o_custkey
+      |                              ORDER BY o_orderdate, o_orderkey) AS prev
+      |      FROM orders),
+      |edges AS (SELECT prev AS u, id AS v FROM e0 WHERE prev IS NOT NULL),
+      |bfs AS (
+      |  SELECT id, CAST(0 AS BIGINT) AS dist
+      |  FROM e0 WHERE prev IS NULL AND k % 7 = 0
+      |  UNION ALL
+      |  SELECT e.v, b.dist + 1 FROM bfs b JOIN edges e ON e.u = b.id
+      |)
+      |SELECT id AS o_orderkey, dist FROM bfs""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val e0 = Tables.orders(spark, dir).select(col("o_custkey").as("k"),
+      col("o_orderkey").as("id"), lag(col("o_orderkey"), 1).over(w).as("prev"))
+    val edges = e0.filter(col("prev").isNotNull)
+      .select(col("prev").as("u"), col("id").as("v"))
+    val seeds = e0.filter(col("prev").isNull && col("k") % 7 === 0)
+      .select(col("id"))
+    CorpusOps.bfsDistances(edges, seeds)
+      .select(col("id").as("o_orderkey"), col("dist"))
+  }
+
   val all: Seq[QueryDef] = Seq(q41, q42, q43, q44, q45, q47, q48, q49,
     q54, q57, q60, q62, q63, q64, q68, q69, q74, q76, q80, q81, q83, q90, q91,
-    q94, q98)
+    q94, q98, q122)
 }
