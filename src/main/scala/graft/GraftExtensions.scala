@@ -91,5 +91,10 @@ object GraftFunctions {
     spark.udf.register("simhash_agg", udaf(graft.functions.SimHashAgg))
     spark.udf.register("countmin_agg", udaf(graft.functions.CountMinAgg))
     spark.udf.register("bloom_agg", udaf(graft.functions.BloomAgg))
+    spark.udf.register("quantile_sketch_agg",
+      udaf(new graft.functions.QuantileSketchAgg(400)))
+    spark.udf.register("quantile_sketch_probe",
+      (packed: Array[Double], p: Double) =>
+        graft.functions.QuantileSketchAgg.quantile(packed, p))
   }
 }

@@ -800,7 +800,49 @@ object BatchQueries {
         |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) o""".stripMargin)
   }
 
+  /** Q123: mergeable QUANTILE sketch (functions.QuantileSketchAgg — the
+    * sketch family's rank member, next to HLL/Count-Min/Bloom/TopK):
+    * percentiles as ONE map-side-partial aggregate carrying
+    * O(k·log(N/k)) doubles instead of q38's full-sort percentile — the
+    * only percentile that runs at 100 TB. Guarantee-band oracle (q13's
+    * discipline): the oracle states the EXACT percentiles; the engine
+    * collects the finished sketch (model-sized, like q29's centroids),
+    * probes p50/p95/p99, and certifies each probe's EXACT rank within
+    * ±1% of its target rank in one distributed pass — so a broken
+    * compaction or merge fails the row even though the sketch itself is
+    * approximate.
+    */
+  val q123 = QueryDef.sql(
+    "q123_quantile_sketch",
+    """SELECT CAST(quantile_cont(o_totalprice, 0.5) AS DOUBLE) AS p50,
+      |       CAST(quantile_cont(o_totalprice, 0.95) AS DOUBLE) AS p95,
+      |       CAST(quantile_cont(o_totalprice, 0.99) AS DOUBLE) AS p99,
+      |       count(*) AS cnt,
+      |       TRUE AS sketch_ok
+      |FROM orders""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val ords = Tables.orders(spark, dir)
+    val packed = ords.select(col("o_totalprice").as("value")).as[Double]
+      .select(new graft.functions.QuantileSketchAgg(400).toColumn)
+      .head() // the SKETCH, not data: O(k log N) doubles
+    val probes = Seq(0.5, 0.95, 0.99)
+      .map(p => p -> graft.functions.QuantileSketchAgg.quantile(packed, p))
+    val eps = 0.01
+    val rankChecks = probes.map { case (p, est) =>
+      val r = sum(when(col("o_totalprice") <= est, 1L).otherwise(0L))
+      (abs(r - lit(p) * count(lit(1))) <= lit(eps) * count(lit(1)))
+    }.reduce(_ && _)
+    val cert = ords.agg(rankChecks.as("sketch_ok"))
+    ords.agg(
+      percentile(col("o_totalprice"), lit(0.5)).as("p50"),
+      percentile(col("o_totalprice"), lit(0.95)).as("p95"),
+      percentile(col("o_totalprice"), lit(0.99)).as("p99"),
+      count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(cert)) // 1 row × 1 row
+  }
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q05b, q06, q07,
     q08, q09, q10, q11, q12, q12b, q13, q14, q15, q16, q38, q40, q46,
-    q50, q51, q52, q55, q75, q78, q79, q110, q111, q112, q113, q114, q121)
+    q50, q51, q52, q55, q75, q78, q79, q110, q111, q112, q113, q114, q121,
+    q123)
 }

@@ -68,6 +68,15 @@ class FunctionsSpec extends SparkSpec {
       assert(!row.isNullAt(1))
       assert(row.getSeq[Long](2).nonEmpty && row.getSeq[Long](3).nonEmpty)
     }
+    // quantile sketch: build + probe from plain SQL; 1..1000 overflows
+    // the registered capacity (400), so the answer is the sketch's —
+    // assert the certified rank bound, not exactness
+    val med = spark.sql(
+      """SELECT quantile_sketch_probe(
+        |         quantile_sketch_agg(CAST(v AS DOUBLE)), 0.5) AS p50
+        |FROM (SELECT explode(sequence(1, 1000)) AS v)""".stripMargin).head()
+    assert(math.abs(med.getDouble(0) - 500.0) <= 20.0,
+      s"median within the sketch's rank bound, got $med")
   }
 
   test("registered SQL functions reject wrong arity and non-literal keys by name") {
