@@ -841,8 +841,49 @@ object BatchQueries {
       .crossJoin(broadcast(cert)) // 1 row × 1 row
   }
 
+  /** Q124: GROUPED quantile sketches — q123's sketch per group, built
+    * and probed entirely through the registered SQL surface
+    * (quantile_sketch_agg / quantile_sketch_probe) with NO driver
+    * round-trip: the per-group certificate joins the probed estimates
+    * back to the rows and checks each group's exact rank in one more
+    * keyed aggregate. This is the sketch family's rollup contract in
+    * action — the same grouped-sketch shape q78 pins for HLL.
+    */
+  val q124 = QueryDef.sql(
+    "q124_quantile_sketch_groups",
+    """SELECT o_orderpriority,
+      |       CAST(quantile_cont(o_totalprice, 0.5) AS DOUBLE) AS p50,
+      |       CAST(quantile_cont(o_totalprice, 0.95) AS DOUBLE) AS p95,
+      |       count(*) AS cnt,
+      |       TRUE AS sketch_ok
+      |FROM orders GROUP BY o_orderpriority""".stripMargin) { (spark, dir) =>
+    graft.GraftFunctions.registerAll(spark)
+    val ords = Tables.orders(spark, dir)
+    ords.createOrReplaceTempView("orders_qsk")
+    val est = spark.sql(
+      """SELECT o_orderpriority,
+        |       quantile_sketch_probe(sk, 0.5) AS e50,
+        |       quantile_sketch_probe(sk, 0.95) AS e95
+        |FROM (SELECT o_orderpriority,
+        |             quantile_sketch_agg(o_totalprice) AS sk
+        |      FROM orders_qsk GROUP BY o_orderpriority)""".stripMargin)
+    val eps = 0.01
+    val cert = ords.join(broadcast(est), Seq("o_orderpriority"))
+      .groupBy(col("o_orderpriority"))
+      .agg(((abs(sum(when(col("o_totalprice") <= col("e50"), 1L).otherwise(0L))
+          - lit(0.5) * count(lit(1))) <= lit(eps) * count(lit(1))) &&
+        (abs(sum(when(col("o_totalprice") <= col("e95"), 1L).otherwise(0L))
+          - lit(0.95) * count(lit(1))) <= lit(eps) * count(lit(1))))
+        .as("sketch_ok"))
+    ords.groupBy(col("o_orderpriority"))
+      .agg(percentile(col("o_totalprice"), lit(0.5)).as("p50"),
+        percentile(col("o_totalprice"), lit(0.95)).as("p95"),
+        count(lit(1)).as("cnt"))
+      .join(broadcast(cert), Seq("o_orderpriority"))
+  }
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q05b, q06, q07,
     q08, q09, q10, q11, q12, q12b, q13, q14, q15, q16, q38, q40, q46,
     q50, q51, q52, q55, q75, q78, q79, q110, q111, q112, q113, q114, q121,
-    q123)
+    q123, q124)
 }

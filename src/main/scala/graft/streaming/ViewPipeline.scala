@@ -3,7 +3,7 @@ package graft.streaming
 import graft.cdc.{DeltaLog, IncrementalJoin}
 import graft.sinks.JdbcSink
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.nio.file.{Files, Paths}
@@ -26,10 +26,14 @@ import java.nio.file.{Files, Paths}
   * file stream over the logs whose own checkpoint tracks which log
   * files it already folded — a second run with no new feed data does no
   * work, a run after new feed files processes exactly the new batches.
-  * The join stage consumes the logs through
-  * [[IncrementalJoin.viewDeltaStreamOrdered]]: a resumed file stream
-  * may deliver several log batches for one key in one micro-batch, and
-  * the log's batch_id gives the per-key application order.
+  * [[start]] runs the SAME three stages as LIVE queries on a
+  * processing-time trigger (the long-lived server deployment); the two
+  * modes share checkpoints, so a pipeline can drain in batch, then be
+  * brought up live, and vice versa. The join stage consumes the logs
+  * through [[IncrementalJoin.viewDeltaStreamOrdered]]: a resumed or
+  * lagging file stream may deliver several log batches for one key in
+  * one micro-batch, and the log's batch_id gives the per-key
+  * application order.
   *
   * Serving shape: the JDBC table's columns are the fact schema's fields
   * followed by the dim schema's fields (names must not collide), keyed
@@ -59,56 +63,56 @@ final case class ViewPipeline(
   private def ckptDir(workRoot: String, stage: String) = s"$workRoot/ckpt_$stage"
 
   /** One LWW replay: feed → routed/filtered keyed events → per-key
-    * deltas → batch_id-partitioned log. AvailableNow, resumes from its
-    * checkpoint — invocation N appends only the feed's new events.
+    * deltas → batch_id-partitioned log, on the given trigger.
     */
-  private def writeLog(spark: SparkSession, feedDir: String, workRoot: String,
-      side: String, table: String, schema: StructType, idField: String): Unit = {
+  private def logQuery(spark: SparkSession, feedDir: String, workRoot: String,
+      side: String, table: String, schema: StructType, idField: String,
+      trigger: Trigger): StreamingQuery = {
     val deltas = DeltaLog.deltaStream(spark, feedDir, table, schema,
       coalesce(col(s"after.$idField"), col(s"before.$idField")).cast("long"),
       databases)
-    Replay.runToParquet(spark, deltas,
-      logDir(workRoot, side), ckptDir(workRoot, side))
+    val dir = logDir(workRoot, side)
+    deltas.writeStream
+      .queryName(s"view_${name}_log_$side")
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", ckptDir(workRoot, side))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$dir/batch_id=$batchId")
+        ()
+      }
+      .start()
   }
 
-  /** Run every stage to completion over the feed's CURRENT contents.
-    * Safe to call repeatedly; each call processes only data that arrived
-    * since the last one (durable checkpoints at every stage).
+  /** The join/serving stage: file-stream both logs → seq-ordered
+    * Δ(fact⋈dim) → typed flatten → keyed JDBC apply, on the given
+    * trigger. Requires both log dirs to exist (their schema seeds the
+    * file stream).
     */
-  def runOnce(spark: SparkSession, feedDir: String, workRoot: String): Unit = {
-    writeLog(spark, feedDir, workRoot, "fact", factTable, factSchema, factIdField)
-    writeLog(spark, feedDir, workRoot, "dim", dimTable, dimSchema, dimIdField)
-
-    // the join stage streams the logs; nothing to do until both exist
-    // (a feed that routed zero events to a side writes no log dir)
-    val factLog = logDir(workRoot, "fact")
-    val dimLog = logDir(workRoot, "dim")
-    if (!Files.exists(Paths.get(factLog)) || !Files.exists(Paths.get(dimLog)))
-      return
-
-    def logStream(dir: String): DataFrame = {
-      // batch_id is a partition column of the on-disk log; surfacing it
-      // in the read schema turns the directory layout back into the seq
-      // column the ordered join fold applies by
-      val schema = spark.read.parquet(dir).schema
-      spark.readStream.schema(schema).parquet(dir)
+  private def viewQuery(spark: SparkSession, workRoot: String,
+      trigger: Trigger): StreamingQuery = {
+    def logStream(dir: String): DataFrame =
+      // batch_id is a partition column of the on-disk log; naming it in
+      // the (statically known — StatefulLww.Delta + partition col) read
+      // schema turns the directory layout back into the seq column the
+      // ordered join fold applies by. Static beats disk inference: at
+      // live bootstrap the first log batch may be mid-write or empty,
+      // and inference would race it
+      spark.readStream.schema(ViewPipeline.LogSchema).parquet(dir)
         .withColumnRenamed("batch_id", "seq")
-    }
-
     val viewDeltas = IncrementalJoin.viewDeltaStreamOrdered(
-      logStream(factLog), logStream(dimLog),
+      logStream(logDir(workRoot, "fact")), logStream(logDir(workRoot, "dim")),
       factJoinField, dimJoinField, leftOuter)
-
     val url = jdbcUrl
     val table = jdbcTable
     val keyField = factIdField
     val fSchema = factSchema
     val dSchema = dimSchema
     val types = stagingColumnTypes.orNull
-    val q = viewDeltas.toDF().writeStream
+    viewDeltas.toDF().writeStream
       .queryName(s"view_$name")
       .outputMode("append")
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .option("checkpointLocation", ckptDir(workRoot, "view"))
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val flat = batch.select(
@@ -124,6 +128,64 @@ final case class ViewPipeline(
         ()
       }
       .start()
-    q.awaitTermination()
   }
+
+  private def bothLogsExist(workRoot: String): Boolean =
+    Files.exists(Paths.get(logDir(workRoot, "fact"))) &&
+      Files.exists(Paths.get(logDir(workRoot, "dim")))
+
+  /** Run every stage to completion over the feed's CURRENT contents.
+    * Safe to call repeatedly; each call processes only data that arrived
+    * since the last one (durable checkpoints at every stage).
+    */
+  def runOnce(spark: SparkSession, feedDir: String, workRoot: String): Unit = {
+    logQuery(spark, feedDir, workRoot, "fact", factTable, factSchema,
+      factIdField, Trigger.AvailableNow()).awaitTermination()
+    logQuery(spark, feedDir, workRoot, "dim", dimTable, dimSchema,
+      dimIdField, Trigger.AvailableNow()).awaitTermination()
+    // nothing for the join stage to do until both logs exist (a feed
+    // that routed zero events to a side writes no log dir)
+    if (!bothLogsExist(workRoot)) return
+    viewQuery(spark, workRoot, Trigger.AvailableNow()).awaitTermination()
+  }
+
+  /** LIVE deployment: the same three stages as long-running queries on
+    * a processing-time trigger — new feed files flow through to the
+    * serving table continuously. The join stage needs the log dirs to
+    * exist before it can start (their schema seeds its file stream), so
+    * this waits up to `bootstrapTimeoutMs` for the log writers' first
+    * batches; a feed with no data for a side within the timeout fails
+    * fast rather than serving a half-wired view. Stop the returned
+    * queries to shut down; checkpoints make a later [[start]] or
+    * [[runOnce]] resume exactly where serving stopped.
+    */
+  def start(spark: SparkSession, feedDir: String, workRoot: String,
+      interval: String = "500 milliseconds",
+      bootstrapTimeoutMs: Long = 60000): Seq[StreamingQuery] = {
+    val t = Trigger.ProcessingTime(interval)
+    val logs = Seq(
+      logQuery(spark, feedDir, workRoot, "fact", factTable, factSchema,
+        factIdField, t),
+      logQuery(spark, feedDir, workRoot, "dim", dimTable, dimSchema,
+        dimIdField, t))
+    val deadline = System.nanoTime() + bootstrapTimeoutMs * 1000000L
+    while (!bothLogsExist(workRoot) && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    if (!bothLogsExist(workRoot)) {
+      logs.foreach(_.stop())
+      throw new IllegalStateException(
+        s"view $name: no ${if (Files.exists(Paths.get(logDir(workRoot, "fact"))))
+          "dim" else "fact"} events arrived within ${bootstrapTimeoutMs}ms — " +
+          "cannot bootstrap the join stage's log stream")
+    }
+    logs :+ viewQuery(spark, workRoot, t)
+  }
+}
+
+object ViewPipeline {
+  /** On-disk shape of a materialized table delta log: StatefulLww.Delta
+    * plus the batch_id partition directory column.
+    */
+  val LogSchema: StructType = StructType.fromDDL(
+    "key BIGINT, action STRING, rowJson STRING, prevJson STRING, batch_id BIGINT")
 }

@@ -90,6 +90,70 @@ class ViewPipelineSpec extends SparkSpec {
     assert(PipelineRegistry.load(confDir.toString).map(_.pipeline.name) == Seq("t1"))
   }
 
+  test("LIVE mode: continuous-trigger pipeline follows feed appends to the serving table") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def wire(table: String, after: String, before: String, op: String,
+        ts: Long, off: Long): String = {
+      val ev = s"""{"payload":{"before":${Option(before).getOrElse("null")},""" +
+        s""""after":${Option(after).getOrElse("null")},""" +
+        s""""source":{"db":"shop","table":"$table","ts_ms":$ts},"op":"$op","ts_ms":$ts}}"""
+      s"""{"value":${mapper.writeValueAsString(ev)},"offset":$off}"""
+    }
+    def o(okey: Long, cust: Long, total: Double) =
+      s"""{"o_orderkey":$okey,"o_custkey":$cust,"o_total":$total}"""
+    def c(cust: Long, name: String) =
+      s"""{"c_custkey":$cust,"c_name":"$name"}"""
+
+    val url = "jdbc:derby:memory:graftviewlive;create=true"
+    val c0 = java.sql.DriverManager.getConnection(url)
+    c0.createStatement().execute(
+      """CREATE TABLE enriched ("o_orderkey" BIGINT NOT NULL PRIMARY KEY,
+        | "o_custkey" BIGINT, "o_total" DOUBLE,
+        | "c_custkey" BIGINT, "c_name" VARCHAR(64))"""
+        .stripMargin.replace("\n", ""))
+    c0.close()
+
+    val pipeline = graft.streaming.ViewPipeline(
+      name = "live", databases = Set("shop"),
+      factTable = "orders",
+      factSchema = org.apache.spark.sql.types.StructType.fromDDL(
+        "o_orderkey BIGINT, o_custkey BIGINT, o_total DOUBLE"),
+      factIdField = "o_orderkey", factJoinField = "o_custkey",
+      dimTable = "customer",
+      dimSchema = org.apache.spark.sql.types.StructType.fromDDL(
+        "c_custkey BIGINT, c_name STRING"),
+      dimIdField = "c_custkey", dimJoinField = "c_custkey",
+      leftOuter = false, jdbcUrl = url, jdbcTable = "enriched",
+      stagingColumnTypes = Some("c_name VARCHAR(64)"))
+
+    val feedDir = Files.createTempDirectory("graft_viewlive_feed_").toFile
+    val workRoot = Files.createTempDirectory("graft_viewlive_work_").toString
+    Files.write(new java.io.File(feedDir, "000.json").toPath, Seq(
+      wire("customer", c(1, "Alice"), null, "c", 10, 1),
+      wire("orders", o(10, 1, 5.0), null, "c", 10, 2)).asJava)
+
+    def serving(): Map[Long, String] =
+      spark.read.jdbc(url, "enriched", new java.util.Properties())
+        .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    def awaitServing(expect: Map[Long, String]): Unit = {
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      while (serving() != expect && System.nanoTime() < deadline)
+        Thread.sleep(200)
+      assert(serving() == expect, s"live serving table never reached $expect")
+    }
+
+    val queries = pipeline.start(spark, feedDir.toString, workRoot,
+      interval = "200 milliseconds")
+    try {
+      awaitServing(Map(10L -> "Alice"))
+      // feed appends flow through without any further driver action
+      Files.write(new java.io.File(feedDir, "001.json").toPath, Seq(
+        wire("customer", c(1, "Alicia"), c(1, "Alice"), "u", 20, 3),
+        wire("orders", o(11, 1, 7.0), null, "c", 20, 4)).asJava)
+      awaitServing(Map(10L -> "Alicia", 11L -> "Alicia"))
+    } finally queries.foreach(_.stop())
+  }
+
   test("E2E: view pipeline serves a typed JDBC table and stays incremental across runs") {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     def wire(table: String, after: String, before: String, op: String,
