@@ -276,6 +276,49 @@ object CorpusOps {
           .otherwise(cleanCut).as("clean_text"))
   }
 
+  /** INCREMENTAL connected components under edge INSERTS: fold a new
+    * wave of pairs into an existing (doc_id, cluster_id, is_canonical)
+    * labeling without re-clustering the graph. The merge runs on the
+    * CONTRACTED label graph: each new edge's endpoints map to their
+    * current labels (new nodes label themselves), label-level edges are
+    * clustered with [[dupClusters]] — a graph whose size is bounded by
+    * the labels the wave TOUCHES, not the corpus — and the resulting
+    * label→label map relabels exactly the affected rows. Because every
+    * label is the min node id of its component, the contracted
+    * clustering's canonical min IS the merged component's min node id,
+    * so the output is bit-identical to re-clustering from scratch
+    * (split-invariance is what the spec and q125's oracle pin).
+    *
+    * Deletions are out of scope by design: removing an edge can split a
+    * component, which no label algebra detects locally — production
+    * systems recompute the affected component (bounded by component
+    * size), exactly as they do for LSH near-dup clusters.
+    */
+  def mergeComponents(labels: DataFrame, newPairs: DataFrame): DataFrame = {
+    val e = newPairs.select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
+    val la = labels.select(col("doc_id").as("a"), col("cluster_id").as("ca"))
+    val lb = labels.select(col("doc_id").as("b"), col("cluster_id").as("cb"))
+    // endpoints of the new wave under their current labels (self for
+    // first-seen nodes); the contracted edge list is label-level
+    val compEdges = e.join(la, Seq("a"), "left").join(lb, Seq("b"), "left")
+      .select(coalesce(col("ca"), col("a")).as("doc_id_a"),
+        coalesce(col("cb"), col("b")).as("doc_id_b"))
+      .filter(col("doc_id_a") =!= col("doc_id_b"))
+    val relabel = dupClusters(compEdges)
+      .select(col("doc_id").as("cluster_id"), col("cluster_id").as("merged"))
+    // relabel touched rows; new nodes enter under their own id first,
+    // then the same map applies
+    val newNodes = e.select(col("a").as("doc_id"))
+      .union(e.select(col("b").as("doc_id"))).distinct()
+      .join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+    labels.select(col("doc_id"), col("cluster_id")).union(newNodes)
+      .join(relabel, Seq("cluster_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("merged"), col("cluster_id")).as("cluster_id"))
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+  }
+
   /** Multi-source BFS over a DIRECTED edge relation (u, v): shortest
     * hop distance from any seed, the DataFrame form of a recursive CTE
     * (`WITH RECURSIVE bfs AS (seeds UNION step)`) — Spark has no

@@ -827,7 +827,47 @@ object PipelineQueries {
       .select(col("id").as("o_orderkey"), col("dist"))
   }
 
+  /** Q125: INCREMENTAL dup-cluster maintenance — q41's components under
+    * edge ARRIVAL: the near-dup pair set lands in two waves (a
+    * deterministic parity split standing in for two ingest batches) and
+    * the second wave folds into the first wave's labeling via label
+    * contraction (CorpusOps.mergeComponents: work bounded by the labels
+    * the wave touches, never the corpus). The oracle is q41's full-graph
+    * recursive reachability, so the fold must be bit-identical to
+    * re-clustering from scratch — split-invariance as a hash gate.
+    */
+  val q125 = QueryDef.sql(
+    "q125_incr_components",
+    """WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         unnest(list_transform(range(1, len(t) - 1),
+      |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      |       FROM tok),
+      |card AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |cp AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+      |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |       GROUP BY 1, 2),
+      |jp AS (SELECT da, db FROM cp
+      |       JOIN card ca ON da = ca.doc_id JOIN card cb ON db = cb.doc_id
+      |       WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.6),
+      |edges AS (SELECT da AS s, db AS d FROM jp UNION SELECT db, da FROM jp),
+      |reach(s, d) AS (SELECT s, d FROM edges
+      |                UNION
+      |                SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+      |SELECT s AS doc_id, least(s, min(d)) AS cluster_id,
+      |       s = least(s, min(d)) AS is_canonical
+      |FROM reach GROUP BY s""".stripMargin) { (spark, dir) =>
+    val pairs = MinHashLsh.nearDupPairs(
+      Tables.documents(spark, dir), "doc_id", "text", 3, 0.6)
+      .select(col("doc_id_a"), col("doc_id_b"))
+      .localCheckpoint(true) // evaluate the (expensive) pair run once
+    val parity = (col("doc_id_a") + col("doc_id_b")) % 2
+    val wave1 = pairs.filter(parity === 0)
+    val wave2 = pairs.filter(parity =!= 0)
+    CorpusOps.mergeComponents(CorpusOps.dupClusters(wave1), wave2)
+  }
+
   val all: Seq[QueryDef] = Seq(q41, q42, q43, q44, q45, q47, q48, q49,
     q54, q57, q60, q62, q63, q64, q68, q69, q74, q76, q80, q81, q83, q90, q91,
-    q94, q98, q122)
+    q94, q98, q122, q125)
 }

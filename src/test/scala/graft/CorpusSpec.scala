@@ -455,4 +455,31 @@ class CorpusSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().map(r => (r._1, r._2)).toSet
     assert(capped === Set((1L, 2L)))
   }
+
+  test("mergeComponents: wave folds are split-invariant vs one-shot clustering") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(11)
+    // random sparse graph on 60 nodes: chains, merges, isolated pairs
+    val allPairs = (1 to 90).map { _ =>
+      val a = rnd.nextInt(60).toLong; val b = rnd.nextInt(60).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter(p => p._1 != p._2).distinct
+    val pairsDf = allPairs.toDF("doc_id_a", "doc_id_b")
+    val batch = CorpusOps.dupClusters(pairsDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // fold in three waves of arbitrary composition
+    for (seed <- Seq(1, 2, 3)) {
+      val shuffled = new scala.util.Random(seed).shuffle(allPairs)
+      val waves = shuffled.grouped(math.max(1, shuffled.size / 3 + 1)).toSeq
+      var labels = CorpusOps.dupClusters(waves.head.toDF("doc_id_a", "doc_id_b"))
+      waves.tail.foreach { w =>
+        labels = CorpusOps.mergeComponents(labels, w.toDF("doc_id_a", "doc_id_b"))
+      }
+      val folded = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(folded == batch, s"seed $seed: incremental fold diverged from batch")
+      // canonical flags re-derive from the labels
+      assert(labels.filter(col("is_canonical") =!= (col("doc_id") === col("cluster_id")))
+        .isEmpty)
+    }
+  }
 }
