@@ -394,6 +394,48 @@ object StreamingQueries {
         col("n_views"), col("n_purchases"), col("purchase_value"))
   }
 
+  /** Q126: STREAMING windowed quantiles — the quantile sketch (q123)
+    * through the state store per event-time window, exactly q86's shape
+    * for TopK: one stateful aggregate whose per-window state is the
+    * O(k·log n) sketch buffer, not the window's rows. Capacity 32
+    * FORCES compactions at the ~70-events-per-window scale, so the
+    * state-store serialization round-trips a genuinely multi-level
+    * sketch. Guarantee band: the oracle states each window's exact
+    * median; the engine emits it exactly (batch percentile) plus a
+    * certificate that the STREAMED sketch's median lands within
+    * max(3 ranks, 5%) of the target rank in every window.
+    */
+  val q126 = QueryDef.sql(
+    "q126_stream_window_quantile",
+    """SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS bucket_s,
+      |       CAST(quantile_cont(value, 0.5) AS DOUBLE) AS p50,
+      |       count(*) AS cnt,
+      |       TRUE AS sketch_ok
+      |FROM events GROUP BY 1""".stripMargin) { (spark, dir) =>
+    val qsk = udaf(new graft.functions.QuantileSketchAgg(32))
+    val agg = Replay.eventsStream(spark, dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"))
+      .agg(qsk(col("value")).as("sk"))
+    val probe = udf((packed: Seq[Double]) =>
+      graft.functions.QuantileSketchAgg.quantile(packed.toArray, 0.5))
+    val est = Replay.runToResult(spark, agg)
+      .select(col("window.start").cast("long").as("bucket_s"),
+        probe(col("sk")).as("e50")) // per-window model-sized probe
+    val ev = Tables.events(spark, dir)
+      .select((floor(unix_timestamp(col("ts")) / 300) * 300).cast("long")
+        .as("bucket_s"), col("value"))
+    val cert = ev.join(broadcast(est), Seq("bucket_s"))
+      .groupBy(col("bucket_s"))
+      .agg((abs(sum(when(col("value") <= col("e50"), 1L).otherwise(0L))
+          - lit(0.5) * count(lit(1))) <=
+        greatest(lit(3.0), lit(0.05) * count(lit(1)))).as("sketch_ok"))
+    ev.groupBy(col("bucket_s"))
+      .agg(percentile(col("value"), lit(0.5)).as("p50"),
+        count(lit(1)).as("cnt"))
+      .join(cert, Seq("bucket_s"))
+  }
+
   val all: Seq[QueryDef] = Seq(q23, q24a, q24b, q25, q39, q56, q71, q85, q86,
-    q87, q97, q100, q103)
+    q87, q97, q100, q103, q126)
 }
