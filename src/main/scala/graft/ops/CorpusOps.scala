@@ -276,6 +276,28 @@ object CorpusOps {
           .otherwise(cleanCut).as("clean_text"))
   }
 
+  /** Deterministic WEIGHTED sampling without replacement (Efraimidis &
+    * Spirakis 2006): each row gets key = ln(u)/w with u a hash-derived
+    * uniform in (0,1), and the top-m keys are the sample — inclusion
+    * probability proportional to weight, exactly the semantics
+    * `rand()`-based weighted sampling gives, but reproducible across
+    * runs, engines, and partitionings ([[hashSplit]]'s argument) and
+    * stateable in plain SQL for the oracle. The top-m cut plans as
+    * TakeOrderedAndProject (per-partition heads, no global sort), so
+    * the operator is one scan at any scale. A third odd multiplier
+    * decorrelates the sampling uniforms from the split's and the
+    * stratified sampler's hash streams.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      m: Int): DataFrame = {
+    val u = (knuthHash(col(idCol), 3266489917L) + 0.5d) / 4294967296.0d
+    df.filter(col(weightCol) > 0)
+      .withColumn("_k", log(u) / col(weightCol))
+      .orderBy(col("_k").desc, col(idCol))
+      .limit(m)
+      .drop("_k")
+  }
+
   /** INCREMENTAL connected components under edge INSERTS: fold a new
     * wave of pairs into an existing (doc_id, cluster_id, is_canonical)
     * labeling without re-clustering the graph. The merge runs on the

@@ -867,7 +867,29 @@ object PipelineQueries {
     CorpusOps.mergeComponents(CorpusOps.dupClusters(wave1), wave2)
   }
 
+  /** Q127: deterministic WEIGHTED sampling (Efraimidis-Spirakis top-m
+    * by ln(u)/w, u hash-derived) — length-weighted corpus sampling with
+    * rand()'s semantics but full reproducibility: both engines compute
+    * the identical keys from the identical integer hash, so the
+    * SELECTED SET hash-matches (q47's stratified sampler draws
+    * uniformly within strata; this one tilts inclusion by weight — the
+    * other sampling primitive a corpus mixer needs). The top-m cut is
+    * TakeOrderedAndProject — no global sort.
+    */
+  val q127 = QueryDef.sql(
+    "q127_weighted_sample",
+    """SELECT doc_id, n_chars FROM (
+      |  SELECT doc_id, n_chars,
+      |         ln((((doc_id % 1073741824) * 3266489917) % 4294967296 + 0.5)
+      |            / 4294967296.0) / n_chars AS k
+      |  FROM documents WHERE n_chars > 0
+      |  ORDER BY k DESC, doc_id LIMIT 200)""".stripMargin) { (spark, dir) =>
+    CorpusOps.weightedSample(
+      Tables.documents(spark, dir).select(col("doc_id"), col("n_chars")),
+      "doc_id", "n_chars", 200)
+  }
+
   val all: Seq[QueryDef] = Seq(q41, q42, q43, q44, q45, q47, q48, q49,
     q54, q57, q60, q62, q63, q64, q68, q69, q74, q76, q80, q81, q83, q90, q91,
-    q94, q98, q122, q125)
+    q94, q98, q122, q125, q127)
 }

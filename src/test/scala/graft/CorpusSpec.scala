@@ -482,4 +482,26 @@ class CorpusSpec extends SparkSpec {
         .isEmpty)
     }
   }
+
+  test("weightedSample: weight-proportional inclusion, deterministic, TakeOrdered plan") {
+    import org.apache.spark.sql.functions.col
+    // two weight classes: heavy rows 10x the weight of light rows
+    val rows = (1L to 2000L).map(i => (i, if (i % 2 == 0) 100L else 10L))
+    val df = rows.toDF("doc_id", "n_chars")
+    val pick = CorpusOps.weightedSample(df, "doc_id", "n_chars", 400)
+      .collect().map(_.getLong(0)).toSet
+    assert(pick.size == 400)
+    val heavy = pick.count(_ % 2 == 0)
+    // E-S inclusion tilts hard toward the heavy class; with a 10x
+    // weight ratio the heavy share of a 20% cut is far above half
+    assert(heavy > 300, s"heavy class should dominate the sample, got $heavy/400")
+    // deterministic: same input, same sample
+    val again = CorpusOps.weightedSample(df, "doc_id", "n_chars", 400)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == pick)
+    // scale shape: the cut is a TakeOrderedAndProject, not a global sort
+    val plan = CorpusOps.weightedSample(df, "doc_id", "n_chars", 400)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
 }
