@@ -96,6 +96,9 @@ object PipelineRegistry {
     *     "jdbc": { "url": "jdbc:derby:...", "table": "enriched",
     *               "stagingColumnTypes": "c_name VARCHAR(64), ..." } }
     * }}}
+    * The sink half is a [[ViewTarget]]: `"jdbc"` as above, or `"es"`
+    * (`{ "url", "username", "password" }`) for the reference's
+    * id-keyed Elasticsearch document serving.
     * Same lifecycle as LWW entries: [[changedSince]]/[[removedSince]]
     * key on the conf file, and the work dir a runner derives from the
     * conf file name ([[ckptKey]]) preserves checkpoints across restarts.
@@ -107,8 +110,8 @@ object PipelineRegistry {
       if (kindOf(node) != "view") None
       else {
         require(node.hasNonNull("name") && node.hasNonNull("fact")
-            && node.hasNonNull("dim") && node.hasNonNull("jdbc"),
-          s"${f.getName}: view confs need name, fact, dim and jdbc")
+            && node.hasNonNull("dim"),
+          s"${f.getName}: view confs need name, fact and dim")
         def side(field: String) = {
           val s = node.get(field)
           require(s.hasNonNull("table") && s.hasNonNull("idKey")
@@ -119,9 +122,23 @@ object PipelineRegistry {
         }
         val (fTable, fSchema, fId, fJoin) = side("fact")
         val (dTable, dSchema, dId, dJoin) = side("dim")
-        val jdbc = node.get("jdbc")
-        require(jdbc.hasNonNull("url") && jdbc.hasNonNull("table"),
-          s"${f.getName}: jdbc needs url and table")
+        val tgt: ViewTarget =
+          if (node.hasNonNull("jdbc")) {
+            val jdbc = node.get("jdbc")
+            require(jdbc.hasNonNull("url") && jdbc.hasNonNull("table"),
+              s"${f.getName}: jdbc needs url and table")
+            JdbcTarget(jdbc.get("url").asText(), jdbc.get("table").asText(),
+              if (jdbc.hasNonNull("stagingColumnTypes"))
+                Some(jdbc.get("stagingColumnTypes").asText()) else None)
+          } else {
+            require(node.hasNonNull("es"),
+              s"${f.getName}: view confs need a jdbc or es target")
+            val es = node.get("es")
+            require(es.hasNonNull("url"), s"${f.getName}: es needs url")
+            EsTarget(es.get("url").asText(),
+              if (es.hasNonNull("username")) es.get("username").asText() else "",
+              if (es.hasNonNull("password")) es.get("password").asText() else "")
+          }
         val dbs =
           if (node.has("databases"))
             node.get("databases").elements().asScala.map(_.asText()).toSet
@@ -134,11 +151,7 @@ object PipelineRegistry {
           dimTable = dTable, dimSchema = dSchema, dimIdField = dId,
           dimJoinField = dJoin,
           leftOuter = node.has("leftOuter") && node.get("leftOuter").asBoolean(),
-          jdbcUrl = jdbc.get("url").asText(),
-          jdbcTable = jdbc.get("table").asText(),
-          stagingColumnTypes =
-            if (jdbc.hasNonNull("stagingColumnTypes"))
-              Some(jdbc.get("stagingColumnTypes").asText()) else None)
+          target = tgt)
         Some(ViewEntry(pipeline, f.getAbsolutePath, f.lastModified()))
       }
     }
@@ -150,9 +163,12 @@ object PipelineRegistry {
     * renamed view keeps its cursor.
     */
   def runViews(entries: Seq[ViewEntry], spark: SparkSession,
-      sourceDir: String, workRoot: String): Unit =
+      sourceDir: String, workRoot: String,
+      esTransport: graft.sinks.EsSink.Transport =
+        new graft.sinks.EsSink.HttpTransport): Unit =
     entries.foreach { e =>
-      e.pipeline.runOnce(spark, sourceDir, s"$workRoot/${ckptKey(e.file)}")
+      e.pipeline.runOnce(spark, sourceDir, s"$workRoot/${ckptKey(e.file)}",
+        esTransport)
     }
 
   /** Conf files added or modified since `known` was loaded — the

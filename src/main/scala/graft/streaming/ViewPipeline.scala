@@ -52,8 +52,7 @@ final case class ViewPipeline(
     dimTable: String, dimSchema: StructType, dimIdField: String,
     dimJoinField: String,
     leftOuter: Boolean,
-    jdbcUrl: String, jdbcTable: String,
-    stagingColumnTypes: Option[String] = None) {
+    target: ViewTarget) {
 
   require(factSchema.fieldNames.toSet.intersect(dimSchema.fieldNames.toSet).isEmpty,
     s"view $name: fact and dim schemas share field names — the serving " +
@@ -90,7 +89,7 @@ final case class ViewPipeline(
     * file stream).
     */
   private def viewQuery(spark: SparkSession, workRoot: String,
-      trigger: Trigger): StreamingQuery = {
+      trigger: Trigger, esTransport: graft.sinks.EsSink.Transport): StreamingQuery = {
     def logStream(dir: String): DataFrame =
       // batch_id is a partition column of the on-disk log; naming it in
       // the (statically known — StatefulLww.Delta + partition col) read
@@ -103,12 +102,10 @@ final case class ViewPipeline(
     val viewDeltas = IncrementalJoin.viewDeltaStreamOrdered(
       logStream(logDir(workRoot, "fact")), logStream(logDir(workRoot, "dim")),
       factJoinField, dimJoinField, leftOuter)
-    val url = jdbcUrl
-    val table = jdbcTable
     val keyField = factIdField
     val fSchema = factSchema
     val dSchema = dimSchema
-    val types = stagingColumnTypes.orNull
+    val tgt = target
     viewDeltas.toDF().writeStream
       .queryName(s"view_$name")
       .outputMode("append")
@@ -123,8 +120,24 @@ final case class ViewPipeline(
             dSchema.fieldNames.map(n =>
               get_json_object(col("dimJson"), s"$$.$n")
                 .cast(dSchema(n).dataType).as(n)): _*)
-        JdbcSink.applyViewDeltas(flat, url, table, Seq(keyField),
-          stagingColumnTypes = types)
+        tgt match {
+          case JdbcTarget(url, table, types) =>
+            JdbcSink.applyViewDeltas(flat, url, table, Seq(keyField),
+              stagingColumnTypes = types.orNull)
+          case es: EsTarget =>
+            // the emission contract: a key-move's (delete, upsert) pair
+            // for one fact id must land on the upsert — deletes first
+            val cfg = es.config(keyField)
+            val cached = flat.persist()
+            try {
+              graft.sinks.EsSink.delete(
+                cached.filter(col("action") === "delete").select(col(keyField)),
+                cfg, esTransport)
+              graft.sinks.EsSink.upsert(
+                cached.filter(col("action") === "upsert").drop("action"),
+                cfg, esTransport)
+            } finally { cached.unpersist(); () }
+        }
         ()
       }
       .start()
@@ -138,7 +151,9 @@ final case class ViewPipeline(
     * Safe to call repeatedly; each call processes only data that arrived
     * since the last one (durable checkpoints at every stage).
     */
-  def runOnce(spark: SparkSession, feedDir: String, workRoot: String): Unit = {
+  def runOnce(spark: SparkSession, feedDir: String, workRoot: String,
+      esTransport: graft.sinks.EsSink.Transport =
+        new graft.sinks.EsSink.HttpTransport): Unit = {
     logQuery(spark, feedDir, workRoot, "fact", factTable, factSchema,
       factIdField, Trigger.AvailableNow()).awaitTermination()
     logQuery(spark, feedDir, workRoot, "dim", dimTable, dimSchema,
@@ -146,7 +161,8 @@ final case class ViewPipeline(
     // nothing for the join stage to do until both logs exist (a feed
     // that routed zero events to a side writes no log dir)
     if (!bothLogsExist(workRoot)) return
-    viewQuery(spark, workRoot, Trigger.AvailableNow()).awaitTermination()
+    viewQuery(spark, workRoot, Trigger.AvailableNow(), esTransport)
+      .awaitTermination()
   }
 
   /** LIVE deployment: the same three stages as long-running queries on
@@ -161,7 +177,9 @@ final case class ViewPipeline(
     */
   def start(spark: SparkSession, feedDir: String, workRoot: String,
       interval: String = "500 milliseconds",
-      bootstrapTimeoutMs: Long = 60000): Seq[StreamingQuery] = {
+      bootstrapTimeoutMs: Long = 60000,
+      esTransport: graft.sinks.EsSink.Transport =
+        new graft.sinks.EsSink.HttpTransport): Seq[StreamingQuery] = {
     val t = Trigger.ProcessingTime(interval)
     val logs = Seq(
       logQuery(spark, feedDir, workRoot, "fact", factTable, factSchema,
@@ -178,8 +196,23 @@ final case class ViewPipeline(
           "dim" else "fact"} events arrived within ${bootstrapTimeoutMs}ms — " +
           "cannot bootstrap the join stage's log stream")
     }
-    logs :+ viewQuery(spark, workRoot, t)
+    logs :+ viewQuery(spark, workRoot, t, esTransport)
   }
+}
+
+/** Where a view pipeline serves its enriched rows — the conf's sink
+  * half, generalized beyond one engine: a keyed JDBC table (MERGE
+  * semantics, exactly-once by idempotent key effects) or an
+  * Elasticsearch index (the reference's own serving store,
+  * ElasticsearchUtils.java:101-155 — id-keyed upsert/delete documents).
+  */
+sealed trait ViewTarget extends Serializable
+final case class JdbcTarget(url: String, table: String,
+    stagingColumnTypes: Option[String] = None) extends ViewTarget
+final case class EsTarget(url: String, username: String,
+    password: String) extends ViewTarget {
+  def config(idKey: String): graft.sinks.EsSink.Config =
+    graft.sinks.EsSink.Config(url, username, password, idKey)
 }
 
 object ViewPipeline {

@@ -83,8 +83,9 @@ class ViewPipelineSpec extends SparkSpec {
     assert(views.map(_.pipeline.name) == Seq("enr"))
     val v = views.head.pipeline
     assert(v.leftOuter && v.factJoinField == "o_custkey"
-      && v.dimTable == "customer" && v.jdbcTable == "enriched"
-      && v.stagingColumnTypes.contains("c_name VARCHAR(64)"))
+      && v.dimTable == "customer")
+    assert(v.target == graft.streaming.JdbcTarget("jdbc:derby:memory:x",
+      "enriched", Some("c_name VARCHAR(64)")))
     // the LWW loader must not try to build the view conf (it has no
     // idKey/schema at the top level and would fail fast)
     assert(PipelineRegistry.load(confDir.toString).map(_.pipeline.name) == Seq("t1"))
@@ -123,8 +124,9 @@ class ViewPipelineSpec extends SparkSpec {
       dimSchema = org.apache.spark.sql.types.StructType.fromDDL(
         "c_custkey BIGINT, c_name STRING"),
       dimIdField = "c_custkey", dimJoinField = "c_custkey",
-      leftOuter = false, jdbcUrl = url, jdbcTable = "enriched",
-      stagingColumnTypes = Some("c_name VARCHAR(64)"))
+      leftOuter = false,
+      target = graft.streaming.JdbcTarget(url, "enriched",
+        Some("c_name VARCHAR(64)")))
 
     val feedDir = Files.createTempDirectory("graft_viewlive_feed_").toFile
     val workRoot = Files.createTempDirectory("graft_viewlive_work_").toString
@@ -152,6 +154,55 @@ class ViewPipelineSpec extends SparkSpec {
         wire("orders", o(11, 1, 7.0), null, "c", 20, 4)).asJava)
       awaitServing(Map(10L -> "Alicia", 11L -> "Alicia"))
     } finally queries.foreach(_.stop())
+  }
+
+  test("ES target: enriched view serves as id-keyed documents (conf-declared)") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def wire(table: String, after: String, before: String, op: String,
+        ts: Long, off: Long): String = {
+      val ev = s"""{"payload":{"before":${Option(before).getOrElse("null")},""" +
+        s""""after":${Option(after).getOrElse("null")},""" +
+        s""""source":{"db":"shop","table":"$table","ts_ms":$ts},"op":"$op","ts_ms":$ts}}"""
+      s"""{"value":${mapper.writeValueAsString(ev)},"offset":$off}"""
+    }
+    val confDir = Files.createTempDirectory("graft_viewes_conf_").toFile
+    Files.write(new java.io.File(confDir, "es.json").toPath, Seq(
+      """{"kind":"view","name":"es_enr","databases":["shop"],
+        |"fact":{"table":"orders","idKey":"o_orderkey","joinKey":"o_custkey",
+        |        "schema":"o_orderkey BIGINT, o_custkey BIGINT, o_total DOUBLE"},
+        |"dim":{"table":"customer","idKey":"c_custkey","joinKey":"c_custkey",
+        |       "schema":"c_custkey BIGINT, c_name STRING"},
+        |"es":{"url":"http://es:9200/enriched","username":"u","password":"p"}}"""
+        .stripMargin.replace("\n", "")).asJava)
+    val views = PipelineRegistry.loadViews(confDir.toString)
+    assert(views.head.pipeline.target ==
+      graft.streaming.EsTarget("http://es:9200/enriched", "u", "p"))
+
+    val feedDir = Files.createTempDirectory("graft_viewes_feed_").toFile
+    val workRoot = Files.createTempDirectory("graft_viewes_work_").toString
+    Files.write(new java.io.File(feedDir, "000.json").toPath, Seq(
+      wire("customer", """{"c_custkey":1,"c_name":"Alice"}""", null, "c", 10, 1),
+      wire("orders", """{"o_orderkey":10,"o_custkey":1,"o_total":5.0}""",
+        null, "c", 10, 2)).asJava)
+    SinkSpec.recorded.clear()
+    PipelineRegistry.runViews(views, spark, feedDir.toString, workRoot,
+      esTransport = new SinkSpec.Recorder)
+    val puts = SinkSpec.recorded.asScala.toSeq.filter(_.method == "PUT")
+    assert(puts.map(_.url) == Seq("http://es:9200/enriched/_doc/10"))
+    val doc = mapper.readTree(puts.head.body)
+    assert(doc.get("o_orderkey").asLong == 10L
+      && doc.get("c_name").asText == "Alice"
+      && doc.get("o_total").asDouble == 5.0)
+
+    // a fact delete becomes an id-keyed DELETE on the next run
+    Files.write(new java.io.File(feedDir, "001.json").toPath, Seq(
+      wire("orders", null, """{"o_orderkey":10,"o_custkey":1,"o_total":5.0}""",
+        "d", 20, 3)).asJava)
+    SinkSpec.recorded.clear()
+    PipelineRegistry.runViews(views, spark, feedDir.toString, workRoot,
+      esTransport = new SinkSpec.Recorder)
+    val dels = SinkSpec.recorded.asScala.toSeq.filter(_.method == "DELETE")
+    assert(dels.map(_.url) == Seq("http://es:9200/enriched/_doc/10"))
   }
 
   test("E2E: view pipeline serves a typed JDBC table and stays incremental across runs") {
