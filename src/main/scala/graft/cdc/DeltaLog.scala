@@ -70,13 +70,21 @@ object DeltaLog {
     * [[gc]] retires it, so in-flight readers finish safely. Returns the
     * new generation dir.
     */
-  def compactLog(spark: SparkSession, base: String): String = {
+  def compactLog(spark: SparkSession, base: String): String =
+    compactLogWith(spark, base)(compact(spark, _, _))
+
+  /** Generation plumbing shared by every compaction flavor: run the
+    * given src→dst rewrite against the active generation, then
+    * atomically repoint CURRENT at the result.
+    */
+  def compactLogWith(spark: SparkSession, base: String)(
+      rewrite: (String, String) => Unit): String = {
     val gens = Option(new java.io.File(base).list()).getOrElse(Array.empty)
       .filter(_.startsWith("compact_"))
       .flatMap(n => scala.util.Try(n.stripPrefix("compact_").toInt).toOption)
     val next = if (gens.isEmpty) 1 else gens.max + 1
     val target = s"compact_$next"
-    compact(spark, activeDataDir(base), s"$base/$target")
+    rewrite(activeDataDir(base), s"$base/$target")
     val tmp = Paths.get(s"$base/CURRENT.tmp")
     Files.write(tmp, target.getBytes("UTF-8"))
     Files.move(tmp, Paths.get(s"$base/CURRENT"),
@@ -109,9 +117,9 @@ object DeltaLog {
         val fps = Option(logDir.listFiles()).getOrElse(Array.empty)
           .filter(_.isDirectory)
         if (fps.nonEmpty) {
-          val newest = fps.maxBy(_.lastModified)
+          val newest = fps.maxBy(lastUsed)
           fps.foreach { fp =>
-            if ((fp ne newest) && fp.lastModified < cutoff) {
+            if ((fp ne newest) && lastUsed(fp) < cutoff) {
               rmTree(fp); deleted += fp.getPath
             } else {
               val active = new java.io.File(activeDataDir(fp.getPath)).getName
@@ -147,10 +155,47 @@ object DeltaLog {
       val active = new java.io.File(activeDataDir(fp.getPath))
       val batches = Option(active.list()).getOrElse(Array.empty)
         .count(_.startsWith("batch_id="))
-      if (batches > maxBatches) compactLog(spark, fp.getPath)
+      // dispatch by the log's SCHEMA, not one-size-fits-all: the
+      // warehouse holds LWW table logs, view-delta logs, signed pair
+      // logs, and posting logs, and each fold class has its own
+      // equivalent rewrite — applying the LWW latest-per-"key" compact
+      // to a log with no key column aborts the whole pass
+      if (batches > maxBatches) {
+        val cols = scala.util.Try(
+          spark.read.parquet(active.getPath).columns.toSet).getOrElse(Set.empty)
+        if (Set("key", "action", "rowJson").subsetOf(cols))
+          compactLog(spark, fp.getPath)
+        else if (Set("id_a", "id_b", "delta").subsetOf(cols))
+          compactLogWith(spark, fp.getPath)(
+            compactSigned(spark, _, _, "delta"))
+        else if (Set("vec_id", "sgn", "cell", "emb").subsetOf(cols))
+          compactLogWith(spark, fp.getPath)(compactPostings(spark, _, _))
+        // unknown shape (e.g. a view-delta log, whose consumers run
+        // materializeLatest): leave it whole rather than corrupt it
+      }
     }
     gc(spark, retentionMs)
     ()
+  }
+
+  /** Bump a marker's mtime — the "last used" signal [[gc]] keys
+    * liveness on: every cache hit refreshes it, so the most recently
+    * USED fingerprint is the one retention keeps (most recently BUILT
+    * is wrong when source content reverts to an earlier fingerprint —
+    * the revert re-serves the old dir without rebuilding it, and a
+    * build-time heuristic would GC the actively-served log).
+    */
+  private def touch(marker: java.nio.file.Path): Unit =
+    try Files.setLastModifiedTime(marker,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+    catch { case _: java.io.IOException => () }
+
+  /** Last-used time of a fingerprint dir: its marker's mtime when
+    * present (refreshed on every cache hit), else the dir's own.
+    */
+  private def lastUsed(fp: java.io.File): Long = {
+    val m = new java.io.File(fp, "_GRAFT_DONE")
+    if (m.exists()) m.lastModified else fp.lastModified
   }
 
   /** Intra-process build locks, one per log base dir — FileLock alone
@@ -171,7 +216,7 @@ object DeltaLog {
     */
   private[cdc] def buildOnce(base: String)(build: () => Unit): Unit = {
     val done = Paths.get(s"$base/_GRAFT_DONE")
-    if (Files.exists(done)) return
+    if (Files.exists(done)) { touch(done); return }
     val monitor = localLocks.computeIfAbsent(base, _ => new Object)
     monitor.synchronized {
       if (Files.exists(done)) return
@@ -185,7 +230,8 @@ object DeltaLog {
           build()
           try Files.createFile(done)
           catch { case _: java.nio.file.FileAlreadyExistsException => () }
-        } finally lock.release()
+        } else touch(done)
+        finally lock.release()
       } finally ch.close()
     }
   }
@@ -371,13 +417,7 @@ object DeltaLog {
     * log, support state holds live rows only — no refcnt-0 tombstones.
     */
   def compact(spark: SparkSession, logDir: String, outDir: String): Unit = {
-    // clear the WHOLE target first: overwrite below is scoped to the
-    // batch_id=0 subdirectory, so re-compacting into a dir that already
-    // holds a multi-batch log would leave stale batch_id>0 partitions
-    // alongside the compacted one and readers would fold a mix
-    val out = new org.apache.hadoop.fs.Path(outDir)
-    val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(out)) fs.delete(out, true)
+    clearTarget(spark, outDir)
     latestPerKey(spark.read.parquet(logDir))
       .filter(col("action") === "upsert")
       .select(col("key"), col("action"), col("rowJson"),
@@ -396,9 +436,7 @@ object DeltaLog {
     */
   def compactSigned(spark: SparkSession, logDir: String, outDir: String,
       signedCol: String): Unit = {
-    val out = new org.apache.hadoop.fs.Path(outDir)
-    val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(out)) fs.delete(out, true)
+    clearTarget(spark, outDir)
     val log = spark.read.parquet(logDir)
     val keys = log.columns.filterNot(c => c == signedCol || c == "batch_id")
     log.groupBy(keys.map(col): _*)
@@ -414,13 +452,23 @@ object DeltaLog {
     * livePostings over the compacted log equals the original fold.
     */
   def compactPostings(spark: SparkSession, logDir: String, outDir: String): Unit = {
-    val out = new org.apache.hadoop.fs.Path(outDir)
-    val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(out)) fs.delete(out, true)
+    clearTarget(spark, outDir)
     graft.ops.VectorSearch.livePostings(spark.read.parquet(logDir))
       .select(col("vec_id"), lit(0L).as("seq"), lit(1).as("sgn"),
         col("cell"), col("embedding").as("emb"))
       .write.mode("overwrite").parquet(s"$outDir/batch_id=0")
+  }
+
+  /** Clear a compaction target WHOLE before writing: the overwrite each
+    * rewrite performs is scoped to its batch_id=0 subdirectory, so
+    * rewriting into a dir that already holds a multi-batch log would
+    * leave stale batch_id>0 partitions alongside the compacted one and
+    * readers would fold a mix.
+    */
+  private def clearTarget(spark: SparkSession, outDir: String): Unit = {
+    val out = new org.apache.hadoop.fs.Path(outDir)
+    val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(out)) { fs.delete(out, true); () }
   }
 
   /** The ONE latest-delta-per-key collapse both [[compact]] and the

@@ -355,32 +355,15 @@ object CorpusOps {
     * instead — BFS is the right tool when the DEPTH ITSELF is the
     * answer.
     */
+  // NO session-conf toggles here: an earlier version set
+  // spark.sql.shuffle.partitions=8 + AQE off around the loop, which
+  // leaked to every query running CONCURRENTLY on the session for the
+  // whole BFS (and two concurrent BFS calls could restore each other's
+  // stale values). The measured win was ~9% once the joins were
+  // explicit broadcasts — not worth a session-global hazard; the only
+  // per-round shuffle left is the frontier-sized min aggregate.
   def bfsDistances(edges: DataFrame, seeds: DataFrame,
       maxIter: Int = 200): DataFrame = {
-    val spark = edges.sparkSession
-    // frontier shuffles are FRONTIER-sized: at depth d the frontier is
-    // one BFS level, and scheduling 32 near-empty reduce tasks per
-    // round × ~30 rounds is pure overhead (measured 6.4s → 2.5s at
-    // sf0.1 with 8). Production graphs with huge levels should raise it
-    // — the knob tracks level size, exactly like Replay's state
-    // partitions track state size.
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    // AQE's per-stage re-planning buys nothing on frontier-sized rounds
-    // (the joins are already explicit broadcasts) and its overhead is
-    // per-round; plans here are hand-shaped, so run it off
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val prevAqe = spark.conf.get(aqeKey)
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    spark.conf.set(aqeKey, "false")
-    try bfsLoop(edges, seeds, maxIter)
-    finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-      spark.conf.set(aqeKey, prevAqe)
-    }
-  }
-
-  private def bfsLoop(edges: DataFrame, seeds: DataFrame,
-      maxIter: Int): DataFrame = {
     val e = edges.select(col("u"), col("v")).localCheckpoint(true)
     val seed0 = seeds.select(col("id")).distinct()
       .select(col("id"), lit(0L).as("dist")).localCheckpoint(true)

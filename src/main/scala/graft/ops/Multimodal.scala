@@ -588,7 +588,15 @@ object Multimodal {
         case "stsz" if s6 >= 20 && sizes == null =>
           val fixedSize = bb.getInt(o6 + 12)
           val count = bb.getInt(o6 + 16)
-          if (count >= 0 && (fixedSize != 0 || count.toLong * 4 <= s6 - 20))
+          // BOTH forms bounded by the payload: the per-sample table by
+          // its own box size, the fixed form by total declared bytes —
+          // a hostile stsz declaring 2^30 one-byte samples must degrade
+          // (the "Empty on anything malformed" contract), not allocate
+          // a billion-element Seq
+          if (count >= 0 &&
+              (if (fixedSize != 0)
+                 fixedSize > 0 && fixedSize.toLong * count <= payload.length
+               else count.toLong * 4 <= s6 - 20))
             sizes =
               if (fixedSize != 0) Seq.fill(count)(fixedSize)
               else (0 until count).map(j => bb.getInt(o6 + 20 + j * 4))

@@ -558,6 +558,8 @@ object VectorSearch {
           from_json(get_json_object(col("prevJson"), s"$$.$vectorField"),
             embSchema).as("emb")))),
         x => x.isNotNull)).as("c"))
+      .filter(col("c.emb").isNotNull) // a delta missing the vector field
+        // routes nowhere (malformed payloads must not kill the stream)
       .select(col("vec_id"), col("seq"), col("c.sgn").as("sgn"),
         nearestCell(col("c.emb"), cents).as("cell"), col("c.emb").as("emb"))
   }

@@ -434,6 +434,13 @@ object CdcQueries {
     * the same state arithmetically from the feed's slot rules, so a
     * wrong interval boundary (off-by-one on valid_to, a delete leaking
     * backward) breaks the hash.
+    *
+    * Validity domain: the fixture's ts bands (1e9+k / 2e9+k / 3e9+k)
+    * only keep update < asOf < delete for keys below 5e8 — beyond that
+    * the BANDS THEMSELVES overlap, which breaks every band-based oracle
+    * in this file, not just this cutoff. The harness SFs sit orders of
+    * magnitude under the bound; a larger fixture would widen the band
+    * stride with the key range.
     */
   val q120 = QueryDef.sql(
     "q120_cdc_asof",

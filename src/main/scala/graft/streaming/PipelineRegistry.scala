@@ -171,24 +171,47 @@ object PipelineRegistry {
         esTransport)
     }
 
-  /** Conf files added or modified since `known` was loaded — the
-    * pipelines whose queries need a restart (S2 reload semantics).
-    */
-  def changedSince(known: Seq[Entry], dir: String): Seq[String] = {
-    val byFile = known.map(e => e.file -> e.mtime).toMap
-    confFiles(dir).filter { f =>
-      byFile.get(f.getAbsolutePath) match {
+  private def confFilesOfKind(dir: String, kind: String): Seq[File] = {
+    val mapper = new ObjectMapper()
+    confFiles(dir).filter(f =>
+      scala.util.Try(kindOf(mapper.readTree(f))).getOrElse("lww") == kind)
+  }
+
+  private def changedOfKind(knownFiles: Map[String, Long], dir: String,
+      kind: String): Seq[String] =
+    confFilesOfKind(dir, kind).filter { f =>
+      knownFiles.get(f.getAbsolutePath) match {
         case Some(m) => f.lastModified() != m
         case None => true
       }
     }.map(_.getAbsolutePath)
-  }
+
+  /** LWW conf files added or modified since `known` was loaded — the
+    * pipelines whose queries need a restart (S2 reload semantics).
+    * Kind-scoped: a `"kind": "view"` conf in the same dir belongs to
+    * [[changedViewsSince]]'s lifecycle, not this one — without the
+    * filter an LWW watcher would flag it as "new" forever (load() never
+    * admits it to the known set) and busy-loop on reloads.
+    */
+  def changedSince(known: Seq[Entry], dir: String): Seq[String] =
+    changedOfKind(known.map(e => e.file -> e.mtime).toMap, dir, "lww")
+
+  /** [[changedSince]] for the view-pipeline lifecycle. */
+  def changedViewsSince(known: Seq[ViewEntry], dir: String): Seq[String] =
+    changedOfKind(known.map(e => e.file -> e.mtime).toMap, dir, "view")
 
   /** Known conf files that no longer exist — the pipelines whose
     * queries must be STOPPED (deregistration, the delete half of the
-    * reference's script-watcher lifecycle).
+    * reference's script-watcher lifecycle). Removal needs no kind
+    * filter: `known` already carries only this lifecycle's files.
     */
   def removedSince(known: Seq[Entry], dir: String): Seq[String] = {
+    val live = confFiles(dir).map(_.getAbsolutePath).toSet
+    known.map(_.file).filterNot(live)
+  }
+
+  /** [[removedSince]] for the view-pipeline lifecycle. */
+  def removedViewsSince(known: Seq[ViewEntry], dir: String): Seq[String] = {
     val live = confFiles(dir).map(_.getAbsolutePath).toSet
     known.map(_.file).filterNot(live)
   }

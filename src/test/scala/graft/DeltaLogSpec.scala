@@ -132,4 +132,84 @@ class DeltaLogSpec extends SparkSpec {
       case None => spark.conf.unset("spark.graft.warehouse")
     }
   }
+
+  test("maintain dispatches compaction by log schema; unknown shapes are left whole") {
+    import java.nio.file.{Files, Paths}
+    val wh = Files.createTempDirectory("graft_dl_wh2_").toString
+    val prev = spark.conf.getOption("spark.graft.warehouse")
+    spark.conf.set("spark.graft.warehouse", wh)
+    try {
+      // a SIGNED pair log (no key/action columns): two batches netting
+      // (1,2)->1 and (1,3)->1
+      val pairBase = s"$wh/lshindexlog_t/cafe"
+      Seq((1L, 2L, 1), (1L, 2L, 1)).toDF("id_a", "id_b", "delta")
+        .write.parquet(s"$pairBase/data/batch_id=0")
+      Seq((1L, 2L, -1), (1L, 3L, 1)).toDF("id_a", "id_b", "delta")
+        .write.parquet(s"$pairBase/data/batch_id=1")
+      Files.createFile(Paths.get(s"$pairBase/_GRAFT_DONE"))
+      // an unknown-shape log (view deltas): must be left untouched
+      val viewBase = s"$wh/viewdeltalog_t/beef"
+      Seq((10L, "upsert", "{}", "{}", null: String, null: String))
+        .toDF("factId", "action", "factJson", "dimJson",
+          "prevFactJson", "prevDimJson")
+        .write.parquet(s"$viewBase/data/batch_id=0")
+      Seq((10L, "delete", null: String, null: String, "{}", "{}"))
+        .toDF("factId", "action", "factJson", "dimJson",
+          "prevFactJson", "prevDimJson")
+        .write.parquet(s"$viewBase/data/batch_id=1")
+      Files.createFile(Paths.get(s"$viewBase/_GRAFT_DONE"))
+
+      // the old behavior applied the LWW latest-per-"key" compact to
+      // BOTH and died on the missing column, aborting the whole pass
+      DeltaLog.maintain(spark, maxBatches = 1, retentionMs = Long.MaxValue)
+
+      // the signed log compacted to net rows under a new generation
+      assert(Files.exists(Paths.get(s"$pairBase/CURRENT")))
+      val folded = graft.ops.MinHashLsh.livePairs(
+          spark.read.parquet(DeltaLog.activeDataDir(pairBase)))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(folded == Set((1L, 2L, 1L), (1L, 3L, 1L)))
+      assert(spark.read.parquet(DeltaLog.activeDataDir(pairBase)).count() == 2)
+      // the unknown-shape log was not compacted (no CURRENT pointer)
+      assert(!Files.exists(Paths.get(s"$viewBase/CURRENT")))
+      assert(spark.read.parquet(s"$viewBase/data").count() == 2)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.graft.warehouse", v)
+      case None => spark.conf.unset("spark.graft.warehouse")
+    }
+  }
+
+  test("gc keeps the most recently USED fingerprint, not the most recently built") {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    val wh = Files.createTempDirectory("graft_dl_wh3_").toString
+    val prev = spark.conf.getOption("spark.graft.warehouse")
+    spark.conf.set("spark.graft.warehouse", wh)
+    try {
+      val now = 1_000_000_000_000L
+      // fpA built FIRST, then content changed to fpB, then reverted:
+      // readers re-serve fpA (its marker mtime refreshed by the cache
+      // hit), fpB is the dead one despite being built later
+      val fpA = s"$wh/deltalog_orders_u/aaaa"
+      val fpB = s"$wh/deltalog_orders_u/bbbb"
+      writeLog(s"$fpA/data", Seq(0L -> Seq((1L, "upsert", row(1, "a", 1.0), null))))
+      writeLog(s"$fpB/data", Seq(0L -> Seq((1L, "upsert", row(1, "a", 2.0), null))))
+      Files.createFile(Paths.get(s"$fpA/_GRAFT_DONE"))
+      Files.createFile(Paths.get(s"$fpB/_GRAFT_DONE"))
+      // dir mtimes say B is newer (built later); marker mtimes say A is
+      // the one in use (refreshed on access)
+      Files.setLastModifiedTime(Paths.get(fpA), FileTime.fromMillis(now - 50_000))
+      Files.setLastModifiedTime(Paths.get(fpB), FileTime.fromMillis(now - 20_000))
+      Files.setLastModifiedTime(Paths.get(s"$fpA/_GRAFT_DONE"),
+        FileTime.fromMillis(now))
+      Files.setLastModifiedTime(Paths.get(s"$fpB/_GRAFT_DONE"),
+        FileTime.fromMillis(now - 20_000))
+      val deleted = DeltaLog.gc(spark, retentionMs = 5_000, nowMs = now).toSet
+      assert(deleted == Set(fpB), "the superseded-but-newer-built dir goes")
+      assert(Files.exists(Paths.get(s"$fpA/data")), "the in-use dir survives")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.graft.warehouse", v)
+      case None => spark.conf.unset("spark.graft.warehouse")
+    }
+  }
 }

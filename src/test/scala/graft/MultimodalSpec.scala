@@ -268,6 +268,24 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.frameSample(spark, junk).count() == 0)
   }
 
+  test("a hostile fixed-size stsz declaring a billion samples degrades, not allocates") {
+    // take a REAL container and patch its stsz to the fixed-size form
+    // with sample_size=1, sample_count=2^30 — structurally valid, but
+    // the declared bytes exceed the payload, so the bound must reject
+    // it (the old guard only bounded the per-sample table)
+    val payload = Multimodal.synthesizeMp4WithSamples(6L)
+    val i = payload.indexOfSlice("stsz".getBytes("US-ASCII"))
+    assert(i > 0, "synthesized container must contain an stsz box")
+    val bb = java.nio.ByteBuffer.wrap(payload)
+    bb.putInt(i + 8, 1)          // sample_size (fixed form)
+    bb.putInt(i + 12, 1 << 30)   // sample_count
+    val hostile = Seq((7L, payload)).toDF("doc_id", "payload")
+    val t0 = System.nanoTime()
+    assert(Multimodal.frameSample(spark, hostile).count() == 0)
+    assert((System.nanoTime() - t0) / 1e9 < 30.0,
+      "degradation must be a bounds check, not a giant allocation")
+  }
+
   test("resize shrinks payloads by the factor, preserving first byte") {
     val resized = Multimodal.resize(spark, withPayload, 4).collect()
     val orig = withPayload.select(col("doc_id"), col("payload"))

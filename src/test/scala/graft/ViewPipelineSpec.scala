@@ -91,6 +91,38 @@ class ViewPipelineSpec extends SparkSpec {
     assert(PipelineRegistry.load(confDir.toString).map(_.pipeline.name) == Seq("t1"))
   }
 
+  test("watcher lifecycle is kind-scoped: a view conf never busy-loops an LWW watcher") {
+    val confDir = Files.createTempDirectory("graft_kindconf_").toFile
+    val lwwConf = new java.io.File(confDir, "a_lww.json")
+    Files.write(lwwConf.toPath, Seq(
+      """{"name":"t1","databases":["d"],"tables":["t"],"idKey":"id","schema":"id BIGINT"}""").asJava)
+    val viewConf = new java.io.File(confDir, "b_view.json")
+    Files.write(viewConf.toPath, Seq(
+      """{"kind":"view","name":"v1",
+        |"fact":{"table":"o","idKey":"k","joinKey":"j","schema":"k BIGINT, j BIGINT"},
+        |"dim":{"table":"c","idKey":"cj","joinKey":"cj","schema":"cj BIGINT, n STRING"},
+        |"jdbc":{"url":"jdbc:derby:memory:x","table":"t"}}"""
+        .stripMargin.replace("\n", "")).asJava)
+
+    val lww = PipelineRegistry.load(confDir.toString)
+    val views = PipelineRegistry.loadViews(confDir.toString)
+    // steady state: NEITHER lifecycle sees phantom changes (the old
+    // unscoped changedSince flagged the view conf to the LWW watcher on
+    // every poll — a permanent busy-reload loop)
+    assert(PipelineRegistry.changedSince(lww, confDir.toString).isEmpty)
+    assert(PipelineRegistry.changedViewsSince(views, confDir.toString).isEmpty)
+    // a view conf edit surfaces ONLY to the view lifecycle
+    viewConf.setLastModified(viewConf.lastModified() + 5000)
+    assert(PipelineRegistry.changedSince(lww, confDir.toString).isEmpty)
+    assert(PipelineRegistry.changedViewsSince(views, confDir.toString)
+      == Seq(viewConf.getAbsolutePath))
+    // removal surfaces to its own lifecycle
+    assert(viewConf.delete())
+    assert(PipelineRegistry.removedViewsSince(views, confDir.toString)
+      == Seq(viewConf.getAbsolutePath))
+    assert(PipelineRegistry.removedSince(lww, confDir.toString).isEmpty)
+  }
+
   test("LIVE mode: continuous-trigger pipeline follows feed appends to the serving table") {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     def wire(table: String, after: String, before: String, op: String,
