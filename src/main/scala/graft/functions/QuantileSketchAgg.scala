@@ -38,6 +38,13 @@ final class QuantileSketchAgg(capacity: Int)
     * parity-selected element of each neighbor pair, retain the odd
     * leftover, flip the parity. Levels stay individually sorted above
     * level 0 (which buffers unsorted inserts until it compacts).
+    *
+    * The odd leftover alternates ENDS with the same parity bit that
+    * alternates within-pair promotion: always retaining the maximum
+    * would leave a one-sided low-weight bias toward large values at the
+    * tails — exactly the naive-derandomization drift the parity bit
+    * exists to cancel, so it cancels the leftover too (par==0 keeps the
+    * minimum and pairs the rest; par==1 keeps the maximum).
     */
   private def compact(levels0: Array[Level]): Array[Level] = {
     val levels = scala.collection.mutable.ArrayBuffer(levels0: _*)
@@ -47,8 +54,12 @@ final class QuantileSketchAgg(capacity: Int)
         val sorted = levels(i).items.sorted
         val m = sorted.length
         val par = levels(i).parity
-        val keepUp = Array.tabulate(m / 2)(j => sorted(2 * j + par))
-        val stay = if (m % 2 == 1) Array(sorted(m - 1))
+        val odd = m % 2 == 1
+        // when odd and par==0 the leftover is sorted(0), so pairs start
+        // at index 1; the within-pair pick still alternates by par
+        val base = if (odd && par == 0) 1 else 0
+        val keepUp = Array.tabulate(m / 2)(j => sorted(base + 2 * j + par))
+        val stay = if (odd) Array(if (par == 0) sorted(0) else sorted(m - 1))
                    else Array.emptyDoubleArray
         levels(i) = Level(stay, 1 - par)
         if (i + 1 >= levels.length) levels += Level(Array.emptyDoubleArray, 0)

@@ -287,15 +287,29 @@ object CorpusOps {
     * the operator is one scan at any scale. A third odd multiplier
     * decorrelates the sampling uniforms from the split's and the
     * stratified sampler's hash streams.
+    *
+    * Cross-engine determinism: unlike the repo's pure-integer hash
+    * gates, `ln()` is only 1-ulp-accurate and not guaranteed
+    * bit-identical across libm implementations, so ordering by the raw
+    * key could swap near-tie rows at the top-m cut between Spark and an
+    * oracle engine. The sort key is therefore the key QUANTIZED to 1e-6
+    * buckets (floor — exact on doubles in every engine), with the id as
+    * the in-bucket tie-break: a last-ulp ln() difference changes the
+    * bucket only if the true key sits within ~1e-10 relative of a
+    * bucket boundary AND the two engines round across it — measure-zero
+    * in practice vs near-certain for raw-double near-ties at the cut.
+    * Within-bucket selection by id deviates from exact E-S order only
+    * among keys equal to 6 decimal places, which leaves inclusion
+    * probabilities indistinguishable from the unquantized sampler.
     */
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
       m: Int): DataFrame = {
     val u = (knuthHash(col(idCol), 3266489917L) + 0.5d) / 4294967296.0d
     df.filter(col(weightCol) > 0)
-      .withColumn("_k", log(u) / col(weightCol))
-      .orderBy(col("_k").desc, col(idCol))
+      .withColumn("_kq", floor(log(u) / col(weightCol) * lit(1000000.0d)))
+      .orderBy(col("_kq").desc, col(idCol))
       .limit(m)
-      .drop("_k")
+      .drop("_kq")
   }
 
   /** INCREMENTAL connected components under edge INSERTS: fold a new

@@ -874,16 +874,19 @@ object PipelineQueries {
     * SELECTED SET hash-matches (q47's stratified sampler draws
     * uniformly within strata; this one tilts inclusion by weight — the
     * other sampling primitive a corpus mixer needs). The top-m cut is
-    * TakeOrderedAndProject — no global sort.
+    * TakeOrderedAndProject — no global sort. The sort key is QUANTIZED
+    * (floor(k·1e6), id tie-break) so last-ulp ln() differences between
+    * Spark's and the oracle's libm cannot swap near-tie rows at the cut
+    * — see [[CorpusOps.weightedSample]].
     */
   val q127 = QueryDef.sql(
     "q127_weighted_sample",
     """SELECT doc_id, n_chars FROM (
       |  SELECT doc_id, n_chars,
-      |         ln((((doc_id % 1073741824) * 3266489917) % 4294967296 + 0.5)
-      |            / 4294967296.0) / n_chars AS k
+      |         floor(ln((((doc_id % 1073741824) * 3266489917) % 4294967296 + 0.5)
+      |            / 4294967296.0) / n_chars * 1000000.0) AS kq
       |  FROM documents WHERE n_chars > 0
-      |  ORDER BY k DESC, doc_id LIMIT 200)""".stripMargin) { (spark, dir) =>
+      |  ORDER BY kq DESC, doc_id LIMIT 200)""".stripMargin) { (spark, dir) =>
     CorpusOps.weightedSample(
       Tables.documents(spark, dir).select(col("doc_id"), col("n_chars")),
       "doc_id", "n_chars", 200)

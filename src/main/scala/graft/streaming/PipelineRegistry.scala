@@ -50,8 +50,20 @@ object PipelineRegistry {
     Option(new File(dir).listFiles()).getOrElse(Array.empty[File])
       .filter(f => f.isFile && f.getName.endsWith(".json")).sortBy(_.getName).toSeq
 
-  private def kindOf(node: com.fasterxml.jackson.databind.JsonNode): String =
-    if (node.hasNonNull("kind")) node.get("kind").asText() else "lww"
+  /** Recognized pipeline kinds. Anything else fails fast WITH the file
+    * name (register-at-boot contract, S3): a typo'd `"kind": "veiw"`
+    * must not make a production pipeline silently vanish from both
+    * lifecycles.
+    */
+  private val Kinds = Set("lww", "view")
+
+  private def kindOf(f: File,
+      node: com.fasterxml.jackson.databind.JsonNode): String = {
+    val k = if (node.hasNonNull("kind")) node.get("kind").asText() else "lww"
+    require(Kinds(k),
+      s"${f.getName}: unrecognized pipeline kind '$k' (expected one of ${Kinds.mkString(", ")})")
+    k
+  }
 
   /** Discover and build every single-table LWW pipeline defined in
     * `dir` (confs without a `kind`, or `"kind": "lww"`). Fails fast on
@@ -62,7 +74,7 @@ object PipelineRegistry {
     val mapper = new ObjectMapper()
     confFiles(dir).flatMap { f =>
       val node = mapper.readTree(f)
-      if (kindOf(node) != "lww") None
+      if (kindOf(f, node) != "lww") None
       else {
         def strSet(field: String): Set[String] =
           if (node.has(field)) node.get(field).elements().asScala.map(_.asText()).toSet
@@ -107,7 +119,7 @@ object PipelineRegistry {
     val mapper = new ObjectMapper()
     confFiles(dir).flatMap { f =>
       val node = mapper.readTree(f)
-      if (kindOf(node) != "view") None
+      if (kindOf(f, node) != "view") None
       else {
         require(node.hasNonNull("name") && node.hasNonNull("fact")
             && node.hasNonNull("dim"),
@@ -151,7 +163,10 @@ object PipelineRegistry {
           dimTable = dTable, dimSchema = dSchema, dimIdField = dId,
           dimJoinField = dJoin,
           leftOuter = node.has("leftOuter") && node.get("leftOuter").asBoolean(),
-          target = tgt)
+          target = tgt,
+          deadLetterDir =
+            if (node.hasNonNull("deadLetterDir"))
+              Some(node.get("deadLetterDir").asText()) else None)
         Some(ViewEntry(pipeline, f.getAbsolutePath, f.lastModified()))
       }
     }
@@ -173,8 +188,7 @@ object PipelineRegistry {
 
   private def confFilesOfKind(dir: String, kind: String): Seq[File] = {
     val mapper = new ObjectMapper()
-    confFiles(dir).filter(f =>
-      scala.util.Try(kindOf(mapper.readTree(f))).getOrElse("lww") == kind)
+    confFiles(dir).filter(f => kindOf(f, mapper.readTree(f)) == kind)
   }
 
   private def changedOfKind(knownFiles: Map[String, Long], dir: String,

@@ -52,7 +52,8 @@ final case class ViewPipeline(
     dimTable: String, dimSchema: StructType, dimIdField: String,
     dimJoinField: String,
     leftOuter: Boolean,
-    target: ViewTarget) {
+    target: ViewTarget,
+    deadLetterDir: Option[String] = None) {
 
   require(factSchema.fieldNames.toSet.intersect(dimSchema.fieldNames.toSet).isEmpty,
     s"view $name: fact and dim schemas share field names — the serving " +
@@ -106,6 +107,8 @@ final case class ViewPipeline(
     val fSchema = factSchema
     val dSchema = dimSchema
     val tgt = target
+    val dlDir = deadLetterDir
+    val viewName = name
     viewDeltas.toDF().writeStream
       .queryName(s"view_$name")
       .outputMode("append")
@@ -130,12 +133,20 @@ final case class ViewPipeline(
             val cfg = es.config(keyField)
             val cached = flat.persist()
             try {
-              graft.sinks.EsSink.delete(
+              val dlDeletes = graft.sinks.EsSink.delete(
                 cached.filter(col("action") === "delete").select(col(keyField)),
                 cfg, esTransport)
-              graft.sinks.EsSink.upsert(
+              val dlUpserts = graft.sinks.EsSink.upsert(
                 cached.filter(col("action") === "upsert").drop("action"),
                 cfg, esTransport)
+              // S6: failures are data — undeliverable deltas (after the
+              // sink's retries) must not vanish while the checkpoint
+              // advances; persist them like CdcPipeline.applyBatch does
+              dlDir.foreach { dir =>
+                val dead = dlDeletes.unionByName(dlUpserts)
+                  .withColumn("pipeline", lit(viewName))
+                if (!dead.isEmpty) dead.write.mode("append").parquet(dir)
+              }
             } finally { cached.unpersist(); () }
         }
         ()
@@ -143,9 +154,21 @@ final case class ViewPipeline(
       .start()
   }
 
-  private def bothLogsExist(workRoot: String): Boolean =
-    Files.exists(Paths.get(logDir(workRoot, "fact"))) &&
-      Files.exists(Paths.get(logDir(workRoot, "dim")))
+  /** Seed both log directories BEFORE any query starts. The join
+    * stage's file streams read them with a STATIC schema
+    * ([[ViewPipeline.LogSchema]]), so an empty-but-existing dir is a
+    * perfectly good stream source (zero files → zero batches) — which
+    * means the join stage never has to wait for a side's first event.
+    * The case that matters: a leftOuter view over a feed that has fact
+    * events but no dim events yet must serve null-enriched facts
+    * immediately, not sit unserved until the first dim row ever
+    * arrives.
+    */
+  private def seedLogDirs(workRoot: String): Unit = {
+    Files.createDirectories(Paths.get(logDir(workRoot, "fact")))
+    Files.createDirectories(Paths.get(logDir(workRoot, "dim")))
+    ()
+  }
 
   /** Run every stage to completion over the feed's CURRENT contents.
     * Safe to call repeatedly; each call processes only data that arrived
@@ -154,49 +177,36 @@ final case class ViewPipeline(
   def runOnce(spark: SparkSession, feedDir: String, workRoot: String,
       esTransport: graft.sinks.EsSink.Transport =
         new graft.sinks.EsSink.HttpTransport): Unit = {
+    seedLogDirs(workRoot)
     logQuery(spark, feedDir, workRoot, "fact", factTable, factSchema,
       factIdField, Trigger.AvailableNow()).awaitTermination()
     logQuery(spark, feedDir, workRoot, "dim", dimTable, dimSchema,
       dimIdField, Trigger.AvailableNow()).awaitTermination()
-    // nothing for the join stage to do until both logs exist (a feed
-    // that routed zero events to a side writes no log dir)
-    if (!bothLogsExist(workRoot)) return
     viewQuery(spark, workRoot, Trigger.AvailableNow(), esTransport)
       .awaitTermination()
   }
 
   /** LIVE deployment: the same three stages as long-running queries on
     * a processing-time trigger — new feed files flow through to the
-    * serving table continuously. The join stage needs the log dirs to
-    * exist before it can start (their schema seeds its file stream), so
-    * this waits up to `bootstrapTimeoutMs` for the log writers' first
-    * batches; a feed with no data for a side within the timeout fails
-    * fast rather than serving a half-wired view. Stop the returned
-    * queries to shut down; checkpoints make a later [[start]] or
-    * [[runOnce]] resume exactly where serving stopped.
+    * serving table continuously. Log dirs are seeded eagerly
+    * ([[seedLogDirs]]), so the join stage starts immediately and a
+    * side with no events yet contributes an empty stream (leftOuter
+    * facts serve null-enriched from the first fact batch). Stop the
+    * returned queries to shut down; checkpoints make a later [[start]]
+    * or [[runOnce]] resume exactly where serving stopped.
     */
   def start(spark: SparkSession, feedDir: String, workRoot: String,
       interval: String = "500 milliseconds",
-      bootstrapTimeoutMs: Long = 60000,
       esTransport: graft.sinks.EsSink.Transport =
         new graft.sinks.EsSink.HttpTransport): Seq[StreamingQuery] = {
     val t = Trigger.ProcessingTime(interval)
-    val logs = Seq(
+    seedLogDirs(workRoot)
+    Seq(
       logQuery(spark, feedDir, workRoot, "fact", factTable, factSchema,
         factIdField, t),
       logQuery(spark, feedDir, workRoot, "dim", dimTable, dimSchema,
-        dimIdField, t))
-    val deadline = System.nanoTime() + bootstrapTimeoutMs * 1000000L
-    while (!bothLogsExist(workRoot) && System.nanoTime() < deadline)
-      Thread.sleep(50)
-    if (!bothLogsExist(workRoot)) {
-      logs.foreach(_.stop())
-      throw new IllegalStateException(
-        s"view $name: no ${if (Files.exists(Paths.get(logDir(workRoot, "fact"))))
-          "dim" else "fact"} events arrived within ${bootstrapTimeoutMs}ms — " +
-          "cannot bootstrap the join stage's log stream")
-    }
-    logs :+ viewQuery(spark, workRoot, t, esTransport)
+        dimIdField, t),
+      viewQuery(spark, workRoot, t, esTransport))
   }
 }
 
