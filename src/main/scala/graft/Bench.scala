@@ -18,6 +18,29 @@ import org.apache.spark.sql.SparkSession
   * the medians measured the box, not the code.
   */
 object Bench {
+  /** Median-of-3 with bounded re-measurement when the spread says the
+    * box was busy (r7 postmortem: per-run ranges like 1.4→22.4 s at
+    * loadavg 4.7 shipped a 2.4×-overstated headline). A max/min ratio
+    * beyond `limit` means the median measured the box, not the code:
+    * take another 3 runs (up to `maxRetries` times) and keep the
+    * tighter / faster set. `floor` skips sub-300 ms queries whose
+    * spread is scheduler jitter, not contention. Returns (sorted runs,
+    * retry rounds taken).
+    */
+  private[graft] def measureWithRetry(run: () => Double, maxRetries: Int = 2,
+      limit: Double = 3.0, floor: Double = 0.3): (Seq[Double], Int) = {
+    def wide(rs: Seq[Double]): Boolean =
+      rs.last > floor && rs.last / math.max(rs.head, 1e-9) > limit
+    var best = Seq.fill(3)(run()).sorted
+    var tries = 0
+    while (wide(best) && tries < maxRetries) {
+      val again = Seq.fill(3)(run()).sorted
+      if (again(1) < best(1)) best = again
+      tries += 1
+    }
+    (best, tries)
+  }
+
   private def loadavg(): String =
     try {
       val parts = scala.io.Source.fromFile("/proc/loadavg").mkString
@@ -38,6 +61,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // RAM-disk hygiene before measuring: leaked throwaway checkpoints
+    // from crashed prior sessions are literal memory pressure (r7: the
+    // micro-batch-bound queries late in bench order paid for ~1 GB of
+    // stale /dev/shm state files). Age-gated — never touches a live run.
+    graft.streaming.Replay.sweepStaleCheckpoints()
+
     // noop-format write forces FULL row production (every projected
     // column materialized); under .count() Catalyst prunes unused
     // projections, so pure-projection queries measured scan+count only.
@@ -48,11 +77,21 @@ object Bench {
     }
 
     val loadStart = loadavg()
+    // Contention self-defense (r7 postmortem: the driver artifact
+    // shipped a 2.4×-overstated headline because the box was busy —
+    // per-run ranges like 1.4→22.4 s at loadavg 4.7). A wide max/min
+    // spread on one query means the MEDIAN measured the box, not the
+    // code: re-measure that query (bounded retries) and keep the
+    // tighter-spread set. The absolute floor skips sub-300 ms queries
+    // whose spread is scheduler jitter, not contention.
+    var retried = List.empty[String]
     val results: Seq[(String, Seq[Double])] = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         try {
           timeOnce(fn) // warm-up: file listing, codegen, broadcast build
-          name -> Seq.fill(3)(timeOnce(fn)).sorted
+          val (best, tries) = measureWithRetry(() => timeOnce(fn))
+          if (tries > 0) retried ::= name
+          name -> best
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
@@ -60,6 +99,10 @@ object Bench {
         }
     }
     val loadEnd = loadavg()
+    // a 1-minute loadavg well above the idle floor at START means the
+    // whole artifact is suspect — flag it so no one tunes against it
+    val contended = loadStart.drop(1).takeWhile(_ != ',').toDoubleOption
+      .exists(_ > 3.0) || retried.size >= 5
     val medians = results.map { case (k, rs) => k -> rs(rs.size / 2) }
     val qsFull = medians.map { case (k, m) => "\"" + k + f"\":$m%.3f" }
       .mkString("{", ",", "}")
@@ -72,7 +115,8 @@ object Bench {
     // keeps only the last ~2000 chars of stdout, and a ~100-query map
     // cannot fit there.
     val detailPath = "bench_runs.json"
-    val detail = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsFull,"sf":"$sfDir","runs":$spreads,"loadavg":{"start":$loadStart,"end":$loadEnd}}"""
+    val retriedJson = retried.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val detail = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsFull,"sf":"$sfDir","runs":$spreads,"contended":$contended,"retried":$retriedJson,"loadavg":{"start":$loadStart,"end":$loadEnd}}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       (detail + "\n").getBytes("UTF-8"))
     catch { case e: Exception => System.err.println(s"[bench] detail write failed: $e") }
@@ -92,7 +136,7 @@ object Bench {
       else omitted += 1
     }
     val qsHead = kept.mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsHead,"omitted_queries":$omitted,"n":${medians.size},"sf":"$sfDir","loadavg":{"start":$loadStart,"end":$loadEnd},"detail":"$detailPath"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsHead,"omitted_queries":$omitted,"n":${medians.size},"sf":"$sfDir","contended":$contended,"retried":${retried.size},"loadavg":{"start":$loadStart,"end":$loadEnd},"detail":"$detailPath"}""")
     spark.stop()
   }
 }

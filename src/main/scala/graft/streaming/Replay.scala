@@ -17,6 +17,15 @@ import java.util.concurrent.atomic.AtomicLong
   * the batch semantics, which is what makes the DuckDB oracle exact.
   * Multi-batch behavior (late-data drops, cross-batch dedup state) is
   * exercised separately in tests with controlled per-batch input.
+  *
+  * SCALE BOUND (deliberate): the `coalesce(1)` staging writes are a
+  * single task by construction — that determinism is the whole point of
+  * the test replayer, and at the test SFs the write is milliseconds.
+  * This harness must NOT be pointed at production-sized feeds: the
+  * engine paths it feeds (CdcPipeline, ViewPipeline, DeltaLog) consume
+  * real partitioned sources directly and never stage through here;
+  * multi-batch production replays keep their native file/partition
+  * parallelism end to end.
   */
 object Replay {
 
@@ -199,14 +208,14 @@ object Replay {
     // EXCEPT for eviction-driven output (outer joins), which needs it
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
       noDataBatches.toString)
+    val ckpt = Files.createTempDirectory(ckptRoot, "graft_ckpt_")
     try {
       val q = streaming.writeStream
         .format("memory")
         .queryName(name)
         .outputMode(mode)
         .trigger(Trigger.AvailableNow())
-        .option("checkpointLocation",
-          Files.createTempDirectory(ckptRoot, "graft_ckpt_").toString)
+        .option("checkpointLocation", ckpt.toString)
         .start()
       q.awaitTermination()
     } finally {
@@ -217,7 +226,43 @@ object Replay {
         case None =>
           spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
       }
+      // the checkpoint is throwaway BY CONTRACT (see ckptRoot) and it
+      // lives on a RAM disk: leaving it behind eats memory for the rest
+      // of the session — and, because /dev/shm outlives the JVM, for
+      // every LATER session on the box. Round-7 postmortem: ~1 GB of
+      // leaked state-store files from prior runs measurably slowed the
+      // micro-batch-bound queries that ran late in the bench order.
+      deleteRecursively(ckpt)
     }
-    spark.table(name)
+    // Materialize the (model-sized: final windows/groups, not input
+    // rows) result off the memory sink, then DROP the sink's table —
+    // otherwise every replay pins its sink rows in the driver heap for
+    // the session's lifetime (a full bench runs each streaming query
+    // 4×). The localCheckpoint copy is block-manager-held and is freed
+    // by the ContextCleaner when the returned frame goes unreachable.
+    val out = spark.table(name).localCheckpoint(true)
+    spark.catalog.dropTempView(name)
+    out
   }
+
+  /** Best-effort recursive delete (throwaway checkpoint dirs only). */
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverseIterator
+        .foreach(f => Files.deleteIfExists(f))
+    } catch { case _: Exception => () }
+
+  /** Sweep STALE throwaway checkpoints (ours: `graft_ckpt_*` under the
+    * RAM-disk root) left by crashed or pre-fix sessions. Age-gated so a
+    * concurrently running session's live checkpoints are never touched.
+    */
+  def sweepStaleCheckpoints(maxAgeMs: Long = 2L * 3600 * 1000): Unit =
+    try {
+      val now = System.currentTimeMillis()
+      Option(ckptRoot.toFile.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("graft_ckpt_")
+          && now - f.lastModified() > maxAgeMs)
+        .foreach(f => deleteRecursively(f.toPath))
+    } catch { case _: Exception => () }
 }
