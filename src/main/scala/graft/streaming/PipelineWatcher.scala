@@ -30,10 +30,20 @@ import scala.collection.mutable
   *
   * Driver-side control loop only — the data path stays the streaming
   * queries'; the watcher never touches rows.
+  *
+  * BOTH registry kinds live under one watcher: `"kind": "lww"` confs
+  * drive single-query CdcPipelines; `"kind": "view"` confs drive the
+  * three-query ViewPipeline lineage (two log replays + the join/serving
+  * stage). The lifecycle contract is identical — add starts, change
+  * stops-rebuilds-restarts against the SAME work dir (every stage's
+  * checkpoint resumes, so no event is re-served beyond the idempotent
+  * keyed-apply contract), delete stops all of a view's queries and
+  * preserves its checkpoints for a later restore.
   */
 final class PipelineWatcher(
     spark: SparkSession, confDir: String, sourceDir: String, ckptRoot: String,
-    cfg: EsSink.Config, transport: EsSink.Transport, pollMs: Long = 500L) {
+    cfg: EsSink.Config, transport: EsSink.Transport, pollMs: Long = 500L,
+    viewTriggerInterval: String = "500 milliseconds") {
 
   private val entries = mutable.Map.empty[String, PipelineRegistry.Entry]
   // Keyed by CONF FILE — the unit of reload — not pipeline name: a conf
@@ -41,21 +51,38 @@ final class PipelineWatcher(
   // started, and two confs that (mis)share a name must not clobber each
   // other's handle (an unreachable handle is an unstoppable query).
   private val queries = mutable.Map.empty[String, StreamingQuery]
+  private val viewEntries = mutable.Map.empty[String, PipelineRegistry.ViewEntry]
+  private val viewQueries = mutable.Map.empty[String, Seq[StreamingQuery]]
   @volatile private var running = false
   private var loop: Thread = _
 
-  /** Initial discovery + start of every registered pipeline (the boot
-    * half; [[PipelineRegistry.startAll]] semantics, tracked for reload).
+  private def workDir(file: String): String =
+    s"$ckptRoot/${PipelineRegistry.ckptKey(file)}"
+
+  private def startLww(e: PipelineRegistry.Entry): StreamingQuery = {
+    val q = e.pipeline.startDsv2(spark, sourceDir, workDir(e.file), cfg,
+      transport)
+    entries(e.file) = e
+    queries(e.file) = q
+    q
+  }
+
+  private def startView(e: PipelineRegistry.ViewEntry): Seq[StreamingQuery] = {
+    val qs = e.pipeline.start(spark, sourceDir, workDir(e.file),
+      interval = viewTriggerInterval, esTransport = transport)
+    viewEntries(e.file) = e
+    viewQueries(e.file) = qs
+    qs
+  }
+
+  /** Initial discovery + start of every registered pipeline of BOTH
+    * kinds (the boot half; [[PipelineRegistry.startAll]] semantics,
+    * tracked for reload). Returns every started query — one per LWW
+    * conf, three per view conf.
     */
   def startPipelines(): Seq[StreamingQuery] = synchronized {
-    val loaded = PipelineRegistry.load(confDir)
-    loaded.map { e =>
-      entries(e.file) = e
-      val q = e.pipeline.startDsv2(spark, sourceDir,
-        s"$ckptRoot/${PipelineRegistry.ckptKey(e.file)}", cfg, transport)
-      queries(e.file) = q
-      q
-    }
+    PipelineRegistry.load(confDir).map(startLww) ++
+      PipelineRegistry.loadViews(confDir).flatMap(startView)
   }
 
   /** One detection/reload cycle; returns the names of pipelines that
@@ -66,21 +93,36 @@ final class PipelineWatcher(
     * this on a timer.
     */
   def pollOnce(): Seq[String] = synchronized {
-    val removed = PipelineRegistry.removedSince(entries.values.toSeq, confDir)
-    removed.foreach { f =>
+    PipelineRegistry.removedSince(entries.values.toSeq, confDir).foreach { f =>
       queries.remove(f).foreach(q => if (q.isActive) q.stop())
       entries.remove(f)
     }
-    val changed = PipelineRegistry.changedSince(entries.values.toSeq, confDir).toSet
-    if (changed.isEmpty) Seq.empty
-    else PipelineRegistry.load(confDir).filter(e => changed(e.file)).map { e =>
-      queries.get(e.file).foreach(q => if (q.isActive) q.stop())
-      entries(e.file) = e
-      val q = e.pipeline.startDsv2(spark, sourceDir,
-        s"$ckptRoot/${PipelineRegistry.ckptKey(e.file)}", cfg, transport)
-      queries(e.file) = q
-      e.pipeline.name
-    }
+    PipelineRegistry.removedViewsSince(viewEntries.values.toSeq, confDir)
+      .foreach { f =>
+        viewQueries.remove(f).foreach(_.foreach(q => if (q.isActive) q.stop()))
+        viewEntries.remove(f)
+      }
+    val changed =
+      PipelineRegistry.changedSince(entries.values.toSeq, confDir).toSet
+    val restartedLww =
+      if (changed.isEmpty) Seq.empty
+      else PipelineRegistry.load(confDir).filter(e => changed(e.file)).map { e =>
+        queries.get(e.file).foreach(q => if (q.isActive) q.stop())
+        startLww(e)
+        e.pipeline.name
+      }
+    val changedViews =
+      PipelineRegistry.changedViewsSince(viewEntries.values.toSeq, confDir).toSet
+    val restartedViews =
+      if (changedViews.isEmpty) Seq.empty
+      else PipelineRegistry.loadViews(confDir)
+        .filter(e => changedViews(e.file)).map { e =>
+          viewQueries.get(e.file)
+            .foreach(_.foreach(q => if (q.isActive) q.stop()))
+          startView(e)
+          e.pipeline.name
+        }
+    restartedLww ++ restartedViews
   }
 
   /** Spawn the daemon polling loop (the WatchFile thread). */
@@ -104,11 +146,14 @@ final class PipelineWatcher(
     this
   }
 
-  /** Stop watching and stop every active query. */
+  /** Stop watching and stop every active query (both kinds). */
   def stop(): Unit = {
     running = false
     if (loop != null) { loop.interrupt(); loop.join(5000) }
-    synchronized { queries.values.foreach(q => if (q.isActive) q.stop()) }
+    synchronized {
+      queries.values.foreach(q => if (q.isActive) q.stop())
+      viewQueries.values.foreach(_.foreach(q => if (q.isActive) q.stop()))
+    }
   }
 
   /** Active query per pipeline name (tests / operational visibility —
@@ -117,5 +162,13 @@ final class PipelineWatcher(
   def activeQueries: Map[String, StreamingQuery] = synchronized {
     entries.values.flatMap(e =>
       queries.get(e.file).map(q => e.pipeline.name -> q)).toMap
+  }
+
+  /** Active query set per VIEW pipeline name (three queries per live
+    * view: fact log, dim log, join/serving).
+    */
+  def activeViewQueries: Map[String, Seq[StreamingQuery]] = synchronized {
+    viewEntries.values.flatMap(e =>
+      viewQueries.get(e.file).map(qs => e.pipeline.name -> qs)).toMap
   }
 }

@@ -179,6 +179,115 @@ class RegistrySpec extends SparkSpec {
     assert(puts.sorted == Seq("""{"id":1,"v":"a"}""", """{"id":2,"v":"b"}"""))
   }
 
+  test("watcher drives the VIEW-pipeline lifecycle: add serves, edit resumes from checkpoints, delete stops and preserves them") {
+    import graft.streaming.PipelineWatcher
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def wire(table: String, after: String, before: String, op: String,
+        ts: Long, off: Long): String = {
+      val ev = s"""{"payload":{"before":${Option(before).getOrElse("null")},""" +
+        s""""after":${Option(after).getOrElse("null")},""" +
+        s""""source":{"db":"shop","table":"$table","ts_ms":$ts},"op":"$op","ts_ms":$ts}}"""
+      s"""{"value":${mapper.writeValueAsString(ev)},"offset":$off}"""
+    }
+    def o(okey: Long, cust: Long, total: Double) =
+      s"""{"o_orderkey":$okey,"o_custkey":$cust,"o_total":$total}"""
+    def c(cust: Long, name: String) =
+      s"""{"c_custkey":$cust,"c_name":"$name"}"""
+
+    val url = "jdbc:derby:memory:graftwatchview;create=true"
+    val c0 = java.sql.DriverManager.getConnection(url)
+    c0.createStatement().execute(
+      """CREATE TABLE enriched ("o_orderkey" BIGINT NOT NULL PRIMARY KEY,
+        | "o_custkey" BIGINT, "o_total" DOUBLE,
+        | "c_custkey" BIGINT, "c_name" VARCHAR(64))"""
+        .stripMargin.replace("\n", ""))
+    c0.close()
+
+    val confDir = Files.createTempDirectory("graft_watchview_conf_").toFile
+    val feedDir = Files.createTempDirectory("graft_watchview_feed_").toFile
+    val ckptRoot = Files.createTempDirectory("graft_watchview_ckpt_").toString
+    Files.write(new java.io.File(feedDir, "000.json").toPath, Seq(
+      wire("customer", c(1, "Alice"), null, "c", 10, 1),
+      wire("orders", o(10, 1, 5.0), null, "c", 10, 2)).asJava)
+
+    def serving(): Map[Long, String] =
+      spark.read.jdbc(url, "enriched", new java.util.Properties())
+        .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    def awaitServing(expect: Map[Long, String], what: String): Unit = {
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      while (serving() != expect && System.nanoTime() < deadline)
+        Thread.sleep(200)
+      assert(serving() == expect, s"$what: serving table never reached $expect")
+    }
+    def confJson(name: String) =
+      s"""{"kind":"view","name":"$name","databases":["shop"],"leftOuter":true,
+         |"fact":{"table":"orders","idKey":"o_orderkey","joinKey":"o_custkey",
+         |        "schema":"o_orderkey BIGINT, o_custkey BIGINT, o_total DOUBLE"},
+         |"dim":{"table":"customer","idKey":"c_custkey","joinKey":"c_custkey",
+         |       "schema":"c_custkey BIGINT, c_name STRING"},
+         |"jdbc":{"url":"$url","table":"enriched",
+         |        "stagingColumnTypes":"c_name VARCHAR(64)"}}"""
+        .stripMargin.replace("\n", "")
+
+    val cfg = EsSink.Config("http://es:9200/idx", "u", "p", "id")
+    val watcher = new PipelineWatcher(spark, confDir.toString,
+      feedDir.toString, ckptRoot, cfg, new SinkSpec.Recorder,
+      viewTriggerInterval = "200 milliseconds")
+    try {
+      // boot over an empty conf dir: nothing runs
+      assert(watcher.startPipelines().isEmpty && watcher.activeViewQueries.isEmpty)
+
+      // ADD: conf appears → pollOnce starts the three-stage lineage and
+      // the view begins serving with no further driver action
+      val conf = new java.io.File(confDir, "enr.json")
+      Files.write(conf.toPath, Seq(confJson("enr")).asJava)
+      assert(watcher.pollOnce() == Seq("enr"))
+      assert(watcher.activeViewQueries("enr").size == 3)
+      awaitServing(Map(10L -> "Alice"), "after add")
+
+      // settle, then record the fact log's batch partitions — the
+      // restart below must RESUME, not re-fold history into new batches
+      val workDir = s"$ckptRoot/${PipelineRegistry.ckptKey(conf.getAbsolutePath)}"
+      def factBatches(): Set[String] =
+        Option(new java.io.File(s"$workDir/log_fact").listFiles())
+          .getOrElse(Array.empty).map(_.getName)
+          .filter(_.startsWith("batch_id=")).toSet
+      val batchesBeforeEdit = factBatches()
+      assert(batchesBeforeEdit.nonEmpty)
+
+      // EDIT: rename the view in the conf → pollOnce stops the three old
+      // queries and restarts against the SAME work dir
+      val oldQueries = watcher.activeViewQueries("enr")
+      Files.write(conf.toPath, Seq(confJson("enr_v2")).asJava)
+      conf.setLastModified(conf.lastModified() + 5000)
+      assert(watcher.pollOnce() == Seq("enr_v2"))
+      assert(oldQueries.forall(!_.isActive), "edit must stop the old queries")
+      assert(watcher.activeViewQueries.keySet == Set("enr_v2"))
+
+      // no re-delivery on resume: new feed data flows, and the restarted
+      // log stage appends only the NEW batch — pre-edit history untouched
+      Files.write(new java.io.File(feedDir, "001.json").toPath, Seq(
+        wire("customer", c(1, "Alicia"), c(1, "Alice"), "u", 20, 3),
+        wire("orders", o(11, 1, 7.0), null, "c", 20, 4)).asJava)
+      awaitServing(Map(10L -> "Alicia", 11L -> "Alicia"), "after edit+append")
+      val batchesAfter = factBatches()
+      assert(batchesBeforeEdit.subsetOf(batchesAfter)
+        && batchesAfter.size > batchesBeforeEdit.size,
+        "restart resumes from checkpoints: history batches intact, only new appended")
+
+      // DELETE: conf removed → pollOnce stops all three queries;
+      // checkpoints stay on disk for a later restore
+      val liveQueries = watcher.activeViewQueries("enr_v2")
+      assert(conf.delete())
+      assert(watcher.pollOnce().isEmpty)
+      assert(liveQueries.forall(!_.isActive), "delete must stop the view's queries")
+      assert(watcher.activeViewQueries.isEmpty)
+      assert(new java.io.File(s"$workDir/ckpt_view").exists()
+        && new java.io.File(s"$workDir/ckpt_fact").exists(),
+        "deregistration preserves checkpoints")
+    } finally watcher.stop()
+  }
+
   test("JDBC partitioned read + snapshot bootstrap: parallel scan to op=r events") {
     val url = "jdbc:derby:memory:graftsrc;create=true"
     val conn = java.sql.DriverManager.getConnection(url)
