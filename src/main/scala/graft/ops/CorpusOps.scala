@@ -325,10 +325,10 @@ object CorpusOps {
     * so the output is bit-identical to re-clustering from scratch
     * (split-invariance is what the spec and q125's oracle pin).
     *
-    * Deletions are out of scope by design: removing an edge can split a
-    * component, which no label algebra detects locally — production
-    * systems recompute the affected component (bounded by component
-    * size), exactly as they do for LSH near-dup clusters.
+    * Deletions are [[splitComponents]]'s: removing an edge can split a
+    * component, which no label algebra detects locally — the deletion
+    * path recomputes the affected components (bounded by component
+    * size), exactly as production systems do for LSH near-dup clusters.
     */
   def mergeComponents(labels: DataFrame, newPairs: DataFrame): DataFrame = {
     val e = newPairs.select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
@@ -353,6 +353,55 @@ object CorpusOps {
       .select(col("doc_id"),
         coalesce(col("merged"), col("cluster_id")).as("cluster_id"))
       .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+  }
+
+  /** INCREMENTAL connected components under edge DELETIONS — the
+    * recompute-affected-component strategy [[mergeComponents]]'s
+    * scaladoc promises: a retracted edge (a revoked near-dup pair after
+    * a doc revision or delete — exactly what the CDC-maintained LSH
+    * index emits as −1 pair deltas) can SPLIT a component, which no
+    * local label algebra detects, so the affected components — and ONLY
+    * those — are re-clustered from their remaining live edges.
+    *
+    *  1. affected = the current labels of the retracted pairs'
+    *     endpoints (a broadcast-sized set: bounded by the retraction
+    *     wave, not the corpus);
+    *  2. the affected SUBGRAPH = live pairs inside those components —
+    *     one endpoint's label suffices because a consistent labeling
+    *     puts both endpoints of every live pair in one component;
+    *  3. re-cluster the subgraph ([[dupClusters]]) and splice: rows of
+    *     untouched components pass through unchanged.
+    *
+    * CONTRACT: `labels` is a consistent labeling of the graph
+    * `livePairs ∪ retractedPairs` (the state any fold sequence of
+    * [[dupClusters]]/[[mergeComponents]] maintains), and `livePairs` is
+    * the post-retraction pair set (e.g. [[MinHashLsh.livePairs]] of the
+    * pair-delta log). The output is then BIT-IDENTICAL to
+    * `dupClusters(livePairs)`: untouched components keep their min-id
+    * label; recomputed pieces get theirs from the same algorithm; nodes
+    * left with no live edge (including deleted docs) drop out, as they
+    * would from scratch. Work is bounded by the affected components'
+    * edge count — at 100 TB a retraction wave touches a handful of
+    * clusters, never the corpus-wide graph.
+    */
+  def splitComponents(labels: DataFrame, livePairs: DataFrame,
+      retractedPairs: DataFrame): DataFrame = {
+    val ends = retractedPairs.select(explode(array(col("doc_id_a"),
+      col("doc_id_b"))).as("doc_id")).distinct()
+    val affected = ends.join(labels, Seq("doc_id"))
+      .select(col("cluster_id")).distinct().localCheckpoint(true)
+    val la = labels.select(col("doc_id").as("doc_id_a"),
+      col("cluster_id").as("cl"))
+    val subPairs = livePairs.select(col("doc_id_a"), col("doc_id_b"))
+      .join(la, Seq("doc_id_a"))
+      .join(broadcast(affected.withColumnRenamed("cluster_id", "cl")),
+        Seq("cl"))
+      .select(col("doc_id_a"), col("doc_id_b"))
+    val untouched = labels
+      .join(broadcast(affected), Seq("cluster_id"), "left_anti")
+      .select(col("doc_id"), col("cluster_id"), col("is_canonical"))
+    untouched.unionByName(dupClusters(subPairs)
+      .select(col("doc_id"), col("cluster_id"), col("is_canonical")))
   }
 
   /** Multi-source BFS over a DIRECTED edge relation (u, v): shortest

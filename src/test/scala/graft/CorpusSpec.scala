@@ -483,6 +483,45 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("splitComponents: a revoked bridge edge splits the cluster; untouched components pass through") {
+    // two 2-doc clusters bridged into one component by edge (2,3),
+    // plus an untouched far-away component {10,11}
+    val pairs = Seq((1L, 2L), (3L, 4L), (2L, 3L), (10L, 11L))
+    val labels0 = CorpusOps.dupClusters(pairs.toDF("doc_id_a", "doc_id_b"))
+    assert(labels0.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      == Set((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (10L, 10L), (11L, 10L)))
+    // the bridge is revoked (the doc revision dropped the near-dup pair)
+    val live = Seq((1L, 2L), (3L, 4L), (10L, 11L)).toDF("doc_id_a", "doc_id_b")
+    val retracted = Seq((2L, 3L)).toDF("doc_id_a", "doc_id_b")
+    val out = CorpusOps.splitComponents(labels0, live, retracted)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L), (10L, 10L), (11L, 10L)),
+      "bridge revocation must split {1,2,3,4} into {1,2} and {3,4}")
+  }
+
+  test("splitComponents equals from-scratch clustering on random delete waves") {
+    val rnd = new scala.util.Random(23)
+    val allPairs = (1 to 90).map { _ =>
+      val a = rnd.nextInt(60).toLong; val b = rnd.nextInt(60).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter(p => p._1 != p._2).distinct
+    val labels0 = CorpusOps.dupClusters(allPairs.toDF("doc_id_a", "doc_id_b"))
+    for (seed <- Seq(5, 6, 7)) {
+      // delete a random ~20% of edges — including node-removal shapes
+      // (every edge of a node) and pure single-edge revocations
+      val r2 = new scala.util.Random(seed)
+      val (gone, kept) = allPairs.partition(_ => r2.nextInt(5) == 0)
+      if (gone.nonEmpty) {
+        val out = CorpusOps.splitComponents(labels0,
+          kept.toDF("doc_id_a", "doc_id_b"), gone.toDF("doc_id_a", "doc_id_b"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+        val scratch = CorpusOps.dupClusters(kept.toDF("doc_id_a", "doc_id_b"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+        assert(out == scratch, s"seed $seed: bounded repair diverged from re-clustering")
+      }
+    }
+  }
+
   test("weightedSample: weight-proportional inclusion, deterministic, TakeOrdered plan") {
     import org.apache.spark.sql.functions.col
     // two weight classes: heavy rows 10x the weight of light rows
