@@ -66,6 +66,123 @@ object PageRank {
     rank
   }
 
+  /** [[ranks]] keeping EVERY iteration's frame (k = 0 … iters, each
+    * eagerly materialized): the per-iteration history an incremental
+    * maintainer folds edge churn against — rank_k(v) of an UNAFFECTED
+    * node is read from history instead of recomputed, which is what
+    * bounds [[incrementalRanks]]' work by affected mass. Values are
+    * bit-identical to [[ranks]] (same fixed-point contribution algebra;
+    * only the checkpoint cadence differs, which never changes values).
+    */
+  def ranksWithHistory(edges: DataFrame, iters: Int,
+      damping: Double = 0.85): Seq[DataFrame] = {
+    val e = edges.localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    val n = nodes.count().toDouble
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("out"))
+      .localCheckpoint(true)
+    val hist = scala.collection.mutable.ArrayBuffer(
+      nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint(true))
+    (1 to iters).foreach { _ =>
+      val contribs = e
+        .join(hist.last.withColumnRenamed("node", "src"), Seq("src"))
+        .join(outDeg, Seq("src"))
+        .select(col("dst").as("node"), (col("rank") / col("out")).as("c"))
+        .groupBy(col("node"))
+        .agg((sum(floor(col("c") * Grain + 0.5).cast("decimal(38,0)"))
+          .cast("double") / Grain).as("in_sum"))
+      hist += nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit((1.0 - damping) / n) +
+            lit(damping) * coalesce(col("in_sum"), lit(0.0))).as("rank"))
+        .localCheckpoint(true)
+    }
+    hist.toSeq
+  }
+
+  /** INCREMENTAL PageRank: fold an edge-churn wave into a base run's
+    * [[ranksWithHistory]] instead of recomputing the graph. The churn
+    * only perturbs rank where its influence has physically REACHED by
+    * iteration k, so each round recomputes exactly the affected set
+    *
+    *   D_1 = dst(Δ) ∪ outNbr'(srcs whose out-edge set changed)
+    *   D_k = D_1 ∪ outNbr'(D_{k-1})        (monotone, frontier-style)
+    *
+    * and splices history through for every other node: rank'_k(v) with
+    * v ∉ D_k has unchanged in-edges, in-neighbors outside D_{k-1} and
+    * in-neighbor out-degrees unchanged — so it EQUALS rank_k(v),
+    * rounding included (the recomputed rows use the identical
+    * fixed-point contribution algebra). The result is bit-identical to
+    * running [[ranks]] on the post-churn edge set; per-round work is
+    * the affected set's in-edges — churn-local, not graph-global.
+    *
+    * CONTRACT: the churn must preserve the node set (same src∪dst
+    * universe, every node keeping ≥1 out-edge) — a node add/remove
+    * changes the (1−d)/n teleport term for EVERY node, which is a
+    * from-scratch run by definition. `edgeDeltas` is (src, dst, delta)
+    * with +1 inserts / −1 removals at SET level (fold multi-source
+    * support to set deltas first — [[MinHashLsh.livePairs]] shape).
+    */
+  def incrementalRanks(edges0: DataFrame, history: Seq[DataFrame],
+      edgeDeltas: DataFrame, damping: Double = 0.85): DataFrame =
+    incrementalRanksWithStats(edges0, history, edgeDeltas, damping)._1
+
+  /** [[incrementalRanks]] plus the per-round recomputed-node counts
+    * (the affected-mass bound the spec pins; counts are driver-side
+    * scalars over already-checkpointed frontier frames, never data).
+    */
+  private[graft] def incrementalRanksWithStats(edges0: DataFrame,
+      history: Seq[DataFrame], edgeDeltas: DataFrame,
+      damping: Double = 0.85): (DataFrame, Seq[Long]) = {
+    val iters = history.size - 1
+    val oldE = edges0.select(col("src"), col("dst"))
+    val ins = edgeDeltas.filter(col("delta") > 0).select(col("src"), col("dst"))
+    val del = edgeDeltas.filter(col("delta") < 0).select(col("src"), col("dst"))
+    val newE = oldE.union(ins).except(del).localCheckpoint(true)
+    val nodes = newE.select(col("src").as("node"))
+      .union(newE.select(col("dst").as("node"))).distinct()
+    val n = nodes.count().toDouble
+    val outDeg = newE.groupBy(col("src")).agg(count(lit(1)).as("out"))
+      .localCheckpoint(true)
+    val changedSrc = edgeDeltas.select(col("src")).distinct()
+    val touched = edgeDeltas.select(col("dst").as("node"))
+      .union(newE.join(changedSrc, Seq("src")).select(col("dst").as("node")))
+      .distinct().localCheckpoint(true)
+    var frontier = touched
+    var rankPrev = history(0)
+    var out = rankPrev
+    val counts = scala.collection.mutable.ArrayBuffer.empty[Long]
+    (1 to iters).foreach { k =>
+      counts += frontier.count()
+      val inEdges = newE
+        .join(frontier.withColumnRenamed("node", "dst"), Seq("dst"))
+      val contribs = inEdges
+        .join(rankPrev.withColumnRenamed("node", "src")
+          .withColumnRenamed("rank", "r"), Seq("src"))
+        .join(outDeg, Seq("src"))
+        .select(col("dst").as("node"), (col("r") / col("out")).as("c"))
+        .groupBy(col("node"))
+        .agg((sum(floor(col("c") * Grain + 0.5).cast("decimal(38,0)"))
+          .cast("double") / Grain).as("in_sum"))
+      val recomputed = frontier.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit((1.0 - damping) / n) +
+            lit(damping) * coalesce(col("in_sum"), lit(0.0))).as("rank"))
+      val rk = history(k).join(frontier, Seq("node"), "left_anti")
+        .unionByName(recomputed).localCheckpoint(true)
+      rankPrev = rk
+      out = rk
+      if (k < iters)
+        frontier = touched.union(
+          newE.join(frontier.withColumnRenamed("node", "src"), Seq("src"))
+            .select(col("dst").as("node")))
+          .distinct().localCheckpoint(true)
+    }
+    (out, counts.toSeq)
+  }
+
   /** TextRank keyword scores: PageRank over the symmetrized
     * adjacent-token co-occurrence graph of a corpus.
     */

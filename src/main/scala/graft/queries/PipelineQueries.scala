@@ -940,7 +940,76 @@ object PipelineQueries {
       retractedPairs = pairs.filter(delA || delB))
   }
 
+  /** Q129's oracle: unrolled power iteration (q57's CTE pattern, 8
+    * rounds, identical fixed-point contribution algebra) over the
+    * POST-CHURN edge set — the derived doc graph (src = doc_id mod 64,
+    * dst = (7·doc_id+1) mod 64; never a self-loop since 6x+1 is odd)
+    * after the q118-feed-shaped churn: docs with doc_id%5==0 deleted
+    * (their edges retracted at set level), surviving %3==0 docs each
+    * inserting a second edge dst = (11·doc_id+3) mod 64. The engine
+    * must match this WITHOUT recomputing the graph: it folds the edge
+    * deltas into the base run's iteration history
+    * ([[PageRank.incrementalRanks]]), so the hash certifies the
+    * churn-local repair is bit-identical to from-scratch power
+    * iteration on the new graph.
+    */
+  private val incrPageRankOracle: String = {
+    val iters = 8
+    val base =
+      """WITH edges AS (SELECT DISTINCT src, dst FROM (
+        |    SELECT doc_id % 64 AS src, (doc_id * 7 + 1) % 64 AS dst
+        |    FROM documents WHERE doc_id % 5 <> 0
+        |    UNION ALL
+        |    SELECT doc_id % 64, (doc_id * 11 + 3) % 64
+        |    FROM documents WHERE doc_id % 5 <> 0 AND doc_id % 3 = 0)),
+        |deg AS (SELECT src, count(*) AS outd FROM edges GROUP BY src),
+        |nodes AS (SELECT DISTINCT s AS node FROM
+        |          (SELECT src AS s FROM edges UNION ALL SELECT dst FROM edges)),
+        |meta AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / m.n AS rank FROM nodes, meta m)""".stripMargin
+    val steps = (1 to iters).map { k =>
+      s""",
+         |r$k AS (
+         |  SELECT nn.node,
+         |         (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / m.n
+         |         + CAST(0.85 AS DOUBLE) * coalesce(c.in_sum, CAST(0.0 AS DOUBLE)) AS rank
+         |  FROM nodes nn CROSS JOIN meta m
+         |  LEFT JOIN (
+         |    SELECT e.dst AS node,
+         |           CAST(sum(CAST(floor(r.rank / d.outd * 1e15 + 0.5) AS HUGEINT)) AS DOUBLE)
+         |           / 1e15 AS in_sum
+         |    FROM edges e JOIN r${k - 1} r ON e.src = r.node JOIN deg d ON e.src = d.src
+         |    GROUP BY e.dst) c ON nn.node = c.node)""".stripMargin
+    }.mkString
+    base + steps + s"\nSELECT node, rank FROM r$iters"
+  }
+
+  /** Q129: INCREMENTAL PageRank — a graph VIEW folding edge churn. See
+    * [[incrPageRankOracle]] for the graph and churn; the engine runs the
+    * base graph once with iteration history, derives set-level edge
+    * deltas, and repairs via [[PageRank.incrementalRanks]] — per-round
+    * work is the churn's influence frontier, not the graph.
+    */
+  val q129 = QueryDef.sql("q129_incr_pagerank", incrPageRankOracle) {
+    (spark, dir) =>
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    def baseEdges(d: org.apache.spark.sql.DataFrame) =
+      d.select((col("doc_id") % 64).as("src"),
+        ((col("doc_id") * 7 + 1) % 64).as("dst"))
+    val surv = docs.filter(col("doc_id") % 5 =!= 0)
+    val extra = surv.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") % 64).as("src"),
+        ((col("doc_id") * 11 + 3) % 64).as("dst"))
+    val oldE = baseEdges(docs).distinct().localCheckpoint(true)
+    val newE = baseEdges(surv).union(extra).distinct()
+    val deltas = newE.except(oldE).withColumn("delta", lit(1))
+      .unionByName(oldE.except(newE).withColumn("delta", lit(-1)))
+    val hist = PageRank.ranksWithHistory(oldE, 8)
+    PageRank.incrementalRanks(oldE, hist, deltas)
+      .select(col("node"), col("rank"))
+  }
+
   val all: Seq[QueryDef] = Seq(q41, q42, q43, q44, q45, q47, q48, q49,
     q54, q57, q60, q62, q63, q64, q68, q69, q74, q76, q80, q81, q83, q90, q91,
-    q94, q98, q122, q125, q127, q128)
+    q94, q98, q122, q125, q127, q128, q129)
 }

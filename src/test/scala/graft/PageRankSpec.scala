@@ -55,4 +55,43 @@ class PageRankSpec extends SparkSpec {
     assert(ranked("hub") === ranked.values.max)
     assert(ranked.size === 8) // hub + a..g
   }
+
+  // a directed m-cycle: every node out-degree 1, influence travels one
+  // hop per iteration — the cleanest graph for pinning that churn only
+  // re-touches its own frontier
+  private def cycle(m: Int): Seq[(String, String)] =
+    (0 until m).map(i => (s"n$i", s"n${(i + 1) % m}"))
+
+  test("incrementalRanks equals from-scratch on the post-churn graph (insert and delete)") {
+    val m = 40
+    val oldEdges = cycle(m) :+ (("n5", "n20")) // cycle + a chord
+    val hist = PageRank.ranksWithHistory(oldEdges.toDF("src", "dst"), 6)
+    // churn: delete the chord, insert a new one elsewhere
+    val deltas = Seq(("n5", "n20", -1), ("n12", "n30", 1))
+      .toDF("src", "dst", "delta")
+    val got = PageRank.incrementalRanks(oldEdges.toDF("src", "dst"), hist, deltas)
+      .as[(String, Double)].collect().toMap
+    val newEdges = cycle(m) :+ (("n12", "n30"))
+    val scratch = PageRank.ranks(newEdges.toDF("src", "dst"), 6)
+      .as[(String, Double)].collect().toMap
+    assert(got === scratch, "incremental fold must be bit-identical to from-scratch")
+  }
+
+  test("incrementalRanks re-touches only the churn's influence frontier, not the graph") {
+    val m = 60
+    val oldEdges = cycle(m)
+    val hist = PageRank.ranksWithHistory(oldEdges.toDF("src", "dst"), 6)
+    val deltas = Seq(("n10", "n40", 1)).toDF("src", "dst", "delta")
+    val (got, counts) = PageRank.incrementalRanksWithStats(
+      oldEdges.toDF("src", "dst"), hist, deltas)
+    // frontier: D_1 = {n11 (n10's out-degree changed), n40 (new in-edge)};
+    // each round can add at most one hop per frontier node on a cycle —
+    // affected mass grows linearly and stays far below the graph
+    assert(counts.head <= 2 && counts.last <= 2 + 2 * counts.size,
+      s"frontier must stay churn-local, got $counts")
+    assert(counts.last < m / 2, s"frontier must not approach graph size, got $counts")
+    val scratch = PageRank.ranks((cycle(m) :+ (("n10", "n40"))).toDF("src", "dst"), 6)
+      .as[(String, Double)].collect().toMap
+    assert(got.as[(String, Double)].collect().toMap === scratch)
+  }
 }
