@@ -1,0 +1,293 @@
+package graft.streaming
+
+import graft.cdc.DeltaLog
+import graft.ops.VectorSearch
+import graft.sinks.JdbcSink
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.file.{Files, Paths}
+
+/** STREAMING ANN SERVING — the q118-leaderboard pattern for vectors:
+  * an embeddings CDC feed flows through LWW replay into a delta log,
+  * the log's per-key deltas become ±IVF postings against a fixed
+  * bootstrap-trained coarse quantizer (stateless —
+  * [[VectorSearch.postingDeltas]]: the delta's prev row gives the old
+  * cell, no lookup), and the postings land in a keyed JDBC serving
+  * table that an index server queries for top-k. Lineage:
+  *
+  *   bronze feed ─ LWW replay ─▶ delta log ─▶ ±postings ─▶ JDBC MERGE
+  *                                              │
+  *                                              └▶ online recall
+  *                                                 certificate row
+  *
+  * Both stages checkpoint under `workRoot` ([[ViewPipeline]]'s
+  * contract): [[runOnce]] is incremental across invocations and
+  * [[start]] runs the same stages live; the modes share checkpoints.
+  * Effects are key-addressed MERGEs, so checkpoint replay after a
+  * crash re-applies harmlessly (at-least-once delivery, exactly-once
+  * effect).
+  *
+  * The ONLINE CERTIFICATE (when `certTable` is set): after each
+  * applied micro-batch the pipeline probes the SERVING TABLE itself —
+  * the first `probeLimit` vectors' IVF top-k
+  * ([[VectorSearch.knnIvfFromPostings]]) against exact cosine top-k
+  * over the served corpus — and MERGEs one row (pipeline, batch_id,
+  * recall, recall_ok) keyed by pipeline name. A serving store whose
+  * recall decays under churn (quantizer drift) flips the flag without
+  * anyone running an offline audit. The probe reads the store, so it
+  * certifies what is actually SERVED, not the engine's in-flight
+  * state. At production scale the probe is a sampled side-job per
+  * batch — its cost is probe×corpus within probed cells, never a
+  * corpus×corpus join.
+  *
+  * Serving schema: `postingsTable(idField BIGINT PK, cell INT,
+  * emb_json VARCHAR)` — the vector rides along as JSON so the store
+  * alone can answer top-k; `certTable(pipeline VARCHAR PK, batch_id
+  * BIGINT, recall DOUBLE, recall_ok INT, skew DOUBLE, drift_ok INT)`.
+  *
+  * QUANTIZER GENERATIONS + RETRAIN-AND-SWAP: the coarse quantizer is
+  * an index artifact whose geometry the churn can outgrow — sustained
+  * drift degrades cell balance and recall with no wrong answers to
+  * notice. The quantizer therefore lives as numbered GENERATIONS under
+  * `workRoot/quantizer/gen_<n>` with an atomically-swapped `CURRENT`
+  * pointer (the delta-log warehouse's lifecycle mechanics): the ctor's
+  * `cents` seeds gen_0, every batch reads whatever CURRENT names, the
+  * certificate carries the drift signals (recall probe + cell-occupancy
+  * skew = max/mean over live cells), and [[retrainAndSwap]] trains a
+  * fresh quantizer from the SERVED corpus, writes the next generation,
+  * repoints CURRENT, and re-MERGEs every served vector's cell — an
+  * offline index rebuild that leaves ids and vectors untouched, so the
+  * store never serves a half-swapped index (cells are re-keyed in one
+  * MERGE transaction and reads before the repoint still see a fully
+  * consistent old-generation assignment).
+  */
+final case class AnnServingPipeline(
+    name: String,
+    databases: Set[String],
+    table: String,
+    idField: String,
+    vectorField: String,
+    cents: Array[Array[Float]],
+    jdbcUrl: String,
+    postingsTable: String,
+    certTable: Option[String] = None,
+    probeLimit: Int = 10,
+    k: Int = 5,
+    nProbe: Int = 4,
+    recallFloor: Double = 0.6,
+    skewBound: Double = 4.0) {
+
+  private val rowSchema: StructType =
+    StructType.fromDDL(s"$idField BIGINT, $vectorField ARRAY<FLOAT>")
+
+  private def logDir(workRoot: String) = s"$workRoot/log"
+  private def ckptDir(workRoot: String, stage: String) = s"$workRoot/ckpt_$stage"
+  private def quantDir(workRoot: String) = s"$workRoot/quantizer"
+
+  /** Seed gen_0 from the ctor quantizer if no generation exists yet. */
+  private def ensureQuantizer(workRoot: String): Unit = {
+    val cur = Paths.get(s"${quantDir(workRoot)}/CURRENT")
+    if (!Files.exists(cur)) writeGeneration(workRoot, cents)
+  }
+
+  /** Write the next quantizer generation and atomically repoint CURRENT
+    * (write-tmp-then-ATOMIC_MOVE — the delta-log warehouse's pointer
+    * mechanics, so a reader never sees a torn pointer).
+    */
+  private def writeGeneration(workRoot: String,
+      c: Array[Array[Float]]): Unit = {
+    val qd = Paths.get(quantDir(workRoot))
+    Files.createDirectories(qd)
+    val existing = Option(qd.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("gen_"))
+      .map(_.getName.stripPrefix("gen_").toInt)
+    val gen = if (existing.isEmpty) 0 else existing.max + 1
+    val genDir = qd.resolve(s"gen_$gen")
+    Files.createDirectories(genDir)
+    val json = c.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    Files.writeString(genDir.resolve("centroids.json"), json)
+    val tmp = qd.resolve("CURRENT.tmp")
+    Files.writeString(tmp, s"gen_$gen")
+    Files.move(tmp, qd.resolve("CURRENT"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
+
+  /** The quantizer generation CURRENT names. */
+  def currentCents(workRoot: String): Array[Array[Float]] = {
+    val qd = Paths.get(quantDir(workRoot))
+    val gen = Files.readString(qd.resolve("CURRENT")).trim
+    val json = Files.readString(qd.resolve(gen).resolve("centroids.json"))
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    import scala.jdk.CollectionConverters._
+    node.elements().asScala.map(row =>
+      row.elements().asScala.map(_.floatValue()).toArray).toArray
+  }
+
+  private def logQuery(spark: SparkSession, feedDir: String,
+      workRoot: String, trigger: Trigger): StreamingQuery = {
+    val deltas = DeltaLog.deltaStream(spark, feedDir, table, rowSchema,
+      coalesce(col(s"after.$idField"), col(s"before.$idField")).cast("long"),
+      databases)
+    val dir = logDir(workRoot)
+    deltas.writeStream
+      .queryName(s"ann_${name}_log")
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", ckptDir(workRoot, "log"))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$dir/batch_id=$batchId")
+        ()
+      }
+      .start()
+  }
+
+  /** Read the served postings back as the relational index (vec_id,
+    * cell, embedding) — what the certificate probes and tests compare
+    * against a batch rebuild.
+    */
+  def servedPostings(spark: SparkSession): DataFrame =
+    spark.read.jdbc(jdbcUrl, postingsTable, new java.util.Properties())
+      .select(col(idField).cast("long").as("vec_id"),
+        col("cell").cast("int").as("cell"),
+        from_json(col("emb_json"),
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)).as("embedding"))
+
+  /** Probe the serving store and MERGE the certificate row: recall of
+    * the served IVF top-k vs exact over the served corpus, plus the
+    * cell-occupancy skew (max/mean over live cells) — the two drift
+    * signals a retrain decision reads.
+    */
+  private def applyCertificate(spark: SparkSession, batchId: Long,
+      c: Array[Array[Float]]): Unit =
+    certTable.foreach { ct =>
+      val served = servedPostings(spark).localCheckpoint(true)
+      val qv = served.filter(col("vec_id") < probeLimit)
+        .select(col("vec_id"), col("embedding"))
+      val exact = VectorSearch.knnExact(qv, served
+        .select(col("vec_id"), col("embedding")), k)
+        .select(col("q_vec_id"), col("n_vec_id"))
+        .localCheckpoint(true)
+      val hit = exact.join(
+        VectorSearch.knnIvfFromPostings(qv, served, k, c, nProbe)
+          .select(col("q_vec_id"), col("n_vec_id")),
+        Seq("q_vec_id", "n_vec_id"), "left_semi")
+      val (nHit, nTot) = (hit.count(), exact.count())
+      val recall = if (nTot == 0) 1.0 else nHit.toDouble / nTot
+      // skew vs the IDEAL balance (total / nCells), not the live-cell
+      // mean: a corpus collapsed into one cell of 16 is skew 16 — the
+      // exact shape quantizer drift produces — while a live-cell mean
+      // would report a flat 1.0
+      val occ = served.groupBy(col("cell")).count()
+        .agg(max(col("count")).cast("double").as("mx"),
+          sum(col("count")).cast("double").as("tot")).head()
+      val skew = if (occ.isNullAt(0) || occ.getDouble(1) == 0) 1.0
+        else occ.getDouble(0) / (occ.getDouble(1) / c.length)
+      val row = spark.createDataFrame(java.util.List.of(
+        org.apache.spark.sql.Row(name, batchId, recall,
+          if (recall >= recallFloor) 1 else 0, skew,
+          if (skew <= skewBound) 1 else 0)),
+        StructType.fromDDL("pipeline STRING, batch_id BIGINT, " +
+          "recall DOUBLE, recall_ok INT, skew DOUBLE, drift_ok INT"))
+        .withColumn("action", lit("upsert"))
+      JdbcSink.applyViewDeltas(row, jdbcUrl, ct, Seq("pipeline"),
+        stagingColumnTypes = "pipeline VARCHAR(64)")
+    }
+
+  /** The last certificate row, if any: (batch_id, recall, recall_ok,
+    * skew, drift_ok) — operational visibility and the retrain trigger's
+    * input.
+    */
+  def certificate(spark: SparkSession): Option[(Long, Double, Boolean, Double, Boolean)] =
+    certTable.flatMap { ct =>
+      spark.read.jdbc(jdbcUrl, ct, new java.util.Properties())
+        .filter(col("pipeline") === name).collect().headOption.map(r =>
+          (r.getLong(1), r.getDouble(2), r.getInt(3) == 1,
+            r.getDouble(4), r.getInt(5) == 1))
+    }
+
+  /** RETRAIN-AND-SWAP — the offline index rebuild a tripped drift
+    * certificate calls for: train a fresh quantizer from the SERVED
+    * corpus, publish it as the next generation (atomic CURRENT
+    * repoint), re-assign every served vector's cell in one MERGE
+    * transaction, and re-certify. Later micro-batches pick up the new
+    * generation through CURRENT. Returns the fresh quantizer.
+    */
+  def retrainAndSwap(spark: SparkSession, workRoot: String,
+      nCells: Int = -1, iters: Int = 5): Array[Array[Float]] = {
+    val served = servedPostings(spark).localCheckpoint(true)
+    val corpus = served.select(col("vec_id"), col("embedding"))
+    val n = if (nCells > 0) nCells else currentCents(workRoot).length
+    val fresh = VectorSearch.trainCentroids(corpus, n, iters, sampleMod = 0)
+    writeGeneration(workRoot, fresh)
+    val flat = corpus.select(col("vec_id").as(idField),
+      lit("upsert").as("action"),
+      VectorSearch.nearestCell(col("embedding"), fresh).as("cell"),
+      to_json(col("embedding")).as("emb_json"))
+    JdbcSink.applyViewDeltas(flat, jdbcUrl, postingsTable, Seq(idField),
+      stagingColumnTypes = "emb_json VARCHAR(32000)")
+    applyCertificate(spark, certificate(spark).map(_._1).getOrElse(0L), fresh)
+    fresh
+  }
+
+  private def indexQuery(spark: SparkSession, workRoot: String,
+      trigger: Trigger): StreamingQuery = {
+    val stream = spark.readStream.schema(ViewPipeline.LogSchema)
+      .parquet(logDir(workRoot))
+      .withColumnRenamed("batch_id", "seq")
+    val idF = idField
+    stream.writeStream
+      .queryName(s"ann_$name")
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", ckptDir(workRoot, "index"))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // every batch assigns under whatever generation CURRENT names —
+        // a swap between batches takes effect with no restart
+        val c = currentCents(workRoot)
+        // a catch-up micro-batch may carry several log batches per key:
+        // the latest delta (by seq, + over − within one seq) is the
+        // key's serving outcome — livePostings' fold, kept as ±actions
+        val pd = VectorSearch.postingDeltas(batch, c)
+        val flat = pd.groupBy(col("vec_id"))
+          .agg(max_by(struct(col("sgn"), col("cell"), col("emb")),
+            struct(col("seq"), col("sgn"))).as("w"))
+          .select(col("vec_id").as(idF),
+            when(col("w.sgn") > 0, "upsert").otherwise("delete").as("action"),
+            col("w.cell").as("cell"), to_json(col("w.emb")).as("emb_json"))
+        JdbcSink.applyViewDeltas(flat, jdbcUrl, postingsTable, Seq(idF),
+          stagingColumnTypes = "emb_json VARCHAR(32000)")
+        applyCertificate(spark, batchId, c)
+        ()
+      }
+      .start()
+  }
+
+  /** Drain the feed's current contents through both stages; incremental
+    * across calls (durable checkpoints — [[ViewPipeline.runOnce]]'s
+    * contract).
+    */
+  def runOnce(spark: SparkSession, feedDir: String, workRoot: String): Unit = {
+    Files.createDirectories(Paths.get(logDir(workRoot)))
+    ensureQuantizer(workRoot)
+    logQuery(spark, feedDir, workRoot, Trigger.AvailableNow())
+      .awaitTermination()
+    indexQuery(spark, workRoot, Trigger.AvailableNow()).awaitTermination()
+  }
+
+  /** Live deployment: both stages as long-running queries; vector churn
+    * flows to the serving store continuously. Stop the returned queries
+    * to shut down; checkpoints resume either mode.
+    */
+  def start(spark: SparkSession, feedDir: String, workRoot: String,
+      interval: String = "500 milliseconds"): Seq[StreamingQuery] = {
+    val t = Trigger.ProcessingTime(interval)
+    Files.createDirectories(Paths.get(logDir(workRoot)))
+    ensureQuantizer(workRoot)
+    Seq(logQuery(spark, feedDir, workRoot, t),
+      indexQuery(spark, workRoot, t))
+  }
+}

@@ -1,0 +1,178 @@
+package graft
+
+import graft.ops.VectorSearch
+import graft.streaming.AnnServingPipeline
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+import scala.jdk.CollectionConverters._
+
+/** Streaming ANN serving E2E: an embeddings CDC feed drives ±IVF
+  * posting maintenance into a JDBC serving store, the store answers
+  * top-k identically to a from-scratch index rebuild over the current
+  * corpus, and the online recall certificate rides every batch.
+  */
+class AnnServingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  private def wire(after: String, before: String, op: String,
+      ts: Long, off: Long): String = {
+    val ev = s"""{"payload":{"before":${Option(before).getOrElse("null")},""" +
+      s""""after":${Option(after).getOrElse("null")},""" +
+      s""""source":{"db":"shop","table":"embeddings","ts_ms":$ts},"op":"$op","ts_ms":$ts}}"""
+    s"""{"value":${mapper.writeValueAsString(ev)},"offset":$off}"""
+  }
+  private def v(id: Long, x: Double, y: Double): String =
+    s"""{"vec_id":$id,"embedding":[$x,$y]}"""
+
+  // four axis-aligned unit cells — assignment is unambiguous for the
+  // clustered test vectors
+  private val cents = Array(
+    Array(1f, 0f), Array(-1f, 0f), Array(0f, 1f), Array(0f, -1f))
+
+  /** From-scratch index rebuild over a (vec_id, embedding) corpus via
+    * the public maintenance API: one-shot insert deltas → livePostings.
+    */
+  private def rebuild(corpus: Seq[(Long, Double, Double)]) = {
+    val deltas = corpus.map { case (id, x, y) =>
+      (id, v(id, x, y), null.asInstanceOf[String], 0L)
+    }.toDF("key", "rowJson", "prevJson", "seq")
+    VectorSearch.livePostings(VectorSearch.postingDeltas(deltas, cents))
+  }
+
+  private def topk(postings: org.apache.spark.sql.DataFrame) =
+    VectorSearch.knnIvfFromPostings(
+      postings.filter(col("vec_id") < 10).select(col("vec_id"), col("embedding")),
+      postings, 2, cents, nProbe = 2)
+      .select(col("q_vec_id"), col("n_vec_id"), col("rnk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+  test("E2E: vector churn flows to the serving store; served top-k matches a batch rebuild; certificate rides along") {
+    val url = "jdbc:derby:memory:graftann;create=true"
+    val c0 = java.sql.DriverManager.getConnection(url)
+    c0.createStatement().execute(
+      """CREATE TABLE postings ("vec_id" BIGINT NOT NULL PRIMARY KEY,
+        | "cell" INTEGER, "emb_json" VARCHAR(32000))""".stripMargin.replace("\n", ""))
+    c0.createStatement().execute(
+      """CREATE TABLE ann_cert ("pipeline" VARCHAR(64) NOT NULL PRIMARY KEY,
+        | "batch_id" BIGINT, "recall" DOUBLE, "recall_ok" INTEGER,
+        | "skew" DOUBLE, "drift_ok" INTEGER)"""
+        .stripMargin.replace("\n", ""))
+    c0.close()
+
+    val pipeline = AnnServingPipeline(
+      name = "ann", databases = Set("shop"), table = "embeddings",
+      idField = "vec_id", vectorField = "embedding", cents = cents,
+      jdbcUrl = url, postingsTable = "postings",
+      certTable = Some("ann_cert"), k = 2, nProbe = 2)
+
+    val feedDir = Files.createTempDirectory("graft_ann_feed_").toFile
+    val workRoot = Files.createTempDirectory("graft_ann_work_").toString
+
+    // wave 0: six vectors in three clusters
+    val wave0 = Seq(
+      (0L, 1.0, 0.1), (1L, 0.95, -0.05),
+      (2L, -1.0, 0.05), (3L, -0.9, -0.1),
+      (4L, 0.1, 1.0), (5L, 0.05, 0.9))
+    Files.write(new java.io.File(feedDir, "000.json").toPath,
+      wave0.zipWithIndex.map { case ((id, x, y), i) =>
+        wire(v(id, x, y), null, "c", 10, i + 1)
+      }.asJava)
+    pipeline.runOnce(spark, feedDir.toString, workRoot)
+
+    val served0 = pipeline.servedPostings(spark).localCheckpoint(true)
+    assert(served0.select(col("vec_id"), col("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      == Map(0L -> 0, 1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2, 5L -> 2))
+    assert(topk(served0) == topk(rebuild(wave0)),
+      "served top-k must equal a from-scratch rebuild's")
+    val cert0 = spark.read.jdbc(url, "ann_cert", new java.util.Properties())
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(cert0.length == 1 && cert0.head._1 == "ann" && cert0.head._4 == 1,
+      s"certificate row must exist and pass, got ${cert0.toSeq}")
+
+    // wave 1: vec 1 moves across cells (cell 0 → 1), vec 2 is deleted
+    Files.write(new java.io.File(feedDir, "001.json").toPath, Seq(
+      wire(v(1, -0.9, 0.0), v(1, 0.95, -0.05), "u", 20, 7),
+      wire(null, v(2, -1.0, 0.05), "d", 21, 8)).asJava)
+    pipeline.runOnce(spark, feedDir.toString, workRoot)
+
+    val served1 = pipeline.servedPostings(spark).localCheckpoint(true)
+    val cells1 = served1.select(col("vec_id"), col("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cells1 == Map(0L -> 0, 1L -> 1, 3L -> 1, 4L -> 2, 5L -> 2),
+      s"churn must move vec 1 and delete vec 2, got $cells1")
+    val wave1 = Seq(
+      (0L, 1.0, 0.1), (1L, -0.9, 0.0), (3L, -0.9, -0.1),
+      (4L, 0.1, 1.0), (5L, 0.05, 0.9))
+    assert(topk(served1) == topk(rebuild(wave1)),
+      "post-churn served top-k must equal the post-churn rebuild's")
+    val cert1 = spark.read.jdbc(url, "ann_cert", new java.util.Properties())
+      .collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(cert1.length == 1 && cert1.head._2 == 1
+      && cert1.head._1 > cert0.head._2,
+      s"certificate must advance with the batch and stay green, got ${cert1.toSeq}")
+
+    // idempotent re-drain: no new feed data → store untouched
+    pipeline.runOnce(spark, feedDir.toString, workRoot)
+    assert(pipeline.servedPostings(spark).collect().length == 5)
+  }
+
+  test("quantizer drift trips the certificate; retrain-and-swap restores the recall SLO") {
+    val url = "jdbc:derby:memory:graftanndrift;create=true"
+    val c0 = java.sql.DriverManager.getConnection(url)
+    c0.createStatement().execute(
+      """CREATE TABLE postings2 ("vec_id" BIGINT NOT NULL PRIMARY KEY,
+        | "cell" INTEGER, "emb_json" VARCHAR(32000))""".stripMargin.replace("\n", ""))
+    c0.createStatement().execute(
+      """CREATE TABLE ann_cert2 ("pipeline" VARCHAR(64) NOT NULL PRIMARY KEY,
+        | "batch_id" BIGINT, "recall" DOUBLE, "recall_ok" INTEGER,
+        | "skew" DOUBLE, "drift_ok" INTEGER)"""
+        .stripMargin.replace("\n", ""))
+    c0.close()
+
+    // bootstrap quantizer: axis-aligned cells — trained for a corpus
+    // this feed's traffic has drifted away from: every vector now sits
+    // on a DIAGONAL, so each true cluster straddles two axis cells and
+    // single-probe recall collapses (neighbors live across the split)
+    val pipeline = AnnServingPipeline(
+      name = "drift", databases = Set("shop"), table = "embeddings",
+      idField = "vec_id", vectorField = "embedding", cents = cents,
+      jdbcUrl = url, postingsTable = "postings2",
+      certTable = Some("ann_cert2"), k = 2, nProbe = 1)
+
+    val feedDir = Files.createTempDirectory("graft_anndrift_feed_").toFile
+    val workRoot = Files.createTempDirectory("graft_anndrift_work_").toString
+    val vecs = Seq( // NE cluster split cell0/cell2; SW split cell1/cell3
+      (0L, 0.75, 0.65), (1L, 0.74, 0.66), (2L, 0.66, 0.74), (3L, 0.65, 0.75),
+      (4L, -0.75, -0.65), (5L, -0.74, -0.66), (6L, -0.66, -0.74), (7L, -0.65, -0.75))
+    Files.write(new java.io.File(feedDir, "000.json").toPath,
+      vecs.zipWithIndex.map { case ((id, x, y), i) =>
+        wire(v(id, x, y), null, "c", 10, i + 1)
+      }.asJava)
+    pipeline.runOnce(spark, feedDir.toString, workRoot)
+
+    // drift certificate TRIPPED: every query's second neighbor is on
+    // the other side of its cluster's cell split → recall 0.5 < 0.6
+    val Some((_, recall0, ok0, _, _)) = pipeline.certificate(spark)
+    assert(!ok0 && recall0 < 0.6,
+      s"drifted quantizer must trip the recall certificate, got $recall0")
+
+    // retrain from the served corpus with geometry-appropriate cells;
+    // generation advances, CURRENT repoints, postings re-keyed in one
+    // MERGE — and the SLO is restored
+    pipeline.retrainAndSwap(spark, workRoot, nCells = 2)
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$workRoot/quantizer/CURRENT")).trim == "gen_1")
+    val Some((_, recall1, ok1, _, _)) = pipeline.certificate(spark)
+    assert(ok1 && recall1 >= 0.99,
+      s"retrained quantizer must restore recall, got $recall1")
+    // each diagonal cluster now lives whole in one cell
+    val cellsOf = pipeline.servedPostings(spark)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(Set(0L, 1L, 2L, 3L).map(cellsOf).size == 1
+      && Set(4L, 5L, 6L, 7L).map(cellsOf).size == 1
+      && cellsOf(0L) != cellsOf(4L),
+      s"post-swap cells must follow the clusters, got $cellsOf")
+  }
+}
