@@ -83,8 +83,12 @@ object PageRank {
     val n = nodes.count().toDouble
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("out"))
       .localCheckpoint(true)
+    // LAZY checkpoints: each round's frame materializes under its first
+    // consumer's job (the next round, or the incremental fold) instead
+    // of costing a dedicated job per round — on a model-sized graph the
+    // loop is job-scheduling-bound, the q122 lesson
     val hist = scala.collection.mutable.ArrayBuffer(
-      nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint(true))
+      nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint())
     (1 to iters).foreach { _ =>
       val contribs = e
         .join(hist.last.withColumnRenamed("node", "src"), Seq("src"))
@@ -97,7 +101,7 @@ object PageRank {
         .select(col("node"),
           (lit((1.0 - damping) / n) +
             lit(damping) * coalesce(col("in_sum"), lit(0.0))).as("rank"))
-        .localCheckpoint(true)
+        .localCheckpoint()
     }
     hist.toSeq
   }
@@ -127,7 +131,8 @@ object PageRank {
     */
   def incrementalRanks(edges0: DataFrame, history: Seq[DataFrame],
       edgeDeltas: DataFrame, damping: Double = 0.85): DataFrame =
-    incrementalRanksWithStats(edges0, history, edgeDeltas, damping)._1
+    incrementalRanksImpl(edges0, history, edgeDeltas, damping,
+      withStats = false)._1
 
   /** [[incrementalRanks]] plus the per-round recomputed-node counts
     * (the affected-mass bound the spec pins; counts are driver-side
@@ -135,7 +140,13 @@ object PageRank {
     */
   private[graft] def incrementalRanksWithStats(edges0: DataFrame,
       history: Seq[DataFrame], edgeDeltas: DataFrame,
-      damping: Double = 0.85): (DataFrame, Seq[Long]) = {
+      damping: Double = 0.85): (DataFrame, Seq[Long]) =
+    incrementalRanksImpl(edges0, history, edgeDeltas, damping,
+      withStats = true)
+
+  private def incrementalRanksImpl(edges0: DataFrame,
+      history: Seq[DataFrame], edgeDeltas: DataFrame,
+      damping: Double, withStats: Boolean): (DataFrame, Seq[Long]) = {
     val iters = history.size - 1
     val oldE = edges0.select(col("src"), col("dst"))
     val ins = edgeDeltas.filter(col("delta") > 0).select(col("src"), col("dst"))
@@ -155,7 +166,7 @@ object PageRank {
     var out = rankPrev
     val counts = scala.collection.mutable.ArrayBuffer.empty[Long]
     (1 to iters).foreach { k =>
-      counts += frontier.count()
+      if (withStats) counts += frontier.count()
       val inEdges = newE
         .join(frontier.withColumnRenamed("node", "dst"), Seq("dst"))
       val contribs = inEdges
@@ -171,14 +182,15 @@ object PageRank {
           (lit((1.0 - damping) / n) +
             lit(damping) * coalesce(col("in_sum"), lit(0.0))).as("rank"))
       val rk = history(k).join(frontier, Seq("node"), "left_anti")
-        .unionByName(recomputed).localCheckpoint(true)
+        .unionByName(recomputed).localCheckpoint()
       rankPrev = rk
       out = rk
       if (k < iters)
+        // lazy: materializes under the next round's rk checkpoint job
         frontier = touched.union(
           newE.join(frontier.withColumnRenamed("node", "src"), Seq("src"))
             .select(col("dst").as("node")))
-          .distinct().localCheckpoint(true)
+          .distinct().localCheckpoint()
     }
     (out, counts.toSeq)
   }
