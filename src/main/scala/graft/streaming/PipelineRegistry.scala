@@ -52,10 +52,10 @@ object PipelineRegistry {
 
   /** Recognized pipeline kinds. Anything else fails fast WITH the file
     * name (register-at-boot contract, S3): a typo'd `"kind": "veiw"`
-    * must not make a production pipeline silently vanish from both
-    * lifecycles.
+    * must not make a production pipeline silently vanish from every
+    * lifecycle.
     */
-  private val Kinds = Set("lww", "view")
+  private val Kinds = Set("lww", "view", "ann")
 
   private def kindOf(f: File,
       node: com.fasterxml.jackson.databind.JsonNode): String = {
@@ -170,6 +170,81 @@ object PipelineRegistry {
         Some(ViewEntry(pipeline, f.getAbsolutePath, f.lastModified()))
       }
     }
+  }
+
+  final case class AnnEntry(pipeline: AnnServingPipeline, file: String,
+      mtime: Long)
+
+  /** Discover and build every `"kind": "ann"` pipeline in `dir` — the
+    * streaming ANN serving flow ([[AnnServingPipeline]]) as registry
+    * data:
+    * {{{
+    *   { "kind": "ann", "name": "vecs",
+    *     "databases": ["shop"], "table": "embeddings",
+    *     "idKey": "vec_id", "vectorField": "embedding",
+    *     "centroids": [[1.0, 0.0], [-1.0, 0.0]],
+    *     "jdbc": { "url": "jdbc:derby:...", "postingsTable": "postings",
+    *               "certTable": "ann_cert" },
+    *     "k": 5, "nProbe": 4, "recallFloor": 0.6, "skewBound": 4.0 }
+    * }}}
+    * `centroids` is the BOOTSTRAP quantizer — an index artifact shipped
+    * as conf data, seeding generation 0 only; retrain-and-swap evolves
+    * it through the generation pointer without touching the conf.
+    * Same lifecycle keys as the other kinds (conf file + [[ckptKey]]).
+    */
+  def loadAnn(dir: String): Seq[AnnEntry] = {
+    val mapper = new ObjectMapper()
+    confFiles(dir).flatMap { f =>
+      val node = mapper.readTree(f)
+      if (kindOf(f, node) != "ann") None
+      else {
+        require(node.hasNonNull("name") && node.hasNonNull("table")
+            && node.hasNonNull("idKey") && node.hasNonNull("vectorField")
+            && node.hasNonNull("centroids") && node.hasNonNull("jdbc"),
+          s"${f.getName}: ann confs need name, table, idKey, vectorField, " +
+            "centroids and jdbc")
+        val cents = node.get("centroids").elements().asScala.map(row =>
+          row.elements().asScala.map(_.floatValue()).toArray).toArray
+        require(cents.nonEmpty && cents.forall(_.length == cents.head.length),
+          s"${f.getName}: centroids must be a non-empty rectangular array")
+        val jdbc = node.get("jdbc")
+        require(jdbc.hasNonNull("url") && jdbc.hasNonNull("postingsTable"),
+          s"${f.getName}: jdbc needs url and postingsTable")
+        def dbl(field: String, dflt: Double): Double =
+          if (node.hasNonNull(field)) node.get(field).asDouble() else dflt
+        def int(field: String, dflt: Int): Int =
+          if (node.hasNonNull(field)) node.get(field).asInt() else dflt
+        val dbs =
+          if (node.has("databases"))
+            node.get("databases").elements().asScala.map(_.asText()).toSet
+          else Set("shop")
+        val pipeline = AnnServingPipeline(
+          name = node.get("name").asText(),
+          databases = dbs,
+          table = node.get("table").asText(),
+          idField = node.get("idKey").asText(),
+          vectorField = node.get("vectorField").asText(),
+          cents = cents,
+          jdbcUrl = jdbc.get("url").asText(),
+          postingsTable = jdbc.get("postingsTable").asText(),
+          certTable = if (jdbc.hasNonNull("certTable"))
+            Some(jdbc.get("certTable").asText()) else None,
+          k = int("k", 5), nProbe = int("nProbe", 4),
+          recallFloor = dbl("recallFloor", 0.6),
+          skewBound = dbl("skewBound", 4.0))
+        Some(AnnEntry(pipeline, f.getAbsolutePath, f.lastModified()))
+      }
+    }
+  }
+
+  /** [[changedSince]] for the ann-pipeline lifecycle. */
+  def changedAnnSince(known: Seq[AnnEntry], dir: String): Seq[String] =
+    changedOfKind(known.map(e => e.file -> e.mtime).toMap, dir, "ann")
+
+  /** [[removedSince]] for the ann-pipeline lifecycle. */
+  def removedAnnSince(known: Seq[AnnEntry], dir: String): Seq[String] = {
+    val live = confFiles(dir).map(_.getAbsolutePath).toSet
+    known.map(_.file).filterNot(live)
   }
 
   /** Run every registered view pipeline once over the feed's current

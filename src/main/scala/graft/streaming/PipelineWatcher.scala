@@ -31,14 +31,16 @@ import scala.collection.mutable
   * Driver-side control loop only — the data path stays the streaming
   * queries'; the watcher never touches rows.
   *
-  * BOTH registry kinds live under one watcher: `"kind": "lww"` confs
-  * drive single-query CdcPipelines; `"kind": "view"` confs drive the
+  * ALL registry kinds live under one watcher: `"kind": "lww"` confs
+  * drive single-query CdcPipelines, `"kind": "view"` confs the
   * three-query ViewPipeline lineage (two log replays + the join/serving
-  * stage). The lifecycle contract is identical — add starts, change
-  * stops-rebuilds-restarts against the SAME work dir (every stage's
-  * checkpoint resumes, so no event is re-served beyond the idempotent
-  * keyed-apply contract), delete stops all of a view's queries and
-  * preserves its checkpoints for a later restore.
+  * stage), `"kind": "ann"` confs the two-query AnnServingPipeline
+  * (delta log + posting index/serving). The lifecycle contract is
+  * identical — add starts, change stops-rebuilds-restarts against the
+  * SAME work dir (every stage's checkpoint resumes, so no event is
+  * re-served beyond the idempotent keyed-apply contract), delete stops
+  * all of a pipeline's queries and preserves its checkpoints for a
+  * later restore.
   */
 final class PipelineWatcher(
     spark: SparkSession, confDir: String, sourceDir: String, ckptRoot: String,
@@ -53,6 +55,8 @@ final class PipelineWatcher(
   private val queries = mutable.Map.empty[String, StreamingQuery]
   private val viewEntries = mutable.Map.empty[String, PipelineRegistry.ViewEntry]
   private val viewQueries = mutable.Map.empty[String, Seq[StreamingQuery]]
+  private val annEntries = mutable.Map.empty[String, PipelineRegistry.AnnEntry]
+  private val annQueries = mutable.Map.empty[String, Seq[StreamingQuery]]
   @volatile private var running = false
   private var loop: Thread = _
 
@@ -75,6 +79,14 @@ final class PipelineWatcher(
     qs
   }
 
+  private def startAnn(e: PipelineRegistry.AnnEntry): Seq[StreamingQuery] = {
+    val qs = e.pipeline.start(spark, sourceDir, workDir(e.file),
+      interval = viewTriggerInterval)
+    annEntries(e.file) = e
+    annQueries(e.file) = qs
+    qs
+  }
+
   /** Initial discovery + start of every registered pipeline of BOTH
     * kinds (the boot half; [[PipelineRegistry.startAll]] semantics,
     * tracked for reload). Returns every started query — one per LWW
@@ -82,7 +94,8 @@ final class PipelineWatcher(
     */
   def startPipelines(): Seq[StreamingQuery] = synchronized {
     PipelineRegistry.load(confDir).map(startLww) ++
-      PipelineRegistry.loadViews(confDir).flatMap(startView)
+      PipelineRegistry.loadViews(confDir).flatMap(startView) ++
+      PipelineRegistry.loadAnn(confDir).flatMap(startAnn)
   }
 
   /** One detection/reload cycle; returns the names of pipelines that
@@ -122,7 +135,23 @@ final class PipelineWatcher(
           startView(e)
           e.pipeline.name
         }
-    restartedLww ++ restartedViews
+    PipelineRegistry.removedAnnSince(annEntries.values.toSeq, confDir)
+      .foreach { f =>
+        annQueries.remove(f).foreach(_.foreach(q => if (q.isActive) q.stop()))
+        annEntries.remove(f)
+      }
+    val changedAnn =
+      PipelineRegistry.changedAnnSince(annEntries.values.toSeq, confDir).toSet
+    val restartedAnn =
+      if (changedAnn.isEmpty) Seq.empty
+      else PipelineRegistry.loadAnn(confDir)
+        .filter(e => changedAnn(e.file)).map { e =>
+          annQueries.get(e.file)
+            .foreach(_.foreach(q => if (q.isActive) q.stop()))
+          startAnn(e)
+          e.pipeline.name
+        }
+    restartedLww ++ restartedViews ++ restartedAnn
   }
 
   /** Spawn the daemon polling loop (the WatchFile thread). */
@@ -153,6 +182,7 @@ final class PipelineWatcher(
     synchronized {
       queries.values.foreach(q => if (q.isActive) q.stop())
       viewQueries.values.foreach(_.foreach(q => if (q.isActive) q.stop()))
+      annQueries.values.foreach(_.foreach(q => if (q.isActive) q.stop()))
     }
   }
 
@@ -170,5 +200,13 @@ final class PipelineWatcher(
   def activeViewQueries: Map[String, Seq[StreamingQuery]] = synchronized {
     viewEntries.values.flatMap(e =>
       viewQueries.get(e.file).map(qs => e.pipeline.name -> qs)).toMap
+  }
+
+  /** Active query set per ANN pipeline name (two queries per live
+    * pipeline: delta log, posting index/serving).
+    */
+  def activeAnnQueries: Map[String, Seq[StreamingQuery]] = synchronized {
+    annEntries.values.flatMap(e =>
+      annQueries.get(e.file).map(qs => e.pipeline.name -> qs)).toMap
   }
 }

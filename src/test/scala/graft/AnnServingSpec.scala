@@ -175,4 +175,54 @@ class AnnServingSpec extends SparkSpec {
       && cellsOf(0L) != cellsOf(4L),
       s"post-swap cells must follow the clusters, got $cellsOf")
   }
+
+  test("conf-declared ANN pipeline: watcher add starts serving, delete stops and preserves checkpoints") {
+    import graft.streaming.{PipelineRegistry, PipelineWatcher}
+    val url = "jdbc:derby:memory:graftannconf;create=true"
+    val c0 = java.sql.DriverManager.getConnection(url)
+    c0.createStatement().execute(
+      """CREATE TABLE postings3 ("vec_id" BIGINT NOT NULL PRIMARY KEY,
+        | "cell" INTEGER, "emb_json" VARCHAR(32000))""".stripMargin.replace("\n", ""))
+    c0.close()
+
+    val confDir = Files.createTempDirectory("graft_annconf_").toFile
+    val feedDir = Files.createTempDirectory("graft_annconf_feed_").toFile
+    val ckptRoot = Files.createTempDirectory("graft_annconf_ckpt_").toString
+    Files.write(new java.io.File(feedDir, "000.json").toPath, Seq(
+      wire(v(0, 1.0, 0.1), null, "c", 10, 1),
+      wire(v(1, -1.0, 0.05), null, "c", 10, 2)).asJava)
+
+    val cfg = graft.sinks.EsSink.Config("http://es:9200/idx", "u", "p", "id")
+    val watcher = new PipelineWatcher(spark, confDir.toString,
+      feedDir.toString, ckptRoot, cfg, new SinkSpec.Recorder,
+      viewTriggerInterval = "200 milliseconds")
+    try {
+      assert(watcher.startPipelines().isEmpty)
+      val conf = new java.io.File(confDir, "vecs.json")
+      Files.write(conf.toPath, Seq(
+        s"""{"kind":"ann","name":"vecs","databases":["shop"],
+           |"table":"embeddings","idKey":"vec_id","vectorField":"embedding",
+           |"centroids":[[1.0,0.0],[-1.0,0.0],[0.0,1.0],[0.0,-1.0]],
+           |"jdbc":{"url":"$url","postingsTable":"postings3"}}"""
+          .stripMargin.replace("\n", "")).asJava)
+      assert(watcher.pollOnce() == Seq("vecs"))
+      assert(watcher.activeAnnQueries("vecs").size == 2)
+      def served(): Map[Long, Int] =
+        spark.read.jdbc(url, "postings3", new java.util.Properties())
+          .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      while (served() != Map(0L -> 0, 1L -> 1) && System.nanoTime() < deadline)
+        Thread.sleep(200)
+      assert(served() == Map(0L -> 0, 1L -> 1), "conf-declared ANN must serve")
+
+      val live = watcher.activeAnnQueries("vecs")
+      assert(conf.delete())
+      assert(watcher.pollOnce().isEmpty)
+      assert(live.forall(!_.isActive) && watcher.activeAnnQueries.isEmpty)
+      val workDir = s"$ckptRoot/${PipelineRegistry.ckptKey(conf.getAbsolutePath)}"
+      assert(new java.io.File(s"$workDir/ckpt_index").exists()
+        && new java.io.File(s"$workDir/quantizer/CURRENT").exists(),
+        "deregistration preserves checkpoints and the quantizer generations")
+    } finally watcher.stop()
+  }
 }
