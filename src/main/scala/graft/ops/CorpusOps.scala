@@ -473,6 +473,79 @@ object CorpusOps {
     levels.reduce(_.union(_))
   }
 
+  /** INCREMENTAL BFS — reachability/distance as a maintained VIEW under
+    * edge churn, the recompute-affected pattern ([[splitComponents]],
+    * `PageRank.incrementalRanks`) applied to shortest hops: any node
+    * whose distance changes must have a (new-graph) path through a
+    * changed edge's DESTINATION, so the affected region is exactly the
+    * new-graph descendants of the delta dsts — computed by a BFS that
+    * is itself region-sized — and every other node's stored distance is
+    * provably unchanged and passes through untouched. The region is
+    * then re-solved from its true entry points: member seeds at 0 and
+    * boundary edges from unaffected nodes at dist+1, relaxed to
+    * fixpoint over region-internal edges only. Output equals
+    * [[bfsDistances]] over the post-churn edge set exactly (hop
+    * distances are unique, so any correct solver lands on the same
+    * relation); nodes the churn orphaned drop out, as from scratch.
+    *
+    * `edgeDeltas` is (u, v, delta) with +1 inserts / −1 removals at set
+    * level. Work: one descendants-BFS plus a relaxation bounded by the
+    * region's edges and improving-chain length — churn-local, never
+    * graph-global, unless the churn's influence genuinely reaches
+    * everywhere.
+    */
+  def incrementalBfs(edges0: DataFrame, dists: DataFrame,
+      edgeDeltas: DataFrame, seeds: DataFrame,
+      maxIter: Int = 200): DataFrame = {
+    val oldE = edges0.select(col("u"), col("v"))
+    val ins = edgeDeltas.filter(col("delta") > 0).select(col("u"), col("v"))
+    val del = edgeDeltas.filter(col("delta") < 0).select(col("u"), col("v"))
+    val newE = oldE.union(ins).except(del).localCheckpoint(true)
+    val deltaDst = edgeDeltas.select(col("v").as("id")).distinct()
+    val affected = bfsDistances(newE, deltaDst, maxIter)
+      .select(col("id")).localCheckpoint(true)
+    val affectedN = affected.count()
+    val unaffected = dists.join(
+      if (affectedN <= 500000) broadcast(affected) else affected,
+      Seq("id"), "left_anti").localCheckpoint(true)
+    // region-internal + incoming edges: the only ones relaxation reads
+    val regionE = newE.join(affected.withColumnRenamed("id", "v"),
+      Seq("v"), "left_semi").localCheckpoint(true)
+    val boundary = regionE
+      .join(unaffected.select(col("id").as("u"), col("dist").as("du")), Seq("u"))
+      .select(col("v").as("id"), (col("du") + 1).as("dist"))
+    val seedsIn = seeds.select(col("id")).distinct()
+      .join(affected, Seq("id"), "left_semi")
+      .select(col("id"), lit(0L).as("dist"))
+    var best = boundary.unionByName(seedsIn)
+      .groupBy(col("id")).agg(min(col("dist")).as("dist"))
+      .localCheckpoint(false)
+    var frontier = best
+    var frontierN = best.count()
+    def small(df: DataFrame, n: Long) =
+      if (n >= 0 && n <= 500000) broadcast(df) else df
+    var i = 0
+    while (frontierN > 0 && i < maxIter) {
+      val cand = regionE
+        .join(small(frontier.select(col("id").as("u"), col("dist").as("du")),
+          frontierN), Seq("u"))
+        .groupBy(col("v")).agg((min(col("du")) + 1).as("nd"))
+        .withColumnRenamed("v", "id")
+      val improved = cand.join(best, Seq("id"), "left")
+        .filter(col("dist").isNull || col("nd") < col("dist"))
+        .select(col("id"), col("nd").as("dist"))
+        .localCheckpoint(false)
+      frontierN = improved.count()
+      if (frontierN > 0) {
+        best = best.join(small(improved, frontierN), Seq("id"), "left_anti")
+          .unionByName(improved).localCheckpoint(false)
+        frontier = improved
+      }
+      i += 1
+    }
+    unaffected.unionByName(best)
+  }
+
   /** Deterministic train/val/test split by multiplicative integer hash
     * (Knuth 2654435761 mod 2^32) of the id — reproducible across runs,
     * engines, and partitionings, unlike rand()-based sampling, and

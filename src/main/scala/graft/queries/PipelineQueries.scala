@@ -1009,7 +1009,68 @@ object PipelineQueries {
       .select(col("node"), col("rank"))
   }
 
+  /** Q130: INCREMENTAL BFS — q122's recursive-query surface as a
+    * MAINTAINED view under edge churn, the reachability companion to
+    * q129's rank maintenance. The order-chain graph takes a
+    * delete+insert wave (chain edges out of %10 orderkeys cut — which
+    * ORPHANS whole chain tails — and %4-custkey chains gaining a
+    * head→third skip link that SHORTENS distances), and the engine
+    * folds the deltas into the base run's distances via
+    * [[CorpusOps.incrementalBfs]]: the affected region (new-graph
+    * descendants of delta dsts) is re-solved from its entry points,
+    * every other node's distance passes through untouched. The oracle
+    * is the genuine `WITH RECURSIVE` BFS over the post-churn edge set
+    * (min over the now-multiple paths), so the hash certifies the
+    * churn-local repair equals from-scratch recursion — orphaned tails
+    * absent, skip-shortened distances included.
+    */
+  val q130 = QueryDef.sql(
+    "q130_incr_bfs",
+    """WITH RECURSIVE
+      |e0 AS (SELECT o_custkey AS k, o_orderkey AS id,
+      |        lag(o_orderkey) OVER w AS prev,
+      |        row_number() OVER w AS rn
+      |      FROM orders
+      |      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+      |chain AS (SELECT prev AS u, id AS v FROM e0
+      |          WHERE prev IS NOT NULL AND prev % 10 <> 0),
+      |skip AS (SELECT max(CASE WHEN rn = 1 THEN id END) AS u,
+      |                max(CASE WHEN rn = 3 THEN id END) AS v
+      |         FROM e0 WHERE k % 4 = 0 GROUP BY k HAVING max(rn) >= 3),
+      |edges AS (SELECT DISTINCT u, v FROM
+      |          (SELECT u, v FROM chain UNION ALL SELECT u, v FROM skip)),
+      |bfs AS (
+      |  SELECT id, CAST(0 AS BIGINT) AS dist
+      |  FROM e0 WHERE prev IS NULL AND k % 7 = 0
+      |  UNION ALL
+      |  SELECT e.v, b.dist + 1 FROM bfs b JOIN edges e ON e.u = b.id)
+      |SELECT id AS o_orderkey, CAST(min(dist) AS BIGINT) AS dist
+      |FROM bfs GROUP BY id""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val e0 = Tables.orders(spark, dir).select(col("o_custkey").as("k"),
+      col("o_orderkey").as("id"), lag(col("o_orderkey"), 1).over(w).as("prev"),
+      row_number().over(w).as("rn"))
+      .localCheckpoint(true) // one chain build feeds edges, deltas, seeds
+    val oldEdges = e0.filter(col("prev").isNotNull)
+      .select(col("prev").as("u"), col("id").as("v"))
+    val cut = oldEdges.filter(col("u") % 10 === 0)
+      .withColumn("delta", lit(-1))
+    val skip = e0.filter(col("k") % 4 === 0)
+      .groupBy(col("k"))
+      .agg(max(when(col("rn") === 1, col("id"))).as("u"),
+        max(when(col("rn") === 3, col("id"))).as("v"),
+        max(col("rn")).as("len"))
+      .filter(col("len") >= 3)
+      .select(col("u"), col("v"), lit(1).as("delta"))
+    val seeds = e0.filter(col("prev").isNull && col("k") % 7 === 0)
+      .select(col("id"))
+    val base = CorpusOps.bfsDistances(oldEdges, seeds)
+    CorpusOps.incrementalBfs(oldEdges, base, cut.unionByName(skip), seeds)
+      .select(col("id").as("o_orderkey"), col("dist"))
+  }
+
   val all: Seq[QueryDef] = Seq(q41, q42, q43, q44, q45, q47, q48, q49,
     q54, q57, q60, q62, q63, q64, q68, q69, q74, q76, q80, q81, q83, q90, q91,
-    q94, q98, q122, q125, q127, q128, q129)
+    q94, q98, q122, q125, q127, q128, q129, q130)
 }

@@ -499,6 +499,42 @@ class CorpusSpec extends SparkSpec {
       "bridge revocation must split {1,2,3,4} into {1,2} and {3,4}")
   }
 
+  test("incrementalBfs: orphaned tail drops, skip link shortens, untouched chain passes through") {
+    // chain A: 1→2→3→4 (seeded), chain B: 10→11→12 (seeded, untouched)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L))
+    val seeds = Seq(1L, 10L).toDF("id")
+    val base = CorpusOps.bfsDistances(edges.toDF("u", "v"), seeds)
+    // churn: cut 2→3 (orphans 3,4 unless rerouted), insert skip 1→4
+    val deltas = Seq((2L, 3L, -1), (1L, 4L, 1)).toDF("u", "v", "delta")
+    val got = CorpusOps.incrementalBfs(edges.toDF("u", "v"), base, deltas, seeds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 4L -> 1L, 10L -> 0L, 11L -> 1L, 12L -> 2L),
+      s"3 orphaned, 4 rerouted via skip, B untouched — got $got")
+  }
+
+  test("incrementalBfs equals from-scratch BFS on random churn waves") {
+    val rnd = new scala.util.Random(31)
+    val allEdges = (1 to 120).map { _ =>
+      (rnd.nextInt(70).toLong, rnd.nextInt(70).toLong)
+    }.filter(p => p._1 != p._2).distinct
+    val seeds = Seq(0L, 7L, 13L).toDF("id")
+    val base = CorpusOps.bfsDistances(allEdges.toDF("u", "v"), seeds)
+    for (seed <- Seq(11, 12, 13)) {
+      val r2 = new scala.util.Random(seed)
+      val (gone, kept) = allEdges.partition(_ => r2.nextInt(4) == 0)
+      val extra = (1 to 10).map { _ =>
+        (r2.nextInt(70).toLong, r2.nextInt(70).toLong)
+      }.filter(p => p._1 != p._2).filterNot(kept.contains).distinct
+      val deltas = (gone.map { case (u, v) => (u, v, -1) } ++
+        extra.map { case (u, v) => (u, v, 1) }).toDF("u", "v", "delta")
+      val got = CorpusOps.incrementalBfs(allEdges.toDF("u", "v"), base,
+        deltas, seeds).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val scratch = CorpusOps.bfsDistances((kept ++ extra).toDF("u", "v"), seeds)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == scratch, s"seed $seed: incremental BFS diverged from re-run")
+    }
+  }
+
   test("splitComponents equals from-scratch clustering on random delete waves") {
     val rnd = new scala.util.Random(23)
     val allPairs = (1 to 90).map { _ =>
