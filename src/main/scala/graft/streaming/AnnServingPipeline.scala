@@ -77,7 +77,8 @@ final case class AnnServingPipeline(
     k: Int = 5,
     nProbe: Int = 4,
     recallFloor: Double = 0.6,
-    skewBound: Double = 4.0) {
+    skewBound: Double = 4.0,
+    autoRetrain: Boolean = false) {
 
   private val rowSchema: StructType =
     StructType.fromDDL(s"$idField BIGINT, $vectorField ARRAY<FLOAT>")
@@ -221,6 +222,9 @@ final case class AnnServingPipeline(
     val served = servedPostings(spark).localCheckpoint(true)
     val corpus = served.select(col("vec_id"), col("embedding"))
     val n = if (nCells > 0) nCells else currentCents(workRoot).length
+    // a corpus smaller than the cell count cannot train a quantizer —
+    // keep serving under the current generation (bootstrap window)
+    if (served.count() < n) return currentCents(workRoot)
     val fresh = VectorSearch.trainCentroids(corpus, n, iters, sampleMod = 0)
     writeGeneration(workRoot, fresh)
     val flat = corpus.select(col("vec_id").as(idField),
@@ -261,6 +265,13 @@ final case class AnnServingPipeline(
         JdbcSink.applyViewDeltas(flat, jdbcUrl, postingsTable, Seq(idF),
           stagingColumnTypes = "emb_json VARCHAR(32000)")
         applyCertificate(spark, batchId, c)
+        // SELF-HEALING: a tripped certificate triggers the retrain
+        // in-stream — the swap lands between batches through CURRENT,
+        // and the re-run certificate records the restored SLO
+        if (autoRetrain)
+          certificate(spark).foreach { case (_, _, recallOk, _, driftOk) =>
+            if (!recallOk || !driftOk) { retrainAndSwap(spark, workRoot); () }
+          }
         ()
       }
       .start()

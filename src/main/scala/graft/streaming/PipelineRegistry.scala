@@ -231,7 +231,9 @@ object PipelineRegistry {
             Some(jdbc.get("certTable").asText()) else None,
           k = int("k", 5), nProbe = int("nProbe", 4),
           recallFloor = dbl("recallFloor", 0.6),
-          skewBound = dbl("skewBound", 4.0))
+          skewBound = dbl("skewBound", 4.0),
+          autoRetrain = node.hasNonNull("autoRetrain")
+            && node.get("autoRetrain").asBoolean())
         Some(AnnEntry(pipeline, f.getAbsolutePath, f.lastModified()))
       }
     }

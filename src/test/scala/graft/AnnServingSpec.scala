@@ -176,6 +176,58 @@ class AnnServingSpec extends SparkSpec {
       s"post-swap cells must follow the clusters, got $cellsOf")
   }
 
+  test("autoRetrain: a tripped certificate heals in-stream — swap lands during the run, SLO restored") {
+    val url = "jdbc:derby:memory:graftannauto;create=true"
+    val c0 = java.sql.DriverManager.getConnection(url)
+    c0.createStatement().execute(
+      """CREATE TABLE postings4 ("vec_id" BIGINT NOT NULL PRIMARY KEY,
+        | "cell" INTEGER, "emb_json" VARCHAR(32000))""".stripMargin.replace("\n", ""))
+    c0.createStatement().execute(
+      """CREATE TABLE ann_cert4 ("pipeline" VARCHAR(64) NOT NULL PRIMARY KEY,
+        | "batch_id" BIGINT, "recall" DOUBLE, "recall_ok" INTEGER,
+        | "skew" DOUBLE, "drift_ok" INTEGER)"""
+        .stripMargin.replace("\n", ""))
+    c0.close()
+
+    // bootstrap cells on the Y axis; the corpus's two X-axis clusters
+    // each straddle both cells → single-probe recall 0.5, tripped
+    val pipeline = AnnServingPipeline(
+      name = "auto", databases = Set("shop"), table = "embeddings",
+      idField = "vec_id", vectorField = "embedding",
+      cents = Array(Array(0f, 1f), Array(0f, -1f)),
+      jdbcUrl = url, postingsTable = "postings4",
+      certTable = Some("ann_cert4"), k = 2, nProbe = 1, autoRetrain = true)
+
+    val feedDir = Files.createTempDirectory("graft_annauto_feed_").toFile
+    val workRoot = Files.createTempDirectory("graft_annauto_work_").toString
+    // ids alternate clusters so the retrainer's deterministic first-N
+    // seeding starts one seed per true cluster (ids 0 and 1)
+    val vecs = Seq(
+      (0L, 0.9, 0.05), (1L, -0.9, -0.05), (2L, 0.9, -0.05), (3L, -0.9, 0.05),
+      (4L, 0.88, 0.04), (5L, -0.88, -0.04), (6L, 0.88, -0.04), (7L, -0.88, 0.04))
+    Files.write(new java.io.File(feedDir, "000.json").toPath,
+      vecs.zipWithIndex.map { case ((id, x, y), i) =>
+        wire(v(id, x, y), null, "c", 10, i + 1)
+      }.asJava)
+    pipeline.runOnce(spark, feedDir.toString, workRoot)
+
+    // the single runOnce already healed: batch applied under gen_0,
+    // certificate tripped, retrain swapped gen_1 in-stream, certificate
+    // re-recorded the restored SLO
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$workRoot/quantizer/CURRENT")).trim == "gen_1",
+      "auto retrain must have published a new generation during the run")
+    val Some((_, recall, ok, _, _)) = pipeline.certificate(spark)
+    assert(ok && recall >= 0.99,
+      s"certificate after self-heal must show the restored SLO, got $recall")
+    val cellsOf = pipeline.servedPostings(spark)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(Set(0L, 2L, 4L, 6L).map(cellsOf).size == 1
+      && Set(1L, 3L, 5L, 7L).map(cellsOf).size == 1
+      && cellsOf(0L) != cellsOf(1L),
+      s"post-heal cells must follow the clusters, got $cellsOf")
+  }
+
   test("conf-declared ANN pipeline: watcher add starts serving, delete stops and preserves checkpoints") {
     import graft.streaming.{PipelineRegistry, PipelineWatcher}
     val url = "jdbc:derby:memory:graftannconf;create=true"
