@@ -1,0 +1,243 @@
+package graft.streaming
+
+import graft.cdc.DeltaLog
+import graft.ops.{CorpusOps, MinHashLsh}
+import graft.sinks.JdbcSink
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** STREAMING DEDUP-CLUSTER SERVING — the composition that closes the
+  * near-dup index story: a documents CDC feed drives the streaming LSH
+  * index ([[MinHashLsh.indexDeltaStream]], ±candidate-pair support
+  * deltas), and the pair churn folds into a LIVE cluster labeling that
+  * MERGES components on newly-live pairs ([[CorpusOps.mergeComponents]])
+  * and SPLITS them on retractions ([[CorpusOps.splitComponents]] — a
+  * revised doc whose bridge pair is revoked breaks its cluster apart),
+  * served as (doc_id, cluster_id, is_canonical) rows in a keyed JDBC
+  * table. Lineage:
+  *
+  *   feed ─ LWW replay ─▶ doc log ─ LSH state ─▶ pair-delta log ─┐
+  *                                                               ▼
+  *       labels ◀── merge(inserts) + split(retractions) ◀── support fold
+  *         │
+  *         └▶ JDBC MERGE (changed rows only)
+  *
+  * Cluster state (pair support + labels) lives as numbered parquet
+  * GENERATIONS with an atomically-swapped CURRENT pointer per state —
+  * the delta-log warehouse lifecycle — so each micro-batch reads a
+  * consistent snapshot, writes the next generation, and repoints; a
+  * crashed batch replays from the stream checkpoint against the last
+  * published generation (effects are key-addressed, replay converges to
+  * the same state). The serving MERGE ships only rows whose label
+  * CHANGED plus deletions, not the corpus.
+  *
+  * The maintained labeling is BIT-IDENTICAL to re-clustering the live
+  * pair set from scratch at every batch (the merge/split operators'
+  * pinned guarantee): per-batch work is the pair churn plus the
+  * affected components, never the corpus graph. A pair whose support
+  * rises and falls within one batch never becomes an edge (the fold is
+  * atomic per batch) — consistent with folding the whole batch as one
+  * transaction.
+  */
+final case class DedupClusterPipeline(
+    name: String,
+    databases: Set[String],
+    table: String,
+    idField: String,
+    textField: String,
+    jdbcUrl: String,
+    clustersTable: String,
+    shingleN: Int = 3,
+    bands: Int = 16,
+    rows: Int = 4,
+    maxBucket: Int = Int.MaxValue) {
+
+  private val rowSchema: StructType =
+    StructType.fromDDL(s"$idField BIGINT, $textField STRING")
+
+  private def docLogDir(workRoot: String) = s"$workRoot/log_docs"
+  private def pairLogDir(workRoot: String) = s"$workRoot/log_pairs"
+  private def ckptDir(workRoot: String, stage: String) = s"$workRoot/ckpt_$stage"
+
+  // ---- generation-pointer state (support, labels) --------------------
+
+  private def stateRead(spark: SparkSession, base: String,
+      schema: StructType): DataFrame = {
+    val cur = Paths.get(s"$base/CURRENT")
+    if (!Files.exists(cur))
+      spark.createDataFrame(java.util.List.of[org.apache.spark.sql.Row](), schema)
+    else spark.read.schema(schema)
+      .parquet(s"$base/${Files.readString(cur).trim}")
+  }
+
+  private def stateWrite(df: DataFrame, base: String): Unit = {
+    val b = Paths.get(base)
+    Files.createDirectories(b)
+    val existing = Option(b.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("gen_"))
+      .map(_.getName.stripPrefix("gen_").toInt)
+    val gen = if (existing.isEmpty) 0 else existing.max + 1
+    df.write.mode("overwrite").parquet(s"$base/gen_$gen")
+    val tmp = b.resolve("CURRENT.tmp")
+    Files.writeString(tmp, s"gen_$gen")
+    Files.move(tmp, b.resolve("CURRENT"), StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
+
+  private val SupportSchema =
+    StructType.fromDDL("id_a BIGINT, id_b BIGINT, support BIGINT")
+  private val LabelSchema =
+    StructType.fromDDL("doc_id BIGINT, cluster_id BIGINT, is_canonical BOOLEAN")
+
+  // ---- stages --------------------------------------------------------
+
+  private def docLogQuery(spark: SparkSession, feedDir: String,
+      workRoot: String, trigger: Trigger): StreamingQuery = {
+    val deltas = DeltaLog.deltaStream(spark, feedDir, table, rowSchema,
+      coalesce(col(s"after.$idField"), col(s"before.$idField")).cast("long"),
+      databases)
+    val dir = docLogDir(workRoot)
+    deltas.writeStream
+      .queryName(s"dedup_${name}_doclog")
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", ckptDir(workRoot, "doclog"))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$dir/batch_id=$batchId")
+        ()
+      }
+      .start()
+  }
+
+  /** The stateful LSH stage: doc deltas → ±pair support deltas. Bucket
+    * membership state lives in the stream's state store (RocksDB-ready);
+    * the emitted deltas land in their own batch-partitioned log.
+    */
+  private def pairLogQuery(spark: SparkSession, workRoot: String,
+      trigger: Trigger): StreamingQuery = {
+    val docStream = spark.readStream.schema(ViewPipeline.LogSchema)
+      .parquet(docLogDir(workRoot))
+      .withColumnRenamed("batch_id", "seq")
+    val pairs = MinHashLsh.indexDeltaStream(docStream, textField,
+      shingleN, bands, rows, maxBucket = maxBucket).toDF()
+    val dir = pairLogDir(workRoot)
+    pairs.writeStream
+      .queryName(s"dedup_${name}_pairlog")
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", ckptDir(workRoot, "pairlog"))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$dir/batch_id=$batchId")
+        ()
+      }
+      .start()
+  }
+
+  /** The cluster stage: pair-delta batches → support fold → edge
+    * inserts/retractions → merge+split label maintenance → serving.
+    */
+  private def clusterQuery(spark: SparkSession, workRoot: String,
+      trigger: Trigger): StreamingQuery = {
+    val stream = spark.readStream
+      .schema(StructType.fromDDL(
+        "id_a BIGINT, id_b BIGINT, delta INT, batch_id BIGINT"))
+      .parquet(pairLogDir(workRoot))
+    val idF = idField
+    val supportBase = s"$workRoot/state_support"
+    val labelBase = s"$workRoot/state_labels"
+    stream.writeStream
+      .queryName(s"dedup_$name")
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", ckptDir(workRoot, "clusters"))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val net = batch.groupBy(col("id_a"), col("id_b"))
+          .agg(sum(col("delta")).cast("long").as("d"))
+          .filter(col("d") =!= 0)
+          .localCheckpoint(true)
+        if (!net.isEmpty) {
+          val support0 = stateRead(spark, supportBase, SupportSchema)
+          val support1 = support0
+            .join(net, Seq("id_a", "id_b"), "full_outer")
+            .select(col("id_a"), col("id_b"),
+              (coalesce(col("support"), lit(0L)) +
+                coalesce(col("d"), lit(0L))).as("support"))
+            .filter(col("support") > 0)
+            .localCheckpoint(true)
+          // edge liveness transitions, directly from the two snapshots
+          val live0 = support0.select(col("id_a"), col("id_b"))
+          val live1 = support1.select(col("id_a"), col("id_b"))
+          val inserted = live1.except(live0)
+            .select(col("id_a").as("doc_id_a"), col("id_b").as("doc_id_b"))
+            .localCheckpoint(true)
+          val retracted = live0.except(live1)
+            .select(col("id_a").as("doc_id_a"), col("id_b").as("doc_id_b"))
+            .localCheckpoint(true)
+          val labels0 = stateRead(spark, labelBase, LabelSchema)
+            .localCheckpoint(true)
+          val merged =
+            if (inserted.isEmpty) labels0
+            else CorpusOps.mergeComponents(labels0, inserted)
+          val labels1 =
+            (if (retracted.isEmpty) merged
+             else CorpusOps.splitComponents(merged,
+               live1.select(col("id_a").as("doc_id_a"),
+                 col("id_b").as("doc_id_b")), retracted))
+              .localCheckpoint(true)
+          stateWrite(support1, supportBase)
+          stateWrite(labels1, labelBase)
+          // serve ONLY the rows that changed, plus deletions
+          val changed = labels1.join(
+            labels0.select(col("doc_id"), col("cluster_id").as("prev_cl")),
+            Seq("doc_id"), "left")
+            .filter(col("prev_cl").isNull || col("prev_cl") =!= col("cluster_id"))
+            .select(col("doc_id").as(idF), lit("upsert").as("action"),
+              col("cluster_id"),
+              col("is_canonical").cast("int").as("is_canonical"))
+          val dropped = labels0.join(labels1.select(col("doc_id")),
+            Seq("doc_id"), "left_anti")
+            .select(col("doc_id").as(idF), lit("delete").as("action"),
+              lit(null).cast("long").as("cluster_id"),
+              lit(null).cast("int").as("is_canonical"))
+          JdbcSink.applyViewDeltas(changed.unionByName(dropped),
+            jdbcUrl, clustersTable, Seq(idF))
+        }
+        ()
+      }
+      .start()
+  }
+
+  /** Drain the feed through all three stages; incremental across calls
+    * (durable checkpoints at every stage — [[ViewPipeline.runOnce]]'s
+    * contract).
+    */
+  def runOnce(spark: SparkSession, feedDir: String, workRoot: String): Unit = {
+    Files.createDirectories(Paths.get(docLogDir(workRoot)))
+    Files.createDirectories(Paths.get(pairLogDir(workRoot)))
+    docLogQuery(spark, feedDir, workRoot, Trigger.AvailableNow())
+      .awaitTermination()
+    pairLogQuery(spark, workRoot, Trigger.AvailableNow()).awaitTermination()
+    clusterQuery(spark, workRoot, Trigger.AvailableNow()).awaitTermination()
+  }
+
+  /** Live deployment: all three stages on a processing-time trigger. */
+  def start(spark: SparkSession, feedDir: String, workRoot: String,
+      interval: String = "500 milliseconds"): Seq[StreamingQuery] = {
+    val t = Trigger.ProcessingTime(interval)
+    Files.createDirectories(Paths.get(docLogDir(workRoot)))
+    Files.createDirectories(Paths.get(pairLogDir(workRoot)))
+    Seq(docLogQuery(spark, feedDir, workRoot, t),
+      pairLogQuery(spark, workRoot, t),
+      clusterQuery(spark, workRoot, t))
+  }
+
+  /** The served clusters read back (tests / operational visibility). */
+  def servedClusters(spark: SparkSession): DataFrame =
+    spark.read.jdbc(jdbcUrl, clustersTable, new java.util.Properties())
+      .select(col(idField).cast("long").as("doc_id"),
+        col("cluster_id").cast("long").as("cluster_id"),
+        (col("is_canonical") === 1).as("is_canonical"))
+}

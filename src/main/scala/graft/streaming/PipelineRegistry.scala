@@ -55,7 +55,7 @@ object PipelineRegistry {
     * must not make a production pipeline silently vanish from every
     * lifecycle.
     */
-  private val Kinds = Set("lww", "view", "ann")
+  private val Kinds = Set("lww", "view", "ann", "dedup")
 
   private def kindOf(f: File,
       node: com.fasterxml.jackson.databind.JsonNode): String = {
@@ -237,6 +237,64 @@ object PipelineRegistry {
         Some(AnnEntry(pipeline, f.getAbsolutePath, f.lastModified()))
       }
     }
+  }
+
+  final case class DedupEntry(pipeline: DedupClusterPipeline, file: String,
+      mtime: Long)
+
+  /** Discover and build every `"kind": "dedup"` pipeline in `dir` — the
+    * streaming dedup-cluster serving flow ([[DedupClusterPipeline]]) as
+    * registry data:
+    * {{{
+    *   { "kind": "dedup", "name": "docs",
+    *     "databases": ["shop"], "table": "documents",
+    *     "idKey": "doc_id", "textField": "text",
+    *     "jdbc": { "url": "jdbc:derby:...", "clustersTable": "clusters" },
+    *     "shingleN": 3, "bands": 16, "rows": 4, "maxBucket": 256 }
+    * }}}
+    */
+  def loadDedup(dir: String): Seq[DedupEntry] = {
+    val mapper = new ObjectMapper()
+    confFiles(dir).flatMap { f =>
+      val node = mapper.readTree(f)
+      if (kindOf(f, node) != "dedup") None
+      else {
+        require(node.hasNonNull("name") && node.hasNonNull("table")
+            && node.hasNonNull("idKey") && node.hasNonNull("textField")
+            && node.hasNonNull("jdbc"),
+          s"${f.getName}: dedup confs need name, table, idKey, textField and jdbc")
+        val jdbc = node.get("jdbc")
+        require(jdbc.hasNonNull("url") && jdbc.hasNonNull("clustersTable"),
+          s"${f.getName}: jdbc needs url and clustersTable")
+        def int(field: String, dflt: Int): Int =
+          if (node.hasNonNull(field)) node.get(field).asInt() else dflt
+        val dbs =
+          if (node.has("databases"))
+            node.get("databases").elements().asScala.map(_.asText()).toSet
+          else Set("shop")
+        val pipeline = DedupClusterPipeline(
+          name = node.get("name").asText(),
+          databases = dbs,
+          table = node.get("table").asText(),
+          idField = node.get("idKey").asText(),
+          textField = node.get("textField").asText(),
+          jdbcUrl = jdbc.get("url").asText(),
+          clustersTable = jdbc.get("clustersTable").asText(),
+          shingleN = int("shingleN", 3), bands = int("bands", 16),
+          rows = int("rows", 4), maxBucket = int("maxBucket", Int.MaxValue))
+        Some(DedupEntry(pipeline, f.getAbsolutePath, f.lastModified()))
+      }
+    }
+  }
+
+  /** [[changedSince]] for the dedup-pipeline lifecycle. */
+  def changedDedupSince(known: Seq[DedupEntry], dir: String): Seq[String] =
+    changedOfKind(known.map(e => e.file -> e.mtime).toMap, dir, "dedup")
+
+  /** [[removedSince]] for the dedup-pipeline lifecycle. */
+  def removedDedupSince(known: Seq[DedupEntry], dir: String): Seq[String] = {
+    val live = confFiles(dir).map(_.getAbsolutePath).toSet
+    known.map(_.file).filterNot(live)
   }
 
   /** [[changedSince]] for the ann-pipeline lifecycle. */

@@ -35,7 +35,9 @@ import scala.collection.mutable
   * drive single-query CdcPipelines, `"kind": "view"` confs the
   * three-query ViewPipeline lineage (two log replays + the join/serving
   * stage), `"kind": "ann"` confs the two-query AnnServingPipeline
-  * (delta log + posting index/serving). The lifecycle contract is
+  * (delta log + posting index/serving), `"kind": "dedup"` confs the
+  * three-query DedupClusterPipeline (doc log, LSH pair stage,
+  * cluster/serving). The lifecycle contract is
   * identical — add starts, change stops-rebuilds-restarts against the
   * SAME work dir (every stage's checkpoint resumes, so no event is
   * re-served beyond the idempotent keyed-apply contract), delete stops
@@ -57,6 +59,9 @@ final class PipelineWatcher(
   private val viewQueries = mutable.Map.empty[String, Seq[StreamingQuery]]
   private val annEntries = mutable.Map.empty[String, PipelineRegistry.AnnEntry]
   private val annQueries = mutable.Map.empty[String, Seq[StreamingQuery]]
+  private val dedupEntries =
+    mutable.Map.empty[String, PipelineRegistry.DedupEntry]
+  private val dedupQueries = mutable.Map.empty[String, Seq[StreamingQuery]]
   @volatile private var running = false
   private var loop: Thread = _
 
@@ -87,6 +92,14 @@ final class PipelineWatcher(
     qs
   }
 
+  private def startDedup(e: PipelineRegistry.DedupEntry): Seq[StreamingQuery] = {
+    val qs = e.pipeline.start(spark, sourceDir, workDir(e.file),
+      interval = viewTriggerInterval)
+    dedupEntries(e.file) = e
+    dedupQueries(e.file) = qs
+    qs
+  }
+
   /** Initial discovery + start of every registered pipeline of BOTH
     * kinds (the boot half; [[PipelineRegistry.startAll]] semantics,
     * tracked for reload). Returns every started query — one per LWW
@@ -95,7 +108,8 @@ final class PipelineWatcher(
   def startPipelines(): Seq[StreamingQuery] = synchronized {
     PipelineRegistry.load(confDir).map(startLww) ++
       PipelineRegistry.loadViews(confDir).flatMap(startView) ++
-      PipelineRegistry.loadAnn(confDir).flatMap(startAnn)
+      PipelineRegistry.loadAnn(confDir).flatMap(startAnn) ++
+      PipelineRegistry.loadDedup(confDir).flatMap(startDedup)
   }
 
   /** One detection/reload cycle; returns the names of pipelines that
@@ -151,7 +165,23 @@ final class PipelineWatcher(
           startAnn(e)
           e.pipeline.name
         }
-    restartedLww ++ restartedViews ++ restartedAnn
+    PipelineRegistry.removedDedupSince(dedupEntries.values.toSeq, confDir)
+      .foreach { f =>
+        dedupQueries.remove(f).foreach(_.foreach(q => if (q.isActive) q.stop()))
+        dedupEntries.remove(f)
+      }
+    val changedDedup =
+      PipelineRegistry.changedDedupSince(dedupEntries.values.toSeq, confDir).toSet
+    val restartedDedup =
+      if (changedDedup.isEmpty) Seq.empty
+      else PipelineRegistry.loadDedup(confDir)
+        .filter(e => changedDedup(e.file)).map { e =>
+          dedupQueries.get(e.file)
+            .foreach(_.foreach(q => if (q.isActive) q.stop()))
+          startDedup(e)
+          e.pipeline.name
+        }
+    restartedLww ++ restartedViews ++ restartedAnn ++ restartedDedup
   }
 
   /** Spawn the daemon polling loop (the WatchFile thread). */
@@ -183,6 +213,7 @@ final class PipelineWatcher(
       queries.values.foreach(q => if (q.isActive) q.stop())
       viewQueries.values.foreach(_.foreach(q => if (q.isActive) q.stop()))
       annQueries.values.foreach(_.foreach(q => if (q.isActive) q.stop()))
+      dedupQueries.values.foreach(_.foreach(q => if (q.isActive) q.stop()))
     }
   }
 
@@ -208,5 +239,13 @@ final class PipelineWatcher(
   def activeAnnQueries: Map[String, Seq[StreamingQuery]] = synchronized {
     annEntries.values.flatMap(e =>
       annQueries.get(e.file).map(qs => e.pipeline.name -> qs)).toMap
+  }
+
+  /** Active query set per DEDUP pipeline name (three queries per live
+    * pipeline: doc log, LSH pair stage, cluster/serving).
+    */
+  def activeDedupQueries: Map[String, Seq[StreamingQuery]] = synchronized {
+    dedupEntries.values.flatMap(e =>
+      dedupQueries.get(e.file).map(qs => e.pipeline.name -> qs)).toMap
   }
 }

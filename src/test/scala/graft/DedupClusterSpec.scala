@@ -1,0 +1,139 @@
+package graft
+
+import graft.streaming.DedupClusterPipeline
+import java.nio.file.Files
+import scala.jdk.CollectionConverters._
+
+/** Streaming dedup-cluster serving E2E: a documents CDC feed drives the
+  * LSH pair index, pair churn folds into live cluster labels — merge on
+  * newly-live pairs, split/dropout on retractions — and the JDBC
+  * serving table tracks exactly the from-scratch clustering of the live
+  * pair set at every wave.
+  */
+class DedupClusterSpec extends SparkSpec {
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  private def wire(after: String, before: String, op: String,
+      ts: Long, off: Long): String = {
+    val ev = s"""{"payload":{"before":${Option(before).getOrElse("null")},""" +
+      s""""after":${Option(after).getOrElse("null")},""" +
+      s""""source":{"db":"shop","table":"documents","ts_ms":$ts},"op":"$op","ts_ms":$ts}}"""
+    s"""{"value":${mapper.writeValueAsString(ev)},"offset":$off}"""
+  }
+  private def d(id: Long, text: String): String =
+    mapper.writeValueAsString(java.util.Map.of(
+      "doc_id", java.lang.Long.valueOf(id), "text", text))
+      .replace("\"doc_id\"", "\"doc_id\"") // stable key order not required
+
+  private val A = "alpha beta gamma delta epsilon zeta eta theta"
+  private val Z = "one two three four five six seven eight nine"
+  private val B = "red orange yellow green blue indigo violet crimson"
+
+  test("E2E: merge on shared text, split/dropout on revision, serving tracks from-scratch clustering") {
+    val url = "jdbc:derby:memory:graftdedupclu;create=true"
+    val c0 = java.sql.DriverManager.getConnection(url)
+    c0.createStatement().execute(
+      """CREATE TABLE clusters ("doc_id" BIGINT NOT NULL PRIMARY KEY,
+        | "cluster_id" BIGINT, "is_canonical" INTEGER)"""
+        .stripMargin.replace("\n", ""))
+    c0.close()
+
+    val pipeline = DedupClusterPipeline(
+      name = "clu", databases = Set("shop"), table = "documents",
+      idField = "doc_id", textField = "text",
+      jdbcUrl = url, clustersTable = "clusters")
+
+    val feedDir = Files.createTempDirectory("graft_dedupclu_feed_").toFile
+    val workRoot = Files.createTempDirectory("graft_dedupclu_work_").toString
+
+    // wave 0: {1,2} share text A; {4,5,6} share text Z (identical texts
+    // collide in every band — the pair set is deterministic)
+    Files.write(new java.io.File(feedDir, "000.json").toPath, Seq(
+      wire(d(1, A), null, "c", 10, 1),
+      wire(d(2, A), null, "c", 10, 2),
+      wire(d(4, Z), null, "c", 10, 3),
+      wire(d(5, Z), null, "c", 10, 4),
+      wire(d(6, Z), null, "c", 10, 5)).asJava)
+    pipeline.runOnce(spark, feedDir.toString, workRoot)
+
+    def served(): Map[Long, (Long, Boolean)] =
+      pipeline.servedClusters(spark).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(served() == Map(
+      1L -> ((1L, true)), 2L -> ((1L, false)),
+      4L -> ((4L, true)), 5L -> ((4L, false)), 6L -> ((4L, false))),
+      s"wave 0 clusters, got ${served()}")
+
+    // wave 1: doc 3 joins the A-cluster (merge); doc 4 is REVISED to an
+    // unrelated text — its pairs retract, {5,6} must re-form WITHOUT it
+    // (the split/recompute path) and 4 must leave the serving table
+    Files.write(new java.io.File(feedDir, "001.json").toPath, Seq(
+      wire(d(3, A), null, "c", 20, 6),
+      wire(d(4, B), d(4, Z), "u", 20, 7)).asJava)
+    pipeline.runOnce(spark, feedDir.toString, workRoot)
+
+    assert(served() == Map(
+      1L -> ((1L, true)), 2L -> ((1L, false)), 3L -> ((1L, false)),
+      5L -> ((5L, true)), 6L -> ((5L, false))),
+      s"wave 1: merged {1,2,3}, re-canonicalized {5,6}, 4 gone — got ${served()}")
+
+    // no new feed data → re-drain is a no-op
+    pipeline.runOnce(spark, feedDir.toString, workRoot)
+    assert(served().size == 5)
+
+    // generation pointers advanced and stayed consistent
+    val labelsCur = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$workRoot/state_labels/CURRENT")).trim
+    assert(labelsCur.startsWith("gen_"), s"labels state pointer: $labelsCur")
+  }
+
+  test("conf-declared dedup pipeline: watcher add starts serving, delete stops and preserves state") {
+    import graft.streaming.{PipelineRegistry, PipelineWatcher}
+    val url = "jdbc:derby:memory:graftdedupconf;create=true"
+    val c0 = java.sql.DriverManager.getConnection(url)
+    c0.createStatement().execute(
+      """CREATE TABLE clusters2 ("doc_id" BIGINT NOT NULL PRIMARY KEY,
+        | "cluster_id" BIGINT, "is_canonical" INTEGER)"""
+        .stripMargin.replace("\n", ""))
+    c0.close()
+
+    val confDir = Files.createTempDirectory("graft_dedupconf_").toFile
+    val feedDir = Files.createTempDirectory("graft_dedupconf_feed_").toFile
+    val ckptRoot = Files.createTempDirectory("graft_dedupconf_ckpt_").toString
+    Files.write(new java.io.File(feedDir, "000.json").toPath, Seq(
+      wire(d(1, A), null, "c", 10, 1),
+      wire(d(2, A), null, "c", 10, 2)).asJava)
+
+    val cfg = graft.sinks.EsSink.Config("http://es:9200/idx", "u", "p", "id")
+    val watcher = new PipelineWatcher(spark, confDir.toString,
+      feedDir.toString, ckptRoot, cfg, new SinkSpec.Recorder,
+      viewTriggerInterval = "200 milliseconds")
+    try {
+      assert(watcher.startPipelines().isEmpty)
+      val conf = new java.io.File(confDir, "docs.json")
+      Files.write(conf.toPath, Seq(
+        s"""{"kind":"dedup","name":"docs","databases":["shop"],
+           |"table":"documents","idKey":"doc_id","textField":"text",
+           |"jdbc":{"url":"$url","clustersTable":"clusters2"}}"""
+          .stripMargin.replace("\n", "")).asJava)
+      assert(watcher.pollOnce() == Seq("docs"))
+      assert(watcher.activeDedupQueries("docs").size == 3)
+      def served(): Map[Long, Long] =
+        spark.read.jdbc(url, "clusters2", new java.util.Properties())
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      while (served() != Map(1L -> 1L, 2L -> 1L) && System.nanoTime() < deadline)
+        Thread.sleep(200)
+      assert(served() == Map(1L -> 1L, 2L -> 1L), "conf-declared dedup must serve")
+
+      val live = watcher.activeDedupQueries("docs")
+      assert(conf.delete())
+      assert(watcher.pollOnce().isEmpty)
+      assert(live.forall(!_.isActive) && watcher.activeDedupQueries.isEmpty)
+      val workDir = s"$ckptRoot/${PipelineRegistry.ckptKey(conf.getAbsolutePath)}"
+      assert(new java.io.File(s"$workDir/ckpt_clusters").exists()
+        && new java.io.File(s"$workDir/state_labels/CURRENT").exists(),
+        "deregistration preserves checkpoints and label-state generations")
+    } finally watcher.stop()
+  }
+}
