@@ -25,14 +25,16 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   *         │
   *         └▶ JDBC MERGE (changed rows only)
   *
-  * Cluster state (pair support + labels) lives as numbered parquet
-  * GENERATIONS with an atomically-swapped CURRENT pointer per state —
-  * the delta-log warehouse lifecycle — so each micro-batch reads a
-  * consistent snapshot, writes the next generation, and repoints; a
-  * crashed batch replays from the stream checkpoint against the last
-  * published generation (effects are key-addressed, replay converges to
-  * the same state). The serving MERGE ships only rows whose label
-  * CHANGED plus deletions, not the corpus.
+  * Cluster state (pair support + labels) lives as APPEND-ONLY state
+  * logs with base-generation compaction ([[StateLog]]): each
+  * micro-batch appends only its churn (support deltas; changed labels
+  * + tombstones), readers fold base + recent log, and compaction
+  * publishes a fresh base every `compactEvery` batches — per-batch
+  * write cost is O(churn), never O(corpus). Replay is guarded
+  * structurally: a batch folds state strictly BEFORE its own batch id,
+  * so a crashed batch recomputes against exactly what it first saw.
+  * The serving MERGE ships only rows whose label CHANGED plus
+  * deletions, not the corpus.
   *
   * The maintained labeling is BIT-IDENTICAL to re-clustering the live
   * pair set from scratch at every batch (the merge/split operators'
@@ -53,7 +55,8 @@ final case class DedupClusterPipeline(
     shingleN: Int = 3,
     bands: Int = 16,
     rows: Int = 4,
-    maxBucket: Int = Int.MaxValue) {
+    maxBucket: Int = Int.MaxValue,
+    compactEvery: Int = 32) {
 
   private val rowSchema: StructType =
     StructType.fromDDL(s"$idField BIGINT, $textField STRING")
@@ -62,35 +65,52 @@ final case class DedupClusterPipeline(
   private def pairLogDir(workRoot: String) = s"$workRoot/log_pairs"
   private def ckptDir(workRoot: String, stage: String) = s"$workRoot/ckpt_$stage"
 
-  // ---- generation-pointer state (support, labels) --------------------
+  // ---- state as append-only logs with base compaction ([[StateLog]]):
+  // per-batch writes are O(churn), reads are base + recent log, and
+  // compaction keeps the log bounded — never an O(state) write per batch
 
-  private def stateRead(spark: SparkSession, base: String,
-      schema: StructType): DataFrame = {
-    val cur = Paths.get(s"$base/CURRENT")
-    if (!Files.exists(cur))
-      spark.createDataFrame(java.util.List.of[org.apache.spark.sql.Row](), schema)
-    else spark.read.schema(schema)
-      .parquet(s"$base/${Files.readString(cur).trim}")
-  }
-
-  private def stateWrite(df: DataFrame, base: String): Unit = {
-    val b = Paths.get(base)
-    Files.createDirectories(b)
-    val existing = Option(b.toFile.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("gen_"))
-      .map(_.getName.stripPrefix("gen_").toInt)
-    val gen = if (existing.isEmpty) 0 else existing.max + 1
-    df.write.mode("overwrite").parquet(s"$base/gen_$gen")
-    val tmp = b.resolve("CURRENT.tmp")
-    Files.writeString(tmp, s"gen_$gen")
-    Files.move(tmp, b.resolve("CURRENT"), StandardCopyOption.ATOMIC_MOVE)
-    ()
-  }
-
-  private val SupportSchema =
+  private val SupportBaseSchema =
     StructType.fromDDL("id_a BIGINT, id_b BIGINT, support BIGINT")
-  private val LabelSchema =
+  private val SupportLogSchema =
+    StructType.fromDDL("id_a BIGINT, id_b BIGINT, d BIGINT, batch_id BIGINT")
+  private val LabelBaseSchema =
     StructType.fromDDL("doc_id BIGINT, cluster_id BIGINT, is_canonical BOOLEAN")
+  private val LabelLogSchema = StructType.fromDDL(
+    "doc_id BIGINT, cluster_id BIGINT, is_canonical BOOLEAN, " +
+      "tombstone BOOLEAN, batch_id BIGINT")
+
+  /** Fold pair support visible to `currentBatch`: base snapshot plus
+    * signed log deltas strictly between the base watermark and the
+    * current batch (order-free ± algebra).
+    */
+  private def foldSupport(spark: SparkSession, base: String,
+      currentBatch: Long): DataFrame = {
+    val b = StateLog.readBase(spark, base, SupportBaseSchema)
+      .select(col("id_a"), col("id_b"), col("support").as("d"))
+    val l = StateLog.readLog(spark, base, SupportLogSchema, currentBatch)
+      .select(col("id_a"), col("id_b"), col("d"))
+    b.unionByName(l).groupBy(col("id_a"), col("id_b"))
+      .agg(sum(col("d")).as("support"))
+      .filter(col("support") > 0)
+  }
+
+  /** Fold labels visible to `currentBatch`: latest row per doc across
+    * base (stamped below every log batch) and the visible log, with
+    * tombstones dropping the doc.
+    */
+  private def foldLabels(spark: SparkSession, base: String,
+      currentBatch: Long): DataFrame = {
+    val b = StateLog.readBase(spark, base, LabelBaseSchema)
+      .select(col("doc_id"), col("cluster_id"), col("is_canonical"),
+        lit(false).as("tombstone"), lit(-1L).as("batch_id"))
+    val l = StateLog.readLog(spark, base, LabelLogSchema, currentBatch)
+    b.unionByName(l).groupBy(col("doc_id"))
+      .agg(max_by(struct(col("cluster_id"), col("is_canonical"),
+        col("tombstone")), col("batch_id")).as("w"))
+      .filter(!col("w.tombstone"))
+      .select(col("doc_id"), col("w.cluster_id").as("cluster_id"),
+        col("w.is_canonical").as("is_canonical"))
+  }
 
   // ---- stages --------------------------------------------------------
 
@@ -153,13 +173,17 @@ final case class DedupClusterPipeline(
       .outputMode("append")
       .trigger(trigger)
       .option("checkpointLocation", ckptDir(workRoot, "clusters"))
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val net = batch.groupBy(col("id_a"), col("id_b"))
           .agg(sum(col("delta")).cast("long").as("d"))
           .filter(col("d") =!= 0)
           .localCheckpoint(true)
         if (!net.isEmpty) {
-          val support0 = stateRead(spark, supportBase, SupportSchema)
+          // pre-batch state: base + log strictly before THIS batch —
+          // a replayed batch recomputes against exactly what it first
+          // saw (its own half-written log dir is invisible)
+          val support0 = foldSupport(spark, supportBase, batchId)
+            .localCheckpoint(true)
           val support1 = support0
             .join(net, Seq("id_a", "id_b"), "full_outer")
             .select(col("id_a"), col("id_b"),
@@ -176,7 +200,7 @@ final case class DedupClusterPipeline(
           val retracted = live0.except(live1)
             .select(col("id_a").as("doc_id_a"), col("id_b").as("doc_id_b"))
             .localCheckpoint(true)
-          val labels0 = stateRead(spark, labelBase, LabelSchema)
+          val labels0 = foldLabels(spark, labelBase, batchId)
             .localCheckpoint(true)
           val merged =
             if (inserted.isEmpty) labels0
@@ -187,23 +211,40 @@ final case class DedupClusterPipeline(
                live1.select(col("id_a").as("doc_id_a"),
                  col("id_b").as("doc_id_b")), retracted))
               .localCheckpoint(true)
-          stateWrite(support1, supportBase)
-          stateWrite(labels1, labelBase)
-          // serve ONLY the rows that changed, plus deletions
+          // CHANGED rows only — the state-log append, the serving MERGE
+          // and the per-batch write cost are all churn-sized
           val changed = labels1.join(
             labels0.select(col("doc_id"), col("cluster_id").as("prev_cl")),
             Seq("doc_id"), "left")
             .filter(col("prev_cl").isNull || col("prev_cl") =!= col("cluster_id"))
-            .select(col("doc_id").as(idF), lit("upsert").as("action"),
-              col("cluster_id"),
-              col("is_canonical").cast("int").as("is_canonical"))
+            .select(col("doc_id"), col("cluster_id"), col("is_canonical"))
+            .localCheckpoint(true)
           val dropped = labels0.join(labels1.select(col("doc_id")),
             Seq("doc_id"), "left_anti")
-            .select(col("doc_id").as(idF), lit("delete").as("action"),
-              lit(null).cast("long").as("cluster_id"),
-              lit(null).cast("int").as("is_canonical"))
-          JdbcSink.applyViewDeltas(changed.unionByName(dropped),
+            .select(col("doc_id")).localCheckpoint(true)
+          StateLog.appendBatch(net, supportBase, batchId)
+          StateLog.appendBatch(
+            changed.withColumn("tombstone", lit(false))
+              .unionByName(dropped
+                .withColumn("cluster_id", lit(null).cast("long"))
+                .withColumn("is_canonical", lit(null).cast("boolean"))
+                .withColumn("tombstone", lit(true))),
+            labelBase, batchId)
+          JdbcSink.applyViewDeltas(
+            changed.select(col("doc_id").as(idF), lit("upsert").as("action"),
+              col("cluster_id"),
+              col("is_canonical").cast("int").as("is_canonical"))
+              .unionByName(dropped.select(col("doc_id").as(idF),
+                lit("delete").as("action"),
+                lit(null).cast("long").as("cluster_id"),
+                lit(null).cast("int").as("is_canonical"))),
             jdbcUrl, clustersTable, Seq(idF))
+          // bounded log: fold-to-batchId−1 (exactly support0/labels0)
+          // becomes the next base generation; folded-in dirs pruned
+          if (StateLog.logBatchCount(supportBase) > compactEvery)
+            StateLog.compact(support0, supportBase, batchId - 1)
+          if (StateLog.logBatchCount(labelBase) > compactEvery)
+            StateLog.compact(labels0, labelBase, batchId - 1)
         }
         ()
       }

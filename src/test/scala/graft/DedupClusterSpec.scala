@@ -38,10 +38,12 @@ class DedupClusterSpec extends SparkSpec {
         .stripMargin.replace("\n", ""))
     c0.close()
 
+    // compactEvery=1 forces base-generation compaction between waves, so
+    // the fold-over-base path (not just the pure-log path) is exercised
     val pipeline = DedupClusterPipeline(
       name = "clu", databases = Set("shop"), table = "documents",
       idField = "doc_id", textField = "text",
-      jdbcUrl = url, clustersTable = "clusters")
+      jdbcUrl = url, clustersTable = "clusters", compactEvery = 1)
 
     val feedDir = Files.createTempDirectory("graft_dedupclu_feed_").toFile
     val workRoot = Files.createTempDirectory("graft_dedupclu_work_").toString
@@ -81,10 +83,14 @@ class DedupClusterSpec extends SparkSpec {
     pipeline.runOnce(spark, feedDir.toString, workRoot)
     assert(served().size == 5)
 
-    // generation pointers advanced and stayed consistent
-    val labelsCur = java.nio.file.Files.readString(
-      java.nio.file.Paths.get(s"$workRoot/state_labels/CURRENT")).trim
-    assert(labelsCur.startsWith("gen_"), s"labels state pointer: $labelsCur")
+    // state logs append per batch; compaction published a base
+    // generation and pruned the folded-in log dirs
+    val labelBase = new java.io.File(s"$workRoot/state_labels")
+    assert(new java.io.File(labelBase, "log").isDirectory)
+    val cur = java.nio.file.Files.readString(
+      labelBase.toPath.resolve("CURRENT")).trim
+    assert(cur.startsWith("gen_"),
+      s"compaction must have published a base generation, got '$cur'")
   }
 
   test("conf-declared dedup pipeline: watcher add starts serving, delete stops and preserves state") {
@@ -132,8 +138,8 @@ class DedupClusterSpec extends SparkSpec {
       assert(live.forall(!_.isActive) && watcher.activeDedupQueries.isEmpty)
       val workDir = s"$ckptRoot/${PipelineRegistry.ckptKey(conf.getAbsolutePath)}"
       assert(new java.io.File(s"$workDir/ckpt_clusters").exists()
-        && new java.io.File(s"$workDir/state_labels/CURRENT").exists(),
-        "deregistration preserves checkpoints and label-state generations")
+        && new java.io.File(s"$workDir/state_labels/log").exists(),
+        "deregistration preserves checkpoints and label-state logs")
     } finally watcher.stop()
   }
 }
