@@ -1070,7 +1070,75 @@ object PipelineQueries {
       .select(col("id").as("o_orderkey"), col("dist"))
   }
 
+  /** Q131: the full DEDUP-INDEX-TO-CLUSTERS COMPOSITION under the
+    * oracle gate — the CDC-maintained LSH index (q118) feeding the
+    * incremental clusterer in BOTH directions: exact-verified live
+    * pairs from the post-traffic index diffed against the pre-traffic
+    * pair set give insert and retraction waves, inserts fold by label
+    * contraction ([[CorpusOps.mergeComponents]]) and retractions by
+    * bounded recompute-affected splits ([[CorpusOps.splitComponents]]).
+    * The oracle re-clusters the post-traffic corpus (q118's stated LWW
+    * outcome: %3 revisions, %5 deletes) from scratch with a recursive
+    * CTE, so the hash certifies that maintained-index churn folded
+    * incrementally lands on exactly the from-scratch clustering —
+    * deleted docs' clusters split or vanish, revision-moved pairs
+    * re-merge.
+    */
+  val q131 = QueryDef.sql(
+    "q131_cdc_cluster_maintenance",
+    """WITH RECURSIVE cur AS (SELECT doc_id,
+      |         CASE WHEN doc_id % 3 = 0 THEN text || ' revised edition'
+      |              ELSE text END AS text
+      |       FROM documents WHERE doc_id % 5 <> 0),
+      |tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM cur),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         unnest(list_transform(range(1, len(t) - 1),
+      |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      |       FROM tok),
+      |card AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |cp AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+      |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |       GROUP BY 1, 2),
+      |jp AS (SELECT da, db FROM cp
+      |       JOIN card ca ON da = ca.doc_id JOIN card cb ON db = cb.doc_id
+      |       WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.6),
+      |edges AS (SELECT da AS s, db AS d FROM jp UNION SELECT db, da FROM jp),
+      |reach(s, d) AS (SELECT s, d FROM edges
+      |                UNION
+      |                SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+      |SELECT s AS doc_id, least(s, min(d)) AS cluster_id,
+      |       s = least(s, min(d)) AS is_canonical
+      |FROM reach GROUP BY s""".stripMargin) { (spark, dir) =>
+    import graft.cdc.DeltaLog
+    // post-traffic pairs: the MAINTAINED index's live candidates,
+    // exact-verified against the log's current corpus (q118's verify)
+    val live = MinHashLsh.livePairs(DeltaLog.documentsPairDeltas(spark, dir))
+    val cur = DeltaLog.currentRows(DeltaLog.documentsDeltas(spark, dir))
+      .select(col("key").cast("long").as("doc_id"),
+        get_json_object(col("rowJson"), "$.text").as("text"))
+    val st = MinHashLsh.shingleSets(cur, "doc_id", "text", 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = st.select(col("id").as("id_a"), col("ss").as("ssa"))
+    val b = st.select(col("id").as("id_b"), col("ss").as("ssb"))
+    val post = live.join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .withColumn("c", size(array_intersect(col("ssa"), col("ssb"))).cast("long"))
+      .filter(col("c").cast("double") /
+        (size(col("ssa")) + size(col("ssb")) - col("c")) >= 0.6)
+      .select(col("id_a").as("doc_id_a"), col("id_b").as("doc_id_b"))
+      .localCheckpoint(true)
+    // pre-traffic labeling + the churn waves the traffic implies
+    val pre = MinHashLsh.nearDupPairs(
+      Tables.documents(spark, dir), "doc_id", "text", 3, 0.6)
+      .select(col("doc_id_a"), col("doc_id_b"))
+      .localCheckpoint(true)
+    val labels0 = CorpusOps.dupClusters(pre)
+    val inserted = post.except(pre)
+    val retracted = pre.except(post)
+    CorpusOps.splitComponents(
+      CorpusOps.mergeComponents(labels0, inserted), post, retracted)
+  }
+
   val all: Seq[QueryDef] = Seq(q41, q42, q43, q44, q45, q47, q48, q49,
     q54, q57, q60, q62, q63, q64, q68, q69, q74, q76, q80, q81, q83, q90, q91,
-    q94, q98, q122, q125, q127, q128, q129, q130)
+    q94, q98, q122, q125, q127, q128, q129, q130, q131)
 }
