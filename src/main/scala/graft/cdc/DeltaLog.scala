@@ -46,7 +46,7 @@ object DeltaLog {
 
   private def dirTag(dir: String): String = dir.replaceAll("[^a-zA-Z0-9]", "_")
 
-  private def logBase(spark: SparkSession, logName: String, fp: String): String =
+  private[graft] def logBase(spark: SparkSession, logName: String, fp: String): String =
     s"${warehouseRoot(spark)}/$logName/$fp"
 
   /** The generation directory readers of `base` currently use: the one
@@ -214,7 +214,7 @@ object DeltaLog {
     * this lock exists to prevent (two streaming queries sharing one
     * checkpoint dir corrupt it).
     */
-  private[cdc] def buildOnce(base: String)(build: () => Unit): Unit = {
+  private[graft] def buildOnce(base: String)(build: () => Unit): Unit = {
     val done = Paths.get(s"$base/_GRAFT_DONE")
     if (Files.exists(done)) { touch(done); return }
     val monitor = localLocks.computeIfAbsent(base, _ => new Object)
