@@ -50,8 +50,7 @@ final case class DedupClusterPipeline(
     table: String,
     idField: String,
     textField: String,
-    jdbcUrl: String,
-    clustersTable: String,
+    target: ViewTarget,
     shingleN: Int = 3,
     bands: Int = 16,
     rows: Int = 4,
@@ -160,7 +159,8 @@ final case class DedupClusterPipeline(
     * inserts/retractions → merge+split label maintenance → serving.
     */
   private def clusterQuery(spark: SparkSession, workRoot: String,
-      trigger: Trigger): StreamingQuery = {
+      trigger: Trigger,
+      esTransport: graft.sinks.EsSink.Transport): StreamingQuery = {
     val stream = spark.readStream
       .schema(StructType.fromDDL(
         "id_a BIGINT, id_b BIGINT, delta INT, batch_id BIGINT"))
@@ -230,15 +230,28 @@ final case class DedupClusterPipeline(
                 .withColumn("is_canonical", lit(null).cast("boolean"))
                 .withColumn("tombstone", lit(true))),
             labelBase, batchId)
-          JdbcSink.applyViewDeltas(
-            changed.select(col("doc_id").as(idF), lit("upsert").as("action"),
-              col("cluster_id"),
-              col("is_canonical").cast("int").as("is_canonical"))
-              .unionByName(dropped.select(col("doc_id").as(idF),
-                lit("delete").as("action"),
-                lit(null).cast("long").as("cluster_id"),
-                lit(null).cast("int").as("is_canonical"))),
-            jdbcUrl, clustersTable, Seq(idF))
+          target match {
+            case JdbcTarget(url, tbl, _) =>
+              JdbcSink.applyViewDeltas(
+                changed.select(col("doc_id").as(idF),
+                  lit("upsert").as("action"), col("cluster_id"),
+                  col("is_canonical").cast("int").as("is_canonical"))
+                  .unionByName(dropped.select(col("doc_id").as(idF),
+                    lit("delete").as("action"),
+                    lit(null).cast("long").as("cluster_id"),
+                    lit(null).cast("int").as("is_canonical"))),
+                url, tbl, Seq(idF))
+            case es: EsTarget =>
+              // deletes first, then upserts (ViewPipeline's contract)
+              val cfg = es.config(idF)
+              graft.sinks.EsSink.delete(
+                dropped.select(col("doc_id").as(idF)), cfg, esTransport)
+              graft.sinks.EsSink.upsert(
+                changed.select(col("doc_id").as(idF), col("cluster_id"),
+                  col("is_canonical").cast("int").as("is_canonical")),
+                cfg, esTransport)
+              ()
+          }
           // bounded log: fold-to-batchId−1 (exactly support0/labels0)
           // becomes the next base generation; folded-in dirs pruned
           if (StateLog.logBatchCount(supportBase) > compactEvery)
@@ -255,30 +268,41 @@ final case class DedupClusterPipeline(
     * (durable checkpoints at every stage — [[ViewPipeline.runOnce]]'s
     * contract).
     */
-  def runOnce(spark: SparkSession, feedDir: String, workRoot: String): Unit = {
+  def runOnce(spark: SparkSession, feedDir: String, workRoot: String,
+      esTransport: graft.sinks.EsSink.Transport =
+        new graft.sinks.EsSink.HttpTransport): Unit = {
     Files.createDirectories(Paths.get(docLogDir(workRoot)))
     Files.createDirectories(Paths.get(pairLogDir(workRoot)))
     docLogQuery(spark, feedDir, workRoot, Trigger.AvailableNow())
       .awaitTermination()
     pairLogQuery(spark, workRoot, Trigger.AvailableNow()).awaitTermination()
-    clusterQuery(spark, workRoot, Trigger.AvailableNow()).awaitTermination()
+    clusterQuery(spark, workRoot, Trigger.AvailableNow(), esTransport)
+      .awaitTermination()
   }
 
   /** Live deployment: all three stages on a processing-time trigger. */
   def start(spark: SparkSession, feedDir: String, workRoot: String,
-      interval: String = "500 milliseconds"): Seq[StreamingQuery] = {
+      interval: String = "500 milliseconds",
+      esTransport: graft.sinks.EsSink.Transport =
+        new graft.sinks.EsSink.HttpTransport): Seq[StreamingQuery] = {
     val t = Trigger.ProcessingTime(interval)
     Files.createDirectories(Paths.get(docLogDir(workRoot)))
     Files.createDirectories(Paths.get(pairLogDir(workRoot)))
     Seq(docLogQuery(spark, feedDir, workRoot, t),
       pairLogQuery(spark, workRoot, t),
-      clusterQuery(spark, workRoot, t))
+      clusterQuery(spark, workRoot, t, esTransport))
   }
 
-  /** The served clusters read back (tests / operational visibility). */
-  def servedClusters(spark: SparkSession): DataFrame =
-    spark.read.jdbc(jdbcUrl, clustersTable, new java.util.Properties())
-      .select(col(idField).cast("long").as("doc_id"),
-        col("cluster_id").cast("long").as("cluster_id"),
-        (col("is_canonical") === 1).as("is_canonical"))
+  /** The served clusters read back (JDBC targets — tests / operational
+    * visibility; an ES target's documents live in the index).
+    */
+  def servedClusters(spark: SparkSession): DataFrame = target match {
+    case JdbcTarget(url, tbl, _) =>
+      spark.read.jdbc(url, tbl, new java.util.Properties())
+        .select(col(idField).cast("long").as("doc_id"),
+          col("cluster_id").cast("long").as("cluster_id"),
+          (col("is_canonical") === 1).as("is_canonical"))
+    case _ => throw new IllegalStateException(
+      s"dedup pipeline $name serves to Elasticsearch — read the index")
+  }
 }

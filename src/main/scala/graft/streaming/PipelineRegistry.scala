@@ -252,6 +252,9 @@ object PipelineRegistry {
     *     "jdbc": { "url": "jdbc:derby:...", "clustersTable": "clusters" },
     *     "shingleN": 3, "bands": 16, "rows": 4, "maxBucket": 256 }
     * }}}
+    * The sink half is a [[ViewTarget]] like view confs: `"jdbc"` as
+    * above, or `"es"` (`{ "url", "username", "password" }`) for
+    * id-keyed cluster documents.
     */
   def loadDedup(dir: String): Seq[DedupEntry] = {
     val mapper = new ObjectMapper()
@@ -260,12 +263,24 @@ object PipelineRegistry {
       if (kindOf(f, node) != "dedup") None
       else {
         require(node.hasNonNull("name") && node.hasNonNull("table")
-            && node.hasNonNull("idKey") && node.hasNonNull("textField")
-            && node.hasNonNull("jdbc"),
-          s"${f.getName}: dedup confs need name, table, idKey, textField and jdbc")
-        val jdbc = node.get("jdbc")
-        require(jdbc.hasNonNull("url") && jdbc.hasNonNull("clustersTable"),
-          s"${f.getName}: jdbc needs url and clustersTable")
+            && node.hasNonNull("idKey") && node.hasNonNull("textField"),
+          s"${f.getName}: dedup confs need name, table, idKey and textField")
+        val tgt: ViewTarget =
+          if (node.hasNonNull("jdbc")) {
+            val jdbc = node.get("jdbc")
+            require(jdbc.hasNonNull("url") && jdbc.hasNonNull("clustersTable"),
+              s"${f.getName}: jdbc needs url and clustersTable")
+            JdbcTarget(jdbc.get("url").asText(),
+              jdbc.get("clustersTable").asText())
+          } else {
+            require(node.hasNonNull("es"),
+              s"${f.getName}: dedup confs need a jdbc or es target")
+            val es = node.get("es")
+            require(es.hasNonNull("url"), s"${f.getName}: es needs url")
+            EsTarget(es.get("url").asText(),
+              if (es.hasNonNull("username")) es.get("username").asText() else "",
+              if (es.hasNonNull("password")) es.get("password").asText() else "")
+          }
         def int(field: String, dflt: Int): Int =
           if (node.hasNonNull(field)) node.get(field).asInt() else dflt
         val dbs =
@@ -278,8 +293,7 @@ object PipelineRegistry {
           table = node.get("table").asText(),
           idField = node.get("idKey").asText(),
           textField = node.get("textField").asText(),
-          jdbcUrl = jdbc.get("url").asText(),
-          clustersTable = jdbc.get("clustersTable").asText(),
+          target = tgt,
           shingleN = int("shingleN", 3), bands = int("bands", 16),
           rows = int("rows", 4), maxBucket = int("maxBucket", Int.MaxValue))
         Some(DedupEntry(pipeline, f.getAbsolutePath, f.lastModified()))

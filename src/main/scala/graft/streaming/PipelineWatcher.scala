@@ -94,7 +94,7 @@ final class PipelineWatcher(
 
   private def startDedup(e: PipelineRegistry.DedupEntry): Seq[StreamingQuery] = {
     val qs = e.pipeline.start(spark, sourceDir, workDir(e.file),
-      interval = viewTriggerInterval)
+      interval = viewTriggerInterval, esTransport = transport)
     dedupEntries(e.file) = e
     dedupQueries(e.file) = qs
     qs

@@ -43,7 +43,7 @@ class DedupClusterSpec extends SparkSpec {
     val pipeline = DedupClusterPipeline(
       name = "clu", databases = Set("shop"), table = "documents",
       idField = "doc_id", textField = "text",
-      jdbcUrl = url, clustersTable = "clusters", compactEvery = 1)
+      target = graft.streaming.JdbcTarget(url, "clusters"), compactEvery = 1)
 
     val feedDir = Files.createTempDirectory("graft_dedupclu_feed_").toFile
     val workRoot = Files.createTempDirectory("graft_dedupclu_work_").toString
@@ -91,6 +91,61 @@ class DedupClusterSpec extends SparkSpec {
       labelBase.toPath.resolve("CURRENT")).trim
     assert(cur.startsWith("gen_"),
       s"compaction must have published a base generation, got '$cur'")
+  }
+
+  test("ES target: cluster documents serve id-keyed; a dropout becomes a DELETE") {
+    val pipeline = DedupClusterPipeline(
+      name = "cluEs", databases = Set("shop"), table = "documents",
+      idField = "doc_id", textField = "text",
+      target = graft.streaming.EsTarget("http://es:9200/clusters", "u", "p"))
+    val feedDir = Files.createTempDirectory("graft_dedupes_feed_").toFile
+    val workRoot = Files.createTempDirectory("graft_dedupes_work_").toString
+    Files.write(new java.io.File(feedDir, "000.json").toPath, Seq(
+      wire(d(1, A), null, "c", 10, 1),
+      wire(d(2, A), null, "c", 10, 2)).asJava)
+    // the sink legally splits single vs /_bulk by partition layout —
+    // normalize both forms to (id → payload json or null-for-delete)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    def servedOps(): Map[String, Option[String]] =
+      SinkSpec.recorded.asScala.toSeq.flatMap { r =>
+        r.method match {
+          case "PUT" => Seq(r.url.split("/_doc/").last -> Some(r.body))
+          case "DELETE" => Seq(r.url.split("/_doc/").last -> None)
+          case "POST" if r.url.endsWith("/_bulk") =>
+            val lines = r.body.split("\n").filter(_.nonEmpty)
+            val out = scala.collection.mutable.ArrayBuffer
+              .empty[(String, Option[String])]
+            var i = 0
+            while (i < lines.length) {
+              val meta = om.readTree(lines(i))
+              if (meta.has("index")) {
+                out += (meta.get("index").get("_id").asText() ->
+                  Some(lines(i + 1))); i += 2
+              } else {
+                out += (meta.get("delete").get("_id").asText() -> None); i += 1
+              }
+            }
+            out.toSeq
+          case _ => Nil
+        }
+      }.toMap
+    SinkSpec.recorded.clear()
+    pipeline.runOnce(spark, feedDir.toString, workRoot, new SinkSpec.Recorder)
+    val ops0 = servedOps()
+    assert(ops0.keySet == Set("1", "2") && ops0.values.forall(_.isDefined),
+      s"both docs must upsert, got $ops0")
+    val doc = om.readTree(ops0("1").get)
+    assert(doc.get("cluster_id").asLong == 1L && doc.get("is_canonical").asInt == 1)
+
+    // doc 2 revised away from the cluster: both docs lose their only
+    // pair — served documents are DELETED by id
+    Files.write(new java.io.File(feedDir, "001.json").toPath, Seq(
+      wire(d(2, B), d(2, A), "u", 20, 3)).asJava)
+    SinkSpec.recorded.clear()
+    pipeline.runOnce(spark, feedDir.toString, workRoot, new SinkSpec.Recorder)
+    val ops1 = servedOps()
+    assert(ops1.keySet == Set("1", "2") && ops1.values.forall(_.isEmpty),
+      s"pairless docs must be deleted from the index, got $ops1")
   }
 
   test("conf-declared dedup pipeline: watcher add starts serving, delete stops and preserves state") {
