@@ -31,7 +31,7 @@ import java.nio.file.{Files, Paths}
   *
   * The ONLINE CERTIFICATE (when `certTable` is set): after each
   * applied micro-batch the pipeline probes the SERVING TABLE itself —
-  * the first `probeLimit` vectors' IVF top-k
+  * a hash-ordered sample of `probeLimit` served vectors' IVF top-k
   * ([[VectorSearch.knnIvfFromPostings]]) against exact cosine top-k
   * over the served corpus — and MERGEs one row (pipeline, batch_id,
   * recall, recall_ok) keyed by pipeline name. A serving store whose
@@ -45,7 +45,9 @@ import java.nio.file.{Files, Paths}
   * Serving schema: `postingsTable(idField BIGINT PK, cell INT,
   * emb_json VARCHAR)` — the vector rides along as JSON so the store
   * alone can answer top-k; `certTable(pipeline VARCHAR PK, batch_id
-  * BIGINT, recall DOUBLE, recall_ok INT, skew DOUBLE, drift_ok INT)`.
+  * BIGINT, recall DOUBLE, recall_ok INT, skew DOUBLE, drift_ok INT,
+  * probed INT)` — `probed` is the actual probe-set size, so a vacuous
+  * certificate (empty probe) is visible in the row itself.
   *
   * QUANTIZER GENERATIONS + RETRAIN-AND-SWAP: the coarse quantizer is
   * an index artifact whose geometry the churn can outgrow — sustained
@@ -56,12 +58,14 @@ import java.nio.file.{Files, Paths}
   * `cents` seeds gen_0, every batch reads whatever CURRENT names, the
   * certificate carries the drift signals (recall probe + cell-occupancy
   * skew = max/mean over live cells), and [[retrainAndSwap]] trains a
-  * fresh quantizer from the SERVED corpus, writes the next generation,
-  * repoints CURRENT, and re-MERGEs every served vector's cell — an
-  * offline index rebuild that leaves ids and vectors untouched, so the
-  * store never serves a half-swapped index (cells are re-keyed in one
-  * MERGE transaction and reads before the repoint still see a fully
-  * consistent old-generation assignment).
+  * fresh quantizer from the SERVED corpus, re-MERGEs every served
+  * vector's cell in one transaction, and only THEN writes the next
+  * generation and repoints CURRENT — an offline index rebuild that
+  * leaves ids and vectors untouched. A reader that follows CURRENT
+  * never pairs new centroids with old cell assignments; during the
+  * MERGE-to-repoint window it may pair old centroids with new cells,
+  * which degrades probe placement (recall) for that instant but never
+  * serves inconsistent data — ids and vectors are generation-invariant.
   */
 final case class AnnServingPipeline(
     name: String,
@@ -166,8 +170,17 @@ final case class AnnServingPipeline(
       c: Array[Array[Float]]): Unit =
     certTable.foreach { ct =>
       val served = servedPostings(spark).localCheckpoint(true)
-      val qv = served.filter(col("vec_id") < probeLimit)
+      // probe selection must not assume anything about the id DOMAIN:
+      // `vec_id < probeLimit` is vacuously empty under sparse/arbitrary
+      // key spaces and the certificate would pass without probing.
+      // Hash-order the served ids instead — a deterministic
+      // pseudo-random sample that exists whenever the store does — and
+      // record the probe COUNT in the certificate row so an empty probe
+      // is visible, never silent
+      val qv = served.orderBy(xxhash64(col("vec_id")), col("vec_id"))
+        .limit(probeLimit)
         .select(col("vec_id"), col("embedding"))
+        .localCheckpoint(true)
       val exact = VectorSearch.knnExact(qv, served
         .select(col("vec_id"), col("embedding")), k)
         .select(col("q_vec_id"), col("n_vec_id"))
@@ -190,9 +203,10 @@ final case class AnnServingPipeline(
       val row = spark.createDataFrame(java.util.List.of(
         org.apache.spark.sql.Row(name, batchId, recall,
           if (recall >= recallFloor) 1 else 0, skew,
-          if (skew <= skewBound) 1 else 0)),
+          if (skew <= skewBound) 1 else 0, qv.count().toInt)),
         StructType.fromDDL("pipeline STRING, batch_id BIGINT, " +
-          "recall DOUBLE, recall_ok INT, skew DOUBLE, drift_ok INT"))
+          "recall DOUBLE, recall_ok INT, skew DOUBLE, drift_ok INT, " +
+          "probed INT"))
         .withColumn("action", lit("upsert"))
       JdbcSink.applyViewDeltas(row, jdbcUrl, ct, Seq("pipeline"),
         stagingColumnTypes = "pipeline VARCHAR(64)")
@@ -226,13 +240,20 @@ final case class AnnServingPipeline(
     // keep serving under the current generation (bootstrap window)
     if (served.count() < n) return currentCents(workRoot)
     val fresh = VectorSearch.trainCentroids(corpus, n, iters, sampleMod = 0)
-    writeGeneration(workRoot, fresh)
+    // ORDER MATTERS: the re-keying MERGE commits BEFORE the generation
+    // pointer moves — an external reader following CURRENT must never
+    // pair new centroids with old cell assignments. In-pipeline reads
+    // only consult CURRENT between batches, so the ordering is free;
+    // the window where old-CURRENT points at new-cell assignments is
+    // harmless (assignments are re-derived from CURRENT on every read
+    // path that needs them, and the store's ids/vectors are unchanged)
     val flat = corpus.select(col("vec_id").as(idField),
       lit("upsert").as("action"),
       VectorSearch.nearestCell(col("embedding"), fresh).as("cell"),
       to_json(col("embedding")).as("emb_json"))
     JdbcSink.applyViewDeltas(flat, jdbcUrl, postingsTable, Seq(idField),
       stagingColumnTypes = "emb_json VARCHAR(32000)")
+    writeGeneration(workRoot, fresh)
     applyCertificate(spark, certificate(spark).map(_._1).getOrElse(0L), fresh)
     fresh
   }

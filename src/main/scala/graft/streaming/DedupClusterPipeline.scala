@@ -55,7 +55,8 @@ final case class DedupClusterPipeline(
     bands: Int = 16,
     rows: Int = 4,
     maxBucket: Int = Int.MaxValue,
-    compactEvery: Int = 32) {
+    compactEvery: Int = 32,
+    deadLetterDir: Option[String] = None) {
 
   private val rowSchema: StructType =
     StructType.fromDDL(s"$idField BIGINT, $textField STRING")
@@ -166,6 +167,8 @@ final case class DedupClusterPipeline(
         "id_a BIGINT, id_b BIGINT, delta INT, batch_id BIGINT"))
       .parquet(pairLogDir(workRoot))
     val idF = idField
+    val dlDir = deadLetterDir
+    val pipelineName = name
     val supportBase = s"$workRoot/state_support"
     val labelBase = s"$workRoot/state_labels"
     stream.writeStream
@@ -244,12 +247,20 @@ final case class DedupClusterPipeline(
             case es: EsTarget =>
               // deletes first, then upserts (ViewPipeline's contract)
               val cfg = es.config(idF)
-              graft.sinks.EsSink.delete(
+              val dlDeletes = graft.sinks.EsSink.delete(
                 dropped.select(col("doc_id").as(idF)), cfg, esTransport)
-              graft.sinks.EsSink.upsert(
+              val dlUpserts = graft.sinks.EsSink.upsert(
                 changed.select(col("doc_id").as(idF), col("cluster_id"),
                   col("is_canonical").cast("int").as("is_canonical")),
                 cfg, esTransport)
+              // S6: failures are data — undeliverable cluster rows
+              // (after the sink's retries) must not vanish while the
+              // checkpoint advances (ViewPipeline's contract)
+              dlDir.foreach { dir =>
+                val dead = dlDeletes.unionByName(dlUpserts)
+                  .withColumn("pipeline", lit(pipelineName))
+                if (!dead.isEmpty) dead.write.mode("append").parquet(dir)
+              }
               ()
           }
           // bounded log: fold-to-batchId−1 (exactly support0/labels0)

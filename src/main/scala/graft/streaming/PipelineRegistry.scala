@@ -65,14 +65,44 @@ object PipelineRegistry {
     k
   }
 
+  /** The conf file's CURRENT kind, read leniently: None when the file
+    * is gone, unparseable, or carries an unrecognized kind. The
+    * lifecycle scan path runs on this — a malformed conf dropped into
+    * the dir mid-run must quarantine itself, not abort the whole
+    * watcher cycle (boot keeps the fail-fast [[kindOf]]).
+    */
+  private def lenientKindOf(f: File): Option[String] =
+    scala.util.Try {
+      val node = new ObjectMapper().readTree(f)
+      if (node.hasNonNull("kind")) node.get("kind").asText() else "lww"
+    }.toOption.filter(Kinds)
+
+  /** Per-file strictness gate shared by every load flavor: at BOOT a
+    * malformed conf fails fast (register-at-boot, S3 — a typo must not
+    * make a production pipeline silently vanish); during a WATCHER scan
+    * (`strict = false`) the offending file is quarantined with a log
+    * line and the remaining confs keep their lifecycle — one bad file
+    * dropped into the dir mid-run must not stall reloads and removals
+    * for every healthy pipeline.
+    */
+  private def perFile[A](f: File, strict: Boolean)(build: => Option[A]): Option[A] =
+    if (strict) build
+    else
+      scala.util.Try(build).recover { case e =>
+        System.err.println(
+          s"[PipelineRegistry] quarantined ${f.getName}: ${e.getMessage}")
+        None
+      }.get
+
   /** Discover and build every single-table LWW pipeline defined in
     * `dir` (confs without a `kind`, or `"kind": "lww"`). Fails fast on
-    * a malformed conf (the reference's register-at-boot contract, S3).
+    * a malformed conf (the reference's register-at-boot contract, S3)
+    * unless `strict = false` (watcher scans — see [[perFile]]).
     * `"kind": "view"` confs are [[loadViews]]'s.
     */
-  def load(dir: String): Seq[Entry] = {
+  def load(dir: String, strict: Boolean = true): Seq[Entry] = {
     val mapper = new ObjectMapper()
-    confFiles(dir).flatMap { f =>
+    confFiles(dir).flatMap { f => perFile(f, strict) {
       val node = mapper.readTree(f)
       if (kindOf(f, node) != "lww") None
       else {
@@ -89,7 +119,7 @@ object PipelineRegistry {
           idKey = node.get("idKey").asText())
         Some(Entry(pipeline, f.getAbsolutePath, f.lastModified()))
       }
-    }
+    }}
   }
 
   final case class ViewEntry(pipeline: ViewPipeline, file: String, mtime: Long)
@@ -115,9 +145,9 @@ object PipelineRegistry {
     * key on the conf file, and the work dir a runner derives from the
     * conf file name ([[ckptKey]]) preserves checkpoints across restarts.
     */
-  def loadViews(dir: String): Seq[ViewEntry] = {
+  def loadViews(dir: String, strict: Boolean = true): Seq[ViewEntry] = {
     val mapper = new ObjectMapper()
-    confFiles(dir).flatMap { f =>
+    confFiles(dir).flatMap { f => perFile(f, strict) {
       val node = mapper.readTree(f)
       if (kindOf(f, node) != "view") None
       else {
@@ -169,7 +199,7 @@ object PipelineRegistry {
               Some(node.get("deadLetterDir").asText()) else None)
         Some(ViewEntry(pipeline, f.getAbsolutePath, f.lastModified()))
       }
-    }
+    }}
   }
 
   final case class AnnEntry(pipeline: AnnServingPipeline, file: String,
@@ -192,9 +222,9 @@ object PipelineRegistry {
     * it through the generation pointer without touching the conf.
     * Same lifecycle keys as the other kinds (conf file + [[ckptKey]]).
     */
-  def loadAnn(dir: String): Seq[AnnEntry] = {
+  def loadAnn(dir: String, strict: Boolean = true): Seq[AnnEntry] = {
     val mapper = new ObjectMapper()
-    confFiles(dir).flatMap { f =>
+    confFiles(dir).flatMap { f => perFile(f, strict) {
       val node = mapper.readTree(f)
       if (kindOf(f, node) != "ann") None
       else {
@@ -236,7 +266,7 @@ object PipelineRegistry {
             && node.get("autoRetrain").asBoolean())
         Some(AnnEntry(pipeline, f.getAbsolutePath, f.lastModified()))
       }
-    }
+    }}
   }
 
   final case class DedupEntry(pipeline: DedupClusterPipeline, file: String,
@@ -256,9 +286,9 @@ object PipelineRegistry {
     * above, or `"es"` (`{ "url", "username", "password" }`) for
     * id-keyed cluster documents.
     */
-  def loadDedup(dir: String): Seq[DedupEntry] = {
+  def loadDedup(dir: String, strict: Boolean = true): Seq[DedupEntry] = {
     val mapper = new ObjectMapper()
-    confFiles(dir).flatMap { f =>
+    confFiles(dir).flatMap { f => perFile(f, strict) {
       val node = mapper.readTree(f)
       if (kindOf(f, node) != "dedup") None
       else {
@@ -295,10 +325,13 @@ object PipelineRegistry {
           textField = node.get("textField").asText(),
           target = tgt,
           shingleN = int("shingleN", 3), bands = int("bands", 16),
-          rows = int("rows", 4), maxBucket = int("maxBucket", Int.MaxValue))
+          rows = int("rows", 4), maxBucket = int("maxBucket", Int.MaxValue),
+          deadLetterDir =
+            if (node.hasNonNull("deadLetterDir"))
+              Some(node.get("deadLetterDir").asText()) else None)
         Some(DedupEntry(pipeline, f.getAbsolutePath, f.lastModified()))
       }
-    }
+    }}
   }
 
   /** [[changedSince]] for the dedup-pipeline lifecycle. */
@@ -306,20 +339,16 @@ object PipelineRegistry {
     changedOfKind(known.map(e => e.file -> e.mtime).toMap, dir, "dedup")
 
   /** [[removedSince]] for the dedup-pipeline lifecycle. */
-  def removedDedupSince(known: Seq[DedupEntry], dir: String): Seq[String] = {
-    val live = confFiles(dir).map(_.getAbsolutePath).toSet
-    known.map(_.file).filterNot(live)
-  }
+  def removedDedupSince(known: Seq[DedupEntry], dir: String): Seq[String] =
+    removedOfKind(known.map(_.file), "dedup")
 
   /** [[changedSince]] for the ann-pipeline lifecycle. */
   def changedAnnSince(known: Seq[AnnEntry], dir: String): Seq[String] =
     changedOfKind(known.map(e => e.file -> e.mtime).toMap, dir, "ann")
 
   /** [[removedSince]] for the ann-pipeline lifecycle. */
-  def removedAnnSince(known: Seq[AnnEntry], dir: String): Seq[String] = {
-    val live = confFiles(dir).map(_.getAbsolutePath).toSet
-    known.map(_.file).filterNot(live)
-  }
+  def removedAnnSince(known: Seq[AnnEntry], dir: String): Seq[String] =
+    removedOfKind(known.map(_.file), "ann")
 
   /** Run every registered view pipeline once over the feed's current
     * contents — each under its own conf-file-keyed work dir (the same
@@ -335,10 +364,25 @@ object PipelineRegistry {
         esTransport)
     }
 
-  private def confFilesOfKind(dir: String, kind: String): Seq[File] = {
-    val mapper = new ObjectMapper()
-    confFiles(dir).filter(f => kindOf(f, mapper.readTree(f)) == kind)
-  }
+  private def confFilesOfKind(dir: String, kind: String): Seq[File] =
+    // lenient: a file that cannot be parsed (or carries an unknown
+    // kind) matches NO kind — it is quarantined from every scan rather
+    // than aborting the watcher's whole cycle
+    confFiles(dir).filter(f => lenientKindOf(f).contains(kind))
+
+  /** Known conf files that left this lifecycle: deleted from the dir,
+    * OR still present but now carrying a DIFFERENT recognized kind — an
+    * edited `"kind"` field re-homes the file, and the old-kind queries
+    * must stop (otherwise they keep running untracked while the
+    * new-kind pipeline starts against the same work dir). A file whose
+    * kind is currently unreadable is NOT removed — quarantine keeps the
+    * running pipeline on its last good conf.
+    */
+  private def removedOfKind(knownFiles: Seq[String], kind: String): Seq[String] =
+    knownFiles.filter { path =>
+      val f = new File(path)
+      !f.exists() || lenientKindOf(f).exists(_ != kind)
+    }
 
   private def changedOfKind(knownFiles: Map[String, Long], dir: String,
       kind: String): Seq[String] =
@@ -363,21 +407,18 @@ object PipelineRegistry {
   def changedViewsSince(known: Seq[ViewEntry], dir: String): Seq[String] =
     changedOfKind(known.map(e => e.file -> e.mtime).toMap, dir, "view")
 
-  /** Known conf files that no longer exist — the pipelines whose
-    * queries must be STOPPED (deregistration, the delete half of the
-    * reference's script-watcher lifecycle). Removal needs no kind
-    * filter: `known` already carries only this lifecycle's files.
+  /** Known conf files that left the LWW lifecycle — deleted, or
+    * re-homed to another kind by an edited `"kind"` field
+    * ([[removedOfKind]]): the pipelines whose queries must be STOPPED
+    * (deregistration, the delete half of the reference's script-watcher
+    * lifecycle).
     */
-  def removedSince(known: Seq[Entry], dir: String): Seq[String] = {
-    val live = confFiles(dir).map(_.getAbsolutePath).toSet
-    known.map(_.file).filterNot(live)
-  }
+  def removedSince(known: Seq[Entry], dir: String): Seq[String] =
+    removedOfKind(known.map(_.file), "lww")
 
   /** [[removedSince]] for the view-pipeline lifecycle. */
-  def removedViewsSince(known: Seq[ViewEntry], dir: String): Seq[String] = {
-    val live = confFiles(dir).map(_.getAbsolutePath).toSet
-    known.map(_.file).filterNot(live)
-  }
+  def removedViewsSince(known: Seq[ViewEntry], dir: String): Seq[String] =
+    removedOfKind(known.map(_.file), "view")
 
   /** Start every registered pipeline over one shared feed — the
     * reference's fan-out topology (R11): each query gets its own

@@ -120,6 +120,10 @@ final class PipelineWatcher(
     * this on a timer.
     */
   def pollOnce(): Seq[String] = synchronized {
+    // ALL removals first — including files whose edited `kind` re-homed
+    // them to another lifecycle (removedOfKind): the old-kind queries
+    // must be stopped before the new-kind scan below starts the file's
+    // new pipeline against the same work dir
     PipelineRegistry.removedSince(entries.values.toSeq, confDir).foreach { f =>
       queries.remove(f).foreach(q => if (q.isActive) q.stop())
       entries.remove(f)
@@ -129,11 +133,22 @@ final class PipelineWatcher(
         viewQueries.remove(f).foreach(_.foreach(q => if (q.isActive) q.stop()))
         viewEntries.remove(f)
       }
+    PipelineRegistry.removedAnnSince(annEntries.values.toSeq, confDir)
+      .foreach { f =>
+        annQueries.remove(f).foreach(_.foreach(q => if (q.isActive) q.stop()))
+        annEntries.remove(f)
+      }
+    PipelineRegistry.removedDedupSince(dedupEntries.values.toSeq, confDir)
+      .foreach { f =>
+        dedupQueries.remove(f).foreach(_.foreach(q => if (q.isActive) q.stop()))
+        dedupEntries.remove(f)
+      }
     val changed =
       PipelineRegistry.changedSince(entries.values.toSeq, confDir).toSet
     val restartedLww =
       if (changed.isEmpty) Seq.empty
-      else PipelineRegistry.load(confDir).filter(e => changed(e.file)).map { e =>
+      else PipelineRegistry.load(confDir, strict = false)
+        .filter(e => changed(e.file)).map { e =>
         queries.get(e.file).foreach(q => if (q.isActive) q.stop())
         startLww(e)
         e.pipeline.name
@@ -142,39 +157,29 @@ final class PipelineWatcher(
       PipelineRegistry.changedViewsSince(viewEntries.values.toSeq, confDir).toSet
     val restartedViews =
       if (changedViews.isEmpty) Seq.empty
-      else PipelineRegistry.loadViews(confDir)
+      else PipelineRegistry.loadViews(confDir, strict = false)
         .filter(e => changedViews(e.file)).map { e =>
           viewQueries.get(e.file)
             .foreach(_.foreach(q => if (q.isActive) q.stop()))
           startView(e)
           e.pipeline.name
         }
-    PipelineRegistry.removedAnnSince(annEntries.values.toSeq, confDir)
-      .foreach { f =>
-        annQueries.remove(f).foreach(_.foreach(q => if (q.isActive) q.stop()))
-        annEntries.remove(f)
-      }
     val changedAnn =
       PipelineRegistry.changedAnnSince(annEntries.values.toSeq, confDir).toSet
     val restartedAnn =
       if (changedAnn.isEmpty) Seq.empty
-      else PipelineRegistry.loadAnn(confDir)
+      else PipelineRegistry.loadAnn(confDir, strict = false)
         .filter(e => changedAnn(e.file)).map { e =>
           annQueries.get(e.file)
             .foreach(_.foreach(q => if (q.isActive) q.stop()))
           startAnn(e)
           e.pipeline.name
         }
-    PipelineRegistry.removedDedupSince(dedupEntries.values.toSeq, confDir)
-      .foreach { f =>
-        dedupQueries.remove(f).foreach(_.foreach(q => if (q.isActive) q.stop()))
-        dedupEntries.remove(f)
-      }
     val changedDedup =
       PipelineRegistry.changedDedupSince(dedupEntries.values.toSeq, confDir).toSet
     val restartedDedup =
       if (changedDedup.isEmpty) Seq.empty
-      else PipelineRegistry.loadDedup(confDir)
+      else PipelineRegistry.loadDedup(confDir, strict = false)
         .filter(e => changedDedup(e.file)).map { e =>
           dedupQueries.get(e.file)
             .foreach(_.foreach(q => if (q.isActive) q.stop()))

@@ -56,7 +56,7 @@ class AnnServingSpec extends SparkSpec {
     c0.createStatement().execute(
       """CREATE TABLE ann_cert ("pipeline" VARCHAR(64) NOT NULL PRIMARY KEY,
         | "batch_id" BIGINT, "recall" DOUBLE, "recall_ok" INTEGER,
-        | "skew" DOUBLE, "drift_ok" INTEGER)"""
+        | "skew" DOUBLE, "drift_ok" INTEGER, "probed" INTEGER)"""
         .stripMargin.replace("\n", ""))
     c0.close()
 
@@ -118,6 +118,43 @@ class AnnServingSpec extends SparkSpec {
     assert(pipeline.servedPostings(spark).collect().length == 5)
   }
 
+  test("certificate probe is id-domain independent: sparse ids still probe, and the probe count is recorded") {
+    val url = "jdbc:derby:memory:graftannsparse;create=true"
+    val c0 = java.sql.DriverManager.getConnection(url)
+    c0.createStatement().execute(
+      """CREATE TABLE postings5 ("vec_id" BIGINT NOT NULL PRIMARY KEY,
+        | "cell" INTEGER, "emb_json" VARCHAR(32000))""".stripMargin.replace("\n", ""))
+    c0.createStatement().execute(
+      """CREATE TABLE ann_cert5 ("pipeline" VARCHAR(64) NOT NULL PRIMARY KEY,
+        | "batch_id" BIGINT, "recall" DOUBLE, "recall_ok" INTEGER,
+        | "skew" DOUBLE, "drift_ok" INTEGER, "probed" INTEGER)"""
+        .stripMargin.replace("\n", ""))
+    c0.close()
+    // ids live FAR above probeLimit — an id-value probe (`vec_id <
+    // probeLimit`) would be vacuously empty and the certificate would
+    // pass without probing anything
+    val pipeline = AnnServingPipeline(
+      name = "annSparse", databases = Set("shop"), table = "embeddings",
+      idField = "vec_id", vectorField = "embedding", cents = cents,
+      jdbcUrl = url, postingsTable = "postings5",
+      certTable = Some("ann_cert5"), k = 2, nProbe = 2)
+    val feedDir = Files.createTempDirectory("graft_annsp_feed_").toFile
+    val workRoot = Files.createTempDirectory("graft_annsp_work_").toString
+    val wave = Seq(
+      (7000001L, 1.0, 0.1), (7000002L, 0.95, -0.05),
+      (7000003L, -1.0, 0.05), (7000004L, 0.1, 1.0))
+    Files.write(new java.io.File(feedDir, "000.json").toPath,
+      wave.zipWithIndex.map { case ((id, x, y), i) =>
+        wire(v(id, x, y), null, "c", 10, i + 1)
+      }.asJava)
+    pipeline.runOnce(spark, feedDir.toString, workRoot)
+    val cert = spark.read.jdbc(url, "ann_cert5", new java.util.Properties())
+      .collect().map(r => (r.getInt(r.fieldIndex("probed")),
+        r.getInt(r.fieldIndex("recall_ok"))))
+    assert(cert.length == 1 && cert.head._1 == 4 && cert.head._2 == 1,
+      s"all 4 sparse-id vectors must actually be probed, got ${cert.toSeq}")
+  }
+
   test("quantizer drift trips the certificate; retrain-and-swap restores the recall SLO") {
     val url = "jdbc:derby:memory:graftanndrift;create=true"
     val c0 = java.sql.DriverManager.getConnection(url)
@@ -127,7 +164,7 @@ class AnnServingSpec extends SparkSpec {
     c0.createStatement().execute(
       """CREATE TABLE ann_cert2 ("pipeline" VARCHAR(64) NOT NULL PRIMARY KEY,
         | "batch_id" BIGINT, "recall" DOUBLE, "recall_ok" INTEGER,
-        | "skew" DOUBLE, "drift_ok" INTEGER)"""
+        | "skew" DOUBLE, "drift_ok" INTEGER, "probed" INTEGER)"""
         .stripMargin.replace("\n", ""))
     c0.close()
 
@@ -185,7 +222,7 @@ class AnnServingSpec extends SparkSpec {
     c0.createStatement().execute(
       """CREATE TABLE ann_cert4 ("pipeline" VARCHAR(64) NOT NULL PRIMARY KEY,
         | "batch_id" BIGINT, "recall" DOUBLE, "recall_ok" INTEGER,
-        | "skew" DOUBLE, "drift_ok" INTEGER)"""
+        | "skew" DOUBLE, "drift_ok" INTEGER, "probed" INTEGER)"""
         .stripMargin.replace("\n", ""))
     c0.close()
 

@@ -148,6 +148,32 @@ class DedupClusterSpec extends SparkSpec {
       s"pairless docs must be deleted from the index, got $ops1")
   }
 
+  test("ES target dead-letters undeliverable cluster rows while the checkpoint advances (S6)") {
+    val dlRoot = Files.createTempDirectory("graft_dedup_dl_").toString
+    val dlDir = s"$dlRoot/dead"
+    val pipeline = DedupClusterPipeline(
+      name = "cluDl", databases = Set("shop"), table = "documents",
+      idField = "doc_id", textField = "text",
+      target = graft.streaming.EsTarget("http://es:9200/clusters", "u", "p"),
+      deadLetterDir = Some(dlDir))
+    val feedDir = Files.createTempDirectory("graft_dedupdl_feed_").toFile
+    val workRoot = Files.createTempDirectory("graft_dedupdl_work_").toString
+    Files.write(new java.io.File(feedDir, "000.json").toPath, Seq(
+      wire(d(1, A), null, "c", 10, 1),
+      wire(d(2, A), null, "c", 10, 2)).asJava)
+    // every send is a permanent 4xx → both upserts dead-letter instead
+    // of silently vanishing while the cluster checkpoint advances
+    SinkSpec.recorded.clear()
+    SinkSpec.scriptCalls.set(0)
+    SinkSpec.script = Seq(400)
+    pipeline.runOnce(spark, feedDir.toString, workRoot, new SinkSpec.Scripted)
+    val dead = spark.read.parquet(dlDir).collect()
+    assert(dead.nonEmpty, "undeliverable rows must land in the dead-letter dir")
+    val deadIds = dead.map(r => r.getString(r.fieldIndex("id"))).toSet
+    assert(deadIds == Set("1", "2"), s"both cluster rows dead-letter, got $deadIds")
+    assert(dead.forall(_.getString(dead.head.fieldIndex("pipeline")) == "cluDl"))
+  }
+
   test("conf-declared dedup pipeline: watcher add starts serving, delete stops and preserves state") {
     import graft.streaming.{PipelineRegistry, PipelineWatcher}
     val url = "jdbc:derby:memory:graftdedupconf;create=true"

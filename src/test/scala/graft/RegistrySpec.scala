@@ -59,6 +59,48 @@ class RegistrySpec extends SparkSpec {
     assert(changed.toSet == Set(f1.getAbsolutePath, f2.getAbsolutePath))
   }
 
+  test("scan quarantine: a malformed conf mid-run stalls nothing; boot stays fail-fast; an edited kind re-homes the file") {
+    val confDir = Files.createTempDirectory("graft_conf_q_").toFile
+    val good = new java.io.File(confDir, "good.json")
+    Files.write(good.toPath, Seq(
+      """{"name":"g","databases":[],"tables":[],"idKey":"id","schema":"id BIGINT"}""").asJava)
+    val entries = PipelineRegistry.load(confDir.toString)
+    assert(entries.size == 1)
+
+    // a typo'd kind dropped into the dir mid-run: BOOT load fails fast
+    // (register-at-boot, S3)...
+    val bad = new java.io.File(confDir, "bad.json")
+    Files.write(bad.toPath, Seq("""{"kind":"veiw","name":"b"}""").asJava)
+    intercept[IllegalArgumentException](PipelineRegistry.load(confDir.toString))
+    // ...but watcher SCANS quarantine it: lenient load skips it, and the
+    // healthy pipeline's lifecycle keeps working (no abort, no restart,
+    // no phantom removal)
+    assert(PipelineRegistry.load(confDir.toString, strict = false)
+      .map(_.pipeline.name) == Seq("g"))
+    assert(PipelineRegistry.changedSince(entries, confDir.toString).isEmpty)
+    assert(PipelineRegistry.removedSince(entries, confDir.toString).isEmpty)
+
+    // unreadable JSON on a KNOWN conf likewise quarantines: the running
+    // pipeline keeps its last good conf — neither removed nor restarted
+    val before = good.lastModified()
+    Files.write(good.toPath, Seq("""{not json""").asJava)
+    good.setLastModified(before) // mtime-neutral: isolate the parse path
+    assert(PipelineRegistry.changedSince(entries, confDir.toString).isEmpty)
+    assert(PipelineRegistry.removedSince(entries, confDir.toString).isEmpty)
+
+    // an edited `kind` RE-HOMES the conf: it leaves the lww lifecycle
+    // (old queries must stop — the leak this guards against) and joins
+    // the dedup one as a new file
+    Files.write(good.toPath, Seq(
+      """{"kind":"dedup","name":"g","table":"documents","idKey":"doc_id",
+        |"textField":"text","jdbc":{"url":"u","clustersTable":"t"}}"""
+        .stripMargin.replace("\n", "")).asJava)
+    assert(PipelineRegistry.removedSince(entries, confDir.toString)
+      == Seq(good.getAbsolutePath))
+    assert(PipelineRegistry.changedDedupSince(Seq.empty, confDir.toString)
+      == Seq(good.getAbsolutePath))
+  }
+
   test("PipelineWatcher in-flight reload: conf change restarts from checkpoint, state equals uninterrupted run (S2)") {
     import graft.streaming.PipelineWatcher
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
