@@ -170,8 +170,10 @@ object DeltaLog {
             compactSigned(spark, _, _, "delta"))
         else if (Set("vec_id", "sgn", "cell", "emb").subsetOf(cols))
           compactLogWith(spark, fp.getPath)(compactPostings(spark, _, _))
-        // unknown shape (e.g. a view-delta log, whose consumers run
-        // materializeLatest): leave it whole rather than corrupt it
+        else if (Set("factId", "factJson", "dimJson").subsetOf(cols))
+          compactLogWith(spark, fp.getPath)(compactViewDeltas(spark, _, _))
+        // any remaining unknown shape: leave it whole rather than
+        // corrupt it
       }
     }
     gc(spark, retentionMs)
@@ -443,6 +445,30 @@ object DeltaLog {
       .agg(sum(col(signedCol)).cast("int").as(signedCol))
       .filter(col(signedCol) =!= 0)
       .select(log.columns.filterNot(_ == "batch_id").map(col): _*)
+      .write.mode("overwrite").parquet(s"$outDir/batch_id=0")
+  }
+
+  /** Compaction for VIEW-DELTA logs ([[IncrementalJoin.viewDeltaStream]]'s
+    * emitted shape: factId/action/factJson/dimJson/prevFactJson/
+    * prevDimJson, batch_id-partitioned): the keyed fold class is
+    * latest-per-factId ([[IncrementalJoin.materializeLatest]]), so the
+    * equivalent one-batch rewrite keeps one upsert per LIVE fact id
+    * with prevs nulled; ids whose last word is a delete vanish.
+    * Invariant consumers: materializeLatest (by construction) and the
+    * ± contributions fold ([[IncrementalJoin.contributions]]) — a key's
+    * historical ± pairs telescope away exactly as in the LWW [[compact]]
+    * case, leaving the live rows' net, which is what the nulled-prev
+    * one-batch form states directly. This closes the one fold class
+    * [[maintain]] previously had to leave whole, so long-lived view
+    * logs now cost O(live keys), not O(history), to fold.
+    */
+  def compactViewDeltas(spark: SparkSession, logDir: String,
+      outDir: String): Unit = {
+    clearTarget(spark, outDir)
+    IncrementalJoin.materializeLatest(spark.read.parquet(logDir))
+      .select(col("factId"), col("action"), col("factJson"), col("dimJson"),
+        lit(null).cast("string").as("prevFactJson"),
+        lit(null).cast("string").as("prevDimJson"))
       .write.mode("overwrite").parquet(s"$outDir/batch_id=0")
   }
 

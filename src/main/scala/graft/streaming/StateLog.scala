@@ -83,6 +83,15 @@ object StateLog {
   /** Number of log batches currently on disk (compaction trigger). */
   def logBatchCount(base: String): Int = logBatchDirs(base).size
 
+  /** Highest batch id currently in the log, or the base watermark when
+    * the log is empty — the `upTo` a drained-consumer compaction passes.
+    */
+  def maxBatchId(base: String): Long = {
+    val ids = logBatchDirs(base)
+      .map(_.getName.stripPrefix("batch_id=").toLong)
+    if (ids.isEmpty) pointer(base).upTo else ids.max
+  }
+
   /** Publish `folded` (the caller's fold of base + log up to and
     * INCLUDING `upTo`) as the next base generation, atomically repoint
     * CURRENT, and prune folded-in log dirs plus superseded generations.

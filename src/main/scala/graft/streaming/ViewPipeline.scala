@@ -35,6 +35,16 @@ import java.nio.file.{Files, Paths}
   * one micro-batch, and the log's batch_id gives the per-key
   * application order.
   *
+  * The per-table logs are [[StateLog]] bases: each micro-batch appends
+  * ONLY its churn under `log_<side>/log/batch_id=N`, the join stage
+  * streams that log dir, and [[compactSideLogs]] (run automatically at
+  * the end of a drained [[runOnce]]) folds history into a base
+  * generation and prunes the folded-in dirs — so per-batch write volume
+  * is O(churn), disk is O(live keys + recent churn), and a NEW consumer
+  * bootstraps from base + remaining log instead of replaying all
+  * history. [[tableState]] reads a side's current rows at the same
+  * O(live + churn) cost.
+  *
   * Serving shape: the JDBC table's columns are the fact schema's fields
   * followed by the dim schema's fields (names must not collide), keyed
   * by the fact id field — the reference's denormalized-document shape
@@ -53,17 +63,28 @@ final case class ViewPipeline(
     dimJoinField: String,
     leftOuter: Boolean,
     target: ViewTarget,
-    deadLetterDir: Option[String] = None) {
+    deadLetterDir: Option[String] = None,
+    compactEvery: Int = 32) {
 
   require(factSchema.fieldNames.toSet.intersect(dimSchema.fieldNames.toSet).isEmpty,
     s"view $name: fact and dim schemas share field names — the serving " +
       "table flattens both sides, so names must not collide")
 
-  private def logDir(workRoot: String, side: String) = s"$workRoot/log_$side"
+  /** A side's table-log STATE-LOG BASE ([[StateLog]] layout): micro-
+    * batches append under `<base>/log/batch_id=N` (O(churn) per batch),
+    * [[compactSideLogs]] folds history into `<base>/base/gen_k` and
+    * prunes folded-in dirs — the join stage streams only `<base>/log`.
+    */
+  private def logBase(workRoot: String, side: String) = s"$workRoot/log_$side"
+  private def logDir(workRoot: String, side: String) =
+    s"${logBase(workRoot, side)}/log"
   private def ckptDir(workRoot: String, stage: String) = s"$workRoot/ckpt_$stage"
 
   /** One LWW replay: feed → routed/filtered keyed events → per-key
-    * deltas → batch_id-partitioned log, on the given trigger.
+    * deltas → batch_id-partitioned state-log append, on the given
+    * trigger. Each micro-batch writes ONLY its churn
+    * ([[StateLog.appendBatch]] — overwrite per batch dir, so checkpoint
+    * replay is idempotent); history never rewrites.
     */
   private def logQuery(spark: SparkSession, feedDir: String, workRoot: String,
       side: String, table: String, schema: StructType, idField: String,
@@ -71,15 +92,14 @@ final case class ViewPipeline(
     val deltas = DeltaLog.deltaStream(spark, feedDir, table, schema,
       coalesce(col(s"after.$idField"), col(s"before.$idField")).cast("long"),
       databases)
-    val dir = logDir(workRoot, side)
+    val base = logBase(workRoot, side)
     deltas.writeStream
       .queryName(s"view_${name}_log_$side")
       .outputMode("append")
       .trigger(trigger)
       .option("checkpointLocation", ckptDir(workRoot, side))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.write.mode("overwrite").parquet(s"$dir/batch_id=$batchId")
-        ()
+        StateLog.appendBatch(batch, base, batchId)
       }
       .start()
   }
@@ -154,6 +174,65 @@ final case class ViewPipeline(
       .start()
   }
 
+  /** On-disk base-snapshot shape of a side's state log: one live
+    * upsert per key, prev nulled ([[ViewPipeline.LogSchema]] minus the
+    * batch_id partition column) — ALSO a valid one-delta-per-key
+    * bootstrap batch for a fresh join consumer.
+    */
+  private val SideStateSchema: StructType = StructType.fromDDL(
+    "key BIGINT, action STRING, rowJson STRING, prevJson STRING")
+
+  /** Latest-per-key LWW fold of one side's state log up to (excluding)
+    * `currentBatch`: base snapshot (stamped below every log batch) plus
+    * the visible log window — cost O(live keys + recent churn), never
+    * O(history). Live keys only (a key whose last word is a delete
+    * drops out), emitted in [[SideStateSchema]] shape.
+    */
+  private def foldSideState(spark: SparkSession, base: String,
+      currentBatch: Long): DataFrame = {
+    val b = StateLog.readBase(spark, base, SideStateSchema)
+      .withColumn("batch_id", lit(-1L))
+    val l = StateLog.readLog(spark, base, ViewPipeline.LogSchema, currentBatch)
+    b.unionByName(l)
+      .groupBy(col("key"))
+      .agg(max_by(struct(col("action"), col("rowJson")),
+        col("batch_id")).as("w"))
+      .filter(col("w.action") === "upsert")
+      .select(col("key"), lit("upsert").as("action"),
+        col("w.rowJson").as("rowJson"),
+        lit(null).cast("string").as("prevJson"))
+  }
+
+  /** One side's CURRENT table rows (key, rowJson) folded from base +
+    * log — the O(live + churn) serving-state read; `side` is "fact" or
+    * "dim".
+    */
+  def tableState(spark: SparkSession, workRoot: String,
+      side: String): DataFrame =
+    foldSideState(spark, logBase(workRoot, side), Long.MaxValue)
+      .select(col("key"), col("rowJson"))
+
+  /** Fold each side log's full on-disk history into a fresh base
+    * generation and prune the folded-in log dirs ([[StateLog.compact]])
+    * when the log has outgrown `compactEvery` batches. ONLY safe once
+    * the join stage has consumed every log batch: [[runOnce]] calls it
+    * after its drain completes; a live deployment calls it in a
+    * maintenance window with the pipeline's queries stopped or drained.
+    * The join's file-source checkpoint has already recorded the pruned
+    * files, so a resumed stream never misses data — and a NEW consumer
+    * bootstraps from the base (a valid one-delta-per-key batch) plus
+    * the remaining log instead of replaying all history.
+    */
+  def compactSideLogs(spark: SparkSession, workRoot: String): Unit =
+    Seq("fact", "dim").foreach { side =>
+      val base = logBase(workRoot, side)
+      if (StateLog.logBatchCount(base) > compactEvery) {
+        val upTo = StateLog.maxBatchId(base)
+        StateLog.compact(
+          foldSideState(spark, base, currentBatch = upTo + 1), base, upTo)
+      }
+    }
+
   /** Seed both log directories BEFORE any query starts. The join
     * stage's file streams read them with a STATIC schema
     * ([[ViewPipeline.LogSchema]]), so an empty-but-existing dir is a
@@ -184,6 +263,8 @@ final case class ViewPipeline(
       dimIdField, Trigger.AvailableNow()).awaitTermination()
     viewQuery(spark, workRoot, Trigger.AvailableNow(), esTransport)
       .awaitTermination()
+    // every log batch is now consumed — the drained-join precondition
+    compactSideLogs(spark, workRoot)
   }
 
   /** LIVE deployment: the same three stages as long-running queries on

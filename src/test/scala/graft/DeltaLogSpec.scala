@@ -2,6 +2,7 @@ package graft
 
 import graft.cdc.{DeltaLog, IncrementalAgg}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 
 /** Compaction equivalence: every fold class must see IDENTICAL results
@@ -147,20 +148,33 @@ class DeltaLogSpec extends SparkSpec {
       Seq((1L, 2L, -1), (1L, 3L, 1)).toDF("id_a", "id_b", "delta")
         .write.parquet(s"$pairBase/data/batch_id=1")
       Files.createFile(Paths.get(s"$pairBase/_GRAFT_DONE"))
-      // an unknown-shape log (view deltas): must be left untouched
+      // a VIEW-DELTA log: fact 10's update chain plus fact 11 whose
+      // last word is a delete — compaction must keep one prev-free
+      // upsert for 10 and drop 11 entirely
       val viewBase = s"$wh/viewdeltalog_t/beef"
-      Seq((10L, "upsert", "{}", "{}", null: String, null: String))
+      Seq((10L, "upsert", """{"v":1}""", "{}", null: String, null: String),
+          (11L, "upsert", """{"v":9}""", "{}", null: String, null: String))
         .toDF("factId", "action", "factJson", "dimJson",
           "prevFactJson", "prevDimJson")
         .write.parquet(s"$viewBase/data/batch_id=0")
-      Seq((10L, "delete", null: String, null: String, "{}", "{}"))
+      Seq((10L, "upsert", """{"v":2}""", "{}", """{"v":1}""", "{}"),
+          (11L, "delete", null: String, null: String, """{"v":9}""", "{}"))
         .toDF("factId", "action", "factJson", "dimJson",
           "prevFactJson", "prevDimJson")
         .write.parquet(s"$viewBase/data/batch_id=1")
       Files.createFile(Paths.get(s"$viewBase/_GRAFT_DONE"))
+      val viewBefore = graft.cdc.IncrementalJoin.materializeLatest(
+          spark.read.parquet(s"$viewBase/data"))
+        .select("factId", "factJson").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      // a genuinely UNKNOWN shape: must be left untouched
+      val oddBase = s"$wh/mysterylog_t/feed"
+      Seq((1L, "x")).toDF("a", "b").write.parquet(s"$oddBase/data/batch_id=0")
+      Seq((2L, "y")).toDF("a", "b").write.parquet(s"$oddBase/data/batch_id=1")
+      Files.createFile(Paths.get(s"$oddBase/_GRAFT_DONE"))
 
       // the old behavior applied the LWW latest-per-"key" compact to
-      // BOTH and died on the missing column, aborting the whole pass
+      // every log and died on the missing column, aborting the whole pass
       DeltaLog.maintain(spark, maxBatches = 1, retentionMs = Long.MaxValue)
 
       // the signed log compacted to net rows under a new generation
@@ -170,9 +184,19 @@ class DeltaLogSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       assert(folded == Set((1L, 2L, 1L), (1L, 3L, 1L)))
       assert(spark.read.parquet(DeltaLog.activeDataDir(pairBase)).count() == 2)
+      // the view-delta log compacted to one live prev-free upsert;
+      // materializeLatest is invariant across the rewrite
+      assert(Files.exists(Paths.get(s"$viewBase/CURRENT")))
+      val viewActive = spark.read.parquet(DeltaLog.activeDataDir(viewBase))
+      assert(viewActive.count() == 1, "live keys only after compaction")
+      assert(viewActive.filter(col("prevFactJson").isNotNull).count() == 0)
+      val viewAfter = graft.cdc.IncrementalJoin.materializeLatest(viewActive)
+        .select("factId", "factJson").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(viewAfter == viewBefore && viewAfter == Map(10L -> """{"v":2}"""))
       // the unknown-shape log was not compacted (no CURRENT pointer)
-      assert(!Files.exists(Paths.get(s"$viewBase/CURRENT")))
-      assert(spark.read.parquet(s"$viewBase/data").count() == 2)
+      assert(!Files.exists(Paths.get(s"$oddBase/CURRENT")))
+      assert(spark.read.parquet(s"$oddBase/data").count() == 2)
     } finally prev match {
       case Some(v) => spark.conf.set("spark.graft.warehouse", v)
       case None => spark.conf.unset("spark.graft.warehouse")

@@ -291,7 +291,7 @@ class RegistrySpec extends SparkSpec {
       // restart below must RESUME, not re-fold history into new batches
       val workDir = s"$ckptRoot/${PipelineRegistry.ckptKey(conf.getAbsolutePath)}"
       def factBatches(): Set[String] =
-        Option(new java.io.File(s"$workDir/log_fact").listFiles())
+        Option(new java.io.File(s"$workDir/log_fact/log").listFiles())
           .getOrElse(Array.empty).map(_.getName)
           .filter(_.startsWith("batch_id=")).toSet
       val batchesBeforeEdit = factBatches()

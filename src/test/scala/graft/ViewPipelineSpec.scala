@@ -237,6 +237,103 @@ class ViewPipelineSpec extends SparkSpec {
     assert(dels.map(_.url) == Seq("http://es:9200/enriched/_doc/10"))
   }
 
+  test("side logs ride StateLog: per-batch writes are churn-sized, compaction publishes a base and prunes history, serving stays correct") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def wire(table: String, after: String, before: String, op: String,
+        ts: Long, off: Long): String = {
+      val ev = s"""{"payload":{"before":${Option(before).getOrElse("null")},""" +
+        s""""after":${Option(after).getOrElse("null")},""" +
+        s""""source":{"db":"shop","table":"$table","ts_ms":$ts},"op":"$op","ts_ms":$ts}}"""
+      s"""{"value":${mapper.writeValueAsString(ev)},"offset":$off}"""
+    }
+    def o(okey: Long, cust: Long, total: Double) =
+      s"""{"o_orderkey":$okey,"o_custkey":$cust,"o_total":$total}"""
+    def c(cust: Long, name: String) =
+      s"""{"c_custkey":$cust,"c_name":"$name"}"""
+
+    val url = "jdbc:derby:memory:graftviewstatelog;create=true"
+    val c0 = java.sql.DriverManager.getConnection(url)
+    c0.createStatement().execute(
+      """CREATE TABLE enriched ("o_orderkey" BIGINT NOT NULL PRIMARY KEY,
+        | "o_custkey" BIGINT, "o_total" DOUBLE,
+        | "c_custkey" BIGINT, "c_name" VARCHAR(64))"""
+        .stripMargin.replace("\n", ""))
+    c0.close()
+
+    // compactEvery=1 forces base-generation compaction between waves so
+    // the post-compaction resume path is what wave 3 exercises
+    val pipeline = graft.streaming.ViewPipeline(
+      name = "slog", databases = Set("shop"),
+      factTable = "orders",
+      factSchema = org.apache.spark.sql.types.StructType.fromDDL(
+        "o_orderkey BIGINT, o_custkey BIGINT, o_total DOUBLE"),
+      factIdField = "o_orderkey", factJoinField = "o_custkey",
+      dimTable = "customer",
+      dimSchema = org.apache.spark.sql.types.StructType.fromDDL(
+        "c_custkey BIGINT, c_name STRING"),
+      dimIdField = "c_custkey", dimJoinField = "c_custkey",
+      leftOuter = false,
+      target = graft.streaming.JdbcTarget(url, "enriched",
+        Some("c_name VARCHAR(64)")),
+      compactEvery = 1)
+
+    val feedDir = Files.createTempDirectory("graft_viewslog_feed_").toFile
+    val workRoot = Files.createTempDirectory("graft_viewslog_work_").toString
+    def serving(): Map[Long, Double] =
+      spark.read.jdbc(url, "enriched", new java.util.Properties())
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val factBase = new java.io.File(s"$workRoot/log_fact")
+    def factBatchDirs(): Map[Long, java.io.File] =
+      Option(new java.io.File(factBase, "log").listFiles())
+        .getOrElse(Array.empty).filter(_.getName.startsWith("batch_id="))
+        .map(f => f.getName.stripPrefix("batch_id=").toLong -> f).toMap
+
+    // wave 0: the corpus — one customer, three orders
+    Files.write(new java.io.File(feedDir, "000.json").toPath, Seq(
+      wire("customer", c(1, "Alice"), null, "c", 10, 1),
+      wire("orders", o(10, 1, 5.0), null, "c", 10, 2),
+      wire("orders", o(11, 1, 7.0), null, "c", 10, 3),
+      wire("orders", o(12, 1, 9.0), null, "c", 10, 4)).asJava)
+    pipeline.runOnce(spark, feedDir.toString, workRoot)
+    assert(serving() == Map(10L -> 5.0, 11L -> 7.0, 12L -> 9.0))
+
+    // wave 1: one more order → the log now holds 2 batches > compactEvery
+    // → runOnce's closing compaction folds them into a base generation
+    // and PRUNES the folded-in dirs
+    Files.write(new java.io.File(feedDir, "001.json").toPath, Seq(
+      wire("orders", o(13, 1, 2.0), null, "c", 20, 5)).asJava)
+    pipeline.runOnce(spark, feedDir.toString, workRoot)
+    assert(serving() == Map(10L -> 5.0, 11L -> 7.0, 12L -> 9.0, 13L -> 2.0))
+    val cur = java.nio.file.Files.readString(
+      factBase.toPath.resolve("CURRENT")).trim.split("\\s+")
+    assert(cur(0).startsWith("gen_"),
+      s"compaction must publish a base generation, got ${cur.toSeq}")
+    assert(factBatchDirs().keySet.forall(_ > cur(1).toLong),
+      "folded-in log batch dirs must be pruned")
+    // the base holds exactly the LIVE fact rows (one upsert per key)
+    assert(spark.read.parquet(
+      s"$workRoot/log_fact/base/${cur(0)}").count() == 4)
+
+    // wave 2: churn of ONE row against a 4-row corpus — the appended
+    // log batch must be churn-sized, and history must not rewrite
+    Files.write(new java.io.File(feedDir, "002.json").toPath, Seq(
+      wire("orders", o(10, 1, 6.0), o(10, 1, 5.0), "u", 30, 6)).asJava)
+    pipeline.runOnce(spark, feedDir.toString, workRoot)
+    assert(serving() == Map(10L -> 6.0, 11L -> 7.0, 12L -> 9.0, 13L -> 2.0),
+      "post-compaction churn must flow through to serving")
+    val newDirs = factBatchDirs().filter(_._1 > cur(1).toLong)
+    assert(newDirs.size == 1, s"exactly the churn batch appended, got ${newDirs.keySet}")
+    assert(spark.read.parquet(newDirs.values.head.getPath).count() == 1,
+      "per-batch write volume is the churn (1 row), never the corpus")
+
+    // tableState folds base + churn log into the CURRENT side rows
+    val facts = pipeline.tableState(spark, workRoot, "fact").collect()
+      .map(r => r.getLong(0) ->
+        mapper.readTree(r.getString(1)).get("o_total").asDouble()).toMap
+    assert(facts == Map(10L -> 6.0, 11L -> 7.0, 12L -> 9.0, 13L -> 2.0),
+      s"tableState must fold base + log, got $facts")
+  }
+
   test("E2E: view pipeline serves a typed JDBC table and stays incremental across runs") {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     def wire(table: String, after: String, before: String, op: String,
@@ -300,7 +397,7 @@ class ViewPipelineSpec extends SparkSpec {
 
     // capture the first-run fact-log partition set: run 2 must append new
     // batch_id partitions, not rewrite history
-    val factLog = new java.io.File(s"$workRoot/${PipelineRegistry.ckptKey(views.head.file)}/log_fact")
+    val factLog = new java.io.File(s"$workRoot/${PipelineRegistry.ckptKey(views.head.file)}/log_fact/log")
     val batchesBefore = factLog.listFiles().map(_.getName)
       .filter(_.startsWith("batch_id=")).toSet
 
