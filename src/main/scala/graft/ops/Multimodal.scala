@@ -16,8 +16,13 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   * WAV (RIFF) chunks and MP4 (ISO-BMFF) boxes with ByteBuffer — plain
   * binary structs, no codec libraries — for duration / sample rate /
   * track count, against `synthesizeWav`/`synthesizeMp4` containers
-  * (q34). Only pixel/sample DECODE beyond headers (frame extraction,
-  * resampling) remains byte-domain stand-ins below, pending demux libs.
+  * (q34). Image PIXELS are decoded for real as well: `resizeImage` is
+  * a full decode → nearest-neighbor resample → PNG re-encode,
+  * `pixelStats`/`imageEmbeddings` aggregate decoded pixel values (the
+  * JDK's ImageIO decodes PNG/JPEG completely, not just headers). The
+  * only remaining stand-in surface is VIDEO access-unit decode past the
+  * container's sample table (`frameSample` slices real ranges; pixels
+  * would need a codec library absent from this environment).
   *
   * Decode runs via `mapPartitions` deliberately: real codecs amortize
   * per-partition init (native lib handles, thread-local buffers), which
@@ -640,28 +645,138 @@ object Multimodal {
 
   case class Resized(doc_id: Long, payload: Array[Byte])
 
-  /** Resize: deterministic byte-domain downscale (every `factor`-th
-    * byte) — STUB for an image resampler; binary-in/binary-out through
-    * the same per-partition batch shape real resamplers need.
+  /** REAL image resize: full pixel decode through the JDK's ImageIO,
+    * nearest-neighbor resample to (max(1, w·num/den), max(1, h·num/den))
+    * with the integer source mapping srcX = x·w/tw (floor) — chosen
+    * because it is DETERMINISTIC and externally restatable, so an
+    * oracle can recompute every output pixel from the synthesized
+    * input's formula — then re-encoded as PNG (lossless: the resized
+    * payload's pixels are exactly the sampled sources). Unrecognized
+    * or corrupt payloads degrade to an empty payload, never an
+    * exception.
     */
-  def resize(spark: SparkSession, withPayload: DataFrame, factor: Int): Dataset[Resized] = {
+  def resizeImage(payload: Array[Byte], num: Int, den: Int): Array[Byte] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException => null }
+    if (img == null) return Array.emptyByteArray
+    val w = img.getWidth
+    val h = img.getHeight
+    val tw = math.max(1, w * num / den)
+    val th = math.max(1, h * num / den)
+    val out = new java.awt.image.BufferedImage(
+      tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < th) {
+      var x = 0
+      while (x < tw) {
+        out.setRGB(x, y, img.getRGB(x * w / tw, y * h / th))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(out, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Per-partition REAL resize (decode → nearest-neighbor scale →
+    * re-encode): binary-in/binary-out through the per-partition batch
+    * shape real resamplers need (decoder init amortizes per partition).
+    */
+  def resize(spark: SparkSession, withPayload: DataFrame, num: Int,
+      den: Int): Dataset[Resized] = {
     import spark.implicits._
     withPayload.select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
-        Resized(id, bytes.zipWithIndex.collect {
-          case (b, i) if i % factor == 0 => b
-        })
+        Resized(id, resizeImage(bytes, num, den))
       })
   }
 
-  /** Feature extraction: deterministic pseudo-embedding from payload
-    * bytes (STUB for a vision encoder) — dim floats derived from
-    * xxhash64 of (payload, i). Output plugs straight into
-    * VectorSearch.knnIvf / nearDupPairs, closing the multimodal →
-    * similarity-search loop.
+  case class PixelStats(doc_id: Long, width: Int, height: Int, red_sum: Long)
+
+  /** Full-pixel decode statistics: dimensions plus the red-channel sum
+    * over every pixel — the aggregate an oracle can restate from the
+    * synthesized input's pixel formula, so a hash match certifies that
+    * a REAL decode (and, composed after [[resize]], a real
+    * decode→scale→re-encode) ran. Undecodable payloads degrade to
+    * (-1, -1, -1).
     */
-  def fakeEmbedding(payload: org.apache.spark.sql.Column, dim: Int = 16): org.apache.spark.sql.Column =
-    transform(sequence(lit(0), lit(dim - 1)),
-      i => (pmod(xxhash64(payload, i), lit(2000L)).cast("float") - 1000f) / 1000f)
+  def pixelStats(spark: SparkSession, withPayload: DataFrame): Dataset[PixelStats] = {
+    import spark.implicits._
+    withPayload.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          catch { case _: java.io.IOException => null }
+        if (img == null) PixelStats(id, -1, -1, -1L)
+        else {
+          var sum = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              sum += (img.getRGB(x, y) >> 16) & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          PixelStats(id, img.getWidth, img.getHeight, sum)
+        }
+      })
+  }
+
+  case class Embedded(doc_id: Long, embedding: Array[Float])
+
+  /** REAL pixel-statistic feature extraction (the vision-encoder seam,
+    * with real pixel input): decode the payload, pool mean luminance
+    * (r+g+b)/3·255 over `dim` vertical strips (strip of x = x·dim/w),
+    * map to [-1, 1]. Not a learned encoder — the environment has no
+    * model runtime — but every float derives from DECODED PIXELS, so
+    * two encodings of the SAME pixels (png vs bmp) embed identically
+    * and a resampled copy lands nearby, which payload-byte hashes never
+    * did. Output plugs straight into VectorSearch.knnExact/knnIvf/
+    * semanticDedup, closing the multimodal → similarity-search loop.
+    * Undecodable payloads embed as the zero vector.
+    */
+  def imageEmbeddings(spark: SparkSession, withPayload: DataFrame,
+      dim: Int = 16): Dataset[Embedded] = {
+    import spark.implicits._
+    withPayload.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          catch { case _: java.io.IOException => null }
+        val emb = new Array[Float](dim)
+        if (img != null) {
+          val w = img.getWidth
+          val sums = new Array[Double](dim)
+          val counts = new Array[Long](dim)
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val luma = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff)
+                + (rgb & 0xff)) / (3.0 * 255.0)
+              val i = x * dim / w
+              sums(i) += luma
+              counts(i) += 1
+              x += 1
+            }
+            y += 1
+          }
+          var i = 0
+          while (i < dim) {
+            if (counts(i) > 0)
+              emb(i) = (2.0 * sums(i) / counts(i) - 1.0).toFloat
+            i += 1
+          }
+        }
+        Embedded(id, emb)
+      })
+  }
 }

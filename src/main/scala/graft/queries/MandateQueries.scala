@@ -959,7 +959,47 @@ object MandateQueries {
       .select(col("q_vec_id"), col("exact_top5"), col("recall_ok"))
   }
 
+  /** Q132: REAL image resize — the full decode → nearest-neighbor
+    * scale → re-encode path (Multimodal.resizeImage) certified at the
+    * PIXEL level: PNG documents (even doc_ids; lossless both ways) are
+    * synthesized, halved, decoded AGAIN, and the resized image's
+    * dimensions AND red-channel sum are matched against the oracle's
+    * restatement of the synthesize formula under the integer NN source
+    * mapping srcX = x·w/tw. The red_sum only matches if a real decode
+    * ran on both ends of the resample — a header-only or byte-stride
+    * path cannot produce it (q89's certification pattern, extended
+    * from headers to pixels).
+    */
+  val q132 = QueryDef.sql(
+    "q132_image_resize",
+    """WITH dims AS (
+      |  SELECT doc_id,
+      |         CAST(doc_id % 64 + 1 AS BIGINT) AS w,
+      |         CAST((doc_id * 7) % 48 + 1 AS BIGINT) AS h,
+      |         GREATEST(1, CAST(doc_id % 64 + 1 AS BIGINT) // 2) AS tw,
+      |         GREATEST(1, CAST((doc_id * 7) % 48 + 1 AS BIGINT) // 2) AS th
+      |  FROM documents WHERE doc_id % 2 = 0),
+      |px AS (
+      |  SELECT doc_id, w, h, tw, th, unnest(range(tw * th)) AS p FROM dims),
+      |v AS (
+      |  SELECT doc_id, tw, th,
+      |         ((doc_id * 31 + (((p % tw) * w) // tw) * 7
+      |           + ((p // tw) * h) // th) % 16777216) // 65536 AS red
+      |  FROM px)
+      |SELECT doc_id, CAST(max(tw) AS INTEGER) AS width,
+      |       CAST(max(th) AS INTEGER) AS height,
+      |       CAST(sum(red) AS BIGINT) AS red_sum
+      |FROM v GROUP BY doc_id""".stripMargin) { (spark, dir) =>
+    Multimodal.pixelStats(spark,
+      Multimodal.resize(spark,
+        Multimodal.imagePayloads(spark,
+          Tables.documents(spark, dir).filter(col("doc_id") % 2 === 0)),
+        1, 2).toDF())
+      .toDF()
+      .select(col("doc_id"), col("width"), col("height"), col("red_sum"))
+  }
+
   val all: Seq[QueryDef] = Seq(q18, q18b, q19, q20, q21, q22, q26, q27,
     q28, q28b, q29, q30, q31, q32, q33, q34, q58, q58b, q59, q61, q66, q67,
-    q70, q73, q77, q84, q89, q104, q106, q107, q108, q117, q118, q119)
+    q70, q73, q77, q84, q89, q104, q106, q107, q108, q117, q118, q119, q132)
 }

@@ -286,25 +286,58 @@ class MultimodalSpec extends SparkSpec {
       "degradation must be a bounds check, not a giant allocation")
   }
 
-  test("resize shrinks payloads by the factor, preserving first byte") {
-    val resized = Multimodal.resize(spark, withPayload, 4).collect()
-    val orig = withPayload.select(col("doc_id"), col("payload"))
-      .as[(Long, Array[Byte])].collect().toMap
-    resized.foreach { r =>
-      val o = orig(r.doc_id)
-      assert(r.payload.length == (o.length + 3) / 4)
-      assert(r.payload.head == o.head)
+  test("resize is a REAL decode→NN-scale→re-encode: resized PNG pixels equal the sampled sources") {
+    // PNG docs only (even ids): lossless both ways, so every resized
+    // pixel is exactly the nearest-neighbor-sampled source formula —
+    // the oracle arithmetic q132 restates
+    for (id <- Seq(2L, 8L, 34L, 40L)) {
+      val resizedBytes = Multimodal.resizeImage(
+        Multimodal.synthesizeImage(id), 1, 2)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(resizedBytes))
+      val w = (id % 64 + 1).toInt
+      val h = (id * 7 % 48 + 1).toInt
+      val tw = math.max(1, w / 2)
+      val th = math.max(1, h / 2)
+      assert(img.getWidth == tw && img.getHeight == th, s"doc $id dims")
+      for (y <- 0 until th; x <- 0 until tw) {
+        val sx = x * w / tw
+        val sy = y * h / th
+        val expect = ((id * 31 + sx * 7 + sy) & 0xffffff).toInt
+        assert((img.getRGB(x, y) & 0xffffff) == expect,
+          s"doc $id pixel ($x,$y) must be the NN-sampled source")
+      }
     }
+    // corrupt payloads degrade to empty, never throw
+    assert(Multimodal.resizeImage(Array[Byte](1, 2, 3), 1, 2).isEmpty)
   }
 
-  test("pseudo-embeddings from blobs feed straight into similarity search") {
-    val emb = withPayload.select(col("doc_id").as("vec_id"),
-      Multimodal.fakeEmbedding(col("payload"), 16).as("embedding"))
+  test("image embeddings derive from PIXELS, not payload bytes, and feed similarity search") {
+    // the sharp test that the encoder input is decoded pixels: the SAME
+    // pixels in two different lossless containers (png vs bmp) produce
+    // byte-distinct payloads but IDENTICAL embeddings — a payload-byte
+    // hash could never do this
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Multimodal.synthesizeImage(4L)))
+    def enc(fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val png = enc("png")
+    val bmp = enc("bmp")
+    assert(!java.util.Arrays.equals(png, bmp), "containers differ on the wire")
+    val two = Multimodal.imageEmbeddings(spark,
+      Seq((1L, png), (2L, bmp)).toDF("doc_id", "payload")).collect()
+      .map(e => e.doc_id -> e.embedding.toSeq).toMap
+    assert(two(1L) == two(2L), "same pixels ⇒ same embedding, any container")
+    assert(two(1L).exists(_ != 0f), "embedding carries real pixel statistics")
+
+    // and the output plugs straight into similarity search
+    val emb = Multimodal.imageEmbeddings(spark,
+      Multimodal.imagePayloads(spark, docs)).toDF()
+      .select(col("doc_id").as("vec_id"), col("embedding"))
     val knn = VectorSearch.knnExact(emb.filter(col("vec_id") < 3), emb, 2)
-    val rows = knn.collect()
-    assert(rows.length == 6) // 3 queries x top-2
-    // embeddings are deterministic: same blob -> same vector -> cos(self)=1
-    val self = VectorSearch.knnExact(emb.filter(col("vec_id") < 3), emb, 50)
-    assert(self.count() > 0)
+    assert(knn.collect().length == 6) // 3 queries x top-2
   }
 }
