@@ -29,18 +29,23 @@ final case class CdcPipeline(
     rowSchema: StructType,
     idKey: String,
     transform: DataFrame => DataFrame = identity,
-    deadLetterDir: Option[String] = None) {
+    deadLetterDir: Option[String] = None,
+    exprTransform: Option[ExprTransform] = None) {
 
   /** Routed, filtered, typed change rows from a raw value stream —
     * single-pass typed envelope parse (the pipeline knows its schema).
+    * The conf-declared [[ExprTransform]] (R12's data-declared reshape)
+    * runs against the outgoing `row` struct first, then the compiled
+    * Scala `transform` hook — both see the full envelope columns.
     */
   def changeRows(raw: DataFrame): DataFrame = {
     val routed = subscription.route(
       EventFilters.all(Envelope.parseTyped(raw, rowSchema)))
-    transform(routed
+    val shaped = routed
       .withColumn("row", col("after"))
       .withColumn("key", coalesce(
-        col(s"after.$idKey"), col(s"before.$idKey"))))
+        col(s"after.$idKey"), col(s"before.$idKey")))
+    transform(exprTransform.fold(shaped)(_.applyToStruct(shaped)))
   }
 
   /** Start the pipeline over a JSON-lines source directory, applying
@@ -113,9 +118,12 @@ final case class CdcPipeline(
         org.apache.spark.sql.types.StructField("offset",
           org.apache.spark.sql.types.LongType))))
       .json(sourceDir)
+    // serialize the TRANSFORMED document (`row`), not the raw `after`:
+    // both transform hooks must reach the incremental sink's documents
+    // exactly as they reach the per-batch path's
     val events = changeRows(raw)
       .select(col("key"), col("ts_ms"), col("offset"), col("op"),
-        to_json(col("after")).as("after"))
+        to_json(col("row")).as("after"))
     val writer = StatefulLww.deltaStream(events).writeStream
       .queryName(s"cdc_inc_$name")
       .option("checkpointLocation", checkpointDir)

@@ -77,6 +77,42 @@ object PipelineRegistry {
       if (node.hasNonNull("kind")) node.get("kind").asText() else "lww"
     }.toOption.filter(Kinds)
 
+  /** Parse a conf's optional `"transform"` node into an
+    * [[ExprTransform]] — the R12 data-declared per-event reshape:
+    * {{{
+    *   "transform": { "set": [ { "field": "v", "expr": "upper(row.v)" },
+    *                           { "field": "src", "expr": "'cdc'" } ],
+    *                  "drop": [ "internal_note" ] }
+    * }}}
+    * Construction parses every expression through Catalyst, so a
+    * typo'd conf fails HERE — at registration — not in the first
+    * micro-batch (S3).
+    */
+  private def parseTransform(f: File,
+      node: com.fasterxml.jackson.databind.JsonNode): Option[ExprTransform] =
+    if (!node.hasNonNull("transform")) None
+    else {
+      val t = node.get("transform")
+      val sets =
+        if (!t.hasNonNull("set")) Nil
+        else t.get("set").elements().asScala.map { s =>
+          require(s.hasNonNull("field") && s.hasNonNull("expr"),
+            s"${f.getName}: each transform set entry needs field and expr")
+          (s.get("field").asText(), s.get("expr").asText())
+        }.toSeq
+      val drops =
+        if (!t.hasNonNull("drop")) Nil
+        else t.get("drop").elements().asScala.map(_.asText()).toSeq
+      require(sets.nonEmpty || drops.nonEmpty,
+        s"${f.getName}: transform declares neither set nor drop entries")
+      try Some(ExprTransform(sets, drops))
+      catch {
+        case e: org.apache.spark.sql.catalyst.parser.ParseException =>
+          throw new IllegalArgumentException(
+            s"${f.getName}: invalid transform expression — ${e.getMessage}")
+      }
+    }
+
   /** Per-file strictness gate shared by every load flavor: at BOOT a
     * malformed conf fails fast (register-at-boot, S3 — a typo must not
     * make a production pipeline silently vanish); during a WATCHER scan
@@ -116,7 +152,8 @@ object PipelineRegistry {
           name = node.get("name").asText(),
           subscription = Subscription(strSet("databases"), strSet("tables")),
           rowSchema = StructType.fromDDL(node.get("schema").asText()),
-          idKey = node.get("idKey").asText())
+          idKey = node.get("idKey").asText(),
+          exprTransform = parseTransform(f, node))
         Some(Entry(pipeline, f.getAbsolutePath, f.lastModified()))
       }
     }}
@@ -196,7 +233,8 @@ object PipelineRegistry {
           target = tgt,
           deadLetterDir =
             if (node.hasNonNull("deadLetterDir"))
-              Some(node.get("deadLetterDir").asText()) else None)
+              Some(node.get("deadLetterDir").asText()) else None,
+          exprTransform = parseTransform(f, node))
         Some(ViewEntry(pipeline, f.getAbsolutePath, f.lastModified()))
       }
     }}

@@ -64,11 +64,16 @@ final case class ViewPipeline(
     leftOuter: Boolean,
     target: ViewTarget,
     deadLetterDir: Option[String] = None,
-    compactEvery: Int = 32) {
+    compactEvery: Int = 32,
+    exprTransform: Option[ExprTransform] = None) {
 
   require(factSchema.fieldNames.toSet.intersect(dimSchema.fieldNames.toSet).isEmpty,
     s"view $name: fact and dim schemas share field names — the serving " +
       "table flattens both sides, so names must not collide")
+  exprTransform.foreach { t =>
+    require(!t.drops.contains(factIdField) && !t.drops.contains("action"),
+      s"view $name: transform must not drop the serving key or action column")
+  }
 
   /** A side's table-log STATE-LOG BASE ([[StateLog]] layout): micro-
     * batches append under `<base>/log/batch_id=N` (O(churn) per batch),
@@ -129,13 +134,14 @@ final case class ViewPipeline(
     val tgt = target
     val dlDir = deadLetterDir
     val viewName = name
+    val tx = exprTransform
     viewDeltas.toDF().writeStream
       .queryName(s"view_$name")
       .outputMode("append")
       .trigger(trigger)
       .option("checkpointLocation", ckptDir(workRoot, "view"))
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val flat = batch.select(
+        val flat0 = batch.select(
           Seq(col("factId").as(keyField), col("action")) ++
             fSchema.fieldNames.filterNot(_ == keyField).map(n =>
               get_json_object(col("factJson"), s"$$.$n")
@@ -143,6 +149,9 @@ final case class ViewPipeline(
             dSchema.fieldNames.map(n =>
               get_json_object(col("dimJson"), s"$$.$n")
                 .cast(dSchema(n).dataType).as(n)): _*)
+        // conf-declared reshape of the serving row (R12's data-declared
+        // per-event logic) — runs on the flattened enriched columns
+        val flat = tx.fold(flat0)(_.applyFlat(flat0))
         tgt match {
           case JdbcTarget(url, table, types) =>
             JdbcSink.applyViewDeltas(flat, url, table, Seq(keyField),

@@ -59,6 +59,55 @@ class RegistrySpec extends SparkSpec {
     assert(changed.toSet == Set(f1.getAbsolutePath, f2.getAbsolutePath))
   }
 
+  test("conf-declared transform reshapes sink documents; invalid expressions fail fast at registration (R12)") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def wire(id: Long, after: String, before: String, op: String,
+        off: Long): String = {
+      val ev = s"""{"payload":{"before":${Option(before).getOrElse("null")},""" +
+        s""""after":${Option(after).getOrElse("null")},""" +
+        s""""source":{"db":"d","table":"t","ts_ms":$off},"op":"$op","ts_ms":$off}}"""
+      s"""{"value":${mapper.writeValueAsString(ev)},"offset":$off}"""
+    }
+    val confDir = Files.createTempDirectory("graft_conf_tx_").toFile
+    Files.write(new java.io.File(confDir, "tx.json").toPath, Seq(
+      """{"name":"tx","databases":["d"],"tables":["t"],"idKey":"id",
+        |"schema":"id BIGINT, v STRING, note STRING",
+        |"transform":{"set":[{"field":"v","expr":"upper(row.v)"},
+        |                    {"field":"src","expr":"'cdc'"}],
+        |             "drop":["note"]}}"""
+        .stripMargin.replace("\n", "")).asJava)
+    val entries = PipelineRegistry.load(confDir.toString)
+    val srcDir = Files.createTempDirectory("graft_tx_src_").toFile
+    Files.write(new java.io.File(srcDir, "000.json").toPath, Seq(
+      wire(1, """{"id":1,"v":"a","note":"scrub me"}""", null, "c", 1),
+      wire(2, """{"id":2,"v":"b","note":"x"}""", null, "c", 2),
+      wire(2, null, """{"id":2,"v":"b","note":"x"}""", "d", 3)).asJava)
+    SinkSpec.recorded.clear()
+    PipelineRegistry.startAll(entries, spark, srcDir.toString,
+      Files.createTempDirectory("graft_tx_ckpt_").toString,
+      EsSink.Config("http://es:9200/idx", "u", "p", "id"),
+      new SinkSpec.Recorder).foreach(_.awaitTermination())
+    val puts = SinkSpec.recorded.asScala.toSeq.filter(_.method == "PUT").map(_.body)
+    // set entries applied in order, drop removed the field — the sink
+    // document is the RESHAPED row, and deletes pass through untouched
+    assert(puts == Seq("""{"id":1,"v":"A","src":"cdc"}"""), s"got $puts")
+    val dels = SinkSpec.recorded.asScala.toSeq.filter(_.method == "DELETE")
+    assert(dels.map(_.url) == Seq("http://es:9200/idx/_doc/2"))
+
+    // a syntactically invalid expression dies at REGISTRATION (S3),
+    // before any query exists
+    val badDir = Files.createTempDirectory("graft_conf_txbad_").toFile
+    Files.write(new java.io.File(badDir, "bad.json").toPath, Seq(
+      """{"name":"bad","databases":["d"],"tables":["t"],"idKey":"id",
+        |"schema":"id BIGINT, v STRING",
+        |"transform":{"set":[{"field":"v","expr":"upper("}]}}"""
+        .stripMargin.replace("\n", "")).asJava)
+    val err = intercept[IllegalArgumentException](
+      PipelineRegistry.load(badDir.toString))
+    assert(err.getMessage.contains("bad.json"),
+      "the failure must name the offending conf file")
+  }
+
   test("scan quarantine: a malformed conf mid-run stalls nothing; boot stays fail-fast; an edited kind re-homes the file") {
     val confDir = Files.createTempDirectory("graft_conf_q_").toFile
     val good = new java.io.File(confDir, "good.json")

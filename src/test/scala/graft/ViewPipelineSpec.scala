@@ -204,6 +204,8 @@ class ViewPipelineSpec extends SparkSpec {
         |        "schema":"o_orderkey BIGINT, o_custkey BIGINT, o_total DOUBLE"},
         |"dim":{"table":"customer","idKey":"c_custkey","joinKey":"c_custkey",
         |       "schema":"c_custkey BIGINT, c_name STRING"},
+        |"transform":{"set":[{"field":"c_name","expr":"upper(c_name)"},
+        |                    {"field":"margin","expr":"round(o_total * 0.1, 2)"}]},
         |"es":{"url":"http://es:9200/enriched","username":"u","password":"p"}}"""
         .stripMargin.replace("\n", "")).asJava)
     val views = PipelineRegistry.loadViews(confDir.toString)
@@ -222,9 +224,12 @@ class ViewPipelineSpec extends SparkSpec {
     val puts = SinkSpec.recorded.asScala.toSeq.filter(_.method == "PUT")
     assert(puts.map(_.url) == Seq("http://es:9200/enriched/_doc/10"))
     val doc = mapper.readTree(puts.head.body)
+    // the conf-declared transform reshaped the served document (R12):
+    // c_name upper-cased in place, margin derived from o_total
     assert(doc.get("o_orderkey").asLong == 10L
-      && doc.get("c_name").asText == "Alice"
-      && doc.get("o_total").asDouble == 5.0)
+      && doc.get("c_name").asText == "ALICE"
+      && doc.get("o_total").asDouble == 5.0
+      && doc.get("margin").asDouble == 0.5)
 
     // a fact delete becomes an id-keyed DELETE on the next run
     Files.write(new java.io.File(feedDir, "001.json").toPath, Seq(
