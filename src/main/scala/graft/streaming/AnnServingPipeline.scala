@@ -82,7 +82,8 @@ final case class AnnServingPipeline(
     nProbe: Int = 4,
     recallFloor: Double = 0.6,
     skewBound: Double = 4.0,
-    autoRetrain: Boolean = false) {
+    autoRetrain: Boolean = false,
+    maxGenAgeMs: Long = 0L) {
 
   private val rowSchema: StructType =
     StructType.fromDDL(s"$idField BIGINT, $vectorField ARRAY<FLOAT>")
@@ -258,6 +259,38 @@ final case class AnnServingPipeline(
     fresh
   }
 
+  /** CRON-LIKE RETRAIN SCHEDULING — the watcher-cadence analog of the
+    * reference's periodic watcher loop, closing the operational gap
+    * where `autoRetrain` only fires on a certificate that has ALREADY
+    * tripped: when the CURRENT quantizer generation is older than
+    * `maxGenAgeMs` (0 = disabled), drop a `RETRAIN_DUE` marker in the
+    * work dir. The index stage honors the marker at its next
+    * micro-batch boundary, so the swap itself stays SERIALIZED with
+    * batch application (the same in-stream path as the
+    * tripped-certificate retrain) — the watcher thread never mutates
+    * the store or the generation pointer. [[PipelineWatcher.pollOnce]]
+    * calls this for every live ann pipeline. Returns true when a
+    * retrain was scheduled (marker present after the call).
+    */
+  def scheduleRetrainIfStale(workRoot: String,
+      nowMs: Long = System.currentTimeMillis()): Boolean = {
+    if (maxGenAgeMs <= 0L) return false
+    val qd = Paths.get(quantDir(workRoot))
+    val cur = qd.resolve("CURRENT")
+    if (!Files.exists(cur)) return false
+    val gen = Files.readString(cur).trim
+    val trainedAt =
+      Files.getLastModifiedTime(qd.resolve(gen).resolve("centroids.json"))
+        .toMillis
+    if (nowMs - trainedAt <= maxGenAgeMs) false
+    else {
+      val m = Paths.get(s"$workRoot/RETRAIN_DUE")
+      try Files.createFile(m)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      true
+    }
+  }
+
   private def indexQuery(spark: SparkSession, workRoot: String,
       trigger: Trigger): StreamingQuery = {
     val stream = spark.readStream.schema(ViewPipeline.LogSchema)
@@ -293,6 +326,15 @@ final case class AnnServingPipeline(
           certificate(spark).foreach { case (_, _, recallOk, _, driftOk) =>
             if (!recallOk || !driftOk) { retrainAndSwap(spark, workRoot); () }
           }
+        // scheduled (age-triggered) retrain: honor the watcher's marker
+        // here, at the batch boundary, so the swap is serialized with
+        // batch application like every other store mutation
+        val due = Paths.get(s"$workRoot/RETRAIN_DUE")
+        if (Files.exists(due)) {
+          retrainAndSwap(spark, workRoot)
+          Files.deleteIfExists(due)
+          ()
+        }
         ()
       }
       .start()

@@ -301,7 +301,10 @@ object PipelineRegistry {
           recallFloor = dbl("recallFloor", 0.6),
           skewBound = dbl("skewBound", 4.0),
           autoRetrain = node.hasNonNull("autoRetrain")
-            && node.get("autoRetrain").asBoolean())
+            && node.get("autoRetrain").asBoolean(),
+          maxGenAgeMs =
+            if (node.hasNonNull("maxGenAgeMs")) node.get("maxGenAgeMs").asLong()
+            else 0L)
         Some(AnnEntry(pipeline, f.getAbsolutePath, f.lastModified()))
       }
     }}

@@ -186,6 +186,14 @@ final class PipelineWatcher(
           startDedup(e)
           e.pipeline.name
         }
+    // maintenance tick: schedule an age-triggered retrain for any live
+    // ann pipeline whose quantizer generation has gone stale — the
+    // marker is honored by the index stage at its next batch boundary
+    // (the watcher thread itself never mutates a store)
+    annEntries.values.foreach { e =>
+      e.pipeline.scheduleRetrainIfStale(workDir(e.file))
+      ()
+    }
     restartedLww ++ restartedViews ++ restartedAnn ++ restartedDedup
   }
 

@@ -155,6 +155,55 @@ class AnnServingSpec extends SparkSpec {
       s"all 4 sparse-id vectors must actually be probed, got ${cert.toSeq}")
   }
 
+  test("certificate-age trigger: a stale generation schedules a retrain; the next batch swaps; a fresh one doesn't") {
+    val url = "jdbc:derby:memory:graftannage;create=true"
+    val c0 = java.sql.DriverManager.getConnection(url)
+    c0.createStatement().execute(
+      """CREATE TABLE postings6 ("vec_id" BIGINT NOT NULL PRIMARY KEY,
+        | "cell" INTEGER, "emb_json" VARCHAR(32000))""".stripMargin.replace("\n", ""))
+    c0.close()
+    val pipeline = AnnServingPipeline(
+      name = "annAge", databases = Set("shop"), table = "embeddings",
+      idField = "vec_id", vectorField = "embedding", cents = cents,
+      jdbcUrl = url, postingsTable = "postings6", k = 2, nProbe = 2,
+      maxGenAgeMs = 60000L)
+    val feedDir = Files.createTempDirectory("graft_annage_feed_").toFile
+    val workRoot = Files.createTempDirectory("graft_annage_work_").toString
+    val wave0 = Seq(
+      (0L, 1.0, 0.1), (1L, 0.95, -0.05), (2L, -1.0, 0.05),
+      (3L, -0.9, -0.1), (4L, 0.1, 1.0), (5L, 0.05, 0.9))
+    Files.write(new java.io.File(feedDir, "000.json").toPath,
+      wave0.zipWithIndex.map { case ((id, x, y), i) =>
+        wire(v(id, x, y), null, "c", 10, i + 1)
+      }.asJava)
+    pipeline.runOnce(spark, feedDir.toString, workRoot)
+    def currentGen(): String = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$workRoot/quantizer/CURRENT")).trim
+    assert(currentGen() == "gen_0")
+    val due = new java.io.File(s"$workRoot/RETRAIN_DUE")
+
+    // FRESH generation (trained just now): the watcher tick schedules
+    // nothing, no marker appears
+    assert(!pipeline.scheduleRetrainIfStale(workRoot))
+    assert(!due.exists())
+
+    // STALE generation (age alone, certificate never tripped): the tick
+    // schedules a retrain via the marker...
+    assert(pipeline.scheduleRetrainIfStale(workRoot,
+      nowMs = System.currentTimeMillis() + 10 * 60 * 1000L))
+    assert(due.exists(), "stale age must leave the RETRAIN_DUE marker")
+
+    // ...and the NEXT micro-batch performs the swap in-stream: the
+    // generation advances, the marker clears, serving stays intact
+    Files.write(new java.io.File(feedDir, "001.json").toPath, Seq(
+      wire(v(6, -0.05, -0.95), null, "c", 20, 7)).asJava)
+    pipeline.runOnce(spark, feedDir.toString, workRoot)
+    assert(currentGen() == "gen_1",
+      "the scheduled retrain must swap at the next batch boundary")
+    assert(!due.exists(), "the honored marker must clear")
+    assert(pipeline.servedPostings(spark).count() == 7)
+  }
+
   test("quantizer drift trips the certificate; retrain-and-swap restores the recall SLO") {
     val url = "jdbc:derby:memory:graftanndrift;create=true"
     val c0 = java.sql.DriverManager.getConnection(url)
