@@ -49,6 +49,15 @@ object EsSink {
   trait Transport extends Serializable {
     /** Returns the HTTP status; throws on transport-level failure. */
     def send(req: Request): Int
+
+    /** GET returning (status, body) — used by the batch-progress reader
+      * ([[readProgress]]). The default routes through [[send]] and
+      * returns an empty body, which a reader treats as "no marker":
+      * custom test transports that never override this simply apply
+      * every batch (the pre-marker behavior), never break.
+      */
+    def get(url: String, headers: Map[String, String]): (Int, String) =
+      (send(Request("GET", url, headers, "")), "")
   }
 
   /** Default transport: blocking java.net.http per executor. */
@@ -61,6 +70,14 @@ object EsSink {
       req.headers.foreach { case (k, v) => b.header(k, v) }
       client.send(b.build(),
         java.net.http.HttpResponse.BodyHandlers.discarding()).statusCode()
+    }
+    override def get(url: String,
+        headers: Map[String, String]): (Int, String) = {
+      val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url)).GET()
+      headers.foreach { case (k, v) => b.header(k, v) }
+      val resp = client.send(b.build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      (resp.statusCode(), resp.body())
     }
   }
 
@@ -175,6 +192,62 @@ object EsSink {
     }
     dead.toDF().localCheckpoint(true)
   }
+
+  /** Batch-progress marker URL: one `_graft_progress_<pipeline>`
+    * document per pipeline in the target index.
+    */
+  def progressUrl(cfg: Config, pipeline: String): String =
+    s"${cfg.url}/_doc/${pathEncode(s"_graft_progress_$pipeline")}"
+
+  /** The last batch id whose effects are fully in the store, read from
+    * the pipeline's `_graft_progress` document. Absent/unreadable →
+    * None (apply the batch — at-least-once; id-keyed idempotence still
+    * guarantees exactly-once EFFECT, the marker only saves the re-send).
+    */
+  def readProgress(cfg: Config, transport: Transport,
+      pipeline: String): Option[Long] =
+    try {
+      val (status, body) = transport.get(progressUrl(cfg, pipeline), headers(cfg))
+      if (status != 200 || body.isEmpty) None
+      else {
+        val b = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(body).path("_source").path("batch_id")
+        if (b.isNumber) Some(b.asLong()) else None
+      }
+    } catch { case _: Exception => None }
+
+  /** Publish the progress marker for (pipeline, batchId) — written
+    * AFTER the batch's documents, so marker-present implies
+    * effects-present. A failed marker write is swallowed: the worst
+    * case is one redundant (idempotent) re-send on the next replay.
+    */
+  def writeProgress(cfg: Config, transport: Transport, pipeline: String,
+      batchId: Long): Unit = {
+    sendWithRetry(transport,
+      Request("PUT", progressUrl(cfg, pipeline), headers(cfg),
+        s"""{"pipeline":"${jsonEscape(pipeline)}","batch_id":$batchId}"""),
+      cfg.maxRetries, cfg.backoffMs)
+    ()
+  }
+
+  /** One serving micro-batch under the progress protocol — the ES
+    * analog of [[JdbcSink]]'s in-transaction batch marker
+    * (exactly-once effect AND no whole-batch re-sends on checkpoint
+    * replay): if the store's marker already covers `batchId`, the
+    * replayed batch sends NOTHING; otherwise deletes land first, then
+    * upserts (the key-move contract), then the marker. Returns the
+    * (delete, upsert) dead-letter frames, or None when skipped.
+    */
+  def applyKeyedBatch(pipeline: String, batchId: Long, deletes: DataFrame,
+      upserts: DataFrame, cfg: Config,
+      transport: Transport): Option[(DataFrame, DataFrame)] =
+    if (readProgress(cfg, transport, pipeline).exists(_ >= batchId)) None
+    else {
+      val dlDeletes = delete(deletes, cfg, transport)
+      val dlUpserts = upsert(upserts, cfg, transport)
+      writeProgress(cfg, transport, pipeline, batchId)
+      Some((dlDeletes, dlUpserts))
+    }
 
   /** Delete by id for every row of `df`. Same eager dead-letter contract
     * as [[upsert]] (record = null for deletes).

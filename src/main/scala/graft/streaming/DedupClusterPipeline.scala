@@ -245,22 +245,25 @@ final case class DedupClusterPipeline(
                     lit(null).cast("int").as("is_canonical"))),
                 url, tbl, Seq(idF))
             case es: EsTarget =>
-              // deletes first, then upserts (ViewPipeline's contract)
+              // deletes first, then upserts (ViewPipeline's contract);
+              // the batch-progress marker makes a checkpoint replay of
+              // a delivered batch send nothing
               val cfg = es.config(idF)
-              val dlDeletes = graft.sinks.EsSink.delete(
-                dropped.select(col("doc_id").as(idF)), cfg, esTransport)
-              val dlUpserts = graft.sinks.EsSink.upsert(
+              graft.sinks.EsSink.applyKeyedBatch(pipelineName, batchId,
+                dropped.select(col("doc_id").as(idF)),
                 changed.select(col("doc_id").as(idF), col("cluster_id"),
                   col("is_canonical").cast("int").as("is_canonical")),
                 cfg, esTransport)
-              // S6: failures are data — undeliverable cluster rows
-              // (after the sink's retries) must not vanish while the
-              // checkpoint advances (ViewPipeline's contract)
-              dlDir.foreach { dir =>
-                val dead = dlDeletes.unionByName(dlUpserts)
-                  .withColumn("pipeline", lit(pipelineName))
-                if (!dead.isEmpty) dead.write.mode("append").parquet(dir)
-              }
+                .foreach { case (dlDeletes, dlUpserts) =>
+                  // S6: failures are data — undeliverable cluster rows
+                  // (after the sink's retries) must not vanish while
+                  // the checkpoint advances (ViewPipeline's contract)
+                  dlDir.foreach { dir =>
+                    val dead = dlDeletes.unionByName(dlUpserts)
+                      .withColumn("pipeline", lit(pipelineName))
+                    if (!dead.isEmpty) dead.write.mode("append").parquet(dir)
+                  }
+                }
               ()
           }
           // bounded log: fold-to-batchId−1 (exactly support0/labels0)

@@ -140,7 +140,7 @@ final case class ViewPipeline(
       .outputMode("append")
       .trigger(trigger)
       .option("checkpointLocation", ckptDir(workRoot, "view"))
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val flat0 = batch.select(
           Seq(col("factId").as(keyField), col("action")) ++
             fSchema.fieldNames.filterNot(_ == keyField).map(n =>
@@ -158,24 +158,27 @@ final case class ViewPipeline(
               stagingColumnTypes = types.orNull)
           case es: EsTarget =>
             // the emission contract: a key-move's (delete, upsert) pair
-            // for one fact id must land on the upsert — deletes first
+            // for one fact id must land on the upsert — deletes first.
+            // applyKeyedBatch adds the batch-progress marker, so a
+            // checkpoint replay of a delivered batch sends NOTHING
+            // (JdbcSink's in-transaction marker, ES-shaped)
             val cfg = es.config(keyField)
             val cached = flat.persist()
             try {
-              val dlDeletes = graft.sinks.EsSink.delete(
+              graft.sinks.EsSink.applyKeyedBatch(viewName, batchId,
                 cached.filter(col("action") === "delete").select(col(keyField)),
-                cfg, esTransport)
-              val dlUpserts = graft.sinks.EsSink.upsert(
                 cached.filter(col("action") === "upsert").drop("action"),
                 cfg, esTransport)
-              // S6: failures are data — undeliverable deltas (after the
-              // sink's retries) must not vanish while the checkpoint
-              // advances; persist them like CdcPipeline.applyBatch does
-              dlDir.foreach { dir =>
-                val dead = dlDeletes.unionByName(dlUpserts)
-                  .withColumn("pipeline", lit(viewName))
-                if (!dead.isEmpty) dead.write.mode("append").parquet(dir)
-              }
+                .foreach { case (dlDeletes, dlUpserts) =>
+                  // S6: failures are data — undeliverable deltas (after
+                  // the sink's retries) must not vanish while the
+                  // checkpoint advances
+                  dlDir.foreach { dir =>
+                    val dead = dlDeletes.unionByName(dlUpserts)
+                      .withColumn("pipeline", lit(viewName))
+                    if (!dead.isEmpty) dead.write.mode("append").parquet(dir)
+                  }
+                }
             } finally { cached.unpersist(); () }
         }
         ()

@@ -107,7 +107,8 @@ class DedupClusterSpec extends SparkSpec {
     // normalize both forms to (id → payload json or null-for-delete)
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     def servedOps(): Map[String, Option[String]] =
-      SinkSpec.recorded.asScala.toSeq.flatMap { r =>
+      SinkSpec.recorded.asScala.toSeq
+        .filterNot(_.url.contains("_graft_progress")).flatMap { r =>
         r.method match {
           case "PUT" => Seq(r.url.split("/_doc/").last -> Some(r.body))
           case "DELETE" => Seq(r.url.split("/_doc/").last -> None)

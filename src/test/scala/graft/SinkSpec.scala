@@ -22,6 +22,46 @@ class SinkSpec extends SparkSpec {
 
   val cfg = EsSink.Config("http://es:9200/idx", "user", "p@ss:word", "id")
 
+  test("batch-progress marker: a replayed micro-batch sends ZERO documents; new batches flow") {
+    SinkSpec.docs.clear()
+    reset()
+    val store = new SinkSpec.DocStore
+    def nonProgressSends(): Seq[EsSink.Request] =
+      recorded.filter(r => r.method != "GET"
+        && !r.url.contains("_graft_progress"))
+
+    // batch 0: one delete + one upsert land, then the marker publishes
+    val out0 = EsSink.applyKeyedBatch("vw", 0L,
+      Seq(9L).toDF("id"), Seq((1L, "a")).toDF("id", "v"), cfg, store)
+    assert(out0.isDefined, "an unseen batch must apply")
+    assert(nonProgressSends().map(_.method).sorted == Seq("DELETE", "PUT"))
+    assert(EsSink.readProgress(cfg, store, "vw").contains(0L))
+
+    // REPLAY of batch 0 (crash after checkpoint-commit raced the sink):
+    // the marker already covers it — zero documents re-sent
+    reset()
+    val replay = EsSink.applyKeyedBatch("vw", 0L,
+      Seq(9L).toDF("id"), Seq((1L, "a")).toDF("id", "v"), cfg, store)
+    assert(replay.isEmpty, "a delivered batch must be skipped")
+    assert(nonProgressSends().isEmpty,
+      s"replayed batch must send nothing, sent ${nonProgressSends()}")
+
+    // the NEXT batch applies and advances the marker
+    reset()
+    assert(EsSink.applyKeyedBatch("vw", 1L,
+      spark.emptyDataset[Long].toDF("id"),
+      Seq((2L, "b")).toDF("id", "v"), cfg, store).isDefined)
+    assert(nonProgressSends().map(_.method) == Seq("PUT"))
+    assert(EsSink.readProgress(cfg, store, "vw").contains(1L))
+
+    // markers are PER PIPELINE: another pipeline's batch 0 still applies
+    reset()
+    assert(EsSink.applyKeyedBatch("other", 0L,
+      spark.emptyDataset[Long].toDF("id"),
+      Seq((3L, "c")).toDF("id", "v"), cfg, store).isDefined)
+    assert(nonProgressSends().map(_.method) == Seq("PUT"))
+  }
+
   test("single upsert → PUT _doc/{id} with raw-base64 basic auth") {
     reset()
     EsSink.upsert(Seq((7L, "a")).toDF("id", "v"), cfg, new Recorder)
@@ -259,5 +299,28 @@ object SinkSpec {
       if (s < 0) throw new java.io.IOException("connection refused")
       s
     }
+  }
+
+  /** Minimal document-store transport: PUT _doc/{id} persists the body
+    * in a STATIC map (closure copies on executors share it — one JVM),
+    * GET _doc/{id} serves it back in ES's `_source` envelope, 404 when
+    * absent. What the batch-progress protocol needs to be testable
+    * end-to-end without a cluster.
+    */
+  val docs: java.util.concurrent.ConcurrentHashMap[String, String] =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  class DocStore extends EsSink.Transport {
+    def send(req: EsSink.Request): Int = {
+      recorded.add(req)
+      if (req.method == "PUT" && req.url.contains("/_doc/"))
+        docs.put(req.url.split("/_doc/").last, req.body)
+      200
+    }
+    override def get(url: String,
+        headers: Map[String, String]): (Int, String) =
+      Option(docs.get(url.split("/_doc/").last)) match {
+        case Some(b) => (200, s"""{"found":true,"_source":$b}""")
+        case None => (404, "")
+      }
   }
 }

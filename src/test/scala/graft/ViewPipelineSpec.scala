@@ -221,7 +221,8 @@ class ViewPipelineSpec extends SparkSpec {
     SinkSpec.recorded.clear()
     PipelineRegistry.runViews(views, spark, feedDir.toString, workRoot,
       esTransport = new SinkSpec.Recorder)
-    val puts = SinkSpec.recorded.asScala.toSeq.filter(_.method == "PUT")
+    val puts = SinkSpec.recorded.asScala.toSeq.filter(r =>
+      r.method == "PUT" && !r.url.contains("_graft_progress"))
     assert(puts.map(_.url) == Seq("http://es:9200/enriched/_doc/10"))
     val doc = mapper.readTree(puts.head.body)
     // the conf-declared transform reshaped the served document (R12):
