@@ -1118,8 +1118,12 @@ object PipelineQueries {
     * deleted docs' clusters split or vanish, revision-moved pairs
     * re-merge.
     */
-  val q131 = QueryDef.sql(
-    "q131_cdc_cluster_maintenance",
+  /** From-scratch thresholded clustering of the post-traffic corpus —
+    * the shared oracle of q131 (batch composition) and q133 (the full
+    * streaming pipeline): recursive-CTE connected components over the
+    * exact Jaccard-0.6 pairs of the feed's stated LWW outcome.
+    */
+  private val clusterOracleSql: String =
     """WITH RECURSIVE cur AS (SELECT doc_id,
       |         CASE WHEN doc_id % 3 = 0 THEN text || ' revised edition'
       |              ELSE text END AS text
@@ -1142,7 +1146,10 @@ object PipelineQueries {
       |                SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
       |SELECT s AS doc_id, least(s, min(d)) AS cluster_id,
       |       s = least(s, min(d)) AS is_canonical
-      |FROM reach GROUP BY s""".stripMargin) { (spark, dir) =>
+      |FROM reach GROUP BY s""".stripMargin
+
+  val q131 = QueryDef.sql(
+    "q131_cdc_cluster_maintenance", clusterOracleSql) { (spark, dir) =>
     import graft.cdc.DeltaLog
     // post-traffic pairs: the MAINTAINED index's live candidates,
     // exact-verified against the log's current corpus (q118's verify)
@@ -1172,7 +1179,65 @@ object PipelineQueries {
       CorpusOps.mergeComponents(labels0, inserted), post, retracted)
   }
 
+  /** Serializes q133's pipeline drive: two concurrent invocations in
+    * one JVM must not share streaming checkpoints mid-flight.
+    */
+  private val q133Lock = new Object
+
+  /** Q133: the FULL STREAMING DEDUP-CLUSTER PIPELINE at bench scale,
+    * under the oracle gate — where q131 composes the operators in
+    * batch, this drives [[graft.streaming.DedupClusterPipeline]] end to
+    * end: staged documents CDC feed → checkpointed LWW doc log →
+    * stateful LSH pair stage → support/verified/label STATE LOGS (with
+    * base compaction forced every drain, so the state-log lifecycle
+    * cost is inside the measured wall-clock, not argued) → exact-
+    * verified merge/split cluster maintenance → keyed JDBC MERGE into a
+    * file-backed Derby serving table. The query returns the SERVED
+    * table, and the oracle re-clusters the post-traffic corpus from
+    * scratch — the hash certifies that what an external reader actually
+    * SEES in the serving store equals thresholded from-scratch
+    * clustering.
+    *
+    * Work dirs and the Derby store live under the delta-log warehouse
+    * keyed by the corpus fingerprint, so the drive is incremental
+    * across invocations and JVMs (checkpoints + serving survive
+    * together): the first drain pays the full pipeline, later
+    * invocations measure the steady-state no-new-data pass — the
+    * three-stage startup + state-log reads + serving read.
+    */
+  val q133 = QueryDef.sql(
+    "q133_dedup_cluster_serving", clusterOracleSql) { (spark, dir) =>
+    import graft.cdc.{ChangeFeed, DeltaLog}
+    import graft.streaming.{DedupClusterPipeline, JdbcTarget}
+    val feed = ChangeFeed.stagedDocsJsonl(spark, dir)
+    val fp = graft.sources.Staging.fingerprint(Seq(s"$dir/documents.parquet"))
+    val base = DeltaLog.logBase(spark,
+      s"dedupserve_${dir.replaceAll("[^a-zA-Z0-9]", "_")}", fp)
+    val url = s"jdbc:derby:$base/derby;create=true"
+    val pipeline = DedupClusterPipeline(
+      name = "q133", databases = Set("shop"), table = "documents",
+      idField = "doc_id", textField = "text",
+      target = JdbcTarget(url, "clusters_q133"),
+      verifyThreshold = Some(0.6), compactEvery = 0)
+    q133Lock.synchronized {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(base))
+      val c = java.sql.DriverManager.getConnection(url)
+      try {
+        val st = c.createStatement()
+        try st.execute(
+          """CREATE TABLE clusters_q133 ("doc_id" BIGINT NOT NULL PRIMARY
+            | KEY, "cluster_id" BIGINT, "is_canonical" INTEGER)"""
+            .stripMargin.replace("\n", ""))
+        catch { // X0Y32: table already exists (idempotent re-drive)
+          case e: java.sql.SQLException if e.getSQLState == "X0Y32" => ()
+        }
+      } finally c.close()
+      pipeline.runOnce(spark, feed, s"$base/work")
+    }
+    pipeline.servedClusters(spark)
+  }
+
   val all: Seq[QueryDef] = Seq(q41, q42, q43, q44, q45, q47, q48, q49,
     q54, q57, q60, q62, q63, q64, q68, q69, q74, q76, q80, q81, q83, q90, q91,
-    q94, q98, q122, q125, q127, q128, q129, q130, q131)
+    q94, q98, q122, q125, q127, q128, q129, q130, q131, q133)
 }

@@ -43,6 +43,22 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   * rises and falls within one batch never becomes an edge (the fold is
   * atomic per batch) — consistent with folding the whole batch as one
   * transaction.
+  *
+  * EXACT VERIFICATION (`verifyThreshold = Some(t)`): LSH candidates are
+  * bucket collisions, and on a real corpus some sit below the intended
+  * Jaccard threshold — clustering raw candidates over-merges. With a
+  * threshold set, the cluster stage maintains a VERIFIED edge set: any
+  * pair whose support churned, or whose endpoint emitted any bucket
+  * delta this batch (a text revision always does unless every band
+  * hash survived it — in which case the signature, hence w.h.p. the
+  * Jaccard, is unchanged), is re-verified by exact Jaccard against the
+  * doc log's CURRENT texts, restricted to the rechecked endpoints (per-
+  * batch verify cost is churn-pair-sized; the doc-log text lookup is a
+  * semi-joined scan here, a keyed text store at warehouse scale). The
+  * verified set rides its own [[StateLog]], and merge/split run on
+  * verified edges — so the serving table equals from-scratch
+  * THRESHOLDED clustering, which is what an external oracle can state
+  * (q133's gate).
   */
 final case class DedupClusterPipeline(
     name: String,
@@ -56,7 +72,8 @@ final case class DedupClusterPipeline(
     rows: Int = 4,
     maxBucket: Int = Int.MaxValue,
     compactEvery: Int = 32,
-    deadLetterDir: Option[String] = None) {
+    deadLetterDir: Option[String] = None,
+    verifyThreshold: Option[Double] = None) {
 
   private val rowSchema: StructType =
     StructType.fromDDL(s"$idField BIGINT, $textField STRING")
@@ -171,6 +188,7 @@ final case class DedupClusterPipeline(
     val pipelineName = name
     val supportBase = s"$workRoot/state_support"
     val labelBase = s"$workRoot/state_labels"
+    val verifiedBase = s"$workRoot/state_verified"
     stream.writeStream
       .queryName(s"dedup_$name")
       .outputMode("append")
@@ -197,10 +215,71 @@ final case class DedupClusterPipeline(
           // edge liveness transitions, directly from the two snapshots
           val live0 = support0.select(col("id_a"), col("id_b"))
           val live1 = support1.select(col("id_a"), col("id_b"))
-          val inserted = live1.except(live0)
+            .localCheckpoint(true)
+          // the clustering EDGE set: raw candidate liveness, or — with
+          // a verify threshold — the maintained exact-verified subset
+          val (edges0, edges1) = verifyThreshold match {
+            case None => (live0, live1)
+            case Some(t) =>
+              // pairs needing a fresh verdict: any live pair one of
+              // whose endpoints emitted a bucket delta this batch
+              // (covers fresh candidates AND text revisions that moved
+              // any bucket — a revision that moves none leaves the
+              // whole signature, hence w.h.p. the Jaccard, unchanged)
+              val touched = net.select(col("id_a").as("doc_id"))
+                .unionByName(net.select(col("id_b").as("doc_id")))
+                .distinct().localCheckpoint(true)
+              val recheck = live1
+                .join(touched.select(col("doc_id").as("id_a")),
+                  Seq("id_a"), "left_semi")
+                .unionByName(live1
+                  .join(touched.select(col("doc_id").as("id_b")),
+                    Seq("id_b"), "left_semi"))
+                .distinct().localCheckpoint(true)
+              // CURRENT texts of the rechecked endpoints, from the doc
+              // log (semi-join prunes to churn-touched keys)
+              val needIds = recheck.select(col("id_a").as("key"))
+                .unionByName(recheck.select(col("id_b").as("key"))).distinct()
+              val docLog = spark.read.schema(ViewPipeline.LogSchema)
+                .parquet(docLogDir(workRoot))
+                .join(needIds, Seq("key"), "left_semi")
+              val texts = graft.cdc.DeltaLog.currentRows(docLog)
+                .select(col("key").as("doc_id"),
+                  get_json_object(col("rowJson"), s"$$.$textField").as("text"))
+              val sh = MinHashLsh.shingleSets(texts, "doc_id", "text", shingleN)
+              val passed = recheck
+                .join(sh.select(col("id").as("id_a"), col("ss").as("ssa")),
+                  Seq("id_a"))
+                .join(sh.select(col("id").as("id_b"), col("ss").as("ssb")),
+                  Seq("id_b"))
+                .withColumn("c",
+                  size(array_intersect(col("ssa"), col("ssb"))).cast("long"))
+                .filter(col("c").cast("double") /
+                  (size(col("ssa")) + size(col("ssb")) - col("c")) >= t)
+                .select(col("id_a"), col("id_b"))
+              val verified0 = foldSupport(spark, verifiedBase, batchId)
+                .select(col("id_a"), col("id_b")).localCheckpoint(true)
+              val verified1 = verified0
+                .join(live1, Seq("id_a", "id_b"), "left_semi")
+                .join(recheck, Seq("id_a", "id_b"), "left_anti")
+                .unionByName(passed)
+                .localCheckpoint(true)
+              // ± churn of the verified set rides its own state log
+              StateLog.appendBatch(
+                verified1.exceptAll(verified0).withColumn("d", lit(1L))
+                  .unionByName(verified0.exceptAll(verified1)
+                    .withColumn("d", lit(-1L))),
+                verifiedBase, batchId)
+              if (StateLog.logBatchCount(verifiedBase) > compactEvery)
+                StateLog.compact(
+                  verified0.withColumn("support", lit(1L)),
+                  verifiedBase, batchId - 1)
+              (verified0, verified1)
+          }
+          val inserted = edges1.except(edges0)
             .select(col("id_a").as("doc_id_a"), col("id_b").as("doc_id_b"))
             .localCheckpoint(true)
-          val retracted = live0.except(live1)
+          val retracted = edges0.except(edges1)
             .select(col("id_a").as("doc_id_a"), col("id_b").as("doc_id_b"))
             .localCheckpoint(true)
           val labels0 = foldLabels(spark, labelBase, batchId)
@@ -211,7 +290,7 @@ final case class DedupClusterPipeline(
           val labels1 =
             (if (retracted.isEmpty) merged
              else CorpusOps.splitComponents(merged,
-               live1.select(col("id_a").as("doc_id_a"),
+               edges1.select(col("id_a").as("doc_id_a"),
                  col("id_b").as("doc_id_b")), retracted))
               .localCheckpoint(true)
           // CHANGED rows only — the state-log append, the serving MERGE

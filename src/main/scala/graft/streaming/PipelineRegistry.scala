@@ -369,7 +369,10 @@ object PipelineRegistry {
           rows = int("rows", 4), maxBucket = int("maxBucket", Int.MaxValue),
           deadLetterDir =
             if (node.hasNonNull("deadLetterDir"))
-              Some(node.get("deadLetterDir").asText()) else None)
+              Some(node.get("deadLetterDir").asText()) else None,
+          verifyThreshold =
+            if (node.hasNonNull("verifyThreshold"))
+              Some(node.get("verifyThreshold").asDouble()) else None)
         Some(DedupEntry(pipeline, f.getAbsolutePath, f.lastModified()))
       }
     }}

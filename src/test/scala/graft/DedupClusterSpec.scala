@@ -1,6 +1,7 @@
 package graft
 
 import graft.streaming.DedupClusterPipeline
+import org.apache.spark.sql.functions.col
 import java.nio.file.Files
 import scala.jdk.CollectionConverters._
 
@@ -147,6 +148,52 @@ class DedupClusterSpec extends SparkSpec {
     val ops1 = servedOps()
     assert(ops1.keySet == Set("1", "2") && ops1.values.forall(_.isEmpty),
       s"pairless docs must be deleted from the index, got $ops1")
+  }
+
+  test("verifyThreshold gates candidate pairs on exact Jaccard; a revision re-verifies and merges") {
+    val url = "jdbc:derby:memory:graftdedupver;create=true"
+    val c0 = java.sql.DriverManager.getConnection(url)
+    c0.createStatement().execute(
+      """CREATE TABLE vclusters ("doc_id" BIGINT NOT NULL PRIMARY KEY,
+        | "cluster_id" BIGINT, "is_canonical" INTEGER)"""
+        .stripMargin.replace("\n", ""))
+    c0.close()
+    // rows=1 makes band buckets single-minhash: a ~0.5-Jaccard pair
+    // collides in some band w.h.p. — a CANDIDATE the 0.9 verify
+    // threshold must reject
+    val pipeline = DedupClusterPipeline(
+      name = "ver", databases = Set("shop"), table = "documents",
+      idField = "doc_id", textField = "text",
+      target = graft.streaming.JdbcTarget(url, "vclusters"),
+      bands = 16, rows = 1, verifyThreshold = Some(0.9))
+    val feedDir = Files.createTempDirectory("graft_dedupver_feed_").toFile
+    val workRoot = Files.createTempDirectory("graft_dedupver_work_").toString
+    val half = A + " " + Z.split(" ").take(4).mkString(" ") // ~half of A's shingles
+    Files.write(new java.io.File(feedDir, "000.json").toPath, Seq(
+      wire(d(1, A), null, "c", 10, 1),
+      wire(d(2, half), null, "c", 10, 2),
+      wire(d(4, Z), null, "c", 10, 3),
+      wire(d(5, Z), null, "c", 10, 4)).asJava)
+    pipeline.runOnce(spark, feedDir.toString, workRoot)
+    def served(): Map[Long, Long] =
+      pipeline.servedClusters(spark).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // {4,5} identical → verified cluster; {1,2} at sub-threshold
+    // Jaccard must NOT merge even when banding nominates them
+    assert(served() == Map(4L -> 4L, 5L -> 4L), s"got ${served()}")
+    // the CANDIDATE actually existed (this test gated something): the
+    // support state holds a 1-2 pair the verifier rejected
+    val supportLog = spark.read.parquet(s"$workRoot/state_support/log")
+    assert(supportLog.filter(col("id_a") === 1 && col("id_b") === 2)
+      .count() > 0, "the sub-threshold pair must have been a candidate")
+
+    // revision: doc 2 becomes identical to doc 1 → the recheck path
+    // re-verifies the pair and the cluster forms
+    Files.write(new java.io.File(feedDir, "001.json").toPath, Seq(
+      wire(d(2, A), d(2, half), "u", 20, 5)).asJava)
+    pipeline.runOnce(spark, feedDir.toString, workRoot)
+    assert(served() == Map(1L -> 1L, 2L -> 1L, 4L -> 4L, 5L -> 4L),
+      s"revision must re-verify and merge, got ${served()}")
   }
 
   test("ES target dead-letters undeliverable cluster rows while the checkpoint advances (S6)") {
