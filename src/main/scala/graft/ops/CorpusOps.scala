@@ -734,6 +734,84 @@ object CorpusOps {
       .groupBy(col("doc_id")).agg(sum(col("s")).as("bm25"))
   }
 
+  /** Signed TERM-POSTING deltas of a documents LWW delta relation
+    * (StatefulLww.Delta shape: key/rowJson/prevJson) — the third
+    * CDC-MAINTAINED index family after the LSH pair index
+    * (MinHashLsh.indexDeltaStream) and the IVF posting index
+    * (VectorSearch.postingDeltas): each document delta contributes
+    * +term-frequencies for its new text and −term-frequencies for its
+    * prev text, netted per (doc, token). The fold is order-free ±
+    * algebra, so summing over ANY batch layout of the log lands on the
+    * live index: a revision's old terms telescope away, a deletion
+    * zeroes the doc's postings entirely. Per-delta cost is the delta
+    * DOC's tokens — never corpus-sized.
+    */
+  def termPostingDeltas(deltas: DataFrame,
+      textField: String = "text"): DataFrame =
+    signedTexts(deltas, textField)
+      .select(col("doc_id"), col("sgn"),
+        explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(sum(col("sgn")).cast("long").as("d"))
+      .filter(col("d") =!= 0)
+
+  /** Signed DOC-LENGTH deltas (doc_id, ±token-count) of the same delta
+    * relation — the maintained corpus statistics (N, avgdl) BM25 needs,
+    * as the same ± fold.
+    */
+  def docLenDeltas(deltas: DataFrame, textField: String = "text"): DataFrame =
+    signedTexts(deltas, textField)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("sgn") * size(split(col("text"), " "))).cast("long").as("d"))
+      .filter(col("d") =!= 0)
+
+  private def signedTexts(deltas: DataFrame, textField: String): DataFrame =
+    deltas.select(col("key").cast("long").as("doc_id"),
+      explode(filter(array(
+        when(col("rowJson").isNotNull, struct(lit(1).as("sgn"),
+          get_json_object(col("rowJson"), s"$$.$textField").as("text"))),
+        when(col("prevJson").isNotNull, struct(lit(-1).as("sgn"),
+          get_json_object(col("prevJson"), s"$$.$textField").as("text")))),
+        x => x.isNotNull)).as("c"))
+      .select(col("doc_id"), col("c.sgn").as("sgn"), col("c.text").as("text"))
+
+  /** Fold a term-posting delta log to the LIVE index: net tf per
+    * (token, doc) — live iff > 0.
+    */
+  def liveTermPostings(postingDeltas: DataFrame): DataFrame =
+    postingDeltas.groupBy(col("token"), col("doc_id"))
+      .agg(sum(col("d")).cast("long").as("tf"))
+      .filter(col("tf") > 0)
+
+  /** Fold a doc-length delta log to the live (doc_id, len) relation. */
+  def liveDocLens(lenDeltas: DataFrame): DataFrame =
+    lenDeltas.groupBy(col("doc_id"))
+      .agg(sum(col("d")).cast("long").as("len"))
+      .filter(col("len") > 0)
+
+  /** BM25 retrieval scoring served FROM the maintained index — the
+    * same formula as [[bm25]], but every input (tf, df, len, N, avgdl)
+    * comes from the folded posting/length relations instead of a
+    * corpus scan: the production read path of a CDC-maintained search
+    * index. Bit-compatible with [[bm25]] over the live corpus, which
+    * is what q134's oracle certifies.
+    */
+  def bm25FromIndex(postings: DataFrame, docLens: DataFrame,
+      queryTokens: Seq[String], k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val tf = postings.filter(col("token").isin(queryTokens: _*))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val stats = docLens.agg(count(lit(1)).as("n_docs"),
+      avg(col("len")).as("avg_len"))
+    val idf = log(
+      (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    tf.join(docLens, "doc_id")
+      .join(broadcast(df), "token").crossJoin(broadcast(stats))
+      .withColumn("s", idf * (col("tf") * (k1 + 1)) /
+        (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("len") / col("avg_len"))))
+      .groupBy(col("doc_id")).agg(sum(col("s")).as("bm25"))
+  }
+
   /** SUB-document dedup (the CCNet/Dolma line-level pass): across the
     * whole corpus, each distinct segment survives only at its FIRST
     * occurrence — ordered by (doc_id, seg_idx) — and every document is

@@ -1237,7 +1237,52 @@ object PipelineQueries {
     pipeline.servedClusters(spark)
   }
 
+  /** Q134: CDC-MAINTAINED INVERTED INDEX serving BM25 — the third
+    * maintained-index family beside the LSH pair index (q118) and the
+    * IVF posting index (q119): the documents change feed's delta log
+    * folds into ± term postings (tf per live (token, doc)) and a doc-
+    * length relation (CorpusOps.termPostingDeltas / docLenDeltas — a
+    * revision's old terms telescope away, a deletion zeroes the doc),
+    * and BM25 is scored ENTIRELY from the maintained index
+    * (bm25FromIndex: tf, df, len, N, avgdl all from folds, no corpus
+    * scan). The oracle recomputes q83's BM25 over the post-traffic
+    * corpus from scratch, so the hash certifies every maintained
+    * statistic at once — one stale posting, length, or doc count after
+    * the %3 revisions and %5 deletions and the score diverges.
+    *
+    * Scale: per-delta index maintenance costs the delta doc's tokens;
+    * serving reads only the query terms' postings — the production
+    * shape of an incrementally-maintained search index.
+    */
+  val q134 = QueryDef.sql(
+    "q134_cdc_inverted_bm25",
+    """WITH cur AS (SELECT doc_id,
+      |         CASE WHEN doc_id % 3 = 0 THEN text || ' revised edition'
+      |              ELSE text END AS text
+      |       FROM documents WHERE doc_id % 5 <> 0),
+      |q AS (SELECT unnest(['vector', 'stream', 'join']) AS token),
+      |tok AS (SELECT doc_id, len(string_split(text, ' ')) AS len,
+      |               unnest(string_split(text, ' ')) AS token FROM cur),
+      |tf AS (SELECT doc_id, token, count(*) AS tf, max(len) AS len
+      |       FROM tok WHERE token IN (SELECT token FROM q) GROUP BY 1, 2),
+      |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+      |st AS (SELECT count(*) AS n, avg(len(string_split(text, ' '))) AS al
+      |       FROM cur)
+      |SELECT doc_id,
+      |       sum(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+      |           * (tf * (1.2 + 1)) /
+      |           (tf + 1.2 * (1 - 0.75 + 0.75 * len / al))) AS bm25
+      |FROM tf JOIN df USING (token) CROSS JOIN st
+      |GROUP BY doc_id""".stripMargin) { (spark, dir) =>
+    import graft.cdc.DeltaLog
+    val deltas = DeltaLog.documentsDeltas(spark, dir)
+    CorpusOps.bm25FromIndex(
+      CorpusOps.liveTermPostings(CorpusOps.termPostingDeltas(deltas)),
+      CorpusOps.liveDocLens(CorpusOps.docLenDeltas(deltas)),
+      Seq("vector", "stream", "join"))
+  }
+
   val all: Seq[QueryDef] = Seq(q41, q42, q43, q44, q45, q47, q48, q49,
     q54, q57, q60, q62, q63, q64, q68, q69, q74, q76, q80, q81, q83, q90, q91,
-    q94, q98, q122, q125, q127, q128, q129, q130, q131, q133)
+    q94, q98, q122, q125, q127, q128, q129, q130, q131, q133, q134)
 }

@@ -499,6 +499,41 @@ class CorpusSpec extends SparkSpec {
       "bridge revocation must split {1,2,3,4} into {1,2} and {3,4}")
   }
 
+  test("maintained inverted index: ± posting folds equal a from-scratch index under revise/delete") {
+    // delta history: doc1 "a b a" inserted then revised to "a c";
+    // doc2 "b c" inserted then deleted; doc3 "c c a" inserted
+    def j(t: String) = s"""{"doc_id":0,"text":"$t"}"""
+    val deltas = Seq(
+      (1L, "upsert", j("a b a"), null),
+      (2L, "upsert", j("b c"), null),
+      (1L, "upsert", j("a c"), j("a b a")),
+      (2L, "delete", null, j("b c")),
+      (3L, "upsert", j("c c a"), null))
+      .toDF("key", "action", "rowJson", "prevJson")
+    val postings = CorpusOps.liveTermPostings(
+      CorpusOps.termPostingDeltas(deltas))
+      .as[(String, Long, Long)].collect().toSet
+    assert(postings == Set(
+      ("a", 1L, 1L), ("c", 1L, 1L), ("a", 3L, 1L), ("c", 3L, 2L)),
+      s"revision telescopes, deletion zeroes — got $postings")
+    val lens = CorpusOps.liveDocLens(CorpusOps.docLenDeltas(deltas))
+      .as[(Long, Long)].collect().toSet
+    assert(lens == Set((1L, 2L), (3L, 3L)))
+    // BM25 served from the maintained index equals the batch scorer
+    // over the live corpus
+    val corpus = Seq((1L, "a c"), (3L, "c c a")).toDF("doc_id", "text")
+    val fromIndex = CorpusOps.bm25FromIndex(
+      CorpusOps.liveTermPostings(CorpusOps.termPostingDeltas(deltas)),
+      CorpusOps.liveDocLens(CorpusOps.docLenDeltas(deltas)), Seq("a", "c"))
+      .as[(Long, Double)].collect().toMap
+    val batch = CorpusOps.bm25(corpus, "doc_id", "text", Seq("a", "c"))
+      .as[(Long, Double)].collect().toMap
+    assert(fromIndex.keySet == batch.keySet)
+    fromIndex.foreach { case (id, s) =>
+      assert(math.abs(s - batch(id)) < 1e-12, s"doc $id: $s vs ${batch(id)}")
+    }
+  }
+
   test("incrementalBfs: orphaned tail drops, skip link shortens, untouched chain passes through") {
     // chain A: 1→2→3→4 (seeded), chain B: 10→11→12 (seeded, untouched)
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L))
