@@ -1282,7 +1282,75 @@ object PipelineQueries {
       Seq("vector", "stream", "join"))
   }
 
+  private val q135Lock = new Object
+
+  /** Q135: the STREAMING search-serving pipeline at bench scale under
+    * the oracle gate — q134's maintained inverted index as a LIVE
+    * topology ([[graft.streaming.SearchServingPipeline]]): staged
+    * documents CDC feed → checkpointed doc log → per-batch ± posting/
+    * length contributions → EXACTLY-ONCE additive JDBC MERGEs (batch
+    * marker in the merge transaction; zero-guard deletes dead
+    * postings) → BM25 answered from the file-backed Derby STORE alone.
+    * The oracle is q134's from-scratch BM25 over the post-traffic
+    * corpus, so the hash certifies what an external index server
+    * actually reads. Incremental across invocations and JVMs (q133's
+    * warehouse-keyed harness).
+    */
+  val q135 = QueryDef.sql(
+    "q135_search_serving",
+    """WITH cur AS (SELECT doc_id,
+      |         CASE WHEN doc_id % 3 = 0 THEN text || ' revised edition'
+      |              ELSE text END AS text
+      |       FROM documents WHERE doc_id % 5 <> 0),
+      |q AS (SELECT unnest(['vector', 'stream', 'join']) AS token),
+      |tok AS (SELECT doc_id, len(string_split(text, ' ')) AS len,
+      |               unnest(string_split(text, ' ')) AS token FROM cur),
+      |tf AS (SELECT doc_id, token, count(*) AS tf, max(len) AS len
+      |       FROM tok WHERE token IN (SELECT token FROM q) GROUP BY 1, 2),
+      |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+      |st AS (SELECT count(*) AS n, avg(len(string_split(text, ' '))) AS al
+      |       FROM cur)
+      |SELECT doc_id,
+      |       sum(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+      |           * (tf * (1.2 + 1)) /
+      |           (tf + 1.2 * (1 - 0.75 + 0.75 * len / al))) AS bm25
+      |FROM tf JOIN df USING (token) CROSS JOIN st
+      |GROUP BY doc_id""".stripMargin) { (spark, dir) =>
+    import graft.cdc.ChangeFeed
+    import graft.cdc.DeltaLog
+    import graft.streaming.SearchServingPipeline
+    val feed = ChangeFeed.stagedDocsJsonl(spark, dir)
+    val fp = graft.sources.Staging.fingerprint(Seq(s"$dir/documents.parquet"))
+    val base = DeltaLog.logBase(spark,
+      s"searchserve_${dir.replaceAll("[^a-zA-Z0-9]", "_")}", fp)
+    val url = s"jdbc:derby:$base/derby;create=true"
+    val pipeline = SearchServingPipeline(
+      name = "q135", databases = Set("shop"), table = "documents",
+      idField = "doc_id", textField = "text",
+      jdbcUrl = url, postingsTable = "postings_q135",
+      lensTable = "doclens_q135")
+    q135Lock.synchronized {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(base))
+      val c = java.sql.DriverManager.getConnection(url)
+      try {
+        val st = c.createStatement()
+        def mk(ddl: String): Unit =
+          try { st.execute(ddl); () }
+          catch { // X0Y32: table already exists (idempotent re-drive)
+            case e: java.sql.SQLException if e.getSQLState == "X0Y32" => ()
+          }
+        mk("""CREATE TABLE postings_q135 ("token" VARCHAR(256) NOT NULL,
+             | "doc_id" BIGINT NOT NULL, "tf" BIGINT,
+             | PRIMARY KEY ("token", "doc_id"))""".stripMargin.replace("\n", ""))
+        mk("""CREATE TABLE doclens_q135 ("doc_id" BIGINT NOT NULL PRIMARY
+             | KEY, "len" BIGINT)""".stripMargin.replace("\n", ""))
+      } finally c.close()
+      pipeline.runOnce(spark, feed, s"$base/work")
+    }
+    pipeline.servedBm25(spark, Seq("vector", "stream", "join"))
+  }
+
   val all: Seq[QueryDef] = Seq(q41, q42, q43, q44, q45, q47, q48, q49,
     q54, q57, q60, q62, q63, q64, q68, q69, q74, q76, q80, q81, q83, q90, q91,
-    q94, q98, q122, q125, q127, q128, q129, q130, q131, q133, q134)
+    q94, q98, q122, q125, q127, q128, q129, q130, q131, q133, q134, q135)
 }

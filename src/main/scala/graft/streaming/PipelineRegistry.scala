@@ -55,7 +55,7 @@ object PipelineRegistry {
     * must not make a production pipeline silently vanish from every
     * lifecycle.
     */
-  private val Kinds = Set("lww", "view", "ann", "dedup")
+  private val Kinds = Set("lww", "view", "ann", "dedup", "search")
 
   private def kindOf(f: File,
       node: com.fasterxml.jackson.databind.JsonNode): String = {
@@ -377,6 +377,63 @@ object PipelineRegistry {
       }
     }}
   }
+
+  final case class SearchEntry(pipeline: SearchServingPipeline, file: String,
+      mtime: Long)
+
+  /** Discover and build every `"kind": "search"` pipeline in `dir` —
+    * the streaming inverted-index/BM25 serving flow
+    * ([[SearchServingPipeline]]) as registry data:
+    * {{{
+    *   { "kind": "search", "name": "docs",
+    *     "databases": ["shop"], "table": "documents",
+    *     "idKey": "doc_id", "textField": "text",
+    *     "jdbc": { "url": "jdbc:derby:...", "postingsTable": "postings",
+    *               "lensTable": "doclens" } }
+    * }}}
+    */
+  def loadSearch(dir: String, strict: Boolean = true): Seq[SearchEntry] = {
+    val mapper = new ObjectMapper()
+    confFiles(dir).flatMap { f => perFile(f, strict) {
+      val node = mapper.readTree(f)
+      if (kindOf(f, node) != "search") None
+      else {
+        require(node.hasNonNull("name") && node.hasNonNull("table")
+            && node.hasNonNull("idKey") && node.hasNonNull("textField")
+            && node.hasNonNull("jdbc"),
+          s"${f.getName}: search confs need name, table, idKey, textField and jdbc")
+        val jdbc = node.get("jdbc")
+        require(jdbc.hasNonNull("url") && jdbc.hasNonNull("postingsTable")
+            && jdbc.hasNonNull("lensTable"),
+          s"${f.getName}: jdbc needs url, postingsTable and lensTable")
+        val dbs =
+          if (node.has("databases"))
+            node.get("databases").elements().asScala.map(_.asText()).toSet
+          else Set("shop")
+        def dbl(field: String, dflt: Double): Double =
+          if (node.hasNonNull(field)) node.get(field).asDouble() else dflt
+        val pipeline = SearchServingPipeline(
+          name = node.get("name").asText(),
+          databases = dbs,
+          table = node.get("table").asText(),
+          idField = node.get("idKey").asText(),
+          textField = node.get("textField").asText(),
+          jdbcUrl = jdbc.get("url").asText(),
+          postingsTable = jdbc.get("postingsTable").asText(),
+          lensTable = jdbc.get("lensTable").asText(),
+          k1 = dbl("k1", 1.2), b = dbl("b", 0.75))
+        Some(SearchEntry(pipeline, f.getAbsolutePath, f.lastModified()))
+      }
+    }}
+  }
+
+  /** [[changedSince]] for the search-pipeline lifecycle. */
+  def changedSearchSince(known: Seq[SearchEntry], dir: String): Seq[String] =
+    changedOfKind(known.map(e => e.file -> e.mtime).toMap, dir, "search")
+
+  /** [[removedSince]] for the search-pipeline lifecycle. */
+  def removedSearchSince(known: Seq[SearchEntry], dir: String): Seq[String] =
+    removedOfKind(known.map(_.file), "search")
 
   /** [[changedSince]] for the dedup-pipeline lifecycle. */
   def changedDedupSince(known: Seq[DedupEntry], dir: String): Seq[String] =

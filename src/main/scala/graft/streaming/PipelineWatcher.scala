@@ -62,6 +62,9 @@ final class PipelineWatcher(
   private val dedupEntries =
     mutable.Map.empty[String, PipelineRegistry.DedupEntry]
   private val dedupQueries = mutable.Map.empty[String, Seq[StreamingQuery]]
+  private val searchEntries =
+    mutable.Map.empty[String, PipelineRegistry.SearchEntry]
+  private val searchQueries = mutable.Map.empty[String, Seq[StreamingQuery]]
   @volatile private var running = false
   private var loop: Thread = _
 
@@ -100,6 +103,14 @@ final class PipelineWatcher(
     qs
   }
 
+  private def startSearch(e: PipelineRegistry.SearchEntry): Seq[StreamingQuery] = {
+    val qs = e.pipeline.start(spark, sourceDir, workDir(e.file),
+      interval = viewTriggerInterval)
+    searchEntries(e.file) = e
+    searchQueries(e.file) = qs
+    qs
+  }
+
   /** Initial discovery + start of every registered pipeline of BOTH
     * kinds (the boot half; [[PipelineRegistry.startAll]] semantics,
     * tracked for reload). Returns every started query — one per LWW
@@ -109,7 +120,8 @@ final class PipelineWatcher(
     PipelineRegistry.load(confDir).map(startLww) ++
       PipelineRegistry.loadViews(confDir).flatMap(startView) ++
       PipelineRegistry.loadAnn(confDir).flatMap(startAnn) ++
-      PipelineRegistry.loadDedup(confDir).flatMap(startDedup)
+      PipelineRegistry.loadDedup(confDir).flatMap(startDedup) ++
+      PipelineRegistry.loadSearch(confDir).flatMap(startSearch)
   }
 
   /** One detection/reload cycle; returns the names of pipelines that
@@ -142,6 +154,11 @@ final class PipelineWatcher(
       .foreach { f =>
         dedupQueries.remove(f).foreach(_.foreach(q => if (q.isActive) q.stop()))
         dedupEntries.remove(f)
+      }
+    PipelineRegistry.removedSearchSince(searchEntries.values.toSeq, confDir)
+      .foreach { f =>
+        searchQueries.remove(f).foreach(_.foreach(q => if (q.isActive) q.stop()))
+        searchEntries.remove(f)
       }
     val changed =
       PipelineRegistry.changedSince(entries.values.toSeq, confDir).toSet
@@ -186,6 +203,18 @@ final class PipelineWatcher(
           startDedup(e)
           e.pipeline.name
         }
+    val changedSearch =
+      PipelineRegistry.changedSearchSince(searchEntries.values.toSeq, confDir)
+        .toSet
+    val restartedSearch =
+      if (changedSearch.isEmpty) Seq.empty
+      else PipelineRegistry.loadSearch(confDir, strict = false)
+        .filter(e => changedSearch(e.file)).map { e =>
+          searchQueries.get(e.file)
+            .foreach(_.foreach(q => if (q.isActive) q.stop()))
+          startSearch(e)
+          e.pipeline.name
+        }
     // maintenance tick: schedule an age-triggered retrain for any live
     // ann pipeline whose quantizer generation has gone stale — the
     // marker is honored by the index stage at its next batch boundary
@@ -194,7 +223,8 @@ final class PipelineWatcher(
       e.pipeline.scheduleRetrainIfStale(workDir(e.file))
       ()
     }
-    restartedLww ++ restartedViews ++ restartedAnn ++ restartedDedup
+    restartedLww ++ restartedViews ++ restartedAnn ++ restartedDedup ++
+      restartedSearch
   }
 
   /** Spawn the daemon polling loop (the WatchFile thread). */
@@ -227,6 +257,7 @@ final class PipelineWatcher(
       viewQueries.values.foreach(_.foreach(q => if (q.isActive) q.stop()))
       annQueries.values.foreach(_.foreach(q => if (q.isActive) q.stop()))
       dedupQueries.values.foreach(_.foreach(q => if (q.isActive) q.stop()))
+      searchQueries.values.foreach(_.foreach(q => if (q.isActive) q.stop()))
     }
   }
 
@@ -260,5 +291,13 @@ final class PipelineWatcher(
   def activeDedupQueries: Map[String, Seq[StreamingQuery]] = synchronized {
     dedupEntries.values.flatMap(e =>
       dedupQueries.get(e.file).map(qs => e.pipeline.name -> qs)).toMap
+  }
+
+  /** Active query set per SEARCH pipeline name (two queries per live
+    * pipeline: doc log, posting/length index serving).
+    */
+  def activeSearchQueries: Map[String, Seq[StreamingQuery]] = synchronized {
+    searchEntries.values.flatMap(e =>
+      searchQueries.get(e.file).map(qs => e.pipeline.name -> qs)).toMap
   }
 }

@@ -1,0 +1,153 @@
+package graft.streaming
+
+import graft.cdc.DeltaLog
+import graft.ops.CorpusOps
+import graft.sinks.JdbcSink
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.file.{Files, Paths}
+
+/** STREAMING SEARCH-INDEX SERVING — the q134 maintained inverted index
+  * as a LIVE pipeline, completing the serving trio beside
+  * [[AnnServingPipeline]] (vectors) and [[DedupClusterPipeline]]
+  * (near-dup clusters): a documents CDC feed flows through LWW replay
+  * into a delta log, each micro-batch's deltas become signed
+  * TERM-POSTING and DOC-LENGTH contributions
+  * ([[CorpusOps.termPostingDeltas]] / [[CorpusOps.docLenDeltas]] —
+  * stateless: the delta's prev row carries the old text, no lookup),
+  * and the net ±tf / ±len land in keyed JDBC tables via ADDITIVE MERGE
+  * — a BM25 server reads the store alone. Lineage:
+  *
+  *   bronze feed ─ LWW replay ─▶ delta log ─▶ ±postings ─▶ JDBC += tf
+  *                                       └──▶ ±doc lens ─▶ JDBC += len
+  *
+  * Both stages checkpoint under `workRoot` ([[ViewPipeline]]'s
+  * contract): [[runOnce]] is incremental across invocations and
+  * [[start]] runs the same stages live. Effects are EXACTLY-ONCE:
+  * [[JdbcSink.mergeAdditive]] commits a batch-progress marker in the
+  * same transaction as the merge, so a checkpoint-replayed batch is
+  * skipped whole — additive effects cannot rely on idempotence the way
+  * keyed upserts do. Postings whose net tf reaches 0 (revision dropped
+  * the term, or the doc was deleted) are deleted by the merge's
+  * zero-guard, so the store holds exactly the LIVE index.
+  *
+  * The ± fold is order-free algebra, so a catch-up micro-batch
+  * carrying several source batches for one document is simply netted —
+  * the same argument as q134's batch fold, which is ALSO this
+  * pipeline's oracle story: [[servedBm25]] reads only the store, and
+  * the spec pins it equal to the batch scorer over the current corpus
+  * after every churn wave.
+  *
+  * Serving schema: `postingsTable(token VARCHAR, doc_id BIGINT, tf
+  * BIGINT)` keyed (token, doc_id); `lensTable(doc_id BIGINT PK, len
+  * BIGINT)`.
+  */
+final case class SearchServingPipeline(
+    name: String,
+    databases: Set[String],
+    table: String,
+    idField: String,
+    textField: String,
+    jdbcUrl: String,
+    postingsTable: String,
+    lensTable: String,
+    k1: Double = 1.2,
+    b: Double = 0.75) {
+
+  private val rowSchema: StructType =
+    StructType.fromDDL(s"$idField BIGINT, $textField STRING")
+
+  private def logDir(workRoot: String) = s"$workRoot/log"
+  private def ckptDir(workRoot: String, stage: String) = s"$workRoot/ckpt_$stage"
+
+  private def logQuery(spark: SparkSession, feedDir: String,
+      workRoot: String, trigger: Trigger): StreamingQuery = {
+    val deltas = DeltaLog.deltaStream(spark, feedDir, table, rowSchema,
+      coalesce(col(s"after.$idField"), col(s"before.$idField")).cast("long"),
+      databases)
+    val dir = logDir(workRoot)
+    deltas.writeStream
+      .queryName(s"search_${name}_log")
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", ckptDir(workRoot, "log"))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$dir/batch_id=$batchId")
+        ()
+      }
+      .start()
+  }
+
+  private def indexQuery(spark: SparkSession, workRoot: String,
+      trigger: Trigger): StreamingQuery = {
+    val stream = spark.readStream.schema(ViewPipeline.LogSchema)
+      .parquet(logDir(workRoot))
+    val tf = textField
+    val url = jdbcUrl
+    val (pt, lt) = (postingsTable, lensTable)
+    stream.writeStream
+      .queryName(s"search_$name")
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", ckptDir(workRoot, "index"))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // persist across the two staging actions: an uncached batch
+        // frame re-runs the whole micro-batch plan per action
+        val cached = batch.persist()
+        try {
+          // net ± contributions of THIS batch (order-free algebra nets
+          // a catch-up batch's whole per-key history correctly)
+          val posting = CorpusOps.termPostingDeltas(cached, tf)
+            .select(col("token"), col("doc_id"), col("d").as("tf"))
+          JdbcSink.mergeAdditive(posting, url, pt,
+            Seq("token", "doc_id"), Seq("tf"), zeroGuard = "tf",
+            stagingColumnTypes = "token VARCHAR(256)", batchId = batchId)
+          val lens = CorpusOps.docLenDeltas(cached, tf)
+            .select(col("doc_id"), col("d").as("len"))
+          JdbcSink.mergeAdditive(lens, url, lt,
+            Seq("doc_id"), Seq("len"), zeroGuard = "len", batchId = batchId)
+        } finally { cached.unpersist(); () }
+        ()
+      }
+      .start()
+  }
+
+  /** The live index read back from the serving store. */
+  def servedPostings(spark: SparkSession): DataFrame =
+    spark.read.jdbc(jdbcUrl, postingsTable, new java.util.Properties())
+      .select(col("token"), col("doc_id").cast("long").as("doc_id"),
+        col("tf").cast("long").as("tf"))
+
+  def servedLens(spark: SparkSession): DataFrame =
+    spark.read.jdbc(jdbcUrl, lensTable, new java.util.Properties())
+      .select(col("doc_id").cast("long").as("doc_id"),
+        col("len").cast("long").as("len"))
+
+  /** BM25 top-k from the SERVED store alone — what an index server
+    * runs per query; no corpus access.
+    */
+  def servedBm25(spark: SparkSession, queryTokens: Seq[String]): DataFrame =
+    CorpusOps.bm25FromIndex(servedPostings(spark), servedLens(spark),
+      queryTokens, k1, b)
+
+  /** Drain the feed's current contents through both stages; incremental
+    * across calls (durable checkpoints).
+    */
+  def runOnce(spark: SparkSession, feedDir: String, workRoot: String): Unit = {
+    Files.createDirectories(Paths.get(logDir(workRoot)))
+    logQuery(spark, feedDir, workRoot, Trigger.AvailableNow())
+      .awaitTermination()
+    indexQuery(spark, workRoot, Trigger.AvailableNow()).awaitTermination()
+  }
+
+  /** Live deployment: both stages on a processing-time trigger. */
+  def start(spark: SparkSession, feedDir: String, workRoot: String,
+      interval: String = "500 milliseconds"): Seq[StreamingQuery] = {
+    val t = Trigger.ProcessingTime(interval)
+    Files.createDirectories(Paths.get(logDir(workRoot)))
+    Seq(logQuery(spark, feedDir, workRoot, t),
+      indexQuery(spark, workRoot, t))
+  }
+}

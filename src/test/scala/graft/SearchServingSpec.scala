@@ -1,0 +1,142 @@
+package graft
+
+import graft.ops.CorpusOps
+import graft.streaming.SearchServingPipeline
+import java.nio.file.Files
+import scala.jdk.CollectionConverters._
+
+/** Streaming search-index serving E2E: a documents CDC feed maintains
+  * term-posting and doc-length tables through additive exactly-once
+  * MERGEs, and BM25 served from the STORE alone equals the batch scorer
+  * over the current corpus after every churn wave.
+  */
+class SearchServingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  private def wire(after: String, before: String, op: String,
+      ts: Long, off: Long): String = {
+    val ev = s"""{"payload":{"before":${Option(before).getOrElse("null")},""" +
+      s""""after":${Option(after).getOrElse("null")},""" +
+      s""""source":{"db":"shop","table":"documents","ts_ms":$ts},"op":"$op","ts_ms":$ts}}"""
+    s"""{"value":${mapper.writeValueAsString(ev)},"offset":$off}"""
+  }
+  private def d(id: Long, text: String): String =
+    mapper.writeValueAsString(java.util.Map.of(
+      "doc_id", java.lang.Long.valueOf(id), "text", text))
+
+  test("E2E: churn maintains the served index; BM25 from the store equals the batch scorer; replay is a no-op") {
+    val url = "jdbc:derby:memory:graftsearch;create=true"
+    val c0 = java.sql.DriverManager.getConnection(url)
+    c0.createStatement().execute(
+      """CREATE TABLE postings ("token" VARCHAR(256) NOT NULL,
+        | "doc_id" BIGINT NOT NULL, "tf" BIGINT,
+        | PRIMARY KEY ("token", "doc_id"))""".stripMargin.replace("\n", ""))
+    c0.createStatement().execute(
+      """CREATE TABLE doclens ("doc_id" BIGINT NOT NULL PRIMARY KEY,
+        | "len" BIGINT)""".stripMargin.replace("\n", ""))
+    c0.close()
+
+    val pipeline = SearchServingPipeline(
+      name = "srch", databases = Set("shop"), table = "documents",
+      idField = "doc_id", textField = "text",
+      jdbcUrl = url, postingsTable = "postings", lensTable = "doclens")
+    val feedDir = Files.createTempDirectory("graft_search_feed_").toFile
+    val workRoot = Files.createTempDirectory("graft_search_work_").toString
+    val qTokens = Seq("vector", "stream")
+
+    def check(corpus: Seq[(Long, String)], label: String): Unit = {
+      val served = pipeline.servedBm25(spark, qTokens)
+        .as[(Long, Double)].collect().toMap
+      val batch = CorpusOps.bm25(corpus.toDF("doc_id", "text"),
+        "doc_id", "text", qTokens).as[(Long, Double)].collect().toMap
+      assert(served.keySet == batch.keySet,
+        s"$label: served ${served.keySet} vs batch ${batch.keySet}")
+      served.foreach { case (id, s) =>
+        assert(math.abs(s - batch(id)) < 1e-9, s"$label doc $id: $s vs ${batch(id)}")
+      }
+    }
+
+    // wave 0: three docs, two containing query terms
+    Files.write(new java.io.File(feedDir, "000.json").toPath, Seq(
+      wire(d(1, "vector search over stream data"), null, "c", 10, 1),
+      wire(d(2, "stream join semantics"), null, "c", 10, 2),
+      wire(d(3, "unrelated words here"), null, "c", 10, 3)).asJava)
+    pipeline.runOnce(spark, feedDir.toString, workRoot)
+    check(Seq(1L -> "vector search over stream data",
+      2L -> "stream join semantics", 3L -> "unrelated words here"), "wave 0")
+
+    // wave 1: doc 1 revised (loses 'stream', keeps 'vector'), doc 2
+    // deleted — postings must retract (zero-guard) and stats must move
+    Files.write(new java.io.File(feedDir, "001.json").toPath, Seq(
+      wire(d(1, "vector index only"), d(1, "vector search over stream data"),
+        "u", 20, 4),
+      wire(null, d(2, "stream join semantics"), "d", 21, 5)).asJava)
+    pipeline.runOnce(spark, feedDir.toString, workRoot)
+    check(Seq(1L -> "vector index only", 3L -> "unrelated words here"),
+      "wave 1")
+    // the deleted doc's rows are GONE from the store, not zeroed
+    assert(pipeline.servedPostings(spark).filter($"doc_id" === 2L).isEmpty)
+    assert(pipeline.servedLens(spark).filter($"doc_id" === 2L).isEmpty)
+
+    // no new feed data → re-drain is a no-op (exactly-once additive
+    // merges must not double-apply)
+    pipeline.runOnce(spark, feedDir.toString, workRoot)
+    check(Seq(1L -> "vector index only", 3L -> "unrelated words here"),
+      "re-drain")
+  }
+
+  test("conf-declared search pipeline: watcher add starts serving, delete stops and preserves checkpoints") {
+    import graft.streaming.{PipelineRegistry, PipelineWatcher}
+    val url = "jdbc:derby:memory:graftsearchconf;create=true"
+    val c0 = java.sql.DriverManager.getConnection(url)
+    c0.createStatement().execute(
+      """CREATE TABLE postings2 ("token" VARCHAR(256) NOT NULL,
+        | "doc_id" BIGINT NOT NULL, "tf" BIGINT,
+        | PRIMARY KEY ("token", "doc_id"))""".stripMargin.replace("\n", ""))
+    c0.createStatement().execute(
+      """CREATE TABLE doclens2 ("doc_id" BIGINT NOT NULL PRIMARY KEY,
+        | "len" BIGINT)""".stripMargin.replace("\n", ""))
+    c0.close()
+
+    val confDir = Files.createTempDirectory("graft_searchconf_").toFile
+    val feedDir = Files.createTempDirectory("graft_searchconf_feed_").toFile
+    val ckptRoot = Files.createTempDirectory("graft_searchconf_ckpt_").toString
+    Files.write(new java.io.File(feedDir, "000.json").toPath, Seq(
+      wire(d(1, "vector stream"), null, "c", 10, 1)).asJava)
+
+    val cfg = graft.sinks.EsSink.Config("http://es:9200/idx", "u", "p", "id")
+    val watcher = new PipelineWatcher(spark, confDir.toString,
+      feedDir.toString, ckptRoot, cfg, new SinkSpec.Recorder,
+      viewTriggerInterval = "200 milliseconds")
+    try {
+      assert(watcher.startPipelines().isEmpty)
+      val conf = new java.io.File(confDir, "srch.json")
+      Files.write(conf.toPath, Seq(
+        s"""{"kind":"search","name":"srch2","databases":["shop"],
+           |"table":"documents","idKey":"doc_id","textField":"text",
+           |"jdbc":{"url":"$url","postingsTable":"postings2",
+           |        "lensTable":"doclens2"}}"""
+          .stripMargin.replace("\n", "")).asJava)
+      assert(watcher.pollOnce() == Seq("srch2"))
+      assert(watcher.activeSearchQueries("srch2").size == 2)
+      def served(): Set[(String, Long, Long)] =
+        spark.read.jdbc(url, "postings2", new java.util.Properties())
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+          .toSet
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      while (served().size < 2 && System.nanoTime() < deadline)
+        Thread.sleep(200)
+      assert(served() == Set(("vector", 1L, 1L), ("stream", 1L, 1L)),
+        s"conf-declared search must serve, got ${served()}")
+
+      val live = watcher.activeSearchQueries("srch2")
+      assert(conf.delete())
+      assert(watcher.pollOnce().isEmpty)
+      assert(live.forall(!_.isActive) && watcher.activeSearchQueries.isEmpty)
+      val workDir = s"$ckptRoot/${PipelineRegistry.ckptKey(conf.getAbsolutePath)}"
+      assert(new java.io.File(s"$workDir/ckpt_index").exists(),
+        "deregistration preserves checkpoints")
+    } finally watcher.stop()
+  }
+}
