@@ -688,6 +688,35 @@ object CorpusOps {
       .select(col(idCol), col("w").as("n_tokens"), col("shard_id"))
   }
 
+  /** Shard MANIFEST — the reproducible data-loading contract a packed
+    * corpus export ships alongside its shards: per shard, the document
+    * count, token total, id range, and a cross-engine CONTENT checksum
+    * (md5 of the shard's texts concatenated in doc-id order with a
+    *  separator — the q90 pattern: any byte drift in any
+    * document, or any doc landing in the wrong shard, changes the
+    * hash), so a training loader can verify each shard it reads
+    * against the manifest without touching neighbors. Built on
+    * [[packShards]]' deterministic assignment; the per-shard aggregate
+    * holds one shard's texts, which the token budget bounds by
+    * construction — manifest memory is budget-sized, never corpus-
+    * sized.
+    */
+  def shardManifest(docs: DataFrame, idCol: String, textCol: String,
+      budget: Long): DataFrame = {
+    val packed = packShards(docs, idCol,
+      size(split(col(textCol), " ")), budget)
+    packed
+      .join(docs.select(col(idCol), col(textCol).as("_t")), Seq(idCol))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col(idCol)).as("min_doc_id"),
+        max(col(idCol)).as("max_doc_id"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col(idCol), col("_t")))),
+            s => s.getField("_t")), "\u0001")).as("checksum"))
+  }
+
   /** Auto chunk for [[packShards]]: ceil((max(id)+1) / 1e5), so the
     * id-bucket count — the rows through the offsets window's single
     * task — never exceeds ~1e5 regardless of id-domain size or density.

@@ -1282,6 +1282,34 @@ object PipelineQueries {
       Seq("vector", "stream", "join"))
   }
 
+  /** Q136: shard MANIFEST — the reproducible data-loading contract a
+    * packed corpus export ships: per shard (q48's deterministic
+    * token-budget assignment), doc count, token total, id range, and a
+    * cross-engine md5 CONTENT checksum over the shard's texts in
+    * doc-id order (the q90 pattern: a byte of drift in any document,
+    * or one doc in the wrong shard, flips the hash). A training loader
+    * verifies each shard against this without touching neighbors.
+    */
+  val q136 = QueryDef.sql(
+    "q136_shard_manifest",
+    """WITH packed AS (
+      |  SELECT doc_id, text, len(string_split(text, ' ')) AS n_tokens,
+      |         CAST((b - b % 1000) / 1000 AS BIGINT) AS shard_id
+      |  FROM (SELECT doc_id, text,
+      |          COALESCE(sum(len(string_split(text, ' ')))
+      |            OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+      |                  AND 1 PRECEDING), 0) AS b
+      |        FROM documents))
+      |SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+      |       CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+      |       CAST(max(doc_id) AS BIGINT) AS max_doc_id,
+      |       md5(string_agg(text, chr(1) ORDER BY doc_id)) AS checksum
+      |FROM packed GROUP BY shard_id""".stripMargin) { (spark, dir) =>
+    CorpusOps.shardManifest(Tables.documents(spark, dir), "doc_id", "text",
+      1000L)
+  }
+
   private val q135Lock = new Object
 
   /** Q135: the STREAMING search-serving pipeline at bench scale under
@@ -1352,5 +1380,6 @@ object PipelineQueries {
 
   val all: Seq[QueryDef] = Seq(q41, q42, q43, q44, q45, q47, q48, q49,
     q54, q57, q60, q62, q63, q64, q68, q69, q74, q76, q80, q81, q83, q90, q91,
-    q94, q98, q122, q125, q127, q128, q129, q130, q131, q133, q134, q135)
+    q94, q98, q122, q125, q127, q128, q129, q130, q131, q133, q134, q135,
+    q136)
 }
