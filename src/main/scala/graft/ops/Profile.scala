@@ -106,16 +106,26 @@ object Profile {
     */
   def psiDrift(df: DataFrame, isRef: Column,
       features: Seq[(String, Column)]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val stacked = df
       .select(isRef.as("is_ref"), explode(array(features.map { case (n, c) =>
         struct(lit(n).as("feature"), c.cast("string").as("bin"))
       }: _*)).as("fb"))
       .select(col("is_ref"), col("fb.feature").as("feature"),
         col("fb.bin").as("bin"))
-    val counts = stacked.groupBy(col("feature"), col("bin"))
+    psiFromCounts(stacked.groupBy(col("feature"), col("bin"))
       .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
-        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_cur"))
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_cur")))
+  }
+
+  /** The PSI report from a PRE-COUNTED (feature, bin, n_ref, n_cur)
+    * relation — the histogram-level entry point a MAINTAINED monitor
+    * feeds (q137: the current-side histogram folds from a CDC delta
+    * log, so drift is re-scored per batch without ever rescanning the
+    * corpus). Same smoothing/stability arithmetic as [[psiDrift]],
+    * which now routes through here.
+    */
+  def psiFromCounts(counts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("feature"))
     counts
       .withColumn("nb", count(lit(1)).over(w))

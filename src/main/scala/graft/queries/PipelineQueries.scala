@@ -1282,6 +1282,83 @@ object PipelineQueries {
       Seq("vector", "stream", "join"))
   }
 
+  /** Q137: CDC-MAINTAINED DRIFT MONITOR — q94's PSI report with the
+    * CURRENT side maintained from the documents delta log instead of a
+    * corpus rescan: ± histogram folds (token-length buckets and lead
+    * token of each delta's new/prev text — a revision moves its bins,
+    * a deletion retracts them) give the post-traffic histogram, the
+    * pre-traffic corpus is the reference, and
+    * Profile.psiFromCounts scores the drift. The monitor's per-batch
+    * cost is the churn's bins; the report never returns to the data.
+    * The oracle recomputes both histograms from scratch (q94's exact
+    * smoothing/stability arithmetic), so every maintained count is
+    * certified.
+    */
+  val q137 = QueryDef.sql(
+    "q137_cdc_psi_drift",
+    """WITH ref AS (SELECT string_split(text, ' ') AS t FROM documents),
+      |cur AS (SELECT string_split(CASE WHEN doc_id % 3 = 0
+      |                 THEN text || ' revised edition' ELSE text END,
+      |               ' ') AS t
+      |        FROM documents WHERE doc_id % 5 <> 0),
+      |st AS (SELECT TRUE AS is_ref, 'len_bucket' AS feature,
+      |              CAST(len(t) // 10 AS VARCHAR) AS bin FROM ref
+      |       UNION ALL SELECT TRUE, 'lead_token', t[1] FROM ref
+      |       UNION ALL SELECT FALSE, 'len_bucket',
+      |              CAST(len(t) // 10 AS VARCHAR) FROM cur
+      |       UNION ALL SELECT FALSE, 'lead_token', t[1] FROM cur),
+      |c AS (SELECT feature, bin,
+      |        CAST(count(*) FILTER (is_ref) AS BIGINT) AS n_ref,
+      |        CAST(count(*) FILTER (NOT is_ref) AS BIGINT) AS n_cur
+      |      FROM st GROUP BY 1, 2),
+      |t AS (SELECT feature, bin, n_ref, n_cur,
+      |        count(*) OVER (PARTITION BY feature) AS nb,
+      |        sum(n_ref) OVER (PARTITION BY feature) AS tot_ref,
+      |        sum(n_cur) OVER (PARTITION BY feature) AS tot_cur
+      |      FROM c),
+      |p AS (SELECT feature, bin, n_ref, n_cur,
+      |        CAST(n_ref + 1 AS DOUBLE) / CAST(tot_ref + nb AS DOUBLE) AS p,
+      |        CAST(n_cur + 1 AS DOUBLE) / CAST(tot_cur + nb AS DOUBLE) AS q
+      |      FROM t)
+      |SELECT feature, bin, n_ref, n_cur,
+      |       (p - q) * ln(p / q) AS psi_term,
+      |       CAST(sum(CAST(round((p - q) * ln(p / q) * 1e9) AS BIGINT))
+      |            OVER (PARTITION BY feature) AS DOUBLE) / 1e9 AS psi_feature
+      |FROM p""".stripMargin) { (spark, dir) =>
+    import graft.cdc.DeltaLog
+    def feats(textCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val toks = split(textCol, " ")
+      array(
+        struct(lit("len_bucket").as("feature"),
+          floor(size(toks) / 10).cast("long").cast("string").as("bin")),
+        struct(lit("lead_token").as("feature"),
+          element_at(toks, 1).as("bin")))
+    }
+    // current histogram: ± folds over the delta log — never the corpus
+    val signed = DeltaLog.documentsDeltas(spark, dir)
+      .select(explode(filter(array(
+        when(col("rowJson").isNotNull, struct(lit(1L).as("sgn"),
+          get_json_object(col("rowJson"), "$.text").as("text"))),
+        when(col("prevJson").isNotNull, struct(lit(-1L).as("sgn"),
+          get_json_object(col("prevJson"), "$.text").as("text")))),
+        x => x.isNotNull)).as("c"))
+      .select(col("c.sgn").as("sgn"), explode(feats(col("c.text"))).as("fb"))
+      .select(col("sgn"), col("fb.feature").as("feature"),
+        col("fb.bin").as("bin"))
+    val curCounts = signed.groupBy(col("feature"), col("bin"))
+      .agg(sum(col("sgn")).as("n_cur")).filter(col("n_cur") > 0)
+    // reference histogram: the pre-traffic corpus
+    val refCounts = Tables.documents(spark, dir)
+      .select(explode(feats(col("text"))).as("fb"))
+      .groupBy(col("fb.feature").as("feature"), col("fb.bin").as("bin"))
+      .agg(count(lit(1)).as("n_ref"))
+    graft.ops.Profile.psiFromCounts(
+      refCounts.join(curCounts, Seq("feature", "bin"), "full_outer")
+        .select(col("feature"), col("bin"),
+          coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+          coalesce(col("n_cur"), lit(0L)).as("n_cur")))
+  }
+
   /** Q136: shard MANIFEST — the reproducible data-loading contract a
     * packed corpus export ships: per shard (q48's deterministic
     * token-budget assignment), doc count, token total, id range, and a
@@ -1381,5 +1458,5 @@ object PipelineQueries {
   val all: Seq[QueryDef] = Seq(q41, q42, q43, q44, q45, q47, q48, q49,
     q54, q57, q60, q62, q63, q64, q68, q69, q74, q76, q80, q81, q83, q90, q91,
     q94, q98, q122, q125, q127, q128, q129, q130, q131, q133, q134, q135,
-    q136)
+    q136, q137)
 }
