@@ -143,9 +143,10 @@ class PlanSpec extends SparkSpec {
     // computation — their shapes are pinned in StreamingSpec instead.
     // Exempt: q48's per-bucket offsets window runs over the bucket
     // relation (corpus/chunk rows — bounded metadata, documented at
-    // CorpusOps.packShards and shape-checked in the q48 test above).
+    // CorpusOps.packShards and shape-checked in the q48 test above);
+    // q136 composes packShards and inherits exactly that window.
     val streaming = (StreamingQueries.all :+ CdcQueries.q17f).map(_.name).toSet
-    val exempt = Set("q48_shard_pack")
+    val exempt = Set("q48_shard_pack", "q136_shard_manifest")
     for (q <- SparkEntry.registry if !streaming(q.name) && !exempt(q.name)) {
       val df = q.fn(spark, sf001)
       // partitionBy(lit(1)) has the same single-task funnel as an empty
