@@ -227,12 +227,21 @@ object MinHashLsh {
     val a = byDoc.select(col("id").as("doc_id_a"), col("ss").as("ssa"))
     val b = byDoc.select(col("id").as("doc_id_b"), col("ss").as("ssb"))
     val pairs = cands.join(a, Seq("doc_id_a")).join(b, Seq("doc_id_b"))
-      .withColumn("c", size(array_intersect(col("ssa"), col("ssb"))).cast("long"))
-      .withColumn("jac",
-        col("c").cast("double") / (size(col("ssa")) + size(col("ssb")) - col("c")))
+      .withColumn("jac", exactJaccard(col("ssa"), col("ssb")))
       .filter(col("jac") >= threshold)
       .select(col("doc_id_a"), col("doc_id_b"), col("jac"))
     (pairs, () => { byDoc.unpersist(); () })
+  }
+
+  /** THE exact set-Jaccard expression every verify stage shares —
+    * |a∩b| / (|a|+|b|−|a∩b|) over shingle-set arrays. One definition:
+    * a future change to its null/short-set semantics must not let a
+    * streaming verify drift from the batch operators it is certified
+    * against.
+    */
+  def exactJaccard(ssa: Column, ssb: Column): Column = {
+    val c = size(array_intersect(ssa, ssb)).cast("long")
+    c.cast("double") / (size(ssa) + size(ssb) - c)
   }
 
   /** One candidate-pair support change emitted by the STREAMING LSH

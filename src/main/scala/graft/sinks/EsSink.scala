@@ -194,7 +194,13 @@ object EsSink {
   }
 
   /** Batch-progress marker URL: one `_graft_progress_<pipeline>`
-    * document per pipeline in the target index.
+    * document per pipeline in the target index. IN-BAND by design:
+    * ES has no cross-index transactions, so a marker in a separate
+    * index could not be causally tied to the data it certifies — the
+    * reserved `_graft_progress_` id prefix is the contract consumers
+    * filter on (the same in-band-control trade Kafka makes with
+    * __consumer_offsets); an external reader that must never see it
+    * excludes the prefix in its query.
     */
   def progressUrl(cfg: Config, pipeline: String): String =
     s"${cfg.url}/_doc/${pathEncode(s"_graft_progress_$pipeline")}"
@@ -248,6 +254,33 @@ object EsSink {
       writeProgress(cfg, transport, pipeline, batchId)
       Some((dlDeletes, dlUpserts))
     }
+
+  /** Upsert PRE-SERIALIZED documents: `df` carries (`idCol`,
+    * `jsonCol`) and each row's JSON string is sent VERBATIM as the
+    * document body. The path for callers that already hold the
+    * document as JSON — the stateful CDC sink's LWW state stores the
+    * (transformed) row as rowJson, and re-typing it through a declared
+    * schema would silently drop transform-ADDED fields and resurrect
+    * DROPPED ones. Same eager dead-letter contract as [[upsert]].
+    */
+  def upsertRaw(df: DataFrame, idCol: String, jsonCol: String, cfg: Config,
+      transport: Transport): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pairs = df.select(col(idCol).cast("string").as("_id"),
+      col(jsonCol).as("_json"))
+    val dead = pairs.as[(String, String)].mapPartitions { it =>
+      it.grouped(cfg.bulkSize).flatMap { chunk =>
+        upsertRequests(cfg, chunk).flatMap { req =>
+          sendWithRetry(transport, req, cfg.maxRetries, cfg.backoffMs) match {
+            case None => Nil
+            case Some(err) => chunk.map { case (id, json) => DeadLetter(id, json, err) }
+          }
+        }
+      }
+    }
+    dead.toDF().localCheckpoint(true)
+  }
 
   /** Delete by id for every row of `df`. Same eager dead-letter contract
     * as [[upsert]] (record = null for deletes).

@@ -133,11 +133,14 @@ final case class CdcPipeline(
         val df = deltas.toDF()
         val dels = df.filter(col("action") === "delete")
           .select(col("key").cast("string").as(idKey))
+        // the stored rowJson IS the (transformed) document — send it
+        // verbatim: re-typing through the declared rowSchema would
+        // silently drop transform-ADDED fields and resurrect DROPPED
+        // ones, diverging from the per-batch path's sink documents
         val ups = df.filter(col("action") === "upsert")
-          .select(col("key"), from_json(col("rowJson"), rowSchema).as("row"))
-          .select(col("row.*"))
+          .select(col("key"), col("rowJson"))
         EsSink.delete(dels, cfg, transport)
-        EsSink.upsert(ups, cfg, transport)
+        EsSink.upsertRaw(ups, "key", "rowJson", cfg, transport)
         () // dead-letter frames are returned by the sink; S6 contract:
            // the stream continues regardless
       }

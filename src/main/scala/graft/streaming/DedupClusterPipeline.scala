@@ -48,17 +48,22 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   * bucket collisions, and on a real corpus some sit below the intended
   * Jaccard threshold — clustering raw candidates over-merges. With a
   * threshold set, the cluster stage maintains a VERIFIED edge set: any
-  * pair whose support churned, or whose endpoint emitted any bucket
-  * delta this batch (a text revision always does unless every band
-  * hash survived it — in which case the signature, hence w.h.p. the
-  * Jaccard, is unchanged), is re-verified by exact Jaccard against the
-  * doc log's CURRENT texts, restricted to the rechecked endpoints (per-
-  * batch verify cost is churn-pair-sized; the doc-log text lookup is a
-  * semi-joined scan here, a keyed text store at warehouse scale). The
-  * verified set rides its own [[StateLog]], and merge/split run on
-  * verified edges — so the serving table equals from-scratch
-  * THRESHOLDED clustering, which is what an external oracle can state
-  * (q133's gate).
+  * live pair one of whose endpoints was TOUCHED this batch is
+  * re-verified by exact Jaccard against the doc log's CURRENT texts.
+  * Touch visibility is guaranteed by per-doc-delta MARKER rows the
+  * pair stage writes beside the real deltas ((id, id, 0) — inert to
+  * every support fold), so a revision re-verifies its pairs even when
+  * it moved no bucket it shares with anyone. Verification reads only
+  * COMMITTED doc-log batches and is restricted to the rechecked
+  * endpoints (per-batch verify cost is churn-pair-sized; the doc-log
+  * text lookup is a semi-joined scan here, a keyed text store at
+  * warehouse scale). The verified set rides its own [[StateLog]], and
+  * merge/split run on verified edges — so the serving table equals
+  * from-scratch THRESHOLDED clustering, which is what an external
+  * oracle can state (q133's gate). Enabling the threshold over a
+  * PRE-EXISTING unverified work dir triggers a one-batch migration:
+  * every live pair re-verifies and the labeling rebuilds from scratch,
+  * retracting legacy below-threshold merges by omission.
   */
 final case class DedupClusterPipeline(
     name: String,
@@ -158,8 +163,21 @@ final case class DedupClusterPipeline(
     val docStream = spark.readStream.schema(ViewPipeline.LogSchema)
       .parquet(docLogDir(workRoot))
       .withColumnRenamed("batch_id", "seq")
+    // TOUCH MARKERS ride the pair log beside the real deltas: one
+    // (id, id, 0) row per document delta, so the cluster stage can
+    // re-verify every live pair a churned doc participates in EVEN
+    // WHEN the churn moved no bucket the doc shares with anyone (a
+    // revision whose moved bands all land in singleton buckets emits
+    // no pair deltas, yet its exact Jaccard against existing partners
+    // may have crossed the threshold). Zero-delta rows are inert to
+    // every support fold (net sums drop them) — they are visibility,
+    // not support.
+    val markers = docStream.select(
+      col("key").cast("long").as("id_a"),
+      col("key").cast("long").as("id_b"), lit(0).as("delta"))
     val pairs = MinHashLsh.indexDeltaStream(docStream, textField,
       shingleN, bands, rows, maxBucket = maxBucket).toDF()
+      .unionByName(markers)
     val dir = pairLogDir(workRoot)
     pairs.writeStream
       .queryName(s"dedup_${name}_pairlog")
@@ -186,6 +204,9 @@ final case class DedupClusterPipeline(
     val idF = idField
     val dlDir = deadLetterDir
     val pipelineName = name
+    // checkpoint-scoped marker identity (ViewPipeline's rule): a fresh
+    // work dir restarts batch ids, so the marker must die with it
+    val markerId = s"${name}_${Integer.toHexString(workRoot.hashCode)}"
     val supportBase = s"$workRoot/state_support"
     val labelBase = s"$workRoot/state_labels"
     val verifiedBase = s"$workRoot/state_verified"
@@ -195,11 +216,17 @@ final case class DedupClusterPipeline(
       .trigger(trigger)
       .option("checkpointLocation", ckptDir(workRoot, "clusters"))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val net = batch.groupBy(col("id_a"), col("id_b"))
+        val raw = batch.localCheckpoint(true)
+        val net = raw.groupBy(col("id_a"), col("id_b"))
           .agg(sum(col("delta")).cast("long").as("d"))
           .filter(col("d") =!= 0)
           .localCheckpoint(true)
-        if (!net.isEmpty) {
+        // with verification on, a batch of PURE touch markers (doc
+        // churn that moved no shared bucket) still re-verifies — only
+        // the support algebra may skip on empty net
+        val act =
+          if (verifyThreshold.isDefined) !raw.isEmpty else !net.isEmpty
+        if (act) {
           // pre-batch state: base + log strictly before THIS batch —
           // a replayed batch recomputes against exactly what it first
           // saw (its own half-written log dir is invisible)
@@ -217,31 +244,67 @@ final case class DedupClusterPipeline(
           val live1 = support1.select(col("id_a"), col("id_b"))
             .localCheckpoint(true)
           // the clustering EDGE set: raw candidate liveness, or — with
-          // a verify threshold — the maintained exact-verified subset
-          val (edges0, edges1) = verifyThreshold match {
-            case None => (live0, live1)
+          // a verify threshold — the maintained exact-verified subset.
+          // rebuildAll marks the ONE migration batch where verification
+          // was just enabled over pre-existing unverified state: every
+          // live pair re-verifies and the labeling rebuilds from
+          // scratch, because legacy below-threshold merges were never
+          // in the verified set and no retraction could ever undo them
+          val (edges0, edges1, rebuildAll) = verifyThreshold match {
+            case None => (live0, live1, false)
             case Some(t) =>
+              // replay-stable: the batch's OWN (possibly half-written)
+              // log dir must not flip the verdict — only verified
+              // batches STRICTLY BEFORE this one count as prior state
+              val hasPriorVerified =
+                Option(new java.io.File(s"$verifiedBase/log").listFiles())
+                  .getOrElse(Array.empty[java.io.File])
+                  .exists(f => f.isDirectory
+                    && f.getName.startsWith("batch_id=")
+                    && f.getName.stripPrefix("batch_id=").toLong < batchId)
+              val migrating = StateLog.pointer(verifiedBase).upTo < 0 &&
+                !hasPriorVerified && !support0.isEmpty
               // pairs needing a fresh verdict: any live pair one of
-              // whose endpoints emitted a bucket delta this batch
-              // (covers fresh candidates AND text revisions that moved
-              // any bucket — a revision that moves none leaves the
-              // whole signature, hence w.h.p. the Jaccard, unchanged)
-              val touched = net.select(col("id_a").as("doc_id"))
-                .unionByName(net.select(col("id_b").as("doc_id")))
+              // whose endpoints was TOUCHED this batch — the raw rows
+              // include the pair stage's per-doc-delta markers, so a
+              // revision is visible here even when it moved no shared
+              // bucket (its exact Jaccard may still have crossed the
+              // threshold). On the migration batch: everything.
+              val touched = raw.select(col("id_a").as("doc_id"))
+                .unionByName(raw.select(col("id_b").as("doc_id")))
                 .distinct().localCheckpoint(true)
-              val recheck = live1
-                .join(touched.select(col("doc_id").as("id_a")),
-                  Seq("id_a"), "left_semi")
-                .unionByName(live1
-                  .join(touched.select(col("doc_id").as("id_b")),
-                    Seq("id_b"), "left_semi"))
-                .distinct().localCheckpoint(true)
+              val recheck =
+                (if (migrating) live1
+                 else live1
+                   .join(touched.select(col("doc_id").as("id_a")),
+                     Seq("id_a"), "left_semi")
+                   .unionByName(live1
+                     .join(touched.select(col("doc_id").as("id_b")),
+                       Seq("id_b"), "left_semi"))
+                   .distinct()).localCheckpoint(true)
               // CURRENT texts of the rechecked endpoints, from the doc
-              // log (semi-join prunes to churn-touched keys)
+              // log (semi-join prunes to churn-touched keys). Only
+              // COMMITTED batch dirs (_SUCCESS present) are read: in
+              // live mode the doc-log writer runs concurrently, and a
+              // half-visible batch would feed verification a torn text
+              // snapshot (touch markers re-verify once the lagging
+              // deltas arrive, so boundary-consistent reads converge)
+              val docDirs =
+                Option(new java.io.File(docLogDir(workRoot)).listFiles())
+                  .getOrElse(Array.empty[java.io.File])
+                  .filter(f => f.isDirectory
+                    && f.getName.startsWith("batch_id=")
+                    && new java.io.File(f, "_SUCCESS").exists())
               val needIds = recheck.select(col("id_a").as("key"))
                 .unionByName(recheck.select(col("id_b").as("key"))).distinct()
-              val docLog = spark.read.schema(ViewPipeline.LogSchema)
-                .parquet(docLogDir(workRoot))
+              val docLog = (if (docDirs.isEmpty)
+                  spark.createDataFrame(
+                    java.util.List.of[org.apache.spark.sql.Row](),
+                    ViewPipeline.LogSchema)
+                else
+                  spark.read.schema(ViewPipeline.LogSchema)
+                    .option("basePath", docLogDir(workRoot))
+                    .parquet(docDirs.map(_.getPath).toSeq: _*))
                 .join(needIds, Seq("key"), "left_semi")
               val texts = graft.cdc.DeltaLog.currentRows(docLog)
                 .select(col("key").as("doc_id"),
@@ -252,10 +315,7 @@ final case class DedupClusterPipeline(
                   Seq("id_a"))
                 .join(sh.select(col("id").as("id_b"), col("ss").as("ssb")),
                   Seq("id_b"))
-                .withColumn("c",
-                  size(array_intersect(col("ssa"), col("ssb"))).cast("long"))
-                .filter(col("c").cast("double") /
-                  (size(col("ssa")) + size(col("ssb")) - col("c")) >= t)
+                .filter(MinHashLsh.exactJaccard(col("ssa"), col("ssb")) >= t)
                 .select(col("id_a"), col("id_b"))
               val verified0 = foldSupport(spark, verifiedBase, batchId)
                 .select(col("id_a"), col("id_b")).localCheckpoint(true)
@@ -274,7 +334,7 @@ final case class DedupClusterPipeline(
                 StateLog.compact(
                   verified0.withColumn("support", lit(1L)),
                   verifiedBase, batchId - 1)
-              (verified0, verified1)
+              (verified0, verified1, migrating)
           }
           val inserted = edges1.except(edges0)
             .select(col("id_a").as("doc_id_a"), col("id_b").as("doc_id_b"))
@@ -284,15 +344,22 @@ final case class DedupClusterPipeline(
             .localCheckpoint(true)
           val labels0 = foldLabels(spark, labelBase, batchId)
             .localCheckpoint(true)
-          val merged =
-            if (inserted.isEmpty) labels0
-            else CorpusOps.mergeComponents(labels0, inserted)
           val labels1 =
-            (if (retracted.isEmpty) merged
-             else CorpusOps.splitComponents(merged,
-               edges1.select(col("id_a").as("doc_id_a"),
-                 col("id_b").as("doc_id_b")), retracted))
-              .localCheckpoint(true)
+            (if (rebuildAll)
+              // migration: from-scratch clustering of the verified
+              // edges — legacy unverified merges retract by omission
+              CorpusOps.dupClusters(
+                edges1.select(col("id_a").as("doc_id_a"),
+                  col("id_b").as("doc_id_b")))
+            else {
+              val merged =
+                if (inserted.isEmpty) labels0
+                else CorpusOps.mergeComponents(labels0, inserted)
+              if (retracted.isEmpty) merged
+              else CorpusOps.splitComponents(merged,
+                edges1.select(col("id_a").as("doc_id_a"),
+                  col("id_b").as("doc_id_b")), retracted)
+            }).localCheckpoint(true)
           // CHANGED rows only — the state-log append, the serving MERGE
           // and the per-batch write cost are all churn-sized
           val changed = labels1.join(
@@ -328,7 +395,7 @@ final case class DedupClusterPipeline(
               // the batch-progress marker makes a checkpoint replay of
               // a delivered batch send nothing
               val cfg = es.config(idF)
-              graft.sinks.EsSink.applyKeyedBatch(pipelineName, batchId,
+              graft.sinks.EsSink.applyKeyedBatch(markerId, batchId,
                 dropped.select(col("doc_id").as(idF)),
                 changed.select(col("doc_id").as(idF), col("cluster_id"),
                   col("is_canonical").cast("int").as("is_canonical")),

@@ -69,13 +69,27 @@ object PipelineRegistry {
     * is gone, unparseable, or carries an unrecognized kind. The
     * lifecycle scan path runs on this — a malformed conf dropped into
     * the dir mid-run must quarantine itself, not abort the whole
-    * watcher cycle (boot keeps the fail-fast [[kindOf]]).
+    * watcher cycle (boot keeps the fail-fast [[kindOf]]). Memoized by
+    * (path, mtime): one pollOnce asks "what kind is this file" ~2x per
+    * registered kind, and re-parsing identical JSON ten times per
+    * 500 ms tick is pure waste.
     */
-  private def lenientKindOf(f: File): Option[String] =
-    scala.util.Try {
-      val node = new ObjectMapper().readTree(f)
-      if (node.hasNonNull("kind")) node.get("kind").asText() else "lww"
-    }.toOption.filter(Kinds)
+  private val kindCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Option[String])]()
+
+  private def lenientKindOf(f: File): Option[String] = {
+    val mtime = f.lastModified()
+    val cached = kindCache.get(f.getAbsolutePath)
+    if (cached != null && cached._1 == mtime) cached._2
+    else {
+      val k = scala.util.Try {
+        val node = new ObjectMapper().readTree(f)
+        if (node.hasNonNull("kind")) node.get("kind").asText() else "lww"
+      }.toOption.filter(Kinds)
+      kindCache.put(f.getAbsolutePath, (mtime, k))
+      k
+    }
+  }
 
   /** Parse a conf's optional `"transform"` node into an
     * [[ExprTransform]] — the R12 data-declared per-event reshape:

@@ -40,10 +40,13 @@ import java.nio.file.{Files, Paths}
   * streams that log dir, and [[compactSideLogs]] (run automatically at
   * the end of a drained [[runOnce]]) folds history into a base
   * generation and prunes the folded-in dirs — so per-batch write volume
-  * is O(churn), disk is O(live keys + recent churn), and a NEW consumer
-  * bootstraps from base + remaining log instead of replaying all
-  * history. [[tableState]] reads a side's current rows at the same
-  * O(live + churn) cost.
+  * is O(churn) and disk is O(live keys + recent churn). The base serves
+  * STATE reads — [[tableState]] folds a side's current rows at
+  * O(live + churn) — and retention; it is NOT a streaming source:
+  * REBUILDING a consumer from scratch (fresh checkpoints, truncated
+  * serving store) replays the bronze FEED — the durable source of
+  * record — into a fresh work dir, exactly as the original deployment
+  * did.
   *
   * Serving shape: the JDBC table's columns are the fact schema's fields
   * followed by the dim schema's fields (names must not collide), keyed
@@ -134,6 +137,12 @@ final case class ViewPipeline(
     val tgt = target
     val dlDir = deadLetterDir
     val viewName = name
+    // the progress marker must share the CHECKPOINT's identity, not the
+    // pipeline name's: batch ids restart at 0 under a fresh work dir
+    // (conf-file rename, checkpoint rebuild), and a name-keyed marker
+    // from the old run would silently suppress every new batch. Keyed
+    // by (name, work dir) the marker dies with its checkpoint.
+    val markerId = s"${name}_${Integer.toHexString(workRoot.hashCode)}"
     val tx = exprTransform
     viewDeltas.toDF().writeStream
       .queryName(s"view_$name")
@@ -165,7 +174,7 @@ final case class ViewPipeline(
             val cfg = es.config(keyField)
             val cached = flat.persist()
             try {
-              graft.sinks.EsSink.applyKeyedBatch(viewName, batchId,
+              graft.sinks.EsSink.applyKeyedBatch(markerId, batchId,
                 cached.filter(col("action") === "delete").select(col(keyField)),
                 cached.filter(col("action") === "upsert").drop("action"),
                 cfg, esTransport)
@@ -231,9 +240,11 @@ final case class ViewPipeline(
     * after its drain completes; a live deployment calls it in a
     * maintenance window with the pipeline's queries stopped or drained.
     * The join's file-source checkpoint has already recorded the pruned
-    * files, so a resumed stream never misses data — and a NEW consumer
-    * bootstraps from the base (a valid one-delta-per-key batch) plus
-    * the remaining log instead of replaying all history.
+    * files, so a RESUMED stream never misses data. Compaction trades
+    * away from-scratch REBUILD from the log alone: the bronze feed
+    * stays the durable source of record, and a fresh consumer replays
+    * it into a fresh work dir ([[tableState]] still answers state
+    * reads from base + log at any time).
     */
   def compactSideLogs(spark: SparkSession, workRoot: String): Unit =
     Seq("fact", "dim").foreach { side =>

@@ -196,6 +196,58 @@ class DedupClusterSpec extends SparkSpec {
       s"revision must re-verify and merge, got ${served()}")
   }
 
+  test("enabling verifyThreshold over an existing work dir migrates: legacy over-merges retract; pair log carries touch markers") {
+    val url = "jdbc:derby:memory:graftdedupmig;create=true"
+    val c0 = java.sql.DriverManager.getConnection(url)
+    c0.createStatement().execute(
+      """CREATE TABLE migclusters ("doc_id" BIGINT NOT NULL PRIMARY KEY,
+        | "cluster_id" BIGINT, "is_canonical" INTEGER)"""
+        .stripMargin.replace("\n", ""))
+    c0.close()
+    val feedDir = Files.createTempDirectory("graft_dedupmig_feed_").toFile
+    val workRoot = Files.createTempDirectory("graft_dedupmig_work_").toString
+    val half = A + " " + Z.split(" ").take(4).mkString(" ")
+    // phase 1: UNVERIFIED pipeline — the ~0.5-Jaccard candidate {1,2}
+    // merges (rows=1 banding nominates it), as does the true pair {4,5}
+    val raw = DedupClusterPipeline(
+      name = "mig", databases = Set("shop"), table = "documents",
+      idField = "doc_id", textField = "text",
+      target = graft.streaming.JdbcTarget(url, "migclusters"),
+      bands = 16, rows = 1)
+    Files.write(new java.io.File(feedDir, "000.json").toPath, Seq(
+      wire(d(1, A), null, "c", 10, 1),
+      wire(d(2, half), null, "c", 10, 2),
+      wire(d(4, Z), null, "c", 10, 3),
+      wire(d(5, Z), null, "c", 10, 4)).asJava)
+    raw.runOnce(spark, feedDir.toString, workRoot)
+    def served(): Map[Long, Long] =
+      raw.servedClusters(spark).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // rows=1 banding nominates even the weak cross-text overlaps, so
+    // the whole quartet collapses into ONE raw-candidate cluster — the
+    // over-merge the migration must undo
+    assert(served() == Map(1L -> 1L, 2L -> 1L, 4L -> 1L, 5L -> 1L),
+      s"unverified run must over-merge raw candidates, got ${served()}")
+
+    // phase 2: the SAME work dir continues with verification enabled —
+    // the next batch is the migration batch: every live pair
+    // re-verifies and the legacy below-threshold merge retracts
+    val verified = raw.copy(verifyThreshold = Some(0.9))
+    Files.write(new java.io.File(feedDir, "001.json").toPath, Seq(
+      wire(d(9, B), null, "c", 20, 5)).asJava)
+    verified.runOnce(spark, feedDir.toString, workRoot)
+    assert(served() == Map(4L -> 4L, 5L -> 4L),
+      s"migration must retract the sub-threshold legacy merge, got ${served()}")
+
+    // the pair log carries a TOUCH MARKER for doc 9 even though its
+    // unique text shared no bucket with anyone (zero pair deltas) —
+    // the visibility row the recheck path depends on
+    val pairLog = spark.read.parquet(s"$workRoot/log_pairs")
+    assert(pairLog.filter(col("id_a") === 9 && col("id_b") === 9
+      && col("delta") === 0).count() == 1,
+      "every doc delta must leave its (id, id, 0) marker in the pair log")
+  }
+
   test("ES target dead-letters undeliverable cluster rows while the checkpoint advances (S6)") {
     val dlRoot = Files.createTempDirectory("graft_dedup_dl_").toString
     val dlDir = s"$dlRoot/dead"

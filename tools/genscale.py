@@ -40,6 +40,11 @@ def main():
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     dst = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/testdata_scale/sf0.3"
     copies = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    # only 3 distinct decorrelation transforms exist (identity / negate /
+    # reverse for vectors; rotations repeat at 26 for text) — more copies
+    # would manufacture exact cross-copy duplicates, the failure mode
+    # this script exists to avoid
+    assert 1 <= copies <= 3, "copies must be 1..3 (distinct transforms)"
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
 
