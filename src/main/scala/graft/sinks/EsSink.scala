@@ -241,16 +241,27 @@ object EsSink {
     * (exactly-once effect AND no whole-batch re-sends on checkpoint
     * replay): if the store's marker already covers `batchId`, the
     * replayed batch sends NOTHING; otherwise deletes land first, then
-    * upserts (the key-move contract), then the marker. Returns the
-    * (delete, upsert) dead-letter frames, or None when skipped.
+    * upserts (the key-move contract), then `onDeadLetters`, then the
+    * marker. Returns the (delete, upsert) dead-letter frames, or None
+    * when skipped.
+    *
+    * `onDeadLetters` is the caller's persistence hook and runs BEFORE
+    * the marker publishes: once the marker covers a batch, a replay
+    * sends nothing and can never regenerate its dead letters — a crash
+    * between the marker write and a post-hoc persist would lose
+    * undeliverable rows permanently, breaking the S6 "failures are
+    * data" contract. A hook that itself throws leaves the marker
+    * unwritten, so the replay re-sends (idempotent) and re-persists.
     */
   def applyKeyedBatch(pipeline: String, batchId: Long, deletes: DataFrame,
-      upserts: DataFrame, cfg: Config,
-      transport: Transport): Option[(DataFrame, DataFrame)] =
+      upserts: DataFrame, cfg: Config, transport: Transport,
+      onDeadLetters: (DataFrame, DataFrame) => Unit = (_, _) => ())
+      : Option[(DataFrame, DataFrame)] =
     if (readProgress(cfg, transport, pipeline).exists(_ >= batchId)) None
     else {
       val dlDeletes = delete(deletes, cfg, transport)
       val dlUpserts = upsert(upserts, cfg, transport)
+      onDeadLetters(dlDeletes, dlUpserts)
       writeProgress(cfg, transport, pipeline, batchId)
       Some((dlDeletes, dlUpserts))
     }

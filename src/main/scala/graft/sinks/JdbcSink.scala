@@ -216,6 +216,25 @@ object JdbcSink {
     } finally conn.close()
   }
 
+  /** Drop every batch-progress marker for `table` — the REBUILD half of
+    * [[mergeAdditive]]'s exactly-once protocol. The marker key is the
+    * foreachBatch batch id, which restarts at 0 whenever a pipeline's
+    * checkpoints are rebuilt: stale markers from the previous run would
+    * then silently skip every replayed batch. A pipeline that detects a
+    * fresh work dir (no checkpoint yet) calls this before its first
+    * batch. No-op when the progress table does not exist.
+    */
+  def clearProgress(url: String, table: String,
+      props: java.util.Properties = new java.util.Properties()): Unit = {
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val st = conn.createStatement()
+      try st.execute(s"DELETE FROM ${table}_progress")
+      catch { case _: java.sql.SQLException => () } // table absent: nothing stale
+      finally st.close()
+    } finally conn.close()
+  }
+
   private def ensureProgressTable(conn: java.sql.Connection, table: String): Unit = {
     val st = conn.createStatement()
     try st.execute(

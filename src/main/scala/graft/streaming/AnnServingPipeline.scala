@@ -174,11 +174,18 @@ final case class AnnServingPipeline(
       // probe selection must not assume anything about the id DOMAIN:
       // `vec_id < probeLimit` is vacuously empty under sparse/arbitrary
       // key spaces and the certificate would pass without probing.
-      // Hash-order the served ids instead — a deterministic
+      // Hash-SAMPLE the served ids instead — a deterministic
       // pseudo-random sample that exists whenever the store does — and
       // record the probe COUNT in the certificate row so an empty probe
-      // is visible, never silent
-      val qv = served.orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      // is visible, never silent. The pmod pre-filter cuts the sort
+      // input to ~probeLimit rows before the ordered limit: a global
+      // orderBy over the whole store would add an O(n log n) shuffle
+      // per applied batch just to pick 10 probes
+      val nServed = served.count()
+      val sampleMod = math.max(1L, nServed / math.max(1, probeLimit))
+      val qv = served
+        .filter(pmod(xxhash64(col("vec_id")), lit(sampleMod)) === 0)
+        .orderBy(xxhash64(col("vec_id")), col("vec_id"))
         .limit(probeLimit)
         .select(col("vec_id"), col("embedding"))
         .localCheckpoint(true)
@@ -279,15 +286,21 @@ final case class AnnServingPipeline(
     val cur = qd.resolve("CURRENT")
     if (!Files.exists(cur)) return false
     val gen = Files.readString(cur).trim
+    // a torn/pruned generation dir must not throw here: one broken
+    // pipeline would abort the watcher's whole maintenance tick for
+    // every remaining ann conf. Unreadable age → not stale (the next
+    // batch's currentCents read surfaces the real fault loudly)
+    val centroids = qd.resolve(gen).resolve("centroids.json")
     val trainedAt =
-      Files.getLastModifiedTime(qd.resolve(gen).resolve("centroids.json"))
-        .toMillis
-    if (nowMs - trainedAt <= maxGenAgeMs) false
-    else {
-      val m = Paths.get(s"$workRoot/RETRAIN_DUE")
-      try Files.createFile(m)
-      catch { case _: java.nio.file.FileAlreadyExistsException => () }
-      true
+      if (!Files.exists(centroids)) None
+      else scala.util.Try(Files.getLastModifiedTime(centroids).toMillis).toOption
+    trainedAt match {
+      case Some(t) if nowMs - t > maxGenAgeMs =>
+        val m = Paths.get(s"$workRoot/RETRAIN_DUE")
+        try Files.createFile(m)
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+        true
+      case _ => false
     }
   }
 

@@ -395,21 +395,22 @@ final case class DedupClusterPipeline(
               // the batch-progress marker makes a checkpoint replay of
               // a delivered batch send nothing
               val cfg = es.config(idF)
+              // S6: failures are data — undeliverable cluster rows
+              // (after the sink's retries) must not vanish while the
+              // checkpoint advances (ViewPipeline's contract). Persisted
+              // via the sink's pre-marker hook: a marker-covered batch
+              // replays as a no-op and could never regenerate them
               graft.sinks.EsSink.applyKeyedBatch(markerId, batchId,
                 dropped.select(col("doc_id").as(idF)),
                 changed.select(col("doc_id").as(idF), col("cluster_id"),
                   col("is_canonical").cast("int").as("is_canonical")),
-                cfg, esTransport)
-                .foreach { case (dlDeletes, dlUpserts) =>
-                  // S6: failures are data — undeliverable cluster rows
-                  // (after the sink's retries) must not vanish while
-                  // the checkpoint advances (ViewPipeline's contract)
+                cfg, esTransport,
+                onDeadLetters = (dlDeletes, dlUpserts) =>
                   dlDir.foreach { dir =>
                     val dead = dlDeletes.unionByName(dlUpserts)
                       .withColumn("pipeline", lit(pipelineName))
                     if (!dead.isEmpty) dead.write.mode("append").parquet(dir)
-                  }
-                }
+                  })
               ()
           }
           // bounded log: fold-to-batchId−1 (exactly support0/labels0)

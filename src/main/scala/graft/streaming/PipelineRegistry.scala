@@ -70,26 +70,45 @@ object PipelineRegistry {
     * lifecycle scan path runs on this — a malformed conf dropped into
     * the dir mid-run must quarantine itself, not abort the whole
     * watcher cycle (boot keeps the fail-fast [[kindOf]]). Memoized by
-    * (path, mtime): one pollOnce asks "what kind is this file" ~2x per
-    * registered kind, and re-parsing identical JSON ten times per
-    * 500 ms tick is pure waste.
+    * (path → (mtime, length)): one pollOnce asks "what kind is this
+    * file" ~2x per registered kind, and re-parsing identical JSON ten
+    * times per 500 ms tick is pure waste. Keying on length TOO narrows
+    * the same-mtime staleness window — a file rewritten within the
+    * filesystem's mtime granularity usually changes size as well.
+    * Entries for files deleted from a scanned dir are evicted during
+    * [[confFilesOfKind]] scans, so a long-lived watcher process does
+    * not accumulate dead paths forever.
     */
   private val kindCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, Option[String])]()
+    new java.util.concurrent.ConcurrentHashMap[String, ((Long, Long), Option[String])]()
 
   private def lenientKindOf(f: File): Option[String] = {
-    val mtime = f.lastModified()
+    val stamp = (f.lastModified(), f.length())
     val cached = kindCache.get(f.getAbsolutePath)
-    if (cached != null && cached._1 == mtime) cached._2
+    if (cached != null && cached._1 == stamp) cached._2
     else {
       val k = scala.util.Try {
         val node = new ObjectMapper().readTree(f)
         if (node.hasNonNull("kind")) node.get("kind").asText() else "lww"
       }.toOption.filter(Kinds)
-      kindCache.put(f.getAbsolutePath, (mtime, k))
+      kindCache.put(f.getAbsolutePath, (stamp, k))
       k
     }
   }
+
+  /** Drop cache entries for files under `dir` that no longer exist —
+    * called from every kind-scoped scan, which already holds the dir's
+    * live listing. Test-visible via [[kindCacheSize]].
+    */
+  private def evictDeleted(dir: String, live: Set[String]): Unit = {
+    val prefix = new File(dir).getAbsolutePath + File.separator
+    kindCache.keySet().removeIf(p => p.startsWith(prefix) && !live(p))
+    ()
+  }
+
+  /** Cached conf paths (lifecycle-leak regression tests). */
+  private[graft] def kindCacheKeys: Set[String] =
+    kindCache.keySet().asScala.toSet
 
   /** Parse a conf's optional `"transform"` node into an
     * [[ExprTransform]] — the R12 data-declared per-event reshape:
@@ -479,11 +498,14 @@ object PipelineRegistry {
         esTransport)
     }
 
-  private def confFilesOfKind(dir: String, kind: String): Seq[File] =
+  private def confFilesOfKind(dir: String, kind: String): Seq[File] = {
     // lenient: a file that cannot be parsed (or carries an unknown
     // kind) matches NO kind — it is quarantined from every scan rather
     // than aborting the watcher's whole cycle
-    confFiles(dir).filter(f => lenientKindOf(f).contains(kind))
+    val files = confFiles(dir)
+    evictDeleted(dir, files.map(_.getAbsolutePath).toSet)
+    files.filter(f => lenientKindOf(f).contains(kind))
+  }
 
   /** Known conf files that left this lifecycle: deleted from the dir,
     * OR still present but now carrying a DIFFERENT recognized kind — an

@@ -62,6 +62,23 @@ final case class SearchServingPipeline(
   private def logDir(workRoot: String) = s"$workRoot/log"
   private def ckptDir(workRoot: String, stage: String) = s"$workRoot/ckpt_$stage"
 
+  /** REBUILD CONTRACT: the additive-merge progress markers are keyed by
+    * the index stage's foreachBatch batch id, which restarts at 0 when
+    * the work dir (checkpoints) is rebuilt — markers left by a previous
+    * run would then silently skip every replayed batch, leaving a
+    * truncated store empty forever. A missing index checkpoint is the
+    * definitive "this run starts from batch 0" signal, so stale markers
+    * are cleared HERE, before the first batch; an existing checkpoint
+    * (normal resume) never clears. The store tables themselves are the
+    * operator's to truncate — replaying the full feed into a non-empty
+    * additive store double-counts regardless of markers.
+    */
+  private def clearStaleProgressIfFresh(workRoot: String): Unit =
+    if (!Files.exists(Paths.get(ckptDir(workRoot, "index")))) {
+      JdbcSink.clearProgress(jdbcUrl, postingsTable)
+      JdbcSink.clearProgress(jdbcUrl, lensTable)
+    }
+
   private def logQuery(spark: SparkSession, feedDir: String,
       workRoot: String, trigger: Trigger): StreamingQuery = {
     val deltas = DeltaLog.deltaStream(spark, feedDir, table, rowSchema,
@@ -137,6 +154,7 @@ final case class SearchServingPipeline(
     */
   def runOnce(spark: SparkSession, feedDir: String, workRoot: String): Unit = {
     Files.createDirectories(Paths.get(logDir(workRoot)))
+    clearStaleProgressIfFresh(workRoot)
     logQuery(spark, feedDir, workRoot, Trigger.AvailableNow())
       .awaitTermination()
     indexQuery(spark, workRoot, Trigger.AvailableNow()).awaitTermination()
@@ -147,6 +165,7 @@ final case class SearchServingPipeline(
       interval: String = "500 milliseconds"): Seq[StreamingQuery] = {
     val t = Trigger.ProcessingTime(interval)
     Files.createDirectories(Paths.get(logDir(workRoot)))
+    clearStaleProgressIfFresh(workRoot)
     Seq(logQuery(spark, feedDir, workRoot, t),
       indexQuery(spark, workRoot, t))
   }

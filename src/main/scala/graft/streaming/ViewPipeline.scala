@@ -174,20 +174,22 @@ final case class ViewPipeline(
             val cfg = es.config(keyField)
             val cached = flat.persist()
             try {
+              // S6: failures are data — undeliverable deltas (after the
+              // sink's retries) must not vanish while the checkpoint
+              // advances. Persisted via the sink's pre-marker hook: once
+              // the progress marker publishes, a replay sends nothing
+              // and could never regenerate these rows
               graft.sinks.EsSink.applyKeyedBatch(markerId, batchId,
                 cached.filter(col("action") === "delete").select(col(keyField)),
                 cached.filter(col("action") === "upsert").drop("action"),
-                cfg, esTransport)
-                .foreach { case (dlDeletes, dlUpserts) =>
-                  // S6: failures are data — undeliverable deltas (after
-                  // the sink's retries) must not vanish while the
-                  // checkpoint advances
+                cfg, esTransport,
+                onDeadLetters = (dlDeletes, dlUpserts) =>
                   dlDir.foreach { dir =>
                     val dead = dlDeletes.unionByName(dlUpserts)
                       .withColumn("pipeline", lit(viewName))
                     if (!dead.isEmpty) dead.write.mode("append").parquet(dir)
-                  }
-                }
+                  })
+              ()
             } finally { cached.unpersist(); () }
         }
         ()

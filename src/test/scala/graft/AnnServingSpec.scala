@@ -202,6 +202,17 @@ class AnnServingSpec extends SparkSpec {
       "the scheduled retrain must swap at the next batch boundary")
     assert(!due.exists(), "the honored marker must clear")
     assert(pipeline.servedPostings(spark).count() == 7)
+
+    // TORN generation dir (CURRENT names a dir whose centroids.json is
+    // gone): the age tick must answer false, NOT throw — one broken
+    // pipeline would otherwise abort the watcher's maintenance pass for
+    // every remaining ann conf, forever
+    java.nio.file.Files.delete(java.nio.file.Paths.get(
+      s"$workRoot/quantizer/gen_1/centroids.json"))
+    assert(!pipeline.scheduleRetrainIfStale(workRoot,
+      nowMs = System.currentTimeMillis() + 10 * 60 * 1000L),
+      "a torn generation dir must not schedule (and must not throw)")
+    assert(!due.exists())
   }
 
   test("quantizer drift trips the certificate; retrain-and-swap restores the recall SLO") {

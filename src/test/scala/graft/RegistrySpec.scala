@@ -148,6 +148,17 @@ class RegistrySpec extends SparkSpec {
       == Seq(good.getAbsolutePath))
     assert(PipelineRegistry.changedDedupSince(Seq.empty, confDir.toString)
       == Seq(good.getAbsolutePath))
+
+    // kind-cache hygiene: entries for files DELETED from a scanned dir
+    // are evicted by the next scan — a long-lived watcher process must
+    // not accumulate dead paths forever
+    def cachedHere(): Set[String] = PipelineRegistry.kindCacheKeys
+      .filter(_.startsWith(confDir.getAbsolutePath))
+    assert(cachedHere().nonEmpty, "scans above must have populated the cache")
+    assert(bad.delete() && good.delete())
+    PipelineRegistry.changedSince(Seq.empty, confDir.toString) // any kind-scoped scan
+    assert(cachedHere().isEmpty,
+      s"deleted conf files must leave the kind cache, still held: ${cachedHere()}")
   }
 
   test("PipelineWatcher in-flight reload: conf change restarts from checkpoint, state equals uninterrupted run (S2)") {

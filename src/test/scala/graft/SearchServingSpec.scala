@@ -84,6 +84,19 @@ class SearchServingSpec extends SparkSpec {
     pipeline.runOnce(spark, feedDir.toString, workRoot)
     check(Seq(1L -> "vector index only", 3L -> "unrelated words here"),
       "re-drain")
+
+    // REBUILD: fresh work dir + truncated store. Batch ids restart at
+    // 0, so the progress markers from the first run would cover every
+    // replayed batch — without the fresh-work-dir marker clear, the
+    // rebuilt store stays silently EMPTY forever
+    val rebuilt = Files.createTempDirectory("graft_search_work2_").toString
+    val c1 = java.sql.DriverManager.getConnection(url)
+    c1.createStatement().execute("DELETE FROM postings")
+    c1.createStatement().execute("DELETE FROM doclens")
+    c1.close()
+    pipeline.runOnce(spark, feedDir.toString, rebuilt)
+    check(Seq(1L -> "vector index only", 3L -> "unrelated words here"),
+      "rebuild")
   }
 
   test("conf-declared search pipeline: watcher add starts serving, delete stops and preserves checkpoints") {

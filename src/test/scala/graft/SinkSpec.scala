@@ -62,6 +62,39 @@ class SinkSpec extends SparkSpec {
     assert(nonProgressSends().map(_.method) == Seq("PUT"))
   }
 
+  test("dead-letter hook runs BEFORE the marker publishes; a failed hook leaves the batch re-appliable") {
+    SinkSpec.docs.clear()
+    reset()
+    val store = new SinkSpec.DocStore
+    // S6 ordering: were the marker written first, a crash between it and
+    // the caller's dead-letter persist would skip the batch on replay and
+    // lose the undeliverable rows forever
+    var markerAtHookTime: Option[Long] = Some(-1L)
+    assert(EsSink.applyKeyedBatch("dl", 0L,
+      spark.emptyDataset[Long].toDF("id"),
+      Seq((1L, "a")).toDF("id", "v"), cfg, store,
+      onDeadLetters = (_, _) =>
+        markerAtHookTime = EsSink.readProgress(cfg, store, "dl")).isDefined)
+    assert(markerAtHookTime.isEmpty,
+      s"hook must run before the marker write, saw $markerAtHookTime")
+    assert(EsSink.readProgress(cfg, store, "dl").contains(0L))
+
+    // a hook that throws (dead-letter persist failed) must NOT publish
+    // the marker: the replay re-sends (idempotent) and re-persists
+    intercept[RuntimeException] {
+      EsSink.applyKeyedBatch("dl", 1L,
+        spark.emptyDataset[Long].toDF("id"),
+        Seq((2L, "b")).toDF("id", "v"), cfg, store,
+        onDeadLetters = (_, _) => throw new RuntimeException("disk full"))
+    }
+    assert(EsSink.readProgress(cfg, store, "dl").contains(0L),
+      "failed hook must leave the marker at the previous batch")
+    assert(EsSink.applyKeyedBatch("dl", 1L,
+      spark.emptyDataset[Long].toDF("id"),
+      Seq((2L, "b")).toDF("id", "v"), cfg, store).isDefined,
+      "the batch must re-apply after the failed persist")
+  }
+
   test("single upsert → PUT _doc/{id} with raw-base64 basic auth") {
     reset()
     EsSink.upsert(Seq((7L, "a")).toDF("id", "v"), cfg, new Recorder)
