@@ -32,6 +32,23 @@ final case class CdcPipeline(
     deadLetterDir: Option[String] = None,
     exprTransform: Option[ExprTransform] = None) {
 
+  // registration-time dry-run resolution of the conf-declared transform
+  // against THIS pipeline's declared schema (the reference runs
+  // initCDC() at boot — a script touching a nonexistent binding dies
+  // before the first event). Needs a session for analysis; when none
+  // exists yet (exotic construction orders) resolution still fails fast
+  // at pipeline start, the pre-r10 behavior.
+  exprTransform.foreach { t =>
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .foreach { sp =>
+        try t.validateStruct(sp, ExprTransform.cdcFrameSchema(rowSchema, idKey))
+        catch {
+          case e: IllegalArgumentException =>
+            throw new IllegalArgumentException(s"pipeline $name: ${e.getMessage}")
+        }
+      }
+  }
+
   /** Routed, filtered, typed change rows from a raw value stream —
     * single-pass typed envelope parse (the pipeline knows its schema).
     * The conf-declared [[ExprTransform]] (R12's data-declared reshape)

@@ -22,9 +22,12 @@ import org.apache.spark.sql.{Column, DataFrame}
   *
   * FAIL-FAST: every expression is parsed at CONSTRUCTION, so a typo'd
   * conf dies at registration (the reference's register-at-boot
-  * contract, S3), not in the first micro-batch. Column resolution
-  * against the actual frame happens at query ANALYSIS, which is still
-  * pipeline start — never mid-stream.
+  * contract, S3), not in the first micro-batch. COLUMN resolution is
+  * fail-fast too: the pipelines call [[validateStruct]]/[[validateFlat]]
+  * at construction with the frame schema the transform will run on —
+  * the parity of the reference compiling AND running `initCDC()` at
+  * boot (ScriptExecutor.java:95-123), where a script touching a
+  * nonexistent binding dies before the first event.
   */
 final case class ExprTransform(sets: Seq[(String, String)],
     drops: Seq[String] = Nil) extends Serializable {
@@ -67,4 +70,103 @@ final case class ExprTransform(sets: Seq[(String, String)],
     }
     drops.foldLeft(withSets)((d, f) => d.drop(f))
   }
+
+  /** DRY-RUN RESOLUTION of the struct form against the frame schema the
+    * transform will run on ([[ExprTransform.cdcFrameSchema]]): each SET
+    * entry is analyzed in declared order over an empty frame, so a
+    * typo'd COLUMN name (not just bad syntax) fails at registration,
+    * naming the offending field; each DROP must name a field that
+    * exists on the outgoing document (declared or set earlier). No
+    * data moves — analysis only.
+    */
+  def validateStruct(spark: org.apache.spark.sql.SparkSession,
+      frameSchema: org.apache.spark.sql.types.StructType,
+      structCol: String = "row"): Unit = {
+    val empty = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), frameSchema)
+    var acc = col(structCol)
+    sets.foreach { case (f, e) =>
+      // withColumn analyzes eagerly in Spark 4 — construction itself is
+      // the resolution check, so it goes inside the rethrow wrapper
+      analyzeOrFail(f, e) {
+        acc = acc.withField(f, expr(e))
+        empty.withColumn(structCol, acc).schema
+      }
+    }
+    val docFields = frameSchema(structCol).dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSet ++ sets.map(_._1)
+    drops.foreach { d =>
+      require(docFields(d),
+        s"transform drop '$d': no such field on the outgoing document " +
+          s"(have ${docFields.toSeq.sorted.mkString(", ")})")
+    }
+  }
+
+  /** [[validateStruct]] for the flat form (ViewPipeline's enriched
+    * serving row).
+    */
+  def validateFlat(spark: org.apache.spark.sql.SparkSession,
+      frameSchema: org.apache.spark.sql.types.StructType): Unit = {
+    var empty = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), frameSchema)
+    sets.foreach { case (f, e) =>
+      analyzeOrFail(f, e) {
+        empty = empty.withColumn(f, expr(e))
+        empty.schema
+      }
+    }
+    val cols = frameSchema.fieldNames.toSet ++ sets.map(_._1)
+    drops.foreach { d =>
+      require(cols(d),
+        s"transform drop '$d': no such column on the serving row " +
+          s"(have ${cols.toSeq.sorted.mkString(", ")})")
+    }
+  }
+
+  private def analyzeOrFail(field: String, e: String)(body: => Any): Unit =
+    try { body; () }
+    catch {
+      case ex: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"transform set '$field' ($e) does not resolve against the " +
+            s"declared schema: ${ex.getMessage}")
+    }
+}
+
+object ExprTransform {
+  import org.apache.spark.sql.types._
+
+  /** The frame shape [[CdcPipeline.changeRows]] hands the struct-form
+    * transform: the typed envelope columns plus the outgoing `row`
+    * struct and the extracted `key`. Must track what parseTyped +
+    * changeRows expose — registration-time validation is only as honest
+    * as this schema.
+    */
+  def cdcFrameSchema(rowSchema: StructType, idKey: String): StructType = {
+    val keyType =
+      rowSchema.fields.find(_.name == idKey).map(_.dataType).getOrElse(StringType)
+    StructType(Seq(
+      StructField("value", StringType), StructField("offset", LongType),
+      StructField("op", StringType), StructField("ts_ms", LongType),
+      StructField("ddl", StringType),
+      StructField("src_db", StringType), StructField("src_table", StringType),
+      StructField("has_payload", BooleanType),
+      StructField("has_after", BooleanType),
+      StructField("before", rowSchema), StructField("after", rowSchema),
+      StructField("row", rowSchema), StructField("key", keyType)))
+  }
+
+  /** The flattened enriched serving row [[ViewPipeline]] hands the
+    * flat-form transform: serving key + action + fact fields + dim
+    * fields.
+    */
+  def viewFrameSchema(factSchema: StructType, dimSchema: StructType,
+      factIdField: String): StructType =
+    StructType(
+      Seq(StructField(factIdField,
+          factSchema.fields.find(_.name == factIdField).map(_.dataType)
+            .getOrElse(LongType)),
+        StructField("action", StringType)) ++
+      factSchema.fields.filterNot(_.name == factIdField) ++ dimSchema.fields)
 }

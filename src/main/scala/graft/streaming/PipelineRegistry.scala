@@ -98,7 +98,7 @@ object PipelineRegistry {
 
   /** Drop cache entries for files under `dir` that no longer exist —
     * called from every kind-scoped scan, which already holds the dir's
-    * live listing. Test-visible via [[kindCacheSize]].
+    * live listing. Test-visible via [[kindCacheKeys]].
     */
   private def evictDeleted(dir: String, live: Set[String]): Unit = {
     val prefix = new File(dir).getAbsolutePath + File.separator
@@ -146,6 +146,18 @@ object PipelineRegistry {
       }
     }
 
+  /** Prefix a pipeline ctor failure (schema/transform validation) with
+    * the conf FILE, the registration unit an operator edits — a
+    * resolution error naming only the pipeline is unactionable when two
+    * files carry the same name.
+    */
+  private def named[A](f: File)(build: => A): A =
+    try build
+    catch {
+      case e: IllegalArgumentException =>
+        throw new IllegalArgumentException(s"${f.getName}: ${e.getMessage}")
+    }
+
   /** Per-file strictness gate shared by every load flavor: at BOOT a
     * malformed conf fails fast (register-at-boot, S3 — a typo must not
     * make a production pipeline silently vanish); during a WATCHER scan
@@ -181,12 +193,12 @@ object PipelineRegistry {
         require(node.hasNonNull("name") && node.hasNonNull("idKey")
             && node.hasNonNull("schema"),
           s"${f.getName}: name, idKey and schema are required")
-        val pipeline = CdcPipeline(
+        val pipeline = named(f)(CdcPipeline(
           name = node.get("name").asText(),
           subscription = Subscription(strSet("databases"), strSet("tables")),
           rowSchema = StructType.fromDDL(node.get("schema").asText()),
           idKey = node.get("idKey").asText(),
-          exprTransform = parseTransform(f, node))
+          exprTransform = parseTransform(f, node)))
         Some(Entry(pipeline, f.getAbsolutePath, f.lastModified()))
       }
     }}
@@ -255,7 +267,7 @@ object PipelineRegistry {
           if (node.has("databases"))
             node.get("databases").elements().asScala.map(_.asText()).toSet
           else Set("shop")
-        val pipeline = ViewPipeline(
+        val pipeline = named(f)(ViewPipeline(
           name = node.get("name").asText(),
           databases = dbs,
           factTable = fTable, factSchema = fSchema, factIdField = fId,
@@ -267,7 +279,7 @@ object PipelineRegistry {
           deadLetterDir =
             if (node.hasNonNull("deadLetterDir"))
               Some(node.get("deadLetterDir").asText()) else None,
-          exprTransform = parseTransform(f, node))
+          exprTransform = parseTransform(f, node)))
         Some(ViewEntry(pipeline, f.getAbsolutePath, f.lastModified()))
       }
     }}

@@ -76,6 +76,18 @@ final case class ViewPipeline(
   exprTransform.foreach { t =>
     require(!t.drops.contains(factIdField) && !t.drops.contains("action"),
       s"view $name: transform must not drop the serving key or action column")
+    // registration-time dry-run resolution against the flattened
+    // enriched serving row (CdcPipeline's ctor contract): a typo'd
+    // column name dies here, not at the first micro-batch
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .foreach { sp =>
+        try t.validateFlat(sp,
+          ExprTransform.viewFrameSchema(factSchema, dimSchema, factIdField))
+        catch {
+          case e: IllegalArgumentException =>
+            throw new IllegalArgumentException(s"view $name: ${e.getMessage}")
+        }
+      }
   }
 
   /** A side's table-log STATE-LOG BASE ([[StateLog]] layout): micro-

@@ -106,6 +106,60 @@ class RegistrySpec extends SparkSpec {
       PipelineRegistry.load(badDir.toString))
     assert(err.getMessage.contains("bad.json"),
       "the failure must name the offending conf file")
+
+    // a syntactically VALID expression naming a nonexistent COLUMN also
+    // dies at registration (dry-run resolution against the declared
+    // schema — the reference runs initCDC at boot), naming file + field
+    val colDir = Files.createTempDirectory("graft_conf_txcol_").toFile
+    Files.write(new java.io.File(colDir, "col.json").toPath, Seq(
+      """{"name":"col","databases":["d"],"tables":["t"],"idKey":"id",
+        |"schema":"id BIGINT, v STRING",
+        |"transform":{"set":[{"field":"v","expr":"upper(row.typo_col)"}]}}"""
+        .stripMargin.replace("\n", "")).asJava)
+    val colErr = intercept[IllegalArgumentException](
+      PipelineRegistry.load(colDir.toString))
+    assert(colErr.getMessage.contains("col.json")
+        && colErr.getMessage.contains("'v'"),
+      s"must name conf file and set field, got: ${colErr.getMessage}")
+
+    // ...as does a DROP naming a field the document never carries
+    val dropDir = Files.createTempDirectory("graft_conf_txdrop_").toFile
+    Files.write(new java.io.File(dropDir, "drop.json").toPath, Seq(
+      """{"name":"dp","databases":["d"],"tables":["t"],"idKey":"id",
+        |"schema":"id BIGINT, v STRING",
+        |"transform":{"drop":["no_such_field"]}}"""
+        .stripMargin.replace("\n", "")).asJava)
+    val dropErr = intercept[IllegalArgumentException](
+      PipelineRegistry.load(dropDir.toString))
+    assert(dropErr.getMessage.contains("drop.json")
+        && dropErr.getMessage.contains("no_such_field"),
+      s"got: ${dropErr.getMessage}")
+
+    // envelope columns (op, ts_ms, src_db...) remain legal in transforms
+    val envDir = Files.createTempDirectory("graft_conf_txenv_").toFile
+    Files.write(new java.io.File(envDir, "env.json").toPath, Seq(
+      """{"name":"env","databases":["d"],"tables":["t"],"idKey":"id",
+        |"schema":"id BIGINT, v STRING",
+        |"transform":{"set":[{"field":"at","expr":"ts_ms"},
+        |                    {"field":"origin","expr":"concat(src_db,'.',src_table)"}]}}"""
+        .stripMargin.replace("\n", "")).asJava)
+    assert(PipelineRegistry.load(envDir.toString).size == 1)
+
+    // view confs resolve against the FLATTENED enriched row
+    val vDir = Files.createTempDirectory("graft_conf_txview_").toFile
+    Files.write(new java.io.File(vDir, "vw.json").toPath, Seq(
+      """{"kind":"view","name":"vw","databases":["d"],
+        |"fact":{"table":"o","idKey":"oid","joinKey":"cid",
+        |        "schema":"oid BIGINT, cid BIGINT, amt DOUBLE"},
+        |"dim":{"table":"c","idKey":"ckey","joinKey":"ckey",
+        |       "schema":"ckey BIGINT, cname STRING"},
+        |"jdbc":{"url":"jdbc:derby:memory:x","table":"t"},
+        |"transform":{"set":[{"field":"amt","expr":"amt * missing_col"}]}}"""
+        .stripMargin.replace("\n", "")).asJava)
+    val vErr = intercept[IllegalArgumentException](
+      PipelineRegistry.loadViews(vDir.toString))
+    assert(vErr.getMessage.contains("vw.json")
+        && vErr.getMessage.contains("'amt'"), s"got: ${vErr.getMessage}")
   }
 
   test("scan quarantine: a malformed conf mid-run stalls nothing; boot stays fail-fast; an edited kind re-homes the file") {
