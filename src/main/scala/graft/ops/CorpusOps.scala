@@ -1012,29 +1012,78 @@ object CorpusOps {
     */
   def hybridRetrieve(docs: DataFrame, embeddings: DataFrame,
       queryTokens: Seq[String], queryVecId: Long, listK: Int = 100,
-      topK: Int = 20, rrfK: Int = 60): DataFrame = {
-    def rankedTop(scored: DataFrame, rankName: String): DataFrame =
-      scored
-        .orderBy(col("key").desc, col("doc_id"))
-        .limit(listK)
-        .agg(sort_array(collect_list(
-          struct((-col("key")).as("nk"), col("doc_id")))).as("l"))
-        .select(posexplode(col("l")))
-        .select(col("col.doc_id").as("doc_id"),
-          (col("pos") + 1).cast("long").as(rankName))
-    val lex = rankedTop(
-      bm25(docs, "doc_id", "text", queryTokens)
-        .select(col("doc_id"),
-          floor(col("bm25") * 1e5 + 0.5).cast("long").as("key")),
-      "r_lex")
-    val qv = embeddings.filter(col("vec_id") === queryVecId)
+      topK: Int = 20, rrfK: Int = 60): DataFrame =
+    rrfFuse(
+      rankedTop(
+        bm25(docs, "doc_id", "text", queryTokens)
+          .select(col("doc_id"),
+            floor(col("bm25") * 1e5 + 0.5).cast("long").as("key")),
+        "r_lex", listK),
+      semanticRankedTop(embeddings, queryVecId, listK),
+      topK, rrfK)
+
+  /** Hybrid retrieval served FROM THE MAINTAINED STORES — the
+    * composition that turns the CDC-maintained index families into one
+    * product: [[hybridRetrieve]]'s exact fusion with the lexical list
+    * scored by [[bm25FromIndex]] over the folded ± term-posting /
+    * doc-length relations (q134's store — no corpus scan) and the
+    * semantic list scored over the live IVF posting relation
+    * (VectorSearch.livePostings — q119's store; the query vector is
+    * read from the SAME store, so a negated/deleted vector serves its
+    * maintained state, never the bootstrap snapshot). Identical output
+    * to the from-scratch formulation over the post-traffic corpus —
+    * which is exactly what the q138 oracle certifies.
+    *
+    * The semantic side is the exact scan of the store (oracle-checkable
+    * ranking); at corpus scale the same fusion takes the ANN candidate
+    * list from the SAME postings (VectorSearch.knnIvfFromPostings) as a
+    * drop-in — q119 certifies that path's recall on this store.
+    */
+  def hybridFromStores(postings: DataFrame, docLens: DataFrame,
+      vecStore: DataFrame, queryTokens: Seq[String], queryVecId: Long,
+      listK: Int = 100, topK: Int = 20, rrfK: Int = 60): DataFrame =
+    rrfFuse(
+      rankedTop(
+        bm25FromIndex(postings, docLens, queryTokens)
+          .select(col("doc_id"),
+            floor(col("bm25") * 1e5 + 0.5).cast("long").as("key")),
+        "r_lex", listK),
+      semanticRankedTop(vecStore, queryVecId, listK),
+      topK, rrfK)
+
+  /** Integer-keyed rank assignment of a scored list's top `listK` (the
+    * q42 rank-key rule; ties to the smaller doc id): TakeOrderedAndProject
+    * cut, ranks by position in the one collected listK-row array — no
+    * window over an unbounded relation.
+    */
+  private def rankedTop(scored: DataFrame, rankName: String,
+      listK: Int): DataFrame =
+    scored
+      .orderBy(col("key").desc, col("doc_id"))
+      .limit(listK)
+      .agg(sort_array(collect_list(
+        struct((-col("key")).as("nk"), col("doc_id")))).as("l"))
+      .select(posexplode(col("l")))
+      .select(col("col.doc_id").as("doc_id"),
+        (col("pos") + 1).cast("long").as(rankName))
+
+  /** The semantic list: exact cosine of every stored vector against the
+    * store's own `queryVecId` row, integer-scaled rank key.
+    */
+  private def semanticRankedTop(vectors: DataFrame, queryVecId: Long,
+      listK: Int): DataFrame = {
+    val qv = vectors.filter(col("vec_id") === queryVecId)
       .select(col("embedding").as("q_emb"))
-    val sem = rankedTop(
-      embeddings.crossJoin(broadcast(qv))
+    rankedTop(
+      vectors.crossJoin(broadcast(qv))
         .select(col("vec_id").as("doc_id"),
           floor(VectorSearch.cosine(col("embedding"), col("q_emb")) * 1e6 + 0.5)
             .cast("long").as("key")),
-      "r_sem")
+      "r_sem", listK)
+  }
+
+  private def rrfFuse(lex: DataFrame, sem: DataFrame, topK: Int,
+      rrfK: Int): DataFrame =
     lex.join(sem, Seq("doc_id"), "full_outer")
       .withColumn("rrf",
         coalesce(lit(1.0) / (lit(rrfK) + col("r_lex")), lit(0.0)) +
@@ -1042,5 +1091,4 @@ object CorpusOps {
       .orderBy(col("rrf").desc, col("doc_id"))
       .limit(topK)
       .select(col("doc_id"), col("r_lex"), col("r_sem"), col("rrf"))
-  }
 }

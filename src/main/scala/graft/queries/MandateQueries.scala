@@ -261,6 +261,16 @@ object MandateQueries {
   private val ivfCentroids =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Float]]]()
 
+  /** The memoized per-corpus coarse quantizer (q29/q61/q119's shared
+    * index artifact) for sibling query objects composing the maintained
+    * IVF store (q138's hybrid serving).
+    */
+  private[queries] def ivfCentroidsFor(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Array[Array[Float]] =
+    ivfCentroids.computeIfAbsent(dir, _ =>
+      VectorSearch.trainCentroids(Tables.embeddings(spark, dir), 16, 3,
+        sampleMod = 0))
+
   val q29 = QueryDef.sql(
     "q29_ann_ivf",
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),

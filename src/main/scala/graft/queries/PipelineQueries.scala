@@ -1455,8 +1455,81 @@ object PipelineQueries {
     pipeline.servedBm25(spark, Seq("vector", "stream", "join"))
   }
 
+  /** Q138: HYBRID RETRIEVAL SERVED FROM THE MAINTAINED STORES — the
+    * composition the three maintained-index families exist for: q98's
+    * reciprocal-rank fusion with the lexical list scored from q134's
+    * CDC-maintained term-posting/doc-length folds (bm25FromIndex — no
+    * corpus scan) and the semantic list scored from q119's live IVF
+    * posting relation (the query vector read from the SAME store). The
+    * two stores ride the same coherent id domain — both feeds delete
+    * id%5==0 and revise/negate id%3==0 — so the fused ranking is over
+    * one post-traffic corpus, and the oracle restates the FROM-SCRATCH
+    * q98 formulation over that corpus: one stale posting on either
+    * side (a dead doc still ranked, a negated vector served under its
+    * old direction) shifts a rank and breaks the hash.
+    *
+    * Scale: serving reads the query terms' postings + one IVF store
+    * scan (the exact-semantic form is the oracle-checkable one; the
+    * ANN candidate list from the SAME postings — knnIvfFromPostings,
+    * recall-certified by q119 — is the at-scale drop-in, see
+    * CorpusOps.hybridFromStores). Maintenance stays O(churn) per batch.
+    */
+  val q138 = QueryDef.sql(
+    "q138_hybrid_serving",
+    """WITH cur AS (SELECT doc_id,
+      |         CASE WHEN doc_id % 3 = 0 THEN text || ' revised edition'
+      |              ELSE text END AS text
+      |       FROM documents WHERE doc_id % 5 <> 0),
+      |q AS (SELECT unnest(['vector', 'stream', 'join']) AS token),
+      |tok AS (SELECT doc_id, len(string_split(text, ' ')) AS len,
+      |               unnest(string_split(text, ' ')) AS token FROM cur),
+      |tf AS (SELECT doc_id, token, count(*) AS tf, max(len) AS len
+      |       FROM tok WHERE token IN (SELECT token FROM q) GROUP BY 1, 2),
+      |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+      |st AS (SELECT count(*) AS n, avg(len(string_split(text, ' '))) AS al
+      |       FROM cur),
+      |bm AS (SELECT doc_id, sum(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+      |           * (tf * (1.2 + 1)) /
+      |           (tf + 1.2 * (1 - 0.75 + 0.75 * len / al))) AS bm25
+      |       FROM tf JOIN df USING (token) CROSS JOIN st GROUP BY doc_id),
+      |br AS (SELECT doc_id, r FROM (
+      |         SELECT doc_id, row_number() OVER (
+      |           ORDER BY CAST(floor(bm25 * 1e5 + 0.5) AS BIGINT) DESC, doc_id) AS r
+      |         FROM bm) WHERE r <= 100),
+      |e AS (SELECT vec_id, CASE WHEN vec_id % 3 = 0
+      |           THEN list_transform(CAST(embedding AS DOUBLE[]), x -> -x)
+      |           ELSE CAST(embedding AS DOUBLE[]) END AS emb
+      |      FROM embeddings WHERE vec_id % 5 <> 0),
+      |qv AS (SELECT emb FROM e WHERE vec_id = 7),
+      |cs AS (SELECT e.vec_id AS doc_id,
+      |         list_dot_product(e.emb, qv.emb) /
+      |         (sqrt(list_dot_product(e.emb, e.emb)) *
+      |          sqrt(list_dot_product(qv.emb, qv.emb))) AS c
+      |       FROM e CROSS JOIN qv),
+      |cr AS (SELECT doc_id, r FROM (
+      |         SELECT doc_id, row_number() OVER (
+      |           ORDER BY CAST(floor(c * 1e6 + 0.5) AS BIGINT) DESC, doc_id) AS r
+      |         FROM cs) WHERE r <= 100),
+      |f AS (SELECT coalesce(br.doc_id, cr.doc_id) AS doc_id,
+      |        br.r AS r_lex, cr.r AS r_sem,
+      |        coalesce(CAST(1 AS DOUBLE) / (60 + br.r), 0) +
+      |        coalesce(CAST(1 AS DOUBLE) / (60 + cr.r), 0) AS rrf
+      |      FROM br FULL JOIN cr ON br.doc_id = cr.doc_id)
+      |SELECT doc_id, r_lex, r_sem, rrf FROM f
+      |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin) { (spark, dir) =>
+    import graft.cdc.DeltaLog
+    val docDeltas = DeltaLog.documentsDeltas(spark, dir)
+    val vecStore = VectorSearch.livePostings(
+      VectorSearch.postingDeltas(DeltaLog.embeddingsDeltas(spark, dir),
+        MandateQueries.ivfCentroidsFor(spark, dir)))
+    CorpusOps.hybridFromStores(
+      CorpusOps.liveTermPostings(CorpusOps.termPostingDeltas(docDeltas)),
+      CorpusOps.liveDocLens(CorpusOps.docLenDeltas(docDeltas)),
+      vecStore, Seq("vector", "stream", "join"), 7L)
+  }
+
   val all: Seq[QueryDef] = Seq(q41, q42, q43, q44, q45, q47, q48, q49,
     q54, q57, q60, q62, q63, q64, q68, q69, q74, q76, q80, q81, q83, q90, q91,
     q94, q98, q122, q125, q127, q128, q129, q130, q131, q133, q134, q135,
-    q136, q137)
+    q136, q137, q138)
 }

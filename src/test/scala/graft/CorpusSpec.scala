@@ -267,6 +267,35 @@ class CorpusSpec extends SparkSpec {
     assert(byDoc(2L)._4 > byDoc(3L)._4)
   }
 
+  test("hybridFromStores: store-served fusion equals from-scratch hybridRetrieve on the folded corpus") {
+    // delta log: doc1 insert; doc2 insert then REVISION (old terms must
+    // telescope away); doc3 insert then DELETE (must vanish entirely)
+    val deltas = Seq(
+      ("1", """{"text":"x x x pad"}""", null),
+      ("2", """{"text":"y pad"}""", null),
+      ("2", """{"text":"x pad pad pad"}""", """{"text":"y pad"}"""),
+      ("3", """{"text":"x x"}""", null),
+      ("3", null, """{"text":"x x"}"""))
+      .toDF("key", "rowJson", "prevJson")
+    val vecStore = Seq( // q119's livePostings shape (cell unused by fusion)
+      (1L, 0, Array(1f, 1f)), (2L, 0, Array(1f, 0f)),
+      (7L, 1, Array(1f, 0f))).toDF("vec_id", "cell", "embedding")
+    val served = CorpusOps.hybridFromStores(
+      CorpusOps.liveTermPostings(CorpusOps.termPostingDeltas(deltas)),
+      CorpusOps.liveDocLens(CorpusOps.docLenDeltas(deltas)),
+      vecStore, Seq("x"), 7L, listK = 10, topK = 10)
+      .as[(Long, Option[Long], Option[Long], Double)].collect().toSeq
+    // the post-traffic corpus the folds represent, scored from scratch
+    val scratch = CorpusOps.hybridRetrieve(
+      Seq((1L, "x x x pad"), (2L, "x pad pad pad")).toDF("doc_id", "text"),
+      vecStore.select(col("vec_id"), col("embedding")),
+      Seq("x"), 7L, listK = 10, topK = 10)
+      .as[(Long, Option[Long], Option[Long], Double)].collect().toSeq
+    assert(served == scratch)
+    assert(served.map(_._1).contains(1L) && !served.map(_._1).contains(3L),
+      "deleted doc 3 must not rank from the maintained store")
+  }
+
   test("dedupSegments: corpus-first occurrence wins, docs reassemble in order, empty docs vanish") {
     val d = Seq(
       (1L, Seq("boiler", "plate", "body1")),  // all first occurrences
