@@ -1091,4 +1091,91 @@ object CorpusOps {
       .orderBy(col("rrf").desc, col("doc_id"))
       .limit(topK)
       .select(col("doc_id"), col("r_lex"), col("r_sem"), col("rrf"))
+
+  /** CDC-MAINTAINED curation funnel — the flagship LLM-pipeline
+    * composition (q69's per-stage survivor counts) over the LIVE
+    * corpus, derived from the documents DELTA LOG and the maintained
+    * LSH pair index instead of a text rescan:
+    *
+    *  - s0/s1 (total, quality gate) and the per-(doc, text) live rows
+    *    are pure ± folds of the log (the additive-LWW property every
+    *    maintained index here rides: a revision's −prev telescopes its
+    *    +insert away, a delete nets the doc to zero) with the
+    *    integer-only gate evaluated on fold output — per-batch cost is
+    *    the churn's rows.
+    *  - s2 (exact dedup) elects min live doc_id per text among gate
+    *    keepers — a text-keyed fold + keyed window, never all-pairs.
+    *  - s3 (near-dup drop) rides the maintained pair index
+    *    ([[MinHashLsh.livePairs]] of the banded candidate deltas):
+    *    candidacy and Jaccard are pair-intrinsic, so the funnel's
+    *    pairs-among-survivors are exactly the index's live pairs with
+    *    both endpoints in s2, exact-verified at `threshold` over the
+    *    endpoints' texts only (semi-joined — verification touches
+    *    candidate docs, not the corpus).
+    *  - s4 (per-source cap) joins s3 survivors against the static
+    *    (doc, source) dimension (source is an immutable ingest-time
+    *    attribute the change feed does not carry; the join reads a
+    *    2-column pruned projection) and counts min(cap, per-source
+    *    survivors) — the cap COUNT needs only per-source totals; the
+    *    cap SET would additionally ride the q102 top-N support
+    *    pattern.
+    *
+    * Output: the q69 report shape (stage, n_docs), which the q139
+    * oracle certifies against the from-scratch batch funnel over the
+    * post-traffic corpus.
+    */
+  def curationFunnelFromLog(spark: org.apache.spark.sql.SparkSession,
+      deltas: DataFrame, pairDeltas: DataFrame, sources: DataFrame,
+      minTok: Int = 25, minTtrPct: Int = 30, threshold: Double = 0.6,
+      cap: Int = 15): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // live (doc, text) rows: the ± fold; persisted because the s2/s3
+    // branches and the count pass all read it (the q118 lazy-cache
+    // tradeoff: CacheManager dedupes the identical plan across runs)
+    val live = signedTexts(deltas, "text")
+      .groupBy(col("doc_id"), col("text"))
+      .agg(sum(col("sgn")).as("m")).filter(col("m") > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wText = Window.partitionBy(col("text"))
+    val flagged = graft.ops.TextAnalysis
+      .qualityFilter(live, "text", minTok, minTtrPct)
+      .withColumn("is_s2", col("keep") &&
+        col("doc_id") === min(when(col("keep"), col("doc_id"))).over(wText))
+    val s2 = flagged.filter(col("is_s2")).select(col("doc_id"), col("text"))
+    // maintained candidate pairs with both endpoints in s2, verified
+    // exactly over the candidate endpoints' texts only
+    val pairs = MinHashLsh.livePairs(pairDeltas)
+    val ss = MinHashLsh.shingleSets(
+      s2.join(pairs.select(explode(array(col("id_a"), col("id_b")))
+          .as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi"),
+      "doc_id", "text", 3)
+    val dropped = pairs
+      .join(ss.select(col("id").as("id_a"), col("ss").as("ssa")), Seq("id_a"))
+      .join(ss.select(col("id").as("id_b"), col("ss").as("ssb")), Seq("id_b"))
+      .withColumn("c",
+        size(array_intersect(col("ssa"), col("ssb"))).cast("long"))
+      .withColumn("jac", col("c").cast("double") /
+        (size(col("ssa")) + size(col("ssb")) - col("c")))
+      .filter(col("jac") >= threshold)
+      .select(col("id_b").as("doc_id")).distinct()
+      .withColumn("_dropped", lit(true))
+    val staged = flagged
+      .join(broadcast(dropped), Seq("doc_id"), "left")
+      .withColumn("is_s3", col("is_s2") && col("_dropped").isNull)
+    val (c0, c1, c2, c3) = staged
+      .agg(count(lit(1)).as("c0"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("c1"),
+        sum(when(col("is_s2"), 1L).otherwise(0L)).as("c2"),
+        sum(when(col("is_s3"), 1L).otherwise(0L)).as("c3"))
+      .as[(Long, Long, Long, Long)].collect().head
+    val c4 = staged.filter(col("is_s3"))
+      .join(sources.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum(least(col("n"), lit(cap.toLong))), lit(0L)).as("c4"))
+      .as[Long].collect().head
+    Seq("s0_total" -> c0, "s1_quality" -> c1, "s2_exact_dedup" -> c2,
+      "s3_near_dedup" -> c3, "s4_source_cap" -> c4).toDF("stage", "n_docs")
+  }
 }

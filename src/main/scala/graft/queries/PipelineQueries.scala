@@ -1528,8 +1528,67 @@ object PipelineQueries {
       vecStore, Seq("vector", "stream", "join"), 7L)
   }
 
+  /** Q139: CDC-MAINTAINED CURATION FUNNEL — q69's flagship composition
+    * under churn: the per-stage survivor report over the POST-TRAFFIC
+    * corpus, derived from the documents delta log (± live-row folds +
+    * the integer-only quality gate), the maintained LSH pair index
+    * (q118's banded candidate deltas, exact-verified among s2
+    * survivors only), and the static (doc, source) dimension — never a
+    * text rescan (see CorpusOps.curationFunnelFromLog for the
+    * per-stage fold algebra). The oracle runs the from-scratch q69
+    * batch funnel over the post-traffic corpus, so every maintained
+    * stage count is certified at once: a dead doc still counted, a
+    * stale text's gate verdict, a retracted pair still dropping its
+    * larger endpoint — any of them shifts a stage count and breaks the
+    * hash.
+    */
+  val q139 = QueryDef.sql(
+    "q139_cdc_curation_funnel",
+    """WITH cur AS (SELECT doc_id,
+      |         CASE WHEN doc_id % 3 = 0 THEN text || ' revised edition'
+      |              ELSE text END AS text, source
+      |       FROM documents WHERE doc_id % 5 <> 0),
+      |t AS (SELECT doc_id, text, source,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+      |         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS nd
+      |       FROM cur),
+      |s1 AS (SELECT doc_id, text, source FROM t
+      |       WHERE n_tok >= 25 AND nd * 100 >= n_tok * 30),
+      |s2 AS (SELECT d.doc_id, d.text, d.source FROM s1 d
+      |       JOIN (SELECT text, min(doc_id) AS m FROM s1 GROUP BY text) g
+      |         ON d.doc_id = g.m),
+      |tok AS (SELECT doc_id, string_split(text, ' ') AS tt FROM s2),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         unnest(list_transform(range(1, len(tt) - 1),
+      |                i -> tt[i] || ' ' || tt[i+1] || ' ' || tt[i+2])) AS s
+      |       FROM tok),
+      |card AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |cp AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+      |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |       GROUP BY 1, 2),
+      |dropped AS (SELECT DISTINCT db FROM cp
+      |            JOIN card ca ON da = ca.doc_id JOIN card cb ON db = cb.doc_id
+      |            WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.6),
+      |s3 AS (SELECT * FROM s2 WHERE doc_id NOT IN (SELECT db FROM dropped)),
+      |s4 AS (SELECT doc_id FROM (
+      |         SELECT doc_id, row_number() OVER (
+      |           PARTITION BY source
+      |           ORDER BY (doc_id % 1073741824) * 2246822519 % 4294967296, doc_id) AS r
+      |         FROM s3) WHERE r <= 15)
+      |SELECT 's0_total' AS stage, count(*) AS n_docs FROM cur
+      |UNION ALL SELECT 's1_quality', count(*) FROM s1
+      |UNION ALL SELECT 's2_exact_dedup', count(*) FROM s2
+      |UNION ALL SELECT 's3_near_dedup', count(*) FROM s3
+      |UNION ALL SELECT 's4_source_cap', count(*) FROM s4""".stripMargin) { (spark, dir) =>
+    import graft.cdc.DeltaLog
+    CorpusOps.curationFunnelFromLog(spark,
+      DeltaLog.documentsDeltas(spark, dir),
+      DeltaLog.documentsPairDeltas(spark, dir),
+      Tables.documents(spark, dir))
+  }
+
   val all: Seq[QueryDef] = Seq(q41, q42, q43, q44, q45, q47, q48, q49,
     q54, q57, q60, q62, q63, q64, q68, q69, q74, q76, q80, q81, q83, q90, q91,
     q94, q98, q122, q125, q127, q128, q129, q130, q131, q133, q134, q135,
-    q136, q137, q138)
+    q136, q137, q138, q139)
 }

@@ -296,6 +296,37 @@ class CorpusSpec extends SparkSpec {
       "deleted doc 3 must not rank from the maintained store")
   }
 
+  test("curationFunnelFromLog: stage counts fold from the log — deletes retract, non-s2 pairs drop nothing, cap is min(cap, n)") {
+    val t1 = (1 to 30).map("w" + _).mkString(" ")  // 30 distinct: passes gate
+    val t3 = (1 to 30).map("v" + _).mkString(" ")
+    def ins(id: Long, text: String) =
+      (id.toString, s"""{"text":"$text"}""", null: String)
+    val deltas = (Seq(
+      ins(1, t1), ins(2, t1),            // exact dup: s2 keeps doc 1
+      ins(3, t1 + " zz"),                // near-dup of 1: s3 drops 3
+      ins(4, "short text"), ins(9, "short text too"), // both fail gate
+      ins(10, t3),
+      ins(5, t1 + " yy"),                // inserted THEN deleted
+      ("5", null: String, s"""{"text":"$t1 yy"}"""))
+      ).toDF("key", "rowJson", "prevJson")
+    val pairDeltas = Seq(
+      (1L, 3L, 1L),                       // live pair among s2
+      (1L, 5L, 1L), (1L, 5L, -1L),        // retracted with the delete
+      (4L, 9L, 1L))                       // endpoints fail the gate: no-op
+      .toDF("id_a", "id_b", "delta")
+    val sources = Seq(1L, 2L, 3L, 4L, 5L, 9L, 10L)
+      .map(id => (id, "sA")).toDF("doc_id", "source")
+    val got = CorpusOps.curationFunnelFromLog(spark, deltas, pairDeltas,
+      sources, cap = 1)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map(
+      "s0_total" -> 6L,       // 1,2,3,4,9,10 live; 5 deleted
+      "s1_quality" -> 4L,     // 1,2,3,10
+      "s2_exact_dedup" -> 3L, // texts t1 (doc 1), t1+zz, t3
+      "s3_near_dedup" -> 2L,  // pair (1,3) drops 3; (4,9) not in s2
+      "s4_source_cap" -> 1L)) // min(1, |{1,10}|) in the one source
+  }
+
   test("dedupSegments: corpus-first occurrence wins, docs reassemble in order, empty docs vanish") {
     val d = Seq(
       (1L, Seq("boiler", "plate", "body1")),  // all first occurrences
