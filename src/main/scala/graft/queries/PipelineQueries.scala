@@ -1587,8 +1587,67 @@ object PipelineQueries {
       Tables.documents(spark, dir))
   }
 
+  private val q140Lock = new Object
+
+  /** Q140: the ES-TARGET VIEW PIPELINE under the oracle gate — the last
+    * serving surface that was spec-only: the full streaming topology
+    * (staged orders+customer feed → checkpointed side logs → symmetric
+    * join stage → EsSink keyed batches with the in-band progress
+    * marker) delivered through [[graft.sinks.EsSink.FileDocStore]], the
+    * file-backed document store that applies the EXACT request shapes
+    * the HTTP transport sends (PUT/DELETE `_doc`, NDJSON `/_bulk`). The
+    * query reads the store directory back — excluding the reserved
+    * `_graft_progress_` marker prefix, the documented external-reader
+    * contract — and the oracle is q101's batch join over the
+    * post-traffic snapshots: the hash certifies the document set an ES
+    * consumer would actually see, including deletes landing before
+    * upserts and replayed batches sending nothing (the store is
+    * warehouse-keyed and durable across JVMs, so a steady-state re-run
+    * serves purely from marker-guarded state).
+    */
+  val q140 = QueryDef.sql(
+    "q140_es_view_serving",
+    """SELECT o.o_orderkey, o.o_orderstatus,
+      |       CASE WHEN o.o_orderkey % 3 = 0 THEN o.o_totalprice * 1.1
+      |            ELSE o.o_totalprice END AS total,
+      |       c.c_custkey, c.c_name, c.c_mktsegment
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |WHERE o.o_orderkey % 5 <> 0""".stripMargin) { (spark, dir) =>
+    import graft.cdc.{ChangeFeed, DeltaLog}
+    import graft.streaming.{EsTarget, ViewPipeline}
+    val feed = ChangeFeed.stagedJsonl(spark, dir)
+    val fp = graft.sources.Staging.fingerprint(
+      Seq(s"$dir/orders.parquet", s"$dir/customer.parquet"))
+    val base = DeltaLog.logBase(spark,
+      s"esview_${dir.replaceAll("[^a-zA-Z0-9]", "_")}", fp)
+    val store = s"$base/store"
+    val pipeline = ViewPipeline(
+      name = "q140", databases = Set("shop"),
+      factTable = "orders", factSchema = ChangeFeed.ordersRowSchema,
+      factIdField = "o_orderkey", factJoinField = "o_custkey",
+      dimTable = "customer", dimSchema = ChangeFeed.customerRowSchema,
+      dimIdField = "c_custkey", dimJoinField = "c_custkey",
+      leftOuter = false,
+      // url/credentials are conf payload the file transport never
+      // dials — no socket is ever opened on this path
+      target = EsTarget("http://graft-local/enriched_q140", "graft", "graft"))
+    q140Lock.synchronized {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(store))
+      pipeline.runOnce(spark, feed, s"$base/work",
+        esTransport = new graft.sinks.EsSink.FileDocStore(store))
+    }
+    val docSchema = org.apache.spark.sql.types.StructType(
+      ChangeFeed.ordersRowSchema.fields ++ ChangeFeed.customerRowSchema.fields)
+    spark.read.schema(docSchema).json(s"$store/*.json")
+      .withColumn("_f", input_file_name())
+      .filter(!col("_f").contains("_graft_progress_"))
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").as("total"),
+        col("c_custkey"), col("c_name"), col("c_mktsegment"))
+  }
+
   val all: Seq[QueryDef] = Seq(q41, q42, q43, q44, q45, q47, q48, q49,
     q54, q57, q60, q62, q63, q64, q68, q69, q74, q76, q80, q81, q83, q90, q91,
     q94, q98, q122, q125, q127, q128, q129, q130, q131, q133, q134, q135,
-    q136, q137, q138, q139)
+    q136, q137, q138, q139, q140)
 }

@@ -81,6 +81,77 @@ object EsSink {
     }
   }
 
+  /** FILE-BACKED document-store transport: applies the same keyed
+    * request shapes [[HttpTransport]] sends (single PUT/DELETE `_doc`,
+    * NDJSON `POST /_bulk`) to a local directory — one `<encoded-id>
+    * .json` file per document, atomic replace per write. This is the
+    * durable serving-store stand-in that puts an ES-target pipeline
+    * under the DuckDB correctness gate (q140) and lets any ES conf run
+    * without a cluster: the directory IS what an external reader sees,
+    * it survives JVM restarts (a checkpoint-replayed batch sends
+    * nothing, so the store must outlive the sender — an in-memory
+    * recorder cannot), and the in-band `_graft_progress_` marker
+    * documents land in it exactly as they would in a real index (the
+    * read side filters the reserved prefix, the documented consumer
+    * contract). Ids arrive path-encoded in `_doc` URLs and raw in bulk
+    * action lines; both funnel through the same encoded filename.
+    */
+  final class FileDocStore(dir: String) extends Transport {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    private def fileOf(encodedId: String) =
+      Paths.get(dir, s"$encodedId.json")
+    private def put(encodedId: String, body: String): Unit = {
+      val f = fileOf(encodedId)
+      Files.createDirectories(f.getParent)
+      val tmp = f.resolveSibling(
+        s"${f.getFileName}.tmp.${java.util.UUID.randomUUID()}")
+      Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, f, StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.ATOMIC_MOVE)
+      ()
+    }
+    private def encodedIdOf(url: String): Option[String] = {
+      val i = url.indexOf("/_doc/")
+      if (i < 0) None else Some(url.substring(i + "/_doc/".length))
+    }
+    def send(req: Request): Int = req.method match {
+      case "PUT" => encodedIdOf(req.url) match {
+        case Some(id) => put(id, req.body); 200
+        case None => 400
+      }
+      case "DELETE" => encodedIdOf(req.url) match {
+        case Some(id) => Files.deleteIfExists(fileOf(id)); 200
+        case None => 400
+      }
+      case "POST" if req.url.endsWith("/_bulk") =>
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val lines = req.body.split("\n").filter(_.nonEmpty)
+        var i = 0
+        while (i < lines.length) {
+          val action = mapper.readTree(lines(i))
+          if (action.has("index") && i + 1 < lines.length) {
+            put(pathEncode(action.get("index").get("_id").asText()),
+              lines(i + 1))
+            i += 2
+          } else if (action.has("delete")) {
+            Files.deleteIfExists(
+              fileOf(pathEncode(action.get("delete").get("_id").asText())))
+            i += 1
+          } else i += 1
+        }
+        200
+      case _ => 400
+    }
+    override def get(url: String,
+        headers: Map[String, String]): (Int, String) =
+      encodedIdOf(url).map(fileOf).filter(Files.exists(_)) match {
+        case Some(f) =>
+          val body = new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
+          (200, s"""{"found":true,"_source":$body}""")
+        case None => (404, "")
+      }
+  }
+
   /** Send with retry/backoff. Returns None on success, or the final
     * error description after a permanent failure / exhausted retries.
     */

@@ -304,6 +304,35 @@ class SinkSpec extends SparkSpec {
       stagingColumnTypes = "g VARCHAR(10)", batchId = 99L)
     assert(view() == Map("b" -> ((3L, BigDecimal("6.00")))))
   }
+
+  test("FileDocStore: bulk/single writes land as durable files, deletes remove, marker round-trips across instances") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fds_").toString
+    val t = new EsSink.FileDocStore(dir)
+    def exists(encId: String) =
+      java.nio.file.Files.exists(java.nio.file.Paths.get(dir, s"$encId.json"))
+    // bulk upserts (incl. an id needing path-encoding), then bulk delete
+    assert(t.send(EsSink.Request("POST", s"${cfg.url}/_bulk", Map(),
+      EsSink.bulkUpsertBody(Seq(
+        "a" -> """{"v":1}""", "b" -> """{"v":2}""",
+        "c d" -> """{"v":3}""")))) == 200)
+    assert(t.send(EsSink.Request("POST", s"${cfg.url}/_bulk", Map(),
+      EsSink.bulkDeleteBody(Seq("b")))) == 200)
+    // single-document PUT and DELETE (the size-1 request shape)
+    assert(t.send(EsSink.Request("PUT", s"${cfg.url}/_doc/e", Map(),
+      """{"v":9}""")) == 200)
+    assert(exists("a") && !exists("b") && exists("c%20d") && exists("e"))
+    assert(t.send(EsSink.Request("DELETE", s"${cfg.url}/_doc/e", Map(),
+      "")) == 200)
+    assert(!exists("e"))
+    assert(t.get(s"${cfg.url}/_doc/a", Map()) ==
+      ((200, """{"found":true,"_source":{"v":1}}""")))
+    assert(t.get(s"${cfg.url}/_doc/zz", Map())._1 == 404)
+    // the progress marker persists — a NEW transport over the same dir
+    // (the restart case) reads it, so replays skip the batch
+    EsSink.writeProgress(cfg, t, "p1", 7L)
+    assert(EsSink.readProgress(cfg, new EsSink.FileDocStore(dir), "p1")
+      == Some(7L))
+  }
 }
 
 object SinkSpec {
