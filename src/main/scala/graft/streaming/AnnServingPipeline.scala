@@ -83,7 +83,8 @@ final case class AnnServingPipeline(
     recallFloor: Double = 0.6,
     skewBound: Double = 4.0,
     autoRetrain: Boolean = false,
-    maxGenAgeMs: Long = 0L) {
+    maxGenAgeMs: Long = 0L,
+    metrics: Option[PipelineMetrics.Target] = None) {
 
   private val rowSchema: StructType =
     StructType.fromDDL(s"$idField BIGINT, $vectorField ARRAY<FLOAT>")
@@ -316,6 +317,7 @@ final case class AnnServingPipeline(
       .trigger(trigger)
       .option("checkpointLocation", ckptDir(workRoot, "index"))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val t0 = System.currentTimeMillis()
         // every batch assigns under whatever generation CURRENT names —
         // a swap between batches takes effect with no restart
         val c = currentCents(workRoot)
@@ -323,15 +325,28 @@ final case class AnnServingPipeline(
         // the latest delta (by seq, + over − within one seq) is the
         // key's serving outcome — livePostings' fold, kept as ±actions
         val pd = VectorSearch.postingDeltas(batch, c)
-        val flat = pd.groupBy(col("vec_id"))
+        val flat0 = pd.groupBy(col("vec_id"))
           .agg(max_by(struct(col("sgn"), col("cell"), col("emb")),
             struct(col("seq"), col("sgn"))).as("w"))
           .select(col("vec_id").as(idF),
             when(col("w.sgn") > 0, "upsert").otherwise("delete").as("action"),
             col("w.cell").as("cell"), to_json(col("w.emb")).as("emb_json"))
+        // with metrics on, pin the actions so the count below cannot
+        // re-run the batch plan
+        val flat = if (metrics.isDefined) flat0.localCheckpoint(true)
+          else flat0
         JdbcSink.applyViewDeltas(flat, jdbcUrl, postingsTable, Seq(idF),
           stagingColumnTypes = "emb_json VARCHAR(32000)")
         applyCertificate(spark, batchId, c)
+        metrics.foreach { m =>
+          val gen = Files.readString(
+            Paths.get(s"${quantDir(workRoot)}/CURRENT")).trim
+          PipelineMetrics.record(m, name, "ann", batchId,
+            rowsIn = flat.count(), deadLetters = 0L,
+            stateRows = flat.count(),
+            wallMs = System.currentTimeMillis() - t0,
+            info = s"""{"generation":"$gen"}""")
+        }
         // SELF-HEALING: a tripped certificate triggers the retrain
         // in-stream — the swap lands between batches through CURRENT,
         // and the re-run certificate records the restored SLO

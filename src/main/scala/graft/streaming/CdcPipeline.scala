@@ -30,7 +30,8 @@ final case class CdcPipeline(
     idKey: String,
     transform: DataFrame => DataFrame = identity,
     deadLetterDir: Option[String] = None,
-    exprTransform: Option[ExprTransform] = None) {
+    exprTransform: Option[ExprTransform] = None,
+    metrics: Option[PipelineMetrics.Target] = None) {
 
   // registration-time dry-run resolution of the conf-declared transform
   // against THIS pipeline's declared schema (the reference runs
@@ -102,8 +103,8 @@ final case class CdcPipeline(
       .queryName(queryName)
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        applyBatch(batch, cfg, transport)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(batch, cfg, transport, batchId)
       }
       .start()
 
@@ -146,8 +147,12 @@ final case class CdcPipeline(
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (deltas: org.apache.spark.sql.Dataset[StatefulLww.Delta], _: Long) =>
-        val df = deltas.toDF()
+      .foreachBatch { (deltas: org.apache.spark.sql.Dataset[StatefulLww.Delta], batchId: Long) =>
+        val t0 = System.currentTimeMillis()
+        // with metrics on, pin the delta frame first: counting an
+        // unmaterialized frame would re-execute the stateful plan
+        val df = if (metrics.isDefined) deltas.toDF().localCheckpoint(true)
+          else deltas.toDF()
         val dels = df.filter(col("action") === "delete")
           .select(col("key").cast("string").as(idKey))
         // the stored rowJson IS the (transformed) document — send it
@@ -156,8 +161,12 @@ final case class CdcPipeline(
         // ones, diverging from the per-batch path's sink documents
         val ups = df.filter(col("action") === "upsert")
           .select(col("key"), col("rowJson"))
-        EsSink.delete(dels, cfg, transport)
-        EsSink.upsertRaw(ups, "key", "rowJson", cfg, transport)
+        val dlDels = EsSink.delete(dels, cfg, transport)
+        val dlUps = EsSink.upsertRaw(ups, "key", "rowJson", cfg, transport)
+        metrics.foreach(m => PipelineMetrics.record(m, name, "lww", batchId,
+          rowsIn = df.count(),
+          deadLetters = dlDels.count() + dlUps.count(),
+          stateRows = 0L, wallMs = System.currentTimeMillis() - t0))
         () // dead-letter frames are returned by the sink; S6 contract:
            // the stream continues regardless
       }
@@ -178,7 +187,8 @@ final case class CdcPipeline(
     * — S6: failures are data, the stream continues.
     */
   def applyBatch(batch: DataFrame, cfg: EsSink.Config,
-      transport: EsSink.Transport): Unit = {
+      transport: EsSink.Transport, batchId: Long = 0L): Unit = {
+    val t0 = System.currentTimeMillis()
     val winners = batch
       .filter(col("key").isNotNull)
       .groupBy(col("key"))
@@ -197,6 +207,12 @@ final case class CdcPipeline(
           .withColumn("pipeline", lit(name))
         if (!dead.isEmpty) dead.write.mode("append").parquet(dir)
       }
+      // counts come from the CACHED winners and the localCheckpointed
+      // dead-letter frames — recording never re-runs the batch plan
+      metrics.foreach(m => PipelineMetrics.record(m, name, "lww", batchId,
+        rowsIn = winnersCached.count(),
+        deadLetters = dlDeletes.count() + dlUpserts.count(),
+        stateRows = 0L, wallMs = System.currentTimeMillis() - t0))
     } finally winnersCached.unpersist()
   }
 }

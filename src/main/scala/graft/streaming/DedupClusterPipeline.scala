@@ -78,7 +78,8 @@ final case class DedupClusterPipeline(
     maxBucket: Int = Int.MaxValue,
     compactEvery: Int = 32,
     deadLetterDir: Option[String] = None,
-    verifyThreshold: Option[Double] = None) {
+    verifyThreshold: Option[Double] = None,
+    metrics: Option[PipelineMetrics.Target] = None) {
 
   private val rowSchema: StructType =
     StructType.fromDDL(s"$idField BIGINT, $textField STRING")
@@ -204,6 +205,7 @@ final case class DedupClusterPipeline(
     val idF = idField
     val dlDir = deadLetterDir
     val pipelineName = name
+    val mtx = metrics
     // checkpoint-scoped marker identity (ViewPipeline's rule): a fresh
     // work dir restarts batch ids, so the marker must die with it
     val markerId = s"${name}_${Integer.toHexString(workRoot.hashCode)}"
@@ -216,6 +218,10 @@ final case class DedupClusterPipeline(
       .trigger(trigger)
       .option("checkpointLocation", ckptDir(workRoot, "clusters"))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val t0 = System.currentTimeMillis()
+        var esDeadLetters = 0L
+        var changedRows = 0L
+        var droppedRows = 0L
         val raw = batch.localCheckpoint(true)
         val net = raw.groupBy(col("id_a"), col("id_b"))
           .agg(sum(col("delta")).cast("long").as("d"))
@@ -379,6 +385,8 @@ final case class DedupClusterPipeline(
                 .withColumn("is_canonical", lit(null).cast("boolean"))
                 .withColumn("tombstone", lit(true))),
             labelBase, batchId)
+          changedRows = changed.count()
+          droppedRows = dropped.count()
           target match {
             case JdbcTarget(url, tbl, _) =>
               JdbcSink.applyViewDeltas(
@@ -400,7 +408,7 @@ final case class DedupClusterPipeline(
               // checkpoint advances (ViewPipeline's contract). Persisted
               // via the sink's pre-marker hook: a marker-covered batch
               // replays as a no-op and could never regenerate them
-              graft.sinks.EsSink.applyKeyedBatch(markerId, batchId,
+              val applied = graft.sinks.EsSink.applyKeyedBatch(markerId, batchId,
                 dropped.select(col("doc_id").as(idF)),
                 changed.select(col("doc_id").as(idF), col("cluster_id"),
                   col("is_canonical").cast("int").as("is_canonical")),
@@ -411,6 +419,8 @@ final case class DedupClusterPipeline(
                       .withColumn("pipeline", lit(pipelineName))
                     if (!dead.isEmpty) dead.write.mode("append").parquet(dir)
                   })
+              esDeadLetters = applied
+                .map { case (d, u) => d.count() + u.count() }.getOrElse(0L)
               ()
           }
           // bounded log: fold-to-batchId−1 (exactly support0/labels0)
@@ -420,6 +430,13 @@ final case class DedupClusterPipeline(
           if (StateLog.logBatchCount(labelBase) > compactEvery)
             StateLog.compact(labels0, labelBase, batchId - 1)
         }
+        // every drained batch records — counts ride the
+        // localCheckpointed frames, never a plan re-run (S6 visibility)
+        mtx.foreach(m => PipelineMetrics.record(m, pipelineName, "dedup",
+          batchId, rowsIn = raw.count(),
+          deadLetters = esDeadLetters, stateRows = net.count(),
+          wallMs = System.currentTimeMillis() - t0,
+          info = s"""{"changed":$changedRows,"dropped":$droppedRows}"""))
         ()
       }
       .start()

@@ -1,0 +1,107 @@
+package graft.streaming
+
+/** Per-pipeline OPERATIONAL METRICS — the serving-side analog of the
+  * reference's per-event logging (S6: every applied/failed effect is
+  * observable data, `ScriptExecutor.java`'s per-event log lines): each
+  * pipeline kind's SERVING stage writes one row per drained micro-batch
+  * to a conf-declared JDBC table —
+  *
+  * {{{
+  * pipeline VARCHAR(64), kind VARCHAR(16), batch_id BIGINT,
+  * rows_in BIGINT,       -- rows the stage applied (keyed effects /
+  *                       --   pair deltas / posting actions)
+  * dead_letters BIGINT,  -- undeliverable rows this batch (matches the
+  *                       --   dead-letter frames, S6)
+  * state_rows BIGINT,    -- state-log rows the batch appended (churn)
+  * wall_ms BIGINT,       -- stage wall-clock for the batch
+  * info VARCHAR(1024),   -- kind-specific context (quantizer
+  *                       --   generation, merge/split counts, ...)
+  * PRIMARY KEY (pipeline, batch_id)
+  * }}}
+  *
+  * Effects are keyed (pipeline, batch_id) and written DELETE+INSERT in
+  * one transaction, so a checkpoint-replayed batch overwrites its own
+  * row — idempotent, exactly-once per batch. A metrics write failure
+  * never kills serving ([[record]] logs and continues — monitoring must
+  * not take down the monitored); a BAD metrics conf still fails fast at
+  * registration because the registry calls [[ensureTable]] at load
+  * (register-at-boot, S3).
+  *
+  * Counts are taken from frames the stage ALREADY materialized
+  * (cached / localCheckpointed) — recording never re-executes a
+  * micro-batch plan (the foreachBatch re-execution hazard).
+  */
+object PipelineMetrics {
+
+  /** Conf-declared metrics target (`"metrics": {"url":..,"table":..}`
+    * on any pipeline kind's conf).
+    */
+  final case class Target(url: String, table: String)
+
+  /** Create the metrics table if missing (idempotent — Derby's
+    * `X0Y32` = exists). Called by the registry at conf load, so a
+    * malformed URL fails registration, not the first batch.
+    */
+  def ensureTable(t: Target): Unit = {
+    val conn = java.sql.DriverManager.getConnection(t.url)
+    try {
+      val st = conn.createStatement()
+      try st.execute(
+        s"""CREATE TABLE ${t.table} ("pipeline" VARCHAR(64) NOT NULL,
+           | "kind" VARCHAR(16), "batch_id" BIGINT NOT NULL,
+           | "rows_in" BIGINT, "dead_letters" BIGINT, "state_rows" BIGINT,
+           | "wall_ms" BIGINT, "info" VARCHAR(1024),
+           | PRIMARY KEY ("pipeline", "batch_id"))"""
+          .stripMargin.replace("\n", ""))
+      catch {
+        case e: java.sql.SQLException if e.getSQLState == "X0Y32" => ()
+      }
+    } finally conn.close()
+  }
+
+  /** Upsert the (pipeline, batch_id) metrics row. Failures are logged
+    * and swallowed — the serving stage must survive a down metrics
+    * store (its own delivery contract already covers the data path).
+    */
+  def record(t: Target, pipeline: String, kind: String, batchId: Long,
+      rowsIn: Long, deadLetters: Long, stateRows: Long, wallMs: Long,
+      info: String = ""): Unit =
+    try {
+      val conn = java.sql.DriverManager.getConnection(t.url)
+      try {
+        conn.setAutoCommit(false)
+        val del = conn.prepareStatement(
+          s"""DELETE FROM ${t.table} WHERE "pipeline" = ? AND "batch_id" = ?""")
+        del.setString(1, pipeline); del.setLong(2, batchId)
+        del.executeUpdate()
+        val ins = conn.prepareStatement(
+          s"""INSERT INTO ${t.table} ("pipeline", "kind", "batch_id",
+             | "rows_in", "dead_letters", "state_rows", "wall_ms", "info")
+             | VALUES (?, ?, ?, ?, ?, ?, ?, ?)"""
+            .stripMargin.replace("\n", ""))
+        ins.setString(1, pipeline); ins.setString(2, kind)
+        ins.setLong(3, batchId); ins.setLong(4, rowsIn)
+        ins.setLong(5, deadLetters); ins.setLong(6, stateRows)
+        ins.setLong(7, wallMs); ins.setString(8, info.take(1024))
+        ins.executeUpdate()
+        conn.commit()
+      } finally conn.close()
+    } catch {
+      case e: Exception =>
+        System.err.println(
+          s"[PipelineMetrics] $pipeline batch $batchId not recorded: $e")
+    }
+
+  /** The recorded rows, typed — operational dashboards and specs. */
+  def rows(spark: org.apache.spark.sql.SparkSession,
+      t: Target): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    spark.read.jdbc(t.url, t.table, new java.util.Properties())
+      .select(col("pipeline"), col("kind"),
+        col("batch_id").cast("long").as("batch_id"),
+        col("rows_in").cast("long").as("rows_in"),
+        col("dead_letters").cast("long").as("dead_letters"),
+        col("state_rows").cast("long").as("state_rows"),
+        col("wall_ms").cast("long").as("wall_ms"), col("info"))
+  }
+}

@@ -146,6 +146,34 @@ object PipelineRegistry {
       }
     }
 
+  /** Conf-declared per-pipeline metrics target, shared by all five
+    * kinds:
+    * {{{
+    *   "metrics": { "url": "jdbc:derby:...", "table": "pipeline_metrics" }
+    * }}}
+    * The table is ENSURED at registration ([[PipelineMetrics.ensureTable]])
+    * so an unreachable metrics store fails the conf at boot (S3), while
+    * per-batch write failures at runtime only log (monitoring must not
+    * take down the monitored — see [[PipelineMetrics.record]]).
+    */
+  private def parseMetrics(f: File,
+      node: com.fasterxml.jackson.databind.JsonNode): Option[PipelineMetrics.Target] =
+    if (!node.hasNonNull("metrics")) None
+    else {
+      val m = node.get("metrics")
+      require(m.hasNonNull("url") && m.hasNonNull("table"),
+        s"${f.getName}: metrics needs url and table")
+      val t = PipelineMetrics.Target(m.get("url").asText(),
+        m.get("table").asText())
+      try PipelineMetrics.ensureTable(t)
+      catch {
+        case e: java.sql.SQLException =>
+          throw new IllegalArgumentException(
+            s"${f.getName}: metrics store unreachable — ${e.getMessage}")
+      }
+      Some(t)
+    }
+
   /** Prefix a pipeline ctor failure (schema/transform validation) with
     * the conf FILE, the registration unit an operator edits — a
     * resolution error naming only the pipeline is unactionable when two
@@ -198,7 +226,8 @@ object PipelineRegistry {
           subscription = Subscription(strSet("databases"), strSet("tables")),
           rowSchema = StructType.fromDDL(node.get("schema").asText()),
           idKey = node.get("idKey").asText(),
-          exprTransform = parseTransform(f, node)))
+          exprTransform = parseTransform(f, node),
+          metrics = parseMetrics(f, node)))
         Some(Entry(pipeline, f.getAbsolutePath, f.lastModified()))
       }
     }}
@@ -279,7 +308,8 @@ object PipelineRegistry {
           deadLetterDir =
             if (node.hasNonNull("deadLetterDir"))
               Some(node.get("deadLetterDir").asText()) else None,
-          exprTransform = parseTransform(f, node)))
+          exprTransform = parseTransform(f, node),
+          metrics = parseMetrics(f, node)))
         Some(ViewEntry(pipeline, f.getAbsolutePath, f.lastModified()))
       }
     }}
@@ -349,7 +379,8 @@ object PipelineRegistry {
             && node.get("autoRetrain").asBoolean(),
           maxGenAgeMs =
             if (node.hasNonNull("maxGenAgeMs")) node.get("maxGenAgeMs").asLong()
-            else 0L)
+            else 0L,
+          metrics = parseMetrics(f, node))
         Some(AnnEntry(pipeline, f.getAbsolutePath, f.lastModified()))
       }
     }}
@@ -417,7 +448,8 @@ object PipelineRegistry {
               Some(node.get("deadLetterDir").asText()) else None,
           verifyThreshold =
             if (node.hasNonNull("verifyThreshold"))
-              Some(node.get("verifyThreshold").asDouble()) else None)
+              Some(node.get("verifyThreshold").asDouble()) else None,
+          metrics = parseMetrics(f, node))
         Some(DedupEntry(pipeline, f.getAbsolutePath, f.lastModified()))
       }
     }}
@@ -466,7 +498,8 @@ object PipelineRegistry {
           jdbcUrl = jdbc.get("url").asText(),
           postingsTable = jdbc.get("postingsTable").asText(),
           lensTable = jdbc.get("lensTable").asText(),
-          k1 = dbl("k1", 1.2), b = dbl("b", 0.75))
+          k1 = dbl("k1", 1.2), b = dbl("b", 0.75),
+          metrics = parseMetrics(f, node))
         Some(SearchEntry(pipeline, f.getAbsolutePath, f.lastModified()))
       }
     }}

@@ -54,7 +54,8 @@ final case class SearchServingPipeline(
     postingsTable: String,
     lensTable: String,
     k1: Double = 1.2,
-    b: Double = 0.75) {
+    b: Double = 0.75,
+    metrics: Option[PipelineMetrics.Target] = None) {
 
   private val rowSchema: StructType =
     StructType.fromDDL(s"$idField BIGINT, $textField STRING")
@@ -104,12 +105,15 @@ final case class SearchServingPipeline(
     val tf = textField
     val url = jdbcUrl
     val (pt, lt) = (postingsTable, lensTable)
+    val mtx = metrics
+    val pipelineName = name
     stream.writeStream
       .queryName(s"search_$name")
       .outputMode("append")
       .trigger(trigger)
       .option("checkpointLocation", ckptDir(workRoot, "index"))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val t0 = System.currentTimeMillis()
         // persist across the two staging actions: an uncached batch
         // frame re-runs the whole micro-batch plan per action
         val cached = batch.persist()
@@ -125,6 +129,11 @@ final case class SearchServingPipeline(
             .select(col("doc_id"), col("d").as("len"))
           JdbcSink.mergeAdditive(lens, url, lt,
             Seq("doc_id"), Seq("len"), zeroGuard = "len", batchId = batchId)
+          // counts re-derive from the persisted batch frame only
+          mtx.foreach(m => PipelineMetrics.record(m, pipelineName, "search",
+            batchId, rowsIn = cached.count(), deadLetters = 0L,
+            stateRows = posting.count() + lens.count(),
+            wallMs = System.currentTimeMillis() - t0))
         } finally { cached.unpersist(); () }
         ()
       }

@@ -68,7 +68,8 @@ final case class ViewPipeline(
     target: ViewTarget,
     deadLetterDir: Option[String] = None,
     compactEvery: Int = 32,
-    exprTransform: Option[ExprTransform] = None) {
+    exprTransform: Option[ExprTransform] = None,
+    metrics: Option[PipelineMetrics.Target] = None) {
 
   require(factSchema.fieldNames.toSet.intersect(dimSchema.fieldNames.toSet).isEmpty,
     s"view $name: fact and dim schemas share field names — the serving " +
@@ -156,12 +157,14 @@ final case class ViewPipeline(
     // by (name, work dir) the marker dies with its checkpoint.
     val markerId = s"${name}_${Integer.toHexString(workRoot.hashCode)}"
     val tx = exprTransform
+    val mtx = metrics
     viewDeltas.toDF().writeStream
       .queryName(s"view_$name")
       .outputMode("append")
       .trigger(trigger)
       .option("checkpointLocation", ckptDir(workRoot, "view"))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val t0 = System.currentTimeMillis()
         val flat0 = batch.select(
           Seq(col("factId").as(keyField), col("action")) ++
             fSchema.fieldNames.filterNot(_ == keyField).map(n =>
@@ -175,8 +178,15 @@ final case class ViewPipeline(
         val flat = tx.fold(flat0)(_.applyFlat(flat0))
         tgt match {
           case JdbcTarget(url, table, types) =>
-            JdbcSink.applyViewDeltas(flat, url, table, Seq(keyField),
+            // with metrics on, pin the frame so the rows_in count below
+            // cannot re-execute the batch plan (the sink persists only
+            // internally)
+            val f = if (mtx.isDefined) flat.localCheckpoint(true) else flat
+            JdbcSink.applyViewDeltas(f, url, table, Seq(keyField),
               stagingColumnTypes = types.orNull)
+            mtx.foreach(m => PipelineMetrics.record(m, viewName, "view",
+              batchId, rowsIn = f.count(), deadLetters = 0L,
+              stateRows = 0L, wallMs = System.currentTimeMillis() - t0))
           case es: EsTarget =>
             // the emission contract: a key-move's (delete, upsert) pair
             // for one fact id must land on the upsert — deletes first.
@@ -191,7 +201,7 @@ final case class ViewPipeline(
               // advances. Persisted via the sink's pre-marker hook: once
               // the progress marker publishes, a replay sends nothing
               // and could never regenerate these rows
-              graft.sinks.EsSink.applyKeyedBatch(markerId, batchId,
+              val applied = graft.sinks.EsSink.applyKeyedBatch(markerId, batchId,
                 cached.filter(col("action") === "delete").select(col(keyField)),
                 cached.filter(col("action") === "upsert").drop("action"),
                 cfg, esTransport,
@@ -201,6 +211,14 @@ final case class ViewPipeline(
                       .withColumn("pipeline", lit(viewName))
                     if (!dead.isEmpty) dead.write.mode("append").parquet(dir)
                   })
+              // dead-letter frames are localCheckpointed by the sink;
+              // the cached flat frame backs rows_in — no plan re-run
+              mtx.foreach(m => PipelineMetrics.record(m, viewName, "view",
+                batchId, rowsIn = cached.count(),
+                deadLetters = applied
+                  .map { case (d, u) => d.count() + u.count() }.getOrElse(0L),
+                stateRows = 0L, wallMs = System.currentTimeMillis() - t0,
+                info = if (applied.isEmpty) """{"replay_skipped":true}""" else ""))
               ()
             } finally { cached.unpersist(); () }
         }

@@ -1,0 +1,210 @@
+package graft
+
+import graft.cdc.Subscription
+import graft.sinks.EsSink
+import graft.streaming._
+import org.apache.spark.sql.types.StructType
+import java.nio.file.Files
+import scala.jdk.CollectionConverters._
+
+/** Per-pipeline metrics contract (S6's serving-side observability):
+  * every kind's SERVING stage writes exactly one (pipeline, batch_id)
+  * row per drained micro-batch to the conf-declared JDBC table, with
+  * dead-letter counts matching the frames, and a replayed batch
+  * overwrites its own row rather than duplicating it.
+  */
+class MetricsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  private def wire(table: String, after: String, before: String, op: String,
+      ts: Long, off: Long): String = {
+    val ev = s"""{"payload":{"before":${Option(before).getOrElse("null")},""" +
+      s""""after":${Option(after).getOrElse("null")},""" +
+      s""""source":{"db":"shop","table":"$table","ts_ms":$ts},"op":"$op","ts_ms":$ts}}"""
+    s"""{"value":${mapper.writeValueAsString(ev)},"offset":$off}"""
+  }
+  private def doc(id: Long, text: String): String =
+    s"""{"doc_id":$id,"text":"$text"}"""
+
+  private val url = "jdbc:derby:memory:graftmetrics;create=true"
+  private val target = PipelineMetrics.Target(url, "pipe_metrics")
+  PipelineMetrics.ensureTable(target)
+
+  private def rowsFor(pipeline: String): Seq[(String, Long, Long, Long, Long)] =
+    PipelineMetrics.rows(spark, target)
+      .filter($"pipeline" === pipeline)
+      .select($"kind", $"batch_id", $"rows_in", $"dead_letters", $"state_rows")
+      .as[(String, Long, Long, Long, Long)]
+      .collect().sortBy(_._2).toSeq
+
+  private def exec(ddl: String): Unit = {
+    val c = java.sql.DriverManager.getConnection(url)
+    try { c.createStatement().execute(ddl); () } finally c.close()
+  }
+
+  test("ensureTable is idempotent and record overwrites its (pipeline, batch) row on replay") {
+    PipelineMetrics.ensureTable(target) // second call: X0Y32 swallowed
+    PipelineMetrics.record(target, "p0", "lww", 3L, 10L, 1L, 0L, 5L)
+    PipelineMetrics.record(target, "p0", "lww", 3L, 10L, 2L, 0L, 6L) // replay
+    assert(rowsFor("p0") == Seq(("lww", 3L, 10L, 2L, 0L)),
+      "replayed batch overwrites, never duplicates")
+    // a down metrics store only logs — the caller survives
+    PipelineMetrics.record(
+      PipelineMetrics.Target("jdbc:derby:memory:nosuchdb", "t"),
+      "p0", "lww", 0L, 0L, 0L, 0L, 0L)
+  }
+
+  test("lww: one row per drained batch; dead-letter count matches the frames when the sink fails hard") {
+    val feedDir = Files.createTempDirectory("graft_mx_lww_feed_").toFile
+    Files.write(new java.io.File(feedDir, "000.json").toPath, Seq(
+      wire("documents", doc(1, "a"), null, "c", 10, 1),
+      wire("documents", doc(2, "b"), null, "c", 10, 2)).asJava)
+    val pipeline = CdcPipeline(
+      name = "mx_lww", subscription = Subscription(Set("shop"), Set("documents")),
+      rowSchema = StructType.fromDDL("doc_id BIGINT, text STRING"),
+      idKey = "doc_id", metrics = Some(target))
+    val cfg = EsSink.Config("http://es/idx", "u", "p", "doc_id",
+      maxRetries = 0)
+    // every send fails PERMANENTLY (HTTP 400): all records dead-letter
+    val failing = new EsSink.Transport {
+      def send(req: EsSink.Request): Int = 400
+    }
+    pipeline.start(spark, feedDir.toString,
+      Files.createTempDirectory("graft_mx_lww_ckpt_").toString,
+      cfg, failing).awaitTermination()
+    val rows = rowsFor("mx_lww")
+    assert(rows.map(r => (r._1, r._3, r._4)) == Seq(("lww", 2L, 2L)),
+      s"2 keyed effects, both dead-lettered, got $rows")
+  }
+
+  test("view (jdbc): one row per drained view batch, zero dead letters") {
+    exec("""CREATE TABLE mx_enriched ("o_orderkey" BIGINT NOT NULL PRIMARY KEY,
+      | "o_custkey" BIGINT, "o_total" DOUBLE,
+      | "c_custkey" BIGINT, "c_name" VARCHAR(64))"""
+      .stripMargin.replace("\n", ""))
+    val feedDir = Files.createTempDirectory("graft_mx_view_feed_").toFile
+    Files.write(new java.io.File(feedDir, "000.json").toPath, Seq(
+      wire("customer", """{"c_custkey":1,"c_name":"A"}""", null, "c", 10, 1),
+      wire("orders", """{"o_orderkey":10,"o_custkey":1,"o_total":5.0}""",
+        null, "c", 10, 2)).asJava)
+    val pipeline = ViewPipeline(
+      name = "mx_view", databases = Set("shop"),
+      factTable = "orders",
+      factSchema = StructType.fromDDL(
+        "o_orderkey BIGINT, o_custkey BIGINT, o_total DOUBLE"),
+      factIdField = "o_orderkey", factJoinField = "o_custkey",
+      dimTable = "customer",
+      dimSchema = StructType.fromDDL("c_custkey BIGINT, c_name STRING"),
+      dimIdField = "c_custkey", dimJoinField = "c_custkey",
+      leftOuter = true,
+      target = JdbcTarget(url, "mx_enriched",
+        Some("c_name VARCHAR(64)")),
+      metrics = Some(target))
+    pipeline.runOnce(spark, feedDir.toString,
+      Files.createTempDirectory("graft_mx_view_work_").toString)
+    val rows = rowsFor("mx_view")
+    assert(rows.nonEmpty && rows.forall(_._1 == "view"))
+    assert(rows.map(_._2) == rows.map(_._2).distinct,
+      "one row per batch id")
+    assert(rows.map(_._3).sum >= 1L, "enriched deltas counted")
+    assert(rows.forall(_._4 == 0L), "jdbc target: no dead letters")
+  }
+
+  test("dedup: one row per drained cluster batch; state_rows is the net pair churn") {
+    exec("""CREATE TABLE mx_clusters ("doc_id" BIGINT NOT NULL PRIMARY KEY,
+      | "cluster_id" BIGINT, "is_canonical" INTEGER)"""
+      .stripMargin.replace("\n", ""))
+    val A = "alpha beta gamma delta epsilon zeta eta theta"
+    val feedDir = Files.createTempDirectory("graft_mx_dedup_feed_").toFile
+    Files.write(new java.io.File(feedDir, "000.json").toPath, Seq(
+      wire("documents", doc(1, A), null, "c", 10, 1),
+      wire("documents", doc(2, A), null, "c", 10, 2)).asJava)
+    val pipeline = DedupClusterPipeline(
+      name = "mx_dedup", databases = Set("shop"), table = "documents",
+      idField = "doc_id", textField = "text",
+      target = JdbcTarget(url, "mx_clusters"), metrics = Some(target))
+    pipeline.runOnce(spark, feedDir.toString,
+      Files.createTempDirectory("graft_mx_dedup_work_").toString)
+    val rows = rowsFor("mx_dedup")
+    assert(rows.nonEmpty && rows.forall(_._1 == "dedup"))
+    assert(rows.map(_._5).sum >= 1L,
+      s"identical texts must produce net pair support, got $rows")
+  }
+
+  test("ann: one row per drained index batch; info carries the quantizer generation") {
+    exec("""CREATE TABLE mx_postings ("vec_id" BIGINT NOT NULL PRIMARY KEY,
+      | "cell" INTEGER, "emb_json" VARCHAR(32000))"""
+      .stripMargin.replace("\n", ""))
+    val feedDir = Files.createTempDirectory("graft_mx_ann_feed_").toFile
+    Files.write(new java.io.File(feedDir, "000.json").toPath, Seq(
+      wire("embeddings", """{"vec_id":0,"embedding":[1.0,0.1]}""", null, "c", 10, 1),
+      wire("embeddings", """{"vec_id":1,"embedding":[-1.0,0.1]}""", null, "c", 10, 2)).asJava)
+    val pipeline = AnnServingPipeline(
+      name = "mx_ann", databases = Set("shop"), table = "embeddings",
+      idField = "vec_id", vectorField = "embedding",
+      cents = Array(Array(1f, 0f), Array(-1f, 0f)),
+      jdbcUrl = url, postingsTable = "mx_postings", metrics = Some(target))
+    pipeline.runOnce(spark, feedDir.toString,
+      Files.createTempDirectory("graft_mx_ann_work_").toString)
+    val rows = rowsFor("mx_ann")
+    assert(rows.nonEmpty && rows.forall(_._1 == "ann"))
+    assert(rows.map(_._3).sum == 2L, s"two posting actions, got $rows")
+    val info = PipelineMetrics.rows(spark, target)
+      .filter($"pipeline" === "mx_ann").select($"info")
+      .as[String].collect().head
+    assert(info.contains("gen_0"), s"generation recorded, got $info")
+  }
+
+  test("search: one row per drained index batch; state_rows covers posting and length churn") {
+    exec("""CREATE TABLE mx_spost ("token" VARCHAR(256) NOT NULL,
+      | "doc_id" BIGINT NOT NULL, "tf" BIGINT,
+      | PRIMARY KEY ("token", "doc_id"))""".stripMargin.replace("\n", ""))
+    exec("""CREATE TABLE mx_slens ("doc_id" BIGINT NOT NULL PRIMARY KEY,
+      | "len" BIGINT)""".stripMargin.replace("\n", ""))
+    val feedDir = Files.createTempDirectory("graft_mx_search_feed_").toFile
+    Files.write(new java.io.File(feedDir, "000.json").toPath, Seq(
+      wire("documents", doc(1, "vector stream"), null, "c", 10, 1)).asJava)
+    val pipeline = SearchServingPipeline(
+      name = "mx_search", databases = Set("shop"), table = "documents",
+      idField = "doc_id", textField = "text",
+      jdbcUrl = url, postingsTable = "mx_spost", lensTable = "mx_slens",
+      metrics = Some(target))
+    val workRoot = Files.createTempDirectory("graft_mx_search_work_").toString
+    pipeline.runOnce(spark, feedDir.toString, workRoot)
+    val rows = rowsFor("mx_search")
+    assert(rows.nonEmpty && rows.forall(_._1 == "search"))
+    // 2 postings (vector, stream) + 1 length row
+    assert(rows.map(_._5).sum == 3L, s"posting+len churn, got $rows")
+    // a second feed wave records a NEW batch row — one per drained batch
+    Files.write(new java.io.File(feedDir, "001.json").toPath, Seq(
+      wire("documents", doc(2, "join"), null, "c", 20, 2)).asJava)
+    pipeline.runOnce(spark, feedDir.toString, workRoot)
+    val rows2 = rowsFor("mx_search")
+    assert(rows2.size == rows.size + 1,
+      s"new drained batch, new metrics row: $rows2")
+  }
+
+  test("registry: a metrics conf node reaches the pipeline; an unreachable store fails registration naming the file") {
+    val confDir = Files.createTempDirectory("graft_mx_conf_").toFile
+    Files.write(new java.io.File(confDir, "m.json").toPath, Seq(
+      s"""{"name":"mreg","databases":["shop"],"tables":["documents"],
+         |"idKey":"doc_id","schema":"doc_id BIGINT, text STRING",
+         |"metrics":{"url":"$url","table":"pipe_metrics"}}"""
+        .stripMargin.replace("\n", "")).asJava)
+    val loaded = PipelineRegistry.load(confDir.toString)
+    assert(loaded.head.pipeline.metrics == Some(target))
+    // bad metrics store → boot fail-fast, naming the conf file
+    val badDir = Files.createTempDirectory("graft_mx_badconf_").toFile
+    Files.write(new java.io.File(badDir, "bad.json").toPath, Seq(
+      """{"name":"mbad","databases":["shop"],"tables":["documents"],
+        |"idKey":"doc_id","schema":"doc_id BIGINT, text STRING",
+        |"metrics":{"url":"jdbc:derby:/nonexistent/denied/db","table":"t"}}"""
+        .stripMargin.replace("\n", "")).asJava)
+    val err = intercept[IllegalArgumentException](
+      PipelineRegistry.load(badDir.toString))
+    assert(err.getMessage.contains("bad.json")
+      && err.getMessage.contains("metrics store unreachable"),
+      s"got: ${err.getMessage}")
+  }
+}
