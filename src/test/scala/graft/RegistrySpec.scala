@@ -444,6 +444,129 @@ class RegistrySpec extends SparkSpec {
     } finally watcher.stop()
   }
 
+  test("lifecycle MATRIX: all five kinds share add/edit/quarantine/kind-edit/delete/restore semantics") {
+    import graft.streaming.PipelineWatcher
+    val url = "jdbc:derby:memory:graftmatrix;create=true"
+    // one descriptor per conf kind: the minimal valid conf, a benignly
+    // edited variant, and the kind this file re-homes to mid-run. The
+    // sixth kind added tomorrow earns its lifecycle guarantees by
+    // adding ONE row here.
+    case class KindCase(kind: String, nQueries: Int, conf: String,
+        edited: String, rehomeKind: String, rehomed: String)
+    def lww(extra: String = "") =
+      s"""{"name":"mx","databases":["shop"],"tables":["documents"$extra],
+         |"idKey":"doc_id","schema":"doc_id BIGINT, text STRING"}"""
+        .stripMargin.replace("\n", "")
+    val searchConf =
+      s"""{"kind":"search","name":"mx","databases":["shop"],
+         |"table":"documents","idKey":"doc_id","textField":"text",
+         |"jdbc":{"url":"$url","postingsTable":"mxk_sp","lensTable":"mxk_sl"}}"""
+        .stripMargin.replace("\n", "")
+    val cases = Seq(
+      KindCase("lww", 1, lww(), lww(""","events""""), "search", searchConf),
+      KindCase("view", 3,
+        s"""{"kind":"view","name":"mx","databases":["shop"],
+           |"fact":{"table":"orders","idKey":"o_orderkey","joinKey":"o_custkey",
+           |        "schema":"o_orderkey BIGINT, o_custkey BIGINT"},
+           |"dim":{"table":"customer","idKey":"c_custkey","joinKey":"c_custkey",
+           |       "schema":"c_custkey BIGINT, c_name STRING"},
+           |"jdbc":{"url":"$url","table":"mxk_enr"}}"""
+          .stripMargin.replace("\n", ""),
+        s"""{"kind":"view","name":"mx","databases":["shop"],"leftOuter":true,
+           |"fact":{"table":"orders","idKey":"o_orderkey","joinKey":"o_custkey",
+           |        "schema":"o_orderkey BIGINT, o_custkey BIGINT"},
+           |"dim":{"table":"customer","idKey":"c_custkey","joinKey":"c_custkey",
+           |       "schema":"c_custkey BIGINT, c_name STRING"},
+           |"jdbc":{"url":"$url","table":"mxk_enr"}}"""
+          .stripMargin.replace("\n", ""), "lww", lww()),
+      KindCase("ann", 2,
+        s"""{"kind":"ann","name":"mx","databases":["shop"],"table":"embeddings",
+           |"idKey":"vec_id","vectorField":"embedding",
+           |"centroids":[[1.0,0.0],[-1.0,0.0]],
+           |"jdbc":{"url":"$url","postingsTable":"mxk_ap"}}"""
+          .stripMargin.replace("\n", ""),
+        s"""{"kind":"ann","name":"mx","databases":["shop"],"table":"embeddings",
+           |"idKey":"vec_id","vectorField":"embedding","k":4,
+           |"centroids":[[1.0,0.0],[-1.0,0.0]],
+           |"jdbc":{"url":"$url","postingsTable":"mxk_ap"}}"""
+          .stripMargin.replace("\n", ""), "lww", lww()),
+      KindCase("dedup", 3,
+        s"""{"kind":"dedup","name":"mx","databases":["shop"],"table":"documents",
+           |"idKey":"doc_id","textField":"text",
+           |"jdbc":{"url":"$url","clustersTable":"mxk_cl"}}"""
+          .stripMargin.replace("\n", ""),
+        s"""{"kind":"dedup","name":"mx","databases":["shop"],"table":"documents",
+           |"idKey":"doc_id","textField":"text","bands":8,
+           |"jdbc":{"url":"$url","clustersTable":"mxk_cl"}}"""
+          .stripMargin.replace("\n", ""), "lww", lww()),
+      KindCase("search", 2, searchConf,
+        searchConf.replace("\"textField\":\"text\"",
+          "\"textField\":\"text\",\"k1\":1.3"),
+        "lww", lww()))
+
+    def activeOf(w: PipelineWatcher, kind: String, name: String): Option[Int] =
+      kind match {
+        case "lww" => w.activeQueries.get(name).map(_ => 1)
+        case "view" => w.activeViewQueries.get(name).map(_.size)
+        case "ann" => w.activeAnnQueries.get(name).map(_.size)
+        case "dedup" => w.activeDedupQueries.get(name).map(_.size)
+        case "search" => w.activeSearchQueries.get(name).map(_.size)
+      }
+
+    cases.foreach { kc =>
+      val confDir = Files.createTempDirectory(s"graft_mxk_${kc.kind}_conf_").toFile
+      val srcDir = Files.createTempDirectory(s"graft_mxk_${kc.kind}_src_")
+      val ckptRoot = Files.createTempDirectory(s"graft_mxk_${kc.kind}_ckpt_")
+      val watcher = new PipelineWatcher(spark, confDir.toString,
+        srcDir.toString, ckptRoot.toString,
+        EsSink.Config("http://es/idx", "u", "p", "doc_id"),
+        new SinkSpec.Recorder, pollMs = 3600000L)
+      val f = new java.io.File(confDir, "mx.json")
+      var tick = 0L
+      def put(json: String): Unit = {
+        Files.write(f.toPath, Seq(json).asJava)
+        tick += 5000; f.setLastModified(f.lastModified() + tick); ()
+      }
+      try {
+        // ADD
+        put(kc.conf)
+        watcher.pollOnce()
+        assert(activeOf(watcher, kc.kind, "mx") == Some(kc.nQueries),
+          s"${kc.kind}: add starts ${kc.nQueries} queries")
+        // EDIT — restart against the same work dir
+        put(kc.edited)
+        assert(watcher.pollOnce() == Seq("mx"), s"${kc.kind}: edit restarts")
+        assert(activeOf(watcher, kc.kind, "mx") == Some(kc.nQueries))
+        // QUARANTINE — a malformed mid-run edit stalls nothing: the
+        // running pipeline is retained, the poll doesn't throw
+        put("{this is not json")
+        watcher.pollOnce()
+        assert(activeOf(watcher, kc.kind, "mx") == Some(kc.nQueries),
+          s"${kc.kind}: quarantined edit must keep the pipeline")
+        // KIND-EDIT — the file re-homes: old kind's queries stop, the
+        // new kind starts against the same work dir
+        put(kc.rehomed)
+        watcher.pollOnce()
+        assert(activeOf(watcher, kc.kind, "mx").isEmpty,
+          s"${kc.kind}: kind-edit must deregister the old kind")
+        assert(activeOf(watcher, kc.rehomeKind, "mx").isDefined,
+          s"${kc.kind}: kind-edit must start the ${kc.rehomeKind} pipeline")
+        // DELETE — deregisters; checkpoints stay on disk
+        assert(f.delete())
+        watcher.pollOnce()
+        assert(activeOf(watcher, kc.rehomeKind, "mx").isEmpty,
+          s"${kc.kind}: delete deregisters")
+        assert(Option(ckptRoot.toFile.listFiles()).exists(_.nonEmpty),
+          s"${kc.kind}: delete preserves the work dir")
+        // RESTORE — the original conf resumes under its kind
+        put(kc.conf)
+        watcher.pollOnce()
+        assert(activeOf(watcher, kc.kind, "mx") == Some(kc.nQueries),
+          s"${kc.kind}: restore resumes")
+      } finally watcher.stop()
+    }
+  }
+
   test("JDBC partitioned read + snapshot bootstrap: parallel scan to op=r events") {
     val url = "jdbc:derby:memory:graftsrc;create=true"
     val conn = java.sql.DriverManager.getConnection(url)
