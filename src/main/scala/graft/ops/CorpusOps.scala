@@ -407,16 +407,19 @@ object CorpusOps {
   /** Multi-source BFS over a DIRECTED edge relation (u, v): shortest
     * hop distance from any seed, the DataFrame form of a recursive CTE
     * (`WITH RECURSIVE bfs AS (seeds UNION step)`) — Spark has no
-    * recursive SQL, so the fixpoint runs as a driver-side frontier loop
-    * in which EVERY round is fully distributed: one keyed equijoin
-    * (frontier ⋈ edges), a min-per-node aggregate, and an anti-join
-    * against the visited set. Frames are localCheckpoint'd per round,
-    * so lineage stays flat and each round's shuffle is frontier-sized,
-    * not graph-sized. Rounds = reachable depth (the termination probe
-    * is an isEmpty, not a count over the whole graph); diameter-scale
-    * graphs want the doubling trick ([[dupClusters]]' star algorithm)
-    * instead — BFS is the right tool when the DEPTH ITSELF is the
-    * answer.
+    * recursive SQL, so the fixpoint runs as a driver-side frontier
+    * loop. Two tiers: while frontier+visited fit
+    * [[DriverFrontierCap]], the sets are DRIVER-HELD and each level
+    * costs exactly ONE distributed job (edge semi-join against the
+    * broadcast frontier, distinct, collect) — the edge relation never
+    * moves, nothing shipped grows with depth, and there are no
+    * broadcast-build or checkpoint jobs at all. Past the cap the loop
+    * hands its state to [[bfsDistributedLoop]], where every round is
+    * fully distributed (keyed equijoin, min-per-node aggregate,
+    * anti-join against visited) with frontier-sized shuffles. Rounds =
+    * reachable depth either way; diameter-scale graphs want the
+    * doubling trick ([[dupClusters]]' star algorithm) instead — BFS is
+    * the right tool when the DEPTH ITSELF is the answer.
     */
   // NO session-conf toggles here: an earlier version set
   // spark.sql.shuffle.partitions=8 + AQE off around the loop, which
@@ -425,24 +428,96 @@ object CorpusOps {
   // stale values). The measured win was ~9% once the joins were
   // explicit broadcasts — not worth a session-global hazard; the only
   // per-round shuffle left is the frontier-sized min aggregate.
+  //
+  // Round-cost, third attempt (the first two are on record in ROADMAP):
+  // the frontier/visited sets now live ON THE DRIVER while they fit a
+  // hard cap. That removes BOTH per-round broadcast-BUILD jobs (the
+  // frontier ships as a broadcast over a LocalRelation, whose build is
+  // a driver-local array copy, not a collect job) and the visited
+  // anti-join entirely (dedup is a driver HashSet lookup), without
+  // growing any shipped payload with depth — the only bytes that move
+  // per round are the CURRENT frontier. One job per level: the
+  // distinct-neighbor collect. Breach the cap at any point — seeds,
+  // a level, or the running visited total — and the loop hands its
+  // exact state to the fully distributed fixpoint below, so 100-TB
+  // graphs degrade to the old behavior instead of the old driver OOM.
+  private[graft] val DriverFrontierCap = 500000
+
   def bfsDistances(edges: DataFrame, seeds: DataFrame,
       maxIter: Int = 200): DataFrame = {
+    val spark = edges.sparkSession
     val e = edges.select(col("u"), col("v")).localCheckpoint(true)
     val seed0 = seeds.select(col("id")).distinct()
       .select(col("id"), lit(0L).as("dist")).localCheckpoint(true)
-    // ONE job per round: the lazy localCheckpoints materialize under the
-    // count() that doubles as the termination probe (an eager checkpoint
-    // + isEmpty was two jobs, and with ~40 tiny rounds the loop is
-    // job-scheduling-bound, not data-bound). visited is lazily
-    // re-checkpointed each round so every plan the loop builds stays
-    // FLAT — a growing union lineage makes per-round planning quadratic
-    // in depth, which measured WORSE than the extra jobs it saved.
     val seedN = seed0.count()
-    var visited = seed0.select(col("id")).localCheckpoint(false)
-    var visitedN = seedN
-    var frontier = seed0
-    var frontierN = seedN
-    val levels = scala.collection.mutable.ArrayBuffer(seed0)
+    if (seedN > DriverFrontierCap)
+      return bfsDistributedLoop(e, seed0.select(col("id")), seedN,
+        seed0, seedN, Seq(seed0), maxIter)
+
+    import scala.jdk.CollectionConverters._
+    val idType = seed0.schema("id").dataType
+    val idSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", idType)))
+    val outSchema = idSchema.add("dist",
+      org.apache.spark.sql.types.LongType, nullable = false)
+    val seedIds: Array[Any] = seed0.select(col("id")).collect().map(_.get(0))
+    val visited = scala.collection.mutable.HashSet[Any](seedIds.toSeq: _*)
+    val levels = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+    seedIds.foreach(id => levels += org.apache.spark.sql.Row(id, 0L))
+    var frontier = seedIds
+    var dist = 0L
+    var i = 0
+    // resume distributedly from the driver-held state on a cap breach
+    def spill(): DataFrame = {
+      val acc = spark.createDataFrame(levels.asJava, outSchema)
+        .localCheckpoint(true)
+      val frontierDf = spark.createDataFrame(
+        frontier.toSeq.map(id => org.apache.spark.sql.Row(id, dist)).asJava,
+        outSchema).localCheckpoint(true)
+      bfsDistributedLoop(e, acc.select(col("id")), visited.size.toLong,
+        frontierDf, frontier.length.toLong, Seq(acc), maxIter - i)
+    }
+    while (frontier.nonEmpty && i < maxIter) {
+      val fDf = spark.createDataFrame(
+        frontier.toSeq.map(org.apache.spark.sql.Row(_)).asJava, idSchema)
+      // leftsemi keeps the edge relation's v only; distinct is the one
+      // shuffle (map-side partial), CollectLimit bounds the driver copy
+      val nxt = e.join(broadcast(fDf), e("u") === fDf("id"), "left_semi")
+        .select(col("v")).distinct()
+        .limit(DriverFrontierCap + 1).collect()
+      if (nxt.length > DriverFrontierCap) return spill()
+      val fresh = nxt.iterator.map(_.get(0))
+        .filterNot(visited.contains).toArray
+      if (visited.size + fresh.length > DriverFrontierCap) return spill()
+      dist += 1
+      fresh.foreach { id =>
+        visited += id
+        levels += org.apache.spark.sql.Row(id, dist)
+      }
+      frontier = fresh
+      i += 1
+    }
+    spark.createDataFrame(levels.asJava, outSchema)
+  }
+
+  /** The fully distributed BFS fixpoint — the over-cap path of
+    * [[bfsDistances]], resumable from any (visited, frontier, levels)
+    * state. ONE job per round: the lazy localCheckpoints materialize
+    * under the count() that doubles as the termination probe (an eager
+    * checkpoint + isEmpty was two jobs, and with ~40 tiny rounds the
+    * loop is job-scheduling-bound, not data-bound). visited is lazily
+    * re-checkpointed each round so every plan the loop builds stays
+    * FLAT — a growing union lineage makes per-round planning quadratic
+    * in depth, which measured WORSE than the extra jobs it saved.
+    */
+  private def bfsDistributedLoop(e: DataFrame, visited0: DataFrame,
+      visited0N: Long, frontier0: DataFrame, frontier0N: Long,
+      acc: Seq[DataFrame], maxIter: Int): DataFrame = {
+    var visited = visited0.localCheckpoint(false)
+    var visitedN = visited0N
+    var frontier = frontier0
+    var frontierN = frontier0N
+    val levels = scala.collection.mutable.ArrayBuffer(acc: _*)
     var i = 0
     var done = false
     // a checkpointed frame reports no stats, so Catalyst would plan
@@ -470,7 +545,7 @@ object CorpusOps {
       }
       i += 1
     }
-    levels.reduce(_.union(_))
+    levels.reduce(_.unionByName(_))
   }
 
   /** INCREMENTAL BFS — reachability/distance as a maintained VIEW under
@@ -517,33 +592,75 @@ object CorpusOps {
     val seedsIn = seeds.select(col("id")).distinct()
       .join(affected, Seq("id"), "left_semi")
       .select(col("id"), lit(0L).as("dist"))
-    var best = boundary.unionByName(seedsIn)
+    val best0 = boundary.unionByName(seedsIn)
       .groupBy(col("id")).agg(min(col("dist")).as("dist"))
       .localCheckpoint(false)
-    var frontier = best
-    var frontierN = best.count()
-    def small(df: DataFrame, n: Long) =
-      if (n >= 0 && n <= 500000) broadcast(df) else df
-    var i = 0
-    while (frontierN > 0 && i < maxIter) {
-      val cand = regionE
-        .join(small(frontier.select(col("id").as("u"), col("dist").as("du")),
-          frontierN), Seq("u"))
-        .groupBy(col("v")).agg((min(col("du")) + 1).as("nd"))
-        .withColumnRenamed("v", "id")
-      val improved = cand.join(best, Seq("id"), "left")
-        .filter(col("dist").isNull || col("nd") < col("dist"))
-        .select(col("id"), col("nd").as("dist"))
-        .localCheckpoint(false)
-      frontierN = improved.count()
-      if (frontierN > 0) {
-        best = best.join(small(improved, frontierN), Seq("id"), "left_anti")
-          .unionByName(improved).localCheckpoint(false)
+    // Every key the relaxation can ever hold — entry points, candidate
+    // levels, the final map — is an AFFECTED node, so affectedN alone
+    // decides the path: under the cap the whole relaxation state fits
+    // on the driver (same one-job-per-round shape as [[bfsDistances]]'
+    // driver-held loop, and NO mid-loop spill is even reachable);
+    // over it, the fully distributed loop below.
+    if (affectedN <= DriverFrontierCap) {
+      import scala.jdk.CollectionConverters._
+      val spark = edges0.sparkSession
+      val idType = best0.schema("id").dataType
+      val pairSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("u", idType),
+        org.apache.spark.sql.types.StructField("du",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      val best = scala.collection.mutable.HashMap[Any, Long]()
+      best0.collect().foreach(r => best(r.get(0)) = r.getLong(1))
+      var frontier: Array[(Any, Long)] = best.iterator.toArray
+      var i = 0
+      while (frontier.nonEmpty && i < maxIter) {
+        val fDf = spark.createDataFrame(frontier.toSeq
+          .map { case (id, d) => org.apache.spark.sql.Row(id, d) }.asJava,
+          pairSchema)
+        val cand = regionE.join(broadcast(fDf), Seq("u"))
+          .groupBy(col("v")).agg((min(col("du")) + 1).as("nd")).collect()
+        val improved = cand.iterator
+          .map(r => (r.get(0), r.getLong(1)))
+          .filter { case (id, nd) => best.get(id).forall(nd < _) }.toArray
+        improved.foreach { case (id, nd) => best(id) = nd }
         frontier = improved
+        i += 1
       }
-      i += 1
+      val outSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", idType),
+        org.apache.spark.sql.types.StructField("dist",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      val solved = spark.createDataFrame(best.iterator
+        .map { case (id, d) => org.apache.spark.sql.Row(id, d) }
+        .toSeq.asJava, outSchema)
+      unaffected.unionByName(solved)
+    } else {
+      var best = best0
+      var frontier = best
+      var frontierN = best.count()
+      def small(df: DataFrame, n: Long) =
+        if (n >= 0 && n <= 500000) broadcast(df) else df
+      var i = 0
+      while (frontierN > 0 && i < maxIter) {
+        val cand = regionE
+          .join(small(frontier.select(col("id").as("u"), col("dist").as("du")),
+            frontierN), Seq("u"))
+          .groupBy(col("v")).agg((min(col("du")) + 1).as("nd"))
+          .withColumnRenamed("v", "id")
+        val improved = cand.join(best, Seq("id"), "left")
+          .filter(col("dist").isNull || col("nd") < col("dist"))
+          .select(col("id"), col("nd").as("dist"))
+          .localCheckpoint(false)
+        frontierN = improved.count()
+        if (frontierN > 0) {
+          best = best.join(small(improved, frontierN), Seq("id"), "left_anti")
+            .unionByName(improved).localCheckpoint(false)
+          frontier = improved
+        }
+        i += 1
+      }
+      unaffected.unionByName(best)
     }
-    unaffected.unionByName(best)
   }
 
   /** Deterministic train/val/test split by multiplicative integer hash
