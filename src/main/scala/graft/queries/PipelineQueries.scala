@@ -1638,9 +1638,26 @@ object PipelineQueries {
     }
     val docSchema = org.apache.spark.sql.types.StructType(
       ChangeFeed.ordersRowSchema.fields ++ ChangeFeed.customerRowSchema.fields)
-    spark.read.schema(docSchema).json(s"$store/*.json")
-      .withColumn("_f", input_file_name())
-      .filter(!col("_f").contains("_graft_progress_"))
+    // The store holds ONE small file per live document (the faithful
+    // image of per-id `_doc` semantics), which makes a glob datasource
+    // read pathological at volume — Spark pays listing + per-file open
+    // cost on 120k files at sf0.1 (measured 56 s). An external reader
+    // bulk-reads the directory instead: one driver-side list of the
+    // single flat dir, then file CONTENTS read in parallel tasks and
+    // parsed against the declared schema — same document set, the
+    // reserved `_graft_progress_` marker prefix filtered by name.
+    import scala.jdk.CollectionConverters._
+    val docFiles = java.nio.file.Files.list(java.nio.file.Paths.get(store))
+      .iterator().asScala.map(_.toString)
+      .filter(p => p.endsWith(".json") && !p.contains("_graft_progress_"))
+      .toSeq
+    import spark.implicits._
+    val lines = spark.createDataset(docFiles)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions(_.map(p => new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
+        java.nio.charset.StandardCharsets.UTF_8)))
+    spark.read.schema(docSchema).json(lines)
       .select(col("o_orderkey"), col("o_orderstatus"),
         col("o_totalprice").as("total"),
         col("c_custkey"), col("c_name"), col("c_mktsegment"))
