@@ -444,13 +444,13 @@ object CorpusOps {
   private[graft] val DriverFrontierCap = 500000
 
   def bfsDistances(edges: DataFrame, seeds: DataFrame,
-      maxIter: Int = 200): DataFrame = {
+      maxIter: Int = 200, cap: Int = DriverFrontierCap): DataFrame = {
     val spark = edges.sparkSession
     val e = edges.select(col("u"), col("v")).localCheckpoint(true)
     val seed0 = seeds.select(col("id")).distinct()
       .select(col("id"), lit(0L).as("dist")).localCheckpoint(true)
     val seedN = seed0.count()
-    if (seedN > DriverFrontierCap)
+    if (seedN > cap)
       return bfsDistributedLoop(e, seed0.select(col("id")), seedN,
         seed0, seedN, Seq(seed0), maxIter)
 
@@ -484,11 +484,11 @@ object CorpusOps {
       // shuffle (map-side partial), CollectLimit bounds the driver copy
       val nxt = e.join(broadcast(fDf), e("u") === fDf("id"), "left_semi")
         .select(col("v")).distinct()
-        .limit(DriverFrontierCap + 1).collect()
-      if (nxt.length > DriverFrontierCap) return spill()
+        .limit(cap + 1).collect()
+      if (nxt.length > cap) return spill()
       val fresh = nxt.iterator.map(_.get(0))
         .filterNot(visited.contains).toArray
-      if (visited.size + fresh.length > DriverFrontierCap) return spill()
+      if (visited.size + fresh.length > cap) return spill()
       dist += 1
       fresh.foreach { id =>
         visited += id
@@ -571,13 +571,13 @@ object CorpusOps {
     */
   def incrementalBfs(edges0: DataFrame, dists: DataFrame,
       edgeDeltas: DataFrame, seeds: DataFrame,
-      maxIter: Int = 200): DataFrame = {
+      maxIter: Int = 200, cap: Int = DriverFrontierCap): DataFrame = {
     val oldE = edges0.select(col("u"), col("v"))
     val ins = edgeDeltas.filter(col("delta") > 0).select(col("u"), col("v"))
     val del = edgeDeltas.filter(col("delta") < 0).select(col("u"), col("v"))
     val newE = oldE.union(ins).except(del).localCheckpoint(true)
     val deltaDst = edgeDeltas.select(col("v").as("id")).distinct()
-    val affected = bfsDistances(newE, deltaDst, maxIter)
+    val affected = bfsDistances(newE, deltaDst, maxIter, cap)
       .select(col("id")).localCheckpoint(true)
     val affectedN = affected.count()
     val unaffected = dists.join(
@@ -601,7 +601,7 @@ object CorpusOps {
     // on the driver (same one-job-per-round shape as [[bfsDistances]]'
     // driver-held loop, and NO mid-loop spill is even reachable);
     // over it, the fully distributed loop below.
-    if (affectedN <= DriverFrontierCap) {
+    if (affectedN <= cap) {
       import scala.jdk.CollectionConverters._
       val spark = edges0.sparkSession
       val idType = best0.schema("id").dataType

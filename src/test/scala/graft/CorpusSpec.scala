@@ -607,6 +607,48 @@ class CorpusSpec extends SparkSpec {
       s"3 orphaned, 4 rerouted via skip, B untouched — got $got")
   }
 
+  test("bfsDistances: driver-held, mid-loop-spilled, and distributed tiers agree") {
+    val rnd = new scala.util.Random(47)
+    val edges = (1 to 150).map { _ =>
+      (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong)
+    }.filter(p => p._1 != p._2).distinct.toDF("u", "v")
+    val seeds = Seq(0L, 3L, 9L).toDF("id")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val held = norm(CorpusOps.bfsDistances(edges, seeds))
+    // cap=5 admits the 3 seeds, then breaches on an early level —
+    // exercises the spill() handoff with partial driver-held state
+    val spilled = norm(CorpusOps.bfsDistances(edges, seeds, cap = 5))
+    // cap=1 < seedN — fully distributed from round 0
+    val dist = norm(CorpusOps.bfsDistances(edges, seeds, cap = 1))
+    assert(spilled == held, "spilled tier diverged from driver-held")
+    assert(dist == held, "distributed tier diverged from driver-held")
+  }
+
+  test("incrementalBfs: distributed relaxation path agrees with driver-held") {
+    val rnd = new scala.util.Random(53)
+    val allEdges = (1 to 120).map { _ =>
+      (rnd.nextInt(70).toLong, rnd.nextInt(70).toLong)
+    }.filter(p => p._1 != p._2).distinct
+    val seeds = Seq(0L, 7L).toDF("id")
+    val base = CorpusOps.bfsDistances(allEdges.toDF("u", "v"), seeds)
+    val (gone, kept) = allEdges.partition(_._1 % 5 == 0)
+    val extra = Seq((7L, 66L), (66L, 67L))
+      .filterNot(kept.contains)
+    val deltas = (gone.map { case (u, v) => (u, v, -1) } ++
+      extra.map { case (u, v) => (u, v, 1) }).toDF("u", "v", "delta")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val held = norm(CorpusOps.incrementalBfs(
+      allEdges.toDF("u", "v"), base, deltas, seeds))
+    val dist = norm(CorpusOps.incrementalBfs(
+      allEdges.toDF("u", "v"), base, deltas, seeds, cap = 0))
+    val scratch = norm(CorpusOps.bfsDistances(
+      (kept ++ extra).toDF("u", "v"), seeds))
+    assert(held == scratch, "driver-held relaxation diverged from scratch")
+    assert(dist == scratch, "distributed relaxation diverged from scratch")
+  }
+
   test("incrementalBfs equals from-scratch BFS on random churn waves") {
     val rnd = new scala.util.Random(31)
     val allEdges = (1 to 120).map { _ =>
