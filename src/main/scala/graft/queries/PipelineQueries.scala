@@ -1663,8 +1663,97 @@ object PipelineQueries {
         col("c_custkey"), col("c_name"), col("c_mktsegment"))
   }
 
+  private val q141Lock = new Object
+
+  /** Q141: the PER-PIPELINE METRICS TABLE itself under the oracle gate —
+    * the operational analog of the reference's per-event logging (S6,
+    * `ScriptExecutor.java`'s applied/failed lines) certified by an
+    * independent engine. Two real [[graft.streaming.CdcPipeline]]s with
+    * a conf-declared metrics target drain the staged CDC feed through
+    * the REAL recording path (`applyBatch`: LWW winner collapse → sink
+    * sends → PipelineMetrics DELETE+INSERT keyed (pipeline, batch_id)),
+    * and the query returns the recorded rows' deterministic columns.
+    *
+    * Batch boundaries must be DATA-DOMAIN-deterministic for an oracle to
+    * restate them, so the orders pipeline drains three offset-band
+    * batches (the feed's offsets are o_orderkey*10 + slot, arithmetic
+    * the oracle can restate): slot 0 = the snapshot wave (rows_in =
+    * every order key), slots 1–2 = the update wave (distinct updated
+    * keys: %3, with the %12 duplicate wave collapsing into it), slot 3 =
+    * the delete wave (%5). The customer pipeline drains one batch. The
+    * sink transport is a blackhole (always 200): q140 certifies
+    * DELIVERY; this query certifies the COUNTING — rows_in equals the
+    * LWW winner count per batch, dead letters zero, replays overwrite
+    * their own row (the DELETE+INSERT contract) so re-runs converge.
+    */
+  val q141 = QueryDef.sql(
+    "q141_pipeline_metrics",
+    """SELECT 'customer_lww' AS pipeline, 'lww' AS kind,
+      |       CAST(0 AS BIGINT) AS batch_id,
+      |       CAST(count(*) AS BIGINT) AS rows_in,
+      |       CAST(0 AS BIGINT) AS dead_letters,
+      |       CAST(0 AS BIGINT) AS state_rows
+      |FROM customer
+      |UNION ALL SELECT 'orders_lww', 'lww', CAST(0 AS BIGINT),
+      |  CAST(count(*) AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      |FROM orders
+      |UNION ALL SELECT 'orders_lww', 'lww', CAST(1 AS BIGINT),
+      |  CAST(sum(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT),
+      |  CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      |FROM orders
+      |UNION ALL SELECT 'orders_lww', 'lww', CAST(2 AS BIGINT),
+      |  CAST(sum(CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT),
+      |  CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      |FROM orders""".stripMargin) { (spark, dir) =>
+    import graft.cdc.{ChangeFeed, DeltaLog, Subscription}
+    import graft.sinks.EsSink
+    import graft.streaming.{CdcPipeline, PipelineMetrics}
+    val feedDir = ChangeFeed.stagedJsonl(spark, dir)
+    val fp = graft.sources.Staging.fingerprint(
+      Seq(s"$dir/orders.parquet", s"$dir/customer.parquet"))
+    val base = DeltaLog.logBase(spark,
+      s"metrics_${dir.replaceAll("[^a-zA-Z0-9]", "_")}", fp)
+    val url = s"jdbc:derby:$base/derby;create=true"
+    val target = PipelineMetrics.Target(url, "pipeline_metrics_q141")
+    val blackhole = new EsSink.Transport {
+      def send(req: EsSink.Request): Int = 200
+    }
+    q141Lock.synchronized {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(base))
+      PipelineMetrics.ensureTable(target)
+      val raw = spark.read.schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("offset",
+          org.apache.spark.sql.types.LongType)))).json(feedDir)
+      val orders = CdcPipeline(name = "orders_lww",
+        subscription = Subscription(Set("shop"), Set("orders")),
+        rowSchema = ChangeFeed.ordersRowSchema, idKey = "o_orderkey",
+        metrics = Some(target))
+      val ordersCfg = EsSink.Config("http://graft-local/lww_orders_q141",
+        "graft", "graft", "o_orderkey")
+      // one parse of the feed, three band filters — the filters
+      // partition exactly the post-filter slots (0,1,2,3)
+      val events = orders.changeRows(raw).localCheckpoint(true)
+      val slot = pmod(col("offset"), lit(10))
+      orders.applyBatch(events.filter(slot === 0), ordersCfg, blackhole, 0L)
+      orders.applyBatch(events.filter(slot.isin(1, 2)), ordersCfg, blackhole, 1L)
+      orders.applyBatch(events.filter(slot === 3), ordersCfg, blackhole, 2L)
+      val customer = CdcPipeline(name = "customer_lww",
+        subscription = Subscription(Set("shop"), Set("customer")),
+        rowSchema = ChangeFeed.customerRowSchema, idKey = "c_custkey",
+        metrics = Some(target))
+      val customerCfg = EsSink.Config("http://graft-local/lww_customer_q141",
+        "graft", "graft", "c_custkey")
+      customer.applyBatch(customer.changeRows(raw), customerCfg, blackhole, 0L)
+    }
+    PipelineMetrics.rows(spark, target)
+      .select(col("pipeline"), col("kind"), col("batch_id"),
+        col("rows_in"), col("dead_letters"), col("state_rows"))
+  }
+
   val all: Seq[QueryDef] = Seq(q41, q42, q43, q44, q45, q47, q48, q49,
     q54, q57, q60, q62, q63, q64, q68, q69, q74, q76, q80, q81, q83, q90, q91,
     q94, q98, q122, q125, q127, q128, q129, q130, q131, q133, q134, q135,
-    q136, q137, q138, q139, q140)
+    q136, q137, q138, q139, q140, q141)
 }
