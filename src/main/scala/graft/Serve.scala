@@ -1,0 +1,111 @@
+package graft
+
+import graft.sinks.EsSink
+import graft.streaming.PipelineWatcher
+import org.apache.spark.sql.SparkSession
+
+import java.nio.file.{Files, Paths}
+
+/** The long-running application entry — the operational packaging of
+  * the serving topology that makes this library runnable the way the
+  * reference is (`CDCApplication.java:17-19` boots a Spring process
+  * whose script container + file watcher then run until the JVM dies).
+  * Everything `Serve` starts already exists as library surface; this
+  * main only composes it:
+  *
+  *   - boots every conf-declared pipeline in `confDir` across all five
+  *     kinds (lww/view/ann/dedup/search) — registration-time validation
+  *     stays FAIL-FAST, so a broken conf kills the boot with the file
+  *     and field named, the reference's boot contract
+  *     (`ScriptExecutor.java:95-123` compiles + runs `initCDC` at boot);
+  *   - spawns the watcher daemon, so conf add/edit/delete/kind-edit
+  *     hot-reload in flight (mid-run malformed edits quarantine rather
+  *     than kill the process — the boot/run asymmetry the registry
+  *     already implements);
+  *   - then blocks until `<workRoot>/STOP` appears or the JVM receives
+  *     a termination signal, and stops every query through the same
+  *     `watcher.stop()` path in both cases. Checkpoints are preserved
+  *     on stop by contract, so the next `Serve` run resumes every
+  *     pipeline from its cursor — restart-from-checkpoint IS the
+  *     upgrade story, proven state-identical in RegistrySpec.
+  *
+  * Transport selection: an ES url of the form `file:/some/dir` serves
+  * documents into an [[EsSink.FileDocStore]] at that directory (the
+  * durable local serving store q140 certifies against the oracle — and
+  * the zero-egress way to run the full topology in this environment);
+  * any http(s) url gets the real [[EsSink.HttpTransport]].
+  *
+  * Usage:
+  *   Serve <confDir> <sourceDir> <workRoot> <esUrl> [esUser esPass] [pollMs]
+  */
+object Serve {
+  /** Composable core: boot, watch, block on the stop file, drain.
+    * Takes the session and transport so tests (and embedders) drive the
+    * identical code path `main` runs — only arg parsing and session
+    * construction stay outside. Returns the number of queries booted.
+    */
+  def run(spark: SparkSession, confDir: String, sourceDir: String,
+      workRoot: String, cfg: EsSink.Config, transport: EsSink.Transport,
+      pollMs: Long = 500L): Int = {
+    Files.createDirectories(Paths.get(workRoot))
+    val stopFile = Paths.get(workRoot, "STOP")
+    // lww pipelines run under a processing-time trigger here — a server
+    // follows the feed (the Debezium engine's run-until-stopped shape)
+    // instead of the batch-drain AvailableNow default the tests and
+    // one-shot runners use.
+    val watcher = new PipelineWatcher(spark, confDir, sourceDir,
+      s"$workRoot/ckpt", cfg, transport, pollMs,
+      lwwTrigger = org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime(s"$pollMs milliseconds"))
+    // SIGTERM and STOP-file converge on the same idempotent stop():
+    // a container runtime sending a signal gets the same clean drain
+    // (queries stopped at a batch boundary, checkpoints preserved) as
+    // an operator touching the file.
+    val hook = new Thread(() => watcher.stop(), "graft-serve-shutdown")
+    Runtime.getRuntime.addShutdownHook(hook)
+    try {
+      val booted = watcher.startPipelines() // fail-fast: a bad conf throws here
+      watcher.startWatching()
+      while (!Files.exists(stopFile)) Thread.sleep(pollMs)
+      booted.size
+    } finally {
+      watcher.stop()
+      try Runtime.getRuntime.removeShutdownHook(hook)
+      catch { case _: IllegalStateException => () } // already shutting down
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 4,
+      "usage: Serve <confDir> <sourceDir> <workRoot> <esUrl> [esUser esPass] [pollMs]")
+    val Array(confDir, sourceDir, workRoot, esUrl) = args.take(4)
+    val (esUser, esPass) =
+      if (args.length >= 6) (args(4), args(5)) else ("", "")
+    val pollMs =
+      if (args.length >= 7) args(6).toLong
+      else if (args.length == 5) args(4).toLong // url + pollMs, no auth
+      else 500L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val transport: EsSink.Transport =
+      if (esUrl.startsWith("file:"))
+        new EsSink.FileDocStore(esUrl.stripPrefix("file:"))
+      else new EsSink.HttpTransport
+    // FileDocStore ignores the host part of the url; keep the cfg url
+    // meaningful for logs and for confs that derive index names from it.
+    val cfg = EsSink.Config(
+      if (esUrl.startsWith("file:")) s"http://graft-local/serve" else esUrl,
+      esUser, esPass, idKey = "id")
+    val n = run(spark, confDir, sourceDir, workRoot, cfg, transport, pollMs)
+    System.err.println(s"[serve] drained and stopped ($n queries booted)")
+    spark.stop()
+  }
+}

@@ -90,19 +90,25 @@ final case class CdcPipeline(
     * the connector's include-lists) instead of a post-scan filter.
     */
   def startDsv2(spark: SparkSession, sourceDir: String, checkpointDir: String,
-      cfg: EsSink.Config, transport: EsSink.Transport): StreamingQuery = {
+      cfg: EsSink.Config, transport: EsSink.Transport,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val raw = subscription.route(
       spark.readStream.format("graft-cdc").option("path", sourceDir).load())
       .drop("src_db", "src_table")
-    startOver(raw, s"cdc_v2_$name", checkpointDir, cfg, transport)
+    startOver(raw, s"cdc_v2_$name", checkpointDir, cfg, transport, trigger)
   }
 
+  // trigger default: AvailableNow drains-and-terminates (batch-drain
+  // runners, tests); a long-running server passes ProcessingTime so
+  // the query keeps following the feed (Serve) — the Debezium engine's
+  // run-until-stopped shape (DebeziumEngineManager.java:76-121).
   private def startOver(raw: DataFrame, queryName: String, checkpointDir: String,
-      cfg: EsSink.Config, transport: EsSink.Transport): StreamingQuery =
+      cfg: EsSink.Config, transport: EsSink.Transport,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     changeRows(raw).writeStream
       .queryName(queryName)
       .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatch(batch, cfg, transport, batchId)
       }

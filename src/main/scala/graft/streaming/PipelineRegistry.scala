@@ -22,6 +22,9 @@ import scala.jdk.CollectionConverters._
   *     "idKey": "o_orderkey",
   *     "schema": "o_orderkey BIGINT, o_orderstatus STRING" }
   * }}}
+  * plus an optional per-conf `"es": { "url", "username", "password" }`
+  * serving target (see [[effectiveCfg]] — without it the runner's
+  * default url/auth apply, re-keyed to the conf's idKey).
   *
   * Hot reload (S2) is deliberately restart-based, per SURVEY §2.2 S2:
   * streaming queries cannot swap their plan mid-flight, so the faithful
@@ -32,7 +35,21 @@ import scala.jdk.CollectionConverters._
   */
 object PipelineRegistry {
 
-  final case class Entry(pipeline: CdcPipeline, file: String, mtime: Long)
+  final case class Entry(pipeline: CdcPipeline, file: String, mtime: Long,
+      target: Option[EsSink.Config] = None)
+
+  /** The sink config an lww entry actually serves through. The
+    * reference passes url/username/password/idKey PER CALL from each
+    * script (ElasticsearchUtils.java:106-118) — targets are per
+    * pipeline, never process-global. A conf may declare its own
+    * `"es"` target; one that does not inherits the runner's default
+    * url/auth but ALWAYS serves under its own declared idKey: the sink
+    * extracts the document id via `cfg.idKey`, so a process-global
+    * idKey would break (or silently mis-key) every conf whose id
+    * column is named differently.
+    */
+  def effectiveCfg(e: Entry, default: EsSink.Config): EsSink.Config =
+    e.target.getOrElse(default.copy(idKey = e.pipeline.idKey))
 
   /** Checkpoint directory key for a registered conf: derived from the
     * CONF FILE (the registration unit), not the pipeline name — two
@@ -228,7 +245,20 @@ object PipelineRegistry {
           idKey = node.get("idKey").asText(),
           exprTransform = parseTransform(f, node),
           metrics = parseMetrics(f, node)))
-        Some(Entry(pipeline, f.getAbsolutePath, f.lastModified()))
+        // optional per-conf serving target (the reference's per-script
+        // url/auth); its id key is ALWAYS the conf's declared idKey
+        val target =
+          if (!node.hasNonNull("es")) None
+          else {
+            val es = node.get("es")
+            require(es.hasNonNull("url") && es.hasNonNull("username")
+                && es.hasNonNull("password"),
+              s"${f.getName}: es target needs url, username and password")
+            Some(EsSink.Config(es.get("url").asText(),
+              es.get("username").asText(), es.get("password").asText(),
+              idKey = node.get("idKey").asText()))
+          }
+        Some(Entry(pipeline, f.getAbsolutePath, f.lastModified(), target))
       }
     }}
   }
@@ -612,6 +642,6 @@ object PipelineRegistry {
       transport: EsSink.Transport): Seq[StreamingQuery] =
     entries.map { e =>
       e.pipeline.startDsv2(spark, sourceDir,
-        s"$ckptRoot/${ckptKey(e.file)}", cfg, transport)
+        s"$ckptRoot/${ckptKey(e.file)}", effectiveCfg(e, cfg), transport)
     }
 }

@@ -47,7 +47,9 @@ import scala.collection.mutable
 final class PipelineWatcher(
     spark: SparkSession, confDir: String, sourceDir: String, ckptRoot: String,
     cfg: EsSink.Config, transport: EsSink.Transport, pollMs: Long = 500L,
-    viewTriggerInterval: String = "500 milliseconds") {
+    viewTriggerInterval: String = "500 milliseconds",
+    lwwTrigger: org.apache.spark.sql.streaming.Trigger =
+      org.apache.spark.sql.streaming.Trigger.AvailableNow()) {
 
   private val entries = mutable.Map.empty[String, PipelineRegistry.Entry]
   // Keyed by CONF FILE — the unit of reload — not pipeline name: a conf
@@ -72,8 +74,8 @@ final class PipelineWatcher(
     s"$ckptRoot/${PipelineRegistry.ckptKey(file)}"
 
   private def startLww(e: PipelineRegistry.Entry): StreamingQuery = {
-    val q = e.pipeline.startDsv2(spark, sourceDir, workDir(e.file), cfg,
-      transport)
+    val q = e.pipeline.startDsv2(spark, sourceDir, workDir(e.file),
+      PipelineRegistry.effectiveCfg(e, cfg), transport, lwwTrigger)
     entries(e.file) = e
     queries(e.file) = q
     q

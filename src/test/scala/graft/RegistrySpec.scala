@@ -585,4 +585,58 @@ class RegistrySpec extends SparkSpec {
     assert(kept.count() == 20)
     assert(kept.select("op").distinct().collect().map(_.getString(0)).toSeq == Seq("r"))
   }
+
+  test("a conf's declared idKey keys its documents even when the runner's default differs") {
+    // the sink extracts the document id via cfg.idKey — a process-global
+    // idKey would break every conf whose id column is named differently
+    // (the reference passes idKey per script call,
+    // ElasticsearchUtils.java:106-118)
+    val confDir = Files.createTempDirectory("graft_idkey_conf_").toFile
+    Files.write(new java.io.File(confDir, "k.json").toPath, Seq(
+      """{"name":"kp","databases":["d"],"tables":["t"],"idKey":"k","schema":"k BIGINT, v STRING"}""").asJava)
+    val srcDir = Files.createTempDirectory("graft_idkey_src_").toString
+    Seq((s"""{"payload":{"before":null,"after":{"k":5,"v":"x"},""" +
+      s""""source":{"db":"d","table":"t","ts_ms":1},"op":"c","ts_ms":1}}""", 1L))
+      .toDF("value", "offset").coalesce(1).write.mode("overwrite").json(srcDir)
+    val ckptRoot = Files.createTempDirectory("graft_idkey_ckpt_").toString
+    SinkSpec.recorded.clear()
+    // the runner default carries idKey "id" — NOT this conf's "k"
+    PipelineRegistry.startAll(PipelineRegistry.load(confDir.toString), spark,
+      srcDir, ckptRoot, EsSink.Config("http://es:9200/idx", "u", "p", "id"),
+      new SinkSpec.Recorder).foreach(_.awaitTermination())
+    val Seq(put) = SinkSpec.recorded.asScala.toSeq.filter(_.method == "PUT")
+    assert(put.url == "http://es:9200/idx/_doc/5")
+    assert(put.body == """{"k":5,"v":"x"}""")
+  }
+
+  test("a conf-declared es target overrides the runner default; others inherit it") {
+    val confDir = Files.createTempDirectory("graft_estgt_conf_").toFile
+    Files.write(new java.io.File(confDir, "a.json").toPath, Seq(
+      """{"name":"own","databases":["d"],"tables":["t"],"idKey":"id","schema":"id BIGINT, v STRING",""" +
+        """"es":{"url":"http://es:9200/own_idx","username":"ou","password":"op"}}""").asJava)
+    Files.write(new java.io.File(confDir, "b.json").toPath, Seq(
+      """{"name":"dflt","databases":["d"],"tables":["u"],"idKey":"id","schema":"id BIGINT, v STRING"}""").asJava)
+    val srcDir = Files.createTempDirectory("graft_estgt_src_").toString
+    def ev(table: String, id: Long, off: Long): (String, Long) =
+      (s"""{"payload":{"before":null,"after":{"id":$id,"v":"w"},""" +
+        s""""source":{"db":"d","table":"$table","ts_ms":1},"op":"c","ts_ms":1}}""", off)
+    Seq(ev("t", 1, 1), ev("u", 2, 2))
+      .toDF("value", "offset").coalesce(1).write.mode("overwrite").json(srcDir)
+    val ckptRoot = Files.createTempDirectory("graft_estgt_ckpt_").toString
+    SinkSpec.recorded.clear()
+    PipelineRegistry.startAll(PipelineRegistry.load(confDir.toString), spark,
+      srcDir, ckptRoot, EsSink.Config("http://es:9200/shared_idx", "u", "p", "id"),
+      new SinkSpec.Recorder).foreach(_.awaitTermination())
+    val puts = SinkSpec.recorded.asScala.toSeq.filter(_.method == "PUT")
+      .map(_.url).sorted
+    assert(puts == Seq("http://es:9200/own_idx/_doc/1",
+      "http://es:9200/shared_idx/_doc/2"))
+    // an incomplete es target fails registration naming the file (S3)
+    Files.write(new java.io.File(confDir, "c.json").toPath, Seq(
+      """{"name":"bad","databases":["d"],"tables":["t"],"idKey":"id","schema":"id BIGINT",""" +
+        """"es":{"url":"http://es:9200/x","username":"u"}}""").asJava)
+    val e = intercept[IllegalArgumentException](
+      PipelineRegistry.load(confDir.toString))
+    assert(e.getMessage.contains("c.json"))
+  }
 }
