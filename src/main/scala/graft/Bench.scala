@@ -49,6 +49,15 @@ object Bench {
     } catch { case _: Exception => "[]" }
 
   def main(args: Array[String]): Unit = {
+    // Sample FOREIGN load before this JVM does any heavy work: session
+    // construction + checkpoint sweeps + first-query staging lift the
+    // 1-minute loadavg by 1-2 points on their own, so a sample taken
+    // just before the measurement loop reads the bench's OWN startup as
+    // "contention" (a clean back-to-back ramp leg started at a real
+    // 1.85 and still flagged itself at 3.63). What the contended flag
+    // must measure is the box's load that ISN'T us — that exists only
+    // before we start working.
+    val loadStart = loadavg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -76,7 +85,6 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val loadStart = loadavg()
     // Contention self-defense (r7 postmortem: the driver artifact
     // shipped a 2.4×-overstated headline because the box was busy —
     // per-run ranges like 1.4→22.4 s at loadavg 4.7). A wide max/min
