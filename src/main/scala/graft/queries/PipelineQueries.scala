@@ -4,6 +4,7 @@ import graft.{QueryDef, Tables}
 import graft.ops._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Corpus-curation pipeline surface (mandate: the operations a 100 TB
   * training-data pipeline needs BEYOND pairwise dedup): cluster
@@ -1587,6 +1588,33 @@ object PipelineQueries {
       Tables.documents(spark, dir))
   }
 
+  /** Bulk-read an [[graft.sinks.EsSink.FileDocStore]] directory as a
+    * DataFrame — the documented external-reader contract for the
+    * file-backed document store. The store holds ONE small file per
+    * live document (the faithful image of per-id `_doc` semantics),
+    * which makes a glob datasource read pathological at volume — Spark
+    * pays listing + per-file open cost on 120k files at sf0.1
+    * (measured 56 s). So: one driver-side list of the single flat dir,
+    * then file CONTENTS read in parallel tasks and parsed against the
+    * declared schema — same document set, the reserved
+    * `_graft_progress_` marker prefix filtered by name.
+    */
+  private def readDocStore(spark: SparkSession, store: String,
+      docSchema: org.apache.spark.sql.types.StructType): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val docFiles = java.nio.file.Files.list(java.nio.file.Paths.get(store))
+      .iterator().asScala.map(_.toString)
+      .filter(p => p.endsWith(".json") && !p.contains("_graft_progress_"))
+      .toSeq
+    import spark.implicits._
+    val lines = spark.createDataset(docFiles)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions(_.map(p => new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
+        java.nio.charset.StandardCharsets.UTF_8)))
+    spark.read.schema(docSchema).json(lines)
+  }
+
   private val q140Lock = new Object
 
   /** Q140: the ES-TARGET VIEW PIPELINE under the oracle gate — the last
@@ -1638,26 +1666,7 @@ object PipelineQueries {
     }
     val docSchema = org.apache.spark.sql.types.StructType(
       ChangeFeed.ordersRowSchema.fields ++ ChangeFeed.customerRowSchema.fields)
-    // The store holds ONE small file per live document (the faithful
-    // image of per-id `_doc` semantics), which makes a glob datasource
-    // read pathological at volume — Spark pays listing + per-file open
-    // cost on 120k files at sf0.1 (measured 56 s). An external reader
-    // bulk-reads the directory instead: one driver-side list of the
-    // single flat dir, then file CONTENTS read in parallel tasks and
-    // parsed against the declared schema — same document set, the
-    // reserved `_graft_progress_` marker prefix filtered by name.
-    import scala.jdk.CollectionConverters._
-    val docFiles = java.nio.file.Files.list(java.nio.file.Paths.get(store))
-      .iterator().asScala.map(_.toString)
-      .filter(p => p.endsWith(".json") && !p.contains("_graft_progress_"))
-      .toSeq
-    import spark.implicits._
-    val lines = spark.createDataset(docFiles)
-      .repartition(spark.sparkContext.defaultParallelism)
-      .mapPartitions(_.map(p => new String(
-        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
-        java.nio.charset.StandardCharsets.UTF_8)))
-    spark.read.schema(docSchema).json(lines)
+    readDocStore(spark, store, docSchema)
       .select(col("o_orderkey"), col("o_orderstatus"),
         col("o_totalprice").as("total"),
         col("c_custkey"), col("c_name"), col("c_mktsegment"))
@@ -1752,8 +1761,55 @@ object PipelineQueries {
         col("rows_in"), col("dead_letters"), col("state_rows"))
   }
 
+  private val q142Lock = new Object
+
+  /** Q142: the ES-TARGET DEDUP-CLUSTER PIPELINE under the oracle gate —
+    * q133's full streaming composition (staged documents feed →
+    * checkpointed LWW doc log → stateful LSH pair stage →
+    * support/verified/label state logs → exact-verified merge/split
+    * cluster maintenance) delivered through the ELASTICSEARCH serving
+    * path instead of JDBC: per-cluster-row `_bulk` upserts with
+    * deletes-before-upserts and the in-band batch-progress marker,
+    * applied by [[graft.sinks.EsSink.FileDocStore]] (the file-backed
+    * store that executes the exact request shapes the HTTP transport
+    * sends). The query bulk-reads the store back — what an ES consumer
+    * would actually SEE — and the oracle re-clusters the post-traffic
+    * corpus from scratch (q131/q133's shared recursive-CTE oracle), so
+    * the hash certifies the served document set end to end: retracted
+    * docs' documents deleted, split/merge outcomes upserted, replayed
+    * batches sending nothing. With q140 (view→ES) this closes the last
+    * ES serving surface that was spec-only.
+    */
+  val q142 = QueryDef.sql(
+    "q142_es_dedup_serving", clusterOracleSql) { (spark, dir) =>
+    import graft.cdc.{ChangeFeed, DeltaLog}
+    import graft.streaming.{DedupClusterPipeline, EsTarget}
+    val feed = ChangeFeed.stagedDocsJsonl(spark, dir)
+    val fp = graft.sources.Staging.fingerprint(Seq(s"$dir/documents.parquet"))
+    val base = DeltaLog.logBase(spark,
+      s"esdedup_${dir.replaceAll("[^a-zA-Z0-9]", "_")}", fp)
+    val store = s"$base/store"
+    val pipeline = DedupClusterPipeline(
+      name = "q142", databases = Set("shop"), table = "documents",
+      idField = "doc_id", textField = "text",
+      // url/credentials are conf payload the file transport never
+      // dials — no socket is ever opened on this path
+      target = EsTarget("http://graft-local/clusters_q142", "graft", "graft"),
+      verifyThreshold = Some(0.6), compactEvery = 0)
+    q142Lock.synchronized {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(store))
+      pipeline.runOnce(spark, feed, s"$base/work",
+        esTransport = new graft.sinks.EsSink.FileDocStore(store))
+    }
+    readDocStore(spark, store,
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, cluster_id BIGINT, is_canonical INT"))
+      .select(col("doc_id"), col("cluster_id"),
+        (col("is_canonical") === 1).as("is_canonical"))
+  }
+
   val all: Seq[QueryDef] = Seq(q41, q42, q43, q44, q45, q47, q48, q49,
     q54, q57, q60, q62, q63, q64, q68, q69, q74, q76, q80, q81, q83, q90, q91,
     q94, q98, q122, q125, q127, q128, q129, q130, q131, q133, q134, q135,
-    q136, q137, q138, q139, q140, q141)
+    q136, q137, q138, q139, q140, q141, q142)
 }
