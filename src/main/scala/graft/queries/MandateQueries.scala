@@ -969,6 +969,85 @@ object MandateQueries {
       .select(col("q_vec_id"), col("exact_top5"), col("recall_ok"))
   }
 
+  private val q143Lock = new Object
+
+  /** Q143: the ES-MIRROR ANN SERVING PIPELINE under the oracle gate —
+    * [[graft.streaming.AnnServingPipeline]] driven end to end (staged
+    * embeddings CDC feed → checkpointed delta log → stateless ±IVF
+    * postings → keyed JDBC MERGE) with the consumer-facing document
+    * MIRROR enabled: one ES document per served vector, delivered
+    * deletes-before-upserts under the batch-progress marker through
+    * [[graft.sinks.EsSink.FileDocStore]]. The query bulk-reads the
+    * mirrored store back and returns, per document, a fixed-point
+    * vector fingerprint (sum of floor(x·1e6) — order-free integer
+    * arithmetic both engines state identically) plus an engine-checked
+    * `cell_ok` (the document's advisory cell equals the quantizer's
+    * assignment of its own vector — the quantizer is Lloyd-trained and
+    * not SQL-restatable, so consistency is certified in-query, q29's
+    * guarantee-band pattern). The oracle restates the post-traffic live
+    * set arithmetically (%3 negation, %5 delete): a deleted vector's
+    * document surviving, a negated vector serving its OLD direction, or
+    * a stale cell all break the match. q119 certifies the maintained
+    * index; this certifies what an ES consumer actually reads.
+    */
+  val q143 = QueryDef.sql(
+    "q143_es_ann_serving",
+    """WITH e AS (SELECT vec_id,
+      |         CASE WHEN vec_id % 3 = 0
+      |              THEN list_transform(CAST(embedding AS DOUBLE[]), x -> -x)
+      |              ELSE CAST(embedding AS DOUBLE[]) END AS emb
+      |       FROM embeddings WHERE vec_id % 5 <> 0)
+      |SELECT vec_id, CAST(len(emb) AS INT) AS dim,
+      |       CAST(list_aggregate(list_transform(emb,
+      |              x -> CAST(floor(x * 1000000.0) AS BIGINT)), 'sum')
+      |            AS BIGINT) AS emb_fp,
+      |       TRUE AS cell_ok
+      |FROM e""".stripMargin) { (spark, dir) =>
+    import graft.cdc.{ChangeFeed, DeltaLog}
+    import graft.streaming.{AnnServingPipeline, EsTarget}
+    val cents = ivfCentroidsFor(spark, dir)
+    val feed = ChangeFeed.stagedEmbeddingsJsonl(spark, dir)
+    val fp = graft.sources.Staging.fingerprint(Seq(s"$dir/embeddings.parquet"))
+    val base = DeltaLog.logBase(spark,
+      s"esann_${dir.replaceAll("[^a-zA-Z0-9]", "_")}", fp)
+    val store = s"$base/store"
+    val url = s"jdbc:derby:$base/derby;create=true"
+    val pipeline = AnnServingPipeline(
+      name = "q143", databases = Set("shop"), table = "embeddings",
+      idField = "vec_id", vectorField = "embedding", cents = cents,
+      jdbcUrl = url, postingsTable = "postings_q143",
+      esMirror = Some(EsTarget("http://graft-local/vecs_q143", "graft", "graft")))
+    q143Lock.synchronized {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(store))
+      val c = java.sql.DriverManager.getConnection(url)
+      try {
+        val st = c.createStatement()
+        try st.execute(
+          """CREATE TABLE postings_q143 ("vec_id" BIGINT NOT NULL PRIMARY
+            | KEY, "cell" INTEGER, "emb_json" VARCHAR(32000))"""
+            .stripMargin.replace("\n", ""))
+        catch { // X0Y32: table already exists (idempotent re-drive)
+          case e: java.sql.SQLException if e.getSQLState == "X0Y32" => ()
+        }
+      } finally c.close()
+      pipeline.runOnce(spark, feed, s"$base/work",
+        esTransport = new graft.sinks.EsSink.FileDocStore(store))
+    }
+    val docs = PipelineQueries.readDocStore(spark, store,
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "vec_id BIGINT, cell INT, emb_json STRING"))
+      .select(col("vec_id"), col("cell"),
+        from_json(col("emb_json"), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)).as("emb"))
+    docs.select(col("vec_id"),
+      size(col("emb")).as("dim"),
+      aggregate(transform(col("emb"),
+          x => floor(x.cast("double") * lit(1000000.0d))),
+        lit(0L), (a, x) => a + x).as("emb_fp"),
+      (col("cell") === VectorSearch.nearestCell(col("emb"), cents))
+        .as("cell_ok"))
+  }
+
   /** Q132: REAL image resize — the full decode → nearest-neighbor
     * scale → re-encode path (Multimodal.resizeImage) certified at the
     * PIXEL level: PNG documents (even doc_ids; lossless both ways) are
@@ -1011,5 +1090,6 @@ object MandateQueries {
 
   val all: Seq[QueryDef] = Seq(q18, q18b, q19, q20, q21, q22, q26, q27,
     q28, q28b, q29, q30, q31, q32, q33, q34, q58, q58b, q59, q61, q66, q67,
-    q70, q73, q77, q84, q89, q104, q106, q107, q108, q117, q118, q119, q132)
+    q70, q73, q77, q84, q89, q104, q106, q107, q108, q117, q118, q119, q132,
+    q143)
 }

@@ -1599,7 +1599,7 @@ object PipelineQueries {
     * declared schema — same document set, the reserved
     * `_graft_progress_` marker prefix filtered by name.
     */
-  private def readDocStore(spark: SparkSession, store: String,
+  private[queries] def readDocStore(spark: SparkSession, store: String,
       docSchema: org.apache.spark.sql.types.StructType): DataFrame = {
     import scala.jdk.CollectionConverters._
     val docFiles = java.nio.file.Files.list(java.nio.file.Paths.get(store))

@@ -66,6 +66,22 @@ import java.nio.file.{Files, Paths}
   * MERGE-to-repoint window it may pair old centroids with new cells,
   * which degrades probe placement (recall) for that instant but never
   * serves inconsistent data — ids and vectors are generation-invariant.
+  *
+  * ES MIRROR (`esMirror`): the consumer-facing document surface — the
+  * reference serves everything as id-keyed ES documents
+  * (`ElasticsearchUtils.java:106-118`), and the ann pipeline's analog
+  * is one document per served vector (`_id` = the vector id, body =
+  * `{idField, cell, emb_json}`) mirrored per batch through
+  * [[graft.sinks.EsSink.applyKeyedBatch]]: deletes before upserts, the
+  * in-band batch-progress marker so checkpoint replay re-sends
+  * nothing, dead letters persisted under `deadLetterDir` BEFORE the
+  * marker (S6). The JDBC postings table stays the INDEX's source of
+  * truth — the certificate probes it, retrain re-keys it first — and a
+  * retrain re-PUTs every served document afterwards (marker-free
+  * key-addressed upserts: a crash mid-mirror leaves some documents on
+  * the old cell until the next batch or retrain re-sends; ids and
+  * vectors are generation-invariant, so a consumer never reads wrong
+  * DATA, only a stale advisory cell).
   */
 final case class AnnServingPipeline(
     name: String,
@@ -84,7 +100,9 @@ final case class AnnServingPipeline(
     skewBound: Double = 4.0,
     autoRetrain: Boolean = false,
     maxGenAgeMs: Long = 0L,
-    metrics: Option[PipelineMetrics.Target] = None) {
+    metrics: Option[PipelineMetrics.Target] = None,
+    esMirror: Option[EsTarget] = None,
+    deadLetterDir: Option[String] = None) {
 
   private val rowSchema: StructType =
     StructType.fromDDL(s"$idField BIGINT, $vectorField ARRAY<FLOAT>")
@@ -241,7 +259,9 @@ final case class AnnServingPipeline(
     * generation through CURRENT. Returns the fresh quantizer.
     */
   def retrainAndSwap(spark: SparkSession, workRoot: String,
-      nCells: Int = -1, iters: Int = 5): Array[Array[Float]] = {
+      nCells: Int = -1, iters: Int = 5,
+      esTransport: graft.sinks.EsSink.Transport =
+        new graft.sinks.EsSink.HttpTransport): Array[Array[Float]] = {
     val served = servedPostings(spark).localCheckpoint(true)
     val corpus = served.select(col("vec_id"), col("embedding"))
     val n = if (nCells > 0) nCells else currentCents(workRoot).length
@@ -256,12 +276,22 @@ final case class AnnServingPipeline(
     // the window where old-CURRENT points at new-cell assignments is
     // harmless (assignments are re-derived from CURRENT on every read
     // path that needs them, and the store's ids/vectors are unchanged)
-    val flat = corpus.select(col("vec_id").as(idField),
+    val flat0 = corpus.select(col("vec_id").as(idField),
       lit("upsert").as("action"),
       VectorSearch.nearestCell(col("embedding"), fresh).as("cell"),
       to_json(col("embedding")).as("emb_json"))
+    val flat = if (esMirror.isDefined) flat0.localCheckpoint(true) else flat0
     JdbcSink.applyViewDeltas(flat, jdbcUrl, postingsTable, Seq(idField),
       stagingColumnTypes = "emb_json VARCHAR(32000)")
+    // re-PUT every served document under its fresh cell — marker-free
+    // key-addressed upserts (idempotent; the scaladoc's staleness
+    // window applies until this completes)
+    esMirror.foreach { es =>
+      graft.sinks.EsSink.upsert(
+        flat.select(col(idField), col("cell"), col("emb_json")),
+        es.config(idField), esTransport)
+      ()
+    }
     writeGeneration(workRoot, fresh)
     applyCertificate(spark, certificate(spark).map(_._1).getOrElse(0L), fresh)
     fresh
@@ -306,7 +336,8 @@ final case class AnnServingPipeline(
   }
 
   private def indexQuery(spark: SparkSession, workRoot: String,
-      trigger: Trigger): StreamingQuery = {
+      trigger: Trigger,
+      esTransport: graft.sinks.EsSink.Transport): StreamingQuery = {
     val stream = spark.readStream.schema(ViewPipeline.LogSchema)
       .parquet(logDir(workRoot))
       .withColumnRenamed("batch_id", "seq")
@@ -331,18 +362,41 @@ final case class AnnServingPipeline(
           .select(col("vec_id").as(idF),
             when(col("w.sgn") > 0, "upsert").otherwise("delete").as("action"),
             col("w.cell").as("cell"), to_json(col("w.emb")).as("emb_json"))
-        // with metrics on, pin the actions so the count below cannot
-        // re-run the batch plan
-        val flat = if (metrics.isDefined) flat0.localCheckpoint(true)
-          else flat0
+        // with metrics or the ES mirror on, pin the actions so the
+        // extra consumers below cannot re-run the batch plan
+        val flat = if (metrics.isDefined || esMirror.isDefined)
+          flat0.localCheckpoint(true) else flat0
         JdbcSink.applyViewDeltas(flat, jdbcUrl, postingsTable, Seq(idF),
           stagingColumnTypes = "emb_json VARCHAR(32000)")
+        // mirror AFTER the index store commits: the document surface
+        // trails the source of truth, never leads it
+        var esDeadLetters = 0L
+        esMirror.foreach { es =>
+          // marker keyed (pipeline, work dir): a rebuilt work dir
+          // restarts batch ids at 0 and must not be skipped by the old
+          // run's marker (SearchServingPipeline's rebuild contract)
+          val markerId = s"${name}_${Integer.toHexString(workRoot.hashCode)}"
+          val applied = graft.sinks.EsSink.applyKeyedBatch(markerId, batchId,
+            flat.filter(col("action") === "delete").select(col(idF)),
+            flat.filter(col("action") === "upsert")
+              .select(col(idF), col("cell"), col("emb_json")),
+            es.config(idF), esTransport,
+            onDeadLetters = (dlDeletes, dlUpserts) =>
+              deadLetterDir.foreach { dir =>
+                val dead = dlDeletes.unionByName(dlUpserts)
+                  .withColumn("pipeline", lit(name))
+                if (!dead.isEmpty) dead.write.mode("append").parquet(dir)
+              })
+          esDeadLetters = applied
+            .map { case (d, u) => d.count() + u.count() }.getOrElse(0L)
+          ()
+        }
         applyCertificate(spark, batchId, c)
         metrics.foreach { m =>
           val gen = Files.readString(
             Paths.get(s"${quantDir(workRoot)}/CURRENT")).trim
           PipelineMetrics.record(m, name, "ann", batchId,
-            rowsIn = flat.count(), deadLetters = 0L,
+            rowsIn = flat.count(), deadLetters = esDeadLetters,
             stateRows = flat.count(),
             wallMs = System.currentTimeMillis() - t0,
             info = s"""{"generation":"$gen"}""")
@@ -352,14 +406,16 @@ final case class AnnServingPipeline(
         // and the re-run certificate records the restored SLO
         if (autoRetrain)
           certificate(spark).foreach { case (_, _, recallOk, _, driftOk) =>
-            if (!recallOk || !driftOk) { retrainAndSwap(spark, workRoot); () }
+            if (!recallOk || !driftOk) {
+              retrainAndSwap(spark, workRoot, esTransport = esTransport); ()
+            }
           }
         // scheduled (age-triggered) retrain: honor the watcher's marker
         // here, at the batch boundary, so the swap is serialized with
         // batch application like every other store mutation
         val due = Paths.get(s"$workRoot/RETRAIN_DUE")
         if (Files.exists(due)) {
-          retrainAndSwap(spark, workRoot)
+          retrainAndSwap(spark, workRoot, esTransport = esTransport)
           Files.deleteIfExists(due)
           ()
         }
@@ -372,12 +428,15 @@ final case class AnnServingPipeline(
     * across calls (durable checkpoints — [[ViewPipeline.runOnce]]'s
     * contract).
     */
-  def runOnce(spark: SparkSession, feedDir: String, workRoot: String): Unit = {
+  def runOnce(spark: SparkSession, feedDir: String, workRoot: String,
+      esTransport: graft.sinks.EsSink.Transport =
+        new graft.sinks.EsSink.HttpTransport): Unit = {
     Files.createDirectories(Paths.get(logDir(workRoot)))
     ensureQuantizer(workRoot)
     logQuery(spark, feedDir, workRoot, Trigger.AvailableNow())
       .awaitTermination()
-    indexQuery(spark, workRoot, Trigger.AvailableNow()).awaitTermination()
+    indexQuery(spark, workRoot, Trigger.AvailableNow(), esTransport)
+      .awaitTermination()
   }
 
   /** Live deployment: both stages as long-running queries; vector churn
@@ -385,11 +444,13 @@ final case class AnnServingPipeline(
     * to shut down; checkpoints resume either mode.
     */
   def start(spark: SparkSession, feedDir: String, workRoot: String,
-      interval: String = "500 milliseconds"): Seq[StreamingQuery] = {
+      interval: String = "500 milliseconds",
+      esTransport: graft.sinks.EsSink.Transport =
+        new graft.sinks.EsSink.HttpTransport): Seq[StreamingQuery] = {
     val t = Trigger.ProcessingTime(interval)
     Files.createDirectories(Paths.get(logDir(workRoot)))
     ensureQuantizer(workRoot)
     Seq(logQuery(spark, feedDir, workRoot, t),
-      indexQuery(spark, workRoot, t))
+      indexQuery(spark, workRoot, t, esTransport))
   }
 }

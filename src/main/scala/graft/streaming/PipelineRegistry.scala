@@ -363,6 +363,10 @@ object PipelineRegistry {
     * `centroids` is the BOOTSTRAP quantizer — an index artifact shipped
     * as conf data, seeding generation 0 only; retrain-and-swap evolves
     * it through the generation pointer without touching the conf.
+    * Optional `"es": { "url", "username", "password" }` adds the
+    * consumer-facing document MIRROR (one ES document per served
+    * vector; jdbc stays the index's source of truth), with optional
+    * `"deadLetterDir"` for undeliverable mirror rows.
     * Same lifecycle keys as the other kinds (conf file + [[ckptKey]]).
     */
   def loadAnn(dir: String, strict: Boolean = true): Seq[AnnEntry] = {
@@ -410,7 +414,20 @@ object PipelineRegistry {
           maxGenAgeMs =
             if (node.hasNonNull("maxGenAgeMs")) node.get("maxGenAgeMs").asLong()
             else 0L,
-          metrics = parseMetrics(f, node))
+          metrics = parseMetrics(f, node),
+          // optional consumer-facing document mirror (the view/dedup
+          // confs' "es" shape); jdbc stays the index's source of truth
+          esMirror =
+            if (!node.hasNonNull("es")) None
+            else {
+              val es = node.get("es")
+              require(es.hasNonNull("url"), s"${f.getName}: es needs url")
+              Some(EsTarget(es.get("url").asText(),
+                if (es.hasNonNull("username")) es.get("username").asText() else "",
+                if (es.hasNonNull("password")) es.get("password").asText() else ""))
+            },
+          deadLetterDir = if (node.hasNonNull("deadLetterDir"))
+            Some(node.get("deadLetterDir").asText()) else None)
         Some(AnnEntry(pipeline, f.getAbsolutePath, f.lastModified()))
       }
     }}

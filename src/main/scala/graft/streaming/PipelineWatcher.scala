@@ -91,7 +91,7 @@ final class PipelineWatcher(
 
   private def startAnn(e: PipelineRegistry.AnnEntry): Seq[StreamingQuery] = {
     val qs = e.pipeline.start(spark, sourceDir, workDir(e.file),
-      interval = viewTriggerInterval)
+      interval = viewTriggerInterval, esTransport = transport)
     annEntries(e.file) = e
     annQueries(e.file) = qs
     qs

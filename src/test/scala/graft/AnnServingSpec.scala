@@ -325,6 +325,90 @@ class AnnServingSpec extends SparkSpec {
       s"post-heal cells must follow the clusters, got $cellsOf")
   }
 
+  test("ES mirror: documents track churn (delete, cell move), agree with the index store, and checkpoint replay sends nothing") {
+    val url = "jdbc:derby:memory:graftannmirror;create=true"
+    val c0 = java.sql.DriverManager.getConnection(url)
+    c0.createStatement().execute(
+      """CREATE TABLE postings_m ("vec_id" BIGINT NOT NULL PRIMARY KEY,
+        | "cell" INTEGER, "emb_json" VARCHAR(32000))""".stripMargin.replace("\n", ""))
+    c0.close()
+
+    val storeDir = Files.createTempDirectory("graft_ann_store_").toString
+    // counting wrapper: marker reads ride get(), so sends counts only
+    // real document traffic (PUT/DELETE/_bulk)
+    val inner = new graft.sinks.EsSink.FileDocStore(storeDir)
+    val sends = new java.util.concurrent.atomic.AtomicInteger(0)
+    class Counting extends graft.sinks.EsSink.Transport {
+      def send(req: graft.sinks.EsSink.Request): Int = {
+        sends.incrementAndGet(); inner.send(req)
+      }
+      override def get(u: String, h: Map[String, String]): (Int, String) =
+        inner.get(u, h)
+    }
+
+    val pipeline = AnnServingPipeline(
+      name = "annmirror", databases = Set("shop"), table = "embeddings",
+      idField = "vec_id", vectorField = "embedding", cents = cents,
+      jdbcUrl = url, postingsTable = "postings_m",
+      esMirror = Some(graft.streaming.EsTarget(
+        "http://graft-local/vecs", "u", "p")))
+
+    val feedDir = Files.createTempDirectory("graft_annm_feed_").toFile
+    val workRoot = Files.createTempDirectory("graft_annm_work_").toString
+
+    def storeDocs(): Map[Long, (Int, String)] = {
+      val d = new java.io.File(storeDir).listFiles()
+        .filter(f => f.getName.endsWith(".json")
+          && !f.getName.contains("_graft_progress_"))
+      d.map { f =>
+        val n = mapper.readTree(Files.readString(f.toPath))
+        (n.get("vec_id").asLong(),
+          (n.get("cell").asInt(), n.get("emb_json").asText()))
+      }.toMap
+    }
+
+    // wave 0: three vectors across two cells
+    Files.write(new java.io.File(feedDir, "000.json").toPath, Seq(
+      wire(v(0, 1.0, 0.1), null, "c", 10, 1),
+      wire(v(1, 0.95, -0.05), null, "c", 10, 2),
+      wire(v(2, -1.0, 0.05), null, "c", 10, 3)).asJava)
+    pipeline.runOnce(spark, feedDir.toString, workRoot, new Counting)
+
+    val docs0 = storeDocs()
+    assert(docs0.view.mapValues(_._1).toMap == Map(0L -> 0, 1L -> 0, 2L -> 1),
+      s"mirror must hold one document per served vector, got $docs0")
+    // the mirror agrees with the index store row for row
+    val served0 = pipeline.servedPostings(spark)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(docs0.view.mapValues(_._1).toMap == served0,
+      "mirror cells must equal the JDBC index store's")
+
+    // wave 1: vec 1 moves across cells, vec 2 is deleted
+    Files.write(new java.io.File(feedDir, "001.json").toPath, Seq(
+      wire(v(1, -0.9, 0.0), v(1, 0.95, -0.05), "u", 20, 4),
+      wire(null, v(2, -1.0, 0.05), "d", 21, 5)).asJava)
+    pipeline.runOnce(spark, feedDir.toString, workRoot, new Counting)
+
+    val docs1 = storeDocs()
+    assert(docs1.view.mapValues(_._1).toMap == Map(0L -> 0, 1L -> 1),
+      s"churn must delete vec 2's document and move vec 1's cell, got $docs1")
+    assert(docs1(1L)._2 == "[-0.9,0.0]",
+      s"the moved document must carry the NEW vector, got ${docs1(1L)}")
+
+    // checkpoint replay: wipe the index stage's checkpoint so both log
+    // batches re-process — the batch-progress marker must make the
+    // replayed batches send ZERO documents
+    java.nio.file.Files.walk(java.nio.file.Paths.get(s"$workRoot/ckpt_index"))
+      .sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => { java.nio.file.Files.delete(p); () })
+    sends.set(0)
+    pipeline.runOnce(spark, feedDir.toString, workRoot, new Counting)
+    assert(sends.get() == 0,
+      s"replayed batches must send nothing (marker), got ${sends.get()} sends")
+    assert(storeDocs().view.mapValues(_._1).toMap == Map(0L -> 0, 1L -> 1),
+      "replay must leave the served documents unchanged")
+  }
+
   test("conf-declared ANN pipeline: watcher add starts serving, delete stops and preserves checkpoints") {
     import graft.streaming.{PipelineRegistry, PipelineWatcher}
     val url = "jdbc:derby:memory:graftannconf;create=true"
