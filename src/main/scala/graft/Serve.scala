@@ -46,17 +46,21 @@ object Serve {
     */
   def run(spark: SparkSession, confDir: String, sourceDir: String,
       workRoot: String, cfg: EsSink.Config, transport: EsSink.Transport,
-      pollMs: Long = 500L): Int = {
+      pollMs: Long = 500L, maintainEveryMs: Long = 60000L): Int = {
     Files.createDirectories(Paths.get(workRoot))
     val stopFile = Paths.get(workRoot, "STOP")
     // lww pipelines run under a processing-time trigger here — a server
     // follows the feed (the Debezium engine's run-until-stopped shape)
     // instead of the batch-drain AvailableNow default the tests and
-    // one-shot runners use.
+    // one-shot runners use. Warehouse maintenance rides the watcher
+    // tick (compact-past-64-batches + 24 h retention GC) — a server
+    // process owns its warehouse's lifecycle; one-shot runners leave
+    // maintenance to explicit DeltaLog.maintain calls.
     val watcher = new PipelineWatcher(spark, confDir, sourceDir,
       s"$workRoot/ckpt", cfg, transport, pollMs,
       lwwTrigger = org.apache.spark.sql.streaming.Trigger
-        .ProcessingTime(s"$pollMs milliseconds"))
+        .ProcessingTime(s"$pollMs milliseconds"),
+      maintainEveryMs = maintainEveryMs)
     // SIGTERM and STOP-file converge on the same idempotent stop():
     // a container runtime sending a signal gets the same clean drain
     // (queries stopped at a batch boundary, checkpoints preserved) as

@@ -49,7 +49,10 @@ final class PipelineWatcher(
     cfg: EsSink.Config, transport: EsSink.Transport, pollMs: Long = 500L,
     viewTriggerInterval: String = "500 milliseconds",
     lwwTrigger: org.apache.spark.sql.streaming.Trigger =
-      org.apache.spark.sql.streaming.Trigger.AvailableNow()) {
+      org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+    maintainEveryMs: Long = 0L,
+    maintainMaxBatches: Int = 64,
+    maintainRetentionMs: Long = 24L * 3600 * 1000) {
 
   private val entries = mutable.Map.empty[String, PipelineRegistry.Entry]
   // Keyed by CONF FILE — the unit of reload — not pipeline name: a conf
@@ -69,6 +72,9 @@ final class PipelineWatcher(
   private val searchQueries = mutable.Map.empty[String, Seq[StreamingQuery]]
   @volatile private var running = false
   private var loop: Thread = _
+  // maintenance clock starts at construction: the first pass waits a
+  // full interval instead of racing the boot
+  private var lastMaintainMs = System.currentTimeMillis()
 
   private def workDir(file: String): String =
     s"$ckptRoot/${PipelineRegistry.ckptKey(file)}"
@@ -224,6 +230,27 @@ final class PipelineWatcher(
     annEntries.values.foreach { e =>
       e.pipeline.scheduleRetrainIfStale(workDir(e.file))
       ()
+    }
+    // warehouse maintenance on the watcher cadence (`maintainEveryMs`
+    // > 0) — the scheduler [[graft.cdc.DeltaLog.maintain]] documents:
+    // compact any log whose active generation exceeds
+    // `maintainMaxBatches` (atomic CURRENT repoint; readers see old or
+    // new, never a mix), then retention-GC superseded fingerprints and
+    // generations. A failed pass logs and keeps watching (the
+    // reference's reload contract) and the clock advances either way,
+    // so a broken log cannot turn the poll loop into a hot maintenance
+    // loop.
+    if (maintainEveryMs > 0L) {
+      val now = System.currentTimeMillis()
+      if (now - lastMaintainMs >= maintainEveryMs) {
+        lastMaintainMs = now
+        try graft.cdc.DeltaLog.maintain(spark, maintainMaxBatches,
+          maintainRetentionMs)
+        catch {
+          case e: Exception => System.err.println(
+            s"[PipelineWatcher] maintenance failed: ${e.getMessage}")
+        }
+      }
     }
     restartedLww ++ restartedViews ++ restartedAnn ++ restartedDedup ++
       restartedSearch

@@ -639,4 +639,66 @@ class RegistrySpec extends SparkSpec {
       PipelineRegistry.load(confDir.toString))
     assert(e.getMessage.contains("c.json"))
   }
+
+  test("watcher maintenance tick: an oversized warehouse log compacts on cadence; superseded generations GC after retention") {
+    import graft.streaming.PipelineWatcher
+    import graft.cdc.DeltaLog
+    import java.nio.file.{Files => JFiles, Paths}
+    val wh = JFiles.createTempDirectory("graft_maint_wh_").toString
+    val prev = spark.conf.getOption("spark.graft.warehouse")
+    spark.conf.set("spark.graft.warehouse", wh)
+    val confDir = Files.createTempDirectory("graft_maint_conf_").toString
+    val srcDir = Files.createTempDirectory("graft_maint_src_").toString
+    val ckptRoot = Files.createTempDirectory("graft_maint_ckpt_").toString
+    try {
+      // an LWW table log two batches deep (maxBatches = 1 ⇒ oversized)
+      val base = s"$wh/tablelog_t/feed"
+      Seq((1L, "upsert", """{"id":1,"v":"a"}""", null: String))
+        .toDF("key", "action", "rowJson", "prevJson")
+        .write.parquet(s"$base/data/batch_id=0")
+      Seq((1L, "upsert", """{"id":1,"v":"b"}""", """{"id":1,"v":"a"}"""))
+        .toDF("key", "action", "rowJson", "prevJson")
+        .write.parquet(s"$base/data/batch_id=1")
+      JFiles.createFile(Paths.get(s"$base/_GRAFT_DONE"))
+
+      val cfg = EsSink.Config("http://es:9200/idx", "u", "p", "id")
+      // maintenance DISABLED (the default): no tick, log left whole
+      val off = new PipelineWatcher(spark, confDir, srcDir, ckptRoot, cfg,
+        new SinkSpec.Recorder, pollMs = 3600000L)
+      try {
+        off.pollOnce()
+        assert(!JFiles.exists(Paths.get(s"$base/CURRENT")),
+          "maintenance must be opt-in — the default watcher never compacts")
+      } finally off.stop()
+
+      // maintenance ON with a zero-interval cadence and zero retention:
+      // first poll past the interval compacts AND retires the
+      // superseded raw generation in the same pass
+      val on = new PipelineWatcher(spark, confDir, srcDir, ckptRoot, cfg,
+        new SinkSpec.Recorder, pollMs = 3600000L,
+        maintainEveryMs = 1L, maintainMaxBatches = 1,
+        maintainRetentionMs = 0L)
+      try {
+        Thread.sleep(5) // pass the 1 ms cadence deterministically
+        on.pollOnce()
+        assert(JFiles.exists(Paths.get(s"$base/CURRENT")),
+          "the oversized log must compact on the watcher tick")
+        val active = DeltaLog.activeDataDir(base)
+        // compaction folded two batches to ONE live prev-free row
+        val rows = spark.read.parquet(active).collect()
+        assert(rows.length == 1
+          && rows.head.getAs[String]("rowJson") == """{"id":1,"v":"b"}""")
+        // zero retention: the superseded raw data generation is gone
+        Thread.sleep(5)
+        on.pollOnce()
+        assert(!JFiles.exists(Paths.get(s"$base/data")),
+          "retention GC must retire the superseded generation")
+        assert(JFiles.exists(Paths.get(active)),
+          "the active generation must survive GC")
+      } finally on.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.graft.warehouse", v)
+      case None => spark.conf.unset("spark.graft.warehouse")
+    }
+  }
 }
