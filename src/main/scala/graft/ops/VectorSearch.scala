@@ -602,6 +602,147 @@ object VectorSearch {
       .filter(col("rnk") <= k)
   }
 
+  /** FILTERED vector search, exact form: top-k cosine neighbors
+    * restricted to an allowed id set — the metadata-predicate query
+    * every vector store must answer ("nearest docs WHERE lang = 'en'").
+    * PRE-filter semantics: `allowed` cuts the corpus BEFORE ranking, so
+    * the result is the true top-k of the matching subset; a post-filter
+    * of an unfiltered top-k returns fewer than k — or zero — matches as
+    * soon as selectivity bites (the classic filtered-ANN failure mode),
+    * while here scan cost *shrinks* with selectivity. `allowed` is a
+    * one-column (vec_id) RELATION, never a collected list: at 100 TB
+    * the predicate side is itself a distributed semi-join input and
+    * Catalyst/AQE picks broadcast vs shuffle from its measured size.
+    */
+  def filteredKnnExact(queries: DataFrame, corpus: DataFrame,
+      allowed: DataFrame, k: Int): DataFrame =
+    knnExact(queries, corpus.join(allowed, Seq("vec_id"), "left_semi"), k)
+
+  /** FILTERED vector search over a MAINTAINED posting relation — the
+    * at-scale drop-in for [[filteredKnnExact]]: the allowed-id semi-join
+    * lands on the postings BEFORE the cell-probe join, so a query pays
+    * nProbe/nCells of the *matching* corpus, and the probe's candidate
+    * rank is computed only over rows that can appear in the answer.
+    * Recall under a filter is never better than unfiltered recall at
+    * the same nProbe (matching neighbors may hide in unprobed cells
+    * while the filtered-out ones probed well), so callers pair this
+    * with an exact-side recall certificate (q145) or widen nProbe with
+    * selectivity.
+    */
+  def filteredKnnIvfFromPostings(queries: DataFrame, postings: DataFrame,
+      allowed: DataFrame, k: Int, cents: Array[Array[Float]],
+      nProbe: Int = 4): DataFrame =
+    knnIvfFromPostings(queries,
+      postings.join(allowed, Seq("vec_id"), "left_semi"), k, cents, nProbe)
+
+  /** One candidate row entering the per-query MMR greedy: its integer
+    * relevance and the integer similarity to every OTHER candidate of
+    * the same query. Not private: Catalyst's generated projection must
+    * construct it.
+    */
+  case class MmrCand(q: Long, id: Long, rel: Long, sims: Map[Long, Long])
+
+  /** MAXIMAL-MARGINAL-RELEVANCE re-rank — diversity-aware top-k: from
+    * each query's `candK` most relevant candidates, greedily pick k
+    * maximizing λ·relevance − (1−λ)·max-similarity-to-already-picked,
+    * so near-duplicate results are suppressed in favor of coverage (the
+    * diverse-sampling / search-result-diversification step of a
+    * training-data pipeline). λ is a RATIONAL `lambdaNum/lambdaDen` and
+    * every score is integer fixed-point (floor(cos·1e6 + 0.5)), so the
+    * greedy argmax — ties to the smallest id — is exact, engine-portable
+    * arithmetic an independent SQL engine can restate step by step
+    * (q147's recursive-CTE oracle).
+    *
+    * Scale shape: the expensive part is [[knnExact]]'s candidate
+    * generation (or its ANN drop-ins); everything after operates on
+    * q×candK rows — the pairwise-sim join is per-QUERY candK², and the
+    * greedy runs in one `mapGroups` whose per-group state is bounded by
+    * candK structs, never corpus-sized.
+    *
+    * Output: (q_vec_id, mmr_topk) — the picked ids in pick order as a
+    * CSV string (the cross-engine list representation q29 uses).
+    */
+  def mmrRerank(queries: DataFrame, corpus: DataFrame, candK: Int, k: Int,
+      lambdaNum: Long = 1L, lambdaDen: Long = 2L): DataFrame = {
+    require(candK >= 2, "mmrRerank needs at least two candidates per query")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cand = knnExact(queries, corpus, candK)
+      .select(col("q_vec_id"), col("n_vec_id").as("id"),
+        floor(col("cos_sim") * lit(1e6) + lit(0.5)).cast("long").as("rel_i"))
+    val withEmb = cand.join(
+      corpus.select(col("vec_id").as("id"), col("embedding").as("emb"),
+        norm(col("embedding")).as("nrm")), Seq("id"))
+    val lhs = withEmb.select(col("q_vec_id"), col("id").as("a"),
+      col("emb").as("ea"), col("nrm").as("na"))
+    val rhs = withEmb.select(col("q_vec_id"), col("id").as("b"),
+      col("emb").as("eb"), col("nrm").as("nb"))
+    // per-query pairwise sims: candK² rows per query, an equijoin on the
+    // query id — bounded by the candidate cut, independent of corpus size
+    val sims = lhs.join(rhs, Seq("q_vec_id")).filter(col("a") =!= col("b"))
+      .select(col("q_vec_id"), col("a"), col("b"),
+        floor(dot(col("ea"), col("eb")) / (col("na") * col("nb")) * lit(1e6)
+          + lit(0.5)).cast("long").as("s"))
+      .groupBy(col("q_vec_id"), col("a"))
+      .agg(map_from_entries(collect_list(struct(col("b"), col("s"))))
+        .as("sims"))
+    // sims derives from cand, so the join must qualify via aliases or
+    // Spark's ambiguous-self-join detection rejects the parent refs
+    val ds = cand.as("cnd").join(sims.as("sm"),
+        col("cnd.q_vec_id") === col("sm.q_vec_id") &&
+          col("cnd.id") === col("sm.a"))
+      .select(col("cnd.q_vec_id").as("q"), col("cnd.id").as("id"),
+        col("cnd.rel_i").as("rel"), col("sm.sims").as("sims"))
+      .as[MmrCand]
+    ds.groupByKey(_.q).mapGroups { (q, it) =>
+      val cs = it.toArray
+      val picked = scala.collection.mutable.ArrayBuffer.empty[Long]
+      while (picked.length < k && picked.length < cs.length) {
+        var bestId = Long.MaxValue
+        var bestScore = Long.MinValue
+        for (c <- cs if !picked.contains(c.id)) {
+          // every candidate pair exists in sims by construction, so a
+          // missing key is a bug, not a default — .apply throws
+          val maxSim = if (picked.isEmpty) 0L else picked.map(c.sims).max
+          val score = lambdaNum * c.rel - (lambdaDen - lambdaNum) * maxSim
+          if (score > bestScore || (score == bestScore && c.id < bestId)) {
+            bestScore = score; bestId = c.id
+          }
+        }
+        picked += bestId
+      }
+      (q, picked.mkString(","))
+    }.toDF("q_vec_id", "mmr_topk")
+  }
+
+  /** HARD-NEGATIVE MINING — contrastive-training pair generation: for
+    * each anchor, the k nearest neighbors whose LABEL DIFFERS (the
+    * most-confusable wrong-class examples an embedding model trains
+    * against). [[knnExact]]'s shape with the label-mismatch predicate
+    * fused into the join, so negatives are ranked only among rows that
+    * can appear in the answer (the pre-filter argument of
+    * [[filteredKnnExact]], but with a PER-ANCHOR predicate — a static
+    * allowed-set cannot express "different from MY label"). Output:
+    * a_vec_id, a_label, n_vec_id, n_label, cos_sim, rnk.
+    */
+  def hardNegatives(anchors: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val a = anchors.select(col("vec_id").as("a_vec_id"),
+      col("label").cast("long").as("a_label"),
+      col("embedding").as("a_emb"), norm(col("embedding")).as("a_norm"))
+    val c = corpus.select(col("vec_id").as("n_vec_id"),
+      col("label").cast("long").as("n_label"),
+      col("embedding").as("n_emb"), norm(col("embedding")).as("n_norm"))
+    val w = Window.partitionBy(col("a_vec_id"))
+      .orderBy(col("cos_sim").desc, col("n_vec_id"))
+    broadcast(a).join(c, col("a_label") =!= col("n_label"))
+      .withColumn("cos_sim",
+        dot(col("a_emb"), col("n_emb")) / (col("a_norm") * col("n_norm")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("a_vec_id"), col("a_label"), col("n_vec_id"),
+        col("n_label"), col("cos_sim"), col("rnk"))
+  }
+
   /** Diagnostic: members per cell for a given training depth. */
   def cellSizes(corpus: DataFrame, nCells: Int, iters: Int): Array[Long] = {
     val cents = if (iters > 0) trainCentroids(corpus, nCells, iters)

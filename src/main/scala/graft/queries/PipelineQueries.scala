@@ -1808,8 +1808,268 @@ object PipelineQueries {
         (col("is_canonical") === 1).as("is_canonical"))
   }
 
+  /** The live post-traffic vector store (q119's maintained IVF posting
+    * relation) and the metadata-allowed id set shared by the filtered
+    * search pair q144/q145: live docs from the documents delta log
+    * semi-joined against the static `lang = 'en'` dimension slice. Both
+    * maintained stores participate — a dead doc still allowed, or a
+    * dead/negated vector still served, shifts a neighbor and breaks the
+    * oracle hash.
+    */
+  private def filteredSearchInputs(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    import graft.cdc.DeltaLog
+    val vecStore = VectorSearch.livePostings(
+      VectorSearch.postingDeltas(DeltaLog.embeddingsDeltas(spark, dir),
+        MandateQueries.ivfCentroidsFor(spark, dir)))
+    val liveDocs = DeltaLog.currentRows(DeltaLog.documentsDeltas(spark, dir))
+      .select(col("key").cast("long").as("doc_id"))
+    val allowed = liveDocs.join(
+        Tables.documents(spark, dir).filter(col("lang") === "en")
+          .select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("vec_id"))
+    val queries = vecStore.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding"))
+    (vecStore, allowed, queries)
+  }
+
+  /** Q144: FILTERED VECTOR SEARCH FROM THE MAINTAINED STORES — the
+    * metadata-predicate + top-k query every vector store must answer
+    * ("nearest neighbors WHERE lang = 'en'"), served from the live
+    * stores the CDC machinery maintains: vectors from q119's IVF
+    * posting relation, liveness from the documents delta log, the
+    * predicate from the static document dimension. PRE-filter
+    * semantics ([[VectorSearch.filteredKnnExact]]): the allowed set
+    * cuts the corpus before ranking, so the answer is the true top-5
+    * of the matching subset and cost shrinks with selectivity — never
+    * the post-filter failure mode where matches are crowded out of an
+    * unfiltered top-k. The oracle restates the post-traffic corpus
+    * (deletes %5, negations %3) + the predicate + exact cosine ranking,
+    * so one stale posting, dead doc, or mis-filtered neighbor breaks
+    * the hash. This exact form is the oracle companion of q145's IVF
+    * operating point (q19/q26's relationship).
+    */
+  val q144 = QueryDef.sql(
+    "q144_filtered_knn",
+    """WITH e AS (SELECT vec_id, CASE WHEN vec_id % 3 = 0
+      |       THEN list_transform(CAST(embedding AS DOUBLE[]), x -> -x)
+      |       ELSE CAST(embedding AS DOUBLE[]) END AS emb
+      |     FROM embeddings WHERE vec_id % 5 <> 0),
+      |m AS (SELECT doc_id FROM documents
+      |      WHERE lang = 'en' AND doc_id % 5 <> 0),
+      |q AS (SELECT vec_id, emb FROM e WHERE vec_id < 10),
+      |p AS (SELECT q.vec_id AS q_vec_id, c.vec_id AS n_vec_id,
+      |        list_dot_product(q.emb, c.emb) /
+      |        (sqrt(list_dot_product(q.emb, q.emb)) *
+      |         sqrt(list_dot_product(c.emb, c.emb))) AS cos_sim
+      |      FROM q JOIN e c ON q.vec_id <> c.vec_id
+      |      WHERE c.vec_id IN (SELECT doc_id FROM m))
+      |SELECT q_vec_id, n_vec_id, cos_sim, rnk FROM (
+      |  SELECT p.*, row_number() OVER (PARTITION BY q_vec_id
+      |                                 ORDER BY cos_sim DESC, n_vec_id) AS rnk
+      |  FROM p) WHERE rnk <= 5""".stripMargin) { (spark, dir) =>
+    val (vecStore, allowed, queries) = filteredSearchInputs(spark, dir)
+    VectorSearch.filteredKnnExact(queries,
+      vecStore.select(col("vec_id"), col("embedding")), allowed, 5)
+  }
+
+  /** Q145: FILTERED IVF-ANN — q144's at-scale operating point
+    * ([[VectorSearch.filteredKnnIvfFromPostings]]: the allowed-id
+    * semi-join lands on the maintained postings BEFORE the cell-probe
+    * join, so a query pays nProbe/nCells of the MATCHING corpus), under
+    * the guarantee-band oracle (q29's pattern): the oracle states the
+    * exact filtered top-5 it can restate, plus `recall_ok` — the
+    * engine-checked guarantee that the filtered probe recovers ≥ 60 %
+    * of the exact filtered neighbors. Filtered recall is never better
+    * than unfiltered at the same nProbe (matching neighbors can hide in
+    * unprobed cells while filtered-out ones probed well), which is
+    * exactly why the certificate rides in the query instead of a
+    * dashboard.
+    */
+  val q145 = QueryDef.sql(
+    "q145_filtered_ann",
+    """WITH e AS (SELECT vec_id, CASE WHEN vec_id % 3 = 0
+      |       THEN list_transform(CAST(embedding AS DOUBLE[]), x -> -x)
+      |       ELSE CAST(embedding AS DOUBLE[]) END AS emb
+      |     FROM embeddings WHERE vec_id % 5 <> 0),
+      |m AS (SELECT doc_id FROM documents
+      |      WHERE lang = 'en' AND doc_id % 5 <> 0),
+      |q AS (SELECT vec_id, emb FROM e WHERE vec_id < 10),
+      |p AS (SELECT q.vec_id AS q_vec_id, c.vec_id AS n_vec_id,
+      |        list_dot_product(q.emb, c.emb) /
+      |        (sqrt(list_dot_product(q.emb, q.emb)) *
+      |         sqrt(list_dot_product(c.emb, c.emb))) AS cos_sim
+      |      FROM q JOIN e c ON q.vec_id <> c.vec_id
+      |      WHERE c.vec_id IN (SELECT doc_id FROM m)),
+      |r AS (SELECT q_vec_id, n_vec_id,
+      |        row_number() OVER (PARTITION BY q_vec_id
+      |                           ORDER BY cos_sim DESC, n_vec_id) AS rnk
+      |      FROM p)
+      |SELECT q_vec_id,
+      |       string_agg(CAST(n_vec_id AS VARCHAR), ',' ORDER BY rnk) AS exact_top5,
+      |       TRUE AS recall_ok
+      |FROM r WHERE rnk <= 5 GROUP BY q_vec_id""".stripMargin) { (spark, dir) =>
+    val (vecStore, allowed, queries) = filteredSearchInputs(spark, dir)
+    val exact = VectorSearch.filteredKnnExact(queries,
+      vecStore.select(col("vec_id"), col("embedding")), allowed, 5)
+    val ivf = VectorSearch.filteredKnnIvfFromPostings(queries, vecStore,
+      allowed, 5, MandateQueries.ivfCentroidsFor(spark, dir), nProbe = 4)
+      .select(col("q_vec_id"), col("n_vec_id"))
+    val hits = exact.select(col("q_vec_id"), col("n_vec_id"))
+      .join(ivf, Seq("q_vec_id", "n_vec_id"), "left_semi")
+      .agg(count(lit(1)).as("_nh"))
+    val tot = exact.agg(count(lit(1)).as("_nt"))
+    val ok = hits.crossJoin(tot) // 1 row × 1 row
+      .select((col("_nh").cast("double") >= lit(0.6) * col("_nt"))
+        .as("recall_ok"))
+    exact.groupBy(col("q_vec_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("rnk"), col("n_vec_id")))),
+          x => x.getField("n_vec_id").cast("string")), ",").as("exact_top5"))
+      .crossJoin(broadcast(ok))
+      .select(col("q_vec_id"), col("exact_top5"), col("recall_ok"))
+  }
+
+  /** Q146: EMBEDDING-BALANCED SAMPLING — representation-space coverage
+    * control for training-data assembly: cap each embedding-space CELL
+    * at k docs (chosen by the decorrelated id-hash order,
+    * [[CorpusOps.capPerGroup]]) so an over-crawled topic region cannot
+    * dominate the mix while rare regions survive whole — the sampling
+    * sibling of q84's SemDeDup (dedup removes near-copies inside a
+    * cell; this bounds a cell's SHARE). Runs over the live post-traffic
+    * vector store; the oracle-checkable operating point assigns cells
+    * by argmax dimension (q84's trick — DuckDB can state it exactly);
+    * production swaps in the IVF quantizer's cells
+    * ([[MandateQueries.ivfCentroidsFor]] + nearestCell), the same
+    * operator with a learned partitioning. Scale: one count-free
+    * windowed rank per cell — per-group state only, never a global
+    * sort, no second scan.
+    */
+  val q146 = QueryDef.sql(
+    "q146_embedding_balanced_sample",
+    """WITH e AS (SELECT vec_id, CASE WHEN vec_id % 3 = 0
+      |       THEN list_transform(CAST(embedding AS DOUBLE[]), x -> -x)
+      |       ELSE CAST(embedding AS DOUBLE[]) END AS emb
+      |     FROM embeddings WHERE vec_id % 5 <> 0),
+      |c AS (SELECT vec_id,
+      |        CAST(list_position(emb, list_max(emb)) AS BIGINT) AS cell FROM e),
+      |r AS (SELECT vec_id, cell,
+      |        row_number() OVER (PARTITION BY cell
+      |          ORDER BY ((vec_id % 1073741824) * 2246822519) % 4294967296,
+      |                   vec_id) AS grp_rank
+      |      FROM c)
+      |SELECT vec_id, cell, CAST(grp_rank AS BIGINT) AS grp_rank
+      |FROM r WHERE grp_rank <= 5""".stripMargin) { (spark, dir) =>
+    val (vecStore, _, _) = filteredSearchInputs(spark, dir)
+    CorpusOps.capPerGroup(
+      vecStore.select(col("vec_id"),
+        array_position(col("embedding"), array_max(col("embedding")))
+          .as("cell")),
+      Seq("cell"), "vec_id", 5)
+      .select(col("vec_id"), col("cell"), col("grp_rank"))
+  }
+
+  /** Q147: MMR DIVERSITY RE-RANK over the maintained vector store —
+    * maximal marginal relevance ([[VectorSearch.mmrRerank]]): each
+    * query's top-20 cosine candidates greedily re-ranked to five picks
+    * maximizing ½·relevance − ½·max-similarity-to-picked, suppressing
+    * near-duplicate results in favor of coverage (the
+    * result-diversification / diverse-sampling operator of a retrieval
+    * or training-data pipeline). All scoring is integer fixed-point
+    * (floor(cos·1e6+0.5)) with ties to the smallest id, so the greedy
+    * is exact cross-engine arithmetic — the oracle restates the WHOLE
+    * selection loop as a recursive CTE over the post-traffic corpus
+    * (negations %3, deletes %5 served from the live store): a stale
+    * vector shifts a similarity, a different pick order breaks the
+    * hash. The greedy itself is distributed per query (mapGroups,
+    * candK-bounded state); the candidate stage is q20's machinery and
+    * takes the ANN drop-ins at scale.
+    */
+  val q147 = QueryDef.sql(
+    "q147_mmr_rerank",
+    """WITH RECURSIVE
+      |e AS (SELECT vec_id, CASE WHEN vec_id % 3 = 0
+      |       THEN list_transform(CAST(embedding AS DOUBLE[]), x -> -x)
+      |       ELSE CAST(embedding AS DOUBLE[]) END AS emb
+      |     FROM embeddings WHERE vec_id % 5 <> 0),
+      |qv AS (SELECT vec_id, emb FROM e WHERE vec_id < 4),
+      |p AS (SELECT q.vec_id AS q, c.vec_id AS id,
+      |        list_dot_product(q.emb, c.emb) /
+      |        (sqrt(list_dot_product(q.emb, q.emb)) *
+      |         sqrt(list_dot_product(c.emb, c.emb))) AS cos_sim
+      |      FROM qv q JOIN e c ON q.vec_id <> c.vec_id),
+      |cand AS (SELECT q, id, CAST(floor(cos_sim * 1e6 + 0.5) AS BIGINT) AS rel
+      |         FROM (SELECT p.*, row_number() OVER (PARTITION BY q
+      |                 ORDER BY cos_sim DESC, id) AS rnk FROM p)
+      |         WHERE rnk <= 20),
+      |sim AS (SELECT a.q, a.id AS a, b.id AS b,
+      |          CAST(floor(list_dot_product(ea.emb, eb.emb) /
+      |            (sqrt(list_dot_product(ea.emb, ea.emb)) *
+      |             sqrt(list_dot_product(eb.emb, eb.emb))) * 1e6 + 0.5)
+      |            AS BIGINT) AS s
+      |        FROM cand a JOIN cand b ON a.q = b.q AND a.id <> b.id
+      |        JOIN e ea ON ea.vec_id = a.id JOIN e eb ON eb.vec_id = b.id),
+      |sel AS (
+      |  SELECT q, 0 AS step, CAST([] AS BIGINT[]) AS picked
+      |  FROM (SELECT DISTINCT q FROM cand)
+      |  UNION ALL
+      |  SELECT s.q, s.step + 1,
+      |    list_append(s.picked, (
+      |      SELECT c.id FROM cand c
+      |      WHERE c.q = s.q AND NOT list_contains(s.picked, c.id)
+      |      ORDER BY c.rel - coalesce((SELECT max(p2.s) FROM sim p2
+      |           WHERE p2.q = s.q AND p2.a = c.id
+      |             AND list_contains(s.picked, p2.b)), 0) DESC, c.id
+      |      LIMIT 1))
+      |  FROM sel s WHERE s.step < 5)
+      |SELECT q AS q_vec_id, array_to_string(picked, ',') AS mmr_topk
+      |FROM sel WHERE step = 5""".stripMargin) { (spark, dir) =>
+    val (vecStore, _, _) = filteredSearchInputs(spark, dir)
+    val corpus = vecStore.select(col("vec_id"), col("embedding"))
+    VectorSearch.mmrRerank(corpus.filter(col("vec_id") < 4), corpus, 20, 5)
+  }
+
+  /** Q148: HARD-NEGATIVE MINING over the maintained vector store —
+    * contrastive-training pair generation
+    * ([[VectorSearch.hardNegatives]]): for each anchor (vec_id < 10),
+    * the five nearest post-traffic neighbors whose LABEL differs — the
+    * most-confusable wrong-class examples an embedding model trains
+    * against. The label is the static dimension (q144's metadata
+    * pattern); vectors and liveness come from the live store, so a dead
+    * or stale-direction vector serving as a negative breaks the hash.
+    * The label-mismatch predicate is fused into the join (a per-anchor
+    * predicate no static allowed-set can express), so ranking happens
+    * only among eligible rows.
+    */
+  val q148 = QueryDef.sql(
+    "q148_hard_negatives",
+    """WITH e AS (SELECT vec_id, CASE WHEN vec_id % 3 = 0
+      |       THEN list_transform(CAST(embedding AS DOUBLE[]), x -> -x)
+      |       ELSE CAST(embedding AS DOUBLE[]) END AS emb
+      |     FROM embeddings WHERE vec_id % 5 <> 0),
+      |l AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+      |el AS (SELECT e.vec_id, e.emb, l.label FROM e JOIN l USING (vec_id)),
+      |p AS (SELECT a.vec_id AS a_vec_id, a.label AS a_label,
+      |        c.vec_id AS n_vec_id, c.label AS n_label,
+      |        list_dot_product(a.emb, c.emb) /
+      |        (sqrt(list_dot_product(a.emb, a.emb)) *
+      |         sqrt(list_dot_product(c.emb, c.emb))) AS cos_sim
+      |      FROM el a JOIN el c ON a.label <> c.label
+      |      WHERE a.vec_id < 10)
+      |SELECT a_vec_id, a_label, n_vec_id, n_label, cos_sim, rnk FROM (
+      |  SELECT p.*, row_number() OVER (PARTITION BY a_vec_id
+      |           ORDER BY cos_sim DESC, n_vec_id) AS rnk
+      |  FROM p) WHERE rnk <= 5""".stripMargin) { (spark, dir) =>
+    val (vecStore, _, _) = filteredSearchInputs(spark, dir)
+    val labeled = vecStore.select(col("vec_id"), col("embedding"))
+      .join(Tables.embeddings(spark, dir).select(col("vec_id"), col("label")),
+        Seq("vec_id"))
+    VectorSearch.hardNegatives(labeled.filter(col("vec_id") < 10), labeled, 5)
+  }
+
   val all: Seq[QueryDef] = Seq(q41, q42, q43, q44, q45, q47, q48, q49,
     q54, q57, q60, q62, q63, q64, q68, q69, q74, q76, q80, q81, q83, q90, q91,
     q94, q98, q122, q125, q127, q128, q129, q130, q131, q133, q134, q135,
-    q136, q137, q138, q139, q140, q141, q142)
+    q136, q137, q138, q139, q140, q141, q142, q144, q145, q146, q147, q148)
 }

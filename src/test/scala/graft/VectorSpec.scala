@@ -186,4 +186,100 @@ class VectorSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("filteredKnnExact: PRE-filter semantics — the true top-k of the matching subset, not a post-filter of the unfiltered top-k") {
+    // query sits on cluster A (ids 1-3); allowed set is cluster B
+    // (ids 11-13, further away). An unfiltered top-3 is all A, so a
+    // post-filter would return ZERO rows; pre-filter must return the
+    // full B ranking.
+    val corpus = Seq(
+      (1L, Seq(1f, 0f)), (2L, Seq(0.99f, 0.01f)), (3L, Seq(0.98f, 0.02f)),
+      (11L, Seq(0f, 1f)), (12L, Seq(0.1f, 0.9f)), (13L, Seq(0.2f, 0.8f)))
+      .toDF("vec_id", "embedding")
+    val q = Seq((100L, Seq(1f, 0f))).toDF("vec_id", "embedding")
+    val allowed = Seq(11L, 12L, 13L).toDF("vec_id")
+    val unfiltered = VectorSearch.knnExact(q, corpus, 3)
+      .select("n_vec_id").as[Long].collect().toSet
+    assert(unfiltered == Set(1L, 2L, 3L)) // post-filter would keep nothing
+    val filtered = VectorSearch.filteredKnnExact(q, corpus, allowed, 3)
+      .orderBy("rnk").select("n_vec_id").as[Long].collect().toSeq
+    assert(filtered == Seq(13L, 12L, 11L)) // B ranked by closeness to (1,0)
+  }
+
+  test("filteredKnnExact equals knnExact over the manually filtered corpus") {
+    val allowed = emb.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id"))
+    val q = emb.filter(col("vec_id") < 5)
+    val viaOp = VectorSearch.filteredKnnExact(q, emb, allowed, 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val manual = VectorSearch.knnExact(q,
+      emb.filter(col("vec_id") % 2 === 0), 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(viaOp == manual)
+  }
+
+  test("mmrRerank suppresses a near-duplicate the pure top-k would keep") {
+    // ids 10/11 nearly identical (both very relevant to the query —
+    // which deliberately matches NO candidate exactly, else rel(c) ==
+    // sim(c, first-pick) and every round-2 score degenerates to 0),
+    // 12 moderately relevant but diverse, 13 diverse filler.
+    // Pure top-3 = 10,11,12; MMR at λ=1/2 must pick 10, skip the
+    // near-dup 11, take 12 then 13.
+    val corpus = Seq(
+      (10L, Seq(0.98f, 0.199f, 0f)), (11L, Seq(0.97f, 0.243f, 0f)),
+      (12L, Seq(0.9f, -0.436f, 0f)), (13L, Seq(0.5f, 0f, 0.866f)))
+      .toDF("vec_id", "embedding")
+    val q = Seq((100L, Seq(1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val top3 = VectorSearch.knnExact(q, corpus, 3)
+      .orderBy("rnk").select("n_vec_id").as[Long].collect().toSeq
+    assert(top3 == Seq(10L, 11L, 12L))
+    val mmr = VectorSearch.mmrRerank(q, corpus, candK = 4, k = 3)
+      .select("q_vec_id", "mmr_topk").as[(Long, String)].collect()
+    assert(mmr.toSeq == Seq((100L, "10,12,13")))
+  }
+
+  test("mmrRerank at λ=1 (lambdaNum=lambdaDen) degenerates to pure relevance order") {
+    val corpus = Seq(
+      (10L, Seq(1f, 0f)), (11L, Seq(0.99f, 0.141f)), (12L, Seq(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val q = Seq((100L, Seq(1f, 0f))).toDF("vec_id", "embedding")
+    val mmr = VectorSearch.mmrRerank(q, corpus, candK = 3, k = 3,
+      lambdaNum = 1L, lambdaDen = 1L)
+      .select("mmr_topk").as[String].collect()
+    assert(mmr.toSeq == Seq("10,11,12"))
+  }
+
+  test("hardNegatives: only different-label neighbors, ranked by closeness; same-label twins never appear") {
+    // anchor 1 (label 7): its closest row 2 SHARES the label and must
+    // not appear; the hardest negative is 3 (label 9, nearly parallel),
+    // then 4 (label 9, orthogonal-ish)
+    val corpus = Seq(
+      (1L, Seq(1f, 0f), 7), (2L, Seq(0.999f, 0.045f), 7),
+      (3L, Seq(0.98f, 0.199f), 9), (4L, Seq(0f, 1f), 9))
+      .toDF("vec_id", "embedding", "label")
+    val out = VectorSearch.hardNegatives(
+      corpus.filter(col("vec_id") === 1), corpus, 2)
+      .orderBy("rnk")
+      .select("a_vec_id", "n_vec_id", "n_label").as[(Long, Long, Long)]
+      .collect().toSeq
+    assert(out == Seq((1L, 3L, 9L), (1L, 4L, 9L)))
+  }
+
+  test("filteredKnnIvfFromPostings: only allowed ids, k rows per query, recall >= 0.6 vs exact filtered at 16 cells x 4 probes") {
+    val cents = VectorSearch.trainCentroids(emb, 16, 3, sampleMod = 0)
+    val postings = emb.select(col("vec_id"),
+      VectorSearch.nearestCell(col("embedding"), cents).as("cell"),
+      col("embedding"))
+    val allowed = emb.filter(col("vec_id") % 2 === 0).select(col("vec_id"))
+    val q = emb.filter(col("vec_id") < 10)
+    val ivf = VectorSearch.filteredKnnIvfFromPostings(q, postings, allowed,
+      5, cents, nProbe = 4)
+      .select("q_vec_id", "n_vec_id").as[(Long, Long)].collect()
+    assert(ivf.forall(_._2 % 2 == 0), "a filtered-out id was served")
+    assert(ivf.groupBy(_._1).forall(_._2.length == 5))
+    val exact = VectorSearch.filteredKnnExact(q, emb, allowed, 5)
+      .select("q_vec_id", "n_vec_id").as[(Long, Long)].collect().toSet
+    val recall = ivf.count(exact.contains).toDouble / exact.size
+    assert(recall >= 0.6, s"filtered recall $recall below the q145 floor")
+  }
 }
