@@ -141,4 +141,87 @@ object Profile {
       .select(col("feature"), col("bin"), col("n_ref"), col("n_cur"),
         col("psi_term"), col("psi_feature"))
   }
+
+  /** A declared data-quality expectation. Rules are TYPED literals, not
+    * SQL strings (the q69 lesson: declared pipeline logic that reaches
+    * an execution plan must be structured data, never interpolated
+    * text). `budget` is the violation count the rule tolerates; a rule
+    * passes iff violations <= budget — integer arithmetic end to end,
+    * so verdicts are engine-exact.
+    */
+  sealed trait Rule { def name: String; def budget: Long }
+  /** Violations = rows where `column` is null. */
+  final case class NotNull(name: String, column: String,
+      budget: Long = 0L) extends Rule
+  /** Violations = rows beyond the first per value of `column` (nulls
+    * count as one shared value — null-cardinality policing belongs to
+    * [[NotNull]]).
+    */
+  final case class Unique(name: String, column: String,
+      budget: Long = 0L) extends Rule
+  /** Violations = NON-NULL rows outside [lo, hi] (nulls are
+    * [[NotNull]]'s concern, mirroring SQL's null-excluding filters).
+    */
+  final case class InRange(name: String, column: String, lo: Double,
+      hi: Double, budget: Long = 0L) extends Rule
+  /** Violations = NON-NULL `column` values with no match in
+    * `dim.dimColumn` — foreign-key conformance against a dimension.
+    */
+  final case class RefIntegrity(name: String, column: String,
+      dim: DataFrame, dimColumn: String, budget: Long = 0L) extends Rule
+
+  /** DATA-QUALITY EXPECTATIONS — the declared-constraint verdict pass
+    * (Deequ-style) an intake pipeline gates on: one row per rule with
+    * its exact violation count, declared budget, and pass verdict.
+    *
+    * Shape, chosen for scale: every scalar rule (NotNull/InRange)
+    * reduces in ONE shared full-scan Aggregate (map-side partials, one
+    * 1-row reduce — adding a scalar rule costs one aggregation buffer
+    * slot, never a scan). Uniqueness is a per-rule keyed count (its
+    * group-by key differs per rule and mixing count(DISTINCT)s into one
+    * Aggregate triggers the Expand rewrite — the q13 lesson), and
+    * referential integrity is a per-rule left-anti count against the
+    * dimension's distinct keys (broadcast when small, shuffle join
+    * otherwise — Catalyst/AQE decides). All counts are integers; the
+    * verdict is violations <= budget.
+    */
+  def expectations(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "expectations needs at least one rule")
+    val scalar = rules.collect {
+      case r: NotNull => (r.name, r.budget,
+        sum(when(col(r.column).isNull, 1L).otherwise(0L)))
+      case r: InRange => (r.name, r.budget,
+        sum(when(col(r.column).isNotNull &&
+          !(col(r.column) >= r.lo && col(r.column) <= r.hi), 1L)
+          .otherwise(0L)))
+    }
+    val scalarRows = if (scalar.isEmpty) Seq.empty[DataFrame] else Seq {
+      val agg = df.agg(scalar.head._3.as("v0"),
+        scalar.tail.zipWithIndex.map { case ((_, _, c), i) =>
+          c.as(s"v${i + 1}")
+        }: _*)
+      agg.select(explode(array(scalar.zipWithIndex.map {
+        case ((n, b, _), i) =>
+          struct(lit(n).as("rule"),
+            coalesce(col(s"v$i"), lit(0L)).as("violations"),
+            lit(b).as("budget"))
+      }: _*)).as("r")).select(col("r.*"))
+    }
+    val keyed = rules.collect {
+      case r: Unique =>
+        df.groupBy(col(r.column)).agg(count(lit(1)).as("_c"))
+          .agg(coalesce(sum(col("_c") - 1L), lit(0L)).as("violations"))
+          .select(lit(r.name).as("rule"), col("violations"),
+            lit(r.budget).as("budget"))
+      case r: RefIntegrity =>
+        df.filter(col(r.column).isNotNull)
+          .join(r.dim.select(col(r.dimColumn).as(r.column)).distinct(),
+            Seq(r.column), "left_anti")
+          .agg(count(lit(1)).as("violations"))
+          .select(lit(r.name).as("rule"), col("violations"),
+            lit(r.budget).as("budget"))
+    }
+    (scalarRows ++ keyed).reduce(_ unionByName _)
+      .withColumn("pass", col("violations") <= col("budget"))
+  }
 }

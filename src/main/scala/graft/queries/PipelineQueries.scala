@@ -2068,8 +2068,118 @@ object PipelineQueries {
     VectorSearch.hardNegatives(labeled.filter(col("vec_id") < 10), labeled, 5)
   }
 
+  /** Q149: DATA-QUALITY EXPECTATIONS over the raw intake
+    * ([[Profile.expectations]]): declared typed constraints — key
+    * not-null, key uniqueness, a price range with zero budget
+    * (deliberately failing: the verdict row must survive honest), and
+    * foreign-key conformance into the customer dimension — each as one
+    * verdict row (rule, exact violation count, budget, pass). Scalar
+    * rules share ONE full-scan aggregate; uniqueness and referential
+    * integrity are per-rule keyed/anti-join counts (mixing them into
+    * one Aggregate triggers the Expand rewrite — the q13 lesson). All
+    * integer arithmetic, so the oracle restates every count and verdict
+    * exactly.
+    */
+  val q149 = QueryDef.sql(
+    "q149_quality_expectations",
+    """SELECT rule, violations, budget, violations <= budget AS pass FROM (
+      |SELECT 'orderkey_not_null' AS rule,
+      |       CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS violations,
+      |       CAST(0 AS BIGINT) AS budget
+      |FROM orders
+      |UNION ALL
+      |SELECT 'orderkey_unique',
+      |       CAST(count(*) - count(DISTINCT o_orderkey)
+      |            - CASE WHEN count(*) > count(o_orderkey) THEN 1 ELSE 0 END
+      |            AS BIGINT),
+      |       CAST(0 AS BIGINT)
+      |FROM orders
+      |UNION ALL
+      |SELECT 'totalprice_0_300k',
+      |       CAST(sum(CASE WHEN o_totalprice IS NOT NULL AND
+      |              NOT (o_totalprice >= 0 AND o_totalprice <= 300000)
+      |              THEN 1 ELSE 0 END) AS BIGINT),
+      |       CAST(0 AS BIGINT)
+      |FROM orders
+      |UNION ALL
+      |SELECT 'custkey_in_customer',
+      |       CAST((SELECT count(*) FROM orders o
+      |             WHERE o.o_custkey IS NOT NULL AND o.o_custkey NOT IN
+      |               (SELECT c_custkey FROM customer)) AS BIGINT),
+      |       CAST(0 AS BIGINT))""".stripMargin) { (spark, dir) =>
+    import graft.ops.Profile
+    val orders = Tables.orders(spark, dir)
+    Profile.expectations(orders, Seq(
+      Profile.NotNull("orderkey_not_null", "o_orderkey"),
+      Profile.Unique("orderkey_unique", "o_orderkey"),
+      Profile.InRange("totalprice_0_300k", "o_totalprice", 0.0, 300000.0),
+      Profile.RefIntegrity("custkey_in_customer", "o_custkey",
+        Tables.customer(spark, dir), "c_custkey")))
+  }
+
+  /** Q150: EXPECTATIONS over the CDC-MAINTAINED corpus — the same
+    * verdict pass aimed at the documents delta log's current rows (the
+    * table a serving consumer actually reads): key uniqueness and
+    * dimension conformance certify the LWW fold itself (a duplicate or
+    * orphaned key is a maintenance bug, not a data wart), and a derived
+    * token-count range with a NONZERO budget shows budgeted verdicts
+    * (passes at small SFs, fails at sf0.1 — both engines recompute the
+    * verdict from the same counts). Rules run over the post-traffic
+    * state, so a stale or resurrected row shifts a count and breaks the
+    * hash.
+    */
+  val q150 = QueryDef.sql(
+    "q150_corpus_expectations",
+    """WITH cur AS (SELECT doc_id,
+      |         CASE WHEN doc_id % 3 = 0 THEN text || ' revised edition'
+      |              ELSE text END AS text
+      |       FROM documents WHERE doc_id % 5 <> 0),
+      |t AS (SELECT doc_id, text,
+      |        len(string_split(text, ' ')) AS n_tok FROM cur)
+      |SELECT rule, violations, budget, violations <= budget AS pass FROM (
+      |SELECT 'doc_id_unique' AS rule,
+      |       CAST(count(*) - count(DISTINCT doc_id)
+      |            - CASE WHEN count(*) > count(doc_id) THEN 1 ELSE 0 END
+      |            AS BIGINT) AS violations,
+      |       CAST(0 AS BIGINT) AS budget
+      |FROM t
+      |UNION ALL
+      |SELECT 'text_not_null',
+      |       CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |       CAST(0 AS BIGINT)
+      |FROM t
+      |UNION ALL
+      |SELECT 'tokens_at_least_25',
+      |       CAST(sum(CASE WHEN n_tok IS NOT NULL AND
+      |              NOT (n_tok >= 25 AND n_tok <= 1000000)
+      |              THEN 1 ELSE 0 END) AS BIGINT),
+      |       CAST(100 AS BIGINT)
+      |FROM t
+      |UNION ALL
+      |SELECT 'doc_id_in_dimension',
+      |       CAST((SELECT count(*) FROM t
+      |             WHERE doc_id IS NOT NULL AND doc_id NOT IN
+      |               (SELECT doc_id FROM documents)) AS BIGINT),
+      |       CAST(0 AS BIGINT))""".stripMargin) { (spark, dir) =>
+    import graft.cdc.DeltaLog
+    import graft.ops.Profile
+    val cur = DeltaLog.currentRows(DeltaLog.documentsDeltas(spark, dir))
+      .select(col("key").cast("long").as("doc_id"),
+        get_json_object(col("rowJson"), "$.text").as("text"))
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+    Profile.expectations(cur, Seq(
+      Profile.Unique("doc_id_unique", "doc_id"),
+      Profile.NotNull("text_not_null", "text"),
+      Profile.InRange("tokens_at_least_25", "n_tok", 25.0, 1000000.0,
+        budget = 100L),
+      Profile.RefIntegrity("doc_id_in_dimension", "doc_id",
+        Tables.documents(spark, dir), "doc_id")))
+  }
+
   val all: Seq[QueryDef] = Seq(q41, q42, q43, q44, q45, q47, q48, q49,
     q54, q57, q60, q62, q63, q64, q68, q69, q74, q76, q80, q81, q83, q90, q91,
     q94, q98, q122, q125, q127, q128, q129, q130, q131, q133, q134, q135,
-    q136, q137, q138, q139, q140, q141, q142, q144, q145, q146, q147, q148)
+    q136, q137, q138, q139, q140, q141, q142, q144, q145, q146, q147, q148,
+    q149, q150)
 }

@@ -86,4 +86,45 @@ class ProfileSpec extends SparkSpec {
     assert(stable.length == 1 && stable.head._6 == 0.0)
     assert(two.filter(_._1 == "cat").head._6 > 0.2)
   }
+
+  test("expectations: rule semantics at the null/duplicate edges, budget verdicts") {
+    // k: one null (NotNull viol 1), value 5 twice + null-as-one-value
+    //   → Unique violations = rows − groups = 5 − 4... k values:
+    //   5, 5, 7, null, 9 → groups {5, 7, 9, null} → violations 1... but
+    //   Unique counts the NULL group too, so a second null would add 1.
+    // v: 50 outside [0, 10] (InRange viol 1; the null v row is exempt).
+    // fk: 99 not in dim (RefIntegrity viol 1; the null fk row exempt).
+    val df = Seq[(java.lang.Long, java.lang.Double, java.lang.Long)](
+      (5L, 1.0, 1L), (5L, 2.0, 2L), (7L, 50.0, 99L), (null, null, null),
+      (9L, 3.0, 1L)).toDF("k", "v", "fk")
+    val dim = Seq(1L, 2L).toDF("id")
+    val out = Profile.expectations(df, Seq(
+      Profile.NotNull("k_not_null", "k"),
+      Profile.Unique("k_unique", "k"),
+      Profile.InRange("v_0_10", "v", 0.0, 10.0),
+      Profile.InRange("v_0_10_budget1", "v", 0.0, 10.0, budget = 1L),
+      Profile.RefIntegrity("fk_in_dim", "fk", dim, "id")))
+      .as[(String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out("k_not_null") == ((1L, 0L, false)))
+    assert(out("k_unique") == ((1L, 0L, false)))
+    assert(out("v_0_10") == ((1L, 0L, false)))
+    assert(out("v_0_10_budget1") == ((1L, 1L, true))) // within budget
+    assert(out("fk_in_dim") == ((1L, 0L, false)))
+  }
+
+  test("expectations: all-pass on clean data, and empty-input counts are zero") {
+    val df = Seq((1L, 2.0), (2L, 3.0)).toDF("k", "v")
+    val out = Profile.expectations(df, Seq(
+      Profile.NotNull("k_not_null", "k"),
+      Profile.Unique("k_unique", "k"),
+      Profile.InRange("v_range", "v", 0.0, 10.0)))
+      .as[(String, Long, Long, Boolean)].collect()
+    assert(out.length == 3 && out.forall(r => r._2 == 0L && r._4))
+    val empty = Profile.expectations(df.filter(col("k") < 0), Seq(
+      Profile.NotNull("k_not_null", "k"),
+      Profile.Unique("k_unique", "k")))
+      .as[(String, Long, Long, Boolean)].collect()
+    assert(empty.length == 2 && empty.forall(r => r._2 == 0L && r._4))
+  }
 }
