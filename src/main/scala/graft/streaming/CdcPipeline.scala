@@ -31,7 +31,14 @@ final case class CdcPipeline(
     transform: DataFrame => DataFrame = identity,
     deadLetterDir: Option[String] = None,
     exprTransform: Option[ExprTransform] = None,
-    metrics: Option[PipelineMetrics.Target] = None) {
+    metrics: Option[PipelineMetrics.Target] = None,
+    expectations: Seq[graft.ops.Profile.Rule] = Nil) {
+
+  // conf-declared expectations are MONITORING riding the metrics path —
+  // verdicts without a store to land in would be silently lost, so the
+  // combination fails at construction (registration), not mid-stream
+  require(expectations.isEmpty || metrics.isDefined,
+    s"pipeline $name: expectations need a metrics target to record into")
 
   // registration-time dry-run resolution of the conf-declared transform
   // against THIS pipeline's declared schema (the reference runs
@@ -173,6 +180,13 @@ final case class CdcPipeline(
           rowsIn = df.count(),
           deadLetters = dlDels.count() + dlUps.count(),
           stateRows = 0L, wallMs = System.currentTimeMillis() - t0))
+        // verdicts see the serving DOCUMENT re-typed through the
+        // declared schema — a transform that dropped a declared field
+        // shows up as that field's nulls, which is what the monitor
+        // should report (the consumer's view, not the wire's)
+        recordBatchExpectations(
+          ups.select(from_json(col("rowJson"), rowSchema).as("r"))
+            .select(col("r.*")), batchId)
         () // dead-letter frames are returned by the sink; S6 contract:
            // the stream continues regardless
       }
@@ -219,8 +233,25 @@ final case class CdcPipeline(
         rowsIn = winnersCached.count(),
         deadLetters = dlDeletes.count() + dlUpserts.count(),
         stateRows = 0L, wallMs = System.currentTimeMillis() - t0))
+      recordBatchExpectations(upserts, batchId)
     } finally winnersCached.unpersist()
   }
+
+  /** Evaluate the conf-declared expectations over this batch's upsert
+    * documents and record one verdict row per rule (budgets are
+    * PER-BATCH — the monitor watches each drained batch, it does not
+    * accumulate). The verdict frame is rules-count rows — model-sized —
+    * and the input is already cached/pinned by the caller, so the
+    * collect is cheap and never re-runs the batch plan.
+    */
+  private def recordBatchExpectations(upserts: => DataFrame,
+      batchId: Long): Unit =
+    if (expectations.nonEmpty) metrics.foreach { m =>
+      val verdicts = graft.ops.Profile.expectations(upserts, expectations)
+        .collect().toSeq.map(r => PipelineMetrics.Verdict(
+          r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      PipelineMetrics.recordExpectations(m, name, batchId, verdicts)
+    }
 }
 
 object CdcPipeline {

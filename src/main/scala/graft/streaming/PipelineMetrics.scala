@@ -92,6 +92,83 @@ object PipelineMetrics {
           s"[PipelineMetrics] $pipeline batch $batchId not recorded: $e")
     }
 
+  /** One per-batch expectation verdict (rule name, exact violation
+    * count, declared budget, pass) — what [[recordExpectations]]
+    * persists beside the batch's metrics row.
+    */
+  final case class Verdict(rule: String, violations: Long, budget: Long,
+      pass: Boolean)
+
+  /** Create the sibling `<table>_expect` verdict table if missing —
+    * one row per (pipeline, batch_id, rule), the queryable form of
+    * conf-declared data-quality expectations (q149's engine riding the
+    * serving path). Called at conf load like [[ensureTable]], so a bad
+    * metrics store fails registration, not the first batch.
+    */
+  def ensureExpectTable(t: Target): Unit = {
+    val conn = java.sql.DriverManager.getConnection(t.url)
+    try {
+      val st = conn.createStatement()
+      try st.execute(
+        s"""CREATE TABLE ${t.table}_expect ("pipeline" VARCHAR(64) NOT NULL,
+           | "batch_id" BIGINT NOT NULL, "rule" VARCHAR(64) NOT NULL,
+           | "violations" BIGINT, "budget" BIGINT, "pass" BOOLEAN,
+           | PRIMARY KEY ("pipeline", "batch_id", "rule"))"""
+          .stripMargin.replace("\n", ""))
+      catch {
+        case e: java.sql.SQLException if e.getSQLState == "X0Y32" => ()
+      }
+    } finally conn.close()
+  }
+
+  /** Upsert a batch's expectation verdicts (DELETE+INSERT keyed
+    * (pipeline, batch_id) in one transaction — a replayed batch
+    * overwrites its own verdicts, [[record]]'s contract). Failures log
+    * and continue: monitoring must not take down the monitored.
+    */
+  def recordExpectations(t: Target, pipeline: String, batchId: Long,
+      verdicts: Seq[Verdict]): Unit =
+    if (verdicts.nonEmpty) try {
+      val conn = java.sql.DriverManager.getConnection(t.url)
+      try {
+        conn.setAutoCommit(false)
+        val del = conn.prepareStatement(
+          s"""DELETE FROM ${t.table}_expect
+             | WHERE "pipeline" = ? AND "batch_id" = ?"""
+            .stripMargin.replace("\n", ""))
+        del.setString(1, pipeline); del.setLong(2, batchId)
+        del.executeUpdate()
+        val ins = conn.prepareStatement(
+          s"""INSERT INTO ${t.table}_expect ("pipeline", "batch_id",
+             | "rule", "violations", "budget", "pass")
+             | VALUES (?, ?, ?, ?, ?, ?)""".stripMargin.replace("\n", ""))
+        verdicts.foreach { v =>
+          ins.setString(1, pipeline); ins.setLong(2, batchId)
+          ins.setString(3, v.rule.take(64)); ins.setLong(4, v.violations)
+          ins.setLong(5, v.budget); ins.setBoolean(6, v.pass)
+          ins.addBatch()
+        }
+        ins.executeBatch()
+        conn.commit()
+      } finally conn.close()
+    } catch {
+      case e: Exception =>
+        System.err.println(
+          s"[PipelineMetrics] $pipeline batch $batchId verdicts not recorded: $e")
+    }
+
+  /** The recorded verdict rows, typed. */
+  def expectRows(spark: org.apache.spark.sql.SparkSession,
+      t: Target): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    spark.read.jdbc(t.url, s"${t.table}_expect", new java.util.Properties())
+      .select(col("pipeline"),
+        col("batch_id").cast("long").as("batch_id"), col("rule"),
+        col("violations").cast("long").as("violations"),
+        col("budget").cast("long").as("budget"),
+        col("pass").cast("boolean").as("pass"))
+  }
+
   /** The recorded rows, typed — operational dashboards and specs. */
   def rows(spark: org.apache.spark.sql.SparkSession,
       t: Target): org.apache.spark.sql.DataFrame = {

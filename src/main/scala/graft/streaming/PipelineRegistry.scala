@@ -191,6 +191,52 @@ object PipelineRegistry {
       Some(t)
     }
 
+  /** Conf-declared per-batch DATA-QUALITY EXPECTATIONS (q149's typed
+    * rule engine riding the serving path):
+    * {{{
+    *   "expectations": [
+    *     {"rule": "not_null", "name": "id_set",   "column": "o_orderkey"},
+    *     {"rule": "unique",   "name": "id_unique","column": "o_orderkey"},
+    *     {"rule": "in_range", "name": "price_ok", "column": "o_totalprice",
+    *      "lo": 0, "hi": 300000, "budget": 5}
+    *   ]
+    * }}}
+    * Validation is REGISTRATION-TIME (the ExprTransform precedent): an
+    * unknown rule kind, a missing field, or a column absent from the
+    * conf's declared schema fails the conf naming file + field — never
+    * the first drained batch. Expectations also require a `metrics`
+    * target (the verdict store); [[CdcPipeline]] enforces that at
+    * construction. `RefIntegrity` is deliberately NOT conf-expressible
+    * (its dimension is a DataFrame, not conf data) — it stays a
+    * batch-API rule.
+    */
+  private def parseExpectations(f: File,
+      node: com.fasterxml.jackson.databind.JsonNode,
+      schema: org.apache.spark.sql.types.StructType): Seq[graft.ops.Profile.Rule] =
+    if (!node.hasNonNull("expectations")) Nil
+    else node.get("expectations").elements().asScala.map { e =>
+      def str(field: String): String = {
+        require(e.hasNonNull(field),
+          s"${f.getName}: expectation needs '$field'")
+        e.get(field).asText()
+      }
+      val budget = if (e.hasNonNull("budget")) e.get("budget").asLong() else 0L
+      val column = str("column")
+      require(schema.fieldNames.contains(column),
+        s"${f.getName}: expectation column '$column' is not in the declared schema")
+      str("rule") match {
+        case "not_null" => graft.ops.Profile.NotNull(str("name"), column, budget)
+        case "unique" => graft.ops.Profile.Unique(str("name"), column, budget)
+        case "in_range" =>
+          require(e.hasNonNull("lo") && e.hasNonNull("hi"),
+            s"${f.getName}: in_range expectation needs lo and hi")
+          graft.ops.Profile.InRange(str("name"), column,
+            e.get("lo").asDouble(), e.get("hi").asDouble(), budget)
+        case other => throw new IllegalArgumentException(
+          s"${f.getName}: unknown expectation rule '$other'")
+      }
+    }.toSeq
+
   /** Prefix a pipeline ctor failure (schema/transform validation) with
     * the conf FILE, the registration unit an operator edits — a
     * resolution error naming only the pipeline is unactionable when two
@@ -238,13 +284,24 @@ object PipelineRegistry {
         require(node.hasNonNull("name") && node.hasNonNull("idKey")
             && node.hasNonNull("schema"),
           s"${f.getName}: name, idKey and schema are required")
+        val rowSchema = StructType.fromDDL(node.get("schema").asText())
+        // ensure the verdict table beside the metrics table when the
+        // conf declares expectations — registration-time, like metrics
+        val metricsTarget = parseMetrics(f, node)
+        val expectRules = parseExpectations(f, node, rowSchema)
+        if (expectRules.nonEmpty) {
+          require(metricsTarget.isDefined,
+            s"${f.getName}: expectations need a metrics target to record into")
+          metricsTarget.foreach(PipelineMetrics.ensureExpectTable)
+        }
         val pipeline = named(f)(CdcPipeline(
           name = node.get("name").asText(),
           subscription = Subscription(strSet("databases"), strSet("tables")),
-          rowSchema = StructType.fromDDL(node.get("schema").asText()),
+          rowSchema = rowSchema,
           idKey = node.get("idKey").asText(),
           exprTransform = parseTransform(f, node),
-          metrics = parseMetrics(f, node)))
+          metrics = metricsTarget,
+          expectations = expectRules))
         // optional per-conf serving target (the reference's per-script
         // url/auth); its id key is ALWAYS the conf's declared idKey
         val target =

@@ -207,4 +207,94 @@ class MetricsSpec extends SparkSpec {
       && err.getMessage.contains("metrics store unreachable"),
       s"got: ${err.getMessage}")
   }
+
+  test("expectations: one verdict row per (batch, rule) with exact counts; replay overwrites") {
+    import graft.ops.Profile
+    val feedDir = Files.createTempDirectory("graft_mx_exp_feed_").toFile
+    // doc 3 carries a NULL text (NotNull violation) and an id outside
+    // [1, 2] (InRange violation); ids are unique
+    Files.write(new java.io.File(feedDir, "000.json").toPath, Seq(
+      wire("documents", doc(1, "a"), null, "c", 10, 1),
+      wire("documents", doc(2, "b"), null, "c", 10, 2),
+      wire("documents", """{"doc_id":3,"text":null}""", null, "c", 10, 3))
+      .asJava)
+    val pipeline = CdcPipeline(
+      name = "mx_exp", subscription = Subscription(Set("shop"), Set("documents")),
+      rowSchema = StructType.fromDDL("doc_id BIGINT, text STRING"),
+      idKey = "doc_id", metrics = Some(target),
+      expectations = Seq(
+        Profile.NotNull("text_set", "text"),
+        Profile.Unique("id_unique", "doc_id"),
+        Profile.InRange("id_1_2", "doc_id", 1.0, 2.0, budget = 1L)))
+    PipelineMetrics.ensureExpectTable(target)
+    val ok = new EsSink.Transport { def send(req: EsSink.Request): Int = 200 }
+    pipeline.start(spark, feedDir.toString,
+      Files.createTempDirectory("graft_mx_exp_ckpt_").toString,
+      EsSink.Config("http://es/idx", "u", "p", "doc_id"), ok)
+      .awaitTermination()
+    def verdicts(): Map[String, (Long, Long, Boolean)] =
+      PipelineMetrics.expectRows(spark, target)
+        .filter($"pipeline" === "mx_exp").filter($"batch_id" === 0L)
+        .select($"rule", $"violations", $"budget", $"pass")
+        .as[(String, Long, Long, Boolean)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val v = verdicts()
+    assert(v("text_set") == ((1L, 0L, false)), s"got $v")
+    assert(v("id_unique") == ((0L, 0L, true)), s"got $v")
+    assert(v("id_1_2") == ((1L, 1L, true)), s"within budget, got $v")
+    // replay: same (pipeline, batch) re-records, never duplicates
+    PipelineMetrics.recordExpectations(target, "mx_exp", 0L, Seq(
+      PipelineMetrics.Verdict("text_set", 9L, 0L, false),
+      PipelineMetrics.Verdict("id_unique", 0L, 0L, true),
+      PipelineMetrics.Verdict("id_1_2", 0L, 1L, true)))
+    val v2 = verdicts()
+    assert(v2.size == 3 && v2("text_set") == ((9L, 0L, false)), s"got $v2")
+  }
+
+  test("expectations conf: registration-time validation names file + field; verdicts need a metrics target") {
+    def conf(dir: java.io.File, fname: String, body: String): Unit =
+      Files.write(new java.io.File(dir, fname).toPath,
+        Seq(body.stripMargin.replace("\n", "")).asJava)
+    val good = Files.createTempDirectory("graft_exp_conf_").toFile
+    conf(good, "e.json",
+      s"""{"name":"ereg","databases":["shop"],"tables":["documents"],
+         |"idKey":"doc_id","schema":"doc_id BIGINT, text STRING",
+         |"metrics":{"url":"$url","table":"pipe_metrics"},
+         |"expectations":[{"rule":"not_null","name":"t","column":"text"},
+         |{"rule":"in_range","name":"r","column":"doc_id","lo":0,"hi":9,"budget":2}]}""")
+    val loaded = PipelineRegistry.load(good.toString)
+    assert(loaded.head.pipeline.expectations.size == 2)
+    // a typo'd column dies at REGISTRATION naming file + column
+    val typo = Files.createTempDirectory("graft_exp_typo_").toFile
+    conf(typo, "typo.json",
+      s"""{"name":"etypo","databases":["shop"],"tables":["documents"],
+         |"idKey":"doc_id","schema":"doc_id BIGINT, text STRING",
+         |"metrics":{"url":"$url","table":"pipe_metrics"},
+         |"expectations":[{"rule":"not_null","name":"t","column":"texxt"}]}""")
+    val e1 = intercept[IllegalArgumentException](
+      PipelineRegistry.load(typo.toString))
+    assert(e1.getMessage.contains("typo.json")
+      && e1.getMessage.contains("texxt"), s"got: ${e1.getMessage}")
+    // an unknown rule kind dies at registration
+    val unk = Files.createTempDirectory("graft_exp_unk_").toFile
+    conf(unk, "unk.json",
+      s"""{"name":"eunk","databases":["shop"],"tables":["documents"],
+         |"idKey":"doc_id","schema":"doc_id BIGINT, text STRING",
+         |"metrics":{"url":"$url","table":"pipe_metrics"},
+         |"expectations":[{"rule":"regexp","name":"t","column":"text"}]}""")
+    val e2 = intercept[IllegalArgumentException](
+      PipelineRegistry.load(unk.toString))
+    assert(e2.getMessage.contains("unk.json")
+      && e2.getMessage.contains("unknown expectation rule"), s"got: ${e2.getMessage}")
+    // expectations without a metrics target die at registration
+    val nomx = Files.createTempDirectory("graft_exp_nomx_").toFile
+    conf(nomx, "nomx.json",
+      """{"name":"enomx","databases":["shop"],"tables":["documents"],
+        |"idKey":"doc_id","schema":"doc_id BIGINT, text STRING",
+        |"expectations":[{"rule":"not_null","name":"t","column":"text"}]}""")
+    val e3 = intercept[IllegalArgumentException](
+      PipelineRegistry.load(nomx.toString))
+    assert(e3.getMessage.contains("nomx.json")
+      && e3.getMessage.contains("metrics target"), s"got: ${e3.getMessage}")
+  }
 }
