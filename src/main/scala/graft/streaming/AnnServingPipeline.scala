@@ -102,7 +102,11 @@ final case class AnnServingPipeline(
     maxGenAgeMs: Long = 0L,
     metrics: Option[PipelineMetrics.Target] = None,
     esMirror: Option[EsTarget] = None,
-    deadLetterDir: Option[String] = None) {
+    deadLetterDir: Option[String] = None,
+    expectations: Seq[graft.ops.Profile.Rule] = Nil) {
+
+  require(expectations.isEmpty || metrics.isDefined,
+    s"ann $name: expectations need a metrics target to record into")
 
   private val rowSchema: StructType =
     StructType.fromDDL(s"$idField BIGINT, $vectorField ARRAY<FLOAT>")
@@ -401,6 +405,13 @@ final case class AnnServingPipeline(
             wallMs = System.currentTimeMillis() - t0,
             info = s"""{"generation":"$gen"}""")
         }
+        // verdicts see the batch's UPSERT posting actions — the rows
+        // the index store serves after this batch (id + advisory cell;
+        // the frame is localCheckpointed above when metrics are on)
+        PipelineMetrics.recordBatchExpectations(metrics, name, batchId,
+          expectations,
+          flat.filter(col("action") === "upsert")
+            .select(col(idF), col("cell")))
         // SELF-HEALING: a tripped certificate triggers the retrain
         // in-stream — the swap lands between batches through CURRENT,
         // and the re-run certificate records the restored SLO

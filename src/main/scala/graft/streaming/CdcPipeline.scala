@@ -238,20 +238,13 @@ final case class CdcPipeline(
   }
 
   /** Evaluate the conf-declared expectations over this batch's upsert
-    * documents and record one verdict row per rule (budgets are
-    * PER-BATCH — the monitor watches each drained batch, it does not
-    * accumulate). The verdict frame is rules-count rows — model-sized —
-    * and the input is already cached/pinned by the caller, so the
-    * collect is cheap and never re-runs the batch plan.
+    * documents — [[PipelineMetrics.recordBatchExpectations]], the hook
+    * every pipeline kind shares.
     */
   private def recordBatchExpectations(upserts: => DataFrame,
       batchId: Long): Unit =
-    if (expectations.nonEmpty) metrics.foreach { m =>
-      val verdicts = graft.ops.Profile.expectations(upserts, expectations)
-        .collect().toSeq.map(r => PipelineMetrics.Verdict(
-          r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
-      PipelineMetrics.recordExpectations(m, name, batchId, verdicts)
-    }
+    PipelineMetrics.recordBatchExpectations(metrics, name, batchId,
+      expectations, upserts)
 }
 
 object CdcPipeline {

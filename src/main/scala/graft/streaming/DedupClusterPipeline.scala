@@ -79,7 +79,11 @@ final case class DedupClusterPipeline(
     compactEvery: Int = 32,
     deadLetterDir: Option[String] = None,
     verifyThreshold: Option[Double] = None,
-    metrics: Option[PipelineMetrics.Target] = None) {
+    metrics: Option[PipelineMetrics.Target] = None,
+    expectations: Seq[graft.ops.Profile.Rule] = Nil) {
+
+  require(expectations.isEmpty || metrics.isDefined,
+    s"dedup $name: expectations need a metrics target to record into")
 
   private val rowSchema: StructType =
     StructType.fromDDL(s"$idField BIGINT, $textField STRING")
@@ -203,6 +207,7 @@ final case class DedupClusterPipeline(
         "id_a BIGINT, id_b BIGINT, delta INT, batch_id BIGINT"))
       .parquet(pairLogDir(workRoot))
     val idF = idField
+    val expectRules = expectations
     val dlDir = deadLetterDir
     val pipelineName = name
     val mtx = metrics
@@ -387,6 +392,13 @@ final case class DedupClusterPipeline(
             labelBase, batchId)
           changedRows = changed.count()
           droppedRows = dropped.count()
+          // verdicts see the batch's changed CLUSTER rows under the
+          // conf's id name — the upserts a serving consumer reads
+          // (both frames are localCheckpointed above)
+          PipelineMetrics.recordBatchExpectations(mtx, pipelineName,
+            batchId, expectRules,
+            changed.select(col("doc_id").as(idF), col("cluster_id"),
+              col("is_canonical")))
           target match {
             case JdbcTarget(url, tbl, _) =>
               JdbcSink.applyViewDeltas(

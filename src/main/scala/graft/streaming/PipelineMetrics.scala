@@ -157,6 +157,27 @@ object PipelineMetrics {
           s"[PipelineMetrics] $pipeline batch $batchId verdicts not recorded: $e")
     }
 
+  /** Evaluate conf-declared expectations over a batch's SERVING rows
+    * and record one verdict row per rule — the shared per-kind hook
+    * (each pipeline kind hands in its own serving frame: lww documents,
+    * view enriched rows, ann posting actions, dedup cluster rows,
+    * search postings). `servingRows` is BY-NAME so pipelines without
+    * expectations never build or analyze the frame; budgets are
+    * PER-BATCH (the monitor watches each drained batch, it does not
+    * accumulate). The verdict frame is rules-count rows — model-sized —
+    * and callers pass an already cached/pinned input, so the collect
+    * never re-runs the batch plan.
+    */
+  def recordBatchExpectations(target: Option[Target], pipeline: String,
+      batchId: Long, rules: Seq[graft.ops.Profile.Rule],
+      servingRows: => org.apache.spark.sql.DataFrame): Unit =
+    if (rules.nonEmpty) target.foreach { m =>
+      val verdicts = graft.ops.Profile.expectations(servingRows, rules)
+        .collect().toSeq.map(r => Verdict(
+          r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      recordExpectations(m, pipeline, batchId, verdicts)
+    }
+
   /** The recorded verdict rows, typed. */
   def expectRows(spark: org.apache.spark.sql.SparkSession,
       t: Target): org.apache.spark.sql.DataFrame = {

@@ -237,6 +237,24 @@ object PipelineRegistry {
       }
     }.toSeq
 
+  /** [[parseExpectations]] plus the store-side registration work every
+    * kind shares: declared rules REQUIRE a metrics target (verdicts
+    * without a store would vanish silently) and the sibling verdict
+    * table is ensured at load (register-at-boot, S3).
+    */
+  private def parseExpectationsWithStore(f: File,
+      node: com.fasterxml.jackson.databind.JsonNode,
+      schema: org.apache.spark.sql.types.StructType,
+      metricsTarget: Option[PipelineMetrics.Target]): Seq[graft.ops.Profile.Rule] = {
+    val rules = parseExpectations(f, node, schema)
+    if (rules.nonEmpty) {
+      require(metricsTarget.isDefined,
+        s"${f.getName}: expectations need a metrics target to record into")
+      metricsTarget.foreach(PipelineMetrics.ensureExpectTable)
+    }
+    rules
+  }
+
   /** Prefix a pipeline ctor failure (schema/transform validation) with
     * the conf FILE, the registration unit an operator edits — a
     * resolution error naming only the pipeline is unactionable when two
@@ -285,15 +303,9 @@ object PipelineRegistry {
             && node.hasNonNull("schema"),
           s"${f.getName}: name, idKey and schema are required")
         val rowSchema = StructType.fromDDL(node.get("schema").asText())
-        // ensure the verdict table beside the metrics table when the
-        // conf declares expectations — registration-time, like metrics
         val metricsTarget = parseMetrics(f, node)
-        val expectRules = parseExpectations(f, node, rowSchema)
-        if (expectRules.nonEmpty) {
-          require(metricsTarget.isDefined,
-            s"${f.getName}: expectations need a metrics target to record into")
-          metricsTarget.foreach(PipelineMetrics.ensureExpectTable)
-        }
+        val expectRules =
+          parseExpectationsWithStore(f, node, rowSchema, metricsTarget)
         val pipeline = named(f)(CdcPipeline(
           name = node.get("name").asText(),
           subscription = Subscription(strSet("databases"), strSet("tables")),
@@ -362,6 +374,7 @@ object PipelineRegistry {
         }
         val (fTable, fSchema, fId, fJoin) = side("fact")
         val (dTable, dSchema, dId, dJoin) = side("dim")
+        val viewMetrics = parseMetrics(f, node)
         val tgt: ViewTarget =
           if (node.hasNonNull("jdbc")) {
             val jdbc = node.get("jdbc")
@@ -396,7 +409,11 @@ object PipelineRegistry {
             if (node.hasNonNull("deadLetterDir"))
               Some(node.get("deadLetterDir").asText()) else None,
           exprTransform = parseTransform(f, node),
-          metrics = parseMetrics(f, node)))
+          metrics = viewMetrics,
+          // expectation columns resolve against the FLATTENED serving
+          // row — fact fields then dim fields, the table a consumer reads
+          expectations = parseExpectationsWithStore(f, node,
+            StructType(fSchema.fields ++ dSchema.fields), viewMetrics)))
         Some(ViewEntry(pipeline, f.getAbsolutePath, f.lastModified()))
       }
     }}
@@ -452,6 +469,7 @@ object PipelineRegistry {
           if (node.has("databases"))
             node.get("databases").elements().asScala.map(_.asText()).toSet
           else Set("shop")
+        val annMetrics = parseMetrics(f, node)
         val pipeline = AnnServingPipeline(
           name = node.get("name").asText(),
           databases = dbs,
@@ -471,7 +489,13 @@ object PipelineRegistry {
           maxGenAgeMs =
             if (node.hasNonNull("maxGenAgeMs")) node.get("maxGenAgeMs").asLong()
             else 0L,
-          metrics = parseMetrics(f, node),
+          metrics = annMetrics,
+          // expectation columns resolve against the posting ACTION row
+          // the index store serves: the conf's id plus the advisory cell
+          expectations = parseExpectationsWithStore(f, node,
+            StructType.fromDDL(
+              s"${node.get("idKey").asText()} BIGINT, cell INT"),
+            annMetrics),
           // optional consumer-facing document mirror (the view/dedup
           // confs' "es" shape); jdbc stays the index's source of truth
           esMirror =
@@ -538,6 +562,7 @@ object PipelineRegistry {
           if (node.has("databases"))
             node.get("databases").elements().asScala.map(_.asText()).toSet
           else Set("shop")
+        val dedupMetrics = parseMetrics(f, node)
         val pipeline = DedupClusterPipeline(
           name = node.get("name").asText(),
           databases = dbs,
@@ -553,7 +578,13 @@ object PipelineRegistry {
           verifyThreshold =
             if (node.hasNonNull("verifyThreshold"))
               Some(node.get("verifyThreshold").asDouble()) else None,
-          metrics = parseMetrics(f, node))
+          metrics = dedupMetrics,
+          // expectation columns resolve against the changed CLUSTER row
+          // a serving consumer reads: conf id + cluster assignment
+          expectations = parseExpectationsWithStore(f, node,
+            StructType.fromDDL(s"${node.get("idKey").asText()} BIGINT, " +
+              "cluster_id BIGINT, is_canonical BOOLEAN"),
+            dedupMetrics))
         Some(DedupEntry(pipeline, f.getAbsolutePath, f.lastModified()))
       }
     }}
@@ -593,6 +624,7 @@ object PipelineRegistry {
           else Set("shop")
         def dbl(field: String, dflt: Double): Double =
           if (node.hasNonNull(field)) node.get(field).asDouble() else dflt
+        val searchMetrics = parseMetrics(f, node)
         val pipeline = SearchServingPipeline(
           name = node.get("name").asText(),
           databases = dbs,
@@ -603,7 +635,12 @@ object PipelineRegistry {
           postingsTable = jdbc.get("postingsTable").asText(),
           lensTable = jdbc.get("lensTable").asText(),
           k1 = dbl("k1", 1.2), b = dbl("b", 0.75),
-          metrics = parseMetrics(f, node))
+          metrics = searchMetrics,
+          // expectation columns resolve against the batch's ± posting
+          // contribution row the additive MERGE applies
+          expectations = parseExpectationsWithStore(f, node,
+            StructType.fromDDL("token STRING, doc_id BIGINT, tf BIGINT"),
+            searchMetrics))
         Some(SearchEntry(pipeline, f.getAbsolutePath, f.lastModified()))
       }
     }}

@@ -55,7 +55,11 @@ final case class SearchServingPipeline(
     lensTable: String,
     k1: Double = 1.2,
     b: Double = 0.75,
-    metrics: Option[PipelineMetrics.Target] = None) {
+    metrics: Option[PipelineMetrics.Target] = None,
+    expectations: Seq[graft.ops.Profile.Rule] = Nil) {
+
+  require(expectations.isEmpty || metrics.isDefined,
+    s"search $name: expectations need a metrics target to record into")
 
   private val rowSchema: StructType =
     StructType.fromDDL(s"$idField BIGINT, $textField STRING")
@@ -107,6 +111,7 @@ final case class SearchServingPipeline(
     val (pt, lt) = (postingsTable, lensTable)
     val mtx = metrics
     val pipelineName = name
+    val expectRules = expectations
     stream.writeStream
       .queryName(s"search_$name")
       .outputMode("append")
@@ -134,6 +139,11 @@ final case class SearchServingPipeline(
             batchId, rowsIn = cached.count(), deadLetters = 0L,
             stateRows = posting.count() + lens.count(),
             wallMs = System.currentTimeMillis() - t0))
+          // verdicts see the batch's ± POSTING contributions — the rows
+          // the additive MERGE applies to the index store (derives from
+          // the persisted batch frame, never a plan re-run)
+          PipelineMetrics.recordBatchExpectations(mtx, pipelineName,
+            batchId, expectRules, posting)
         } finally { cached.unpersist(); () }
         ()
       }

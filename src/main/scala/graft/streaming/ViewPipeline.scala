@@ -69,8 +69,11 @@ final case class ViewPipeline(
     deadLetterDir: Option[String] = None,
     compactEvery: Int = 32,
     exprTransform: Option[ExprTransform] = None,
-    metrics: Option[PipelineMetrics.Target] = None) {
+    metrics: Option[PipelineMetrics.Target] = None,
+    expectations: Seq[graft.ops.Profile.Rule] = Nil) {
 
+  require(expectations.isEmpty || metrics.isDefined,
+    s"view $name: expectations need a metrics target to record into")
   require(factSchema.fieldNames.toSet.intersect(dimSchema.fieldNames.toSet).isEmpty,
     s"view $name: fact and dim schemas share field names — the serving " +
       "table flattens both sides, so names must not collide")
@@ -158,6 +161,7 @@ final case class ViewPipeline(
     val markerId = s"${name}_${Integer.toHexString(workRoot.hashCode)}"
     val tx = exprTransform
     val mtx = metrics
+    val expectRules = expectations
     viewDeltas.toDF().writeStream
       .queryName(s"view_$name")
       .outputMode("append")
@@ -187,6 +191,11 @@ final case class ViewPipeline(
             mtx.foreach(m => PipelineMetrics.record(m, viewName, "view",
               batchId, rowsIn = f.count(), deadLetters = 0L,
               stateRows = 0L, wallMs = System.currentTimeMillis() - t0))
+            // verdicts see the UPSERT serving rows — what a consumer of
+            // the view table reads after this batch's deltas apply
+            PipelineMetrics.recordBatchExpectations(mtx, viewName, batchId,
+              expectRules,
+              f.filter(col("action") === "upsert").drop("action"))
           case es: EsTarget =>
             // the emission contract: a key-move's (delete, upsert) pair
             // for one fact id must land on the upsert — deletes first.
@@ -219,6 +228,9 @@ final case class ViewPipeline(
                   .map { case (d, u) => d.count() + u.count() }.getOrElse(0L),
                 stateRows = 0L, wallMs = System.currentTimeMillis() - t0,
                 info = if (applied.isEmpty) """{"replay_skipped":true}""" else ""))
+              PipelineMetrics.recordBatchExpectations(mtx, viewName, batchId,
+                expectRules,
+                cached.filter(col("action") === "upsert").drop("action"))
               ()
             } finally { cached.unpersist(); () }
         }

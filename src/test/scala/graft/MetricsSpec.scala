@@ -251,6 +251,125 @@ class MetricsSpec extends SparkSpec {
     assert(v2.size == 3 && v2("text_set") == ((9L, 0L, false)), s"got $v2")
   }
 
+  test("expectations across the other four kinds: each serving frame gets exact verdicts") {
+    import graft.ops.Profile
+    PipelineMetrics.ensureExpectTable(target)
+    def verdicts(p: String): Map[String, (Long, Boolean)] =
+      PipelineMetrics.expectRows(spark, target).filter($"pipeline" === p)
+        .select($"rule", $"violations", $"pass")
+        .as[(String, Long, Boolean)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    // VIEW: verdicts over the flattened upsert serving rows
+    exec("""CREATE TABLE ex_enriched ("o_orderkey" BIGINT NOT NULL PRIMARY KEY,
+      | "o_custkey" BIGINT, "o_total" DOUBLE,
+      | "c_custkey" BIGINT, "c_name" VARCHAR(64))"""
+      .stripMargin.replace("\n", ""))
+    val vFeed = Files.createTempDirectory("graft_ex_view_feed_").toFile
+    Files.write(new java.io.File(vFeed, "000.json").toPath, Seq(
+      wire("customer", """{"c_custkey":1,"c_name":"A"}""", null, "c", 10, 1),
+      wire("orders", """{"o_orderkey":10,"o_custkey":1,"o_total":5.0}""",
+        null, "c", 10, 2)).asJava)
+    ViewPipeline(
+      name = "ex_view", databases = Set("shop"),
+      factTable = "orders",
+      factSchema = StructType.fromDDL(
+        "o_orderkey BIGINT, o_custkey BIGINT, o_total DOUBLE"),
+      factIdField = "o_orderkey", factJoinField = "o_custkey",
+      dimTable = "customer",
+      dimSchema = StructType.fromDDL("c_custkey BIGINT, c_name STRING"),
+      dimIdField = "c_custkey", dimJoinField = "c_custkey",
+      leftOuter = true,
+      target = JdbcTarget(url, "ex_enriched", Some("c_name VARCHAR(64)")),
+      metrics = Some(target),
+      expectations = Seq(
+        Profile.InRange("total_0_4", "o_total", 0.0, 4.0),  // 5.0 violates
+        Profile.NotNull("name_set", "c_name")))
+      .runOnce(spark, vFeed.toString,
+        Files.createTempDirectory("graft_ex_view_work_").toString)
+    val vv = verdicts("ex_view")
+    assert(vv("total_0_4") == ((1L, false)), s"got $vv")
+    assert(vv("name_set") == ((0L, true)), s"got $vv")
+    // DEDUP: verdicts over the changed cluster rows under the conf id
+    exec("""CREATE TABLE ex_clusters ("doc_id" BIGINT NOT NULL PRIMARY KEY,
+      | "cluster_id" BIGINT, "is_canonical" INTEGER)"""
+      .stripMargin.replace("\n", ""))
+    val A = "alpha beta gamma delta epsilon zeta eta theta"
+    val dFeed = Files.createTempDirectory("graft_ex_dedup_feed_").toFile
+    Files.write(new java.io.File(dFeed, "000.json").toPath, Seq(
+      wire("documents", doc(1, A), null, "c", 10, 1),
+      wire("documents", doc(2, A), null, "c", 10, 2)).asJava)
+    DedupClusterPipeline(
+      name = "ex_dedup", databases = Set("shop"), table = "documents",
+      idField = "doc_id", textField = "text",
+      target = JdbcTarget(url, "ex_clusters"), metrics = Some(target),
+      expectations = Seq(
+        Profile.NotNull("cluster_set", "cluster_id"),
+        Profile.Unique("doc_unique", "doc_id")))
+      .runOnce(spark, dFeed.toString,
+        Files.createTempDirectory("graft_ex_dedup_work_").toString)
+    val dv = verdicts("ex_dedup")
+    assert(dv("cluster_set") == ((0L, true)), s"got $dv")
+    assert(dv("doc_unique") == ((0L, true)), s"got $dv")
+    // ANN: verdicts over the upsert posting actions (id + cell)
+    exec("""CREATE TABLE ex_postings ("vec_id" BIGINT NOT NULL PRIMARY KEY,
+      | "cell" INTEGER, "emb_json" VARCHAR(32000))"""
+      .stripMargin.replace("\n", ""))
+    val aFeed = Files.createTempDirectory("graft_ex_ann_feed_").toFile
+    Files.write(new java.io.File(aFeed, "000.json").toPath, Seq(
+      wire("embeddings", """{"vec_id":0,"embedding":[1.0,0.1]}""", null, "c", 10, 1),
+      wire("embeddings", """{"vec_id":1,"embedding":[-1.0,0.1]}""", null, "c", 10, 2)).asJava)
+    AnnServingPipeline(
+      name = "ex_ann", databases = Set("shop"), table = "embeddings",
+      idField = "vec_id", vectorField = "embedding",
+      cents = Array(Array(1f, 0f), Array(-1f, 0f)),
+      jdbcUrl = url, postingsTable = "ex_postings", metrics = Some(target),
+      expectations = Seq(
+        Profile.InRange("cell_domain", "cell", 0.0, 1.0),
+        Profile.Unique("vec_unique", "vec_id")))
+      .runOnce(spark, aFeed.toString,
+        Files.createTempDirectory("graft_ex_ann_work_").toString)
+    val av = verdicts("ex_ann")
+    assert(av("cell_domain") == ((0L, true)), s"got $av")
+    assert(av("vec_unique") == ((0L, true)), s"got $av")
+    // SEARCH: verdicts over the ± posting contributions
+    exec("""CREATE TABLE ex_spost ("token" VARCHAR(256) NOT NULL,
+      | "doc_id" BIGINT NOT NULL, "tf" BIGINT,
+      | PRIMARY KEY ("token", "doc_id"))""".stripMargin.replace("\n", ""))
+    exec("""CREATE TABLE ex_slens ("doc_id" BIGINT NOT NULL PRIMARY KEY,
+      | "len" BIGINT)""".stripMargin.replace("\n", ""))
+    val sFeed = Files.createTempDirectory("graft_ex_search_feed_").toFile
+    Files.write(new java.io.File(sFeed, "000.json").toPath, Seq(
+      wire("documents", doc(1, "vector stream"), null, "c", 10, 1)).asJava)
+    SearchServingPipeline(
+      name = "ex_search", databases = Set("shop"), table = "documents",
+      idField = "doc_id", textField = "text",
+      jdbcUrl = url, postingsTable = "ex_spost", lensTable = "ex_slens",
+      metrics = Some(target),
+      expectations = Seq(
+        Profile.NotNull("token_set", "token"),
+        // both contributions are +1; a >=2 floor catches them exactly
+        Profile.InRange("tf_2_plus", "tf", 2.0, 1e9)))
+      .runOnce(spark, sFeed.toString,
+        Files.createTempDirectory("graft_ex_search_work_").toString)
+    val sv = verdicts("ex_search")
+    assert(sv("token_set") == ((0L, true)), s"got $sv")
+    assert(sv("tf_2_plus") == ((2L, false)), s"got $sv")
+    // registry-side: a wrong column fails each kind's own schema domain
+    val badAnn = Files.createTempDirectory("graft_ex_badann_").toFile
+    Files.write(new java.io.File(badAnn, "a.json").toPath, Seq(
+      s"""{"kind":"ann","name":"exbad","databases":["shop"],
+         |"table":"embeddings","idKey":"vec_id","vectorField":"embedding",
+         |"centroids":[[1.0,0.0],[-1.0,0.0]],
+         |"jdbc":{"url":"$url","postingsTable":"ex_postings"},
+         |"metrics":{"url":"$url","table":"pipe_metrics"},
+         |"expectations":[{"rule":"not_null","name":"e","column":"embedding"}]}"""
+        .stripMargin.replace("\n", "")).asJava)
+    val e = intercept[IllegalArgumentException](
+      PipelineRegistry.loadAnn(badAnn.toString))
+    assert(e.getMessage.contains("a.json")
+      && e.getMessage.contains("embedding"), s"got: ${e.getMessage}")
+  }
+
   test("expectations conf: registration-time validation names file + field; verdicts need a metrics target") {
     def conf(dir: java.io.File, fname: String, body: String): Unit =
       Files.write(new java.io.File(dir, fname).toPath,
