@@ -2177,9 +2177,98 @@ object PipelineQueries {
         Tables.documents(spark, dir), "doc_id")))
   }
 
+  private val q151Lock = new Object
+
+  /** Q151: STREAMING EXPECTATION VERDICTS under the oracle gate —
+    * q141's certification pattern applied to the declared-expectations
+    * feature itself: a real [[graft.streaming.CdcPipeline]] with three
+    * conf-style rules drains the staged orders feed through three
+    * DATA-DOMAIN-deterministic offset-band batches (q141's slot
+    * arithmetic: snapshot wave, update wave, delete wave), and the
+    * query returns the RECORDED verdict rows. The oracle restates every
+    * count from the raw table: the snapshot batch's range violations
+    * are the raw price outliers; the update batch's are the %3 keys
+    * whose price·1.1 breaches the cap (winner collapse makes the %12
+    * duplicate wave invisible — `key_unique` = 0 certifies the LWW fold
+    * per batch); the delete batch upserts NOTHING, so every count is
+    * zero — the empty-batch verdict edge, certified. q141 certifies the
+    * counting; q151 certifies the JUDGING.
+    */
+  val q151 = QueryDef.sql(
+    "q151_expectation_verdicts",
+    """SELECT pipeline, batch_id, rule, violations, budget,
+      |       violations <= budget AS pass FROM (
+      |SELECT 'orders_exp' AS pipeline, CAST(0 AS BIGINT) AS batch_id,
+      |       'key_set' AS rule, CAST(0 AS BIGINT) AS violations,
+      |       CAST(0 AS BIGINT) AS budget
+      |UNION ALL SELECT 'orders_exp', CAST(0 AS BIGINT), 'key_unique',
+      |       CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      |UNION ALL SELECT 'orders_exp', CAST(0 AS BIGINT), 'price_cap',
+      |       (SELECT CAST(sum(CASE WHEN o_totalprice < 0 OR
+      |          o_totalprice > 300000 THEN 1 ELSE 0 END) AS BIGINT)
+      |        FROM orders), CAST(0 AS BIGINT)
+      |UNION ALL SELECT 'orders_exp', CAST(1 AS BIGINT), 'key_set',
+      |       CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      |UNION ALL SELECT 'orders_exp', CAST(1 AS BIGINT), 'key_unique',
+      |       CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      |UNION ALL SELECT 'orders_exp', CAST(1 AS BIGINT), 'price_cap',
+      |       (SELECT CAST(sum(CASE WHEN o_orderkey % 3 = 0 AND
+      |          (o_totalprice * 1.1 < 0 OR o_totalprice * 1.1 > 300000)
+      |          THEN 1 ELSE 0 END) AS BIGINT) FROM orders),
+      |       CAST(0 AS BIGINT)
+      |UNION ALL SELECT 'orders_exp', CAST(2 AS BIGINT), 'key_set',
+      |       CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      |UNION ALL SELECT 'orders_exp', CAST(2 AS BIGINT), 'key_unique',
+      |       CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      |UNION ALL SELECT 'orders_exp', CAST(2 AS BIGINT), 'price_cap',
+      |       CAST(0 AS BIGINT), CAST(0 AS BIGINT))""".stripMargin) { (spark, dir) =>
+    import graft.cdc.{ChangeFeed, DeltaLog, Subscription}
+    import graft.ops.Profile
+    import graft.sinks.EsSink
+    import graft.streaming.{CdcPipeline, PipelineMetrics}
+    val feedDir = ChangeFeed.stagedJsonl(spark, dir)
+    val fp = graft.sources.Staging.fingerprint(
+      Seq(s"$dir/orders.parquet", s"$dir/customer.parquet"))
+    val base = DeltaLog.logBase(spark,
+      s"expect_${dir.replaceAll("[^a-zA-Z0-9]", "_")}", fp)
+    val url = s"jdbc:derby:$base/derby;create=true"
+    val target = PipelineMetrics.Target(url, "pipeline_metrics_q151")
+    val blackhole = new EsSink.Transport {
+      def send(req: EsSink.Request): Int = 200
+    }
+    q151Lock.synchronized {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(base))
+      PipelineMetrics.ensureTable(target)
+      PipelineMetrics.ensureExpectTable(target)
+      val raw = spark.read.schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("offset",
+          org.apache.spark.sql.types.LongType)))).json(feedDir)
+      val orders = CdcPipeline(name = "orders_exp",
+        subscription = Subscription(Set("shop"), Set("orders")),
+        rowSchema = ChangeFeed.ordersRowSchema, idKey = "o_orderkey",
+        metrics = Some(target),
+        expectations = Seq(
+          Profile.NotNull("key_set", "o_orderkey"),
+          Profile.Unique("key_unique", "o_orderkey"),
+          Profile.InRange("price_cap", "o_totalprice", 0.0, 300000.0)))
+      val cfg = EsSink.Config("http://graft-local/lww_orders_q151",
+        "graft", "graft", "o_orderkey")
+      val events = orders.changeRows(raw).localCheckpoint(true)
+      val slot = pmod(col("offset"), lit(10))
+      orders.applyBatch(events.filter(slot === 0), cfg, blackhole, 0L)
+      orders.applyBatch(events.filter(slot.isin(1, 2)), cfg, blackhole, 1L)
+      orders.applyBatch(events.filter(slot === 3), cfg, blackhole, 2L)
+    }
+    PipelineMetrics.expectRows(spark, target)
+      .select(col("pipeline"), col("batch_id"), col("rule"),
+        col("violations"), col("budget"), col("pass"))
+  }
+
   val all: Seq[QueryDef] = Seq(q41, q42, q43, q44, q45, q47, q48, q49,
     q54, q57, q60, q62, q63, q64, q68, q69, q74, q76, q80, q81, q83, q90, q91,
     q94, q98, q122, q125, q127, q128, q129, q130, q131, q133, q134, q135,
     q136, q137, q138, q139, q140, q141, q142, q144, q145, q146, q147, q148,
-    q149, q150)
+    q149, q150, q151)
 }
