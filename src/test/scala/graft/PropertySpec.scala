@@ -353,4 +353,89 @@ class PropertySpec extends SparkSpec {
       .select(col("n_tok")).as[Long].collect()
     assert(ch.forall(n => n >= 1 && n <= 32))
   }
+
+  test("mmrRerank matches an in-memory reference greedy on seeded random corpora") {
+    import graft.ops.VectorSearch
+    // the reference implementation shares the operator's EXACT integer
+    // algebra: sequential double dot products, floor(cos*1e6+0.5),
+    // score = rel - maxSimToPicked, ties to the smallest id
+    def refMmr(vecs: Map[Long, Array[Float]], qIds: Seq[Long],
+        candK: Int, k: Int): Map[Long, Seq[Long]] = {
+      def dot(a: Array[Float], b: Array[Float]): Double = {
+        var s = 0.0; var i = 0
+        while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+        s
+      }
+      def cos(a: Array[Float], b: Array[Float]): Double =
+        dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+      def toI(c: Double): Long = math.floor(c * 1e6 + 0.5).toLong
+      qIds.map { q =>
+        val qv = vecs(q)
+        val cand = vecs.toSeq.filter(_._1 != q)
+          .map { case (id, v) => (id, cos(qv, v)) }
+          .sortBy { case (id, c) => (-c, id) }.take(candK)
+          .map { case (id, c) => (id, toI(c)) }
+        val picked = scala.collection.mutable.ArrayBuffer.empty[Long]
+        while (picked.length < k && picked.length < cand.length) {
+          val best = cand.filter(c => !picked.contains(c._1)).minBy {
+            case (id, rel) =>
+              val maxSim = if (picked.isEmpty) 0L
+                else picked.map(p => toI(cos(vecs(id), vecs(p)))).max
+              (-(rel - maxSim), id)
+          }
+          picked += best._1
+        }
+        q -> picked.toSeq
+      }.toMap
+    }
+    val rnd = new scala.util.Random(421)
+    for (trial <- 0 until 3) {
+      val n = 20 + trial * 5
+      val vecs = (0L until n.toLong).map { id =>
+        id -> Array.fill(8)((rnd.nextDouble() * 2 - 1).toFloat)
+      }.toMap
+      val df = vecs.toSeq.map { case (id, v) => (id, v.toSeq) }
+        .toDF("vec_id", "embedding")
+      val qIds = Seq(0L, 1L, 2L)
+      val got = VectorSearch.mmrRerank(
+        df.filter(col("vec_id") < 3), df, candK = 8, k = 4)
+        .as[(Long, String)].collect()
+        .map { case (q, s) => q -> s.split(",").map(_.toLong).toSeq }.toMap
+      val want = refMmr(vecs, qIds, candK = 8, k = 4)
+      assert(got == want, s"trial $trial: got $got want $want")
+    }
+  }
+
+  test("expectations match plain-Scala reference counts on seeded random data with nulls and duplicates") {
+    import graft.ops.Profile
+    val rnd = new scala.util.Random(1137)
+    for (trial <- 0 until 3) {
+      val rows: Seq[(java.lang.Long, java.lang.Double)] =
+        Seq.fill(120 + trial * 40) {
+          val k: java.lang.Long =
+            if (rnd.nextDouble() < 0.1) null
+            else java.lang.Long.valueOf(rnd.nextInt(60).toLong)
+          val v: java.lang.Double =
+            if (rnd.nextDouble() < 0.1) null
+            else java.lang.Double.valueOf(rnd.nextDouble() * 20 - 5)
+          (k, v)
+        }
+      val df = rows.toDF("k", "v")
+      val out = Profile.expectations(df, Seq(
+        Profile.NotNull("k_not_null", "k", budget = 3L),
+        Profile.Unique("k_unique", "k"),
+        Profile.InRange("v_0_10", "v", 0.0, 10.0, budget = 20L)))
+        .as[(String, Long, Long, Boolean)].collect()
+        .map(r => r._1 -> ((r._2, r._4))).toMap
+      val nullK = rows.count(_._1 == null).toLong
+      // Unique: rows beyond the first per value, nulls one shared value
+      val dups = rows.size.toLong -
+        rows.map(r => Option(r._1).map(_.longValue)).distinct.size
+      val rangeViol = rows.count(r =>
+        r._2 != null && (r._2 < 0.0 || r._2 > 10.0)).toLong
+      assert(out("k_not_null") == ((nullK, nullK <= 3L)), s"trial $trial")
+      assert(out("k_unique") == ((dups, dups <= 0L)), s"trial $trial")
+      assert(out("v_0_10") == ((rangeViol, rangeViol <= 20L)), s"trial $trial")
+    }
+  }
 }
