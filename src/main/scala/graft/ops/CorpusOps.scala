@@ -687,6 +687,42 @@ object CorpusOps {
         .otherwise("test"))
   }
 
+  /** CORPUS-LEARNED stopword scrub — [[removeStopwords]] with the stop
+    * set DERIVED from the corpus instead of declared: a token is
+    * boilerplate iff it appears in more than `maxShare` of the live
+    * documents (the df/N test every web-corpus cleaning recipe applies
+    * before training). `termDf` is any (token, df) relation — q134's
+    * MAINTAINED term-posting fold serves it without a corpus rescan —
+    * and `nDocs` is a 1-row (n) relation, so the threshold is data, not
+    * a collected constant. Shape: positional explode → broadcast-sized
+    * anti-join against the stop set → per-doc ordered re-assembly (one
+    * shuffle keyed by doc). Docs whose every token is boilerplate
+    * survive with empty clean_text — the scrub never drops a document.
+    * `maxShare` is a RATIONAL num/den so the cut is integer arithmetic
+    * (df · den > n · num), engine-exact.
+    */
+  def scrubFrequentTokens(docs: DataFrame, idCol: String, textCol: String,
+      termDf: DataFrame, nDocs: DataFrame,
+      shareNum: Long = 1L, shareDen: Long = 2L): DataFrame = {
+    val stop = termDf.crossJoin(broadcast(nDocs)) // 1-row corpus total
+      .filter(col("df") * shareDen > col("n") * shareNum)
+      .select(col("token"))
+    val toks = docs.select(col(idCol), size(split(col(textCol), " "))
+        .cast("long").as("_n_tok"),
+      posexplode(split(col(textCol), " ")).as(Seq("pos", "token")))
+    val kept = toks.join(stop, Seq("token"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("token")))),
+        x => x.getField("token")), " ").as("clean_text"),
+        count(lit(1)).as("_kept"), first(col("_n_tok")).as("_nt"))
+    docs.select(col(idCol), size(split(col(textCol), " "))
+        .cast("long").as("_orig"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (col("_orig") - coalesce(col("_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** Stopword scrub: remove the given tokens from the text, reporting
     * how many were dropped. Pure codegen'd array functions (split /
     * filter / array_join) — single pass, no UDF, no shuffle.

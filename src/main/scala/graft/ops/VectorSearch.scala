@@ -743,6 +743,41 @@ object VectorSearch {
         col("n_label"), col("cos_sim"), col("rnk"))
   }
 
+  /** RANKING-QUALITY EVALUATION — the offline eval pass every
+    * ANN/search serving store needs: per query, recall@k, MRR and
+    * NDCG@k of a PREDICTED ranking against a ground-truth ranking
+    * (both as (q_vec_id, n_vec_id, rnk) relations, rnk 1-based — the
+    * shape every ranking operator here emits). Gains are binary
+    * (an item is relevant iff it appears in the truth top-k) and the
+    * DCG discount is 1/ln(1+rnk) — the natural-log formulation both
+    * engines state identically (the q42 ln rule); each discount term is
+    * rounded to 1e-9 fixed point and summed as integers, so the
+    * per-query scores are order-free exact ratios. A query with no hits
+    * scores 0 across the board (never drops out). One equijoin on
+    * (query, item) + one keyed aggregate — eval cost is the rankings'
+    * size, never the corpus's.
+    */
+  def rankingEval(pred: DataFrame, truth: DataFrame, k: Int): DataFrame = {
+    val t = truth.select(col("q_vec_id"), col("n_vec_id"))
+    val p = pred.select(col("q_vec_id"), col("n_vec_id"), col("rnk"))
+    val idcg = (1 to k).map(i =>
+      math.floor(1e9 / math.log(1.0 + i) + 0.5).toLong).sum
+    val hits = p.join(t, Seq("q_vec_id", "n_vec_id"))
+      .groupBy(col("q_vec_id"))
+      .agg(count(lit(1)).as("n_hits"),
+        min(col("rnk")).as("_first"),
+        sum(floor(lit(1e9) / log(col("rnk") + 1) + lit(0.5)).cast("long"))
+          .as("_dcg_i"))
+    truth.select(col("q_vec_id")).distinct()
+      .join(hits, Seq("q_vec_id"), "left")
+      .select(col("q_vec_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / k)
+          .as("recall_at_k"),
+        coalesce(lit(1.0) / col("_first"), lit(0.0)).as("mrr"),
+        (coalesce(col("_dcg_i"), lit(0L)).cast("double") / idcg).as("ndcg"))
+  }
+
   /** Diagnostic: members per cell for a given training depth. */
   def cellSizes(corpus: DataFrame, nCells: Int, iters: Int): Array[Long] = {
     val cents = if (iters > 0) trainCentroids(corpus, nCells, iters)

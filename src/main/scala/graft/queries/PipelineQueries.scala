@@ -2266,9 +2266,119 @@ object PipelineQueries {
         col("violations"), col("budget"), col("pass"))
   }
 
+  /** Q152: RANKING-QUALITY EVALUATION ([[VectorSearch.rankingEval]]) —
+    * the offline eval pass every ANN/search serving store needs,
+    * itself under the oracle gate: recall@5, MRR and NDCG@5 of a
+    * cheaper PREDICTED ranking (raw dot product, unnormalized) against
+    * the cosine ground truth, both over the live post-traffic store.
+    * Both rankings are SQL-restatable, so the METRIC ARITHMETIC is what
+    * the hash certifies — binary gains, 1/ln(1+rnk) discounts rounded
+    * to 1e-9 fixed point and summed as integers (the q42 ln rule), a
+    * no-hit query scoring zero instead of dropping out. The same
+    * operator evaluates the non-restatable rankings (IVF, hybrid) in
+    * specs and certificates.
+    */
+  val q152 = QueryDef.sql(
+    "q152_ranking_eval",
+    """WITH e AS (SELECT vec_id, CASE WHEN vec_id % 3 = 0
+      |       THEN list_transform(CAST(embedding AS DOUBLE[]), x -> -x)
+      |       ELSE CAST(embedding AS DOUBLE[]) END AS emb
+      |     FROM embeddings WHERE vec_id % 5 <> 0),
+      |q AS (SELECT vec_id, emb FROM e WHERE vec_id < 10),
+      |pc AS (SELECT q.vec_id AS q, c.vec_id AS n,
+      |         list_dot_product(q.emb, c.emb) AS dp,
+      |         list_dot_product(q.emb, c.emb) /
+      |         (sqrt(list_dot_product(q.emb, q.emb)) *
+      |          sqrt(list_dot_product(c.emb, c.emb))) AS cs
+      |       FROM q JOIN e c ON q.vec_id <> c.vec_id),
+      |truth AS (SELECT q, n FROM (SELECT q, n, row_number() OVER (
+      |            PARTITION BY q ORDER BY cs DESC, n) AS r FROM pc)
+      |          WHERE r <= 5),
+      |pred AS (SELECT q, n, r FROM (SELECT q, n, row_number() OVER (
+      |           PARTITION BY q ORDER BY dp DESC, n) AS r FROM pc)
+      |         WHERE r <= 5),
+      |h AS (SELECT p.q, count(*) AS n_hits, min(p.r) AS fr,
+      |        sum(CAST(floor(1e9 / ln(p.r + 1) + 0.5) AS BIGINT)) AS dcg
+      |      FROM pred p JOIN truth t ON p.q = t.q AND p.n = t.n
+      |      GROUP BY p.q),
+      |idcg AS (SELECT sum(CAST(floor(1e9 / ln(i + 1) + 0.5) AS BIGINT)) AS v
+      |         FROM (SELECT unnest(range(1, 6)) AS i)),
+      |qq AS (SELECT DISTINCT q FROM truth)
+      |SELECT qq.q AS q_vec_id,
+      |       CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+      |       CAST(coalesce(n_hits, 0) AS DOUBLE) / 5 AS recall_at_k,
+      |       coalesce(1.0 / fr, 0.0) AS mrr,
+      |       CAST(coalesce(dcg, 0) AS DOUBLE) / (SELECT v FROM idcg) AS ndcg
+      |FROM qq LEFT JOIN h ON qq.q = h.q""".stripMargin) { (spark, dir) =>
+    val (vecStore, _, _) = filteredSearchInputs(spark, dir)
+    val corpus = vecStore.select(col("vec_id"), col("embedding"))
+    val queries = corpus.filter(col("vec_id") < 10)
+    val truth = VectorSearch.knnExact(queries, corpus, 5)
+    val q = queries.select(col("vec_id").as("q_vec_id"),
+      col("embedding").as("q_emb"))
+    val c = corpus.select(col("vec_id").as("n_vec_id"),
+      col("embedding").as("n_emb"))
+    val w = Window.partitionBy(col("q_vec_id"))
+      .orderBy(col("dp").desc, col("n_vec_id"))
+    val pred = broadcast(q).join(c, col("q_vec_id") =!= col("n_vec_id"))
+      .withColumn("dp", VectorSearch.dot(col("q_emb"), col("n_emb")))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+      .select(col("q_vec_id"), col("n_vec_id"), col("rnk"))
+    VectorSearch.rankingEval(pred, truth, 5)
+  }
+
+  /** Q153: CORPUS-LEARNED BOILERPLATE SCRUB served from the MAINTAINED
+    * term stats ([[CorpusOps.scrubFrequentTokens]]): tokens present in
+    * more than half the live documents are stripped, with the df
+    * relation read from q134's maintained term-posting fold (no corpus
+    * rescan to learn the stop set) and liveness from the documents
+    * delta log. The synthetic corpus draws from a small shared
+    * vocabulary, so the scrub is deliberately aggressive here — rare
+    * tokens (a revision's "revised edition", entity mentions) survive
+    * and fully-boilerplate docs survive EMPTY rather than dropping (the
+    * operator cleans, it never deletes). The oracle restates the df
+    * threshold, the positional re-assembly, and the removal counts over
+    * the post-traffic corpus.
+    */
+  val q153 = QueryDef.sql(
+    "q153_boilerplate_scrub",
+    """WITH cur AS (SELECT doc_id,
+      |         CASE WHEN doc_id % 3 = 0 THEN text || ' revised edition'
+      |              ELSE text END AS text
+      |       FROM documents WHERE doc_id % 5 <> 0),
+      |tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+      |        FROM cur),
+      |df AS (SELECT token, count(*) AS d FROM tok GROUP BY token),
+      |n AS (SELECT count(*) AS n FROM cur),
+      |stop AS (SELECT token FROM df, n WHERE d * 2 > n),
+      |pos AS (SELECT doc_id,
+      |          unnest(list_transform(range(1, len(tt) + 1),
+      |            i -> {'i': i, 't': tt[i]})) AS p
+      |        FROM (SELECT doc_id, string_split(text, ' ') AS tt FROM cur)),
+      |kept AS (SELECT doc_id, p.i AS i, p.t AS t FROM pos
+      |         WHERE p.t NOT IN (SELECT token FROM stop)),
+      |agg AS (SELECT doc_id, string_agg(t, ' ' ORDER BY i) AS clean_text,
+      |          count(*) AS k FROM kept GROUP BY doc_id)
+      |SELECT c.doc_id, coalesce(a.clean_text, '') AS clean_text,
+      |       CAST(len(string_split(c.text, ' ')) - coalesce(a.k, 0) AS BIGINT)
+      |         AS n_removed
+      |FROM cur c LEFT JOIN agg a ON c.doc_id = a.doc_id""".stripMargin) {
+    (spark, dir) =>
+    import graft.cdc.DeltaLog
+    val docDeltas = DeltaLog.documentsDeltas(spark, dir)
+    val cur = DeltaLog.currentRows(docDeltas)
+      .select(col("key").cast("long").as("doc_id"),
+        get_json_object(col("rowJson"), "$.text").as("text"))
+    val termDf = CorpusOps.liveTermPostings(
+        CorpusOps.termPostingDeltas(docDeltas))
+      .groupBy(col("token")).agg(count(lit(1)).cast("long").as("df"))
+    val nDocs = cur.agg(count(lit(1)).as("n"))
+    CorpusOps.scrubFrequentTokens(cur, "doc_id", "text", termDf, nDocs)
+  }
+
   val all: Seq[QueryDef] = Seq(q41, q42, q43, q44, q45, q47, q48, q49,
     q54, q57, q60, q62, q63, q64, q68, q69, q74, q76, q80, q81, q83, q90, q91,
     q94, q98, q122, q125, q127, q128, q129, q130, q131, q133, q134, q135,
     q136, q137, q138, q139, q140, q141, q142, q144, q145, q146, q147, q148,
-    q149, q150, q151)
+    q149, q150, q151, q152, q153)
 }

@@ -716,4 +716,24 @@ class CorpusSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("scrubFrequentTokens: df-threshold stop set, order-preserving reassembly, fully-boilerplate docs survive empty") {
+    import spark.implicits._
+    // 'the' in 3/4 docs (75% > 1/2 → stripped); 'rare' in 1 doc only
+    val docs = Seq(
+      (1L, "the quick rare the fox"),
+      (2L, "the slow dog"),
+      (3L, "the the the"),       // fully boilerplate → survives empty
+      (4L, "calm waters here")).toDF("doc_id", "text")
+    val tok = docs.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("token"))
+    val termDf = tok.groupBy("token").agg(count(lit(1)).cast("long").as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val out = CorpusOps.scrubFrequentTokens(docs, "doc_id", "text", termDf, n)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == (("quick rare fox", 2L)), s"got $out")
+    assert(out(2L) == (("slow dog", 1L)), s"got $out")
+    assert(out(3L) == (("", 3L)), "fully-boilerplate doc kept, empty")
+    assert(out(4L) == (("calm waters here", 0L)))
+  }
 }

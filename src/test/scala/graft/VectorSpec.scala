@@ -249,6 +249,40 @@ class VectorSpec extends SparkSpec {
     assert(mmr.toSeq == Seq("10,11,12"))
   }
 
+  test("rankingEval: perfect prediction scores 1.0 across the board; a disjoint one scores 0 without dropping the query") {
+    val truth = Seq((1L, 10L, 1), (1L, 11L, 2), (2L, 20L, 1), (2L, 21L, 2))
+      .toDF("q_vec_id", "n_vec_id", "rnk")
+    val perfect = truth
+    val out = VectorSearch.rankingEval(perfect, truth, 2)
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 2L, 1.0, 1.0, 1.0)))
+    assert(out(2L) == ((2L, 2L, 1.0, 1.0, 1.0)))
+    // query 2's prediction finds nothing — it must still score, at zero
+    val miss = Seq((1L, 10L, 1), (1L, 11L, 2), (2L, 98L, 1), (2L, 99L, 2))
+      .toDF("q_vec_id", "n_vec_id", "rnk")
+    val out2 = VectorSearch.rankingEval(miss, truth, 2)
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out2(2L) == ((2L, 0L, 0.0, 0.0, 0.0)))
+    assert(out2(1L)._5 == 1.0)
+  }
+
+  test("rankingEval: a reversed top-2 keeps recall 1 but discounts ndcg below 1 and mrr stays 1") {
+    // truth top-2 found but in swapped order: rank-1 item at rank 2.
+    // With binary gains both orders have the same DCG over the same
+    // hit SET — so use a prediction hitting only the deeper slot:
+    // pred rank 1 misses, rank 2 hits → mrr = 1/2, dcg = 1/ln(3).
+    val truth = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("q_vec_id", "n_vec_id", "rnk")
+    val pred = Seq((1L, 99L, 1), (1L, 10L, 2)).toDF("q_vec_id", "n_vec_id", "rnk")
+    val r = VectorSearch.rankingEval(pred, truth, 2)
+      .as[(Long, Long, Double, Double, Double)].collect().head
+    assert(r._2 == 1L && r._3 == 0.5 && r._4 == 0.5)
+    val idcg = math.floor(1e9 / math.log(2) + 0.5) + math.floor(1e9 / math.log(3) + 0.5)
+    val want = math.floor(1e9 / math.log(3) + 0.5) / idcg
+    assert(math.abs(r._5 - want) < 1e-12, s"ndcg ${r._5} want $want")
+  }
+
   test("hardNegatives: only different-label neighbors, ranked by closeness; same-label twins never appear") {
     // anchor 1 (label 7): its closest row 2 SHARES the label and must
     // not appear; the hardest negative is 3 (label 9, nearly parallel),
