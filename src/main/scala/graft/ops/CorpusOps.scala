@@ -446,16 +446,23 @@ object CorpusOps {
   def bfsDistances(edges: DataFrame, seeds: DataFrame,
       maxIter: Int = 200, cap: Int = DriverFrontierCap): DataFrame = {
     val spark = edges.sparkSession
-    val e = edges.select(col("u"), col("v")).localCheckpoint(true)
     val seed0 = seeds.select(col("id")).distinct()
       .select(col("id"), lit(0L).as("dist")).localCheckpoint(true)
+    // Pin the edge endpoints to the SEED id type up front: the driver
+    // tier dedupes collected ids in a HashSet[Any] and rebuilds frames
+    // with the seed column's type, so INT edges against BIGINT seeds
+    // would either fail createDataFrame row validation or mis-compare
+    // boxed Integer vs Long and revisit nodes. One cast, both tiers.
+    val seedIdType = seed0.schema("id").dataType
+    val e = edges.select(col("u").cast(seedIdType).as("u"),
+      col("v").cast(seedIdType).as("v")).localCheckpoint(true)
     val seedN = seed0.count()
     if (seedN > cap)
       return bfsDistributedLoop(e, seed0.select(col("id")), seedN,
         seed0, seedN, Seq(seed0), maxIter)
 
     import scala.jdk.CollectionConverters._
-    val idType = seed0.schema("id").dataType
+    val idType = seedIdType
     val idSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("id", idType)))
     val outSchema = idSchema.add("dist",

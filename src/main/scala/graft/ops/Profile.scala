@@ -142,33 +142,84 @@ object Profile {
         col("psi_term"), col("psi_feature"))
   }
 
+  /** What a breached expectation DOES to the batch it judged — the
+    * enforcement half of the rule engine (the reference's error-
+    * isolation intent, S6: a failing record must not silently reach
+    * consumers, and must not take down the healthy rest either):
+    *  - [[Warn]]   record the verdict row, serve the batch unchanged
+    *               (pure monitoring — the pre-r11 behavior).
+    *  - [[Drop]]   violating ROWS dead-letter before the serving write;
+    *               every violating row is withheld regardless of budget
+    *               (the budget tolerates verdict FAILURES, it never
+    *               licenses serving a known-bad row), and the verdict
+    *               row still records the exact count.
+    *  - [[Halt]]   violations beyond budget quarantine the pipeline
+    *               ([[HaltException]] fails the micro-batch, exactly as
+    *               a malformed conf edit does) — the store keeps its
+    *               pre-batch state, and the checkpoint replays the batch
+    *               once the data (or the rule) is fixed.
+    */
+  sealed trait Action extends Serializable
+  case object Warn extends Action
+  case object Drop extends Action
+  case object Halt extends Action
+
+  /** A halt-action rule breached its budget: the micro-batch must fail
+    * (pipeline quarantine), leaving the serving store at its pre-batch
+    * state for checkpoint replay after the fix.
+    */
+  final class HaltException(val pipeline: String, val batchId: Long,
+      val rule: String, val violations: Long, val budget: Long)
+    extends RuntimeException(
+      s"pipeline $pipeline batch $batchId: expectation '$rule' halts — " +
+        s"$violations violations > budget $budget")
+
   /** A declared data-quality expectation. Rules are TYPED literals, not
     * SQL strings (the q69 lesson: declared pipeline logic that reaches
     * an execution plan must be structured data, never interpolated
     * text). `budget` is the violation count the rule tolerates; a rule
     * passes iff violations <= budget — integer arithmetic end to end,
-    * so verdicts are engine-exact.
+    * so verdicts are engine-exact. `action` is what a breach does to
+    * the judged batch ([[Action]]).
     */
-  sealed trait Rule { def name: String; def budget: Long }
+  sealed trait Rule { def name: String; def budget: Long; def action: Action }
   /** Violations = rows where `column` is null. */
   final case class NotNull(name: String, column: String,
-      budget: Long = 0L) extends Rule
+      budget: Long = 0L, action: Action = Warn) extends Rule
   /** Violations = rows beyond the first per value of `column` (nulls
     * count as one shared value — null-cardinality policing belongs to
     * [[NotNull]]).
     */
   final case class Unique(name: String, column: String,
-      budget: Long = 0L) extends Rule
+      budget: Long = 0L, action: Action = Warn) extends Rule
   /** Violations = NON-NULL rows outside [lo, hi] (nulls are
     * [[NotNull]]'s concern, mirroring SQL's null-excluding filters).
     */
   final case class InRange(name: String, column: String, lo: Double,
-      hi: Double, budget: Long = 0L) extends Rule
+      hi: Double, budget: Long = 0L, action: Action = Warn) extends Rule
   /** Violations = NON-NULL `column` values with no match in
     * `dim.dimColumn` — foreign-key conformance against a dimension.
     */
   final case class RefIntegrity(name: String, column: String,
-      dim: DataFrame, dimColumn: String, budget: Long = 0L) extends Rule
+      dim: DataFrame, dimColumn: String, budget: Long = 0L,
+      action: Action = Warn) extends Rule
+  /** [[RefIntegrity]] with the dimension as a PARQUET PATH + key column
+    * — the conf-expressible form (a conf can declare a path; it cannot
+    * declare a DataFrame), resolved against the judged frame's session
+    * at evaluation. Registration validates the path reads and carries
+    * the key column, so a typo'd conf dies at boot naming file + field.
+    */
+  final case class RefIntegrityPath(name: String, column: String,
+      dimPath: String, dimColumn: String, budget: Long = 0L,
+      action: Action = Warn) extends Rule
+
+  private def refDim(df: DataFrame, r: Rule): (DataFrame, String) = r match {
+    case r: RefIntegrity => (r.dim, r.dimColumn)
+    case r: RefIntegrityPath =>
+      (df.sparkSession.read.parquet(r.dimPath), r.dimColumn)
+    case other =>
+      throw new IllegalArgumentException(s"not a referential rule: $other")
+  }
 
   /** DATA-QUALITY EXPECTATIONS — the declared-constraint verdict pass
     * (Deequ-style) an intake pipeline gates on: one row per rule with
@@ -213,15 +264,82 @@ object Profile {
           .agg(coalesce(sum(col("_c") - 1L), lit(0L)).as("violations"))
           .select(lit(r.name).as("rule"), col("violations"),
             lit(r.budget).as("budget"))
-      case r: RefIntegrity =>
-        df.filter(col(r.column).isNotNull)
-          .join(r.dim.select(col(r.dimColumn).as(r.column)).distinct(),
-            Seq(r.column), "left_anti")
+      case r @ (_: RefIntegrity | _: RefIntegrityPath) =>
+        val (dim, dimColumn) = refDim(df, r)
+        val column = r match {
+          case x: RefIntegrity => x.column
+          case x: RefIntegrityPath => x.column
+          case _ => throw new MatchError(r)
+        }
+        df.filter(col(column).isNotNull)
+          .join(dim.select(col(dimColumn).as(column)).distinct(),
+            Seq(column), "left_anti")
           .agg(count(lit(1)).as("violations"))
           .select(lit(r.name).as("rule"), col("violations"),
             lit(r.budget).as("budget"))
     }
     (scalarRows ++ keyed).reduce(_ unionByName _)
       .withColumn("pass", col("violations") <= col("budget"))
+  }
+
+  /** Tag every row of `df` with the names of the rules it violates —
+    * the PER-ROW form of [[expectations]] that [[Drop]] enforcement
+    * runs on (a verdict can only count; withholding needs the rows).
+    * Adds a `violated` array<string> column; a clean row's array is
+    * empty. Counting parity with [[expectations]] is load-bearing and
+    * spec-pinned: the number of tagged rows per rule equals that rule's
+    * aggregate violation count (NotNull/InRange tag per-row predicates;
+    * Unique tags every row beyond the first per value — rows ranked by
+    * `tieBreak`, which callers pass as the serving frame's primary key
+    * so the survivor is deterministic; referential rules tag left-anti
+    * misses).
+    *
+    * Scale shape: scalar tags are codegen'd per-row expressions (zero
+    * extra passes); each Unique rule costs one window shuffle on its
+    * column; each referential rule one left join against the
+    * dimension's distinct keys (broadcast when small — AQE decides).
+    */
+  def tagViolations(df: DataFrame, rules: Seq[Rule],
+      tieBreak: Seq[String]): DataFrame = {
+    require(rules.nonEmpty, "tagViolations needs at least one rule")
+    val uniqueRules = rules.collect { case r: Unique => r }
+    require(uniqueRules.isEmpty || tieBreak.nonEmpty,
+      "a Unique drop rule needs a tieBreak key to pick the surviving row")
+    var acc = df
+    val tagCols = scala.collection.mutable.ArrayBuffer.empty[Column]
+    rules.foreach {
+      case r: NotNull =>
+        tagCols += when(col(r.column).isNull, lit(r.name))
+      case r: InRange =>
+        tagCols += when(col(r.column).isNotNull &&
+          !(col(r.column) >= r.lo && col(r.column) <= r.hi), lit(r.name))
+      case r: Unique =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(r.column)).orderBy(tieBreak.map(col): _*)
+        val m = s"__uq_${r.name}"
+        acc = acc.withColumn(m, row_number().over(w) > 1)
+        tagCols += when(col(m), lit(r.name))
+      case r @ (_: RefIntegrity | _: RefIntegrityPath) =>
+        val (dim, dimColumn) = refDim(df, r)
+        val column = r match {
+          case x: RefIntegrity => x.column
+          case x: RefIntegrityPath => x.column
+          case _ => throw new MatchError(r)
+        }
+        val m = s"__ref_${r.name}"
+        // distinct dim keys → at most one match, so multiplicity holds
+        acc = acc.join(
+          dim.select(col(dimColumn).as(column)).distinct()
+            .withColumn(m, lit(true)),
+          Seq(column), "left")
+        tagCols += when(col(column).isNotNull && col(m).isNull, lit(r.name))
+    }
+    // re-select the ORIGINAL column order (+ violated): the referential
+    // joins move their join column first, and callers feed the clean
+    // remainder straight to sinks that are order-sensitive (to_json)
+    acc
+      .withColumn("violated",
+        array_compact(array(tagCols.toSeq: _*)).cast("array<string>"))
+      .select((df.columns.toSeq :+ "violated").map(col): _*)
   }
 }

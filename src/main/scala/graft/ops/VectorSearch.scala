@@ -687,12 +687,18 @@ object VectorSearch {
       .agg(map_from_entries(collect_list(struct(col("b"), col("s"))))
         .as("sims"))
     // sims derives from cand, so the join must qualify via aliases or
-    // Spark's ambiguous-self-join detection rejects the parent refs
+    // Spark's ambiguous-self-join detection rejects the parent refs.
+    // LEFT join with an empty-map default: a query whose candidate set
+    // is a single row has no (a,b) pairs at all, and an inner join would
+    // silently drop the query instead of returning its one pick.
     val ds = cand.as("cnd").join(sims.as("sm"),
         col("cnd.q_vec_id") === col("sm.q_vec_id") &&
-          col("cnd.id") === col("sm.a"))
+          col("cnd.id") === col("sm.a"), "left")
       .select(col("cnd.q_vec_id").as("q"), col("cnd.id").as("id"),
-        col("cnd.rel_i").as("rel"), col("sm.sims").as("sims"))
+        col("cnd.rel_i").as("rel"),
+        coalesce(col("sm.sims"),
+          map_from_entries(array().cast("array<struct<b:long,s:long>>")))
+          .as("sims"))
       .as[MmrCand]
     ds.groupByKey(_.q).mapGroups { (q, it) =>
       val cs = it.toArray
@@ -758,8 +764,16 @@ object VectorSearch {
     * size, never the corpus's.
     */
   def rankingEval(pred: DataFrame, truth: DataFrame, k: Int): DataFrame = {
-    val t = truth.select(col("q_vec_id"), col("n_vec_id"))
+    // honor the @k contract regardless of caller input size: a predicted
+    // ranking longer than k must not count hits beyond rank k into
+    // recall/DCG (they'd push recall and NDCG past 1), and a truth
+    // relation carrying its own rnk is cut to its top-k the same way
+    val t0 =
+      if (truth.columns.contains("rnk")) truth.filter(col("rnk") <= k)
+      else truth
+    val t = t0.select(col("q_vec_id"), col("n_vec_id"))
     val p = pred.select(col("q_vec_id"), col("n_vec_id"), col("rnk"))
+      .filter(col("rnk") <= k)
     val idcg = (1 to k).map(i =>
       math.floor(1e9 / math.log(1.0 + i) + 0.5).toLong).sum
     val hits = p.join(t, Seq("q_vec_id", "n_vec_id"))

@@ -229,8 +229,16 @@ object JdbcSink {
     val conn = java.sql.DriverManager.getConnection(url, props)
     try {
       val st = conn.createStatement()
+      // Swallow ONLY table-absent (Derby 42X05 "table does not exist" /
+      // 42Y55 "cannot drop/alter non-existent"): a transient lock or
+      // permission failure here would leave stale markers that silently
+      // skip every replayed batch — the truncated-store failure mode the
+      // rebuild contract exists to prevent. Anything else must fail loud.
       try st.execute(s"DELETE FROM ${table}_progress")
-      catch { case _: java.sql.SQLException => () } // table absent: nothing stale
+      catch {
+        case e: java.sql.SQLException
+            if e.getSQLState == "42X05" || e.getSQLState == "42Y55" => ()
+      }
       finally st.close()
     } finally conn.close()
   }
@@ -239,7 +247,9 @@ object JdbcSink {
     val st = conn.createStatement()
     try st.execute(
       s"CREATE TABLE ${table}_progress (batch_id BIGINT NOT NULL PRIMARY KEY)")
-    catch { case _: java.sql.SQLException => () } // exists
+    catch { // swallow ONLY Derby's already-exists (X0Y32); fail loud otherwise
+      case e: java.sql.SQLException if e.getSQLState == "X0Y32" => ()
+    }
     finally st.close()
   }
 }

@@ -370,7 +370,19 @@ final case class AnnServingPipeline(
         // extra consumers below cannot re-run the batch plan
         val flat = if (metrics.isDefined || esMirror.isDefined)
           flat0.localCheckpoint(true) else flat0
-        JdbcSink.applyViewDeltas(flat, jdbcUrl, postingsTable, Seq(idF),
+        // expectations judge the batch's UPSERT posting actions (id +
+        // advisory cell) BEFORE the index store commits: Halt fails the
+        // batch here, Drop violators dead-letter and are withheld from
+        // both the index store and the mirror
+        val violating = PipelineMetrics.enforceBatchExpectations(metrics,
+          name, batchId, expectations,
+          flat.filter(col("action") === "upsert").select(col(idF), col("cell")),
+          Seq(idF), deadLetterDir)
+        val served = violating.fold(flat)(v =>
+          flat.filter(col("action") === "delete")
+            .unionByName(flat.filter(col("action") === "upsert")
+              .join(v.select(col(idF)), Seq(idF), "left_anti")))
+        JdbcSink.applyViewDeltas(served, jdbcUrl, postingsTable, Seq(idF),
           stagingColumnTypes = "emb_json VARCHAR(32000)")
         // mirror AFTER the index store commits: the document surface
         // trails the source of truth, never leads it
@@ -381,8 +393,8 @@ final case class AnnServingPipeline(
           // run's marker (SearchServingPipeline's rebuild contract)
           val markerId = s"${name}_${Integer.toHexString(workRoot.hashCode)}"
           val applied = graft.sinks.EsSink.applyKeyedBatch(markerId, batchId,
-            flat.filter(col("action") === "delete").select(col(idF)),
-            flat.filter(col("action") === "upsert")
+            served.filter(col("action") === "delete").select(col(idF)),
+            served.filter(col("action") === "upsert")
               .select(col(idF), col("cell"), col("emb_json")),
             es.config(idF), esTransport,
             onDeadLetters = (dlDeletes, dlUpserts) =>
@@ -405,13 +417,6 @@ final case class AnnServingPipeline(
             wallMs = System.currentTimeMillis() - t0,
             info = s"""{"generation":"$gen"}""")
         }
-        // verdicts see the batch's UPSERT posting actions — the rows
-        // the index store serves after this batch (id + advisory cell;
-        // the frame is localCheckpointed above when metrics are on)
-        PipelineMetrics.recordBatchExpectations(metrics, name, batchId,
-          expectations,
-          flat.filter(col("action") === "upsert")
-            .select(col(idF), col("cell")))
         // SELF-HEALING: a tripped certificate triggers the retrain
         // in-stream — the swap lands between batches through CURRENT,
         // and the re-run certificate records the restored SLO

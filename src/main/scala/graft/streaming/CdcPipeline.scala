@@ -47,6 +47,10 @@ final case class CdcPipeline(
   // exists yet (exotic construction orders) resolution still fails fast
   // at pipeline start, the pre-r10 behavior.
   exprTransform.foreach { t =>
+    // the sink extracts the document id from the outgoing row and drop
+    // enforcement anti-joins on it — the serving key must survive
+    require(!t.drops.contains(idKey),
+      s"pipeline $name: transform must not drop the serving key '$idKey'")
     SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
       .foreach { sp =>
         try t.validateStruct(sp, ExprTransform.cdcFrameSchema(rowSchema, idKey))
@@ -56,6 +60,23 @@ final case class CdcPipeline(
         }
       }
   }
+
+  /** The OUTGOING document schema — the declared row schema as reshaped
+    * by the conf-declared transform (set fields added/replaced, drop
+    * fields gone), computed by running [[ExprTransform.applyToStruct]]
+    * itself over an empty frame so the semantics can never drift from
+    * the real reshape. This is the schema expectations resolve against
+    * (both registration validation and the stateful path's re-type): a
+    * conf whose transform drops a declared column referenced by an
+    * expectation must die at boot, not throw in every micro-batch.
+    */
+  def outgoingRowSchema(spark: SparkSession): StructType =
+    exprTransform.fold(rowSchema) { t =>
+      val empty = spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        ExprTransform.cdcFrameSchema(rowSchema, idKey))
+      t.applyToStruct(empty).schema("row").dataType.asInstanceOf[StructType]
+    }
 
   /** Routed, filtered, typed change rows from a raw value stream —
     * single-pass typed envelope parse (the pipeline knows its schema).
@@ -155,6 +176,10 @@ final case class CdcPipeline(
     val events = changeRows(raw)
       .select(col("key"), col("ts_ms"), col("offset"), col("op"),
         to_json(col("row")).as("after"))
+    // expectations resolve against the POST-TRANSFORM document schema
+    // (what the store actually serves) — computed once, outside the
+    // per-batch closure
+    val outSchema = outgoingRowSchema(spark)
     val writer = StatefulLww.deltaStream(events).writeStream
       .queryName(s"cdc_inc_$name")
       .option("checkpointLocation", checkpointDir)
@@ -172,21 +197,27 @@ final case class CdcPipeline(
         // verbatim: re-typing through the declared rowSchema would
         // silently drop transform-ADDED fields and resurrect DROPPED
         // ones, diverging from the per-batch path's sink documents
-        val ups = df.filter(col("action") === "upsert")
+        val ups0 = df.filter(col("action") === "upsert")
           .select(col("key"), col("rowJson"))
+        // expectations judge the serving documents re-typed through the
+        // POST-TRANSFORM schema (the consumer's view), BEFORE the sink:
+        // Halt fails the batch here, Drop violators dead-letter and
+        // their keys are withheld from the upsert send
+        val typed = ups0
+          .select(col("key").as("__key"),
+            from_json(col("rowJson"), outSchema).as("r"))
+          .select(col("__key") +: outSchema.fieldNames.toSeq.map(f =>
+            col(s"r.$f")): _*)
+        val violating = PipelineMetrics.enforceBatchExpectations(metrics,
+          name, batchId, expectations, typed, Seq("__key"), deadLetterDir)
+        val ups = violating.fold(ups0)(v =>
+          ups0.join(v.select(col("__key").as("key")), Seq("key"), "left_anti"))
         val dlDels = EsSink.delete(dels, cfg, transport)
         val dlUps = EsSink.upsertRaw(ups, "key", "rowJson", cfg, transport)
         metrics.foreach(m => PipelineMetrics.record(m, name, "lww", batchId,
           rowsIn = df.count(),
           deadLetters = dlDels.count() + dlUps.count(),
           stateRows = 0L, wallMs = System.currentTimeMillis() - t0))
-        // verdicts see the serving DOCUMENT re-typed through the
-        // declared schema — a transform that dropped a declared field
-        // shows up as that field's nulls, which is what the monitor
-        // should report (the consumer's view, not the wire's)
-        recordBatchExpectations(
-          ups.select(from_json(col("rowJson"), rowSchema).as("r"))
-            .select(col("r.*")), batchId)
         () // dead-letter frames are returned by the sink; S6 contract:
            // the stream continues regardless
       }
@@ -218,8 +249,17 @@ final case class CdcPipeline(
     try {
       val deletes = winnersCached.filter(col("w.op") === "d")
         .select(col("key").cast("string").as(idKey))
-      val upserts = winnersCached.filter(col("w.op") =!= "d")
+      val upserts0 = winnersCached.filter(col("w.op") =!= "d")
         .select(col("w.row.*"))
+      // expectations judge the batch's upsert documents BEFORE the
+      // serving write: verdicts record, a breached Halt rule fails the
+      // batch here (store keeps pre-batch state), and Drop violators
+      // dead-letter and are withheld from the sink — the budgeted
+      // verdict is monitoring, the withheld row is data protection
+      val violating = PipelineMetrics.enforceBatchExpectations(metrics,
+        name, batchId, expectations, upserts0, Seq(idKey), deadLetterDir)
+      val upserts = violating.fold(upserts0)(v =>
+        upserts0.join(v.select(col(idKey)), Seq(idKey), "left_anti"))
       val dlDeletes = EsSink.delete(deletes, cfg, transport)
       val dlUpserts = EsSink.upsert(upserts, cfg, transport)
       deadLetterDir.foreach { dir =>
@@ -233,18 +273,8 @@ final case class CdcPipeline(
         rowsIn = winnersCached.count(),
         deadLetters = dlDeletes.count() + dlUpserts.count(),
         stateRows = 0L, wallMs = System.currentTimeMillis() - t0))
-      recordBatchExpectations(upserts, batchId)
     } finally winnersCached.unpersist()
   }
-
-  /** Evaluate the conf-declared expectations over this batch's upsert
-    * documents — [[PipelineMetrics.recordBatchExpectations]], the hook
-    * every pipeline kind shares.
-    */
-  private def recordBatchExpectations(upserts: => DataFrame,
-      batchId: Long): Unit =
-    PipelineMetrics.recordBatchExpectations(metrics, name, batchId,
-      expectations, upserts)
 }
 
 object CdcPipeline {

@@ -392,17 +392,23 @@ final case class DedupClusterPipeline(
             labelBase, batchId)
           changedRows = changed.count()
           droppedRows = dropped.count()
-          // verdicts see the batch's changed CLUSTER rows under the
-          // conf's id name — the upserts a serving consumer reads
-          // (both frames are localCheckpointed above)
-          PipelineMetrics.recordBatchExpectations(mtx, pipelineName,
-            batchId, expectRules,
+          // expectations judge the batch's changed CLUSTER rows under
+          // the conf's id name BEFORE the serving write (both frames
+          // are localCheckpointed above): Halt fails the batch here,
+          // Drop violators dead-letter and are withheld from the store
+          // — the label STATE already recorded them (the clustering
+          // algebra stays exact); only the consumer surface is guarded
+          val violating = PipelineMetrics.enforceBatchExpectations(mtx,
+            pipelineName, batchId, expectRules,
             changed.select(col("doc_id").as(idF), col("cluster_id"),
-              col("is_canonical")))
+              col("is_canonical")), Seq(idF), dlDir)
+          val changedServed = violating.fold(changed)(v =>
+            changed.join(v.select(col(idF).as("doc_id")), Seq("doc_id"),
+              "left_anti"))
           target match {
             case JdbcTarget(url, tbl, _) =>
               JdbcSink.applyViewDeltas(
-                changed.select(col("doc_id").as(idF),
+                changedServed.select(col("doc_id").as(idF),
                   lit("upsert").as("action"), col("cluster_id"),
                   col("is_canonical").cast("int").as("is_canonical"))
                   .unionByName(dropped.select(col("doc_id").as(idF),
@@ -422,7 +428,7 @@ final case class DedupClusterPipeline(
               // replays as a no-op and could never regenerate them
               val applied = graft.sinks.EsSink.applyKeyedBatch(markerId, batchId,
                 dropped.select(col("doc_id").as(idF)),
-                changed.select(col("doc_id").as(idF), col("cluster_id"),
+                changedServed.select(col("doc_id").as(idF), col("cluster_id"),
                   col("is_canonical").cast("int").as("is_canonical")),
                 cfg, esTransport,
                 onDeadLetters = (dlDeletes, dlUpserts) =>

@@ -157,8 +157,9 @@ object PipelineMetrics {
           s"[PipelineMetrics] $pipeline batch $batchId verdicts not recorded: $e")
     }
 
-  /** Evaluate conf-declared expectations over a batch's SERVING rows
-    * and record one verdict row per rule — the shared per-kind hook
+  /** Evaluate conf-declared expectations over a batch's SERVING rows,
+    * record one verdict row per rule, and ENFORCE the rules' declared
+    * actions ([[graft.ops.Profile.Action]]) — the shared per-kind hook
     * (each pipeline kind hands in its own serving frame: lww documents,
     * view enriched rows, ann posting actions, dedup cluster rows,
     * search postings). `servingRows` is BY-NAME so pipelines without
@@ -167,16 +168,84 @@ object PipelineMetrics {
     * accumulate). The verdict frame is rules-count rows — model-sized —
     * and callers pass an already cached/pinned input, so the collect
     * never re-runs the batch plan.
+    *
+    * Enforcement, in contract order:
+    *  1. verdicts are recorded FIRST — a breach must be observable in
+    *     the store even when it kills the batch;
+    *  2. a `Halt` rule whose violations exceed its budget throws
+    *     [[graft.ops.Profile.HaltException]] — the micro-batch fails,
+    *     the serving store keeps its pre-batch state, and the pipeline
+    *     quarantines exactly as a malformed conf edit does;
+    *  3. rows violating any `Drop` rule are dead-lettered (parquet
+    *     under `<deadLetterDir>/_expect`, uniform shape: pipeline,
+    *     batch_id, violated, row_json — the underscore keeps the frame
+    *     invisible to reads of the sink dead letters beside it) and
+    *     returned, tagged, for the caller to anti-join out of its
+    *     served frame by its primary key (`tieBreak`). Every violating
+    *     row is withheld regardless of budget — the budget tolerates
+    *     verdict failures, it never licenses serving a known-bad row.
+    *
+    * Returns the violating rows (original columns + `violated` CSV),
+    * localCheckpointed, or None when nothing must be withheld.
     */
-  def recordBatchExpectations(target: Option[Target], pipeline: String,
+  def enforceBatchExpectations(target: Option[Target], pipeline: String,
       batchId: Long, rules: Seq[graft.ops.Profile.Rule],
-      servingRows: => org.apache.spark.sql.DataFrame): Unit =
-    if (rules.nonEmpty) target.foreach { m =>
-      val verdicts = graft.ops.Profile.expectations(servingRows, rules)
+      servingRows: => org.apache.spark.sql.DataFrame,
+      tieBreak: Seq[String] = Nil,
+      deadLetterDir: Option[String] = None):
+      Option[org.apache.spark.sql.DataFrame] = {
+    import org.apache.spark.sql.functions._
+    if (rules.isEmpty) None
+    else {
+      val rows = servingRows
+      val verdicts = graft.ops.Profile.expectations(rows, rules)
         .collect().toSeq.map(r => Verdict(
           r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
-      recordExpectations(m, pipeline, batchId, verdicts)
+      target.foreach(recordExpectations(_, pipeline, batchId, verdicts))
+      val byName = rules.map(r => r.name -> r).toMap
+      verdicts.foreach { v =>
+        if (byName(v.rule).action == graft.ops.Profile.Halt && !v.pass)
+          throw new graft.ops.Profile.HaltException(pipeline, batchId,
+            v.rule, v.violations, v.budget)
+      }
+      val dropRules = rules.filter(_.action == graft.ops.Profile.Drop)
+      val anyDropViolations = dropRules.exists(r =>
+        verdicts.exists(v => v.rule == r.name && v.violations > 0))
+      if (!anyDropViolations) None
+      else {
+        val viol = graft.ops.Profile.tagViolations(rows, dropRules, tieBreak)
+          .filter(size(col("violated")) > 0)
+          .localCheckpoint(true)
+        deadLetterDir.foreach { dir =>
+          val docCols = viol.columns
+            .filter(c => c != "violated" && !c.startsWith("__"))
+          // overwrite THIS batch's partition dir (StateLog.appendBatch's
+          // idempotence rule): a checkpoint-replayed batch re-writes its
+          // own rows instead of appending duplicates
+          viol.select(array_join(col("violated"), ",").as("violated"),
+            to_json(struct(docCols.map(col).toSeq: _*)).as("row_json"))
+            .write.mode("overwrite")
+            .parquet(s"$dir/_expect/pipeline=$pipeline/batch_id=$batchId")
+        }
+        Some(viol)
+      }
     }
+  }
+
+  /** The dead-lettered expectation-dropped rows under a pipeline's
+    * dead-letter dir — the uniform frame
+    * (violated, row_json, pipeline, batch_id) that
+    * [[enforceBatchExpectations]] writes per offending batch (pipeline
+    * and batch_id are partition directories, so a replayed batch
+    * overwrites its own rows).
+    */
+  def expectDeadLetters(spark: org.apache.spark.sql.SparkSession,
+      deadLetterDir: String): org.apache.spark.sql.DataFrame =
+    spark.read.schema(
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "violated STRING, row_json STRING, pipeline STRING, batch_id BIGINT"))
+      .option("basePath", s"$deadLetterDir/_expect")
+      .parquet(s"$deadLetterDir/_expect")
 
   /** The recorded verdict rows, typed. */
   def expectRows(spark: org.apache.spark.sql.SparkSession,

@@ -198,17 +198,28 @@ object PipelineRegistry {
     *     {"rule": "not_null", "name": "id_set",   "column": "o_orderkey"},
     *     {"rule": "unique",   "name": "id_unique","column": "o_orderkey"},
     *     {"rule": "in_range", "name": "price_ok", "column": "o_totalprice",
-    *      "lo": 0, "hi": 300000, "budget": 5}
+    *      "lo": 0, "hi": 300000, "budget": 5, "action": "drop"},
+    *     {"rule": "ref_integrity", "name": "cust_known",
+    *      "column": "o_custkey",
+    *      "dim": {"path": "/data/customer.parquet",
+    *              "keyColumn": "c_custkey"}}
     *   ]
     * }}}
     * Validation is REGISTRATION-TIME (the ExprTransform precedent): an
     * unknown rule kind, a missing field, or a column absent from the
-    * conf's declared schema fails the conf naming file + field — never
-    * the first drained batch. Expectations also require a `metrics`
-    * target (the verdict store); [[CdcPipeline]] enforces that at
-    * construction. `RefIntegrity` is deliberately NOT conf-expressible
-    * (its dimension is a DataFrame, not conf data) — it stays a
-    * batch-API rule.
+    * pipeline's OUTGOING serving schema (the declared schema as
+    * reshaped by the conf's transform — a transform that drops a
+    * declared column must not leave an expectation that throws in every
+    * micro-batch) fails the conf naming file + field — never the first
+    * drained batch. Expectations also require a `metrics` target (the
+    * verdict store); the pipeline ctors enforce that too.
+    * `ref_integrity` declares its dimension as a parquet path + key
+    * column, validated HERE (the path must read and carry the column).
+    * `action` is what a breach does to the judged batch
+    * ([[graft.ops.Profile.Action]]): `warn` (default) records only,
+    * `drop` dead-letters violating rows before the serving write
+    * (requires a conf-declared `deadLetterDir`), `halt` quarantines the
+    * pipeline when violations exceed budget.
     */
   private def parseExpectations(f: File,
       node: com.fasterxml.jackson.databind.JsonNode,
@@ -221,17 +232,55 @@ object PipelineRegistry {
         e.get(field).asText()
       }
       val budget = if (e.hasNonNull("budget")) e.get("budget").asLong() else 0L
+      val action =
+        if (!e.hasNonNull("action")) graft.ops.Profile.Warn
+        else e.get("action").asText() match {
+          case "warn" => graft.ops.Profile.Warn
+          case "drop" => graft.ops.Profile.Drop
+          case "halt" => graft.ops.Profile.Halt
+          case other => throw new IllegalArgumentException(
+            s"${f.getName}: unknown expectation action '$other' " +
+              "(expected warn, drop or halt)")
+        }
       val column = str("column")
       require(schema.fieldNames.contains(column),
-        s"${f.getName}: expectation column '$column' is not in the declared schema")
+        s"${f.getName}: expectation column '$column' is not in the " +
+          s"pipeline's serving schema (${schema.fieldNames.mkString(", ")})")
       str("rule") match {
-        case "not_null" => graft.ops.Profile.NotNull(str("name"), column, budget)
-        case "unique" => graft.ops.Profile.Unique(str("name"), column, budget)
+        case "not_null" =>
+          graft.ops.Profile.NotNull(str("name"), column, budget, action)
+        case "unique" =>
+          graft.ops.Profile.Unique(str("name"), column, budget, action)
         case "in_range" =>
           require(e.hasNonNull("lo") && e.hasNonNull("hi"),
             s"${f.getName}: in_range expectation needs lo and hi")
           graft.ops.Profile.InRange(str("name"), column,
-            e.get("lo").asDouble(), e.get("hi").asDouble(), budget)
+            e.get("lo").asDouble(), e.get("hi").asDouble(), budget, action)
+        case "ref_integrity" =>
+          require(e.hasNonNull("dim"),
+            s"${f.getName}: ref_integrity expectation needs a dim object")
+          val d = e.get("dim")
+          require(d.hasNonNull("path") && d.hasNonNull("keyColumn"),
+            s"${f.getName}: ref_integrity dim needs path and keyColumn")
+          val (path, keyCol) = (d.get("path").asText(), d.get("keyColumn").asText())
+          // registration-time read of the dimension's schema: a typo'd
+          // path or key column dies at boot naming file + field
+          SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+            .foreach { sp =>
+              val dimSchema =
+                try sp.read.parquet(path).schema
+                catch {
+                  case ex: org.apache.spark.sql.AnalysisException =>
+                    throw new IllegalArgumentException(
+                      s"${f.getName}: ref_integrity dim path '$path' " +
+                        s"does not read — ${ex.getMessage}")
+                }
+              require(dimSchema.fieldNames.contains(keyCol),
+                s"${f.getName}: ref_integrity dim keyColumn '$keyCol' is " +
+                  s"not in $path (have ${dimSchema.fieldNames.mkString(", ")})")
+            }
+          graft.ops.Profile.RefIntegrityPath(str("name"), column, path,
+            keyCol, budget, action)
         case other => throw new IllegalArgumentException(
           s"${f.getName}: unknown expectation rule '$other'")
       }
@@ -239,17 +288,24 @@ object PipelineRegistry {
 
   /** [[parseExpectations]] plus the store-side registration work every
     * kind shares: declared rules REQUIRE a metrics target (verdicts
-    * without a store would vanish silently) and the sibling verdict
-    * table is ensured at load (register-at-boot, S3).
+    * without a store would vanish silently), a `drop` action REQUIRES a
+    * dead-letter dir (withheld rows without a landing place would
+    * vanish too — S6: failures are data), and the sibling verdict table
+    * is ensured at load (register-at-boot, S3).
     */
   private def parseExpectationsWithStore(f: File,
       node: com.fasterxml.jackson.databind.JsonNode,
       schema: org.apache.spark.sql.types.StructType,
-      metricsTarget: Option[PipelineMetrics.Target]): Seq[graft.ops.Profile.Rule] = {
+      metricsTarget: Option[PipelineMetrics.Target],
+      deadLetterDir: Option[String] = None): Seq[graft.ops.Profile.Rule] = {
     val rules = parseExpectations(f, node, schema)
     if (rules.nonEmpty) {
       require(metricsTarget.isDefined,
         s"${f.getName}: expectations need a metrics target to record into")
+      require(rules.forall(_.action != graft.ops.Profile.Drop)
+          || deadLetterDir.isDefined,
+        s"${f.getName}: a drop-action expectation needs a deadLetterDir " +
+          "for the withheld rows")
       metricsTarget.foreach(PipelineMetrics.ensureExpectTable)
     }
     rules
@@ -304,16 +360,25 @@ object PipelineRegistry {
           s"${f.getName}: name, idKey and schema are required")
         val rowSchema = StructType.fromDDL(node.get("schema").asText())
         val metricsTarget = parseMetrics(f, node)
-        val expectRules =
-          parseExpectationsWithStore(f, node, rowSchema, metricsTarget)
-        val pipeline = named(f)(CdcPipeline(
+        val dlDir = if (node.hasNonNull("deadLetterDir"))
+          Some(node.get("deadLetterDir").asText()) else None
+        // two-step build: the ctor validates the transform (file-named),
+        // so the OUTGOING document schema — what expectations must
+        // resolve against — is computable before the rules parse
+        val pipeline0 = named(f)(CdcPipeline(
           name = node.get("name").asText(),
           subscription = Subscription(strSet("databases"), strSet("tables")),
           rowSchema = rowSchema,
           idKey = node.get("idKey").asText(),
+          deadLetterDir = dlDir,
           exprTransform = parseTransform(f, node),
-          metrics = metricsTarget,
-          expectations = expectRules))
+          metrics = metricsTarget))
+        val servingSchema =
+          SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+            .map(pipeline0.outgoingRowSchema).getOrElse(rowSchema)
+        val expectRules = parseExpectationsWithStore(f, node, servingSchema,
+          metricsTarget, dlDir)
+        val pipeline = named(f)(pipeline0.copy(expectations = expectRules))
         // optional per-conf serving target (the reference's per-script
         // url/auth); its id key is ALWAYS the conf's declared idKey
         val target =
@@ -396,7 +461,12 @@ object PipelineRegistry {
           if (node.has("databases"))
             node.get("databases").elements().asScala.map(_.asText()).toSet
           else Set("shop")
-        val pipeline = named(f)(ViewPipeline(
+        val dlDir = if (node.hasNonNull("deadLetterDir"))
+          Some(node.get("deadLetterDir").asText()) else None
+        // two-step build (the lww precedent): ctor validates the
+        // transform, then expectations resolve against the
+        // POST-TRANSFORM flattened serving row a consumer reads
+        val pipeline0 = named(f)(ViewPipeline(
           name = node.get("name").asText(),
           databases = dbs,
           factTable = fTable, factSchema = fSchema, factIdField = fId,
@@ -405,15 +475,16 @@ object PipelineRegistry {
           dimJoinField = dJoin,
           leftOuter = node.has("leftOuter") && node.get("leftOuter").asBoolean(),
           target = tgt,
-          deadLetterDir =
-            if (node.hasNonNull("deadLetterDir"))
-              Some(node.get("deadLetterDir").asText()) else None,
+          deadLetterDir = dlDir,
           exprTransform = parseTransform(f, node),
-          metrics = viewMetrics,
-          // expectation columns resolve against the FLATTENED serving
-          // row — fact fields then dim fields, the table a consumer reads
-          expectations = parseExpectationsWithStore(f, node,
-            StructType(fSchema.fields ++ dSchema.fields), viewMetrics)))
+          metrics = viewMetrics))
+        val servingSchema =
+          SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+            .map(pipeline0.servingRowSchema)
+            .getOrElse(StructType(fSchema.fields ++ dSchema.fields))
+        val expectRules = parseExpectationsWithStore(f, node, servingSchema,
+          viewMetrics, dlDir)
+        val pipeline = named(f)(pipeline0.copy(expectations = expectRules))
         Some(ViewEntry(pipeline, f.getAbsolutePath, f.lastModified()))
       }
     }}
@@ -470,6 +541,8 @@ object PipelineRegistry {
             node.get("databases").elements().asScala.map(_.asText()).toSet
           else Set("shop")
         val annMetrics = parseMetrics(f, node)
+        val annDlDir = if (node.hasNonNull("deadLetterDir"))
+          Some(node.get("deadLetterDir").asText()) else None
         val pipeline = AnnServingPipeline(
           name = node.get("name").asText(),
           databases = dbs,
@@ -495,7 +568,7 @@ object PipelineRegistry {
           expectations = parseExpectationsWithStore(f, node,
             StructType.fromDDL(
               s"${node.get("idKey").asText()} BIGINT, cell INT"),
-            annMetrics),
+            annMetrics, annDlDir),
           // optional consumer-facing document mirror (the view/dedup
           // confs' "es" shape); jdbc stays the index's source of truth
           esMirror =
@@ -507,8 +580,7 @@ object PipelineRegistry {
                 if (es.hasNonNull("username")) es.get("username").asText() else "",
                 if (es.hasNonNull("password")) es.get("password").asText() else ""))
             },
-          deadLetterDir = if (node.hasNonNull("deadLetterDir"))
-            Some(node.get("deadLetterDir").asText()) else None)
+          deadLetterDir = annDlDir)
         Some(AnnEntry(pipeline, f.getAbsolutePath, f.lastModified()))
       }
     }}
@@ -563,6 +635,8 @@ object PipelineRegistry {
             node.get("databases").elements().asScala.map(_.asText()).toSet
           else Set("shop")
         val dedupMetrics = parseMetrics(f, node)
+        val dedupDlDir = if (node.hasNonNull("deadLetterDir"))
+          Some(node.get("deadLetterDir").asText()) else None
         val pipeline = DedupClusterPipeline(
           name = node.get("name").asText(),
           databases = dbs,
@@ -572,9 +646,7 @@ object PipelineRegistry {
           target = tgt,
           shingleN = int("shingleN", 3), bands = int("bands", 16),
           rows = int("rows", 4), maxBucket = int("maxBucket", Int.MaxValue),
-          deadLetterDir =
-            if (node.hasNonNull("deadLetterDir"))
-              Some(node.get("deadLetterDir").asText()) else None,
+          deadLetterDir = dedupDlDir,
           verifyThreshold =
             if (node.hasNonNull("verifyThreshold"))
               Some(node.get("verifyThreshold").asDouble()) else None,
@@ -584,7 +656,7 @@ object PipelineRegistry {
           expectations = parseExpectationsWithStore(f, node,
             StructType.fromDDL(s"${node.get("idKey").asText()} BIGINT, " +
               "cluster_id BIGINT, is_canonical BOOLEAN"),
-            dedupMetrics))
+            dedupMetrics, dedupDlDir))
         Some(DedupEntry(pipeline, f.getAbsolutePath, f.lastModified()))
       }
     }}
@@ -625,6 +697,8 @@ object PipelineRegistry {
         def dbl(field: String, dflt: Double): Double =
           if (node.hasNonNull(field)) node.get(field).asDouble() else dflt
         val searchMetrics = parseMetrics(f, node)
+        val searchDlDir = if (node.hasNonNull("deadLetterDir"))
+          Some(node.get("deadLetterDir").asText()) else None
         val pipeline = SearchServingPipeline(
           name = node.get("name").asText(),
           databases = dbs,
@@ -640,7 +714,8 @@ object PipelineRegistry {
           // contribution row the additive MERGE applies
           expectations = parseExpectationsWithStore(f, node,
             StructType.fromDDL("token STRING, doc_id BIGINT, tf BIGINT"),
-            searchMetrics))
+            searchMetrics, searchDlDir),
+          deadLetterDir = searchDlDir)
         Some(SearchEntry(pipeline, f.getAbsolutePath, f.lastModified()))
       }
     }}

@@ -56,7 +56,8 @@ final case class SearchServingPipeline(
     k1: Double = 1.2,
     b: Double = 0.75,
     metrics: Option[PipelineMetrics.Target] = None,
-    expectations: Seq[graft.ops.Profile.Rule] = Nil) {
+    expectations: Seq[graft.ops.Profile.Rule] = Nil,
+    deadLetterDir: Option[String] = None) {
 
   require(expectations.isEmpty || metrics.isDefined,
     s"search $name: expectations need a metrics target to record into")
@@ -112,6 +113,7 @@ final case class SearchServingPipeline(
     val mtx = metrics
     val pipelineName = name
     val expectRules = expectations
+    val dlDir = deadLetterDir
     stream.writeStream
       .queryName(s"search_$name")
       .outputMode("append")
@@ -125,8 +127,18 @@ final case class SearchServingPipeline(
         try {
           // net ± contributions of THIS batch (order-free algebra nets
           // a catch-up batch's whole per-key history correctly)
-          val posting = CorpusOps.termPostingDeltas(cached, tf)
+          val posting0 = CorpusOps.termPostingDeltas(cached, tf)
             .select(col("token"), col("doc_id"), col("d").as("tf"))
+          // expectations judge the ± posting contributions BEFORE the
+          // additive MERGE: Halt fails the batch here (store keeps its
+          // pre-batch state), Drop violators dead-letter and are
+          // withheld from the fold
+          val violating = PipelineMetrics.enforceBatchExpectations(mtx,
+            pipelineName, batchId, expectRules, posting0,
+            Seq("token", "doc_id"), dlDir)
+          val posting = violating.fold(posting0)(v =>
+            posting0.join(v.select(col("token"), col("doc_id")),
+              Seq("token", "doc_id"), "left_anti"))
           JdbcSink.mergeAdditive(posting, url, pt,
             Seq("token", "doc_id"), Seq("tf"), zeroGuard = "tf",
             stagingColumnTypes = "token VARCHAR(256)", batchId = batchId)
@@ -139,11 +151,6 @@ final case class SearchServingPipeline(
             batchId, rowsIn = cached.count(), deadLetters = 0L,
             stateRows = posting.count() + lens.count(),
             wallMs = System.currentTimeMillis() - t0))
-          // verdicts see the batch's ± POSTING contributions — the rows
-          // the additive MERGE applies to the index store (derives from
-          // the persisted batch frame, never a plan re-run)
-          PipelineMetrics.recordBatchExpectations(mtx, pipelineName,
-            batchId, expectRules, posting)
         } finally { cached.unpersist(); () }
         ()
       }

@@ -94,6 +94,26 @@ final case class ViewPipeline(
       }
   }
 
+  /** The OUTGOING serving-row schema — the flattened fact+dim row as
+    * reshaped by the conf-declared transform (set fields added, drops
+    * gone), minus the internal `action` column: what a consumer of the
+    * view table reads, and therefore what expectations resolve against
+    * (registration validation must match runtime — a transform that
+    * drops a declared column must fail a referencing expectation at
+    * boot, not in every micro-batch). Computed by running
+    * [[ExprTransform.applyFlat]] itself over an empty frame so the
+    * semantics can never drift from the real reshape.
+    */
+  def servingRowSchema(spark: SparkSession): StructType = {
+    val base = ExprTransform.viewFrameSchema(factSchema, dimSchema, factIdField)
+    val out = exprTransform.fold(base) { t =>
+      val empty = spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), base)
+      t.applyFlat(empty).schema
+    }
+    StructType(out.filterNot(_.name == "action"))
+  }
+
   /** A side's table-log STATE-LOG BASE ([[StateLog]] layout): micro-
     * batches append under `<base>/log/batch_id=N` (O(churn) per batch),
     * [[compactSideLogs]] folds history into `<base>/base/gen_k` and
@@ -186,16 +206,24 @@ final case class ViewPipeline(
             // cannot re-execute the batch plan (the sink persists only
             // internally)
             val f = if (mtx.isDefined) flat.localCheckpoint(true) else flat
-            JdbcSink.applyViewDeltas(f, url, table, Seq(keyField),
+            // expectations judge the UPSERT serving rows BEFORE the
+            // store write: Halt fails the batch here (store keeps its
+            // pre-batch state), Drop violators dead-letter and their
+            // keyed upserts are withheld (the delete half of a key-move
+            // pair still applies — the old value is stale either way)
+            val violating = PipelineMetrics.enforceBatchExpectations(mtx,
+              viewName, batchId, expectRules,
+              f.filter(col("action") === "upsert").drop("action"),
+              Seq(keyField), dlDir)
+            val served = violating.fold(f)(v =>
+              f.filter(col("action") === "delete")
+                .unionByName(f.filter(col("action") === "upsert")
+                  .join(v.select(col(keyField)), Seq(keyField), "left_anti")))
+            JdbcSink.applyViewDeltas(served, url, table, Seq(keyField),
               stagingColumnTypes = types.orNull)
             mtx.foreach(m => PipelineMetrics.record(m, viewName, "view",
               batchId, rowsIn = f.count(), deadLetters = 0L,
               stateRows = 0L, wallMs = System.currentTimeMillis() - t0))
-            // verdicts see the UPSERT serving rows — what a consumer of
-            // the view table reads after this batch's deltas apply
-            PipelineMetrics.recordBatchExpectations(mtx, viewName, batchId,
-              expectRules,
-              f.filter(col("action") === "upsert").drop("action"))
           case es: EsTarget =>
             // the emission contract: a key-move's (delete, upsert) pair
             // for one fact id must land on the upsert — deletes first.
@@ -205,6 +233,16 @@ final case class ViewPipeline(
             val cfg = es.config(keyField)
             val cached = flat.persist()
             try {
+              // expectations judge the upsert serving rows BEFORE the
+              // send (Halt fails here; Drop violators dead-letter and
+              // are withheld from the keyed upserts)
+              val upserts0 =
+                cached.filter(col("action") === "upsert").drop("action")
+              val violating = PipelineMetrics.enforceBatchExpectations(mtx,
+                viewName, batchId, expectRules, upserts0, Seq(keyField), dlDir)
+              val upserts = violating.fold(upserts0)(v =>
+                upserts0.join(v.select(col(keyField)), Seq(keyField),
+                  "left_anti"))
               // S6: failures are data — undeliverable deltas (after the
               // sink's retries) must not vanish while the checkpoint
               // advances. Persisted via the sink's pre-marker hook: once
@@ -212,7 +250,7 @@ final case class ViewPipeline(
               // and could never regenerate these rows
               val applied = graft.sinks.EsSink.applyKeyedBatch(markerId, batchId,
                 cached.filter(col("action") === "delete").select(col(keyField)),
-                cached.filter(col("action") === "upsert").drop("action"),
+                upserts,
                 cfg, esTransport,
                 onDeadLetters = (dlDeletes, dlUpserts) =>
                   dlDir.foreach { dir =>
@@ -228,9 +266,6 @@ final case class ViewPipeline(
                   .map { case (d, u) => d.count() + u.count() }.getOrElse(0L),
                 stateRows = 0L, wallMs = System.currentTimeMillis() - t0,
                 info = if (applied.isEmpty) """{"replay_skipped":true}""" else ""))
-              PipelineMetrics.recordBatchExpectations(mtx, viewName, batchId,
-                expectRules,
-                cached.filter(col("action") === "upsert").drop("action"))
               ()
             } finally { cached.unpersist(); () }
         }

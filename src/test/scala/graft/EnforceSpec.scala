@@ -1,0 +1,472 @@
+package graft
+
+import graft.cdc.Subscription
+import graft.ops.Profile
+import graft.sinks.EsSink
+import graft.streaming._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import java.nio.file.Files
+import java.util.Collections
+import scala.jdk.CollectionConverters._
+
+/** Expectation ENFORCEMENT contract (the r10 verdict's top task): a
+  * conf-declared per-rule action decides what a breach DOES —
+  *   warn  record the verdict row only (pure monitoring);
+  *   drop  violating rows dead-letter BEFORE the serving write, every
+  *         one withheld regardless of budget;
+  *   halt  violations beyond budget quarantine the pipeline
+  *         ([[Profile.HaltException]] fails the micro-batch; the store
+  *         keeps its pre-batch state).
+  * The matrix test pins the SAME semantics across all five conf kinds —
+  * a sixth kind wired through
+  * [[PipelineMetrics.enforceBatchExpectations]] earns them for free.
+  */
+class EnforceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  private def wire(table: String, after: String, before: String, op: String,
+      ts: Long, off: Long): String = {
+    val ev = s"""{"payload":{"before":${Option(before).getOrElse("null")},""" +
+      s""""after":${Option(after).getOrElse("null")},""" +
+      s""""source":{"db":"shop","table":"$table","ts_ms":$ts},"op":"$op","ts_ms":$ts}}"""
+    s"""{"value":${mapper.writeValueAsString(ev)},"offset":$off}"""
+  }
+  private def doc(id: Long, text: String): String =
+    s"""{"doc_id":$id,"text":"$text"}"""
+
+  private val url = "jdbc:derby:memory:graftenforce;create=true"
+  private val target = PipelineMetrics.Target(url, "enf_metrics")
+  PipelineMetrics.ensureTable(target)
+  PipelineMetrics.ensureExpectTable(target)
+
+  private def exec(ddl: String): Unit = {
+    val c = java.sql.DriverManager.getConnection(url)
+    try { c.createStatement().execute(ddl); () } finally c.close()
+  }
+
+  private def verdicts(p: String): Map[String, (Long, Long, Boolean)] =
+    PipelineMetrics.expectRows(spark, target).filter($"pipeline" === p)
+      .select($"rule", $"violations", $"budget", $"pass")
+      .as[(String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+  private def deadRows(dir: String): Seq[(String, String)] =
+    PipelineMetrics.expectDeadLetters(spark, dir)
+      .select($"violated", $"row_json").as[(String, String)]
+      .collect().toSeq
+
+  test("tagViolations: per-row tag counts equal expectations' aggregate verdicts for every rule kind") {
+    val dimPath = Files.createTempDirectory("graft_enf_dim_").toString + "/dim"
+    Seq(1L, 2L, 3L).toDF("k").write.parquet(dimPath)
+    val df = Seq(
+      (Some(1L), Some(5.0), Some(1L)),   // clean
+      (Some(1L), Some(5.0), Some(2L)),   // dup of k=1
+      (None, Some(50.0), Some(3L)),      // null k, v out of range
+      (Some(4L), None, Some(9L)),        // fk miss (4 not in dim... wait k is fk)
+      (Some(2L), Some(-1.0), None)       // v out of range low
+    ).toDF("k", "v", "fk")
+    val rules: Seq[Profile.Rule] = Seq(
+      Profile.NotNull("k_set", "k", action = Profile.Drop),
+      Profile.Unique("k_uniq", "k", action = Profile.Drop),
+      Profile.InRange("v_0_10", "v", 0.0, 10.0, action = Profile.Drop),
+      Profile.RefIntegrityPath("fk_dim", "fk", dimPath, "k",
+        action = Profile.Drop))
+    val agg = Profile.expectations(df, rules)
+      .select($"rule", $"violations").as[(String, Long)].collect().toMap
+    val tagged = Profile.tagViolations(df, rules, Seq("fk"))
+    val perRow = rules.map(r => r.name ->
+      tagged.filter(array_contains($"violated", r.name)).count()).toMap
+    assert(perRow == agg, s"per-row $perRow vs aggregate $agg")
+    // the tagged frame preserves every input row and the original columns
+    assert(tagged.count() == df.count())
+    assert(tagged.columns.toSeq == df.columns.toSeq :+ "violated")
+  }
+
+  test("lww drop: violating documents are withheld from the sink and dead-lettered with rule tags; verdicts record the counts") {
+    EnforceSpec.recorded.clear()
+    val recorded = EnforceSpec.recorded
+    val dlDir = Files.createTempDirectory("graft_enf_lww_dl_").toString + "/dl"
+    val pipe = CdcPipeline("enf_lww",
+      Subscription(Set("shop"), Set("documents")),
+      StructType.fromDDL("doc_id BIGINT, text STRING"), "doc_id",
+      deadLetterDir = Some(dlDir), metrics = Some(target),
+      expectations = Seq(
+        Profile.NotNull("text_set", "text", action = Profile.Drop),
+        Profile.InRange("id_small", "doc_id", 0.0, 10.0, budget = 99L,
+          action = Profile.Drop)))
+    val feed = Seq(
+      (wireRow("documents", doc(1, "a"), "c", 10, 1)),
+      (wireRow("documents", """{"doc_id":2,"text":null}""", "c", 10, 2)),
+      (wireRow("documents", doc(99, "big"), "c", 10, 3))
+    ).toDF("value", "offset")
+    pipe.applyBatch(pipe.changeRows(feed),
+      EsSink.Config("http://es/idx", "u", "p", "doc_id"),
+      new EnforceSpec.Rec, batchId = 7L)
+    // only doc 1 reaches the sink — the null-text doc AND the
+    // out-of-range doc are withheld even though id_small's budget (99)
+    // tolerates the failure: budget governs the verdict, never serving
+    val sent = recorded.asScala.map(r => r.url + "\n" + r.body).mkString
+    assert(sent.contains("\"doc_id\":1"))
+    assert(!sent.contains("\"doc_id\":2") && !sent.contains("\"doc_id\":99"),
+      s"violating docs must not reach the sink: $sent")
+    val v = verdicts("enf_lww")
+    assert(v("text_set") == ((1L, 0L, false)), s"got $v")
+    assert(v("id_small") == ((1L, 99L, true)), s"within budget, got $v")
+    val dead = deadRows(dlDir)
+    assert(dead.size == 2, s"got $dead")
+    assert(dead.exists(d => d._1 == "text_set" && d._2.contains("\"doc_id\":2")))
+    assert(dead.exists(d => d._1 == "id_small" && d._2.contains("\"doc_id\":99")))
+  }
+
+  private def wireRow(table: String, after: String, op: String, ts: Long,
+      off: Long): (String, Long) = {
+    val ev = s"""{"payload":{"before":null,"after":$after,""" +
+      s""""source":{"db":"shop","table":"$table","ts_ms":$ts},"op":"$op","ts_ms":$ts}}"""
+    (ev, off)
+  }
+
+  test("lww halt: a breach beyond budget fails the batch BEFORE any sink effect; within budget serves normally") {
+    EnforceSpec.recorded.clear()
+    val recorded = EnforceSpec.recorded
+    val pipe = CdcPipeline("enf_halt",
+      Subscription(Set("shop"), Set("documents")),
+      StructType.fromDDL("doc_id BIGINT, text STRING"), "doc_id",
+      metrics = Some(target),
+      expectations = Seq(
+        Profile.NotNull("text_set", "text", budget = 1L,
+          action = Profile.Halt)))
+    val cfg = EsSink.Config("http://es/idx", "u", "p", "doc_id")
+    // one null text = within budget 1 → serves
+    val okFeed = Seq(
+      wireRow("documents", doc(1, "a"), "c", 10, 1),
+      wireRow("documents", """{"doc_id":2,"text":null}""", "c", 10, 2))
+      .toDF("value", "offset")
+    pipe.applyBatch(pipe.changeRows(okFeed), cfg, new EnforceSpec.Rec,
+      batchId = 0L)
+    assert(recorded.asScala.nonEmpty, "within-budget batch serves")
+    assert(verdicts("enf_halt")("text_set") == ((1L, 1L, true)))
+    // two null texts = beyond budget → HaltException, zero sink effects
+    recorded.clear()
+    val badFeed = Seq(
+      wireRow("documents", """{"doc_id":3,"text":null}""", "c", 20, 3),
+      wireRow("documents", """{"doc_id":4,"text":null}""", "c", 20, 4))
+      .toDF("value", "offset")
+    val e = intercept[Profile.HaltException](
+      pipe.applyBatch(pipe.changeRows(badFeed), cfg, new EnforceSpec.Rec,
+        batchId = 1L))
+    assert(e.rule == "text_set" && e.violations == 2L && e.budget == 1L)
+    assert(recorded.isEmpty, "halt fires before any sink effect")
+    // the breach is still observable: the verdict row recorded first
+    val v = PipelineMetrics.expectRows(spark, target)
+      .filter($"pipeline" === "enf_halt" && $"batch_id" === 1L)
+      .select($"violations", $"pass").as[(Long, Boolean)].collect()
+    assert(v.toSeq == Seq((2L, false)), s"got ${v.toSeq}")
+  }
+
+  test("action matrix: a drop rule withholds the violating serving row from every kind's store and dead-letters it") {
+    // ---- view (jdbc target): o_total out of range drops that order
+    exec("""CREATE TABLE enf_enriched ("o_orderkey" BIGINT NOT NULL PRIMARY KEY,
+      | "o_custkey" BIGINT, "o_total" DOUBLE,
+      | "c_custkey" BIGINT, "c_name" VARCHAR(64))"""
+      .stripMargin.replace("\n", ""))
+    val vDl = Files.createTempDirectory("graft_enf_vdl_").toString + "/dl"
+    val vFeed = Files.createTempDirectory("graft_enf_view_feed_").toFile
+    Files.write(new java.io.File(vFeed, "000.json").toPath, Seq(
+      wire("customer", """{"c_custkey":1,"c_name":"A"}""", null, "c", 10, 1),
+      wire("orders", """{"o_orderkey":10,"o_custkey":1,"o_total":5.0}""",
+        null, "c", 10, 2),
+      wire("orders", """{"o_orderkey":11,"o_custkey":1,"o_total":99.0}""",
+        null, "c", 10, 3)).asJava)
+    ViewPipeline(
+      name = "enf_view", databases = Set("shop"),
+      factTable = "orders",
+      factSchema = StructType.fromDDL(
+        "o_orderkey BIGINT, o_custkey BIGINT, o_total DOUBLE"),
+      factIdField = "o_orderkey", factJoinField = "o_custkey",
+      dimTable = "customer",
+      dimSchema = StructType.fromDDL("c_custkey BIGINT, c_name STRING"),
+      dimIdField = "c_custkey", dimJoinField = "c_custkey",
+      leftOuter = true,
+      target = JdbcTarget(url, "enf_enriched", Some("c_name VARCHAR(64)")),
+      deadLetterDir = Some(vDl), metrics = Some(target),
+      expectations = Seq(Profile.InRange("total_cap", "o_total", 0.0, 50.0,
+        action = Profile.Drop)))
+      .runOnce(spark, vFeed.toString,
+        Files.createTempDirectory("graft_enf_view_work_").toString)
+    val served = spark.read.jdbc(url, "enf_enriched", new java.util.Properties())
+      .select(col("o_orderkey").cast("long")).as[Long].collect().sorted.toSeq
+    assert(served == Seq(10L), s"order 11 withheld, got $served")
+    assert(deadRows(vDl).exists(d =>
+      d._1 == "total_cap" && d._2.contains("\"o_orderkey\":11")))
+    assert(verdicts("enf_view")("total_cap")._1 == 1L)
+    // ---- dedup (jdbc target): cluster rows for out-of-range ids drop
+    exec("""CREATE TABLE enf_clusters ("doc_id" BIGINT NOT NULL PRIMARY KEY,
+      | "cluster_id" BIGINT, "is_canonical" INTEGER)"""
+      .stripMargin.replace("\n", ""))
+    val A = "alpha beta gamma delta epsilon zeta eta theta"
+    val B = "one two three four five six seven eight nine ten"
+    val dDl = Files.createTempDirectory("graft_enf_ddl_").toString + "/dl"
+    val dFeed = Files.createTempDirectory("graft_enf_dedup_feed_").toFile
+    Files.write(new java.io.File(dFeed, "000.json").toPath, Seq(
+      wire("documents", doc(1, A), null, "c", 10, 1),
+      wire("documents", doc(2, A), null, "c", 10, 2),
+      wire("documents", doc(98, B), null, "c", 10, 3),
+      wire("documents", doc(99, B), null, "c", 10, 4)).asJava)
+    DedupClusterPipeline(
+      name = "enf_dedup", databases = Set("shop"), table = "documents",
+      idField = "doc_id", textField = "text",
+      target = JdbcTarget(url, "enf_clusters"),
+      deadLetterDir = Some(dDl), metrics = Some(target),
+      expectations = Seq(Profile.InRange("id_cap", "doc_id", 0.0, 50.0,
+        action = Profile.Drop)))
+      .runOnce(spark, dFeed.toString,
+        Files.createTempDirectory("graft_enf_dedup_work_").toString)
+    val clusters = spark.read.jdbc(url, "enf_clusters", new java.util.Properties())
+      .select(col("doc_id").cast("long")).as[Long].collect().sorted.toSeq
+    assert(clusters == Seq(1L, 2L), s"98/99 cluster rows withheld, got $clusters")
+    assert(deadRows(dDl).size == 2)
+    // ---- ann (jdbc postings): out-of-range vec ids never reach the index
+    exec("""CREATE TABLE enf_postings ("vec_id" BIGINT NOT NULL PRIMARY KEY,
+      | "cell" INTEGER, "emb_json" VARCHAR(32000))"""
+      .stripMargin.replace("\n", ""))
+    val aDl = Files.createTempDirectory("graft_enf_adl_").toString + "/dl"
+    val aFeed = Files.createTempDirectory("graft_enf_ann_feed_").toFile
+    Files.write(new java.io.File(aFeed, "000.json").toPath, Seq(
+      wire("embeddings", """{"vec_id":0,"embedding":[1.0,0.1]}""", null, "c", 10, 1),
+      wire("embeddings", """{"vec_id":77,"embedding":[-1.0,0.1]}""", null, "c", 10, 2)).asJava)
+    AnnServingPipeline(
+      name = "enf_ann", databases = Set("shop"), table = "embeddings",
+      idField = "vec_id", vectorField = "embedding",
+      cents = Array(Array(1f, 0f), Array(-1f, 0f)),
+      jdbcUrl = url, postingsTable = "enf_postings",
+      deadLetterDir = Some(aDl), metrics = Some(target),
+      expectations = Seq(Profile.InRange("vec_cap", "vec_id", 0.0, 50.0,
+        action = Profile.Drop)))
+      .runOnce(spark, aFeed.toString,
+        Files.createTempDirectory("graft_enf_ann_work_").toString)
+    val postings = spark.read.jdbc(url, "enf_postings", new java.util.Properties())
+      .select(col("vec_id").cast("long")).as[Long].collect().toSeq
+    assert(postings == Seq(0L), s"vec 77 withheld from the index, got $postings")
+    assert(deadRows(aDl).exists(_._2.contains("\"vec_id\":77")))
+    // ---- search (jdbc postings): contributions for a banned doc drop
+    exec("""CREATE TABLE enf_spost ("token" VARCHAR(256) NOT NULL,
+      | "doc_id" BIGINT NOT NULL, "tf" BIGINT,
+      | PRIMARY KEY ("token", "doc_id"))""".stripMargin.replace("\n", ""))
+    exec("""CREATE TABLE enf_slens ("doc_id" BIGINT NOT NULL PRIMARY KEY,
+      | "len" BIGINT)""".stripMargin.replace("\n", ""))
+    val sDl = Files.createTempDirectory("graft_enf_sdl_").toString + "/dl"
+    val sFeed = Files.createTempDirectory("graft_enf_search_feed_").toFile
+    Files.write(new java.io.File(sFeed, "000.json").toPath, Seq(
+      wire("documents", doc(1, "vector stream"), null, "c", 10, 1),
+      wire("documents", doc(88, "vector join"), null, "c", 10, 2)).asJava)
+    SearchServingPipeline(
+      name = "enf_search", databases = Set("shop"), table = "documents",
+      idField = "doc_id", textField = "text",
+      jdbcUrl = url, postingsTable = "enf_spost", lensTable = "enf_slens",
+      deadLetterDir = Some(sDl), metrics = Some(target),
+      expectations = Seq(Profile.InRange("doc_cap", "doc_id", 0.0, 50.0,
+        action = Profile.Drop)))
+      .runOnce(spark, sFeed.toString,
+        Files.createTempDirectory("graft_enf_search_work_").toString)
+    val sPostings = spark.read.jdbc(url, "enf_spost", new java.util.Properties())
+      .select(col("doc_id").cast("long")).distinct().as[Long]
+      .collect().toSeq
+    assert(sPostings == Seq(1L), s"doc 88 postings withheld, got $sPostings")
+    assert(deadRows(sDl).size == 2, "both of doc 88's posting rows dead-letter")
+    // (lww is the drop test above — all five kinds share the hook)
+  }
+
+  test("registry: action parses per rule; drop requires a deadLetterDir; unknown action fails naming the file") {
+    def conf(dir: java.io.File, fname: String, body: String): Unit =
+      Files.write(new java.io.File(dir, fname).toPath,
+        Seq(body.stripMargin.replace("\n", "")).asJava)
+    val good = Files.createTempDirectory("graft_enf_conf_").toFile
+    conf(good, "g.json",
+      s"""{"name":"enfreg","databases":["shop"],"tables":["documents"],
+         |"idKey":"doc_id","schema":"doc_id BIGINT, text STRING",
+         |"deadLetterDir":"/tmp/graft_enf_reg_dl",
+         |"metrics":{"url":"$url","table":"enf_metrics"},
+         |"expectations":[
+         |{"rule":"not_null","name":"t","column":"text","action":"drop"},
+         |{"rule":"in_range","name":"r","column":"doc_id","lo":0,"hi":9,
+         |"action":"halt"},
+         |{"rule":"unique","name":"u","column":"doc_id"}]}""")
+    val loaded = PipelineRegistry.load(good.toString)
+    val acts = loaded.head.pipeline.expectations.map(r => r.name -> r.action).toMap
+    assert(acts == Map("t" -> Profile.Drop, "r" -> Profile.Halt,
+      "u" -> Profile.Warn))
+    // drop without a deadLetterDir dies at registration
+    val nodl = Files.createTempDirectory("graft_enf_nodl_").toFile
+    conf(nodl, "nodl.json",
+      s"""{"name":"enfnodl","databases":["shop"],"tables":["documents"],
+         |"idKey":"doc_id","schema":"doc_id BIGINT, text STRING",
+         |"metrics":{"url":"$url","table":"enf_metrics"},
+         |"expectations":[{"rule":"not_null","name":"t","column":"text",
+         |"action":"drop"}]}""")
+    val e1 = intercept[IllegalArgumentException](
+      PipelineRegistry.load(nodl.toString))
+    assert(e1.getMessage.contains("nodl.json")
+      && e1.getMessage.contains("deadLetterDir"), s"got: ${e1.getMessage}")
+    // an unknown action dies at registration
+    val bad = Files.createTempDirectory("graft_enf_badact_").toFile
+    conf(bad, "bad.json",
+      s"""{"name":"enfbad","databases":["shop"],"tables":["documents"],
+         |"idKey":"doc_id","schema":"doc_id BIGINT, text STRING",
+         |"metrics":{"url":"$url","table":"enf_metrics"},
+         |"expectations":[{"rule":"not_null","name":"t","column":"text",
+         |"action":"quarantine"}]}""")
+    val e2 = intercept[IllegalArgumentException](
+      PipelineRegistry.load(bad.toString))
+    assert(e2.getMessage.contains("bad.json")
+      && e2.getMessage.contains("quarantine"), s"got: ${e2.getMessage}")
+  }
+
+  test("registry: ref_integrity declares its dimension as a parquet path — validated at registration naming file + field") {
+    def conf(dir: java.io.File, fname: String, body: String): Unit =
+      Files.write(new java.io.File(dir, fname).toPath,
+        Seq(body.stripMargin.replace("\n", "")).asJava)
+    val dimPath = Files.createTempDirectory("graft_enf_refdim_").toString + "/dim"
+    Seq(1L, 2L).toDF("c_custkey").write.parquet(dimPath)
+    val good = Files.createTempDirectory("graft_enf_refconf_").toFile
+    conf(good, "r.json",
+      s"""{"name":"enfref","databases":["shop"],"tables":["orders"],
+         |"idKey":"o_orderkey",
+         |"schema":"o_orderkey BIGINT, o_custkey BIGINT",
+         |"metrics":{"url":"$url","table":"enf_metrics"},
+         |"expectations":[{"rule":"ref_integrity","name":"cust_known",
+         |"column":"o_custkey",
+         |"dim":{"path":"$dimPath","keyColumn":"c_custkey"}}]}""")
+    val loaded = PipelineRegistry.load(good.toString)
+    val rule = loaded.head.pipeline.expectations.head
+      .asInstanceOf[Profile.RefIntegrityPath]
+    assert(rule.dimPath == dimPath && rule.dimColumn == "c_custkey")
+    // a nonexistent path dies at registration naming file + path
+    val badPath = Files.createTempDirectory("graft_enf_refbad_").toFile
+    conf(badPath, "bp.json",
+      s"""{"name":"enfbp","databases":["shop"],"tables":["orders"],
+         |"idKey":"o_orderkey",
+         |"schema":"o_orderkey BIGINT, o_custkey BIGINT",
+         |"metrics":{"url":"$url","table":"enf_metrics"},
+         |"expectations":[{"rule":"ref_integrity","name":"cust_known",
+         |"column":"o_custkey",
+         |"dim":{"path":"/nonexistent/nowhere.parquet","keyColumn":"k"}}]}""")
+    val e1 = intercept[IllegalArgumentException](
+      PipelineRegistry.load(badPath.toString))
+    assert(e1.getMessage.contains("bp.json")
+      && e1.getMessage.contains("/nonexistent/nowhere.parquet"),
+      s"got: ${e1.getMessage}")
+    // a key column absent from the dimension dies naming the column
+    val badCol = Files.createTempDirectory("graft_enf_refbadcol_").toFile
+    conf(badCol, "bc.json",
+      s"""{"name":"enfbc","databases":["shop"],"tables":["orders"],
+         |"idKey":"o_orderkey",
+         |"schema":"o_orderkey BIGINT, o_custkey BIGINT",
+         |"metrics":{"url":"$url","table":"enf_metrics"},
+         |"expectations":[{"rule":"ref_integrity","name":"cust_known",
+         |"column":"o_custkey",
+         |"dim":{"path":"$dimPath","keyColumn":"no_such_col"}}]}""")
+    val e2 = intercept[IllegalArgumentException](
+      PipelineRegistry.load(badCol.toString))
+    assert(e2.getMessage.contains("bc.json")
+      && e2.getMessage.contains("no_such_col"), s"got: ${e2.getMessage}")
+  }
+
+  test("registry: expectation columns resolve against the POST-TRANSFORM serving schema (lww and view)") {
+    def conf(dir: java.io.File, fname: String, body: String): Unit =
+      Files.write(new java.io.File(dir, fname).toPath,
+        Seq(body.stripMargin.replace("\n", "")).asJava)
+    // a transform-DROPPED declared column referenced by an expectation
+    // dies at registration (the r10 advisory: it used to pass boot and
+    // then throw AnalysisException in every micro-batch)
+    val dropped = Files.createTempDirectory("graft_enf_ptdrop_").toFile
+    conf(dropped, "d.json",
+      s"""{"name":"enfpt","databases":["shop"],"tables":["documents"],
+         |"idKey":"doc_id","schema":"doc_id BIGINT, text STRING, note STRING",
+         |"transform":{"drop":["note"]},
+         |"metrics":{"url":"$url","table":"enf_metrics"},
+         |"expectations":[{"rule":"not_null","name":"n","column":"note"}]}""")
+    val e1 = intercept[IllegalArgumentException](
+      PipelineRegistry.load(dropped.toString))
+    assert(e1.getMessage.contains("d.json") && e1.getMessage.contains("note"),
+      s"got: ${e1.getMessage}")
+    // a transform-SET (added) column IS a valid expectation target
+    val added = Files.createTempDirectory("graft_enf_ptadd_").toFile
+    conf(added, "a.json",
+      s"""{"name":"enfpta","databases":["shop"],"tables":["documents"],
+         |"idKey":"doc_id","schema":"doc_id BIGINT, text STRING",
+         |"transform":{"set":[{"field":"n_tok",
+         |"expr":"size(split(row.text, ' '))"}]},
+         |"metrics":{"url":"$url","table":"enf_metrics"},
+         |"expectations":[{"rule":"in_range","name":"tok_cap",
+         |"column":"n_tok","lo":0,"hi":100}]}""")
+    assert(PipelineRegistry.load(added.toString).head
+      .pipeline.expectations.size == 1)
+    // same contract for views: a transform-dropped dim column referenced
+    // by an expectation dies at registration
+    val vdrop = Files.createTempDirectory("graft_enf_ptview_").toFile
+    conf(vdrop, "v.json",
+      s"""{"kind":"view","name":"enfptv","databases":["shop"],
+         |"fact":{"table":"orders","idKey":"o_orderkey",
+         |"joinKey":"o_custkey",
+         |"schema":"o_orderkey BIGINT, o_custkey BIGINT"},
+         |"dim":{"table":"customer","idKey":"c_custkey",
+         |"joinKey":"c_custkey","schema":"c_custkey BIGINT, c_name STRING"},
+         |"jdbc":{"url":"$url","table":"enf_nope"},
+         |"transform":{"drop":["c_name"]},
+         |"metrics":{"url":"$url","table":"enf_metrics"},
+         |"expectations":[{"rule":"not_null","name":"n","column":"c_name"}]}""")
+    val e2 = intercept[IllegalArgumentException](
+      PipelineRegistry.loadViews(vdrop.toString))
+    assert(e2.getMessage.contains("v.json") && e2.getMessage.contains("c_name"),
+      s"got: ${e2.getMessage}")
+  }
+
+  test("stateful lww path: expectations resolve against the post-transform document and enforce drops") {
+    EnforceSpec.recorded.clear()
+    val recorded = EnforceSpec.recorded
+    val dlDir = Files.createTempDirectory("graft_enf_inc_dl_").toString + "/dl"
+    val feedDir = Files.createTempDirectory("graft_enf_inc_feed_").toFile
+    Files.write(new java.io.File(feedDir, "000.json").toPath, Seq(
+      wire("documents", doc(1, "short"), null, "c", 10, 1),
+      wire("documents", doc(2, "a much longer text with many tokens here"),
+        null, "c", 10, 2)).asJava)
+    // the transform DROPS a declared column and ADDS a derived one; the
+    // expectation references the ADDED column — resolvable only against
+    // the post-transform schema (the r10 advisory's other half)
+    val pipe = CdcPipeline("enf_inc",
+      Subscription(Set("shop"), Set("documents")),
+      StructType.fromDDL("doc_id BIGINT, text STRING"), "doc_id",
+      deadLetterDir = Some(dlDir),
+      exprTransform = Some(ExprTransform(
+        sets = Seq(("n_tok", "size(split(row.text, ' '))")),
+        drops = Seq("text"))),
+      metrics = Some(target),
+      expectations = Seq(Profile.InRange("tok_cap", "n_tok", 0.0, 3.0,
+        action = Profile.Drop)))
+    pipe.startIncremental(spark, feedDir.toString,
+      Files.createTempDirectory("graft_enf_inc_ckpt_").toString,
+      EsSink.Config("http://es/idx", "u", "p", "doc_id"),
+      new EnforceSpec.Rec).awaitTermination()
+    val sent = recorded.asScala.map(r => r.url + "\n" + r.body).mkString
+    assert(sent.contains("\"doc_id\":1"), s"doc 1 (1 token) serves: $sent")
+    assert(!sent.contains("\"doc_id\":2"), s"doc 2 (8 tokens) withheld: $sent")
+    assert(deadRows(dlDir).exists(d =>
+      d._1 == "tok_cap" && d._2.contains("\"doc_id\":2")))
+    assert(verdicts("enf_inc")("tok_cap") == ((1L, 0L, false)))
+  }
+}
+
+object EnforceSpec {
+  /** Static recorder (SinkSpec's rule): sink closures serialize the
+    * transport, so an instance-captured list would be COPIED on
+    * deserialization and the test would read an empty original.
+    */
+  val recorded: java.util.List[graft.sinks.EsSink.Request] =
+    java.util.Collections.synchronizedList(
+      new java.util.ArrayList[graft.sinks.EsSink.Request]())
+  class Rec extends graft.sinks.EsSink.Transport {
+    def send(req: graft.sinks.EsSink.Request): Int = { recorded.add(req); 200 }
+  }
+}
