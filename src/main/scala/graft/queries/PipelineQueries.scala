@@ -2376,9 +2376,200 @@ object PipelineQueries {
     CorpusOps.scrubFrequentTokens(cur, "doc_id", "text", termDf, nDocs)
   }
 
+  private val q154Lock = new Object
+  // one drive per (JVM, warehouse base): applyBatch is not checkpointed,
+  // so the memo keeps q154/q155 from re-sending the store twice per run
+  private val q154Driven = java.util.concurrent.ConcurrentHashMap
+    .newKeySet[String]()
+
+  /** Shared drive for q154/q155: a real [[graft.streaming.CdcPipeline]]
+    * with a conf-style DROP-action expectation
+    * (`in_range(o_totalprice, 0, 300000) → drop`) drains the staged
+    * orders feed in ONE deterministic batch into an
+    * [[graft.sinks.EsSink.FileDocStore]] — violating winners
+    * dead-letter under `<dead>/_expect` instead of reaching the store.
+    * Returns (storeDir, deadLetterDir, metricsTarget).
+    */
+  private def enforcedDrive(spark: SparkSession,
+      dir: String): (String, String, graft.streaming.PipelineMetrics.Target) = {
+    import graft.cdc.{ChangeFeed, DeltaLog, Subscription}
+    import graft.ops.Profile
+    import graft.sinks.EsSink
+    import graft.streaming.{CdcPipeline, PipelineMetrics}
+    val feedDir = ChangeFeed.stagedJsonl(spark, dir)
+    val fp = graft.sources.Staging.fingerprint(
+      Seq(s"$dir/orders.parquet", s"$dir/customer.parquet"))
+    val base = DeltaLog.logBase(spark,
+      s"enforce_${dir.replaceAll("[^a-zA-Z0-9]", "_")}", fp)
+    val store = s"$base/store"
+    val dead = s"$base/dead"
+    val url = s"jdbc:derby:$base/derby;create=true"
+    val target = PipelineMetrics.Target(url, "pipeline_metrics_q154")
+    q154Lock.synchronized {
+      if (q154Driven.add(base)) {
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(store))
+        PipelineMetrics.ensureTable(target)
+        PipelineMetrics.ensureExpectTable(target)
+        val raw = spark.read.schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("value",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("offset",
+            org.apache.spark.sql.types.LongType)))).json(feedDir)
+        val orders = CdcPipeline(name = "orders_enforced",
+          subscription = Subscription(Set("shop"), Set("orders")),
+          rowSchema = ChangeFeed.ordersRowSchema, idKey = "o_orderkey",
+          deadLetterDir = Some(dead), metrics = Some(target),
+          expectations = Seq(Profile.InRange("price_cap", "o_totalprice",
+            0.0, 300000.0, action = Profile.Drop)))
+        val cfg = EsSink.Config("http://graft-local/lww_orders_q154",
+          "graft", "graft", "o_orderkey")
+        orders.applyBatch(orders.changeRows(raw), cfg,
+          new EsSink.FileDocStore(store), 0L)
+      }
+    }
+    (store, dead, target)
+  }
+
+  /** Q154: DROP-ACTION ENFORCEMENT certified end to end — the r10
+    * verdict's top task under the oracle gate: the serving store an ES
+    * consumer reads is ORACLE-CLEAN after a violating feed. The staged
+    * orders feed drains through a real CdcPipeline whose conf-style
+    * expectation (`price in [0, 300000] → drop`) withholds violating
+    * LWW winners from the [[graft.sinks.EsSink.FileDocStore]]; the
+    * query reads the store back (q140's reader contract) and the oracle
+    * restates the LWW fold WITH the enforcement predicate — one leaked
+    * violating document (or one over-dropped clean one) breaks the
+    * hash. q155 certifies the other half of the contract (the withheld
+    * rows themselves).
+    */
+  val q154 = QueryDef.sql(
+    "q154_enforced_serving",
+    """SELECT o_orderkey, o_custkey, o_orderstatus,
+      |       CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1
+      |            ELSE o_totalprice END AS price,
+      |       o_orderpriority
+      |FROM orders
+      |WHERE o_orderkey % 5 <> 0
+      |  AND CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1
+      |           ELSE o_totalprice END BETWEEN 0 AND 300000"""
+      .stripMargin) { (spark, dir) =>
+    import graft.cdc.ChangeFeed
+    val (store, _, _) = enforcedDrive(spark, dir)
+    readDocStore(spark, store, ChangeFeed.ordersRowSchema)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice").as("price"), col("o_orderpriority"))
+  }
+
+  /** Q155: the EXPECTATION DEAD-LETTER frame under the oracle gate —
+    * S6's "failures are data" applied to enforcement: every row q154's
+    * drop rule withheld is durably queryable (violated rule tag + the
+    * full document as JSON, per-batch partition overwrite so replays
+    * never duplicate), and the oracle restates exactly the violating
+    * LWW winners. q154's store plus q155's dead letters partition the
+    * winner set — nothing is silently lost.
+    */
+  val q155 = QueryDef.sql(
+    "q155_expect_dead_letters",
+    """SELECT CAST(0 AS BIGINT) AS batch_id, 'price_cap' AS violated,
+      |       o_orderkey,
+      |       CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1
+      |            ELSE o_totalprice END AS price
+      |FROM orders
+      |WHERE o_orderkey % 5 <> 0
+      |  AND NOT (CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1
+      |               ELSE o_totalprice END BETWEEN 0 AND 300000)"""
+      .stripMargin) { (spark, dir) =>
+    import graft.cdc.ChangeFeed
+    import graft.streaming.PipelineMetrics
+    val (_, dead, _) = enforcedDrive(spark, dir)
+    PipelineMetrics.expectDeadLetters(spark, dead)
+      .select(col("batch_id"), col("violated"),
+        from_json(col("row_json"), ChangeFeed.ordersRowSchema).as("r"))
+      .select(col("batch_id"), col("violated"), col("r.o_orderkey"),
+        col("r.o_totalprice").as("price"))
+  }
+
+  private val q156Lock = new Object
+  private val q156Driven = java.util.concurrent.ConcurrentHashMap
+    .newKeySet[String]()
+
+  /** Q156: CONF-DECLARED REFERENTIAL INTEGRITY under the oracle gate —
+    * the q150 family's declarative parity: the dimension arrives as a
+    * conf-declared parquet path + key column
+    * ([[graft.ops.Profile.RefIntegrityPath]]), validated at
+    * REGISTRATION (the path must read and carry the column — a typo
+    * dies at boot naming file + field, RegistrySpec/EnforceSpec pin the
+    * failures) and resolved against the judged frame's session per
+    * batch. The pipeline is loaded from an actual conf FILE through
+    * [[graft.streaming.PipelineRegistry.load]] — the full registration
+    * path, not a code-constructed rule — and drains the staged orders
+    * feed in one deterministic batch; the oracle restates the verdict:
+    * violations = LWW winners whose o_custkey has no match in nation's
+    * key domain (deliberately mismatched dimensions, so the rule BITES
+    * at every SF).
+    */
+  val q156 = QueryDef.sql(
+    "q156_ref_integrity_conf",
+    """WITH v AS (SELECT CAST(count(*) AS BIGINT) AS violations
+      |           FROM orders
+      |           WHERE o_orderkey % 5 <> 0
+      |             AND o_custkey NOT IN (SELECT n_nationkey FROM nation))
+      |SELECT 'orders_refconf' AS pipeline, CAST(0 AS BIGINT) AS batch_id,
+      |       'cust_in_nation' AS rule, violations,
+      |       CAST(0 AS BIGINT) AS budget, violations <= 0 AS pass
+      |FROM v""".stripMargin) { (spark, dir) =>
+    import graft.cdc.{ChangeFeed, DeltaLog}
+    import graft.sinks.EsSink
+    import graft.streaming.{PipelineMetrics, PipelineRegistry}
+    val feedDir = ChangeFeed.stagedJsonl(spark, dir)
+    val fp = graft.sources.Staging.fingerprint(
+      Seq(s"$dir/orders.parquet", s"$dir/customer.parquet"))
+    val base = DeltaLog.logBase(spark,
+      s"refconf_${dir.replaceAll("[^a-zA-Z0-9]", "_")}", fp)
+    val url = s"jdbc:derby:$base/derby;create=true"
+    val target = PipelineMetrics.Target(url, "pipeline_metrics_q156")
+    val blackhole = new EsSink.Transport {
+      def send(req: EsSink.Request): Int = 200
+    }
+    q156Lock.synchronized {
+      if (q156Driven.add(base)) {
+        val confDir = java.nio.file.Paths.get(s"$base/conf")
+        java.nio.file.Files.createDirectories(confDir)
+        java.nio.file.Files.write(confDir.resolve("orders_ref.json"),
+          java.util.List.of(
+            s"""{"name":"orders_refconf","databases":["shop"],
+               |"tables":["orders"],"idKey":"o_orderkey",
+               |"schema":"o_orderkey BIGINT, o_custkey BIGINT,
+               | o_orderstatus STRING, o_totalprice DOUBLE,
+               | o_orderpriority STRING",
+               |"metrics":{"url":"jdbc:derby:$base/derby;create=true",
+               |"table":"pipeline_metrics_q156"},
+               |"expectations":[{"rule":"ref_integrity",
+               |"name":"cust_in_nation","column":"o_custkey",
+               |"dim":{"path":"$dir/nation.parquet",
+               |"keyColumn":"n_nationkey"}}]}""".stripMargin
+              .replace("\n", "")))
+        val entries = PipelineRegistry.load(confDir.toString)
+        val raw = spark.read.schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("value",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("offset",
+            org.apache.spark.sql.types.LongType)))).json(feedDir)
+        val p = entries.head.pipeline
+        p.applyBatch(p.changeRows(raw),
+          EsSink.Config("http://graft-local/lww_orders_q156", "graft",
+            "graft", "o_orderkey"), blackhole, 0L)
+      }
+    }
+    PipelineMetrics.expectRows(spark, target)
+      .filter(col("pipeline") === "orders_refconf")
+      .select(col("pipeline"), col("batch_id"), col("rule"),
+        col("violations"), col("budget"), col("pass"))
+  }
+
   val all: Seq[QueryDef] = Seq(q41, q42, q43, q44, q45, q47, q48, q49,
     q54, q57, q60, q62, q63, q64, q68, q69, q74, q76, q80, q81, q83, q90, q91,
     q94, q98, q122, q125, q127, q128, q129, q130, q131, q133, q134, q135,
     q136, q137, q138, q139, q140, q141, q142, q144, q145, q146, q147, q148,
-    q149, q150, q151, q152, q153)
+    q149, q150, q151, q152, q153, q154, q155, q156)
 }
