@@ -1211,6 +1211,41 @@ object CorpusOps {
       semanticRankedTop(vecStore, queryVecId, listK),
       topK, rrfK)
 
+  /** [[hybridFromStores]] at the AT-SCALE operating point: the semantic
+    * list comes from the ANN candidate path over the SAME live posting
+    * relation ([[VectorSearch.knnIvfFromPostings]] — the query touches
+    * only its nProbe probed cells' postings, never the whole store),
+    * the lexical list unchanged (BM25 already reads only the query
+    * terms' postings). The probe path excludes the query's own row, so
+    * it is re-added at the exact self-cosine key the exact list ranks
+    * first — making the two semantic lists directly comparable, which
+    * is what q157's engine-checked fused-recall certificate compares:
+    * the ANN fusion must recover the declared floor of the exact
+    * fusion's top-k (the q145 guarantee-band discipline applied to the
+    * COMPOSED ranking, not just the vector leg).
+    */
+  def hybridFromStoresAnn(postings: DataFrame, docLens: DataFrame,
+      vecStore: DataFrame, queryTokens: Seq[String], queryVecId: Long,
+      cents: Array[Array[Float]], nProbe: Int = 4, listK: Int = 100,
+      topK: Int = 20, rrfK: Int = 60): DataFrame = {
+    val qRow = vecStore.filter(col("vec_id") === queryVecId)
+      .select(col("vec_id"), col("embedding"))
+    val sem = VectorSearch
+      .knnIvfFromPostings(qRow, vecStore, listK - 1, cents, nProbe)
+      .select(col("n_vec_id").as("doc_id"),
+        floor(col("cos_sim") * 1e6 + 0.5).cast("long").as("key"))
+      .unionByName(qRow.select(col("vec_id").as("doc_id"),
+        lit(1000000L).as("key")))
+    rrfFuse(
+      rankedTop(
+        bm25FromIndex(postings, docLens, queryTokens)
+          .select(col("doc_id"),
+            floor(col("bm25") * 1e5 + 0.5).cast("long").as("key")),
+        "r_lex", listK),
+      rankedTop(sem, "r_sem", listK),
+      topK, rrfK)
+  }
+
   /** Integer-keyed rank assignment of a scored list's top `listK` (the
     * q42 rank-key rule; ties to the smaller doc id): TakeOrderedAndProject
     * cut, ranks by position in the one collected listK-row array — no

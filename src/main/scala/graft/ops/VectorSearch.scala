@@ -635,6 +635,35 @@ object VectorSearch {
     knnIvfFromPostings(queries,
       postings.join(allowed, Seq("vec_id"), "left_semi"), k, cents, nProbe)
 
+  /** SELECTIVITY-ADAPTIVE probe count for filtered ANN: widen nProbe as
+    * the allowed fraction shrinks, so the recall certificate holds
+    * ACROSS selectivities instead of at one operating point. The rule
+    * keeps the EXPECTED matching-candidate pool constant — a probe of
+    * `p` cells sees ≈ allowedN·p/nCells matching vectors, so holding
+    * that pool at `targetCand` (default 8·k, the oversampling every IVF
+    * deployment runs) gives
+    *
+    *   probes = clamp( ceil(targetCand · nCells / allowedN),
+    *                   baseProbe, nCells )
+    *
+    * — pure integer arithmetic over two COUNTS, so an independent
+    * engine restates the chosen probe width exactly (q158's
+    * certificate records it per selectivity band). At full selectivity
+    * this is `baseProbe` (the unfiltered operating point); as the
+    * filter sharpens it degrades gracefully to the exact scan of the
+    * matching sliver (probes = nCells ⇒ every matching posting read) —
+    * which is precisely when the sliver is small enough to afford it.
+    */
+  def adaptiveProbes(nCells: Int, baseProbe: Int, k: Int, allowedN: Long,
+      oversample: Int = 8): Int = {
+    require(nCells > 0 && baseProbe > 0 && k > 0 && oversample > 0)
+    val targetCand = oversample.toLong * k
+    val need =
+      if (allowedN <= 0L) nCells.toLong
+      else (targetCand * nCells + allowedN - 1L) / allowedN // ceil
+    math.min(nCells.toLong, math.max(baseProbe.toLong, need)).toInt
+  }
+
   /** One candidate row entering the per-query MMR greedy: its integer
     * relevance and the integer similarity to every OTHER candidate of
     * the same query. Not private: Catalyst's generated projection must

@@ -2567,9 +2567,160 @@ object PipelineQueries {
         col("violations"), col("budget"), col("pass"))
   }
 
+  /** Q157: HYBRID SERVING UNDER THE RECALL-CERTIFICATE GATE — q138's
+    * fusion at the AT-SCALE operating point
+    * ([[CorpusOps.hybridFromStoresAnn]]: the semantic list from the ANN
+    * candidate path over the SAME live posting relation — a query
+    * touches only its nProbe probed cells, never the whole store),
+    * certified the way q145 certifies filtered ANN: the oracle states
+    * the EXACT fusion it can restate plus `recall_ok`, the
+    * engine-checked guarantee that the ANN fusion's top-20 recovers
+    * ≥ 60 % of the exact fusion's top-20. The certificate gates the
+    * COMPOSED ranking — a probe miss that survives RRF because the
+    * lexical leg carries the doc is correctly NOT a failure, which is
+    * why the floor belongs on the fusion, not just the vector leg
+    * (q119 already gates that).
+    */
+  val q157 = QueryDef.sql(
+    "q157_hybrid_ann_certified",
+    """WITH cur AS (SELECT doc_id,
+      |         CASE WHEN doc_id % 3 = 0 THEN text || ' revised edition'
+      |              ELSE text END AS text
+      |       FROM documents WHERE doc_id % 5 <> 0),
+      |q AS (SELECT unnest(['vector', 'stream', 'join']) AS token),
+      |tok AS (SELECT doc_id, len(string_split(text, ' ')) AS len,
+      |               unnest(string_split(text, ' ')) AS token FROM cur),
+      |tf AS (SELECT doc_id, token, count(*) AS tf, max(len) AS len
+      |       FROM tok WHERE token IN (SELECT token FROM q) GROUP BY 1, 2),
+      |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+      |st AS (SELECT count(*) AS n, avg(len(string_split(text, ' '))) AS al
+      |       FROM cur),
+      |bm AS (SELECT doc_id, sum(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+      |           * (tf * (1.2 + 1)) /
+      |           (tf + 1.2 * (1 - 0.75 + 0.75 * len / al))) AS bm25
+      |       FROM tf JOIN df USING (token) CROSS JOIN st GROUP BY doc_id),
+      |br AS (SELECT doc_id, r FROM (
+      |         SELECT doc_id, row_number() OVER (
+      |           ORDER BY CAST(floor(bm25 * 1e5 + 0.5) AS BIGINT) DESC, doc_id) AS r
+      |         FROM bm) WHERE r <= 100),
+      |e AS (SELECT vec_id, CASE WHEN vec_id % 3 = 0
+      |           THEN list_transform(CAST(embedding AS DOUBLE[]), x -> -x)
+      |           ELSE CAST(embedding AS DOUBLE[]) END AS emb
+      |      FROM embeddings WHERE vec_id % 5 <> 0),
+      |qv AS (SELECT emb FROM e WHERE vec_id = 7),
+      |cs AS (SELECT e.vec_id AS doc_id,
+      |         list_dot_product(e.emb, qv.emb) /
+      |         (sqrt(list_dot_product(e.emb, e.emb)) *
+      |          sqrt(list_dot_product(qv.emb, qv.emb))) AS c
+      |       FROM e CROSS JOIN qv),
+      |cr AS (SELECT doc_id, r FROM (
+      |         SELECT doc_id, row_number() OVER (
+      |           ORDER BY CAST(floor(c * 1e6 + 0.5) AS BIGINT) DESC, doc_id) AS r
+      |         FROM cs) WHERE r <= 100),
+      |f AS (SELECT coalesce(br.doc_id, cr.doc_id) AS doc_id,
+      |        br.r AS r_lex, cr.r AS r_sem,
+      |        coalesce(CAST(1 AS DOUBLE) / (60 + br.r), 0) +
+      |        coalesce(CAST(1 AS DOUBLE) / (60 + cr.r), 0) AS rrf
+      |      FROM br FULL JOIN cr ON br.doc_id = cr.doc_id)
+      |SELECT doc_id, r_lex, r_sem, rrf, TRUE AS recall_ok FROM f
+      |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin) { (spark, dir) =>
+    import graft.cdc.DeltaLog
+    val docDeltas = DeltaLog.documentsDeltas(spark, dir)
+    val vecStore = VectorSearch.livePostings(
+      VectorSearch.postingDeltas(DeltaLog.embeddingsDeltas(spark, dir),
+        MandateQueries.ivfCentroidsFor(spark, dir)))
+      .localCheckpoint(true) // two fusions + certificate read it
+    val postings = CorpusOps.liveTermPostings(
+      CorpusOps.termPostingDeltas(docDeltas)).localCheckpoint(true)
+    val lens = CorpusOps.liveDocLens(
+      CorpusOps.docLenDeltas(docDeltas)).localCheckpoint(true)
+    val toks = Seq("vector", "stream", "join")
+    val exact = CorpusOps.hybridFromStores(postings, lens, vecStore,
+      toks, 7L).localCheckpoint(true)
+    // nProbe 8 of 16: the fused top-20 draws on ranks DEEP in the
+    // semantic list (RRF rewards a doc for merely appearing), so the
+    // composed certificate needs a wider probe than the per-vector
+    // top-k gate (q119 holds at 4) — measured: 4 probes miss the 60 %
+    // fused floor at sf0.001, 8 holds it at all three SFs
+    val ann = CorpusOps.hybridFromStoresAnn(postings, lens, vecStore,
+      toks, 7L, MandateQueries.ivfCentroidsFor(spark, dir), nProbe = 8)
+    val hits = exact.select(col("doc_id"))
+      .join(ann.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .agg(count(lit(1)).as("_nh"))
+    val tot = exact.agg(count(lit(1)).as("_nt"))
+    val ok = hits.crossJoin(tot)
+      .select((col("_nh").cast("double") >= lit(0.6) * col("_nt"))
+        .as("recall_ok"))
+    exact.crossJoin(broadcast(ok))
+      .select(col("doc_id"), col("r_lex"), col("r_sem"), col("rrf"),
+        col("recall_ok"))
+  }
+
+  /** Q158: SELECTIVITY-ADAPTIVE FILTERED ANN — q145's certificate held
+    * ACROSS selectivities instead of at one operating point
+    * ([[VectorSearch.adaptiveProbes]]: probes widen as the allowed
+    * fraction shrinks, keeping the expected matching-candidate pool
+    * constant; pure integer arithmetic over two counts, so the oracle
+    * restates the chosen probe width per band). Three bands sweep the
+    * selectivity axis — the q145 predicate, its quarter, and a 5 %
+    * sliver (where the formula saturates at nCells = the exact scan of
+    * the matching sliver). Each certificate row records (band,
+    * n_allowed, probes, recall_ok): the counts and widths are
+    * oracle-hashed, the ≥ 60 % filtered-recall floor vs the exact
+    * filtered top-5 is engine-checked per band.
+    */
+  val q158 = QueryDef.sql(
+    "q158_adaptive_filtered_ann",
+    """WITH en AS (SELECT doc_id FROM documents
+      |           WHERE lang = 'en' AND doc_id % 5 <> 0),
+      |b1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM en),
+      |b2 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM en
+      |       WHERE doc_id % 4 = 1),
+      |b3 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+      |       WHERE doc_id % 5 <> 0 AND doc_id % 20 = 3)
+      |SELECT 'b1_en' AS band, n AS n_allowed,
+      |       CAST(LEAST(16, GREATEST(4, (640 + n - 1) // n)) AS BIGINT)
+      |         AS probes,
+      |       TRUE AS recall_ok FROM b1
+      |UNION ALL SELECT 'b2_en_quarter', n,
+      |       CAST(LEAST(16, GREATEST(4, (640 + n - 1) // n)) AS BIGINT),
+      |       TRUE FROM b2
+      |UNION ALL SELECT 'b3_sliver', n,
+      |       CAST(LEAST(16, GREATEST(4, (640 + n - 1) // n)) AS BIGINT),
+      |       TRUE FROM b3""".stripMargin) { (spark, dir) =>
+    import graft.cdc.DeltaLog
+    val (vecStore0, allowedEn, queries) = filteredSearchInputs(spark, dir)
+    val vecStore = vecStore0.localCheckpoint(true)
+    val liveDocs = DeltaLog.currentRows(DeltaLog.documentsDeltas(spark, dir))
+      .select(col("key").cast("long").as("vec_id"))
+    val cents = MandateQueries.ivfCentroidsFor(spark, dir)
+    def band(name: String, allowed0: DataFrame): DataFrame = {
+      val allowed = allowed0.localCheckpoint(true)
+      val n = allowed.count()
+      val probes = VectorSearch.adaptiveProbes(cents.length, 4, 5, n)
+      val exact = VectorSearch.filteredKnnExact(queries,
+        vecStore.select(col("vec_id"), col("embedding")), allowed, 5)
+        .select(col("q_vec_id"), col("n_vec_id")).localCheckpoint(true)
+      val ivf = VectorSearch.filteredKnnIvfFromPostings(queries, vecStore,
+        allowed, 5, cents, probes)
+        .select(col("q_vec_id"), col("n_vec_id"))
+      val nt = exact.count()
+      val nh = exact.join(ivf, Seq("q_vec_id", "n_vec_id"), "left_semi")
+        .count()
+      spark.range(1).select(lit(name).as("band"),
+        lit(n).as("n_allowed"), lit(probes.toLong).as("probes"),
+        lit(nh.toDouble >= 0.6 * nt).as("recall_ok"))
+    }
+    band("b1_en", allowedEn)
+      .unionByName(band("b2_en_quarter",
+        allowedEn.filter(col("vec_id") % 4 === 1)))
+      .unionByName(band("b3_sliver",
+        liveDocs.filter(col("vec_id") % 20 === 3)))
+  }
+
   val all: Seq[QueryDef] = Seq(q41, q42, q43, q44, q45, q47, q48, q49,
     q54, q57, q60, q62, q63, q64, q68, q69, q74, q76, q80, q81, q83, q90, q91,
     q94, q98, q122, q125, q127, q128, q129, q130, q131, q133, q134, q135,
     q136, q137, q138, q139, q140, q141, q142, q144, q145, q146, q147, q148,
-    q149, q150, q151, q152, q153, q154, q155, q156)
+    q149, q150, q151, q152, q153, q154, q155, q156, q157, q158)
 }

@@ -101,4 +101,20 @@ class VectorIndexSpec extends SparkSpec {
         "applying the +/- stream leaves exactly the live postings")
     } finally q.stop()
   }
+
+  test("adaptiveProbes: clamps to [baseProbe, nCells], monotone in selectivity, restatable integer arithmetic") {
+    import graft.ops.VectorSearch.adaptiveProbes
+    // broad filter: the base operating point
+    assert(adaptiveProbes(16, 4, 5, allowedN = 100000L) == 4)
+    // the formula: ceil(8k * nCells / allowedN) between the clamps
+    assert(adaptiveProbes(16, 4, 5, allowedN = 100L) == 7) // ceil(640/100)
+    assert(adaptiveProbes(16, 4, 5, allowedN = 64L) == 10) // 640/64 exact
+    // sharp filter saturates at nCells — the exact scan of the sliver
+    assert(adaptiveProbes(16, 4, 5, allowedN = 30L) == 16)
+    assert(adaptiveProbes(16, 4, 5, allowedN = 0L) == 16)
+    // monotone: a sharper filter never probes fewer cells
+    val widths = Seq(100000L, 5000L, 640L, 200L, 100L, 50L, 10L, 1L)
+      .map(adaptiveProbes(16, 4, 5, _))
+    assert(widths == widths.sorted, s"monotone widening, got $widths")
+  }
 }
