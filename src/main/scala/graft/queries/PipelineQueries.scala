@@ -2718,9 +2718,112 @@ object PipelineQueries {
         liveDocs.filter(col("vec_id") % 20 === 3)))
   }
 
+  private val q159Lock = new Object
+  private val q159Driven = java.util.concurrent.ConcurrentHashMap
+    .newKeySet[String]()
+
+  /** Q159: PER-BATCH SCHEMA-DRIFT VERDICTS under the oracle gate — the
+    * streaming operationalization of the reference's DDL-event
+    * awareness (R7), certified by an independent engine: a drifting
+    * wire (orders events where %7 keys carry an undeclared `o_note`,
+    * %14 additionally `o_extra`, and %11 keys deliver the declared
+    * DOUBLE `o_totalprice` as a non-numeric string) drains through a
+    * driftCheck-enabled CdcPipeline, and the query returns the recorded
+    * `_drift` verdict row: distinct undeclared field names, declared
+    * fields that failed their type at least once, and the exact row
+    * counts of each drift kind. Detection re-parses the RAW payload
+    * per field (get_json_object + try_cast), never the typed struct —
+    * PERMISSIVE from_json nulls the whole row on one bad numeric,
+    * which would smear a single bad field over every declared column
+    * (spec-pinned in MetricsSpec). The oracle restates every count and
+    * name list from the orders table's key arithmetic.
+    */
+  val q159 = QueryDef.sql(
+    "q159_schema_drift_verdicts",
+    """WITH o AS (SELECT o_orderkey AS k FROM orders),
+      |nn AS (SELECT count(*) AS c FROM o WHERE k % 11 <> 0 AND k % 7 = 0),
+      |ne AS (SELECT count(*) AS c FROM o WHERE k % 11 <> 0 AND k % 14 = 0),
+      |nb AS (SELECT count(*) AS c FROM o WHERE k % 11 = 0)
+      |SELECT 'orders_drift' AS pipeline, CAST(0 AS BIGINT) AS batch_id,
+      |  CAST(CASE WHEN (SELECT c FROM ne) > 0 THEN 2
+      |            WHEN (SELECT c FROM nn) > 0 THEN 1
+      |            ELSE 0 END AS BIGINT) AS new_cols,
+      |  CAST(CASE WHEN (SELECT c FROM nb) > 0 THEN 1 ELSE 0 END AS BIGINT)
+      |    AS type_changes,
+      |  CAST((SELECT c FROM nn) AS BIGINT) AS rows_new,
+      |  CAST((SELECT c FROM nb) AS BIGINT) AS rows_badtype,
+      |  CASE WHEN (SELECT c FROM ne) > 0 THEN 'o_extra,o_note'
+      |       WHEN (SELECT c FROM nn) > 0 THEN 'o_note'
+      |       ELSE '' END AS new_col_names,
+      |  CASE WHEN (SELECT c FROM nb) > 0 THEN 'o_totalprice'
+      |       ELSE '' END AS changed_names""".stripMargin) { (spark, dir) =>
+    import graft.cdc.{ChangeFeed, DeltaLog, Subscription}
+    import graft.sinks.EsSink
+    import graft.streaming.{CdcPipeline, PipelineMetrics}
+    val fp = graft.sources.Staging.fingerprint(Seq(s"$dir/orders.parquet"))
+    val base = DeltaLog.logBase(spark,
+      s"drift_${dir.replaceAll("[^a-zA-Z0-9]", "_")}", fp)
+    val url = s"jdbc:derby:$base/derby;create=true"
+    val target = PipelineMetrics.Target(url, "pipeline_metrics_q159")
+    q159Lock.synchronized {
+      if (q159Driven.add(base)) {
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(base))
+        PipelineMetrics.ensureTable(target)
+        PipelineMetrics.ensureDriftTable(target)
+        val orders = Tables.orders(spark, dir)
+        val k = col("o_orderkey")
+        val jsonOpts = Map("ignoreNullFields" -> "false")
+        def ev(after: org.apache.spark.sql.Column) = {
+          val ts = lit(1000000000L) + k
+          to_json(struct(
+            lit(null).cast(ChangeFeed.ordersRowSchema).as("before"),
+            after.as("after"),
+            struct(lit("shop").as("db"), lit("orders").as("table"),
+              ts.as("ts_ms")).as("source"),
+            lit("c").as("op"), ts.as("ts_ms")), jsonOpts)
+        }
+        val row = struct(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"), col("o_orderpriority"))
+        // disjoint drift branches the oracle restates by key arithmetic:
+        // %11 = declared DOUBLE arrives as a non-numeric string; else
+        // %14 = two undeclared fields; else %7 = one; else clean
+        val badtype = orders.filter(k % 11 === 0).select(
+          ev(struct(col("o_orderkey"), col("o_custkey"),
+            col("o_orderstatus"), lit("oops").as("o_totalprice"),
+            col("o_orderpriority"))).as("value"), k.as("offset"))
+        val twoNew = orders.filter(k % 11 =!= 0 && k % 14 === 0).select(
+          ev(struct(col("o_orderkey"), col("o_custkey"),
+            col("o_orderstatus"), col("o_totalprice"),
+            col("o_orderpriority"), lit("n").as("o_note"),
+            lit(1L).as("o_extra"))).as("value"), k.as("offset"))
+        val oneNew = orders.filter(k % 11 =!= 0 && k % 14 =!= 0
+            && k % 7 === 0).select(
+          ev(struct(col("o_orderkey"), col("o_custkey"),
+            col("o_orderstatus"), col("o_totalprice"),
+            col("o_orderpriority"), lit("n").as("o_note"))).as("value"),
+          k.as("offset"))
+        val clean = orders.filter(k % 11 =!= 0 && k % 7 =!= 0).select(
+          ev(row).as("value"), k.as("offset"))
+        val feed = Seq(badtype, twoNew, oneNew, clean).reduce(_ unionByName _)
+        val pipeline = CdcPipeline(name = "orders_drift",
+          subscription = Subscription(Set("shop"), Set("orders")),
+          rowSchema = ChangeFeed.ordersRowSchema, idKey = "o_orderkey",
+          metrics = Some(target), driftCheck = true)
+        val blackhole = new EsSink.Transport {
+          def send(req: EsSink.Request): Int = 200
+        }
+        pipeline.applyBatch(pipeline.changeRows(feed),
+          EsSink.Config("http://graft-local/lww_orders_q159", "graft",
+            "graft", "o_orderkey"), blackhole, 0L)
+      }
+    }
+    PipelineMetrics.driftRows(spark, target)
+      .filter(col("pipeline") === "orders_drift")
+  }
+
   val all: Seq[QueryDef] = Seq(q41, q42, q43, q44, q45, q47, q48, q49,
     q54, q57, q60, q62, q63, q64, q68, q69, q74, q76, q80, q81, q83, q90, q91,
     q94, q98, q122, q125, q127, q128, q129, q130, q131, q133, q134, q135,
     q136, q137, q138, q139, q140, q141, q142, q144, q145, q146, q147, q148,
-    q149, q150, q151, q152, q153, q154, q155, q156, q157, q158)
+    q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159)
 }

@@ -32,13 +32,16 @@ final case class CdcPipeline(
     deadLetterDir: Option[String] = None,
     exprTransform: Option[ExprTransform] = None,
     metrics: Option[PipelineMetrics.Target] = None,
-    expectations: Seq[graft.ops.Profile.Rule] = Nil) {
+    expectations: Seq[graft.ops.Profile.Rule] = Nil,
+    driftCheck: Boolean = false) {
 
   // conf-declared expectations are MONITORING riding the metrics path —
   // verdicts without a store to land in would be silently lost, so the
   // combination fails at construction (registration), not mid-stream
   require(expectations.isEmpty || metrics.isDefined,
     s"pipeline $name: expectations need a metrics target to record into")
+  require(!driftCheck || metrics.isDefined,
+    s"pipeline $name: driftCheck needs a metrics target to record into")
 
   // registration-time dry-run resolution of the conf-declared transform
   // against THIS pipeline's declared schema (the reference runs
@@ -240,7 +243,12 @@ final case class CdcPipeline(
   def applyBatch(batch: DataFrame, cfg: EsSink.Config,
       transport: EsSink.Transport, batchId: Long = 0L): Unit = {
     val t0 = System.currentTimeMillis()
-    val winners = batch
+    // drift check adds two more actions on the batch frame — pin it so
+    // they cannot re-run the micro-batch plan (foreachBatch hazard)
+    val src = if (driftCheck && metrics.isDefined)
+      batch.localCheckpoint(true) else batch
+    recordSchemaDrift(src, batchId)
+    val winners = src
       .filter(col("key").isNotNull)
       .groupBy(col("key"))
       .agg(max_by(struct(col("op"), col("row")),
@@ -275,6 +283,68 @@ final case class CdcPipeline(
         stateRows = 0L, wallMs = System.currentTimeMillis() - t0))
     } finally winnersCached.unpersist()
   }
+
+  /** Per-batch SCHEMA-DRIFT verdict — the streaming operationalization
+    * of the reference's DDL-event awareness (R7): the conf's declared
+    * schema is the pipeline's contract, so each drained batch records
+    * how the WIRE diverged from it into the metrics store's `_drift`
+    * table — undeclared payload fields (the new-column half of a DDL)
+    * and declared fields whose raw value fails its declared type (the
+    * type-change half). Detection is per-FIELD re-parse of the raw
+    * after payload (`get_json_object` + cast), deliberately NOT the
+    * typed `after` struct: a malformed numeric nulls the whole struct
+    * under PERMISSIVE from_json, which would smear one bad field over
+    * every declared column. Every drained batch records (zeros are the
+    * healthy heartbeat); q82/q85 remain the batch-query forms, this is
+    * the serving-path monitor. Two aggregate jobs over the pinned
+    * batch; skipped entirely unless `driftCheck` is on.
+    */
+  private def recordSchemaDrift(src: DataFrame, batchId: Long): Unit =
+    if (driftCheck) metrics.foreach { m =>
+      val declared = rowSchema.fields.toSeq
+      val names = declared.map(_.name)
+      val aj = coalesce(
+        get_json_object(col("value"), "$.payload.after"),
+        get_json_object(col("value"), "$.after"))
+      val base = src.filter(col("op") =!= "d")
+        .select(aj.as("aj")).filter(col("aj").isNotNull)
+        .select(col("aj"),
+          array_except(json_object_keys(col("aj")),
+            typedlit(names)).as("newfs"))
+      val tcFlags = declared.map { f =>
+        // try_cast, not cast: ANSI mode throws on a malformed value —
+        // the very thing this monitor exists to OBSERVE, not die on
+        (get_json_object(col("aj"), s"$$.${f.name}").isNotNull &&
+          get_json_object(col("aj"), s"$$.${f.name}")
+            .try_cast(f.dataType).isNull)
+          .as(s"tc_${f.name}")
+      }
+      val agg = base
+        .select((col("newfs") +: (size(col("newfs")) > 0).as("has_new") +:
+          tcFlags): _*)
+        .agg(sum(when(col("has_new"), 1L).otherwise(0L)).as("rows_new"),
+          (sum(when(names.map(n => col(s"tc_$n")).reduce(_ || _), 1L)
+            .otherwise(0L)).as("rows_badtype") +:
+            names.map(n =>
+              max(when(col(s"tc_$n"), 1L).otherwise(0L)).as(s"any_$n"))): _*)
+        .collect().headOption
+      val newNames = base.select(explode(col("newfs")).as("f"))
+        .distinct().orderBy(col("f"))
+        .collect().map(_.getString(0)).toSeq
+      val (rowsNew, rowsBad, changed) = agg match {
+        case Some(r) => (
+          Option(r.getAs[Any]("rows_new")).fold(0L)(_.asInstanceOf[Long]),
+          Option(r.getAs[Any]("rows_badtype")).fold(0L)(_.asInstanceOf[Long]),
+          names.filter(n =>
+            Option(r.getAs[Any](s"any_$n")).fold(0L)(_.asInstanceOf[Long]) > 0))
+        case None => (0L, 0L, Seq.empty[String])
+      }
+      PipelineMetrics.recordDrift(m, name, batchId,
+        newCols = newNames.size.toLong, typeChanges = changed.size.toLong,
+        rowsNew = rowsNew, rowsBadtype = rowsBad,
+        newColNames = newNames.mkString(","),
+        changedNames = changed.mkString(","))
+    }
 }
 
 object CdcPipeline {

@@ -157,6 +157,83 @@ object PipelineMetrics {
           s"[PipelineMetrics] $pipeline batch $batchId verdicts not recorded: $e")
     }
 
+  /** Create the sibling `<table>_drift` verdict table if missing — one
+    * row per (pipeline, batch_id), the SCHEMA-DRIFT analog of the
+    * expectation verdicts: counts of undeclared payload fields and
+    * declared fields whose raw value failed its declared type, per
+    * drained batch (the streaming operationalization of the
+    * reference's DDL-event awareness, R7 — the conf's declared schema
+    * is the pipeline's contract, and the wire drifting from it must be
+    * observable data, not silent nulls).
+    */
+  def ensureDriftTable(t: Target): Unit = {
+    val conn = java.sql.DriverManager.getConnection(t.url)
+    try {
+      val st = conn.createStatement()
+      try st.execute(
+        s"""CREATE TABLE ${t.table}_drift ("pipeline" VARCHAR(64) NOT NULL,
+           | "batch_id" BIGINT NOT NULL, "new_cols" BIGINT,
+           | "type_changes" BIGINT, "rows_new" BIGINT, "rows_badtype" BIGINT,
+           | "new_col_names" VARCHAR(1024), "changed_names" VARCHAR(1024),
+           | PRIMARY KEY ("pipeline", "batch_id"))"""
+          .stripMargin.replace("\n", ""))
+      catch {
+        case e: java.sql.SQLException if e.getSQLState == "X0Y32" => ()
+      }
+    } finally conn.close()
+  }
+
+  /** Upsert a batch's schema-drift verdict (DELETE+INSERT keyed
+    * (pipeline, batch_id) — replays overwrite). Failures log and
+    * continue: monitoring must not take down the monitored.
+    */
+  def recordDrift(t: Target, pipeline: String, batchId: Long,
+      newCols: Long, typeChanges: Long, rowsNew: Long, rowsBadtype: Long,
+      newColNames: String, changedNames: String): Unit =
+    try {
+      val conn = java.sql.DriverManager.getConnection(t.url)
+      try {
+        conn.setAutoCommit(false)
+        val del = conn.prepareStatement(
+          s"""DELETE FROM ${t.table}_drift
+             | WHERE "pipeline" = ? AND "batch_id" = ?"""
+            .stripMargin.replace("\n", ""))
+        del.setString(1, pipeline); del.setLong(2, batchId)
+        del.executeUpdate()
+        val ins = conn.prepareStatement(
+          s"""INSERT INTO ${t.table}_drift ("pipeline", "batch_id",
+             | "new_cols", "type_changes", "rows_new", "rows_badtype",
+             | "new_col_names", "changed_names")
+             | VALUES (?, ?, ?, ?, ?, ?, ?, ?)"""
+            .stripMargin.replace("\n", ""))
+        ins.setString(1, pipeline); ins.setLong(2, batchId)
+        ins.setLong(3, newCols); ins.setLong(4, typeChanges)
+        ins.setLong(5, rowsNew); ins.setLong(6, rowsBadtype)
+        ins.setString(7, newColNames.take(1024))
+        ins.setString(8, changedNames.take(1024))
+        ins.executeUpdate()
+        conn.commit()
+      } finally conn.close()
+    } catch {
+      case e: Exception =>
+        System.err.println(
+          s"[PipelineMetrics] $pipeline batch $batchId drift not recorded: $e")
+    }
+
+  /** The recorded drift verdicts, typed. */
+  def driftRows(spark: org.apache.spark.sql.SparkSession,
+      t: Target): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    spark.read.jdbc(t.url, s"${t.table}_drift", new java.util.Properties())
+      .select(col("pipeline"),
+        col("batch_id").cast("long").as("batch_id"),
+        col("new_cols").cast("long").as("new_cols"),
+        col("type_changes").cast("long").as("type_changes"),
+        col("rows_new").cast("long").as("rows_new"),
+        col("rows_badtype").cast("long").as("rows_badtype"),
+        col("new_col_names"), col("changed_names"))
+  }
+
   /** Evaluate conf-declared expectations over a batch's SERVING rows,
     * record one verdict row per rule, and ENFORCE the rules' declared
     * actions ([[graft.ops.Profile.Action]]) — the shared per-kind hook

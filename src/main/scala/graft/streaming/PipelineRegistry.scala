@@ -365,6 +365,15 @@ object PipelineRegistry {
         // two-step build: the ctor validates the transform (file-named),
         // so the OUTGOING document schema — what expectations must
         // resolve against — is computable before the rules parse
+        // optional per-batch schema-drift monitoring (R7's streaming
+        // analog); its verdict table is ensured at load (S3)
+        val drift = node.hasNonNull("driftCheck") &&
+          node.get("driftCheck").asBoolean()
+        if (drift) {
+          require(metricsTarget.isDefined,
+            s"${f.getName}: driftCheck needs a metrics target to record into")
+          metricsTarget.foreach(PipelineMetrics.ensureDriftTable)
+        }
         val pipeline0 = named(f)(CdcPipeline(
           name = node.get("name").asText(),
           subscription = Subscription(strSet("databases"), strSet("tables")),
@@ -372,7 +381,8 @@ object PipelineRegistry {
           idKey = node.get("idKey").asText(),
           deadLetterDir = dlDir,
           exprTransform = parseTransform(f, node),
-          metrics = metricsTarget))
+          metrics = metricsTarget,
+          driftCheck = drift))
         val servingSchema =
           SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
             .map(pipeline0.outgoingRowSchema).getOrElse(rowSchema)

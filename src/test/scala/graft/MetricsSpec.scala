@@ -370,6 +370,62 @@ class MetricsSpec extends SparkSpec {
       && e.getMessage.contains("embedding"), s"got: ${e.getMessage}")
   }
 
+  test("schema drift: per-batch verdicts record undeclared fields and type failures exactly; clean batches record zeros") {
+    import org.apache.spark.sql.functions.col
+    PipelineMetrics.ensureDriftTable(target)
+    val pipeline = CdcPipeline(
+      name = "mx_drift", subscription = Subscription(Set("shop"), Set("documents")),
+      rowSchema = StructType.fromDDL("doc_id BIGINT, text STRING, score DOUBLE"),
+      idKey = "doc_id", metrics = Some(target), driftCheck = true)
+    val ok = new EsSink.Transport { def send(req: EsSink.Request): Int = 200 }
+    val cfg = EsSink.Config("http://es/idx", "u", "p", "doc_id")
+    import spark.implicits._
+    def ev(after: String, off: Long): (String, Long) =
+      (s"""{"payload":{"before":null,"after":$after,""" +
+        s""""source":{"db":"shop","table":"documents","ts_ms":$off},""" +
+        s""""op":"c","ts_ms":$off}}""", off)
+    // batch 0: one clean row, one row with TWO undeclared fields, one
+    // row whose declared DOUBLE arrives as a non-numeric string, one
+    // row with both kinds of drift at once
+    val drifted = Seq(
+      ev("""{"doc_id":1,"text":"a","score":1.5}""", 1),
+      ev("""{"doc_id":2,"text":"b","score":2.0,"note":"x","extra":1}""", 2),
+      ev("""{"doc_id":3,"text":"c","score":"oops"}""", 3),
+      ev("""{"doc_id":4,"text":"d","score":"bad","note":"y"}""", 4))
+      .toDF("value", "offset")
+    pipeline.applyBatch(pipeline.changeRows(drifted), cfg, ok, batchId = 0L)
+    // batch 1: clean — the healthy-heartbeat zeros
+    val clean = Seq(ev("""{"doc_id":5,"text":"e","score":0.5}""", 5))
+      .toDF("value", "offset")
+    pipeline.applyBatch(pipeline.changeRows(clean), cfg, ok, batchId = 1L)
+    val rows = PipelineMetrics.driftRows(spark, target)
+      .filter(col("pipeline") === "mx_drift")
+      .select($"batch_id", $"new_cols", $"type_changes", $"rows_new",
+        $"rows_badtype", $"new_col_names", $"changed_names")
+      .as[(Long, Long, Long, Long, Long, String, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(rows == Seq(
+      (0L, 2L, 1L, 2L, 2L, "extra,note", "score"),
+      (1L, 0L, 0L, 0L, 0L, "", "")), s"got $rows")
+    // conf side: driftCheck parses; without metrics it dies at boot
+    val confDir = Files.createTempDirectory("graft_mx_drift_conf_").toFile
+    Files.write(new java.io.File(confDir, "d.json").toPath, Seq(
+      s"""{"name":"mdrift","databases":["shop"],"tables":["documents"],
+         |"idKey":"doc_id","schema":"doc_id BIGINT, text STRING",
+         |"metrics":{"url":"$url","table":"pipe_metrics"},
+         |"driftCheck":true}""".stripMargin.replace("\n", "")).asJava)
+    assert(PipelineRegistry.load(confDir.toString).head.pipeline.driftCheck)
+    val bad = Files.createTempDirectory("graft_mx_drift_bad_").toFile
+    Files.write(new java.io.File(bad, "b.json").toPath, Seq(
+      """{"name":"mdriftb","databases":["shop"],"tables":["documents"],
+        |"idKey":"doc_id","schema":"doc_id BIGINT, text STRING",
+        |"driftCheck":true}""".stripMargin.replace("\n", "")).asJava)
+    val e = intercept[IllegalArgumentException](
+      PipelineRegistry.load(bad.toString))
+    assert(e.getMessage.contains("b.json")
+      && e.getMessage.contains("driftCheck"), s"got: ${e.getMessage}")
+  }
+
   test("expectations conf: registration-time validation names file + field; verdicts need a metrics target") {
     def conf(dir: java.io.File, fname: String, body: String): Unit =
       Files.write(new java.io.File(dir, fname).toPath,
