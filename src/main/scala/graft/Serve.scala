@@ -46,7 +46,8 @@ object Serve {
     */
   def run(spark: SparkSession, confDir: String, sourceDir: String,
       workRoot: String, cfg: EsSink.Config, transport: EsSink.Transport,
-      pollMs: Long = 500L, maintainEveryMs: Long = 60000L): Int = {
+      pollMs: Long = 500L, maintainEveryMs: Long = 60000L,
+      maintainMaxBatches: Int = 64): Int = {
     Files.createDirectories(Paths.get(workRoot))
     val stopFile = Paths.get(workRoot, "STOP")
     // lww pipelines run under a processing-time trigger here — a server
@@ -60,7 +61,8 @@ object Serve {
       s"$workRoot/ckpt", cfg, transport, pollMs,
       lwwTrigger = org.apache.spark.sql.streaming.Trigger
         .ProcessingTime(s"$pollMs milliseconds"),
-      maintainEveryMs = maintainEveryMs)
+      maintainEveryMs = maintainEveryMs,
+      maintainMaxBatches = maintainMaxBatches)
     // SIGTERM and STOP-file converge on the same idempotent stop():
     // a container runtime sending a signal gets the same clean drain
     // (queries stopped at a batch boundary, checkpoints preserved) as

@@ -102,4 +102,183 @@ class ServeSpec extends SparkSpec {
       server.join(30000)
     }
   }
+
+  test("soak: one Serve process over all five kinds, stopped in flight and restarted — no resend, contiguous metrics, maintenance compacted") {
+    import graft.streaming.PipelineMetrics
+    import org.apache.spark.sql.functions.col
+    val url = "jdbc:derby:memory:graftsoak;create=true"
+    def exec(ddl: String): Unit = {
+      val c = java.sql.DriverManager.getConnection(url)
+      try { c.createStatement().execute(ddl); () } finally c.close()
+    }
+    exec("""CREATE TABLE soak_enriched ("o_id" BIGINT NOT NULL PRIMARY KEY,
+      | "c_id" BIGINT, "val" DOUBLE, "cc_id" BIGINT, "name" VARCHAR(64))"""
+      .stripMargin.replace("\n", ""))
+    exec("""CREATE TABLE soak_clusters ("doc_id" BIGINT NOT NULL PRIMARY KEY,
+      | "cluster_id" BIGINT, "is_canonical" INTEGER)"""
+      .stripMargin.replace("\n", ""))
+    exec("""CREATE TABLE soak_postings ("vec_id" BIGINT NOT NULL PRIMARY KEY,
+      | "cell" INTEGER, "emb_json" VARCHAR(32000))"""
+      .stripMargin.replace("\n", ""))
+    exec("""CREATE TABLE soak_spost ("token" VARCHAR(256) NOT NULL,
+      | "doc_id" BIGINT NOT NULL, "tf" BIGINT,
+      | PRIMARY KEY ("token", "doc_id"))""".stripMargin.replace("\n", ""))
+    exec("""CREATE TABLE soak_slens ("doc_id" BIGINT NOT NULL PRIMARY KEY,
+      | "len" BIGINT)""".stripMargin.replace("\n", ""))
+
+    val confDir = Files.createTempDirectory("graft_soak_conf_").toFile
+    def conf(fname: String, body: String): Unit =
+      Files.write(new java.io.File(confDir, fname).toPath,
+        Seq(body.stripMargin.replace("\n", "")).asJava)
+    val mx = s""""metrics":{"url":"$url","table":"soak_metrics""" + "\"}"
+    conf("lww.json",
+      s"""{"name":"soak_lww","databases":["d"],"tables":["t"],
+         |"idKey":"id","schema":"id BIGINT, v STRING",$mx}""")
+    conf("view.json",
+      s"""{"kind":"view","name":"soak_view","databases":["d"],
+         |"fact":{"table":"orders","idKey":"o_id","joinKey":"c_id",
+         |"schema":"o_id BIGINT, c_id BIGINT, val DOUBLE"},
+         |"dim":{"table":"customer","idKey":"cc_id","joinKey":"cc_id",
+         |"schema":"cc_id BIGINT, name STRING"},
+         |"leftOuter":true,
+         |"jdbc":{"url":"$url","table":"soak_enriched",
+         |"stagingColumnTypes":"name VARCHAR(64)"},$mx}""")
+    conf("dedup.json",
+      s"""{"kind":"dedup","name":"soak_dedup","databases":["d"],
+         |"table":"documents","idKey":"doc_id","textField":"text",
+         |"jdbc":{"url":"$url","clustersTable":"soak_clusters"},$mx}""")
+    conf("ann.json",
+      s"""{"kind":"ann","name":"soak_ann","databases":["d"],
+         |"table":"embeddings","idKey":"vec_id","vectorField":"embedding",
+         |"centroids":[[1.0,0.0],[-1.0,0.0]],
+         |"jdbc":{"url":"$url","postingsTable":"soak_postings"},$mx}""")
+    conf("search.json",
+      s"""{"kind":"search","name":"soak_search","databases":["d"],
+         |"table":"documents","idKey":"doc_id","textField":"text",
+         |"jdbc":{"url":"$url","postingsTable":"soak_spost",
+         |"lensTable":"soak_slens"},$mx}""")
+
+    val srcDir = Files.createTempDirectory("graft_soak_src_").toFile
+    def docEv(id: Long, text: String, off: Long): String = {
+      val ev = s"""{"payload":{"before":null,"after":{"doc_id":$id,"text":"$text"},""" +
+        s""""source":{"db":"d","table":"documents","ts_ms":$off},"op":"c","ts_ms":$off}}"""
+      s"""{"value":${mapper.writeValueAsString(ev)},"offset":$off}"""
+    }
+    def rawEv(table: String, after: String, off: Long): String = {
+      val ev = s"""{"payload":{"before":null,"after":$after,""" +
+        s""""source":{"db":"d","table":"$table","ts_ms":$off},"op":"c","ts_ms":$off}}"""
+      s"""{"value":${mapper.writeValueAsString(ev)},"offset":$off}"""
+    }
+    val A = "alpha beta gamma delta epsilon zeta eta theta"
+    Files.write(new java.io.File(srcDir, "000.json").toPath, Seq(
+      wire("t", 1, "boot", 1),
+      rawEv("orders", """{"o_id":10,"c_id":1,"val":5.0}""", 2),
+      rawEv("customer", """{"cc_id":1,"name":"A"}""", 3),
+      docEv(1, A, 4), docEv(2, A, 5),
+      rawEv("embeddings", """{"vec_id":0,"embedding":[1.0,0.1]}""", 6),
+      rawEv("embeddings", """{"vec_id":1,"embedding":[-1.0,0.1]}""", 7)).asJava)
+
+    // scoped warehouse + a seeded LWW-shaped log over the compaction
+    // threshold: maintenance on the watcher tick must compact it
+    val wh = Files.createTempDirectory("graft_soak_wh_").toString
+    val prevWh = spark.conf.getOption("spark.graft.warehouse")
+    spark.conf.set("spark.graft.warehouse", wh)
+    val seeded = s"$wh/soak_log/fp0"
+    (0L to 2L).flatMap(b => Seq((1L, "upsert", s"""{"id":1,"b":$b}""",
+        null: String, b), (2L, "upsert", s"""{"id":2,"b":$b}""",
+        null: String, b)))
+      .toDF("key", "action", "rowJson", "prevJson", "batch_id")
+      .write.partitionBy("batch_id").mode("overwrite")
+      .parquet(s"$seeded/data")
+    Files.createFile(java.nio.file.Paths.get(s"$seeded/_GRAFT_DONE"))
+
+    val workRoot = Files.createTempDirectory("graft_soak_work_").toString
+    val storeDir = Files.createTempDirectory("graft_soak_store_").toString
+    val cfg = EsSink.Config("http://graft-local/soak", "", "", "id")
+    def doc(id: Long) = new java.io.File(storeDir, s"$id.json")
+    def jdbcCount(table: String, where: String = "1=1"): Long = {
+      val c = java.sql.DriverManager.getConnection(url)
+      try {
+        val rs = c.createStatement()
+          .executeQuery(s"SELECT count(*) FROM $table WHERE $where")
+        rs.next(); rs.getLong(1)
+      } finally c.close()
+    }
+    def serveOnce(body: => Unit): Unit = {
+      Files.deleteIfExists(java.nio.file.Paths.get(workRoot, "STOP"))
+      @volatile var failure: Throwable = null
+      val th = new Thread(() => {
+        try Serve.run(spark, confDir.toString, srcDir.toString, workRoot,
+          cfg, new EsSink.FileDocStore(storeDir), pollMs = 100L,
+          maintainEveryMs = 300L, maintainMaxBatches = 2)
+        catch { case e: Throwable => failure = e }
+      }, "soak-serve")
+      th.start()
+      try body
+      finally {
+        try Files.createFile(java.nio.file.Paths.get(workRoot, "STOP"))
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+        th.join(60000)
+        assert(!th.isAlive, "soak server must drain on STOP")
+        assert(failure == null, s"soak server failed: $failure")
+      }
+    }
+    try {
+      serveOnce {
+        // every kind serves the boot wave
+        assert(await()(doc(1).exists()), "lww serves")
+        assert(await()(jdbcCount("soak_enriched") == 1L), "view serves")
+        assert(await()(jdbcCount("soak_clusters") == 2L), "dedup serves")
+        assert(await()(jdbcCount("soak_postings") == 2L), "ann serves")
+        assert(await()(jdbcCount("soak_spost") >= 8L), "search serves")
+        // mid-run wave 2 flows with no conf touch
+        Files.write(new java.io.File(srcDir, "001.json").toPath, Seq(
+          wire("t", 2, "live", 8),
+          rawEv("orders", """{"o_id":11,"c_id":1,"val":7.0}""", 9)).asJava)
+        assert(await()(doc(2).exists()), "lww follows the live feed")
+        assert(await()(jdbcCount("soak_enriched") == 2L), "view follows")
+        // maintenance ticked: the seeded over-threshold log compacted
+        // (CURRENT repointed at a compact generation)
+        assert(await()(Files.exists(
+          java.nio.file.Paths.get(s"$seeded/CURRENT"))),
+          "watcher-tick maintenance must compact the seeded log")
+        // wave 3 lands right before the stop — the restart must finish
+        // serving it without re-sending waves 1–2
+        Files.write(new java.io.File(srcDir, "002.json").toPath, Seq(
+          wire("t", 3, "inflight", 10)).asJava)
+      }
+      val mtimes = Seq(1L, 2L).map(i => doc(i).lastModified())
+      serveOnce {
+        // the in-flight wave completes after the restart
+        assert(await()(doc(3).exists()), "in-flight wave serves post-restart")
+        // post-restart wave proves every kind is live again
+        Files.write(new java.io.File(srcDir, "003.json").toPath, Seq(
+          wire("t", 4, "post", 11),
+          rawEv("embeddings", """{"vec_id":2,"embedding":[0.9,0.2]}""", 12)).asJava)
+        assert(await()(doc(4).exists()), "lww live post-restart")
+        assert(await()(jdbcCount("soak_postings") == 3L), "ann live post-restart")
+        // no resend: waves 1–2's served documents untouched by the restart
+        assert(Seq(1L, 2L).map(i => doc(i).lastModified()) == mtimes,
+          "restart must not re-send already-served documents")
+      }
+      // metrics contiguity: for every pipeline that recorded, the batch
+      // ids are exactly 0..max — no gap at the stop/restart boundary,
+      // no duplicate from a replayed batch (DELETE+INSERT overwrites)
+      val t = PipelineMetrics.Target(url, "soak_metrics")
+      val byPipe = PipelineMetrics.rows(spark, t)
+        .select(col("pipeline"), col("batch_id"))
+        .as[(String, Long)].collect().groupBy(_._1)
+      assert(byPipe.nonEmpty, "metrics recorded")
+      byPipe.foreach { case (p, rows) =>
+        val ids = rows.map(_._2).sorted.toSeq
+        assert(ids == (0L to ids.max).toSeq,
+          s"$p: batch ids contiguous across the restart, got $ids")
+      }
+    } finally {
+      prevWh match {
+        case Some(w) => spark.conf.set("spark.graft.warehouse", w)
+        case None => spark.conf.unset("spark.graft.warehouse")
+      }
+    }
+  }
 }
