@@ -28,6 +28,78 @@ object PageRank {
 
   private val Grain = 1e15
 
+  /** Edge-count cap under which the power iteration runs ON THE DRIVER
+    * (the BFS round-cost discipline, CorpusOps.DriverFrontierCap's
+    * sibling): an iterative fold over a model-sized graph is pure
+    * job-scheduling overhead distributed — measured 142 jobs / 15.6 s
+    * for 8 rounds over a 64-node graph (q129's churn fold) — while the
+    * identical fixed-point arithmetic runs in microseconds locally.
+    * Above the cap the distributed loop is unchanged, so 100-TB graphs
+    * keep the frontier-bounded incremental plan. Bit-stability: the
+    * local tier mirrors the distributed algebra operation for
+    * operation (floor(rank/out·1e15 + 0.5) summed as integers, one
+    * final double division), so the two tiers agree to the bit — the
+    * oracle, PageRankSpec's tier-parity test, and the q129 hash all
+    * certify it.
+    */
+  private[graft] val DriverGraphCap = 200000
+
+  /** The driver tier: identical power iteration over collected edges.
+    * Keys stay `Any` (TextRank ranks string tokens); only hashing is
+    * required, never ordering.
+    */
+  private def ranksLocal(edges: Array[(Any, Any)], iters: Int,
+      damping: Double): scala.collection.mutable.HashMap[Any, Double] = {
+    val out = scala.collection.mutable.HashMap.empty[Any, Long]
+    edges.foreach { case (s, _) => out(s) = out.getOrElse(s, 0L) + 1L }
+    val nodes = scala.collection.mutable.LinkedHashSet.empty[Any]
+    edges.foreach { case (s, d) => nodes += s; nodes += d }
+    val n = nodes.size.toDouble
+    var rank = scala.collection.mutable.HashMap.empty[Any, Double]
+    nodes.foreach(rank(_) = 1.0 / n)
+    var it = 0
+    while (it < iters) {
+      val inSum = scala.collection.mutable.HashMap.empty[Any, Long]
+      edges.foreach { case (s, d) =>
+        // the distributed round's exact per-edge term:
+        // floor(rank/out · Grain + 0.5) summed as integers
+        val c = rank(s) / out(s)
+        inSum(d) = inSum.getOrElse(d, 0L) +
+          math.floor(c * Grain + 0.5).toLong
+      }
+      val next = scala.collection.mutable.HashMap.empty[Any, Double]
+      nodes.foreach { v =>
+        next(v) = (1.0 - damping) / n +
+          damping * (inSum.getOrElse(v, 0L).toDouble / Grain)
+      }
+      rank = next
+      it += 1
+    }
+    rank
+  }
+
+  /** Run [[ranksLocal]] over a materialized edge FRAME and return the
+    * (node, rank) result as a one-partition DataFrame in the edge key's
+    * type. Caller has already checked the cap.
+    */
+  private def ranksLocalFrame(e: DataFrame, iters: Int,
+      damping: Double): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val spark = e.sparkSession
+    val edges = e.select(col("src"), col("dst")).collect()
+      .map(r => (r.get(0), r.get(1)))
+    val rank = ranksLocal(edges, iters, damping)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node",
+        e.schema("src").dataType),
+      org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+    spark.createDataFrame(
+      rank.iterator.map { case (v, r) =>
+        org.apache.spark.sql.Row(v, r)
+      }.toSeq.asJava, schema)
+  }
+
   /** @param edges (src, dst) directed edge list (deduplicated)
     * @return (node, rank), Σ rank = 1 for dangling-free graphs
     */
@@ -37,6 +109,18 @@ object PageRank {
     // scan) would re-derive from source each round — measured 3× the
     // whole loop's cost on the TextRank graph
     val e = edges.localCheckpoint(true)
+    // model-sized graph → driver tier (see [[DriverGraphCap]]); the
+    // count is free on the just-checkpointed frame
+    if (e.count() <= DriverGraphCap) ranksLocalFrame(e, iters, damping)
+    else ranksDistributed(e, iters, damping)
+  }
+
+  /** The distributed tier of [[ranks]] — the over-cap fixpoint (also
+    * directly spec-targetable for tier-parity: PageRankSpec pins its
+    * output bit-identical to the driver tier's).
+    */
+  private[graft] def ranksDistributed(e: DataFrame, iters: Int,
+      damping: Double): DataFrame = {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint(true)
@@ -152,6 +236,17 @@ object PageRank {
     val ins = edgeDeltas.filter(col("delta") > 0).select(col("src"), col("dst"))
     val del = edgeDeltas.filter(col("delta") < 0).select(col("src"), col("dst"))
     val newE = oldE.union(ins).except(del).localCheckpoint(true)
+    // model-sized post-churn graph → driver tier: the incremental
+    // splice exists to bound work by affected mass on graphs too big to
+    // recompute, but under the cap the bit-identical local power
+    // iteration beats 8 distributed rounds of frontier bookkeeping
+    // (q129: 142 jobs → 2). History splicing and the local recompute
+    // agree to the bit — unaffected nodes' history values ARE the
+    // post-churn fixed-point values (the splice argument), and both
+    // tiers share the fixed-point algebra. The stats path (spec-pinned
+    // affected-mass counts) keeps the distributed loop.
+    if (!withStats && newE.count() <= DriverGraphCap)
+      return (ranksLocalFrame(newE, history.size - 1, damping), Nil)
     val nodes = newE.select(col("src").as("node"))
       .union(newE.select(col("dst").as("node"))).distinct()
     val n = nodes.count().toDouble

@@ -94,4 +94,29 @@ class PageRankSpec extends SparkSpec {
       .as[(String, Double)].collect().toMap
     assert(got.as[(String, Double)].collect().toMap === scratch)
   }
+
+  test("tier parity: the driver tier and the distributed fixpoint agree to the bit") {
+    import org.apache.spark.sql.functions.col
+    // an irregular graph with hubs, chains and a sink-ish tail
+    val edges = ((1 to 60).map(i => (i.toLong, (i * 7 % 61 + 1).toLong))
+      ++ (1 to 60 by 3).map(i => (i.toLong, (i * 11 % 61 + 1).toLong)))
+      .distinct
+    val e = edges.toDF("src", "dst")
+    // ranks() takes the driver tier (60 nodes << cap); the distributed
+    // fixpoint is called directly — results must be IDENTICAL doubles
+    val local = PageRank.ranks(e, 8).as[(Long, Double)].collect().toMap
+    val dist = PageRank.ranksDistributed(e.localCheckpoint(true), 8, 0.85)
+      .as[(Long, Double)].collect().toMap
+    assert(local == dist, "bitwise tier parity")
+    // incremental: the stats path keeps the distributed splice; the
+    // plain path takes the driver tier under the cap — same bits
+    val hist = PageRank.ranksWithHistory(e, 6)
+    val deltas = Seq((2L, 9L, 1), (1L, 8L, -1)).toDF("src", "dst", "delta")
+      .filter(col("delta") =!= 0) // keep types honest
+    val viaDriver = PageRank.incrementalRanks(e, hist, deltas)
+      .as[(Long, Double)].collect().toMap
+    val viaSplice = PageRank.incrementalRanksWithStats(e, hist, deltas)._1
+      .as[(Long, Double)].collect().toMap
+    assert(viaDriver == viaSplice, "incremental tier parity")
+  }
 }
