@@ -456,6 +456,58 @@ class EnforceSpec extends SparkSpec {
       d._1 == "tok_cap" && d._2.contains("\"doc_id\":2")))
     assert(verdicts("enf_inc")("tok_cap") == ((1L, 0L, false)))
   }
+
+  test("halt lifecycle: a breached stream quarantines with the store pre-batch; a conf fix restarts it from the checkpoint and the replayed batch serves") {
+    EnforceSpec.recorded.clear()
+    val confDir = Files.createTempDirectory("graft_enf_hl_conf_").toFile
+    def writeConf(budget: Long): Unit =
+      Files.write(new java.io.File(confDir, "h.json").toPath, Seq(
+        s"""{"name":"enf_hl","databases":["shop"],"tables":["documents"],
+           |"idKey":"doc_id","schema":"doc_id BIGINT, text STRING",
+           |"metrics":{"url":"$url","table":"enf_metrics"},
+           |"expectations":[{"rule":"not_null","name":"text_set",
+           |"column":"text","budget":$budget,"action":"halt"}]}"""
+          .stripMargin.replace("\n", "")).asJava)
+    writeConf(budget = 0L)
+    val feedDir = Files.createTempDirectory("graft_enf_hl_feed_").toFile
+    Files.write(new java.io.File(feedDir, "000.json").toPath, Seq(
+      wire("documents", doc(1, "fine"), null, "c", 10, 1),
+      wire("documents", """{"doc_id":2,"text":null}""", null, "c", 10, 2))
+      .asJava)
+    val ckptRoot = Files.createTempDirectory("graft_enf_hl_ckpt_").toString
+    val watcher = new PipelineWatcher(spark, confDir.toString,
+      feedDir.toString, ckptRoot,
+      EsSink.Config("http://es/idx", "u", "p", "doc_id"),
+      new EnforceSpec.Rec, pollMs = 100L)
+    try {
+      val Seq(q) = watcher.startPipelines()
+      // the halt breach fails the micro-batch: the query dies with the
+      // HaltException as its cause and NOTHING reached the sink
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+        q.awaitTermination())
+      def rootCause(t: Throwable): Throwable =
+        if (t.getCause == null || t.getCause == t) t else rootCause(t.getCause)
+      assert(rootCause(e).isInstanceOf[graft.ops.Profile.HaltException],
+        s"got: ${rootCause(e)}")
+      assert(EnforceSpec.recorded.isEmpty, "store keeps its pre-batch state")
+      // ...but the breach IS observable: the verdict row landed first
+      assert(verdicts("enf_hl")("text_set") == ((1L, 0L, false)))
+      // the operator fixes the rule (budget raised) and the watcher's
+      // reload path restarts the pipeline from its checkpoint; the
+      // halted batch — never committed — replays and now serves
+      Thread.sleep(1100) // mtime granularity: the edit must be visible
+      writeConf(budget = 1L)
+      val restarted = watcher.pollOnce()
+      assert(restarted.nonEmpty, "conf edit restarts the quarantined pipeline")
+      watcher.activeQueries.values.foreach(_.awaitTermination())
+      val sent = EnforceSpec.recorded.asScala.map(r => r.url + "\n" + r.body)
+        .mkString
+      assert(sent.contains("\"doc_id\":1") && sent.contains("\"doc_id\":2"),
+        s"replayed batch serves under the raised budget: $sent")
+      assert(verdicts("enf_hl")("text_set") == ((1L, 1L, true)),
+        "the replayed batch's verdict overwrites with the new budget")
+    } finally watcher.stop()
+  }
 }
 
 object EnforceSpec {
