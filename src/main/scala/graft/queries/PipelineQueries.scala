@@ -2821,9 +2821,80 @@ object PipelineQueries {
       .filter(col("pipeline") === "orders_drift")
   }
 
+  private val q160Lock = new Object
+
+  /** Q160: ENFORCEMENT ON THE ADDITIVE STORE under the oracle gate —
+    * q154 certifies drop enforcement for keyed-document serving; this
+    * certifies it where the store is an ADDITIVE fold (the search
+    * index), the kind where a leaked contribution is not overwritten
+    * by the next batch but ACCUMULATES: a conf-declared drop-action
+    * referential rule (doc_id must exist in the customer dimension —
+    * conf-expressible via the parquet path, q156's machinery) withholds
+    * every ± posting contribution of out-of-dimension docs before the
+    * exactly-once MERGE, so the served postings relation is exactly the
+    * live post-traffic index of the allowed sliver. The customer-key
+    * domain scales with SF, so the predicate keeps a scale-
+    * proportional pass rate at every test size. One stale contribution
+    * on either side of the fence — a banned doc's term leaked in, an
+    * allowed doc's revision withheld — breaks the hash.
+    */
+  val q160 = QueryDef.sql(
+    "q160_enforced_search_store",
+    """WITH cur AS (SELECT doc_id,
+      |         CASE WHEN doc_id % 3 = 0 THEN text || ' revised edition'
+      |              ELSE text END AS text
+      |       FROM documents WHERE doc_id % 5 <> 0
+      |         AND doc_id IN (SELECT c_custkey FROM customer)),
+      |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |        FROM cur)
+      |SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf
+      |FROM tok GROUP BY token, doc_id""".stripMargin) { (spark, dir) =>
+    import graft.cdc.{ChangeFeed, DeltaLog}
+    import graft.ops.Profile
+    import graft.streaming.{PipelineMetrics, SearchServingPipeline}
+    val feed = ChangeFeed.stagedDocsJsonl(spark, dir)
+    val fp = graft.sources.Staging.fingerprint(
+      Seq(s"$dir/documents.parquet", s"$dir/customer.parquet"))
+    val base = DeltaLog.logBase(spark,
+      s"enfsearch_${dir.replaceAll("[^a-zA-Z0-9]", "_")}", fp)
+    val url = s"jdbc:derby:$base/derby;create=true"
+    val target = PipelineMetrics.Target(url, "pipeline_metrics_q160")
+    val pipeline = SearchServingPipeline(
+      name = "q160", databases = Set("shop"), table = "documents",
+      idField = "doc_id", textField = "text",
+      jdbcUrl = url, postingsTable = "postings_q160",
+      lensTable = "doclens_q160",
+      metrics = Some(target),
+      deadLetterDir = Some(s"$base/dead"),
+      expectations = Seq(Profile.RefIntegrityPath("doc_in_customer",
+        "doc_id", s"$dir/customer.parquet", "c_custkey",
+        budget = 0L, action = Profile.Drop)))
+    q160Lock.synchronized {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(base))
+      PipelineMetrics.ensureTable(target)
+      PipelineMetrics.ensureExpectTable(target)
+      val c = java.sql.DriverManager.getConnection(url)
+      try {
+        val st = c.createStatement()
+        def mk(ddl: String): Unit =
+          try { st.execute(ddl); () }
+          catch { // X0Y32: table already exists (idempotent re-drive)
+            case e: java.sql.SQLException if e.getSQLState == "X0Y32" => ()
+          }
+        mk("""CREATE TABLE postings_q160 ("token" VARCHAR(256) NOT NULL,
+             | "doc_id" BIGINT NOT NULL, "tf" BIGINT,
+             | PRIMARY KEY ("token", "doc_id"))""".stripMargin.replace("\n", ""))
+        mk("""CREATE TABLE doclens_q160 ("doc_id" BIGINT NOT NULL PRIMARY
+             | KEY, "len" BIGINT)""".stripMargin.replace("\n", ""))
+      } finally c.close()
+      pipeline.runOnce(spark, feed, s"$base/work")
+    }
+    pipeline.servedPostings(spark)
+  }
+
   val all: Seq[QueryDef] = Seq(q41, q42, q43, q44, q45, q47, q48, q49,
     q54, q57, q60, q62, q63, q64, q68, q69, q74, q76, q80, q81, q83, q90, q91,
     q94, q98, q122, q125, q127, q128, q129, q130, q131, q133, q134, q135,
     q136, q137, q138, q139, q140, q141, q142, q144, q145, q146, q147, q148,
-    q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159)
+    q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160)
 }

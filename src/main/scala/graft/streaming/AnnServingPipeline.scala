@@ -243,6 +243,32 @@ final case class AnnServingPipeline(
         stagingColumnTypes = "pipeline VARCHAR(64)")
     }
 
+  /** FILTERED serve from the live store with SELECTIVITY-ADAPTIVE
+    * probes ([[VectorSearch.adaptiveProbes]], q158's policy wired into
+    * the serving surface): the allowed-id relation semi-joins the
+    * postings BEFORE the probe join (pre-filter semantics — the true
+    * top-k of the matching subset), the matching count sets the probe
+    * width (clamp(ceil(8k·nCells/allowedN), conf nProbe, nCells) —
+    * sharp filters degrade gracefully to the exact scan of the
+    * matching sliver), and cells come from whatever quantizer
+    * generation CURRENT names, so a retrain-and-swap takes effect here
+    * with no restart. Returns (top-k frame, probes used) — the width
+    * belongs in the caller's observability, the q158 certificate's
+    * lesson.
+    */
+  def servedFilteredKnn(spark: SparkSession, workRoot: String,
+      queries: DataFrame, allowed: DataFrame,
+      kOverride: Int = -1): (DataFrame, Int) = {
+    val c = currentCents(workRoot)
+    val kk = if (kOverride > 0) kOverride else k
+    val allowedPostings = servedPostings(spark)
+      .join(allowed, Seq("vec_id"), "left_semi").localCheckpoint(true)
+    val probes = VectorSearch.adaptiveProbes(c.length, nProbe, kk,
+      allowedPostings.count())
+    (VectorSearch.knnIvfFromPostings(queries, allowedPostings, kk, c,
+      probes), probes)
+  }
+
   /** The last certificate row, if any: (batch_id, recall, recall_ok,
     * skew, drift_ok) — operational visibility and the retrain trigger's
     * input.

@@ -458,4 +458,58 @@ class AnnServingSpec extends SparkSpec {
         "deregistration preserves checkpoints and the quantizer generations")
     } finally watcher.stop()
   }
+
+  test("servedFilteredKnn: pre-filter semantics with selectivity-adaptive probes — broad filters keep the conf width, sharp ones saturate to the exact sliver scan") {
+    val url = "jdbc:derby:memory:graftannfilt;create=true"
+    val c0 = java.sql.DriverManager.getConnection(url)
+    c0.createStatement().execute(
+      """CREATE TABLE postings ("vec_id" BIGINT NOT NULL PRIMARY KEY,
+        | "cell" INTEGER, "emb_json" VARCHAR(32000))""".stripMargin.replace("\n", ""))
+    c0.close()
+    val pipeline = AnnServingPipeline(
+      name = "annf", databases = Set("shop"), table = "embeddings",
+      idField = "vec_id", vectorField = "embedding", cents = cents,
+      jdbcUrl = url, postingsTable = "postings", k = 2, nProbe = 1)
+    val feedDir = Files.createTempDirectory("graft_annf_feed_").toFile
+    val workRoot = Files.createTempDirectory("graft_annf_work_").toString
+    // 64 vectors, 16 per axis-aligned cell, deterministic jitter that
+    // never flips the cell assignment
+    val corpus = (0L until 64L).map { i =>
+      val (bx, by) = cents(i.toInt % 4) match {
+        case a => (a(0).toDouble, a(1).toDouble)
+      }
+      val j = 0.002 * (i / 4)
+      (i, bx + (if (bx == 0) j else 0.0), by + (if (by == 0) j else 0.0))
+    }
+    Files.write(new java.io.File(feedDir, "000.json").toPath,
+      corpus.zipWithIndex.map { case ((id, x, y), i) =>
+        wire(v(id, x, y), null, "c", 10, i + 1)
+      }.asJava)
+    pipeline.runOnce(spark, feedDir.toString, workRoot)
+    val served = pipeline.servedPostings(spark).localCheckpoint(true)
+    val queries = served.filter(col("vec_id") < 2)
+      .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+    // BROAD: all 64 ids allowed -> ceil(8*2*4/64) = 1 = the conf width
+    val allIds = (0L until 64L).toDF("vec_id")
+    val (_, probesBroad) =
+      pipeline.servedFilteredKnn(spark, workRoot, queries, allIds)
+    assert(probesBroad == 1, s"broad filter keeps nProbe, got $probesBroad")
+    // SHARP: 4 allowed ids -> ceil(64/4) = 16 clamps to nCells = 4, the
+    // exact scan of the sliver — so the answer IS the exact filtered
+    // top-k
+    val sharp = Seq(10L, 21L, 33L, 47L).toDF("vec_id")
+    val (res, probesSharp) =
+      pipeline.servedFilteredKnn(spark, workRoot, queries, sharp)
+    assert(probesSharp == cents.length,
+      s"sharp filter saturates to nCells, got $probesSharp")
+    val got = res.select(col("q_vec_id"), col("n_vec_id"), col("rnk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val exact = VectorSearch.filteredKnnExact(queries,
+      served.select(col("vec_id"), col("embedding")), sharp, 2)
+      .select(col("q_vec_id"), col("n_vec_id"), col("rnk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == exact, s"saturated probe = exact filtered top-k: $got vs $exact")
+    assert(got.map(_._2).subsetOf(Set(10L, 21L, 33L, 47L)),
+      "pre-filter semantics: only allowed ids can appear")
+  }
 }
