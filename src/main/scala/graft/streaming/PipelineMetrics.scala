@@ -298,11 +298,15 @@ object PipelineMetrics {
             .filter(c => c != "violated" && !c.startsWith("__"))
           // overwrite THIS batch's partition dir (StateLog.appendBatch's
           // idempotence rule): a checkpoint-replayed batch re-writes its
-          // own rows instead of appending duplicates
+          // own rows instead of appending duplicates. The pipeline name
+          // is conf-controlled — sanitize it before it becomes a path
+          // segment (a '/' would silently nest, '=' would corrupt the
+          // partition encoding)
+          val safe = pipeline.replaceAll("[^A-Za-z0-9._-]", "_")
           viol.select(array_join(col("violated"), ",").as("violated"),
             to_json(struct(docCols.map(col).toSeq: _*)).as("row_json"))
             .write.mode("overwrite")
-            .parquet(s"$dir/_expect/pipeline=$pipeline/batch_id=$batchId")
+            .parquet(s"$dir/_expect/pipeline=$safe/batch_id=$batchId")
         }
         Some(viol)
       }
@@ -314,7 +318,8 @@ object PipelineMetrics {
     * (violated, row_json, pipeline, batch_id) that
     * [[enforceBatchExpectations]] writes per offending batch (pipeline
     * and batch_id are partition directories, so a replayed batch
-    * overwrites its own rows).
+    * overwrites its own rows; the pipeline value is the PATH-SANITIZED
+    * name — [^A-Za-z0-9._-] mapped to '_').
     */
   def expectDeadLetters(spark: org.apache.spark.sql.SparkSession,
       deadLetterDir: String): org.apache.spark.sql.DataFrame =

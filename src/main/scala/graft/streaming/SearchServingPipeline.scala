@@ -142,8 +142,19 @@ final case class SearchServingPipeline(
           JdbcSink.mergeAdditive(posting, url, pt,
             Seq("token", "doc_id"), Seq("tf"), zeroGuard = "tf",
             stagingColumnTypes = "token VARCHAR(256)", batchId = batchId)
-          val lens = CorpusOps.docLenDeltas(cached, tf)
+          val lens0 = CorpusOps.docLenDeltas(cached, tf)
             .select(col("doc_id"), col("d").as("len"))
+          // store coherence under drop enforcement: a doc whose EVERY
+          // posting contribution was withheld never entered (or left)
+          // the index this batch, so its length contribution must not
+          // either — a stale len row would silently skew BM25's
+          // n_docs/avgdl stats for the allowed corpus
+          val lens = violating.fold(lens0) { v =>
+            val fullyWithheld = v.select(col("doc_id")).distinct()
+              .join(posting.select(col("doc_id")).distinct(),
+                Seq("doc_id"), "left_anti")
+            lens0.join(fullyWithheld, Seq("doc_id"), "left_anti")
+          }
           JdbcSink.mergeAdditive(lens, url, lt,
             Seq("doc_id"), Seq("len"), zeroGuard = "len", batchId = batchId)
           // counts re-derive from the persisted batch frame only

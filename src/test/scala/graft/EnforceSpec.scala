@@ -275,6 +275,11 @@ class EnforceSpec extends SparkSpec {
       .collect().toSeq
     assert(sPostings == Seq(1L), s"doc 88 postings withheld, got $sPostings")
     assert(deadRows(sDl).size == 2, "both of doc 88's posting rows dead-letter")
+    // store coherence: the fully-withheld doc's LENGTH contribution is
+    // withheld too — a stale len row would skew BM25's corpus stats
+    val sLens = spark.read.jdbc(url, "enf_slens", new java.util.Properties())
+      .select(col("doc_id").cast("long")).as[Long].collect().toSeq
+    assert(sLens == Seq(1L), s"doc 88's len row withheld with it, got $sLens")
     // (lww is the drop test above — all five kinds share the hook)
   }
 
