@@ -448,18 +448,35 @@ object CorpusOps {
     val spark = edges.sparkSession
     val seed0 = seeds.select(col("id")).distinct()
       .select(col("id"), lit(0L).as("dist")).localCheckpoint(true)
-    // Pin the edge endpoints to the SEED id type up front: the driver
-    // tier dedupes collected ids in a HashSet[Any] and rebuilds frames
-    // with the seed column's type, so INT edges against BIGINT seeds
-    // would either fail createDataFrame row validation or mis-compare
-    // boxed Integer vs Long and revisit nodes. One cast, both tiers.
-    val seedIdType = seed0.schema("id").dataType
+    // Pin BOTH relations to ONE id type up front: the driver tier
+    // dedupes collected ids in a HashSet[Any] and rebuilds frames with
+    // a declared type, so INT edges against BIGINT seeds would either
+    // fail createDataFrame row validation or mis-compare boxed Integer
+    // vs Long and revisit nodes. The unified type is the WIDER of the
+    // two when both are integral — narrowing the edge ids to the seed
+    // type would wrap/null endpoints above the seed type's range and
+    // silently traverse a mangled graph.
+    val seedIdType = {
+      val st = seed0.schema("id").dataType
+      val et = edges.schema("u").dataType
+      import org.apache.spark.sql.types._
+      val integral: Set[org.apache.spark.sql.types.DataType] =
+        Set(ByteType, ShortType, IntegerType, LongType)
+      (st, et) match {
+        case (a, b) if a == b => a
+        case (a, b) if integral(a) && integral(b) =>
+          if (a.defaultSize >= b.defaultSize) a else b
+        case (a, _) => a // non-integral mixes keep the seed type (pre-r11)
+      }
+    }
     val e = edges.select(col("u").cast(seedIdType).as("u"),
       col("v").cast(seedIdType).as("v")).localCheckpoint(true)
-    val seedN = seed0.count()
+    val seed0w = seed0.select(col("id").cast(seedIdType).as("id"),
+      col("dist")).localCheckpoint(true)
+    val seedN = seed0w.count()
     if (seedN > cap)
-      return bfsDistributedLoop(e, seed0.select(col("id")), seedN,
-        seed0, seedN, Seq(seed0), maxIter)
+      return bfsDistributedLoop(e, seed0w.select(col("id")), seedN,
+        seed0w, seedN, Seq(seed0w), maxIter)
 
     import scala.jdk.CollectionConverters._
     val idType = seedIdType
@@ -467,7 +484,7 @@ object CorpusOps {
       org.apache.spark.sql.types.StructField("id", idType)))
     val outSchema = idSchema.add("dist",
       org.apache.spark.sql.types.LongType, nullable = false)
-    val seedIds: Array[Any] = seed0.select(col("id")).collect().map(_.get(0))
+    val seedIds: Array[Any] = seed0w.select(col("id")).collect().map(_.get(0))
     val visited = scala.collection.mutable.HashSet[Any](seedIds.toSeq: _*)
     val levels = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
     seedIds.foreach(id => levels += org.apache.spark.sql.Row(id, 0L))

@@ -182,7 +182,10 @@ object Profile {
     * so verdicts are engine-exact. `action` is what a breach does to
     * the judged batch ([[Action]]).
     */
-  sealed trait Rule { def name: String; def budget: Long; def action: Action }
+  sealed trait Rule {
+    def name: String; def column: String; def budget: Long
+    def action: Action
+  }
   /** Violations = rows where `column` is null. */
   final case class NotNull(name: String, column: String,
       budget: Long = 0L, action: Action = Warn) extends Rule
@@ -266,14 +269,9 @@ object Profile {
             lit(r.budget).as("budget"))
       case r @ (_: RefIntegrity | _: RefIntegrityPath) =>
         val (dim, dimColumn) = refDim(df, r)
-        val column = r match {
-          case x: RefIntegrity => x.column
-          case x: RefIntegrityPath => x.column
-          case _ => throw new MatchError(r)
-        }
-        df.filter(col(column).isNotNull)
-          .join(dim.select(col(dimColumn).as(column)).distinct(),
-            Seq(column), "left_anti")
+        df.filter(col(r.column).isNotNull)
+          .join(dim.select(col(dimColumn).as(r.column)).distinct(),
+            Seq(r.column), "left_anti")
           .agg(count(lit(1)).as("violations"))
           .select(lit(r.name).as("rule"), col("violations"),
             lit(r.budget).as("budget"))
@@ -321,18 +319,13 @@ object Profile {
         tagCols += when(col(m), lit(r.name))
       case r @ (_: RefIntegrity | _: RefIntegrityPath) =>
         val (dim, dimColumn) = refDim(df, r)
-        val column = r match {
-          case x: RefIntegrity => x.column
-          case x: RefIntegrityPath => x.column
-          case _ => throw new MatchError(r)
-        }
         val m = s"__ref_${r.name}"
         // distinct dim keys → at most one match, so multiplicity holds
         acc = acc.join(
-          dim.select(col(dimColumn).as(column)).distinct()
+          dim.select(col(dimColumn).as(r.column)).distinct()
             .withColumn(m, lit(true)),
-          Seq(column), "left")
-        tagCols += when(col(column).isNotNull && col(m).isNull, lit(r.name))
+          Seq(r.column), "left")
+        tagCols += when(col(r.column).isNotNull && col(m).isNull, lit(r.name))
     }
     // re-select the ORIGINAL column order (+ violated): the referential
     // joins move their join column first, and callers feed the clean

@@ -2679,14 +2679,17 @@ object PipelineQueries {
       |b3 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents
       |       WHERE doc_id % 5 <> 0 AND doc_id % 20 = 3)
       |SELECT 'b1_en' AS band, n AS n_allowed,
-      |       CAST(LEAST(16, GREATEST(4, (640 + n - 1) // n)) AS BIGINT)
+      |       CAST(CASE WHEN n = 0 THEN 16 ELSE
+      |         LEAST(16, GREATEST(4, (640 + n - 1) // n)) END AS BIGINT)
       |         AS probes,
       |       TRUE AS recall_ok FROM b1
       |UNION ALL SELECT 'b2_en_quarter', n,
-      |       CAST(LEAST(16, GREATEST(4, (640 + n - 1) // n)) AS BIGINT),
+      |       CAST(CASE WHEN n = 0 THEN 16 ELSE
+      |         LEAST(16, GREATEST(4, (640 + n - 1) // n)) END AS BIGINT),
       |       TRUE FROM b2
       |UNION ALL SELECT 'b3_sliver', n,
-      |       CAST(LEAST(16, GREATEST(4, (640 + n - 1) // n)) AS BIGINT),
+      |       CAST(CASE WHEN n = 0 THEN 16 ELSE
+      |         LEAST(16, GREATEST(4, (640 + n - 1) // n)) END AS BIGINT),
       |       TRUE FROM b3""".stripMargin) { (spark, dir) =>
     import graft.cdc.DeltaLog
     val (vecStore0, allowedEn, queries) = filteredSearchInputs(spark, dir)

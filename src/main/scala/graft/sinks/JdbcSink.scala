@@ -229,15 +229,16 @@ object JdbcSink {
     val conn = java.sql.DriverManager.getConnection(url, props)
     try {
       val st = conn.createStatement()
-      // Swallow ONLY table-absent (Derby 42X05 "table does not exist" /
-      // 42Y55 "cannot drop/alter non-existent"): a transient lock or
-      // permission failure here would leave stale markers that silently
-      // skip every replayed batch — the truncated-store failure mode the
-      // rebuild contract exists to prevent. Anything else must fail loud.
+      // Swallow ONLY table-absent: a transient lock or permission
+      // failure here would leave stale markers that silently skip
+      // every replayed batch — the truncated-store failure mode the
+      // rebuild contract exists to prevent. Anything else must fail
+      // loud. States cover the engines the generic url API accepts
+      // (Derby / Postgres / MySQL / H2 / MSSQL).
       try st.execute(s"DELETE FROM ${table}_progress")
       catch {
         case e: java.sql.SQLException
-            if e.getSQLState == "42X05" || e.getSQLState == "42Y55" => ()
+            if JdbcSink.TableAbsentStates(e.getSQLState) => ()
       }
       finally st.close()
     } finally conn.close()
@@ -247,9 +248,25 @@ object JdbcSink {
     val st = conn.createStatement()
     try st.execute(
       s"CREATE TABLE ${table}_progress (batch_id BIGINT NOT NULL PRIMARY KEY)")
-    catch { // swallow ONLY Derby's already-exists (X0Y32); fail loud otherwise
-      case e: java.sql.SQLException if e.getSQLState == "X0Y32" => ()
+    catch { // swallow ONLY already-exists; fail loud otherwise
+      case e: java.sql.SQLException
+          if JdbcSink.TableExistsStates(e.getSQLState) => ()
     }
     finally st.close()
   }
+
+  /** SQLStates that mean "table does not exist" across the engines the
+    * generic url/props API accepts: Derby 42X05 (+42Y55 for drop/alter
+    * targets), Postgres 42P01, MySQL/H2/MSSQL 42S02. Narrow on purpose
+    * — any OTHER state (lock, permission, connection) must propagate,
+    * or stale progress markers silently skip replayed batches.
+    */
+  private[sinks] val TableAbsentStates: Set[String] =
+    Set("42X05", "42Y55", "42P01", "42S02")
+
+  /** SQLStates that mean "table already exists": Derby X0Y32, Postgres
+    * 42P07, MySQL/H2/MSSQL 42S01.
+    */
+  private[sinks] val TableExistsStates: Set[String] =
+    Set("X0Y32", "42P07", "42S01")
 }

@@ -42,6 +42,12 @@ final case class CdcPipeline(
     s"pipeline $name: expectations need a metrics target to record into")
   require(!driftCheck || metrics.isDefined,
     s"pipeline $name: driftCheck needs a metrics target to record into")
+  // a Drop action without a landing place would silently discard the
+  // withheld rows (S6: failures are data) — enforce at CONSTRUCTION,
+  // not just conf registration, so API-built pipelines can't slip by
+  require(expectations.forall(_.action != graft.ops.Profile.Drop)
+      || deadLetterDir.isDefined,
+    s"pipeline $name: a drop-action expectation needs a deadLetterDir")
 
   // registration-time dry-run resolution of the conf-declared transform
   // against THIS pipeline's declared schema (the reference runs

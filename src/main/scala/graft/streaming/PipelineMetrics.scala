@@ -275,7 +275,20 @@ object PipelineMetrics {
     if (rules.isEmpty) None
     else {
       val rows = servingRows
-      val verdicts = graft.ops.Profile.expectations(rows, rules)
+      // resolve path-declared dimensions ONCE per call and PIN the key
+      // set: the verdict count and the drop tagging below must judge
+      // the SAME dimension snapshot (a re-read could see a concurrent
+      // overwrite and break their spec-pinned counting parity), and a
+      // second full dimension read per rule per batch is pure waste
+      val resolved: Seq[graft.ops.Profile.Rule] = rules.map {
+        case r: graft.ops.Profile.RefIntegrityPath =>
+          val keys = rows.sparkSession.read.parquet(r.dimPath)
+            .select(col(r.dimColumn)).distinct().localCheckpoint(true)
+          graft.ops.Profile.RefIntegrity(r.name, r.column, keys,
+            r.dimColumn, r.budget, r.action)
+        case r => r
+      }
+      val verdicts = graft.ops.Profile.expectations(rows, resolved)
         .collect().toSeq.map(r => Verdict(
           r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
       target.foreach(recordExpectations(_, pipeline, batchId, verdicts))
@@ -285,7 +298,7 @@ object PipelineMetrics {
           throw new graft.ops.Profile.HaltException(pipeline, batchId,
             v.rule, v.violations, v.budget)
       }
-      val dropRules = rules.filter(_.action == graft.ops.Profile.Drop)
+      val dropRules = resolved.filter(_.action == graft.ops.Profile.Drop)
       val anyDropViolations = dropRules.exists(r =>
         verdicts.exists(v => v.rule == r.name && v.violations > 0))
       if (!anyDropViolations) None

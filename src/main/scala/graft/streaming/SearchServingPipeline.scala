@@ -61,6 +61,12 @@ final case class SearchServingPipeline(
 
   require(expectations.isEmpty || metrics.isDefined,
     s"search $name: expectations need a metrics target to record into")
+  // a Drop action without a landing place would silently discard the
+  // withheld rows (S6: failures are data) — enforce at CONSTRUCTION,
+  // not just conf registration, so API-built pipelines can't slip by
+  require(expectations.forall(_.action != graft.ops.Profile.Drop)
+      || deadLetterDir.isDefined,
+    s"search $name: a drop-action expectation needs a deadLetterDir")
 
   private val rowSchema: StructType =
     StructType.fromDDL(s"$idField BIGINT, $textField STRING")

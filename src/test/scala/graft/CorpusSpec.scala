@@ -736,4 +736,22 @@ class CorpusSpec extends SparkSpec {
     assert(out(3L) == (("", 3L)), "fully-boilerplate doc kept, empty")
     assert(out(4L) == (("calm waters here", 0L)))
   }
+
+  test("bfsDistances: mixed id widths unify on the WIDER type — INT edges vs BIGINT seeds and ids above Int range both traverse correctly") {
+    import org.apache.spark.sql.functions.col
+    // INT edges, BIGINT seeds: chain 1 -> 2 -> 3
+    val eInt = Seq((1, 2), (2, 3)).toDF("u", "v")
+    val sLong = Seq(1L).toDF("id")
+    val got1 = CorpusOps.bfsDistances(eInt, sLong)
+      .collect().map(r => (r.get(0).toString.toLong, r.getLong(1))).toMap
+    assert(got1 == Map(1L -> 0L, 2L -> 1L, 3L -> 2L), s"got $got1")
+    // BIGINT edges with ids beyond Int range, INT seeds: narrowing to
+    // the seed type would wrap/null the far endpoint
+    val big = 5000000000L
+    val eLong = Seq((7L, big), (big, big + 1)).toDF("u", "v")
+    val sInt = Seq(7).toDF("id")
+    val got2 = CorpusOps.bfsDistances(eLong, sInt)
+      .collect().map(r => (r.get(0).toString.toLong, r.getLong(1))).toMap
+    assert(got2 == Map(7L -> 0L, big -> 1L, (big + 1) -> 2L), s"got $got2")
+  }
 }

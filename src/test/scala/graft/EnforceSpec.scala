@@ -64,7 +64,7 @@ class EnforceSpec extends SparkSpec {
       (Some(1L), Some(5.0), Some(1L)),   // clean
       (Some(1L), Some(5.0), Some(2L)),   // dup of k=1
       (None, Some(50.0), Some(3L)),      // null k, v out of range
-      (Some(4L), None, Some(9L)),        // fk miss (4 not in dim... wait k is fk)
+      (Some(4L), None, Some(9L)),        // fk = 9 misses dim {1,2,3}
       (Some(2L), Some(-1.0), None)       // v out of range low
     ).toDF("k", "v", "fk")
     val rules: Seq[Profile.Rule] = Seq(
