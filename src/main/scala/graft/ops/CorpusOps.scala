@@ -471,8 +471,12 @@ object CorpusOps {
     }
     val e = edges.select(col("u").cast(seedIdType).as("u"),
       col("v").cast(seedIdType).as("v")).localCheckpoint(true)
-    val seed0w = seed0.select(col("id").cast(seedIdType).as("id"),
-      col("dist")).localCheckpoint(true)
+    // only re-pin the seeds when the unified type actually differs —
+    // the common same-type call keeps its single checkpoint
+    val seed0w =
+      if (seedIdType == seed0.schema("id").dataType) seed0
+      else seed0.select(col("id").cast(seedIdType).as("id"), col("dist"))
+        .localCheckpoint(true)
     val seedN = seed0w.count()
     if (seedN > cap)
       return bfsDistributedLoop(e, seed0w.select(col("id")), seedN,
