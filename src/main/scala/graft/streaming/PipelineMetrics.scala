@@ -335,12 +335,20 @@ object PipelineMetrics {
     * name — [^A-Za-z0-9._-] mapped to '_').
     */
   def expectDeadLetters(spark: org.apache.spark.sql.SparkSession,
-      deadLetterDir: String): org.apache.spark.sql.DataFrame =
-    spark.read.schema(
-      org.apache.spark.sql.types.StructType.fromDDL(
-        "violated STRING, row_json STRING, pipeline STRING, batch_id BIGINT"))
-      .option("basePath", s"$deadLetterDir/_expect")
-      .parquet(s"$deadLetterDir/_expect")
+      deadLetterDir: String): org.apache.spark.sql.DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "violated STRING, row_json STRING, pipeline STRING, batch_id BIGINT")
+    // a pipeline that never dropped a row never created the dir — that
+    // reads as ZERO dead letters, not as a reader error
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$deadLetterDir/_expect")))
+      spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+    else
+      spark.read.schema(schema)
+        .option("basePath", s"$deadLetterDir/_expect")
+        .parquet(s"$deadLetterDir/_expect")
+  }
 
   /** The recorded verdict rows, typed. */
   def expectRows(spark: org.apache.spark.sql.SparkSession,
