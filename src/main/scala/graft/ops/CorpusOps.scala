@@ -457,17 +457,16 @@ object CorpusOps {
     // type would wrap/null endpoints above the seed type's range and
     // silently traverse a mangled graph.
     val seedIdType = {
-      val st = seed0.schema("id").dataType
-      val et = edges.schema("u").dataType
       import org.apache.spark.sql.types._
       val integral: Set[org.apache.spark.sql.types.DataType] =
         Set(ByteType, ShortType, IntegerType, LongType)
-      (st, et) match {
-        case (a, b) if a == b => a
-        case (a, b) if integral(a) && integral(b) =>
-          if (a.defaultSize >= b.defaultSize) a else b
-        case (a, _) => a // non-integral mixes keep the seed type (pre-r11)
-      }
+      // widest across seed id AND both edge endpoints — a mixed-width
+      // edge frame (INT u, BIGINT v) must not narrow either side
+      val all = Seq(seed0.schema("id").dataType,
+        edges.schema("u").dataType, edges.schema("v").dataType)
+      if (all.distinct.size == 1) all.head
+      else if (all.forall(integral)) all.maxBy(_.defaultSize)
+      else all.head // non-integral mixes keep the seed type (pre-r11)
     }
     val e = edges.select(col("u").cast(seedIdType).as("u"),
       col("v").cast(seedIdType).as("v")).localCheckpoint(true)

@@ -174,6 +174,22 @@ object Profile {
       s"pipeline $pipeline batch $batchId: expectation '$rule' halts — " +
         s"$violations violations > budget $budget")
 
+  /** The construction-time invariants every pipeline kind shares, in
+    * ONE place (five ctors apply it; the registry adds its file-named
+    * variants): declared expectations need a metrics target (verdicts
+    * without a store vanish silently), and a Drop action needs a
+    * dead-letter dir (withheld rows without a landing place vanish too
+    * — S6: failures are data).
+    */
+  def requireEnforceable(kind: String, name: String,
+      expectations: Seq[Rule], metrics: Option[_],
+      deadLetterDir: Option[String]): Unit = {
+    require(expectations.isEmpty || metrics.isDefined,
+      s"$kind $name: expectations need a metrics target to record into")
+    require(expectations.forall(_.action != Drop) || deadLetterDir.isDefined,
+      s"$kind $name: a drop-action expectation needs a deadLetterDir")
+  }
+
   /** A declared data-quality expectation. Rules are TYPED literals, not
     * SQL strings (the q69 lesson: declared pipeline logic that reaches
     * an execution plan must be structured data, never interpolated

@@ -255,18 +255,21 @@ object JdbcSink {
     finally st.close()
   }
 
-  /** SQLStates that mean "table does not exist" across the engines the
-    * generic url/props API accepts: Derby 42X05 (+42Y55 for drop/alter
-    * targets), Postgres 42P01, MySQL/H2/MSSQL 42S02. Narrow on purpose
-    * — any OTHER state (lock, permission, connection) must propagate,
-    * or stale progress markers silently skip replayed batches.
+  /** SQLStates that mean "table does not exist" across common engines:
+    * Derby 42X05 (+42Y55 for drop/alter targets), Postgres 42P01,
+    * MySQL 42S02, SQL Server S0002, H2 2.x 42S02 (1.4.x reported the
+    * numeric 42S02 family too). Narrow on purpose — any OTHER state
+    * (lock, permission, connection) must propagate, or stale progress
+    * markers silently skip replayed batches. An engine with a
+    * different vendor state fails LOUD, the safe direction; add its
+    * state here when qualifying it.
     */
   private[sinks] val TableAbsentStates: Set[String] =
-    Set("42X05", "42Y55", "42P01", "42S02")
+    Set("42X05", "42Y55", "42P01", "42S02", "S0002")
 
   /** SQLStates that mean "table already exists": Derby X0Y32, Postgres
-    * 42P07, MySQL/H2/MSSQL 42S01.
+    * 42P07, MySQL/H2 42S01, SQL Server S0001.
     */
   private[sinks] val TableExistsStates: Set[String] =
-    Set("X0Y32", "42P07", "42S01")
+    Set("X0Y32", "42P07", "42S01", "S0001")
 }

@@ -105,14 +105,8 @@ final case class AnnServingPipeline(
     deadLetterDir: Option[String] = None,
     expectations: Seq[graft.ops.Profile.Rule] = Nil) {
 
-  require(expectations.isEmpty || metrics.isDefined,
-    s"ann $name: expectations need a metrics target to record into")
-  // a Drop action without a landing place would silently discard the
-  // withheld rows (S6: failures are data) — enforce at CONSTRUCTION,
-  // not just conf registration, so API-built pipelines can't slip by
-  require(expectations.forall(_.action != graft.ops.Profile.Drop)
-      || deadLetterDir.isDefined,
-    s"ann $name: a drop-action expectation needs a deadLetterDir")
+  graft.ops.Profile.requireEnforceable("ann", name, expectations,
+    metrics, deadLetterDir)
 
   private val rowSchema: StructType =
     StructType.fromDDL(s"$idField BIGINT, $vectorField ARRAY<FLOAT>")

@@ -35,19 +35,13 @@ final case class CdcPipeline(
     expectations: Seq[graft.ops.Profile.Rule] = Nil,
     driftCheck: Boolean = false) {
 
-  // conf-declared expectations are MONITORING riding the metrics path —
-  // verdicts without a store to land in would be silently lost, so the
-  // combination fails at construction (registration), not mid-stream
-  require(expectations.isEmpty || metrics.isDefined,
-    s"pipeline $name: expectations need a metrics target to record into")
+  // the shared construction-time enforcement invariants (metrics for
+  // verdicts, a dead-letter dir for Drop) — Profile.requireEnforceable,
+  // so API-built pipelines meet the same bar conf registration does
+  graft.ops.Profile.requireEnforceable("pipeline", name, expectations,
+    metrics, deadLetterDir)
   require(!driftCheck || metrics.isDefined,
     s"pipeline $name: driftCheck needs a metrics target to record into")
-  // a Drop action without a landing place would silently discard the
-  // withheld rows (S6: failures are data) — enforce at CONSTRUCTION,
-  // not just conf registration, so API-built pipelines can't slip by
-  require(expectations.forall(_.action != graft.ops.Profile.Drop)
-      || deadLetterDir.isDefined,
-    s"pipeline $name: a drop-action expectation needs a deadLetterDir")
 
   // registration-time dry-run resolution of the conf-declared transform
   // against THIS pipeline's declared schema (the reference runs

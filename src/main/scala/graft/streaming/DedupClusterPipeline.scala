@@ -82,14 +82,8 @@ final case class DedupClusterPipeline(
     metrics: Option[PipelineMetrics.Target] = None,
     expectations: Seq[graft.ops.Profile.Rule] = Nil) {
 
-  require(expectations.isEmpty || metrics.isDefined,
-    s"dedup $name: expectations need a metrics target to record into")
-  // a Drop action without a landing place would silently discard the
-  // withheld rows (S6: failures are data) — enforce at CONSTRUCTION,
-  // not just conf registration, so API-built pipelines can't slip by
-  require(expectations.forall(_.action != graft.ops.Profile.Drop)
-      || deadLetterDir.isDefined,
-    s"dedup $name: a drop-action expectation needs a deadLetterDir")
+  graft.ops.Profile.requireEnforceable("dedup", name, expectations,
+    metrics, deadLetterDir)
 
   private val rowSchema: StructType =
     StructType.fromDDL(s"$idField BIGINT, $textField STRING")

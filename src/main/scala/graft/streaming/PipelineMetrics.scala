@@ -339,9 +339,12 @@ object PipelineMetrics {
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
       "violated STRING, row_json STRING, pipeline STRING, batch_id BIGINT")
     // a pipeline that never dropped a row never created the dir — that
-    // reads as ZERO dead letters, not as a reader error
-    if (!java.nio.file.Files.exists(
-        java.nio.file.Paths.get(s"$deadLetterDir/_expect")))
+    // reads as ZERO dead letters, not as a reader error. Existence goes
+    // through the Hadoop filesystem of the PATH (not java.nio): the dir
+    // is whatever the Spark write targeted — file:/, hdfs://, s3a://
+    val p = new org.apache.hadoop.fs.Path(s"$deadLetterDir/_expect")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
       spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
     else

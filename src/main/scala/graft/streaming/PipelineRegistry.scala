@@ -311,6 +311,22 @@ object PipelineRegistry {
     rules
   }
 
+  /** Validate a conf's declared pipeline name at registration: the
+    * name keys metrics rows, verdict rows, query names AND dead-letter
+    * partition paths, so it must be the path-safe charset — otherwise
+    * two names could sanitize onto one partition dir (silently
+    * clobbering each other's dead letters) or diverge between the
+    * stores that record raw vs sanitized values.
+    */
+  private def validName(f: File,
+      node: com.fasterxml.jackson.databind.JsonNode): String = {
+    val n = node.get("name").asText()
+    require(n.matches("[A-Za-z0-9._-]+"),
+      s"${f.getName}: pipeline name '$n' must match [A-Za-z0-9._-]+ — it " +
+        "keys checkpoints, metrics rows and dead-letter paths")
+    n
+  }
+
   /** Prefix a pipeline ctor failure (schema/transform validation) with
     * the conf FILE, the registration unit an operator edits — a
     * resolution error naming only the pipeline is unactionable when two
@@ -375,7 +391,7 @@ object PipelineRegistry {
           metricsTarget.foreach(PipelineMetrics.ensureDriftTable)
         }
         val pipeline0 = named(f)(CdcPipeline(
-          name = node.get("name").asText(),
+          name = validName(f, node),
           subscription = Subscription(strSet("databases"), strSet("tables")),
           rowSchema = rowSchema,
           idKey = node.get("idKey").asText(),
@@ -477,7 +493,7 @@ object PipelineRegistry {
         // transform, then expectations resolve against the
         // POST-TRANSFORM flattened serving row a consumer reads
         val pipeline0 = named(f)(ViewPipeline(
-          name = node.get("name").asText(),
+          name = validName(f, node),
           databases = dbs,
           factTable = fTable, factSchema = fSchema, factIdField = fId,
           factJoinField = fJoin,
@@ -554,7 +570,7 @@ object PipelineRegistry {
         val annDlDir = if (node.hasNonNull("deadLetterDir"))
           Some(node.get("deadLetterDir").asText()) else None
         val pipeline = AnnServingPipeline(
-          name = node.get("name").asText(),
+          name = validName(f, node),
           databases = dbs,
           table = node.get("table").asText(),
           idField = node.get("idKey").asText(),
@@ -648,7 +664,7 @@ object PipelineRegistry {
         val dedupDlDir = if (node.hasNonNull("deadLetterDir"))
           Some(node.get("deadLetterDir").asText()) else None
         val pipeline = DedupClusterPipeline(
-          name = node.get("name").asText(),
+          name = validName(f, node),
           databases = dbs,
           table = node.get("table").asText(),
           idField = node.get("idKey").asText(),
@@ -710,7 +726,7 @@ object PipelineRegistry {
         val searchDlDir = if (node.hasNonNull("deadLetterDir"))
           Some(node.get("deadLetterDir").asText()) else None
         val pipeline = SearchServingPipeline(
-          name = node.get("name").asText(),
+          name = validName(f, node),
           databases = dbs,
           table = node.get("table").asText(),
           idField = node.get("idKey").asText(),

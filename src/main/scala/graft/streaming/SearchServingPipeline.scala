@@ -59,14 +59,8 @@ final case class SearchServingPipeline(
     expectations: Seq[graft.ops.Profile.Rule] = Nil,
     deadLetterDir: Option[String] = None) {
 
-  require(expectations.isEmpty || metrics.isDefined,
-    s"search $name: expectations need a metrics target to record into")
-  // a Drop action without a landing place would silently discard the
-  // withheld rows (S6: failures are data) — enforce at CONSTRUCTION,
-  // not just conf registration, so API-built pipelines can't slip by
-  require(expectations.forall(_.action != graft.ops.Profile.Drop)
-      || deadLetterDir.isDefined,
-    s"search $name: a drop-action expectation needs a deadLetterDir")
+  graft.ops.Profile.requireEnforceable("search", name, expectations,
+    metrics, deadLetterDir)
 
   private val rowSchema: StructType =
     StructType.fromDDL(s"$idField BIGINT, $textField STRING")
@@ -142,9 +136,12 @@ final case class SearchServingPipeline(
           val violating = PipelineMetrics.enforceBatchExpectations(mtx,
             pipelineName, batchId, expectRules, posting0,
             Seq("token", "doc_id"), dlDir)
+          // pinned when enforcing: the clean postings feed the MERGE,
+          // the len-coherence anti-join AND the metrics count — an
+          // unpinned plan would re-tokenize the batch per consumer
           val posting = violating.fold(posting0)(v =>
             posting0.join(v.select(col("token"), col("doc_id")),
-              Seq("token", "doc_id"), "left_anti"))
+              Seq("token", "doc_id"), "left_anti").localCheckpoint(true))
           JdbcSink.mergeAdditive(posting, url, pt,
             Seq("token", "doc_id"), Seq("tf"), zeroGuard = "tf",
             stagingColumnTypes = "token VARCHAR(256)", batchId = batchId)

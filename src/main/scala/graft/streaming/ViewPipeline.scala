@@ -72,14 +72,8 @@ final case class ViewPipeline(
     metrics: Option[PipelineMetrics.Target] = None,
     expectations: Seq[graft.ops.Profile.Rule] = Nil) {
 
-  require(expectations.isEmpty || metrics.isDefined,
-    s"view $name: expectations need a metrics target to record into")
-  // a Drop action without a landing place would silently discard the
-  // withheld rows (S6: failures are data) — enforce at CONSTRUCTION,
-  // not just conf registration, so API-built pipelines can't slip by
-  require(expectations.forall(_.action != graft.ops.Profile.Drop)
-      || deadLetterDir.isDefined,
-    s"view $name: a drop-action expectation needs a deadLetterDir")
+  graft.ops.Profile.requireEnforceable("view", name, expectations,
+    metrics, deadLetterDir)
   require(factSchema.fieldNames.toSet.intersect(dimSchema.fieldNames.toSet).isEmpty,
     s"view $name: fact and dim schemas share field names — the serving " +
       "table flattens both sides, so names must not collide")
