@@ -438,4 +438,61 @@ class PropertySpec extends SparkSpec {
       assert(out("v_0_10") == ((rangeViol, rangeViol <= 20L)), s"trial $trial")
     }
   }
+
+  test("drop enforcement partitions the input: clean + tagged = all rows, the clean side has zero violations, every tagged row violates its named rules (seeded random)") {
+    import graft.ops.Profile
+    import org.apache.spark.sql.functions.{array_contains, col, size => asize}
+    val rnd = new scala.util.Random(40717)
+    for (trial <- 0 until 3) {
+      val rows: Seq[(Long, java.lang.Long, java.lang.Double)] =
+        (0 until (100 + trial * 50)).map { i =>
+          val k: java.lang.Long =
+            if (rnd.nextDouble() < 0.15) null
+            else java.lang.Long.valueOf(rnd.nextInt(40).toLong)
+          val v: java.lang.Double =
+            if (rnd.nextDouble() < 0.1) null
+            else java.lang.Double.valueOf(rnd.nextDouble() * 20 - 5)
+          (i.toLong, k, v)
+        }
+      val df = rows.toDF("id", "k", "v")
+      val rules: Seq[Profile.Rule] = Seq(
+        Profile.NotNull("k_set", "k", action = Profile.Drop),
+        Profile.Unique("k_uniq", "k", action = Profile.Drop),
+        Profile.InRange("v_band", "v", 0.0, 10.0, action = Profile.Drop))
+      val tagged = df.transform(Profile.tagViolations(_, rules, Seq("id")))
+        .localCheckpoint(true)
+      val clean = tagged.filter(asize(col("violated")) === 0)
+      val dropped = tagged.filter(asize(col("violated")) > 0)
+      // partition: nothing lost, nothing duplicated
+      assert(clean.count() + dropped.count() == rows.size.toLong,
+        s"trial $trial")
+      assert(tagged.select(col("id")).distinct().count() == rows.size.toLong,
+        s"trial $trial: row identity preserved")
+      // the CLEAN side re-judged has zero violations for every drop rule
+      val cleanVerdicts = Profile.expectations(clean.drop("violated"), rules)
+        .as[(String, Long, Long, Boolean)].collect()
+        .map(r => r._1 -> r._2).toMap
+      assert(cleanVerdicts.values.forall(_ == 0L),
+        s"trial $trial: clean side must satisfy every rule, got $cleanVerdicts")
+      // every tagged row actually violates each rule its tag names
+      val byId = rows.map(r => r._1 -> ((r._2, r._3))).toMap
+      val kCounts = rows.groupBy(r => Option(r._2).map(_.longValue))
+        .view.mapValues(_.map(_._1).sorted).toMap
+      dropped.select(col("id"), col("violated"))
+        .as[(Long, Seq[String])].collect().foreach { case (id, tags) =>
+          val (k, v) = byId(id)
+          tags.foreach {
+            case "k_set" => assert(k == null, s"trial $trial id $id")
+            case "k_uniq" =>
+              // beyond the first per value, survivors ranked by id
+              val ids = kCounts(Option(k).map(_.longValue))
+              assert(ids.head != id, s"trial $trial id $id: first survives")
+            case "v_band" =>
+              assert(v != null && (v < 0.0 || v > 10.0),
+                s"trial $trial id $id")
+            case other => fail(s"unknown tag $other")
+          }
+        }
+    }
+  }
 }
