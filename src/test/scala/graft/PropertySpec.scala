@@ -495,4 +495,61 @@ class PropertySpec extends SparkSpec {
         }
     }
   }
+
+  test("schema-drift verdicts match a plain-Scala reference on randomized wire (extra fields, corrupted types, clean rows)") {
+    import graft.cdc.Subscription
+    import graft.sinks.EsSink
+    import graft.streaming.{CdcPipeline, PipelineMetrics}
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.StructType
+    val url = "jdbc:derby:memory:graftdriftprop;create=true"
+    val target = PipelineMetrics.Target(url, "driftprop_metrics")
+    PipelineMetrics.ensureTable(target)
+    PipelineMetrics.ensureDriftTable(target)
+    val pipe = CdcPipeline("driftprop",
+      Subscription(Set("d"), Set("t")),
+      StructType.fromDDL("id BIGINT, txt STRING, score DOUBLE"), "id",
+      metrics = Some(target), driftCheck = true)
+    val ok = new EsSink.Transport { def send(r: EsSink.Request): Int = 200 }
+    val cfg = EsSink.Config("http://es/idx", "u", "p", "id")
+    val extras = Vector("note", "flag", "extra")
+    val rnd = new scala.util.Random(90210)
+    for (trial <- 0 until 3) {
+      var expNew = Set.empty[String]
+      var expChanged = Set.empty[String]
+      var expRowsNew = 0L
+      var expRowsBad = 0L
+      val events = (0 until (40 + trial * 20)).map { i =>
+        val roll = rnd.nextDouble()
+        val (after, isNew, isBad) =
+          if (roll < 0.25) {
+            val fs = extras.take(1 + rnd.nextInt(2))
+            (s"""{"id":$i,"txt":"a","score":1.5,""" +
+              fs.map(f => s""""$f":1""").mkString(",") + "}", fs.toSet, false)
+          } else if (roll < 0.45) {
+            // corrupt a typed field: score gets a non-numeric string
+            (s"""{"id":$i,"txt":"a","score":"bad"}""",
+              Set.empty[String], true)
+          } else
+            (s"""{"id":$i,"txt":"a","score":1.5}""", Set.empty[String], false)
+        if (isNew.nonEmpty) { expNew ++= isNew; expRowsNew += 1 }
+        if (isBad) { expChanged += "score"; expRowsBad += 1 }
+        (s"""{"payload":{"before":null,"after":$after,""" +
+          s""""source":{"db":"d","table":"t","ts_ms":$i},"op":"c","ts_ms":$i}}""",
+          i.toLong)
+      }
+      pipe.applyBatch(pipe.changeRows(events.toDF("value", "offset")),
+        cfg, ok, batchId = trial.toLong)
+      val row = PipelineMetrics.driftRows(spark, target)
+        .filter(col("pipeline") === "driftprop"
+          && col("batch_id") === trial.toLong)
+        .select(col("new_cols"), col("type_changes"), col("rows_new"),
+          col("rows_badtype"), col("new_col_names"), col("changed_names"))
+        .as[(Long, Long, Long, Long, String, String)].collect().head
+      assert(row == ((expNew.size.toLong, expChanged.size.toLong,
+        expRowsNew, expRowsBad,
+        expNew.toSeq.sorted.mkString(","),
+        expChanged.toSeq.sorted.mkString(","))), s"trial $trial: got $row")
+    }
+  }
 }
