@@ -466,7 +466,16 @@ object CorpusOps {
         edges.schema("u").dataType, edges.schema("v").dataType)
       if (all.distinct.size == 1) all.head
       else if (all.forall(integral)) all.maxBy(_.defaultSize)
-      else all.head // non-integral mixes keep the seed type (pre-r11)
+      else
+        // a non-integral MIX (e.g. STRING edges vs LONG seeds) has no
+        // lossless unified type: casting edges to the seed type nulls
+        // unparseable endpoints and silently traverses a mangled graph.
+        // Fail loud — the caller aligns its id types.
+        throw new IllegalArgumentException(
+          "bfsDistances: seed and edge id types must be equal or all " +
+            s"integral; got seeds=${seed0.schema("id").dataType.sql}, " +
+            s"u=${edges.schema("u").dataType.sql}, " +
+            s"v=${edges.schema("v").dataType.sql}")
     }
     val e = edges.select(col("u").cast(seedIdType).as("u"),
       col("v").cast(seedIdType).as("v")).localCheckpoint(true)

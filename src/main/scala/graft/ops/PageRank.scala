@@ -86,12 +86,28 @@ object PageRank {
       damping: Double): DataFrame = {
     import scala.jdk.CollectionConverters._
     val spark = e.sparkSession
-    val edges = e.select(col("src"), col("dst")).collect()
-      .map(r => (r.get(0), r.get(1)))
+    // the declared node type must admit BOTH endpoint columns: collected
+    // rank keys include dst values, so a mixed-width edge frame (src INT,
+    // dst BIGINT) declared as src's type fails createDataFrame row
+    // validation on the driver — unify to the wider integral type up
+    // front (bfsDistances' widening rule) and fail loud on a
+    // non-integral mix, where any cast would null/mangle ids
+    val nodeType = {
+      import org.apache.spark.sql.types._
+      val integral: Set[DataType] =
+        Set(ByteType, ShortType, IntegerType, LongType)
+      val both = Seq(e.schema("src").dataType, e.schema("dst").dataType)
+      if (both.distinct.size == 1) both.head
+      else if (both.forall(integral)) both.maxBy(_.defaultSize)
+      else throw new IllegalArgumentException(
+        "PageRank.ranks: src and dst id types must be equal or both " +
+          s"integral; got src=${both.head.sql}, dst=${both(1).sql}")
+    }
+    val edges = e.select(col("src").cast(nodeType), col("dst").cast(nodeType))
+      .collect().map(r => (r.get(0), r.get(1)))
     val rank = ranksLocal(edges, iters, damping)
     val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("node",
-        e.schema("src").dataType),
+      org.apache.spark.sql.types.StructField("node", nodeType),
       org.apache.spark.sql.types.StructField("rank",
         org.apache.spark.sql.types.DoubleType, nullable = false)))
     spark.createDataFrame(

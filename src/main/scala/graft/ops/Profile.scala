@@ -190,6 +190,36 @@ object Profile {
       s"$kind $name: a drop-action expectation needs a deadLetterDir")
   }
 
+  /** The extra invariant ADDITIVE stores (± contribution folds — the
+    * search index's signed tf/len merges) impose on Drop rules: a
+    * withheld contribution is not overwritten by the next batch, it is
+    * MISSING from a running sum, so the drop verdict for a document
+    * must be IDENTICAL at its insert and at its later retraction or
+    * the fold corrupts (an InRange rule on tf would withhold a +5
+    * insert yet pass the -5 retraction, driving the stored tf
+    * negative; a Unique verdict depends on the batch's other rows, so
+    * the same doc can pass one batch and fail the next). Enforced at
+    * registration, the fail-fast seam (S3): Drop rules must be
+    * per-row-deterministic predicates over the STABLE doc identity
+    * column — NotNull/InRange/RefIntegrity* on `idColumn`, never
+    * Unique. (Referential rules additionally need their dimension
+    * pinned for the store's lifetime — the pipeline snapshots it under
+    * its work root at first batch.)
+    */
+  def requireStableAdditiveDropRules(kind: String, name: String,
+      rules: Seq[Rule], idColumn: String): Unit =
+    rules.filter(_.action == Drop).foreach { r =>
+      require(!r.isInstanceOf[Unique],
+        s"$kind $name: drop rule '${r.name}' is Unique — its verdict " +
+          "depends on the batch's other rows, which is unstable across " +
+          "a doc's insert/retraction pair on an additive store")
+      require(r.column == idColumn,
+        s"$kind $name: drop rule '${r.name}' judges column " +
+          s"'${r.column}' — on an additive store drop verdicts must be " +
+          s"stable across a doc's insert/retraction pair, so only the " +
+          s"doc identity column '$idColumn' is allowed")
+    }
+
   /** A declared data-quality expectation. Rules are TYPED literals, not
     * SQL strings (the q69 lesson: declared pipeline logic that reaches
     * an execution plan must be structured data, never interpolated

@@ -257,19 +257,21 @@ object JdbcSink {
 
   /** SQLStates that mean "table does not exist" across common engines:
     * Derby 42X05 (+42Y55 for drop/alter targets), Postgres 42P01,
-    * MySQL 42S02, SQL Server S0002, H2 2.x 42S02 (1.4.x reported the
-    * numeric 42S02 family too). Narrow on purpose — any OTHER state
+    * MySQL 42S02, SQL Server S0002, H2 '42102' (H2 reports its numeric
+    * error code as the SQLState for TABLE_OR_VIEW_NOT_FOUND — not the
+    * 42S02 family). Narrow on purpose — any OTHER state
     * (lock, permission, connection) must propagate, or stale progress
     * markers silently skip replayed batches. An engine with a
     * different vendor state fails LOUD, the safe direction; add its
     * state here when qualifying it.
     */
   private[sinks] val TableAbsentStates: Set[String] =
-    Set("42X05", "42Y55", "42P01", "42S02", "S0002")
+    Set("42X05", "42Y55", "42P01", "42S02", "S0002", "42102")
 
   /** SQLStates that mean "table already exists": Derby X0Y32, Postgres
-    * 42P07, MySQL/H2 42S01, SQL Server S0001.
+    * 42P07, MySQL 42S01, SQL Server S0001, H2 '42101' (numeric
+    * TABLE_OR_VIEW_ALREADY_EXISTS code as SQLState).
     */
   private[sinks] val TableExistsStates: Set[String] =
-    Set("X0Y32", "42P07", "42S01", "S0001")
+    Set("X0Y32", "42P07", "42S01", "S0001", "42101")
 }

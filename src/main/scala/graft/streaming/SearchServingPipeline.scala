@@ -61,6 +61,13 @@ final case class SearchServingPipeline(
 
   graft.ops.Profile.requireEnforceable("search", name, expectations,
     metrics, deadLetterDir)
+  // additive-store stability: the judged frame is the ± posting
+  // contributions (token, doc_id, tf), so drop verdicts must be
+  // deterministic functions of the stable doc identity — the literal
+  // `doc_id` column of that frame — or an insert and its retraction
+  // get different verdicts and the running sums corrupt
+  graft.ops.Profile.requireStableAdditiveDropRules("search", name,
+    expectations, "doc_id")
 
   private val rowSchema: StructType =
     StructType.fromDDL(s"$idField BIGINT, $textField STRING")
@@ -83,6 +90,36 @@ final case class SearchServingPipeline(
     if (!Files.exists(Paths.get(ckptDir(workRoot, "index")))) {
       JdbcSink.clearProgress(jdbcUrl, postingsTable)
       JdbcSink.clearProgress(jdbcUrl, lensTable)
+    }
+
+  /** DROP-RULE DIMENSION PINNING for the additive store: a
+    * path-declared referential Drop rule re-read per batch sees
+    * whatever the dimension file holds THAT batch, so a doc allowed at
+    * insert but banned (dim row removed) by its later retraction would
+    * leave its +postings stuck in the running sums forever. The fix is
+    * the same lifetime coupling the progress markers use: at the
+    * store's birth (fresh index checkpoint — [[clearStaleProgressIfFresh]]'s
+    * signal) the dimension's distinct keys are SNAPSHOTTED under the
+    * work root, and every batch of the store's life judges against the
+    * snapshot — one verdict per doc_id for as long as its
+    * contributions live. A conf that must pick up a new dimension
+    * rebuilds the work dir (and truncates the store), exactly like any
+    * other enforcement-policy change on an additive fold. Warn-action
+    * referential rules stay LIVE deliberately: monitoring should see
+    * the current dimension; only enforcement needs the frozen verdict.
+    */
+  private def pinnedExpectations(spark: SparkSession,
+      workRoot: String): Seq[graft.ops.Profile.Rule] =
+    expectations.map {
+      case r: graft.ops.Profile.RefIntegrityPath
+          if r.action == graft.ops.Profile.Drop =>
+        val safe = r.name.replaceAll("[^A-Za-z0-9._-]", "_")
+        val snap = s"$workRoot/expect_dim/$safe"
+        if (!Files.exists(Paths.get(snap)))
+          spark.read.parquet(r.dimPath).select(col(r.dimColumn)).distinct()
+            .write.mode("overwrite").parquet(snap)
+        r.copy(dimPath = snap)
+      case r => r
     }
 
   private def logQuery(spark: SparkSession, feedDir: String,
@@ -112,7 +149,7 @@ final case class SearchServingPipeline(
     val (pt, lt) = (postingsTable, lensTable)
     val mtx = metrics
     val pipelineName = name
-    val expectRules = expectations
+    val expectRules = pinnedExpectations(spark, workRoot)
     val dlDir = deadLetterDir
     stream.writeStream
       .queryName(s"search_$name")

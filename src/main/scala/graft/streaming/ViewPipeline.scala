@@ -208,17 +208,17 @@ final case class ViewPipeline(
             val f = if (mtx.isDefined) flat.localCheckpoint(true) else flat
             // expectations judge the UPSERT serving rows BEFORE the
             // store write: Halt fails the batch here (store keeps its
-            // pre-batch state), Drop violators dead-letter and their
-            // keyed upserts are withheld (the delete half of a key-move
-            // pair still applies — the old value is stale either way)
+            // pre-batch state), Drop violators dead-letter and the
+            // key's WHOLE batch delta is withheld — including the
+            // delete half of a key-move pair, so a violating
+            // replacement leaves the pre-batch row served (the uniform
+            // Drop contract) instead of vanishing the key entirely
             val violating = PipelineMetrics.enforceBatchExpectations(mtx,
               viewName, batchId, expectRules,
               f.filter(col("action") === "upsert").drop("action"),
               Seq(keyField), dlDir)
             val served = violating.fold(f)(v =>
-              f.filter(col("action") === "delete")
-                .unionByName(f.filter(col("action") === "upsert")
-                  .join(v.select(col(keyField)), Seq(keyField), "left_anti")))
+              f.join(v.select(col(keyField)), Seq(keyField), "left_anti"))
             JdbcSink.applyViewDeltas(served, url, table, Seq(keyField),
               stagingColumnTypes = types.orNull)
             mtx.foreach(m => PipelineMetrics.record(m, viewName, "view",
@@ -235,7 +235,9 @@ final case class ViewPipeline(
             try {
               // expectations judge the upsert serving rows BEFORE the
               // send (Halt fails here; Drop violators dead-letter and
-              // are withheld from the keyed upserts)
+              // the key's WHOLE batch delta is withheld — the paired
+              // delete of a key-move too, keeping the pre-batch
+              // document served rather than vanishing the key)
               val upserts0 =
                 cached.filter(col("action") === "upsert").drop("action")
               val violating = PipelineMetrics.enforceBatchExpectations(mtx,
@@ -243,13 +245,18 @@ final case class ViewPipeline(
               val upserts = violating.fold(upserts0)(v =>
                 upserts0.join(v.select(col(keyField)), Seq(keyField),
                   "left_anti"))
+              val deletes0 =
+                cached.filter(col("action") === "delete").select(col(keyField))
+              val deletes = violating.fold(deletes0)(v =>
+                deletes0.join(v.select(col(keyField)), Seq(keyField),
+                  "left_anti"))
               // S6: failures are data — undeliverable deltas (after the
               // sink's retries) must not vanish while the checkpoint
               // advances. Persisted via the sink's pre-marker hook: once
               // the progress marker publishes, a replay sends nothing
               // and could never regenerate these rows
               val applied = graft.sinks.EsSink.applyKeyedBatch(markerId, batchId,
-                cached.filter(col("action") === "delete").select(col(keyField)),
+                deletes,
                 upserts,
                 cfg, esTransport,
                 onDeadLetters = (dlDeletes, dlUpserts) =>

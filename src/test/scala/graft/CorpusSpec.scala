@@ -754,4 +754,21 @@ class CorpusSpec extends SparkSpec {
       .collect().map(r => (r.get(0).toString.toLong, r.getLong(1))).toMap
     assert(got2 == Map(7L -> 0L, big -> 1L, (big + 1) -> 2L), s"got $got2")
   }
+
+  test("bfsDistances: a non-integral id mix fails loud instead of casting edges to a mangled graph") {
+    // STRING edges vs BIGINT seeds: a cast would null every
+    // unparseable endpoint and the BFS would silently traverse a
+    // subgraph — the contract is fail-loud naming all three types
+    val eStr = Seq(("a", "b"), ("b", "c")).toDF("u", "v")
+    val sLong = Seq(1L).toDF("id")
+    val e = intercept[IllegalArgumentException](
+      CorpusOps.bfsDistances(eStr, sLong))
+    assert(e.getMessage.contains("integral")
+      && e.getMessage.contains("STRING"), s"got: ${e.getMessage}")
+    // homogeneous STRING ids stay supported (no cast needed)
+    val sStr = Seq("a").toDF("id")
+    val got = CorpusOps.bfsDistances(eStr, sStr)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == Map("a" -> 0L, "b" -> 1L, "c" -> 2L), s"got $got")
+  }
 }

@@ -513,6 +513,129 @@ class EnforceSpec extends SparkSpec {
         "the replayed batch's verdict overwrites with the new budget")
     } finally watcher.stop()
   }
+
+  test("view drop: a violating key-move replacement withholds the paired delete too — the store keeps its pre-batch row") {
+    exec("""CREATE TABLE enf_kmv ("o_orderkey" BIGINT NOT NULL PRIMARY KEY,
+      | "o_custkey" BIGINT, "o_total" DOUBLE,
+      | "c_custkey" BIGINT, "c_name" VARCHAR(64))"""
+      .stripMargin.replace("\n", ""))
+    val dl = Files.createTempDirectory("graft_enf_kmv_dl_").toString + "/dl"
+    val feed = Files.createTempDirectory("graft_enf_kmv_feed_").toFile
+    val work = Files.createTempDirectory("graft_enf_kmv_work_").toString
+    val pipe = ViewPipeline(
+      name = "enf_kmv", databases = Set("shop"),
+      factTable = "orders",
+      factSchema = StructType.fromDDL(
+        "o_orderkey BIGINT, o_custkey BIGINT, o_total DOUBLE"),
+      factIdField = "o_orderkey", factJoinField = "o_custkey",
+      dimTable = "customer",
+      dimSchema = StructType.fromDDL("c_custkey BIGINT, c_name STRING"),
+      dimIdField = "c_custkey", dimJoinField = "c_custkey",
+      leftOuter = true,
+      target = JdbcTarget(url, "enf_kmv", Some("c_name VARCHAR(64)")),
+      deadLetterDir = Some(dl), metrics = Some(target),
+      expectations = Seq(Profile.InRange("total_cap", "o_total", 0.0, 50.0,
+        action = Profile.Drop)))
+    // wave 1: clean order 10 under customer 1
+    Files.write(new java.io.File(feed, "000.json").toPath, Seq(
+      wire("customer", """{"c_custkey":1,"c_name":"A"}""", null, "c", 10, 1),
+      wire("customer", """{"c_custkey":2,"c_name":"B"}""", null, "c", 10, 2),
+      wire("orders", """{"o_orderkey":10,"o_custkey":1,"o_total":5.0}""",
+        null, "c", 10, 3)).asJava)
+    pipe.runOnce(spark, feed.toString, work)
+    // wave 2: join-key move 1→2 whose replacement row VIOLATES — the
+    // incremental join emits a (delete, upsert) pair for fact 10; the
+    // upsert is withheld, and the paired delete must be withheld WITH
+    // it, or the key vanishes from the store instead of keeping its
+    // pre-batch row (the uniform Drop contract)
+    Files.write(new java.io.File(feed, "001.json").toPath, Seq(
+      wire("orders", """{"o_orderkey":10,"o_custkey":2,"o_total":99.0}""",
+        """{"o_orderkey":10,"o_custkey":1,"o_total":5.0}""", "u", 20, 4))
+      .asJava)
+    pipe.runOnce(spark, feed.toString, work)
+    val served = spark.read.jdbc(url, "enf_kmv", new java.util.Properties())
+      .select(col("o_orderkey").cast("long"), col("o_total"), col("c_name"))
+      .as[(Long, Double, String)].collect().toSeq
+    assert(served == Seq((10L, 5.0, "A")),
+      s"pre-batch row stays served, got $served")
+    assert(deadRows(dl).exists(dr =>
+      dr._1 == "total_cap" && dr._2.contains("\"o_total\":99.0")))
+  }
+
+  test("additive store: drop rules are restricted to the stable doc identity at registration") {
+    def mkPipe(rules: Seq[Profile.Rule]): SearchServingPipeline =
+      SearchServingPipeline(
+        name = "enf_stab", databases = Set("shop"), table = "documents",
+        idField = "doc_id", textField = "text",
+        jdbcUrl = url, postingsTable = "p_stab", lensTable = "l_stab",
+        metrics = Some(target),
+        deadLetterDir = Some("/tmp/graft_enf_stab_dl"),
+        expectations = rules)
+    // a tf-range drop rule would withhold a +5 insert yet pass the -5
+    // retraction (tf negative in the store) — rejected at construction
+    val e1 = intercept[IllegalArgumentException](mkPipe(Seq(
+      Profile.InRange("tf_cap", "tf", 0.0, 5.0, action = Profile.Drop))))
+    assert(e1.getMessage.contains("tf_cap")
+      && e1.getMessage.contains("doc_id"), s"got: ${e1.getMessage}")
+    // a Unique verdict depends on the batch's other rows — never stable
+    val e2 = intercept[IllegalArgumentException](mkPipe(Seq(
+      Profile.Unique("one_doc", "doc_id", action = Profile.Drop))))
+    assert(e2.getMessage.contains("one_doc")
+      && e2.getMessage.contains("Unique"), s"got: ${e2.getMessage}")
+    // warn-action monitoring over any column stays allowed (it only
+    // records verdicts — nothing enters or leaves the fold on it)
+    mkPipe(Seq(Profile.InRange("tf_watch", "tf", 0.0, 5.0)))
+    // and identity-scoped drop rules construct fine
+    mkPipe(Seq(Profile.InRange("id_cap", "doc_id", 0.0, 100.0,
+      action = Profile.Drop)))
+    ()
+  }
+
+  test("additive store: a referential drop rule judges the PINNED dimension — a doc allowed in is always allowed out") {
+    exec("""CREATE TABLE enf_pin_p ("token" VARCHAR(256) NOT NULL,
+      | "doc_id" BIGINT NOT NULL, "tf" BIGINT,
+      | PRIMARY KEY ("token", "doc_id"))""".stripMargin.replace("\n", ""))
+    exec("""CREATE TABLE enf_pin_l ("doc_id" BIGINT NOT NULL PRIMARY KEY,
+      | "len" BIGINT)""".stripMargin.replace("\n", ""))
+    val dimDir = Files.createTempDirectory("graft_enf_pin_dim_").toString + "/dim"
+    Seq(1L, 2L).toDF("c_custkey").write.mode("overwrite").parquet(dimDir)
+    val dl = Files.createTempDirectory("graft_enf_pin_dl_").toString + "/dl"
+    val feed = Files.createTempDirectory("graft_enf_pin_feed_").toFile
+    val work = Files.createTempDirectory("graft_enf_pin_work_").toString
+    val pipe = SearchServingPipeline(
+      name = "enf_pin", databases = Set("shop"), table = "documents",
+      idField = "doc_id", textField = "text",
+      jdbcUrl = url, postingsTable = "enf_pin_p", lensTable = "enf_pin_l",
+      metrics = Some(target), deadLetterDir = Some(dl),
+      expectations = Seq(Profile.RefIntegrityPath("doc_in_dim", "doc_id",
+        dimDir, "c_custkey", action = Profile.Drop)))
+    // wave 1: docs 1 and 2 insert — both in the dimension
+    Files.write(new java.io.File(feed, "000.json").toPath, Seq(
+      wire("documents", doc(1, "vector stream"), null, "c", 10, 1),
+      wire("documents", doc(2, "vector join"), null, "c", 10, 2)).asJava)
+    pipe.runOnce(spark, feed.toString, work)
+    def storedDocs(): Seq[Long] =
+      spark.read.jdbc(url, "enf_pin_p", new java.util.Properties())
+        .select(col("doc_id").cast("long")).distinct().as[Long]
+        .collect().toSeq.sorted
+    assert(storedDocs() == Seq(1L, 2L), s"both docs indexed: ${storedDocs()}")
+    // the LIVE dimension then bans doc 2 — but its +postings are
+    // already in the running sums, and the verdict that let them in
+    // must also let their retraction out
+    Seq(1L).toDF("c_custkey").write.mode("overwrite").parquet(dimDir)
+    Files.write(new java.io.File(feed, "001.json").toPath, Seq(
+      wire("documents", null, doc(2, "vector join"), "d", 20, 3)).asJava)
+    pipe.runOnce(spark, feed.toString, work)
+    // the retraction judged the SNAPSHOT pinned at the store's birth
+    // (allowed) — doc 2's postings and length are GONE; an unpinned
+    // per-batch dim re-read would have withheld the -postings, leaving
+    // doc 2's contributions stuck in the index forever
+    assert(storedDocs() == Seq(1L),
+      s"doc 2's contributions retracted cleanly: ${storedDocs()}")
+    val lens = spark.read.jdbc(url, "enf_pin_l", new java.util.Properties())
+      .select(col("doc_id").cast("long")).as[Long].collect().toSeq.sorted
+    assert(lens == Seq(1L), s"doc 2's len row retracted with it: $lens")
+  }
 }
 
 object EnforceSpec {

@@ -119,4 +119,28 @@ class PageRankSpec extends SparkSpec {
       .as[(Long, Double)].collect().toMap
     assert(viaDriver == viaSplice, "incremental tier parity")
   }
+
+  test("driver tier: mixed-width integral endpoints unify on the wider type; a non-integral mix fails loud") {
+    import org.apache.spark.sql.functions.col
+    // src INT, dst BIGINT with a dst above Int range: the collected
+    // rank keys include dst values, so declaring the node column as
+    // src's type would fail createDataFrame row validation — the
+    // unified LONG type must carry both endpoints through the driver
+    // tier and out
+    val big = 5000000000L
+    val mixed = Seq((1, 2L), (2, big), (3, 1L)).toDF("src", "dst")
+      .select(col("src").cast("int").as("src"), col("dst"))
+    val got = PageRank.ranks(mixed, 4).as[(Long, Double)].collect().toMap
+    assert(got.keySet == Set(1L, 2L, 3L, big), s"got ${got.keySet}")
+    // tier parity holds on the widened frame too (bit-identical)
+    val dist = PageRank.ranksDistributed(
+      mixed.select(col("src").cast("long").as("src"), col("dst"))
+        .localCheckpoint(true), 4, 0.85)
+      .as[(Long, Double)].collect().toMap
+    assert(got == dist, s"driver $got vs distributed $dist")
+    // STRING dst vs INT src: no lossless unified type — fail loud
+    val bad = Seq((1, "a")).toDF("src", "dst")
+    val e = intercept[IllegalArgumentException](PageRank.ranks(bad, 2))
+    assert(e.getMessage.contains("integral"), s"got: ${e.getMessage}")
+  }
 }
