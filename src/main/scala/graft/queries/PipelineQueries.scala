@@ -2895,9 +2895,231 @@ object PipelineQueries {
     pipeline.servedPostings(spark)
   }
 
+  private val q161Lock = new Object
+
+  /** Q161: ENFORCEMENT ON THE VIEW STORE under the oracle gate — the
+    * third store kind after q154 (keyed LWW) and q160 (additive
+    * search): the view's serving rows are JOIN-SHAPED, so one violating
+    * DIMENSION attribute poisons every fact row it enriches (a
+    * negative-balance customer here bans all of that customer's
+    * orders). A conf-style drop rule on the dim-derived column
+    * (`c_acctbal in [0, 10000]`) withholds violating enriched upserts
+    * from the JDBC store — and, per the uniform Drop contract, the
+    * paired delete of a key-move too. The oracle restates the full
+    * incremental topology (q140's post-traffic join) WITH the
+    * enforcement predicate: one leaked poisoned row, or one
+    * over-dropped clean one, breaks the hash. The rule BITES at every
+    * SF (negative acctbals are ~8% of customers at any scale).
+    */
+  val q161 = QueryDef.sql(
+    "q161_enforced_view_store",
+    """SELECT o.o_orderkey, o.o_orderstatus,
+      |       CASE WHEN o.o_orderkey % 3 = 0 THEN o.o_totalprice * 1.1
+      |            ELSE o.o_totalprice END AS total,
+      |       c.c_custkey, c.c_name, c.c_acctbal
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |WHERE o.o_orderkey % 5 <> 0
+      |  AND c.c_acctbal BETWEEN 0 AND 10000""".stripMargin) { (spark, dir) =>
+    import graft.cdc.{ChangeFeed, DeltaLog}
+    import graft.ops.Profile
+    import graft.streaming.{JdbcTarget, PipelineMetrics, ViewPipeline}
+    val feed = ChangeFeed.stagedJsonl(spark, dir)
+    val fp = graft.sources.Staging.fingerprint(
+      Seq(s"$dir/orders.parquet", s"$dir/customer.parquet"))
+    val base = DeltaLog.logBase(spark,
+      s"enfview_${dir.replaceAll("[^a-zA-Z0-9]", "_")}", fp)
+    val url = s"jdbc:derby:$base/derby;create=true"
+    val target = PipelineMetrics.Target(url, "pipeline_metrics_q161")
+    val pipeline = ViewPipeline(
+      name = "q161", databases = Set("shop"),
+      factTable = "orders", factSchema = ChangeFeed.ordersRowSchema,
+      factIdField = "o_orderkey", factJoinField = "o_custkey",
+      dimTable = "customer", dimSchema = ChangeFeed.customerRowSchema,
+      dimIdField = "c_custkey", dimJoinField = "c_custkey",
+      leftOuter = false,
+      target = JdbcTarget(url, "enriched_q161", Some(
+        "o_orderstatus VARCHAR(8), o_orderpriority VARCHAR(32), " +
+          "c_name VARCHAR(64), c_mktsegment VARCHAR(32)")),
+      metrics = Some(target), deadLetterDir = Some(s"$base/dead"),
+      expectations = Seq(Profile.InRange("bal_cap", "c_acctbal",
+        0.0, 10000.0, action = Profile.Drop)))
+    q161Lock.synchronized {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(base))
+      PipelineMetrics.ensureTable(target)
+      PipelineMetrics.ensureExpectTable(target)
+      val c = java.sql.DriverManager.getConnection(url)
+      try {
+        val st = c.createStatement()
+        try st.execute(
+          // c_nationkey is INTEGER, matching the row schema's type
+          // exactly: Derby's MERGE INSERT stores the staged value
+          // without normalizing its width, so an INT staged into a
+          // BIGINT column corrupts the page (XSDA7 EOF on the next
+          // scan's SQLLongint read)
+          """CREATE TABLE enriched_q161 ("o_orderkey" BIGINT NOT NULL
+            | PRIMARY KEY, "o_custkey" BIGINT, "o_orderstatus" VARCHAR(8),
+            | "o_totalprice" DOUBLE, "o_orderpriority" VARCHAR(32),
+            | "c_custkey" BIGINT, "c_name" VARCHAR(64),
+            | "c_nationkey" INTEGER, "c_acctbal" DOUBLE,
+            | "c_mktsegment" VARCHAR(32))""".stripMargin.replace("\n", ""))
+        catch { // X0Y32: table already exists (idempotent re-drive)
+          case e: java.sql.SQLException if e.getSQLState == "X0Y32" => ()
+        }
+      } finally c.close()
+      pipeline.runOnce(spark, feed, s"$base/work")
+    }
+    spark.read.jdbc(url, "enriched_q161", new java.util.Properties())
+      .select(col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_orderstatus"), col("o_totalprice").as("total"),
+        col("c_custkey").cast("long").as("c_custkey"), col("c_name"),
+        col("c_acctbal"))
+  }
+
+  private val q162Lock = new Object
+
+  /** Q162: ENFORCEMENT ON THE ANN STORE under the oracle gate — the
+    * vector index's serving rows are POSTING actions (id, advisory
+    * cell, embedding), so a leaked violating upsert is a vector that
+    * ANSWERS QUERIES it must not. A conf-style drop rule
+    * (`vec_id in [0, 400]`) withholds out-of-range posting upserts from
+    * the keyed index MERGE; deletes still apply, so an allowed vector's
+    * retraction is never blocked. The oracle restates the post-traffic
+    * live set (%3 negation, %5 delete — q143's arithmetic) WITH the
+    * cap, fingerprinting each served embedding (order-free integer sum,
+    * engine-exact) and engine-checking the advisory cell against the
+    * quantizer (not SQL-restatable — q29's guarantee-band pattern). A
+    * banned vector's posting, a stale pre-negation direction, or a
+    * wrong cell all break the hash; the cap keeps both sides populated
+    * at every SF (embeddings ids reach 499/499/1999).
+    */
+  val q162 = QueryDef.sql(
+    "q162_enforced_ann_store",
+    """WITH e AS (SELECT vec_id,
+      |         CASE WHEN vec_id % 3 = 0
+      |              THEN list_transform(CAST(embedding AS DOUBLE[]), x -> -x)
+      |              ELSE CAST(embedding AS DOUBLE[]) END AS emb
+      |       FROM embeddings WHERE vec_id % 5 <> 0
+      |         AND vec_id BETWEEN 0 AND 400)
+      |SELECT vec_id, CAST(len(emb) AS INT) AS dim,
+      |       CAST(list_aggregate(list_transform(emb,
+      |              x -> CAST(floor(x * 1000000.0) AS BIGINT)), 'sum')
+      |            AS BIGINT) AS emb_fp,
+      |       TRUE AS cell_ok
+      |FROM e""".stripMargin) { (spark, dir) =>
+    import graft.cdc.{ChangeFeed, DeltaLog}
+    import graft.ops.Profile
+    import graft.streaming.{AnnServingPipeline, PipelineMetrics}
+    val cents = MandateQueries.ivfCentroidsFor(spark, dir)
+    val feed = ChangeFeed.stagedEmbeddingsJsonl(spark, dir)
+    val fp = graft.sources.Staging.fingerprint(Seq(s"$dir/embeddings.parquet"))
+    val base = DeltaLog.logBase(spark,
+      s"enfann_${dir.replaceAll("[^a-zA-Z0-9]", "_")}", fp)
+    val url = s"jdbc:derby:$base/derby;create=true"
+    val target = PipelineMetrics.Target(url, "pipeline_metrics_q162")
+    val pipeline = AnnServingPipeline(
+      name = "q162", databases = Set("shop"), table = "embeddings",
+      idField = "vec_id", vectorField = "embedding", cents = cents,
+      jdbcUrl = url, postingsTable = "postings_q162",
+      metrics = Some(target), deadLetterDir = Some(s"$base/dead"),
+      expectations = Seq(Profile.InRange("vec_cap", "vec_id",
+        0.0, 400.0, action = Profile.Drop)))
+    q162Lock.synchronized {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(base))
+      PipelineMetrics.ensureTable(target)
+      PipelineMetrics.ensureExpectTable(target)
+      val c = java.sql.DriverManager.getConnection(url)
+      try {
+        val st = c.createStatement()
+        try st.execute(
+          """CREATE TABLE postings_q162 ("vec_id" BIGINT NOT NULL PRIMARY
+            | KEY, "cell" INTEGER, "emb_json" VARCHAR(32000))"""
+            .stripMargin.replace("\n", ""))
+        catch { // X0Y32: table already exists (idempotent re-drive)
+          case e: java.sql.SQLException if e.getSQLState == "X0Y32" => ()
+        }
+      } finally c.close()
+      pipeline.runOnce(spark, feed, s"$base/work")
+    }
+    spark.read.jdbc(url, "postings_q162", new java.util.Properties())
+      .select(col("vec_id").cast("long").as("vec_id"),
+        col("cell").cast("int").as("cell"),
+        from_json(col("emb_json"), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)).as("emb"))
+      .select(col("vec_id"), size(col("emb")).as("dim"),
+        aggregate(transform(col("emb"),
+            x => floor(x.cast("double") * lit(1000000.0d))),
+          lit(0L), (a, x) => a + x).as("emb_fp"),
+        (col("cell") === VectorSearch.nearestCell(col("emb"), cents))
+          .as("cell_ok"))
+  }
+
+  private val q163Lock = new Object
+
+  /** Q163: ENFORCEMENT ON THE DEDUP-CLUSTER STORE under the oracle gate
+    * — the last of the five kinds: cluster rows are GRAPH-shaped, so
+    * the contract needs both halves hashed at once. The clustering
+    * ALGEBRA stays exact — a withheld member still stitches the
+    * components it bridges and still wins canonical (min-id) elections,
+    * because silently re-clustering around enforcement would diverge
+    * every surviving member's label — while the consumer SURFACE
+    * withholds the violating rows. The drop rule bans LOW doc ids
+    * (`doc_id in [100, 1000000]` — ids below 100 violate), which is
+    * precisely the canonical-electing range: at every SF some served
+    * member rows carry a cluster_id pointing at a withheld canonical
+    * (measured 7/5/9 such rows at the three test SFs), so a leaked
+    * banned row, an over-dropped member, OR a re-labeled cluster each
+    * break the hash. The oracle is q131/q133's from-scratch recursive
+    * CTE with the predicate applied to the SERVED rows only — the
+    * topology inside is computed on the full corpus, mirroring the
+    * pipeline's fold.
+    */
+  val q163 = QueryDef.sql(
+    "q163_enforced_cluster_store",
+    // the WHERE slots into the shared oracle between reach and the
+    // final GROUP BY: filter SERVED rows (s), never the topology (d)
+    clusterOracleSql.replace("FROM reach GROUP BY s",
+      "FROM reach WHERE s BETWEEN 100 AND 1000000 GROUP BY s")) { (spark, dir) =>
+    import graft.cdc.{ChangeFeed, DeltaLog}
+    import graft.ops.Profile
+    import graft.streaming.{DedupClusterPipeline, JdbcTarget, PipelineMetrics}
+    val feed = ChangeFeed.stagedDocsJsonl(spark, dir)
+    val fp = graft.sources.Staging.fingerprint(Seq(s"$dir/documents.parquet"))
+    val base = DeltaLog.logBase(spark,
+      s"enfdedup_${dir.replaceAll("[^a-zA-Z0-9]", "_")}", fp)
+    val url = s"jdbc:derby:$base/derby;create=true"
+    val target = PipelineMetrics.Target(url, "pipeline_metrics_q163")
+    val pipeline = DedupClusterPipeline(
+      name = "q163", databases = Set("shop"), table = "documents",
+      idField = "doc_id", textField = "text",
+      target = JdbcTarget(url, "clusters_q163"),
+      verifyThreshold = Some(0.6), compactEvery = 0,
+      metrics = Some(target), deadLetterDir = Some(s"$base/dead"),
+      expectations = Seq(Profile.InRange("doc_floor", "doc_id",
+        100.0, 1000000.0, action = Profile.Drop)))
+    q163Lock.synchronized {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(base))
+      PipelineMetrics.ensureTable(target)
+      PipelineMetrics.ensureExpectTable(target)
+      val c = java.sql.DriverManager.getConnection(url)
+      try {
+        val st = c.createStatement()
+        try st.execute(
+          """CREATE TABLE clusters_q163 ("doc_id" BIGINT NOT NULL PRIMARY
+            | KEY, "cluster_id" BIGINT, "is_canonical" INTEGER)"""
+            .stripMargin.replace("\n", ""))
+        catch { // X0Y32: table already exists (idempotent re-drive)
+          case e: java.sql.SQLException if e.getSQLState == "X0Y32" => ()
+        }
+      } finally c.close()
+      pipeline.runOnce(spark, feed, s"$base/work")
+    }
+    pipeline.servedClusters(spark)
+  }
+
   val all: Seq[QueryDef] = Seq(q41, q42, q43, q44, q45, q47, q48, q49,
     q54, q57, q60, q62, q63, q64, q68, q69, q74, q76, q80, q81, q83, q90, q91,
     q94, q98, q122, q125, q127, q128, q129, q130, q131, q133, q134, q135,
     q136, q137, q138, q139, q140, q141, q142, q144, q145, q146, q147, q148,
-    q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160)
+    q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160,
+    q161, q162, q163)
 }
