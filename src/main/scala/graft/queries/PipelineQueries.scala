@@ -3116,10 +3116,105 @@ object PipelineQueries {
     pipeline.servedClusters(spark)
   }
 
+  private val q164Lock = new Object
+
+  /** Q164: the ADAPTIVE WIDTH RIDING PRODUCTION SERVING under the
+    * oracle gate — q158 pins [[VectorSearch.adaptiveProbes]] offline
+    * against static stores; this certifies the SERVE-TIME path: a real
+    * [[graft.streaming.AnnServingPipeline]] drains the embeddings CDC
+    * feed into its index store, then three filtered query classes
+    * (tags) serve through
+    * [[graft.streaming.AnnServingPipeline.servedFilteredKnnCertified]],
+    * each deriving its probe width from the LIVE allowed fraction and
+    * MERGEing its certificate row into `<certTable>_f` keyed
+    * (pipeline, tag). The query returns those recorded rows: the
+    * oracle restates n_allowed (post-traffic live set ∩ band
+    * arithmetic) and the chosen width (the clamp formula over the two
+    * counts — integer SQL), while the ≥ 0.6 filtered recall against
+    * the exact scan of each allowed sliver is engine-checked
+    * (guarantee-band, q29's pattern). A serve that widened wrongly,
+    * judged a stale live set, or failed its floor breaks the hash.
+    */
+  val q164 = QueryDef.sql(
+    "q164_serve_adaptive_certified",
+    """WITH live AS (SELECT vec_id FROM embeddings WHERE vec_id % 5 <> 0),
+      |b1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM live),
+      |b2 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM live
+      |       WHERE vec_id % 4 = 1),
+      |b3 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM live
+      |       WHERE vec_id % 20 = 3)
+      |SELECT 'tenant_all' AS tag, n AS n_allowed,
+      |       CAST(CASE WHEN n = 0 THEN 16 ELSE
+      |         LEAST(16, GREATEST(4, (640 + n - 1) // n)) END AS INT)
+      |         AS probes,
+      |       TRUE AS recall_ok FROM b1
+      |UNION ALL SELECT 'tenant_quarter', n,
+      |       CAST(CASE WHEN n = 0 THEN 16 ELSE
+      |         LEAST(16, GREATEST(4, (640 + n - 1) // n)) END AS INT),
+      |       TRUE FROM b2
+      |UNION ALL SELECT 'tenant_sliver', n,
+      |       CAST(CASE WHEN n = 0 THEN 16 ELSE
+      |         LEAST(16, GREATEST(4, (640 + n - 1) // n)) END AS INT),
+      |       TRUE FROM b3""".stripMargin) { (spark, dir) =>
+    import graft.cdc.{ChangeFeed, DeltaLog}
+    import graft.streaming.AnnServingPipeline
+    val cents = MandateQueries.ivfCentroidsFor(spark, dir)
+    val feed = ChangeFeed.stagedEmbeddingsJsonl(spark, dir)
+    val fp = graft.sources.Staging.fingerprint(Seq(s"$dir/embeddings.parquet"))
+    val base = DeltaLog.logBase(spark,
+      s"servecert_${dir.replaceAll("[^a-zA-Z0-9]", "_")}", fp)
+    val url = s"jdbc:derby:$base/derby;create=true"
+    val pipeline = AnnServingPipeline(
+      name = "q164", databases = Set("shop"), table = "embeddings",
+      idField = "vec_id", vectorField = "embedding", cents = cents,
+      jdbcUrl = url, postingsTable = "postings_q164",
+      certTable = Some("ann_cert_q164"), k = 5, nProbe = 4)
+    q164Lock.synchronized {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(base))
+      val c = java.sql.DriverManager.getConnection(url)
+      try {
+        val st = c.createStatement()
+        def mk(ddl: String): Unit =
+          try { st.execute(ddl); () }
+          catch { // X0Y32: table already exists (idempotent re-drive)
+            case e: java.sql.SQLException if e.getSQLState == "X0Y32" => ()
+          }
+        mk("""CREATE TABLE postings_q164 ("vec_id" BIGINT NOT NULL PRIMARY
+             | KEY, "cell" INTEGER, "emb_json" VARCHAR(32000))"""
+          .stripMargin.replace("\n", ""))
+        mk("""CREATE TABLE ann_cert_q164 ("pipeline" VARCHAR(64) NOT NULL
+             | PRIMARY KEY, "batch_id" BIGINT, "recall" DOUBLE,
+             | "recall_ok" INTEGER, "skew" DOUBLE, "drift_ok" INTEGER,
+             | "probed" INTEGER)""".stripMargin.replace("\n", ""))
+        mk("""CREATE TABLE ann_cert_q164_f ("pipeline" VARCHAR(64) NOT NULL,
+             | "tag" VARCHAR(64) NOT NULL, "n_allowed" BIGINT,
+             | "probes" INTEGER, "recall" DOUBLE, "recall_ok" INTEGER,
+             | PRIMARY KEY ("pipeline", "tag"))"""
+          .stripMargin.replace("\n", ""))
+      } finally c.close()
+      pipeline.runOnce(spark, feed, s"$base/work")
+      val served = pipeline.servedPostings(spark).localCheckpoint(true)
+      val queries = served.filter(col("vec_id") < 10)
+        .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+      val allIds = served.select(col("vec_id"))
+      pipeline.servedFilteredKnnCertified(spark, s"$base/work", queries,
+        allIds, "tenant_all")
+      pipeline.servedFilteredKnnCertified(spark, s"$base/work", queries,
+        allIds.filter(col("vec_id") % 4 === 1), "tenant_quarter")
+      pipeline.servedFilteredKnnCertified(spark, s"$base/work", queries,
+        allIds.filter(col("vec_id") % 20 === 3), "tenant_sliver")
+    }
+    spark.read.jdbc(url, "ann_cert_q164_f", new java.util.Properties())
+      .filter(col("pipeline") === "q164")
+      .select(col("tag"), col("n_allowed").cast("long").as("n_allowed"),
+        col("probes").cast("int").as("probes"),
+        (col("recall_ok") === 1).as("recall_ok"))
+  }
+
   val all: Seq[QueryDef] = Seq(q41, q42, q43, q44, q45, q47, q48, q49,
     q54, q57, q60, q62, q63, q64, q68, q69, q74, q76, q80, q81, q83, q90, q91,
     q94, q98, q122, q125, q127, q128, q129, q130, q131, q133, q134, q135,
     q136, q137, q138, q139, q140, q141, q142, q144, q145, q146, q147, q148,
     q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160,
-    q161, q162, q163)
+    q161, q162, q163, q164)
 }

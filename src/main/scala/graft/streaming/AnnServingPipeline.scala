@@ -269,6 +269,59 @@ final case class AnnServingPipeline(
       probes), probes)
   }
 
+  /** [[servedFilteredKnn]] with the adaptive operating point CERTIFIED
+    * ON THE SERVING PATH — q158 pins the policy offline; this records
+    * what production serving actually chose, so the certificate rides
+    * live traffic: one row keyed (pipeline, tag) MERGEd into
+    * `<certTable>_f` with the live matching count (`n_allowed`), the
+    * adaptive width the call used (`probes` — widens as the allowed
+    * set shrinks, [[VectorSearch.adaptiveProbes]]), the filtered
+    * recall vs the exact scan of the allowed sliver of the SERVED
+    * store, and `recall_ok` vs the conf floor. Keyed overwrite, not
+    * history: `tag` names a query CLASS (a conf's filter predicate, a
+    * tenant) and dashboards read its CURRENT width — re-serving a tag
+    * replaces its row, exactly like the batch certificate row. The
+    * caller creates `<certTable>_f` beside `certTable` (pipeline
+    * VARCHAR(64), tag VARCHAR(64), n_allowed BIGINT, probes INTEGER,
+    * recall DOUBLE, recall_ok INTEGER, PK (pipeline, tag)).
+    *
+    * The exact-side check scans only the allowed sliver of the served
+    * store — precisely the regime where the adaptive formula has
+    * already widened probes toward that same scan, so certifying costs
+    * at most ~2× the serve it certifies (the cheap uncertified path
+    * stays [[servedFilteredKnn]]).
+    */
+  def servedFilteredKnnCertified(spark: SparkSession, workRoot: String,
+      queries: DataFrame, allowed: DataFrame, tag: String,
+      kOverride: Int = -1): (DataFrame, Int, Long) = {
+    val ct = certTable.getOrElse(throw new IllegalArgumentException(
+      s"ann $name: servedFilteredKnnCertified needs a certTable"))
+    val c = currentCents(workRoot)
+    val kk = if (kOverride > 0) kOverride else k
+    val allowedPostings = servedPostings(spark)
+      .join(allowed, Seq("vec_id"), "left_semi").localCheckpoint(true)
+    val nAllowed = allowedPostings.count()
+    val probes = VectorSearch.adaptiveProbes(c.length, nProbe, kk, nAllowed)
+    val topk = VectorSearch.knnIvfFromPostings(queries, allowedPostings,
+      kk, c, probes).localCheckpoint(true)
+    val exact = VectorSearch.knnExact(queries,
+      allowedPostings.select(col("vec_id"), col("embedding")), kk)
+      .select(col("q_vec_id"), col("n_vec_id")).localCheckpoint(true)
+    val nTot = exact.count()
+    val nHit = exact.join(topk.select(col("q_vec_id"), col("n_vec_id")),
+      Seq("q_vec_id", "n_vec_id"), "left_semi").count()
+    val recall = if (nTot == 0) 1.0 else nHit.toDouble / nTot
+    val row = spark.createDataFrame(java.util.List.of(
+      org.apache.spark.sql.Row(name, tag, nAllowed, probes, recall,
+        if (recall >= recallFloor) 1 else 0)),
+      StructType.fromDDL("pipeline STRING, tag STRING, n_allowed BIGINT, " +
+        "probes INT, recall DOUBLE, recall_ok INT"))
+      .withColumn("action", lit("upsert"))
+    JdbcSink.applyViewDeltas(row, jdbcUrl, s"${ct}_f", Seq("pipeline", "tag"),
+      stagingColumnTypes = "pipeline VARCHAR(64), tag VARCHAR(64)")
+    (topk, probes, nAllowed)
+  }
+
   /** The last certificate row, if any: (batch_id, recall, recall_ok,
     * skew, drift_ok) — operational visibility and the retrain trigger's
     * input.

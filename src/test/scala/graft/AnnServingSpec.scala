@@ -512,4 +512,83 @@ class AnnServingSpec extends SparkSpec {
     assert(got.map(_._2).subsetOf(Set(10L, 21L, 33L, 47L)),
       "pre-filter semantics: only allowed ids can appear")
   }
+
+  test("servedFilteredKnnCertified: the adaptive width rides serving — probes widen as churn shrinks the live allowed set, and each serve overwrites its tag's certificate row") {
+    val url = "jdbc:derby:memory:graftanncertf;create=true"
+    val c0 = java.sql.DriverManager.getConnection(url)
+    c0.createStatement().execute(
+      """CREATE TABLE postingsf ("vec_id" BIGINT NOT NULL PRIMARY KEY,
+        | "cell" INTEGER, "emb_json" VARCHAR(32000))""".stripMargin.replace("\n", ""))
+    c0.createStatement().execute(
+      """CREATE TABLE ann_certf ("pipeline" VARCHAR(64) NOT NULL PRIMARY KEY,
+        | "batch_id" BIGINT, "recall" DOUBLE, "recall_ok" INTEGER,
+        | "skew" DOUBLE, "drift_ok" INTEGER, "probed" INTEGER)"""
+        .stripMargin.replace("\n", ""))
+    c0.createStatement().execute(
+      """CREATE TABLE ann_certf_f ("pipeline" VARCHAR(64) NOT NULL,
+        | "tag" VARCHAR(64) NOT NULL, "n_allowed" BIGINT,
+        | "probes" INTEGER, "recall" DOUBLE, "recall_ok" INTEGER,
+        | PRIMARY KEY ("pipeline", "tag"))""".stripMargin.replace("\n", ""))
+    c0.close()
+    val pipeline = AnnServingPipeline(
+      name = "annf2", databases = Set("shop"), table = "embeddings",
+      idField = "vec_id", vectorField = "embedding", cents = cents,
+      jdbcUrl = url, postingsTable = "postingsf",
+      certTable = Some("ann_certf"), k = 2, nProbe = 1)
+    val feedDir = Files.createTempDirectory("graft_anncf_feed_").toFile
+    val workRoot = Files.createTempDirectory("graft_anncf_work_").toString
+    val corpus = (0L until 64L).map { i =>
+      val (bx, by) = cents(i.toInt % 4) match {
+        case a => (a(0).toDouble, a(1).toDouble)
+      }
+      val j = 0.002 * (i / 4)
+      (i, bx + (if (bx == 0) j else 0.0), by + (if (by == 0) j else 0.0))
+    }
+    Files.write(new java.io.File(feedDir, "000.json").toPath,
+      corpus.zipWithIndex.map { case ((id, x, y), i) =>
+        wire(v(id, x, y), null, "c", 10, i + 1)
+      }.asJava)
+    pipeline.runOnce(spark, feedDir.toString, workRoot)
+    // the tenant's PREDICATE is fixed (all ids allowed); what shrinks
+    // across batches is the LIVE matching set — that is the fraction
+    // the serve-time width must follow
+    val tenantAllowed = (0L until 64L).toDF("vec_id")
+    def queries() = pipeline.servedPostings(spark).filter(col("vec_id") < 2)
+      .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+    def certRow(): (Long, Int, Int) = {
+      val r = spark.read.jdbc(url, "ann_certf_f", new java.util.Properties())
+        .collect()
+      assert(r.length == 1, s"one keyed row per (pipeline, tag): ${r.toSeq}")
+      (r.head.getLong(2), r.head.getInt(3), r.head.getInt(5))
+    }
+    // full corpus live: 64 allowed -> ceil(8*2*4/64) = 1 = conf width
+    val (_, p0, n0) = pipeline.servedFilteredKnnCertified(
+      spark, workRoot, queries(), tenantAllowed, "tenant_a")
+    assert((n0, p0) == ((64L, 1)), s"broad live set keeps nProbe: $n0/$p0")
+    assert(certRow() == ((64L, 1, 1)), s"recorded: ${certRow()}")
+    // churn deletes 48 vectors -> 16 live matches -> ceil(16*4/16) = 4
+    // saturates to nCells: the SAME tenant predicate now serves at the
+    // widened operating point, and its certificate row says so
+    Files.write(new java.io.File(feedDir, "001.json").toPath,
+      (16L until 64L).map { id =>
+        val (_, x, y) = corpus(id.toInt)
+        wire(null, v(id, x, y), "d", 20, 100 + id)
+      }.asJava)
+    pipeline.runOnce(spark, feedDir.toString, workRoot)
+    val (res, p1, n1) = pipeline.servedFilteredKnnCertified(
+      spark, workRoot, queries(), tenantAllowed, "tenant_a")
+    assert((n1, p1) == ((16L, 4)),
+      s"shrunken live set widens probes to nCells: $n1/$p1")
+    assert(certRow() == ((16L, 4, 1)),
+      s"the tag's row is OVERWRITTEN with the serve-time width: ${certRow()}")
+    // saturated width = exact filtered top-k over the live sliver
+    val got = res.select(col("q_vec_id"), col("n_vec_id"), col("rnk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val exact = VectorSearch.filteredKnnExact(queries(),
+      pipeline.servedPostings(spark).select(col("vec_id"), col("embedding")),
+      tenantAllowed, 2)
+      .select(col("q_vec_id"), col("n_vec_id"), col("rnk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == exact, s"saturated serve = exact: $got vs $exact")
+  }
 }
