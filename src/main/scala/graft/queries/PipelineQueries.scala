@@ -3211,10 +3211,100 @@ object PipelineQueries {
         (col("recall_ok") === 1).as("recall_ok"))
   }
 
+  private val q165Lock = new Object
+  private val q165Driven = java.util.concurrent.ConcurrentHashMap
+    .newKeySet[String]()
+
+  /** Q165: DRIFT ENFORCEMENT under the oracle gate — q159 records
+    * schema-drift verdicts; this certifies the conf-declared
+    * ESCALATION ([[graft.streaming.CdcPipeline.DriftPolicy]], the
+    * declarative form of the reference's DDL-event drop, R7): the same
+    * drifting wire (%11 keys deliver the declared DOUBLE as a
+    * non-numeric string, %7 / %14 carry undeclared fields) drains
+    * through a DROP-action policy with `newColsBudget = 0`, so
+    * bad-typed winners (which would serve silently-nulled fields) and
+    * every winner carrying an undeclared field are withheld and
+    * dead-lettered under `_drift` while the clean rest serves. The
+    * query reads the serving store back; the oracle restates the
+    * surviving winner set from the key arithmetic — one leaked drifted
+    * document, or one over-dropped clean one, breaks the hash.
+    */
+  val q165 = QueryDef.sql(
+    "q165_drift_enforced_store",
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |       o_orderpriority
+      |FROM orders
+      |WHERE o_orderkey % 11 <> 0 AND o_orderkey % 7 <> 0""".stripMargin) {
+    (spark, dir) =>
+    import graft.cdc.{ChangeFeed, DeltaLog, Subscription}
+    import graft.sinks.EsSink
+    import graft.streaming.{CdcPipeline, PipelineMetrics}
+    val fp = graft.sources.Staging.fingerprint(Seq(s"$dir/orders.parquet"))
+    val base = DeltaLog.logBase(spark,
+      s"driftenf_${dir.replaceAll("[^a-zA-Z0-9]", "_")}", fp)
+    val url = s"jdbc:derby:$base/derby;create=true"
+    val store = s"$base/store"
+    val target = PipelineMetrics.Target(url, "pipeline_metrics_q165")
+    q165Lock.synchronized {
+      if (q165Driven.add(base)) {
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(store))
+        PipelineMetrics.ensureTable(target)
+        PipelineMetrics.ensureDriftTable(target)
+        val orders = Tables.orders(spark, dir)
+        val k = col("o_orderkey")
+        val jsonOpts = Map("ignoreNullFields" -> "false")
+        def ev(after: org.apache.spark.sql.Column) = {
+          val ts = lit(1000000000L) + k
+          to_json(struct(
+            lit(null).cast(ChangeFeed.ordersRowSchema).as("before"),
+            after.as("after"),
+            struct(lit("shop").as("db"), lit("orders").as("table"),
+              ts.as("ts_ms")).as("source"),
+            lit("c").as("op"), ts.as("ts_ms")), jsonOpts)
+        }
+        val row = struct(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"), col("o_orderpriority"))
+        // q159's drifting wire, verbatim: disjoint branches the oracle
+        // restates by key arithmetic
+        val badtype = orders.filter(k % 11 === 0).select(
+          ev(struct(col("o_orderkey"), col("o_custkey"),
+            col("o_orderstatus"), lit("oops").as("o_totalprice"),
+            col("o_orderpriority"))).as("value"), k.as("offset"))
+        val twoNew = orders.filter(k % 11 =!= 0 && k % 14 === 0).select(
+          ev(struct(col("o_orderkey"), col("o_custkey"),
+            col("o_orderstatus"), col("o_totalprice"),
+            col("o_orderpriority"), lit("n").as("o_note"),
+            lit(1L).as("o_extra"))).as("value"), k.as("offset"))
+        val oneNew = orders.filter(k % 11 =!= 0 && k % 14 =!= 0
+            && k % 7 === 0).select(
+          ev(struct(col("o_orderkey"), col("o_custkey"),
+            col("o_orderstatus"), col("o_totalprice"),
+            col("o_orderpriority"), lit("n").as("o_note"))).as("value"),
+          k.as("offset"))
+        val clean = orders.filter(k % 11 =!= 0 && k % 7 =!= 0).select(
+          ev(row).as("value"), k.as("offset"))
+        val feed = Seq(badtype, twoNew, oneNew, clean).reduce(_ unionByName _)
+        val pipeline = CdcPipeline(name = "orders_drift_enf",
+          subscription = Subscription(Set("shop"), Set("orders")),
+          rowSchema = ChangeFeed.ordersRowSchema, idKey = "o_orderkey",
+          metrics = Some(target), deadLetterDir = Some(s"$base/dead"),
+          driftPolicy = Some(CdcPipeline.DriftPolicy(newColsBudget = 0L,
+            action = graft.ops.Profile.Drop)))
+        pipeline.applyBatch(pipeline.changeRows(feed),
+          EsSink.Config("http://graft-local/lww_orders_q165", "graft",
+            "graft", "o_orderkey"),
+          new EsSink.FileDocStore(store), 0L)
+      }
+    }
+    readDocStore(spark, store, ChangeFeed.ordersRowSchema)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderpriority"))
+  }
+
   val all: Seq[QueryDef] = Seq(q41, q42, q43, q44, q45, q47, q48, q49,
     q54, q57, q60, q62, q63, q64, q68, q69, q74, q76, q80, q81, q83, q90, q91,
     q94, q98, q122, q125, q127, q128, q129, q130, q131, q133, q134, q135,
     q136, q137, q138, q139, q140, q141, q142, q144, q145, q146, q147, q148,
     q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160,
-    q161, q162, q163, q164)
+    q161, q162, q163, q164, q165)
 }

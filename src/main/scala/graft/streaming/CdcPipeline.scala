@@ -33,15 +33,23 @@ final case class CdcPipeline(
     exprTransform: Option[ExprTransform] = None,
     metrics: Option[PipelineMetrics.Target] = None,
     expectations: Seq[graft.ops.Profile.Rule] = Nil,
-    driftCheck: Boolean = false) {
+    driftCheck: Boolean = false,
+    driftPolicy: Option[CdcPipeline.DriftPolicy] = None) {
 
   // the shared construction-time enforcement invariants (metrics for
   // verdicts, a dead-letter dir for Drop) — Profile.requireEnforceable,
   // so API-built pipelines meet the same bar conf registration does
   graft.ops.Profile.requireEnforceable("pipeline", name, expectations,
     metrics, deadLetterDir)
-  require(!driftCheck || metrics.isDefined,
+  // a drift POLICY implies the check; both need the metrics store for
+  // their verdict rows, and a Drop policy needs somewhere to land the
+  // withheld rows — the same invariants expectations carry
+  private val driftOn = driftCheck || driftPolicy.isDefined
+  require(!driftOn || metrics.isDefined,
     s"pipeline $name: driftCheck needs a metrics target to record into")
+  require(!driftPolicy.exists(_.action == graft.ops.Profile.Drop)
+      || deadLetterDir.isDefined,
+    s"pipeline $name: a drop-action drift policy needs a deadLetterDir")
 
   // registration-time dry-run resolution of the conf-declared transform
   // against THIS pipeline's declared schema (the reference runs
@@ -245,19 +253,41 @@ final case class CdcPipeline(
     val t0 = System.currentTimeMillis()
     // drift check adds two more actions on the batch frame — pin it so
     // they cannot re-run the micro-batch plan (foreachBatch hazard)
-    val src = if (driftCheck && metrics.isDefined)
+    val src = if (driftOn && metrics.isDefined)
       batch.localCheckpoint(true) else batch
-    recordSchemaDrift(src, batchId)
+    val drift = recordSchemaDrift(src, batchId)
+    // drift HALT: the verdict row is already recorded (observable
+    // breach), then the micro-batch fails exactly like an expectation
+    // halt — the store keeps its pre-batch state and the checkpoint
+    // replays the batch once the conf's schema (or the wire) is fixed.
+    // This is the declarative analog of the reference's DDL-event drop
+    // (R7): schema change quarantines instead of silently serving.
+    for (p <- driftPolicy if p.action == graft.ops.Profile.Halt;
+         d <- drift) {
+      if (d.newCols > p.newColsBudget)
+        throw new graft.ops.Profile.HaltException(name, batchId,
+          "drift_newcols", d.newCols, p.newColsBudget)
+      if (d.rowsBadtype > p.badTypeRowsBudget)
+        throw new graft.ops.Profile.HaltException(name, batchId,
+          "drift_badtype", d.rowsBadtype, p.badTypeRowsBudget)
+    }
+    // a Drop policy needs the winner's RAW wire value to re-judge the
+    // fields the typed struct already smoothed over — carry it through
+    // the LWW collapse only when the policy asks
+    val dropDrift = driftPolicy.exists(_.action == graft.ops.Profile.Drop)
     val winners = src
       .filter(col("key").isNotNull)
       .groupBy(col("key"))
-      .agg(max_by(struct(col("op"), col("row")),
+      .agg(max_by(
+        if (dropDrift) struct(col("op"), col("row"), col("value"))
+        else struct(col("op"), col("row")),
         struct(col("ts_ms"), col("offset"))).as("w"))
     val winnersCached = winners.cache()
     try {
       val deletes = winnersCached.filter(col("w.op") === "d")
         .select(col("key").cast("string").as(idKey))
-      val upserts0 = winnersCached.filter(col("w.op") =!= "d")
+      val upserts0 = applyDriftDrop(
+        winnersCached.filter(col("w.op") =!= "d"), drift, batchId)
         .select(col("w.row.*"))
       // expectations judge the batch's upsert documents BEFORE the
       // serving write: verdicts record, a breached Halt rule fails the
@@ -299,21 +329,35 @@ final case class CdcPipeline(
     * the serving-path monitor. Two aggregate jobs over the pinned
     * batch; skipped entirely unless `driftCheck` is on.
     */
-  private def recordSchemaDrift(src: DataFrame, batchId: Long): Unit =
-    if (driftCheck) metrics.foreach { m =>
-      val declared = rowSchema.fields.toSeq
-      val names = declared.map(_.name)
-      val aj = coalesce(
-        get_json_object(col("value"), "$.payload.after"),
-        get_json_object(col("value"), "$.after"))
+  /** The raw after payload of a wire value — both envelope shapes. */
+  private def rawAfter(value: org.apache.spark.sql.Column) = coalesce(
+    get_json_object(value, "$.payload.after"),
+    get_json_object(value, "$.after"))
+
+  /** Undeclared payload field names of a raw after payload. */
+  private def newFieldsOf(aj: org.apache.spark.sql.Column) =
+    array_except(json_object_keys(aj),
+      typedlit(rowSchema.fieldNames.toSeq))
+
+  /** true iff ANY declared field's raw value fails its declared type —
+    * try_cast, not cast: ANSI mode throws on the malformed value this
+    * monitor exists to OBSERVE, not die on.
+    */
+  private def anyBadTypeOf(aj: org.apache.spark.sql.Column) =
+    rowSchema.fields.toSeq.map { f =>
+      get_json_object(aj, s"$$.${f.name}").isNotNull &&
+        get_json_object(aj, s"$$.${f.name}").try_cast(f.dataType).isNull
+    }.reduce(_ || _)
+
+  private def recordSchemaDrift(src: DataFrame,
+      batchId: Long): Option[CdcPipeline.DriftVerdict] =
+    if (!driftOn) None
+    else metrics.map { m =>
+      val names = rowSchema.fieldNames.toSeq
       val base = src.filter(col("op") =!= "d")
-        .select(aj.as("aj")).filter(col("aj").isNotNull)
-        .select(col("aj"),
-          array_except(json_object_keys(col("aj")),
-            typedlit(names)).as("newfs"))
-      val tcFlags = declared.map { f =>
-        // try_cast, not cast: ANSI mode throws on a malformed value —
-        // the very thing this monitor exists to OBSERVE, not die on
+        .select(rawAfter(col("value")).as("aj")).filter(col("aj").isNotNull)
+        .select(col("aj"), newFieldsOf(col("aj")).as("newfs"))
+      val tcFlags = rowSchema.fields.toSeq.map { f =>
         (get_json_object(col("aj"), s"$$.${f.name}").isNotNull &&
           get_json_object(col("aj"), s"$$.${f.name}")
             .try_cast(f.dataType).isNull)
@@ -344,7 +388,51 @@ final case class CdcPipeline(
         rowsNew = rowsNew, rowsBadtype = rowsBad,
         newColNames = newNames.mkString(","),
         changedNames = changed.mkString(","))
+      CdcPipeline.DriftVerdict(newNames.size.toLong, changed.size.toLong,
+        rowsNew, rowsBad)
     }
+
+  /** DROP-action drift enforcement over the batch's upsert WINNERS (the
+    * rows that would actually serve): a winner whose raw payload fails
+    * a declared type is withheld ALWAYS (serving it would silently null
+    * the field — a known-bad document; budgets govern verdicts, never
+    * license serving bad rows, the expectation contract), and winners
+    * carrying undeclared fields are withheld only when the batch's
+    * distinct new-column count breaches `newColsBudget` (tolerated
+    * schema evolution serves; a breach fences every drifted row until
+    * the conf evolves). Withheld winners dead-letter under
+    * `<dlDir>/_drift/pipeline=<name>/batch_id=<id>` (per-batch
+    * partition OVERWRITE — replay-idempotent, and a separate subtree
+    * from `_expect` so neither enforcement's write clobbers the
+    * other's), tagged drift_badtype / drift_newcols. Returns the
+    * winners that may serve.
+    */
+  private def applyDriftDrop(upsertWinners: DataFrame,
+      drift: Option[CdcPipeline.DriftVerdict], batchId: Long): DataFrame = {
+    val p = driftPolicy match {
+      case Some(pp) if pp.action == graft.ops.Profile.Drop => pp
+      case _ => return upsertWinners
+    }
+    val d = drift.getOrElse(return upsertWinners)
+    val newColsBreached = d.newCols > p.newColsBudget
+    if (d.rowsBadtype == 0L && !(newColsBreached && d.rowsNew > 0L))
+      return upsertWinners
+    val aj = rawAfter(col("w.value"))
+    val tagged = upsertWinners.withColumn("__viol", array_compact(array(
+      when(anyBadTypeOf(aj), lit("drift_badtype")),
+      if (newColsBreached) when(size(newFieldsOf(aj)) > 0,
+        lit("drift_newcols")) else lit(null).cast("string"))))
+      .localCheckpoint(true)
+    val viol = tagged.filter(size(col("__viol")) > 0)
+    deadLetterDir.foreach { dir =>
+      val safe = name.replaceAll("[^A-Za-z0-9._-]", "_")
+      viol.select(array_join(col("__viol"), ",").as("violated"),
+        to_json(col("w.row")).as("row_json"))
+        .write.mode("overwrite")
+        .parquet(s"$dir/_drift/pipeline=$safe/batch_id=$batchId")
+    }
+    tagged.filter(size(col("__viol")) === 0).drop("__viol")
+  }
 }
 
 object CdcPipeline {
@@ -355,4 +443,26 @@ object CdcPipeline {
     */
   val RocksDbProvider: String =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Conf-declared ESCALATION for schema drift — the enforcement half
+    * of the driftCheck monitor, completing R7's streaming analog with
+    * the same warn/drop/halt vocabulary expectations use:
+    *  - Warn: record the `_drift` verdict row only (the monitor).
+    *  - Drop: winners whose raw payload fails a declared type are
+    *    withheld and dead-lettered always; winners carrying undeclared
+    *    fields are withheld once the batch's distinct new-column count
+    *    breaches `newColsBudget` (see [[CdcPipeline.applyDriftDrop]]).
+    *  - Halt: a breach of either budget fails the micro-batch AFTER the
+    *    verdict records — pipeline quarantine, store pre-batch,
+    *    conf-fix → restart → replay (the expectation Halt lifecycle).
+    * Budgets are exact integer counts: `newColsBudget` bounds DISTINCT
+    * undeclared field names per batch; `badTypeRowsBudget` bounds rows
+    * whose declared field failed its type.
+    */
+  final case class DriftVerdict(newCols: Long, typeChanges: Long,
+      rowsNew: Long, rowsBadtype: Long)
+  final case class DriftPolicy(
+      newColsBudget: Long = Long.MaxValue,
+      badTypeRowsBudget: Long = Long.MaxValue,
+      action: graft.ops.Profile.Action = graft.ops.Profile.Warn)
 }

@@ -353,6 +353,28 @@ object PipelineMetrics {
         .parquet(s"$deadLetterDir/_expect")
   }
 
+  /** The dead-lettered DRIFT-dropped winners under a pipeline's
+    * dead-letter dir — the same uniform frame as [[expectDeadLetters]]
+    * but under the sibling `_drift` subtree
+    * ([[graft.streaming.CdcPipeline]]'s drop-action drift policy writes
+    * there so neither enforcement's per-batch partition overwrite can
+    * clobber the other's).
+    */
+  def driftDeadLetters(spark: org.apache.spark.sql.SparkSession,
+      deadLetterDir: String): org.apache.spark.sql.DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "violated STRING, row_json STRING, pipeline STRING, batch_id BIGINT")
+    val p = new org.apache.hadoop.fs.Path(s"$deadLetterDir/_drift")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+    else
+      spark.read.schema(schema)
+        .option("basePath", s"$deadLetterDir/_drift")
+        .parquet(s"$deadLetterDir/_drift")
+  }
+
   /** The recorded verdict rows, typed. */
   def expectRows(spark: org.apache.spark.sql.SparkSession,
       t: Target): org.apache.spark.sql.DataFrame = {

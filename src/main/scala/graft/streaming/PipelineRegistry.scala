@@ -385,7 +385,31 @@ object PipelineRegistry {
         // analog); its verdict table is ensured at load (S3)
         val drift = node.hasNonNull("driftCheck") &&
           node.get("driftCheck").asBoolean()
-        if (drift) {
+        // optional drift ESCALATION (`"driftPolicy": {"newColsBudget": 0,
+        // "badTypeRowsBudget": 0, "action": "drop"}`) — the enforcement
+        // half of the monitor, same action vocabulary as expectations
+        val driftPol = if (!node.hasNonNull("driftPolicy")) None else {
+          val p = node.get("driftPolicy")
+          val action =
+            if (!p.hasNonNull("action")) graft.ops.Profile.Warn
+            else p.get("action").asText() match {
+              case "warn" => graft.ops.Profile.Warn
+              case "drop" => graft.ops.Profile.Drop
+              case "halt" => graft.ops.Profile.Halt
+              case other => throw new IllegalArgumentException(
+                s"${f.getName}: unknown driftPolicy action '$other' " +
+                  "(expected warn, drop or halt)")
+            }
+          require(action != graft.ops.Profile.Drop || dlDir.isDefined,
+            s"${f.getName}: a drop-action driftPolicy needs a deadLetterDir")
+          Some(CdcPipeline.DriftPolicy(
+            newColsBudget = if (p.hasNonNull("newColsBudget"))
+              p.get("newColsBudget").asLong() else Long.MaxValue,
+            badTypeRowsBudget = if (p.hasNonNull("badTypeRowsBudget"))
+              p.get("badTypeRowsBudget").asLong() else Long.MaxValue,
+            action = action))
+        }
+        if (drift || driftPol.isDefined) {
           require(metricsTarget.isDefined,
             s"${f.getName}: driftCheck needs a metrics target to record into")
           metricsTarget.foreach(PipelineMetrics.ensureDriftTable)
@@ -398,7 +422,8 @@ object PipelineRegistry {
           deadLetterDir = dlDir,
           exprTransform = parseTransform(f, node),
           metrics = metricsTarget,
-          driftCheck = drift))
+          driftCheck = drift,
+          driftPolicy = driftPol))
         val servingSchema =
           SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
             .map(pipeline0.outgoingRowSchema).getOrElse(rowSchema)

@@ -514,6 +514,109 @@ class EnforceSpec extends SparkSpec {
     } finally watcher.stop()
   }
 
+  test("drift policy: drop withholds bad-typed winners always and new-col winners beyond budget; halt quarantines after the verdict records") {
+    import graft.streaming.CdcPipeline.DriftPolicy
+    PipelineMetrics.ensureDriftTable(target)
+    val dlDir = Files.createTempDirectory("graft_enf_drift_dl_").toString + "/dl"
+    def mkPipe(nm: String, p: DriftPolicy) = CdcPipeline(nm,
+      Subscription(Set("shop"), Set("documents")),
+      StructType.fromDDL("doc_id BIGINT, score DOUBLE"), "doc_id",
+      deadLetterDir = Some(dlDir), metrics = Some(target), driftPolicy = Some(p))
+    val cfg = EsSink.Config("http://es/idx", "u", "p", "doc_id")
+    // feed: doc 1 clean; doc 2's declared DOUBLE arrives as a string
+    // (bad type — the typed struct would silently null it); doc 3
+    // carries an undeclared field (schema evolution)
+    val feed = Seq(
+      wireRow("documents", """{"doc_id":1,"score":1.5}""", "c", 10, 1),
+      wireRow("documents", """{"doc_id":2,"score":"oops"}""", "c", 10, 2),
+      wireRow("documents", """{"doc_id":3,"score":2.5,"note":"n"}""", "c", 10, 3))
+      .toDF("value", "offset")
+    // DROP with newColsBudget=0: both drift kinds withheld, tagged
+    EnforceSpec.recorded.clear()
+    val drop0 = mkPipe("enf_drift0", DriftPolicy(newColsBudget = 0L,
+      action = Profile.Drop))
+    drop0.applyBatch(drop0.changeRows(feed), cfg, new EnforceSpec.Rec, 0L)
+    val sent0 = EnforceSpec.recorded.asScala.map(r => r.url + "\n" + r.body)
+      .mkString
+    assert(sent0.contains("\"doc_id\":1") && !sent0.contains("\"doc_id\":2")
+      && !sent0.contains("\"doc_id\":3"), s"only the clean doc serves: $sent0")
+    val dead = PipelineMetrics.driftDeadLetters(spark, dlDir)
+      .filter($"pipeline" === "enf_drift0")
+      .select($"violated", $"row_json").as[(String, String)].collect().toMap
+    assert(dead.size == 2
+      && dead.exists(d => d._1 == "drift_badtype" && d._2.contains("\"doc_id\":2"))
+      && dead.exists(d => d._1 == "drift_newcols" && d._2.contains("\"doc_id\":3")),
+      s"both drift kinds dead-letter with their tags: $dead")
+    // ...and the monitor's verdict row recorded the counts regardless
+    val v = PipelineMetrics.driftRows(spark, target)
+      .filter($"pipeline" === "enf_drift0")
+      .select($"new_cols", $"rows_badtype").as[(Long, Long)].collect()
+    assert(v.toSeq == Seq((1L, 1L)), s"verdict recorded: ${v.toSeq}")
+    // DROP with newColsBudget=1: the evolution is TOLERATED — new-col
+    // rows serve; the known-bad typed row is still withheld (budgets
+    // never license serving a bad row)
+    EnforceSpec.recorded.clear()
+    val drop1 = mkPipe("enf_drift1", DriftPolicy(newColsBudget = 1L,
+      action = Profile.Drop))
+    drop1.applyBatch(drop1.changeRows(feed), cfg, new EnforceSpec.Rec, 0L)
+    val sent1 = EnforceSpec.recorded.asScala.map(r => r.url + "\n" + r.body)
+      .mkString
+    assert(sent1.contains("\"doc_id\":1") && sent1.contains("\"doc_id\":3")
+      && !sent1.contains("\"doc_id\":2"),
+      s"tolerated evolution serves, bad type never does: $sent1")
+    // HALT on bad type: verdict records FIRST, then the batch fails
+    // with zero sink effects — the expectation Halt lifecycle
+    EnforceSpec.recorded.clear()
+    val halt = mkPipe("enf_drifth", DriftPolicy(badTypeRowsBudget = 0L,
+      action = Profile.Halt))
+    val e = intercept[Profile.HaltException](
+      halt.applyBatch(halt.changeRows(feed), cfg, new EnforceSpec.Rec, 5L))
+    assert(e.rule == "drift_badtype" && e.violations == 1L && e.budget == 0L)
+    assert(EnforceSpec.recorded.isEmpty, "halt fires before any sink effect")
+    val vh = PipelineMetrics.driftRows(spark, target)
+      .filter($"pipeline" === "enf_drifth" && $"batch_id" === 5L)
+      .select($"rows_badtype").as[Long].collect()
+    assert(vh.toSeq == Seq(1L), "the breach is observable: verdict landed first")
+  }
+
+  test("registry: driftPolicy parses budgets and action; drop without a deadLetterDir dies naming the file") {
+    def conf(dir: java.io.File, fname: String, body: String): Unit =
+      Files.write(new java.io.File(dir, fname).toPath,
+        Seq(body.stripMargin.replace("\n", "")).asJava)
+    val good = Files.createTempDirectory("graft_enf_dpconf_").toFile
+    conf(good, "g.json",
+      s"""{"name":"enfdp","databases":["shop"],"tables":["documents"],
+         |"idKey":"doc_id","schema":"doc_id BIGINT, text STRING",
+         |"deadLetterDir":"/tmp/graft_enf_dp_dl",
+         |"metrics":{"url":"$url","table":"enf_metrics"},
+         |"driftPolicy":{"newColsBudget":2,"badTypeRowsBudget":0,
+         |"action":"drop"}}""")
+    val loaded = PipelineRegistry.load(good.toString)
+    val p = loaded.head.pipeline.driftPolicy.get
+    assert(p.newColsBudget == 2L && p.badTypeRowsBudget == 0L
+      && p.action == Profile.Drop)
+    val nodl = Files.createTempDirectory("graft_enf_dpnodl_").toFile
+    conf(nodl, "nodl.json",
+      s"""{"name":"enfdpn","databases":["shop"],"tables":["documents"],
+         |"idKey":"doc_id","schema":"doc_id BIGINT, text STRING",
+         |"metrics":{"url":"$url","table":"enf_metrics"},
+         |"driftPolicy":{"action":"drop"}}""")
+    val e1 = intercept[IllegalArgumentException](
+      PipelineRegistry.load(nodl.toString))
+    assert(e1.getMessage.contains("nodl.json")
+      && e1.getMessage.contains("deadLetterDir"), s"got: ${e1.getMessage}")
+    val bad = Files.createTempDirectory("graft_enf_dpbad_").toFile
+    conf(bad, "bad.json",
+      s"""{"name":"enfdpb","databases":["shop"],"tables":["documents"],
+         |"idKey":"doc_id","schema":"doc_id BIGINT, text STRING",
+         |"metrics":{"url":"$url","table":"enf_metrics"},
+         |"driftPolicy":{"action":"escalate"}}""")
+    val e2 = intercept[IllegalArgumentException](
+      PipelineRegistry.load(bad.toString))
+    assert(e2.getMessage.contains("bad.json")
+      && e2.getMessage.contains("escalate"), s"got: ${e2.getMessage}")
+  }
+
   test("view drop: a violating key-move replacement withholds the paired delete too — the store keeps its pre-batch row") {
     exec("""CREATE TABLE enf_kmv ("o_orderkey" BIGINT NOT NULL PRIMARY KEY,
       | "o_custkey" BIGINT, "o_total" DOUBLE,
