@@ -353,6 +353,88 @@ object PipelineMetrics {
         .parquet(s"$deadLetterDir/_expect")
   }
 
+  /** RE-INJECT expectation-dropped rows into the source feed — the
+    * operational half of the drop-quarantine lifecycle (the verdict's
+    * conf-fix story): after the operator fixes the rule (or the
+    * dimension) that dropped the rows, this verb replays a pipeline's
+    * `_expect` dead letters THROUGH THE NORMAL PATH — each dead-lettered
+    * document becomes one ordinary wire event (op `c`, before null,
+    * caller-stamped `ts_ms`) appended to the source feed dir as a new
+    * JSON-lines file, which the running pipeline's checkpointed stream
+    * picks up like any other capture output. No side door into the
+    * store: LWW collapse, the (fixed) expectations, the sink's batch
+    * markers all apply — a row that still violates simply dead-letters
+    * again under the new batch id, and a double replay converges
+    * because the events are keyed and carry the same `ts_ms`.
+    *
+    * `tsMs` is the REPLAY EPOCH and the caller's LWW lever: stamp it
+    * above the feed's current tail so the re-injected rows win over
+    * the stale state their drop left behind, but below any upstream
+    * truth that must not be clobbered. Idempotence marker: the target
+    * file names embed (pipeline, tsMs) — re-calling with the same
+    * epoch is a no-op if the files already landed.
+    *
+    * Scale shape: the dead-letter frame re-shapes to wire rows with
+    * one executor-parallel Spark write into a staging dir, then
+    * per-file Hadoop-FS renames into the feed — nothing data-sized
+    * ever lands on the driver. Returns the number of rows re-injected
+    * (0 when nothing matched or the epoch already replayed).
+    *
+    * Scope: LWW (document-shaped) pipelines — the dead letter IS the
+    * document the wire would carry. For a pipeline with a conf
+    * transform the replayed doc is the POST-transform shape and the
+    * normal path re-applies the transform; set-expressions over their
+    * own outputs must be idempotent for the round trip to converge
+    * (drop-expressions are — the field is already gone).
+    */
+  def replayExpectDeadLetters(spark: org.apache.spark.sql.SparkSession,
+      deadLetterDir: String, pipeline: String, db: String, table: String,
+      sourceDir: String, tsMs: Long, batchIds: Seq[Long] = Nil): Long = {
+    import org.apache.spark.sql.functions._
+    require(db.matches("[A-Za-z0-9_.-]+") && table.matches("[A-Za-z0-9_.-]+"),
+      "replay: db/table must be plain identifiers (they are spliced " +
+        "into the wire JSON)")
+    val safe = pipeline.replaceAll("[^A-Za-z0-9._-]", "_")
+    val dead0 = expectDeadLetters(spark, deadLetterDir)
+      .filter(col("pipeline") === safe)
+    val dead = if (batchIds.isEmpty) dead0
+      else dead0.filter(col("batch_id").isin(batchIds: _*))
+    val n = dead.count()
+    if (n == 0L) return 0L
+    val conf = spark.sparkContext.hadoopConfiguration
+    val srcPath = new org.apache.hadoop.fs.Path(sourceDir)
+    val fs = srcPath.getFileSystem(conf)
+    // epoch idempotence: the first target file existing means this
+    // (pipeline, tsMs) replay already landed — appending again would
+    // not corrupt (keyed events, same ts) but would re-drain for nothing
+    if (fs.exists(new org.apache.hadoop.fs.Path(srcPath,
+        s"replay_${safe}_${tsMs}_0.json"))) return 0L
+    // one wire event per dead-lettered document; the row_json IS the
+    // after payload, so the envelope is assembled textually around it
+    val event = concat(
+      lit("""{"payload":{"before":null,"after":"""), col("row_json"),
+      lit(s""","source":{"db":"$db","table":"$table","ts_ms":$tsMs},""" +
+        s""""op":"c","ts_ms":$tsMs}}"""))
+    val wire = dead.select(to_json(struct(
+      event.as("value"),
+      (lit(tsMs) + monotonically_increasing_id()).as("offset"))).as("line"))
+    // stage under an underscore prefix (invisible to feed readers),
+    // then rename the parts into place — the file only becomes feed
+    // data once complete (a half-written visible file would race the
+    // running stream's listing)
+    val stage = new org.apache.hadoop.fs.Path(srcPath,
+      s"_replay_stage_${safe}_$tsMs")
+    wire.write.mode("overwrite").text(stage.toString)
+    val parts = fs.listStatus(stage)
+      .filter(_.getPath.getName.startsWith("part-")).sortBy(_.getPath.getName)
+    parts.zipWithIndex.foreach { case (st, i) =>
+      fs.rename(st.getPath, new org.apache.hadoop.fs.Path(srcPath,
+        s"replay_${safe}_${tsMs}_$i.json"))
+    }
+    fs.delete(stage, true)
+    n
+  }
+
   /** The dead-lettered DRIFT-dropped winners under a pipeline's
     * dead-letter dir — the same uniform frame as [[expectDeadLetters]]
     * but under the sibling `_drift` subtree

@@ -103,6 +103,73 @@ class ServeSpec extends SparkSpec {
     }
   }
 
+  test("dead-letter replay: drop → conf fix → replay re-injects through the normal path and the store converges to the never-dropped oracle") {
+    import graft.streaming.PipelineMetrics
+    val confDir = Files.createTempDirectory("graft_rpl_conf_").toFile
+    val srcDir = Files.createTempDirectory("graft_rpl_src_").toFile
+    val workRoot = Files.createTempDirectory("graft_rpl_work_").toString
+    val storeDir = Files.createTempDirectory("graft_rpl_store_").toString
+    val dlDir = Files.createTempDirectory("graft_rpl_dl_").toString + "/dl"
+    val url = "jdbc:derby:memory:graftservereplay;create=true"
+    def conf(hi: Long): Unit =
+      Files.write(new java.io.File(confDir, "r.json").toPath, Seq(
+        s"""{"name":"r_pipe","databases":["d"],"tables":["r"],"idKey":"id",
+           |"schema":"id BIGINT, v STRING",
+           |"deadLetterDir":"$dlDir",
+           |"metrics":{"url":"$url","table":"rpl_metrics"},
+           |"expectations":[{"rule":"in_range","name":"id_cap","column":"id",
+           |"lo":0,"hi":$hi,"action":"drop"}]}"""
+          .stripMargin.replace("\n", "")).asJava)
+    val store = new java.io.File(storeDir)
+    def doc(id: Long): java.io.File = new java.io.File(store, s"$id.json")
+    val cfg = EsSink.Config("http://graft-local/serve", "", "", "id")
+    def serveWhile(body: => Unit): Unit = {
+      @volatile var failure: Throwable = null
+      val t = new Thread(() => {
+        try { Serve.run(spark, confDir.toString, srcDir.toString, workRoot,
+          cfg, new EsSink.FileDocStore(storeDir), pollMs = 100L); () }
+        catch { case e: Throwable => failure = e }
+      }, "serve-replay-under-test")
+      t.start()
+      try body
+      finally {
+        try Files.createFile(java.nio.file.Paths.get(workRoot, "STOP"))
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+        t.join(30000)
+        assert(!t.isAlive, "server must drain on STOP")
+        assert(failure == null, s"server failed: $failure")
+        Files.delete(java.nio.file.Paths.get(workRoot, "STOP"))
+      }
+    }
+    // phase 1: the rule (id in [0,10]) DROPS doc 50 — it dead-letters,
+    // the clean docs serve
+    conf(hi = 10)
+    Files.write(new java.io.File(srcDir, "000.json").toPath, Seq(
+      wire("r", 1, "a", 1), wire("r", 2, "b", 2), wire("r", 50, "c", 3)).asJava)
+    serveWhile {
+      assert(await()(doc(1).exists() && doc(2).exists()), "clean docs serve")
+      assert(await()(PipelineMetrics.expectDeadLetters(spark, dlDir)
+        .count() == 1L), "the violating winner dead-letters")
+      assert(!doc(50).exists(), "the violating winner is withheld")
+    }
+    // phase 2 (quarantine lifecycle): the operator FIXES the rule, then
+    // re-injects the dead letters through the feed — no side door; the
+    // replayed rows flow the normal path under the fixed conf
+    conf(hi = 100)
+    assert(PipelineMetrics.replayExpectDeadLetters(spark, dlDir, "r_pipe",
+      "d", "r", srcDir.toString, tsMs = 50000L) == 1L)
+    // epoch idempotence: the same replay is a no-op
+    assert(PipelineMetrics.replayExpectDeadLetters(spark, dlDir, "r_pipe",
+      "d", "r", srcDir.toString, tsMs = 50000L) == 0L)
+    val mt = Seq(1L, 2L).map(i => doc(i).lastModified())
+    serveWhile {
+      assert(await()(doc(50).exists()),
+        "the replayed row serves — store converges to the never-dropped oracle")
+      assert(Seq(1L, 2L).map(i => doc(i).lastModified()) == mt,
+        "replay re-injects only the dropped rows; served docs are not re-sent")
+    }
+  }
+
   test("soak: one Serve process over all five kinds, stopped in flight and restarted — no resend, contiguous metrics, maintenance compacted") {
     import graft.streaming.PipelineMetrics
     import org.apache.spark.sql.functions.col
