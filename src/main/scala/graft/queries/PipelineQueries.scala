@@ -3317,10 +3317,131 @@ object PipelineQueries {
         col("o_totalprice"), col("o_orderpriority"))
   }
 
+  /** Q166: the DRIFT DEAD-LETTER frame under the oracle gate — q155's
+    * contract extended to drift enforcement: every winner q165's drop
+    * policy withheld is durably queryable under the sibling `_drift`
+    * subtree, carrying its violated tag and the RAW wire payload (not
+    * the typed row, which PERMISSIVE parsing nulls for exactly the
+    * bad-typed rows this path catches — the operator repairing drift
+    * needs the original bytes). The oracle restates the withheld
+    * winner set and its tags from the key arithmetic; q165's store
+    * plus these dead letters partition the winners — nothing is
+    * silently lost (S6).
+    */
+  val q166 = QueryDef.sql(
+    "q166_drift_dead_letters",
+    """SELECT CAST(0 AS BIGINT) AS batch_id, 'drift_badtype' AS violated,
+      |       o_orderkey
+      |FROM orders WHERE o_orderkey % 11 = 0
+      |UNION ALL
+      |SELECT CAST(0 AS BIGINT), 'drift_newcols', o_orderkey
+      |FROM orders WHERE o_orderkey % 11 <> 0 AND o_orderkey % 7 = 0"""
+      .stripMargin) { (spark, dir) =>
+    import graft.streaming.PipelineMetrics
+    // share q165's drive (memoized per warehouse base)
+    q165.fn(spark, dir).count()
+    val fp = graft.sources.Staging.fingerprint(Seq(s"$dir/orders.parquet"))
+    val base = graft.cdc.DeltaLog.logBase(spark,
+      s"driftenf_${dir.replaceAll("[^a-zA-Z0-9]", "_")}", fp)
+    PipelineMetrics.driftDeadLetters(spark, s"$base/dead")
+      .select(col("batch_id"), col("violated"),
+        get_json_object(col("row_json"), "$.o_orderkey").cast("bigint")
+          .as("o_orderkey"))
+  }
+
+  private val q167Lock = new Object
+  private val q167Driven = java.util.concurrent.ConcurrentHashMap
+    .newKeySet[String]()
+
+  /** Q167: the DEAD-LETTER REPLAY lifecycle under the oracle gate — the
+    * operational half of drop quarantine
+    * ([[graft.streaming.PipelineMetrics.replayExpectDeadLetters]]):
+    * batch 0 drains the orders feed under a conf-style drop rule that
+    * withholds high-price winners (they dead-letter under `_expect`);
+    * the operator "fixes" the rule, the replay verb re-injects the
+    * dead letters into the feed as ordinary wire events, and batch 1
+    * drains ONLY the replayed file through the fixed pipeline's normal
+    * path. The query reads the serving store back; the oracle is the
+    * NEVER-DROPPED winner set — the store must converge exactly, so a
+    * lost replay row, a double-applied one, or a row that skipped the
+    * fixed rule's judgment all break the hash.
+    */
+  val q167 = QueryDef.sql(
+    "q167_dead_letter_replay",
+    """SELECT o_orderkey, o_custkey, o_orderstatus,
+      |       CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1
+      |            ELSE o_totalprice END AS price,
+      |       o_orderpriority
+      |FROM orders WHERE o_orderkey % 5 <> 0""".stripMargin) { (spark, dir) =>
+    import graft.cdc.{ChangeFeed, DeltaLog, Subscription}
+    import graft.ops.Profile
+    import graft.sinks.EsSink
+    import graft.streaming.{CdcPipeline, PipelineMetrics}
+    val feedDir = ChangeFeed.stagedJsonl(spark, dir)
+    val fp = graft.sources.Staging.fingerprint(
+      Seq(s"$dir/orders.parquet", s"$dir/customer.parquet"))
+    val base = DeltaLog.logBase(spark,
+      s"replayenf_${dir.replaceAll("[^a-zA-Z0-9]", "_")}", fp)
+    val store = s"$base/store"
+    val dead = s"$base/dead"
+    val url = s"jdbc:derby:$base/derby;create=true"
+    val target = PipelineMetrics.Target(url, "pipeline_metrics_q167")
+    q167Lock.synchronized {
+      if (q167Driven.add(base)) {
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(store))
+        PipelineMetrics.ensureTable(target)
+        PipelineMetrics.ensureExpectTable(target)
+        // the replay feed file must not leak between drives: the replay
+        // epoch is fixed, so a stale file from a previous FAILED drive
+        // would no-op the replay below — the feed copy is drive-local
+        val myFeed = s"$base/feed"
+        val fs = new org.apache.hadoop.fs.Path(myFeed)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(new org.apache.hadoop.fs.Path(myFeed))) {
+          org.apache.hadoop.fs.FileUtil.copy(
+            fs, new org.apache.hadoop.fs.Path(feedDir),
+            fs, new org.apache.hadoop.fs.Path(myFeed),
+            false, spark.sparkContext.hadoopConfiguration)
+          ()
+        }
+        def rawOf(path: String) = spark.read.schema(
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("value",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("offset",
+              org.apache.spark.sql.types.LongType)))).json(path)
+        def pipe(hi: Double) = CdcPipeline(name = "orders_replay",
+          subscription = Subscription(Set("shop"), Set("orders")),
+          rowSchema = ChangeFeed.ordersRowSchema, idKey = "o_orderkey",
+          deadLetterDir = Some(dead), metrics = Some(target),
+          expectations = Seq(Profile.InRange("price_cap", "o_totalprice",
+            0.0, hi, action = Profile.Drop)))
+        val cfg = EsSink.Config("http://graft-local/lww_orders_q167",
+          "graft", "graft", "o_orderkey")
+        val sink = new EsSink.FileDocStore(store)
+        // batch 0: the strict rule drops high-price winners
+        val strict = pipe(hi = 300000.0)
+        strict.applyBatch(strict.changeRows(rawOf(myFeed)), cfg, sink, 0L)
+        // conf fix + replay: the withheld winners re-enter the feed as
+        // ordinary wire events (ts above the feed's tail so they win)
+        PipelineMetrics.replayExpectDeadLetters(spark, dead,
+          "orders_replay", "shop", "orders", myFeed, tsMs = 9000000000L)
+        // batch 1: ONLY the replayed file drains through the FIXED rule
+        val fixed = pipe(hi = Double.MaxValue)
+        fixed.applyBatch(fixed.changeRows(
+          rawOf(s"$myFeed/replay_orders_replay_9000000000_*.json")),
+          cfg, sink, 1L)
+      }
+    }
+    readDocStore(spark, store, ChangeFeed.ordersRowSchema)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice").as("price"), col("o_orderpriority"))
+  }
+
   val all: Seq[QueryDef] = Seq(q41, q42, q43, q44, q45, q47, q48, q49,
     q54, q57, q60, q62, q63, q64, q68, q69, q74, q76, q80, q81, q83, q90, q91,
     q94, q98, q122, q125, q127, q128, q129, q130, q131, q133, q134, q135,
     q136, q137, q138, q139, q140, q141, q142, q144, q145, q146, q147, q148,
     q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160,
-    q161, q162, q163, q164, q165)
+    q161, q162, q163, q164, q165, q166, q167)
 }

@@ -426,8 +426,13 @@ final case class CdcPipeline(
     val viol = tagged.filter(size(col("__viol")) > 0)
     deadLetterDir.foreach { dir =>
       val safe = name.replaceAll("[^A-Za-z0-9._-]", "_")
+      // the RAW after payload, not the typed row: a bad-typed field
+      // nulls the whole struct under PERMISSIVE parsing, so the typed
+      // form of exactly the rows this path withholds is empty — the
+      // operator repairing drift needs the original bytes (undeclared
+      // fields and the malformed value included)
       viol.select(array_join(col("__viol"), ",").as("violated"),
-        to_json(col("w.row")).as("row_json"))
+        aj.as("row_json"))
         .write.mode("overwrite")
         .parquet(s"$dir/_drift/pipeline=$safe/batch_id=$batchId")
     }
