@@ -1178,8 +1178,10 @@ object PipelineQueries {
     val pbase = DeltaLog.logBase(spark,
       s"dedupprior_${dir.replaceAll("[^a-zA-Z0-9]", "_")}",
       graft.sources.Staging.fingerprint(Seq(s"$dir/documents.parquet")))
-    if (!java.nio.file.Files.exists(
-        java.nio.file.Paths.get(s"$pbase/labels0/_SUCCESS"))) {
+    // buildOnce: in-JVM monitor + cross-process file lock + done marker
+    // — concurrent drives must not overwrite each other's in-flight
+    // cache writes, and a crashed build must retry, not serve partials
+    DeltaLog.buildOnce(pbase) { () =>
       val pre0 = MinHashLsh.nearDupPairs(
         Tables.documents(spark, dir), "doc_id", "text", 3, 0.6)
         .select(col("doc_id_a"), col("doc_id_b"))
@@ -2422,7 +2424,9 @@ object PipelineQueries {
     val url = s"jdbc:derby:$base/derby;create=true"
     val target = PipelineMetrics.Target(url, "pipeline_metrics_q154")
     q154Lock.synchronized {
-      if (q154Driven.add(base)) {
+      // memoize only on SUCCESS: a failed drive must retry on the
+      // next invocation, not poison the JVM with a partial store
+      if (!q154Driven.contains(base)) {
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get(store))
         PipelineMetrics.ensureTable(target)
         PipelineMetrics.ensureExpectTable(target)
@@ -2441,6 +2445,7 @@ object PipelineQueries {
           "graft", "graft", "o_orderkey")
         orders.applyBatch(orders.changeRows(raw), cfg,
           new EsSink.FileDocStore(store), 0L)
+        q154Driven.add(base); ()
       }
     }
     (store, dead, target)
@@ -2548,7 +2553,9 @@ object PipelineQueries {
       def send(req: EsSink.Request): Int = 200
     }
     q156Lock.synchronized {
-      if (q156Driven.add(base)) {
+      // memoize only on SUCCESS: a failed drive must retry on the
+      // next invocation, not poison the JVM with a partial store
+      if (!q156Driven.contains(base)) {
         val confDir = java.nio.file.Paths.get(s"$base/conf")
         java.nio.file.Files.createDirectories(confDir)
         java.nio.file.Files.write(confDir.resolve("orders_ref.json"),
@@ -2575,6 +2582,7 @@ object PipelineQueries {
         p.applyBatch(p.changeRows(raw),
           EsSink.Config("http://graft-local/lww_orders_q156", "graft",
             "graft", "o_orderkey"), blackhole, 0L)
+        q156Driven.add(base); ()
       }
     }
     PipelineMetrics.expectRows(spark, target)
@@ -2737,6 +2745,50 @@ object PipelineQueries {
         liveDocs.filter(col("vec_id") % 20 === 3)))
   }
 
+  /** The DRIFTING orders wire shared by q159 (verdict recording) and
+    * q165/q166 (enforcement) — ONE fixture so the oracles that claim to
+    * certify the same wire can never desynchronize. Disjoint branches
+    * restated by key arithmetic: %11 = the declared DOUBLE arrives as a
+    * non-numeric string; else %14 = two undeclared fields; else %7 =
+    * one; else clean.
+    */
+  private def driftingOrdersWire(spark: SparkSession,
+      dir: String): DataFrame = {
+    import graft.cdc.ChangeFeed
+    val orders = Tables.orders(spark, dir)
+    val k = col("o_orderkey")
+    val jsonOpts = Map("ignoreNullFields" -> "false")
+    def ev(after: org.apache.spark.sql.Column) = {
+      val ts = lit(1000000000L) + k
+      to_json(struct(
+        lit(null).cast(ChangeFeed.ordersRowSchema).as("before"),
+        after.as("after"),
+        struct(lit("shop").as("db"), lit("orders").as("table"),
+          ts.as("ts_ms")).as("source"),
+        lit("c").as("op"), ts.as("ts_ms")), jsonOpts)
+    }
+    val row = struct(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice"), col("o_orderpriority"))
+    val badtype = orders.filter(k % 11 === 0).select(
+      ev(struct(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), lit("oops").as("o_totalprice"),
+        col("o_orderpriority"))).as("value"), k.as("offset"))
+    val twoNew = orders.filter(k % 11 =!= 0 && k % 14 === 0).select(
+      ev(struct(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderpriority"), lit("n").as("o_note"),
+        lit(1L).as("o_extra"))).as("value"), k.as("offset"))
+    val oneNew = orders.filter(k % 11 =!= 0 && k % 14 =!= 0
+        && k % 7 === 0).select(
+      ev(struct(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderpriority"), lit("n").as("o_note"))).as("value"),
+      k.as("offset"))
+    val clean = orders.filter(k % 11 =!= 0 && k % 7 =!= 0).select(
+      ev(row).as("value"), k.as("offset"))
+    Seq(badtype, twoNew, oneNew, clean).reduce(_ unionByName _)
+  }
+
   private val q159Lock = new Object
   private val q159Driven = java.util.concurrent.ConcurrentHashMap
     .newKeySet[String]()
@@ -2785,45 +2837,13 @@ object PipelineQueries {
     val url = s"jdbc:derby:$base/derby;create=true"
     val target = PipelineMetrics.Target(url, "pipeline_metrics_q159")
     q159Lock.synchronized {
-      if (q159Driven.add(base)) {
+      // memoize only on SUCCESS: a failed drive must retry on the
+      // next invocation, not poison the JVM with a partial store
+      if (!q159Driven.contains(base)) {
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get(base))
         PipelineMetrics.ensureTable(target)
         PipelineMetrics.ensureDriftTable(target)
-        val orders = Tables.orders(spark, dir)
-        val k = col("o_orderkey")
-        val jsonOpts = Map("ignoreNullFields" -> "false")
-        def ev(after: org.apache.spark.sql.Column) = {
-          val ts = lit(1000000000L) + k
-          to_json(struct(
-            lit(null).cast(ChangeFeed.ordersRowSchema).as("before"),
-            after.as("after"),
-            struct(lit("shop").as("db"), lit("orders").as("table"),
-              ts.as("ts_ms")).as("source"),
-            lit("c").as("op"), ts.as("ts_ms")), jsonOpts)
-        }
-        val row = struct(col("o_orderkey"), col("o_custkey"),
-          col("o_orderstatus"), col("o_totalprice"), col("o_orderpriority"))
-        // disjoint drift branches the oracle restates by key arithmetic:
-        // %11 = declared DOUBLE arrives as a non-numeric string; else
-        // %14 = two undeclared fields; else %7 = one; else clean
-        val badtype = orders.filter(k % 11 === 0).select(
-          ev(struct(col("o_orderkey"), col("o_custkey"),
-            col("o_orderstatus"), lit("oops").as("o_totalprice"),
-            col("o_orderpriority"))).as("value"), k.as("offset"))
-        val twoNew = orders.filter(k % 11 =!= 0 && k % 14 === 0).select(
-          ev(struct(col("o_orderkey"), col("o_custkey"),
-            col("o_orderstatus"), col("o_totalprice"),
-            col("o_orderpriority"), lit("n").as("o_note"),
-            lit(1L).as("o_extra"))).as("value"), k.as("offset"))
-        val oneNew = orders.filter(k % 11 =!= 0 && k % 14 =!= 0
-            && k % 7 === 0).select(
-          ev(struct(col("o_orderkey"), col("o_custkey"),
-            col("o_orderstatus"), col("o_totalprice"),
-            col("o_orderpriority"), lit("n").as("o_note"))).as("value"),
-          k.as("offset"))
-        val clean = orders.filter(k % 11 =!= 0 && k % 7 =!= 0).select(
-          ev(row).as("value"), k.as("offset"))
-        val feed = Seq(badtype, twoNew, oneNew, clean).reduce(_ unionByName _)
+        val feed = driftingOrdersWire(spark, dir)
         val pipeline = CdcPipeline(name = "orders_drift",
           subscription = Subscription(Set("shop"), Set("orders")),
           rowSchema = ChangeFeed.ordersRowSchema, idKey = "o_orderkey",
@@ -2834,6 +2854,7 @@ object PipelineQueries {
         pipeline.applyBatch(pipeline.changeRows(feed),
           EsSink.Config("http://graft-local/lww_orders_q159", "graft",
             "graft", "o_orderkey"), blackhole, 0L)
+        q159Driven.add(base); ()
       }
     }
     PipelineMetrics.driftRows(spark, target)
@@ -3262,44 +3283,13 @@ object PipelineQueries {
     val store = s"$base/store"
     val target = PipelineMetrics.Target(url, "pipeline_metrics_q165")
     q165Lock.synchronized {
-      if (q165Driven.add(base)) {
+      // memoize only on SUCCESS: a failed drive must retry on the
+      // next invocation, not poison the JVM with a partial store
+      if (!q165Driven.contains(base)) {
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get(store))
         PipelineMetrics.ensureTable(target)
         PipelineMetrics.ensureDriftTable(target)
-        val orders = Tables.orders(spark, dir)
-        val k = col("o_orderkey")
-        val jsonOpts = Map("ignoreNullFields" -> "false")
-        def ev(after: org.apache.spark.sql.Column) = {
-          val ts = lit(1000000000L) + k
-          to_json(struct(
-            lit(null).cast(ChangeFeed.ordersRowSchema).as("before"),
-            after.as("after"),
-            struct(lit("shop").as("db"), lit("orders").as("table"),
-              ts.as("ts_ms")).as("source"),
-            lit("c").as("op"), ts.as("ts_ms")), jsonOpts)
-        }
-        val row = struct(col("o_orderkey"), col("o_custkey"),
-          col("o_orderstatus"), col("o_totalprice"), col("o_orderpriority"))
-        // q159's drifting wire, verbatim: disjoint branches the oracle
-        // restates by key arithmetic
-        val badtype = orders.filter(k % 11 === 0).select(
-          ev(struct(col("o_orderkey"), col("o_custkey"),
-            col("o_orderstatus"), lit("oops").as("o_totalprice"),
-            col("o_orderpriority"))).as("value"), k.as("offset"))
-        val twoNew = orders.filter(k % 11 =!= 0 && k % 14 === 0).select(
-          ev(struct(col("o_orderkey"), col("o_custkey"),
-            col("o_orderstatus"), col("o_totalprice"),
-            col("o_orderpriority"), lit("n").as("o_note"),
-            lit(1L).as("o_extra"))).as("value"), k.as("offset"))
-        val oneNew = orders.filter(k % 11 =!= 0 && k % 14 =!= 0
-            && k % 7 === 0).select(
-          ev(struct(col("o_orderkey"), col("o_custkey"),
-            col("o_orderstatus"), col("o_totalprice"),
-            col("o_orderpriority"), lit("n").as("o_note"))).as("value"),
-          k.as("offset"))
-        val clean = orders.filter(k % 11 =!= 0 && k % 7 =!= 0).select(
-          ev(row).as("value"), k.as("offset"))
-        val feed = Seq(badtype, twoNew, oneNew, clean).reduce(_ unionByName _)
+        val feed = driftingOrdersWire(spark, dir)
         val pipeline = CdcPipeline(name = "orders_drift_enf",
           subscription = Subscription(Set("shop"), Set("orders")),
           rowSchema = ChangeFeed.ordersRowSchema, idKey = "o_orderkey",
@@ -3310,6 +3300,7 @@ object PipelineQueries {
           EsSink.Config("http://graft-local/lww_orders_q165", "graft",
             "graft", "o_orderkey"),
           new EsSink.FileDocStore(store), 0L)
+        q165Driven.add(base); ()
       }
     }
     readDocStore(spark, store, ChangeFeed.ordersRowSchema)
@@ -3387,7 +3378,9 @@ object PipelineQueries {
     val url = s"jdbc:derby:$base/derby;create=true"
     val target = PipelineMetrics.Target(url, "pipeline_metrics_q167")
     q167Lock.synchronized {
-      if (q167Driven.add(base)) {
+      // memoize only on SUCCESS: a failed drive must retry on the
+      // next invocation, not poison the JVM with a partial store
+      if (!q167Driven.contains(base)) {
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get(store))
         PipelineMetrics.ensureTable(target)
         PipelineMetrics.ensureExpectTable(target)
@@ -3398,11 +3391,16 @@ object PipelineQueries {
         val fs = new org.apache.hadoop.fs.Path(myFeed)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (!fs.exists(new org.apache.hadoop.fs.Path(myFeed))) {
+          // copy to a temp name, then RENAME into place: a crash
+          // mid-copy must not leave a partial dir the next drive
+          // drains as the whole feed
+          val tmp = new org.apache.hadoop.fs.Path(s"$base/feed_tmp")
+          fs.delete(tmp, true)
           org.apache.hadoop.fs.FileUtil.copy(
-            fs, new org.apache.hadoop.fs.Path(feedDir),
-            fs, new org.apache.hadoop.fs.Path(myFeed),
+            fs, new org.apache.hadoop.fs.Path(feedDir), fs, tmp,
             false, spark.sparkContext.hadoopConfiguration)
-          ()
+          require(fs.rename(tmp, new org.apache.hadoop.fs.Path(myFeed)),
+            s"q167: could not publish the drive-local feed copy $myFeed")
         }
         def rawOf(path: String) = spark.read.schema(
           org.apache.spark.sql.types.StructType(Seq(
@@ -3431,6 +3429,7 @@ object PipelineQueries {
         fixed.applyBatch(fixed.changeRows(
           rawOf(s"$myFeed/replay_orders_replay_9000000000_*.json")),
           cfg, sink, 1L)
+        q167Driven.add(base); ()
       }
     }
     readDocStore(spark, store, ChangeFeed.ordersRowSchema)

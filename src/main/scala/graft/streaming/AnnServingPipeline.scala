@@ -259,14 +259,26 @@ final case class AnnServingPipeline(
   def servedFilteredKnn(spark: SparkSession, workRoot: String,
       queries: DataFrame, allowed: DataFrame,
       kOverride: Int = -1): (DataFrame, Int) = {
+    val (topk, probes, _, _) =
+      filteredServe(spark, workRoot, queries, allowed, kOverride)
+    (topk, probes)
+  }
+
+  /** The ONE filtered-serve path both public entries share — the
+    * certified and uncertified serves must never diverge on semantics
+    * (semi-join placement, probe clamp, quantizer generation).
+    */
+  private def filteredServe(spark: SparkSession, workRoot: String,
+      queries: DataFrame, allowed: DataFrame, kOverride: Int)
+      : (DataFrame, Int, Long, DataFrame) = {
     val c = currentCents(workRoot)
     val kk = if (kOverride > 0) kOverride else k
     val allowedPostings = servedPostings(spark)
       .join(allowed, Seq("vec_id"), "left_semi").localCheckpoint(true)
-    val probes = VectorSearch.adaptiveProbes(c.length, nProbe, kk,
-      allowedPostings.count())
+    val nAllowed = allowedPostings.count()
+    val probes = VectorSearch.adaptiveProbes(c.length, nProbe, kk, nAllowed)
     (VectorSearch.knnIvfFromPostings(queries, allowedPostings, kk, c,
-      probes), probes)
+      probes), probes, nAllowed, allowedPostings)
   }
 
   /** [[servedFilteredKnn]] with the adaptive operating point CERTIFIED
@@ -296,14 +308,10 @@ final case class AnnServingPipeline(
       kOverride: Int = -1): (DataFrame, Int, Long) = {
     val ct = certTable.getOrElse(throw new IllegalArgumentException(
       s"ann $name: servedFilteredKnnCertified needs a certTable"))
-    val c = currentCents(workRoot)
     val kk = if (kOverride > 0) kOverride else k
-    val allowedPostings = servedPostings(spark)
-      .join(allowed, Seq("vec_id"), "left_semi").localCheckpoint(true)
-    val nAllowed = allowedPostings.count()
-    val probes = VectorSearch.adaptiveProbes(c.length, nProbe, kk, nAllowed)
-    val topk = VectorSearch.knnIvfFromPostings(queries, allowedPostings,
-      kk, c, probes).localCheckpoint(true)
+    val (topk0, probes, nAllowed, allowedPostings) =
+      filteredServe(spark, workRoot, queries, allowed, kOverride)
+    val topk = topk0.localCheckpoint(true)
     val exact = VectorSearch.knnExact(queries,
       allowedPostings.select(col("vec_id"), col("embedding")), kk)
       .select(col("q_vec_id"), col("n_vec_id")).localCheckpoint(true)

@@ -370,9 +370,18 @@ object PipelineMetrics {
     * `tsMs` is the REPLAY EPOCH and the caller's LWW lever: stamp it
     * above the feed's current tail so the re-injected rows win over
     * the stale state their drop left behind, but below any upstream
-    * truth that must not be clobbered. Idempotence marker: the target
-    * file names embed (pipeline, tsMs) — re-calling with the same
-    * epoch is a no-op if the files already landed.
+    * truth that must not be clobbered. When one key was dropped in
+    * several batches, its replayed events share the epoch ts and
+    * tie-break by ORIGINATING batch id, so the newest dead letter wins
+    * deterministically. Idempotence: a `..._DONE` marker beside the
+    * injected files records a COMPLETED publication — re-calling with
+    * the same epoch is then a no-op, while a crash mid-publication
+    * (no marker) retries cleanly (partially-renamed targets are
+    * replaced). Consumed `_expect` partitions are RETIRED (deleted)
+    * after publication: their rows now live in the feed, so a later
+    * replay at a fresh epoch must not re-inject stale versions over
+    * newer upstream truth; rows that still violate simply dead-letter
+    * again under their new batch id.
     *
     * Scale shape: the dead-letter frame re-shapes to wire rows with
     * one executor-parallel Spark write into a staging dir, then
@@ -404,22 +413,27 @@ object PipelineMetrics {
     val conf = spark.sparkContext.hadoopConfiguration
     val srcPath = new org.apache.hadoop.fs.Path(sourceDir)
     val fs = srcPath.getFileSystem(conf)
-    // epoch idempotence: the first target file existing means this
-    // (pipeline, tsMs) replay already landed — appending again would
-    // not corrupt (keyed events, same ts) but would re-drain for nothing
-    if (fs.exists(new org.apache.hadoop.fs.Path(srcPath,
-        s"replay_${safe}_${tsMs}_0.json"))) return 0L
+    // epoch idempotence rides the publication-COMPLETE marker, not the
+    // first target file: a crash mid-publication must retry, never
+    // read as "already landed" (that would silently lose the
+    // unpublished rows — the exact S6 violation this verb serves)
+    val done = new org.apache.hadoop.fs.Path(srcPath,
+      s"replay_${safe}_${tsMs}_DONE")
+    if (fs.exists(done)) return 0L
     // one wire event per dead-lettered document; the row_json IS the
-    // after payload, so the envelope is assembled textually around it
+    // after payload, so the envelope is assembled textually around it.
+    // The offset tie-break is the ORIGINATING batch id: all replayed
+    // events share the epoch ts, so a key dropped in several batches
+    // must converge on its NEWEST dead letter, deterministically.
     val event = concat(
       lit("""{"payload":{"before":null,"after":"""), col("row_json"),
       lit(s""","source":{"db":"$db","table":"$table","ts_ms":$tsMs},""" +
         s""""op":"c","ts_ms":$tsMs}}"""))
     val wire = dead.select(to_json(struct(
       event.as("value"),
-      (lit(tsMs) + monotonically_increasing_id()).as("offset"))).as("line"))
+      col("batch_id").as("offset"))).as("line"))
     // stage under an underscore prefix (invisible to feed readers),
-    // then rename the parts into place — the file only becomes feed
+    // then rename the parts into place — a file only becomes feed
     // data once complete (a half-written visible file would race the
     // running stream's listing)
     val stage = new org.apache.hadoop.fs.Path(srcPath,
@@ -428,10 +442,28 @@ object PipelineMetrics {
     val parts = fs.listStatus(stage)
       .filter(_.getPath.getName.startsWith("part-")).sortBy(_.getPath.getName)
     parts.zipWithIndex.foreach { case (st, i) =>
-      fs.rename(st.getPath, new org.apache.hadoop.fs.Path(srcPath,
-        s"replay_${safe}_${tsMs}_$i.json"))
+      val target = new org.apache.hadoop.fs.Path(srcPath,
+        s"replay_${safe}_${tsMs}_$i.json")
+      // a pre-DONE leftover from a crashed attempt is ours to replace;
+      // a rename that still fails must fail LOUD — a silently dropped
+      // part is permanent data loss
+      if (fs.exists(target)) fs.delete(target, false)
+      require(fs.rename(st.getPath, target),
+        s"replay: could not publish ${st.getPath} -> $target")
     }
     fs.delete(stage, true)
+    fs.create(done, true).close()
+    // RETIRE the consumed partitions: their rows are feed data now. A
+    // later replay at a fresh epoch re-injecting them again would
+    // stamp stale versions over newer upstream truth. Partition count
+    // is batch-count-bounded — nothing data-sized on the driver.
+    val consumed = dead.select(col("batch_id")).distinct()
+      .collect().map(_.getLong(0))
+    consumed.foreach { b =>
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$deadLetterDir/_expect/pipeline=$safe/batch_id=$b"), true)
+      ()
+    }
     n
   }
 

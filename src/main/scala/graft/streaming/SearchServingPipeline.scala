@@ -115,7 +115,11 @@ final case class SearchServingPipeline(
           if r.action == graft.ops.Profile.Drop =>
         val safe = r.name.replaceAll("[^A-Za-z0-9._-]", "_")
         val snap = s"$workRoot/expect_dim/$safe"
-        if (!Files.exists(Paths.get(snap)))
+        // probe the write's completion MARKER, not the bare dir: a
+        // crash mid-snapshot leaves a partial key set that would
+        // wrongly dead-letter every doc whose key landed in the lost
+        // part files — forever. mode=overwrite makes the retry clean.
+        if (!Files.exists(Paths.get(s"$snap/_SUCCESS")))
           spark.read.parquet(r.dimPath).select(col(r.dimColumn)).distinct()
             .write.mode("overwrite").parquet(snap)
         r.copy(dimPath = snap)

@@ -161,12 +161,26 @@ class ServeSpec extends SparkSpec {
     // epoch idempotence: the same replay is a no-op
     assert(PipelineMetrics.replayExpectDeadLetters(spark, dlDir, "r_pipe",
       "d", "r", srcDir.toString, tsMs = 50000L) == 0L)
-    val mt = Seq(1L, 2L).map(i => doc(i).lastModified())
+    // the verb re-injected ONLY the dropped row (asserted on the feed
+    // file itself — a doc-store mtime check would be racy: a STOP that
+    // interrupts phase 1 after its sink effects but before the
+    // checkpoint commit makes phase 2 legitimately re-send batch 0's
+    // keyed upserts)
+    val replayFiles = srcDir.listFiles()
+      .filter(_.getName.startsWith("replay_r_pipe_50000_"))
+      .filterNot(_.getName.endsWith("_DONE"))
+    val lines = replayFiles.toSeq
+      .flatMap(f => java.nio.file.Files.readAllLines(f.toPath).asScala)
+      .filter(_.nonEmpty)
+    assert(lines.size == 1 && mapper.readTree(lines.head).get("value")
+      .asText().contains("\"id\":50"),
+      s"exactly the dropped row re-enters the feed: $lines")
+    // ...and the consumed dead letters RETIRED (their rows are feed
+    // data now — a later epoch must not re-inject stale versions)
+    assert(PipelineMetrics.expectDeadLetters(spark, dlDir).count() == 0L)
     serveWhile {
       assert(await()(doc(50).exists()),
         "the replayed row serves — store converges to the never-dropped oracle")
-      assert(Seq(1L, 2L).map(i => doc(i).lastModified()) == mt,
-        "replay re-injects only the dropped rows; served docs are not re-sent")
     }
   }
 
