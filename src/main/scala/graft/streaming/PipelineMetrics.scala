@@ -335,22 +335,28 @@ object PipelineMetrics {
     * name — [^A-Za-z0-9._-] mapped to '_').
     */
   def expectDeadLetters(spark: org.apache.spark.sql.SparkSession,
-      deadLetterDir: String): org.apache.spark.sql.DataFrame = {
+      deadLetterDir: String): org.apache.spark.sql.DataFrame =
+    deadLetterFrame(spark, deadLetterDir, "_expect")
+
+  /** The uniform dead-letter frame of one enforcement subtree. A
+    * pipeline that never dropped a row never created the dir — that
+    * reads as ZERO dead letters, not as a reader error. Existence goes
+    * through the Hadoop filesystem of the PATH (not java.nio): the dir
+    * is whatever the Spark write targeted — file:/, hdfs://, s3a://.
+    */
+  private def deadLetterFrame(spark: org.apache.spark.sql.SparkSession,
+      deadLetterDir: String, subtree: String): org.apache.spark.sql.DataFrame = {
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
       "violated STRING, row_json STRING, pipeline STRING, batch_id BIGINT")
-    // a pipeline that never dropped a row never created the dir — that
-    // reads as ZERO dead letters, not as a reader error. Existence goes
-    // through the Hadoop filesystem of the PATH (not java.nio): the dir
-    // is whatever the Spark write targeted — file:/, hdfs://, s3a://
-    val p = new org.apache.hadoop.fs.Path(s"$deadLetterDir/_expect")
+    val p = new org.apache.hadoop.fs.Path(s"$deadLetterDir/$subtree")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p))
       spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
     else
       spark.read.schema(schema)
-        .option("basePath", s"$deadLetterDir/_expect")
-        .parquet(s"$deadLetterDir/_expect")
+        .option("basePath", s"$deadLetterDir/$subtree")
+        .parquet(s"$deadLetterDir/$subtree")
   }
 
   /** RE-INJECT expectation-dropped rows into the source feed — the
@@ -398,13 +404,38 @@ object PipelineMetrics {
     */
   def replayExpectDeadLetters(spark: org.apache.spark.sql.SparkSession,
       deadLetterDir: String, pipeline: String, db: String, table: String,
-      sourceDir: String, tsMs: Long, batchIds: Seq[Long] = Nil): Long = {
+      sourceDir: String, tsMs: Long, batchIds: Seq[Long] = Nil): Long =
+    replayFrom(spark, deadLetterDir, "_expect", pipeline, db, table,
+      sourceDir, tsMs, batchIds)
+
+  /** [[replayExpectDeadLetters]] for the `_drift` subtree — the
+    * schema-evolution half of the quarantine lifecycle: drift dead
+    * letters carry the RAW wire payload, so after the conf's declared
+    * schema evolves (the undeclared columns added, a changed type
+    * admitted) the very same bytes re-enter the feed and now parse
+    * clean. A row whose payload is still bad under the evolved schema
+    * simply dead-letters again under its new batch id — replay never
+    * skips judgment.
+    */
+  def replayDriftDeadLetters(spark: org.apache.spark.sql.SparkSession,
+      deadLetterDir: String, pipeline: String, db: String, table: String,
+      sourceDir: String, tsMs: Long, batchIds: Seq[Long] = Nil): Long =
+    replayFrom(spark, deadLetterDir, "_drift", pipeline, db, table,
+      sourceDir, tsMs, batchIds)
+
+  private def replayFrom(spark: org.apache.spark.sql.SparkSession,
+      deadLetterDir: String, subtree: String, pipeline: String, db: String,
+      table: String, sourceDir: String, tsMs: Long,
+      batchIds: Seq[Long]): Long = {
     import org.apache.spark.sql.functions._
     require(db.matches("[A-Za-z0-9_.-]+") && table.matches("[A-Za-z0-9_.-]+"),
       "replay: db/table must be plain identifiers (they are spliced " +
         "into the wire JSON)")
+    // distinct per-subtree file prefix: an operator replaying BOTH
+    // subtrees at one epoch into one feed must not collide on markers
+    val prefix = s"replay${subtree}"
     val safe = pipeline.replaceAll("[^A-Za-z0-9._-]", "_")
-    val dead0 = expectDeadLetters(spark, deadLetterDir)
+    val dead0 = deadLetterFrame(spark, deadLetterDir, subtree)
       .filter(col("pipeline") === safe)
     val dead = if (batchIds.isEmpty) dead0
       else dead0.filter(col("batch_id").isin(batchIds: _*))
@@ -418,7 +449,7 @@ object PipelineMetrics {
     // read as "already landed" (that would silently lose the
     // unpublished rows — the exact S6 violation this verb serves)
     val done = new org.apache.hadoop.fs.Path(srcPath,
-      s"replay_${safe}_${tsMs}_DONE")
+      s"${prefix}_${safe}_${tsMs}_DONE")
     if (fs.exists(done)) return 0L
     // one wire event per dead-lettered document; the row_json IS the
     // after payload, so the envelope is assembled textually around it.
@@ -437,13 +468,13 @@ object PipelineMetrics {
     // data once complete (a half-written visible file would race the
     // running stream's listing)
     val stage = new org.apache.hadoop.fs.Path(srcPath,
-      s"_replay_stage_${safe}_$tsMs")
+      s"_${prefix}_stage_${safe}_$tsMs")
     wire.write.mode("overwrite").text(stage.toString)
     val parts = fs.listStatus(stage)
       .filter(_.getPath.getName.startsWith("part-")).sortBy(_.getPath.getName)
     parts.zipWithIndex.foreach { case (st, i) =>
       val target = new org.apache.hadoop.fs.Path(srcPath,
-        s"replay_${safe}_${tsMs}_$i.json")
+        s"${prefix}_${safe}_${tsMs}_$i.json")
       // a pre-DONE leftover from a crashed attempt is ours to replace;
       // a rename that still fails must fail LOUD — a silently dropped
       // part is permanent data loss
@@ -461,7 +492,7 @@ object PipelineMetrics {
       .collect().map(_.getLong(0))
     consumed.foreach { b =>
       fs.delete(new org.apache.hadoop.fs.Path(
-        s"$deadLetterDir/_expect/pipeline=$safe/batch_id=$b"), true)
+        s"$deadLetterDir/$subtree/pipeline=$safe/batch_id=$b"), true)
       ()
     }
     n
@@ -475,19 +506,8 @@ object PipelineMetrics {
     * clobber the other's).
     */
   def driftDeadLetters(spark: org.apache.spark.sql.SparkSession,
-      deadLetterDir: String): org.apache.spark.sql.DataFrame = {
-    val schema = org.apache.spark.sql.types.StructType.fromDDL(
-      "violated STRING, row_json STRING, pipeline STRING, batch_id BIGINT")
-    val p = new org.apache.hadoop.fs.Path(s"$deadLetterDir/_drift")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p))
-      spark.createDataFrame(
-        java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
-    else
-      spark.read.schema(schema)
-        .option("basePath", s"$deadLetterDir/_drift")
-        .parquet(s"$deadLetterDir/_drift")
-  }
+      deadLetterDir: String): org.apache.spark.sql.DataFrame =
+    deadLetterFrame(spark, deadLetterDir, "_drift")
 
   /** The recorded verdict rows, typed. */
   def expectRows(spark: org.apache.spark.sql.SparkSession,

@@ -579,6 +579,46 @@ class EnforceSpec extends SparkSpec {
     assert(vh.toSeq == Seq(1L), "the breach is observable: verdict landed first")
   }
 
+  test("drift replay: after the schema evolves, the RAW dead letters re-enter the feed and parse clean") {
+    import graft.streaming.CdcPipeline.DriftPolicy
+    PipelineMetrics.ensureDriftTable(target)
+    val dl = Files.createTempDirectory("graft_enf_devo_dl_").toString + "/dl"
+    val feedDir = Files.createTempDirectory("graft_enf_devo_feed_").toString
+    val cfg = EsSink.Config("http://es/idx", "u", "p", "doc_id")
+    def pipe(schema: String) = CdcPipeline("enf_devo",
+      Subscription(Set("shop"), Set("documents")),
+      StructType.fromDDL(schema), "doc_id",
+      deadLetterDir = Some(dl), metrics = Some(target),
+      driftPolicy = Some(DriftPolicy(newColsBudget = 0L,
+        action = Profile.Drop)))
+    // v1 schema has no `note`: doc 3's undeclared field drops it, the
+    // dead letter keeping the RAW payload (note included)
+    EnforceSpec.recorded.clear()
+    val v1 = pipe("doc_id BIGINT, score DOUBLE")
+    val feed = Seq(
+      wireRow("documents", """{"doc_id":1,"score":1.5}""", "c", 10, 1),
+      wireRow("documents", """{"doc_id":3,"score":2.5,"note":"n"}""", "c",
+        10, 2)).toDF("value", "offset")
+    v1.applyBatch(v1.changeRows(feed), cfg, new EnforceSpec.Rec, 0L)
+    assert(!EnforceSpec.recorded.asScala.exists(_.body.contains("\"doc_id\":3")),
+      "the drifted doc is withheld under the v1 schema")
+    // the conf EVOLVES (note declared); the same bytes re-enter the
+    // feed and now parse clean through the normal path
+    assert(PipelineMetrics.replayDriftDeadLetters(spark, dl, "enf_devo",
+      "shop", "documents", feedDir, tsMs = 999L) == 1L)
+    // the consumed _drift partition retired with the publication
+    assert(PipelineMetrics.driftDeadLetters(spark, dl).count() == 0L)
+    EnforceSpec.recorded.clear()
+    val v2 = pipe("doc_id BIGINT, score DOUBLE, note STRING")
+    val replayRaw = spark.read.schema(StructType.fromDDL(
+      "value STRING, offset BIGINT"))
+      .json(s"$feedDir/replay_drift_enf_devo_999_*.json")
+    v2.applyBatch(v2.changeRows(replayRaw), cfg, new EnforceSpec.Rec, 1L)
+    val sent = EnforceSpec.recorded.asScala.map(_.body).mkString
+    assert(sent.contains("\"doc_id\":3") && sent.contains("\"note\":\"n\""),
+      s"the evolved schema serves the replayed doc with its new field: $sent")
+  }
+
   test("registry: driftPolicy parses budgets and action; drop without a deadLetterDir dies naming the file") {
     def conf(dir: java.io.File, fname: String, body: String): Unit =
       Files.write(new java.io.File(dir, fname).toPath,

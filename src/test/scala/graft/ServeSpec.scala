@@ -167,7 +167,7 @@ class ServeSpec extends SparkSpec {
     // checkpoint commit makes phase 2 legitimately re-send batch 0's
     // keyed upserts)
     val replayFiles = srcDir.listFiles()
-      .filter(_.getName.startsWith("replay_r_pipe_50000_"))
+      .filter(_.getName.startsWith("replay_expect_r_pipe_50000_"))
       .filterNot(_.getName.endsWith("_DONE"))
     val lines = replayFiles.toSeq
       .flatMap(f => java.nio.file.Files.readAllLines(f.toPath).asScala)
