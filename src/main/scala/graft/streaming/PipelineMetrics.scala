@@ -437,8 +437,14 @@ object PipelineMetrics {
     val safe = pipeline.replaceAll("[^A-Za-z0-9._-]", "_")
     val dead0 = deadLetterFrame(spark, deadLetterDir, subtree)
       .filter(col("pipeline") === safe)
-    val dead = if (batchIds.isEmpty) dead0
+    val dead1 = if (batchIds.isEmpty) dead0
       else dead0.filter(col("batch_id").isin(batchIds: _*))
+    // PIN the snapshot: count, wire rows and the retired partition set
+    // below must all come from ONE read. The verb runs against a LIVE
+    // feed — the published file can be drained and re-drop rows into
+    // NEW partitions before this function returns, and a lazy re-scan
+    // would retire those never-published rows (permanent loss)
+    val dead = dead1.localCheckpoint(true)
     val n = dead.count()
     if (n == 0L) return 0L
     val conf = spark.sparkContext.hadoopConfiguration
@@ -483,18 +489,24 @@ object PipelineMetrics {
         s"replay: could not publish ${st.getPath} -> $target")
     }
     fs.delete(stage, true)
-    fs.create(done, true).close()
-    // RETIRE the consumed partitions: their rows are feed data now. A
-    // later replay at a fresh epoch re-injecting them again would
-    // stamp stale versions over newer upstream truth. Partition count
-    // is batch-count-bounded — nothing data-sized on the driver.
+    // RETIRE the consumed partitions BEFORE the DONE marker: their rows
+    // are feed data now, and a later replay at a fresh epoch
+    // re-injecting them would stamp stale versions over newer upstream
+    // truth. Order matters — a crash after retirement leaves the
+    // same-epoch re-call converging via the n == 0 early return, while
+    // DONE-before-retire would strand consumed partitions forever.
+    // Partition count is batch-count-bounded (nothing data-sized on
+    // the driver), and each delete resolves ITS OWN filesystem — the
+    // dead-letter dir and the feed may live on different schemes.
     val consumed = dead.select(col("batch_id")).distinct()
       .collect().map(_.getLong(0))
     consumed.foreach { b =>
-      fs.delete(new org.apache.hadoop.fs.Path(
-        s"$deadLetterDir/$subtree/pipeline=$safe/batch_id=$b"), true)
+      val p = new org.apache.hadoop.fs.Path(
+        s"$deadLetterDir/$subtree/pipeline=$safe/batch_id=$b")
+      p.getFileSystem(conf).delete(p, true)
       ()
     }
+    fs.create(done, true).close()
     n
   }
 

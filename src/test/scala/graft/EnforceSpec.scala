@@ -619,6 +619,42 @@ class EnforceSpec extends SparkSpec {
       s"the evolved schema serves the replayed doc with its new field: $sent")
   }
 
+  test("replay epoch semantics: DONE gates a used epoch even when NEW dead letters exist; retirement precedes the marker") {
+    val dl = Files.createTempDirectory("graft_enf_epoch_dl_").toString + "/dl"
+    val feed = Files.createTempDirectory("graft_enf_epoch_feed_").toString
+    def seed(batchId: Long, docId: Long): Unit =
+      Seq(("rule_x", s"""{"doc_id":$docId,"text":"t"}"""))
+        .toDF("violated", "row_json")
+        .write.mode("overwrite")
+        .parquet(s"$dl/_expect/pipeline=ep/batch_id=$batchId")
+    def feedFiles(): Seq[String] =
+      new java.io.File(feed).listFiles().map(_.getName).toSeq.sorted
+    seed(0L, 7L)
+    // first replay at epoch 100: publishes, RETIRES the consumed
+    // partition, then marks DONE
+    assert(PipelineMetrics.replayExpectDeadLetters(spark, dl, "ep",
+      "shop", "documents", feed, tsMs = 100L) == 1L)
+    assert(PipelineMetrics.expectDeadLetters(spark, dl).count() == 0L,
+      "consumed partition retired")
+    assert(feedFiles().exists(_.endsWith("_DONE")), "publication marked")
+    // NEW dead letters arrive (a later batch re-drops) — the USED epoch
+    // must refuse them (DONE gate, not the empty-frame early return):
+    // re-injecting at an old epoch could stamp stale ts over newer truth
+    seed(1L, 8L)
+    assert(PipelineMetrics.replayExpectDeadLetters(spark, dl, "ep",
+      "shop", "documents", feed, tsMs = 100L) == 0L,
+      "a used epoch is DONE — even with fresh dead letters pending")
+    assert(PipelineMetrics.expectDeadLetters(spark, dl).count() == 1L,
+      "the refused partition is NOT retired")
+    // a FRESH epoch replays the new letters and retires them
+    assert(PipelineMetrics.replayExpectDeadLetters(spark, dl, "ep",
+      "shop", "documents", feed, tsMs = 200L) == 1L)
+    assert(PipelineMetrics.expectDeadLetters(spark, dl).count() == 0L)
+    // the two publications coexist under distinct epoch-named files
+    assert(feedFiles().count(f => f.startsWith("replay_expect_ep_")
+      && f.endsWith(".json")) == 2, s"got ${feedFiles()}")
+  }
+
   test("registry: driftPolicy parses budgets and action; drop without a deadLetterDir dies naming the file") {
     def conf(dir: java.io.File, fname: String, body: String): Unit =
       Files.write(new java.io.File(dir, fname).toPath,
