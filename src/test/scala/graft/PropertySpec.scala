@@ -552,4 +552,91 @@ class PropertySpec extends SparkSpec {
         expChanged.toSeq.sorted.mkString(","))), s"trial $trial: got $row")
     }
   }
+
+  test("replay lifecycle converges to the never-dropped LWW model on randomized multi-batch feeds (stable verdicts)") {
+    // The documented supported path: verdicts are a stable function of
+    // the KEY (the additive-store registration rule, and the epoch
+    // contract's 'no newer upstream truth' premise — deletes only touch
+    // clean keys here; replaying over upstream deletes is the operator
+    // breaking the stamped-epoch contract, not the verb). Model: plain
+    // Scala LWW over ALL generated events with no rule at all — after
+    // strict batches + conf fix + replay, the served store must land
+    // exactly there.
+    import graft.cdc.Subscription
+    import graft.ops.Profile
+    import graft.sinks.EsSink
+    import graft.streaming.{CdcPipeline, PipelineMetrics}
+    import org.apache.spark.sql.types.StructType
+    import java.nio.file.Files
+    val url = "jdbc:derby:memory:graftreplayprop;create=true"
+    val target = PipelineMetrics.Target(url, "replayprop_metrics")
+    PipelineMetrics.ensureTable(target)
+    PipelineMetrics.ensureExpectTable(target)
+    val okT = new EsSink.Transport { def send(r: EsSink.Request): Int = 200 }
+    val rnd = new scala.util.Random(61803)
+    for (trial <- 0 until 3) {
+      val dl = Files.createTempDirectory(s"graft_rplprop_dl_$trial").toString
+      val feed = Files.createTempDirectory(s"graft_rplprop_feed_$trial").toString
+      val store = Files.createTempDirectory(s"graft_rplprop_st_$trial").toString
+      val sink = new EsSink.FileDocStore(store)
+      val cfg = EsSink.Config("http://es/idx", "u", "p", "id")
+      def pipe(name: String, hi: Double) = CdcPipeline(name,
+        Subscription(Set("d"), Set("t")),
+        StructType.fromDDL("id BIGINT, score DOUBLE"), "id",
+        deadLetterDir = Some(dl), metrics = Some(target),
+        expectations = Seq(Profile.InRange("k_band", "id", 0.0, hi,
+          action = Profile.Drop)))
+      val strict = pipe(s"rpl$trial", 6.0)  // keys 7..9 violate, stably
+      val nBatches = 2 + rnd.nextInt(3)
+      // model state: key -> (ts, op, score); LWW by (ts, offset)
+      var events = Vector.empty[(Long, Long, String, Double, Long)]
+      var off = 0L
+      (0 until nBatches).foreach { b =>
+        val batch = (0 until (10 + rnd.nextInt(15))).map { _ =>
+          val k = rnd.nextInt(10).toLong
+          // deletes only for stably-clean keys (see header comment)
+          val op = if (k <= 6 && rnd.nextDouble() < 0.15) "d" else "c"
+          val score = math.floor(rnd.nextDouble() * 100) / 10.0
+          off += 1
+          val ts = b * 1000L + off
+          events :+= ((k, ts, op, score, off))
+          val after = if (op == "d") "null"
+            else s"""{"id":$k,"score":$score}"""
+          val before = if (op == "d") s"""{"id":$k,"score":$score}"""
+            else "null"
+          (s"""{"payload":{"before":$before,"after":$after,""" +
+            s""""source":{"db":"d","table":"t","ts_ms":$ts},""" +
+            s""""op":"$op","ts_ms":$ts}}""", off)
+        }
+        strict.applyBatch(strict.changeRows(batch.toDF("value", "offset")),
+          cfg, sink, batchId = b.toLong)
+      }
+      // conf fix + replay through the normal path at an epoch above
+      // every generated ts
+      val replayed = PipelineMetrics.replayExpectDeadLetters(spark, dl,
+        s"rpl$trial", "d", "t", feed, tsMs = 1000000L)
+      val fixed = pipe(s"rpl$trial", 1e18)
+      if (replayed > 0) {
+        val raw = spark.read.schema(StructType.fromDDL(
+          "value STRING, offset BIGINT")).json(feed)
+        fixed.applyBatch(fixed.changeRows(raw), cfg, sink,
+          batchId = nBatches.toLong)
+      }
+      // plain-Scala never-dropped model: per-key LWW over all events
+      val model = events.groupBy(_._1).flatMap { case (k, evs) =>
+        val (_, _, op, score, _) = evs.maxBy(e => (e._2, e._5))
+        if (op == "d") None else Some(k -> score)
+      }
+      val served = new java.io.File(store).listFiles()
+        .filter(f => f.getName.endsWith(".json")
+          && !f.getName.contains("_graft_progress_"))
+        .map { f =>
+          val n = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(java.nio.file.Files.readString(f.toPath))
+          n.get("id").asLong() -> n.get("score").asDouble()
+        }.toMap
+      assert(served == model,
+        s"trial $trial ($nBatches batches): served $served vs model $model")
+    }
+  }
 }
