@@ -81,9 +81,53 @@ object Serve {
     }
   }
 
+  /** One-shot REPLAY verb (the quarantine lifecycle's CLI half): parse
+    * `replay <expect|drift> <deadLetterDir> <pipeline> <db> <table>
+    * <sourceDir> <tsMs> [batchIds,csv]` and re-inject the pipeline's
+    * dead letters into the feed — a RUNNING Serve process drains them
+    * on its next trigger; a stopped one on its next boot. Split out of
+    * main so tests drive the identical arg contract without a session
+    * boot. Returns the number of rows re-injected.
+    */
+  def runReplay(spark: SparkSession, args: Seq[String]): Long = {
+    require(args.length >= 7,
+      "usage: Serve replay <expect|drift> <deadLetterDir> <pipeline> " +
+        "<db> <table> <sourceDir> <tsMs> [batchIds,csv]")
+    val Seq(kind, dlDir, pipeline, db, table, sourceDir, tsMs) = args.take(7)
+    val batchIds = if (args.length >= 8)
+      args(7).split(",").map(_.trim.toLong).toSeq else Nil
+    kind match {
+      case "expect" => graft.streaming.PipelineMetrics
+        .replayExpectDeadLetters(spark, dlDir, pipeline, db, table,
+          sourceDir, tsMs.toLong, batchIds)
+      case "drift" => graft.streaming.PipelineMetrics
+        .replayDriftDeadLetters(spark, dlDir, pipeline, db, table,
+          sourceDir, tsMs.toLong, batchIds)
+      case other => throw new IllegalArgumentException(
+        s"Serve replay: unknown dead-letter kind '$other' " +
+          "(expected expect or drift)")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("replay")) {
+      val cpus0 = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+      val sp = SparkSession.builder()
+        .master(s"local[$cpus0]")
+        .config("spark.sql.shuffle.partitions", cpus0)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        .getOrCreate()
+      sp.sparkContext.setLogLevel("WARN")
+      val n = runReplay(sp, args.drop(1).toSeq)
+      System.err.println(s"[serve] replayed $n dead-lettered rows")
+      sp.stop()
+      return
+    }
     require(args.length >= 4,
-      "usage: Serve <confDir> <sourceDir> <workRoot> <esUrl> [esUser esPass] [pollMs]")
+      "usage: Serve <confDir> <sourceDir> <workRoot> <esUrl> [esUser esPass] [pollMs]" +
+        "\n   or: Serve replay <expect|drift> <deadLetterDir> <pipeline> " +
+        "<db> <table> <sourceDir> <tsMs> [batchIds,csv]")
     val Array(confDir, sourceDir, workRoot, esUrl) = args.take(4)
     val (esUser, esPass) =
       if (args.length >= 6) (args(4), args(5)) else ("", "")

@@ -184,6 +184,37 @@ class ServeSpec extends SparkSpec {
     }
   }
 
+  test("Serve replay verb: kind dispatch, batch filter and arg contract") {
+    import graft.streaming.PipelineMetrics
+    val dl = Files.createTempDirectory("graft_srv_rpl_dl_").toString + "/dl"
+    val feed = Files.createTempDirectory("graft_srv_rpl_feed_").toString
+    def seed(subtree: String, batchId: Long, id: Long): Unit =
+      Seq(("r", s"""{"id":$id,"v":"x"}""")).toDF("violated", "row_json")
+        .write.mode("overwrite")
+        .parquet(s"$dl/$subtree/pipeline=cli/batch_id=$batchId")
+    seed("_expect", 0L, 1L)
+    seed("_expect", 1L, 2L)
+    seed("_drift", 0L, 3L)
+    // batchIds csv narrows the expect replay to batch 1 only
+    assert(Serve.runReplay(spark, Seq("expect", dl, "cli", "d", "t",
+      feed, "500", "1")) == 1L)
+    assert(PipelineMetrics.expectDeadLetters(spark, dl).count() == 1L,
+      "only the filtered batch retired")
+    // drift kind routes to the _drift subtree
+    assert(Serve.runReplay(spark, Seq("drift", dl, "cli", "d", "t",
+      feed, "600")) == 1L)
+    assert(PipelineMetrics.driftDeadLetters(spark, dl).count() == 0L)
+    val names = new java.io.File(feed).listFiles().map(_.getName).toSet
+    assert(names.exists(_.startsWith("replay_expect_cli_500_"))
+      && names.exists(_.startsWith("replay_drift_cli_600_")), s"got $names")
+    val e1 = intercept[IllegalArgumentException](Serve.runReplay(spark,
+      Seq("bogus", dl, "cli", "d", "t", feed, "700")))
+    assert(e1.getMessage.contains("bogus"))
+    val e2 = intercept[IllegalArgumentException](Serve.runReplay(spark,
+      Seq("expect")))
+    assert(e2.getMessage.contains("usage"))
+  }
+
   test("soak: one Serve process over all five kinds, stopped in flight and restarted — no resend, contiguous metrics, maintenance compacted") {
     import graft.streaming.PipelineMetrics
     import org.apache.spark.sql.functions.col
