@@ -95,7 +95,13 @@ object Serve {
         "<db> <table> <sourceDir> <tsMs> [batchIds,csv]")
     val Seq(kind, dlDir, pipeline, db, table, sourceDir, tsMs) = args.take(7)
     val batchIds = if (args.length >= 8)
-      args(7).split(",").map(_.trim.toLong).toSeq else Nil
+      args(7).split(",").map(_.trim).filter(_.nonEmpty).map { s =>
+        require(s.forall(_.isDigit),
+          s"Serve replay: batchIds must be a comma-separated list of " +
+            s"batch numbers, got '${args(7)}'")
+        s.toLong
+      }.toSeq
+    else Nil
     kind match {
       case "expect" => graft.streaming.PipelineMetrics
         .replayExpectDeadLetters(spark, dlDir, pipeline, db, table,

@@ -3427,7 +3427,7 @@ object PipelineQueries {
         // batch 1: ONLY the replayed file drains through the FIXED rule
         val fixed = pipe(hi = Double.MaxValue)
         fixed.applyBatch(fixed.changeRows(
-          rawOf(s"$myFeed/replay_expect_orders_replay_9000000000_*.json")),
+          rawOf(s"$myFeed/replay_expect_orders_replay_9000000000.json")),
           cfg, sink, 1L)
         q167Driven.add(base); ()
       }

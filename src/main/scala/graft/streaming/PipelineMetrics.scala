@@ -423,6 +423,26 @@ object PipelineMetrics {
     replayFrom(spark, deadLetterDir, "_drift", pipeline, db, table,
       sourceDir, tsMs, batchIds)
 
+  /** The crash-safe publication protocol, in commit order:
+    *   1. `_..._IDS` manifest (underscore-hidden from feed readers):
+    *      the published row count + the consumed batch ids, written
+    *      BEFORE anything visible — every later step re-derives its
+    *      scope from the manifest, never from a re-scan (new dead
+    *      letters arriving mid-crash must be neither published under
+    *      this epoch nor retired by it);
+    *   2. the feed file — ONE part, so the rename is atomic and
+    *      "target exists" means "publication complete" (a live stream
+    *      may have read it; it is never replaced);
+    *   3. retirement of exactly the manifest's partitions (their rows
+    *      are feed data now; each delete resolves its own filesystem —
+    *      dead letters and feed may live on different schemes);
+    *   4. the `_..._DONE` marker (the O(1) used-epoch gate), then the
+    *      manifest is dropped.
+    * A crash between any two steps resumes idempotently at the same
+    * epoch: before 1 nothing happened; after 1 the retry publishes the
+    * manifest's rows (re-filtered by its batch ids); after 2 it skips
+    * straight to retirement; after 3/4 it converges to the no-op.
+    */
   private def replayFrom(spark: org.apache.spark.sql.SparkSession,
       deadLetterDir: String, subtree: String, pipeline: String, db: String,
       table: String, sourceDir: String, tsMs: Long,
@@ -435,71 +455,87 @@ object PipelineMetrics {
     // subtrees at one epoch into one feed must not collide on markers
     val prefix = s"replay${subtree}"
     val safe = pipeline.replaceAll("[^A-Za-z0-9._-]", "_")
-    val dead0 = deadLetterFrame(spark, deadLetterDir, subtree)
-      .filter(col("pipeline") === safe)
-    val dead1 = if (batchIds.isEmpty) dead0
-      else dead0.filter(col("batch_id").isin(batchIds: _*))
-    // PIN the snapshot: count, wire rows and the retired partition set
-    // below must all come from ONE read. The verb runs against a LIVE
-    // feed — the published file can be drained and re-drop rows into
-    // NEW partitions before this function returns, and a lazy re-scan
-    // would retire those never-published rows (permanent loss)
-    val dead = dead1.localCheckpoint(true)
-    val n = dead.count()
-    if (n == 0L) return 0L
     val conf = spark.sparkContext.hadoopConfiguration
     val srcPath = new org.apache.hadoop.fs.Path(sourceDir)
     val fs = srcPath.getFileSystem(conf)
-    // epoch idempotence rides the publication-COMPLETE marker, not the
-    // first target file: a crash mid-publication must retry, never
-    // read as "already landed" (that would silently lose the
-    // unpublished rows — the exact S6 violation this verb serves)
+    // the used-epoch gate is O(1) — BEFORE any dead-letter scan, so the
+    // documented idempotent re-call never pays a subtree read
     val done = new org.apache.hadoop.fs.Path(srcPath,
-      s"${prefix}_${safe}_${tsMs}_DONE")
+      s"_${prefix}_${safe}_${tsMs}_DONE")
     if (fs.exists(done)) return 0L
-    // one wire event per dead-lettered document; the row_json IS the
-    // after payload, so the envelope is assembled textually around it.
-    // The offset tie-break is the ORIGINATING batch id: all replayed
-    // events share the epoch ts, so a key dropped in several batches
-    // must converge on its NEWEST dead letter, deterministically.
-    val event = concat(
-      lit("""{"payload":{"before":null,"after":"""), col("row_json"),
-      lit(s""","source":{"db":"$db","table":"$table","ts_ms":$tsMs},""" +
-        s""""op":"c","ts_ms":$tsMs}}"""))
-    val wire = dead.select(to_json(struct(
-      event.as("value"),
-      col("batch_id").as("offset"))).as("line"))
-    // stage under an underscore prefix (invisible to feed readers),
-    // then rename the parts into place — a file only becomes feed
-    // data once complete (a half-written visible file would race the
-    // running stream's listing)
-    val stage = new org.apache.hadoop.fs.Path(srcPath,
-      s"_${prefix}_stage_${safe}_$tsMs")
-    wire.write.mode("overwrite").text(stage.toString)
-    val parts = fs.listStatus(stage)
-      .filter(_.getPath.getName.startsWith("part-")).sortBy(_.getPath.getName)
-    parts.zipWithIndex.foreach { case (st, i) =>
-      val target = new org.apache.hadoop.fs.Path(srcPath,
-        s"${prefix}_${safe}_${tsMs}_$i.json")
-      // a pre-DONE leftover from a crashed attempt is ours to replace;
-      // a rename that still fails must fail LOUD — a silently dropped
-      // part is permanent data loss
-      if (fs.exists(target)) fs.delete(target, false)
-      require(fs.rename(st.getPath, target),
-        s"replay: could not publish ${st.getPath} -> $target")
+    val idsFile = new org.apache.hadoop.fs.Path(srcPath,
+      s"_${prefix}_${safe}_${tsMs}_IDS")
+    val (n, consumed) =
+      if (fs.exists(idsFile)) {
+        // resuming a crashed attempt: the manifest — not a re-scan —
+        // defines this epoch's scope
+        val txt = new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(
+          fs.open(idsFile)), java.nio.charset.StandardCharsets.UTF_8).trim
+        val Array(cnt, ids) = txt.split(";", 2)
+        (cnt.toLong,
+          if (ids.isEmpty) Array.empty[Long]
+          else ids.split(",").map(_.toLong))
+      } else {
+        val dead0 = deadLetterFrame(spark, deadLetterDir, subtree)
+          .filter(col("pipeline") === safe)
+        val dead1 = if (batchIds.isEmpty) dead0
+          else dead0.filter(col("batch_id").isin(batchIds: _*))
+        // PIN the snapshot: the count and the consumed partition set
+        // must come from ONE read (the verb runs against a LIVE feed)
+        val dead = dead1.localCheckpoint(true)
+        val cnt = dead.count()
+        if (cnt == 0L) return 0L
+        val ids = dead.select(col("batch_id")).distinct()
+          .collect().map(_.getLong(0)).sorted
+        val out = fs.create(idsFile, true)
+        out.write(s"$cnt;${ids.mkString(",")}"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        out.close()
+        (cnt, ids)
+      }
+    val target = new org.apache.hadoop.fs.Path(srcPath,
+      s"${prefix}_${safe}_${tsMs}.json")
+    if (!fs.exists(target)) {
+      // one wire event per dead-lettered document; the row_json IS the
+      // after payload, so the envelope is assembled textually around
+      // it. The offset tie-break is the ORIGINATING batch id: all
+      // replayed events share the epoch ts, so a key dropped in
+      // several batches converges on its NEWEST dead letter. Scope is
+      // re-filtered by the MANIFEST's ids — on a resumed attempt the
+      // subtree may already hold newer partitions that belong to a
+      // future epoch.
+      val rows = deadLetterFrame(spark, deadLetterDir, subtree)
+        .filter(col("pipeline") === safe)
+        .filter(col("batch_id").isin(consumed.map(Long.box).toSeq: _*))
+      val event = concat(
+        lit("""{"payload":{"before":null,"after":"""), col("row_json"),
+        lit(s""","source":{"db":"$db","table":"$table","ts_ms":$tsMs},""" +
+          s""""op":"c","ts_ms":$tsMs}}"""))
+      val wire = rows.select(to_json(struct(
+        event.as("value"),
+        col("batch_id").as("offset"))).as("line"))
+      // stage hidden, publish with ONE atomic rename: a single part
+      // file makes "target exists" equal "publication complete", and a
+      // live stream that listed the file never sees it replaced. (The
+      // coalesce bounds this write to one task — dead letters are
+      // drop-wave-sized, and atomic publication is worth more here
+      // than write parallelism; the consuming pipeline still reads the
+      // file split-parallel.)
+      val stage = new org.apache.hadoop.fs.Path(srcPath,
+        s"_${prefix}_stage_${safe}_$tsMs")
+      wire.coalesce(1).write.mode("overwrite").text(stage.toString)
+      val part = fs.listStatus(stage)
+        .filter(_.getPath.getName.startsWith("part-"))
+      require(part.length == 1,
+        s"replay: expected one staged part, got ${part.length}")
+      require(fs.rename(part.head.getPath, target),
+        s"replay: could not publish ${part.head.getPath} -> $target")
+      fs.delete(stage, true)
+      ()
     }
-    fs.delete(stage, true)
-    // RETIRE the consumed partitions BEFORE the DONE marker: their rows
-    // are feed data now, and a later replay at a fresh epoch
-    // re-injecting them would stamp stale versions over newer upstream
-    // truth. Order matters — a crash after retirement leaves the
-    // same-epoch re-call converging via the n == 0 early return, while
-    // DONE-before-retire would strand consumed partitions forever.
-    // Partition count is batch-count-bounded (nothing data-sized on
-    // the driver), and each delete resolves ITS OWN filesystem — the
-    // dead-letter dir and the feed may live on different schemes.
-    val consumed = dead.select(col("batch_id")).distinct()
-      .collect().map(_.getLong(0))
+    // RETIRE exactly the manifest's partitions: their rows are feed
+    // data now, and a later replay at a fresh epoch re-injecting them
+    // would stamp stale versions over newer upstream truth
     consumed.foreach { b =>
       val p = new org.apache.hadoop.fs.Path(
         s"$deadLetterDir/$subtree/pipeline=$safe/batch_id=$b")
@@ -507,6 +543,7 @@ object PipelineMetrics {
       ()
     }
     fs.create(done, true).close()
+    fs.delete(idsFile, false)
     n
   }
 

@@ -115,14 +115,17 @@ final case class SearchServingPipeline(
           if r.action == graft.ops.Profile.Drop =>
         val safe = r.name.replaceAll("[^A-Za-z0-9._-]", "_")
         val snap = s"$workRoot/expect_dim/$safe"
-        // probe the write's completion MARKER, not the bare dir: a
-        // crash mid-snapshot leaves a partial key set that would
-        // wrongly dead-letter every doc whose key landed in the lost
-        // part files — forever. mode=overwrite makes the retry clean.
-        if (!Files.exists(Paths.get(s"$snap/_SUCCESS")))
+        // buildOnce (own done marker + in-JVM monitor + cross-process
+        // file lock), NOT the committer's _SUCCESS: deployments with
+        // marksuccessfuljobs=false would re-snapshot the LIVE dim on
+        // every boot, silently reverting the frozen-verdict contract —
+        // and a crash mid-snapshot must retry, never serve a partial
+        // key set that dead-letters docs forever
+        graft.cdc.DeltaLog.buildOnce(snap) { () =>
           spark.read.parquet(r.dimPath).select(col(r.dimColumn)).distinct()
-            .write.mode("overwrite").parquet(snap)
-        r.copy(dimPath = snap)
+            .write.mode("overwrite").parquet(s"$snap/keys")
+        }
+        r.copy(dimPath = s"$snap/keys")
       case r => r
     }
 

@@ -612,7 +612,7 @@ class EnforceSpec extends SparkSpec {
     val v2 = pipe("doc_id BIGINT, score DOUBLE, note STRING")
     val replayRaw = spark.read.schema(StructType.fromDDL(
       "value STRING, offset BIGINT"))
-      .json(s"$feedDir/replay_drift_enf_devo_999_*.json")
+      .json(s"$feedDir/replay_drift_enf_devo_999.json")
     v2.applyBatch(v2.changeRows(replayRaw), cfg, new EnforceSpec.Rec, 1L)
     val sent = EnforceSpec.recorded.asScala.map(_.body).mkString
     assert(sent.contains("\"doc_id\":3") && sent.contains("\"note\":\"n\""),
@@ -653,6 +653,8 @@ class EnforceSpec extends SparkSpec {
     // the two publications coexist under distinct epoch-named files
     assert(feedFiles().count(f => f.startsWith("replay_expect_ep_")
       && f.endsWith(".json")) == 2, s"got ${feedFiles()}")
+    // the transient IDS manifests are gone once their epochs complete
+    assert(!feedFiles().exists(_.endsWith("_IDS")), s"got ${feedFiles()}")
   }
 
   test("registry: driftPolicy parses budgets and action; drop without a deadLetterDir dies naming the file") {

@@ -167,8 +167,7 @@ class ServeSpec extends SparkSpec {
     // checkpoint commit makes phase 2 legitimately re-send batch 0's
     // keyed upserts)
     val replayFiles = srcDir.listFiles()
-      .filter(_.getName.startsWith("replay_expect_r_pipe_50000_"))
-      .filterNot(_.getName.endsWith("_DONE"))
+      .filter(_.getName == "replay_expect_r_pipe_50000.json")
     val lines = replayFiles.toSeq
       .flatMap(f => java.nio.file.Files.readAllLines(f.toPath).asScala)
       .filter(_.nonEmpty)
@@ -205,8 +204,8 @@ class ServeSpec extends SparkSpec {
       feed, "600")) == 1L)
     assert(PipelineMetrics.driftDeadLetters(spark, dl).count() == 0L)
     val names = new java.io.File(feed).listFiles().map(_.getName).toSet
-    assert(names.exists(_.startsWith("replay_expect_cli_500_"))
-      && names.exists(_.startsWith("replay_drift_cli_600_")), s"got $names")
+    assert(names.contains("replay_expect_cli_500.json")
+      && names.contains("replay_drift_cli_600.json"), s"got $names")
     val e1 = intercept[IllegalArgumentException](Serve.runReplay(spark,
       Seq("bogus", dl, "cli", "d", "t", feed, "700")))
     assert(e1.getMessage.contains("bogus"))
