@@ -94,6 +94,11 @@ object Serve {
       "usage: Serve replay <expect|drift> <deadLetterDir> <pipeline> " +
         "<db> <table> <sourceDir> <tsMs> [batchIds,csv]")
     val Seq(kind, dlDir, pipeline, db, table, sourceDir, tsMs) = args.take(7)
+    // validate alongside the arity check — a malformed epoch must fail
+    // as usage text BEFORE the SparkSession boots, like every other arg
+    require(tsMs.nonEmpty && tsMs.forall(_.isDigit) &&
+        scala.util.Try(tsMs.toLong).isSuccess,
+      s"Serve replay: tsMs must be an epoch-millis Long, got '$tsMs'")
     val batchIds = if (args.length >= 8)
       args(7).split(",").map(_.trim).filter(_.nonEmpty).map { s =>
         require(s.forall(_.isDigit),
@@ -115,8 +120,69 @@ object Serve {
     }
   }
 
+  /** One-shot keyed REPLAY verb for the non-LWW kinds: parse
+    * `replay-keys <view|ann|dedup> <confDir> <name> <workDir> <db>
+    * <sourceDir> <tsMs> [batchIds,csv]`, resolve the named conf (the
+    * registration unit — replay must run through the FIXED conf, so the
+    * verb reads it rather than trusting caller-supplied shape args) and
+    * re-drive its dead letters by originating key
+    * ([[graft.streaming.PipelineMetrics.replayKeyedExpectDeadLetters]]).
+    * `workDir` is the pipeline's work root (the runner derives it as
+    * `<workRoot>/ckpt/<conf-basename>` — [[PipelineWatcher]]'s layout).
+    * The search kind is deliberately absent: an additive store's
+    * enforcement-policy change rebuilds the store (frozen verdicts).
+    */
+  def runReplayKeys(spark: SparkSession, args: Seq[String]): Long = {
+    require(args.length >= 7,
+      "usage: Serve replay-keys <view|ann|dedup> <confDir> <name> " +
+        "<workDir> <db> <sourceDir> <tsMs> [batchIds,csv]")
+    val Seq(kind, confDir, name, workDir, db, sourceDir, tsMs) = args.take(7)
+    require(tsMs.nonEmpty && tsMs.forall(_.isDigit) &&
+        scala.util.Try(tsMs.toLong).isSuccess,
+      s"Serve replay-keys: tsMs must be an epoch-millis Long, got '$tsMs'")
+    val batchIds = if (args.length >= 8)
+      args(7).split(",").map(_.trim).filter(_.nonEmpty).map { s =>
+        require(s.forall(_.isDigit),
+          s"Serve replay-keys: batchIds must be a comma-separated list " +
+            s"of batch numbers, got '${args(7)}'")
+        s.toLong
+      }.toSeq
+    else Nil
+    def resolve[A](entries: Seq[A], nameOf: A => String): A = {
+      val hit = entries.filter(e => nameOf(e) == name)
+      require(hit.nonEmpty,
+        s"Serve replay-keys: no $kind conf named '$name' in $confDir " +
+          s"(have: ${entries.map(nameOf).mkString(", ")})")
+      hit.head
+    }
+    import graft.streaming.PipelineRegistry
+    kind match {
+      case "view" =>
+        resolve(PipelineRegistry.loadViews(confDir), (_: PipelineRegistry.ViewEntry).pipeline.name)
+          .pipeline.replayExpectDeadLetters(spark, workDir, sourceDir, db,
+            tsMs.toLong, batchIds)
+      case "ann" =>
+        resolve(PipelineRegistry.loadAnn(confDir), (_: PipelineRegistry.AnnEntry).pipeline.name)
+          .pipeline.replayExpectDeadLetters(spark, workDir, sourceDir, db,
+            tsMs.toLong, batchIds)
+      case "dedup" =>
+        resolve(PipelineRegistry.loadDedup(confDir), (_: PipelineRegistry.DedupEntry).pipeline.name)
+          .pipeline.replayExpectDeadLetters(spark, workDir, sourceDir, db,
+            tsMs.toLong, batchIds)
+      case "search" => throw new IllegalArgumentException(
+        "Serve replay-keys: the search kind cannot feed-replay — its " +
+          "additive store's drop verdicts are frozen for the store's " +
+          "lifetime, so an enforcement-policy change rebuilds the work " +
+          "dir and truncates the store")
+      case other => throw new IllegalArgumentException(
+        s"Serve replay-keys: unknown kind '$other' (expected view, ann " +
+          "or dedup)")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
-    if (args.headOption.contains("replay")) {
+    if (args.headOption.contains("replay") ||
+        args.headOption.contains("replay-keys")) {
       val cpus0 = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
       val sp = SparkSession.builder()
         .master(s"local[$cpus0]")
@@ -125,7 +191,8 @@ object Serve {
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .getOrCreate()
       sp.sparkContext.setLogLevel("WARN")
-      val n = runReplay(sp, args.drop(1).toSeq)
+      val n = if (args.head == "replay") runReplay(sp, args.drop(1).toSeq)
+        else runReplayKeys(sp, args.drop(1).toSeq)
       System.err.println(s"[serve] replayed $n dead-lettered rows")
       sp.stop()
       return
@@ -133,7 +200,9 @@ object Serve {
     require(args.length >= 4,
       "usage: Serve <confDir> <sourceDir> <workRoot> <esUrl> [esUser esPass] [pollMs]" +
         "\n   or: Serve replay <expect|drift> <deadLetterDir> <pipeline> " +
-        "<db> <table> <sourceDir> <tsMs> [batchIds,csv]")
+        "<db> <table> <sourceDir> <tsMs> [batchIds,csv]" +
+        "\n   or: Serve replay-keys <view|ann|dedup> <confDir> <name> " +
+        "<workDir> <db> <sourceDir> <tsMs> [batchIds,csv]")
     val Array(confDir, sourceDir, workRoot, esUrl) = args.take(4)
     val (esUser, esPass) =
       if (args.length >= 6) (args(4), args(5)) else ("", "")

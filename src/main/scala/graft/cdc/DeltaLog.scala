@@ -217,6 +217,16 @@ object DeltaLog {
     * checkpoint dir corrupt it).
     */
   private[graft] def buildOnce(base: String)(build: () => Unit): Unit = {
+    // the done marker and the .lock channel below are java.nio LOCAL
+    // paths while callers' build() writes go through Spark/Hadoop: on a
+    // non-local base (hdfs://, s3a://) the marker check would misfire
+    // and silently rebuild (for pinned-dimension callers that REVERTS
+    // the frozen-verdict contract). Fail loud instead of diverging.
+    val scheme = scala.util.Try(new java.net.URI(base).getScheme).getOrElse(null)
+    require(scheme == null || scheme == "file",
+      s"buildOnce: base '$base' is not a local path — the once-only " +
+        "marker and file lock are local-filesystem primitives; use a " +
+        "local work root (or port the marker to the Hadoop FileSystem)")
     val done = Paths.get(s"$base/_GRAFT_DONE")
     if (Files.exists(done)) { touch(done); return }
     val monitor = localLocks.computeIfAbsent(base, _ => new Object)

@@ -192,6 +192,24 @@ object IncrementalJoin {
     * INPUT CONTRACT (relaxed form of viewDeltaStream's): at most one
     * delta per key per (side, seq) — what a StatefulLww-built batch_id-
     * partitioned log satisfies by construction.
+    *
+    * EMISSION ASYMMETRY (differs from [[viewDeltaStream]], which
+    * suppresses every value-identical re-emission): a FACT whose +row
+    * was applied this micro-batch re-emits its enriched row even when
+    * the value is unchanged, while an unchanged DIM still emits
+    * nothing. The asymmetry is cost-shaped and lifecycle-required: a
+    * dim touch fans out to ALL the key's facts (suppression is the
+    * optimization that keeps dim heartbeats from re-serving whole key
+    * groups), but a fact touch is ONE store-addressed row whose
+    * re-emission is idempotent at every sink — and it is what lets the
+    * serving store RECONVERGE with the join state after the two
+    * legitimately diverge: enforcement Drop withheld the row
+    * (ViewPipeline's quarantine), the keyed replay re-injects the
+    * fact's unchanged truth at a fresh epoch, and without re-emission
+    * that replay would be silently absorbed here, leaving the
+    * quarantined key unservable forever. Downstream incremental
+    * aggregates see prev == new and retract/re-add the same
+    * contribution — net zero.
     */
   def viewDeltaStreamOrdered(factDeltas: DataFrame, dimDeltas: DataFrame,
       factJoinField: String, dimJoinField: String,
@@ -224,8 +242,15 @@ object IncrementalJoin {
           else fs.map { case (id, r) => id -> (r, dm) }
         val before = enrichedRows(old.dimJson, old.facts)
         val after = enrichedRows(dim, facts)
+        // fact ids whose +row was APPLIED this micro-batch: they emit
+        // even value-unchanged (see the emission-asymmetry scaladoc) —
+        // but only if still LIVE in `after` (an insert-then-delete
+        // catch-up nets to nothing, as before)
+        val touched = rows.collect {
+          case r if r.side == "f" && r.sgn > 0 => r.id
+        }.toSet
         val upserts = after.collect {
-          case (id, (f, d)) if !before.get(id).contains((f, d)) =>
+          case (id, (f, d)) if !before.get(id).contains((f, d)) || touched(id) =>
             val p = before.get(id)
             ViewDelta(id, "upsert", f, d, p.map(_._1).orNull, p.map(_._2).orNull)
         }

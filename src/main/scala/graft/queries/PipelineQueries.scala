@@ -3437,10 +3437,119 @@ object PipelineQueries {
         col("o_totalprice").as("price"), col("o_orderpriority"))
   }
 
+  private val q168Lock = new Object
+  private val q168Driven = java.util.concurrent.ConcurrentHashMap
+    .newKeySet[String]()
+
+  /** Q168: the KEYED REPLAY lifecycle on the VIEW kind under the oracle
+    * gate — q167's quarantine→fix→replay story where the dead letter is
+    * a DERIVED row and cannot re-enter the feed as wire: drive 1 runs
+    * the q161-shaped enforced view (a drop rule on the dim-derived
+    * `c_acctbal` withholds every order a violating customer enriches;
+    * the withheld ENRICHED rows dead-letter under `_expect`). The
+    * operator "fixes" the rule; [[graft.streaming.ViewPipeline.replayExpectDeadLetters]]
+    * resolves the dead letters to their originating FACT keys, reads
+    * each key's CURRENT raw fact row from the fact table log (the LWW
+    * fold of the bronze feed) and re-injects those as ordinary `orders`
+    * wire events at an epoch above the feed tail. Drive 2 drains ONLY
+    * the replayed file through the fixed pipeline's normal path —
+    * re-LWW, re-join against the current dim state, re-judgment — and
+    * the JDBC store must converge to the NEVER-DROPPED enriched view. A
+    * lost key, a resurrected deleted fact, a row that skipped the fixed
+    * rule, or a stale pre-traffic price all break the hash.
+    */
+  val q168 = QueryDef.sql(
+    "q168_view_keyed_replay",
+    """SELECT o.o_orderkey, o.o_orderstatus,
+      |       CASE WHEN o.o_orderkey % 3 = 0 THEN o.o_totalprice * 1.1
+      |            ELSE o.o_totalprice END AS total,
+      |       c.c_custkey, c.c_name, c.c_acctbal
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |WHERE o.o_orderkey % 5 <> 0""".stripMargin) { (spark, dir) =>
+    import graft.cdc.{ChangeFeed, DeltaLog}
+    import graft.ops.Profile
+    import graft.streaming.{JdbcTarget, PipelineMetrics, ViewPipeline}
+    val feedDir = ChangeFeed.stagedJsonl(spark, dir)
+    val fp = graft.sources.Staging.fingerprint(
+      Seq(s"$dir/orders.parquet", s"$dir/customer.parquet"))
+    val base = DeltaLog.logBase(spark,
+      s"replayview_${dir.replaceAll("[^a-zA-Z0-9]", "_")}", fp)
+    val url = s"jdbc:derby:$base/derby;create=true"
+    val target = PipelineMetrics.Target(url, "pipeline_metrics_q168")
+    def pipe(lo: Double, hi: Double) = ViewPipeline(
+      name = "q168", databases = Set("shop"),
+      factTable = "orders", factSchema = ChangeFeed.ordersRowSchema,
+      factIdField = "o_orderkey", factJoinField = "o_custkey",
+      dimTable = "customer", dimSchema = ChangeFeed.customerRowSchema,
+      dimIdField = "c_custkey", dimJoinField = "c_custkey",
+      leftOuter = false,
+      target = JdbcTarget(url, "enriched_q168", Some(
+        "o_orderstatus VARCHAR(8), o_orderpriority VARCHAR(32), " +
+          "c_name VARCHAR(64), c_mktsegment VARCHAR(32)")),
+      metrics = Some(target), deadLetterDir = Some(s"$base/dead"),
+      expectations = Seq(Profile.InRange("bal_cap", "c_acctbal",
+        lo, hi, action = Profile.Drop)))
+    q168Lock.synchronized {
+      // memoize only on SUCCESS (q167's rule): a failed drive retries
+      if (!q168Driven.contains(base)) {
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(base))
+        PipelineMetrics.ensureTable(target)
+        PipelineMetrics.ensureExpectTable(target)
+        // the replay epoch is fixed, so the injected feed file must be
+        // drive-local (q167's staged copy-then-rename)
+        val myFeed = s"$base/feed"
+        val fs = new org.apache.hadoop.fs.Path(myFeed)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(new org.apache.hadoop.fs.Path(myFeed))) {
+          val tmp = new org.apache.hadoop.fs.Path(s"$base/feed_tmp")
+          fs.delete(tmp, true)
+          org.apache.hadoop.fs.FileUtil.copy(
+            fs, new org.apache.hadoop.fs.Path(feedDir), fs, tmp,
+            false, spark.sparkContext.hadoopConfiguration)
+          require(fs.rename(tmp, new org.apache.hadoop.fs.Path(myFeed)),
+            s"q168: could not publish the drive-local feed copy $myFeed")
+        }
+        val c = java.sql.DriverManager.getConnection(url)
+        try {
+          val st = c.createStatement()
+          try st.execute(
+            // exact-width DDL (q161's Derby MERGE rule)
+            """CREATE TABLE enriched_q168 ("o_orderkey" BIGINT NOT NULL
+              | PRIMARY KEY, "o_custkey" BIGINT, "o_orderstatus" VARCHAR(8),
+              | "o_totalprice" DOUBLE, "o_orderpriority" VARCHAR(32),
+              | "c_custkey" BIGINT, "c_name" VARCHAR(64),
+              | "c_nationkey" INTEGER, "c_acctbal" DOUBLE,
+              | "c_mktsegment" VARCHAR(32))""".stripMargin.replace("\n", ""))
+          catch { // X0Y32: table already exists (idempotent re-drive)
+            case e: java.sql.SQLException if e.getSQLState == "X0Y32" => ()
+          }
+        } finally c.close()
+        val work = s"$base/work"
+        // drive 1: the strict rule quarantines negative-balance
+        // customers' enriched orders
+        pipe(0.0, 10000.0).runOnce(spark, myFeed, work)
+        // conf fix + keyed replay: dead letters resolve to fact keys,
+        // the keys' CURRENT fact rows re-enter the feed at the epoch
+        val fixed = pipe(-1e12, 1e12)
+        fixed.replayExpectDeadLetters(spark, work, myFeed, "shop",
+          tsMs = 9000000000L)
+        // drive 2: only the replayed file drains, through the FIXED rule
+        fixed.runOnce(spark, myFeed, work)
+        q168Driven.add(base); ()
+      }
+    }
+    spark.read.jdbc(url, "enriched_q168", new java.util.Properties())
+      .select(col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_orderstatus"), col("o_totalprice").as("total"),
+        col("c_custkey").cast("long").as("c_custkey"), col("c_name"),
+        col("c_acctbal"))
+  }
+
   val all: Seq[QueryDef] = Seq(q41, q42, q43, q44, q45, q47, q48, q49,
     q54, q57, q60, q62, q63, q64, q68, q69, q74, q76, q80, q81, q83, q90, q91,
     q94, q98, q122, q125, q127, q128, q129, q130, q131, q133, q134, q135,
     q136, q137, q138, q139, q140, q141, q142, q144, q145, q146, q147, q148,
     q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160,
-    q161, q162, q163, q164, q165, q166, q167)
+    q161, q162, q163, q164, q165, q166, q167, q168)
 }

@@ -464,7 +464,7 @@ final case class AnnServingPipeline(
         val violating = PipelineMetrics.enforceBatchExpectations(metrics,
           name, batchId, expectations,
           flat.filter(col("action") === "upsert").select(col(idF), col("cell")),
-          Seq(idF), deadLetterDir)
+          Seq(idF), deadLetterDir, kind = "ann")
         val served = violating.fold(flat)(v =>
           flat.filter(col("action") === "delete")
             .unionByName(flat.filter(col("action") === "upsert")
@@ -525,6 +525,28 @@ final case class AnnServingPipeline(
         ()
       }
       .start()
+  }
+
+  /** RE-DRIVE expectation-dropped vectors through the fixed conf — an
+    * ann dead letter is a DERIVED posting action (id + advisory cell),
+    * so replay resolves it to the originating vector id, re-injects the
+    * vector's CURRENT raw row from the table log (the LWW fold of the
+    * bronze feed) at the epoch, and the normal path re-assigns under
+    * whatever quantizer generation is then CURRENT, re-judges with the
+    * fixed rules, and key-addressed MERGEs the posting — idempotent
+    * store effects, so convergence holds. Deleted vectors resolve to
+    * nothing and their dead letters retire. See
+    * [[PipelineMetrics.replayKeyedExpectDeadLetters]].
+    */
+  def replayExpectDeadLetters(spark: SparkSession, workRoot: String,
+      feedDir: String, db: String, tsMs: Long,
+      batchIds: Seq[Long] = Nil): Long = {
+    require(deadLetterDir.isDefined,
+      s"ann $name: replay needs the conf-declared deadLetterDir")
+    PipelineMetrics.replayKeyedExpectDeadLetters(spark, deadLetterDir.get,
+      name, "ann", idField,
+      StateLog.latestLiveRows(spark, logDir(workRoot)),
+      db, table, feedDir, tsMs, batchIds)
   }
 
   /** Drain the feed's current contents through both stages; incremental

@@ -435,6 +435,8 @@ final case class CdcPipeline(
         aj.as("row_json"))
         .write.mode("overwrite")
         .parquet(s"$dir/_drift/pipeline=$safe/batch_id=$batchId")
+      PipelineMetrics.writeKindMarker(viol.sparkSession, dir, "_drift",
+        safe, "lww")
     }
     tagged.filter(size(col("__viol")) === 0).drop("__viol")
   }

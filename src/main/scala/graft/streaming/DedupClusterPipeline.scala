@@ -401,7 +401,7 @@ final case class DedupClusterPipeline(
           val violating = PipelineMetrics.enforceBatchExpectations(mtx,
             pipelineName, batchId, expectRules,
             changed.select(col("doc_id").as(idF), col("cluster_id"),
-              col("is_canonical")), Seq(idF), dlDir)
+              col("is_canonical")), Seq(idF), dlDir, kind = "dedup")
           val changedServed = violating.fold(changed)(v =>
             changed.join(v.select(col(idF).as("doc_id")), Seq("doc_id"),
               "left_anti"))
@@ -464,6 +464,28 @@ final case class DedupClusterPipeline(
     * (durable checkpoints at every stage — [[ViewPipeline.runOnce]]'s
     * contract).
     */
+  /** RE-DRIVE expectation-dropped documents through the fixed conf —
+    * a dedup dead letter is a DERIVED cluster row (doc, cluster,
+    * canonical flag), so replay resolves it to the originating doc id,
+    * re-injects the doc's CURRENT raw row from the doc log (the LWW
+    * fold of the bronze feed) at the epoch, and lets the normal path
+    * re-shingle, re-stitch and re-judge — the clustering algebra was
+    * never wrong (state recorded the withheld members), only the
+    * serving surface re-emits. Deleted docs resolve to nothing and
+    * their dead letters retire. See
+    * [[PipelineMetrics.replayKeyedExpectDeadLetters]].
+    */
+  def replayExpectDeadLetters(spark: SparkSession, workRoot: String,
+      feedDir: String, db: String, tsMs: Long,
+      batchIds: Seq[Long] = Nil): Long = {
+    require(deadLetterDir.isDefined,
+      s"dedup $name: replay needs the conf-declared deadLetterDir")
+    PipelineMetrics.replayKeyedExpectDeadLetters(spark, deadLetterDir.get,
+      name, "dedup", idField,
+      StateLog.latestLiveRows(spark, docLogDir(workRoot)),
+      db, table, feedDir, tsMs, batchIds)
+  }
+
   def runOnce(spark: SparkSession, feedDir: String, workRoot: String,
       esTransport: graft.sinks.EsSink.Transport =
         new graft.sinks.EsSink.HttpTransport): Unit = {

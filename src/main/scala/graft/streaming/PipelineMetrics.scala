@@ -269,7 +269,8 @@ object PipelineMetrics {
       batchId: Long, rules: Seq[graft.ops.Profile.Rule],
       servingRows: => org.apache.spark.sql.DataFrame,
       tieBreak: Seq[String] = Nil,
-      deadLetterDir: Option[String] = None):
+      deadLetterDir: Option[String] = None,
+      kind: String = "lww"):
       Option[org.apache.spark.sql.DataFrame] = {
     import org.apache.spark.sql.functions._
     if (rules.isEmpty) None
@@ -320,6 +321,13 @@ object PipelineMetrics {
             to_json(struct(docCols.map(col).toSeq: _*)).as("row_json"))
             .write.mode("overwrite")
             .parquet(s"$dir/_expect/pipeline=$safe/batch_id=$batchId")
+          // self-describing quarantine: the replay verbs dispatch on the
+          // writing pipeline's KIND (a view dead letter is a DERIVED
+          // enriched row, not a wire document), so the subtree records
+          // which kind wrote it — underscore-prefixed, invisible to the
+          // parquet reads, and OUTSIDE the batch partitions so
+          // retirement never deletes it
+          writeKindMarker(viol.sparkSession, dir, "_expect", safe, kind)
         }
         Some(viol)
       }
@@ -358,6 +366,63 @@ object PipelineMetrics {
         .option("basePath", s"$deadLetterDir/$subtree")
         .parquet(s"$deadLetterDir/$subtree")
   }
+
+  /** Record which pipeline KIND wrote a dead-letter subtree — one
+    * underscore-prefixed empty marker file directly under the
+    * `pipeline=<safe>` dir (so batch-partition retirement never touches
+    * it, and partitioned parquet reads never list it). Idempotent.
+    */
+  private[streaming] def writeKindMarker(
+      spark: org.apache.spark.sql.SparkSession, deadLetterDir: String,
+      subtree: String, safe: String, kind: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(
+      s"$deadLetterDir/$subtree/pipeline=$safe/_KIND_$kind")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) fs.create(p, true).close()
+    ()
+  }
+
+  /** The kind recorded for a pipeline's dead-letter subtree, if any
+    * (pre-marker quarantines have none — the verbs treat that as
+    * unknown and proceed, the pre-r13 behavior).
+    */
+  private def deadLetterKind(spark: org.apache.spark.sql.SparkSession,
+      deadLetterDir: String, subtree: String, safe: String): Option[String] = {
+    val dir = new org.apache.hadoop.fs.Path(
+      s"$deadLetterDir/$subtree/pipeline=$safe")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) None
+    else fs.listStatus(dir).map(_.getPath.getName)
+      .find(_.startsWith("_KIND_")).map(_.stripPrefix("_KIND_"))
+  }
+
+  /** Fail LOUD when a replay verb is pointed at a subtree another kind
+    * wrote: an lww replay of a view pipeline's dead letters would
+    * re-inject DERIVED enriched rows as wire documents (silently wrong
+    * shapes), and an additive search store cannot feed-replay at all
+    * (its verdicts are frozen by design — a policy change rebuilds the
+    * store). Unknown (pre-marker) subtrees pass — the caller owns the
+    * kind claim then.
+    */
+  private def requireDeadLetterKind(spark: org.apache.spark.sql.SparkSession,
+      deadLetterDir: String, subtree: String, safe: String,
+      expected: String): Unit =
+    deadLetterKind(spark, deadLetterDir, subtree, safe).foreach { k =>
+      require(k == expected,
+        s"replay: pipeline '$safe' $subtree dead letters were written by " +
+          s"a '$k' pipeline, not '$expected' — " + (k match {
+            case "view" => "use the keyed replay (Serve replay-keys view / " +
+              "ViewPipeline.replayExpectDeadLetters), which resolves dead " +
+              "letters to their originating fact keys"
+            case "search" => "an additive search store cannot feed-replay: " +
+              "its drop verdicts are frozen for the store's lifetime, so an " +
+              "enforcement-policy change rebuilds the work dir and " +
+              "truncates the store (SearchServingPipeline's pinned-" +
+              "dimension contract)"
+            case other => s"use the keyed replay (Serve replay-keys $other " +
+              s"/ the $other pipeline's replayExpectDeadLetters)"
+          }))
+    }
 
   /** RE-INJECT expectation-dropped rows into the source feed — the
     * operational half of the drop-quarantine lifecycle (the verdict's
@@ -400,7 +465,11 @@ object PipelineMetrics {
     * transform the replayed doc is the POST-transform shape and the
     * normal path re-applies the transform; set-expressions over their
     * own outputs must be idempotent for the round trip to converge
-    * (drop-expressions are — the field is already gone).
+    * (drop-expressions are — the field is already gone). Dead letters
+    * written by another kind FAIL LOUD via the subtree's kind marker:
+    * view/ann/dedup quarantines are derived rows and replay by
+    * originating key instead ([[replayKeyedExpectDeadLetters]]); the
+    * additive search kind rebuilds its store on policy changes.
     */
   def replayExpectDeadLetters(spark: org.apache.spark.sql.SparkSession,
       deadLetterDir: String, pipeline: String, db: String, table: String,
@@ -422,6 +491,56 @@ object PipelineMetrics {
       sourceDir: String, tsMs: Long, batchIds: Seq[Long] = Nil): Long =
     replayFrom(spark, deadLetterDir, "_drift", pipeline, db, table,
       sourceDir, tsMs, batchIds)
+
+  /** Replay-by-ORIGINATING-KEY — the non-LWW kinds' `_expect` replay
+    * (view/ann/dedup): their dead letters are DERIVED rows (an enriched
+    * serving row, a posting action, a cluster assignment) that cannot
+    * re-enter the feed as wire, but each one names the fact/doc key it
+    * derived from. This verb resolves the dead letters to those keys,
+    * looks each key up in `state` — the pipeline's CURRENT source-table
+    * truth, the LWW fold of its bronze-fed table log (R10's durable log
+    * already replayed; O(live+churn), equivalent to re-scanning the
+    * bronze feed for those keys) — and re-injects the live rows as
+    * ordinary wire events at the epoch. The running pipeline re-drives
+    * them through its FIXED conf: re-join/re-index/re-cluster,
+    * re-judgment by the fixed rules (never a side door), keyed serving
+    * writes. A key whose source row was deleted upstream resolves to
+    * nothing — its dead letters retire without re-injection (the store
+    * already dropped the key; resurrection would invent data).
+    *
+    * Same crash-safe publication protocol and epoch gate as the LWW
+    * verb ([[replayFrom]]); `n` counts re-injected WIRE rows, which can
+    * be fewer than the dead letters (deleted keys, several dead letters
+    * of one key). NOT for the additive search kind — its verdicts are
+    * frozen for the store's lifetime and a policy change rebuilds the
+    * store; the kind marker fails that loud.
+    *
+    * @param keyField  field of the dead letter's `row_json` naming the
+    *                  originating key (the view's fact id, ann/dedup's
+    *                  conf id — enforcement guarantees it survives)
+    * @param state     (key BIGINT, rowJson STRING) — current live rows
+    *                  of the originating table; `rowJson` is the RAW
+    *                  table row the wire would carry
+    */
+  def replayKeyedExpectDeadLetters(spark: org.apache.spark.sql.SparkSession,
+      deadLetterDir: String, pipeline: String, kind: String, keyField: String,
+      state: org.apache.spark.sql.DataFrame, db: String, table: String,
+      sourceDir: String, tsMs: Long, batchIds: Seq[Long] = Nil): Long = {
+    import org.apache.spark.sql.functions._
+    replayWire(spark, deadLetterDir, "_expect", pipeline, db, table,
+      sourceDir, tsMs, batchIds, kind, dead => {
+        // one wire row per ORIGINATING key, tie-broken by the NEWEST
+        // dead letter's batch id (the lww verb's convergence rule)
+        val keys = dead.select(
+          get_json_object(col("row_json"), s"$$.$keyField")
+            .cast("long").as("key"),
+          col("batch_id"))
+          .filter(col("key").isNotNull)
+          .groupBy(col("key")).agg(max(col("batch_id")).as("batch_id"))
+        keys.join(state, Seq("key"))
+          .select(col("rowJson").as("row_json"), col("batch_id"))
+      })
+  }
 
   /** The crash-safe publication protocol, in commit order:
     *   1. `_..._IDS` manifest (underscore-hidden from feed readers):
@@ -446,11 +565,31 @@ object PipelineMetrics {
   private def replayFrom(spark: org.apache.spark.sql.SparkSession,
       deadLetterDir: String, subtree: String, pipeline: String, db: String,
       table: String, sourceDir: String, tsMs: Long,
-      batchIds: Seq[Long]): Long = {
+      batchIds: Seq[Long]): Long =
+    replayWire(spark, deadLetterDir, subtree, pipeline, db, table, sourceDir,
+      tsMs, batchIds, "lww", identity)
+
+  /** The kind-generic crash-safe publication core: [[replayFrom]] with a
+    * `toWire` hook that reshapes the PINNED dead-letter frame
+    * (violated, row_json, pipeline, batch_id) into the frame whose
+    * `row_json` becomes the injected after payloads (`batch_id` must
+    * survive — it is the LWW tie-break offset). The lww kinds pass
+    * identity (the dead letter IS the document); the view kind resolves
+    * dead letters to their originating fact keys and re-reads the fact
+    * table's current truth ([[replayViewExpectDeadLetters]]).
+    */
+  private def replayWire(spark: org.apache.spark.sql.SparkSession,
+      deadLetterDir: String, subtree: String, pipeline: String, db: String,
+      table: String, sourceDir: String, tsMs: Long,
+      batchIds: Seq[Long], expectedKind: String,
+      toWire: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : Long = {
     import org.apache.spark.sql.functions._
     require(db.matches("[A-Za-z0-9_.-]+") && table.matches("[A-Za-z0-9_.-]+"),
       "replay: db/table must be plain identifiers (they are spliced " +
         "into the wire JSON)")
+    requireDeadLetterKind(spark, deadLetterDir, subtree,
+      pipeline.replaceAll("[^A-Za-z0-9._-]", "_"), expectedKind)
     // distinct per-subtree file prefix: an operator replaying BOTH
     // subtrees at one epoch into one feed must not collide on markers
     val prefix = s"replay${subtree}"
@@ -465,48 +604,90 @@ object PipelineMetrics {
     if (fs.exists(done)) return 0L
     val idsFile = new org.apache.hadoop.fs.Path(srcPath,
       s"_${prefix}_${safe}_${tsMs}_IDS")
-    val (n, consumed) =
+    val (n, consumed, pinnedWire) =
       if (fs.exists(idsFile)) {
         // resuming a crashed attempt: the manifest — not a re-scan —
-        // defines this epoch's scope
+        // defines this epoch's scope. The manifest was published by an
+        // atomic rename, but validate its shape anyway: a manifest that
+        // parses wrong must fail LOUD, never silently publish and
+        // retire the wrong dead-letter scope.
         val txt = new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(
           fs.open(idsFile)), java.nio.charset.StandardCharsets.UTF_8).trim
+        require(txt.matches("""\d+;(\d+(,\d+)*)?"""),
+          s"replay: corrupt manifest $idsFile ('$txt') — delete it to " +
+            "restart this epoch from a fresh dead-letter scan")
         val Array(cnt, ids) = txt.split(";", 2)
         (cnt.toLong,
           if (ids.isEmpty) Array.empty[Long]
-          else ids.split(",").map(_.toLong))
+          else ids.split(",").map(_.toLong),
+          None)
       } else {
+        // FRESH attempt: the replay epoch is the LWW lever, so it must
+        // beat the feed's current tail — a stale epoch would re-inject
+        // rows that silently LOSE the LWW race (the quarantine would
+        // look replayed but never serve). One feed scan at the verb;
+        // this is an operator-invoked one-shot, not a serving path.
+        // Resumed attempts skip the check by construction: the epoch's
+        // own published file IS the tail then.
+        val tailDf = spark.read
+          .schema(org.apache.spark.sql.types.StructType.fromDDL(
+            "value STRING, offset BIGINT"))
+          .json(sourceDir)
+        val tail = Option(tailDf.agg(max(coalesce(
+          get_json_object(col("value"), "$.payload.ts_ms").cast("long"),
+          get_json_object(col("value"), "$.ts_ms").cast("long"))))
+          .head().get(0)).map(_.asInstanceOf[Long])
+        require(tail.forall(tsMs > _),
+          s"replay: epoch tsMs=$tsMs does not exceed the feed's current " +
+            s"tail ts_ms=${tail.get} — the re-injected rows would lose " +
+            "every LWW race and never serve; pick an epoch above the tail")
         val dead0 = deadLetterFrame(spark, deadLetterDir, subtree)
           .filter(col("pipeline") === safe)
         val dead1 = if (batchIds.isEmpty) dead0
           else dead0.filter(col("batch_id").isin(batchIds: _*))
-        // PIN the snapshot: the count and the consumed partition set
-        // must come from ONE read (the verb runs against a LIVE feed)
+        // PIN the snapshot: the count, the consumed partition set AND
+        // the published rows (below) must come from ONE read — the verb
+        // runs beside a LIVE pipeline that may overwrite a consumed
+        // partition (checkpoint replay) between these steps
         val dead = dead1.localCheckpoint(true)
-        val cnt = dead.count()
-        if (cnt == 0L) return 0L
+        if (dead.isEmpty) return 0L
+        // the wire derivation may read live state too (the view kind
+        // folds the CURRENT fact table) — pin it with the same snapshot
+        val wire0 = toWire(dead).localCheckpoint(true)
+        val cnt = wire0.count()
         val ids = dead.select(col("batch_id")).distinct()
           .collect().map(_.getLong(0)).sorted
-        val out = fs.create(idsFile, true)
+        // manifest commit is itself staged-and-renamed: a crash mid-
+        // write must leave NO manifest (retry rescans), never a
+        // truncated one that still parses as a smaller scope
+        val idsTmp = new org.apache.hadoop.fs.Path(srcPath,
+          s"_${prefix}_${safe}_${tsMs}_IDS.tmp")
+        val out = fs.create(idsTmp, true)
         out.write(s"$cnt;${ids.mkString(",")}"
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         out.close()
-        (cnt, ids)
+        require(fs.rename(idsTmp, idsFile),
+          s"replay: could not commit manifest $idsTmp -> $idsFile")
+        (cnt, ids, Some(wire0))
       }
     val target = new org.apache.hadoop.fs.Path(srcPath,
       s"${prefix}_${safe}_${tsMs}.json")
-    if (!fs.exists(target)) {
-      // one wire event per dead-lettered document; the row_json IS the
-      // after payload, so the envelope is assembled textually around
-      // it. The offset tie-break is the ORIGINATING batch id: all
-      // replayed events share the epoch ts, so a key dropped in
-      // several batches converges on its NEWEST dead letter. Scope is
-      // re-filtered by the MANIFEST's ids — on a resumed attempt the
-      // subtree may already hold newer partitions that belong to a
-      // future epoch.
-      val rows = deadLetterFrame(spark, deadLetterDir, subtree)
-        .filter(col("pipeline") === safe)
-        .filter(col("batch_id").isin(consumed.map(Long.box).toSeq: _*))
+    if (n > 0L && !fs.exists(target)) {
+      // one wire event per resolved row; the row_json IS the after
+      // payload, so the envelope is assembled textually around it. The
+      // offset tie-break is the ORIGINATING batch id: all replayed
+      // events share the epoch ts, so a key dropped in several batches
+      // converges on its NEWEST dead letter. The fresh path publishes
+      // the PINNED frame the manifest counted; only a crash-resumed
+      // attempt re-derives — scope re-filtered by the MANIFEST's ids
+      // (the subtree may already hold newer partitions belonging to a
+      // future epoch), so a resumed publication reflects the dead
+      // letters as they stand at resume time.
+      val rows = pinnedWire.getOrElse(toWire(
+        deadLetterFrame(spark, deadLetterDir, subtree)
+          .filter(col("pipeline") === safe)
+          .filter(col("batch_id").isin(consumed.map(Long.box).toSeq: _*))
+          .localCheckpoint(true)))
       val event = concat(
         lit("""{"payload":{"before":null,"after":"""), col("row_json"),
         lit(s""","source":{"db":"$db","table":"$table","ts_ms":$tsMs},""" +
@@ -534,8 +715,13 @@ object PipelineMetrics {
       ()
     }
     // RETIRE exactly the manifest's partitions: their rows are feed
-    // data now, and a later replay at a fresh epoch re-injecting them
-    // would stamp stale versions over newer upstream truth
+    // data now (or can never re-serve — a view key deleted upstream),
+    // and a later replay at a fresh epoch re-injecting them would stamp
+    // stale versions over newer upstream truth. Do not run the verb
+    // concurrently with a live pipeline REPLAYING one of the consumed
+    // batches: an overwrite landing between the manifest snapshot and
+    // this delete is removed unpublished (same rows in the idempotent
+    // case, but rule edits mid-flight could diverge).
     consumed.foreach { b =>
       val p = new org.apache.hadoop.fs.Path(
         s"$deadLetterDir/$subtree/pipeline=$safe/batch_id=$b")

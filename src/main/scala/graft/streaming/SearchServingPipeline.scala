@@ -179,7 +179,7 @@ final case class SearchServingPipeline(
           // withheld from the fold
           val violating = PipelineMetrics.enforceBatchExpectations(mtx,
             pipelineName, batchId, expectRules, posting0,
-            Seq("token", "doc_id"), dlDir)
+            Seq("token", "doc_id"), dlDir, kind = "search")
           // pinned when enforcing: the clean postings feed the MERGE,
           // the len-coherence anti-join AND the metrics count — an
           // unpinned plan would re-tokenize the batch per consumer

@@ -68,6 +68,22 @@ object StateLog {
     }
   }
 
+  /** Latest-per-key LIVE rows of a FLAT delta log (no base generation —
+    * the ann/dedup doc-log shape: `<dir>/batch_id=N` of
+    * [[StatefulLww.Delta]] rows): one (key, rowJson) per key whose last
+    * word is an upsert. O(log history) — fine for one-shot verbs
+    * (replay), not a serving path; compacted logs use their own folds.
+    */
+  def latestLiveRows(spark: SparkSession, logDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.schema(ViewPipeline.LogSchema).parquet(logDir)
+      .groupBy(col("key"))
+      .agg(max_by(struct(col("action"), col("rowJson")),
+        col("batch_id")).as("w"))
+      .filter(col("w.action") === "upsert")
+      .select(col("key"), col("w.rowJson").as("rowJson"))
+  }
+
   /** Append one micro-batch's churn (overwrite → replay-idempotent). */
   def appendBatch(df: DataFrame, base: String, batchId: Long): Unit = {
     df.write.mode("overwrite").parquet(s"$base/log/batch_id=$batchId")

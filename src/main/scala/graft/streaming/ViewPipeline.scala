@@ -210,13 +210,16 @@ final case class ViewPipeline(
             // store write: Halt fails the batch here (store keeps its
             // pre-batch state), Drop violators dead-letter and the
             // key's WHOLE batch delta is withheld — including the
-            // delete half of a key-move pair, so a violating
-            // replacement leaves the pre-batch row served (the uniform
-            // Drop contract) instead of vanishing the key entirely
+            // delete half of a JOIN-KEY move (both deltas share the
+            // fact id), so a violating replacement leaves the pre-batch
+            // row served instead of vanishing the key entirely. A FACT-
+            // ID move (delete on the old id, upsert on a new id) is two
+            // unrelated keys on the wire — no correlation exists to
+            // pair them, so the old id's delete applies normally
             val violating = PipelineMetrics.enforceBatchExpectations(mtx,
               viewName, batchId, expectRules,
               f.filter(col("action") === "upsert").drop("action"),
-              Seq(keyField), dlDir)
+              Seq(keyField), dlDir, kind = "view")
             val served = violating.fold(f)(v =>
               f.join(v.select(col(keyField)), Seq(keyField), "left_anti"))
             JdbcSink.applyViewDeltas(served, url, table, Seq(keyField),
@@ -236,12 +239,15 @@ final case class ViewPipeline(
               // expectations judge the upsert serving rows BEFORE the
               // send (Halt fails here; Drop violators dead-letter and
               // the key's WHOLE batch delta is withheld — the paired
-              // delete of a key-move too, keeping the pre-batch
-              // document served rather than vanishing the key)
+              // delete of a JOIN-KEY move too, keeping the pre-batch
+              // document served rather than vanishing the key; a
+              // fact-id move is two uncorrelated keys and its old-id
+              // delete applies normally)
               val upserts0 =
                 cached.filter(col("action") === "upsert").drop("action")
               val violating = PipelineMetrics.enforceBatchExpectations(mtx,
-                viewName, batchId, expectRules, upserts0, Seq(keyField), dlDir)
+                viewName, batchId, expectRules, upserts0, Seq(keyField),
+                dlDir, kind = "view")
               val upserts = violating.fold(upserts0)(v =>
                 upserts0.join(v.select(col(keyField)), Seq(keyField),
                   "left_anti"))
@@ -374,6 +380,32 @@ final case class ViewPipeline(
       .awaitTermination()
     // every log batch is now consumed — the drained-join precondition
     compactSideLogs(spark, workRoot)
+  }
+
+  /** RE-DRIVE this view's expectation-dropped keys through the fixed
+    * conf — the non-LWW half of the quarantine lifecycle
+    * ([[PipelineMetrics.replayKeyedExpectDeadLetters]]): a view dead
+    * letter is the DERIVED enriched serving row, so it cannot re-enter
+    * the feed as wire. Instead each dead letter is resolved to its
+    * originating FACT key, the key's CURRENT raw fact row is read from
+    * the fact table log ([[tableState]] — the LWW fold of the bronze
+    * feed, the durable source of record) and re-injected as an ordinary
+    * fact wire event at the epoch. The running pipeline's normal path
+    * re-LWWs it (epoch wins), the join stage re-enriches against the
+    * CURRENT dim state, the (fixed) expectations re-judge, and the
+    * serving store converges to the never-dropped view. A fact key
+    * deleted upstream since the drop resolves to nothing — its dead
+    * letters retire without resurrecting the key. Returns the number of
+    * wire rows re-injected.
+    */
+  def replayExpectDeadLetters(spark: SparkSession, workRoot: String,
+      feedDir: String, db: String, tsMs: Long,
+      batchIds: Seq[Long] = Nil): Long = {
+    require(deadLetterDir.isDefined,
+      s"view $name: replay needs the conf-declared deadLetterDir")
+    PipelineMetrics.replayKeyedExpectDeadLetters(spark, deadLetterDir.get,
+      name, "view", factIdField, tableState(spark, workRoot, "fact"),
+      db, factTable, feedDir, tsMs, batchIds)
   }
 
   /** LIVE deployment: the same three stages as long-running queries on

@@ -214,6 +214,50 @@ class ServeSpec extends SparkSpec {
     assert(e2.getMessage.contains("usage"))
   }
 
+  test("replay hardening: stale epoch fails loud, malformed tsMs fails as usage, kind markers fence cross-kind replay") {
+    val dl = Files.createTempDirectory("graft_srv_hard_dl_").toString + "/dl"
+    val feed = Files.createTempDirectory("graft_srv_hard_feed_").toString
+    Files.write(new java.io.File(feed, "000.json").toPath,
+      Seq(wire("t", 1, "tail", 1000)).asJava)
+    Seq(("r", """{"id":7,"v":"x"}""")).toDF("violated", "row_json")
+      .write.mode("overwrite").parquet(s"$dl/_expect/pipeline=h/batch_id=0")
+    // 1. a stale epoch (≤ the feed tail's ts_ms) would re-inject rows
+    // that lose every LWW race — the verb must fail loud, not no-op
+    val stale = intercept[IllegalArgumentException](Serve.runReplay(spark,
+      Seq("expect", dl, "h", "d", "t", feed, "1000")))
+    assert(stale.getMessage.contains("tail"), stale.getMessage)
+    assert(graft.streaming.PipelineMetrics.expectDeadLetters(spark, dl)
+      .count() == 1L, "a rejected epoch must consume nothing")
+    // 2. malformed tsMs fails in the arg-contract require, as usage text
+    val bad = intercept[IllegalArgumentException](Serve.runReplay(spark,
+      Seq("expect", dl, "h", "d", "t", feed, "now")))
+    assert(bad.getMessage.contains("epoch-millis"), bad.getMessage)
+    // 3. a kind marker from a non-lww writer fences the lww verb: the
+    // dead letters are DERIVED rows, re-injecting them as wire would be
+    // silently wrong — the error names the keyed replay instead
+    Files.createFile(new java.io.File(
+      s"$dl/_expect/pipeline=h", "_KIND_view").toPath)
+    val fenced = intercept[IllegalArgumentException](Serve.runReplay(spark,
+      Seq("expect", dl, "h", "d", "t", feed, "2000")))
+    assert(fenced.getMessage.contains("view")
+      && fenced.getMessage.contains("replay-keys"), fenced.getMessage)
+    // ...and the marker write path is the enforcement hook itself
+    // (kind param) — exercised E2E by q168; here the search kind's
+    // frozen-verdict refusal and the arg contract of replay-keys:
+    val add = intercept[IllegalArgumentException](Serve.runReplayKeys(spark,
+      Seq("search", "/tmp/nc", "s", "/tmp/nw", "d", feed, "2000")))
+    assert(add.getMessage.contains("additive"), add.getMessage)
+    val unk = intercept[IllegalArgumentException](Serve.runReplayKeys(spark,
+      Seq("bogus", "/tmp/nc", "s", "/tmp/nw", "d", feed, "2000")))
+    assert(unk.getMessage.contains("bogus"), unk.getMessage)
+    val usage = intercept[IllegalArgumentException](Serve.runReplayKeys(spark,
+      Seq("view", "/tmp/nc")))
+    assert(usage.getMessage.contains("usage"), usage.getMessage)
+    val badTs = intercept[IllegalArgumentException](Serve.runReplayKeys(spark,
+      Seq("view", "/tmp/nc", "s", "/tmp/nw", "d", feed, "soon")))
+    assert(badTs.getMessage.contains("epoch-millis"), badTs.getMessage)
+  }
+
   test("soak: one Serve process over all five kinds, stopped in flight and restarted — no resend, contiguous metrics, maintenance compacted") {
     import graft.streaming.PipelineMetrics
     import org.apache.spark.sql.functions.col

@@ -65,6 +65,38 @@ class ViewPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("viewDeltaStreamOrdered: value-identical fact re-application re-emits; unchanged dim stays suppressed") {
+    implicit val ctx = spark.sqlContext
+    val facts = MemoryStream[SeqDelta]
+    val dims = MemoryStream[SeqDelta]
+    val q = IncrementalJoin.viewDeltaStreamOrdered(
+      facts.toDF(), dims.toDF(), "cust", "cust").writeStream
+      .format("memory").queryName("ordered_touch").outputMode("append").start()
+    try {
+      facts.addData(SeqDelta(10, "upsert", f(10, 1, "x"), null, 0))
+      dims.addData(SeqDelta(1, "upsert", d(1, "A"), null, 0))
+      q.processAllAvailable()
+      assert(spark.table("ordered_touch").count() == 1)
+      // the keyed-replay shape: LWW re-emits the fact's unchanged truth
+      // at a fresh epoch (rowJson == prevJson) — the join must pass it
+      // through so a store that diverged (enforcement withheld the row)
+      // can reconverge; prev carries the identical row
+      facts.addData(SeqDelta(10, "upsert", f(10, 1, "x"), f(10, 1, "x"), 1))
+      q.processAllAvailable()
+      val out = spark.table("ordered_touch")
+        .as[IncrementalJoin.ViewDelta].collect().toSeq
+      assert(out.size == 2 && out.last == IncrementalJoin.ViewDelta(
+        10, "upsert", f(10, 1, "x"), d(1, "A"), f(10, 1, "x"), d(1, "A")),
+        s"fact re-application must re-emit, got $out")
+      // an unchanged DIM touch still emits nothing — re-emitting would
+      // fan out to every fact of the key (the suppression that matters)
+      dims.addData(SeqDelta(1, "upsert", d(1, "A"), d(1, "A"), 2))
+      q.processAllAvailable()
+      assert(spark.table("ordered_touch").count() == 2,
+        "unchanged dim must not fan out re-emissions")
+    } finally q.stop()
+  }
+
   test("registry parses view confs; lww loader skips them") {
     val confDir = Files.createTempDirectory("graft_viewconf_").toFile
     Files.write(new java.io.File(confDir, "v.json").toPath, Seq(
