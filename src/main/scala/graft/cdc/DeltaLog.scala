@@ -300,6 +300,31 @@ object DeltaLog {
     StatefulLww.deltaStream(
       keyedEvents(spark, feedDir, table, rowSchema, keyExpr, databases)).toDF()
 
+  /** [[keyedEvents]] over a JUDGED feed log instead of the raw feed —
+    * the consumer half of [[graft.streaming.DriftGate]]: the gate
+    * already routed the table and withheld drift-dropped events into a
+    * [[graft.streaming.StateLog]]-layout log of (value, offset) rows,
+    * so this file-streams `<judgedBase>/log` with a STATIC schema (the
+    * view side-log rule — an empty-but-existing dir is a valid source)
+    * and runs the same typed parse + R5–R9 filters the raw path runs.
+    */
+  def keyedEventsFromJudged(spark: SparkSession, judgedBase: String,
+      rowSchema: StructType, keyExpr: Column): DataFrame = {
+    val raw = spark.readStream
+      .schema(StructType.fromDDL("value STRING, offset BIGINT, batch_id BIGINT"))
+      .parquet(s"$judgedBase/log")
+      .drop("batch_id")
+    val filtered = EventFilters.all(Envelope.parseTyped(raw, rowSchema))
+    filtered.select(keyExpr.as("key"),
+      col("ts_ms"), col("offset"), col("op"), to_json(col("after")).as("after"))
+  }
+
+  /** [[deltaStream]] over a judged feed log ([[keyedEventsFromJudged]]). */
+  def deltaStreamFromJudged(spark: SparkSession, judgedBase: String,
+      rowSchema: StructType, keyExpr: Column): DataFrame =
+    StatefulLww.deltaStream(
+      keyedEventsFromJudged(spark, judgedBase, rowSchema, keyExpr)).toDF()
+
   /** Materialized enriched-VIEW delta log — the same one-replay-many-
     * consumers argument, one level up: the orders⋈customer symmetric
     * join replay (IncrementalJoin.viewDeltaStream over the two table

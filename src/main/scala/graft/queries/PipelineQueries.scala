@@ -3546,10 +3546,177 @@ object PipelineQueries {
         col("c_acctbal"))
   }
 
+  /** A drifting EMBEDDINGS wire (create-only, one event per vector):
+    * %11 keys deliver the declared ARRAY&lt;FLOAT&gt; with a non-numeric
+    * element (assembled textually — no typed builder can produce a
+    * mixed-type array), %7 (and not %11) carry an undeclared `note`
+    * field, the rest are clean. The [[graft.streaming.DriftGate]]
+    * fixture for the delta-log kinds — q159/q165's orders wire, vector
+    * edition.
+    */
+  private def driftingEmbeddingsWire(spark: SparkSession,
+      dir: String): DataFrame = {
+    import graft.cdc.ChangeFeed
+    val emb = Tables.embeddings(spark, dir)
+    val k = col("vec_id").cast("long")
+    val ts = lit(1000000000L) + k
+    val jsonOpts = Map("ignoreNullFields" -> "false")
+    def ev(after: org.apache.spark.sql.Column) = to_json(struct(
+      lit(null).cast(ChangeFeed.embeddingsRowSchema).as("before"),
+      after.as("after"),
+      struct(lit("shop").as("db"), lit("embeddings").as("table"),
+        ts.as("ts_ms")).as("source"),
+      lit("c").as("op"), ts.as("ts_ms")), jsonOpts)
+    val badAfter = concat(lit("""{"vec_id":"""), k.cast("string"),
+      lit(""","embedding":["oops","""),
+      array_join(transform(col("embedding"), x => x.cast("string")), ","),
+      lit("]}"))
+    val badEnv = concat(
+      lit("""{"payload":{"before":null,"after":"""), badAfter,
+      lit(""","source":{"db":"shop","table":"embeddings","ts_ms":"""),
+      ts.cast("string"),
+      lit("""},"op":"c","ts_ms":"""), ts.cast("string"), lit("}}"))
+    val badtype = emb.filter(k % 11 === 0)
+      .select(badEnv.as("value"), k.as("offset"))
+    val withNew = emb.filter(k % 11 =!= 0 && k % 7 === 0).select(
+      ev(struct(k.as("vec_id"), col("embedding"), lit("n").as("note")))
+        .as("value"), k.as("offset"))
+    val clean = emb.filter(k % 11 =!= 0 && k % 7 =!= 0)
+      .select(ev(struct(k.as("vec_id"), col("embedding"))).as("value"),
+        k.as("offset"))
+    Seq(badtype, withNew, clean).reduce(_ unionByName _)
+  }
+
+  private val q169Lock = new Object
+  private val q169Driven = java.util.concurrent.ConcurrentHashMap
+    .newKeySet[String]()
+
+  private def q169Base(spark: SparkSession, dir: String): String =
+    graft.cdc.DeltaLog.logBase(spark,
+      s"driftann_${dir.replaceAll("[^a-zA-Z0-9]", "_")}",
+      graft.sources.Staging.fingerprint(Seq(s"$dir/embeddings.parquet")))
+
+  private def q169Drive(spark: SparkSession, dir: String): String = {
+    import graft.streaming.{AnnServingPipeline, CdcPipeline, PipelineMetrics}
+    val cents = MandateQueries.ivfCentroidsFor(spark, dir)
+    val base = q169Base(spark, dir)
+    val url = s"jdbc:derby:$base/derby;create=true"
+    val target = PipelineMetrics.Target(url, "pipeline_metrics_q169")
+    val pipeline = AnnServingPipeline(
+      name = "q169", databases = Set("shop"), table = "embeddings",
+      idField = "vec_id", vectorField = "embedding", cents = cents,
+      jdbcUrl = url, postingsTable = "postings_q169",
+      metrics = Some(target), deadLetterDir = Some(s"$base/dead"),
+      driftPolicy = Some(CdcPipeline.DriftPolicy(newColsBudget = 0L,
+        action = graft.ops.Profile.Drop)))
+    q169Lock.synchronized {
+      // memoize only on SUCCESS (q167's rule): a failed drive retries
+      if (!q169Driven.contains(base)) {
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(base))
+        PipelineMetrics.ensureTable(target)
+        PipelineMetrics.ensureDriftTable(target)
+        val feed = s"$base/feed"
+        val fs = new org.apache.hadoop.fs.Path(feed)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(new org.apache.hadoop.fs.Path(feed))) {
+          // stage-then-rename: a crash mid-write must not leave a
+          // partial dir the next drive drains as the whole feed
+          driftingEmbeddingsWire(spark, dir).repartition(4)
+            .write.mode("overwrite").json(s"$base/feed_tmp")
+          require(fs.rename(new org.apache.hadoop.fs.Path(s"$base/feed_tmp"),
+            new org.apache.hadoop.fs.Path(feed)),
+            s"q169: could not publish the drive-local feed $feed")
+        }
+        val c = java.sql.DriverManager.getConnection(url)
+        try {
+          val st = c.createStatement()
+          try st.execute(
+            """CREATE TABLE postings_q169 ("vec_id" BIGINT NOT NULL PRIMARY
+              | KEY, "cell" INTEGER, "emb_json" VARCHAR(32000))"""
+              .stripMargin.replace("\n", ""))
+          catch { // X0Y32: table already exists (idempotent re-drive)
+            case e: java.sql.SQLException if e.getSQLState == "X0Y32" => ()
+          }
+        } finally c.close()
+        pipeline.runOnce(spark, feed, s"$base/work")
+        q169Driven.add(base); ()
+      }
+    }
+    url
+  }
+
+  /** Q169: DRIFT ENFORCEMENT ON THE ANN STORE under the oracle gate —
+    * q165 certifies the conf-declared DriftPolicy for the lww kind;
+    * this certifies the [[graft.streaming.DriftGate]] parity for the
+    * delta-log kinds (r12 verdict task 2): a drifting embeddings wire
+    * (%11 keys carry a non-numeric vector element — the typed parse
+    * would null the whole row and a null vector would enter the
+    * postings; %7 keys carry an undeclared field) drains through an
+    * ann conf with a DROP-action policy (`newColsBudget = 0`). The
+    * gate withholds both classes BEFORE the table log, so the served
+    * postings hold exactly the clean vectors — fingerprinted per
+    * q162's order-free integer sum, with the advisory cell
+    * engine-checked against the quantizer. One leaked drifted vector
+    * (it would ANSWER QUERIES with a silently-nulled embedding), or
+    * one over-dropped clean one, breaks the hash.
+    */
+  val q169 = QueryDef.sql(
+    "q169_drift_enforced_ann_store",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+      |       FROM embeddings WHERE vec_id % 11 <> 0 AND vec_id % 7 <> 0)
+      |SELECT vec_id, CAST(len(emb) AS INT) AS dim,
+      |       CAST(list_aggregate(list_transform(emb,
+      |              x -> CAST(floor(x * 1000000.0) AS BIGINT)), 'sum')
+      |            AS BIGINT) AS emb_fp,
+      |       TRUE AS cell_ok
+      |FROM e""".stripMargin) { (spark, dir) =>
+    val cents = MandateQueries.ivfCentroidsFor(spark, dir)
+    val url = q169Drive(spark, dir)
+    spark.read.jdbc(url, "postings_q169", new java.util.Properties())
+      .select(col("vec_id").cast("long").as("vec_id"),
+        col("cell").cast("int").as("cell"),
+        from_json(col("emb_json"), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)).as("emb"))
+      .select(col("vec_id"), size(col("emb")).as("dim"),
+        aggregate(transform(col("emb"),
+            x => floor(x.cast("double") * lit(1000000.0d))),
+          lit(0L), (a, x) => a + x).as("emb_fp"),
+        (col("cell") === VectorSearch.nearestCell(col("emb"), cents))
+          .as("cell_ok"))
+  }
+
+  /** Q170: the ANN DRIFT DEAD LETTERS under the oracle gate — q166's
+    * contract on the gate kinds: every event q169's gate withheld is
+    * durably queryable under `_drift`, tagged, carrying the RAW wire
+    * payload (the typed parse nulls exactly these rows — the operator
+    * repairing drift needs the original bytes, and the kind-agnostic
+    * `Serve replay drift` verb re-injects those bytes once the conf's
+    * schema evolves). The oracle restates the withheld set and its
+    * tags from the key arithmetic; q169's store plus these dead
+    * letters partition the wire — nothing silently lost (S6).
+    */
+  val q170 = QueryDef.sql(
+    "q170_ann_drift_dead_letters",
+    """SELECT 'drift_badtype' AS violated, vec_id
+      |FROM embeddings WHERE vec_id % 11 = 0
+      |UNION ALL
+      |SELECT 'drift_newcols', vec_id
+      |FROM embeddings WHERE vec_id % 11 <> 0 AND vec_id % 7 = 0"""
+      .stripMargin) { (spark, dir) =>
+    import graft.streaming.PipelineMetrics
+    q169Drive(spark, dir) // share q169's drive (memoized)
+    PipelineMetrics.driftDeadLetters(spark, s"${q169Base(spark, dir)}/dead")
+      .filter(col("pipeline") === "q169")
+      .select(col("violated"),
+        get_json_object(col("row_json"), "$.vec_id").cast("bigint")
+          .as("vec_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(q41, q42, q43, q44, q45, q47, q48, q49,
     q54, q57, q60, q62, q63, q64, q68, q69, q74, q76, q80, q81, q83, q90, q91,
     q94, q98, q122, q125, q127, q128, q129, q130, q131, q133, q134, q135,
     q136, q137, q138, q139, q140, q141, q142, q144, q145, q146, q147, q148,
     q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160,
-    q161, q162, q163, q164, q165, q166, q167, q168)
+    q161, q162, q163, q164, q165, q166, q167, q168, q169, q170)
 }

@@ -103,13 +103,24 @@ final case class AnnServingPipeline(
     metrics: Option[PipelineMetrics.Target] = None,
     esMirror: Option[EsTarget] = None,
     deadLetterDir: Option[String] = None,
-    expectations: Seq[graft.ops.Profile.Rule] = Nil) {
+    expectations: Seq[graft.ops.Profile.Rule] = Nil,
+    driftCheck: Boolean = false,
+    driftPolicy: Option[CdcPipeline.DriftPolicy] = None) {
 
   graft.ops.Profile.requireEnforceable("ann", name, expectations,
     metrics, deadLetterDir)
 
   private val rowSchema: StructType =
     StructType.fromDDL(s"$idField BIGINT, $vectorField ARRAY<FLOAT>")
+
+  /** Drift monitoring/enforcement over the raw wire BEFORE the table
+    * log — a drifting embeddings wire (non-numeric vector element,
+    * undeclared field) must never corrupt the postings silently
+    * ([[DriftGate]]; the ctor requires validate metrics/dlDir).
+    */
+  private val driftGate = DriftGate(name, "ann", databases, table,
+    rowSchema, driftCheck, driftPolicy, metrics, deadLetterDir)
+  private def judgedBase(workRoot: String) = s"$workRoot/judged"
 
   private def logDir(workRoot: String) = s"$workRoot/log"
   private def ckptDir(workRoot: String, stage: String) = s"$workRoot/ckpt_$stage"
@@ -157,8 +168,12 @@ final case class AnnServingPipeline(
 
   private def logQuery(spark: SparkSession, feedDir: String,
       workRoot: String, trigger: Trigger): StreamingQuery = {
-    val deltas = DeltaLog.deltaStream(spark, feedDir, table, rowSchema,
-      coalesce(col(s"after.$idField"), col(s"before.$idField")).cast("long"),
+    val keyExpr =
+      coalesce(col(s"after.$idField"), col(s"before.$idField")).cast("long")
+    val deltas = if (driftGate.enabled)
+      DeltaLog.deltaStreamFromJudged(spark, judgedBase(workRoot), rowSchema,
+        keyExpr)
+    else DeltaLog.deltaStream(spark, feedDir, table, rowSchema, keyExpr,
       databases)
     val dir = logDir(workRoot)
     deltas.writeStream
@@ -558,6 +573,12 @@ final case class AnnServingPipeline(
         new graft.sinks.EsSink.HttpTransport): Unit = {
     Files.createDirectories(Paths.get(logDir(workRoot)))
     ensureQuantizer(workRoot)
+    if (driftGate.enabled) {
+      Files.createDirectories(Paths.get(s"${judgedBase(workRoot)}/log"))
+      driftGate.query(spark, feedDir, judgedBase(workRoot),
+        ckptDir(workRoot, "gate"), Trigger.AvailableNow())
+        .awaitTermination()
+    }
     logQuery(spark, feedDir, workRoot, Trigger.AvailableNow())
       .awaitTermination()
     indexQuery(spark, workRoot, Trigger.AvailableNow(), esTransport)
@@ -575,7 +596,12 @@ final case class AnnServingPipeline(
     val t = Trigger.ProcessingTime(interval)
     Files.createDirectories(Paths.get(logDir(workRoot)))
     ensureQuantizer(workRoot)
-    Seq(logQuery(spark, feedDir, workRoot, t),
+    val gateQ = if (!driftGate.enabled) Nil else {
+      Files.createDirectories(Paths.get(s"${judgedBase(workRoot)}/log"))
+      Seq(driftGate.query(spark, feedDir, judgedBase(workRoot),
+        ckptDir(workRoot, "gate"), t))
+    }
+    gateQ ++ Seq(logQuery(spark, feedDir, workRoot, t),
       indexQuery(spark, workRoot, t, esTransport))
   }
 }

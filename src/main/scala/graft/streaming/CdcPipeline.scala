@@ -262,15 +262,8 @@ final case class CdcPipeline(
     // replays the batch once the conf's schema (or the wire) is fixed.
     // This is the declarative analog of the reference's DDL-event drop
     // (R7): schema change quarantines instead of silently serving.
-    for (p <- driftPolicy if p.action == graft.ops.Profile.Halt;
-         d <- drift) {
-      if (d.newCols > p.newColsBudget)
-        throw new graft.ops.Profile.HaltException(name, batchId,
-          "drift_newcols", d.newCols, p.newColsBudget)
-      if (d.rowsBadtype > p.badTypeRowsBudget)
-        throw new graft.ops.Profile.HaltException(name, batchId,
-          "drift_badtype", d.rowsBadtype, p.badTypeRowsBudget)
-    }
+    for (p <- driftPolicy; d <- drift)
+      Drift.haltOnBreach(p, d, name, batchId)
     // a Drop policy needs the winner's RAW wire value to re-judge the
     // fields the typed struct already smoothed over — carry it through
     // the LWW collapse only when the policy asks
@@ -329,68 +322,11 @@ final case class CdcPipeline(
     * the serving-path monitor. Two aggregate jobs over the pinned
     * batch; skipped entirely unless `driftCheck` is on.
     */
-  /** The raw after payload of a wire value — both envelope shapes. */
-  private def rawAfter(value: org.apache.spark.sql.Column) = coalesce(
-    get_json_object(value, "$.payload.after"),
-    get_json_object(value, "$.after"))
-
-  /** Undeclared payload field names of a raw after payload. */
-  private def newFieldsOf(aj: org.apache.spark.sql.Column) =
-    array_except(json_object_keys(aj),
-      typedlit(rowSchema.fieldNames.toSeq))
-
-  /** true iff ANY declared field's raw value fails its declared type —
-    * try_cast, not cast: ANSI mode throws on the malformed value this
-    * monitor exists to OBSERVE, not die on.
-    */
-  private def anyBadTypeOf(aj: org.apache.spark.sql.Column) =
-    rowSchema.fields.toSeq.map { f =>
-      get_json_object(aj, s"$$.${f.name}").isNotNull &&
-        get_json_object(aj, s"$$.${f.name}").try_cast(f.dataType).isNull
-    }.reduce(_ || _)
-
   private def recordSchemaDrift(src: DataFrame,
       batchId: Long): Option[CdcPipeline.DriftVerdict] =
     if (!driftOn) None
-    else metrics.map { m =>
-      val names = rowSchema.fieldNames.toSeq
-      val base = src.filter(col("op") =!= "d")
-        .select(rawAfter(col("value")).as("aj")).filter(col("aj").isNotNull)
-        .select(col("aj"), newFieldsOf(col("aj")).as("newfs"))
-      val tcFlags = rowSchema.fields.toSeq.map { f =>
-        (get_json_object(col("aj"), s"$$.${f.name}").isNotNull &&
-          get_json_object(col("aj"), s"$$.${f.name}")
-            .try_cast(f.dataType).isNull)
-          .as(s"tc_${f.name}")
-      }
-      val agg = base
-        .select((col("newfs") +: (size(col("newfs")) > 0).as("has_new") +:
-          tcFlags): _*)
-        .agg(sum(when(col("has_new"), 1L).otherwise(0L)).as("rows_new"),
-          (sum(when(names.map(n => col(s"tc_$n")).reduce(_ || _), 1L)
-            .otherwise(0L)).as("rows_badtype") +:
-            names.map(n =>
-              max(when(col(s"tc_$n"), 1L).otherwise(0L)).as(s"any_$n"))): _*)
-        .collect().headOption
-      val newNames = base.select(explode(col("newfs")).as("f"))
-        .distinct().orderBy(col("f"))
-        .collect().map(_.getString(0)).toSeq
-      val (rowsNew, rowsBad, changed) = agg match {
-        case Some(r) => (
-          Option(r.getAs[Any]("rows_new")).fold(0L)(_.asInstanceOf[Long]),
-          Option(r.getAs[Any]("rows_badtype")).fold(0L)(_.asInstanceOf[Long]),
-          names.filter(n =>
-            Option(r.getAs[Any](s"any_$n")).fold(0L)(_.asInstanceOf[Long]) > 0))
-        case None => (0L, 0L, Seq.empty[String])
-      }
-      PipelineMetrics.recordDrift(m, name, batchId,
-        newCols = newNames.size.toLong, typeChanges = changed.size.toLong,
-        rowsNew = rowsNew, rowsBadtype = rowsBad,
-        newColNames = newNames.mkString(","),
-        changedNames = changed.mkString(","))
-      CdcPipeline.DriftVerdict(newNames.size.toLong, changed.size.toLong,
-        rowsNew, rowsBad)
-    }
+    else metrics.map(m =>
+      Drift.recordSchemaDrift(src, rowSchema, name, batchId, m))
 
   /** DROP-action drift enforcement over the batch's upsert WINNERS (the
     * rows that would actually serve): a winner whose raw payload fails
@@ -417,10 +353,10 @@ final case class CdcPipeline(
     val newColsBreached = d.newCols > p.newColsBudget
     if (d.rowsBadtype == 0L && !(newColsBreached && d.rowsNew > 0L))
       return upsertWinners
-    val aj = rawAfter(col("w.value"))
+    val aj = Drift.rawAfter(col("w.value"))
     val tagged = upsertWinners.withColumn("__viol", array_compact(array(
-      when(anyBadTypeOf(aj), lit("drift_badtype")),
-      if (newColsBreached) when(size(newFieldsOf(aj)) > 0,
+      when(Drift.anyBadTypeOf(aj, rowSchema), lit("drift_badtype")),
+      if (newColsBreached) when(size(Drift.newFieldsOf(aj, rowSchema)) > 0,
         lit("drift_newcols")) else lit(null).cast("string"))))
       .localCheckpoint(true)
     val viol = tagged.filter(size(col("__viol")) > 0)

@@ -80,13 +80,20 @@ final case class DedupClusterPipeline(
     deadLetterDir: Option[String] = None,
     verifyThreshold: Option[Double] = None,
     metrics: Option[PipelineMetrics.Target] = None,
-    expectations: Seq[graft.ops.Profile.Rule] = Nil) {
+    expectations: Seq[graft.ops.Profile.Rule] = Nil,
+    driftCheck: Boolean = false,
+    driftPolicy: Option[CdcPipeline.DriftPolicy] = None) {
 
   graft.ops.Profile.requireEnforceable("dedup", name, expectations,
     metrics, deadLetterDir)
 
   private val rowSchema: StructType =
     StructType.fromDDL(s"$idField BIGINT, $textField STRING")
+
+  /** Drift gate over the raw wire BEFORE the doc log ([[DriftGate]]). */
+  private val driftGate = DriftGate(name, "dedup", databases, table,
+    rowSchema, driftCheck, driftPolicy, metrics, deadLetterDir)
+  private def judgedBase(workRoot: String) = s"$workRoot/judged"
 
   private def docLogDir(workRoot: String) = s"$workRoot/log_docs"
   private def pairLogDir(workRoot: String) = s"$workRoot/log_pairs"
@@ -143,8 +150,12 @@ final case class DedupClusterPipeline(
 
   private def docLogQuery(spark: SparkSession, feedDir: String,
       workRoot: String, trigger: Trigger): StreamingQuery = {
-    val deltas = DeltaLog.deltaStream(spark, feedDir, table, rowSchema,
-      coalesce(col(s"after.$idField"), col(s"before.$idField")).cast("long"),
+    val keyExpr =
+      coalesce(col(s"after.$idField"), col(s"before.$idField")).cast("long")
+    val deltas = if (driftGate.enabled)
+      DeltaLog.deltaStreamFromJudged(spark, judgedBase(workRoot), rowSchema,
+        keyExpr)
+    else DeltaLog.deltaStream(spark, feedDir, table, rowSchema, keyExpr,
       databases)
     val dir = docLogDir(workRoot)
     deltas.writeStream
@@ -491,6 +502,12 @@ final case class DedupClusterPipeline(
         new graft.sinks.EsSink.HttpTransport): Unit = {
     Files.createDirectories(Paths.get(docLogDir(workRoot)))
     Files.createDirectories(Paths.get(pairLogDir(workRoot)))
+    if (driftGate.enabled) {
+      Files.createDirectories(Paths.get(s"${judgedBase(workRoot)}/log"))
+      driftGate.query(spark, feedDir, judgedBase(workRoot),
+        ckptDir(workRoot, "gate"), Trigger.AvailableNow())
+        .awaitTermination()
+    }
     docLogQuery(spark, feedDir, workRoot, Trigger.AvailableNow())
       .awaitTermination()
     pairLogQuery(spark, workRoot, Trigger.AvailableNow()).awaitTermination()
@@ -506,7 +523,12 @@ final case class DedupClusterPipeline(
     val t = Trigger.ProcessingTime(interval)
     Files.createDirectories(Paths.get(docLogDir(workRoot)))
     Files.createDirectories(Paths.get(pairLogDir(workRoot)))
-    Seq(docLogQuery(spark, feedDir, workRoot, t),
+    val gateQ = if (!driftGate.enabled) Nil else {
+      Files.createDirectories(Paths.get(s"${judgedBase(workRoot)}/log"))
+      Seq(driftGate.query(spark, feedDir, judgedBase(workRoot),
+        ckptDir(workRoot, "gate"), t))
+    }
+    gateQ ++ Seq(docLogQuery(spark, feedDir, workRoot, t),
       pairLogQuery(spark, workRoot, t),
       clusterQuery(spark, workRoot, t, esTransport))
   }

@@ -407,7 +407,8 @@ object PipelineMetrics {
   private def requireDeadLetterKind(spark: org.apache.spark.sql.SparkSession,
       deadLetterDir: String, subtree: String, safe: String,
       expected: String): Unit =
-    deadLetterKind(spark, deadLetterDir, subtree, safe).foreach { k =>
+    if (expected.isEmpty) () // kind-agnostic subtree (_drift: raw wire)
+    else deadLetterKind(spark, deadLetterDir, subtree, safe).foreach { k =>
       require(k == expected,
         s"replay: pipeline '$safe' $subtree dead letters were written by " +
           s"a '$k' pipeline, not '$expected' — " + (k match {
@@ -566,8 +567,13 @@ object PipelineMetrics {
       deadLetterDir: String, subtree: String, pipeline: String, db: String,
       table: String, sourceDir: String, tsMs: Long,
       batchIds: Seq[Long]): Long =
+    // `_expect` dead letters are kind-shaped (derived rows for the
+    // non-lww kinds — the marker fences them to the keyed verb); the
+    // `_drift` subtree carries the RAW wire payload in EVERY kind
+    // (CdcPipeline.applyDriftDrop and DriftGate both write it), so the
+    // drift replay is kind-agnostic — no fence
     replayWire(spark, deadLetterDir, subtree, pipeline, db, table, sourceDir,
-      tsMs, batchIds, "lww", identity)
+      tsMs, batchIds, if (subtree == "_drift") "" else "lww", identity)
 
   /** The kind-generic crash-safe publication core: [[replayFrom]] with a
     * `toWire` hook that reshapes the PINNED dead-letter frame

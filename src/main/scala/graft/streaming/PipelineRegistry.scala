@@ -311,6 +311,55 @@ object PipelineRegistry {
     rules
   }
 
+  /** Conf-declared schema-drift monitoring/enforcement, shared by ALL
+    * FIVE kinds (R7's streaming analog — r12 parsed it for lww only; a
+    * drifting embeddings or fact/dim wire was invisible to the other
+    * kinds' stores):
+    * {{{
+    *   "driftCheck": true,
+    *   "driftPolicy": { "newColsBudget": 0, "badTypeRowsBudget": 0,
+    *                    "action": "drop" }
+    * }}}
+    * Same invariants as expectations (register-at-boot, S3): a verdict
+    * needs a metrics store, a Drop needs a deadLetterDir, and the
+    * `_drift` verdict table is ensured at load.
+    */
+  private def parseDrift(f: File,
+      node: com.fasterxml.jackson.databind.JsonNode,
+      dlDir: Option[String],
+      metricsTarget: Option[PipelineMetrics.Target])
+      : (Boolean, Option[CdcPipeline.DriftPolicy]) = {
+    val drift = node.hasNonNull("driftCheck") &&
+      node.get("driftCheck").asBoolean()
+    val driftPol = if (!node.hasNonNull("driftPolicy")) None else {
+      val p = node.get("driftPolicy")
+      val action =
+        if (!p.hasNonNull("action")) graft.ops.Profile.Warn
+        else p.get("action").asText() match {
+          case "warn" => graft.ops.Profile.Warn
+          case "drop" => graft.ops.Profile.Drop
+          case "halt" => graft.ops.Profile.Halt
+          case other => throw new IllegalArgumentException(
+            s"${f.getName}: unknown driftPolicy action '$other' " +
+              "(expected warn, drop or halt)")
+        }
+      require(action != graft.ops.Profile.Drop || dlDir.isDefined,
+        s"${f.getName}: a drop-action driftPolicy needs a deadLetterDir")
+      Some(CdcPipeline.DriftPolicy(
+        newColsBudget = if (p.hasNonNull("newColsBudget"))
+          p.get("newColsBudget").asLong() else Long.MaxValue,
+        badTypeRowsBudget = if (p.hasNonNull("badTypeRowsBudget"))
+          p.get("badTypeRowsBudget").asLong() else Long.MaxValue,
+        action = action))
+    }
+    if (drift || driftPol.isDefined) {
+      require(metricsTarget.isDefined,
+        s"${f.getName}: driftCheck needs a metrics target to record into")
+      metricsTarget.foreach(PipelineMetrics.ensureDriftTable)
+    }
+    (drift, driftPol)
+  }
+
   /** Validate a conf's declared pipeline name at registration: the
     * name keys metrics rows, verdict rows, query names AND dead-letter
     * partition paths, so it must be the path-safe charset — otherwise
@@ -381,39 +430,7 @@ object PipelineRegistry {
         // two-step build: the ctor validates the transform (file-named),
         // so the OUTGOING document schema — what expectations must
         // resolve against — is computable before the rules parse
-        // optional per-batch schema-drift monitoring (R7's streaming
-        // analog); its verdict table is ensured at load (S3)
-        val drift = node.hasNonNull("driftCheck") &&
-          node.get("driftCheck").asBoolean()
-        // optional drift ESCALATION (`"driftPolicy": {"newColsBudget": 0,
-        // "badTypeRowsBudget": 0, "action": "drop"}`) — the enforcement
-        // half of the monitor, same action vocabulary as expectations
-        val driftPol = if (!node.hasNonNull("driftPolicy")) None else {
-          val p = node.get("driftPolicy")
-          val action =
-            if (!p.hasNonNull("action")) graft.ops.Profile.Warn
-            else p.get("action").asText() match {
-              case "warn" => graft.ops.Profile.Warn
-              case "drop" => graft.ops.Profile.Drop
-              case "halt" => graft.ops.Profile.Halt
-              case other => throw new IllegalArgumentException(
-                s"${f.getName}: unknown driftPolicy action '$other' " +
-                  "(expected warn, drop or halt)")
-            }
-          require(action != graft.ops.Profile.Drop || dlDir.isDefined,
-            s"${f.getName}: a drop-action driftPolicy needs a deadLetterDir")
-          Some(CdcPipeline.DriftPolicy(
-            newColsBudget = if (p.hasNonNull("newColsBudget"))
-              p.get("newColsBudget").asLong() else Long.MaxValue,
-            badTypeRowsBudget = if (p.hasNonNull("badTypeRowsBudget"))
-              p.get("badTypeRowsBudget").asLong() else Long.MaxValue,
-            action = action))
-        }
-        if (drift || driftPol.isDefined) {
-          require(metricsTarget.isDefined,
-            s"${f.getName}: driftCheck needs a metrics target to record into")
-          metricsTarget.foreach(PipelineMetrics.ensureDriftTable)
-        }
+        val (drift, driftPol) = parseDrift(f, node, dlDir, metricsTarget)
         val pipeline0 = named(f)(CdcPipeline(
           name = validName(f, node),
           subscription = Subscription(strSet("databases"), strSet("tables")),
@@ -514,6 +531,7 @@ object PipelineRegistry {
           else Set("shop")
         val dlDir = if (node.hasNonNull("deadLetterDir"))
           Some(node.get("deadLetterDir").asText()) else None
+        val (vDrift, vDriftPol) = parseDrift(f, node, dlDir, viewMetrics)
         // two-step build (the lww precedent): ctor validates the
         // transform, then expectations resolve against the
         // POST-TRANSFORM flattened serving row a consumer reads
@@ -528,7 +546,8 @@ object PipelineRegistry {
           target = tgt,
           deadLetterDir = dlDir,
           exprTransform = parseTransform(f, node),
-          metrics = viewMetrics))
+          metrics = viewMetrics,
+          driftCheck = vDrift, driftPolicy = vDriftPol))
         val servingSchema =
           SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
             .map(pipeline0.servingRowSchema)
@@ -594,6 +613,7 @@ object PipelineRegistry {
         val annMetrics = parseMetrics(f, node)
         val annDlDir = if (node.hasNonNull("deadLetterDir"))
           Some(node.get("deadLetterDir").asText()) else None
+        val (annDrift, annDriftPol) = parseDrift(f, node, annDlDir, annMetrics)
         val pipeline = AnnServingPipeline(
           name = validName(f, node),
           databases = dbs,
@@ -631,7 +651,8 @@ object PipelineRegistry {
                 if (es.hasNonNull("username")) es.get("username").asText() else "",
                 if (es.hasNonNull("password")) es.get("password").asText() else ""))
             },
-          deadLetterDir = annDlDir)
+          deadLetterDir = annDlDir,
+          driftCheck = annDrift, driftPolicy = annDriftPol)
         Some(AnnEntry(pipeline, f.getAbsolutePath, f.lastModified()))
       }
     }}
@@ -688,6 +709,8 @@ object PipelineRegistry {
         val dedupMetrics = parseMetrics(f, node)
         val dedupDlDir = if (node.hasNonNull("deadLetterDir"))
           Some(node.get("deadLetterDir").asText()) else None
+        val (ddDrift, ddDriftPol) = parseDrift(f, node, dedupDlDir,
+          dedupMetrics)
         val pipeline = DedupClusterPipeline(
           name = validName(f, node),
           databases = dbs,
@@ -707,7 +730,8 @@ object PipelineRegistry {
           expectations = parseExpectationsWithStore(f, node,
             StructType.fromDDL(s"${node.get("idKey").asText()} BIGINT, " +
               "cluster_id BIGINT, is_canonical BOOLEAN"),
-            dedupMetrics, dedupDlDir))
+            dedupMetrics, dedupDlDir),
+          driftCheck = ddDrift, driftPolicy = ddDriftPol)
         Some(DedupEntry(pipeline, f.getAbsolutePath, f.lastModified()))
       }
     }}
@@ -750,6 +774,8 @@ object PipelineRegistry {
         val searchMetrics = parseMetrics(f, node)
         val searchDlDir = if (node.hasNonNull("deadLetterDir"))
           Some(node.get("deadLetterDir").asText()) else None
+        val (sDrift, sDriftPol) = parseDrift(f, node, searchDlDir,
+          searchMetrics)
         val pipeline = SearchServingPipeline(
           name = validName(f, node),
           databases = dbs,
@@ -766,7 +792,8 @@ object PipelineRegistry {
           expectations = parseExpectationsWithStore(f, node,
             StructType.fromDDL("token STRING, doc_id BIGINT, tf BIGINT"),
             searchMetrics, searchDlDir),
-          deadLetterDir = searchDlDir)
+          deadLetterDir = searchDlDir,
+          driftCheck = sDrift, driftPolicy = sDriftPol)
         Some(SearchEntry(pipeline, f.getAbsolutePath, f.lastModified()))
       }
     }}

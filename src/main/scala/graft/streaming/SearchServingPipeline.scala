@@ -57,7 +57,9 @@ final case class SearchServingPipeline(
     b: Double = 0.75,
     metrics: Option[PipelineMetrics.Target] = None,
     expectations: Seq[graft.ops.Profile.Rule] = Nil,
-    deadLetterDir: Option[String] = None) {
+    deadLetterDir: Option[String] = None,
+    driftCheck: Boolean = false,
+    driftPolicy: Option[CdcPipeline.DriftPolicy] = None) {
 
   graft.ops.Profile.requireEnforceable("search", name, expectations,
     metrics, deadLetterDir)
@@ -71,6 +73,16 @@ final case class SearchServingPipeline(
 
   private val rowSchema: StructType =
     StructType.fromDDL(s"$idField BIGINT, $textField STRING")
+
+  /** Drift gate over the raw wire BEFORE the table log ([[DriftGate]]):
+    * a drifted doc event withheld here never contributes ± postings, so
+    * the additive sums stay coherent — unlike `_expect` enforcement,
+    * drift dead letters are RAW WIRE and feed-replay cleanly once the
+    * conf's schema evolves.
+    */
+  private val driftGate = DriftGate(name, "search", databases, table,
+    rowSchema, driftCheck, driftPolicy, metrics, deadLetterDir)
+  private def judgedBase(workRoot: String) = s"$workRoot/judged"
 
   private def logDir(workRoot: String) = s"$workRoot/log"
   private def ckptDir(workRoot: String, stage: String) = s"$workRoot/ckpt_$stage"
@@ -131,8 +143,12 @@ final case class SearchServingPipeline(
 
   private def logQuery(spark: SparkSession, feedDir: String,
       workRoot: String, trigger: Trigger): StreamingQuery = {
-    val deltas = DeltaLog.deltaStream(spark, feedDir, table, rowSchema,
-      coalesce(col(s"after.$idField"), col(s"before.$idField")).cast("long"),
+    val keyExpr =
+      coalesce(col(s"after.$idField"), col(s"before.$idField")).cast("long")
+    val deltas = if (driftGate.enabled)
+      DeltaLog.deltaStreamFromJudged(spark, judgedBase(workRoot), rowSchema,
+        keyExpr)
+    else DeltaLog.deltaStream(spark, feedDir, table, rowSchema, keyExpr,
       databases)
     val dir = logDir(workRoot)
     deltas.writeStream
@@ -239,6 +255,12 @@ final case class SearchServingPipeline(
   def runOnce(spark: SparkSession, feedDir: String, workRoot: String): Unit = {
     Files.createDirectories(Paths.get(logDir(workRoot)))
     clearStaleProgressIfFresh(workRoot)
+    if (driftGate.enabled) {
+      Files.createDirectories(Paths.get(s"${judgedBase(workRoot)}/log"))
+      driftGate.query(spark, feedDir, judgedBase(workRoot),
+        ckptDir(workRoot, "gate"), Trigger.AvailableNow())
+        .awaitTermination()
+    }
     logQuery(spark, feedDir, workRoot, Trigger.AvailableNow())
       .awaitTermination()
     indexQuery(spark, workRoot, Trigger.AvailableNow()).awaitTermination()
@@ -250,7 +272,12 @@ final case class SearchServingPipeline(
     val t = Trigger.ProcessingTime(interval)
     Files.createDirectories(Paths.get(logDir(workRoot)))
     clearStaleProgressIfFresh(workRoot)
-    Seq(logQuery(spark, feedDir, workRoot, t),
+    val gateQ = if (!driftGate.enabled) Nil else {
+      Files.createDirectories(Paths.get(s"${judgedBase(workRoot)}/log"))
+      Seq(driftGate.query(spark, feedDir, judgedBase(workRoot),
+        ckptDir(workRoot, "gate"), t))
+    }
+    gateQ ++ Seq(logQuery(spark, feedDir, workRoot, t),
       indexQuery(spark, workRoot, t))
   }
 }

@@ -70,10 +70,27 @@ final case class ViewPipeline(
     compactEvery: Int = 32,
     exprTransform: Option[ExprTransform] = None,
     metrics: Option[PipelineMetrics.Target] = None,
-    expectations: Seq[graft.ops.Profile.Rule] = Nil) {
+    expectations: Seq[graft.ops.Profile.Rule] = Nil,
+    driftCheck: Boolean = false,
+    driftPolicy: Option[CdcPipeline.DriftPolicy] = None) {
 
   graft.ops.Profile.requireEnforceable("view", name, expectations,
     metrics, deadLetterDir)
+
+  /** Drift gates over the raw wire BEFORE each side's table log
+    * ([[DriftGate]]): a drifting fact OR dim wire corrupts the join
+    * state silently without them. One conf-declared policy covers both
+    * sides; verdicts and `_drift` dead letters are tagged per side
+    * (`<name>.fact` / `<name>.dim`) so a drift replay re-injects under
+    * the right table.
+    */
+  private def sideGate(side: String, table: String, schema: StructType) =
+    DriftGate(s"$name.$side", "view", databases, table, schema,
+      driftCheck, driftPolicy, metrics, deadLetterDir)
+  private val factGate = sideGate("fact", factTable, factSchema)
+  private val dimGate = sideGate("dim", dimTable, dimSchema)
+  private def judgedBase(workRoot: String, side: String) =
+    s"$workRoot/judged_$side"
   require(factSchema.fieldNames.toSet.intersect(dimSchema.fieldNames.toSet).isEmpty,
     s"view $name: fact and dim schemas share field names — the serving " +
       "table flattens both sides, so names must not collide")
@@ -133,8 +150,12 @@ final case class ViewPipeline(
   private def logQuery(spark: SparkSession, feedDir: String, workRoot: String,
       side: String, table: String, schema: StructType, idField: String,
       trigger: Trigger): StreamingQuery = {
-    val deltas = DeltaLog.deltaStream(spark, feedDir, table, schema,
-      coalesce(col(s"after.$idField"), col(s"before.$idField")).cast("long"),
+    val keyExpr =
+      coalesce(col(s"after.$idField"), col(s"before.$idField")).cast("long")
+    val deltas = if (factGate.enabled)
+      DeltaLog.deltaStreamFromJudged(spark, judgedBase(workRoot, side),
+        schema, keyExpr)
+    else DeltaLog.deltaStream(spark, feedDir, table, schema, keyExpr,
       databases)
     val base = logBase(workRoot, side)
     deltas.writeStream
@@ -364,6 +385,12 @@ final case class ViewPipeline(
     ()
   }
 
+  private def seedJudgedDirs(workRoot: String): Unit = {
+    Files.createDirectories(Paths.get(s"${judgedBase(workRoot, "fact")}/log"))
+    Files.createDirectories(Paths.get(s"${judgedBase(workRoot, "dim")}/log"))
+    ()
+  }
+
   /** Run every stage to completion over the feed's CURRENT contents.
     * Safe to call repeatedly; each call processes only data that arrived
     * since the last one (durable checkpoints at every stage).
@@ -372,6 +399,15 @@ final case class ViewPipeline(
       esTransport: graft.sinks.EsSink.Transport =
         new graft.sinks.EsSink.HttpTransport): Unit = {
     seedLogDirs(workRoot)
+    if (factGate.enabled) {
+      seedJudgedDirs(workRoot)
+      factGate.query(spark, feedDir, judgedBase(workRoot, "fact"),
+        ckptDir(workRoot, "gate_fact"), Trigger.AvailableNow())
+        .awaitTermination()
+      dimGate.query(spark, feedDir, judgedBase(workRoot, "dim"),
+        ckptDir(workRoot, "gate_dim"), Trigger.AvailableNow())
+        .awaitTermination()
+    }
     logQuery(spark, feedDir, workRoot, "fact", factTable, factSchema,
       factIdField, Trigger.AvailableNow()).awaitTermination()
     logQuery(spark, feedDir, workRoot, "dim", dimTable, dimSchema,
@@ -423,7 +459,15 @@ final case class ViewPipeline(
         new graft.sinks.EsSink.HttpTransport): Seq[StreamingQuery] = {
     val t = Trigger.ProcessingTime(interval)
     seedLogDirs(workRoot)
-    Seq(
+    val gateQs = if (!factGate.enabled) Nil else {
+      seedJudgedDirs(workRoot)
+      Seq(
+        factGate.query(spark, feedDir, judgedBase(workRoot, "fact"),
+          ckptDir(workRoot, "gate_fact"), t),
+        dimGate.query(spark, feedDir, judgedBase(workRoot, "dim"),
+          ckptDir(workRoot, "gate_dim"), t))
+    }
+    gateQs ++ Seq(
       logQuery(spark, feedDir, workRoot, "fact", factTable, factSchema,
         factIdField, t),
       logQuery(spark, feedDir, workRoot, "dim", dimTable, dimSchema,

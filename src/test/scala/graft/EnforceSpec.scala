@@ -695,6 +695,47 @@ class EnforceSpec extends SparkSpec {
       && e2.getMessage.contains("escalate"), s"got: ${e2.getMessage}")
   }
 
+  test("registry: driftPolicy parses for the non-lww kinds too (drift parity); driftCheck without metrics dies naming the file") {
+    def conf(dir: java.io.File, fname: String, body: String): Unit =
+      Files.write(new java.io.File(dir, fname).toPath,
+        Seq(body.stripMargin.replace("\n", "")).asJava)
+    val good = Files.createTempDirectory("graft_enf_dpann_").toFile
+    conf(good, "a.json",
+      s"""{"kind":"ann","name":"dpann","databases":["shop"],
+         |"table":"embeddings","idKey":"vec_id","vectorField":"embedding",
+         |"centroids":[[1.0,0.0],[-1.0,0.0]],
+         |"jdbc":{"url":"$url","postingsTable":"dp_post"},
+         |"deadLetterDir":"/tmp/graft_enf_dpann_dl",
+         |"metrics":{"url":"$url","table":"enf_metrics"},
+         |"driftPolicy":{"newColsBudget":0,"action":"drop"}}""")
+    val ann = PipelineRegistry.loadAnn(good.toString)
+    val ap = ann.head.pipeline.driftPolicy.get
+    assert(ap.newColsBudget == 0L && ap.action == Profile.Drop)
+    conf(good, "v.json",
+      s"""{"kind":"view","name":"dpview","databases":["shop"],
+         |"fact":{"table":"orders","idKey":"o_orderkey","joinKey":"o_custkey",
+         |        "schema":"o_orderkey BIGINT, o_custkey BIGINT"},
+         |"dim":{"table":"customer","idKey":"c_custkey","joinKey":"c_custkey",
+         |       "schema":"c_custkey BIGINT, c_name STRING"},
+         |"jdbc":{"url":"$url","table":"dp_enr"},
+         |"metrics":{"url":"$url","table":"enf_metrics"},
+         |"driftCheck":true}""")
+    assert(PipelineRegistry.loadViews(good.toString).head.pipeline.driftCheck)
+    // the shared invariant holds on every kind: a monitor without a
+    // verdict store is silent monitoring — boot-time refusal (S3)
+    val bad = Files.createTempDirectory("graft_enf_dpdd_").toFile
+    conf(bad, "d.json",
+      """{"kind":"dedup","name":"dpdd","databases":["shop"],
+        |"table":"documents","idKey":"doc_id","textField":"text",
+        |"jdbc":{"url":"jdbc:derby:memory:dpdd;create=true",
+        |"clustersTable":"dp_cl"},
+        |"driftCheck":true}""")
+    val e = intercept[IllegalArgumentException](
+      PipelineRegistry.loadDedup(bad.toString))
+    assert(e.getMessage.contains("d.json")
+      && e.getMessage.contains("metrics"), s"got: ${e.getMessage}")
+  }
+
   test("view drop: a violating key-move replacement withholds the paired delete too — the store keeps its pre-batch row") {
     exec("""CREATE TABLE enf_kmv ("o_orderkey" BIGINT NOT NULL PRIMARY KEY,
       | "o_custkey" BIGINT, "o_total" DOUBLE,
