@@ -89,31 +89,41 @@ object Serve {
     * main so tests drive the identical arg contract without a session
     * boot. Returns the number of rows re-injected.
     */
+  /** Shared arg validators of the two replay verbs — one copy, so a
+    * contract fix cannot silently miss the other verb. Both fail as
+    * usage text BEFORE the SparkSession boots.
+    */
+  private def parseTsMs(verb: String, tsMs: String): Long = {
+    require(tsMs.nonEmpty && tsMs.forall(_.isDigit) &&
+        scala.util.Try(tsMs.toLong).isSuccess,
+      s"Serve $verb: tsMs must be an epoch-millis Long, got '$tsMs'")
+    tsMs.toLong
+  }
+
+  private def parseBatchIds(verb: String, args: Seq[String]): Seq[Long] =
+    if (args.length < 8) Nil
+    else args(7).split(",").map(_.trim).filter(_.nonEmpty).map { s =>
+      require(s.forall(_.isDigit),
+        s"Serve $verb: batchIds must be a comma-separated list of " +
+          s"batch numbers, got '${args(7)}'")
+      s.toLong
+    }.toSeq
+
   def runReplay(spark: SparkSession, args: Seq[String]): Long = {
     require(args.length >= 7,
       "usage: Serve replay <expect|drift> <deadLetterDir> <pipeline> " +
         "<db> <table> <sourceDir> <tsMs> [batchIds,csv]")
-    val Seq(kind, dlDir, pipeline, db, table, sourceDir, tsMs) = args.take(7)
-    // validate alongside the arity check — a malformed epoch must fail
-    // as usage text BEFORE the SparkSession boots, like every other arg
-    require(tsMs.nonEmpty && tsMs.forall(_.isDigit) &&
-        scala.util.Try(tsMs.toLong).isSuccess,
-      s"Serve replay: tsMs must be an epoch-millis Long, got '$tsMs'")
-    val batchIds = if (args.length >= 8)
-      args(7).split(",").map(_.trim).filter(_.nonEmpty).map { s =>
-        require(s.forall(_.isDigit),
-          s"Serve replay: batchIds must be a comma-separated list of " +
-            s"batch numbers, got '${args(7)}'")
-        s.toLong
-      }.toSeq
-    else Nil
+    val Seq(kind, dlDir, pipeline, db, table, sourceDir, tsMsArg) =
+      args.take(7)
+    val tsMs = parseTsMs("replay", tsMsArg)
+    val batchIds = parseBatchIds("replay", args)
     kind match {
       case "expect" => graft.streaming.PipelineMetrics
         .replayExpectDeadLetters(spark, dlDir, pipeline, db, table,
-          sourceDir, tsMs.toLong, batchIds)
+          sourceDir, tsMs, batchIds)
       case "drift" => graft.streaming.PipelineMetrics
         .replayDriftDeadLetters(spark, dlDir, pipeline, db, table,
-          sourceDir, tsMs.toLong, batchIds)
+          sourceDir, tsMs, batchIds)
       case other => throw new IllegalArgumentException(
         s"Serve replay: unknown dead-letter kind '$other' " +
           "(expected expect or drift)")
@@ -136,18 +146,10 @@ object Serve {
     require(args.length >= 7,
       "usage: Serve replay-keys <view|ann|dedup> <confDir> <name> " +
         "<workDir> <db> <sourceDir> <tsMs> [batchIds,csv]")
-    val Seq(kind, confDir, name, workDir, db, sourceDir, tsMs) = args.take(7)
-    require(tsMs.nonEmpty && tsMs.forall(_.isDigit) &&
-        scala.util.Try(tsMs.toLong).isSuccess,
-      s"Serve replay-keys: tsMs must be an epoch-millis Long, got '$tsMs'")
-    val batchIds = if (args.length >= 8)
-      args(7).split(",").map(_.trim).filter(_.nonEmpty).map { s =>
-        require(s.forall(_.isDigit),
-          s"Serve replay-keys: batchIds must be a comma-separated list " +
-            s"of batch numbers, got '${args(7)}'")
-        s.toLong
-      }.toSeq
-    else Nil
+    val Seq(kind, confDir, name, workDir, db, sourceDir, tsMsArg) =
+      args.take(7)
+    val tsMs = parseTsMs("replay-keys", tsMsArg)
+    val batchIds = parseBatchIds("replay-keys", args)
     def resolve[A](entries: Seq[A], nameOf: A => String): A = {
       val hit = entries.filter(e => nameOf(e) == name)
       require(hit.nonEmpty,
@@ -155,20 +157,35 @@ object Serve {
           s"(have: ${entries.map(nameOf).mkString(", ")})")
       hit.head
     }
+    // the verb resolves the conf precisely so replay runs through the
+    // FIXED registration unit — that must include the db: events
+    // published under a db outside the conf's subscription would be
+    // routed away while the dead letters still retire (silent loss)
+    def checkDb(dbs: Set[String]): Unit =
+      require(dbs.contains(db),
+        s"Serve replay-keys: db '$db' is not in conf '$name''s databases " +
+          s"${dbs.mkString("{", ", ", "}")} — the re-injected events would " +
+          "be routed away and the dead letters still retired")
     import graft.streaming.PipelineRegistry
     kind match {
       case "view" =>
-        resolve(PipelineRegistry.loadViews(confDir), (_: PipelineRegistry.ViewEntry).pipeline.name)
-          .pipeline.replayExpectDeadLetters(spark, workDir, sourceDir, db,
-            tsMs.toLong, batchIds)
+        val p = resolve(PipelineRegistry.loadViews(confDir),
+          (_: PipelineRegistry.ViewEntry).pipeline.name).pipeline
+        checkDb(p.databases)
+        p.replayExpectDeadLetters(spark, workDir, sourceDir, db, tsMs,
+          batchIds)
       case "ann" =>
-        resolve(PipelineRegistry.loadAnn(confDir), (_: PipelineRegistry.AnnEntry).pipeline.name)
-          .pipeline.replayExpectDeadLetters(spark, workDir, sourceDir, db,
-            tsMs.toLong, batchIds)
+        val p = resolve(PipelineRegistry.loadAnn(confDir),
+          (_: PipelineRegistry.AnnEntry).pipeline.name).pipeline
+        checkDb(p.databases)
+        p.replayExpectDeadLetters(spark, workDir, sourceDir, db, tsMs,
+          batchIds)
       case "dedup" =>
-        resolve(PipelineRegistry.loadDedup(confDir), (_: PipelineRegistry.DedupEntry).pipeline.name)
-          .pipeline.replayExpectDeadLetters(spark, workDir, sourceDir, db,
-            tsMs.toLong, batchIds)
+        val p = resolve(PipelineRegistry.loadDedup(confDir),
+          (_: PipelineRegistry.DedupEntry).pipeline.name).pipeline
+        checkDb(p.databases)
+        p.replayExpectDeadLetters(spark, workDir, sourceDir, db, tsMs,
+          batchIds)
       case "search" => throw new IllegalArgumentException(
         "Serve replay-keys: the search kind cannot feed-replay — its " +
           "additive store's drop verdicts are frozen for the store's " +

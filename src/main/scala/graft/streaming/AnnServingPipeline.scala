@@ -170,7 +170,7 @@ final case class AnnServingPipeline(
       workRoot: String, trigger: Trigger): StreamingQuery = {
     val keyExpr =
       coalesce(col(s"after.$idField"), col(s"before.$idField")).cast("long")
-    val deltas = if (driftGate.enabled)
+    val deltas = if (driftGate.reroutes)
       DeltaLog.deltaStreamFromJudged(spark, judgedBase(workRoot), rowSchema,
         keyExpr)
     else DeltaLog.deltaStream(spark, feedDir, table, rowSchema, keyExpr,
@@ -573,12 +573,8 @@ final case class AnnServingPipeline(
         new graft.sinks.EsSink.HttpTransport): Unit = {
     Files.createDirectories(Paths.get(logDir(workRoot)))
     ensureQuantizer(workRoot)
-    if (driftGate.enabled) {
-      Files.createDirectories(Paths.get(s"${judgedBase(workRoot)}/log"))
-      driftGate.query(spark, feedDir, judgedBase(workRoot),
-        ckptDir(workRoot, "gate"), Trigger.AvailableNow())
-        .awaitTermination()
-    }
+    driftGate.drainOnce(spark, feedDir, judgedBase(workRoot),
+      ckptDir(workRoot, "gate"))
     logQuery(spark, feedDir, workRoot, Trigger.AvailableNow())
       .awaitTermination()
     indexQuery(spark, workRoot, Trigger.AvailableNow(), esTransport)
@@ -596,12 +592,9 @@ final case class AnnServingPipeline(
     val t = Trigger.ProcessingTime(interval)
     Files.createDirectories(Paths.get(logDir(workRoot)))
     ensureQuantizer(workRoot)
-    val gateQ = if (!driftGate.enabled) Nil else {
-      Files.createDirectories(Paths.get(s"${judgedBase(workRoot)}/log"))
-      Seq(driftGate.query(spark, feedDir, judgedBase(workRoot),
-        ckptDir(workRoot, "gate"), t))
-    }
-    gateQ ++ Seq(logQuery(spark, feedDir, workRoot, t),
-      indexQuery(spark, workRoot, t, esTransport))
+    driftGate.startIfEnabled(spark, feedDir, judgedBase(workRoot),
+      ckptDir(workRoot, "gate"), t) ++
+      Seq(logQuery(spark, feedDir, workRoot, t),
+        indexQuery(spark, workRoot, t, esTransport))
   }
 }

@@ -152,7 +152,7 @@ final case class DedupClusterPipeline(
       workRoot: String, trigger: Trigger): StreamingQuery = {
     val keyExpr =
       coalesce(col(s"after.$idField"), col(s"before.$idField")).cast("long")
-    val deltas = if (driftGate.enabled)
+    val deltas = if (driftGate.reroutes)
       DeltaLog.deltaStreamFromJudged(spark, judgedBase(workRoot), rowSchema,
         keyExpr)
     else DeltaLog.deltaStream(spark, feedDir, table, rowSchema, keyExpr,
@@ -243,11 +243,19 @@ final case class DedupClusterPipeline(
           .agg(sum(col("delta")).cast("long").as("d"))
           .filter(col("d") =!= 0)
           .localCheckpoint(true)
-        // with verification on, a batch of PURE touch markers (doc
-        // churn that moved no shared bucket) still re-verifies — only
-        // the support algebra may skip on empty net
-        val act =
-          if (verifyThreshold.isDefined) !raw.isEmpty else !net.isEmpty
+        // churned docs this batch — the pair stage's (id, id, 0) touch
+        // markers (real LSH pairs never self-pair). They drive exact
+        // re-verification (below) AND label RE-EMISSION: a doc whose
+        // replay re-applied an identical text produces a marker-only
+        // batch, and its current label must re-serve so a store that
+        // diverged under enforcement Drop reconverges (the
+        // viewDeltaStreamOrdered emission-asymmetry argument)
+        val touchedDocs = raw.filter(col("id_a") === col("id_b"))
+          .select(col("id_a").as("doc_id")).distinct().localCheckpoint(true)
+        // any non-empty batch acts: pure-marker batches re-verify (with
+        // a threshold) and re-emit touched labels (every mode) — only a
+        // truly empty batch skips
+        val act = !raw.isEmpty
         if (act) {
           // pre-batch state: base + log strictly before THIS batch —
           // a replayed batch recomputes against exactly what it first
@@ -383,12 +391,23 @@ final case class DedupClusterPipeline(
                   col("id_b").as("doc_id_b")), retracted)
             }).localCheckpoint(true)
           // CHANGED rows only — the state-log append, the serving MERGE
-          // and the per-batch write cost are all churn-sized
-          val changed = labels1.join(
+          // and the per-batch write cost are all churn-sized — PLUS the
+          // touched docs' current labels even when unchanged: one
+          // store-addressed idempotent row each, and the re-emission is
+          // what lets a serving store that legitimately diverged
+          // (enforcement Drop withheld the row; the keyed replay
+          // re-injected the doc's unchanged truth) reconverge — without
+          // it the replay would be silently absorbed here
+          val diffChanged = labels1.join(
             labels0.select(col("doc_id"), col("cluster_id").as("prev_cl")),
             Seq("doc_id"), "left")
             .filter(col("prev_cl").isNull || col("prev_cl") =!= col("cluster_id"))
             .select(col("doc_id"), col("cluster_id"), col("is_canonical"))
+          val changed = diffChanged.unionByName(
+            labels1.join(touchedDocs, Seq("doc_id"), "left_semi")
+              .join(diffChanged.select(col("doc_id")), Seq("doc_id"),
+                "left_anti")
+              .select(col("doc_id"), col("cluster_id"), col("is_canonical")))
             .localCheckpoint(true)
           val dropped = labels0.join(labels1.select(col("doc_id")),
             Seq("doc_id"), "left_anti")
@@ -502,12 +521,8 @@ final case class DedupClusterPipeline(
         new graft.sinks.EsSink.HttpTransport): Unit = {
     Files.createDirectories(Paths.get(docLogDir(workRoot)))
     Files.createDirectories(Paths.get(pairLogDir(workRoot)))
-    if (driftGate.enabled) {
-      Files.createDirectories(Paths.get(s"${judgedBase(workRoot)}/log"))
-      driftGate.query(spark, feedDir, judgedBase(workRoot),
-        ckptDir(workRoot, "gate"), Trigger.AvailableNow())
-        .awaitTermination()
-    }
+    driftGate.drainOnce(spark, feedDir, judgedBase(workRoot),
+      ckptDir(workRoot, "gate"))
     docLogQuery(spark, feedDir, workRoot, Trigger.AvailableNow())
       .awaitTermination()
     pairLogQuery(spark, workRoot, Trigger.AvailableNow()).awaitTermination()
@@ -523,14 +538,11 @@ final case class DedupClusterPipeline(
     val t = Trigger.ProcessingTime(interval)
     Files.createDirectories(Paths.get(docLogDir(workRoot)))
     Files.createDirectories(Paths.get(pairLogDir(workRoot)))
-    val gateQ = if (!driftGate.enabled) Nil else {
-      Files.createDirectories(Paths.get(s"${judgedBase(workRoot)}/log"))
-      Seq(driftGate.query(spark, feedDir, judgedBase(workRoot),
-        ckptDir(workRoot, "gate"), t))
-    }
-    gateQ ++ Seq(docLogQuery(spark, feedDir, workRoot, t),
-      pairLogQuery(spark, workRoot, t),
-      clusterQuery(spark, workRoot, t, esTransport))
+    driftGate.startIfEnabled(spark, feedDir, judgedBase(workRoot),
+      ckptDir(workRoot, "gate"), t) ++
+      Seq(docLogQuery(spark, feedDir, workRoot, t),
+        pairLogQuery(spark, workRoot, t),
+        clusterQuery(spark, workRoot, t, esTransport))
   }
 
   /** The served clusters read back (JDBC targets — tests / operational

@@ -62,6 +62,19 @@ final case class DriftGate(
     deadLetterDir: Option[String]) {
 
   val enabled: Boolean = driftCheck || policy.isDefined
+  /** Whether the pipeline's log stage must consume the JUDGED log
+    * instead of the raw feed: only when the policy can actually
+    * withhold or quarantine (Drop/Halt). A monitor-only gate
+    * (driftCheck, or a Warn policy) records verdicts as a pass-through
+    * OBSERVER — no judged log, no duplicate feed on disk, and
+    * crucially no checkpoint-identity change: turning observability on
+    * must never force a store rebuild (the lww kind's driftCheck is
+    * likewise inline). Halt must reroute too: in a live deployment the
+    * log stage runs concurrently, and only a judged-log source freezes
+    * the store at the pre-breach batch when the gate quarantines.
+    */
+  val reroutes: Boolean =
+    policy.exists(_.action != graft.ops.Profile.Warn)
   require(!enabled || metrics.isDefined,
     s"pipeline $tag: driftCheck needs a metrics target to record into")
   require(!policy.exists(_.action == graft.ops.Profile.Drop)
@@ -135,9 +148,42 @@ final case class DriftGate(
             }
           case _ => src
         }
-        StateLog.appendBatch(clean.select(col("value"), col("offset")),
-          judgedBase, batchId)
+        if (reroutes)
+          StateLog.appendBatch(clean.select(col("value"), col("offset")),
+            judgedBase, batchId)
+        ()
       }
       .start()
   }
+
+  /** Drain the gate over the feed's current contents (no-op when the
+    * conf declares no drift) — the one shared boot block every
+    * pipeline kind's `runOnce` calls: seeds the judged log dir (only
+    * when rerouting — a file stream needs it to exist) and blocks
+    * until the feed is judged, so the log stage that runs next reads a
+    * complete judged log.
+    */
+  def drainOnce(spark: SparkSession, feedDir: String, judgedBase: String,
+      checkpointDir: String): Unit =
+    if (enabled) {
+      if (reroutes)
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(s"$judgedBase/log"))
+      query(spark, feedDir, judgedBase, checkpointDir,
+        Trigger.AvailableNow()).awaitTermination()
+    }
+
+  /** The live-deployment half of [[drainOnce]]: start the gate as a
+    * long-running query (empty when no drift is declared).
+    */
+  def startIfEnabled(spark: SparkSession, feedDir: String,
+      judgedBase: String, checkpointDir: String,
+      trigger: Trigger): Seq[StreamingQuery] =
+    if (!enabled) Nil
+    else {
+      if (reroutes)
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(s"$judgedBase/log"))
+      Seq(query(spark, feedDir, judgedBase, checkpointDir, trigger))
+    }
 }

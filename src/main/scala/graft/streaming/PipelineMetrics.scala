@@ -538,8 +538,21 @@ object PipelineMetrics {
           col("batch_id"))
           .filter(col("key").isNotNull)
           .groupBy(col("key")).agg(max(col("batch_id")).as("batch_id"))
-        keys.join(state, Seq("key"))
+        val out = keys.join(state, Seq("key"))
           .select(col("rowJson").as("row_json"), col("batch_id"))
+        // zero resolved keys has two very different causes: every key
+        // was deleted upstream (legitimate — retire), or the state fold
+        // points at a FRESH/REBUILT/WRONG work dir (catastrophic — the
+        // quarantine would retire into nothing). An empty fold while
+        // dead letters exist is the second case: fail BEFORE the
+        // manifest commits, so nothing is consumed.
+        if (out.isEmpty)
+          require(!state.isEmpty,
+            s"replay-keys: pipeline '$pipeline' has dead letters but its " +
+              "source-table state fold is EMPTY — the work dir is fresh, " +
+              "rebuilt or mispointed; refusing to retire the quarantine " +
+              "(all-keys-deleted retirement requires live table state)")
+        out
       })
   }
 

@@ -145,7 +145,7 @@ final case class SearchServingPipeline(
       workRoot: String, trigger: Trigger): StreamingQuery = {
     val keyExpr =
       coalesce(col(s"after.$idField"), col(s"before.$idField")).cast("long")
-    val deltas = if (driftGate.enabled)
+    val deltas = if (driftGate.reroutes)
       DeltaLog.deltaStreamFromJudged(spark, judgedBase(workRoot), rowSchema,
         keyExpr)
     else DeltaLog.deltaStream(spark, feedDir, table, rowSchema, keyExpr,
@@ -255,12 +255,8 @@ final case class SearchServingPipeline(
   def runOnce(spark: SparkSession, feedDir: String, workRoot: String): Unit = {
     Files.createDirectories(Paths.get(logDir(workRoot)))
     clearStaleProgressIfFresh(workRoot)
-    if (driftGate.enabled) {
-      Files.createDirectories(Paths.get(s"${judgedBase(workRoot)}/log"))
-      driftGate.query(spark, feedDir, judgedBase(workRoot),
-        ckptDir(workRoot, "gate"), Trigger.AvailableNow())
-        .awaitTermination()
-    }
+    driftGate.drainOnce(spark, feedDir, judgedBase(workRoot),
+      ckptDir(workRoot, "gate"))
     logQuery(spark, feedDir, workRoot, Trigger.AvailableNow())
       .awaitTermination()
     indexQuery(spark, workRoot, Trigger.AvailableNow()).awaitTermination()
@@ -272,12 +268,9 @@ final case class SearchServingPipeline(
     val t = Trigger.ProcessingTime(interval)
     Files.createDirectories(Paths.get(logDir(workRoot)))
     clearStaleProgressIfFresh(workRoot)
-    val gateQ = if (!driftGate.enabled) Nil else {
-      Files.createDirectories(Paths.get(s"${judgedBase(workRoot)}/log"))
-      Seq(driftGate.query(spark, feedDir, judgedBase(workRoot),
-        ckptDir(workRoot, "gate"), t))
-    }
-    gateQ ++ Seq(logQuery(spark, feedDir, workRoot, t),
-      indexQuery(spark, workRoot, t))
+    driftGate.startIfEnabled(spark, feedDir, judgedBase(workRoot),
+      ckptDir(workRoot, "gate"), t) ++
+      Seq(logQuery(spark, feedDir, workRoot, t),
+        indexQuery(spark, workRoot, t))
   }
 }

@@ -152,7 +152,11 @@ final case class ViewPipeline(
       trigger: Trigger): StreamingQuery = {
     val keyExpr =
       coalesce(col(s"after.$idField"), col(s"before.$idField")).cast("long")
-    val deltas = if (factGate.enabled)
+    // the SIDE'S OWN gate decides the source — never the other side's:
+    // the two are conf-identical today, but a per-side policy must not
+    // silently read the wrong source
+    val gate = if (side == "fact") factGate else dimGate
+    val deltas = if (gate.reroutes)
       DeltaLog.deltaStreamFromJudged(spark, judgedBase(workRoot, side),
         schema, keyExpr)
     else DeltaLog.deltaStream(spark, feedDir, table, schema, keyExpr,
@@ -385,12 +389,6 @@ final case class ViewPipeline(
     ()
   }
 
-  private def seedJudgedDirs(workRoot: String): Unit = {
-    Files.createDirectories(Paths.get(s"${judgedBase(workRoot, "fact")}/log"))
-    Files.createDirectories(Paths.get(s"${judgedBase(workRoot, "dim")}/log"))
-    ()
-  }
-
   /** Run every stage to completion over the feed's CURRENT contents.
     * Safe to call repeatedly; each call processes only data that arrived
     * since the last one (durable checkpoints at every stage).
@@ -399,15 +397,10 @@ final case class ViewPipeline(
       esTransport: graft.sinks.EsSink.Transport =
         new graft.sinks.EsSink.HttpTransport): Unit = {
     seedLogDirs(workRoot)
-    if (factGate.enabled) {
-      seedJudgedDirs(workRoot)
-      factGate.query(spark, feedDir, judgedBase(workRoot, "fact"),
-        ckptDir(workRoot, "gate_fact"), Trigger.AvailableNow())
-        .awaitTermination()
-      dimGate.query(spark, feedDir, judgedBase(workRoot, "dim"),
-        ckptDir(workRoot, "gate_dim"), Trigger.AvailableNow())
-        .awaitTermination()
-    }
+    factGate.drainOnce(spark, feedDir, judgedBase(workRoot, "fact"),
+      ckptDir(workRoot, "gate_fact"))
+    dimGate.drainOnce(spark, feedDir, judgedBase(workRoot, "dim"),
+      ckptDir(workRoot, "gate_dim"))
     logQuery(spark, feedDir, workRoot, "fact", factTable, factSchema,
       factIdField, Trigger.AvailableNow()).awaitTermination()
     logQuery(spark, feedDir, workRoot, "dim", dimTable, dimSchema,
@@ -459,15 +452,10 @@ final case class ViewPipeline(
         new graft.sinks.EsSink.HttpTransport): Seq[StreamingQuery] = {
     val t = Trigger.ProcessingTime(interval)
     seedLogDirs(workRoot)
-    val gateQs = if (!factGate.enabled) Nil else {
-      seedJudgedDirs(workRoot)
-      Seq(
-        factGate.query(spark, feedDir, judgedBase(workRoot, "fact"),
-          ckptDir(workRoot, "gate_fact"), t),
-        dimGate.query(spark, feedDir, judgedBase(workRoot, "dim"),
-          ckptDir(workRoot, "gate_dim"), t))
-    }
-    gateQs ++ Seq(
+    factGate.startIfEnabled(spark, feedDir, judgedBase(workRoot, "fact"),
+      ckptDir(workRoot, "gate_fact"), t) ++
+    dimGate.startIfEnabled(spark, feedDir, judgedBase(workRoot, "dim"),
+      ckptDir(workRoot, "gate_dim"), t) ++ Seq(
       logQuery(spark, feedDir, workRoot, "fact", factTable, factSchema,
         factIdField, t),
       logQuery(spark, feedDir, workRoot, "dim", dimTable, dimSchema,

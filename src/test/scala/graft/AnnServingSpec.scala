@@ -409,6 +409,54 @@ class AnnServingSpec extends SparkSpec {
       "replay must leave the served documents unchanged")
   }
 
+  test("keyed replay: drop -> conf fix -> replay re-MERGEs the quarantined postings (store reconverges)") {
+    import graft.streaming.PipelineMetrics
+    val url = "jdbc:derby:memory:graftannrp;create=true"
+    val c0 = java.sql.DriverManager.getConnection(url)
+    c0.createStatement().execute(
+      """CREATE TABLE postings_rp ("vec_id" BIGINT NOT NULL PRIMARY KEY,
+        | "cell" INTEGER, "emb_json" VARCHAR(32000))"""
+        .stripMargin.replace("\n", ""))
+    c0.close()
+    val target = PipelineMetrics.Target(url, "annrp_metrics")
+    PipelineMetrics.ensureTable(target)
+    PipelineMetrics.ensureExpectTable(target)
+    val dl = Files.createTempDirectory("graft_ann_rp_dl_").toString + "/dl"
+    def pipe(hi: Double) = AnnServingPipeline(
+      name = "annrp", databases = Set("shop"), table = "embeddings",
+      idField = "vec_id", vectorField = "embedding", cents = cents,
+      jdbcUrl = url, postingsTable = "postings_rp",
+      metrics = Some(target), deadLetterDir = Some(dl),
+      expectations = Seq(graft.ops.Profile.InRange("id_cap", "vec_id",
+        0.0, hi, action = graft.ops.Profile.Drop)))
+    val feedDir = Files.createTempDirectory("graft_ann_rp_feed_").toFile
+    val workRoot = Files.createTempDirectory("graft_ann_rp_work_").toString
+    Files.write(new java.io.File(feedDir, "000.json").toPath, Seq(
+      wire(v(1, 0.9, 0.1), null, "c", 10, 1),
+      wire(v(2, -0.9, 0.1), null, "c", 10, 2),
+      wire(v(7, 0.1, 0.9), null, "c", 10, 3),
+      wire(v(8, 0.1, -0.9), null, "c", 10, 4)).asJava)
+    // strict rule: vectors 7 and 8 violate — their postings quarantine
+    pipe(hi = 5.0).runOnce(spark, feedDir.toString, workRoot)
+    def servedIds(): Set[Long] =
+      pipe(hi = 5.0).servedPostings(spark).select(col("vec_id"))
+        .collect().map(_.getLong(0)).toSet
+    assert(servedIds() == Set(1L, 2L),
+      s"strict run must index only the allowed vectors, got ${servedIds()}")
+    assert(PipelineMetrics.expectDeadLetters(spark, dl).count() == 2L)
+    // conf fix + keyed replay: dead letters resolve to vector ids, the
+    // vectors' unchanged truth re-enters the feed; the index stage
+    // re-assigns and key-addressed-MERGEs them under the fixed rule
+    val fixed = pipe(hi = 100.0)
+    assert(fixed.replayExpectDeadLetters(spark, workRoot,
+      feedDir.toString, "shop", tsMs = 9999L) == 2L)
+    fixed.runOnce(spark, feedDir.toString, workRoot)
+    assert(servedIds() == Set(1L, 2L, 7L, 8L),
+      s"replayed vectors must re-index, got ${servedIds()}")
+    assert(PipelineMetrics.expectDeadLetters(spark, dl).count() == 0L,
+      "consumed dead letters retire")
+  }
+
   test("conf-declared ANN pipeline: watcher add starts serving, delete stops and preserves checkpoints") {
     import graft.streaming.{PipelineRegistry, PipelineWatcher}
     val url = "jdbc:derby:memory:graftannconf;create=true"

@@ -274,6 +274,55 @@ class DedupClusterSpec extends SparkSpec {
     assert(dead.forall(_.getString(dead.head.fieldIndex("pipeline")) == "cluDl"))
   }
 
+  test("keyed replay: drop -> conf fix -> replay re-serves the quarantined cluster rows (store reconverges)") {
+    import graft.streaming.PipelineMetrics
+    val url = "jdbc:derby:memory:graftdeduprp;create=true"
+    val c0 = java.sql.DriverManager.getConnection(url)
+    c0.createStatement().execute(
+      """CREATE TABLE clusters_rp ("doc_id" BIGINT NOT NULL PRIMARY KEY,
+        | "cluster_id" BIGINT, "is_canonical" INTEGER)"""
+        .stripMargin.replace("\n", ""))
+    c0.close()
+    val target = PipelineMetrics.Target(url, "clurp_metrics")
+    PipelineMetrics.ensureTable(target)
+    PipelineMetrics.ensureExpectTable(target)
+    val dl = Files.createTempDirectory("graft_dedup_rp_dl_").toString + "/dl"
+    def pipe(hi: Double) = DedupClusterPipeline(
+      name = "clurp", databases = Set("shop"), table = "documents",
+      idField = "doc_id", textField = "text",
+      target = graft.streaming.JdbcTarget(url, "clusters_rp"),
+      metrics = Some(target), deadLetterDir = Some(dl),
+      expectations = Seq(graft.ops.Profile.InRange("id_cap", "doc_id",
+        0.0, hi, action = graft.ops.Profile.Drop)))
+    val feedDir = Files.createTempDirectory("graft_dedup_rp_feed_").toFile
+    val workRoot = Files.createTempDirectory("graft_dedup_rp_work_").toString
+    Files.write(new java.io.File(feedDir, "000.json").toPath, Seq(
+      wire(d(1, A), null, "c", 10, 1),
+      wire(d(2, A), null, "c", 10, 2),
+      wire(d(4, Z), null, "c", 10, 3),
+      wire(d(5, Z), null, "c", 10, 4)).asJava)
+    // strict rule: docs 4 and 5 violate — their cluster rows quarantine
+    pipe(hi = 3.0).runOnce(spark, feedDir.toString, workRoot)
+    val strictPipe = pipe(hi = 3.0)
+    def served(): Map[Long, Long] =
+      strictPipe.servedClusters(spark).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(served() == Map(1L -> 1L, 2L -> 1L),
+      s"strict run must serve only the allowed docs, got ${served()}")
+    assert(PipelineMetrics.expectDeadLetters(spark, dl).count() == 2L)
+    // conf fix + keyed replay: the dead letters resolve to doc ids, the
+    // docs' unchanged truth re-enters the feed, the marker-only batch
+    // re-emits their CURRENT labels through the fixed judgment
+    val fixed = pipe(hi = 100.0)
+    assert(fixed.replayExpectDeadLetters(spark, workRoot,
+      feedDir.toString, "shop", tsMs = 9999L) == 2L)
+    fixed.runOnce(spark, feedDir.toString, workRoot)
+    assert(served() == Map(1L -> 1L, 2L -> 1L, 4L -> 4L, 5L -> 4L),
+      s"replayed docs must re-serve their cluster rows, got ${served()}")
+    assert(PipelineMetrics.expectDeadLetters(spark, dl).count() == 0L,
+      "consumed dead letters retire")
+  }
+
   test("conf-declared dedup pipeline: watcher add starts serving, delete stops and preserves state") {
     import graft.streaming.{PipelineRegistry, PipelineWatcher}
     val url = "jdbc:derby:memory:graftdedupconf;create=true"
