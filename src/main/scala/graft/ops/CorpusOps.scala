@@ -477,8 +477,17 @@ object CorpusOps {
             s"u=${edges.schema("u").dataType.sql}, " +
             s"v=${edges.schema("v").dataType.sql}")
     }
-    val e = edges.select(col("u").cast(seedIdType).as("u"),
-      col("v").cast(seedIdType).as("v")).localCheckpoint(true)
+    // re-pin the edge relation ONLY when the unified type actually
+    // rewrites it: the common same-type call reuses whatever pin (or
+    // cheap scan) the caller chose — an unconditional localCheckpoint
+    // here re-materialized the whole edge relation per call and cost
+    // q130 +28% on the clean bench (r12 verdict audit item)
+    val e =
+      if (seedIdType == edges.schema("u").dataType &&
+          seedIdType == edges.schema("v").dataType)
+        edges.select(col("u"), col("v"))
+      else edges.select(col("u").cast(seedIdType).as("u"),
+        col("v").cast(seedIdType).as("v")).localCheckpoint(true)
     // only re-pin the seeds when the unified type actually differs —
     // the common same-type call keeps its single checkpoint
     val seed0w =
