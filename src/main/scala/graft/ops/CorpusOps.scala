@@ -1284,6 +1284,79 @@ object CorpusOps {
       topK, rrfK)
   }
 
+  /** [[hybridFromStoresAnn]] under a PRE-FILTER with a SELECTIVITY-
+    * ADAPTIVE semantic width — the q158/q164 adaptive-probe policy
+    * carried into the COMPOSED ranking (the r12 verdict's hybrid-parity
+    * task): both legs search only the allowed corpus (the lexical leg's
+    * BM25 stats re-derive over the allowed slice — a tenant's df/avgdl,
+    * not the global corpus'), and the ANN leg's probe width derives
+    * from the LIVE allowed count via [[VectorSearch.adaptiveProbes]]
+    * (clamp(ceil(oversample·listK·nCells / nAllowed), nProbe, nCells)),
+    * so sharp filters degrade gracefully toward the exact scan of the
+    * matching sliver. The query vector must itself be allowed
+    * (pre-filter semantics: an excluded query row has no self-hit and
+    * its fused ranking is a different contract — fail loud).
+    *
+    * Returns (fused top-k, probes used, nAllowed) — the width and count
+    * belong in the caller's certificate row, q164's lesson.
+    */
+  def hybridFromStoresAnnFiltered(postings: DataFrame, docLens: DataFrame,
+      vecStore: DataFrame, allowed: DataFrame, queryTokens: Seq[String],
+      queryVecId: Long, cents: Array[Array[Float]], nProbe: Int = 8,
+      listK: Int = 100, topK: Int = 20, rrfK: Int = 60)
+      : (DataFrame, Int, Long) = {
+    val allow = allowed.select(col("vec_id")).distinct().localCheckpoint(true)
+    val allowedVec = vecStore.join(allow, Seq("vec_id"), "left_semi")
+      .localCheckpoint(true)
+    val nAllowed = allowedVec.count()
+    require(!allowedVec.filter(col("vec_id") === queryVecId).isEmpty,
+      s"hybridFromStoresAnnFiltered: query vector $queryVecId is not in " +
+        "the allowed set — pre-filter semantics have no self-hit for an " +
+        "excluded query; filter with the query included or use the " +
+        "unfiltered fusion")
+    val probes = VectorSearch.adaptiveProbes(cents.length, nProbe, listK,
+      nAllowed)
+    val allowedPostings = postings.join(
+      allow.select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_semi")
+    val allowedLens = docLens.join(
+      allow.select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_semi")
+    val qRow = allowedVec.filter(col("vec_id") === queryVecId)
+      .select(col("vec_id"), col("embedding"))
+    val sem = VectorSearch
+      .knnIvfFromPostings(qRow, allowedVec, listK - 1, cents, probes)
+      .select(col("n_vec_id").as("doc_id"),
+        floor(col("cos_sim") * 1e6 + 0.5).cast("long").as("key"))
+      .unionByName(qRow.select(col("vec_id").as("doc_id"),
+        lit(1000000L).as("key")))
+    val fused = rrfFuse(
+      rankedTop(
+        bm25FromIndex(allowedPostings, allowedLens, queryTokens)
+          .select(col("doc_id"),
+            floor(col("bm25") * 1e5 + 0.5).cast("long").as("key")),
+        "r_lex", listK),
+      rankedTop(sem, "r_sem", listK),
+      topK, rrfK)
+    (fused, probes, nAllowed)
+  }
+
+  /** The EXACT filtered fusion — [[hybridFromStoresAnnFiltered]]'s
+    * certificate companion ([[hybridFromStores]] over the allowed
+    * slice): what the fused-recall floor compares against.
+    */
+  def hybridFromStoresFiltered(postings: DataFrame, docLens: DataFrame,
+      vecStore: DataFrame, allowed: DataFrame, queryTokens: Seq[String],
+      queryVecId: Long, listK: Int = 100, topK: Int = 20,
+      rrfK: Int = 60): DataFrame = {
+    val allow = allowed.select(col("vec_id")).distinct()
+    hybridFromStores(
+      postings.join(allow.select(col("vec_id").as("doc_id")),
+        Seq("doc_id"), "left_semi"),
+      docLens.join(allow.select(col("vec_id").as("doc_id")),
+        Seq("doc_id"), "left_semi"),
+      vecStore.join(allow, Seq("vec_id"), "left_semi"),
+      queryTokens, queryVecId, listK, topK, rrfK)
+  }
+
   /** Integer-keyed rank assignment of a scored list's top `listK` (the
     * q42 rank-key rule; ties to the smaller doc id): TakeOrderedAndProject
     * cut, ranks by position in the one collected listK-row array — no

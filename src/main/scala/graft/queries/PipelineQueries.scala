@@ -3713,10 +3713,71 @@ object PipelineQueries {
           .as("vec_id"))
   }
 
+  /** Q171: FILTERED HYBRID RETRIEVAL WITH ADAPTIVE PROBES — the q158/
+    * q164 selectivity-adaptive policy carried into the COMPOSED ranking
+    * (the r12 verdict's hybrid-parity task): both fusion legs search
+    * only the allowed corpus (BM25 stats re-derive over the slice), and
+    * the semantic leg's probe width derives from the live allowed count
+    * ([[CorpusOps.hybridFromStoresAnnFiltered]]). Three bands sweep the
+    * selectivity spectrum; each certificate row records the band's
+    * live allowed count, the integer-clamp probe width the serve used
+    * (restated exactly by the oracle: clamp(ceil(8·100·16/n), 8, 16))
+    * and the engine-checked ≥60% FUSED-recall floor vs the exact
+    * filtered fusion — the q157 composed-ranking discipline, now
+    * holding ACROSS selectivities instead of at one pinned width.
+    */
+  val q171 = QueryDef.sql(
+    "q171_filtered_hybrid_adaptive",
+    """WITH live AS (SELECT vec_id FROM embeddings WHERE vec_id % 5 <> 0),
+      |b1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM live),
+      |b2 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM live
+      |       WHERE vec_id % 4 = 3),
+      |b3 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM live
+      |       WHERE vec_id % 20 = 7)
+      |SELECT 'b1_all' AS band, n AS n_allowed,
+      |       CAST(LEAST(16, GREATEST(8, (12800 + n - 1) // n)) AS BIGINT)
+      |         AS probes,
+      |       TRUE AS recall_ok FROM b1
+      |UNION ALL SELECT 'b2_quarter', n,
+      |       CAST(LEAST(16, GREATEST(8, (12800 + n - 1) // n)) AS BIGINT),
+      |       TRUE FROM b2
+      |UNION ALL SELECT 'b3_sliver', n,
+      |       CAST(LEAST(16, GREATEST(8, (12800 + n - 1) // n)) AS BIGINT),
+      |       TRUE FROM b3""".stripMargin) { (spark, dir) =>
+    import graft.cdc.DeltaLog
+    val docDeltas = DeltaLog.documentsDeltas(spark, dir)
+    val cents = MandateQueries.ivfCentroidsFor(spark, dir)
+    val vecStore = VectorSearch.livePostings(
+      VectorSearch.postingDeltas(DeltaLog.embeddingsDeltas(spark, dir),
+        cents)).localCheckpoint(true) // three bands x two fusions read it
+    val postings = CorpusOps.liveTermPostings(
+      CorpusOps.termPostingDeltas(docDeltas)).localCheckpoint(true)
+    val lens = CorpusOps.liveDocLens(
+      CorpusOps.docLenDeltas(docDeltas)).localCheckpoint(true)
+    val toks = Seq("vector", "stream", "join")
+    def band(name: String,
+        pred: org.apache.spark.sql.Column): DataFrame = {
+      val allowed = vecStore.select(col("vec_id")).filter(pred)
+      val exact = CorpusOps.hybridFromStoresFiltered(postings, lens,
+        vecStore, allowed, toks, 7L).localCheckpoint(true)
+      val (ann, probes, n) = CorpusOps.hybridFromStoresAnnFiltered(
+        postings, lens, vecStore, allowed, toks, 7L, cents)
+      val nt = exact.count()
+      val nh = exact.select(col("doc_id"))
+        .join(ann.select(col("doc_id")), Seq("doc_id"), "left_semi").count()
+      spark.range(1).select(lit(name).as("band"), lit(n).as("n_allowed"),
+        lit(probes.toLong).as("probes"),
+        lit(nh.toDouble >= 0.6 * nt).as("recall_ok"))
+    }
+    band("b1_all", lit(true))
+      .unionByName(band("b2_quarter", col("vec_id") % 4 === 3))
+      .unionByName(band("b3_sliver", col("vec_id") % 20 === 7))
+  }
+
   val all: Seq[QueryDef] = Seq(q41, q42, q43, q44, q45, q47, q48, q49,
     q54, q57, q60, q62, q63, q64, q68, q69, q74, q76, q80, q81, q83, q90, q91,
     q94, q98, q122, q125, q127, q128, q129, q130, q131, q133, q134, q135,
     q136, q137, q138, q139, q140, q141, q142, q144, q145, q146, q147, q148,
     q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160,
-    q161, q162, q163, q164, q165, q166, q167, q168, q169, q170)
+    q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171)
 }
