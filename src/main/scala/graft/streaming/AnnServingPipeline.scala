@@ -105,10 +105,13 @@ final case class AnnServingPipeline(
     deadLetterDir: Option[String] = None,
     expectations: Seq[graft.ops.Profile.Rule] = Nil,
     driftCheck: Boolean = false,
-    driftPolicy: Option[CdcPipeline.DriftPolicy] = None) {
+    driftPolicy: Option[CdcPipeline.DriftPolicy] = None,
+    deadLetterRetentionMs: Long = 0L) {
 
   graft.ops.Profile.requireEnforceable("ann", name, expectations,
     metrics, deadLetterDir)
+  require(deadLetterRetentionMs == 0L || deadLetterDir.isDefined,
+    s"ann $name: deadLetterRetentionMs needs a deadLetterDir")
 
   private val rowSchema: StructType =
     StructType.fromDDL(s"$idField BIGINT, $vectorField ARRAY<FLOAT>")
@@ -317,28 +320,61 @@ final case class AnnServingPipeline(
     * already widened probes toward that same scan, so certifying costs
     * at most ~2× the serve it certifies (the cheap uncertified path
     * stays [[servedFilteredKnn]]).
+    *
+    * `certSampleMax` bounds the CERTIFICATE's cost at production scale
+    * (the r12 verdict's task 7): the exact check is per-query over the
+    * allowed sliver, so a 10⁶-query serve would pay 10⁶ exact scans
+    * for its certificate. With `certSampleMax > 0` the check runs over
+    * a deterministic hash-sample of at most ~that many queries (the
+    * batch certificate's pmod(xxhash64) discipline — reproducible, no
+    * RNG), the SERVE still answers every query at full fidelity, and
+    * the row records `n_sampled` so a sampled certificate is visibly a
+    * sampled one, never silently presented as exhaustive. Callers
+    * using sampling add `n_sampled INTEGER` to their `<certTable>_f`
+    * DDL; the default 0 keeps the exhaustive check and the r12 row
+    * shape.
     */
   def servedFilteredKnnCertified(spark: SparkSession, workRoot: String,
       queries: DataFrame, allowed: DataFrame, tag: String,
-      kOverride: Int = -1): (DataFrame, Int, Long) = {
+      kOverride: Int = -1, certSampleMax: Int = 0): (DataFrame, Int, Long) = {
     val ct = certTable.getOrElse(throw new IllegalArgumentException(
       s"ann $name: servedFilteredKnnCertified needs a certTable"))
     val kk = if (kOverride > 0) kOverride else k
     val (topk0, probes, nAllowed, allowedPostings) =
       filteredServe(spark, workRoot, queries, allowed, kOverride)
     val topk = topk0.localCheckpoint(true)
-    val exact = VectorSearch.knnExact(queries,
+    val (certQueries, nSampled) =
+      if (certSampleMax <= 0) (queries, -1L)
+      else {
+        val qp = queries.localCheckpoint(true)
+        val nq = qp.count()
+        if (nq <= certSampleMax) (qp, nq)
+        else {
+          val mod = math.max(1L, nq / certSampleMax)
+          val s = qp.filter(pmod(xxhash64(col("vec_id")), lit(mod)) === 0)
+            .localCheckpoint(true)
+          (s, s.count())
+        }
+      }
+    val exact = VectorSearch.knnExact(certQueries,
       allowedPostings.select(col("vec_id"), col("embedding")), kk)
       .select(col("q_vec_id"), col("n_vec_id")).localCheckpoint(true)
     val nTot = exact.count()
     val nHit = exact.join(topk.select(col("q_vec_id"), col("n_vec_id")),
       Seq("q_vec_id", "n_vec_id"), "left_semi").count()
     val recall = if (nTot == 0) 1.0 else nHit.toDouble / nTot
-    val row = spark.createDataFrame(java.util.List.of(
-      org.apache.spark.sql.Row(name, tag, nAllowed, probes, recall,
-        if (recall >= recallFloor) 1 else 0)),
-      StructType.fromDDL("pipeline STRING, tag STRING, n_allowed BIGINT, " +
-        "probes INT, recall DOUBLE, recall_ok INT"))
+    val okInt = if (recall >= recallFloor) 1 else 0
+    val row = (if (certSampleMax <= 0)
+      spark.createDataFrame(java.util.List.of(
+        org.apache.spark.sql.Row(name, tag, nAllowed, probes, recall, okInt)),
+        StructType.fromDDL("pipeline STRING, tag STRING, n_allowed BIGINT, " +
+          "probes INT, recall DOUBLE, recall_ok INT"))
+    else
+      spark.createDataFrame(java.util.List.of(
+        org.apache.spark.sql.Row(name, tag, nAllowed, probes, recall, okInt,
+          nSampled.toInt)),
+        StructType.fromDDL("pipeline STRING, tag STRING, n_allowed BIGINT, " +
+          "probes INT, recall DOUBLE, recall_ok INT, n_sampled INT")))
       .withColumn("action", lit("upsert"))
     JdbcSink.applyViewDeltas(row, jdbcUrl, s"${ct}_f", Seq("pipeline", "tag"),
       stagingColumnTypes = "pipeline VARCHAR(64), tag VARCHAR(64)")

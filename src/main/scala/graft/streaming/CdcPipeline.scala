@@ -34,7 +34,11 @@ final case class CdcPipeline(
     metrics: Option[PipelineMetrics.Target] = None,
     expectations: Seq[graft.ops.Profile.Rule] = Nil,
     driftCheck: Boolean = false,
-    driftPolicy: Option[CdcPipeline.DriftPolicy] = None) {
+    driftPolicy: Option[CdcPipeline.DriftPolicy] = None,
+    deadLetterRetentionMs: Long = 0L) {
+
+  require(deadLetterRetentionMs == 0L || deadLetterDir.isDefined,
+    s"pipeline $name: deadLetterRetentionMs needs a deadLetterDir")
 
   // the shared construction-time enforcement invariants (metrics for
   // verdicts, a dead-letter dir for Drop) — Profile.requireEnforceable,

@@ -82,10 +82,13 @@ final case class DedupClusterPipeline(
     metrics: Option[PipelineMetrics.Target] = None,
     expectations: Seq[graft.ops.Profile.Rule] = Nil,
     driftCheck: Boolean = false,
-    driftPolicy: Option[CdcPipeline.DriftPolicy] = None) {
+    driftPolicy: Option[CdcPipeline.DriftPolicy] = None,
+    deadLetterRetentionMs: Long = 0L) {
 
   graft.ops.Profile.requireEnforceable("dedup", name, expectations,
     metrics, deadLetterDir)
+  require(deadLetterRetentionMs == 0L || deadLetterDir.isDefined,
+    s"dedup $name: deadLetterRetentionMs needs a deadLetterDir")
 
   private val rowSchema: StructType =
     StructType.fromDDL(s"$idField BIGINT, $textField STRING")

@@ -763,6 +763,60 @@ object PipelineMetrics {
       deadLetterDir: String): org.apache.spark.sql.DataFrame =
     deadLetterFrame(spark, deadLetterDir, "_drift")
 
+  /** AGE-RETIRE dead letters past a conf-declared retention — the
+    * quarantine's disk-lifecycle half (the r12 verdict's task 6):
+    * replayed `_expect`/`_drift` partitions retire on replay, but
+    * never-replayed quarantines (and warn-only drift letters, and sink
+    * dead-letter parquet) otherwise accumulate forever. Runs on the
+    * watcher's maintenance tick for every registered conf that declares
+    * `deadLetterRetentionMs` (default 0 = keep forever — failures are
+    * DATA, aging them out is an explicit operator choice):
+    *
+    *  - `batch_id=N` partition dirs under `_expect`/`_drift` whose
+    *    mtime predates the cutoff are deleted whole (a checkpoint
+    *    replay overwrites its partition, refreshing the mtime — a
+    *    re-judged quarantine is young again);
+    *  - plain data files directly under the dead-letter dir (the
+    *    sinks' appended undeliverable-row parquet) age out per file;
+    *  - underscore-prefixed names (kind markers, committer files) are
+    *    never touched.
+    *
+    * Everything resolves through the dir's own Hadoop filesystem.
+    * Returns the number of retired partitions + files.
+    */
+  def retireAgedDeadLetters(spark: org.apache.spark.sql.SparkSession,
+      deadLetterDir: String, retentionMs: Long,
+      nowMs: Long = System.currentTimeMillis()): Long = {
+    require(retentionMs > 0L, "retireAgedDeadLetters: retentionMs must be > 0")
+    val cutoff = nowMs - retentionMs
+    val root = new org.apache.hadoop.fs.Path(deadLetterDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0L
+    var n = 0L
+    fs.listStatus(root).foreach { st =>
+      if (st.isFile && !st.getPath.getName.startsWith("_")
+          && !st.getPath.getName.startsWith(".")
+          && st.getModificationTime < cutoff) {
+        fs.delete(st.getPath, false)
+        n += 1L
+      }
+    }
+    Seq("_expect", "_drift").foreach { sub =>
+      val s = new org.apache.hadoop.fs.Path(root, sub)
+      if (fs.exists(s))
+        fs.listStatus(s).filter(_.isDirectory).foreach { p =>
+          fs.listStatus(p.getPath).foreach { b =>
+            if (b.isDirectory && b.getPath.getName.startsWith("batch_id=")
+                && b.getModificationTime < cutoff) {
+              fs.delete(b.getPath, true)
+              n += 1L
+            }
+          }
+        }
+    }
+    n
+  }
+
   /** The recorded verdict rows, typed. */
   def expectRows(spark: org.apache.spark.sql.SparkSession,
       t: Target): org.apache.spark.sql.DataFrame = {

@@ -360,6 +360,17 @@ object PipelineRegistry {
     (drift, driftPol)
   }
 
+  /** Conf-declared dead-letter retention, shared by all five kinds:
+    * `"deadLetterRetentionMs": N` ages out quarantined rows on the
+    * watcher's maintenance tick
+    * ([[PipelineMetrics.retireAgedDeadLetters]]). Default 0 keeps
+    * everything — failures are data; aging them out is opt-in.
+    */
+  private def parseDlRetention(
+      node: com.fasterxml.jackson.databind.JsonNode): Long =
+    if (node.hasNonNull("deadLetterRetentionMs"))
+      node.get("deadLetterRetentionMs").asLong() else 0L
+
   /** Validate a conf's declared pipeline name at registration: the
     * name keys metrics rows, verdict rows, query names AND dead-letter
     * partition paths, so it must be the path-safe charset — otherwise
@@ -440,7 +451,8 @@ object PipelineRegistry {
           exprTransform = parseTransform(f, node),
           metrics = metricsTarget,
           driftCheck = drift,
-          driftPolicy = driftPol))
+          driftPolicy = driftPol,
+          deadLetterRetentionMs = parseDlRetention(node)))
         val servingSchema =
           SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
             .map(pipeline0.outgoingRowSchema).getOrElse(rowSchema)
@@ -547,7 +559,8 @@ object PipelineRegistry {
           deadLetterDir = dlDir,
           exprTransform = parseTransform(f, node),
           metrics = viewMetrics,
-          driftCheck = vDrift, driftPolicy = vDriftPol))
+          driftCheck = vDrift, driftPolicy = vDriftPol,
+          deadLetterRetentionMs = parseDlRetention(node)))
         val servingSchema =
           SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
             .map(pipeline0.servingRowSchema)
@@ -652,7 +665,8 @@ object PipelineRegistry {
                 if (es.hasNonNull("password")) es.get("password").asText() else ""))
             },
           deadLetterDir = annDlDir,
-          driftCheck = annDrift, driftPolicy = annDriftPol)
+          driftCheck = annDrift, driftPolicy = annDriftPol,
+          deadLetterRetentionMs = parseDlRetention(node))
         Some(AnnEntry(pipeline, f.getAbsolutePath, f.lastModified()))
       }
     }}
@@ -731,7 +745,8 @@ object PipelineRegistry {
             StructType.fromDDL(s"${node.get("idKey").asText()} BIGINT, " +
               "cluster_id BIGINT, is_canonical BOOLEAN"),
             dedupMetrics, dedupDlDir),
-          driftCheck = ddDrift, driftPolicy = ddDriftPol)
+          driftCheck = ddDrift, driftPolicy = ddDriftPol,
+          deadLetterRetentionMs = parseDlRetention(node))
         Some(DedupEntry(pipeline, f.getAbsolutePath, f.lastModified()))
       }
     }}
@@ -793,7 +808,8 @@ object PipelineRegistry {
             StructType.fromDDL("token STRING, doc_id BIGINT, tf BIGINT"),
             searchMetrics, searchDlDir),
           deadLetterDir = searchDlDir,
-          driftCheck = sDrift, driftPolicy = sDriftPol)
+          driftCheck = sDrift, driftPolicy = sDriftPol,
+          deadLetterRetentionMs = parseDlRetention(node))
         Some(SearchEntry(pipeline, f.getAbsolutePath, f.lastModified()))
       }
     }}

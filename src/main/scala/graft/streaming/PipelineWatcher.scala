@@ -250,6 +250,31 @@ final class PipelineWatcher(
           case e: Exception => System.err.println(
             s"[PipelineWatcher] maintenance failed: ${e.getMessage}")
         }
+        // conf-declared dead-letter retention rides the same tick
+        // ([[PipelineMetrics.retireAgedDeadLetters]]): never-replayed
+        // quarantines and warn-only drift letters age out only where a
+        // conf opted in — per-conf failure logs and the tick continues
+        val dlTargets: Iterable[(String, Option[String], Long)] =
+          entries.values.map(e => (e.pipeline.name,
+            e.pipeline.deadLetterDir, e.pipeline.deadLetterRetentionMs)) ++
+          viewEntries.values.map(e => (e.pipeline.name,
+            e.pipeline.deadLetterDir, e.pipeline.deadLetterRetentionMs)) ++
+          annEntries.values.map(e => (e.pipeline.name,
+            e.pipeline.deadLetterDir, e.pipeline.deadLetterRetentionMs)) ++
+          dedupEntries.values.map(e => (e.pipeline.name,
+            e.pipeline.deadLetterDir, e.pipeline.deadLetterRetentionMs)) ++
+          searchEntries.values.map(e => (e.pipeline.name,
+            e.pipeline.deadLetterDir, e.pipeline.deadLetterRetentionMs))
+        dlTargets.foreach {
+          case (nm, Some(dir), ret) if ret > 0L =>
+            try { PipelineMetrics.retireAgedDeadLetters(spark, dir, ret); () }
+            catch {
+              case e: Exception => System.err.println(
+                s"[PipelineWatcher] dead-letter retention failed for " +
+                  s"$nm: ${e.getMessage}")
+            }
+          case _ => ()
+        }
       }
     }
     restartedLww ++ restartedViews ++ restartedAnn ++ restartedDedup ++

@@ -59,7 +59,11 @@ final case class SearchServingPipeline(
     expectations: Seq[graft.ops.Profile.Rule] = Nil,
     deadLetterDir: Option[String] = None,
     driftCheck: Boolean = false,
-    driftPolicy: Option[CdcPipeline.DriftPolicy] = None) {
+    driftPolicy: Option[CdcPipeline.DriftPolicy] = None,
+    deadLetterRetentionMs: Long = 0L) {
+
+  require(deadLetterRetentionMs == 0L || deadLetterDir.isDefined,
+    s"search $name: deadLetterRetentionMs needs a deadLetterDir")
 
   graft.ops.Profile.requireEnforceable("search", name, expectations,
     metrics, deadLetterDir)

@@ -72,10 +72,13 @@ final case class ViewPipeline(
     metrics: Option[PipelineMetrics.Target] = None,
     expectations: Seq[graft.ops.Profile.Rule] = Nil,
     driftCheck: Boolean = false,
-    driftPolicy: Option[CdcPipeline.DriftPolicy] = None) {
+    driftPolicy: Option[CdcPipeline.DriftPolicy] = None,
+    deadLetterRetentionMs: Long = 0L) {
 
   graft.ops.Profile.requireEnforceable("view", name, expectations,
     metrics, deadLetterDir)
+  require(deadLetterRetentionMs == 0L || deadLetterDir.isDefined,
+    s"view $name: deadLetterRetentionMs needs a deadLetterDir")
 
   /** Drift gates over the raw wire BEFORE each side's table log
     * ([[DriftGate]]): a drifting fact OR dim wire corrupts the join

@@ -639,4 +639,69 @@ class AnnServingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(got == exact, s"saturated serve = exact: $got vs $exact")
   }
+
+  test("servedFilteredKnnCertified sampling: the certificate checks a deterministic query sample and records n_sampled; the serve stays full-fidelity") {
+    val url = "jdbc:derby:memory:graftanncerts;create=true"
+    val c0 = java.sql.DriverManager.getConnection(url)
+    c0.createStatement().execute(
+      """CREATE TABLE postingss ("vec_id" BIGINT NOT NULL PRIMARY KEY,
+        | "cell" INTEGER, "emb_json" VARCHAR(32000))"""
+        .stripMargin.replace("\n", ""))
+    c0.createStatement().execute(
+      """CREATE TABLE ann_certs ("pipeline" VARCHAR(64) NOT NULL PRIMARY KEY,
+        | "batch_id" BIGINT, "recall" DOUBLE, "recall_ok" INTEGER,
+        | "skew" DOUBLE, "drift_ok" INTEGER, "probed" INTEGER)"""
+        .stripMargin.replace("\n", ""))
+    c0.createStatement().execute(
+      // sampling callers carry the extra n_sampled column (scaladoc'd)
+      """CREATE TABLE ann_certs_f ("pipeline" VARCHAR(64) NOT NULL,
+        | "tag" VARCHAR(64) NOT NULL, "n_allowed" BIGINT,
+        | "probes" INTEGER, "recall" DOUBLE, "recall_ok" INTEGER,
+        | "n_sampled" INTEGER, PRIMARY KEY ("pipeline", "tag"))"""
+        .stripMargin.replace("\n", ""))
+    c0.close()
+    val pipeline = AnnServingPipeline(
+      name = "anns", databases = Set("shop"), table = "embeddings",
+      idField = "vec_id", vectorField = "embedding", cents = cents,
+      jdbcUrl = url, postingsTable = "postingss",
+      certTable = Some("ann_certs"), k = 2, nProbe = 4)
+    val feedDir = Files.createTempDirectory("graft_anns_feed_").toFile
+    val workRoot = Files.createTempDirectory("graft_anns_work_").toString
+    val corpus = (0L until 64L).map { i =>
+      val b = cents(i.toInt % 4)
+      val j = 0.002 * (i / 4)
+      (i, b(0).toDouble + (if (b(0) == 0) j else 0.0),
+        b(1).toDouble + (if (b(1) == 0) j else 0.0))
+    }
+    Files.write(new java.io.File(feedDir, "000.json").toPath,
+      corpus.zipWithIndex.map { case ((id, x, y), i) =>
+        wire(v(id, x, y), null, "c", 10, i + 1)
+      }.asJava)
+    pipeline.runOnce(spark, feedDir.toString, workRoot)
+    val allowed = (0L until 64L).toDF("vec_id")
+    val queries = pipeline.servedPostings(spark)
+      .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+    // 64 queries, sample cap 8: the serve answers ALL 64 (nProbe=nCells
+    // here, so it is the exact scan), the certificate checks only the
+    // hash-sample and says so
+    val (res, _, _) = pipeline.servedFilteredKnnCertified(
+      spark, workRoot, queries, allowed, "sampled_tag",
+      certSampleMax = 8)
+    assert(res.select(col("q_vec_id")).distinct().count() == 64L,
+      "the serve itself must answer every query")
+    val r = spark.read.jdbc(url, "ann_certs_f", new java.util.Properties())
+      .collect()
+    assert(r.length == 1)
+    val nSampled = r.head.getInt(6)
+    assert(nSampled > 0 && nSampled < 64,
+      s"the certificate must record the (strict) sample size, got $nSampled")
+    assert(r.head.getInt(5) == 1, "full-scan probes: sampled recall is 1.0")
+    // determinism: the same call re-certifies the same sample
+    pipeline.servedFilteredKnnCertified(spark, workRoot, queries, allowed,
+      "sampled_tag", certSampleMax = 8)
+    val r2 = spark.read.jdbc(url, "ann_certs_f", new java.util.Properties())
+      .collect()
+    assert(r2.length == 1 && r2.head.getInt(6) == nSampled,
+      "hash-sampling is deterministic — no RNG in the certificate")
+  }
 }

@@ -426,6 +426,54 @@ class MetricsSpec extends SparkSpec {
       && e.getMessage.contains("driftCheck"), s"got: ${e.getMessage}")
   }
 
+  test("dead-letter retention: aged partitions and sink files retire; young rows, markers and underscore files stay") {
+    import spark.implicits._
+    import java.nio.file.attribute.FileTime
+    val dl = Files.createTempDirectory("graft_dlret_").toString + "/dl"
+    def seed(subtree: String, batchId: Long): java.nio.file.Path = {
+      Seq(("r", """{"id":1}""")).toDF("violated", "row_json")
+        .write.mode("overwrite")
+        .parquet(s"$dl/$subtree/pipeline=r/batch_id=$batchId")
+      java.nio.file.Paths.get(s"$dl/$subtree/pipeline=r/batch_id=$batchId")
+    }
+    val now = System.currentTimeMillis()
+    def age(p: java.nio.file.Path): Unit = {
+      Files.setLastModifiedTime(p, FileTime.fromMillis(now - 10000L)); ()
+    }
+    age(seed("_expect", 0L)) // aged -> retires
+    seed("_expect", 1L)      // young -> stays
+    age(seed("_drift", 0L))  // aged -> retires
+    val marker = java.nio.file.Paths.get(s"$dl/_expect/pipeline=r/_KIND_lww")
+    Files.createFile(marker); age(marker) // markers never retire
+    val sinkFile = java.nio.file.Paths.get(s"$dl/old_rows.parquet")
+    Files.write(sinkFile, "x".getBytes); age(sinkFile) // aged -> retires
+    val youngFile = java.nio.file.Paths.get(s"$dl/new_rows.parquet")
+    Files.write(youngFile, "x".getBytes) // young -> stays
+    val n = PipelineMetrics.retireAgedDeadLetters(spark, dl,
+      retentionMs = 5000L, nowMs = now)
+    assert(n == 3L, s"retired $n")
+    assert(PipelineMetrics.expectDeadLetters(spark, dl).count() == 1L,
+      "only the young expect partition remains")
+    assert(PipelineMetrics.driftDeadLetters(spark, dl).count() == 0L)
+    assert(Files.exists(marker) && Files.exists(youngFile)
+      && !Files.exists(sinkFile))
+    // the ctor invariant: retention without a landing place is a typo
+    val e = intercept[IllegalArgumentException](CdcPipeline(
+      name = "ret_bad", subscription = Subscription(Set("d"), Set("t")),
+      rowSchema = StructType.fromDDL("id BIGINT"), idKey = "id",
+      deadLetterRetentionMs = 5000L))
+    assert(e.getMessage.contains("deadLetterDir"), e.getMessage)
+    // conf: the field parses through the registry (any kind)
+    val confDir = Files.createTempDirectory("graft_dlret_conf_").toFile
+    Files.write(new java.io.File(confDir, "r.json").toPath, Seq(
+      s"""{"name":"retp","databases":["d"],"tables":["t"],"idKey":"id",
+         |"schema":"id BIGINT","deadLetterDir":"$dl",
+         |"deadLetterRetentionMs":123456}"""
+        .stripMargin.replace("\n", "")).asJava)
+    assert(PipelineRegistry.load(confDir.toString)
+      .head.pipeline.deadLetterRetentionMs == 123456L)
+  }
+
   test("expectations conf: registration-time validation names file + field; verdicts need a metrics target") {
     def conf(dir: java.io.File, fname: String, body: String): Unit =
       Files.write(new java.io.File(dir, fname).toPath,
