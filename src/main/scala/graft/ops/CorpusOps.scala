@@ -477,14 +477,27 @@ object CorpusOps {
             s"u=${edges.schema("u").dataType.sql}, " +
             s"v=${edges.schema("v").dataType.sql}")
     }
-    // re-pin the edge relation ONLY when the unified type actually
-    // rewrites it: the common same-type call reuses whatever pin (or
-    // cheap scan) the caller chose — an unconditional localCheckpoint
-    // here re-materialized the whole edge relation per call and cost
-    // q130 +28% on the clean bench (r12 verdict audit item)
+    // pin the edge relation ONCE — the level loop runs one JOB per BFS
+    // level against it, and an unpinned derivation (scan + window
+    // shuffle, q122's shape) would re-execute per level — EXCEPT when
+    // the caller already pinned it (a localCheckpointed frame plans as
+    // LogicalRDD; incrementalBfs hands exactly that): re-pinning a pin
+    // re-materialized the whole edge relation per call for nothing
+    // (q130's r12 bench-audit item). Projections/filters over a pin
+    // stay cheap per level and are not re-pinned either.
+    def pinnedScan(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+      p match {
+        case _: org.apache.spark.sql.execution.LogicalRDD => true
+        case pr: org.apache.spark.sql.catalyst.plans.logical.Project =>
+          pinnedScan(pr.child)
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          pinnedScan(f.child)
+        case _ => false
+      }
+    val sameType = seedIdType == edges.schema("u").dataType &&
+      seedIdType == edges.schema("v").dataType
     val e =
-      if (seedIdType == edges.schema("u").dataType &&
-          seedIdType == edges.schema("v").dataType)
+      if (sameType && pinnedScan(edges.queryExecution.analyzed))
         edges.select(col("u"), col("v"))
       else edges.select(col("u").cast(seedIdType).as("u"),
         col("v").cast(seedIdType).as("v")).localCheckpoint(true)

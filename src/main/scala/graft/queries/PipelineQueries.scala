@@ -3735,14 +3735,17 @@ object PipelineQueries {
       |b3 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM live
       |       WHERE vec_id % 20 = 7)
       |SELECT 'b1_all' AS band, n AS n_allowed,
-      |       CAST(LEAST(16, GREATEST(8, (12800 + n - 1) // n)) AS BIGINT)
+      |       CAST(CASE WHEN n = 0 THEN 16 ELSE
+      |         LEAST(16, GREATEST(8, (12800 + n - 1) // n)) END AS BIGINT)
       |         AS probes,
       |       TRUE AS recall_ok FROM b1
       |UNION ALL SELECT 'b2_quarter', n,
-      |       CAST(LEAST(16, GREATEST(8, (12800 + n - 1) // n)) AS BIGINT),
+      |       CAST(CASE WHEN n = 0 THEN 16 ELSE
+      |         LEAST(16, GREATEST(8, (12800 + n - 1) // n)) END AS BIGINT),
       |       TRUE FROM b2
       |UNION ALL SELECT 'b3_sliver', n,
-      |       CAST(LEAST(16, GREATEST(8, (12800 + n - 1) // n)) AS BIGINT),
+      |       CAST(CASE WHEN n = 0 THEN 16 ELSE
+      |         LEAST(16, GREATEST(8, (12800 + n - 1) // n)) END AS BIGINT),
       |       TRUE FROM b3""".stripMargin) { (spark, dir) =>
     import graft.cdc.DeltaLog
     val docDeltas = DeltaLog.documentsDeltas(spark, dir)
@@ -3758,6 +3761,14 @@ object PipelineQueries {
     def band(name: String,
         pred: org.apache.spark.sql.Column): DataFrame = {
       val allowed = vecStore.select(col("vec_id")).filter(pred)
+        .localCheckpoint(true)
+      // an EMPTY band (possible at exotic fixtures — q158's n=0 guard)
+      // certifies the saturated width vacuously: nothing to serve,
+      // nothing to recall-check
+      if (allowed.isEmpty)
+        return spark.range(1).select(lit(name).as("band"),
+          lit(0L).as("n_allowed"), lit(cents.length.toLong).as("probes"),
+          lit(true).as("recall_ok"))
       val exact = CorpusOps.hybridFromStoresFiltered(postings, lens,
         vecStore, allowed, toks, 7L).localCheckpoint(true)
       val (ann, probes, n) = CorpusOps.hybridFromStoresAnnFiltered(

@@ -332,7 +332,11 @@ final case class AnnServingPipeline(
     * sampled one, never silently presented as exhaustive. Callers
     * using sampling add `n_sampled INTEGER` to their `<certTable>_f`
     * DDL; the default 0 keeps the exhaustive check and the r12 row
-    * shape.
+    * shape. Keep each TAG on one mode: an exhaustive re-serve of a
+    * previously-sampled tag updates only the shared columns (the MERGE
+    * writes the row's own columns), leaving the old `n_sampled` beside
+    * fresh exhaustive numbers — delete the row when flipping a tag's
+    * mode.
     */
   def servedFilteredKnnCertified(spark: SparkSession, workRoot: String,
       queries: DataFrame, allowed: DataFrame, tag: String,
@@ -350,10 +354,17 @@ final case class AnnServingPipeline(
         val nq = qp.count()
         if (nq <= certSampleMax) (qp, nq)
         else {
-          val mod = math.max(1L, nq / certSampleMax)
+          // ceil keeps the EXPECTED sample at or under the cap (a
+          // floored divisor selects up to 2x, and the full set when
+          // nq < 2*cap — silently voiding the cost bound)
+          val mod = (nq + certSampleMax - 1L) / certSampleMax
           val s = qp.filter(pmod(xxhash64(col("vec_id")), lit(mod)) === 0)
             .localCheckpoint(true)
-          (s, s.count())
+          val ns = s.count()
+          // an unlucky hash draw can select NOTHING — a zero-query
+          // certificate would record recall 1.0 having verified
+          // nothing; fall back to the exhaustive check instead
+          if (ns == 0L) (qp, nq) else (s, ns)
         }
       }
     val exact = VectorSearch.knnExact(certQueries,

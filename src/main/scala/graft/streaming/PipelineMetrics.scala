@@ -772,12 +772,20 @@ object PipelineMetrics {
     * `deadLetterRetentionMs` (default 0 = keep forever — failures are
     * DATA, aging them out is an explicit operator choice):
     *
-    *  - `batch_id=N` partition dirs under `_expect`/`_drift` whose
-    *    mtime predates the cutoff are deleted whole (a checkpoint
-    *    replay overwrites its partition, refreshing the mtime — a
-    *    re-judged quarantine is young again);
-    *  - plain data files directly under the dead-letter dir (the
-    *    sinks' appended undeliverable-row parquet) age out per file;
+    *  - `batch_id=N` partition dirs under the INVOKING pipeline's
+    *    `_expect`/`_drift` subtrees age by the NEWEST FILE inside the
+    *    partition, not the directory entry (object stores synthesize
+    *    directory statuses with meaningless mtimes; a checkpoint replay
+    *    overwrites its partition's files, so a re-judged quarantine is
+    *    young again) — scoped to `pipeline=<safe>` because several
+    *    confs may share one dead-letter dir and each declares its OWN
+    *    retention (a keep-forever neighbor must never be swept by this
+    *    conf's clock);
+    *  - with `includeRootFiles` (the watcher sets it only when EVERY
+    *    conf sharing the dir declared a retention), plain data files
+    *    directly under the dir (the sinks' appended undeliverable-row
+    *    parquet, which interleaves pipelines row-wise) age out per
+    *    file;
     *  - underscore-prefixed names (kind markers, committer files) are
     *    never touched.
     *
@@ -785,29 +793,44 @@ object PipelineMetrics {
     * Returns the number of retired partitions + files.
     */
   def retireAgedDeadLetters(spark: org.apache.spark.sql.SparkSession,
-      deadLetterDir: String, retentionMs: Long,
+      deadLetterDir: String, retentionMs: Long, pipeline: String,
+      includeRootFiles: Boolean = false,
       nowMs: Long = System.currentTimeMillis()): Long = {
     require(retentionMs > 0L, "retireAgedDeadLetters: retentionMs must be > 0")
     val cutoff = nowMs - retentionMs
+    val safe = pipeline.replaceAll("[^A-Za-z0-9._-]", "_")
     val root = new org.apache.hadoop.fs.Path(deadLetterDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return 0L
-    var n = 0L
-    fs.listStatus(root).foreach { st =>
-      if (st.isFile && !st.getPath.getName.startsWith("_")
-          && !st.getPath.getName.startsWith(".")
-          && st.getModificationTime < cutoff) {
-        fs.delete(st.getPath, false)
-        n += 1L
-      }
+    // a partition's age = its newest file's mtime (fallback: the dir
+    // status for a fileless dir) — meaningful on every filesystem
+    def newestMtime(dir: org.apache.hadoop.fs.FileStatus): Long = {
+      val files = fs.listStatus(dir.getPath).filter(_.isFile)
+      if (files.isEmpty) dir.getModificationTime
+      else files.map(_.getModificationTime).max
     }
+    var n = 0L
+    if (includeRootFiles)
+      fs.listStatus(root).foreach { st =>
+        if (st.isFile && !st.getPath.getName.startsWith("_")
+            && !st.getPath.getName.startsWith(".")
+            && st.getModificationTime < cutoff) {
+          fs.delete(st.getPath, false)
+          n += 1L
+        }
+      }
     Seq("_expect", "_drift").foreach { sub =>
+      // view drift gates tag per side (`<name>.fact`): sweep the
+      // pipeline's own dir and its side-tagged children, nothing else
       val s = new org.apache.hadoop.fs.Path(root, sub)
       if (fs.exists(s))
-        fs.listStatus(s).filter(_.isDirectory).foreach { p =>
+        fs.listStatus(s).filter(p => p.isDirectory && {
+          val pn = p.getPath.getName
+          pn == s"pipeline=$safe" || pn.startsWith(s"pipeline=$safe.")
+        }).foreach { p =>
           fs.listStatus(p.getPath).foreach { b =>
             if (b.isDirectory && b.getPath.getName.startsWith("batch_id=")
-                && b.getModificationTime < cutoff) {
+                && newestMtime(b) < cutoff) {
               fs.delete(b.getPath, true)
               n += 1L
             }

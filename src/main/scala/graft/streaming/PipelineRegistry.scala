@@ -366,10 +366,19 @@ object PipelineRegistry {
     * ([[PipelineMetrics.retireAgedDeadLetters]]). Default 0 keeps
     * everything — failures are data; aging them out is opt-in.
     */
-  private def parseDlRetention(
+  private def parseDlRetention(f: File,
       node: com.fasterxml.jackson.databind.JsonNode): Long =
-    if (node.hasNonNull("deadLetterRetentionMs"))
-      node.get("deadLetterRetentionMs").asLong() else 0L
+    if (!node.hasNonNull("deadLetterRetentionMs")) 0L
+    else {
+      val v = node.get("deadLetterRetentionMs")
+      // fail-loud conf discipline: a sign typo or a "7d" string
+      // (asLong() -> 0) would register cleanly and silently never
+      // retire anything the operator believes is aging out
+      require(v.isNumber && v.canConvertToLong && v.asLong() >= 0L,
+        s"${f.getName}: deadLetterRetentionMs must be a non-negative " +
+          s"integer of milliseconds, got ${v.toString}")
+      v.asLong()
+    }
 
   /** Validate a conf's declared pipeline name at registration: the
     * name keys metrics rows, verdict rows, query names AND dead-letter
@@ -452,7 +461,7 @@ object PipelineRegistry {
           metrics = metricsTarget,
           driftCheck = drift,
           driftPolicy = driftPol,
-          deadLetterRetentionMs = parseDlRetention(node)))
+          deadLetterRetentionMs = parseDlRetention(f, node)))
         val servingSchema =
           SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
             .map(pipeline0.outgoingRowSchema).getOrElse(rowSchema)
@@ -560,7 +569,7 @@ object PipelineRegistry {
           exprTransform = parseTransform(f, node),
           metrics = viewMetrics,
           driftCheck = vDrift, driftPolicy = vDriftPol,
-          deadLetterRetentionMs = parseDlRetention(node)))
+          deadLetterRetentionMs = parseDlRetention(f, node)))
         val servingSchema =
           SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
             .map(pipeline0.servingRowSchema)
@@ -666,7 +675,7 @@ object PipelineRegistry {
             },
           deadLetterDir = annDlDir,
           driftCheck = annDrift, driftPolicy = annDriftPol,
-          deadLetterRetentionMs = parseDlRetention(node))
+          deadLetterRetentionMs = parseDlRetention(f, node))
         Some(AnnEntry(pipeline, f.getAbsolutePath, f.lastModified()))
       }
     }}
@@ -746,7 +755,7 @@ object PipelineRegistry {
               "cluster_id BIGINT, is_canonical BOOLEAN"),
             dedupMetrics, dedupDlDir),
           driftCheck = ddDrift, driftPolicy = ddDriftPol,
-          deadLetterRetentionMs = parseDlRetention(node))
+          deadLetterRetentionMs = parseDlRetention(f, node))
         Some(DedupEntry(pipeline, f.getAbsolutePath, f.lastModified()))
       }
     }}
@@ -809,7 +818,7 @@ object PipelineRegistry {
             searchMetrics, searchDlDir),
           deadLetterDir = searchDlDir,
           driftCheck = sDrift, driftPolicy = sDriftPol,
-          deadLetterRetentionMs = parseDlRetention(node))
+          deadLetterRetentionMs = parseDlRetention(f, node))
         Some(SearchEntry(pipeline, f.getAbsolutePath, f.lastModified()))
       }
     }}

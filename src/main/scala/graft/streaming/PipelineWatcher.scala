@@ -265,15 +265,26 @@ final class PipelineWatcher(
             e.pipeline.deadLetterDir, e.pipeline.deadLetterRetentionMs)) ++
           searchEntries.values.map(e => (e.pipeline.name,
             e.pipeline.deadLetterDir, e.pipeline.deadLetterRetentionMs))
-        dlTargets.foreach {
-          case (nm, Some(dir), ret) if ret > 0L =>
-            try { PipelineMetrics.retireAgedDeadLetters(spark, dir, ret); () }
-            catch {
-              case e: Exception => System.err.println(
-                s"[PipelineWatcher] dead-letter retention failed for " +
-                  s"$nm: ${e.getMessage}")
-            }
-          case _ => ()
+        // root sink files interleave pipelines row-wise, so they may
+        // age only where EVERY conf sharing the dir opted into a
+        // retention — a keep-forever neighbor vetoes the sweep; the
+        // per-pipeline subtrees age on their own conf's clock
+        val byDir = dlTargets.collect { case (nm, Some(d), ret) =>
+          (d, nm, ret) }.groupBy(_._1)
+        byDir.foreach { case (dir, group) =>
+          val rootOk = group.forall(_._3 > 0L)
+          group.foreach { case (_, nm, ret) =>
+            if (ret > 0L)
+              try {
+                PipelineMetrics.retireAgedDeadLetters(spark, dir, ret, nm,
+                  includeRootFiles = rootOk)
+                ()
+              } catch {
+                case e: Exception => System.err.println(
+                  s"[PipelineWatcher] dead-letter retention failed for " +
+                    s"$nm: ${e.getMessage}")
+              }
+          }
         }
       }
     }

@@ -449,11 +449,29 @@ class MetricsSpec extends SparkSpec {
     Files.write(sinkFile, "x".getBytes); age(sinkFile) // aged -> retires
     val youngFile = java.nio.file.Paths.get(s"$dl/new_rows.parquet")
     Files.write(youngFile, "x".getBytes) // young -> stays
+    // a NEIGHBOR pipeline sharing the dir: its aged partitions are on
+    // its own conf's clock — pipeline "r"'s sweep must not touch them
+    Seq(("r", """{"id":9}""")).toDF("violated", "row_json")
+      .write.mode("overwrite")
+      .parquet(s"$dl/_expect/pipeline=other/batch_id=0")
+    age(java.nio.file.Paths.get(s"$dl/_expect/pipeline=other/batch_id=0"))
+    // age the FILES too — retention keys on the newest file inside a
+    // partition (object-store dirs have meaningless mtimes)
+    def ageTree(dir: String): Unit =
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator()
+        .asScala.foreach(age)
+    ageTree(s"$dl/_expect/pipeline=r/batch_id=0")
+    ageTree(s"$dl/_expect/pipeline=other/batch_id=0")
+    ageTree(s"$dl/_drift/pipeline=r/batch_id=0")
     val n = PipelineMetrics.retireAgedDeadLetters(spark, dl,
-      retentionMs = 5000L, nowMs = now)
+      retentionMs = 5000L, pipeline = "r", includeRootFiles = true,
+      nowMs = now)
     assert(n == 3L, s"retired $n")
-    assert(PipelineMetrics.expectDeadLetters(spark, dl).count() == 1L,
-      "only the young expect partition remains")
+    assert(Files.exists(java.nio.file.Paths.get(
+      s"$dl/_expect/pipeline=other/batch_id=0")),
+      "a shared-dir neighbor's quarantine is never swept by this conf")
+    assert(PipelineMetrics.expectDeadLetters(spark, dl).count() == 2L,
+      "the young expect partition and the neighbor's remain")
     assert(PipelineMetrics.driftDeadLetters(spark, dl).count() == 0L)
     assert(Files.exists(marker) && Files.exists(youngFile)
       && !Files.exists(sinkFile))
