@@ -1352,6 +1352,66 @@ object CorpusOps {
     (fused, probes, nAllowed)
   }
 
+  /** Certificate evaluation of the filtered hybrid at ONE selectivity
+    * band: runs the adaptive ANN fusion and its exact companion over
+    * the allowed slice and returns (nAllowed, probes, fused recall ≥
+    * floor). The LEXICAL leg is identical in both fusions by
+    * construction (same allowed postings, same tokens), so it is
+    * ranked ONCE and shared — a certificate sweep across bands pays
+    * one BM25 per band, not two; the two semantic legs (exact cosine
+    * vs adaptive IVF) are the thing being compared. This is the
+    * offline-certification form; production serving stays
+    * [[hybridFromStoresAnnFiltered]].
+    */
+  def filteredHybridCertificate(postings: DataFrame, docLens: DataFrame,
+      vecStore: DataFrame, allowed: DataFrame, queryTokens: Seq[String],
+      queryVecId: Long, cents: Array[Array[Float]], nProbe: Int = 8,
+      listK: Int = 100, topK: Int = 20, rrfK: Int = 60,
+      recallFloor: Double = 0.6): (Long, Int, Boolean) = {
+    val allow = allowed.select(col("vec_id")).distinct().localCheckpoint(true)
+    val allowedVec = vecStore.join(allow, Seq("vec_id"), "left_semi")
+      .localCheckpoint(true)
+    // one job: the band's live count AND the query-present check
+    val agg = allowedVec.agg(count(lit(1)).as("n"),
+      max(when(col("vec_id") === queryVecId, 1).otherwise(0)).as("hasq"))
+      .head()
+    val nAllowed = agg.getLong(0)
+    require(nAllowed > 0L && agg.getInt(1) == 1,
+      s"filteredHybridCertificate: query vector $queryVecId is not in " +
+        "the allowed set (or the band is empty) — pre-filter semantics " +
+        "have no self-hit for an excluded query")
+    val probes = VectorSearch.adaptiveProbes(cents.length, nProbe, listK,
+      nAllowed)
+    val allowD = allow.select(col("vec_id").as("doc_id"))
+    val lex = rankedTop(
+      bm25FromIndex(
+        postings.join(allowD, Seq("doc_id"), "left_semi"),
+        docLens.join(allowD, Seq("doc_id"), "left_semi"), queryTokens)
+        .select(col("doc_id"),
+          floor(col("bm25") * 1e5 + 0.5).cast("long").as("key")),
+      "r_lex", listK).localCheckpoint(true)
+    val qRow = allowedVec.filter(col("vec_id") === queryVecId)
+      .select(col("vec_id"), col("embedding"))
+    val semAnn = VectorSearch
+      .knnIvfFromPostings(qRow, allowedVec, listK - 1, cents, probes)
+      .select(col("n_vec_id").as("doc_id"),
+        floor(col("cos_sim") * 1e6 + 0.5).cast("long").as("key"))
+      .unionByName(qRow.select(col("vec_id").as("doc_id"),
+        lit(1000000L).as("key")))
+    val semExact = allowedVec.crossJoin(broadcast(
+        qRow.select(col("embedding").as("q_emb"))))
+      .select(col("vec_id").as("doc_id"),
+        floor(VectorSearch.cosine(col("embedding"), col("q_emb")) * 1e6 + 0.5)
+          .cast("long").as("key"))
+    val exactTop = rrfFuse(lex, rankedTop(semExact, "r_sem", listK),
+      topK, rrfK).select(col("doc_id")).localCheckpoint(true)
+    val annTop = rrfFuse(lex, rankedTop(semAnn, "r_sem", listK),
+      topK, rrfK).select(col("doc_id"))
+    val nTot = exactTop.count()
+    val nHit = exactTop.join(annTop, Seq("doc_id"), "left_semi").count()
+    (nAllowed, probes, nTot == 0L || nHit.toDouble >= recallFloor * nTot)
+  }
+
   /** The EXACT filtered fusion — [[hybridFromStoresAnnFiltered]]'s
     * certificate companion ([[hybridFromStores]] over the allowed
     * slice): what the fused-recall floor compares against.
