@@ -639,4 +639,116 @@ class PropertySpec extends SparkSpec {
         s"trial $trial ($nBatches batches): served $served vs model $model")
     }
   }
+
+  test("view keyed-replay lifecycle converges to the never-dropped enriched model on randomized fact+dim feeds") {
+    // The view-kind completion of the lww property above: dead letters
+    // are DERIVED enriched rows, so replay resolves them to fact keys
+    // and re-drives the keys' current truth from the table log
+    // (ViewPipeline.replayExpectDeadLetters). Model: plain-Scala LWW of
+    // the fact events inner-joined to plain-Scala LWW of the dim events
+    // with NO rule at all — after strict drives + conf fix + keyed
+    // replay + a normal drive, the JDBC store must land exactly there.
+    import graft.ops.Profile
+    import graft.streaming.{JdbcTarget, PipelineMetrics, ViewPipeline}
+    import org.apache.spark.sql.types.StructType
+    import java.nio.file.Files
+    val url = "jdbc:derby:memory:graftviewprop;create=true"
+    val target = PipelineMetrics.Target(url, "viewprop_metrics")
+    PipelineMetrics.ensureTable(target)
+    PipelineMetrics.ensureExpectTable(target)
+    val rnd = new scala.util.Random(271828)
+    for (trial <- 0 until 2) {
+      val tbl = s"viewprop_t$trial"
+      val c0 = java.sql.DriverManager.getConnection(url)
+      c0.createStatement().execute(
+        s"""CREATE TABLE $tbl ("fid" BIGINT NOT NULL PRIMARY KEY,
+           | "cust" BIGINT, "score" DOUBLE, "cid" BIGINT,
+           | "nm" VARCHAR(16))""".stripMargin.replace("\n", ""))
+      c0.close()
+      val dl = Files.createTempDirectory(s"graft_vwprop_dl_$trial").toString
+      val feed = Files.createTempDirectory(s"graft_vwprop_feed_$trial").toFile
+      val work = Files.createTempDirectory(s"graft_vwprop_wk_$trial").toString
+      def pipe(hi: Double) = ViewPipeline(
+        name = s"vwp$trial", databases = Set("d"),
+        factTable = "f", factSchema = StructType.fromDDL(
+          "fid BIGINT, cust BIGINT, score DOUBLE"),
+        factIdField = "fid", factJoinField = "cust",
+        dimTable = "dm", dimSchema = StructType.fromDDL(
+          "cid BIGINT, nm STRING"),
+        dimIdField = "cid", dimJoinField = "cid", leftOuter = false,
+        target = JdbcTarget(url, tbl, Some("nm VARCHAR(16)")),
+        metrics = Some(target), deadLetterDir = Some(dl),
+        expectations = Seq(Profile.InRange("fid_band", "fid", 0.0, hi,
+          action = Profile.Drop)))
+      def env(table: String, after: String, before: String, op: String,
+          ts: Long, off: Long): String = {
+        val ev = s"""{"payload":{"before":$before,"after":$after,""" +
+          s""""source":{"db":"d","table":"$table","ts_ms":$ts},""" +
+          s""""op":"$op","ts_ms":$ts}}"""
+        val m = new com.fasterxml.jackson.databind.ObjectMapper()
+        s"""{"value":${m.writeValueAsString(ev)},"offset":$off}"""
+      }
+      var off = 0L
+      var facts = Vector.empty[(Long, Long, String, Long, Double)] // fid, ts, op, cust, score
+      var dims = Vector.empty[(Long, Long, Long, String)] // cid, ts, cid, nm
+      val lines = scala.collection.mutable.ArrayBuffer[String]()
+      // every cust exists from ts 1 (facts always enrich)
+      (0L until 3L).foreach { c =>
+        off += 1
+        dims :+= ((c, 1L, c, s"n$c"))
+        lines += env("dm", s"""{"cid":$c,"nm":"n$c"}""", "null", "c", 1L, off)
+      }
+      val nEvents = 25 + rnd.nextInt(25)
+      (0 until nEvents).foreach { _ =>
+        off += 1
+        val ts = 10L + off
+        if (rnd.nextDouble() < 0.2) { // dim rename
+          val c = rnd.nextInt(3).toLong
+          val nm = s"n$c${rnd.nextInt(5)}"
+          dims :+= ((c, ts, c, nm))
+          lines += env("dm", s"""{"cid":$c,"nm":"$nm"}""", "null", "u",
+            ts, off)
+        } else {
+          val k = rnd.nextInt(10).toLong
+          // deletes only for stably-clean keys (the lww property's
+          // stamped-epoch premise)
+          val op = if (k <= 6 && rnd.nextDouble() < 0.15) "d" else "c"
+          val score = math.floor(rnd.nextDouble() * 100) / 10.0
+          val cust = k % 3
+          facts :+= ((k, ts, op, cust, score))
+          val body = s"""{"fid":$k,"cust":$cust,"score":$score}"""
+          lines += env("f", if (op == "d") "null" else body,
+            if (op == "d") body else "null", op, ts, off)
+        }
+      }
+      // several feed files: the streams batch them as they arrive
+      lines.grouped(12).zipWithIndex.foreach { case (g, i) =>
+        import scala.jdk.CollectionConverters._
+        Files.write(new java.io.File(feed, f"$i%03d.json").toPath,
+          g.toSeq.asJava)
+        ()
+      }
+      pipe(hi = 6.0).runOnce(spark, feed.toString, work) // 7..9 violate
+      val fixed = pipe(hi = 1e18)
+      fixed.replayExpectDeadLetters(spark, work, feed.toString, "d",
+        tsMs = 1000000L)
+      fixed.runOnce(spark, feed.toString, work)
+      // plain-Scala never-dropped enriched model
+      val dimNow = dims.groupBy(_._1).map { case (c, evs) =>
+        c -> evs.maxBy(_._2)._4
+      }
+      val model = facts.groupBy(_._1).flatMap { case (k, evs) =>
+        val (_, _, op, cust, score) = evs.maxBy(_._2)
+        if (op == "d") None
+        else dimNow.get(cust).map(nm => k -> ((cust, score, nm)))
+      }
+      val served = spark.read.jdbc(url, tbl, new java.util.Properties())
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getDouble(2), r.getString(4)))).toMap
+      assert(served == model,
+        s"trial $trial: served $served vs model $model")
+      assert(PipelineMetrics.expectDeadLetters(spark, dl).count() == 0L,
+        "all dead letters consumed (live keys re-served, deleted retired)")
+    }
+  }
 }
