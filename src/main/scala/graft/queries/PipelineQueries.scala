@@ -3791,10 +3791,154 @@ object PipelineQueries {
       10.minutes).reduce(_ unionByName _)
   }
 
+  private val q172Lock = new Object
+  private val q172Driven = java.util.concurrent.ConcurrentHashMap
+    .newKeySet[String]()
+
+  private def q172Base(spark: SparkSession, dir: String): String =
+    graft.cdc.DeltaLog.logBase(spark,
+      s"driftreplay_${dir.replaceAll("[^a-zA-Z0-9]", "_")}",
+      graft.sources.Staging.fingerprint(Seq(s"$dir/embeddings.parquet")))
+
+  /** The q169 drive carried through the FULL drift lifecycle: strict
+    * conf quarantines both drift classes; the conf EVOLVES (the
+    * undeclared `note` column is admitted via the newColsBudget raise —
+    * the ann kind's declared schema is its id/vector DDL, so tolerated
+    * evolution IS the schema repair); the kind-agnostic drift replay
+    * re-injects the RAW quarantined bytes at an epoch above the feed
+    * tail; a second drain judges them by the EVOLVED conf — never a
+    * side door. Memoized only on success (q167's rule).
+    */
+  private def q172Drive(spark: SparkSession, dir: String): String = {
+    import graft.streaming.{AnnServingPipeline, CdcPipeline, PipelineMetrics}
+    val cents = MandateQueries.ivfCentroidsFor(spark, dir)
+    val base = q172Base(spark, dir)
+    val url = s"jdbc:derby:$base/derby;create=true"
+    val target = PipelineMetrics.Target(url, "pipeline_metrics_q172")
+    def pipe(budget: Long) = AnnServingPipeline(
+      name = "q172", databases = Set("shop"), table = "embeddings",
+      idField = "vec_id", vectorField = "embedding", cents = cents,
+      jdbcUrl = url, postingsTable = "postings_q172",
+      metrics = Some(target), deadLetterDir = Some(s"$base/dead"),
+      driftPolicy = Some(CdcPipeline.DriftPolicy(newColsBudget = budget,
+        action = graft.ops.Profile.Drop)))
+    q172Lock.synchronized {
+      // memoize only on SUCCESS (q167's rule): a failed drive retries
+      if (!q172Driven.contains(base)) {
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(base))
+        PipelineMetrics.ensureTable(target)
+        PipelineMetrics.ensureDriftTable(target)
+        val feed = s"$base/feed"
+        val fs = new org.apache.hadoop.fs.Path(feed)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(new org.apache.hadoop.fs.Path(feed))) {
+          // stage-then-rename: a crash mid-write must not leave a
+          // partial dir the next drive drains as the whole feed
+          driftingEmbeddingsWire(spark, dir).repartition(4)
+            .write.mode("overwrite").json(s"$base/feed_tmp")
+          require(fs.rename(new org.apache.hadoop.fs.Path(s"$base/feed_tmp"),
+            new org.apache.hadoop.fs.Path(feed)),
+            s"q172: could not publish the drive-local feed $feed")
+        }
+        val c = java.sql.DriverManager.getConnection(url)
+        try {
+          val st = c.createStatement()
+          try st.execute(
+            """CREATE TABLE postings_q172 ("vec_id" BIGINT NOT NULL PRIMARY
+              | KEY, "cell" INTEGER, "emb_json" VARCHAR(32000))"""
+              .stripMargin.replace("\n", ""))
+          catch { // X0Y32: table already exists (idempotent re-drive)
+            case e: java.sql.SQLException if e.getSQLState == "X0Y32" => ()
+          }
+        } finally c.close()
+        val work = s"$base/work"
+        // drive 1: zero tolerated evolution — the gate quarantines
+        // both the bad-typed and the undeclared-field events
+        pipe(0L).runOnce(spark, feed, work)
+        // conf fix + replay: the raw quarantined bytes re-enter the
+        // feed as ordinary wire events at the epoch (same verb Serve
+        // `replay drift` wraps — kind-agnostic, raw payload per kind)
+        PipelineMetrics.replayDriftDeadLetters(spark, s"$base/dead",
+          "q172", "shop", "embeddings", feed, tsMs = 9000000000L)
+        // drive 2: ONLY the replayed file drains, through the EVOLVED
+        // conf — `note` now tolerated, the bad-typed rows re-judged
+        // (and re-quarantined) by the same fixed rule
+        pipe(1000L).runOnce(spark, feed, work)
+        q172Driven.add(base); ()
+      }
+    }
+    url
+  }
+
+  /** Q172: the DRIFT REPLAY lifecycle on a judged-feed kind under the
+    * oracle gate — q167's quarantine→fix→replay story for the `_drift`
+    * subtree (the roadmap's drift-replay parity item): q169's strict
+    * drive quarantines the %11 bad-typed and %7 undeclared-field
+    * events; the conf evolves (newColsBudget raise — the ann kind's
+    * tolerated-evolution lever); [[graft.streaming.PipelineMetrics.replayDriftDeadLetters]]
+    * re-injects the RAW wire bytes (the typed parse nulls exactly these
+    * rows — only the raw payload can re-enter and parse clean) and the
+    * second drain re-judges them through the normal gate→log→postings
+    * path. The store must converge to every structurally-VALID vector —
+    * clean plus the now-tolerated `note` carriers — while the bad-typed
+    * rows stay out (they re-quarantine, q173). One admitted bad vector,
+    * one lost `note` carrier, or a replay that skipped re-judgment
+    * breaks the hash.
+    */
+  val q172 = QueryDef.sql(
+    "q172_drift_replay_ann_store",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+      |       FROM embeddings WHERE vec_id % 11 <> 0)
+      |SELECT vec_id, CAST(len(emb) AS INT) AS dim,
+      |       CAST(list_aggregate(list_transform(emb,
+      |              x -> CAST(floor(x * 1000000.0) AS BIGINT)), 'sum')
+      |            AS BIGINT) AS emb_fp,
+      |       TRUE AS cell_ok
+      |FROM e""".stripMargin) { (spark, dir) =>
+    val cents = MandateQueries.ivfCentroidsFor(spark, dir)
+    val url = q172Drive(spark, dir)
+    spark.read.jdbc(url, "postings_q172", new java.util.Properties())
+      .select(col("vec_id").cast("long").as("vec_id"),
+        col("cell").cast("int").as("cell"),
+        from_json(col("emb_json"), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)).as("emb"))
+      .select(col("vec_id"), size(col("emb")).as("dim"),
+        aggregate(transform(col("emb"),
+            x => floor(x.cast("double") * lit(1000000.0d))),
+          lit(0L), (a, x) => a + x).as("emb_fp"),
+        (col("cell") === VectorSearch.nearestCell(col("emb"), cents))
+          .as("cell_ok"))
+  }
+
+  /** Q173: the quarantine AFTER the q172 replay — retirement and
+    * re-judgment certified together: the consumed `_drift` partitions
+    * were RETIRED (their rows live in the feed now), the replayed
+    * `note` carriers passed the evolved conf into the store (q172), and
+    * ONLY the still-bad-typed rows re-quarantined under their new batch
+    * id — replay never skips judgment (the lww q167 contract, on the
+    * gate kinds). A lingering retired partition double-counts a vec_id;
+    * a swallowed bad-typed row empties its key; a mis-admitted one
+    * shows up in q172 instead.
+    */
+  val q173 = QueryDef.sql(
+    "q173_drift_replay_requarantine",
+    """SELECT 'drift_badtype' AS violated, vec_id
+      |FROM embeddings WHERE vec_id % 11 = 0""".stripMargin) { (spark, dir) =>
+    import graft.streaming.PipelineMetrics
+    q172Drive(spark, dir) // share q172's drive (memoized)
+    PipelineMetrics.driftDeadLetters(spark, s"${q172Base(spark, dir)}/dead")
+      .filter(col("pipeline") === "q172")
+      .select(col("violated"),
+        get_json_object(col("row_json"), "$.vec_id").cast("bigint")
+          .as("vec_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(q41, q42, q43, q44, q45, q47, q48, q49,
     q54, q57, q60, q62, q63, q64, q68, q69, q74, q76, q80, q81, q83, q90, q91,
     q94, q98, q122, q125, q127, q128, q129, q130, q131, q133, q134, q135,
     q136, q137, q138, q139, q140, q141, q142, q144, q145, q146, q147, q148,
     q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160,
-    q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171)
+    q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172,
+    q173)
 }

@@ -324,6 +324,34 @@ object PipelineRegistry {
     * needs a metrics store, a Drop needs a deadLetterDir, and the
     * `_drift` verdict table is ensured at load.
     */
+  /** One declared drift policy object — shared between the conf-level
+    * `"driftPolicy"` and the view kind's per-side
+    * `"fact"/"dim".driftPolicy` overrides; `owner` names the declaring
+    * key in error messages.
+    */
+  private def parseDriftPolicy(f: File, owner: String,
+      p: com.fasterxml.jackson.databind.JsonNode,
+      dlDir: Option[String]): CdcPipeline.DriftPolicy = {
+    val action =
+      if (!p.hasNonNull("action")) graft.ops.Profile.Warn
+      else p.get("action").asText() match {
+        case "warn" => graft.ops.Profile.Warn
+        case "drop" => graft.ops.Profile.Drop
+        case "halt" => graft.ops.Profile.Halt
+        case other => throw new IllegalArgumentException(
+          s"${f.getName}: unknown $owner action '$other' " +
+            "(expected warn, drop or halt)")
+      }
+    require(action != graft.ops.Profile.Drop || dlDir.isDefined,
+      s"${f.getName}: a drop-action $owner needs a deadLetterDir")
+    CdcPipeline.DriftPolicy(
+      newColsBudget = if (p.hasNonNull("newColsBudget"))
+        p.get("newColsBudget").asLong() else Long.MaxValue,
+      badTypeRowsBudget = if (p.hasNonNull("badTypeRowsBudget"))
+        p.get("badTypeRowsBudget").asLong() else Long.MaxValue,
+      action = action)
+  }
+
   private def parseDrift(f: File,
       node: com.fasterxml.jackson.databind.JsonNode,
       dlDir: Option[String],
@@ -331,27 +359,9 @@ object PipelineRegistry {
       : (Boolean, Option[CdcPipeline.DriftPolicy]) = {
     val drift = node.hasNonNull("driftCheck") &&
       node.get("driftCheck").asBoolean()
-    val driftPol = if (!node.hasNonNull("driftPolicy")) None else {
-      val p = node.get("driftPolicy")
-      val action =
-        if (!p.hasNonNull("action")) graft.ops.Profile.Warn
-        else p.get("action").asText() match {
-          case "warn" => graft.ops.Profile.Warn
-          case "drop" => graft.ops.Profile.Drop
-          case "halt" => graft.ops.Profile.Halt
-          case other => throw new IllegalArgumentException(
-            s"${f.getName}: unknown driftPolicy action '$other' " +
-              "(expected warn, drop or halt)")
-        }
-      require(action != graft.ops.Profile.Drop || dlDir.isDefined,
-        s"${f.getName}: a drop-action driftPolicy needs a deadLetterDir")
-      Some(CdcPipeline.DriftPolicy(
-        newColsBudget = if (p.hasNonNull("newColsBudget"))
-          p.get("newColsBudget").asLong() else Long.MaxValue,
-        badTypeRowsBudget = if (p.hasNonNull("badTypeRowsBudget"))
-          p.get("badTypeRowsBudget").asLong() else Long.MaxValue,
-        action = action))
-    }
+    val driftPol = if (!node.hasNonNull("driftPolicy")) None
+      else Some(parseDriftPolicy(f, "driftPolicy",
+        node.get("driftPolicy"), dlDir))
     if (drift || driftPol.isDefined) {
       require(metricsTarget.isDefined,
         s"${f.getName}: driftCheck needs a metrics target to record into")
@@ -505,6 +515,10 @@ object PipelineRegistry {
     * The sink half is a [[ViewTarget]]: `"jdbc"` as above, or `"es"`
     * (`{ "url", "username", "password" }`) for the reference's
     * id-keyed Elasticsearch document serving.
+    * Each side object may also declare its OWN `"driftPolicy"` (same
+    * shape as the conf-level one, which it overrides for that side):
+    * the fact and dim wires evolve on different clocks, so dim-side
+    * warn monitoring can ride beside fact-side drop enforcement.
     * Same lifecycle as LWW entries: [[changedSince]]/[[removedSince]]
     * key on the conf file, and the work dir a runner derives from the
     * conf file name ([[ckptKey]]) preserves checkpoints across restarts.
@@ -553,6 +567,25 @@ object PipelineRegistry {
         val dlDir = if (node.hasNonNull("deadLetterDir"))
           Some(node.get("deadLetterDir").asText()) else None
         val (vDrift, vDriftPol) = parseDrift(f, node, dlDir, viewMetrics)
+        // per-side overrides of the shared policy: the fact and dim
+        // wires evolve on different clocks, so each side object may
+        // declare its own `"driftPolicy"` (same shape, same
+        // invariants) — e.g. dim-side warn-monitoring beside fact-side
+        // drop enforcement
+        def sideDriftPol(field: String): Option[CdcPipeline.DriftPolicy] = {
+          val s = node.get(field)
+          if (!s.hasNonNull("driftPolicy")) None
+          else Some(parseDriftPolicy(f, s"$field.driftPolicy",
+            s.get("driftPolicy"), dlDir))
+        }
+        val fDriftPol = sideDriftPol("fact")
+        val dDriftPol = sideDriftPol("dim")
+        if (fDriftPol.isDefined || dDriftPol.isDefined) {
+          require(viewMetrics.isDefined,
+            s"${f.getName}: a per-side driftPolicy needs a metrics " +
+              "target to record into")
+          viewMetrics.foreach(PipelineMetrics.ensureDriftTable)
+        }
         // two-step build (the lww precedent): ctor validates the
         // transform, then expectations resolve against the
         // POST-TRANSFORM flattened serving row a consumer reads
@@ -569,6 +602,7 @@ object PipelineRegistry {
           exprTransform = parseTransform(f, node),
           metrics = viewMetrics,
           driftCheck = vDrift, driftPolicy = vDriftPol,
+          factDriftPolicy = fDriftPol, dimDriftPolicy = dDriftPol,
           deadLetterRetentionMs = parseDlRetention(f, node)))
         val servingSchema =
           SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)

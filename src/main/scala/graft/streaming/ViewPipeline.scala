@@ -73,6 +73,8 @@ final case class ViewPipeline(
     expectations: Seq[graft.ops.Profile.Rule] = Nil,
     driftCheck: Boolean = false,
     driftPolicy: Option[CdcPipeline.DriftPolicy] = None,
+    factDriftPolicy: Option[CdcPipeline.DriftPolicy] = None,
+    dimDriftPolicy: Option[CdcPipeline.DriftPolicy] = None,
     deadLetterRetentionMs: Long = 0L) {
 
   graft.ops.Profile.requireEnforceable("view", name, expectations,
@@ -82,16 +84,24 @@ final case class ViewPipeline(
 
   /** Drift gates over the raw wire BEFORE each side's table log
     * ([[DriftGate]]): a drifting fact OR dim wire corrupts the join
-    * state silently without them. One conf-declared policy covers both
-    * sides; verdicts and `_drift` dead letters are tagged per side
+    * state silently without them. The conf-declared `driftPolicy`
+    * covers both sides; `factDriftPolicy`/`dimDriftPolicy` OVERRIDE it
+    * per side — the two wires evolve on different clocks (a dim table
+    * migrating under a frozen fact contract is the common case), so
+    * one side can enforce Drop while the other stays a monitor-only
+    * observer (which never reroutes that side's log stage — enabling
+    * observation on one side must not rebuild the other's checkpoint
+    * lineage). Verdicts and `_drift` dead letters are tagged per side
     * (`<name>.fact` / `<name>.dim`) so a drift replay re-injects under
     * the right table.
     */
-  private def sideGate(side: String, table: String, schema: StructType) =
+  private def sideGate(side: String, table: String, schema: StructType,
+      policy: Option[CdcPipeline.DriftPolicy]) =
     DriftGate(s"$name.$side", "view", databases, table, schema,
-      driftCheck, driftPolicy, metrics, deadLetterDir)
-  private val factGate = sideGate("fact", factTable, factSchema)
-  private val dimGate = sideGate("dim", dimTable, dimSchema)
+      driftCheck, policy.orElse(driftPolicy), metrics, deadLetterDir)
+  private val factGate =
+    sideGate("fact", factTable, factSchema, factDriftPolicy)
+  private val dimGate = sideGate("dim", dimTable, dimSchema, dimDriftPolicy)
   private def judgedBase(workRoot: String, side: String) =
     s"$workRoot/judged_$side"
   require(factSchema.fieldNames.toSet.intersect(dimSchema.fieldNames.toSet).isEmpty,

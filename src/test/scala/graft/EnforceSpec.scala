@@ -784,6 +784,102 @@ class EnforceSpec extends SparkSpec {
       dr._1 == "total_cap" && dr._2.contains("\"o_total\":99.0")))
   }
 
+  test("view per-side drift policies: fact-side drop quarantines beside dim-side warn monitoring") {
+    PipelineMetrics.ensureDriftTable(target)
+    exec("""CREATE TABLE enf_side ("o_orderkey" BIGINT NOT NULL PRIMARY KEY,
+      | "o_custkey" BIGINT, "o_total" DOUBLE,
+      | "c_custkey" BIGINT, "c_name" VARCHAR(64))"""
+      .stripMargin.replace("\n", ""))
+    val dl = Files.createTempDirectory("graft_enf_side_dl_").toString + "/dl"
+    val feed = Files.createTempDirectory("graft_enf_side_feed_").toFile
+    val work = Files.createTempDirectory("graft_enf_side_work_").toString
+    val pipe = ViewPipeline(
+      name = "enf_side", databases = Set("shop"),
+      factTable = "orders",
+      factSchema = StructType.fromDDL(
+        "o_orderkey BIGINT, o_custkey BIGINT, o_total DOUBLE"),
+      factIdField = "o_orderkey", factJoinField = "o_custkey",
+      dimTable = "customer",
+      dimSchema = StructType.fromDDL("c_custkey BIGINT, c_name STRING"),
+      dimIdField = "c_custkey", dimJoinField = "c_custkey",
+      leftOuter = false,
+      target = JdbcTarget(url, "enf_side", Some("c_name VARCHAR(64)")),
+      deadLetterDir = Some(dl), metrics = Some(target),
+      factDriftPolicy = Some(CdcPipeline.DriftPolicy(newColsBudget = 0L,
+        action = Profile.Drop)),
+      dimDriftPolicy = Some(CdcPipeline.DriftPolicy(newColsBudget = 0L,
+        action = Profile.Warn)))
+    Files.write(new java.io.File(feed, "000.json").toPath, Seq(
+      wire("customer", """{"c_custkey":1,"c_name":"A"}""", null, "c", 10, 1),
+      // dim drift (undeclared `tier`): the WARN side records a verdict
+      // and still serves — monitoring one side must not withhold it
+      wire("customer", """{"c_custkey":2,"c_name":"B","tier":"gold"}""",
+        null, "c", 10, 2),
+      wire("orders", """{"o_orderkey":10,"o_custkey":1,"o_total":5.0}""",
+        null, "c", 10, 3),
+      // fact drift (undeclared `memo`): the DROP side withholds it
+      wire("orders",
+        """{"o_orderkey":11,"o_custkey":1,"o_total":7.0,"memo":"m"}""",
+        null, "c", 10, 4),
+      wire("orders", """{"o_orderkey":12,"o_custkey":2,"o_total":9.0}""",
+        null, "c", 10, 5)).asJava)
+    pipe.runOnce(spark, feed.toString, work)
+    val served = spark.read.jdbc(url, "enf_side", new java.util.Properties())
+      .select(col("o_orderkey").cast("long"), col("c_name"))
+      .as[(Long, String)].collect().toSeq.sorted
+    // 11 quarantined by the fact gate; 12 joins the warn-monitored
+    // (drifted, still served) dim row
+    assert(served == Seq((10L, "A"), (12L, "B")), s"got $served")
+    // per-side verdict tags: each side recorded ITS drift
+    val tags = PipelineMetrics.driftRows(spark, target)
+      .filter($"pipeline".isin("enf_side.fact", "enf_side.dim"))
+      .select($"pipeline", $"rows_new").as[(String, Long)]
+      .collect().toMap
+    assert(tags == Map("enf_side.fact" -> 1L, "enf_side.dim" -> 1L),
+      s"got $tags")
+    // the quarantined fact carries the RAW payload under the fact tag
+    val dls = PipelineMetrics.driftDeadLetters(spark, dl)
+      .select($"pipeline", $"violated", $"row_json")
+      .as[(String, String, String)].collect().toSeq
+    assert(dls.map(d => (d._1, d._2)) == Seq(("enf_side.fact",
+      "drift_newcols")) && dls.head._3.contains("\"memo\":\"m\""),
+      s"got $dls")
+  }
+
+  test("registry: per-side view driftPolicy overrides parse; a drop side without a deadLetterDir dies naming the side") {
+    def conf(dir: java.io.File, fname: String, body: String): Unit =
+      Files.write(new java.io.File(dir, fname).toPath,
+        Collections.singletonList(body.stripMargin.replace("\n", "")))
+    def viewConf(dlLine: String): String =
+      s"""{"kind":"view","name":"vside","databases":["shop"],
+         |"fact":{"table":"orders","idKey":"o_orderkey",
+         |"joinKey":"o_custkey",
+         |"schema":"o_orderkey BIGINT, o_custkey BIGINT",
+         |"driftPolicy":{"newColsBudget":0,"action":"drop"}},
+         |"dim":{"table":"customer","idKey":"c_custkey",
+         |"joinKey":"c_custkey",
+         |"schema":"c_custkey BIGINT, c_name STRING",
+         |"driftPolicy":{"action":"warn"}},
+         |"jdbc":{"url":"$url","table":"vside_t"},
+         |"metrics":{"url":"$url","table":"enf_metrics"}$dlLine}"""
+    val good = Files.createTempDirectory("graft_enf_vside_").toFile
+    conf(good, "v.json",
+      viewConf(""","deadLetterDir":"/tmp/graft_vside_dl""""))
+    val p = PipelineRegistry.loadViews(good.toString).head.pipeline
+    assert(p.factDriftPolicy.exists(fp => fp.action == Profile.Drop
+      && fp.newColsBudget == 0L))
+    assert(p.dimDriftPolicy.exists(_.action == Profile.Warn))
+    assert(p.driftPolicy.isEmpty && !p.driftCheck)
+    // a drop-action SIDE policy without a deadLetterDir dies at boot
+    // naming the declaring side key (S3's fail-fast discipline)
+    val bad = Files.createTempDirectory("graft_enf_vside_bad_").toFile
+    conf(bad, "v.json", viewConf(""))
+    val e = intercept[IllegalArgumentException](
+      PipelineRegistry.loadViews(bad.toString))
+    assert(e.getMessage.contains("fact.driftPolicy")
+      && e.getMessage.contains("deadLetterDir"), s"got: ${e.getMessage}")
+  }
+
   test("additive store: drop rules are restricted to the stable doc identity at registration") {
     def mkPipe(rules: Seq[Profile.Rule]): SearchServingPipeline =
       SearchServingPipeline(
