@@ -3527,8 +3527,11 @@ object PipelineQueries {
         } finally c.close()
         val work = s"$base/work"
         // drive 1: the strict rule quarantines negative-balance
-        // customers' enriched orders
-        pipe(0.0, 10000.0).runOnce(spark, myFeed, work)
+        // customers' enriched orders. Skipped when a prior attempt
+        // already published the keyed replay (q172's retry rule: the
+        // strict conf must never drain the replay file)
+        if (!replayStarted(spark, myFeed, "_expect", "q168", 9000000000L))
+          pipe(0.0, 10000.0).runOnce(spark, myFeed, work)
         // conf fix + keyed replay: dead letters resolve to fact keys,
         // the keys' CURRENT fact rows re-enter the feed at the epoch
         val fixed = pipe(-1e12, 1e12)
@@ -3587,6 +3590,62 @@ object PipelineQueries {
     Seq(badtype, withNew, clean).reduce(_ unionByName _)
   }
 
+  /** Publish the drive-local drifting-embeddings feed under `base`,
+    * stage-then-rename (a crash mid-write must not leave a partial dir
+    * the next drive drains as the whole feed); an existing feed is
+    * kept. Shared by the q169 and q172 drift drives.
+    */
+  private def publishDriftFeed(spark: SparkSession, dir: String,
+      base: String): String = {
+    val feed = s"$base/feed"
+    val fs = new org.apache.hadoop.fs.Path(feed)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(feed))) {
+      driftingEmbeddingsWire(spark, dir).repartition(4)
+        .write.mode("overwrite").json(s"$base/feed_tmp")
+      require(fs.rename(new org.apache.hadoop.fs.Path(s"$base/feed_tmp"),
+        new org.apache.hadoop.fs.Path(feed)),
+        s"drift drive: could not publish the drive-local feed $feed")
+    }
+    feed
+  }
+
+  /** The (vec_id, cell, emb_json) Derby postings DDL the drift drives
+    * serve into; X0Y32 = table already exists (idempotent re-drive).
+    */
+  private def ensureVecPostings(url: String, table: String): Unit = {
+    val c = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = c.createStatement()
+      try st.execute(
+        s"""CREATE TABLE $table ("vec_id" BIGINT NOT NULL PRIMARY
+          | KEY, "cell" INTEGER, "emb_json" VARCHAR(32000))"""
+          .stripMargin.replace("\n", ""))
+      catch {
+        case e: java.sql.SQLException if e.getSQLState == "X0Y32" => ()
+      }
+    } finally c.close()
+  }
+
+  /** Whether a replay at `tsMs` over `subtree` has already STARTED
+    * against `feed` (manifest, published file or DONE marker present).
+    * Multi-step drives gate their pre-replay strict stage on this: a
+    * retry after a crash mid-lifecycle must NOT re-drain the published
+    * replay file under the strict conf — the used epoch would refuse
+    * to re-publish the re-quarantined rows and the store would diverge
+    * permanently (memoized as success). Resume at the replay step
+    * instead; every later step is idempotent.
+    */
+  private def replayStarted(spark: SparkSession, feed: String,
+      subtree: String, pipeline: String, tsMs: Long): Boolean = {
+    val fs = new org.apache.hadoop.fs.Path(feed)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(s"$feed/_replay${subtree}_${pipeline}_${tsMs}_IDS",
+      s"$feed/_replay${subtree}_${pipeline}_${tsMs}_DONE",
+      s"$feed/replay${subtree}_${pipeline}_$tsMs.json")
+      .exists(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+  }
+
   private val q169Lock = new Object
   private val q169Driven = java.util.concurrent.ConcurrentHashMap
     .newKeySet[String]()
@@ -3616,29 +3675,8 @@ object PipelineQueries {
           java.nio.file.Paths.get(base))
         PipelineMetrics.ensureTable(target)
         PipelineMetrics.ensureDriftTable(target)
-        val feed = s"$base/feed"
-        val fs = new org.apache.hadoop.fs.Path(feed)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (!fs.exists(new org.apache.hadoop.fs.Path(feed))) {
-          // stage-then-rename: a crash mid-write must not leave a
-          // partial dir the next drive drains as the whole feed
-          driftingEmbeddingsWire(spark, dir).repartition(4)
-            .write.mode("overwrite").json(s"$base/feed_tmp")
-          require(fs.rename(new org.apache.hadoop.fs.Path(s"$base/feed_tmp"),
-            new org.apache.hadoop.fs.Path(feed)),
-            s"q169: could not publish the drive-local feed $feed")
-        }
-        val c = java.sql.DriverManager.getConnection(url)
-        try {
-          val st = c.createStatement()
-          try st.execute(
-            """CREATE TABLE postings_q169 ("vec_id" BIGINT NOT NULL PRIMARY
-              | KEY, "cell" INTEGER, "emb_json" VARCHAR(32000))"""
-              .stripMargin.replace("\n", ""))
-          catch { // X0Y32: table already exists (idempotent re-drive)
-            case e: java.sql.SQLException if e.getSQLState == "X0Y32" => ()
-          }
-        } finally c.close()
+        val feed = publishDriftFeed(spark, dir, base)
+        ensureVecPostings(url, "postings_q169")
         pipeline.runOnce(spark, feed, s"$base/work")
         q169Driven.add(base); ()
       }
@@ -3829,33 +3867,18 @@ object PipelineQueries {
           java.nio.file.Paths.get(base))
         PipelineMetrics.ensureTable(target)
         PipelineMetrics.ensureDriftTable(target)
-        val feed = s"$base/feed"
-        val fs = new org.apache.hadoop.fs.Path(feed)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (!fs.exists(new org.apache.hadoop.fs.Path(feed))) {
-          // stage-then-rename: a crash mid-write must not leave a
-          // partial dir the next drive drains as the whole feed
-          driftingEmbeddingsWire(spark, dir).repartition(4)
-            .write.mode("overwrite").json(s"$base/feed_tmp")
-          require(fs.rename(new org.apache.hadoop.fs.Path(s"$base/feed_tmp"),
-            new org.apache.hadoop.fs.Path(feed)),
-            s"q172: could not publish the drive-local feed $feed")
-        }
-        val c = java.sql.DriverManager.getConnection(url)
-        try {
-          val st = c.createStatement()
-          try st.execute(
-            """CREATE TABLE postings_q172 ("vec_id" BIGINT NOT NULL PRIMARY
-              | KEY, "cell" INTEGER, "emb_json" VARCHAR(32000))"""
-              .stripMargin.replace("\n", ""))
-          catch { // X0Y32: table already exists (idempotent re-drive)
-            case e: java.sql.SQLException if e.getSQLState == "X0Y32" => ()
-          }
-        } finally c.close()
+        val feed = publishDriftFeed(spark, dir, base)
+        ensureVecPostings(url, "postings_q172")
         val work = s"$base/work"
         // drive 1: zero tolerated evolution — the gate quarantines
-        // both the bad-typed and the undeclared-field events
-        pipe(0L).runOnce(spark, feed, work)
+        // both the bad-typed and the undeclared-field events. SKIPPED
+        // when a prior attempt already started the replay: the strict
+        // gate would otherwise drain the published replay file at
+        // budget 0 and the used epoch could never re-publish the
+        // re-quarantined note carriers — the retry must resume at the
+        // replay step (idempotent) and drain under the evolved conf.
+        if (!replayStarted(spark, feed, "_drift", "q172", 9000000000L))
+          pipe(0L).runOnce(spark, feed, work)
         // conf fix + replay: the raw quarantined bytes re-enter the
         // feed as ordinary wire events at the epoch (same verb Serve
         // `replay drift` wraps — kind-agnostic, raw payload per kind)

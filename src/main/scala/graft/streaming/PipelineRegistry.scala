@@ -324,6 +324,24 @@ object PipelineRegistry {
     * needs a metrics store, a Drop needs a deadLetterDir, and the
     * `_drift` verdict table is ensured at load.
     */
+  private def parseDrift(f: File,
+      node: com.fasterxml.jackson.databind.JsonNode,
+      dlDir: Option[String],
+      metricsTarget: Option[PipelineMetrics.Target])
+      : (Boolean, Option[CdcPipeline.DriftPolicy]) = {
+    val drift = node.hasNonNull("driftCheck") &&
+      node.get("driftCheck").asBoolean()
+    val driftPol = if (!node.hasNonNull("driftPolicy")) None
+      else Some(parseDriftPolicy(f, "driftPolicy",
+        node.get("driftPolicy"), dlDir))
+    if (drift || driftPol.isDefined) {
+      require(metricsTarget.isDefined,
+        s"${f.getName}: driftCheck needs a metrics target to record into")
+      metricsTarget.foreach(PipelineMetrics.ensureDriftTable)
+    }
+    (drift, driftPol)
+  }
+
   /** One declared drift policy object — shared between the conf-level
     * `"driftPolicy"` and the view kind's per-side
     * `"fact"/"dim".driftPolicy` overrides; `owner` names the declaring
@@ -350,24 +368,6 @@ object PipelineRegistry {
       badTypeRowsBudget = if (p.hasNonNull("badTypeRowsBudget"))
         p.get("badTypeRowsBudget").asLong() else Long.MaxValue,
       action = action)
-  }
-
-  private def parseDrift(f: File,
-      node: com.fasterxml.jackson.databind.JsonNode,
-      dlDir: Option[String],
-      metricsTarget: Option[PipelineMetrics.Target])
-      : (Boolean, Option[CdcPipeline.DriftPolicy]) = {
-    val drift = node.hasNonNull("driftCheck") &&
-      node.get("driftCheck").asBoolean()
-    val driftPol = if (!node.hasNonNull("driftPolicy")) None
-      else Some(parseDriftPolicy(f, "driftPolicy",
-        node.get("driftPolicy"), dlDir))
-    if (drift || driftPol.isDefined) {
-      require(metricsTarget.isDefined,
-        s"${f.getName}: driftCheck needs a metrics target to record into")
-      metricsTarget.foreach(PipelineMetrics.ensureDriftTable)
-    }
-    (drift, driftPol)
   }
 
   /** Conf-declared dead-letter retention, shared by all five kinds:
