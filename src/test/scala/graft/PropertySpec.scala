@@ -751,4 +751,113 @@ class PropertySpec extends SparkSpec {
         "all dead letters consumed (live keys re-served, deleted retired)")
     }
   }
+
+  test("drift replay lifecycle converges to the tolerated-schema model on randomized wire (stable drift classes)") {
+    // The drift completion of the replay properties above (q172's
+    // contract, randomized): drift class is a STABLE function of the
+    // key — keys 0..5 clean wire, 6..7 carry an undeclared `note`,
+    // 8..9 a bad-typed score. Strict batches (newColsBudget 0, Drop)
+    // quarantine 6..9's winners; the conf EVOLVES (budget raise) and
+    // the raw dead letters replay through the fixed pipeline. Model:
+    // plain-Scala LWW over the STRUCTURALLY-VALID keys (0..7) — the
+    // note carriers converge (each key's newest dead letter is its
+    // global LWW winner, the epoch tie-break by originating batch id),
+    // the bad-typed keys stay out (Drop withholds bad types at ANY
+    // budget — they re-quarantine, never silently null) and end the
+    // lifecycle as the ONLY remaining dead letters. Deletes only touch
+    // stably-clean keys (the stamped-epoch premise shared by all three
+    // properties).
+    import graft.cdc.Subscription
+    import graft.ops.Profile
+    import graft.sinks.EsSink
+    import graft.streaming.{CdcPipeline, PipelineMetrics}
+    import org.apache.spark.sql.types.StructType
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions.{col, get_json_object}
+    val url = "jdbc:derby:memory:graftdriftprop;create=true"
+    val target = PipelineMetrics.Target(url, "driftprop_metrics")
+    PipelineMetrics.ensureTable(target)
+    PipelineMetrics.ensureDriftTable(target)
+    val rnd = new scala.util.Random(141421)
+    for (trial <- 0 until 3) {
+      val dl = Files.createTempDirectory(s"graft_dfprop_dl_$trial").toString
+      val feed = Files.createTempDirectory(s"graft_dfprop_fd_$trial").toString
+      val store = Files.createTempDirectory(s"graft_dfprop_st_$trial").toString
+      val sink = new EsSink.FileDocStore(store)
+      val cfg = EsSink.Config("http://es/idx", "u", "p", "id")
+      def pipe(budget: Long) = CdcPipeline(s"dfp$trial",
+        Subscription(Set("d"), Set("t")),
+        StructType.fromDDL("id BIGINT, score DOUBLE"), "id",
+        deadLetterDir = Some(dl), metrics = Some(target),
+        driftPolicy = Some(CdcPipeline.DriftPolicy(newColsBudget = budget,
+          action = Profile.Drop)))
+      val strict = pipe(0L)
+      val nBatches = 2 + rnd.nextInt(3)
+      var events = Vector.empty[(Long, Long, String, Double, Long)]
+      var off = 0L
+      (0 until nBatches).foreach { b =>
+        val batch = (0 until (10 + rnd.nextInt(15))).map { _ =>
+          val k = rnd.nextInt(10).toLong
+          val op = if (k <= 5 && rnd.nextDouble() < 0.15) "d" else "c"
+          val score = math.floor(rnd.nextDouble() * 100) / 10.0
+          off += 1
+          val ts = b * 1000L + off
+          events :+= ((k, ts, op, score, off))
+          val body =
+            if (k >= 8) s"""{"id":$k,"score":"bad"}"""
+            else if (k >= 6) s"""{"id":$k,"score":$score,"note":"x"}"""
+            else s"""{"id":$k,"score":$score}"""
+          val after = if (op == "d") "null" else body
+          val before = if (op == "d") body else "null"
+          (s"""{"payload":{"before":$before,"after":$after,""" +
+            s""""source":{"db":"d","table":"t","ts_ms":$ts},""" +
+            s""""op":"$op","ts_ms":$ts}}""", off)
+        }
+        strict.applyBatch(strict.changeRows(batch.toDF("value", "offset")),
+          cfg, sink, batchId = b.toLong)
+      }
+      // conf fix (budget raise — `note` tolerated) + drift replay at an
+      // epoch above every generated ts
+      val replayed = PipelineMetrics.replayDriftDeadLetters(spark, dl,
+        s"dfp$trial", "d", "t", feed, tsMs = 1000000L)
+      val evolved = pipe(Long.MaxValue)
+      if (replayed > 0) {
+        val raw = spark.read.schema(StructType.fromDDL(
+          "value STRING, offset BIGINT")).json(feed)
+        evolved.applyBatch(evolved.changeRows(raw), cfg, sink,
+          batchId = nBatches.toLong)
+      }
+      // plain-Scala model: LWW over the structurally-valid keys; the
+      // bad-typed keys never serve. Served docs carry only the DECLARED
+      // fields (the undeclared note is tolerated, not served).
+      val model = events.filter(_._1 <= 7).groupBy(_._1)
+        .flatMap { case (k, evs) =>
+          val (_, _, op, score, _) = evs.maxBy(e => (e._2, e._5))
+          if (op == "d") None else Some(k -> score)
+        }
+      val served = new java.io.File(store).listFiles()
+        .filter(f => f.getName.endsWith(".json")
+          && !f.getName.contains("_graft_progress_"))
+        .map { f =>
+          val n = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(java.nio.file.Files.readString(f.toPath))
+          n.get("id").asLong() -> n.get("score").asDouble()
+        }.toMap
+      assert(served == model,
+        s"trial $trial ($nBatches batches): served $served vs model $model")
+      // judgment never skipped: the bad-typed keys — and ONLY they —
+      // re-quarantined under the replay batch (originals retired)
+      val requarantined = PipelineMetrics.driftDeadLetters(spark, dl)
+        .filter(col("pipeline") === s"dfp$trial")
+        .select(get_json_object(col("row_json"), "$.id").cast("long"),
+          col("batch_id"))
+        .as[(Long, Long)].collect().toSeq
+      val hadBadtype = events.exists(e => e._1 >= 8 && e._3 == "c")
+      assert(requarantined.forall(r =>
+        r._1 >= 8L && r._2 == nBatches.toLong),
+        s"trial $trial: got $requarantined")
+      assert(!hadBadtype || requarantined.nonEmpty,
+        s"trial $trial: bad-typed winners must re-quarantine")
+    }
+  }
 }
