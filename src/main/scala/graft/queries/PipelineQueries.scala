@@ -3526,17 +3526,19 @@ object PipelineQueries {
           }
         } finally c.close()
         val work = s"$base/work"
+        val epoch = 9000000000L
         // drive 1: the strict rule quarantines negative-balance
         // customers' enriched orders. Skipped when a prior attempt
         // already published the keyed replay (q172's retry rule: the
         // strict conf must never drain the replay file)
-        if (!replayStarted(spark, myFeed, "_expect", "q168", 9000000000L))
+        if (!PipelineMetrics.replayStarted(spark, myFeed, "_expect",
+            "q168", epoch))
           pipe(0.0, 10000.0).runOnce(spark, myFeed, work)
         // conf fix + keyed replay: dead letters resolve to fact keys,
         // the keys' CURRENT fact rows re-enter the feed at the epoch
         val fixed = pipe(-1e12, 1e12)
         fixed.replayExpectDeadLetters(spark, work, myFeed, "shop",
-          tsMs = 9000000000L)
+          tsMs = epoch)
         // drive 2: only the replayed file drains, through the FIXED rule
         fixed.runOnce(spark, myFeed, work)
         q168Driven.add(base); ()
@@ -3625,25 +3627,6 @@ object PipelineQueries {
         case e: java.sql.SQLException if e.getSQLState == "X0Y32" => ()
       }
     } finally c.close()
-  }
-
-  /** Whether a replay at `tsMs` over `subtree` has already STARTED
-    * against `feed` (manifest, published file or DONE marker present).
-    * Multi-step drives gate their pre-replay strict stage on this: a
-    * retry after a crash mid-lifecycle must NOT re-drain the published
-    * replay file under the strict conf — the used epoch would refuse
-    * to re-publish the re-quarantined rows and the store would diverge
-    * permanently (memoized as success). Resume at the replay step
-    * instead; every later step is idempotent.
-    */
-  private def replayStarted(spark: SparkSession, feed: String,
-      subtree: String, pipeline: String, tsMs: Long): Boolean = {
-    val fs = new org.apache.hadoop.fs.Path(feed)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Seq(s"$feed/_replay${subtree}_${pipeline}_${tsMs}_IDS",
-      s"$feed/_replay${subtree}_${pipeline}_${tsMs}_DONE",
-      s"$feed/replay${subtree}_${pipeline}_$tsMs.json")
-      .exists(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
   }
 
   private val q169Lock = new Object
@@ -3870,6 +3853,7 @@ object PipelineQueries {
         val feed = publishDriftFeed(spark, dir, base)
         ensureVecPostings(url, "postings_q172")
         val work = s"$base/work"
+        val epoch = 9000000000L
         // drive 1: zero tolerated evolution — the gate quarantines
         // both the bad-typed and the undeclared-field events. SKIPPED
         // when a prior attempt already started the replay: the strict
@@ -3877,13 +3861,14 @@ object PipelineQueries {
         // budget 0 and the used epoch could never re-publish the
         // re-quarantined note carriers — the retry must resume at the
         // replay step (idempotent) and drain under the evolved conf.
-        if (!replayStarted(spark, feed, "_drift", "q172", 9000000000L))
+        if (!PipelineMetrics.replayStarted(spark, feed, "_drift",
+            "q172", epoch))
           pipe(0L).runOnce(spark, feed, work)
         // conf fix + replay: the raw quarantined bytes re-enter the
         // feed as ordinary wire events at the epoch (same verb Serve
         // `replay drift` wraps — kind-agnostic, raw payload per kind)
         PipelineMetrics.replayDriftDeadLetters(spark, s"$base/dead",
-          "q172", "shop", "embeddings", feed, tsMs = 9000000000L)
+          "q172", "shop", "embeddings", feed, tsMs = epoch)
         // drive 2: ONLY the replayed file drains, through the EVOLVED
         // conf — `note` now tolerated, the bad-typed rows re-judged
         // (and re-quarantined) by the same fixed rule

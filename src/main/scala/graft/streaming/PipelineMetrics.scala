@@ -493,6 +493,30 @@ object PipelineMetrics {
     replayFrom(spark, deadLetterDir, "_drift", pipeline, db, table,
       sourceDir, tsMs, batchIds)
 
+  /** Whether a replay of `pipeline`'s `subtree` at epoch `tsMs` has
+    * already STARTED against `sourceDir` — its manifest, published feed
+    * file or DONE marker exists. Multi-step drives gate their
+    * PRE-replay strict stage on this: a retry after a crash
+    * mid-lifecycle must not re-drain the published replay file under
+    * the strict conf (the used epoch would refuse to re-publish the
+    * re-quarantined rows and the store would diverge permanently) —
+    * resume at the replay step instead; every later step is
+    * idempotent. Lives beside [[replayWire]] because it must share its
+    * artifact naming exactly: a re-derived copy would silently disarm
+    * if the names ever moved.
+    */
+  def replayStarted(spark: org.apache.spark.sql.SparkSession,
+      sourceDir: String, subtree: String, pipeline: String,
+      tsMs: Long): Boolean = {
+    val prefix = s"replay${subtree}"
+    val safe = pipeline.replaceAll("[^A-Za-z0-9._-]", "_")
+    val src = new org.apache.hadoop.fs.Path(sourceDir)
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(s"_${prefix}_${safe}_${tsMs}_IDS", s"_${prefix}_${safe}_${tsMs}_DONE",
+      s"${prefix}_${safe}_$tsMs.json")
+      .exists(n => fs.exists(new org.apache.hadoop.fs.Path(src, n)))
+  }
+
   /** Replay-by-ORIGINATING-KEY — the non-LWW kinds' `_expect` replay
     * (view/ann/dedup): their dead letters are DERIVED rows (an enriched
     * serving row, a posting action, a cluster assignment) that cannot
