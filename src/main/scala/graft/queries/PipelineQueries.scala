@@ -3942,11 +3942,185 @@ object PipelineQueries {
           .as("vec_id"))
   }
 
+  /** The drifting TWO-TABLE wire for the per-side view gates — one
+    * fixture, disjoint classes per side restated by key arithmetic:
+    * fact (orders) %9 keys carry an undeclared `o_memo`, else %13 keys
+    * a bad-typed `o_totalprice`; dim (customer) %5 keys carry an
+    * undeclared `c_tier`. Offsets partition the two tables' ranges.
+    */
+  private def driftingViewWire(spark: SparkSession,
+      dir: String): DataFrame = {
+    import graft.cdc.ChangeFeed
+    val jsonOpts = Map("ignoreNullFields" -> "false")
+    def ev(table: String, schema: org.apache.spark.sql.types.StructType,
+        key: org.apache.spark.sql.Column)(
+        after: org.apache.spark.sql.Column) = {
+      val ts = lit(1000000000L) + key
+      to_json(struct(
+        lit(null).cast(schema).as("before"), after.as("after"),
+        struct(lit("shop").as("db"), lit(table).as("table"),
+          ts.as("ts_ms")).as("source"),
+        lit("c").as("op"), ts.as("ts_ms")), jsonOpts)
+    }
+    val orders = Tables.orders(spark, dir)
+    val ok = col("o_orderkey")
+    val oEv = ev("orders", ChangeFeed.ordersRowSchema, ok) _
+    val oRow = Seq(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice"), col("o_orderpriority"))
+    val oNewcols = orders.filter(ok % 9 === 0).select(
+      oEv(struct(oRow :+ lit("m").as("o_memo"): _*)).as("value"),
+      ok.as("offset"))
+    val oBadtype = orders.filter(ok % 9 =!= 0 && ok % 13 === 0).select(
+      oEv(struct(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), lit("oops").as("o_totalprice"),
+        col("o_orderpriority"))).as("value"), ok.as("offset"))
+    val oClean = orders.filter(ok % 9 =!= 0 && ok % 13 =!= 0).select(
+      oEv(struct(oRow: _*)).as("value"), ok.as("offset"))
+    val cust = Tables.customer(spark, dir)
+    val ck = col("c_custkey")
+    val cEv = ev("customer", ChangeFeed.customerRowSchema, ck) _
+    val cRow = Seq(col("c_custkey"), col("c_name"), col("c_nationkey"),
+      col("c_acctbal"), col("c_mktsegment"))
+    val cNewcols = cust.filter(ck % 5 === 0).select(
+      cEv(struct(cRow :+ lit("gold").as("c_tier"): _*)).as("value"),
+      (lit(500000000L) + ck).as("offset"))
+    val cClean = cust.filter(ck % 5 =!= 0).select(
+      cEv(struct(cRow: _*)).as("value"),
+      (lit(500000000L) + ck).as("offset"))
+    Seq(oNewcols, oBadtype, oClean, cNewcols, cClean)
+      .reduce(_ unionByName _)
+  }
+
+  private val q174Lock = new Object
+  private val q174Driven = java.util.concurrent.ConcurrentHashMap
+    .newKeySet[String]()
+
+  private def q174Base(spark: SparkSession, dir: String): String =
+    graft.cdc.DeltaLog.logBase(spark,
+      s"driftview_${dir.replaceAll("[^a-zA-Z0-9]", "_")}",
+      graft.sources.Staging.fingerprint(
+        Seq(s"$dir/orders.parquet", s"$dir/customer.parquet")))
+
+  private def q174Drive(spark: SparkSession, dir: String): String = {
+    import graft.cdc.ChangeFeed
+    import graft.streaming.{CdcPipeline, JdbcTarget, PipelineMetrics,
+      ViewPipeline}
+    val base = q174Base(spark, dir)
+    val url = s"jdbc:derby:$base/derby;create=true"
+    val target = PipelineMetrics.Target(url, "pipeline_metrics_q174")
+    val pipeline = ViewPipeline(
+      name = "q174", databases = Set("shop"),
+      factTable = "orders", factSchema = ChangeFeed.ordersRowSchema,
+      factIdField = "o_orderkey", factJoinField = "o_custkey",
+      dimTable = "customer", dimSchema = ChangeFeed.customerRowSchema,
+      dimIdField = "c_custkey", dimJoinField = "c_custkey",
+      leftOuter = false,
+      target = JdbcTarget(url, "enriched_q174", Some(
+        "o_orderstatus VARCHAR(8), o_orderpriority VARCHAR(32), " +
+          "c_name VARCHAR(64), c_mktsegment VARCHAR(32)")),
+      metrics = Some(target), deadLetterDir = Some(s"$base/dead"),
+      // per-side policies: the fact wire is ENFORCED (drop), the dim
+      // wire only OBSERVED (warn) — its drifted rows must keep serving
+      factDriftPolicy = Some(CdcPipeline.DriftPolicy(newColsBudget = 0L,
+        action = graft.ops.Profile.Drop)),
+      dimDriftPolicy = Some(CdcPipeline.DriftPolicy(newColsBudget = 0L,
+        action = graft.ops.Profile.Warn)))
+    q174Lock.synchronized {
+      // memoize only on SUCCESS (q167's rule): a failed drive retries
+      if (!q174Driven.contains(base)) {
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(base))
+        PipelineMetrics.ensureTable(target)
+        PipelineMetrics.ensureDriftTable(target)
+        val feed = s"$base/feed"
+        val fs = new org.apache.hadoop.fs.Path(feed)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(new org.apache.hadoop.fs.Path(feed))) {
+          // stage-then-rename (the shared drift-drive discipline)
+          driftingViewWire(spark, dir).repartition(4)
+            .write.mode("overwrite").json(s"$base/feed_tmp")
+          require(fs.rename(new org.apache.hadoop.fs.Path(s"$base/feed_tmp"),
+            new org.apache.hadoop.fs.Path(feed)),
+            s"q174: could not publish the drive-local feed $feed")
+        }
+        val c = java.sql.DriverManager.getConnection(url)
+        try {
+          val st = c.createStatement()
+          try st.execute(
+            // exact-width DDL (q161's Derby MERGE rule)
+            """CREATE TABLE enriched_q174 ("o_orderkey" BIGINT NOT NULL
+              | PRIMARY KEY, "o_custkey" BIGINT, "o_orderstatus" VARCHAR(8),
+              | "o_totalprice" DOUBLE, "o_orderpriority" VARCHAR(32),
+              | "c_custkey" BIGINT, "c_name" VARCHAR(64),
+              | "c_nationkey" INTEGER, "c_acctbal" DOUBLE,
+              | "c_mktsegment" VARCHAR(32))""".stripMargin.replace("\n", ""))
+          catch { // X0Y32: table already exists (idempotent re-drive)
+            case e: java.sql.SQLException if e.getSQLState == "X0Y32" => ()
+          }
+        } finally c.close()
+        pipeline.runOnce(spark, feed, s"$base/work")
+        q174Driven.add(base); ()
+      }
+    }
+    url
+  }
+
+  /** Q174: the ENFORCED VIEW STORE under PER-SIDE drift policies — the
+    * per-side override certified by the oracle (EnforceSpec pins the
+    * unit semantics; this holds it at 3 SFs on the real tables): the
+    * fact wire enforces Drop (undeclared `o_memo` on %9 keys, a
+    * bad-typed `o_totalprice` on %13 keys — both withheld BEFORE the
+    * fact table log), while the dim wire is only warn-OBSERVED — the
+    * %5 customers carrying an undeclared `c_tier` keep serving, so
+    * every clean order enriches against the FULL dimension. One
+    * withheld dim row (over-enforcement of the observed side), one
+    * leaked drifted fact (under-enforcement of the enforcing side), or
+    * one silently-nulled price breaks the hash.
+    */
+  val q174 = QueryDef.sql(
+    "q174_view_per_side_drift",
+    """SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice AS price,
+      |       c.c_custkey, c.c_name, c.c_acctbal
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |WHERE o.o_orderkey % 9 <> 0 AND o.o_orderkey % 13 <> 0"""
+      .stripMargin) { (spark, dir) =>
+    val url = q174Drive(spark, dir)
+    spark.read.jdbc(url, "enriched_q174", new java.util.Properties())
+      .select(col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_orderstatus"), col("o_totalprice").as("price"),
+        col("c_custkey").cast("long").as("c_custkey"), col("c_name"),
+        col("c_acctbal"))
+  }
+
+  /** Q175: q174's quarantine partition — the per-side tags certified:
+    * every dead letter is FACT-side (`q174.fact`; one dim-side row
+    * would mean the warn side withheld), tagged by its drift class and
+    * carrying the RAW payload the oracle restates from the key
+    * arithmetic. The store (q174) plus these dead letters partition
+    * the fact wire — nothing silently lost (S6), per side.
+    */
+  val q175 = QueryDef.sql(
+    "q175_view_per_side_dead_letters",
+    """SELECT 'q174.fact' AS pipeline, 'drift_newcols' AS violated,
+      |       o_orderkey
+      |FROM orders WHERE o_orderkey % 9 = 0
+      |UNION ALL
+      |SELECT 'q174.fact', 'drift_badtype', o_orderkey
+      |FROM orders WHERE o_orderkey % 9 <> 0 AND o_orderkey % 13 = 0"""
+      .stripMargin) { (spark, dir) =>
+    import graft.streaming.PipelineMetrics
+    q174Drive(spark, dir) // share q174's drive (memoized)
+    PipelineMetrics.driftDeadLetters(spark, s"${q174Base(spark, dir)}/dead")
+      .select(col("pipeline"), col("violated"),
+        get_json_object(col("row_json"), "$.o_orderkey").cast("bigint")
+          .as("o_orderkey"))
+  }
+
   val all: Seq[QueryDef] = Seq(q41, q42, q43, q44, q45, q47, q48, q49,
     q54, q57, q60, q62, q63, q64, q68, q69, q74, q76, q80, q81, q83, q90, q91,
     q94, q98, q122, q125, q127, q128, q129, q130, q131, q133, q134, q135,
     q136, q137, q138, q139, q140, q141, q142, q144, q145, q146, q147, q148,
     q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160,
     q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172,
-    q173)
+    q173, q174, q175)
 }
