@@ -1691,6 +1691,8 @@ object PipelineQueries {
   }
 
   private val q141Lock = new Object
+  private val q141Driven = java.util.concurrent.ConcurrentHashMap
+    .newKeySet[String]()
 
   /** Q141: the PER-PIPELINE METRICS TABLE itself under the oracle gate —
     * the operational analog of the reference's per-event logging (S6,
@@ -1746,6 +1748,11 @@ object PipelineQueries {
       def send(req: EsSink.Request): Int = 200
     }
     q141Lock.synchronized {
+      // memoize only on SUCCESS (q167's rule): the DELETE+INSERT
+      // metrics contract makes a re-drive converge to the same rows,
+      // so later invocations in one JVM read the recorded table
+      // instead of re-paying four full-feed applyBatch drives
+      if (!q141Driven.contains(base)) {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(base))
       PipelineMetrics.ensureTable(target)
       val raw = spark.read.schema(org.apache.spark.sql.types.StructType(Seq(
@@ -1773,6 +1780,8 @@ object PipelineQueries {
       val customerCfg = EsSink.Config("http://graft-local/lww_customer_q141",
         "graft", "graft", "c_custkey")
       customer.applyBatch(customer.changeRows(raw), customerCfg, blackhole, 0L)
+      q141Driven.add(base); ()
+      }
     }
     PipelineMetrics.rows(spark, target)
       .select(col("pipeline"), col("kind"), col("batch_id"),
@@ -2196,6 +2205,8 @@ object PipelineQueries {
   }
 
   private val q151Lock = new Object
+  private val q151Driven = java.util.concurrent.ConcurrentHashMap
+    .newKeySet[String]()
 
   /** Q151: STREAMING EXPECTATION VERDICTS under the oracle gate —
     * q141's certification pattern applied to the declared-expectations
@@ -2255,6 +2266,9 @@ object PipelineQueries {
       def send(req: EsSink.Request): Int = 200
     }
     q151Lock.synchronized {
+      // memoize only on SUCCESS (q141's rule — verdict rows replay
+      // DELETE+INSERT, so a re-drive converges; read, don't re-drive)
+      if (!q151Driven.contains(base)) {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(base))
       PipelineMetrics.ensureTable(target)
       PipelineMetrics.ensureExpectTable(target)
@@ -2278,6 +2292,8 @@ object PipelineQueries {
       orders.applyBatch(events.filter(slot === 0), cfg, blackhole, 0L)
       orders.applyBatch(events.filter(slot.isin(1, 2)), cfg, blackhole, 1L)
       orders.applyBatch(events.filter(slot === 3), cfg, blackhole, 2L)
+      q151Driven.add(base); ()
+      }
     }
     PipelineMetrics.expectRows(spark, target)
       .select(col("pipeline"), col("batch_id"), col("rule"),
