@@ -397,6 +397,25 @@ class ServeSpec extends SparkSpec {
         assert(await()(Files.exists(
           java.nio.file.Paths.get(s"$seeded/CURRENT"))),
           "watcher-tick maintenance must compact the seeded log")
+        // the no-resend claim below holds for COMMITTED batches only:
+        // the doc-file write happens inside foreachBatch, seconds
+        // before the offset/commit log lands under load, and a stop in
+        // that window legitimately REPLAYS the batch (at-least-once
+        // with idempotent overwrite — the engine contract). Wait for
+        // the lww stream's checkpoint to commit the wave-2 batch
+        // before staging the deliberately-in-flight wave 3.
+        def lwwCommitted(batch: Long): Boolean = {
+          def walk(f: java.io.File): Seq[java.io.File] =
+            if (f.isDirectory)
+              Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+                .toSeq.flatMap(walk)
+            else Seq(f)
+          walk(new java.io.File(s"$workRoot/ckpt/lww")).exists(f =>
+            f.getParentFile.getName == "commits"
+              && f.getName == batch.toString)
+        }
+        assert(await()(lwwCommitted(1L)),
+          "wave-2 batch must commit before the in-flight wave lands")
         // wave 3 lands right before the stop — the restart must finish
         // serving it without re-sending waves 1–2
         Files.write(new java.io.File(srcDir, "002.json").toPath, Seq(
