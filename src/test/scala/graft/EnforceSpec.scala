@@ -846,6 +846,28 @@ class EnforceSpec extends SparkSpec {
       s"got $dls")
   }
 
+  test("replayStarted tracks the publication artifacts exactly (manifest, feed file, DONE) with the verb's name sanitization") {
+    val feed = Files.createTempDirectory("graft_enf_rps_").toString
+    def probe(p: String = "my pipe!", ts: Long = 42L): Boolean =
+      PipelineMetrics.replayStarted(spark, feed, "_expect", p, ts)
+    assert(!probe(), "fresh feed: nothing started")
+    // the sanitized name must match replayWire's artifact naming —
+    // 'my pipe!' writes as 'my_pipe_'
+    def touch(n: String): java.nio.file.Path =
+      Files.createFile(java.nio.file.Paths.get(feed, n))
+    val ids = touch("_replay_expect_my_pipe__42_IDS")
+    assert(probe(), "a committed manifest marks the epoch started")
+    Files.delete(ids)
+    val pub = touch("replay_expect_my_pipe__42.json")
+    assert(probe(), "a published feed file marks it started")
+    Files.delete(pub)
+    touch("_replay_expect_my_pipe__42_DONE")
+    assert(probe(), "a DONE marker marks it started")
+    assert(!probe(ts = 43L), "another epoch is untouched")
+    assert(!PipelineMetrics.replayStarted(spark, feed, "_drift",
+      "my pipe!", 42L), "another subtree is untouched")
+  }
+
   test("registry: per-side view driftPolicy overrides parse; a drop side without a deadLetterDir dies naming the side") {
     def conf(dir: java.io.File, fname: String, body: String): Unit =
       Files.write(new java.io.File(dir, fname).toPath,
