@@ -103,9 +103,12 @@ object Serve {
   private def parseBatchIds(verb: String, args: Seq[String]): Seq[Long] =
     if (args.length < 8) Nil
     else args(7).split(",").map(_.trim).filter(_.nonEmpty).map { s =>
-      require(s.forall(_.isDigit),
+      // same overflow guard as parseTsMs: an all-digit id past
+      // Long.MaxValue must fail as usage text, not a raw
+      // NumberFormatException after the session booted
+      require(s.forall(_.isDigit) && scala.util.Try(s.toLong).isSuccess,
         s"Serve $verb: batchIds must be a comma-separated list of " +
-          s"batch numbers, got '${args(7)}'")
+          s"batch numbers (epoch-millis-sized Longs), got '${args(7)}'")
       s.toLong
     }.toSeq
 
@@ -155,6 +158,16 @@ object Serve {
       require(hit.nonEmpty,
         s"Serve replay-keys: no $kind conf named '$name' in $confDir " +
           s"(have: ${entries.map(nameOf).mkString(", ")})")
+      // the registry tolerates two files (mis)sharing a name — the
+      // verb must not: replay's premise is the FIXED registration
+      // unit, and picking whichever file lists first could resolve the
+      // dead letters against the wrong conf's state and dead-letter
+      // dir (re-injecting wrong-shaped rows, retiring a foreign
+      // quarantine)
+      require(hit.size == 1,
+        s"Serve replay-keys: ${hit.size} $kind confs in $confDir share " +
+          s"the name '$name' — replay must resolve ONE registration " +
+          "unit; rename or remove the duplicates first")
       hit.head
     }
     // the verb resolves the conf precisely so replay runs through the

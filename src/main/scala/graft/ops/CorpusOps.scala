@@ -487,7 +487,14 @@ object CorpusOps {
     // stay cheap per level and are not re-pinned either.
     def pinnedScan(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
       p match {
-        case _: org.apache.spark.sql.execution.LogicalRDD => true
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          // LogicalRDD alone does not mean materialized: a
+          // createDataFrame(rdd)-backed frame with expensive lineage
+          // plans as LogicalRDD too, and skipping the pin would
+          // re-execute that lineage once per BFS level. Only a
+          // checkpointed or persisted RDD is a real pin.
+          lr.rdd.isCheckpointed ||
+            lr.rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE
         case pr: org.apache.spark.sql.catalyst.plans.logical.Project =>
           pinnedScan(pr.child)
         case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
@@ -1321,8 +1328,14 @@ object CorpusOps {
     val allow = allowed.select(col("vec_id")).distinct().localCheckpoint(true)
     val allowedVec = vecStore.join(allow, Seq("vec_id"), "left_semi")
       .localCheckpoint(true)
-    val nAllowed = allowedVec.count()
-    require(!allowedVec.filter(col("vec_id") === queryVecId).isEmpty,
+    // one job: the live allowed count AND the query-present check
+    // (the certificate's fused aggregate — the SERVING path must not
+    // pay two extra jobs its offline companion already avoids)
+    val agg = allowedVec.agg(count(lit(1)).as("n"),
+      max(when(col("vec_id") === queryVecId, 1).otherwise(0)).as("hasq"))
+      .head()
+    val nAllowed = agg.getLong(0)
+    require(nAllowed > 0L && agg.getInt(1) == 1,
       s"hybridFromStoresAnnFiltered: query vector $queryVecId is not in " +
         "the allowed set — pre-filter semantics have no self-hit for an " +
         "excluded query; filter with the query included or use the " +

@@ -844,14 +844,21 @@ object PipelineMetrics {
         }
       }
     Seq("_expect", "_drift").foreach { sub =>
-      // view drift gates tag per side (`<name>.fact`): sweep the
-      // pipeline's own dir and its side-tagged children, nothing else
+      // view drift gates tag per side (`<name>.fact`/`<name>.dim` —
+      // written only under `_drift`): sweep the pipeline's own dir
+      // plus exactly those two side tags, nothing else. A PREFIX match
+      // would let conf `p` sweep a keep-forever neighbor named
+      // `p.archive` sharing the dir (names allow dots) — the invariant
+      // is exact ownership, never startsWith.
+      val owned: Set[String] =
+        if (sub == "_drift")
+          Set(s"pipeline=$safe", s"pipeline=$safe.fact",
+            s"pipeline=$safe.dim")
+        else Set(s"pipeline=$safe")
       val s = new org.apache.hadoop.fs.Path(root, sub)
       if (fs.exists(s))
-        fs.listStatus(s).filter(p => p.isDirectory && {
-          val pn = p.getPath.getName
-          pn == s"pipeline=$safe" || pn.startsWith(s"pipeline=$safe.")
-        }).foreach { p =>
+        fs.listStatus(s).filter(p => p.isDirectory
+            && owned(p.getPath.getName)).foreach { p =>
           fs.listStatus(p.getPath).foreach { b =>
             if (b.isDirectory && b.getPath.getName.startsWith("batch_id=")
                 && newestMtime(b) < cutoff) {

@@ -267,23 +267,32 @@ final class PipelineWatcher(
             e.pipeline.deadLetterDir, e.pipeline.deadLetterRetentionMs))
         // root sink files interleave pipelines row-wise, so they may
         // age only where EVERY conf sharing the dir opted into a
-        // retention — a keep-forever neighbor vetoes the sweep; the
-        // per-pipeline subtrees age on their own conf's clock
+        // retention — a keep-forever neighbor vetoes the sweep — and
+        // then at the group's LONGEST retention: a 1-hour conf must
+        // not delete interleaved rows a 30-day neighbor promised to
+        // keep. The per-pipeline subtrees age on their own conf's
+        // clock (includeRootFiles=false), and one extra pass by the
+        // longest-retention conf sweeps the root.
         val byDir = dlTargets.collect { case (nm, Some(d), ret) =>
           (d, nm, ret) }.groupBy(_._1)
         byDir.foreach { case (dir, group) =>
-          val rootOk = group.forall(_._3 > 0L)
+          def retire(nm: String, ret: Long, root: Boolean): Unit =
+            try {
+              PipelineMetrics.retireAgedDeadLetters(spark, dir, ret, nm,
+                includeRootFiles = root)
+              ()
+            } catch {
+              case e: Exception => System.err.println(
+                s"[PipelineWatcher] dead-letter retention failed for " +
+                  s"$nm: ${e.getMessage}")
+            }
           group.foreach { case (_, nm, ret) =>
-            if (ret > 0L)
-              try {
-                PipelineMetrics.retireAgedDeadLetters(spark, dir, ret, nm,
-                  includeRootFiles = rootOk)
-                ()
-              } catch {
-                case e: Exception => System.err.println(
-                  s"[PipelineWatcher] dead-letter retention failed for " +
-                    s"$nm: ${e.getMessage}")
-              }
+            if (ret > 0L) retire(nm, ret, root = false)
+          }
+          if (group.forall(_._3 > 0L)) {
+            val (_, nm, ret) = group.maxBy(_._3)
+            retire(nm, ret, root = true) // re-sweeps nm's subtree at
+            // its own (longest) clock — idempotent
           }
         }
       }

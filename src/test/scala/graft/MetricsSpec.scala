@@ -460,18 +460,38 @@ class MetricsSpec extends SparkSpec {
     def ageTree(dir: String): Unit =
       java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator()
         .asScala.foreach(age)
+    // a neighbor whose NAME EXTENDS this conf's ("r.archive", names
+    // allow dots) — exact ownership, never a prefix match: r's sweep
+    // must not delete it even aged
+    Seq(("r", """{"id":8}""")).toDF("violated", "row_json")
+      .write.mode("overwrite")
+      .parquet(s"$dl/_expect/pipeline=r.archive/batch_id=0")
+    // the view gate's side tags under _drift ARE owned by conf "r"
+    Seq(("drift_newcols", """{"id":7}""")).toDF("violated", "row_json")
+      .write.mode("overwrite")
+      .parquet(s"$dl/_drift/pipeline=r.fact/batch_id=0")
     ageTree(s"$dl/_expect/pipeline=r/batch_id=0")
     ageTree(s"$dl/_expect/pipeline=other/batch_id=0")
+    ageTree(s"$dl/_expect/pipeline=r.archive/batch_id=0")
     ageTree(s"$dl/_drift/pipeline=r/batch_id=0")
+    ageTree(s"$dl/_drift/pipeline=r.fact/batch_id=0")
     val n = PipelineMetrics.retireAgedDeadLetters(spark, dl,
       retentionMs = 5000L, pipeline = "r", includeRootFiles = true,
       nowMs = now)
-    assert(n == 3L, s"retired $n")
+    assert(n == 4L, s"retired $n")
     assert(Files.exists(java.nio.file.Paths.get(
       s"$dl/_expect/pipeline=other/batch_id=0")),
       "a shared-dir neighbor's quarantine is never swept by this conf")
-    assert(PipelineMetrics.expectDeadLetters(spark, dl).count() == 2L,
-      "the young expect partition and the neighbor's remain")
+    assert(Files.exists(java.nio.file.Paths.get(
+      s"$dl/_expect/pipeline=r.archive/batch_id=0")),
+      "a dot-extension neighbor is NOT this conf's side tag — exact " +
+        "ownership, never startsWith")
+    assert(!Files.exists(java.nio.file.Paths.get(
+      s"$dl/_drift/pipeline=r.fact/batch_id=0")),
+      "the view gate's own side tag retires on this conf's clock")
+    assert(PipelineMetrics.expectDeadLetters(spark, dl).count() == 3L,
+      "the young expect partition, the neighbor's and the " +
+        "dot-extension neighbor's remain")
     assert(PipelineMetrics.driftDeadLetters(spark, dl).count() == 0L)
     assert(Files.exists(marker) && Files.exists(youngFile)
       && !Files.exists(sinkFile))

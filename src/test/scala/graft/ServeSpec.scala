@@ -256,6 +256,27 @@ class ServeSpec extends SparkSpec {
     val badTs = intercept[IllegalArgumentException](Serve.runReplayKeys(spark,
       Seq("view", "/tmp/nc", "s", "/tmp/nw", "d", feed, "soon")))
     assert(badTs.getMessage.contains("epoch-millis"), badTs.getMessage)
+    // an all-digit batch id past Long.MaxValue fails as usage text too
+    // (the shared-validator contract), not a raw NumberFormatException
+    val ovf = intercept[IllegalArgumentException](Serve.runReplay(spark,
+      Seq("expect", dl, "h", "d", "t", feed, "3000",
+        "9223372036854775808")))
+    assert(ovf.getMessage.contains("batchIds"), ovf.getMessage)
+    // 4. the registry tolerates two conf files (mis)sharing a name;
+    // the replay verb must not — it resolves ONE registration unit
+    val dup = Files.createTempDirectory("graft_srv_dup_").toFile
+    def dupConf(fname: String): Unit =
+      Files.write(new java.io.File(dup, fname).toPath, Seq(
+        ("""{"kind":"dedup","name":"dd","databases":["d"],
+           |"table":"documents","idKey":"doc_id","textField":"text",
+           |"jdbc":{"url":"jdbc:derby:memory:srvdup;create=true",
+           |"clustersTable":"dd_cl"}}""").stripMargin.replace("\n", ""))
+        .asJava)
+    dupConf("a.json"); dupConf("b.json")
+    val two = intercept[IllegalArgumentException](Serve.runReplayKeys(spark,
+      Seq("dedup", dup.toString, "dd", "/tmp/nw", "d", feed, "4000")))
+    assert(two.getMessage.contains("2 dedup confs")
+      && two.getMessage.contains("'dd'"), two.getMessage)
   }
 
   test("soak: one Serve process over all five kinds, stopped in flight and restarted — no resend, contiguous metrics, maintenance compacted") {
