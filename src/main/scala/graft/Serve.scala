@@ -108,7 +108,7 @@ object Serve {
       // NumberFormatException after the session booted
       require(s.forall(_.isDigit) && scala.util.Try(s.toLong).isSuccess,
         s"Serve $verb: batchIds must be a comma-separated list of " +
-          s"batch numbers (epoch-millis-sized Longs), got '${args(7)}'")
+          s"64-bit batch sequence numbers, got '${args(7)}'")
       s.toLong
     }.toSeq
 

@@ -1753,34 +1753,36 @@ object PipelineQueries {
       // so later invocations in one JVM read the recorded table
       // instead of re-paying four full-feed applyBatch drives
       if (!q141Driven.contains(base)) {
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(base))
-      PipelineMetrics.ensureTable(target)
-      val raw = spark.read.schema(org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("value",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("offset",
-          org.apache.spark.sql.types.LongType)))).json(feedDir)
-      val orders = CdcPipeline(name = "orders_lww",
-        subscription = Subscription(Set("shop"), Set("orders")),
-        rowSchema = ChangeFeed.ordersRowSchema, idKey = "o_orderkey",
-        metrics = Some(target))
-      val ordersCfg = EsSink.Config("http://graft-local/lww_orders_q141",
-        "graft", "graft", "o_orderkey")
-      // one parse of the feed, three band filters — the filters
-      // partition exactly the post-filter slots (0,1,2,3)
-      val events = orders.changeRows(raw).localCheckpoint(true)
-      val slot = pmod(col("offset"), lit(10))
-      orders.applyBatch(events.filter(slot === 0), ordersCfg, blackhole, 0L)
-      orders.applyBatch(events.filter(slot.isin(1, 2)), ordersCfg, blackhole, 1L)
-      orders.applyBatch(events.filter(slot === 3), ordersCfg, blackhole, 2L)
-      val customer = CdcPipeline(name = "customer_lww",
-        subscription = Subscription(Set("shop"), Set("customer")),
-        rowSchema = ChangeFeed.customerRowSchema, idKey = "c_custkey",
-        metrics = Some(target))
-      val customerCfg = EsSink.Config("http://graft-local/lww_customer_q141",
-        "graft", "graft", "c_custkey")
-      customer.applyBatch(customer.changeRows(raw), customerCfg, blackhole, 0L)
-      q141Driven.add(base); ()
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(base))
+        PipelineMetrics.ensureTable(target)
+        val raw = spark.read.schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("value",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("offset",
+            org.apache.spark.sql.types.LongType)))).json(feedDir)
+        val orders = CdcPipeline(name = "orders_lww",
+          subscription = Subscription(Set("shop"), Set("orders")),
+          rowSchema = ChangeFeed.ordersRowSchema, idKey = "o_orderkey",
+          metrics = Some(target))
+        val ordersCfg = EsSink.Config("http://graft-local/lww_orders_q141",
+          "graft", "graft", "o_orderkey")
+        // one parse of the feed, three band filters — the filters
+        // partition exactly the post-filter slots (0,1,2,3)
+        val events = orders.changeRows(raw).localCheckpoint(true)
+        val slot = pmod(col("offset"), lit(10))
+        orders.applyBatch(events.filter(slot === 0), ordersCfg, blackhole, 0L)
+        orders.applyBatch(events.filter(slot.isin(1, 2)), ordersCfg,
+          blackhole, 1L)
+        orders.applyBatch(events.filter(slot === 3), ordersCfg, blackhole, 2L)
+        val customer = CdcPipeline(name = "customer_lww",
+          subscription = Subscription(Set("shop"), Set("customer")),
+          rowSchema = ChangeFeed.customerRowSchema, idKey = "c_custkey",
+          metrics = Some(target))
+        val customerCfg = EsSink.Config("http://graft-local/lww_customer_q141",
+          "graft", "graft", "c_custkey")
+        customer.applyBatch(customer.changeRows(raw), customerCfg,
+          blackhole, 0L)
+        q141Driven.add(base); ()
       }
     }
     PipelineMetrics.rows(spark, target)
@@ -2269,30 +2271,30 @@ object PipelineQueries {
       // memoize only on SUCCESS (q141's rule — verdict rows replay
       // DELETE+INSERT, so a re-drive converges; read, don't re-drive)
       if (!q151Driven.contains(base)) {
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(base))
-      PipelineMetrics.ensureTable(target)
-      PipelineMetrics.ensureExpectTable(target)
-      val raw = spark.read.schema(org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("value",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("offset",
-          org.apache.spark.sql.types.LongType)))).json(feedDir)
-      val orders = CdcPipeline(name = "orders_exp",
-        subscription = Subscription(Set("shop"), Set("orders")),
-        rowSchema = ChangeFeed.ordersRowSchema, idKey = "o_orderkey",
-        metrics = Some(target),
-        expectations = Seq(
-          Profile.NotNull("key_set", "o_orderkey"),
-          Profile.Unique("key_unique", "o_orderkey"),
-          Profile.InRange("price_cap", "o_totalprice", 0.0, 300000.0)))
-      val cfg = EsSink.Config("http://graft-local/lww_orders_q151",
-        "graft", "graft", "o_orderkey")
-      val events = orders.changeRows(raw).localCheckpoint(true)
-      val slot = pmod(col("offset"), lit(10))
-      orders.applyBatch(events.filter(slot === 0), cfg, blackhole, 0L)
-      orders.applyBatch(events.filter(slot.isin(1, 2)), cfg, blackhole, 1L)
-      orders.applyBatch(events.filter(slot === 3), cfg, blackhole, 2L)
-      q151Driven.add(base); ()
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(base))
+        PipelineMetrics.ensureTable(target)
+        PipelineMetrics.ensureExpectTable(target)
+        val raw = spark.read.schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("value",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("offset",
+            org.apache.spark.sql.types.LongType)))).json(feedDir)
+        val orders = CdcPipeline(name = "orders_exp",
+          subscription = Subscription(Set("shop"), Set("orders")),
+          rowSchema = ChangeFeed.ordersRowSchema, idKey = "o_orderkey",
+          metrics = Some(target),
+          expectations = Seq(
+            Profile.NotNull("key_set", "o_orderkey"),
+            Profile.Unique("key_unique", "o_orderkey"),
+            Profile.InRange("price_cap", "o_totalprice", 0.0, 300000.0)))
+        val cfg = EsSink.Config("http://graft-local/lww_orders_q151",
+          "graft", "graft", "o_orderkey")
+        val events = orders.changeRows(raw).localCheckpoint(true)
+        val slot = pmod(col("offset"), lit(10))
+        orders.applyBatch(events.filter(slot === 0), cfg, blackhole, 0L)
+        orders.applyBatch(events.filter(slot.isin(1, 2)), cfg, blackhole, 1L)
+        orders.applyBatch(events.filter(slot === 3), cfg, blackhole, 2L)
+        q151Driven.add(base); ()
       }
     }
     PipelineMetrics.expectRows(spark, target)
@@ -2843,7 +2845,8 @@ object PipelineQueries {
       |       WHEN (SELECT c FROM nn) > 0 THEN 'o_note'
       |       ELSE '' END AS new_col_names,
       |  CASE WHEN (SELECT c FROM nb) > 0 THEN 'o_totalprice'
-      |       ELSE '' END AS changed_names""".stripMargin) { (spark, dir) =>
+      |       ELSE '' END AS changed_names,
+      |  CAST(0 AS INT) AS names_truncated""".stripMargin) { (spark, dir) =>
     import graft.cdc.{ChangeFeed, DeltaLog, Subscription}
     import graft.sinks.EsSink
     import graft.streaming.{CdcPipeline, PipelineMetrics}

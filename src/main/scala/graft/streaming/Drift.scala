@@ -89,9 +89,19 @@ object Drift {
           names.map(n =>
             max(when(col(s"tc_$n"), 1L).otherwise(0L)).as(s"any_$n"))): _*)
       .collect().headOption
-    val newNames = base.select(explode(col("newfs")).as("f"))
-      .distinct().orderBy(col("f"))
-      .collect().map(_.getString(0)).toSeq
+    // the distinct undeclared names are NOT schema-bounded — the
+    // pathological wire this monitor exists to catch (ids serialized
+    // as field names) makes the set row-sized, and an unbounded
+    // collect would blow the driver on every micro-batch. The COUNT
+    // stays exact (distributed aggregate); only the recorded name
+    // SAMPLE is capped, with the truncation visible in the verdict row
+    val distinctNames = base.select(explode(col("newfs")).as("f")).distinct()
+    val newColsExact = distinctNames.count()
+    val newNames =
+      if (newColsExact == 0L) Seq.empty[String]
+      else distinctNames.orderBy(col("f")).limit(maxRecordedNames)
+        .collect().map(_.getString(0)).toSeq
+    val namesTruncated = newColsExact > newNames.size
     val (rowsNew, rowsBad, changed) = agg match {
       case Some(r) => (
         Option(r.getAs[Any]("rows_new")).fold(0L)(_.asInstanceOf[Long]),
@@ -101,13 +111,19 @@ object Drift {
       case None => (0L, 0L, Seq.empty[String])
     }
     PipelineMetrics.recordDrift(m, pipeline, batchId,
-      newCols = newNames.size.toLong, typeChanges = changed.size.toLong,
+      newCols = newColsExact, typeChanges = changed.size.toLong,
       rowsNew = rowsNew, rowsBadtype = rowsBad,
       newColNames = newNames.mkString(","),
-      changedNames = changed.mkString(","))
-    CdcPipeline.DriftVerdict(newNames.size.toLong, changed.size.toLong,
+      changedNames = changed.mkString(","),
+      namesTruncated = namesTruncated)
+    CdcPipeline.DriftVerdict(newColsExact, changed.size.toLong,
       rowsNew, rowsBad)
   }
+
+  /** Cap on the undeclared-name SAMPLE a verdict row records — counts
+    * stay exact; beyond this the row's `names_truncated` flag is set.
+    */
+  val maxRecordedNames: Int = 100
 
   /** Halt escalation: a breach of either budget fails the micro-batch
     * AFTER the verdict records (observable breach, then quarantine —

@@ -175,10 +175,19 @@ object PipelineMetrics {
            | "batch_id" BIGINT NOT NULL, "new_cols" BIGINT,
            | "type_changes" BIGINT, "rows_new" BIGINT, "rows_badtype" BIGINT,
            | "new_col_names" VARCHAR(1024), "changed_names" VARCHAR(1024),
+           | "names_truncated" INTEGER,
            | PRIMARY KEY ("pipeline", "batch_id"))"""
           .stripMargin.replace("\n", ""))
       catch {
-        case e: java.sql.SQLException if e.getSQLState == "X0Y32" => ()
+        case e: java.sql.SQLException if e.getSQLState == "X0Y32" =>
+          // pre-existing table from before the truncation flag: widen
+          // in place (additive, nullable — old verdict rows read NULL
+          // = not truncated)
+          try st.execute(s"""ALTER TABLE ${t.table}_drift ADD COLUMN
+            | "names_truncated" INTEGER""".stripMargin.replace("\n", ""))
+          catch {
+            case e2: java.sql.SQLException if e2.getSQLState == "X0Y32" => ()
+          }
       }
     } finally conn.close()
   }
@@ -189,7 +198,8 @@ object PipelineMetrics {
     */
   def recordDrift(t: Target, pipeline: String, batchId: Long,
       newCols: Long, typeChanges: Long, rowsNew: Long, rowsBadtype: Long,
-      newColNames: String, changedNames: String): Unit =
+      newColNames: String, changedNames: String,
+      namesTruncated: Boolean = false): Unit =
     try {
       val conn = java.sql.DriverManager.getConnection(t.url)
       try {
@@ -203,14 +213,15 @@ object PipelineMetrics {
         val ins = conn.prepareStatement(
           s"""INSERT INTO ${t.table}_drift ("pipeline", "batch_id",
              | "new_cols", "type_changes", "rows_new", "rows_badtype",
-             | "new_col_names", "changed_names")
-             | VALUES (?, ?, ?, ?, ?, ?, ?, ?)"""
+             | "new_col_names", "changed_names", "names_truncated")
+             | VALUES (?, ?, ?, ?, ?, ?, ?, ?, ?)"""
             .stripMargin.replace("\n", ""))
         ins.setString(1, pipeline); ins.setLong(2, batchId)
         ins.setLong(3, newCols); ins.setLong(4, typeChanges)
         ins.setLong(5, rowsNew); ins.setLong(6, rowsBadtype)
         ins.setString(7, newColNames.take(1024))
         ins.setString(8, changedNames.take(1024))
+        ins.setInt(9, if (namesTruncated) 1 else 0)
         ins.executeUpdate()
         conn.commit()
       } finally conn.close()
@@ -231,7 +242,10 @@ object PipelineMetrics {
         col("type_changes").cast("long").as("type_changes"),
         col("rows_new").cast("long").as("rows_new"),
         col("rows_badtype").cast("long").as("rows_badtype"),
-        col("new_col_names"), col("changed_names"))
+        col("new_col_names"), col("changed_names"),
+        org.apache.spark.sql.functions.coalesce(
+          col("names_truncated").cast("int"),
+          org.apache.spark.sql.functions.lit(0)).as("names_truncated"))
   }
 
   /** Evaluate conf-declared expectations over a batch's SERVING rows,
@@ -501,21 +515,36 @@ object PipelineMetrics {
     * the strict conf (the used epoch would refuse to re-publish the
     * re-quarantined rows and the store would diverge permanently) —
     * resume at the replay step instead; every later step is
-    * idempotent. Lives beside [[replayWire]] because it must share its
-    * artifact naming exactly: a re-derived copy would silently disarm
-    * if the names ever moved.
+    * idempotent. Checks the SAME name-builder outputs [[replayWire]]
+    * publishes ([[idsManifestName]]/[[doneMarkerName]]/[[feedFileName]])
+    * — a rename moves writer and gate together, never one without the
+    * other.
     */
   def replayStarted(spark: org.apache.spark.sql.SparkSession,
       sourceDir: String, subtree: String, pipeline: String,
       tsMs: Long): Boolean = {
     val prefix = s"replay${subtree}"
-    val safe = pipeline.replaceAll("[^A-Za-z0-9._-]", "_")
+    val safe = sanitizedPipeline(pipeline)
     val src = new org.apache.hadoop.fs.Path(sourceDir)
     val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Seq(s"_${prefix}_${safe}_${tsMs}_IDS", s"_${prefix}_${safe}_${tsMs}_DONE",
-      s"${prefix}_${safe}_$tsMs.json")
+    Seq(idsManifestName(prefix, safe, tsMs), doneMarkerName(prefix, safe, tsMs),
+      feedFileName(prefix, safe, tsMs))
       .exists(n => fs.exists(new org.apache.hadoop.fs.Path(src, n)))
   }
+
+  /** The replay publication's artifact names — ONE definition shared by
+    * [[replayWire]] (the writer) and [[replayStarted]] (the retry
+    * gate): a rename here moves both sides together, so the gate can
+    * never silently disarm against files the writer actually produces.
+    */
+  private def sanitizedPipeline(pipeline: String): String =
+    pipeline.replaceAll("[^A-Za-z0-9._-]", "_")
+  private def idsManifestName(prefix: String, safe: String, tsMs: Long) =
+    s"_${prefix}_${safe}_${tsMs}_IDS"
+  private def doneMarkerName(prefix: String, safe: String, tsMs: Long) =
+    s"_${prefix}_${safe}_${tsMs}_DONE"
+  private def feedFileName(prefix: String, safe: String, tsMs: Long) =
+    s"${prefix}_${safe}_$tsMs.json"
 
   /** Replay-by-ORIGINATING-KEY — the non-LWW kinds' `_expect` replay
     * (view/ann/dedup): their dead letters are DERIVED rows (an enriched
@@ -632,21 +661,21 @@ object PipelineMetrics {
       "replay: db/table must be plain identifiers (they are spliced " +
         "into the wire JSON)")
     requireDeadLetterKind(spark, deadLetterDir, subtree,
-      pipeline.replaceAll("[^A-Za-z0-9._-]", "_"), expectedKind)
+      sanitizedPipeline(pipeline), expectedKind)
     // distinct per-subtree file prefix: an operator replaying BOTH
     // subtrees at one epoch into one feed must not collide on markers
     val prefix = s"replay${subtree}"
-    val safe = pipeline.replaceAll("[^A-Za-z0-9._-]", "_")
+    val safe = sanitizedPipeline(pipeline)
     val conf = spark.sparkContext.hadoopConfiguration
     val srcPath = new org.apache.hadoop.fs.Path(sourceDir)
     val fs = srcPath.getFileSystem(conf)
     // the used-epoch gate is O(1) — BEFORE any dead-letter scan, so the
     // documented idempotent re-call never pays a subtree read
     val done = new org.apache.hadoop.fs.Path(srcPath,
-      s"_${prefix}_${safe}_${tsMs}_DONE")
+      doneMarkerName(prefix, safe, tsMs))
     if (fs.exists(done)) return 0L
     val idsFile = new org.apache.hadoop.fs.Path(srcPath,
-      s"_${prefix}_${safe}_${tsMs}_IDS")
+      idsManifestName(prefix, safe, tsMs))
     val (n, consumed, pinnedWire) =
       if (fs.exists(idsFile)) {
         // resuming a crashed attempt: the manifest — not a re-scan —
@@ -704,7 +733,7 @@ object PipelineMetrics {
         // write must leave NO manifest (retry rescans), never a
         // truncated one that still parses as a smaller scope
         val idsTmp = new org.apache.hadoop.fs.Path(srcPath,
-          s"_${prefix}_${safe}_${tsMs}_IDS.tmp")
+          idsManifestName(prefix, safe, tsMs) + ".tmp")
         val out = fs.create(idsTmp, true)
         out.write(s"$cnt;${ids.mkString(",")}"
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -714,7 +743,7 @@ object PipelineMetrics {
         (cnt, ids, Some(wire0))
       }
     val target = new org.apache.hadoop.fs.Path(srcPath,
-      s"${prefix}_${safe}_${tsMs}.json")
+      feedFileName(prefix, safe, tsMs))
     if (n > 0L && !fs.exists(target)) {
       // one wire event per resolved row; the row_json IS the after
       // payload, so the envelope is assembled textually around it. The
@@ -849,12 +878,22 @@ object PipelineMetrics {
       // plus exactly those two side tags, nothing else. A PREFIX match
       // would let conf `p` sweep a keep-forever neighbor named
       // `p.archive` sharing the dir (names allow dots) — the invariant
-      // is exact ownership, never startsWith.
-      val owned: Set[String] =
-        if (sub == "_drift")
-          Set(s"pipeline=$safe", s"pipeline=$safe.fact",
-            s"pipeline=$safe.dim")
-        else Set(s"pipeline=$safe")
+      // is exact ownership, never startsWith. And a side tag counts as
+      // OWNED only when its kind marker says a VIEW gate wrote it:
+      // dots are legal in conf names, so a neighbor pipeline literally
+      // named `p.fact` sharing the dir writes `pipeline=p.fact` with
+      // its OWN kind marker (ann/dedup/…) — p's retention clock must
+      // not retire that quarantine. Only p's own fact/dim gates write
+      // kind `view` at those exact names; an unmarked (pre-marker) dir
+      // stays untouched, the conservative reading.
+      val sideOwned: String => Boolean =
+        if (sub == "_drift") {
+          val tags = Set(s"pipeline=$safe.fact", s"pipeline=$safe.dim")
+          name => tags(name) && deadLetterKind(spark, deadLetterDir, sub,
+            name.stripPrefix("pipeline=")).contains("view")
+        } else _ => false
+      val owned: String => Boolean =
+        name => name == s"pipeline=$safe" || sideOwned(name)
       val s = new org.apache.hadoop.fs.Path(root, sub)
       if (fs.exists(s))
         fs.listStatus(s).filter(p => p.isDirectory

@@ -866,6 +866,23 @@ class EnforceSpec extends SparkSpec {
     assert(!probe(ts = 43L), "another epoch is untouched")
     assert(!PipelineMetrics.replayStarted(spark, feed, "_drift",
       "my pipe!", 42L), "another subtree is untouched")
+    // and against the REAL writer, not hand-touched files: a completed
+    // replayWire publication must read as started — this is the gate
+    // that keeps a crash-retried strict drive from re-draining the
+    // published replay file (q168/q172), so writer and gate must agree
+    // on the artifact names forever
+    import spark.implicits._
+    val dl = Files.createTempDirectory("graft_enf_rps_dl_").toString
+    Seq(("rule", """{"id":1,"v":2}""")).toDF("violated", "row_json")
+      .write.parquet(s"$dl/_expect/pipeline=realp/batch_id=0")
+    val feed2 = Files.createTempDirectory("graft_enf_rps_feed_").toString
+    assert(!PipelineMetrics.replayStarted(spark, feed2, "_expect",
+      "realp", 777L))
+    assert(PipelineMetrics.replayExpectDeadLetters(spark, dl, "realp",
+      "db", "t", feed2, tsMs = 777L) == 1L)
+    assert(PipelineMetrics.replayStarted(spark, feed2, "_expect",
+      "realp", 777L),
+      "a completed publication must register with the retry gate")
   }
 
   test("registry: per-side view driftPolicy overrides parse; a drop side without a deadLetterDir dies naming the side") {

@@ -426,6 +426,55 @@ class MetricsSpec extends SparkSpec {
       && e.getMessage.contains("driftCheck"), s"got: ${e.getMessage}")
   }
 
+  test("schema drift: a row-sized undeclared-name wire records exact counts with a capped, flagged name sample") {
+    import org.apache.spark.sql.functions._
+    PipelineMetrics.ensureDriftTable(target)
+    // the pathological wire the monitor exists to catch: ids serialized
+    // as field names — 10k rows, each carrying a UNIQUE undeclared
+    // field, so the distinct-name set is row-sized, not schema-sized
+    val n = 10000L
+    val wire = spark.range(n).select(concat(
+      lit("""{"payload":{"before":null,"after":{"doc_id":"""),
+      col("id"), lit(""","text":"t","f"""), col("id"),
+      lit("""":1},"source":{"db":"shop","table":"documents","ts_ms":"""),
+      col("id"), lit("""},"op":"c","ts_ms":"""), col("id"),
+      lit("}}")).as("value"))
+    val v = graft.streaming.Drift.recordSchemaDrift(wire,
+      StructType.fromDDL("doc_id BIGINT, text STRING"),
+      "mx_drift_rowsized", batchId = 0L, target)
+    // counts stay EXACT — only the recorded name sample is capped
+    assert(v.newCols == n && v.rowsNew == n, s"got $v")
+    val row = PipelineMetrics.driftRows(spark, target)
+      .filter(col("pipeline") === "mx_drift_rowsized")
+      .select(col("new_cols"), col("new_col_names"),
+        col("names_truncated"))
+      .collect().head
+    assert(row.getLong(0) == n)
+    val sample = row.getString(1).split(",").toSeq
+    assert(sample.size == graft.streaming.Drift.maxRecordedNames,
+      s"sample must cap at ${graft.streaming.Drift.maxRecordedNames}, " +
+        s"got ${sample.size}")
+    assert(sample.forall(_.startsWith("f")), s"got $sample")
+    assert(row.getInt(2) == 1, "a capped sample must flag names_truncated")
+    // the schema-sized case stays unflagged with the full name list
+    val small = spark.range(3).select(concat(
+      lit("""{"payload":{"before":null,"after":{"doc_id":"""),
+      col("id"),
+      lit(""","text":"t","note":"x"},"source":{"db":"shop",""" +
+        """"table":"documents","ts_ms":1},"op":"c","ts_ms":1}}"""))
+      .as("value")).toDF("value")
+    graft.streaming.Drift.recordSchemaDrift(small,
+      StructType.fromDDL("doc_id BIGINT, text STRING"),
+      "mx_drift_rowsized", batchId = 1L, target)
+    val clean = PipelineMetrics.driftRows(spark, target)
+      .filter(col("pipeline") === "mx_drift_rowsized"
+        && col("batch_id") === 1L)
+      .select(col("new_cols"), col("new_col_names"),
+        col("names_truncated")).collect().head
+    assert(clean.getLong(0) == 1L && clean.getString(1) == "note"
+      && clean.getInt(2) == 0, s"got $clean")
+  }
+
   test("dead-letter retention: aged partitions and sink files retire; young rows, markers and underscore files stay") {
     import spark.implicits._
     import java.nio.file.attribute.FileTime
@@ -466,15 +515,27 @@ class MetricsSpec extends SparkSpec {
     Seq(("r", """{"id":8}""")).toDF("violated", "row_json")
       .write.mode("overwrite")
       .parquet(s"$dl/_expect/pipeline=r.archive/batch_id=0")
-    // the view gate's side tags under _drift ARE owned by conf "r"
+    // the view gate's side tags under _drift ARE owned by conf "r" —
+    // identified by the kind marker the gate always writes beside them
     Seq(("drift_newcols", """{"id":7}""")).toDF("violated", "row_json")
       .write.mode("overwrite")
       .parquet(s"$dl/_drift/pipeline=r.fact/batch_id=0")
+    Files.createFile(java.nio.file.Paths.get(
+      s"$dl/_drift/pipeline=r.fact/_KIND_view"))
+    // a NEIGHBOR conf literally NAMED "r.dim" (dots are legal) of a
+    // non-view kind: same dir name a view side tag would use, but its
+    // own kind marker says ann — r's clock must never retire it
+    Seq(("drift_newcols", """{"id":6}""")).toDF("violated", "row_json")
+      .write.mode("overwrite")
+      .parquet(s"$dl/_drift/pipeline=r.dim/batch_id=0")
+    Files.createFile(java.nio.file.Paths.get(
+      s"$dl/_drift/pipeline=r.dim/_KIND_ann"))
     ageTree(s"$dl/_expect/pipeline=r/batch_id=0")
     ageTree(s"$dl/_expect/pipeline=other/batch_id=0")
     ageTree(s"$dl/_expect/pipeline=r.archive/batch_id=0")
     ageTree(s"$dl/_drift/pipeline=r/batch_id=0")
     ageTree(s"$dl/_drift/pipeline=r.fact/batch_id=0")
+    ageTree(s"$dl/_drift/pipeline=r.dim/batch_id=0")
     val n = PipelineMetrics.retireAgedDeadLetters(spark, dl,
       retentionMs = 5000L, pipeline = "r", includeRootFiles = true,
       nowMs = now)
@@ -489,10 +550,15 @@ class MetricsSpec extends SparkSpec {
     assert(!Files.exists(java.nio.file.Paths.get(
       s"$dl/_drift/pipeline=r.fact/batch_id=0")),
       "the view gate's own side tag retires on this conf's clock")
+    assert(Files.exists(java.nio.file.Paths.get(
+      s"$dl/_drift/pipeline=r.dim/batch_id=0")),
+      "a non-view neighbor literally named like a side tag keeps its " +
+        "own clock — the kind marker is the ownership proof")
     assert(PipelineMetrics.expectDeadLetters(spark, dl).count() == 3L,
       "the young expect partition, the neighbor's and the " +
         "dot-extension neighbor's remain")
-    assert(PipelineMetrics.driftDeadLetters(spark, dl).count() == 0L)
+    assert(PipelineMetrics.driftDeadLetters(spark, dl).count() == 1L,
+      "only the ann neighbor's drift letters remain")
     assert(Files.exists(marker) && Files.exists(youngFile)
       && !Files.exists(sinkFile))
     // the ctor invariant: retention without a landing place is a typo
