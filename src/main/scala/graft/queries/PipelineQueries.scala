@@ -4135,11 +4135,224 @@ object PipelineQueries {
           .as("o_orderkey"))
   }
 
+  private val q176Lock = new Object
+  private val q176Driven = java.util.concurrent.ConcurrentHashMap
+    .newKeySet[String]()
+
+  /** Q176: the KEYED REPLAY lifecycle on the ANN kind under the oracle
+    * gate — q168's story where the dead letter is a POSTING action
+    * (id, advisory cell, embedding): drive 1 runs the q162-shaped
+    * enforced index with a strict id cap (`vec_id in [0, 400]`), so
+    * every higher id's posting upsert quarantines under `_expect`
+    * while the table log still folds ALL the churn (enforcement fences
+    * the store, never the state). The operator widens the rule;
+    * [[graft.streaming.AnnServingPipeline.replayExpectDeadLetters]]
+    * resolves the dead letters to their originating vector ids, reads
+    * each id's CURRENT truth from the table log (post-traffic: %3
+    * negated, %5 deleted — deleted ids resolve to nothing and retire)
+    * and re-injects them as ordinary `embeddings` wire at an epoch
+    * above the feed tail. Drive 2 drains ONLY the replayed file
+    * through the FIXED conf — re-LWW, re-cell-assignment under the
+    * CURRENT quantizer generation, re-judgment, keyed posting MERGE —
+    * and the served index must converge to the NEVER-CAPPED
+    * post-traffic live set: q162's oracle without the cap, each
+    * embedding fingerprinted order-free and its advisory cell
+    * engine-checked against the quantizer. A lost vector, a
+    * resurrected deleted id, a stale pre-negation direction, or a
+    * replay that skipped the fixed judgment all break the hash.
+    */
+  val q176 = QueryDef.sql(
+    "q176_ann_keyed_replay",
+    """WITH e AS (SELECT vec_id,
+      |         CASE WHEN vec_id % 3 = 0
+      |              THEN list_transform(CAST(embedding AS DOUBLE[]), x -> -x)
+      |              ELSE CAST(embedding AS DOUBLE[]) END AS emb
+      |       FROM embeddings WHERE vec_id % 5 <> 0)
+      |SELECT vec_id, CAST(len(emb) AS INT) AS dim,
+      |       CAST(list_aggregate(list_transform(emb,
+      |              x -> CAST(floor(x * 1000000.0) AS BIGINT)), 'sum')
+      |            AS BIGINT) AS emb_fp,
+      |       TRUE AS cell_ok
+      |FROM e""".stripMargin) { (spark, dir) =>
+    import graft.cdc.{ChangeFeed, DeltaLog}
+    import graft.ops.Profile
+    import graft.streaming.{AnnServingPipeline, PipelineMetrics}
+    val cents = MandateQueries.ivfCentroidsFor(spark, dir)
+    val feedDir = ChangeFeed.stagedEmbeddingsJsonl(spark, dir)
+    val fp = graft.sources.Staging.fingerprint(Seq(s"$dir/embeddings.parquet"))
+    val base = DeltaLog.logBase(spark,
+      s"rpann_${dir.replaceAll("[^a-zA-Z0-9]", "_")}", fp)
+    val url = s"jdbc:derby:$base/derby;create=true"
+    val target = PipelineMetrics.Target(url, "pipeline_metrics_q176")
+    def pipe(hi: Double) = AnnServingPipeline(
+      name = "q176", databases = Set("shop"), table = "embeddings",
+      idField = "vec_id", vectorField = "embedding", cents = cents,
+      jdbcUrl = url, postingsTable = "postings_q176",
+      metrics = Some(target), deadLetterDir = Some(s"$base/dead"),
+      expectations = Seq(Profile.InRange("vec_cap", "vec_id",
+        0.0, hi, action = Profile.Drop)))
+    q176Lock.synchronized {
+      // memoize only on SUCCESS (q167's rule): a failed drive retries
+      if (!q176Driven.contains(base)) {
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(base))
+        PipelineMetrics.ensureTable(target)
+        PipelineMetrics.ensureExpectTable(target)
+        // the replay epoch is fixed, so the injected feed file must be
+        // drive-local (q167/q168's staged copy-then-rename)
+        val myFeed = s"$base/feed"
+        val fs = new org.apache.hadoop.fs.Path(myFeed)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(new org.apache.hadoop.fs.Path(myFeed))) {
+          val tmp = new org.apache.hadoop.fs.Path(s"$base/feed_tmp")
+          fs.delete(tmp, true)
+          org.apache.hadoop.fs.FileUtil.copy(
+            fs, new org.apache.hadoop.fs.Path(feedDir), fs, tmp,
+            false, spark.sparkContext.hadoopConfiguration)
+          require(fs.rename(tmp, new org.apache.hadoop.fs.Path(myFeed)),
+            s"q176: could not publish the drive-local feed copy $myFeed")
+        }
+        val c = java.sql.DriverManager.getConnection(url)
+        try {
+          val st = c.createStatement()
+          try st.execute(
+            """CREATE TABLE postings_q176 ("vec_id" BIGINT NOT NULL PRIMARY
+              | KEY, "cell" INTEGER, "emb_json" VARCHAR(32000))"""
+              .stripMargin.replace("\n", ""))
+          catch { // X0Y32: table already exists (idempotent re-drive)
+            case e: java.sql.SQLException if e.getSQLState == "X0Y32" => ()
+          }
+        } finally c.close()
+        val work = s"$base/work"
+        val epoch = 9000000000L
+        // drive 1: the strict cap quarantines high-id posting upserts.
+        // Skipped when a prior attempt already published the keyed
+        // replay (q168/q172's retry rule: the strict conf must never
+        // drain the published replay file)
+        if (!PipelineMetrics.replayStarted(spark, myFeed, "_expect",
+            "q176", epoch))
+          pipe(hi = 400.0).runOnce(spark, myFeed, work)
+        // conf fix + keyed replay: dead letters resolve to vector ids,
+        // each id's CURRENT table-log truth re-enters at the epoch
+        val fixed = pipe(hi = 1e12)
+        fixed.replayExpectDeadLetters(spark, work, myFeed, "shop",
+          tsMs = epoch)
+        // drive 2: only the replayed file drains, through the FIXED rule
+        fixed.runOnce(spark, myFeed, work)
+        q176Driven.add(base); ()
+      }
+    }
+    spark.read.jdbc(url, "postings_q176", new java.util.Properties())
+      .select(col("vec_id").cast("long").as("vec_id"),
+        col("cell").cast("int").as("cell"),
+        from_json(col("emb_json"), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)).as("emb"))
+      .select(col("vec_id"), size(col("emb")).as("dim"),
+        aggregate(transform(col("emb"),
+            x => floor(x.cast("double") * lit(1000000.0d))),
+          lit(0L), (a, x) => a + x).as("emb_fp"),
+        (col("cell") === VectorSearch.nearestCell(col("emb"), cents))
+          .as("cell_ok"))
+  }
+
+  private val q177Lock = new Object
+  private val q177Driven = java.util.concurrent.ConcurrentHashMap
+    .newKeySet[String]()
+
+  /** Q177: the KEYED REPLAY lifecycle on the DEDUP-CLUSTER kind under
+    * the oracle gate — the subtlest of the three derived-row kinds,
+    * because a dedup dead letter is a GRAPH-shaped serving row and the
+    * clustering ALGEBRA kept folding the withheld members all along
+    * (q163's contract): drive 1 runs the q163-shaped enforced
+    * clusterer whose drop rule bans LOW doc ids (`doc_id in
+    * [100, 1e6]` — precisely the canonical-electing range), so the
+    * banned members' cluster rows quarantine while their merges and
+    * min-id elections still shaped every SERVED neighbor's label. The
+    * operator widens the rule;
+    * [[graft.streaming.DedupClusterPipeline.replayExpectDeadLetters]]
+    * resolves the dead letters to doc ids, re-injects each id's
+    * CURRENT doc-log truth at the epoch, and drive 2's MARKER-ONLY
+    * batch (the docs' truth is unchanged, so the pair stage nets
+    * nothing) re-emits their CURRENT labels through the fixed
+    * judgment. The served table must converge to the full
+    * from-scratch clustering of the post-traffic corpus — q131/q133's
+    * recursive-CTE oracle with no predicate. A lost member, a
+    * re-labeled cluster, or a replay that bypassed label re-emission
+    * on a churnless batch all break the hash.
+    */
+  val q177 = QueryDef.sql(
+    "q177_dedup_keyed_replay", clusterOracleSql) { (spark, dir) =>
+    import graft.cdc.{ChangeFeed, DeltaLog}
+    import graft.ops.Profile
+    import graft.streaming.{DedupClusterPipeline, JdbcTarget, PipelineMetrics}
+    val feedDir = ChangeFeed.stagedDocsJsonl(spark, dir)
+    val fp = graft.sources.Staging.fingerprint(Seq(s"$dir/documents.parquet"))
+    val base = DeltaLog.logBase(spark,
+      s"rpdedup_${dir.replaceAll("[^a-zA-Z0-9]", "_")}", fp)
+    val url = s"jdbc:derby:$base/derby;create=true"
+    val target = PipelineMetrics.Target(url, "pipeline_metrics_q177")
+    def pipe(lo: Double) = DedupClusterPipeline(
+      name = "q177", databases = Set("shop"), table = "documents",
+      idField = "doc_id", textField = "text",
+      target = JdbcTarget(url, "clusters_q177"),
+      verifyThreshold = Some(0.6), compactEvery = 0,
+      metrics = Some(target), deadLetterDir = Some(s"$base/dead"),
+      expectations = Seq(Profile.InRange("doc_floor", "doc_id",
+        lo, 1000000.0, action = Profile.Drop)))
+    q177Lock.synchronized {
+      if (!q177Driven.contains(base)) {
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(base))
+        PipelineMetrics.ensureTable(target)
+        PipelineMetrics.ensureExpectTable(target)
+        val myFeed = s"$base/feed"
+        val fs = new org.apache.hadoop.fs.Path(myFeed)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(new org.apache.hadoop.fs.Path(myFeed))) {
+          val tmp = new org.apache.hadoop.fs.Path(s"$base/feed_tmp")
+          fs.delete(tmp, true)
+          org.apache.hadoop.fs.FileUtil.copy(
+            fs, new org.apache.hadoop.fs.Path(feedDir), fs, tmp,
+            false, spark.sparkContext.hadoopConfiguration)
+          require(fs.rename(tmp, new org.apache.hadoop.fs.Path(myFeed)),
+            s"q177: could not publish the drive-local feed copy $myFeed")
+        }
+        val c = java.sql.DriverManager.getConnection(url)
+        try {
+          val st = c.createStatement()
+          try st.execute(
+            """CREATE TABLE clusters_q177 ("doc_id" BIGINT NOT NULL PRIMARY
+              | KEY, "cluster_id" BIGINT, "is_canonical" INTEGER)"""
+              .stripMargin.replace("\n", ""))
+          catch { // X0Y32: table already exists (idempotent re-drive)
+            case e: java.sql.SQLException if e.getSQLState == "X0Y32" => ()
+          }
+        } finally c.close()
+        val work = s"$base/work"
+        val epoch = 9000000000L
+        // drive 1: the strict floor quarantines low-id cluster rows —
+        // skipped on a crash-retry once the replay published
+        if (!PipelineMetrics.replayStarted(spark, myFeed, "_expect",
+            "q177", epoch))
+          pipe(lo = 100.0).runOnce(spark, myFeed, work)
+        // conf fix + keyed replay, then drive 2 drains the replayed
+        // file: a marker-only batch that re-emits the replayed docs'
+        // CURRENT labels through the fixed judgment
+        val fixed = pipe(lo = 0.0)
+        fixed.replayExpectDeadLetters(spark, work, myFeed, "shop",
+          tsMs = epoch)
+        fixed.runOnce(spark, myFeed, work)
+        q177Driven.add(base); ()
+      }
+    }
+    pipe(lo = 0.0).servedClusters(spark)
+  }
+
   val all: Seq[QueryDef] = Seq(q41, q42, q43, q44, q45, q47, q48, q49,
     q54, q57, q60, q62, q63, q64, q68, q69, q74, q76, q80, q81, q83, q90, q91,
     q94, q98, q122, q125, q127, q128, q129, q130, q131, q133, q134, q135,
     q136, q137, q138, q139, q140, q141, q142, q144, q145, q146, q147, q148,
     q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160,
     q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172,
-    q173, q174, q175)
+    q173, q174, q175, q176, q177)
 }
