@@ -145,6 +145,60 @@ object Serve {
     * The search kind is deliberately absent: an additive store's
     * enforcement-policy change rebuilds the store (frozen verdicts).
     */
+  /** Resolve exactly ONE registration unit by (kind, name) — shared by
+    * the repair verbs: the registry tolerates two files (mis)sharing a
+    * name, but a repair must not, because picking whichever file lists
+    * first could run against the wrong conf's state and dead-letter
+    * dir (re-injecting wrong-shaped rows, retiring a foreign
+    * quarantine, truncating a foreign store).
+    */
+  private def resolveOne[A](verb: String, kind: String, confDir: String,
+      name: String, entries: Seq[A], nameOf: A => String): A = {
+    val hit = entries.filter(e => nameOf(e) == name)
+    require(hit.nonEmpty,
+      s"Serve $verb: no $kind conf named '$name' in $confDir " +
+        s"(have: ${entries.map(nameOf).mkString(", ")})")
+    require(hit.size == 1,
+      s"Serve $verb: ${hit.size} $kind confs in $confDir share " +
+        s"the name '$name' — the verb must resolve ONE registration " +
+        "unit; rename or remove the duplicates first")
+    hit.head
+  }
+
+  /** One-shot REBUILD verb for the SEARCH kind — the fifth kind's
+    * quarantine closure: `rebuild search <confDir> <name> <workDir>
+    * <sourceDir>` resolves the named conf (the verb must run through
+    * the FIXED registration unit, like replay-keys) and rebuilds its
+    * additive store from the bronze feed under the evolved conf
+    * ([[graft.streaming.SearchServingPipeline.rebuildStore]]): work
+    * dir cleared (the frozen drop verdicts live there), store tables
+    * truncated, this conf's quarantine retired, the full feed
+    * re-driven through the normal judged path — still-bad rows
+    * re-quarantine under the new store's batch ids. The other kinds
+    * refuse this verb the way search refuses replay-keys: their
+    * keyed stores repair in place by replay; truncating them would
+    * discard servable state for no reason. Returns the number of
+    * retired dead-letter partitions.
+    */
+  def runRebuild(spark: SparkSession, args: Seq[String]): Long = {
+    require(args.length >= 5,
+      "usage: Serve rebuild search <confDir> <name> <workDir> <sourceDir>")
+    val Seq(kind, confDir, name, workDir, sourceDir) = args.take(5)
+    kind match {
+      case "search" =>
+        val p = resolveOne("rebuild", kind, confDir, name,
+          graft.streaming.PipelineRegistry.loadSearch(confDir),
+          (_: graft.streaming.PipelineRegistry.SearchEntry).pipeline.name)
+          .pipeline
+        p.rebuildStore(spark, sourceDir, workDir)
+      case other => throw new IllegalArgumentException(
+        s"Serve rebuild: the $other kind repairs by replay, not rebuild " +
+          "— its keyed store re-converges in place (Serve replay / " +
+          "replay-keys); only the additive search kind's frozen " +
+          "verdicts require a store rebuild on policy change")
+    }
+  }
+
   def runReplayKeys(spark: SparkSession, args: Seq[String]): Long = {
     require(args.length >= 7,
       "usage: Serve replay-keys <view|ann|dedup> <confDir> <name> " +
@@ -153,23 +207,8 @@ object Serve {
       args.take(7)
     val tsMs = parseTsMs("replay-keys", tsMsArg)
     val batchIds = parseBatchIds("replay-keys", args)
-    def resolve[A](entries: Seq[A], nameOf: A => String): A = {
-      val hit = entries.filter(e => nameOf(e) == name)
-      require(hit.nonEmpty,
-        s"Serve replay-keys: no $kind conf named '$name' in $confDir " +
-          s"(have: ${entries.map(nameOf).mkString(", ")})")
-      // the registry tolerates two files (mis)sharing a name — the
-      // verb must not: replay's premise is the FIXED registration
-      // unit, and picking whichever file lists first could resolve the
-      // dead letters against the wrong conf's state and dead-letter
-      // dir (re-injecting wrong-shaped rows, retiring a foreign
-      // quarantine)
-      require(hit.size == 1,
-        s"Serve replay-keys: ${hit.size} $kind confs in $confDir share " +
-          s"the name '$name' — replay must resolve ONE registration " +
-          "unit; rename or remove the duplicates first")
-      hit.head
-    }
+    def resolve[A](entries: Seq[A], nameOf: A => String): A =
+      resolveOne("replay-keys", kind, confDir, name, entries, nameOf)
     // the verb resolves the conf precisely so replay runs through the
     // FIXED registration unit — that must include the db: events
     // published under a db outside the conf's subscription would be
@@ -202,8 +241,9 @@ object Serve {
       case "search" => throw new IllegalArgumentException(
         "Serve replay-keys: the search kind cannot feed-replay — its " +
           "additive store's drop verdicts are frozen for the store's " +
-          "lifetime, so an enforcement-policy change rebuilds the work " +
-          "dir and truncates the store")
+          "lifetime, so an enforcement-policy change rebuilds the store " +
+          "under the evolved conf: Serve rebuild search <confDir> " +
+          "<name> <workDir> <sourceDir>")
       case other => throw new IllegalArgumentException(
         s"Serve replay-keys: unknown kind '$other' (expected view, ann " +
           "or dedup)")
@@ -212,7 +252,8 @@ object Serve {
 
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("replay") ||
-        args.headOption.contains("replay-keys")) {
+        args.headOption.contains("replay-keys") ||
+        args.headOption.contains("rebuild")) {
       val cpus0 = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
       val sp = SparkSession.builder()
         .master(s"local[$cpus0]")
@@ -221,9 +262,18 @@ object Serve {
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .getOrCreate()
       sp.sparkContext.setLogLevel("WARN")
-      val n = if (args.head == "replay") runReplay(sp, args.drop(1).toSeq)
-        else runReplayKeys(sp, args.drop(1).toSeq)
-      System.err.println(s"[serve] replayed $n dead-lettered rows")
+      args.head match {
+        case "replay" =>
+          val n = runReplay(sp, args.drop(1).toSeq)
+          System.err.println(s"[serve] replayed $n dead-lettered rows")
+        case "replay-keys" =>
+          val n = runReplayKeys(sp, args.drop(1).toSeq)
+          System.err.println(s"[serve] replayed $n dead-lettered rows")
+        case _ =>
+          val n = runRebuild(sp, args.drop(1).toSeq)
+          System.err.println(
+            s"[serve] store rebuilt ($n quarantined partitions retired)")
+      }
       sp.stop()
       return
     }
@@ -232,7 +282,8 @@ object Serve {
         "\n   or: Serve replay <expect|drift> <deadLetterDir> <pipeline> " +
         "<db> <table> <sourceDir> <tsMs> [batchIds,csv]" +
         "\n   or: Serve replay-keys <view|ann|dedup> <confDir> <name> " +
-        "<workDir> <db> <sourceDir> <tsMs> [batchIds,csv]")
+        "<workDir> <db> <sourceDir> <tsMs> [batchIds,csv]" +
+        "\n   or: Serve rebuild search <confDir> <name> <workDir> <sourceDir>")
     val Array(confDir, sourceDir, workRoot, esUrl) = args.take(4)
     val (esUser, esPass) =
       if (args.length >= 6) (args(4), args(5)) else ("", "")

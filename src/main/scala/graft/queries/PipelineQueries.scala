@@ -4348,11 +4348,109 @@ object PipelineQueries {
     pipe(lo = 0.0).servedClusters(spark)
   }
 
+  private val q178Lock = new Object
+  private val q178Driven = java.util.concurrent.ConcurrentHashMap
+    .newKeySet[String]()
+
+  /** Q178: the CERTIFIED REBUILD lifecycle on the SEARCH kind under
+    * the oracle gate — the fifth kind's quarantine closure, completing
+    * what q167 (lww wire replay), q168/q176/q177 (view/ann/dedup keyed
+    * replay) and q172 (drift raw-byte replay) certified for the other
+    * four: an additive store's drop verdicts are FROZEN for the
+    * store's lifetime, so an enforcement-policy change cannot replay —
+    * it REBUILDS ([[graft.streaming.SearchServingPipeline.rebuildStore]],
+    * `Serve rebuild search`). Drive 1 runs the q160-shaped enforced
+    * index under a strict id cap (`doc_id in [0, 100]`), quarantining
+    * every higher doc's ± posting contributions. The operator widens
+    * the rule; the rebuild clears the work dir (the frozen verdicts),
+    * truncates both store tables and their progress markers, retires
+    * the quarantine, and re-drives the ENTIRE bronze feed through the
+    * fixed conf's normal judged path. The served postings must
+    * hash-match the never-capped post-traffic index (q160's oracle
+    * without the predicate), and the drive engine-checks the
+    * lifecycle's two ends: dead letters EXISTED after the strict drive
+    * (the cap bit) and are GONE after the rebuild (the quarantine
+    * closed). A leaked pre-rebuild contribution double-counting in
+    * the additive fold, a lost doc, or a stale frozen verdict all
+    * break the hash.
+    */
+  val q178 = QueryDef.sql(
+    "q178_search_rebuild",
+    """WITH cur AS (SELECT doc_id,
+      |         CASE WHEN doc_id % 3 = 0 THEN text || ' revised edition'
+      |              ELSE text END AS text
+      |       FROM documents WHERE doc_id % 5 <> 0),
+      |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |        FROM cur)
+      |SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf
+      |FROM tok GROUP BY token, doc_id""".stripMargin) { (spark, dir) =>
+    import graft.cdc.{ChangeFeed, DeltaLog}
+    import graft.ops.Profile
+    import graft.streaming.{PipelineMetrics, SearchServingPipeline}
+    val feed = ChangeFeed.stagedDocsJsonl(spark, dir)
+    val fp = graft.sources.Staging.fingerprint(Seq(s"$dir/documents.parquet"))
+    val base = DeltaLog.logBase(spark,
+      s"rbsearch_${dir.replaceAll("[^a-zA-Z0-9]", "_")}", fp)
+    val url = s"jdbc:derby:$base/derby;create=true"
+    val target = PipelineMetrics.Target(url, "pipeline_metrics_q178")
+    val dead = s"$base/dead"
+    def pipe(hi: Double) = SearchServingPipeline(
+      name = "q178", databases = Set("shop"), table = "documents",
+      idField = "doc_id", textField = "text",
+      jdbcUrl = url, postingsTable = "postings_q178",
+      lensTable = "doclens_q178",
+      metrics = Some(target), deadLetterDir = Some(dead),
+      expectations = Seq(Profile.InRange("doc_cap", "doc_id",
+        0.0, hi, action = Profile.Drop)))
+    q178Lock.synchronized {
+      // memoize only on SUCCESS (q167's rule); every step below is
+      // idempotent, so a crashed attempt converges on retry — the
+      // rebuild itself re-truncates whatever a partial attempt left
+      if (!q178Driven.contains(base)) {
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(base))
+        PipelineMetrics.ensureTable(target)
+        PipelineMetrics.ensureExpectTable(target)
+        val c = java.sql.DriverManager.getConnection(url)
+        try {
+          val st = c.createStatement()
+          def mk(ddl: String): Unit =
+            try { st.execute(ddl); () }
+            catch { // X0Y32: table already exists (idempotent re-drive)
+              case e: java.sql.SQLException if e.getSQLState == "X0Y32" => ()
+            }
+          mk("""CREATE TABLE postings_q178 ("token" VARCHAR(256) NOT NULL,
+               | "doc_id" BIGINT NOT NULL, "tf" BIGINT,
+               | PRIMARY KEY ("token", "doc_id"))"""
+            .stripMargin.replace("\n", ""))
+          mk("""CREATE TABLE doclens_q178 ("doc_id" BIGINT NOT NULL PRIMARY
+               | KEY, "len" BIGINT)""".stripMargin.replace("\n", ""))
+        } finally c.close()
+        val work = s"$base/work"
+        // drive 1: the strict cap quarantines high-id contributions
+        pipe(hi = 100.0).runOnce(spark, feed, work)
+        require(!PipelineMetrics.expectDeadLetters(spark, dead)
+            .filter(col("pipeline") === "q178").isEmpty,
+          "q178: the strict cap must actually quarantine — a vacuous " +
+            "lifecycle certifies nothing")
+        // conf fix + rebuild: frozen verdicts cleared, store truncated,
+        // quarantine retired, full feed re-judged by the fixed rule
+        pipe(hi = 1e9).rebuildStore(spark, feed, work)
+        require(PipelineMetrics.expectDeadLetters(spark, dead)
+            .filter(col("pipeline") === "q178").isEmpty,
+          "q178: the rebuild must close the quarantine — nothing " +
+            "violates the widened cap")
+        q178Driven.add(base); ()
+      }
+    }
+    pipe(hi = 1e9).servedPostings(spark)
+  }
+
   val all: Seq[QueryDef] = Seq(q41, q42, q43, q44, q45, q47, q48, q49,
     q54, q57, q60, q62, q63, q64, q68, q69, q74, q76, q80, q81, q83, q90, q91,
     q94, q98, q122, q125, q127, q128, q129, q130, q131, q133, q134, q135,
     q136, q137, q138, q139, q140, q141, q142, q144, q145, q146, q147, q148,
     q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160,
     q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172,
-    q173, q174, q175, q176, q177)
+    q173, q174, q175, q176, q177, q178)
 }

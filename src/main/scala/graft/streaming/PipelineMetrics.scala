@@ -430,10 +430,11 @@ object PipelineMetrics {
               "ViewPipeline.replayExpectDeadLetters), which resolves dead " +
               "letters to their originating fact keys"
             case "search" => "an additive search store cannot feed-replay: " +
-              "its drop verdicts are frozen for the store's lifetime, so an " +
-              "enforcement-policy change rebuilds the work dir and " +
-              "truncates the store (SearchServingPipeline's pinned-" +
-              "dimension contract)"
+              "its drop verdicts are frozen for the store's lifetime " +
+              "(SearchServingPipeline's pinned-dimension contract), so an " +
+              "enforcement-policy change rebuilds the store under the " +
+              "evolved conf — Serve rebuild search / " +
+              "SearchServingPipeline.rebuildStore"
             case other => s"use the keyed replay (Serve replay-keys $other " +
               s"/ the $other pipeline's replayExpectDeadLetters)"
           }))

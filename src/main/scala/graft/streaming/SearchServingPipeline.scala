@@ -235,6 +235,76 @@ final case class SearchServingPipeline(
       .start()
   }
 
+  /** REBUILD the additive store under THIS (evolved) conf — the search
+    * kind's quarantine-closure verb, completing the five-kind
+    * lifecycle: the other kinds feed-replay their dead letters
+    * (wire-shaped) or keyed-replay them (derived rows), but an
+    * additive store's drop verdicts are FROZEN for the store's
+    * lifetime ([[pinnedExpectations]] — re-judging history against a
+    * changed rule would corrupt the running ± sums), so an
+    * enforcement-policy change repairs by REBUILD: clear the work dir
+    * (checkpoints, judged log, table log, pinned dimension snapshots —
+    * the store's frozen verdicts live there), truncate both store
+    * tables and their batch-progress markers (replaying the full feed
+    * into a non-empty additive fold double-counts), retire this
+    * pipeline's dead-letter subtrees (their docs are about to be
+    * re-judged from scratch; rows still bad under the evolved conf
+    * re-quarantine under the NEW store's batch ids — rebuild never
+    * skips judgment), then re-drive the ENTIRE bronze feed through the
+    * fixed conf's normal path. Every step is idempotent, so a crashed
+    * rebuild simply re-runs.
+    *
+    * The rebuild is OFFLINE for this conf's serving surface (the
+    * store is truncated mid-verb). For an online swap, the evolved
+    * conf version-bumps its declared `postingsTable`/`lensTable` (and
+    * work dir): the verb then builds the NEW store from scratch while
+    * the old conf keeps serving, and consumers flip when it completes
+    * — the quantizer-generation pattern, with the conf as the CURRENT
+    * pointer. Scale shape: the re-drive is the normal executor-
+    * parallel pipeline over the feed; the only driver-side work is
+    * DDL, directory deletes and the checkpoint clears.
+    *
+    * Returns the number of retired dead-letter partitions.
+    */
+  def rebuildStore(spark: SparkSession, feedDir: String,
+      workRoot: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    // 1. the work dir: frozen verdicts, checkpoints, judged + table log
+    val wr = new org.apache.hadoop.fs.Path(workRoot)
+    wr.getFileSystem(conf).delete(wr, true)
+    // 2. the store: truncate both tables; progress markers clear with
+    //    them (a fresh store must not skip replayed batch ids)
+    val c = java.sql.DriverManager.getConnection(jdbcUrl)
+    try {
+      val st = c.createStatement()
+      st.execute(s"DELETE FROM $postingsTable")
+      st.execute(s"DELETE FROM $lensTable")
+    } finally c.close()
+    JdbcSink.clearProgress(jdbcUrl, postingsTable)
+    JdbcSink.clearProgress(jdbcUrl, lensTable)
+    // 3. the quarantine: the old store's letters describe verdicts the
+    //    rebuild re-derives in full — still-bad rows re-dead-letter
+    //    under the new batch ids during the re-drive below
+    val safe = name.replaceAll("[^A-Za-z0-9._-]", "_")
+    var retired = 0L
+    deadLetterDir.foreach { dir =>
+      Seq("_expect", "_drift").foreach { sub =>
+        val p = new org.apache.hadoop.fs.Path(s"$dir/$sub/pipeline=$safe")
+        val fs = p.getFileSystem(conf)
+        if (fs.exists(p)) {
+          retired += fs.listStatus(p)
+            .count(s => s.isDirectory
+              && s.getPath.getName.startsWith("batch_id="))
+          fs.delete(p, true)
+          ()
+        }
+      }
+    }
+    // 4. re-drive the full feed through the fixed conf's normal path
+    runOnce(spark, feedDir, workRoot)
+    retired
+  }
+
   /** The live index read back from the serving store. */
   def servedPostings(spark: SparkSession): DataFrame =
     spark.read.jdbc(jdbcUrl, postingsTable, new java.util.Properties())

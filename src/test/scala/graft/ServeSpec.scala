@@ -279,6 +279,80 @@ class ServeSpec extends SparkSpec {
       && two.getMessage.contains("'dd'"), two.getMessage)
   }
 
+  test("rebuild verb: a quarantined search store rebuilds under the evolved conf; non-search kinds refuse toward replay") {
+    import graft.streaming.PipelineMetrics
+    import org.apache.spark.sql.functions.col
+    val url = "jdbc:derby:memory:graftrebuild;create=true"
+    val c0 = java.sql.DriverManager.getConnection(url)
+    c0.createStatement().execute(
+      """CREATE TABLE rb_post ("token" VARCHAR(256) NOT NULL,
+        | "doc_id" BIGINT NOT NULL, "tf" BIGINT,
+        | PRIMARY KEY ("token", "doc_id"))""".stripMargin.replace("\n", ""))
+    c0.createStatement().execute(
+      """CREATE TABLE rb_lens ("doc_id" BIGINT NOT NULL PRIMARY KEY,
+        | "len" BIGINT)""".stripMargin.replace("\n", ""))
+    c0.close()
+    val dl = Files.createTempDirectory("graft_srv_rb_dl_").toString + "/dl"
+    val confDir = Files.createTempDirectory("graft_srv_rb_conf_").toFile
+    def conf(hi: Long): Unit =
+      Files.write(new java.io.File(confDir, "s.json").toPath, Seq(
+        s"""{"kind":"search","name":"rb","databases":["d"],
+           |"table":"documents","idKey":"doc_id","textField":"text",
+           |"jdbc":{"url":"$url","postingsTable":"rb_post",
+           |"lensTable":"rb_lens"},
+           |"metrics":{"url":"$url","table":"rb_metrics"},
+           |"deadLetterDir":"$dl",
+           |"expectations":[{"rule":"in_range","name":"doc_cap",
+           |"column":"doc_id","lo":0,"hi":$hi,"action":"drop"}]}"""
+          .stripMargin.replace("\n", "")).asJava)
+    def docEv(id: Long, text: String, off: Long): String = {
+      val ev = s"""{"payload":{"before":null,"after":{"doc_id":$id,""" +
+        s""""text":"$text"},"source":{"db":"d","table":"documents",""" +
+        s""""ts_ms":$off},"op":"c","ts_ms":$off}}"""
+      s"""{"value":${mapper.writeValueAsString(ev)},"offset":$off}"""
+    }
+    val feed = Files.createTempDirectory("graft_srv_rb_feed_").toString
+    Files.write(new java.io.File(feed, "000.json").toPath, Seq(
+      docEv(1, "alpha beta", 1),
+      docEv(2, "beta gamma", 2),
+      docEv(5, "gamma delta", 3)).asJava)
+    val work = Files.createTempDirectory("graft_srv_rb_work_").toString
+    // strict conf (cap 2): doc 5's contributions quarantine
+    conf(hi = 2L)
+    val strict = graft.streaming.PipelineRegistry
+      .loadSearch(confDir.toString).head.pipeline
+    strict.runOnce(spark, feed, work)
+    def servedDocs(): Set[Long] = strict.servedPostings(spark)
+      .select(col("doc_id")).distinct().collect().map(_.getLong(0)).toSet
+    assert(servedDocs() == Set(1L, 2L), s"strict store, got ${servedDocs()}")
+    assert(PipelineMetrics.expectDeadLetters(spark, dl).count() > 0L)
+    // evolve the conf (widen the cap), rebuild through the VERB: the
+    // frozen verdicts clear, the store truncates and re-derives, the
+    // quarantine retires
+    conf(hi = 1000L)
+    assert(Serve.runRebuild(spark, Seq("search", confDir.toString, "rb",
+      work, feed)) >= 1L)
+    assert(servedDocs() == Set(1L, 2L, 5L),
+      s"rebuilt store must hold the full corpus, got ${servedDocs()}")
+    assert(PipelineMetrics.expectDeadLetters(spark, dl).count() == 0L,
+      "the rebuild closes the quarantine")
+    // the additive fold must not double-count across the rebuild
+    val tf = strict.servedPostings(spark)
+      .filter(col("token") === "beta" && col("doc_id") === 1L)
+      .select(col("tf")).collect().map(_.getLong(0)).toSeq
+    assert(tf == Seq(1L), s"rebuild must not double-count, got $tf")
+    // refusals: the keyed kinds repair by replay, not rebuild
+    val lww = intercept[IllegalArgumentException](Serve.runRebuild(spark,
+      Seq("lww", confDir.toString, "rb", work, feed)))
+    assert(lww.getMessage.contains("replay"), lww.getMessage)
+    val usage = intercept[IllegalArgumentException](Serve.runRebuild(spark,
+      Seq("search", confDir.toString)))
+    assert(usage.getMessage.contains("usage"), usage.getMessage)
+    val none = intercept[IllegalArgumentException](Serve.runRebuild(spark,
+      Seq("search", confDir.toString, "nope", work, feed)))
+    assert(none.getMessage.contains("nope"), none.getMessage)
+  }
+
   test("soak: one Serve process over all five kinds, stopped in flight and restarted — no resend, contiguous metrics, maintenance compacted") {
     import graft.streaming.PipelineMetrics
     import org.apache.spark.sql.functions.col
