@@ -457,6 +457,69 @@ class AnnServingSpec extends SparkSpec {
       "consumed dead letters retire")
   }
 
+  test("replay x gate composition: a keyed-replayed wire re-enters THROUGH a Drop-gated conf's judged log, never around it") {
+    import graft.streaming.{CdcPipeline, PipelineMetrics}
+    val url = "jdbc:derby:memory:graftannrpgate;create=true"
+    val c0 = java.sql.DriverManager.getConnection(url)
+    c0.createStatement().execute(
+      """CREATE TABLE postings_rpg ("vec_id" BIGINT NOT NULL PRIMARY KEY,
+        | "cell" INTEGER, "emb_json" VARCHAR(32000))"""
+        .stripMargin.replace("\n", ""))
+    c0.close()
+    val target = PipelineMetrics.Target(url, "rpg_metrics")
+    PipelineMetrics.ensureTable(target)
+    PipelineMetrics.ensureExpectTable(target)
+    PipelineMetrics.ensureDriftTable(target)
+    val dl = Files.createTempDirectory("graft_ann_rpg_dl_").toString + "/dl"
+    // the conf composes BOTH enforcement layers: a Drop-action drift
+    // gate (reroutes the log stage to the judged feed) and a drop
+    // expectation on the posting surface
+    def pipe(hi: Double) = AnnServingPipeline(
+      name = "rpg", databases = Set("shop"), table = "embeddings",
+      idField = "vec_id", vectorField = "embedding", cents = cents,
+      jdbcUrl = url, postingsTable = "postings_rpg",
+      metrics = Some(target), deadLetterDir = Some(dl),
+      driftPolicy = Some(CdcPipeline.DriftPolicy(newColsBudget = 0L,
+        action = graft.ops.Profile.Drop)),
+      expectations = Seq(graft.ops.Profile.InRange("id_cap", "vec_id",
+        0.0, hi, action = graft.ops.Profile.Drop)))
+    val feedDir = Files.createTempDirectory("graft_ann_rpg_feed_").toFile
+    val workRoot = Files.createTempDirectory("graft_ann_rpg_work_").toString
+    Files.write(new java.io.File(feedDir, "000.json").toPath, Seq(
+      wire(v(1, 0.9, 0.1), null, "c", 10, 1),
+      wire(v(7, 0.1, 0.9), null, "c", 10, 2)).asJava)
+    // strict cap: vector 7's posting quarantines (the gate passed it —
+    // its wire is clean; enforcement dropped it downstream)
+    pipe(hi = 5.0).runOnce(spark, feedDir.toString, workRoot)
+    def servedIds(): Set[Long] =
+      pipe(hi = 5.0).servedPostings(spark).select(col("vec_id"))
+        .collect().map(_.getLong(0)).toSet
+    assert(servedIds() == Set(1L))
+    assert(PipelineMetrics.expectDeadLetters(spark, dl).count() == 1L)
+    // conf fix + keyed replay + drain through the STILL-GATED conf
+    val fixed = pipe(hi = 100.0)
+    assert(fixed.replayExpectDeadLetters(spark, workRoot,
+      feedDir.toString, "shop", tsMs = 9999L) == 1L)
+    fixed.runOnce(spark, feedDir.toString, workRoot)
+    assert(servedIds() == Set(1L, 7L),
+      s"the replayed vector must re-serve, got ${servedIds()}")
+    // the composition invariant: the re-driven wire is IN the judged
+    // log (it entered through the gate's normal path) — a side door
+    // would serve the store while leaving the judged feed blind
+    val judged = spark.read.parquet(s"$workRoot/judged/log")
+      .select(col("value"))
+      .filter(col("value").contains("\"ts_ms\":9999")
+        && col("value").contains("\"vec_id\":7"))
+    assert(judged.count() == 1L,
+      "the replayed event must re-enter THROUGH the judged log")
+    // and the gate judged the replay batch: a verdict row exists for a
+    // batch beyond the original drain (zeros are the heartbeat)
+    val verdicts = PipelineMetrics.driftRows(spark, target)
+      .filter(col("pipeline") === "rpg").count()
+    assert(verdicts >= 2L,
+      s"the replay batch must carry its own drift verdict, got $verdicts")
+  }
+
   test("conf-declared ANN pipeline: watcher add starts serving, delete stops and preserves checkpoints") {
     import graft.streaming.{PipelineRegistry, PipelineWatcher}
     val url = "jdbc:derby:memory:graftannconf;create=true"

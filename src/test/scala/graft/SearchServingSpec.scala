@@ -152,4 +152,77 @@ class SearchServingSpec extends SparkSpec {
         "deregistration preserves checkpoints")
     } finally watcher.stop()
   }
+
+  test("live Halt gate: a mid-stream drift breach freezes the store at the pre-breach batch; conf evolve + restart resumes") {
+    import graft.streaming.{CdcPipeline, PipelineMetrics, SearchServingPipeline}
+    import org.apache.spark.sql.functions.col
+    val url = "jdbc:derby:memory:graftsearchhalt;create=true"
+    val c0 = java.sql.DriverManager.getConnection(url)
+    c0.createStatement().execute(
+      """CREATE TABLE hl_post ("token" VARCHAR(256) NOT NULL,
+        | "doc_id" BIGINT NOT NULL, "tf" BIGINT,
+        | PRIMARY KEY ("token", "doc_id"))""".stripMargin.replace("\n", ""))
+    c0.createStatement().execute(
+      """CREATE TABLE hl_lens ("doc_id" BIGINT NOT NULL PRIMARY KEY,
+        | "len" BIGINT)""".stripMargin.replace("\n", ""))
+    c0.close()
+    val target = PipelineMetrics.Target(url, "hl_metrics")
+    PipelineMetrics.ensureTable(target)
+    PipelineMetrics.ensureDriftTable(target)
+    def pipe(budget: Long) = SearchServingPipeline(
+      name = "hl", databases = Set("shop"), table = "documents",
+      idField = "doc_id", textField = "text",
+      jdbcUrl = url, postingsTable = "hl_post", lensTable = "hl_lens",
+      metrics = Some(target),
+      driftPolicy = Some(CdcPipeline.DriftPolicy(newColsBudget = budget,
+        action = graft.ops.Profile.Halt)))
+    val feedDir = Files.createTempDirectory("graft_search_halt_feed_").toFile
+    val workRoot = Files.createTempDirectory("graft_search_halt_work_").toString
+    Files.write(new java.io.File(feedDir, "000.json").toPath, Seq(
+      wire(d(1, "alpha beta"), null, "c", 10, 1),
+      wire(d(2, "beta gamma"), null, "c", 10, 2)).asJava)
+    def servedDocs(): Set[Long] =
+      spark.read.jdbc(url, "hl_post", new java.util.Properties())
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    def await(deadlineMs: Long = 60000L)(cond: => Boolean): Boolean = {
+      val end = System.currentTimeMillis() + deadlineMs
+      while (!cond && System.currentTimeMillis() < end) Thread.sleep(200)
+      cond
+    }
+    // LIVE deployment: gate + log + index stages run CONCURRENTLY on a
+    // processing-time trigger — the startIfEnabled path drainOnce never
+    // exercises
+    val strict = pipe(budget = 0L)
+    val queries = strict.start(spark, feedDir.toString, workRoot,
+      interval = "200 milliseconds")
+    val gate = queries.find(_.name == "driftgate_hl").get
+    try {
+      assert(await()(servedDocs() == Set(1L, 2L)),
+        s"clean wave serves live, got ${servedDocs()}")
+      // the breach arrives MID-STREAM: an undeclared field over budget
+      Files.write(new java.io.File(feedDir, "001.json").toPath, Seq(
+        wire("""{"doc_id":3,"text":"gamma delta","note":"n"}""",
+          null, "c", 20, 3)).asJava)
+      assert(await()(gate.exception.isDefined),
+        "the gate query must quarantine on the breach")
+      // the verdict recorded BEFORE the halt: the breach is observable
+      val verdicts = PipelineMetrics.driftRows(spark, target)
+        .filter(col("pipeline") === "hl" && col("new_cols") > 0L).count()
+      assert(verdicts >= 1L, "the breach batch's verdict must land first")
+      // post-breach traffic: the log/index stages still RUN, but only
+      // against the judged log, which froze at the pre-breach batch —
+      // neither the drifted doc nor anything behind it reaches the store
+      Files.write(new java.io.File(feedDir, "002.json").toPath, Seq(
+        wire(d(4, "delta epsilon"), null, "c", 30, 4)).asJava)
+      Thread.sleep(2000) // give a live (unfrozen) pipeline time to leak
+      assert(servedDocs() == Set(1L, 2L),
+        s"the store must freeze pre-breach, got ${servedDocs()}")
+    } finally queries.foreach(q => if (q.isActive) q.stop())
+    // conf fix (budget raise) + restart from the shared checkpoints:
+    // the quarantined batch re-drains tolerated, the queue behind it
+    // follows — the expectation-Halt lifecycle, gate edition
+    pipe(budget = 1L).runOnce(spark, feedDir.toString, workRoot)
+    assert(servedDocs() == Set(1L, 2L, 3L, 4L),
+      s"the evolved conf resumes the frozen queue, got ${servedDocs()}")
+  }
 }
