@@ -4389,8 +4389,11 @@ object PipelineQueries {
     import graft.streaming.{PipelineMetrics, SearchServingPipeline}
     val feed = ChangeFeed.stagedDocsJsonl(spark, dir)
     val fp = graft.sources.Staging.fingerprint(Seq(s"$dir/documents.parquet"))
+    // v2: the v1 drives left post-lifecycle state without the DONE
+    // marker below — indistinguishable from a fresh dir, so the bump
+    // orphans them (warehouse GC retires superseded fingerprints)
     val base = DeltaLog.logBase(spark,
-      s"rbsearch_${dir.replaceAll("[^a-zA-Z0-9]", "_")}", fp)
+      s"rbsearch2_${dir.replaceAll("[^a-zA-Z0-9]", "_")}", fp)
     val url = s"jdbc:derby:$base/derby;create=true"
     val target = PipelineMetrics.Target(url, "pipeline_metrics_q178")
     val dead = s"$base/dead"
@@ -4403,10 +4406,19 @@ object PipelineQueries {
       expectations = Seq(Profile.InRange("doc_cap", "doc_id",
         0.0, hi, action = Profile.Drop)))
     q178Lock.synchronized {
-      // memoize only on SUCCESS (q167's rule); every step below is
-      // idempotent, so a crashed attempt converges on retry — the
-      // rebuild itself re-truncates whatever a partial attempt left
-      if (!q178Driven.contains(base)) {
+      // the lifecycle completes ONCE per store, across JVMs: an
+      // on-disk DONE marker (not just the in-JVM set) gates the whole
+      // drive, because a fresh JVM re-driving a completed store would
+      // find the strict stage vacuous (checkpoints drain nothing, the
+      // quarantine already retired) and the lifecycle requires below
+      // would misfire. Crash anywhere before the marker → the retry
+      // converges: the REBUILT marker skips the strict stage (whose
+      // letters the rebuild already consumed) and the rebuild itself
+      // re-truncates whatever a partial attempt left.
+      val doneMark = java.nio.file.Paths.get(s"$base/_Q178_LIFECYCLE_DONE")
+      val rbMark = java.nio.file.Paths.get(s"$base/_Q178_REBUILD_STARTED")
+      if (!q178Driven.contains(base)
+          && !java.nio.file.Files.exists(doneMark)) {
         java.nio.file.Files.createDirectories(
           java.nio.file.Paths.get(base))
         PipelineMetrics.ensureTable(target)
@@ -4427,12 +4439,18 @@ object PipelineQueries {
                | KEY, "len" BIGINT)""".stripMargin.replace("\n", ""))
         } finally c.close()
         val work = s"$base/work"
-        // drive 1: the strict cap quarantines high-id contributions
-        pipe(hi = 100.0).runOnce(spark, feed, work)
-        require(!PipelineMetrics.expectDeadLetters(spark, dead)
-            .filter(col("pipeline") === "q178").isEmpty,
-          "q178: the strict cap must actually quarantine — a vacuous " +
-            "lifecycle certifies nothing")
+        // drive 1: the strict cap quarantines high-id contributions —
+        // skipped once the rebuild has started (its letters are
+        // consumed; a crash-retry must not demand them back)
+        if (!java.nio.file.Files.exists(rbMark)) {
+          pipe(hi = 100.0).runOnce(spark, feed, work)
+          require(!PipelineMetrics.expectDeadLetters(spark, dead)
+              .filter(col("pipeline") === "q178").isEmpty,
+            "q178: the strict cap must actually quarantine — a vacuous " +
+              "lifecycle certifies nothing")
+          java.nio.file.Files.createFile(rbMark)
+          ()
+        }
         // conf fix + rebuild: frozen verdicts cleared, store truncated,
         // quarantine retired, full feed re-judged by the fixed rule
         pipe(hi = 1e9).rebuildStore(spark, feed, work)
@@ -4440,6 +4458,7 @@ object PipelineQueries {
             .filter(col("pipeline") === "q178").isEmpty,
           "q178: the rebuild must close the quarantine — nothing " +
             "violates the widened cap")
+        java.nio.file.Files.createFile(doneMark)
         q178Driven.add(base); ()
       }
     }

@@ -42,6 +42,7 @@ FLAG = 1.3        # alpha above this needs an explanation
 KNOWN = {
     "q19_neardup": "exact all-pairs Jaccard oracle companion; scaled twin q26 (MinHash-LSH banding)",
     "q28_embed_neardup": "exact all-pairs cosine oracle companion (t=0.4 is below sign-LSH's useful regime); scaled twin q28b (banded, t=0.95, in-query candidate-volume certificate)",
+    "q166_drift_dead_letters": "leg-contention artifact, not code: the r14 sf0.3 leg recorded 5.04 s during an external load window; idle same-box BenchOne measures 3.37 s (alpha_top 0.97) — a linear parse+read of the drive-local drift quarantine",
 }
 
 
