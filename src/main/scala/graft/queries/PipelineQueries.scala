@@ -3403,24 +3403,9 @@ object PipelineQueries {
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get(store))
         PipelineMetrics.ensureTable(target)
         PipelineMetrics.ensureExpectTable(target)
-        // the replay feed file must not leak between drives: the replay
-        // epoch is fixed, so a stale file from a previous FAILED drive
-        // would no-op the replay below — the feed copy is drive-local
-        val myFeed = s"$base/feed"
-        val fs = new org.apache.hadoop.fs.Path(myFeed)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (!fs.exists(new org.apache.hadoop.fs.Path(myFeed))) {
-          // copy to a temp name, then RENAME into place: a crash
-          // mid-copy must not leave a partial dir the next drive
-          // drains as the whole feed
-          val tmp = new org.apache.hadoop.fs.Path(s"$base/feed_tmp")
-          fs.delete(tmp, true)
-          org.apache.hadoop.fs.FileUtil.copy(
-            fs, new org.apache.hadoop.fs.Path(feedDir), fs, tmp,
-            false, spark.sparkContext.hadoopConfiguration)
-          require(fs.rename(tmp, new org.apache.hadoop.fs.Path(myFeed)),
-            s"q167: could not publish the drive-local feed copy $myFeed")
-        }
+        // the replay feed file must not leak between drives
+        // ([[stageDriveLocalFeed]]'s contract)
+        val myFeed = stageDriveLocalFeed(spark, feedDir, base, "q167")
         def rawOf(path: String) = spark.read.schema(
           org.apache.spark.sql.types.StructType(Seq(
             org.apache.spark.sql.types.StructField("value",
@@ -3454,6 +3439,31 @@ object PipelineQueries {
     readDocStore(spark, store, ChangeFeed.ordersRowSchema)
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
         col("o_totalprice").as("price"), col("o_orderpriority"))
+  }
+
+  /** Publish a DRIVE-LOCAL copy of a staged feed under `<base>/feed`
+    * with copy-to-temp-then-RENAME — the replay drives' shared staging
+    * (q167's rule, one definition for all of them): the replay epoch
+    * is fixed per drive, so a stale replay file from a previous FAILED
+    * drive in a SHARED staged feed would no-op the replay; and a crash
+    * mid-copy must not leave a partial dir the next drive drains as
+    * the whole feed. Idempotent: an existing copy is reused as-is.
+    */
+  private def stageDriveLocalFeed(spark: SparkSession, feedDir: String,
+      base: String, tag: String): String = {
+    val myFeed = s"$base/feed"
+    val fs = new org.apache.hadoop.fs.Path(myFeed)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(myFeed))) {
+      val tmp = new org.apache.hadoop.fs.Path(s"$base/feed_tmp")
+      fs.delete(tmp, true)
+      org.apache.hadoop.fs.FileUtil.copy(
+        fs, new org.apache.hadoop.fs.Path(feedDir), fs, tmp,
+        false, spark.sparkContext.hadoopConfiguration)
+      require(fs.rename(tmp, new org.apache.hadoop.fs.Path(myFeed)),
+        s"$tag: could not publish the drive-local feed copy $myFeed")
+    }
+    myFeed
   }
 
   private val q168Lock = new Object
@@ -3515,20 +3525,7 @@ object PipelineQueries {
           java.nio.file.Paths.get(base))
         PipelineMetrics.ensureTable(target)
         PipelineMetrics.ensureExpectTable(target)
-        // the replay epoch is fixed, so the injected feed file must be
-        // drive-local (q167's staged copy-then-rename)
-        val myFeed = s"$base/feed"
-        val fs = new org.apache.hadoop.fs.Path(myFeed)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (!fs.exists(new org.apache.hadoop.fs.Path(myFeed))) {
-          val tmp = new org.apache.hadoop.fs.Path(s"$base/feed_tmp")
-          fs.delete(tmp, true)
-          org.apache.hadoop.fs.FileUtil.copy(
-            fs, new org.apache.hadoop.fs.Path(feedDir), fs, tmp,
-            false, spark.sparkContext.hadoopConfiguration)
-          require(fs.rename(tmp, new org.apache.hadoop.fs.Path(myFeed)),
-            s"q168: could not publish the drive-local feed copy $myFeed")
-        }
+        val myFeed = stageDriveLocalFeed(spark, feedDir, base, "q168")
         val c = java.sql.DriverManager.getConnection(url)
         try {
           val st = c.createStatement()
@@ -4198,20 +4195,7 @@ object PipelineQueries {
           java.nio.file.Paths.get(base))
         PipelineMetrics.ensureTable(target)
         PipelineMetrics.ensureExpectTable(target)
-        // the replay epoch is fixed, so the injected feed file must be
-        // drive-local (q167/q168's staged copy-then-rename)
-        val myFeed = s"$base/feed"
-        val fs = new org.apache.hadoop.fs.Path(myFeed)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (!fs.exists(new org.apache.hadoop.fs.Path(myFeed))) {
-          val tmp = new org.apache.hadoop.fs.Path(s"$base/feed_tmp")
-          fs.delete(tmp, true)
-          org.apache.hadoop.fs.FileUtil.copy(
-            fs, new org.apache.hadoop.fs.Path(feedDir), fs, tmp,
-            false, spark.sparkContext.hadoopConfiguration)
-          require(fs.rename(tmp, new org.apache.hadoop.fs.Path(myFeed)),
-            s"q176: could not publish the drive-local feed copy $myFeed")
-        }
+        val myFeed = stageDriveLocalFeed(spark, feedDir, base, "q176")
         val c = java.sql.DriverManager.getConnection(url)
         try {
           val st = c.createStatement()
@@ -4305,18 +4289,7 @@ object PipelineQueries {
           java.nio.file.Paths.get(base))
         PipelineMetrics.ensureTable(target)
         PipelineMetrics.ensureExpectTable(target)
-        val myFeed = s"$base/feed"
-        val fs = new org.apache.hadoop.fs.Path(myFeed)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (!fs.exists(new org.apache.hadoop.fs.Path(myFeed))) {
-          val tmp = new org.apache.hadoop.fs.Path(s"$base/feed_tmp")
-          fs.delete(tmp, true)
-          org.apache.hadoop.fs.FileUtil.copy(
-            fs, new org.apache.hadoop.fs.Path(feedDir), fs, tmp,
-            false, spark.sparkContext.hadoopConfiguration)
-          require(fs.rename(tmp, new org.apache.hadoop.fs.Path(myFeed)),
-            s"q177: could not publish the drive-local feed copy $myFeed")
-        }
+        val myFeed = stageDriveLocalFeed(spark, feedDir, base, "q177")
         val c = java.sql.DriverManager.getConnection(url)
         try {
           val st = c.createStatement()

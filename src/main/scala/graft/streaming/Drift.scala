@@ -63,8 +63,11 @@ object Drift {
     * with a bad-typed declared field, the distinct undeclared names and
     * the changed declared names — recorded into the metrics store's
     * `_drift` table under `pipeline` (every drained batch records;
-    * zeros are the healthy heartbeat). Two aggregate jobs over the
-    * (caller-pinned) frame. Deletes are skipped — they carry no after.
+    * zeros are the healthy heartbeat). One aggregate job over the
+    * (caller-pinned) frame on the healthy path; a batch that actually
+    * drifted pays two more bounded jobs (exact distinct-name count +
+    * the capped name sample). Deletes are skipped — they carry no
+    * after.
     */
   def recordSchemaDrift(src: DataFrame, rowSchema: StructType,
       pipeline: String, batchId: Long,
@@ -89,19 +92,6 @@ object Drift {
           names.map(n =>
             max(when(col(s"tc_$n"), 1L).otherwise(0L)).as(s"any_$n"))): _*)
       .collect().headOption
-    // the distinct undeclared names are NOT schema-bounded — the
-    // pathological wire this monitor exists to catch (ids serialized
-    // as field names) makes the set row-sized, and an unbounded
-    // collect would blow the driver on every micro-batch. The COUNT
-    // stays exact (distributed aggregate); only the recorded name
-    // SAMPLE is capped, with the truncation visible in the verdict row
-    val distinctNames = base.select(explode(col("newfs")).as("f")).distinct()
-    val newColsExact = distinctNames.count()
-    val newNames =
-      if (newColsExact == 0L) Seq.empty[String]
-      else distinctNames.orderBy(col("f")).limit(maxRecordedNames)
-        .collect().map(_.getString(0)).toSeq
-    val namesTruncated = newColsExact > newNames.size
     val (rowsNew, rowsBad, changed) = agg match {
       case Some(r) => (
         Option(r.getAs[Any]("rows_new")).fold(0L)(_.asInstanceOf[Long]),
@@ -110,10 +100,36 @@ object Drift {
           Option(r.getAs[Any](s"any_$n")).fold(0L)(_.asInstanceOf[Long]) > 0))
       case None => (0L, 0L, Seq.empty[String])
     }
+    // the distinct undeclared names are NOT schema-bounded — the
+    // pathological wire this monitor exists to catch (ids serialized
+    // as field names) makes the set row-sized, and an unbounded
+    // collect would blow the driver on every micro-batch. The COUNT
+    // stays exact (distributed aggregate); only the recorded name
+    // SAMPLE is capped, with the truncation visible in the verdict
+    // row. A batch with zero new-field rows cannot carry a new name
+    // (a column exists iff some row carries it), so the healthy
+    // heartbeat pays NEITHER extra job — only drifted batches run the
+    // count + bounded sample.
+    val (newColsExact, newNames) =
+      if (rowsNew == 0L) (0L, Seq.empty[String])
+      else {
+        val distinctNames =
+          base.select(explode(col("newfs")).as("f")).distinct()
+        (distinctNames.count(),
+          distinctNames.orderBy(col("f")).limit(maxRecordedNames)
+            .collect().map(_.getString(0)).toSeq)
+      }
+    val joinedNames = newNames.mkString(",")
+    // truncated means the ROW does not carry every name: the sample
+    // was capped OR the joined VARCHAR exceeds the store's 1024-char
+    // column (recordDrift takes 1024 — without this half a char-capped
+    // list of long names would read as complete)
+    val namesTruncated =
+      newColsExact > newNames.size || joinedNames.length > 1024
     PipelineMetrics.recordDrift(m, pipeline, batchId,
       newCols = newColsExact, typeChanges = changed.size.toLong,
       rowsNew = rowsNew, rowsBadtype = rowsBad,
-      newColNames = newNames.mkString(","),
+      newColNames = joinedNames,
       changedNames = changed.mkString(","),
       namesTruncated = namesTruncated)
     CdcPipeline.DriftVerdict(newColsExact, changed.size.toLong,

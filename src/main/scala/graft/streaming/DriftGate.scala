@@ -156,6 +156,26 @@ final case class DriftGate(
       .start()
   }
 
+  /** OWNERSHIP BACKFILL at boot: quarantine partitions written before
+    * kind markers existed carry none, and the retention sweep reads
+    * the marker as the ownership proof for the view side tags — a
+    * pre-marker `pipeline=<name>.fact` dir would otherwise never age
+    * out again once its gate goes quiet (the marker is only written
+    * beside NEW dead letters). The gate is the subtree's declared
+    * owner, so at boot it claims its own unmarked dir — idempotent,
+    * two existence checks when the dir is absent or already marked.
+    */
+  private def backfillKindMarker(spark: SparkSession): Unit =
+    deadLetterDir.foreach { dir =>
+      val safe = tag.replaceAll("[^A-Za-z0-9._-]", "_")
+      val p = new org.apache.hadoop.fs.Path(
+        s"$dir/_drift/pipeline=$safe")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p) && !fs.listStatus(p)
+          .exists(_.getPath.getName.startsWith("_KIND_")))
+        PipelineMetrics.writeKindMarker(spark, dir, "_drift", safe, kind)
+    }
+
   /** Drain the gate over the feed's current contents (no-op when the
     * conf declares no drift) — the one shared boot block every
     * pipeline kind's `runOnce` calls: seeds the judged log dir (only
@@ -166,6 +186,7 @@ final case class DriftGate(
   def drainOnce(spark: SparkSession, feedDir: String, judgedBase: String,
       checkpointDir: String): Unit =
     if (enabled) {
+      backfillKindMarker(spark)
       if (reroutes)
         java.nio.file.Files.createDirectories(
           java.nio.file.Paths.get(s"$judgedBase/log"))
@@ -181,6 +202,7 @@ final case class DriftGate(
       trigger: Trigger): Seq[StreamingQuery] =
     if (!enabled) Nil
     else {
+      backfillKindMarker(spark)
       if (reroutes)
         java.nio.file.Files.createDirectories(
           java.nio.file.Paths.get(s"$judgedBase/log"))

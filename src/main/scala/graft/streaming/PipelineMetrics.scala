@@ -182,11 +182,20 @@ object PipelineMetrics {
         case e: java.sql.SQLException if e.getSQLState == "X0Y32" =>
           // pre-existing table from before the truncation flag: widen
           // in place (additive, nullable — old verdict rows read NULL
-          // = not truncated)
-          try st.execute(s"""ALTER TABLE ${t.table}_drift ADD COLUMN
-            | "names_truncated" INTEGER""".stripMargin.replace("\n", ""))
-          catch {
-            case e2: java.sql.SQLException if e2.getSQLState == "X0Y32" => ()
+          // = not truncated). Existence-checked via metadata, so the
+          // steady state is one metadata read, not an exception-driven
+          // ALTER on every call (and no reliance on Derby's duplicate-
+          // column SQLState).
+          // the DDL quotes identifiers, so the column name is stored
+          // case-exact lowercase while the UNQUOTED table name folded
+          // to upper — the metadata probe must match both
+          val cols = conn.getMetaData.getColumns(null, null,
+            s"${t.table}_drift".toUpperCase, "names_truncated")
+          val missing = try !cols.next() finally cols.close()
+          if (missing) {
+            st.execute(s"""ALTER TABLE ${t.table}_drift ADD COLUMN
+              | "names_truncated" INTEGER""".stripMargin.replace("\n", ""))
+            ()
           }
       }
     } finally conn.close()
@@ -816,6 +825,34 @@ object PipelineMetrics {
   def driftDeadLetters(spark: org.apache.spark.sql.SparkSession,
       deadLetterDir: String): org.apache.spark.sql.DataFrame =
     deadLetterFrame(spark, deadLetterDir, "_drift")
+
+  /** RETIRE a pipeline's whole `_expect` + `_drift` quarantine — the
+    * store-rebuild half of the lifecycle
+    * ([[graft.streaming.SearchServingPipeline.rebuildStore]]): the old
+    * store's letters describe verdicts the rebuild re-derives in full,
+    * so they delete wholesale. Lives HERE so the subtree layout and
+    * the pipeline-name sanitization have exactly one definition — a
+    * re-derived copy in a caller would silently retire the wrong (or
+    * no) paths if the layout ever moved, the replay-artifact-naming
+    * lesson. Returns the number of retired batch partitions.
+    */
+  def retireDeadLetterSubtrees(spark: org.apache.spark.sql.SparkSession,
+      deadLetterDir: String, pipeline: String): Long = {
+    val safe = pipeline.replaceAll("[^A-Za-z0-9._-]", "_")
+    var retired = 0L
+    Seq("_expect", "_drift").foreach { sub =>
+      val p = new org.apache.hadoop.fs.Path(
+        s"$deadLetterDir/$sub/pipeline=$safe")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) {
+        retired += fs.listStatus(p).count(s =>
+          s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+        fs.delete(p, true)
+        ()
+      }
+    }
+    retired
+  }
 
   /** AGE-RETIRE dead letters past a conf-declared retention — the
     * quarantine's disk-lifecycle half (the r12 verdict's task 6):

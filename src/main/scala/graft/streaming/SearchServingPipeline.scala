@@ -284,22 +284,11 @@ final case class SearchServingPipeline(
     JdbcSink.clearProgress(jdbcUrl, lensTable)
     // 3. the quarantine: the old store's letters describe verdicts the
     //    rebuild re-derives in full — still-bad rows re-dead-letter
-    //    under the new batch ids during the re-drive below
-    val safe = name.replaceAll("[^A-Za-z0-9._-]", "_")
-    var retired = 0L
-    deadLetterDir.foreach { dir =>
-      Seq("_expect", "_drift").foreach { sub =>
-        val p = new org.apache.hadoop.fs.Path(s"$dir/$sub/pipeline=$safe")
-        val fs = p.getFileSystem(conf)
-        if (fs.exists(p)) {
-          retired += fs.listStatus(p)
-            .count(s => s.isDirectory
-              && s.getPath.getName.startsWith("batch_id="))
-          fs.delete(p, true)
-          ()
-        }
-      }
-    }
+    //    under the new batch ids during the re-drive below. The layout
+    //    knowledge lives with the writer (PipelineMetrics), never
+    //    re-derived here.
+    val retired = deadLetterDir.fold(0L)(dir =>
+      PipelineMetrics.retireDeadLetterSubtrees(spark, dir, name))
     // 4. re-drive the full feed through the fixed conf's normal path
     runOnce(spark, feedDir, workRoot)
     retired

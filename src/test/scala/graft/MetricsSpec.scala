@@ -473,6 +473,24 @@ class MetricsSpec extends SparkSpec {
         col("names_truncated")).collect().head
     assert(clean.getLong(0) == 1L && clean.getString(1) == "note"
       && clean.getInt(2) == 0, s"got $clean")
+    // the CHAR-capped case: fewer than maxRecordedNames distinct
+    // names, but long enough that the stored VARCHAR(1024) cuts the
+    // list — the row must still read as truncated, never as complete
+    val longNames = spark.range(40).select(concat(
+      lit("""{"payload":{"before":null,"after":{"doc_id":"""),
+      col("id"), lit(""","text":"t","f_"""),
+      lit("x" * 35), lit("_"), col("id"),
+      lit("""":1},"source":{"db":"shop","table":"documents","ts_ms":1},""" +
+        """"op":"c","ts_ms":1}}""")).as("value"))
+    graft.streaming.Drift.recordSchemaDrift(longNames,
+      StructType.fromDDL("doc_id BIGINT, text STRING"),
+      "mx_drift_rowsized", batchId = 2L, target)
+    val charCapped = PipelineMetrics.driftRows(spark, target)
+      .filter(col("pipeline") === "mx_drift_rowsized"
+        && col("batch_id") === 2L)
+      .select(col("new_cols"), col("names_truncated")).collect().head
+    assert(charCapped.getLong(0) == 40L && charCapped.getInt(1) == 1,
+      s"a VARCHAR-cut name list must flag names_truncated, got $charCapped")
   }
 
   test("dead-letter retention: aged partitions and sink files retire; young rows, markers and underscore files stay") {
@@ -576,6 +594,58 @@ class MetricsSpec extends SparkSpec {
         .stripMargin.replace("\n", "")).asJava)
     assert(PipelineRegistry.load(confDir.toString)
       .head.pipeline.deadLetterRetentionMs == 123456L)
+  }
+
+  test("ownership backfill: a pre-marker drift quarantine gains its gate's kind marker at boot, so side-tag retention still works") {
+    import spark.implicits._
+    import java.nio.file.attribute.FileTime
+    val dl = Files.createTempDirectory("graft_dlbf_").toString + "/dl"
+    // pre-upgrade state: an aged side-tag quarantine with NO kind
+    // marker (written before markers existed) — without the backfill
+    // the marker-gated sweep would never retire it again
+    Seq(("drift_newcols", """{"id":1}""")).toDF("violated", "row_json")
+      .write.mode("overwrite")
+      .parquet(s"$dl/_drift/pipeline=bf.fact/batch_id=0")
+    val now = System.currentTimeMillis()
+    java.nio.file.Files.walk(
+      java.nio.file.Paths.get(s"$dl/_drift/pipeline=bf.fact"))
+      .iterator().asScala.foreach(p =>
+        Files.setLastModifiedTime(p, FileTime.fromMillis(now - 10000L)))
+    val marker = java.nio.file.Paths.get(
+      s"$dl/_drift/pipeline=bf.fact/_KIND_view")
+    assert(!Files.exists(marker))
+    // the gate is the subtree's declared owner: booting it claims the
+    // unmarked dir
+    val gate = graft.streaming.DriftGate("bf.fact", "view", Set("d"), "t",
+      StructType.fromDDL("id BIGINT"), driftCheck = false,
+      policy = Some(CdcPipeline.DriftPolicy(newColsBudget = 0L,
+        action = graft.ops.Profile.Drop)),
+      metrics = Some(target), deadLetterDir = Some(dl))
+    val feed = Files.createTempDirectory("graft_dlbf_feed_").toString
+    val judged = Files.createTempDirectory("graft_dlbf_judged_").toString
+    val ckpt = Files.createTempDirectory("graft_dlbf_ckpt_").toString
+    gate.drainOnce(spark, feed, judged, ckpt)
+    assert(Files.exists(marker),
+      "boot must backfill the owner's kind marker on an unmarked dir")
+    // ...and the marker-gated retention sweep can now retire the tag
+    val n = PipelineMetrics.retireAgedDeadLetters(spark, dl,
+      retentionMs = 5000L, pipeline = "bf", nowMs = now)
+    assert(n == 1L, s"retired $n")
+    assert(!Files.exists(java.nio.file.Paths.get(
+      s"$dl/_drift/pipeline=bf.fact/batch_id=0")))
+    // a dir already marked by ANOTHER kind is never re-claimed
+    Seq(("drift_newcols", """{"id":2}""")).toDF("violated", "row_json")
+      .write.mode("overwrite")
+      .parquet(s"$dl/_drift/pipeline=bf2/batch_id=0")
+    Files.createFile(java.nio.file.Paths.get(
+      s"$dl/_drift/pipeline=bf2/_KIND_ann"))
+    val gate2 = gate.copy(tag = "bf2")
+    gate2.drainOnce(spark, feed,
+      Files.createTempDirectory("graft_dlbf_j2_").toString,
+      Files.createTempDirectory("graft_dlbf_c2_").toString)
+    assert(!Files.exists(java.nio.file.Paths.get(
+      s"$dl/_drift/pipeline=bf2/_KIND_view")),
+      "an already-marked dir keeps its original owner's kind")
   }
 
   test("expectations conf: registration-time validation names file + field; verdicts need a metrics target") {
