@@ -860,4 +860,202 @@ class PropertySpec extends SparkSpec {
         s"trial $trial: bad-typed winners must re-quarantine")
     }
   }
+
+  test("ann keyed-replay lifecycle converges to the never-dropped postings model on randomized vector churn") {
+    // The ann-kind completion of the keyed-replay properties (q176's
+    // contract, randomized): dead letters are DERIVED posting actions,
+    // so replay resolves them to vector ids and re-drives each id's
+    // current table-log truth. Model: plain-Scala LWW over the vector
+    // events with NO rule at all — live keys' vectors, each served
+    // posting's advisory cell engine-checked against the quantizer.
+    import graft.ops.Profile
+    import graft.streaming.{AnnServingPipeline, PipelineMetrics}
+    import java.nio.file.Files
+    val url = "jdbc:derby:memory:graftannprop;create=true"
+    val target = PipelineMetrics.Target(url, "annprop_metrics")
+    PipelineMetrics.ensureTable(target)
+    PipelineMetrics.ensureExpectTable(target)
+    val cents = Array(Array(1f, 0f), Array(-1f, 0f),
+      Array(0f, 1f), Array(0f, -1f))
+    val rnd = new scala.util.Random(314159)
+    for (trial <- 0 until 2) {
+      val tbl = s"annprop_t$trial"
+      val c0 = java.sql.DriverManager.getConnection(url)
+      c0.createStatement().execute(
+        s"""CREATE TABLE $tbl ("vec_id" BIGINT NOT NULL PRIMARY KEY,
+           | "cell" INTEGER, "emb_json" VARCHAR(32000))"""
+          .stripMargin.replace("\n", ""))
+      c0.close()
+      val dl = Files.createTempDirectory(s"graft_annprop_dl_$trial").toString
+      val feed = Files.createTempDirectory(s"graft_annprop_feed_$trial").toFile
+      val work = Files.createTempDirectory(s"graft_annprop_wk_$trial").toString
+      def pipe(hi: Double) = AnnServingPipeline(
+        name = s"annp$trial", databases = Set("d"), table = "embeddings",
+        idField = "vec_id", vectorField = "embedding", cents = cents,
+        jdbcUrl = url, postingsTable = tbl,
+        metrics = Some(target), deadLetterDir = Some(dl),
+        expectations = Seq(Profile.InRange("id_band", "vec_id", 0.0, hi,
+          action = Profile.Drop)))
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      def env(after: String, before: String, op: String,
+          ts: Long, off: Long): String = {
+        val ev = s"""{"payload":{"before":$before,"after":$after,""" +
+          s""""source":{"db":"d","table":"embeddings","ts_ms":$ts},""" +
+          s""""op":"$op","ts_ms":$ts}}"""
+        s"""{"value":${m.writeValueAsString(ev)},"offset":$off}"""
+      }
+      // quarter-steps are float-exact, so the JSON round trip and the
+      // model agree bitwise
+      def q4(): Double = (rnd.nextInt(9) - 4) * 0.25
+      var off = 0L
+      var events = Vector.empty[(Long, Long, String, Double, Double)]
+      val lines = scala.collection.mutable.ArrayBuffer[String]()
+      val nEvents = 25 + rnd.nextInt(25)
+      (0 until nEvents).foreach { _ =>
+        off += 1
+        val ts = 10L + off
+        val k = rnd.nextInt(10).toLong
+        val op = if (rnd.nextDouble() < 0.15) "d" else "c"
+        val (x, y) = (q4(), q4())
+        events :+= ((k, ts, op, x, y))
+        val body = s"""{"vec_id":$k,"embedding":[$x,$y]}"""
+        lines += env(if (op == "d") "null" else body,
+          if (op == "d") body else "null", op, ts, off)
+      }
+      lines.grouped(10).zipWithIndex.foreach { case (g, i) =>
+        import scala.jdk.CollectionConverters._
+        Files.write(new java.io.File(feed, f"$i%03d.json").toPath,
+          g.toSeq.asJava)
+        ()
+      }
+      pipe(hi = 6.0).runOnce(spark, feed.toString, work) // 7..9 violate
+      val fixed = pipe(hi = 1e18)
+      fixed.replayExpectDeadLetters(spark, work, feed.toString, "d",
+        tsMs = 1000000L)
+      fixed.runOnce(spark, feed.toString, work)
+      // plain-Scala never-dropped LWW model over the vector events
+      val model = events.groupBy(_._1).flatMap { case (k, evs) =>
+        val (_, _, op, x, y) = evs.maxBy(_._2)
+        if (op == "d") None else Some(k -> ((x.toFloat, y.toFloat)))
+      }
+      val served = pipe(hi = 1e18).servedPostings(spark)
+        .select(col("vec_id"), col("embedding"),
+          (col("cell") === graft.ops.VectorSearch
+            .nearestCell(col("embedding"), cents)).as("cell_ok"))
+        .collect().map(r => (r.getLong(0),
+          r.getSeq[Float](1).toList, r.getBoolean(2)))
+      assert(served.map(_._1).toSet == model.keySet,
+        s"trial $trial: served ids ${served.map(_._1).toSet} vs " +
+          s"model ${model.keySet}")
+      served.foreach { case (k, emb, cellOk) =>
+        val (x, y) = model(k)
+        assert(emb == List(x, y), s"trial $trial key $k: $emb vs ($x,$y)")
+        assert(cellOk, s"trial $trial key $k: advisory cell mismatch")
+      }
+      assert(PipelineMetrics.expectDeadLetters(spark, dl).count() == 0L,
+        "all dead letters consumed (live keys re-indexed, deleted retired)")
+    }
+  }
+
+  test("search rebuild lifecycle converges to the never-dropped index model on randomized doc churn") {
+    // The fifth kind's lifecycle property (q178's contract,
+    // randomized): an additive store's drop verdicts are frozen, so
+    // the conf fix REBUILDS — work dir + verdicts cleared, store
+    // truncated, quarantine retired, the whole feed re-judged. Model:
+    // plain-Scala whitespace-token tf counts over the LWW fold with NO
+    // rule at all; the rebuilt postings and doc lengths must land
+    // exactly there and the quarantine must be gone.
+    import graft.ops.Profile
+    import graft.streaming.{PipelineMetrics, SearchServingPipeline}
+    import java.nio.file.Files
+    val url = "jdbc:derby:memory:graftsrchprop;create=true"
+    val target = PipelineMetrics.Target(url, "srchprop_metrics")
+    PipelineMetrics.ensureTable(target)
+    PipelineMetrics.ensureExpectTable(target)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon")
+    val rnd = new scala.util.Random(161803)
+    for (trial <- 0 until 2) {
+      val (pt, lt) = (s"srchprop_p$trial", s"srchprop_l$trial")
+      val c0 = java.sql.DriverManager.getConnection(url)
+      c0.createStatement().execute(
+        s"""CREATE TABLE $pt ("token" VARCHAR(256) NOT NULL,
+           | "doc_id" BIGINT NOT NULL, "tf" BIGINT,
+           | PRIMARY KEY ("token", "doc_id"))"""
+          .stripMargin.replace("\n", ""))
+      c0.createStatement().execute(
+        s"""CREATE TABLE $lt ("doc_id" BIGINT NOT NULL PRIMARY KEY,
+           | "len" BIGINT)""".stripMargin.replace("\n", ""))
+      c0.close()
+      val dl = Files.createTempDirectory(s"graft_srchprop_dl_$trial")
+        .toString
+      val feed = Files.createTempDirectory(s"graft_srchprop_feed_$trial")
+        .toFile
+      val work = Files.createTempDirectory(s"graft_srchprop_wk_$trial")
+        .toString
+      def pipe(hi: Double) = SearchServingPipeline(
+        name = s"srchp$trial", databases = Set("d"), table = "documents",
+        idField = "doc_id", textField = "text",
+        jdbcUrl = url, postingsTable = pt, lensTable = lt,
+        metrics = Some(target), deadLetterDir = Some(dl),
+        expectations = Seq(Profile.InRange("id_band", "doc_id", 0.0, hi,
+          action = Profile.Drop)))
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      def env(after: String, before: String, op: String,
+          ts: Long, off: Long): String = {
+        val ev = s"""{"payload":{"before":$before,"after":$after,""" +
+          s""""source":{"db":"d","table":"documents","ts_ms":$ts},""" +
+          s""""op":"$op","ts_ms":$ts}}"""
+        s"""{"value":${m.writeValueAsString(ev)},"offset":$off}"""
+      }
+      var off = 0L
+      var events = Vector.empty[(Long, Long, String, String)]
+      val lines = scala.collection.mutable.ArrayBuffer[String]()
+      val nEvents = 20 + rnd.nextInt(20)
+      (0 until nEvents).foreach { _ =>
+        off += 1
+        val ts = 10L + off
+        val k = rnd.nextInt(8).toLong
+        val op = if (rnd.nextDouble() < 0.15) "d" else "c"
+        val text = Seq.fill(2 + rnd.nextInt(4))(
+          vocab(rnd.nextInt(vocab.size))).mkString(" ")
+        events :+= ((k, ts, op, text))
+        val body = s"""{"doc_id":$k,"text":"$text"}"""
+        lines += env(if (op == "d") "null" else body,
+          if (op == "d") body else "null", op, ts, off)
+      }
+      lines.grouped(8).zipWithIndex.foreach { case (g, i) =>
+        import scala.jdk.CollectionConverters._
+        Files.write(new java.io.File(feed, f"$i%03d.json").toPath,
+          g.toSeq.asJava)
+        ()
+      }
+      // strict cap: docs 5..7 quarantine their contributions
+      pipe(hi = 4.0).runOnce(spark, feed.toString, work)
+      // conf fix + REBUILD through the evolved conf
+      pipe(hi = 1e18).rebuildStore(spark, feed.toString, work)
+      // plain-Scala never-dropped index model over the LWW fold
+      val live = events.groupBy(_._1).flatMap { case (k, evs) =>
+        val (_, _, op, text) = evs.maxBy(_._2)
+        if (op == "d") None else Some(k -> text)
+      }
+      val modelTf = live.toSeq.flatMap { case (k, text) =>
+        text.split(" ").toSeq.groupBy(identity).map { case (t, g) =>
+          (t, k, g.size.toLong) }
+      }.toSet
+      val modelLen = live.map { case (k, t) =>
+        k -> t.split(" ").length.toLong }
+      val servedTf = pipe(hi = 1e18).servedPostings(spark)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      val servedLen = pipe(hi = 1e18).servedLens(spark)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(servedTf == modelTf,
+        s"trial $trial: postings $servedTf vs model $modelTf")
+      assert(servedLen == modelLen,
+        s"trial $trial: lens $servedLen vs model $modelLen")
+      assert(PipelineMetrics.expectDeadLetters(spark, dl)
+          .filter($"pipeline" === s"srchp$trial").count() == 0L,
+        "the rebuild closes the quarantine")
+    }
+  }
 }
