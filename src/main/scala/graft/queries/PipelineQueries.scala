@@ -3253,12 +3253,24 @@ object PipelineQueries {
       val queries = served.filter(col("vec_id") < 10)
         .select(col("vec_id"), col("embedding")).localCheckpoint(true)
       val allIds = served.select(col("vec_id"))
-      pipeline.servedFilteredKnnCertified(spark, s"$base/work", queries,
-        allIds, "tenant_all")
-      pipeline.servedFilteredKnnCertified(spark, s"$base/work", queries,
-        allIds.filter(col("vec_id") % 4 === 1), "tenant_quarter")
-      pipeline.servedFilteredKnnCertified(spark, s"$base/work", queries,
-        allIds.filter(col("vec_id") % 20 === 3), "tenant_sliver")
+      // the three tags certify independently against PINNED inputs and
+      // MERGE distinct (pipeline, tag) rows — run them as concurrent
+      // driver threads so their many small jobs interleave on the idle
+      // scheduler slots (q171's measured pattern: the wall is job-count
+      // scheduling floor, not compute; 3.7 -> ~2 s at sf0.1)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(Future.sequence(Seq(
+        Future(pipeline.servedFilteredKnnCertified(spark, s"$base/work",
+          queries, allIds, "tenant_all")),
+        Future(pipeline.servedFilteredKnnCertified(spark, s"$base/work",
+          queries, allIds.filter(col("vec_id") % 4 === 1),
+          "tenant_quarter")),
+        Future(pipeline.servedFilteredKnnCertified(spark, s"$base/work",
+          queries, allIds.filter(col("vec_id") % 20 === 3),
+          "tenant_sliver")))),
+        scala.concurrent.duration.Duration.Inf)
+      ()
     }
     spark.read.jdbc(url, "ann_cert_q164_f", new java.util.Properties())
       .filter(col("pipeline") === "q164")

@@ -186,7 +186,33 @@ object JdbcSink {
     finally { cached.unpersist(); () }
   }
 
+  /** Per-(url, table) JVM-wide write locks: the keyed-merge protocol
+    * stages through FIXED table names (`<table>_stage`,
+    * `<table>_stage_del`), so two concurrent callers targeting one
+    * serving table would overwrite each other's staging mid-
+    * transaction (measured: a concurrent certificate MERGE dropped the
+    * other caller's stage_del). A pipeline's own streaming query is a
+    * single writer, but certificate serves and drive harnesses
+    * legitimately fan out over one store — serialize only the
+    * staging+transaction window, never the Spark-side compute that
+    * produced the deltas. Cross-PROCESS concurrency on one serving
+    * table remains the deployment's single-writer contract.
+    */
+  private val tableWriteLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def writeLock(url: String, table: String): Object =
+    tableWriteLocks.computeIfAbsent(s"$url#$table", _ => new Object)
+
   private def applyViewDeltasCached(deltas: DataFrame, url: String,
+      table: String, keyCols: Seq[String], actionCol: String,
+      props: java.util.Properties, stagingColumnTypes: String,
+      deleteStagingColumnTypes: String): Unit =
+    writeLock(url, table).synchronized {
+      applyViewDeltasLocked(deltas, url, table, keyCols, actionCol,
+        props, stagingColumnTypes, deleteStagingColumnTypes)
+    }
+
+  private def applyViewDeltasLocked(deltas: DataFrame, url: String,
       table: String, keyCols: Seq[String], actionCol: String,
       props: java.util.Properties, stagingColumnTypes: String,
       deleteStagingColumnTypes: String): Unit = {
