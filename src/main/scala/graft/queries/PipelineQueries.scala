@@ -2756,11 +2756,19 @@ object PipelineQueries {
         lit(n).as("n_allowed"), lit(probes.toLong).as("probes"),
         lit(nh.toDouble >= 0.6 * nt).as("recall_ok"))
     }
-    band("b1_en", allowedEn)
-      .unionByName(band("b2_en_quarter",
-        allowedEn.filter(col("vec_id") % 4 === 1)))
-      .unionByName(band("b3_sliver",
-        liveDocs.filter(col("vec_id") % 20 === 3)))
+    // the bands are independent pure reads over PINNED inputs — sweep
+    // them as concurrent driver threads (q171/q164's pattern: the wall
+    // is sequential job scheduling, not compute)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(Future.sequence(Seq(
+      Future(band("b1_en", allowedEn)),
+      Future(band("b2_en_quarter",
+        allowedEn.filter(col("vec_id") % 4 === 1))),
+      Future(band("b3_sliver",
+        liveDocs.filter(col("vec_id") % 20 === 3))))),
+      scala.concurrent.duration.Duration.Inf)
+      .reduce(_ unionByName _)
   }
 
   /** The DRIFTING orders wire shared by q159 (verdict recording) and
