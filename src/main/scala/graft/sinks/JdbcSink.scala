@@ -89,15 +89,19 @@ object JdbcSink {
   def upsertViaStaging(df: DataFrame, url: String, table: String,
       keyCols: Seq[String],
       props: java.util.Properties = new java.util.Properties(),
-      stagingColumnTypes: String = null): Unit = {
-    val sets = df.columns.filterNot(keyCols.contains)
-      .map(c => s"t.${q(c)} = s.${q(c)}").mkString(", ")
-    val merge = stageAndMerge(df, url, table, keyCols, df.columns.toSeq,
-      sets, props, stagingColumnTypes)
-    val conn = java.sql.DriverManager.getConnection(url, props)
-    try { val st = conn.createStatement(); try st.execute(merge) finally st.close() }
-    finally conn.close()
-  }
+      stagingColumnTypes: String = null): Unit =
+    // same fixed `<table>_stage` name as every other merge flavor —
+    // the staging+transaction window must serialize per (url, table)
+    // or a concurrent caller overwrites the stage mid-merge
+    writeLock(url, table).synchronized {
+      val sets = df.columns.filterNot(keyCols.contains)
+        .map(c => s"t.${q(c)} = s.${q(c)}").mkString(", ")
+      val merge = stageAndMerge(df, url, table, keyCols, df.columns.toSeq,
+        sets, props, stagingColumnTypes)
+      val conn = java.sql.DriverManager.getConnection(url, props)
+      try { val st = conn.createStatement(); try st.execute(merge) finally st.close() }
+      finally conn.close()
+    }
 
   /** ADDITIVE merge for incrementally-maintained views: matched rows
     * get `t.c = t.c + s.c` for every `addCol` (the per-batch NET
@@ -123,6 +127,19 @@ object JdbcSink {
     require(addCols.nonEmpty,
       "mergeAdditive needs at least one additive column — for key-only " +
         "upserts use upsertViaStaging/applyViewDeltas")
+    // stages through the same fixed `<table>_stage` name — serialize
+    // the staging+transaction window per (url, table) like every
+    // other merge flavor
+    writeLock(url, table).synchronized {
+      mergeAdditiveLocked(df, url, table, keyCols, addCols, zeroGuard,
+        props, stagingColumnTypes, batchId)
+    }
+  }
+
+  private def mergeAdditiveLocked(df: DataFrame, url: String, table: String,
+      keyCols: Seq[String], addCols: Seq[String], zeroGuard: String,
+      props: java.util.Properties, stagingColumnTypes: String,
+      batchId: Long): Unit = {
     val staging = s"${table}_stage"
     val sets = addCols.map(c => s"t.${q(c)} = t.${q(c)} + s.${q(c)}").mkString(", ")
     val merge = stageAndMerge(df, url, table, keyCols, keyCols ++ addCols,
@@ -195,8 +212,21 @@ object JdbcSink {
     * single writer, but certificate serves and drive harnesses
     * legitimately fan out over one store — serialize only the
     * staging+transaction window, never the Spark-side compute that
-    * produced the deltas. Cross-PROCESS concurrency on one serving
-    * table remains the deployment's single-writer contract.
+    * produced the deltas. EVERY entry point that stages through the
+    * fixed names takes this lock ([[upsertViaStaging]],
+    * [[mergeAdditive]], [[applyViewDeltas]]) — mixing flavors on one
+    * table is as racy as two callers of one flavor.
+    *
+    * PORTING NOTE — the protocol is SINGLE-PROCESS by construction:
+    * the lock is JVM-striped, so two separate driver PROCESSES writing
+    * one serving table on a server-grade JDBC target (Postgres/MySQL)
+    * would still clobber each other's staging. That is outside
+    * today's contract (embedded Derby is single-process; streaming
+    * pipelines are single-writer per store), but a multi-driver
+    * deployment must either make the staging names session-unique
+    * (e.g. suffix a driver/session id, at the cost of staging-table
+    * GC) or hold a DB-level advisory lock (pg_advisory_xact_lock /
+    * GET_LOCK) around the staging+transaction window.
     */
   private val tableWriteLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
@@ -291,13 +321,48 @@ object JdbcSink {
     * different vendor state fails LOUD, the safe direction; add its
     * state here when qualifying it.
     */
-  private[sinks] val TableAbsentStates: Set[String] =
+  private[graft] val TableAbsentStates: Set[String] =
     Set("42X05", "42Y55", "42P01", "42S02", "S0002", "42102")
 
   /** SQLStates that mean "table already exists": Derby X0Y32, Postgres
     * 42P07, MySQL 42S01, SQL Server S0001, H2 '42101' (numeric
     * TABLE_OR_VIEW_ALREADY_EXISTS code as SQLState).
     */
-  private[sinks] val TableExistsStates: Set[String] =
+  private[graft] val TableExistsStates: Set[String] =
     Set("X0Y32", "42P07", "42S01", "S0001", "42101")
+
+  /** DROP a table if present (store-version retirement): swallows ONLY
+    * table-absent — a lock or permission failure must fail loud, or a
+    * superseded store version silently survives forever.
+    */
+  def dropTableIfExists(url: String, table: String,
+      props: java.util.Properties = new java.util.Properties()): Unit = {
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val st = conn.createStatement()
+      try st.execute(s"DROP TABLE $table")
+      catch {
+        case e: java.sql.SQLException if TableAbsentStates(e.getSQLState) => ()
+      }
+      finally st.close()
+    } finally conn.close()
+    ()
+  }
+
+  /** Run a CREATE TABLE unless the table already exists: swallows ONLY
+    * already-exists (idempotent re-run); anything else fails loud.
+    */
+  def createTableIfAbsent(url: String, ddl: String,
+      props: java.util.Properties = new java.util.Properties()): Unit = {
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val st = conn.createStatement()
+      try st.execute(ddl)
+      catch {
+        case e: java.sql.SQLException if TableExistsStates(e.getSQLState) => ()
+      }
+      finally st.close()
+    } finally conn.close()
+    ()
+  }
 }

@@ -365,7 +365,7 @@ final case class CdcPipeline(
       .localCheckpoint(true)
     val viol = tagged.filter(size(col("__viol")) > 0)
     deadLetterDir.foreach { dir =>
-      val safe = name.replaceAll("[^A-Za-z0-9._-]", "_")
+      val safe = PipelineMetrics.sanitizedPipeline(name)
       // the RAW after payload, not the typed row: a bad-typed field
       // nulls the whole struct under PERMISSIVE parsing, so the typed
       // form of exactly the rows this path withholds is empty — the

@@ -120,17 +120,21 @@ object Drift {
             .collect().map(_.getString(0)).toSeq)
       }
     val joinedNames = newNames.mkString(",")
-    // truncated means the ROW does not carry every name: the sample
-    // was capped OR the joined VARCHAR exceeds the store's 1024-char
-    // column (recordDrift takes 1024 — without this half a char-capped
-    // list of long names would read as complete)
+    val joinedChanged = changed.mkString(",")
+    // truncated means the ROW does not carry every name, on EITHER
+    // list: the new-name sample was capped OR either joined list
+    // exceeds the store's 1024-char VARCHAR (recordDrift takes 1024 —
+    // without this, a char-capped list of long names would read as
+    // complete; changed_names is schema-bounded but many/long declared
+    // fields can still overflow the column)
     val namesTruncated =
-      newColsExact > newNames.size || joinedNames.length > 1024
+      newColsExact > newNames.size || joinedNames.length > 1024 ||
+        joinedChanged.length > 1024
     PipelineMetrics.recordDrift(m, pipeline, batchId,
       newCols = newColsExact, typeChanges = changed.size.toLong,
       rowsNew = rowsNew, rowsBadtype = rowsBad,
       newColNames = joinedNames,
-      changedNames = changed.mkString(","),
+      changedNames = joinedChanged,
       namesTruncated = namesTruncated)
     CdcPipeline.DriftVerdict(newColsExact, changed.size.toLong,
       rowsNew, rowsBad)

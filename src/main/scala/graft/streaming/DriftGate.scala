@@ -134,7 +134,7 @@ final case class DriftGate(
               val tagged = tagViolations(src, d, p).localCheckpoint(true)
               val viol = tagged.filter(size(col("__viol")) > 0)
               dl.foreach { dir =>
-                val safe = t.replaceAll("[^A-Za-z0-9._-]", "_")
+                val safe = PipelineMetrics.sanitizedPipeline(t)
                 // the RAW wire payload (CdcPipeline.applyDriftDrop's
                 // rationale): the typed parse nulls exactly these rows
                 viol.select(array_join(col("__viol"), ",").as("violated"),
@@ -167,7 +167,7 @@ final case class DriftGate(
     */
   private def backfillKindMarker(spark: SparkSession): Unit =
     deadLetterDir.foreach { dir =>
-      val safe = tag.replaceAll("[^A-Za-z0-9._-]", "_")
+      val safe = PipelineMetrics.sanitizedPipeline(tag)
       val p = new org.apache.hadoop.fs.Path(
         s"$dir/_drift/pipeline=$safe")
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -188,17 +188,46 @@ object PipelineMetrics {
           // column SQLState).
           // the DDL quotes identifiers, so the column name is stored
           // case-exact lowercase while the UNQUOTED table name folded
-          // to upper — the metadata probe must match both
-          val cols = conn.getMetaData.getColumns(null, null,
-            s"${t.table}_drift".toUpperCase, "names_truncated")
+          // to upper — the metadata probe must match both. getColumns'
+          // arguments are JDBC SEARCH PATTERNS where '_' is a one-char
+          // wildcard: unescaped, a sibling table differing only at an
+          // underscore position that already has the column would read
+          // as present, the ALTER would skip, and every subsequent
+          // recordDrift INSERT on the real table would fail — escape
+          // with the driver's own escape string.
+          val md = conn.getMetaData
+          val cols = md.getColumns(null, null,
+            escapeJdbcPattern(s"${t.table}_drift".toUpperCase, md),
+            escapeJdbcPattern("names_truncated", md))
           val missing = try !cols.next() finally cols.close()
           if (missing) {
-            st.execute(s"""ALTER TABLE ${t.table}_drift ADD COLUMN
-              | "names_truncated" INTEGER""".stripMargin.replace("\n", ""))
+            try
+              st.execute(s"""ALTER TABLE ${t.table}_drift ADD COLUMN
+                | "names_truncated" INTEGER""".stripMargin.replace("\n", ""))
+            catch {
+              // two ensureDriftTable callers can both probe 'missing';
+              // the loser's ALTER hitting column-already-exists is the
+              // benign half of that race, not a failure
+              case e2: java.sql.SQLException if e2.getSQLState == "X0Y32" =>
+            }
             ()
           }
       }
     } finally conn.close()
+  }
+
+  /** Escape JDBC metadata search-pattern wildcards (`_`, `%`) in a
+    * literal identifier, using the driver's declared escape string —
+    * getColumns/getTables treat their name arguments as patterns, so a
+    * literal lookup must escape or it matches sibling names too.
+    */
+  private def escapeJdbcPattern(literal: String,
+      md: java.sql.DatabaseMetaData): String = {
+    val esc = Option(md.getSearchStringEscape).filter(_.nonEmpty)
+      .getOrElse("\\")
+    literal.flatMap { c =>
+      if (c == '_' || c == '%' || esc.contains(c)) esc + c else c.toString
+    }
   }
 
   /** Upsert a batch's schema-drift verdict (DELETE+INSERT keyed
@@ -339,7 +368,7 @@ object PipelineMetrics {
           // is conf-controlled — sanitize it before it becomes a path
           // segment (a '/' would silently nest, '=' would corrupt the
           // partition encoding)
-          val safe = pipeline.replaceAll("[^A-Za-z0-9._-]", "_")
+          val safe = sanitizedPipeline(pipeline)
           viol.select(array_join(col("violated"), ",").as("violated"),
             to_json(struct(docCols.map(col).toSeq: _*)).as("row_json"))
             .write.mode("overwrite")
@@ -393,15 +422,37 @@ object PipelineMetrics {
   /** Record which pipeline KIND wrote a dead-letter subtree — one
     * underscore-prefixed empty marker file directly under the
     * `pipeline=<safe>` dir (so batch-partition retirement never touches
-    * it, and partitioned parquet reads never list it). Idempotent.
+    * it, and partitioned parquet reads never list it). Idempotent for
+    * the OWN kind; fails LOUD when a different `_KIND_*` marker already
+    * exists — two confs whose sanitized names collide on one subtree
+    * (or a boot-time ownership backfill that claimed a then-quiet
+    * neighbor's dir) would otherwise leave TWO markers, and retention /
+    * replay would resolve ownership by listing order: silently retiring
+    * one conf's quarantine on the other's clock. A loud conflict here
+    * surfaces the misconfiguration at the first write instead.
     */
   private[streaming] def writeKindMarker(
       spark: org.apache.spark.sql.SparkSession, deadLetterDir: String,
       subtree: String, safe: String, kind: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(
-      s"$deadLetterDir/$subtree/pipeline=$safe/_KIND_$kind")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) fs.create(p, true).close()
+    val dir = new org.apache.hadoop.fs.Path(
+      s"$deadLetterDir/$subtree/pipeline=$safe")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val existing =
+      if (!fs.exists(dir)) Array.empty[String]
+      else fs.listStatus(dir).map(_.getPath.getName)
+        .filter(_.startsWith("_KIND_")).map(_.stripPrefix("_KIND_"))
+    existing.find(_ != kind) match {
+      case Some(other) => throw new IllegalStateException(
+        s"dead-letter subtree $subtree/pipeline=$safe under $deadLetterDir " +
+          s"is already owned by kind '$other' — a '$kind' pipeline cannot " +
+          "write into it. Two confs sanitize to the same pipeline dir; " +
+          "rename one or give them separate dead-letter dirs.")
+      case None =>
+        if (!existing.contains(kind)) {
+          fs.create(new org.apache.hadoop.fs.Path(dir, s"_KIND_$kind"), true)
+            .close()
+        }
+    }
     ()
   }
 
@@ -415,8 +466,19 @@ object PipelineMetrics {
       s"$deadLetterDir/$subtree/pipeline=$safe")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) None
-    else fs.listStatus(dir).map(_.getPath.getName)
-      .find(_.startsWith("_KIND_")).map(_.stripPrefix("_KIND_"))
+    else {
+      val kinds = fs.listStatus(dir).map(_.getPath.getName)
+        .filter(_.startsWith("_KIND_")).map(_.stripPrefix("_KIND_"))
+        .distinct.sorted
+      // two markers = ownership is ambiguous (pre-fix writers could
+      // leave both) — refusing beats picking one by listing order and
+      // letting retention/replay act on the wrong conf's quarantine
+      require(kinds.length <= 1,
+        s"dead-letter subtree $subtree/pipeline=$safe carries conflicting " +
+          s"kind markers [${kinds.mkString(", ")}] — ownership is ambiguous; " +
+          "remove the marker that does not match the writing conf's kind.")
+      kinds.headOption
+    }
   }
 
   /** Fail LOUD when a replay verb is pointed at a subtree another kind
@@ -547,7 +609,7 @@ object PipelineMetrics {
     * gate): a rename here moves both sides together, so the gate can
     * never silently disarm against files the writer actually produces.
     */
-  private def sanitizedPipeline(pipeline: String): String =
+  private[streaming] def sanitizedPipeline(pipeline: String): String =
     pipeline.replaceAll("[^A-Za-z0-9._-]", "_")
   private def idsManifestName(prefix: String, safe: String, tsMs: Long) =
     s"_${prefix}_${safe}_${tsMs}_IDS"
@@ -838,7 +900,7 @@ object PipelineMetrics {
     */
   def retireDeadLetterSubtrees(spark: org.apache.spark.sql.SparkSession,
       deadLetterDir: String, pipeline: String): Long = {
-    val safe = pipeline.replaceAll("[^A-Za-z0-9._-]", "_")
+    val safe = sanitizedPipeline(pipeline)
     var retired = 0L
     Seq("_expect", "_drift").foreach { sub =>
       val p = new org.apache.hadoop.fs.Path(
@@ -889,7 +951,7 @@ object PipelineMetrics {
       nowMs: Long = System.currentTimeMillis()): Long = {
     require(retentionMs > 0L, "retireAgedDeadLetters: retentionMs must be > 0")
     val cutoff = nowMs - retentionMs
-    val safe = pipeline.replaceAll("[^A-Za-z0-9._-]", "_")
+    val safe = sanitizedPipeline(pipeline)
     val root = new org.apache.hadoop.fs.Path(deadLetterDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return 0L

@@ -648,6 +648,49 @@ class MetricsSpec extends SparkSpec {
       "an already-marked dir keeps its original owner's kind")
   }
 
+  test("kind-marker ownership conflicts fail loud: a second kind cannot claim a marked subtree; ambiguous markers refuse retention") {
+    import spark.implicits._
+    val dl = Files.createTempDirectory("graft_dlconflict_").toString + "/dl"
+    // a subtree already owned by an ann conf — a conf of ANOTHER kind
+    // whose sanitized name collides must fail at its first write, not
+    // leave two markers for retention/replay to resolve by listing order
+    Files.createDirectories(
+      java.nio.file.Paths.get(s"$dl/_expect/pipeline=clash"))
+    Files.createFile(
+      java.nio.file.Paths.get(s"$dl/_expect/pipeline=clash/_KIND_ann"))
+    val rows = Seq((1L, null: String)).toDF("doc_id", "text")
+    val rules: Seq[graft.ops.Profile.Rule] = Seq(
+      graft.ops.Profile.NotNull("text_set", "text",
+        action = graft.ops.Profile.Drop))
+    val e = intercept[IllegalStateException] {
+      PipelineMetrics.enforceBatchExpectations(None, "clash", 0L, rules,
+        rows, Seq("doc_id"), Some(dl), kind = "lww")
+    }
+    assert(e.getMessage.contains("'ann'") && e.getMessage.contains("'lww'"),
+      e.getMessage)
+    // the OWNING kind stays idempotent — no throw, exactly one marker
+    PipelineMetrics.enforceBatchExpectations(None, "clash", 0L, rules,
+      rows, Seq("doc_id"), Some(dl), kind = "ann")
+    assert(java.nio.file.Files.list(
+      java.nio.file.Paths.get(s"$dl/_expect/pipeline=clash")).iterator()
+      .asScala.count(_.getFileName.toString.startsWith("_KIND_")) == 1)
+    // a side tag carrying TWO markers (pre-fix writers could leave
+    // both): the retention sweep refuses rather than retiring on
+    // whichever conf's clock the listing happened to surface first
+    Seq(("drift_newcols", """{"id":1}""")).toDF("violated", "row_json")
+      .write.mode("overwrite")
+      .parquet(s"$dl/_drift/pipeline=amb.fact/batch_id=0")
+    Files.createFile(java.nio.file.Paths.get(
+      s"$dl/_drift/pipeline=amb.fact/_KIND_view"))
+    Files.createFile(java.nio.file.Paths.get(
+      s"$dl/_drift/pipeline=amb.fact/_KIND_ann"))
+    val e2 = intercept[IllegalArgumentException] {
+      PipelineMetrics.retireAgedDeadLetters(spark, dl,
+        retentionMs = 5000L, pipeline = "amb")
+    }
+    assert(e2.getMessage.contains("conflicting"), e2.getMessage)
+  }
+
   test("expectations conf: registration-time validation names file + field; verdicts need a metrics target") {
     def conf(dir: java.io.File, fname: String, body: String): Unit =
       Files.write(new java.io.File(dir, fname).toPath,

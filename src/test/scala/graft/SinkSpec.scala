@@ -305,6 +305,80 @@ class SinkSpec extends SparkSpec {
     assert(view() == Map("b" -> ((3L, BigDecimal("6.00")))))
   }
 
+  test("fixed-name staging writers serialize per (url, table): concurrent applyViewDeltas/upsertViaStaging/mergeAdditive converge exactly") {
+    // the r14 race class: every merge flavor stages through FIXED
+    // `<table>_stage` names, so without the per-(url, table) lock a
+    // concurrent caller overwrites another's staging mid-transaction
+    // and rows silently vanish. Drive all three flavors from many
+    // threads and assert the exact final state — on a lock regression
+    // this fails with missing/ghost rows, not a hang.
+    val url = "jdbc:derby:memory:graftlock;create=true"
+    val c0 = java.sql.DriverManager.getConnection(url)
+    c0.createStatement().execute(
+      "CREATE TABLE serve (\"id\" BIGINT NOT NULL PRIMARY KEY, \"v\" VARCHAR(20))")
+    c0.createStatement().execute(
+      "CREATE TABLE serve_add (\"id\" BIGINT NOT NULL PRIMARY KEY, \"n\" BIGINT)")
+    c0.close()
+
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(10)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    def keys(t: Int): Seq[Long] = (0 until 20).map(i => t * 100L + i)
+
+    // threads 0-2: keyed view deltas (upsert round, then a mixed
+    // delete-evens + upsert-odds round) — the applyViewDeltas path
+    val viewFs = (0 to 2).map { t =>
+      scala.concurrent.Future {
+        JdbcSink.applyViewDeltas(
+          keys(t).map(k => ("upsert", k, s"t$t-r1")).toDF("action", "id", "v"),
+          url, "serve", Seq("id"))
+        val r2 = keys(t).map { k =>
+          if (k % 2 == 0) ("delete", k, null: String)
+          else ("upsert", k, s"t$t-r2")
+        }
+        JdbcSink.applyViewDeltas(r2.toDF("action", "id", "v"),
+          url, "serve", Seq("id"))
+      }
+    }
+    // threads 3-5: plain upsert-merge on the SAME table (the mixed-
+    // flavor race the porting note describes), disjoint key ranges
+    val upsertFs = (3 to 5).map { t =>
+      scala.concurrent.Future {
+        JdbcSink.upsertViaStaging(
+          keys(t).map(k => (k, s"t$t-r1")).toDF("id", "v"),
+          url, "serve", Seq("id"))
+        JdbcSink.upsertViaStaging(
+          keys(t).map(k => (k, s"t$t-r2")).toDF("id", "v"),
+          url, "serve", Seq("id"))
+      }
+    }
+    // 4 additive writers × 5 batches, all adding 1 to the SAME 10
+    // keys of a second table — a dropped staging loses a whole +1
+    val addFs = (0 until 4).map { _ =>
+      scala.concurrent.Future {
+        (0 until 5).foreach { _ =>
+          JdbcSink.mergeAdditive(
+            (0 until 10).map(k => (k.toLong, 1L)).toDF("id", "n"),
+            url, "serve_add", Seq("id"), Seq("n"), "n")
+        }
+      }
+    }
+    import scala.concurrent.duration._
+    scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(viewFs ++ upsertFs ++ addFs), 120.seconds)
+    pool.shutdown()
+
+    val serve = spark.read.jdbc(url, "serve", new java.util.Properties())
+      .as[(Long, String)].collect().toMap
+    val expected =
+      (0 to 2).flatMap(t => keys(t).filter(_ % 2 == 1).map(_ -> s"t$t-r2")) ++
+        (3 to 5).flatMap(t => keys(t).map(_ -> s"t$t-r2"))
+    assert(serve == expected.toMap)
+    val add = spark.read.jdbc(url, "serve_add", new java.util.Properties())
+      .as[(Long, Long)].collect().toMap
+    assert(add == (0 until 10).map(k => k.toLong -> 20L).toMap)
+  }
+
   test("FileDocStore: bulk/single writes land as durable files, deletes remove, marker round-trips across instances") {
     val dir = java.nio.file.Files.createTempDirectory("graft_fds_").toString
     val t = new EsSink.FileDocStore(dir)
