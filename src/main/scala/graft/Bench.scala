@@ -129,6 +129,22 @@ object Bench {
       (detail + "\n").getBytes("UTF-8"))
     catch { case e: Exception => System.err.println(s"[bench] detail write failed: $e") }
 
+    // FIRST-DRIVE costs of the memoized lifecycle drives: the medians
+    // above record only the post-memoization store reads (0.03-0.12 s),
+    // so a 10x regression in a replay/rebuild lifecycle's actual cost
+    // would be invisible — each drive wrote its one-time wall clock as
+    // a sidecar beside its store; collect them into their own artifact.
+    val drives = graft.queries.DriveCost.collect(
+      graft.cdc.DeltaLog.warehouseRoot(spark))
+    val drivesJson = drives.map { case (d, log, ms) =>
+      s"""{"drive":"$d","log":"$log","ms":$ms}"""
+    }.mkString("[", ",", "]")
+    val drivesTotalMs = drives.map(_._3).filter(_ >= 0).sum
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_drives.json"),
+      (s"""{"drives":$drivesJson,"total_ms":$drivesTotalMs,"n":${drives.size},"sf":"$sfDir"}""" + "\n")
+        .getBytes("UTF-8"))
+    catch { case e: Exception => System.err.println(s"[bench] drives write failed: $e") }
+
     // The LAST stdout line must survive the 2000-char tail intact:
     // summary + as many per-query medians as fit a fixed byte budget,
     // slowest first (the informative end of the distribution), with an
@@ -144,7 +160,7 @@ object Bench {
       else omitted += 1
     }
     val qsHead = kept.mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsHead,"omitted_queries":$omitted,"n":${medians.size},"sf":"$sfDir","contended":$contended,"retried":${retried.size},"loadavg":{"start":$loadStart,"end":$loadEnd},"detail":"$detailPath"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsHead,"omitted_queries":$omitted,"n":${medians.size},"sf":"$sfDir","contended":$contended,"retried":${retried.size},"drives_ms":$drivesTotalMs,"drives_n":${drives.size},"loadavg":{"start":$loadStart,"end":$loadEnd},"detail":"$detailPath"}""")
     spark.stop()
   }
 }

@@ -179,18 +179,28 @@ object Serve {
     * keyed stores repair in place by replay; truncating them would
     * discard servable state for no reason. Returns the number of
     * retired dead-letter partitions.
+    *
+    * With `--online` the rebuild is ZERO-DOWNTIME
+    * ([[graft.streaming.SearchServingPipeline.rebuildStoreOnline]]):
+    * the next store version builds beside the serving one, the
+    * CURRENT pointer flips in one transaction, and the old version's
+    * tables and work root retire — BM25 reads answer from the old
+    * store throughout the build and never see a mixed version.
     */
   def runRebuild(spark: SparkSession, args: Seq[String]): Long = {
     require(args.length >= 5,
-      "usage: Serve rebuild search <confDir> <name> <workDir> <sourceDir>")
+      "usage: Serve rebuild search <confDir> <name> <workDir> " +
+        "<sourceDir> [--online]")
     val Seq(kind, confDir, name, workDir, sourceDir) = args.take(5)
+    val online = args.drop(5).contains("--online")
     kind match {
       case "search" =>
         val p = resolveOne("rebuild", kind, confDir, name,
           graft.streaming.PipelineRegistry.loadSearch(confDir),
           (_: graft.streaming.PipelineRegistry.SearchEntry).pipeline.name)
           .pipeline
-        p.rebuildStore(spark, sourceDir, workDir)
+        if (online) p.rebuildStoreOnline(spark, sourceDir, workDir)
+        else p.rebuildStore(spark, sourceDir, workDir)
       case other => throw new IllegalArgumentException(
         s"Serve rebuild: the $other kind repairs by replay, not rebuild " +
           "— its keyed store re-converges in place (Serve replay / " +
@@ -283,7 +293,8 @@ object Serve {
         "<db> <table> <sourceDir> <tsMs> [batchIds,csv]" +
         "\n   or: Serve replay-keys <view|ann|dedup> <confDir> <name> " +
         "<workDir> <db> <sourceDir> <tsMs> [batchIds,csv]" +
-        "\n   or: Serve rebuild search <confDir> <name> <workDir> <sourceDir>")
+        "\n   or: Serve rebuild search <confDir> <name> <workDir> " +
+        "<sourceDir> [--online]")
     val Array(confDir, sourceDir, workRoot, esUrl) = args.take(4)
     val (esUser, esPass) =
       if (args.length >= 6) (args(4), args(5)) else ("", "")

@@ -1748,6 +1748,7 @@ object PipelineQueries {
       def send(req: EsSink.Request): Int = 200
     }
     q141Lock.synchronized {
+      val driveT0 = System.nanoTime()
       // memoize only on SUCCESS (q167's rule): the DELETE+INSERT
       // metrics contract makes a re-drive converge to the same rows,
       // so later invocations in one JVM read the recorded table
@@ -1782,6 +1783,7 @@ object PipelineQueries {
           "graft", "graft", "c_custkey")
         customer.applyBatch(customer.changeRows(raw), customerCfg,
           blackhole, 0L)
+        DriveCost.record(base, "q141", driveT0)
         q141Driven.add(base); ()
       }
     }
@@ -2268,6 +2270,7 @@ object PipelineQueries {
       def send(req: EsSink.Request): Int = 200
     }
     q151Lock.synchronized {
+      val driveT0 = System.nanoTime()
       // memoize only on SUCCESS (q141's rule — verdict rows replay
       // DELETE+INSERT, so a re-drive converges; read, don't re-drive)
       if (!q151Driven.contains(base)) {
@@ -2294,6 +2297,7 @@ object PipelineQueries {
         orders.applyBatch(events.filter(slot === 0), cfg, blackhole, 0L)
         orders.applyBatch(events.filter(slot.isin(1, 2)), cfg, blackhole, 1L)
         orders.applyBatch(events.filter(slot === 3), cfg, blackhole, 2L)
+        DriveCost.record(base, "q151", driveT0)
         q151Driven.add(base); ()
       }
     }
@@ -2442,6 +2446,7 @@ object PipelineQueries {
     val url = s"jdbc:derby:$base/derby;create=true"
     val target = PipelineMetrics.Target(url, "pipeline_metrics_q154")
     q154Lock.synchronized {
+      val driveT0 = System.nanoTime()
       // memoize only on SUCCESS: a failed drive must retry on the
       // next invocation, not poison the JVM with a partial store
       if (!q154Driven.contains(base)) {
@@ -2463,6 +2468,7 @@ object PipelineQueries {
           "graft", "graft", "o_orderkey")
         orders.applyBatch(orders.changeRows(raw), cfg,
           new EsSink.FileDocStore(store), 0L)
+        DriveCost.record(base, "q154", driveT0)
         q154Driven.add(base); ()
       }
     }
@@ -2571,6 +2577,7 @@ object PipelineQueries {
       def send(req: EsSink.Request): Int = 200
     }
     q156Lock.synchronized {
+      val driveT0 = System.nanoTime()
       // memoize only on SUCCESS: a failed drive must retry on the
       // next invocation, not poison the JVM with a partial store
       if (!q156Driven.contains(base)) {
@@ -2600,6 +2607,7 @@ object PipelineQueries {
         p.applyBatch(p.changeRows(raw),
           EsSink.Config("http://graft-local/lww_orders_q156", "graft",
             "graft", "o_orderkey"), blackhole, 0L)
+        DriveCost.record(base, "q156", driveT0)
         q156Driven.add(base); ()
       }
     }
@@ -2864,6 +2872,7 @@ object PipelineQueries {
     val url = s"jdbc:derby:$base/derby;create=true"
     val target = PipelineMetrics.Target(url, "pipeline_metrics_q159")
     q159Lock.synchronized {
+      val driveT0 = System.nanoTime()
       // memoize only on SUCCESS: a failed drive must retry on the
       // next invocation, not poison the JVM with a partial store
       if (!q159Driven.contains(base)) {
@@ -2881,6 +2890,7 @@ object PipelineQueries {
         pipeline.applyBatch(pipeline.changeRows(feed),
           EsSink.Config("http://graft-local/lww_orders_q159", "graft",
             "graft", "o_orderkey"), blackhole, 0L)
+        DriveCost.record(base, "q159", driveT0)
         q159Driven.add(base); ()
       }
     }
@@ -3322,6 +3332,7 @@ object PipelineQueries {
     val store = s"$base/store"
     val target = PipelineMetrics.Target(url, "pipeline_metrics_q165")
     q165Lock.synchronized {
+      val driveT0 = System.nanoTime()
       // memoize only on SUCCESS: a failed drive must retry on the
       // next invocation, not poison the JVM with a partial store
       if (!q165Driven.contains(base)) {
@@ -3339,6 +3350,7 @@ object PipelineQueries {
           EsSink.Config("http://graft-local/lww_orders_q165", "graft",
             "graft", "o_orderkey"),
           new EsSink.FileDocStore(store), 0L)
+        DriveCost.record(base, "q165", driveT0)
         q165Driven.add(base); ()
       }
     }
@@ -3417,6 +3429,7 @@ object PipelineQueries {
     val url = s"jdbc:derby:$base/derby;create=true"
     val target = PipelineMetrics.Target(url, "pipeline_metrics_q167")
     q167Lock.synchronized {
+      val driveT0 = System.nanoTime()
       // memoize only on SUCCESS: a failed drive must retry on the
       // next invocation, not poison the JVM with a partial store
       if (!q167Driven.contains(base)) {
@@ -3453,6 +3466,7 @@ object PipelineQueries {
         fixed.applyBatch(fixed.changeRows(
           rawOf(s"$myFeed/replay_expect_orders_replay_9000000000.json")),
           cfg, sink, 1L)
+        DriveCost.record(base, "q167", driveT0)
         q167Driven.add(base); ()
       }
     }
@@ -3539,6 +3553,7 @@ object PipelineQueries {
       expectations = Seq(Profile.InRange("bal_cap", "c_acctbal",
         lo, hi, action = Profile.Drop)))
     q168Lock.synchronized {
+      val driveT0 = System.nanoTime()
       // memoize only on SUCCESS (q167's rule): a failed drive retries
       if (!q168Driven.contains(base)) {
         java.nio.file.Files.createDirectories(
@@ -3577,6 +3592,7 @@ object PipelineQueries {
           tsMs = epoch)
         // drive 2: only the replayed file drains, through the FIXED rule
         fixed.runOnce(spark, myFeed, work)
+        DriveCost.record(base, "q168", driveT0)
         q168Driven.add(base); ()
       }
     }
@@ -3688,6 +3704,7 @@ object PipelineQueries {
       driftPolicy = Some(CdcPipeline.DriftPolicy(newColsBudget = 0L,
         action = graft.ops.Profile.Drop)))
     q169Lock.synchronized {
+      val driveT0 = System.nanoTime()
       // memoize only on SUCCESS (q167's rule): a failed drive retries
       if (!q169Driven.contains(base)) {
         java.nio.file.Files.createDirectories(
@@ -3697,6 +3714,7 @@ object PipelineQueries {
         val feed = publishDriftFeed(spark, dir, base)
         ensureVecPostings(url, "postings_q169")
         pipeline.runOnce(spark, feed, s"$base/work")
+        DriveCost.record(base, "q169", driveT0)
         q169Driven.add(base); ()
       }
     }
@@ -3880,6 +3898,7 @@ object PipelineQueries {
       driftPolicy = Some(CdcPipeline.DriftPolicy(newColsBudget = budget,
         action = graft.ops.Profile.Drop)))
     q172Lock.synchronized {
+      val driveT0 = System.nanoTime()
       // memoize only on SUCCESS (q167's rule): a failed drive retries
       if (!q172Driven.contains(base)) {
         java.nio.file.Files.createDirectories(
@@ -3909,6 +3928,7 @@ object PipelineQueries {
         // conf — `note` now tolerated, the bad-typed rows re-judged
         // (and re-quarantined) by the same fixed rule
         pipe(1000L).runOnce(spark, feed, work)
+        DriveCost.record(base, "q172", driveT0)
         q172Driven.add(base); ()
       }
     }
@@ -4062,6 +4082,7 @@ object PipelineQueries {
       dimDriftPolicy = Some(CdcPipeline.DriftPolicy(newColsBudget = 0L,
         action = graft.ops.Profile.Warn)))
     q174Lock.synchronized {
+      val driveT0 = System.nanoTime()
       // memoize only on SUCCESS (q167's rule): a failed drive retries
       if (!q174Driven.contains(base)) {
         java.nio.file.Files.createDirectories(
@@ -4095,6 +4116,7 @@ object PipelineQueries {
           }
         } finally c.close()
         pipeline.runOnce(spark, feed, s"$base/work")
+        DriveCost.record(base, "q174", driveT0)
         q174Driven.add(base); ()
       }
     }
@@ -4209,6 +4231,7 @@ object PipelineQueries {
       expectations = Seq(Profile.InRange("vec_cap", "vec_id",
         0.0, hi, action = Profile.Drop)))
     q176Lock.synchronized {
+      val driveT0 = System.nanoTime()
       // memoize only on SUCCESS (q167's rule): a failed drive retries
       if (!q176Driven.contains(base)) {
         java.nio.file.Files.createDirectories(
@@ -4243,6 +4266,7 @@ object PipelineQueries {
           tsMs = epoch)
         // drive 2: only the replayed file drains, through the FIXED rule
         fixed.runOnce(spark, myFeed, work)
+        DriveCost.record(base, "q176", driveT0)
         q176Driven.add(base); ()
       }
     }
@@ -4304,6 +4328,7 @@ object PipelineQueries {
       expectations = Seq(Profile.InRange("doc_floor", "doc_id",
         lo, 1000000.0, action = Profile.Drop)))
     q177Lock.synchronized {
+      val driveT0 = System.nanoTime()
       if (!q177Driven.contains(base)) {
         java.nio.file.Files.createDirectories(
           java.nio.file.Paths.get(base))
@@ -4335,6 +4360,7 @@ object PipelineQueries {
         fixed.replayExpectDeadLetters(spark, work, myFeed, "shop",
           tsMs = epoch)
         fixed.runOnce(spark, myFeed, work)
+        DriveCost.record(base, "q177", driveT0)
         q177Driven.add(base); ()
       }
     }
@@ -4399,6 +4425,7 @@ object PipelineQueries {
       expectations = Seq(Profile.InRange("doc_cap", "doc_id",
         0.0, hi, action = Profile.Drop)))
     q178Lock.synchronized {
+      val driveT0 = System.nanoTime()
       // the lifecycle completes ONCE per store, across JVMs: an
       // on-disk DONE marker (not just the in-JVM set) gates the whole
       // drive, because a fresh JVM re-driving a completed store would
@@ -4452,7 +4479,143 @@ object PipelineQueries {
           "q178: the rebuild must close the quarantine — nothing " +
             "violates the widened cap")
         java.nio.file.Files.createFile(doneMark)
+        DriveCost.record(base, "q178", driveT0)
         q178Driven.add(base); ()
+      }
+    }
+    pipe(hi = 1e9).servedPostings(spark)
+  }
+
+  private val q179Lock = new Object
+  private val q179Driven = java.util.concurrent.ConcurrentHashMap
+    .newKeySet[String]()
+
+  /** Q179: the ONLINE (zero-downtime) rebuild lifecycle under the
+    * oracle gate — q178's swap-mechanized sibling
+    * ([[graft.streaming.SearchServingPipeline.rebuildStoreOnline]],
+    * `Serve rebuild search --online`): the evolved conf builds the
+    * NEXT store version beside the serving one from the full bronze
+    * feed, the CURRENT pointer flips in one single-row transaction,
+    * and the old version's tables and work root retire. The drive
+    * engine-checks the swap invariants a sequential oracle cannot see:
+    * a concurrent sampler reads the served postings throughout the
+    * build and every observation must fingerprint-match the OLD store
+    * or the NEW one (serving never pauses, a read never blends
+    * versions), the pointer lands ≥ v1, the superseded v0 tables are
+    * gone, and the quarantine closed (letters existed under the
+    * strict cap, none violate the widened one). The served postings —
+    * now read THROUGH the pointer — must still hash-match the
+    * never-capped post-traffic index: q178's oracle, so a swap that
+    * lost or double-counted a single contribution breaks the hash.
+    */
+  val q179 = QueryDef.sql(
+    "q179_search_rebuild_online",
+    """WITH cur AS (SELECT doc_id,
+      |         CASE WHEN doc_id % 3 = 0 THEN text || ' revised edition'
+      |              ELSE text END AS text
+      |       FROM documents WHERE doc_id % 5 <> 0),
+      |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |        FROM cur)
+      |SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf
+      |FROM tok GROUP BY token, doc_id""".stripMargin) { (spark, dir) =>
+    import graft.cdc.{ChangeFeed, DeltaLog}
+    import graft.ops.Profile
+    import graft.streaming.{PipelineMetrics, SearchServingPipeline}
+    val feed = ChangeFeed.stagedDocsJsonl(spark, dir)
+    val fp = graft.sources.Staging.fingerprint(Seq(s"$dir/documents.parquet"))
+    val base = DeltaLog.logBase(spark,
+      s"rbsearchol_${dir.replaceAll("[^a-zA-Z0-9]", "_")}", fp)
+    val url = s"jdbc:derby:$base/derby;create=true"
+    val target = PipelineMetrics.Target(url, "pipeline_metrics_q179")
+    val dead = s"$base/dead"
+    def pipe(hi: Double) = SearchServingPipeline(
+      name = "q179", databases = Set("shop"), table = "documents",
+      idField = "doc_id", textField = "text",
+      jdbcUrl = url, postingsTable = "postings_q179",
+      lensTable = "doclens_q179",
+      metrics = Some(target), deadLetterDir = Some(dead),
+      expectations = Seq(Profile.InRange("doc_cap", "doc_id",
+        0.0, hi, action = Profile.Drop)))
+    q179Lock.synchronized {
+      val driveT0 = System.nanoTime()
+      // same crash-retry protocol as q178: the on-disk DONE marker
+      // gates the lifecycle across JVMs; REBUILD_STARTED skips the
+      // strict stage on retry (its letters are consumed). A crash
+      // after the flip retries the online verb from the flipped
+      // version — idempotent, the pointer just lands one higher.
+      val doneMark = java.nio.file.Paths.get(s"$base/_Q179_LIFECYCLE_DONE")
+      val rbMark = java.nio.file.Paths.get(s"$base/_Q179_REBUILD_STARTED")
+      if (!q179Driven.contains(base)
+          && !java.nio.file.Files.exists(doneMark)) {
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(base))
+        PipelineMetrics.ensureTable(target)
+        PipelineMetrics.ensureExpectTable(target)
+        // v0 tables under the conf's DECLARED names — the verb carries
+        // a pre-versioning store to _v1 without downtime
+        graft.sinks.JdbcSink.createTableIfAbsent(url,
+          """CREATE TABLE postings_q179 ("token" VARCHAR(256) NOT NULL,
+            | "doc_id" BIGINT NOT NULL, "tf" BIGINT,
+            | PRIMARY KEY ("token", "doc_id"))"""
+            .stripMargin.replace("\n", ""))
+        graft.sinks.JdbcSink.createTableIfAbsent(url,
+          """CREATE TABLE doclens_q179 ("doc_id" BIGINT NOT NULL PRIMARY
+            | KEY, "len" BIGINT)""".stripMargin.replace("\n", ""))
+        val work = s"$base/work"
+        if (!java.nio.file.Files.exists(rbMark)) {
+          pipe(hi = 100.0).runOnce(spark, feed, work)
+          require(!PipelineMetrics.expectDeadLetters(spark, dead)
+              .filter(col("pipeline") === "q179").isEmpty,
+            "q179: the strict cap must actually quarantine — a vacuous " +
+              "lifecycle certifies nothing")
+          java.nio.file.Files.createFile(rbMark)
+          ()
+        }
+        val widened = pipe(hi = 1e9)
+        // store fingerprint (count, Σtf, Σdoc_id·tf) — cheap, collision-
+        // resistant enough to distinguish the capped and full stores
+        def fpOf(): (Long, Long, Long) = {
+          val r = widened.servedPostings(spark)
+            .agg(count(lit(1)), sum(col("tf")),
+              sum(col("doc_id") * col("tf"))).collect().head
+          (r.getLong(0), Option(r.get(1)).fold(0L)(_ => r.getLong(1)),
+            Option(r.get(2)).fold(0L)(_ => r.getLong(2)))
+        }
+        val preFp = fpOf()
+        val samples =
+          new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]()
+        val stopSampling = new java.util.concurrent.atomic.AtomicBoolean(false)
+        val sampler = new Thread(() =>
+          while (!stopSampling.get()) {
+            // a read in flight exactly when the old tables retire
+            // fails loud by contract — not a stale read, not a sample
+            try { samples.add(fpOf()); () }
+            catch { case _: Exception => () }
+            Thread.sleep(100)
+          }, "q179-sampler")
+        samples.add(preFp)
+        sampler.start()
+        try widened.rebuildStoreOnline(spark, feed, work)
+        finally { stopSampling.set(true); sampler.join(30000) }
+        val postFp = fpOf()
+        val obs = scala.jdk.CollectionConverters.IteratorHasAsScala(
+          samples.iterator()).asScala.toSeq
+        require(obs.head == preFp && obs.forall(o =>
+            o == preFp || o == postFp),
+          s"q179: a served read must see the old store or the new one, " +
+            s"never a blend — pre=$preFp post=$postFp obs=${obs.distinct}")
+        require(widened.currentVersion() >= 1,
+          "q179: the pointer must flip")
+        val oldGone = scala.util.Try(spark.read.jdbc(url,
+          "postings_q179", new java.util.Properties()).count()).isFailure
+        require(oldGone, "q179: the superseded v0 tables must retire")
+        require(PipelineMetrics.expectDeadLetters(spark, dead)
+            .filter(col("pipeline") === "q179").isEmpty,
+          "q179: the rebuild must close the quarantine — nothing " +
+            "violates the widened cap")
+        java.nio.file.Files.createFile(doneMark)
+        DriveCost.record(base, "q179", driveT0)
+        q179Driven.add(base); ()
       }
     }
     pipe(hi = 1e9).servedPostings(spark)
@@ -4464,5 +4627,5 @@ object PipelineQueries {
     q136, q137, q138, q139, q140, q141, q142, q144, q145, q146, q147, q148,
     q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160,
     q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172,
-    q173, q174, q175, q176, q177, q178)
+    q173, q174, q175, q176, q177, q178, q179)
 }

@@ -91,6 +91,100 @@ final case class SearchServingPipeline(
   private def logDir(workRoot: String) = s"$workRoot/log"
   private def ckptDir(workRoot: String, stage: String) = s"$workRoot/ckpt_$stage"
 
+  // ---------- STORE VERSIONING (the online rebuild's swap seam) ----------
+
+  /** The CURRENT-version pointer table: one row, one INT. Lives in the
+    * serving store itself — the store is the only thing a BM25 server
+    * reads, so its pointer belongs beside it (the conf stays the
+    * registration unit; the pointer is runtime state, like the ann
+    * kind's quantizer generation).
+    */
+  private def pointerTable: String = s"${postingsTable}_current"
+
+  /** Physical table names at a store version. Version 0 is the conf's
+    * DECLARED names — a store never online-rebuilt has no pointer
+    * table and no suffix, so every pre-versioning deployment reads
+    * unchanged. Versions ≥ 1 suffix `_v<N>`.
+    */
+  private def tablesAt(v: Int): (String, String) =
+    if (v == 0) (postingsTable, lensTable)
+    else (s"${postingsTable}_v$v", s"${lensTable}_v$v")
+
+  /** Work root at a version — SIBLING dirs (`<workRoot>_v<N>`), never
+    * nested, so retiring a version deletes one whole directory without
+    * touching its successor's checkpoints.
+    */
+  private def workRootAt(workRoot: String, v: Int): String =
+    if (v == 0) workRoot else s"${workRoot}_v$v"
+
+  /** The store's CURRENT version: the pointer row, or 0 when the
+    * pointer table does not exist / is empty (never online-rebuilt).
+    */
+  def currentVersion(): Int = {
+    val c = java.sql.DriverManager.getConnection(jdbcUrl)
+    try {
+      val st = c.createStatement()
+      try {
+        val rs = st.executeQuery(s"""SELECT "v" FROM $pointerTable""")
+        try { if (rs.next()) rs.getInt(1) else 0 } finally rs.close()
+      } catch {
+        case e: java.sql.SQLException
+            if JdbcSink.TableAbsentStates(e.getSQLState) => 0
+      } finally st.close()
+    } finally c.close()
+  }
+
+  /** Resolve this conf to its CURRENT physical store: itself at v0, or
+    * a twin bound to the versioned table names, plus the versioned
+    * work root. The twin's own pointer lookup (`<pt>_v<N>_current`)
+    * never exists, so its methods bind its suffixed names directly —
+    * resolution is one level, by construction.
+    */
+  private def atCurrent(workRoot: String): (SearchServingPipeline, String) = {
+    val v = currentVersion()
+    if (v == 0) (this, workRoot)
+    else {
+      val (pt, lt) = tablesAt(v)
+      (copy(postingsTable = pt, lensTable = lt), workRootAt(workRoot, v))
+    }
+  }
+
+  /** Canonical store DDL — the pipeline owns its serving schema (the
+    * scaladoc's contract), so the online rebuild can create the next
+    * version's tables itself. ANSI types; the embedded profile's
+    * default target is Derby.
+    */
+  private def ensureStoreTables(pt: String, lt: String): Unit = {
+    JdbcSink.createTableIfAbsent(jdbcUrl,
+      s"""CREATE TABLE $pt ("token" VARCHAR(256) NOT NULL,
+         | "doc_id" BIGINT NOT NULL, "tf" BIGINT,
+         | PRIMARY KEY ("token", "doc_id"))""".stripMargin.replace("\n", ""))
+    JdbcSink.createTableIfAbsent(jdbcUrl,
+      s"""CREATE TABLE $lt ("doc_id" BIGINT NOT NULL PRIMARY KEY,
+         | "len" BIGINT)""".stripMargin.replace("\n", ""))
+  }
+
+  /** ATOMIC pointer flip: one single-row UPDATE (or first INSERT) in
+    * one transaction. A reader resolves the pointer once per call and
+    * then reads both tables of THAT version, so it sees the old store
+    * or the new one, never a mix.
+    */
+  private def flipPointer(next: Int): Unit = {
+    JdbcSink.createTableIfAbsent(jdbcUrl,
+      s"""CREATE TABLE $pointerTable ("v" INT NOT NULL)""")
+    val c = java.sql.DriverManager.getConnection(jdbcUrl)
+    try {
+      c.setAutoCommit(false)
+      val st = c.createStatement()
+      try {
+        val n = st.executeUpdate(s"""UPDATE $pointerTable SET "v" = $next""")
+        if (n == 0) st.execute(s"INSERT INTO $pointerTable VALUES ($next)")
+        c.commit()
+      } catch { case e: Throwable => c.rollback(); throw e }
+      finally st.close()
+    } finally c.close()
+  }
+
   /** REBUILD CONTRACT: the additive-merge progress markers are keyed by
     * the index stage's foreachBatch batch id, which restarts at 0 when
     * the work dir (checkpoints) is rebuilt — markers left by a previous
@@ -255,18 +349,22 @@ final case class SearchServingPipeline(
     * rebuild simply re-runs.
     *
     * The rebuild is OFFLINE for this conf's serving surface (the
-    * store is truncated mid-verb). For an online swap, the evolved
-    * conf version-bumps its declared `postingsTable`/`lensTable` (and
-    * work dir): the verb then builds the NEW store from scratch while
-    * the old conf keeps serving, and consumers flip when it completes
-    * — the quantizer-generation pattern, with the conf as the CURRENT
-    * pointer. Scale shape: the re-drive is the normal executor-
-    * parallel pipeline over the feed; the only driver-side work is
-    * DDL, directory deletes and the checkpoint clears.
+    * store is truncated mid-verb) — [[rebuildStoreOnline]] is the
+    * zero-downtime variant (build beside, atomic pointer flip).
+    * Scale shape: the re-drive is the normal executor-parallel
+    * pipeline over the feed; the only driver-side work is DDL,
+    * directory deletes and the checkpoint clears.
     *
     * Returns the number of retired dead-letter partitions.
     */
   def rebuildStore(spark: SparkSession, feedDir: String,
+      workRoot: String): Long = {
+    // in-place repair happens at whatever version currently serves
+    val (p, wr) = atCurrent(workRoot)
+    p.rebuildInPlace(spark, feedDir, wr)
+  }
+
+  private def rebuildInPlace(spark: SparkSession, feedDir: String,
       workRoot: String): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
     // 1. the work dir: frozen verdicts, checkpoints, judged + table log
@@ -290,32 +388,121 @@ final case class SearchServingPipeline(
     val retired = deadLetterDir.fold(0L)(dir =>
       PipelineMetrics.retireDeadLetterSubtrees(spark, dir, name))
     // 4. re-drive the full feed through the fixed conf's normal path
-    runOnce(spark, feedDir, workRoot)
+    driveOnce(spark, feedDir, workRoot)
     retired
   }
 
-  /** The live index read back from the serving store. */
-  def servedPostings(spark: SparkSession): DataFrame =
-    spark.read.jdbc(jdbcUrl, postingsTable, new java.util.Properties())
+  /** ONLINE rebuild — the zero-downtime variant of [[rebuildStore]],
+    * mechanizing the swap the offline verb's scaladoc used to leave to
+    * the operator. The quantizer-generation retrain-and-swap pattern
+    * ([[AnnServingPipeline]]), with the STORE carrying the CURRENT
+    * pointer:
+    *
+    *  1. the NEXT version's tables (`<declared>_v<N>`) are created
+    *     fresh (a crashed previous attempt at the same version is
+    *     dropped wholesale first — its pointer never flipped, so
+    *     nothing ever served from it);
+    *  2. this conf's quarantine retires (its verdicts are re-derived
+    *     in full below — still-bad rows re-quarantine under the new
+    *     store's batch ids during the build);
+    *  3. the ENTIRE bronze feed re-drives through the evolved conf's
+    *     normal judged path into the new tables under a SIBLING work
+    *     root (`<workRoot>_v<N>`) — the serving tables are never
+    *     touched, so [[servedBm25]] answers from the old store
+    *     throughout the build;
+    *  4. the pointer flips in ONE single-row transaction — readers
+    *     resolve the pointer once per call and read both tables of
+    *     that version, so a query sees the old store or the new one,
+    *     never a mix;
+    *  5. the OLD version retires: tables, their progress markers, and
+    *     its work root are dropped.
+    *
+    * After the flip the conf's own [[runOnce]]/[[start]] resolve to
+    * the new version and continue from the build's checkpoints — feed
+    * events that arrived DURING the build drain on the next normal
+    * trigger, exactly once (fresh checkpoints + progress markers).
+    * Single-process contract: readers in flight on the old tables at
+    * step 5 fail loud (table dropped), never read stale — a
+    * multi-driver deployment adds a retirement grace period instead.
+    * A LIVE writer of the old version must be stopped before the verb
+    * (the normal restart-from-checkpoint upgrade); its post-flip
+    * writes would target dropped tables and fail loud, not corrupt.
+    *
+    * Returns the number of retired dead-letter partitions.
+    */
+  def rebuildStoreOnline(spark: SparkSession, feedDir: String,
+      workRoot: String): Long = {
+    val cur = currentVersion()
+    val (oldPt, oldLt) = tablesAt(cur)
+    val next = cur + 1
+    val (newPt, newLt) = tablesAt(next)
+    val newWr = workRootAt(workRoot, next)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    // 1. fresh next-version surfaces (idempotent crash-retry: drop the
+    //    unfinished attempt's tables/checkpoints and rebuild)
+    val nwp = new org.apache.hadoop.fs.Path(newWr)
+    nwp.getFileSystem(hconf).delete(nwp, true)
+    Seq(newPt, newLt, s"${newPt}_progress", s"${newLt}_progress")
+      .foreach(JdbcSink.dropTableIfExists(jdbcUrl, _))
+    ensureStoreTables(newPt, newLt)
+    // 2. quarantine retires — re-derived in full by the build
+    val retired = deadLetterDir.fold(0L)(dir =>
+      PipelineMetrics.retireDeadLetterSubtrees(spark, dir, name))
+    // 3. build BESIDE: the old store keeps serving; the twin's own
+    //    pointer lookup never exists, so it binds the _v<N> names
+    val twin = copy(postingsTable = newPt, lensTable = newLt)
+    twin.driveOnce(spark, feedDir, newWr)
+    // 4. the atomic flip
+    flipPointer(next)
+    // 5. retire the old version
+    Seq(oldPt, oldLt, s"${oldPt}_progress", s"${oldLt}_progress")
+      .foreach(JdbcSink.dropTableIfExists(jdbcUrl, _))
+    val owp = new org.apache.hadoop.fs.Path(workRootAt(workRoot, cur))
+    owp.getFileSystem(hconf).delete(owp, true)
+    retired
+  }
+
+  private def readPostings(spark: SparkSession, pt: String): DataFrame =
+    spark.read.jdbc(jdbcUrl, pt, new java.util.Properties())
       .select(col("token"), col("doc_id").cast("long").as("doc_id"),
         col("tf").cast("long").as("tf"))
 
-  def servedLens(spark: SparkSession): DataFrame =
-    spark.read.jdbc(jdbcUrl, lensTable, new java.util.Properties())
+  private def readLens(spark: SparkSession, lt: String): DataFrame =
+    spark.read.jdbc(jdbcUrl, lt, new java.util.Properties())
       .select(col("doc_id").cast("long").as("doc_id"),
         col("len").cast("long").as("len"))
 
+  /** The live index read back from the CURRENT serving store. */
+  def servedPostings(spark: SparkSession): DataFrame =
+    readPostings(spark, tablesAt(currentVersion())._1)
+
+  def servedLens(spark: SparkSession): DataFrame =
+    readLens(spark, tablesAt(currentVersion())._2)
+
   /** BM25 top-k from the SERVED store alone — what an index server
-    * runs per query; no corpus access.
+    * runs per query; no corpus access. The version resolves ONCE per
+    * call, then both tables read at that version — a concurrent
+    * pointer flip yields the old answer or the new one, never
+    * postings from one store scored with the other's lengths.
     */
-  def servedBm25(spark: SparkSession, queryTokens: Seq[String]): DataFrame =
-    CorpusOps.bm25FromIndex(servedPostings(spark), servedLens(spark),
+  def servedBm25(spark: SparkSession, queryTokens: Seq[String]): DataFrame = {
+    val (pt, lt) = tablesAt(currentVersion())
+    CorpusOps.bm25FromIndex(readPostings(spark, pt), readLens(spark, lt),
       queryTokens, k1, b)
+  }
 
   /** Drain the feed's current contents through both stages; incremental
-    * across calls (durable checkpoints).
+    * across calls (durable checkpoints). Resolves the CURRENT store
+    * version first, so after an online rebuild the same conf continues
+    * into the new version's tables from the build's checkpoints.
     */
   def runOnce(spark: SparkSession, feedDir: String, workRoot: String): Unit = {
+    val (p, wr) = atCurrent(workRoot)
+    p.driveOnce(spark, feedDir, wr)
+  }
+
+  private def driveOnce(spark: SparkSession, feedDir: String,
+      workRoot: String): Unit = {
     Files.createDirectories(Paths.get(logDir(workRoot)))
     clearStaleProgressIfFresh(workRoot)
     driftGate.drainOnce(spark, feedDir, judgedBase(workRoot),
@@ -325,9 +512,18 @@ final case class SearchServingPipeline(
     indexQuery(spark, workRoot, Trigger.AvailableNow()).awaitTermination()
   }
 
-  /** Live deployment: both stages on a processing-time trigger. */
+  /** Live deployment: both stages on a processing-time trigger, at the
+    * CURRENT store version (resolved at start — the normal restart-
+    * from-checkpoint upgrade picks up a flipped pointer).
+    */
   def start(spark: SparkSession, feedDir: String, workRoot: String,
       interval: String = "500 milliseconds"): Seq[StreamingQuery] = {
+    val (p, wr) = atCurrent(workRoot)
+    p.startQueries(spark, feedDir, wr, interval)
+  }
+
+  private def startQueries(spark: SparkSession, feedDir: String,
+      workRoot: String, interval: String): Seq[StreamingQuery] = {
     val t = Trigger.ProcessingTime(interval)
     Files.createDirectories(Paths.get(logDir(workRoot)))
     clearStaleProgressIfFresh(workRoot)

@@ -225,4 +225,123 @@ class SearchServingSpec extends SparkSpec {
     assert(servedDocs() == Set(1L, 2L, 3L, 4L),
       s"the evolved conf resumes the frozen queue, got ${servedDocs()}")
   }
+
+  test("online rebuild: old store serves BM25 throughout, the pointer flip is atomic, the new store is exact, runOnce continues at the new version") {
+    import graft.ops.Profile
+    import graft.streaming.PipelineMetrics
+    import org.apache.spark.sql.functions.col
+    val url = "jdbc:derby:memory:graftsearchol;create=true"
+    // v0 tables under the conf's DECLARED names — a pre-versioning
+    // deployment; the verb must carry it to _v1 without downtime
+    val c0 = java.sql.DriverManager.getConnection(url)
+    c0.createStatement().execute(
+      """CREATE TABLE postings_ol ("token" VARCHAR(256) NOT NULL,
+        | "doc_id" BIGINT NOT NULL, "tf" BIGINT,
+        | PRIMARY KEY ("token", "doc_id"))""".stripMargin.replace("\n", ""))
+    c0.createStatement().execute(
+      """CREATE TABLE doclens_ol ("doc_id" BIGINT NOT NULL PRIMARY KEY,
+        | "len" BIGINT)""".stripMargin.replace("\n", ""))
+    c0.close()
+    val target = PipelineMetrics.Target(url, "metrics_ol")
+    PipelineMetrics.ensureTable(target)
+    PipelineMetrics.ensureExpectTable(target)
+    val dead = Files.createTempDirectory("graft_srchol_dead_").toString
+    def pipe(hi: Double) = SearchServingPipeline(
+      name = "srchol", databases = Set("shop"), table = "documents",
+      idField = "doc_id", textField = "text",
+      jdbcUrl = url, postingsTable = "postings_ol", lensTable = "doclens_ol",
+      metrics = Some(target), deadLetterDir = Some(dead),
+      expectations = Seq(Profile.InRange("doc_cap", "doc_id", 0.0, hi,
+        action = Profile.Drop)))
+    val feedDir = Files.createTempDirectory("graft_srchol_feed_").toFile
+    val work = Files.createTempDirectory("graft_srchol_work_").toString + "/w"
+    val qTokens = Seq("vector", "stream")
+    val corpus = Seq(1L -> "vector search over stream data",
+      2L -> "stream join semantics", 3L -> "unrelated words here",
+      50L -> "vector stores at scale")
+    Files.write(new java.io.File(feedDir, "000.json").toPath,
+      corpus.zipWithIndex.map { case ((id, t), i) =>
+        wire(d(id, t), null, "c", 10, i + 1L) }.asJava)
+
+    // drive 1 under a strict cap: doc 50's contributions quarantine
+    pipe(hi = 10.0).runOnce(spark, feedDir.toString, work)
+    assert(!PipelineMetrics.expectDeadLetters(spark, dead)
+        .filter(col("pipeline") === "srchol").isEmpty,
+      "the strict cap must actually quarantine")
+    def scores(p: SearchServingPipeline): Map[Long, Double] =
+      p.servedBm25(spark, qTokens).as[(Long, Double)].collect().toMap
+    val oldScores = scores(pipe(10.0))
+    assert(!oldScores.contains(50L) && oldScores.contains(1L))
+
+    // concurrent reader sampling BM25 while the rebuild runs: every
+    // sample must be the OLD answer or the NEW one — an empty or
+    // blended result means the serving surface was touched mid-build
+    // or a read straddled the flip
+    val widened = pipe(hi = 1e9)
+    val samples = new java.util.concurrent.ConcurrentLinkedQueue[Map[Long, Double]]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reader = new Thread(() =>
+      while (!stop.get()) {
+        // a read in flight exactly when the OLD tables retire fails
+        // loud (documented single-process semantics) — that is not a
+        // stale or mixed read, so it does not sample
+        try { samples.add(scores(widened)); () } catch { case _: Exception => () }
+      }, "srchol-reader")
+    samples.add(scores(widened)) // guaranteed pre-build observation
+    reader.start()
+    try widened.rebuildStoreOnline(spark, feedDir.toString, work)
+    finally { stop.set(true); reader.join(30000) }
+
+    assert(widened.currentVersion() == 1)
+    val newScores = scores(widened)
+    assert(newScores.contains(50L), s"the widened cap admits doc 50: $newScores")
+    // exactness: the swapped store equals the batch scorer over the
+    // full corpus — a double-counted or lost contribution breaks this
+    val batch = CorpusOps.bm25(corpus.toDF("doc_id", "text"),
+      "doc_id", "text", qTokens).as[(Long, Double)].collect().toMap
+    assert(newScores.keySet == batch.keySet)
+    newScores.foreach { case (id, s) =>
+      assert(math.abs(s - batch(id)) < 1e-9, s"doc $id: $s vs ${batch(id)}") }
+    // serving throughout + atomic flip: old answer until the flip, new
+    // answer after, nothing else ever observed
+    val obs = samples.asScala.toSeq
+    assert(obs.head == oldScores, "the pre-build read serves the old store")
+    assert(obs.forall(o => o == oldScores || o == newScores),
+      s"mixed/partial observation during online rebuild: ${obs.distinct}")
+    // quarantine closed: nothing violates the widened cap
+    assert(PipelineMetrics.expectDeadLetters(spark, dead)
+      .filter(col("pipeline") === "srchol").isEmpty)
+    // old version retired: tables dropped, v0 work root gone, v1 lives
+    val eOld = intercept[Exception](
+      spark.read.jdbc(url, "postings_ol", new java.util.Properties()).count())
+    assert(eOld != null)
+    assert(!Files.exists(java.nio.file.Paths.get(work)) &&
+      Files.exists(java.nio.file.Paths.get(work + "_v1")))
+
+    // catch-up: feed traffic after the build drains through the conf's
+    // NORMAL runOnce, which resolves to v1 and continues from the
+    // build's checkpoints — exactly once (a re-drain changes nothing)
+    Files.write(new java.io.File(feedDir, "001.json").toPath, Seq(
+      wire(d(4, "vector stream fusion"), null, "c", 20, 10)).asJava)
+    widened.runOnce(spark, feedDir.toString, work)
+    widened.runOnce(spark, feedDir.toString, work) // no double count
+    val after = scores(widened)
+    val corpus2 = corpus :+ (4L -> "vector stream fusion")
+    val batch2 = CorpusOps.bm25(corpus2.toDF("doc_id", "text"),
+      "doc_id", "text", qTokens).as[(Long, Double)].collect().toMap
+    assert(after.keySet == batch2.keySet, s"$after vs $batch2")
+    after.foreach { case (id, s) =>
+      assert(math.abs(s - batch2(id)) < 1e-9, s"doc $id: $s vs ${batch2(id)}") }
+
+    // the pointer iterates: a second online rebuild lands at v2, still
+    // exact, and v1's surfaces retire
+    widened.rebuildStoreOnline(spark, feedDir.toString, work)
+    assert(widened.currentVersion() == 2)
+    assert(!Files.exists(java.nio.file.Paths.get(work + "_v1")) &&
+      Files.exists(java.nio.file.Paths.get(work + "_v2")))
+    val v2 = scores(widened)
+    assert(v2.keySet == batch2.keySet)
+    v2.foreach { case (id, s) =>
+      assert(math.abs(s - batch2(id)) < 1e-9, s"doc $id: $s vs ${batch2(id)}") }
+  }
 }

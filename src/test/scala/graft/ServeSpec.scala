@@ -341,6 +341,23 @@ class ServeSpec extends SparkSpec {
       .filter(col("token") === "beta" && col("doc_id") === 1L)
       .select(col("tf")).collect().map(_.getLong(0)).toSeq
     assert(tf == Seq(1L), s"rebuild must not double-count, got $tf")
+    // --online: the zero-downtime variant through the same verb — the
+    // next version builds beside, the pointer flips, the old tables
+    // retire, and the served surface reads THROUGH the pointer
+    val widened = graft.streaming.PipelineRegistry
+      .loadSearch(confDir.toString).head.pipeline
+    assert(Serve.runRebuild(spark, Seq("search", confDir.toString, "rb",
+      work, feed, "--online")) >= 0L)
+    assert(widened.currentVersion() == 1, "the verb must flip the pointer")
+    assert(servedDocs() == Set(1L, 2L, 5L),
+      s"online-rebuilt store must hold the full corpus, got ${servedDocs()}")
+    assert(scala.util.Try(spark.read.jdbc(url, "rb_post",
+        new java.util.Properties()).count()).isFailure,
+      "the superseded v0 tables must retire")
+    val tf2 = strict.servedPostings(spark)
+      .filter(col("token") === "beta" && col("doc_id") === 1L)
+      .select(col("tf")).collect().map(_.getLong(0)).toSeq
+    assert(tf2 == Seq(1L), s"online rebuild must not double-count, got $tf2")
     // refusals: the keyed kinds repair by replay, not rebuild
     val lww = intercept[IllegalArgumentException](Serve.runRebuild(spark,
       Seq("lww", confDir.toString, "rb", work, feed)))
