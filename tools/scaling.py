@@ -43,6 +43,9 @@ KNOWN = {
     "q19_neardup": "exact all-pairs Jaccard oracle companion; scaled twin q26 (MinHash-LSH banding)",
     "q28_embed_neardup": "exact all-pairs cosine oracle companion (t=0.4 is below sign-LSH's useful regime); scaled twin q28b (banded, t=0.95, in-query candidate-volume certificate)",
     "q166_drift_dead_letters": "leg-contention artifact, not code: the r14 sf0.3 leg recorded 5.04 s during an external load window; idle same-box BenchOne measures 3.37 s (alpha_top 0.97) — a linear parse+read of the drive-local drift quarantine",
+    "q110_rolling_range_window": "leg-contention artifact, not code: the r15 sf0.3 leg started with the 5-min load still at 5.1 and recorded 1.322 s; idle same-box BenchOne measures 0.500 s (alpha_top 0.66)",
+    "q113_setops_all": "leg-contention artifact, not code: r15 sf0.3 leg 1.447 s under residual load; idle same-box BenchOne 0.892 s (alpha_top 1.17) — also bench-retried in the sf0.1 leg, same class",
+    "q114_correlated_subquery": "leg-contention artifact, not code: r15 sf0.3 leg 1.321 s under residual load; idle same-box BenchOne 1.090 s (alpha_top 1.21, a decorrelated ranked-window join, linear work)",
 }
 
 
