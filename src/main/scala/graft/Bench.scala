@@ -139,9 +139,16 @@ object Bench {
     val drivesJson = drives.map { case (d, log, ms) =>
       s"""{"drive":"$d","log":"$log","ms":$ms}"""
     }.mkString("[", ",", "]")
-    val drivesTotalMs = drives.map(_._3).filter(_ >= 0).sum
+    // the warehouse is shared across SFs and rounds (fingerprint-keyed
+    // stores persist), so the full sidecar list is recorded per log —
+    // but the HEADLINE total counts only THIS run's sf (the log name
+    // embeds the sanitized data dir), or a regression at one scale
+    // would be diluted by every other leg's costs
+    val sfTag = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+    val mine = drives.filter(_._2.endsWith(sfTag))
+    val drivesTotalMs = mine.map(_._3).filter(_ >= 0).sum
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_drives.json"),
-      (s"""{"drives":$drivesJson,"total_ms":$drivesTotalMs,"n":${drives.size},"sf":"$sfDir"}""" + "\n")
+      (s"""{"drives":$drivesJson,"total_ms":$drivesTotalMs,"n":${mine.size},"n_all":${drives.size},"sf":"$sfDir"}""" + "\n")
         .getBytes("UTF-8"))
     catch { case e: Exception => System.err.println(s"[bench] drives write failed: $e") }
 
@@ -160,7 +167,7 @@ object Bench {
       else omitted += 1
     }
     val qsHead = kept.mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsHead,"omitted_queries":$omitted,"n":${medians.size},"sf":"$sfDir","contended":$contended,"retried":${retried.size},"drives_ms":$drivesTotalMs,"drives_n":${drives.size},"loadavg":{"start":$loadStart,"end":$loadEnd},"detail":"$detailPath"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsHead,"omitted_queries":$omitted,"n":${medians.size},"sf":"$sfDir","contended":$contended,"retried":${retried.size},"drives_ms":$drivesTotalMs,"drives_n":${mine.size},"loadavg":{"start":$loadStart,"end":$loadEnd},"detail":"$detailPath"}""")
     spark.stop()
   }
 }

@@ -192,7 +192,15 @@ object Serve {
       "usage: Serve rebuild search <confDir> <name> <workDir> " +
         "<sourceDir> [--online]")
     val Seq(kind, confDir, name, workDir, sourceDir) = args.take(5)
-    val online = args.drop(5).contains("--online")
+    // fail loud on anything that is not the one recognized flag — a
+    // typo'd --online would otherwise silently degrade the
+    // zero-downtime rebuild into the offline store-truncating one
+    val extras = args.drop(5)
+    require(extras.forall(_ == "--online"),
+      s"Serve rebuild: unrecognized argument(s) " +
+        s"${extras.filterNot(_ == "--online").mkString(", ")} " +
+        "(the only flag is --online, after <sourceDir>)")
+    val online = extras.contains("--online")
     kind match {
       case "search" =>
         val p = resolveOne("rebuild", kind, confDir, name,

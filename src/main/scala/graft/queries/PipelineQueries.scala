@@ -4443,21 +4443,9 @@ object PipelineQueries {
           java.nio.file.Paths.get(base))
         PipelineMetrics.ensureTable(target)
         PipelineMetrics.ensureExpectTable(target)
-        val c = java.sql.DriverManager.getConnection(url)
-        try {
-          val st = c.createStatement()
-          def mk(ddl: String): Unit =
-            try { st.execute(ddl); () }
-            catch { // X0Y32: table already exists (idempotent re-drive)
-              case e: java.sql.SQLException if e.getSQLState == "X0Y32" => ()
-            }
-          mk("""CREATE TABLE postings_q178 ("token" VARCHAR(256) NOT NULL,
-               | "doc_id" BIGINT NOT NULL, "tf" BIGINT,
-               | PRIMARY KEY ("token", "doc_id"))"""
-            .stripMargin.replace("\n", ""))
-          mk("""CREATE TABLE doclens_q178 ("doc_id" BIGINT NOT NULL PRIMARY
-               | KEY, "len" BIGINT)""".stripMargin.replace("\n", ""))
-        } finally c.close()
+        // v0 store tables from the pipeline's OWN canonical DDL — the
+        // serving schema has exactly one definition
+        pipe(hi = 100.0).ensureStoreTables()
         val work = s"$base/work"
         // drive 1: the strict cap quarantines high-id contributions —
         // skipped once the rebuild has started (its letters are
@@ -4551,16 +4539,10 @@ object PipelineQueries {
           java.nio.file.Paths.get(base))
         PipelineMetrics.ensureTable(target)
         PipelineMetrics.ensureExpectTable(target)
-        // v0 tables under the conf's DECLARED names — the verb carries
-        // a pre-versioning store to _v1 without downtime
-        graft.sinks.JdbcSink.createTableIfAbsent(url,
-          """CREATE TABLE postings_q179 ("token" VARCHAR(256) NOT NULL,
-            | "doc_id" BIGINT NOT NULL, "tf" BIGINT,
-            | PRIMARY KEY ("token", "doc_id"))"""
-            .stripMargin.replace("\n", ""))
-        graft.sinks.JdbcSink.createTableIfAbsent(url,
-          """CREATE TABLE doclens_q179 ("doc_id" BIGINT NOT NULL PRIMARY
-            | KEY, "len" BIGINT)""".stripMargin.replace("\n", ""))
+        // v0 tables under the conf's DECLARED names (the verb carries
+        // a pre-versioning store to _v1 without downtime), created
+        // from the pipeline's own canonical DDL
+        pipe(hi = 100.0).ensureStoreTables()
         val work = s"$base/work"
         if (!java.nio.file.Files.exists(rbMark)) {
           pipe(hi = 100.0).runOnce(spark, feed, work)

@@ -149,6 +149,12 @@ final case class SearchServingPipeline(
     }
   }
 
+  /** Create the conf's DECLARED (v0) store tables if absent — the one
+    * public copy of the serving DDL, for harnesses and deployments
+    * that bootstrap the store programmatically instead of by hand.
+    */
+  def ensureStoreTables(): Unit = ensureStoreTables(postingsTable, lensTable)
+
   /** Canonical store DDL — the pipeline owns its serving schema (the
     * scaladoc's contract), so the online rebuild can create the next
     * version's tables itself. ANSI types; the embedded profile's
@@ -414,8 +420,11 @@ final case class SearchServingPipeline(
     *     resolve the pointer once per call and read both tables of
     *     that version, so a query sees the old store or the new one,
     *     never a mix;
-    *  5. the OLD version retires: tables, their progress markers, and
-    *     its work root are dropped.
+    *  5. EVERY superseded version retires: tables, their progress
+    *     markers, and work roots — sweeping all versions below the
+    *     flipped one keeps the verb crash-idempotent (a crash between
+    *     the flip and the sweep leaves an orphan the NEXT run's sweep
+    *     still catches).
     *
     * After the flip the conf's own [[runOnce]]/[[start]] resolve to
     * the new version and continue from the build's checkpoints — feed
@@ -433,7 +442,6 @@ final case class SearchServingPipeline(
   def rebuildStoreOnline(spark: SparkSession, feedDir: String,
       workRoot: String): Long = {
     val cur = currentVersion()
-    val (oldPt, oldLt) = tablesAt(cur)
     val next = cur + 1
     val (newPt, newLt) = tablesAt(next)
     val newWr = workRootAt(workRoot, next)
@@ -445,7 +453,14 @@ final case class SearchServingPipeline(
     Seq(newPt, newLt, s"${newPt}_progress", s"${newLt}_progress")
       .foreach(JdbcSink.dropTableIfExists(jdbcUrl, _))
     ensureStoreTables(newPt, newLt)
-    // 2. quarantine retires — re-derived in full by the build
+    // 2. quarantine retires BEFORE the build, not after the flip: the
+    //    build's own re-drive writes this conf's NEW letters into the
+    //    same subtree (still-bad rows under the evolved policy), so a
+    //    post-flip retirement would delete exactly those. The crash
+    //    window this opens — old store serving with its quarantine
+    //    already retired — is bounded by the letters being DERIVED
+    //    state: the retry's full-feed re-drive re-derives every
+    //    verdict, so nothing is lost, only temporarily unlisted.
     val retired = deadLetterDir.fold(0L)(dir =>
       PipelineMetrics.retireDeadLetterSubtrees(spark, dir, name))
     // 3. build BESIDE: the old store keeps serving; the twin's own
@@ -454,11 +469,20 @@ final case class SearchServingPipeline(
     twin.driveOnce(spark, feedDir, newWr)
     // 4. the atomic flip
     flipPointer(next)
-    // 5. retire the old version
-    Seq(oldPt, oldLt, s"${oldPt}_progress", s"${oldLt}_progress")
-      .foreach(JdbcSink.dropTableIfExists(jdbcUrl, _))
-    val owp = new org.apache.hadoop.fs.Path(workRootAt(workRoot, cur))
-    owp.getFileSystem(hconf).delete(owp, true)
+    // 5. retire EVERY superseded version, not just the immediate
+    //    predecessor: a crash between the flip and this sweep would
+    //    otherwise orphan the pre-flip version forever (the retry
+    //    resolves the flipped pointer and would only ever look one
+    //    version back). Dropping an already-retired version is a
+    //    no-op, so the sweep is crash-idempotent.
+    (0 until next).foreach { v =>
+      val (pt, lt) = tablesAt(v)
+      Seq(pt, lt, s"${pt}_progress", s"${lt}_progress")
+        .foreach(JdbcSink.dropTableIfExists(jdbcUrl, _))
+      val owp = new org.apache.hadoop.fs.Path(workRootAt(workRoot, v))
+      owp.getFileSystem(hconf).delete(owp, true)
+      ()
+    }
     retired
   }
 

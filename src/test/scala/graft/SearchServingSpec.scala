@@ -333,8 +333,29 @@ class SearchServingSpec extends SparkSpec {
     after.foreach { case (id, s) =>
       assert(math.abs(s - batch2(id)) < 1e-9, s"doc $id: $s vs ${batch2(id)}") }
 
+    // crash-retry hygiene: simulate a previous attempt at the NEXT
+    // version that died mid-build — its tables hold garbage rows, its
+    // work dir a half-built checkpoint — the pointer never flipped, so
+    // nothing served from them, and the retry must drop and rebuild
+    // them from scratch rather than merge into the wreckage
+    val c2 = java.sql.DriverManager.getConnection(url)
+    c2.createStatement().execute(
+      """CREATE TABLE postings_ol_v2 ("token" VARCHAR(256) NOT NULL,
+        | "doc_id" BIGINT NOT NULL, "tf" BIGINT,
+        | PRIMARY KEY ("token", "doc_id"))""".stripMargin.replace("\n", ""))
+    c2.createStatement().execute(
+      """INSERT INTO postings_ol_v2 VALUES ('garbage', 999, 42)""")
+    // ...and an ORPHANED pre-flip version (a crash between a flip and
+    // its retirement sweep): the next verb's sweep must still catch it
+    c2.createStatement().execute(
+      """CREATE TABLE postings_ol ("token" VARCHAR(256) NOT NULL,
+        | "doc_id" BIGINT NOT NULL, "tf" BIGINT,
+        | PRIMARY KEY ("token", "doc_id"))""".stripMargin.replace("\n", ""))
+    c2.close()
+    Files.createDirectories(java.nio.file.Paths.get(work + "_v2/ckpt_index"))
+
     // the pointer iterates: a second online rebuild lands at v2, still
-    // exact, and v1's surfaces retire
+    // exact (no garbage survives the retry hygiene), and v1 retires
     widened.rebuildStoreOnline(spark, feedDir.toString, work)
     assert(widened.currentVersion() == 2)
     assert(!Files.exists(java.nio.file.Paths.get(work + "_v1")) &&
@@ -343,5 +364,11 @@ class SearchServingSpec extends SparkSpec {
     assert(v2.keySet == batch2.keySet)
     v2.foreach { case (id, s) =>
       assert(math.abs(s - batch2(id)) < 1e-9, s"doc $id: $s vs ${batch2(id)}") }
+    assert(widened.servedPostings(spark)
+      .filter($"doc_id" === 999L).isEmpty,
+      "a crashed prior attempt's rows must not survive the retry")
+    assert(scala.util.Try(spark.read.jdbc(url, "postings_ol",
+        new java.util.Properties()).count()).isFailure,
+      "the sweep retires EVERY superseded version, orphans included")
   }
 }

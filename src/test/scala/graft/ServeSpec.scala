@@ -365,6 +365,11 @@ class ServeSpec extends SparkSpec {
     val usage = intercept[IllegalArgumentException](Serve.runRebuild(spark,
       Seq("search", confDir.toString)))
     assert(usage.getMessage.contains("usage"), usage.getMessage)
+    // a typo'd flag must fail loud, never silently run the OFFLINE
+    // (store-truncating) rebuild the operator asked to avoid
+    val typo = intercept[IllegalArgumentException](Serve.runRebuild(spark,
+      Seq("search", confDir.toString, "rb", work, feed, "--onlien")))
+    assert(typo.getMessage.contains("--onlien"), typo.getMessage)
     val none = intercept[IllegalArgumentException](Serve.runRebuild(spark,
       Seq("search", confDir.toString, "nope", work, feed)))
     assert(none.getMessage.contains("nope"), none.getMessage)
