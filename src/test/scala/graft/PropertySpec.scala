@@ -1031,8 +1031,16 @@ class PropertySpec extends SparkSpec {
       }
       // strict cap: docs 5..7 quarantine their contributions
       pipe(hi = 4.0).runOnce(spark, feed.toString, work)
-      // conf fix + REBUILD through the evolved conf
-      pipe(hi = 1e18).rebuildStore(spark, feed.toString, work)
+      // conf fix + REBUILD through the evolved conf — alternating the
+      // offline and ONLINE (build-beside + pointer-flip) variants: the
+      // model is variant-blind, so both must land on the identical
+      // never-dropped index
+      if (trial % 2 == 0)
+        pipe(hi = 1e18).rebuildStore(spark, feed.toString, work)
+      else {
+        pipe(hi = 1e18).rebuildStoreOnline(spark, feed.toString, work)
+        assert(pipe(hi = 1e18).currentVersion() == 1)
+      }
       // plain-Scala never-dropped index model over the LWW fold
       val live = events.groupBy(_._1).flatMap { case (k, evs) =>
         val (_, _, op, text) = evs.maxBy(_._2)
