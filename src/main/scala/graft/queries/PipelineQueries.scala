@@ -2676,24 +2676,40 @@ object PipelineQueries {
       |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin) { (spark, dir) =>
     import graft.cdc.DeltaLog
     val docDeltas = DeltaLog.documentsDeltas(spark, dir)
-    val vecStore = VectorSearch.livePostings(
+    // the three live-store materializations are INDEPENDENT jobs over
+    // disjoint inputs — run them as concurrent driver threads (q164's
+    // measured pattern: the wall is job-scheduling floor, not compute;
+    // this was the slowest clean-leg query at 8.8 s with the three
+    // checkpoints strictly sequential)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val vecStoreF = Future(VectorSearch.livePostings(
       VectorSearch.postingDeltas(DeltaLog.embeddingsDeltas(spark, dir),
         MandateQueries.ivfCentroidsFor(spark, dir)))
-      .localCheckpoint(true) // two fusions + certificate read it
-    val postings = CorpusOps.liveTermPostings(
-      CorpusOps.termPostingDeltas(docDeltas)).localCheckpoint(true)
-    val lens = CorpusOps.liveDocLens(
-      CorpusOps.docLenDeltas(docDeltas)).localCheckpoint(true)
+      .localCheckpoint(true)) // two fusions + certificate read it
+    val postingsF = Future(CorpusOps.liveTermPostings(
+      CorpusOps.termPostingDeltas(docDeltas)).localCheckpoint(true))
+    val lensF = Future(CorpusOps.liveDocLens(
+      CorpusOps.docLenDeltas(docDeltas)).localCheckpoint(true))
+    val vecStore = Await.result(vecStoreF, Duration.Inf)
+    val postings = Await.result(postingsF, Duration.Inf)
+    val lens = Await.result(lensF, Duration.Inf)
     val toks = Seq("vector", "stream", "join")
-    val exact = CorpusOps.hybridFromStores(postings, lens, vecStore,
-      toks, 7L).localCheckpoint(true)
+    // the exact and ANN fusions are independent given the pinned
+    // stores — overlap their materializations the same way
+    val exactF = Future(CorpusOps.hybridFromStores(postings, lens,
+      vecStore, toks, 7L).localCheckpoint(true))
     // nProbe 8 of 16: the fused top-20 draws on ranks DEEP in the
     // semantic list (RRF rewards a doc for merely appearing), so the
     // composed certificate needs a wider probe than the per-vector
     // top-k gate (q119 holds at 4) — measured: 4 probes miss the 60 %
     // fused floor at sf0.001, 8 holds it at all three SFs
-    val ann = CorpusOps.hybridFromStoresAnn(postings, lens, vecStore,
-      toks, 7L, MandateQueries.ivfCentroidsFor(spark, dir), nProbe = 8)
+    val annF = Future(CorpusOps.hybridFromStoresAnn(postings, lens,
+      vecStore, toks, 7L, MandateQueries.ivfCentroidsFor(spark, dir),
+      nProbe = 8).localCheckpoint(true))
+    val exact = Await.result(exactF, Duration.Inf)
+    val ann = Await.result(annF, Duration.Inf)
     val hits = exact.select(col("doc_id"))
       .join(ann.select(col("doc_id")), Seq("doc_id"), "left_semi")
       .agg(count(lit(1)).as("_nh"))
