@@ -136,19 +136,36 @@ object Bench {
     // a sidecar beside its store; collect them into their own artifact.
     val drives = graft.queries.DriveCost.collect(
       graft.cdc.DeltaLog.warehouseRoot(spark))
-    val drivesJson = drives.map { case (d, log, ms) =>
-      s"""{"drive":"$d","log":"$log","ms":$ms}"""
+    val drivesJson = drives.map { d =>
+      s"""{"drive":"${d.drive}","log":"${d.log}","ms":${d.ms},"tag":"${d.tag}"}"""
     }.mkString("[", ",", "]")
     // the warehouse is shared across SFs and rounds (fingerprint-keyed
     // stores persist), so the full sidecar list is recorded per log —
-    // but the HEADLINE total counts only THIS run's sf (the log name
-    // embeds the sanitized data dir), or a regression at one scale
-    // would be diluted by every other leg's costs
+    // but the HEADLINE total counts only THIS run's sf, attributed by
+    // the sidecar's recorded data-root tag (EXACT match — a suffix
+    // match on the log name pooled two warehouses whose sanitized
+    // roots share a suffix), or a regression at one scale would be
+    // diluted by every other leg's costs
     val sfTag = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
-    val mine = drives.filter(_._2.endsWith(sfTag))
-    val drivesTotalMs = mine.map(_._3).filter(_ >= 0).sum
+    val mine = drives.filter(graft.queries.DriveCost.belongsTo(_, sfTag))
+    val drivesTotalMs = mine.filter(_.ms >= 0).map(_.ms).sum
+    // DRIVE-COST REGRESSION GATE: compare every collected drive against
+    // the committed baseline at the same (drive, log) — the artifact
+    // existed since r15 but nothing read it, so a lifecycle-cost
+    // regression still required a human diff. >2x the recorded cost
+    // (above a 1 s floor) flags; the count rides the stdout line.
+    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_DRIVES_BASELINE",
+      "bench_drives_baseline.json")
+    val flagged = graft.queries.DriveCost.flagRegressions(drives,
+      graft.queries.DriveCost.parseBaseline(baselinePath))
+    flagged.foreach(f => System.err.println(
+      s"[bench] DRIVE REGRESSION ${f.drive}@${f.log}: ${f.ms} ms vs " +
+        s"baseline ${f.baselineMs} ms"))
+    val flaggedJson = flagged.map { f =>
+      s"""{"drive":"${f.drive}","log":"${f.log}","ms":${f.ms},"baseline_ms":${f.baselineMs}}"""
+    }.mkString("[", ",", "]")
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_drives.json"),
-      (s"""{"drives":$drivesJson,"total_ms":$drivesTotalMs,"n":${mine.size},"n_all":${drives.size},"sf":"$sfDir"}""" + "\n")
+      (s"""{"drives":$drivesJson,"total_ms":$drivesTotalMs,"n":${mine.size},"n_all":${drives.size},"sf":"$sfDir","flagged":$flaggedJson,"baseline":"$baselinePath"}""" + "\n")
         .getBytes("UTF-8"))
     catch { case e: Exception => System.err.println(s"[bench] drives write failed: $e") }
 
@@ -167,7 +184,7 @@ object Bench {
       else omitted += 1
     }
     val qsHead = kept.mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsHead,"omitted_queries":$omitted,"n":${medians.size},"sf":"$sfDir","contended":$contended,"retried":${retried.size},"drives_ms":$drivesTotalMs,"drives_n":${mine.size},"loadavg":{"start":$loadStart,"end":$loadEnd},"detail":"$detailPath"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsHead,"omitted_queries":$omitted,"n":${medians.size},"sf":"$sfDir","contended":$contended,"retried":${retried.size},"drives_ms":$drivesTotalMs,"drives_n":${mine.size},"drives_flagged":${flagged.size},"loadavg":{"start":$loadStart,"end":$loadEnd},"detail":"$detailPath"}""")
     spark.stop()
   }
 }

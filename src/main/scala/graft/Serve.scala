@@ -182,10 +182,16 @@ object Serve {
     *
     * With `--online` the rebuild is ZERO-DOWNTIME
     * ([[graft.streaming.SearchServingPipeline.rebuildStoreOnline]]):
-    * the next store version builds beside the serving one, the
-    * CURRENT pointer flips in one transaction, and the old version's
-    * tables and work root retire — BM25 reads answer from the old
-    * store throughout the build and never see a mixed version.
+    * the next store version builds beside the serving one (its
+    * quarantine STAGED, so a failed build leaves the serving store's
+    * dead letters fully listed), the CURRENT pointer flips in one
+    * transaction, and the old version's tables and work root retire —
+    * BM25 reads answer from the old store throughout the build and
+    * never see a mixed version. Retirement honors the conf's
+    * `retireAfterMs`: 0 retires at the flip (single-process default);
+    * a declared grace window leaves the superseded tables readable
+    * until the watcher's maintenance tick sweeps them, the
+    * multi-driver contract.
     */
   def runRebuild(spark: SparkSession, args: Seq[String]): Long = {
     require(args.length >= 5,

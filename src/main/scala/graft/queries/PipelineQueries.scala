@@ -1783,7 +1783,7 @@ object PipelineQueries {
           "graft", "graft", "c_custkey")
         customer.applyBatch(customer.changeRows(raw), customerCfg,
           blackhole, 0L)
-        DriveCost.record(base, "q141", driveT0)
+        DriveCost.record(base, "q141", driveT0, dir)
         q141Driven.add(base); ()
       }
     }
@@ -2297,7 +2297,7 @@ object PipelineQueries {
         orders.applyBatch(events.filter(slot === 0), cfg, blackhole, 0L)
         orders.applyBatch(events.filter(slot.isin(1, 2)), cfg, blackhole, 1L)
         orders.applyBatch(events.filter(slot === 3), cfg, blackhole, 2L)
-        DriveCost.record(base, "q151", driveT0)
+        DriveCost.record(base, "q151", driveT0, dir)
         q151Driven.add(base); ()
       }
     }
@@ -2468,7 +2468,7 @@ object PipelineQueries {
           "graft", "graft", "o_orderkey")
         orders.applyBatch(orders.changeRows(raw), cfg,
           new EsSink.FileDocStore(store), 0L)
-        DriveCost.record(base, "q154", driveT0)
+        DriveCost.record(base, "q154", driveT0, dir)
         q154Driven.add(base); ()
       }
     }
@@ -2607,7 +2607,7 @@ object PipelineQueries {
         p.applyBatch(p.changeRows(raw),
           EsSink.Config("http://graft-local/lww_orders_q156", "graft",
             "graft", "o_orderkey"), blackhole, 0L)
-        DriveCost.record(base, "q156", driveT0)
+        DriveCost.record(base, "q156", driveT0, dir)
         q156Driven.add(base); ()
       }
     }
@@ -2906,7 +2906,7 @@ object PipelineQueries {
         pipeline.applyBatch(pipeline.changeRows(feed),
           EsSink.Config("http://graft-local/lww_orders_q159", "graft",
             "graft", "o_orderkey"), blackhole, 0L)
-        DriveCost.record(base, "q159", driveT0)
+        DriveCost.record(base, "q159", driveT0, dir)
         q159Driven.add(base); ()
       }
     }
@@ -3366,7 +3366,7 @@ object PipelineQueries {
           EsSink.Config("http://graft-local/lww_orders_q165", "graft",
             "graft", "o_orderkey"),
           new EsSink.FileDocStore(store), 0L)
-        DriveCost.record(base, "q165", driveT0)
+        DriveCost.record(base, "q165", driveT0, dir)
         q165Driven.add(base); ()
       }
     }
@@ -3482,7 +3482,7 @@ object PipelineQueries {
         fixed.applyBatch(fixed.changeRows(
           rawOf(s"$myFeed/replay_expect_orders_replay_9000000000.json")),
           cfg, sink, 1L)
-        DriveCost.record(base, "q167", driveT0)
+        DriveCost.record(base, "q167", driveT0, dir)
         q167Driven.add(base); ()
       }
     }
@@ -3608,7 +3608,7 @@ object PipelineQueries {
           tsMs = epoch)
         // drive 2: only the replayed file drains, through the FIXED rule
         fixed.runOnce(spark, myFeed, work)
-        DriveCost.record(base, "q168", driveT0)
+        DriveCost.record(base, "q168", driveT0, dir)
         q168Driven.add(base); ()
       }
     }
@@ -3730,7 +3730,7 @@ object PipelineQueries {
         val feed = publishDriftFeed(spark, dir, base)
         ensureVecPostings(url, "postings_q169")
         pipeline.runOnce(spark, feed, s"$base/work")
-        DriveCost.record(base, "q169", driveT0)
+        DriveCost.record(base, "q169", driveT0, dir)
         q169Driven.add(base); ()
       }
     }
@@ -3944,7 +3944,7 @@ object PipelineQueries {
         // conf — `note` now tolerated, the bad-typed rows re-judged
         // (and re-quarantined) by the same fixed rule
         pipe(1000L).runOnce(spark, feed, work)
-        DriveCost.record(base, "q172", driveT0)
+        DriveCost.record(base, "q172", driveT0, dir)
         q172Driven.add(base); ()
       }
     }
@@ -4132,7 +4132,7 @@ object PipelineQueries {
           }
         } finally c.close()
         pipeline.runOnce(spark, feed, s"$base/work")
-        DriveCost.record(base, "q174", driveT0)
+        DriveCost.record(base, "q174", driveT0, dir)
         q174Driven.add(base); ()
       }
     }
@@ -4282,7 +4282,7 @@ object PipelineQueries {
           tsMs = epoch)
         // drive 2: only the replayed file drains, through the FIXED rule
         fixed.runOnce(spark, myFeed, work)
-        DriveCost.record(base, "q176", driveT0)
+        DriveCost.record(base, "q176", driveT0, dir)
         q176Driven.add(base); ()
       }
     }
@@ -4376,7 +4376,7 @@ object PipelineQueries {
         fixed.replayExpectDeadLetters(spark, work, myFeed, "shop",
           tsMs = epoch)
         fixed.runOnce(spark, myFeed, work)
-        DriveCost.record(base, "q177", driveT0)
+        DriveCost.record(base, "q177", driveT0, dir)
         q177Driven.add(base); ()
       }
     }
@@ -4483,7 +4483,7 @@ object PipelineQueries {
           "q178: the rebuild must close the quarantine — nothing " +
             "violates the widened cap")
         java.nio.file.Files.createFile(doneMark)
-        DriveCost.record(base, "q178", driveT0)
+        DriveCost.record(base, "q178", driveT0, dir)
         q178Driven.add(base); ()
       }
     }
@@ -4612,7 +4612,7 @@ object PipelineQueries {
           "q179: the rebuild must close the quarantine — nothing " +
             "violates the widened cap")
         java.nio.file.Files.createFile(doneMark)
-        DriveCost.record(base, "q179", driveT0)
+        DriveCost.record(base, "q179", driveT0, dir)
         q179Driven.add(base); ()
       }
     }

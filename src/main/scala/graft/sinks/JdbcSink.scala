@@ -331,6 +331,16 @@ object JdbcSink {
   private[graft] val TableExistsStates: Set[String] =
     Set("X0Y32", "42P07", "42S01", "S0001", "42101")
 
+  /** SQLStates that mean "column already exists" — the benign half of
+    * two concurrent ALTER TABLE ... ADD COLUMN racers (the schema
+    * migrations probe metadata first, so only the race's loser ever
+    * lands here): Derby X0Y32 (one state for every duplicate schema
+    * object), Postgres 42701, MySQL 42S21, SQL Server S0021, H2
+    * '42121' (numeric DUPLICATE_COLUMN_NAME code as SQLState).
+    */
+  private[graft] val DuplicateColumnStates: Set[String] =
+    Set("X0Y32", "42701", "42S21", "S0021", "42121")
+
   /** DROP a table if present (store-version retirement): swallows ONLY
     * table-absent — a lock or permission failure must fail loud, or a
     * superseded store version silently survives forever.

@@ -179,7 +179,8 @@ object PipelineMetrics {
            | PRIMARY KEY ("pipeline", "batch_id"))"""
           .stripMargin.replace("\n", ""))
       catch {
-        case e: java.sql.SQLException if e.getSQLState == "X0Y32" =>
+        case e: java.sql.SQLException
+            if graft.sinks.JdbcSink.TableExistsStates(e.getSQLState) =>
           // pre-existing table from before the truncation flag: widen
           // in place (additive, nullable — old verdict rows read NULL
           // = not truncated). Existence-checked via metadata, so the
@@ -207,8 +208,13 @@ object PipelineMetrics {
             catch {
               // two ensureDriftTable callers can both probe 'missing';
               // the loser's ALTER hitting column-already-exists is the
-              // benign half of that race, not a failure
-              case e2: java.sql.SQLException if e2.getSQLState == "X0Y32" =>
+              // benign half of that race, not a failure — matched via
+              // the multi-vendor duplicate-column set, not Derby's
+              // state alone, so Postgres/MySQL deployments get the
+              // same benign-race semantics as the embedded default
+              case e2: java.sql.SQLException
+                  if graft.sinks.JdbcSink.DuplicateColumnStates(
+                    e2.getSQLState) =>
             }
             ()
           }
@@ -911,6 +917,45 @@ object PipelineMetrics {
           s.isDirectory && s.getPath.getName.startsWith("batch_id="))
         fs.delete(p, true)
         ()
+      }
+    }
+    retired
+  }
+
+  /** SWAP a pipeline's quarantine for the one a SUCCESSFUL store
+    * rebuild staged under a sibling dead-letter root — the online
+    * rebuild's quarantine seam
+    * ([[graft.streaming.SearchServingPipeline.rebuildStoreOnline]]):
+    * the build writes its letters into `stagingDir` (never the live
+    * tree), so the SERVING store's quarantine stays intact through the
+    * whole build — and through any number of FAILED builds, the r15
+    * review's operator-visible window. Only after the build succeeded
+    * does this verb retire the live `_expect`/`_drift` subtrees and
+    * RENAME the staged ones into place (kind markers travel with
+    * them). Lives HERE with [[retireDeadLetterSubtrees]] so the
+    * subtree layout and name sanitization keep exactly one definition.
+    *
+    * Returns the number of retired (previously live) batch partitions.
+    */
+  def adoptStagedDeadLetters(spark: org.apache.spark.sql.SparkSession,
+      deadLetterDir: String, stagingDir: String, pipeline: String): Long = {
+    val retired = retireDeadLetterSubtrees(spark, deadLetterDir, pipeline)
+    val safe = sanitizedPipeline(pipeline)
+    Seq("_expect", "_drift").foreach { sub =>
+      val src = new org.apache.hadoop.fs.Path(
+        s"$stagingDir/$sub/pipeline=$safe")
+      val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(src)) {
+        val dst = new org.apache.hadoop.fs.Path(
+          s"$deadLetterDir/$sub/pipeline=$safe")
+        fs.mkdirs(dst.getParent)
+        // rename, not copy: one metadata op per subtree, and a failure
+        // (cross-filesystem staging, permission) must fail LOUD before
+        // the pointer flips — a silently empty quarantine for a store
+        // that did drop rows would read as "nothing quarantined"
+        require(fs.rename(src, dst),
+          s"adoptStagedDeadLetters: rename $src -> $dst failed; the " +
+            "staged quarantine and dead-letter dir must share a filesystem")
       }
     }
     retired

@@ -390,6 +390,25 @@ object PipelineRegistry {
       v.asLong()
     }
 
+  /** Grace window before an online rebuild's superseded store versions
+    * retire ([[SearchServingPipeline.rebuildStoreOnline]] step 5) — 0
+    * (the default) retires immediately at the flip, the single-process
+    * contract; a multi-driver deployment declares a window and the
+    * watcher's maintenance tick sweeps once it elapses. Same fail-loud
+    * discipline as deadLetterRetentionMs: a "5m" string or a sign typo
+    * must not register as "retire immediately".
+    */
+  private def parseRetireAfter(f: File,
+      node: com.fasterxml.jackson.databind.JsonNode): Long =
+    if (!node.hasNonNull("retireAfterMs")) 0L
+    else {
+      val v = node.get("retireAfterMs")
+      require(v.isNumber && v.canConvertToLong && v.asLong() >= 0L,
+        s"${f.getName}: retireAfterMs must be a non-negative integer " +
+          s"of milliseconds, got ${v.toString}")
+      v.asLong()
+    }
+
   /** Validate a conf's declared pipeline name at registration: the
     * name keys metrics rows, verdict rows, query names AND dead-letter
     * partition paths, so it must be the path-safe charset — otherwise
@@ -852,7 +871,8 @@ object PipelineRegistry {
             searchMetrics, searchDlDir),
           deadLetterDir = searchDlDir,
           driftCheck = sDrift, driftPolicy = sDriftPol,
-          deadLetterRetentionMs = parseDlRetention(f, node))
+          deadLetterRetentionMs = parseDlRetention(f, node),
+          retireAfterMs = parseRetireAfter(f, node))
         Some(SearchEntry(pipeline, f.getAbsolutePath, f.lastModified()))
       }
     }}

@@ -231,6 +231,19 @@ final class PipelineWatcher(
       e.pipeline.scheduleRetrainIfStale(workDir(e.file))
       ()
     }
+    // ...and retire any search conf's grace-kept superseded store
+    // versions whose retireAfterMs window has elapsed since the flip
+    // (sweepSupersededVersions self-heals every crash point and is a
+    // fast no-op when nothing is pending); per-conf failure logs and
+    // the tick continues — maintenance must not take down serving
+    searchEntries.values.foreach { e =>
+      try { e.pipeline.sweepSupersededVersions(spark, workDir(e.file)); () }
+      catch {
+        case ex: Exception => System.err.println(
+          s"[PipelineWatcher] superseded-version sweep failed for " +
+            s"${e.pipeline.name}: ${ex.getMessage}")
+      }
+    }
     // warehouse maintenance on the watcher cadence (`maintainEveryMs`
     // > 0) — the scheduler [[graft.cdc.DeltaLog.maintain]] documents:
     // compact any log whose active generation exceeds

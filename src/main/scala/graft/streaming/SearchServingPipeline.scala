@@ -60,10 +60,13 @@ final case class SearchServingPipeline(
     deadLetterDir: Option[String] = None,
     driftCheck: Boolean = false,
     driftPolicy: Option[CdcPipeline.DriftPolicy] = None,
-    deadLetterRetentionMs: Long = 0L) {
+    deadLetterRetentionMs: Long = 0L,
+    retireAfterMs: Long = 0L) {
 
   require(deadLetterRetentionMs == 0L || deadLetterDir.isDefined,
     s"search $name: deadLetterRetentionMs needs a deadLetterDir")
+  require(retireAfterMs >= 0L,
+    s"search $name: retireAfterMs must be non-negative, got $retireAfterMs")
 
   graft.ops.Profile.requireEnforceable("search", name, expectations,
     metrics, deadLetterDir)
@@ -189,6 +192,144 @@ final case class SearchServingPipeline(
       } catch { case e: Throwable => c.rollback(); throw e }
       finally st.close()
     } finally c.close()
+  }
+
+  // -------- RETIREMENT GRACE (the multi-driver extension, r16) --------
+
+  /** One-row due-clock for grace-deferred retirement: when the conf
+    * declares `retireAfterMs > 0`, the flip leaves every superseded
+    * version's tables READABLE and records the wall-clock after which
+    * [[sweepSupersededVersions]] (the watcher's maintenance tick) may
+    * retire them — a reader in ANOTHER driver that resolved the
+    * pointer just before the flip keeps answering from the old store
+    * through the window instead of failing loud mid-read.
+    */
+  private def retireTable: String = s"${postingsTable}_retire"
+
+  private def scheduleRetirement(dueAtMs: Long): Unit = {
+    JdbcSink.createTableIfAbsent(jdbcUrl,
+      s"""CREATE TABLE $retireTable ("due_at" BIGINT NOT NULL)""")
+    val c = java.sql.DriverManager.getConnection(jdbcUrl)
+    try {
+      c.setAutoCommit(false)
+      val st = c.createStatement()
+      try {
+        st.executeUpdate(s"DELETE FROM $retireTable")
+        st.execute(s"INSERT INTO $retireTable VALUES ($dueAtMs)")
+        c.commit()
+      } catch { case e: Throwable => c.rollback(); throw e }
+      finally st.close()
+    } finally c.close()
+  }
+
+  private def retirementDue(): Option[Long] = {
+    val c = java.sql.DriverManager.getConnection(jdbcUrl)
+    try {
+      val st = c.createStatement()
+      try {
+        val rs = st.executeQuery(s"""SELECT "due_at" FROM $retireTable""")
+        try { if (rs.next()) Some(rs.getLong(1)) else None }
+        finally rs.close()
+      } catch {
+        case e: java.sql.SQLException
+            if JdbcSink.TableAbsentStates(e.getSQLState) => None
+      } finally st.close()
+    } finally c.close()
+  }
+
+  private def clearRetirementRow(): Unit = {
+    val c = java.sql.DriverManager.getConnection(jdbcUrl)
+    try {
+      val st = c.createStatement()
+      try { st.executeUpdate(s"DELETE FROM $retireTable"); () }
+      catch {
+        case e: java.sql.SQLException
+            if JdbcSink.TableAbsentStates(e.getSQLState) => ()
+      } finally st.close()
+    } finally c.close()
+  }
+
+  private def tableExists(table: String): Boolean = {
+    val c = java.sql.DriverManager.getConnection(jdbcUrl)
+    try {
+      val st = c.createStatement()
+      try { st.executeQuery(s"SELECT 1 FROM $table WHERE 1=0").close(); true }
+      catch {
+        case e: java.sql.SQLException
+            if JdbcSink.TableAbsentStates(e.getSQLState) => false
+      } finally st.close()
+    } finally c.close()
+  }
+
+  /** Any surface of store version `u` still present? (tables, work
+    * root, or a crashed build attempt's staged quarantine) — the
+    * sweep's "anything pending" probe.
+    */
+  private def versionSurfacesExist(spark: SparkSession, workRoot: String,
+      u: Int): Boolean = {
+    val (pt, lt) = tablesAt(u)
+    if (tableExists(pt) || tableExists(lt)) true
+    else {
+      val wp = new org.apache.hadoop.fs.Path(workRootAt(workRoot, u))
+      wp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(wp)
+    }
+  }
+
+  /** Retire every store version below `v`: tables, progress markers,
+    * work roots, and any crashed build attempt's staged quarantine.
+    * Dropping an already-retired version is a no-op — crash-idempotent
+    * by construction (the flip-then-sweep contract).
+    */
+  private def retireVersionsBelow(spark: SparkSession, workRoot: String,
+      v: Int): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    (0 until v).foreach { u =>
+      val (pt, lt) = tablesAt(u)
+      Seq(pt, lt, s"${pt}_progress", s"${lt}_progress")
+        .foreach(JdbcSink.dropTableIfExists(jdbcUrl, _))
+      val owp = new org.apache.hadoop.fs.Path(workRootAt(workRoot, u))
+      owp.getFileSystem(hconf).delete(owp, true)
+      // a build attempt AT version u that crashed pre-adoption leaves
+      // its staged quarantine behind; it is superseded garbage now
+      deadLetterDir.foreach { d =>
+        val sp = new org.apache.hadoop.fs.Path(stagedDeadLetterDir(d, u))
+        sp.getFileSystem(hconf).delete(sp, true)
+        ()
+      }
+      ()
+    }
+  }
+
+  /** MAINTENANCE SWEEP for grace-deferred retirement — called by
+    * [[PipelineWatcher]]'s maintenance tick (and safe to call from any
+    * operator harness): retires every superseded store version once
+    * the conf's `retireAfterMs` window has elapsed since the flip.
+    * Self-healing at every crash point: with no due-clock row but
+    * superseded surfaces present (a crash between the flip and the
+    * schedule, or a pre-grace orphan), an immediate-retirement conf
+    * (`retireAfterMs == 0`) retires them NOW, and a grace conf
+    * conservatively RESTARTS the clock — a window that errs longer
+    * never strands a reader mid-grace. Returns the number of versions
+    * retired by THIS call.
+    */
+  def sweepSupersededVersions(spark: SparkSession, workRoot: String,
+      nowMs: Long = System.currentTimeMillis()): Int = {
+    val v = currentVersion()
+    if (v == 0) 0
+    else {
+      val stale = (0 until v).filter(versionSurfacesExist(spark, workRoot, _))
+      if (stale.isEmpty) { clearRetirementRow(); 0 }
+      else if (retireAfterMs <= 0L) {
+        retireVersionsBelow(spark, workRoot, v); clearRetirementRow()
+        stale.size
+      } else retirementDue() match {
+        case Some(due) if nowMs >= due =>
+          retireVersionsBelow(spark, workRoot, v); clearRetirementRow()
+          stale.size
+        case Some(_) => 0
+        case None => scheduleRetirement(nowMs + retireAfterMs); 0
+      }
+    }
   }
 
   /** REBUILD CONTRACT: the additive-merge progress markers are keyed by
@@ -398,6 +539,17 @@ final case class SearchServingPipeline(
     retired
   }
 
+  /** The staging root a build attempt at version `v` quarantines
+    * into — a sibling of the live `_expect`/`_drift` subtrees under
+    * the same dead-letter dir (underscore-prefixed: invisible to the
+    * partitioned parquet reads, same filesystem so adoption is a
+    * RENAME). Keyed by target version, so a crashed attempt's leftover
+    * is found both by its retry (same version) and by the superseded
+    * sweep (version ≤ current).
+    */
+  private def stagedDeadLetterDir(deadLetterRoot: String, v: Int): String =
+    s"$deadLetterRoot/_rebuild_v$v"
+
   /** ONLINE rebuild — the zero-downtime variant of [[rebuildStore]],
     * mechanizing the swap the offline verb's scaladoc used to leave to
     * the operator. The quantizer-generation retrain-and-swap pattern
@@ -407,35 +559,48 @@ final case class SearchServingPipeline(
     *  1. the NEXT version's tables (`<declared>_v<N>`) are created
     *     fresh (a crashed previous attempt at the same version is
     *     dropped wholesale first — its pointer never flipped, so
-    *     nothing ever served from it);
-    *  2. this conf's quarantine retires (its verdicts are re-derived
-    *     in full below — still-bad rows re-quarantine under the new
-    *     store's batch ids during the build);
-    *  3. the ENTIRE bronze feed re-drives through the evolved conf's
+    *     nothing ever served from it — along with its staged
+    *     quarantine);
+    *  2. the ENTIRE bronze feed re-drives through the evolved conf's
     *     normal judged path into the new tables under a SIBLING work
-    *     root (`<workRoot>_v<N>`) — the serving tables are never
-    *     touched, so [[servedBm25]] answers from the old store
-    *     throughout the build;
+    *     root (`<workRoot>_v<N>`), quarantining into a STAGED
+    *     dead-letter root ([[stagedDeadLetterDir]]) — neither the
+    *     serving tables nor the live quarantine are touched, so
+    *     [[servedBm25]] answers from the old store throughout the
+    *     build and a build that fails (even persistently) leaves the
+    *     serving store's dead letters fully listed and replayable;
+    *  3. only after the build SUCCEEDED, the live quarantine retires
+    *     and the staged one renames into its place
+    *     ([[PipelineMetrics.adoptStagedDeadLetters]]) — still-bad rows
+    *     under the evolved policy arrive already re-judged, under the
+    *     new store's batch ids;
     *  4. the pointer flips in ONE single-row transaction — readers
     *     resolve the pointer once per call and read both tables of
     *     that version, so a query sees the old store or the new one,
     *     never a mix;
-    *  5. EVERY superseded version retires: tables, their progress
-    *     markers, and work roots — sweeping all versions below the
-    *     flipped one keeps the verb crash-idempotent (a crash between
-    *     the flip and the sweep leaves an orphan the NEXT run's sweep
-    *     still catches).
+    *  5. superseded versions retire: immediately when `retireAfterMs`
+    *     is 0 (single-process contract — an in-flight reader of the
+    *     old tables fails loud, never reads stale), or after the
+    *     conf's grace window when `retireAfterMs > 0` (multi-driver
+    *     contract — [[sweepSupersededVersions]] on the watcher's
+    *     maintenance tick retires them once the recorded due-clock
+    *     elapses, so a reader that resolved the pointer pre-flip keeps
+    *     answering through the window). Sweeping ALL versions below
+    *     the flipped one keeps the verb crash-idempotent (a crash
+    *     between the flip and the sweep leaves an orphan the NEXT
+    *     sweep still catches).
     *
     * After the flip the conf's own [[runOnce]]/[[start]] resolve to
     * the new version and continue from the build's checkpoints — feed
     * events that arrived DURING the build drain on the next normal
     * trigger, exactly once (fresh checkpoints + progress markers).
-    * Single-process contract: readers in flight on the old tables at
-    * step 5 fail loud (table dropped), never read stale — a
-    * multi-driver deployment adds a retirement grace period instead.
-    * A LIVE writer of the old version must be stopped before the verb
-    * (the normal restart-from-checkpoint upgrade); its post-flip
-    * writes would target dropped tables and fail loud, not corrupt.
+    * Crash windows, all bounded: between adoption and flip, the OLD
+    * store briefly serves with the NEW letters listed (the retry
+    * re-judges and re-adopts); between flip and schedule/sweep, the
+    * sweep self-heals ([[sweepSupersededVersions]]). A LIVE writer of
+    * the old version must be stopped before the verb (the normal
+    * restart-from-checkpoint upgrade); its post-flip writes would
+    * target dropped tables and fail loud, not corrupt.
     *
     * Returns the number of retired dead-letter partitions.
     */
@@ -447,42 +612,41 @@ final case class SearchServingPipeline(
     val newWr = workRootAt(workRoot, next)
     val hconf = spark.sparkContext.hadoopConfiguration
     // 1. fresh next-version surfaces (idempotent crash-retry: drop the
-    //    unfinished attempt's tables/checkpoints and rebuild)
+    //    unfinished attempt's tables/checkpoints/staged letters and
+    //    rebuild)
     val nwp = new org.apache.hadoop.fs.Path(newWr)
     nwp.getFileSystem(hconf).delete(nwp, true)
     Seq(newPt, newLt, s"${newPt}_progress", s"${newLt}_progress")
       .foreach(JdbcSink.dropTableIfExists(jdbcUrl, _))
     ensureStoreTables(newPt, newLt)
-    // 2. quarantine retires BEFORE the build, not after the flip: the
-    //    build's own re-drive writes this conf's NEW letters into the
-    //    same subtree (still-bad rows under the evolved policy), so a
-    //    post-flip retirement would delete exactly those. The crash
-    //    window this opens — old store serving with its quarantine
-    //    already retired — is bounded by the letters being DERIVED
-    //    state: the retry's full-feed re-drive re-derives every
-    //    verdict, so nothing is lost, only temporarily unlisted.
-    val retired = deadLetterDir.fold(0L)(dir =>
-      PipelineMetrics.retireDeadLetterSubtrees(spark, dir, name))
-    // 3. build BESIDE: the old store keeps serving; the twin's own
-    //    pointer lookup never exists, so it binds the _v<N> names
-    val twin = copy(postingsTable = newPt, lensTable = newLt)
-    twin.driveOnce(spark, feedDir, newWr)
-    // 4. the atomic flip
-    flipPointer(next)
-    // 5. retire EVERY superseded version, not just the immediate
-    //    predecessor: a crash between the flip and this sweep would
-    //    otherwise orphan the pre-flip version forever (the retry
-    //    resolves the flipped pointer and would only ever look one
-    //    version back). Dropping an already-retired version is a
-    //    no-op, so the sweep is crash-idempotent.
-    (0 until next).foreach { v =>
-      val (pt, lt) = tablesAt(v)
-      Seq(pt, lt, s"${pt}_progress", s"${lt}_progress")
-        .foreach(JdbcSink.dropTableIfExists(jdbcUrl, _))
-      val owp = new org.apache.hadoop.fs.Path(workRootAt(workRoot, v))
-      owp.getFileSystem(hconf).delete(owp, true)
+    val stagingDl = deadLetterDir.map(stagedDeadLetterDir(_, next))
+    stagingDl.foreach { s =>
+      val sp = new org.apache.hadoop.fs.Path(s)
+      sp.getFileSystem(hconf).delete(sp, true)
       ()
     }
+    // 2. build BESIDE with a STAGED quarantine: the old store keeps
+    //    serving and its dead letters stay listed through the whole
+    //    build (and through any FAILED build — the letters only move
+    //    after success, step 3); the twin's own pointer lookup never
+    //    exists, so it binds the _v<N> names directly
+    val twin = copy(postingsTable = newPt, lensTable = newLt,
+      deadLetterDir = stagingDl)
+    twin.driveOnce(spark, feedDir, newWr)
+    // 3. the build succeeded: retire the old quarantine and adopt the
+    //    staged one (kind markers travel with the rename)
+    val retired = stagingDl.fold(0L) { staged =>
+      val r = PipelineMetrics.adoptStagedDeadLetters(spark,
+        deadLetterDir.get, staged, name)
+      val sp = new org.apache.hadoop.fs.Path(staged)
+      sp.getFileSystem(hconf).delete(sp, true) // empty shell
+      r
+    }
+    // 4. the atomic flip
+    flipPointer(next)
+    // 5. retire superseded versions — now, or on the grace clock
+    if (retireAfterMs <= 0L) retireVersionsBelow(spark, workRoot, next)
+    else scheduleRetirement(System.currentTimeMillis() + retireAfterMs)
     retired
   }
 

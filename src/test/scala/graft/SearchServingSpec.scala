@@ -371,4 +371,153 @@ class SearchServingSpec extends SparkSpec {
         new java.util.Properties()).count()).isFailure,
       "the sweep retires EVERY superseded version, orphans included")
   }
+
+  test("a FAILED online rebuild leaves the serving store AND its quarantine intact; the retry swaps both") {
+    import graft.ops.Profile
+    import graft.streaming.PipelineMetrics
+    import org.apache.spark.sql.functions.col
+    val url = "jdbc:derby:memory:graftsearchfb;create=true"
+    val target = PipelineMetrics.Target(url, "metrics_fb")
+    PipelineMetrics.ensureTable(target)
+    PipelineMetrics.ensureExpectTable(target)
+    val dead = Files.createTempDirectory("graft_srchfb_dead_").toString
+    def pipe(rules: Seq[Profile.Rule]) = SearchServingPipeline(
+      name = "srchfb", databases = Set("shop"), table = "documents",
+      idField = "doc_id", textField = "text",
+      jdbcUrl = url, postingsTable = "postings_fb", lensTable = "doclens_fb",
+      metrics = Some(target), deadLetterDir = Some(dead),
+      expectations = rules)
+    pipe(Nil).ensureStoreTables()
+    val feedDir = Files.createTempDirectory("graft_srchfb_feed_").toFile
+    val work = Files.createTempDirectory("graft_srchfb_work_").toString + "/w"
+    val qTokens = Seq("vector", "stream")
+    val corpus = Seq(1L -> "vector search over stream data",
+      2L -> "stream join semantics", 50L -> "vector stores at scale")
+    Files.write(new java.io.File(feedDir, "000.json").toPath,
+      corpus.zipWithIndex.map { case ((id, t), i) =>
+        wire(d(id, t), null, "c", 10, i + 1L) }.asJava)
+    val cap = Seq(Profile.InRange("doc_cap", "doc_id", 0.0, 10.0,
+      action = Profile.Drop))
+
+    // drive 1 under a strict cap: doc 50 quarantines
+    pipe(cap).runOnce(spark, feedDir.toString, work)
+    def letters(): Long = PipelineMetrics.expectDeadLetters(spark, dead)
+      .filter(col("pipeline") === "srchfb").count()
+    val lettersBefore = letters()
+    assert(lettersBefore > 0L, "the strict cap must actually quarantine")
+    def scores(p: SearchServingPipeline): Map[Long, Double] =
+      p.servedBm25(spark, qTokens).as[(Long, Double)].collect().toMap
+    val oldScores = scores(pipe(cap))
+    assert(!oldScores.contains(50L))
+
+    // a rebuild whose evolved conf HALTS during the build: the verb
+    // fails, and — the r15 review's operator-visible window — the old
+    // store must keep serving WITH its quarantine fully listed (the
+    // build quarantined into the staged root, never the live tree)
+    val halting = pipe(cap :+ Profile.InRange("tf_halt", "tf", 0.0, 0.5,
+      action = Profile.Halt)) // every posting has tf >= 1: trips at once
+    intercept[Exception](
+      halting.rebuildStoreOnline(spark, feedDir.toString, work))
+    assert(halting.currentVersion() == 0,
+      "a failed build must never flip the pointer")
+    assert(letters() == lettersBefore,
+      "a failed build must not retire or dilute the serving quarantine")
+    assert(scores(pipe(cap)) == oldScores,
+      "the old store keeps serving through a failed build")
+
+    // the retry under a good widened conf succeeds: pointer flips, the
+    // quarantine swaps to the new store's (empty — nothing violates)
+    val widened = pipe(Seq(Profile.InRange("doc_cap", "doc_id", 0.0, 1e9,
+      action = Profile.Drop)))
+    widened.rebuildStoreOnline(spark, feedDir.toString, work)
+    assert(widened.currentVersion() == 1)
+    assert(letters() == 0L, "the successful swap adopts the staged " +
+      "(clean) quarantine in place of the old letters")
+    val newScores = scores(widened)
+    assert(newScores.contains(50L))
+    val batch = CorpusOps.bm25(corpus.toDF("doc_id", "text"),
+      "doc_id", "text", qTokens).as[(Long, Double)].collect().toMap
+    assert(newScores.keySet == batch.keySet)
+    newScores.foreach { case (id, s) =>
+      assert(math.abs(s - batch(id)) < 1e-9) }
+    // no staging residue under the dead-letter dir
+    assert(!Files.exists(java.nio.file.Paths.get(s"$dead/_rebuild_v1")),
+      "the adopted staging root must not linger")
+  }
+
+  test("retireAfterMs grace: superseded versions stay readable until the sweep's clock elapses; the sweep self-heals a lost clock") {
+    import graft.streaming.PipelineMetrics
+    val url = "jdbc:derby:memory:graftsearchgr;create=true"
+    val target = PipelineMetrics.Target(url, "metrics_gr")
+    PipelineMetrics.ensureTable(target)
+    val graceMs = 300000L
+    def pipe() = SearchServingPipeline(
+      name = "srchgr", databases = Set("shop"), table = "documents",
+      idField = "doc_id", textField = "text",
+      jdbcUrl = url, postingsTable = "postings_gr", lensTable = "doclens_gr",
+      metrics = Some(target), retireAfterMs = graceMs)
+    pipe().ensureStoreTables()
+    val feedDir = Files.createTempDirectory("graft_srchgr_feed_").toFile
+    val work = Files.createTempDirectory("graft_srchgr_work_").toString + "/w"
+    val qTokens = Seq("vector", "stream")
+    val corpus = Seq(1L -> "vector search over stream data",
+      2L -> "stream join semantics")
+    Files.write(new java.io.File(feedDir, "000.json").toPath,
+      corpus.zipWithIndex.map { case ((id, t), i) =>
+        wire(d(id, t), null, "c", 10, i + 1L) }.asJava)
+    val p = pipe()
+    p.runOnce(spark, feedDir.toString, work)
+    val oldScores = p.servedBm25(spark, qTokens)
+      .as[(Long, Double)].collect().toMap
+    assert(oldScores.nonEmpty)
+
+    // online rebuild under the grace conf: the flip happens, but v0's
+    // tables and work root SURVIVE it — a reader in another driver
+    // that resolved the pointer pre-flip keeps answering from them
+    p.rebuildStoreOnline(spark, feedDir.toString, work)
+    assert(p.currentVersion() == 1)
+    def v0Readable(): Boolean = scala.util.Try(
+      spark.read.jdbc(url, "postings_gr",
+        new java.util.Properties()).count()).isSuccess
+    assert(v0Readable(), "grace must leave the superseded tables readable")
+    assert(Files.exists(java.nio.file.Paths.get(work)),
+      "grace must leave the superseded work root")
+    // the pinned reader's answer is the OLD store's, byte-equal
+    val pinned = CorpusOps.bm25FromIndex(
+      spark.read.jdbc(url, "postings_gr", new java.util.Properties())
+        .selectExpr("token", "CAST(doc_id AS LONG) doc_id",
+          "CAST(tf AS LONG) tf"),
+      spark.read.jdbc(url, "doclens_gr", new java.util.Properties())
+        .selectExpr("CAST(doc_id AS LONG) doc_id", "CAST(len AS LONG) len"),
+      qTokens).as[(Long, Double)].collect().toMap
+    assert(pinned.keySet == oldScores.keySet)
+    pinned.foreach { case (id, s) =>
+      assert(math.abs(s - oldScores(id)) < 1e-9) }
+
+    // the sweep before the window elapses is a no-op
+    val now = System.currentTimeMillis()
+    assert(p.sweepSupersededVersions(spark, work, now) == 0)
+    assert(v0Readable())
+    // self-healing: a crash between flip and schedule loses the clock
+    // row — the sweep conservatively RESTARTS it instead of retiring
+    val c = java.sql.DriverManager.getConnection(url)
+    c.createStatement().executeUpdate("DELETE FROM postings_gr_retire")
+    c.close()
+    assert(p.sweepSupersededVersions(spark, work, now) == 0)
+    assert(v0Readable(), "a lost clock must restart the window, not retire")
+    // past the (restarted) window: the sweep retires v0 wholesale
+    assert(p.sweepSupersededVersions(spark, work,
+      now + graceMs + 60000L) == 1)
+    assert(!v0Readable() && !Files.exists(java.nio.file.Paths.get(work)),
+      "the due sweep retires tables and work root")
+    // idempotent: nothing pending afterwards
+    assert(p.sweepSupersededVersions(spark, work,
+      now + graceMs + 60000L) == 0)
+    // the new version serves unchanged throughout
+    val after = p.servedBm25(spark, qTokens)
+      .as[(Long, Double)].collect().toMap
+    assert(after.keySet == oldScores.keySet)
+    after.foreach { case (id, s) =>
+      assert(math.abs(s - oldScores(id)) < 1e-9) }
+  }
 }
