@@ -1038,6 +1038,26 @@ class PropertySpec extends SparkSpec {
       if (trial % 2 == 0)
         pipe(hi = 1e18).rebuildStore(spark, feed.toString, work)
       else {
+        // a FAILED build first (a halt rule every posting trips): the
+        // serving store AND its quarantine must survive untouched —
+        // the build quarantines into the staged root, never the live
+        // tree, and the pointer only flips on success
+        val lettersBefore = PipelineMetrics.expectDeadLetters(spark, dl)
+          .filter($"pipeline" === s"srchp$trial").count()
+        val servedBefore = pipe(hi = 4.0).servedPostings(spark).count()
+        intercept[Exception] {
+          val good = pipe(hi = 1e18)
+          good.copy(expectations = good.expectations :+ Profile.InRange(
+            "halt_all", "tf", -2.0, -1.0, action = Profile.Halt))
+            .rebuildStoreOnline(spark, feed.toString, work)
+        }
+        assert(pipe(hi = 1e18).currentVersion() == 0,
+          "a failed build must never flip the pointer")
+        assert(PipelineMetrics.expectDeadLetters(spark, dl)
+            .filter($"pipeline" === s"srchp$trial").count() == lettersBefore,
+          "a failed build must not retire the serving quarantine")
+        assert(pipe(hi = 4.0).servedPostings(spark).count() == servedBefore,
+          "the old store keeps serving through a failed build")
         pipe(hi = 1e18).rebuildStoreOnline(spark, feed.toString, work)
         assert(pipe(hi = 1e18).currentVersion() == 1)
       }

@@ -701,4 +701,28 @@ class RegistrySpec extends SparkSpec {
       case None => spark.conf.unset("spark.graft.warehouse")
     }
   }
+
+  test("search conf: retireAfterMs parses to the pipeline; a non-numeric value fails naming file + field") {
+    val dir = Files.createTempDirectory("graft_reg_retire_").toFile
+    def conf(retire: String) =
+      s"""{"kind":"search","name":"rg","databases":["shop"],
+         |"table":"documents","idKey":"doc_id","textField":"text",
+         |"jdbc":{"url":"jdbc:derby:memory:regretire;create=true",
+         |"postingsTable":"rg_p","lensTable":"rg_l"}$retire}"""
+        .stripMargin.replace("\n", "")
+    val f = new java.io.File(dir, "rg.json")
+    Files.write(f.toPath, conf(""","retireAfterMs":300000""").getBytes)
+    val e = PipelineRegistry.loadSearch(dir.toString).head
+    assert(e.pipeline.retireAfterMs == 300000L,
+      "the grace window must reach the pipeline")
+    Files.write(f.toPath, conf("").getBytes)
+    assert(PipelineRegistry.loadSearch(dir.toString)
+      .head.pipeline.retireAfterMs == 0L, "absent = retire at the flip")
+    // fail-loud conf discipline: a "5m" string must not register as
+    // "retire immediately"
+    Files.write(f.toPath, conf(""","retireAfterMs":"5m"""").getBytes)
+    val err = intercept[Exception](PipelineRegistry.loadSearch(dir.toString))
+    assert(err.getMessage.contains("rg.json")
+      && err.getMessage.contains("retireAfterMs"))
+  }
 }
