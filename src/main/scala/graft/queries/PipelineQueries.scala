@@ -4619,11 +4619,141 @@ object PipelineQueries {
     pipe(hi = 1e9).servedPostings(spark)
   }
 
+  private val q180Lock = new Object
+  private val q180Driven = java.util.concurrent.ConcurrentHashMap
+    .newKeySet[String]()
+
+  /** Q180: the GRACE-WINDOW retirement contract of the online rebuild
+    * under the oracle gate — q179's multi-driver sibling. A conf with
+    * `retireAfterMs > 0` flips the pointer but leaves the superseded
+    * version's tables READABLE for the window, so a reader in another
+    * driver that resolved the pointer just before the flip keeps
+    * answering from the old store instead of failing loud mid-read;
+    * the watcher's maintenance tick
+    * ([[graft.streaming.SearchServingPipeline.sweepSupersededVersions]])
+    * retires them once the recorded due-clock elapses. The drive
+    * engine-checks the window's two ends with an injected clock (no
+    * wall-clock sleeps): after the flip the v0 tables still answer
+    * and their fingerprint equals the PRE-flip store exactly (the
+    * pinned reader's answers never mutate mid-grace), a sweep inside
+    * the window retires nothing, a sweep past the due-clock retires
+    * exactly the one stale version (tables gone, due-row cleared, the
+    * next sweep is a no-op), and the quarantine closed. The served
+    * postings — read through the flipped pointer — must hash-match
+    * the never-capped post-traffic index: q178's oracle, shared with
+    * q179, because grace changes WHEN the old store dies, never what
+    * the new one serves.
+    */
+  val q180 = QueryDef.sql(
+    "q180_search_retire_grace",
+    """WITH cur AS (SELECT doc_id,
+      |         CASE WHEN doc_id % 3 = 0 THEN text || ' revised edition'
+      |              ELSE text END AS text
+      |       FROM documents WHERE doc_id % 5 <> 0),
+      |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |        FROM cur)
+      |SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf
+      |FROM tok GROUP BY token, doc_id""".stripMargin) { (spark, dir) =>
+    import graft.cdc.{ChangeFeed, DeltaLog}
+    import graft.ops.Profile
+    import graft.streaming.{PipelineMetrics, SearchServingPipeline}
+    val feed = ChangeFeed.stagedDocsJsonl(spark, dir)
+    val fp = graft.sources.Staging.fingerprint(Seq(s"$dir/documents.parquet"))
+    val base = DeltaLog.logBase(spark,
+      s"rbsearchgr_${dir.replaceAll("[^a-zA-Z0-9]", "_")}", fp)
+    val url = s"jdbc:derby:$base/derby;create=true"
+    val target = PipelineMetrics.Target(url, "pipeline_metrics_q180")
+    val dead = s"$base/dead"
+    val graceMs = 3600000L // 1 h: the sweep's clock is injected below
+    def pipe(hi: Double) = SearchServingPipeline(
+      name = "q180", databases = Set("shop"), table = "documents",
+      idField = "doc_id", textField = "text",
+      jdbcUrl = url, postingsTable = "postings_q180",
+      lensTable = "doclens_q180",
+      metrics = Some(target), deadLetterDir = Some(dead),
+      expectations = Seq(Profile.InRange("doc_cap", "doc_id",
+        0.0, hi, action = Profile.Drop)),
+      retireAfterMs = graceMs)
+    q180Lock.synchronized {
+      val driveT0 = System.nanoTime()
+      // q178/q179's crash-retry protocol: the DONE marker gates the
+      // lifecycle across JVMs; REBUILD_STARTED skips the strict stage
+      // on retry. A crash between the flip and the final sweep leaves
+      // v0 inside its grace window — the retry's sweeps converge.
+      val doneMark = java.nio.file.Paths.get(s"$base/_Q180_LIFECYCLE_DONE")
+      val rbMark = java.nio.file.Paths.get(s"$base/_Q180_REBUILD_STARTED")
+      if (!q180Driven.contains(base)
+          && !java.nio.file.Files.exists(doneMark)) {
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(base))
+        PipelineMetrics.ensureTable(target)
+        PipelineMetrics.ensureExpectTable(target)
+        pipe(hi = 100.0).ensureStoreTables()
+        val work = s"$base/work"
+        if (!java.nio.file.Files.exists(rbMark)) {
+          pipe(hi = 100.0).runOnce(spark, feed, work)
+          require(!PipelineMetrics.expectDeadLetters(spark, dead)
+              .filter(col("pipeline") === "q180").isEmpty,
+            "q180: the strict cap must actually quarantine — a vacuous " +
+              "lifecycle certifies nothing")
+          java.nio.file.Files.createFile(rbMark)
+          ()
+        }
+        val widened = pipe(hi = 1e9)
+        def fpOf(df: org.apache.spark.sql.DataFrame): (Long, Long, Long) = {
+          val r = df.agg(count(lit(1)), sum(col("tf").cast("long")),
+            sum(col("doc_id").cast("long") * col("tf").cast("long")))
+            .collect().head
+          (r.getLong(0), Option(r.get(1)).fold(0L)(_ => r.getLong(1)),
+            Option(r.get(2)).fold(0L)(_ => r.getLong(2)))
+        }
+        def v0Postings() = spark.read.jdbc(url, "postings_q180",
+          new java.util.Properties())
+        val wasFlipped = widened.currentVersion() >= 1
+        // preFp: the capped store a pinned reader is mid-read on. On a
+        // crash-retry AFTER the flip the pre-flip store is gone — the
+        // pinned-reader equality check is skipped, the sweep contract
+        // below still certifies.
+        val preFp = if (wasFlipped) None else Some(fpOf(v0Postings()))
+        widened.rebuildStoreOnline(spark, feed, work)
+        require(widened.currentVersion() >= 1, "q180: the pointer must flip")
+        // the grace window holds: v0 still answers, bit-for-bit the
+        // store the flip superseded
+        val v0Now = scala.util.Try(fpOf(v0Postings()))
+        require(v0Now.isSuccess,
+          "q180: grace must leave the superseded tables readable")
+        preFp.foreach(pre => require(v0Now.get == pre,
+          s"q180: a pinned reader's store must not mutate mid-grace — " +
+            s"pre=$pre now=${v0Now.get}"))
+        val now = System.currentTimeMillis()
+        require(widened.sweepSupersededVersions(spark, work, now) == 0
+            && scala.util.Try(fpOf(v0Postings())).isSuccess,
+          "q180: a sweep inside the window must retire nothing")
+        require(widened.sweepSupersededVersions(spark, work,
+            now + graceMs + 60000L) >= 1,
+          "q180: a sweep past the due-clock must retire the stale version")
+        require(scala.util.Try(v0Postings().count()).isFailure,
+          "q180: the swept version's tables must be gone")
+        require(widened.sweepSupersededVersions(spark, work,
+            now + graceMs + 120000L) == 0,
+          "q180: the sweep must be idempotent once the store is clean")
+        require(PipelineMetrics.expectDeadLetters(spark, dead)
+            .filter(col("pipeline") === "q180").isEmpty,
+          "q180: the rebuild must close the quarantine — nothing " +
+            "violates the widened cap")
+        java.nio.file.Files.createFile(doneMark)
+        DriveCost.record(base, "q180", driveT0, dir)
+        q180Driven.add(base); ()
+      }
+    }
+    pipe(hi = 1e9).servedPostings(spark)
+  }
+
   val all: Seq[QueryDef] = Seq(q41, q42, q43, q44, q45, q47, q48, q49,
     q54, q57, q60, q62, q63, q64, q68, q69, q74, q76, q80, q81, q83, q90, q91,
     q94, q98, q122, q125, q127, q128, q129, q130, q131, q133, q134, q135,
     q136, q137, q138, q139, q140, q141, q142, q144, q145, q146, q147, q148,
     q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160,
     q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172,
-    q173, q174, q175, q176, q177, q178, q179)
+    q173, q174, q175, q176, q177, q178, q179, q180)
 }
