@@ -1750,10 +1750,18 @@ object PipelineQueries {
     q141Lock.synchronized {
       val driveT0 = System.nanoTime()
       // memoize only on SUCCESS (q167's rule): the DELETE+INSERT
-      // metrics contract makes a re-drive converge to the same rows,
-      // so later invocations in one JVM read the recorded table
-      // instead of re-paying four full-feed applyBatch drives
-      if (!q141Driven.contains(base)) {
+      // metrics contract makes a re-drive converge to the same rows.
+      // On-disk DONE marker (q178's rule, generalized r16): a
+      // successfully driven store never re-drives in a NEW JVM —
+      // before this gate every bench leg and Verify run re-paid
+      // the full lifecycle drive per process (and re-recorded its
+      // sidecar under that run's load, making the drive-cost gate
+      // compare noise). A crash mid-drive leaves no marker and the
+      // retry converges (the drives are re-entrant by construction
+      // — they re-ran green on completed state every leg until now).
+      val doneMark = java.nio.file.Paths.get(s"$base/_Q141_DRIVE_DONE")
+      if (!q141Driven.contains(base)
+          && !java.nio.file.Files.exists(doneMark)) {
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get(base))
         PipelineMetrics.ensureTable(target)
         val raw = spark.read.schema(org.apache.spark.sql.types.StructType(Seq(
@@ -1783,6 +1791,7 @@ object PipelineQueries {
           "graft", "graft", "c_custkey")
         customer.applyBatch(customer.changeRows(raw), customerCfg,
           blackhole, 0L)
+        java.nio.file.Files.createFile(doneMark)
         DriveCost.record(base, "q141", driveT0, dir)
         q141Driven.add(base); ()
       }
@@ -2273,7 +2282,10 @@ object PipelineQueries {
       val driveT0 = System.nanoTime()
       // memoize only on SUCCESS (q141's rule — verdict rows replay
       // DELETE+INSERT, so a re-drive converges; read, don't re-drive)
-      if (!q151Driven.contains(base)) {
+      // on-disk DONE marker — q141's cross-JVM memoization rule
+      val doneMark = java.nio.file.Paths.get(s"$base/_Q151_DRIVE_DONE")
+      if (!q151Driven.contains(base)
+          && !java.nio.file.Files.exists(doneMark)) {
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get(base))
         PipelineMetrics.ensureTable(target)
         PipelineMetrics.ensureExpectTable(target)
@@ -2297,6 +2309,7 @@ object PipelineQueries {
         orders.applyBatch(events.filter(slot === 0), cfg, blackhole, 0L)
         orders.applyBatch(events.filter(slot.isin(1, 2)), cfg, blackhole, 1L)
         orders.applyBatch(events.filter(slot === 3), cfg, blackhole, 2L)
+        java.nio.file.Files.createFile(doneMark)
         DriveCost.record(base, "q151", driveT0, dir)
         q151Driven.add(base); ()
       }
@@ -2449,7 +2462,10 @@ object PipelineQueries {
       val driveT0 = System.nanoTime()
       // memoize only on SUCCESS: a failed drive must retry on the
       // next invocation, not poison the JVM with a partial store
-      if (!q154Driven.contains(base)) {
+      // on-disk DONE marker — q141's cross-JVM memoization rule
+      val doneMark = java.nio.file.Paths.get(s"$base/_Q154_DRIVE_DONE")
+      if (!q154Driven.contains(base)
+          && !java.nio.file.Files.exists(doneMark)) {
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get(store))
         PipelineMetrics.ensureTable(target)
         PipelineMetrics.ensureExpectTable(target)
@@ -2468,6 +2484,7 @@ object PipelineQueries {
           "graft", "graft", "o_orderkey")
         orders.applyBatch(orders.changeRows(raw), cfg,
           new EsSink.FileDocStore(store), 0L)
+        java.nio.file.Files.createFile(doneMark)
         DriveCost.record(base, "q154", driveT0, dir)
         q154Driven.add(base); ()
       }
@@ -2580,7 +2597,10 @@ object PipelineQueries {
       val driveT0 = System.nanoTime()
       // memoize only on SUCCESS: a failed drive must retry on the
       // next invocation, not poison the JVM with a partial store
-      if (!q156Driven.contains(base)) {
+      // on-disk DONE marker — q141's cross-JVM memoization rule
+      val doneMark = java.nio.file.Paths.get(s"$base/_Q156_DRIVE_DONE")
+      if (!q156Driven.contains(base)
+          && !java.nio.file.Files.exists(doneMark)) {
         val confDir = java.nio.file.Paths.get(s"$base/conf")
         java.nio.file.Files.createDirectories(confDir)
         java.nio.file.Files.write(confDir.resolve("orders_ref.json"),
@@ -2607,6 +2627,7 @@ object PipelineQueries {
         p.applyBatch(p.changeRows(raw),
           EsSink.Config("http://graft-local/lww_orders_q156", "graft",
             "graft", "o_orderkey"), blackhole, 0L)
+        java.nio.file.Files.createFile(doneMark)
         DriveCost.record(base, "q156", driveT0, dir)
         q156Driven.add(base); ()
       }
@@ -2891,7 +2912,10 @@ object PipelineQueries {
       val driveT0 = System.nanoTime()
       // memoize only on SUCCESS: a failed drive must retry on the
       // next invocation, not poison the JVM with a partial store
-      if (!q159Driven.contains(base)) {
+      // on-disk DONE marker — q141's cross-JVM memoization rule
+      val doneMark = java.nio.file.Paths.get(s"$base/_Q159_DRIVE_DONE")
+      if (!q159Driven.contains(base)
+          && !java.nio.file.Files.exists(doneMark)) {
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get(base))
         PipelineMetrics.ensureTable(target)
         PipelineMetrics.ensureDriftTable(target)
@@ -2906,6 +2930,7 @@ object PipelineQueries {
         pipeline.applyBatch(pipeline.changeRows(feed),
           EsSink.Config("http://graft-local/lww_orders_q159", "graft",
             "graft", "o_orderkey"), blackhole, 0L)
+        java.nio.file.Files.createFile(doneMark)
         DriveCost.record(base, "q159", driveT0, dir)
         q159Driven.add(base); ()
       }
@@ -3351,7 +3376,10 @@ object PipelineQueries {
       val driveT0 = System.nanoTime()
       // memoize only on SUCCESS: a failed drive must retry on the
       // next invocation, not poison the JVM with a partial store
-      if (!q165Driven.contains(base)) {
+      // on-disk DONE marker — q141's cross-JVM memoization rule
+      val doneMark = java.nio.file.Paths.get(s"$base/_Q165_DRIVE_DONE")
+      if (!q165Driven.contains(base)
+          && !java.nio.file.Files.exists(doneMark)) {
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get(store))
         PipelineMetrics.ensureTable(target)
         PipelineMetrics.ensureDriftTable(target)
@@ -3366,6 +3394,7 @@ object PipelineQueries {
           EsSink.Config("http://graft-local/lww_orders_q165", "graft",
             "graft", "o_orderkey"),
           new EsSink.FileDocStore(store), 0L)
+        java.nio.file.Files.createFile(doneMark)
         DriveCost.record(base, "q165", driveT0, dir)
         q165Driven.add(base); ()
       }
@@ -3448,7 +3477,10 @@ object PipelineQueries {
       val driveT0 = System.nanoTime()
       // memoize only on SUCCESS: a failed drive must retry on the
       // next invocation, not poison the JVM with a partial store
-      if (!q167Driven.contains(base)) {
+      // on-disk DONE marker — q141's cross-JVM memoization rule
+      val doneMark = java.nio.file.Paths.get(s"$base/_Q167_DRIVE_DONE")
+      if (!q167Driven.contains(base)
+          && !java.nio.file.Files.exists(doneMark)) {
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get(store))
         PipelineMetrics.ensureTable(target)
         PipelineMetrics.ensureExpectTable(target)
@@ -3482,6 +3514,7 @@ object PipelineQueries {
         fixed.applyBatch(fixed.changeRows(
           rawOf(s"$myFeed/replay_expect_orders_replay_9000000000.json")),
           cfg, sink, 1L)
+        java.nio.file.Files.createFile(doneMark)
         DriveCost.record(base, "q167", driveT0, dir)
         q167Driven.add(base); ()
       }
@@ -3571,7 +3604,10 @@ object PipelineQueries {
     q168Lock.synchronized {
       val driveT0 = System.nanoTime()
       // memoize only on SUCCESS (q167's rule): a failed drive retries
-      if (!q168Driven.contains(base)) {
+      // on-disk DONE marker — q141's cross-JVM memoization rule
+      val doneMark = java.nio.file.Paths.get(s"$base/_Q168_DRIVE_DONE")
+      if (!q168Driven.contains(base)
+          && !java.nio.file.Files.exists(doneMark)) {
         java.nio.file.Files.createDirectories(
           java.nio.file.Paths.get(base))
         PipelineMetrics.ensureTable(target)
@@ -3608,6 +3644,7 @@ object PipelineQueries {
           tsMs = epoch)
         // drive 2: only the replayed file drains, through the FIXED rule
         fixed.runOnce(spark, myFeed, work)
+        java.nio.file.Files.createFile(doneMark)
         DriveCost.record(base, "q168", driveT0, dir)
         q168Driven.add(base); ()
       }
@@ -3722,7 +3759,10 @@ object PipelineQueries {
     q169Lock.synchronized {
       val driveT0 = System.nanoTime()
       // memoize only on SUCCESS (q167's rule): a failed drive retries
-      if (!q169Driven.contains(base)) {
+      // on-disk DONE marker — q141's cross-JVM memoization rule
+      val doneMark = java.nio.file.Paths.get(s"$base/_Q169_DRIVE_DONE")
+      if (!q169Driven.contains(base)
+          && !java.nio.file.Files.exists(doneMark)) {
         java.nio.file.Files.createDirectories(
           java.nio.file.Paths.get(base))
         PipelineMetrics.ensureTable(target)
@@ -3730,6 +3770,7 @@ object PipelineQueries {
         val feed = publishDriftFeed(spark, dir, base)
         ensureVecPostings(url, "postings_q169")
         pipeline.runOnce(spark, feed, s"$base/work")
+        java.nio.file.Files.createFile(doneMark)
         DriveCost.record(base, "q169", driveT0, dir)
         q169Driven.add(base); ()
       }
@@ -3916,7 +3957,10 @@ object PipelineQueries {
     q172Lock.synchronized {
       val driveT0 = System.nanoTime()
       // memoize only on SUCCESS (q167's rule): a failed drive retries
-      if (!q172Driven.contains(base)) {
+      // on-disk DONE marker — q141's cross-JVM memoization rule
+      val doneMark = java.nio.file.Paths.get(s"$base/_Q172_DRIVE_DONE")
+      if (!q172Driven.contains(base)
+          && !java.nio.file.Files.exists(doneMark)) {
         java.nio.file.Files.createDirectories(
           java.nio.file.Paths.get(base))
         PipelineMetrics.ensureTable(target)
@@ -3944,6 +3988,7 @@ object PipelineQueries {
         // conf — `note` now tolerated, the bad-typed rows re-judged
         // (and re-quarantined) by the same fixed rule
         pipe(1000L).runOnce(spark, feed, work)
+        java.nio.file.Files.createFile(doneMark)
         DriveCost.record(base, "q172", driveT0, dir)
         q172Driven.add(base); ()
       }
@@ -4100,7 +4145,10 @@ object PipelineQueries {
     q174Lock.synchronized {
       val driveT0 = System.nanoTime()
       // memoize only on SUCCESS (q167's rule): a failed drive retries
-      if (!q174Driven.contains(base)) {
+      // on-disk DONE marker — q141's cross-JVM memoization rule
+      val doneMark = java.nio.file.Paths.get(s"$base/_Q174_DRIVE_DONE")
+      if (!q174Driven.contains(base)
+          && !java.nio.file.Files.exists(doneMark)) {
         java.nio.file.Files.createDirectories(
           java.nio.file.Paths.get(base))
         PipelineMetrics.ensureTable(target)
@@ -4132,6 +4180,7 @@ object PipelineQueries {
           }
         } finally c.close()
         pipeline.runOnce(spark, feed, s"$base/work")
+        java.nio.file.Files.createFile(doneMark)
         DriveCost.record(base, "q174", driveT0, dir)
         q174Driven.add(base); ()
       }
@@ -4249,7 +4298,10 @@ object PipelineQueries {
     q176Lock.synchronized {
       val driveT0 = System.nanoTime()
       // memoize only on SUCCESS (q167's rule): a failed drive retries
-      if (!q176Driven.contains(base)) {
+      // on-disk DONE marker — q141's cross-JVM memoization rule
+      val doneMark = java.nio.file.Paths.get(s"$base/_Q176_DRIVE_DONE")
+      if (!q176Driven.contains(base)
+          && !java.nio.file.Files.exists(doneMark)) {
         java.nio.file.Files.createDirectories(
           java.nio.file.Paths.get(base))
         PipelineMetrics.ensureTable(target)
@@ -4282,6 +4334,7 @@ object PipelineQueries {
           tsMs = epoch)
         // drive 2: only the replayed file drains, through the FIXED rule
         fixed.runOnce(spark, myFeed, work)
+        java.nio.file.Files.createFile(doneMark)
         DriveCost.record(base, "q176", driveT0, dir)
         q176Driven.add(base); ()
       }
@@ -4345,7 +4398,10 @@ object PipelineQueries {
         lo, 1000000.0, action = Profile.Drop)))
     q177Lock.synchronized {
       val driveT0 = System.nanoTime()
-      if (!q177Driven.contains(base)) {
+      // on-disk DONE marker — q141's cross-JVM memoization rule
+      val doneMark = java.nio.file.Paths.get(s"$base/_Q177_DRIVE_DONE")
+      if (!q177Driven.contains(base)
+          && !java.nio.file.Files.exists(doneMark)) {
         java.nio.file.Files.createDirectories(
           java.nio.file.Paths.get(base))
         PipelineMetrics.ensureTable(target)
@@ -4376,6 +4432,7 @@ object PipelineQueries {
         fixed.replayExpectDeadLetters(spark, work, myFeed, "shop",
           tsMs = epoch)
         fixed.runOnce(spark, myFeed, work)
+        java.nio.file.Files.createFile(doneMark)
         DriveCost.record(base, "q177", driveT0, dir)
         q177Driven.add(base); ()
       }
