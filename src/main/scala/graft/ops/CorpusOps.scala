@@ -35,22 +35,114 @@ object CorpusOps {
     * localCheckpoint to truncate the growing lineage (a reliable
     * checkpoint dir does the same on a cluster).
     */
-  def dupClusters(pairs: DataFrame): DataFrame = dupClustersWithRounds(pairs)._1
+  def dupClusters(pairs: DataFrame): DataFrame = {
+    val edges = canonicalEdges(pairs)
+    // DRIVER tier (the PageRank/BFS discipline, guide §2.4 — remove
+    // shuffles outright): a model-sized pair graph collects once and
+    // union-find solves it in memory with the IDENTICAL min-id label
+    // semantics, so the two tiers agree to the bit (CorpusSpec's
+    // union-find oracle + tier-parity test). The distributed star
+    // contraction pays ~7 rounds × ~5 jobs of scheduling floor on a
+    // graph whose whole edge list is smaller than one shuffle block;
+    // over the cap (or a non-orderable id type) nothing changes —
+    // 100-TB pair graphs keep the distributed fixpoint. The count is
+    // limit-bounded so the over-cap probe never scans past the cap.
+    val idOrd = localIdOrdering(edges.schema("u").dataType)
+    if (idOrd.isDefined &&
+        edges.limit(DriverComponentsEdgeCap + 1).count() <= DriverComponentsEdgeCap)
+      localComponents(edges, idOrd.get)
+    else starContraction(edges)._1
+  }
 
   /** [[dupClusters]] plus the number of large-star/small-star rounds it
-    * took to converge (exposed for the O(log n) convergence spec).
+    * took to converge — the DISTRIBUTED tier, directly (exposed for the
+    * O(log n) convergence spec and the tier-parity spec).
     */
-  private[graft] def dupClustersWithRounds(pairs: DataFrame): (DataFrame, Int) = {
-    // canonical (u > v) edge list; self-loops dropped. The eager
-    // localCheckpoint also means the (often expensive) pairs subtree —
-    // q41's is a full MinHash near-dup run — evaluates exactly ONCE;
-    // everything below, including the node set, reads the materialized
-    // edges.
-    var edges = pairs.select(
+  private[graft] def dupClustersWithRounds(pairs: DataFrame): (DataFrame, Int) =
+    starContraction(canonicalEdges(pairs))
+
+  /** Canonical (u > v) edge list; self-loops dropped. The eager
+    * localCheckpoint also means the (often expensive) pairs subtree —
+    * q41's is a full MinHash near-dup run — evaluates exactly ONCE;
+    * everything downstream, including the node set, reads the
+    * materialized edges.
+    */
+  private def canonicalEdges(pairs: DataFrame): DataFrame =
+    pairs.select(
         greatest(col("doc_id_a"), col("doc_id_b")).as("u"),
         least(col("doc_id_a"), col("doc_id_b")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
       .localCheckpoint(true)
+
+  /** Edge-count cap for the driver-tier components solver: 500k edges
+    * collect to a few tens of MB of boxed ids — trivially driver-sized —
+    * while anything larger keeps the distributed star contraction.
+    */
+  private[graft] val DriverComponentsEdgeCap = 500000
+
+  /** Driver-orderable id types: the tiers must agree on `least`/min
+    * semantics, so only types whose SQL ordering the driver can
+    * reproduce exactly qualify (integral widths and strings — Spark's
+    * `least` on binary strings is the same lexicographic compare).
+    */
+  private def localIdOrdering(dt: org.apache.spark.sql.types.DataType)
+      : Option[Ordering[Any]] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        Some(Ordering.by((x: Any) => x.asInstanceOf[Number].longValue))
+      case StringType =>
+        Some(Ordering.by((x: Any) => x.asInstanceOf[String]))
+      case _ => None
+    }
+  }
+
+  /** The driver tier: union-find with min-id roots over the collected
+    * canonical edge list — bit-identical labels to [[starContraction]]
+    * (component label = minimum member id; exactly one canonical row).
+    */
+  private def localComponents(edges: DataFrame, ord: Ordering[Any]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val spark = edges.sparkSession
+    val idType = edges.schema("u").dataType
+    val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+    def find(x0: Any): Any = {
+      var x = x0
+      while (parent(x) != x) {
+        val p = parent(x)
+        parent(x) = parent(p) // path halving
+        x = parent(x)
+      }
+      x
+    }
+    edges.collect().foreach { r =>
+      val u = r.get(0); val v = r.get(1)
+      parent.getOrElseUpdate(u, u)
+      parent.getOrElseUpdate(v, v)
+      val ru = find(u); val rv = find(v)
+      if (ru != rv) {
+        // attach the larger root under the smaller so every root stays
+        // its component's minimum — the distributed tier's label
+        if (ord.lt(ru, rv)) parent(rv) = ru else parent(ru) = rv
+      }
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", idType),
+      org.apache.spark.sql.types.StructField("cluster_id", idType),
+      org.apache.spark.sql.types.StructField("is_canonical",
+        org.apache.spark.sql.types.BooleanType)))
+    val rows = parent.keysIterator.map { id =>
+      val root = find(id)
+      org.apache.spark.sql.Row(id, root, id == root)
+    }.toSeq
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
+  /** The distributed tier: alternating large-star/small-star label
+    * contraction to fixpoint; returns (labels, rounds).
+    */
+  private def starContraction(edges0: DataFrame): (DataFrame, Int) = {
+    var edges = edges0
     val nodes = edges.select(col("u").as("id"))
       .union(edges.select(col("v").as("id"))).distinct().persist()
     def checksum(e: DataFrame): (Long, String) = {
@@ -443,8 +535,17 @@ object CorpusOps {
   // graphs degrade to the old behavior instead of the old driver OOM.
   private[graft] val DriverFrontierCap = 500000
 
+  /** Edge-count cap for the DRIVER-GRAPH tier of [[bfsDistances]] /
+    * [[incrementalBfs]]: under it the whole edge relation collects once
+    * (≤ a few tens of MB of boxed ids) and the entire level loop runs
+    * in memory — ZERO jobs per level instead of one. The probe is
+    * limit-bounded so an over-cap graph never scans past the cap.
+    */
+  private[graft] val DriverEdgeCap = 500000
+
   def bfsDistances(edges: DataFrame, seeds: DataFrame,
-      maxIter: Int = 200, cap: Int = DriverFrontierCap): DataFrame = {
+      maxIter: Int = 200, cap: Int = DriverFrontierCap,
+      edgeCap: Int = DriverEdgeCap): DataFrame = {
     val spark = edges.sparkSession
     val seed0 = seeds.select(col("id")).distinct()
       .select(col("id"), lit(0L).as("dist")).localCheckpoint(true)
@@ -526,6 +627,38 @@ object CorpusOps {
     val outSchema = idSchema.add("dist",
       org.apache.spark.sql.types.LongType, nullable = false)
     val seedIds: Array[Any] = seed0w.select(col("id")).collect().map(_.get(0))
+
+    // DRIVER-GRAPH tier (guide §2.4): a model-sized edge relation
+    // collects ONCE and the whole level loop runs in memory — zero jobs
+    // per level instead of one. Distances are unique (min hop count),
+    // so the output is bit-identical to the frontier tier's. Over the
+    // cap the frontier tier below keeps the one-job-per-level shape and
+    // its distributed spill — 100-TB graphs are untouched.
+    if (edgeCap > 0 && e.limit(edgeCap + 1).count() <= edgeCap) {
+      val adj = scala.collection.mutable.HashMap
+        .empty[Any, scala.collection.mutable.ArrayBuffer[Any]]
+      e.collect().foreach { r =>
+        adj.getOrElseUpdate(r.get(0),
+          scala.collection.mutable.ArrayBuffer.empty[Any]) += r.get(1)
+      }
+      val visited = scala.collection.mutable.HashSet[Any](seedIds.toSeq: _*)
+      val levels = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+      seedIds.foreach(id => levels += org.apache.spark.sql.Row(id, 0L))
+      var frontier: Array[Any] = seedIds
+      var dist = 0L
+      var it = 0
+      while (frontier.nonEmpty && it < maxIter) {
+        val fresh = frontier.iterator
+          .flatMap(id => adj.getOrElse(id, Nil))
+          .filter(visited.add) // add returns true exactly once per id
+          .toArray
+        dist += 1
+        fresh.foreach(id => levels += org.apache.spark.sql.Row(id, dist))
+        frontier = fresh
+        it += 1
+      }
+      return spark.createDataFrame(levels.asJava, outSchema)
+    }
     val visited = scala.collection.mutable.HashSet[Any](seedIds.toSeq: _*)
     val levels = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
     seedIds.foreach(id => levels += org.apache.spark.sql.Row(id, 0L))
@@ -636,13 +769,28 @@ object CorpusOps {
     */
   def incrementalBfs(edges0: DataFrame, dists: DataFrame,
       edgeDeltas: DataFrame, seeds: DataFrame,
-      maxIter: Int = 200, cap: Int = DriverFrontierCap): DataFrame = {
+      maxIter: Int = 200, cap: Int = DriverFrontierCap,
+      edgeCap: Int = DriverEdgeCap): DataFrame = {
     val oldE = edges0.select(col("u"), col("v"))
     val ins = edgeDeltas.filter(col("delta") > 0).select(col("u"), col("v"))
     val del = edgeDeltas.filter(col("delta") < 0).select(col("u"), col("v"))
     val newE = oldE.union(ins).except(del).localCheckpoint(true)
+    // DRIVER-GRAPH tier (guide §2.4): when the post-churn edge relation
+    // is model-sized, the SAME affected-region algorithm runs entirely
+    // in memory off one collect — the distributed shape below pays one
+    // job per descendants-BFS level plus one per relaxation round, all
+    // scheduling floor at this size. Identical algebra (affected =
+    // descendants of delta dsts; unaffected rows pass through; region
+    // re-solved from boundary + member seeds), so the output matches to
+    // the bit. A type mix falls through to the distributed path, whose
+    // BFS widens ids itself; 100-TB graphs are untouched.
+    val idTypes = Seq(newE.schema("u").dataType, newE.schema("v").dataType,
+      dists.schema("id").dataType, seeds.schema("id").dataType)
+    if (edgeCap > 0 && idTypes.distinct.size == 1 &&
+        newE.limit(edgeCap + 1).count() <= edgeCap)
+      return incrementalBfsLocal(newE, dists, edgeDeltas, seeds, maxIter)
     val deltaDst = edgeDeltas.select(col("v").as("id")).distinct()
-    val affected = bfsDistances(newE, deltaDst, maxIter, cap)
+    val affected = bfsDistances(newE, deltaDst, maxIter, cap, edgeCap)
       .select(col("id")).localCheckpoint(true)
     val affectedN = affected.count()
     val unaffected = dists.join(
@@ -726,6 +874,82 @@ object CorpusOps {
       }
       unaffected.unionByName(best)
     }
+  }
+
+  /** The driver-graph tier of [[incrementalBfs]]: the identical
+    * affected-region algebra off ONE collect of the post-churn edge
+    * relation. Caller has checked the cap and that every id column
+    * shares one type.
+    */
+  private def incrementalBfsLocal(newE: DataFrame, dists: DataFrame,
+      edgeDeltas: DataFrame, seeds: DataFrame, maxIter: Int): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val spark = newE.sparkSession
+    val idType = newE.schema("u").dataType
+    val edges = newE.collect().map(r => (r.get(0), r.get(1)))
+    val adj = scala.collection.mutable.HashMap
+      .empty[Any, scala.collection.mutable.ArrayBuffer[Any]]
+    edges.foreach { case (u, v) =>
+      adj.getOrElseUpdate(u,
+        scala.collection.mutable.ArrayBuffer.empty[Any]) += v
+    }
+    // affected = delta dsts + their new-graph descendants (the same
+    // bounded BFS the distributed path runs)
+    val deltaDstIds = edgeDeltas.select(col("v")).distinct()
+      .collect().map(_.get(0))
+    val affected = scala.collection.mutable.HashSet[Any](deltaDstIds.toSeq: _*)
+    var frontier: Array[Any] = deltaDstIds
+    var it = 0
+    while (frontier.nonEmpty && it < maxIter) {
+      frontier = frontier.iterator
+        .flatMap(id => adj.getOrElse(id, Nil))
+        .filter(affected.add).toArray
+      it += 1
+    }
+    // splice: unaffected stored distances pass through untouched
+    val distRows = dists.select(col("id"), col("dist")).collect()
+    val unaffected = distRows.filter(r => !affected.contains(r.get(0)))
+    val distMap = scala.collection.mutable.HashMap.empty[Any, Long]
+    distRows.foreach(r => distMap(r.get(0)) = r.getLong(1))
+    // region entry points: boundary edges from unaffected nodes at
+    // dist+1, member seeds at 0; relax over region-internal edges
+    val best = scala.collection.mutable.HashMap.empty[Any, Long]
+    def offer(id: Any, d: Long): Boolean =
+      if (best.get(id).forall(d < _)) { best(id) = d; true } else false
+    edges.foreach { case (u, v) =>
+      if (affected.contains(v) && !affected.contains(u))
+        distMap.get(u).foreach(du => offer(v, du + 1))
+    }
+    seeds.select(col("id")).distinct().collect().map(_.get(0))
+      .filter(affected.contains).foreach(offer(_, 0L))
+    val regionAdj = scala.collection.mutable.HashMap
+      .empty[Any, scala.collection.mutable.ArrayBuffer[Any]]
+    edges.foreach { case (u, v) =>
+      if (affected.contains(u) && affected.contains(v))
+        regionAdj.getOrElseUpdate(u,
+          scala.collection.mutable.ArrayBuffer.empty[Any]) += v
+    }
+    var relax: Array[(Any, Long)] = best.iterator.toArray
+    it = 0
+    while (relax.nonEmpty && it < maxIter) {
+      val cand = scala.collection.mutable.HashMap.empty[Any, Long]
+      relax.foreach { case (u, du) =>
+        regionAdj.getOrElse(u, Nil).foreach { v =>
+          val nd = du + 1
+          if (cand.get(v).forall(nd < _)) cand(v) = nd
+        }
+      }
+      relax = cand.iterator.filter { case (v, nd) => offer(v, nd) }.toArray
+      it += 1
+    }
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", idType),
+      org.apache.spark.sql.types.StructField("dist",
+        org.apache.spark.sql.types.LongType)))
+    val rows = unaffected.iterator
+      .map(r => org.apache.spark.sql.Row(r.get(0), r.getLong(1))) ++
+      best.iterator.map { case (id, d) => org.apache.spark.sql.Row(id, d) }
+    spark.createDataFrame(rows.toSeq.asJava, outSchema)
   }
 
   /** Deterministic train/val/test split by multiplicative integer hash

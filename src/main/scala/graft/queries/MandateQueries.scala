@@ -152,8 +152,12 @@ object MandateQueries {
     "q27_simhash",
     s"""SELECT *, TRUE AS coverage_ok FROM ($jaccardOracle)""") { (spark, dir) =>
     val docs = Tables.documents(spark, dir)
+    // the exact-pairs subtree feeds THREE consumers (found / tot / the
+    // output rows); unpinned it re-evaluates the full shingle self-join
+    // per consumer (guide §7.2, duplicated subtrees) — materialize once
     val exact = Shingles.jaccardPairs(
       Shingles.tokenShingles(docs, "doc_id", "text", 3), 0.6)
+      .localCheckpoint(true)
     val sim = SimHash.nearDupPairs(docs, "doc_id", "text", maxHamming = 7)
       .select(col("doc_id_a"), col("doc_id_b"))
     val found = exact.join(sim, Seq("doc_id_a", "doc_id_b"), "left_semi")

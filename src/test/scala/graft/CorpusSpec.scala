@@ -63,6 +63,28 @@ class CorpusSpec extends SparkSpec {
     assert(got.map(r => r._1 -> r._2).toMap === expected)
   }
 
+  test("dupClusters driver tier is bit-identical to the distributed star contraction") {
+    val rnd = new scala.util.Random(71)
+    val raw = Seq.fill(500)((rnd.nextInt(400).toLong, rnd.nextInt(400).toLong))
+      .filter { case (a, b) => a != b }
+    val pairs = raw.toDF("doc_id_a", "doc_id_b")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Boolean)].collect().toSet
+    // default path: under DriverComponentsEdgeCap → the union-find tier
+    val local = norm(CorpusOps.dupClusters(pairs))
+    // the distributed tier, directly
+    val dist = norm(CorpusOps.dupClustersWithRounds(pairs)._1)
+    assert(local == dist, "driver-tier labels diverged from star contraction")
+    // STRING ids take the same driver tier (lexicographic min = least())
+    val sPairs = raw.map { case (a, b) => (f"n$a%04d", f"n$b%04d") }
+      .toDF("doc_id_a", "doc_id_b")
+    val sLocal = CorpusOps.dupClusters(sPairs)
+      .as[(String, String, Boolean)].collect().toSet
+    val sDist = CorpusOps.dupClustersWithRounds(sPairs)._1
+      .as[(String, String, Boolean)].collect().toSet
+    assert(sLocal == sDist, "string-id driver tier diverged")
+  }
+
   test("dupClusters on real near-dup pairs: every pair lands in one cluster, canonical is min") {
     val pairs = MinHashLsh.nearDupPairs(docs, "doc_id", "text", 3, 0.6)
     val clusters = CorpusOps.dupClusters(pairs)
@@ -615,12 +637,16 @@ class CorpusSpec extends SparkSpec {
     val seeds = Seq(0L, 3L, 9L).toDF("id")
     def norm(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val held = norm(CorpusOps.bfsDistances(edges, seeds))
+    // default: the DRIVER-GRAPH tier (edges under DriverEdgeCap)
+    val local = norm(CorpusOps.bfsDistances(edges, seeds))
+    // edgeCap=0 disables the graph tier — the driver-FRONTIER loop
+    val held = norm(CorpusOps.bfsDistances(edges, seeds, edgeCap = 0))
     // cap=5 admits the 3 seeds, then breaches on an early level —
     // exercises the spill() handoff with partial driver-held state
-    val spilled = norm(CorpusOps.bfsDistances(edges, seeds, cap = 5))
+    val spilled = norm(CorpusOps.bfsDistances(edges, seeds, cap = 5, edgeCap = 0))
     // cap=1 < seedN — fully distributed from round 0
-    val dist = norm(CorpusOps.bfsDistances(edges, seeds, cap = 1))
+    val dist = norm(CorpusOps.bfsDistances(edges, seeds, cap = 1, edgeCap = 0))
+    assert(local == held, "driver-graph tier diverged from driver-held")
     assert(spilled == held, "spilled tier diverged from driver-held")
     assert(dist == held, "distributed tier diverged from driver-held")
   }
@@ -639,12 +665,17 @@ class CorpusSpec extends SparkSpec {
       extra.map { case (u, v) => (u, v, 1) }).toDF("u", "v", "delta")
     def norm(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val held = norm(CorpusOps.incrementalBfs(
+    // default: the DRIVER-GRAPH tier; edgeCap=0 forces the driver-held
+    // relaxation; cap=0 on top forces the fully distributed one
+    val local = norm(CorpusOps.incrementalBfs(
       allEdges.toDF("u", "v"), base, deltas, seeds))
+    val held = norm(CorpusOps.incrementalBfs(
+      allEdges.toDF("u", "v"), base, deltas, seeds, edgeCap = 0))
     val dist = norm(CorpusOps.incrementalBfs(
-      allEdges.toDF("u", "v"), base, deltas, seeds, cap = 0))
+      allEdges.toDF("u", "v"), base, deltas, seeds, cap = 0, edgeCap = 0))
     val scratch = norm(CorpusOps.bfsDistances(
       (kept ++ extra).toDF("u", "v"), seeds))
+    assert(local == scratch, "driver-graph tier diverged from scratch")
     assert(held == scratch, "driver-held relaxation diverged from scratch")
     assert(dist == scratch, "distributed relaxation diverged from scratch")
   }
