@@ -1777,20 +1777,27 @@ object CorpusOps {
       .filter(col("jac") >= threshold)
       .select(col("id_b").as("doc_id")).distinct()
       .withColumn("_dropped", lit(true))
+    // ONE action over a PINNED stage frame: the window + LSH-verify
+    // chain above is expensive, and the previous two collect actions
+    // (scalar counts, then the capped s4 aggregate) re-executed it per
+    // action (guide §7.2, duplicated subtrees). The checkpoint
+    // materializes it once; both aggregates read the pinned rows and
+    // land in a single 1-row crossJoin collect.
     val staged = flagged
       .join(broadcast(dropped), Seq("doc_id"), "left")
       .withColumn("is_s3", col("is_s2") && col("_dropped").isNull)
-    val (c0, c1, c2, c3) = staged
+      .localCheckpoint(true)
+    val cc = staged
       .agg(count(lit(1)).as("c0"),
         sum(when(col("keep"), 1L).otherwise(0L)).as("c1"),
         sum(when(col("is_s2"), 1L).otherwise(0L)).as("c2"),
         sum(when(col("is_s3"), 1L).otherwise(0L)).as("c3"))
-      .as[(Long, Long, Long, Long)].collect().head
-    val c4 = staged.filter(col("is_s3"))
+    val c4df = staged.filter(col("is_s3"))
       .join(sources.select(col("doc_id"), col("source")), Seq("doc_id"))
       .groupBy(col("source")).agg(count(lit(1)).as("n"))
       .agg(coalesce(sum(least(col("n"), lit(cap.toLong))), lit(0L)).as("c4"))
-      .as[Long].collect().head
+    val (c0, c1, c2, c3, c4) = cc.crossJoin(c4df)
+      .as[(Long, Long, Long, Long, Long)].collect().head
     Seq("s0_total" -> c0, "s1_quality" -> c1, "s2_exact_dedup" -> c2,
       "s3_near_dedup" -> c3, "s4_source_cap" -> c4).toDF("stage", "n_docs")
   }

@@ -383,7 +383,10 @@ object PipelineQueries {
     val docs = Tables.documents(spark, dir)
     val cands = docs.filter(col("doc_id") % 50 =!= 0)
     val evalD = docs.filter(col("doc_id") % 50 === 0)
+    // exact feeds TWO consumers (the output rows and the superset
+    // check); unpinned, the shingle semi-join re-evaluates per consumer
     val exact = CorpusOps.contaminated(cands, evalD, "doc_id", "text", 5)
+      .localCheckpoint(true)
     val flagged = CorpusOps.bloomContaminated(cands, evalD, "doc_id", "text", 5)
     val ok = exact.join(flagged, Seq("doc_id"), "left_anti")
       .agg(count(lit(1)).as("_m"))
