@@ -1641,11 +1641,19 @@ object CorpusOps {
         floor(VectorSearch.cosine(col("embedding"), col("q_emb")) * 1e6 + 0.5)
           .cast("long").as("key"))
     val exactTop = rrfFuse(lex, rankedTop(semExact, "r_sem", listK),
-      topK, rrfK).select(col("doc_id")).localCheckpoint(true)
+      topK, rrfK).select(col("doc_id"))
     val annTop = rrfFuse(lex, rankedTop(semAnn, "r_sem", listK),
       topK, rrfK).select(col("doc_id"))
-    val nTot = exactTop.count()
-    val nHit = exactTop.join(annTop, Seq("doc_id"), "left_semi").count()
+    // ONE action for the fused-recall floor: total and hit counts from
+    // a single aggregate over a hit-marker left-join (was a checkpoint
+    // + two count jobs — the certificate is job-count-bound)
+    val hitRow = exactTop.join(
+      annTop.withColumn("_hit", lit(1)).dropDuplicates("doc_id"),
+      Seq("doc_id"), "left")
+      .agg(count(lit(1)).as("_nt"),
+        sum(coalesce(col("_hit"), lit(0))).as("_nh")).head()
+    val nTot = hitRow.getLong(0)
+    val nHit = if (hitRow.isNullAt(1)) 0L else hitRow.getLong(1)
     (nAllowed, probes, nTot == 0L || nHit.toDouble >= recallFloor * nTot)
   }
 

@@ -2793,13 +2793,20 @@ object PipelineQueries {
       val probes = VectorSearch.adaptiveProbes(cents.length, 4, 5, n)
       val exact = VectorSearch.filteredKnnExact(queries,
         vecStore.select(col("vec_id"), col("embedding")), allowed, 5)
-        .select(col("q_vec_id"), col("n_vec_id")).localCheckpoint(true)
+        .select(col("q_vec_id"), col("n_vec_id"))
       val ivf = VectorSearch.filteredKnnIvfFromPostings(queries, vecStore,
         allowed, 5, cents, probes)
         .select(col("q_vec_id"), col("n_vec_id"))
-      val nt = exact.count()
-      val nh = exact.join(ivf, Seq("q_vec_id", "n_vec_id"), "left_semi")
-        .count()
+      // ONE action for the recall floor: hit-marker left-join + a
+      // single aggregate (was a checkpoint + two count jobs per band)
+      val hitRow = exact.join(
+        ivf.withColumn("_hit", lit(1))
+          .dropDuplicates("q_vec_id", "n_vec_id"),
+        Seq("q_vec_id", "n_vec_id"), "left")
+        .agg(count(lit(1)).as("_nt"),
+          sum(coalesce(col("_hit"), lit(0))).as("_nh")).head()
+      val nt = hitRow.getLong(0)
+      val nh = if (hitRow.isNullAt(1)) 0L else hitRow.getLong(1)
       spark.range(1).select(lit(name).as("band"),
         lit(n).as("n_allowed"), lit(probes.toLong).as("probes"),
         lit(nh.toDouble >= 0.6 * nt).as("recall_ok"))

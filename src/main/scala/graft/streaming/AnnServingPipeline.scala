@@ -367,12 +367,21 @@ final case class AnnServingPipeline(
           if (ns == 0L) (qp, nq) else (s, ns)
         }
       }
+    // ONE action for the recall fraction: total and hit counts come out
+    // of a single aggregate over a served-hit marker left-join, instead
+    // of a checkpoint + two count jobs (guide §1.2: the certificate is
+    // job-count-bound at serve time, not data-bound)
     val exact = VectorSearch.knnExact(certQueries,
       allowedPostings.select(col("vec_id"), col("embedding")), kk)
-      .select(col("q_vec_id"), col("n_vec_id")).localCheckpoint(true)
-    val nTot = exact.count()
-    val nHit = exact.join(topk.select(col("q_vec_id"), col("n_vec_id")),
-      Seq("q_vec_id", "n_vec_id"), "left_semi").count()
+      .select(col("q_vec_id"), col("n_vec_id"))
+    val hitRow = exact.join(
+      topk.select(col("q_vec_id"), col("n_vec_id"), lit(1).as("_hit"))
+        .dropDuplicates("q_vec_id", "n_vec_id"),
+      Seq("q_vec_id", "n_vec_id"), "left")
+      .agg(count(lit(1)).as("_nt"),
+        sum(coalesce(col("_hit"), lit(0))).as("_nh")).head()
+    val nTot = hitRow.getLong(0)
+    val nHit = if (hitRow.isNullAt(1)) 0L else hitRow.getLong(1)
     val recall = if (nTot == 0) 1.0 else nHit.toDouble / nTot
     val okInt = if (recall >= recallFloor) 1 else 0
     val row = (if (certSampleMax <= 0)
