@@ -12,20 +12,23 @@ import java.util.concurrent.atomic.AtomicLong
   * a Structured Streaming transform to completion with
   * `Trigger.AvailableNow` (SURVEY §7.4: compare final state only).
   *
-  * Staging writes ONE parquet file so the whole replay is a single
-  * micro-batch — watermarks then drop nothing and the final state equals
-  * the batch semantics, which is what makes the DuckDB oracle exact.
+  * Staging writes a MULTI-FILE directory that the source still drains
+  * in ONE micro-batch (`Trigger.AvailableNow` with no maxFilesPerTrigger
+  * snapshots every available file into the first batch) — watermarks
+  * then drop nothing and the final state equals the batch semantics,
+  * which is what makes the DuckDB oracle exact. The even 32-file layout
+  * (ChangeFeed.stagedJsonl's v2 rationale, guide §2.2/§6) keeps the
+  * batch's SCAN stage at full parallelism: the original single-file
+  * staging made every micro-batch's map side one task, which serialized
+  * the decode of the whole feed ahead of the stateful shuffle.
   * Multi-batch behavior (late-data drops, cross-batch dedup state) is
   * exercised separately in tests with controlled per-batch input.
   *
-  * SCALE BOUND (deliberate): the `coalesce(1)` staging writes are a
-  * single task by construction — that determinism is the whole point of
-  * the test replayer, and at the test SFs the write is milliseconds.
-  * This harness must NOT be pointed at production-sized feeds: the
-  * engine paths it feeds (CdcPipeline, ViewPipeline, DeltaLog) consume
-  * real partitioned sources directly and never stage through here;
-  * multi-batch production replays keep their native file/partition
-  * parallelism end to end.
+  * SCALE BOUND (deliberate): this harness must NOT be pointed at
+  * production-sized feeds: the engine paths it feeds (CdcPipeline,
+  * ViewPipeline, DeltaLog) consume real partitioned sources directly
+  * and never stage through here; multi-batch production replays keep
+  * their native file/partition parallelism end to end.
   */
 object Replay {
 
@@ -38,13 +41,15 @@ object Replay {
     val tag = if (withDuplicates) "dup" else "plain"
     // fingerprint keying: regenerated events.parquet invalidates the cache
     val fp = graft.sources.Staging.fingerprint(Seq(s"$dir/events.parquet"))
+    // v2 = 32-even-file layout (fingerprint tracks source CONTENT only,
+    // so the layout change bumps the version — stagedJsonl's rule)
     val staged = sys.props("java.io.tmpdir") +
-      s"/graft_replay_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_${tag}_$fp"
+      s"/graft_replay_v2_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_${tag}_$fp"
     if (!Files.exists(Paths.get(s"$staged/_SUCCESS"))) {
       val ev = Tables.events(spark, dir)
       val out = if (withDuplicates)
         ev.unionByName(ev.filter(col("event_id") % 100 === 0)) else ev
-      out.coalesce(1).write.mode("overwrite").parquet(staged)
+      out.repartition(32).write.mode("overwrite").parquet(staged)
     }
     staged
   }
@@ -72,7 +77,7 @@ object Replay {
     val fp = graft.sources.Staging.fingerprint(Seq(s"$dir/events.parquet"))
     val tag = flushTypes.mkString("_").replaceAll("[^a-zA-Z0-9_]", "")
     val staged = sys.props("java.io.tmpdir") +
-      s"/graft_replay_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_flush_${tag}_$fp"
+      s"/graft_replay_v2_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_flush_${tag}_$fp"
     if (!Files.exists(Paths.get(s"$staged/_SUCCESS"))) {
       val ev = Tables.events(spark, dir)
       val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
@@ -83,7 +88,8 @@ object Replay {
       val flushDf = spark.createDataFrame(flush)
         .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
         .select(ev.columns.map(col): _*)
-      ev.unionByName(flushDf).coalesce(1).write.mode("overwrite").parquet(staged)
+      ev.unionByName(flushDf).repartition(32)
+        .write.mode("overwrite").parquet(staged)
     }
     staged
   }
@@ -103,9 +109,10 @@ object Replay {
   def documentsStream(spark: SparkSession, dir: String): DataFrame = {
     val fp = graft.sources.Staging.fingerprint(Seq(s"$dir/documents.parquet"))
     val staged = sys.props("java.io.tmpdir") +
-      s"/graft_replay_docs_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_$fp"
+      s"/graft_replay_docs_v2_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_$fp"
     if (!Files.exists(Paths.get(s"$staged/_SUCCESS")))
-      Tables.documents(spark, dir).coalesce(1).write.mode("overwrite").parquet(staged)
+      Tables.documents(spark, dir).repartition(32)
+        .write.mode("overwrite").parquet(staged)
     val schema: StructType = spark.read.parquet(staged).schema
     spark.readStream.schema(schema).parquet(staged)
   }
