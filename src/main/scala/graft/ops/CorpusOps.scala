@@ -82,8 +82,12 @@ object CorpusOps {
 
   /** Driver-orderable id types: the tiers must agree on `least`/min
     * semantics, so only types whose SQL ordering the driver can
-    * reproduce exactly qualify (integral widths and strings — Spark's
-    * `least` on binary strings is the same lexicographic compare).
+    * reproduce exactly qualify. Strings compare as UNSIGNED UTF-8 BYTES
+    * (Spark's UTF8_BINARY collation order) — Java's String.compareTo
+    * walks UTF-16 code units, which diverges for supplementary
+    * (non-BMP) characters: U+FFFF sorts above a surrogate pair in
+    * UTF-16 but below it in UTF-8 bytes, so compareTo would pick a
+    * different min-id root than the distributed `least`.
     */
   private def localIdOrdering(dt: org.apache.spark.sql.types.DataType)
       : Option[Ordering[Any]] = {
@@ -92,7 +96,14 @@ object CorpusOps {
       case ByteType | ShortType | IntegerType | LongType =>
         Some(Ordering.by((x: Any) => x.asInstanceOf[Number].longValue))
       case StringType =>
-        Some(Ordering.by((x: Any) => x.asInstanceOf[String]))
+        Some(new Ordering[Any] {
+          def compare(a: Any, b: Any): Int =
+            java.util.Arrays.compareUnsigned(
+              a.asInstanceOf[String]
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+              b.asInstanceOf[String]
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        })
       case _ => None
     }
   }
@@ -786,8 +797,15 @@ object CorpusOps {
     // BFS widens ids itself; 100-TB graphs are untouched.
     val idTypes = Seq(newE.schema("u").dataType, newE.schema("v").dataType,
       dists.schema("id").dataType, seeds.schema("id").dataType)
+    // the local tier collects newE AND the stored distance relation AND
+    // the delta dsts — the edge probe alone does not bound the other
+    // two (a delta that deletes most of a huge graph passes the edge
+    // probe yet `dists` is node-sized for the PRE-churn graph), so each
+    // collected relation gets its own limit-bounded probe
     if (edgeCap > 0 && idTypes.distinct.size == 1 &&
-        newE.limit(edgeCap + 1).count() <= edgeCap)
+        newE.limit(edgeCap + 1).count() <= edgeCap &&
+        dists.limit(edgeCap + 1).count() <= edgeCap &&
+        edgeDeltas.limit(edgeCap + 1).count() <= edgeCap)
       return incrementalBfsLocal(newE, dists, edgeDeltas, seeds, maxIter)
     val deltaDst = edgeDeltas.select(col("v").as("id")).distinct()
     val affected = bfsDistances(newE, deltaDst, maxIter, cap, edgeCap)
@@ -942,10 +960,12 @@ object CorpusOps {
       relax = cand.iterator.filter { case (v, nd) => offer(v, nd) }.toArray
       it += 1
     }
+    // dist is nullable = false to match bfsDistances / the distributed
+    // incrementalBfs tiers bit-for-bit (schema parity included)
     val outSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("id", idType),
       org.apache.spark.sql.types.StructField("dist",
-        org.apache.spark.sql.types.LongType)))
+        org.apache.spark.sql.types.LongType, nullable = false)))
     val rows = unaffected.iterator
       .map(r => org.apache.spark.sql.Row(r.get(0), r.getLong(1))) ++
       best.iterator.map { case (id, d) => org.apache.spark.sql.Row(id, d) }
@@ -1608,15 +1628,20 @@ object CorpusOps {
     val allow = allowed.select(col("vec_id")).distinct().localCheckpoint(true)
     val allowedVec = vecStore.join(allow, Seq("vec_id"), "left_semi")
       .localCheckpoint(true)
-    // one job: the band's live count AND the query-present check
+    // one job: the band's live count AND the query-present check — this
+    // aggregate also ABSORBS the caller's empty-band probe (an EMPTY
+    // band certifies the saturated width vacuously: nothing to serve,
+    // nothing to recall-check), so a band sweep pays no separate
+    // isEmpty/checkpoint actions per band
     val agg = allowedVec.agg(count(lit(1)).as("n"),
       max(when(col("vec_id") === queryVecId, 1).otherwise(0)).as("hasq"))
       .head()
     val nAllowed = agg.getLong(0)
-    require(nAllowed > 0L && agg.getInt(1) == 1,
+    if (nAllowed == 0L) return (0L, cents.length, true)
+    require(agg.getInt(1) == 1,
       s"filteredHybridCertificate: query vector $queryVecId is not in " +
-        "the allowed set (or the band is empty) — pre-filter semantics " +
-        "have no self-hit for an excluded query")
+        "the allowed set — pre-filter semantics have no self-hit for an " +
+        "excluded query")
     val probes = VectorSearch.adaptiveProbes(cents.length, nProbe, listK,
       nAllowed)
     val allowD = allow.select(col("vec_id").as("doc_id"))

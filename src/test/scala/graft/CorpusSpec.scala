@@ -83,6 +83,22 @@ class CorpusSpec extends SparkSpec {
     val sDist = CorpusOps.dupClustersWithRounds(sPairs)._1
       .as[(String, String, Boolean)].collect().toSet
     assert(sLocal == sDist, "string-id driver tier diverged")
+    // NON-BMP ids: Java's String.compareTo (UTF-16 code units) and
+    // Spark's least()/min (unsigned UTF-8 bytes) DISAGREE here —
+    // U+FFFF sorts above the surrogate pair for U+1F600 in UTF-16 but
+    // below it in UTF-8 — so the driver tier must order by UTF-8 bytes
+    // to pick the same min-id root as the distributed contraction
+    val uFFFF = "￿"
+    val emoji = "😀" // U+1F600
+    val nPairs = Seq((uFFFF, emoji), ("za", "zb"))
+      .toDF("doc_id_a", "doc_id_b")
+    val nLocal = CorpusOps.dupClusters(nPairs)
+      .as[(String, String, Boolean)].collect().toSet
+    val nDist = CorpusOps.dupClustersWithRounds(nPairs)._1
+      .as[(String, String, Boolean)].collect().toSet
+    assert(nLocal == nDist, "non-BMP string-id driver tier diverged")
+    assert(nLocal.exists(r => r._1 == emoji && r._2 == uFFFF),
+      "U+FFFF must be the component min in UTF-8 byte order")
   }
 
   test("dupClusters on real near-dup pairs: every pair lands in one cluster, canonical is min") {
@@ -678,6 +694,25 @@ class CorpusSpec extends SparkSpec {
     assert(local == scratch, "driver-graph tier diverged from scratch")
     assert(held == scratch, "driver-held relaxation diverged from scratch")
     assert(dist == scratch, "distributed relaxation diverged from scratch")
+  }
+
+  test("incrementalBfs: node-sized dists forces the distributed path even when post-churn edges fit") {
+    // star 0→1..40, then a churn that deletes 36 spokes: the POST-churn
+    // edge list (4 edges) passes the edge probe, but the stored distance
+    // relation is PRE-churn node-sized — the dists probe must force the
+    // distributed path instead of collecting it (and the result must
+    // still equal from-scratch BFS on the post-churn graph)
+    val edges = (1 to 40).map(i => (0L, i.toLong))
+    val seeds = Seq(0L).toDF("id")
+    val base = CorpusOps.bfsDistances(edges.toDF("u", "v"), seeds)
+    val deltas = (5 to 40).map(i => (0L, i.toLong, -1)).toDF("u", "v", "delta")
+    val got = CorpusOps.incrementalBfs(edges.toDF("u", "v"), base, deltas,
+      seeds, edgeCap = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val scratch = CorpusOps.bfsDistances(
+      (1 to 4).map(i => (0L, i.toLong)).toDF("u", "v"), seeds)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == scratch, "over-cap dists fallthrough diverged from scratch")
   }
 
   test("incrementalBfs equals from-scratch BFS on random churn waves") {
