@@ -161,15 +161,28 @@ object StatefulVersions {
     * superseding open or a close), null = still current — the same
     * lead-over-events computation as the batch `Materialize.scd2Typed`,
     * applied to deltas instead of raw events.
+    *
+    * Cost shape (guide §2.4 — two operations keyed the same way share
+    * one exchange): the relation is hash-partitioned by `key` ONCE up
+    * front; the per-(key, tsMs) latest-seq pick is a hash aggregate
+    * (max_by on seq — `scd2Typed`'s dedupe shape) that rides that
+    * partitioning (same-key rows are colocated, so same-(key, tsMs)
+    * rows are too), and the lead window needs only a sort. The previous
+    * form (row_number window over (key, tsMs), then the lead window
+    * over (key)) planned 2 Exchanges + 2 Sorts; this is 1 Exchange +
+    * 1 Sort, identical output (seq is unique per key, so max_by picks
+    * exactly the rn=1 row).
     */
   def scd2FromDeltas(deltas: DataFrame, rowSchema: StructType): DataFrame = {
-    val latest = Window.partitionBy(col("key"), col("tsMs"))
-      .orderBy(col("seq").desc)
     val w = Window.partitionBy(col("key")).orderBy(col("tsMs"))
     deltas
-      .withColumn("rn", row_number().over(latest))
-      .filter(col("rn") === 1 && col("action") =!= "void")
-      .drop("rn")
+      .repartition(col("key"))
+      .groupBy(col("key"), col("tsMs"))
+      .agg(max_by(struct(col("version"), col("action"), col("rowJson")),
+        col("seq")).as("_d"))
+      .select(col("key"), col("tsMs"), col("_d.version").as("version"),
+        col("_d.action").as("action"), col("_d.rowJson").as("rowJson"))
+      .filter(col("action") =!= "void")
       .withColumn("valid_to_ms", lead(col("tsMs"), 1).over(w))
       .filter(col("action") === "open")
       .select(col("key").as("_key"), col("version"),

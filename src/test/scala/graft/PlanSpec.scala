@@ -103,6 +103,23 @@ class PlanSpec extends SparkSpec {
       "Sort ".r.findAllIn(p).length <= 2, p)
   }
 
+  test("scd2FromDeltas: latest-seq pick and lead window share one exchange") {
+    import spark.implicits._
+    // q109's fold (the streaming query's batch tail): the max_by-on-seq
+    // aggregate and the lead window must both ride ONE hash partitioning
+    // on key — the two-window form planned 2 Exchanges + 2 Sorts
+    val deltas = Seq(
+      (1L, 10L, 1, "open", """{"a":1}""", 1L),
+      (1L, 20L, 0, "close", null, 2L),
+      (2L, 10L, 1, "open", """{"a":2}""", 1L))
+      .toDF("key", "tsMs", "version", "action", "rowJson", "seq")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("a INT")
+    val p = graft.streaming.StatefulVersions.scd2FromDeltas(deltas, schema)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 1, p)
+    assert("Sort ".r.findAllIn(p).length <= 1, p)
+  }
+
   test("q121: correlated LATERAL limit decorrelates to a ranked window join") {
     val p = graft.queries.BatchQueries.q121.fn(spark, sf001)
       .queryExecution.executedPlan.toString
