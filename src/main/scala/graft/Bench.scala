@@ -173,7 +173,15 @@ object Bench {
     // summary + as many per-query medians as fit a fixed byte budget,
     // slowest first (the informative end of the distribution), with an
     // explicit count of what was elided to the detail file.
-    val budget = 1300
+    //
+    // Why not ALL medians (r16 verdict item 2): every archived round's
+    // stdout capture is EXACTLY 2000 chars (BENCH_r01..r16 tails), and
+    // round 4's ~7 KB line was cut mid-JSON and unparseable — a
+    // 189-entry map (~6 KB) would repeat that and lose the whole round.
+    // The budget below is sized so line (~1850) + the trailing sbt
+    // success line (~80) fit the window with margin; the FULL map is in
+    // bench_runs.json (`detail`), the driver-readable sidecar.
+    val budget = 1450
     val bySlowest = medians.sortBy { case (_, m) => -m }
     val kept = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = 0
