@@ -98,11 +98,18 @@ object EsSink {
     */
   final class FileDocStore(dir: String) extends Transport {
     import java.nio.file.{Files, Paths, StandardCopyOption}
+    // every doc file lands in the ONE flat store dir (ids arrive
+    // path-encoded, so getParent is always `dir`) — create it once per
+    // (de)serialized instance instead of stat'ing it per put: a
+    // 300k-doc drive is metadata-syscall-bound (open/rename), and the
+    // per-put createDirectories round-trip was a third of its syscalls
+    @transient private lazy val ready: java.nio.file.Path =
+      Files.createDirectories(Paths.get(dir))
     private def fileOf(encodedId: String) =
       Paths.get(dir, s"$encodedId.json")
     private def put(encodedId: String, body: String): Unit = {
+      ready
       val f = fileOf(encodedId)
-      Files.createDirectories(f.getParent)
       val tmp = f.resolveSibling(
         s"${f.getFileName}.tmp.${java.util.UUID.randomUUID()}")
       Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
