@@ -334,6 +334,23 @@ class CorpusSpec extends SparkSpec {
       "deleted doc 3 must not rank from the maintained store")
   }
 
+  test("filteredHybridCertificate: empty allowed band certifies vacuously at saturated width") {
+    // the empty-band answer moved INTO the certificate's first
+    // aggregate (q171 r17: no separate isEmpty/checkpoint per band) —
+    // it must return n=0, the saturated probe width, and a vacuous ok
+    val deltas = Seq(("1", """{"text":"x pad"}""", null: String))
+      .toDF("key", "rowJson", "prevJson")
+    val vecStore = Seq((1L, 0, Array(1f, 0f)), (7L, 1, Array(1f, 1f)))
+      .toDF("vec_id", "cell", "embedding")
+    val cents = Array(Array(1f, 0f), Array(0f, 1f))
+    val (n, probes, ok) = CorpusOps.filteredHybridCertificate(
+      CorpusOps.liveTermPostings(CorpusOps.termPostingDeltas(deltas)),
+      CorpusOps.liveDocLens(CorpusOps.docLenDeltas(deltas)),
+      vecStore, vecStore.select(col("vec_id")).filter(lit(false)),
+      Seq("x"), 7L, cents)
+    assert(n == 0L && probes == cents.length && ok)
+  }
+
   test("curationFunnelFromLog: stage counts fold from the log — deletes retract, non-s2 pairs drop nothing, cap is min(cap, n)") {
     val t1 = (1 to 30).map("w" + _).mkString(" ")  // 30 distinct: passes gate
     val t3 = (1 to 30).map("v" + _).mkString(" ")
