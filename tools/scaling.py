@@ -47,6 +47,7 @@ KNOWN = {
     "q113_setops_all": "leg-contention artifact, not code: r15 sf0.3 leg 1.447 s under residual load; idle same-box BenchOne 0.892 s (alpha_top 1.17) — also bench-retried in the sf0.1 leg, same class",
     "q114_correlated_subquery": "leg-contention artifact, not code: r15 sf0.3 leg 1.321 s under residual load; idle same-box BenchOne 1.090 s (alpha_top 1.21, a decorrelated ranked-window join, linear work)",
     "q78_hll_merge": "warm-mid-point artifact, not code: the r15 final-leg sf0.1 point (0.239 s) rode page-cache/JIT warmth from 180 prior queries; idle same-box BenchOne reads 0.778 s (sf0.1) -> 1.309 s (sf0.3), alpha_top 0.47 — two linear grouped aggregates (HLL sketch + exact distinct) with map-side partials",
+    "q82_schema_drift": "leg-contention artifact, not code: the r17 sf0.3 leg median 2.75 s sits over a [1.098, 2.75, 2.835] spread (bench-retried in BOTH the sf0.1 and sf0.3 legs); idle same-box BenchOne measures 1.09-1.18 s (alpha_top ~0.90) — a linear one-pass observed-fields aggregate over the staged feed",
 }
 
 
